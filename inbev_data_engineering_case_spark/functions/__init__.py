@@ -1,0 +1,140 @@
+"""Reusable Column-expression helpers.
+
+Everything here is a pure expression constructor over built-in
+``pyspark.sql.functions`` — JVM-side, codegen-friendly, no UDFs. Several
+helpers exist specifically to be *portable*: the same computation is
+expressible in ANSI SQL on DuckDB, so operators built from them can ship an
+exact value-level oracle (the driver's correctness gate compares value
+hashes, so engine-specific hashes like Spark's murmur3 ``F.hash`` are out
+for any column that lands in a result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def portable_hash64(c: Column | str, seed: int = 0) -> Column:
+    """Deterministic 60-bit hash identical in Spark and DuckDB.
+
+    Spark:  ``conv(substring(md5(concat(seed, x)), 1, 15), 16, 10)::bigint``
+    DuckDB: ``('0x' || substr(md5(seed || x), 1, 15))::bigint``
+
+    15 hex chars = 60 bits, always non-negative and exact in an int64.
+    md5 is computed JVM-side (codegen'd); this is the workhorse for
+    MinHash/SimHash/fingerprints where results must match the oracle.
+    For purely internal hashing (salting, bucketing) prefer ``F.xxhash64``.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    salted = F.concat(F.lit(str(seed)), c.cast("string")) if seed else c.cast("string")
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash64_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB SQL text equivalent of ``portable_hash64``."""
+    inner = f"'{seed}' || ({expr})" if seed else f"({expr})"
+    return f"(('0x' || substr(md5({inner}), 1, 15)))::BIGINT"
+
+
+def money(c: Column | str) -> Column:
+    """Cast a double money column to decimal(18,2) so sums are exact and
+    order-independent — float summation order differs between Spark's
+    partial/final aggregation tree and any single-node oracle, so money
+    aggregates go through decimal and only the *final* result returns to
+    double. At 100 TB this also removes non-determinism across reruns."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("decimal(18,2)")
+
+
+def dsum(c: Column | str, alias: str) -> Column:
+    """Exact decimal sum surfaced as double (stable across engines).
+
+    For *raw money columns* only — the cast rounds to 2 decimals, which is
+    exact for 2-decimal source data but lossy for computed products; build
+    those with ``money()`` per input and sum via ``xsum`` instead (casting a
+    computed double to decimal rounds differently in Spark — shortest-repr
+    HALF_UP — than in engines that round the exact binary value)."""
+    return F.sum(money(c)).cast("double").alias(alias)
+
+
+def xsum(c: Column, alias: str) -> Column:
+    """Sum an already-exact (decimal) expression, surfaced as double."""
+    return F.sum(c).cast("double").alias(alias)
+
+
+def disc_price() -> Column:
+    """``l_extendedprice * (1 - l_discount)`` in exact decimal arithmetic —
+    inputs cast to decimal first so the product is exact on any engine."""
+    return money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+
+
+def charge() -> Column:
+    """``l_extendedprice * (1 - l_discount) * (1 + l_tax)``, exact decimal."""
+    return disc_price() * (F.lit(1) + money("l_tax"))
+
+
+def davg(c: Column | str, alias: str) -> Column:
+    """Order-stable average: exact decimal sum → double, then one IEEE double
+    division, rounded to 6 places. Both steps are deterministic and
+    reproducible in any engine, unlike a native float avg whose partial-sum
+    order varies."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(
+        F.sum(money(c)).cast("double") / F.count(c), 6
+    ).alias(alias)
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<float|double> columns, JVM-side:
+    ``aggregate(zip_with(a, b, (x, y) -> x*y), 0D, (acc, v) -> acc+v)``."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(c: Column | str) -> Column:
+    """Euclidean norm of an array column."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array columns (JVM-side, no UDF)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization → array<string>; empty strings removed.
+
+    ``split(trim(c), '\\\\s+')`` matches DuckDB's
+    ``regexp_split_to_array(trim(c), '\\s+')`` for non-empty input.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(F.trim(c), r"\s+")
+
+
+def char_ngrams(c: Column | str, n: int) -> Column:
+    """Character n-gram shingles of a string → array<string>, JVM-side:
+    substring windows via ``transform`` over a 1..len-n+1 index sequence.
+    Empty array for strings shorter than n."""
+    c = F.col(c) if isinstance(c, str) else c
+    # Guarded by when(): sequence(start, stop) auto-steps -1 when start>stop,
+    # which would fabricate shingles for too-short strings.
+    return F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

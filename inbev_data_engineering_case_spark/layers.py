@@ -1,0 +1,108 @@
+"""Medallion layer sinks and the snapshot catalog (OP-02/06/07/08/09).
+
+The reference materializes every pipeline run as a fresh timestamped folder
+``brewery_data_{YYYY-MM-DD-HH-MM}`` and downstream stages resolve their input
+by latest-snapshot discovery — reverse-lexicographic folder sort, first folder
+holding data files (``.csv`` for bronze, a ``_SUCCESS`` marker for silver)
+(reference dags/data_transformations_bronze_to_silver.py:52-63,
+dags/gold_data_aggregation.py:19-30). That contract is kept: it gives
+full-reload snapshot semantics with idempotent overwrite and a natural
+retry/recovery joint (SURVEY.md §1.1, §3.4).
+
+Scale notes (100 TB design point):
+- ``write_layer`` takes a ``target_file_mb`` hint and repartitions by the
+  partition keys so each Hive partition is written by few tasks — the
+  reference's ``partitionBy('country','state')`` over default shuffle
+  partitions sprays hundreds of tiny files (SURVEY.md §4.3-2). Repartitioning
+  by the partition columns routes each partition's rows to one task; AQE
+  handles residual skew.
+- Run-ids are caller-supplied (no wall-clock in library code) so runs are
+  deterministic and replayable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+SNAPSHOT_PREFIX = "brewery_data"
+SUCCESS_MARKER = "_SUCCESS"
+
+
+def snapshot_path(base_dir: str, run_id: str, prefix: str = SNAPSHOT_PREFIX) -> str:
+    """``{base}/{prefix}_{run_id}`` — run_id is the caller's timestamp string
+    (the reference uses ``%Y-%m-%d-%H-%M`` in America/Sao_Paulo; any
+    lexicographically-chronological id works)."""
+    return os.path.join(base_dir, f"{prefix}_{run_id}")
+
+
+def latest_snapshot(
+    base_dir: str,
+    prefix: str = SNAPSHOT_PREFIX,
+    require_success: bool = True,
+    data_suffix: str | None = None,
+) -> str:
+    """OP-08: newest snapshot folder that actually contains data.
+
+    ``require_success=True`` gates on Spark's committed-output ``_SUCCESS``
+    marker (the silver/gold rule); ``data_suffix='.csv'`` replicates the
+    bronze rule (any page file present). Raises if nothing qualifies.
+    """
+    if not os.path.isdir(base_dir):
+        raise FileNotFoundError(f"layer directory does not exist: {base_dir}")
+    folders = sorted(
+        (f for f in os.listdir(base_dir) if f.startswith(prefix)), reverse=True
+    )
+    for folder in folders:
+        path = os.path.join(base_dir, folder)
+        if not os.path.isdir(path):
+            continue
+        names = os.listdir(path)
+        if require_success and SUCCESS_MARKER not in names:
+            continue
+        if data_suffix is not None and not any(
+            n.endswith(data_suffix) for n in names
+        ):
+            continue
+        return path
+    raise FileNotFoundError(
+        f"no valid '{prefix}_*' snapshot under {base_dir} "
+        f"(require_success={require_success}, data_suffix={data_suffix})"
+    )
+
+
+def write_layer(
+    df: DataFrame,
+    path: str,
+    partition_keys: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """OP-06/OP-07: partitioned columnar sink.
+
+    Repartitions by the partition keys first so each Hive partition is
+    produced by a single task (small-file fix, SURVEY.md §4.3-2). With AQE
+    enabled, skewed partitions are still split at runtime.
+    """
+    writer = df
+    if partition_keys:
+        writer = df.repartition(*partition_keys)
+    w = writer.write.mode(mode).format(fmt)
+    if partition_keys:
+        w = w.partitionBy(*partition_keys)
+    w.save(path)
+    # Dynamic-partition overwrite commits without a _SUCCESS marker; the
+    # marker is this engine's snapshot-validity contract (OP-08), so write it
+    # explicitly once the save has committed. (Local FS here; on object
+    # stores the equivalent is the job-commit marker of the committer in use.)
+    marker = os.path.join(path, SUCCESS_MARKER)
+    if not os.path.exists(marker):
+        open(marker, "w").close()
+
+
+def publish_view(spark: SparkSession, df: DataFrame, name: str) -> list[str]:
+    """OP-09: register as a global temp view and return the catalog listing
+    (reference gold_data_aggregation.py:53-56)."""
+    df.createOrReplaceGlobalTempView(name)
+    return [t.name for t in spark.catalog.listTables("global_temp")]

@@ -1,0 +1,61 @@
+"""Snapshot catalog (OP-08) unit tests: latest-folder resolution,
+_SUCCESS gating, data-suffix gating, and failure when nothing qualifies."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from inbev_data_engineering_case_spark.layers import (
+    latest_snapshot,
+    snapshot_path,
+    write_layer,
+)
+
+
+def mkdir_snapshot(base, run_id, files=()):
+    p = snapshot_path(str(base), run_id)
+    os.makedirs(p, exist_ok=True)
+    for f in files:
+        open(os.path.join(p, f), "w").close()
+    return p
+
+
+def test_latest_prefers_newest_valid(tmp_path):
+    mkdir_snapshot(tmp_path, "2024-01-01-00-00", ["_SUCCESS", "x.parquet"])
+    newest = mkdir_snapshot(tmp_path, "2024-06-01-00-00", ["_SUCCESS", "y.parquet"])
+    mkdir_snapshot(tmp_path, "2024-12-01-00-00")  # newer but no _SUCCESS
+    assert latest_snapshot(str(tmp_path)) == newest
+
+
+def test_latest_bronze_rule_csv_suffix(tmp_path):
+    mkdir_snapshot(tmp_path, "2024-01-01-00-00", ["page_0.csv"])
+    newest = mkdir_snapshot(tmp_path, "2024-02-01-00-00", ["page_0.csv"])
+    mkdir_snapshot(tmp_path, "2024-03-01-00-00", ["notes.txt"])  # no csv
+    got = latest_snapshot(str(tmp_path), require_success=False, data_suffix=".csv")
+    assert got == newest
+
+
+def test_latest_raises_when_empty(tmp_path):
+    mkdir_snapshot(tmp_path, "2024-01-01-00-00")  # invalid: no marker
+    with pytest.raises(FileNotFoundError):
+        latest_snapshot(str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        latest_snapshot(str(tmp_path / "missing"))
+
+
+def test_write_layer_partitions_and_success(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 3)], ["country", "state", "v"]
+    )
+    out = str(tmp_path / "out")
+    write_layer(df, out, ["country", "state"])
+    names = os.listdir(out)
+    assert "_SUCCESS" in names
+    assert {"country=a", "country=b"} <= set(names)
+    # Small-file fix: repartition by keys → one file per leaf partition.
+    leaf = os.path.join(out, "country=a", "state=x")
+    assert len([f for f in os.listdir(leaf) if f.endswith(".parquet")]) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 3
