@@ -76,13 +76,11 @@ def charge() -> Column:
 
 def davg(c: Column | str, alias: str) -> Column:
     """Order-stable average: exact decimal sum → double, then one IEEE double
-    division, rounded to 6 places. Both steps are deterministic and
-    reproducible in any engine, unlike a native float avg whose partial-sum
-    order varies."""
+    division. Both steps are deterministic and bit-identical in any engine
+    (unlike a native float avg whose partial-sum order varies, or a trailing
+    round() whose tie rule is engine-specific)."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.round(
-        F.sum(money(c)).cast("double") / F.count(c), 6
-    ).alias(alias)
+    return (F.sum(money(c)).cast("double") / F.count(c)).alias(alias)
 
 
 def dot(a: Column | str, b: Column | str) -> Column:

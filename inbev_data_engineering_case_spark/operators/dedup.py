@@ -1,0 +1,258 @@
+"""Deduplication operators for the training-data pipeline: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard (SURVEY.md §7.2-7; north-star ops).
+
+Scale design (the point of each implementation):
+
+- **Exact** (``exact_dedup``): groupBy on a 64-bit content fingerprint, not
+  the full text — the shuffle carries 8 bytes + the surviving key per row
+  instead of whole documents. Partial aggregation dedups map-side first.
+- **MinHash+LSH** (``minhash_signatures`` → ``lsh_candidate_pairs``): the
+  classic shingle → K minhashes → band → bucket-join pipeline. All-pairs
+  comparison is O(n²) and impossible at 100 TB; LSH banding reduces it to
+  pairs that share a band bucket, i.e. expected-similar pairs only. The
+  band join is a shuffle on (band_index, band_hash) — well-distributed
+  because hash values are uniform; the final signature comparison happens
+  only on candidates.
+- **SimHash** (``simhash``): one 32-bit signature per document via bitwise
+  majority vote over token hashes; near-dup test is popcount(XOR) ≤ d.
+  Pure per-row compute, no shuffle; candidate pairing buckets on the high
+  bits so the self-join never goes all-pairs.
+- **n-gram Jaccard** (``jaccard_similarity``): exact set similarity used to
+  *verify* LSH candidates (cheap, because candidates are few).
+
+All hashes are the portable md5-based ``portable_hash64`` so each operator
+has an exact DuckDB oracle; for engine-internal-only runs ``F.xxhash64``
+would be ~3× faster and is a one-line swap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inbev_data_engineering_case_spark.functions import (
+    char_ngrams,
+    portable_hash64,
+)
+from inbev_data_engineering_case_spark.operators.textops import (
+    fingerprint,
+    normalize_for_fingerprint,
+)
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2
+DEFAULT_SHINGLE = 5
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact near-free dedup: fingerprint → groupBy → keep min id.
+    Returns (fingerprint, keep_id, n_copies). min() makes the survivor
+    deterministic (the reference's dropDuplicates keeps an arbitrary row —
+    unacceptable when results must be reproducible across retries/AQE)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_set(text: Column | str, n: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct character n-gram shingles of the normalized text."""
+    return F.array_distinct(char_ngrams(normalize_for_fingerprint(text), n))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) — sig[k] = min over shingles of
+    hash_k(shingle). Per-row compute only; no shuffle."""
+    shingles = shingle_set(text_col, shingle)
+
+    def hash_with(seed: int):
+        # closure factory — a `lambda s, k=k:` default arg would change the
+        # lambda's arity and make Spark pass the element index as k
+        return lambda s: portable_hash64(s, seed=seed)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(shingles, hash_with(k)))
+            for k in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_index, band_key):
+    (id_a, id_b) candidate pairs with id_a < id_b, deduplicated.
+
+    The band key is the concatenation of the band's signature slots; the
+    join shuffles on it (uniform, so no skew). Pairs sharing ≥1 band
+    survive — the standard LSH recall/precision dial via band_size."""
+    bands = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor(F.size("sig") / band_size).cast("int") - 1
+                ),
+                lambda b: F.concat_ws(
+                    ":",
+                    F.slice(
+                        F.col("sig"), b * band_size + 1, band_size
+                    ).cast("array<string>"),
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def signature_similarity(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+    """Estimated Jaccard = fraction of equal minhash slots, joined back onto
+    candidate pairs. Two broadcast-able joins when the signature table of
+    the candidate ids is small; otherwise shuffle joins on id."""
+    sig_a = signatures.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    sig_b = signatures.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # raw IEEE division (k / num_hashes): bit-identical across
+            # engines; round() tie rules are not
+            (matches / F.size("sig_a")).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    signature-similarity filter ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+    pairs = lsh_candidate_pairs(sigs, band_size)
+    return signature_similarity(pairs, sigs).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def jaccard_similarity(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id", shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate verification:
+    |A ∩ B| / |A ∪ B| over distinct shingle sets."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingle_set(text_col, shingle).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+    )
+
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash signature: bit b is the sign of the majority vote of bit b
+    over all token hashes. The bit loop unrolls in Python (bits is a build
+    constant), producing one codegen'd projection per row — per-row compute
+    only, no shuffle."""
+    from inbev_data_engineering_case_spark.functions import tokens
+
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    hashes = F.transform(toks, lambda t: portable_hash64(t))
+
+    def vote(bit_mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(bit_mask)) != 0, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), vote(1 << b))
+        out = out + F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``bucket_bits`` bits
+    (so the self-join is per-bucket, not all-pairs), then filter
+    popcount(XOR) ≤ max_hamming. Note the bucket prefilter trades recall
+    for scale exactly like LSH banding."""
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
+    ).withColumn(
+        "bucket", F.shiftright("sh", bits - bucket_bits)
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+    )

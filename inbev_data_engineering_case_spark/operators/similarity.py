@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (``array<float>``): brute-force
+cosine top-k as the exact baseline, and a sign-LSH bucketed variant as the
+scale path (north-star ops, SURVEY.md §7.2-7).
+
+Scale design:
+- **Brute force** is a broadcast nested-loop: queries (small) broadcast
+  against the corpus (huge), cosine computed JVM-side via
+  ``aggregate``/``zip_with`` (no UDF, no Python), then per-query top-k via a
+  ranking window partitioned by query id. Cost is O(|Q|·|C|·d) but
+  embarrassingly parallel and shuffle-free until the final (tiny) top-k
+  exchange — the right baseline even at 100 TB when |Q| is modest.
+- **Sign-LSH** (`signlsh_bucket`): h hyperplanes → h-bit bucket per vector;
+  candidates = same-bucket rows, so the join is bucket-local. Hyperplane
+  weights are *deterministic pseudo-randoms* derived from portable_hash64 of
+  (plane, dimension) — reproducible across runs and engines, no RNG state.
+  Recall is tunable via multiple probe tables at a constant factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inbev_data_engineering_case_spark.functions import cosine
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    Returns (query_id, neighbor_id, sim, rank), rank 1..k, self-matches
+    excluded. Rank ties break on neighbor_id after rounding the similarity,
+    so ordering is engine-stable."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qvec", "cvec"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _plane_weight(plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1):
+    portable_hash64 of 'p:d' scaled into the unit interval."""
+    from inbev_data_engineering_case_spark.functions import portable_hash64
+
+    key = F.concat(F.lit(f"{plane}:"), dim.cast("string"))
+    return (portable_hash64(key) % 2000001 - 1000000) / 1000000.0
+
+
+def signlsh_bucket(
+    vec: Column | str, num_planes: int = 8
+) -> Column:
+    """h-bit sign-LSH bucket id: bit p = sign(dot(vec, plane_p)) with
+    deterministic hyperplanes (see module docstring)."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+
+    def weighted(plane: int):
+        # closure factory (a default-arg lambda would change the arity
+        # PySpark infers for zip_with and break the call)
+        return lambda x, i: x.cast("double") * _plane_weight(plane, i)
+
+    bits = []
+    for p in range(num_planes):
+        dot_p = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                weighted(p),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(
+            F.when(dot_p > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates. Same output
+    shape as ``cosine_topk`` (minus sim recall for cross-bucket neighbors).
+    The candidate join shuffles on the bucket id; buckets are balanced in
+    expectation (hash-sign bits are unbiased)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        signlsh_bucket(vec_col, num_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        signlsh_bucket(vec_col, num_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qvec", "cvec"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators for the training-data pipeline (north-star
+extensions, SURVEY.md §7.2-7): token counting, quality scoring, language ID,
+document fingerprinting.
+
+All pure Column expressions over ``documents.text`` — JVM-side, zero UDFs,
+so they run inside whole-stage codegen and scale linearly with rows (no
+shuffle at all until an aggregation consumes them). Every function has an
+exact ANSI-SQL twin used by the oracles (see queries.py), which is why the
+hashes are md5-based (portable) rather than Spark's murmur3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from inbev_data_engineering_case_spark.functions import portable_hash64, tokens
+
+# Tiny per-language stopword inventories for the n-gram/stopword language-ID
+# heuristic. Deliberately small and hard-coded: the operator's job is the
+# *shape* (vectorized scoring + deterministic argmax), the lists are config.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+}
+# Deterministic tie-break order for argmax (first wins on equal score).
+LANG_PRIORITY = ["en", "es", "de", "fr"]
+
+STOPWORDS_QUALITY = LANG_STOPWORDS["en"]
+PUNCT_CLASS = "[.!?,;:]"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (the cheap proxy; a BPE-ish regex variant is
+    ``bpe_token_count``)."""
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish sub-word proxy: count alternating letter-runs, digit-runs and
+    single non-space symbols — a deterministic stand-in for a real tokenizer
+    with the same scaling shape (regex count, JVM-side)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(text, r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])", "$1\x1f"),
+                "\x1f",
+            ),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars.
+
+    Deliberately NOT rounded: both engines compute the identical IEEE
+    division of identical ints, so the raw double is bit-identical, whereas
+    round() rules differ between engines exactly at the tie values that
+    small-denominator ratios constantly produce."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.length(
+        F.regexp_replace(text, f"[^{PUNCT_CLASS[1:-1]}]", "")
+    ) / F.length(text)
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Stopword tokens / total tokens (lowercased)."""
+    stopwords = stopwords or STOPWORDS_QUALITY
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    return F.size(F.filter(toks, _isin(stopwords))) / F.size(toks)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality score in [0,1]: rewards stopword presence
+    (natural language), moderate length, and penalizes punctuation density.
+    Deterministic, expression-only; weights are engine policy, not learned."""
+    text = F.col(text) if isinstance(text, str) else text
+    length_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    return (
+        0.5 * stopword_ratio(text)
+        + 0.3 * length_score
+        + 0.2 * (1 - F.least(punct_ratio(text) * 10, F.lit(1.0)))
+    )
+
+
+def _isin(words: list[str]):
+    # Closure factory, NOT a default-arg lambda: PySpark counts a lambda's
+    # parameters (defaults included) to decide the higher-order-function
+    # arity, so `lambda t, sw=sw:` would receive the element *index* as sw.
+    return lambda t: t.isin(*words)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Stopword-hit count per language over the lowercased token set."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    return {
+        lang: F.size(F.filter(toks, _isin(sw)))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Deterministic argmax over per-language stopword scores; 'und'
+    (undetermined) when every score is zero; ties break by LANG_PRIORITY."""
+    scores = lang_scores(text)
+    all_zero = None
+    for c in scores.values():
+        all_zero = c == 0 if all_zero is None else all_zero & (c == 0)
+    expr = F.when(all_zero, F.lit("und"))
+    for i, lang in enumerate(LANG_PRIORITY):
+        cond = None
+        for other in LANG_PRIORITY[:i]:
+            c = scores[lang] > scores[other]
+            cond = c if cond is None else cond & c
+        for other in LANG_PRIORITY[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else cond & c
+        expr = expr.when(cond, F.lit(lang))
+    return expr
+
+
+def normalize_for_fingerprint(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse all whitespace
+    runs to single spaces, trim."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column | str) -> Column:
+    """64-bit portable content fingerprint of the normalized text."""
+    return portable_hash64(normalize_for_fingerprint(text))

@@ -234,11 +234,11 @@ SELECT l_returnflag, l_linestatus,
        sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
        sum({_DISC_PRICE})::DOUBLE AS sum_disc_price,
        sum({_CHARGE})::DOUBLE AS sum_charge,
-       round(sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE / count(l_quantity), 6)
+       sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE / count(l_quantity)
          AS avg_qty,
-       round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE
-             / count(l_extendedprice), 6) AS avg_price,
-       round(sum(CAST(l_discount AS DECIMAL(18,2)))::DOUBLE / count(l_discount), 6)
+       sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE
+         / count(l_extendedprice) AS avg_price,
+       sum(CAST(l_discount AS DECIMAL(18,2)))::DOUBLE / count(l_discount)
          AS avg_disc,
        count(*) AS count_order
 FROM lineitem
@@ -266,8 +266,8 @@ def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(p_retailprice) AS price_min,
            max(p_retailprice) AS price_max,
            sum(CAST(p_retailprice AS DECIMAL(18,2)))::DOUBLE AS price_sum,
-           round(sum(CAST(p_retailprice AS DECIMAL(18,2)))::DOUBLE
-                 / count(p_retailprice), 6) AS price_avg
+           sum(CAST(p_retailprice AS DECIMAL(18,2)))::DOUBLE
+             / count(p_retailprice) AS price_avg
     FROM part GROUP BY p_brand
     """,
     doc="min/max/sum/avg/count bundle per key (SURVEY.md §2.6 'absent' "
@@ -575,4 +575,529 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             dsum("o_totalprice", "total_price"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis (operators/textops.py)
+# ---------------------------------------------------------------------------
+
+# DuckDB twins of the textops expressions. \x1f (unit separator) is spelled
+# chr(31) in SQL.
+_SQL_TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_SQL_FP = f"(('0x' || substr(md5({_SQL_NORM}), 1, 15)))::BIGINT"
+
+
+@register(
+    "q_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_SQL_TOKENS}) AS n_tokens,
+           len(list_filter(
+             regexp_split_to_array(
+               regexp_replace(text,
+                 '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', '\\1' || chr(31), 'g'),
+               chr(31)),
+             t -> trim(t) != '')) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="token counting: whitespace tokens + a BPE-ish sub-word proxy "
+    "(letter-runs/digit-runs/symbols), both JVM-side regex expressions.",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.textops import (
+        bpe_token_count,
+        token_count,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+_SQL_STOP_EN = "('the','a','of','and','to','in','is','that','it','for')"
+
+
+@register(
+    "q_quality_score",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+             / length(text) AS punct_ratio,
+           len(list_filter({_SQL_TOKENS}, t -> t IN {_SQL_STOP_EN}))
+             / len({_SQL_TOKENS}) AS stopword_ratio,
+           0.5 * (len(list_filter({_SQL_TOKENS}, t -> t IN {_SQL_STOP_EN}))
+                  / len({_SQL_TOKENS}))
+             + 0.3 * least(length(text) / 500.0, 1.0)
+             + 0.2 * (1 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                                 / length(text)) * 10, 1.0)) AS quality
+    FROM documents
+    """,
+    doc="document quality scoring: length / punctuation-density / "
+    "stopword-ratio composite, pure expressions (no UDF).",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.textops import (
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    from inbev_data_engineering_case_spark.operators.textops import (
+        LANG_PRIORITY,
+        LANG_STOPWORDS,
+    )
+
+    score = {
+        lang: (
+            f"len(list_filter({_SQL_TOKENS}, t -> t IN "
+            f"({', '.join(repr(w) for w in sw)})))"
+        )
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    all_zero = " AND ".join(f"{s} = 0" for s in score.values())
+    cases = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        conds = [f"{score[lang]} > {score[o]}" for o in LANG_PRIORITY[:i]]
+        conds += [f"{score[lang]} >= {score[o]}" for o in LANG_PRIORITY[i + 1:]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = " ".join(cases)
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN {all_zero} THEN 'und' {case_sql} END AS lang_pred
+    FROM documents
+    """
+
+
+@register(
+    "q_lang_id",
+    _lang_id_oracle(),
+    doc="language identification: per-language stopword scoring with a "
+    "deterministic argmax (n-gram heuristic family); compares against the "
+    "table's labeled lang column.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.textops import lang_id
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", lang_id("text").alias("lang_pred")
+    )
+
+
+@register(
+    "q_fingerprint",
+    f"SELECT doc_id, {_SQL_FP} AS fp FROM documents",
+    doc="64-bit portable document fingerprint over whitespace-normalized "
+    "lowercased text (rolling-hash family; md5-based for oracle parity).",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.textops import fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+# Corpus with constructed duplicates: every document appears twice —
+# verbatim (exact dup, id+100000) for exact dedup, and with an appended
+# suffix (near dup, id+200000) for the similarity families. Deterministic,
+# so both engines build the identical corpus.
+_SQL_CORPUS_EXACT = """
+    (SELECT doc_id, text FROM documents
+     UNION ALL
+     SELECT doc_id + 100000 AS doc_id, text FROM documents)
+"""
+_SQL_CORPUS_NEAR = """
+    (SELECT doc_id, text FROM documents
+     UNION ALL
+     SELECT doc_id + 200000 AS doc_id, text || ' the end' AS text
+     FROM documents)
+"""
+
+
+def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(
+        d.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat("text", F.lit(" the end")).alias("text"),
+        )
+    )
+
+
+@register(
+    "q_dedup_exact",
+    f"""
+    SELECT {_SQL_FP} AS fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM {_SQL_CORPUS_EXACT} AS corpus
+    GROUP BY 1
+    """,
+    headline=True,
+    doc="exact dedup at scale: 64-bit fingerprint groupBy (shuffle carries "
+    "8-byte keys, not documents); min-id survivor is deterministic unlike "
+    "dropDuplicates.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_corpus_exact(spark, sf_dir))
+
+
+def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
+    def h(seed: int) -> str:
+        prefix = f"'{seed}' || " if seed else ""
+        return (
+            f"list_min(list_transform(sh, s -> "
+            f"(('0x' || substr(md5({prefix}s), 1, 15)))::BIGINT))"
+        )
+
+    sig = "[" + ", ".join(h(k) for k in range(num_hashes)) + "]"
+    n_bands = num_hashes // band_size
+    band_key = " || ':' || ".join(
+        f"sig[b * {band_size} + {j + 1}]::VARCHAR" for j in range(band_size)
+    )
+    return f"""
+    WITH corpus AS (SELECT * FROM {_SQL_CORPUS_NEAR} AS c),
+    shingled AS (
+      SELECT doc_id AS id,
+             list_distinct([substr(nt, i, 5) FOR i IN range(1, len(nt) - 3)]) AS sh
+      FROM (SELECT doc_id, {_SQL_NORM} AS nt FROM corpus)
+    ),
+    sigs AS (SELECT id, {sig} AS sig FROM shingled),
+    bands AS (
+      SELECT id, b AS band_idx, {band_key} AS band_key
+      FROM sigs, (SELECT unnest(range(0, {n_bands})) AS b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           list_sum(list_transform(range(1, {num_hashes + 1}),
+                 i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+             / {num_hashes} AS est_jaccard
+    FROM pairs
+    JOIN sigs sa ON sa.id = id_a
+    JOIN sigs sb ON sb.id = id_b
+    WHERE list_sum(list_transform(range(1, {num_hashes + 1}),
+          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+          / {num_hashes} >= 0.5
+    """
+
+
+@register(
+    "q_dedup_minhash",
+    _minhash_oracle(),
+    headline=True,
+    doc="MinHash+LSH near-dedup: 5-char shingles → 8 minhashes → 4 bands of "
+    "2 → bucket self-join → signature-similarity ≥ 0.5. The LSH band join "
+    "replaces the impossible O(n²) all-pairs at 100 TB.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    return minhash_dedup_pairs(_corpus_near(spark, sf_dir))
+
+
+@register(
+    "q_ngram_jaccard",
+    f"""
+    WITH corpus AS (SELECT * FROM {_SQL_CORPUS_NEAR} AS c),
+    shingled AS (
+      SELECT doc_id AS id,
+             list_distinct([substr(nt, i, 5) FOR i IN range(1, len(nt) - 3)]) AS sh
+      FROM (SELECT doc_id, {_SQL_NORM} AS nt FROM corpus)
+    ),
+    pairs AS (
+      SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM documents
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(sa.sh, sb.sh))
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+    FROM pairs JOIN shingled sa ON sa.id = id_a
+               JOIN shingled sb ON sb.id = id_b
+    """,
+    doc="exact n-gram Jaccard verification of candidate pairs "
+    "(intersection/union over distinct 5-gram shingle sets) — the cheap "
+    "post-LSH verifier.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        jaccard_similarity,
+    )
+
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 200000).alias("id_b"),
+    )
+    return jaccard_similarity(pairs, corpus)
+
+
+def _simhash_oracle(bits: int = 32, bucket_bits: int = 8, max_hamming: int = 6) -> str:
+    simhash = f"""
+      list_sum(list_transform(range(0, {bits}), b ->
+        CASE WHEN list_sum(list_transform({_SQL_TOKENS}, t ->
+               CASE WHEN ((('0x' || substr(md5(t), 1, 15)))::BIGINT
+                          & (1::BIGINT << b)) != 0
+                    THEN 1 ELSE -1 END)) > 0
+             THEN (1::BIGINT << b) ELSE 0 END))
+    """
+    return f"""
+    WITH corpus AS (SELECT * FROM {_SQL_CORPUS_NEAR} AS c),
+    sigs AS (
+      SELECT doc_id AS id, {simhash} AS sh,
+             ({simhash}) >> {bits - bucket_bits} AS bucket
+      FROM corpus
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM sigs a JOIN sigs b
+      ON a.bucket = b.bucket AND a.id < b.id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@register(
+    "q_dedup_simhash",
+    _simhash_oracle(),
+    doc="SimHash near-dedup: 32-bit bitwise-majority signature per document "
+    "(pure per-row compute), high-8-bit bucketing so the pair join is "
+    "bucket-local, Hamming distance ≤ 6 via popcount(XOR).",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    return simhash_near_pairs(
+        _corpus_near(spark, sf_dir), max_hamming=6, bits=32, bucket_bits=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: embedding similarity (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_ann_cosine",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]), 6)
+               AS sim
+      FROM q, embeddings e WHERE e.vec_id != query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+    headline=True,
+    doc="brute-force cosine top-k (exact ANN baseline): queries broadcast "
+    "against the corpus, dot/norms via aggregate/zip_with (JVM-side, no "
+    "UDF), per-query ranking window.",
+)
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _ann_bucketed_oracle(num_planes: int = 8) -> str:
+    weight = (
+        "((('0x' || substr(md5('{p}:' || i), 1, 15)))::BIGINT % 2000001"
+        " - 1000000) / 1000000.0"
+    )
+    dots = [
+        f"""list_sum(list_transform(range(0, len(v)), i ->
+            v[i + 1]::DOUBLE * ({weight.format(p=p)})))"""
+        for p in range(num_planes)
+    ]
+    bucket = " + ".join(
+        f"CASE WHEN ({d}) > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END"
+        for p, d in enumerate(dots)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding AS v, ({bucket}) AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM emb WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(qv::DOUBLE[], e.v::DOUBLE[]), 6) AS sim
+      FROM q JOIN emb e USING (bucket) WHERE e.vec_id != query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "q_ann_bucketed",
+    _ann_bucketed_oracle(),
+    doc="sign-LSH bucketed ANN (the scale path): 8 deterministic "
+    "hyperplanes → 8-bit bucket; candidates = same-bucket rows only, so the "
+    "scoring join is bucket-local instead of all-pairs.",
+)
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_bucketed_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch form; streaming twin in streaming/events.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="sessionization (30-min inactivity gap) via lag + running sum of "
+    "session starts — the batch twin of the stateful streaming operator in "
+    "streaming/events.py.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return (
+        flagged.withColumn("session_id", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+_SQL_BYTESUM = (
+    "list_sum(list_transform(range(1, length(text) + 1),"
+    " i -> ascii(text[i])))"
+)
+
+
+@register(
+    "q_multimodal_features",
+    f"""
+    SELECT doc_id AS asset_id,
+           'text/plain' AS media_type,
+           length(text) AS n_bytes,
+           {_SQL_BYTESUM} % 1000003 AS checksum,
+           {_SQL_BYTESUM} / length(text) AS mean_byte,
+           ascii(text[1])::DOUBLE AS first_byte,
+           ascii(text[-1])::DOUBLE AS last_byte
+    FROM documents
+    """,
+    doc="multimodal plumbing: documents' text bytes stand in for media "
+    "payloads (binary column + typed metadata struct); features extracted "
+    "through Arrow-batched mapInPandas — the real decoder integration point "
+    "is stubbed (operators/multimodal.py), the distributed path is live. "
+    "Oracle valid because the fixture corpus is pure ASCII (byte == char).",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        assets_from_documents,
+        decode_features,
+    )
+
+    assets = assets_from_documents(_t(spark, sf_dir, "documents"))
+    feats = decode_features(assets)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        F.element_at("feature", 2).alias("mean_byte"),
+        F.element_at("feature", 3).alias("first_byte"),
+        F.element_at("feature", 4).alias("last_byte"),
     )

@@ -63,8 +63,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # Integer `div`, NOT float division: int64 nanos exceed double's 53-bit
+    # mantissa, so `/ 1000` would round the low microseconds.
     return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 

@@ -1,0 +1,141 @@
+"""Structured Streaming operators over the events stream (SURVEY.md §2.6
+"streaming: absent in reference" → engine extension).
+
+Each operator is the streaming twin of a batch query in the catalog, built
+on the standard readStream → transform → writeStream shape:
+
+- ``stream_tumbling_counts`` ⇔ ``q_window_events``: 1-hour tumbling windows
+  with a watermark so state for closed windows is dropped (bounded state at
+  any scale; without the watermark a 100 TB stream accretes state forever).
+- ``stream_sessionize`` ⇔ ``q_sessionize``: custom stateful operator via
+  ``applyInPandasWithState`` — per-user session accumulation with a
+  processing-timeout flush, the canonical "operator Spark lacks, built on
+  the state-store API" example.
+
+Scale notes: streaming aggregations shuffle on (window, keys) exactly like
+their batch twins; state lives in the state store partitioned the same way,
+so hot users/keys can be salted upstream if needed. Sinks should be
+idempotent (Delta/Kafka-transactional) for exactly-once; the tests use the
+memory sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from inbev_data_engineering_case_spark.functions import dsum
+
+
+def stream_tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window count/sum per event type with late-data bound.
+
+    Output columns mirror q_window_events (window_start, event_type,
+    n_events, total_value) so batch and streaming results are directly
+    comparable."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user stateful sessionizer: accumulate events into the open
+    session, emit a row whenever a 30-min gap closes one, keep the open
+    session in the state store, flush on processing timeout."""
+    (user_id,) = key
+    closed: list[tuple[int, int, int]] = []
+
+    if state.hasTimedOut:
+        if state.exists:
+            start_us, last_us, n = state.get
+            closed.append((start_us, last_us, n))
+            state.remove()
+    else:
+        ts_us = sorted(
+            int(t)
+            for batch in batches
+            for t in (batch["ts"].astype("int64") // 1000)
+        )
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = 0, 0, 0
+        for t in ts_us:
+            if n == 0:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > SESSION_GAP_US:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        if n > 0:
+            state.update((start_us, last_us, n))
+            state.setTimeoutDuration(60 * 60 * 1000)  # flush idle users hourly
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [n for _, _, n in closed],
+            }
+        )
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: 30-min-gap sessionization via
+    applyInPandasWithState (state = the open session per user)."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

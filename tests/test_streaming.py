@@ -1,0 +1,103 @@
+"""Structured Streaming operator tests: file source → transform → memory
+sink, with batch-vs-stream result parity for the tumbling windows and a
+known-session fixture for the stateful sessionizer."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from inbev_data_engineering_case_spark.streaming.events import (
+    stream_sessionize,
+    stream_tumbling_counts,
+)
+
+
+def wait_done(query, timeout=60):
+    query.processAllAvailable()
+    query.stop()
+
+
+@pytest.fixture()
+def event_dir(spark, tmp_path):
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: two sessions (gap 45 min between event 2 and 3)
+    for i, mins in enumerate([0, 10, 55, 60]):
+        rows.append((i, t0 + timedelta(minutes=mins), 1, "click", 1.0))
+    # user 2: one session
+    for i, mins in enumerate([5, 15]):
+        rows.append((10 + i, t0 + timedelta(minutes=mins), 2, "view", 2.0))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    path = str(tmp_path / "events_in")
+    df.coalesce(1).write.parquet(path)
+    return path
+
+
+def test_stream_tumbling_matches_batch(spark, event_dir, tmp_path):
+    schema = spark.read.parquet(event_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_dir)
+    out = stream_tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .start()
+    )
+    wait_done(q)
+    got = {
+        (r["window_start"].isoformat(), r["event_type"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.sql("select * from tumbling_test").collect()
+    }
+    # batch twin over the same files
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    want = {
+        (r["ws"].isoformat(), r["event_type"]): (r["n"], float(r["v"]))
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) == 3  # (h0 click), (h1 click), (h0 view)
+
+
+def test_stream_sessionize_closes_on_gap(spark, event_dir):
+    schema = spark.read.parquet(event_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_dir)
+    out = stream_sessionize(stream)
+    # Poll-then-stop (not processAllAvailable / availableNow): with
+    # ProcessingTimeTimeout the stream keeps firing timeout-check
+    # micro-batches forever, so a drain-style wait never settles.
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("append")
+        .start()
+    )
+    deadline = time.time() + 120
+    while (
+        time.time() < deadline
+        and spark.sql("select count(*) from session_test").first()[0] < 1
+    ):
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    rows = spark.sql("select * from session_test").collect()
+    # Only CLOSED sessions are emitted: user 1's first session (2 events,
+    # closed by the 45-min gap). Open sessions live in the state store.
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1
+    assert r["n_events"] == 2
+    assert r["session_start"] == datetime(2024, 1, 1, 0, 0)
+    assert r["session_end"] == datetime(2024, 1, 1, 0, 10)

@@ -1,0 +1,166 @@
+"""Unit tests for the training-data pipeline operators (dedup, similarity,
+textops, multimodal) on small synthetic corpora with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from inbev_data_engineering_case_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_similarity,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+)
+from inbev_data_engineering_case_spark.operators.multimodal import (
+    assets_from_documents,
+    decode_features,
+    target_rows_per_partition,
+)
+from inbev_data_engineering_case_spark.operators.similarity import (
+    ann_bucketed_topk,
+    cosine_topk,
+)
+from inbev_data_engineering_case_spark.operators.textops import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra tail"),  # near dup of 1
+        (4, "completely different content about spark query engines"),
+        (5, "el perro y el gato en la casa con un libro"),  # spanish-ish
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_identical_texts(docs):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse, min id survives
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_fingerprint_is_whitespace_and_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [("The  Quick   Fox",), ("the quick fox",)], ["text"]
+    )
+    fps = [r[0] for r in df.select(fingerprint("text")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_minhash_finds_near_dup_not_distinct(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup: all slots equal
+    assert (1, 3) in pairs  # near dup caught by LSH
+    assert not any(4 in p for p in pairs)  # distinct doc has no pair
+
+
+def test_simhash_near_pairs(docs):
+    # bucket_bits=1 on this 5-doc corpus: the bucket prefilter is a
+    # recall/scale dial and a flipped high bit can hide a near-dup behind a
+    # bucket boundary — at test scale we want (almost) all-pairs.
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_pairs(docs, max_hamming=6, bucket_bits=1).collect()}
+    assert pairs.get((1, 2)) == 0  # identical text → identical signature
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 6  # near dup caught
+    assert not any(4 in p for p in pairs)  # distinct doc beyond budget
+
+
+def test_jaccard_exact_values(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           jaccard_similarity(pairs, docs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 4)] < 0.1
+
+
+def test_token_count_and_lang_id(docs):
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            token_count("text").alias("n"),
+            lang_id("text").alias("lang"),
+            quality_score("text").alias("q"),
+        ).collect()
+    }
+    assert rows[1]["n"] == 12
+    assert rows[1]["lang"] == "en"
+    assert rows[5]["lang"] == "es"
+    assert 0.0 <= rows[1]["q"] <= 1.0
+
+
+def test_cosine_topk_self_similarity(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # anti-parallel to 0
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    assert out[0]["query_id"] == 0
+    sims = {r["neighbor_id"]: r["sim"] for r in out}
+    assert sims[3] == -1.0
+
+
+def test_ann_bucketed_is_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(df, queries, k=5).collect()
+    approx = ann_bucketed_topk(df, queries, k=5, num_planes=4).collect()
+    # bucketed candidates are a subset: every approx neighbor's sim must
+    # appear in the exact all-pairs scores for that query
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact}
+    all_scores = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in cosine_topk(df, queries, k=50).collect()
+    }
+    for r in approx:
+        assert (r["query_id"], r["neighbor_id"]) in all_scores
+        assert all_scores[(r["query_id"], r["neighbor_id"])] == r["sim"]
+    assert len(exact) == 3 * 5
+
+
+def test_multimodal_plumbing(spark, docs):
+    documents = docs.withColumn("source", F.lit("unit")).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text"))
+    assets = assets_from_documents(documents)
+    row = assets.filter(F.col("asset_id") == 1).first()
+    assert row["media_type"] == "text/plain"
+    assert bytes(row["payload"]).decode() == docs.filter(
+        F.col("doc_id") == 1
+    ).first()["text"]
+    assert row["meta"]["n_bytes"] == len(bytes(row["payload"]))
+
+    feats = {r["asset_id"]: r for r in decode_features(assets).collect()}
+    payload = bytes(row["payload"])
+    assert feats[1]["n_bytes"] == len(payload)
+    assert feats[1]["checksum"] == sum(payload) % 1_000_003
+    assert feats[1]["feature"][0] == float(len(payload))
+
+    with pytest.raises(NotImplementedError, match="real media decoding"):
+        decode_features(assets, real_decoder=True)
+
+
+def test_target_rows_per_partition():
+    assert target_rows_per_partition(2 * 1024 * 1024) == 128
+    assert target_rows_per_partition(0) >= 1
