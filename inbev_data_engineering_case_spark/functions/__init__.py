@@ -11,8 +11,28 @@ for any column that lands in a result).
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# MinHash universal-hash family g_k(x) = (a_k*x + b_k) mod MH_PRIME over base
+# hashes reduced to [0, MH_RANGE). Bounds chosen so a_k*x < 2^61 never
+# overflows an int64 — Spark 4 runs ANSI mode (overflow throws) and DuckDB
+# must compute bit-identical values for the oracle.
+MH_PRIME = 2_147_483_647  # 2^31 - 1
+MH_RANGE = 1 << 30
+
+
+def minhash_mixers(k: int) -> list[tuple[int, int]]:
+    """k deterministic (a, b) pairs for the affine minhash family. Fixed
+    seed: the Spark plan and the generated oracle SQL must embed the same
+    constants."""
+    rnd = random.Random(0x5EED)
+    return [
+        (rnd.randrange(1, MH_PRIME), rnd.randrange(0, MH_PRIME))
+        for _ in range(k)
+    ]
 
 
 def portable_hash64(c: Column | str, seed: int = 0) -> Column:
@@ -134,5 +154,21 @@ def char_ngrams(c: Column | str, n: int) -> Column:
         F.transform(
             F.sequence(F.lit(1), F.length(c) - (n - 1)),
             lambda i: c.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(c: Column | str, n: int) -> Column:
+    """Word n-gram shingles → array<string> (space-joined windows over the
+    whitespace tokens). Word shingles are the standard unit for near-dedup
+    of natural-language corpora: on text with a shared vocabulary,
+    character shingles collide between unrelated documents (degenerate LSH
+    buckets → all-pairs blowup) while word n-grams stay discriminative."""
+    toks = tokens(c)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))

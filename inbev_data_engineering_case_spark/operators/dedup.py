@@ -12,7 +12,11 @@ Scale design (the point of each implementation):
   pairs that share a band bucket, i.e. expected-similar pairs only. The
   band join is a shuffle on (band_index, band_hash) — well-distributed
   because hash values are uniform; the final signature comparison happens
-  only on candidates.
+  only on candidates. Shingles are *word* n-grams: on corpora with a
+  shared vocabulary, character shingles make unrelated documents collide
+  (huge LSH buckets → the join degenerates toward all-pairs), while word
+  shingles keep the random-pair Jaccard near zero. One md5 per shingle,
+  then k affine mixes, instead of k md5 passes over every shingle.
 - **SimHash** (``simhash``): one 32-bit signature per document via bitwise
   majority vote over token hashes; near-dup test is popcount(XOR) ≤ d.
   Pure per-row compute, no shuffle; candidate pairing buckets on the high
@@ -31,8 +35,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from inbev_data_engineering_case_spark.functions import (
+    MH_PRIME,
+    MH_RANGE,
     char_ngrams,
+    minhash_mixers,
     portable_hash64,
+    word_ngrams,
 )
 from inbev_data_engineering_case_spark.operators.textops import (
     fingerprint,
@@ -42,6 +50,19 @@ from inbev_data_engineering_case_spark.operators.textops import (
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2
 DEFAULT_SHINGLE = 5
+DEFAULT_SHINGLE_WORDS = 3
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's core count when the scan produced
+    fewer splits. Signature computation is compute-bound per row; a small
+    input file (1-2 parquet splits) would otherwise pin the whole stage to
+    1-2 cores. On a real cluster reading 100 TB the scan already yields
+    thousands of splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(
@@ -66,29 +87,46 @@ def shingle_set(text: Column | str, n: int = DEFAULT_SHINGLE) -> Column:
     return F.array_distinct(char_ngrams(normalize_for_fingerprint(text), n))
 
 
+def word_shingle_set(
+    text: Column | str, n: int = DEFAULT_SHINGLE_WORDS
+) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    return F.array_distinct(word_ngrams(normalize_for_fingerprint(text), n))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
-    shingle: int = DEFAULT_SHINGLE,
+    shingle_words: int = DEFAULT_SHINGLE_WORDS,
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) — sig[k] = min over shingles of
-    hash_k(shingle). Per-row compute only; no shuffle."""
-    shingles = shingle_set(text_col, shingle)
+    g_k(base_hash(shingle)). Per-row compute only; no shuffle.
 
-    def hash_with(seed: int):
-        # closure factory — a `lambda s, k=k:` default arg would change the
-        # lambda's arity and make Spark pass the element index as k
-        return lambda s: portable_hash64(s, seed=seed)
+    One md5 per shingle (the expensive part), then ``num_hashes`` cheap
+    affine mixes g_k(x) = (a_k*x + b_k) mod p over the base hash — k× less
+    hashing than hashing every shingle k times, same minhash estimator
+    (universal-hash family). The base-hash array is a materialized inner
+    projection so the shingling itself also runs once, not per k."""
 
+    def mixer(a: int, b: int):
+        # closure factory — a default-arg lambda changes arity and makes
+        # transform() pass the element index as the second argument
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MH_PRIME)
+
+    base = F.transform(
+        word_shingle_set(text_col, shingle_words),
+        lambda s: portable_hash64(s) % F.lit(MH_RANGE),
+    )
+    hashed = df.select(F.col(id_col).alias("id"), base.alias("h"))
     sig = F.array(
         *[
-            F.array_min(F.transform(shingles, hash_with(k)))
-            for k in range(num_hashes)
+            F.array_min(F.transform(F.col("h"), mixer(a, b)))
+            for a, b in minhash_mixers(num_hashes)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return hashed.select("id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -166,12 +204,14 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
-    shingle: int = DEFAULT_SHINGLE,
+    shingle_words: int = DEFAULT_SHINGLE_WORDS,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     signature-similarity filter ≥ threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle)
+    sigs = minhash_signatures(
+        _ensure_parallelism(df), text_col, id_col, num_hashes, shingle_words
+    )
     pairs = lsh_candidate_pairs(sigs, band_size)
     return signature_similarity(pairs, sigs).filter(
         F.col("est_jaccard") >= threshold
@@ -234,7 +274,7 @@ def simhash_near_pairs(
     (so the self-join is per-bucket, not all-pairs), then filter
     popcount(XOR) ≤ max_hamming. Note the bucket prefilter trades recall
     for scale exactly like LSH banding."""
-    sigs = df.select(
+    sigs = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
     ).withColumn(
         "bucket", F.shiftright("sh", bits - bucket_bits)

@@ -768,15 +768,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_corpus_exact(spark, sf_dir))
 
 
-def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
-    def h(seed: int) -> str:
-        prefix = f"'{seed}' || " if seed else ""
-        return (
-            f"list_min(list_transform(sh, s -> "
-            f"(('0x' || substr(md5({prefix}s), 1, 15)))::BIGINT))"
-        )
+def _minhash_oracle(
+    num_hashes: int = 8, band_size: int = 2, shingle_words: int = 3
+) -> str:
+    from inbev_data_engineering_case_spark.functions import (
+        MH_PRIME,
+        MH_RANGE,
+        minhash_mixers,
+    )
 
-    sig = "[" + ", ".join(h(k) for k in range(num_hashes)) + "]"
+    sig = "[" + ", ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MH_PRIME}))"
+        for a, b in minhash_mixers(num_hashes)
+    ) + "]"
     n_bands = num_hashes // band_size
     band_key = " || ':' || ".join(
         f"sig[b * {band_size} + {j + 1}]::VARCHAR" for j in range(band_size)
@@ -785,10 +789,17 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
     WITH corpus AS (SELECT * FROM {_SQL_CORPUS_NEAR} AS c),
     shingled AS (
       SELECT doc_id AS id,
-             list_distinct([substr(nt, i, 5) FOR i IN range(1, len(nt) - 3)]) AS sh
-      FROM (SELECT doc_id, {_SQL_NORM} AS nt FROM corpus)
+             list_distinct([array_to_string(w[i:i+{shingle_words - 1}], ' ')
+                            FOR i IN range(1, len(w) - {shingle_words - 2})]) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(nt), '\\s+') AS w
+            FROM (SELECT doc_id, {_SQL_NORM} AS nt FROM corpus))
     ),
-    sigs AS (SELECT id, {sig} AS sig FROM shingled),
+    hashed AS (
+      SELECT id, list_transform(sh, s ->
+               (('0x' || substr(md5(s), 1, 15)))::BIGINT % {MH_RANGE}) AS h
+      FROM shingled
+    ),
+    sigs AS (SELECT id, {sig} AS sig FROM hashed),
     bands AS (
       SELECT id, b AS band_idx, {band_key} AS band_key
       FROM sigs, (SELECT unnest(range(0, {n_bands})) AS b)
@@ -816,9 +827,11 @@ def _minhash_oracle(num_hashes: int = 8, band_size: int = 2) -> str:
     "q_dedup_minhash",
     _minhash_oracle(),
     headline=True,
-    doc="MinHash+LSH near-dedup: 5-char shingles → 8 minhashes → 4 bands of "
-    "2 → bucket self-join → signature-similarity ≥ 0.5. The LSH band join "
-    "replaces the impossible O(n²) all-pairs at 100 TB.",
+    doc="MinHash+LSH near-dedup: 3-word shingles → one base hash + 8 affine "
+    "minhash mixes → 4 bands of 2 → bucket self-join → signature-similarity "
+    "≥ 0.5. The LSH band join replaces the impossible O(n²) all-pairs at "
+    "100 TB; word shingles keep random-pair Jaccard ≈ 0 so buckets stay "
+    "small.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inbev_data_engineering_case_spark.operators.dedup import (
