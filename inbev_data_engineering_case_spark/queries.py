@@ -287,6 +287,91 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
+@register(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="hierarchical rollup: (flag,status) → (flag) → grand total in one "
+    "pass — Catalyst Expand + single aggregation, not three scans.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "q_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="full cube over the (flag, status) pair — all 2^2 grouping sets via "
+    "one Expand.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    doc="explicit grouping sets via the engine's SQL interface "
+    "(spark.sql over a registered temp view) — the reference never calls "
+    "spark.sql; the engine exposes both APIs over the same tables.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "q_pivot",
+    """
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE l_returnflag = 'A') AS n_a,
+           count(*) FILTER (WHERE l_returnflag = 'N') AS n_n,
+           count(*) FILTER (WHERE l_returnflag = 'R') AS n_r
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    doc="pivot: return-flag counts spread to columns (groupBy().pivot() "
+    "with pinned values — pinning skips the extra distinct-values job).",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "l_linestatus",
+        F.coalesce("A", F.lit(0)).alias("n_a"),
+        F.coalesce("N", F.lit(0)).alias("n_n"),
+        F.coalesce("R", F.lit(0)).alias("n_r"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
@@ -411,6 +496,110 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.unionByName(s).distinct()
+
+
+@register(
+    "q_asof_join",
+    """
+    WITH r AS (
+      SELECT o_custkey AS key, o_orderdate AS rts,
+             max(o_orderkey) AS last_order_key
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           r.last_order_key
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.key AND CAST(e.ts AS TIMESTAMP) >= r.rts
+    """,
+    headline=True,
+    doc="backward as-of join: each event picks up the latest order of the "
+    "same customer at or before its timestamp. Union-merge implementation — "
+    "one shuffle on the key, zero row explosion (operators/asof.py); the "
+    "right side is deduplicated per (key, ts) so the match is deterministic.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    events = read_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderdate").alias("rts"),
+        )
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+    )
+    return asof_join_backward(
+        events, orders, ("user_id", "key"), "ts", "rts", ["last_order_key"]
+    )
+
+
+@register(
+    "q_range_join",
+    """
+    SELECT band, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total
+    FROM orders
+    JOIN (VALUES ('p0', 0, 100000), ('p1', 100000, 200000),
+                 ('p2', 200000, 300000), ('p3', 300000, 400000),
+                 ('p4', 400000, 500000)) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    doc="range join: orders banded by total price against a broadcast band "
+    "dimension (BroadcastNestedLoopJoin — the right physical plan for a "
+    "tiny inequality-keyed side; the fact table never shuffles).",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.asof import (
+        range_join_bands,
+    )
+
+    bands = spark.createDataFrame(
+        [(f"p{i}", i * 100_000, (i + 1) * 100_000) for i in range(5)],
+        ["band", "lo", "hi"],
+    )
+    joined = range_join_bands(
+        _t(spark, sf_dir, "orders"), "o_totalprice", bands
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", "total")
+    )
+
+
+@register(
+    "q_salted_join",
+    f"""
+    SELECT o_orderpriority,
+           sum({_DISC_PRICE})::DOUBLE AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="skew-safe salted join: lineitem keys salted with "
+    "pmod(xxhash64(l_linenumber), 8), orders exploded x8 — a hot orderkey "
+    "spreads over 8 shuffle partitions. Result identical to the plain join "
+    "(the oracle), which is the point: salting is a physical rewrite only.",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    lineitem = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(n_salt))
+    )
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))
+    )
+    return (
+        lineitem.join(
+            orders,
+            (lineitem["l_orderkey"] == orders["o_orderkey"])
+            & (lineitem["salt"] == orders["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(xsum(disc_price(), "revenue"), F.count("*").alias("n_items"))
+    )
 
 
 # ---------------------------------------------------------------------------
