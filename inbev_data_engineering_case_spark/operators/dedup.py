@@ -262,6 +262,47 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     return out
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: (id_a, id_b, sim) for same-sign-LSH-bucket
+    pairs with cosine ≥ threshold. The bucket equi-join keeps the pair space
+    bucket-local (the all-pairs O(n²) is impossible at 100 TB); near-dups
+    almost always share a bucket because near-parallel vectors fall on the
+    same side of most hyperplanes. Recall can be raised with multiple probe
+    tables (re-bucket with a different plane seed, union the pairs)."""
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        signlsh_bucket,
+    )
+
+    sigs = _ensure_parallelism(emb).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        signlsh_bucket(vec_col, num_planes).alias("bucket"),
+    )
+    from inbev_data_engineering_case_spark.functions import cosine
+
+    a, b = sigs.alias("a"), sigs.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1144,20 +1144,25 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-def _ann_bucketed_oracle(num_planes: int = 8) -> str:
+def _signlsh_bucket_sql(num_planes: int = 8, vec: str = "v") -> str:
+    """DuckDB replica of ``similarity.signlsh_bucket`` over column ``vec``."""
     weight = (
         "((('0x' || substr(md5('{p}:' || i), 1, 15)))::BIGINT % 2000001"
         " - 1000000) / 1000000.0"
     )
     dots = [
-        f"""list_sum(list_transform(range(0, len(v)), i ->
-            v[i + 1]::DOUBLE * ({weight.format(p=p)})))"""
+        f"""list_sum(list_transform(range(0, len({vec})), i ->
+            {vec}[i + 1]::DOUBLE * ({weight.format(p=p)})))"""
         for p in range(num_planes)
     ]
-    bucket = " + ".join(
+    return " + ".join(
         f"CASE WHEN ({d}) > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END"
         for p, d in enumerate(dots)
     )
+
+
+def _ann_bucketed_oracle(num_planes: int = 8) -> str:
+    bucket = _signlsh_bucket_sql(num_planes)
     return f"""
     WITH emb AS (
       SELECT vec_id, embedding AS v, ({bucket}) AS bucket FROM embeddings
@@ -1191,6 +1196,88 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ann_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# Perturbation factor for the constructed embedding near-dups: element i
+# scaled by 1 + 0.001*((i mod 3) - 1) — deterministic, double-precision in
+# both engines, cosine vs the original ≈ 0.9999998.
+_PERTURB = "(1 + 0.001 * ((i % 3) - 1))"
+
+
+def _embedding_dedup_oracle(num_planes: int = 8, threshold: float = 0.9) -> str:
+    bucket = _signlsh_bucket_sql(num_planes)
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(range(0, len(embedding)), i ->
+               embedding[i + 1]::DOUBLE * {_PERTURB}) AS v
+      FROM embeddings
+    ),
+    emb AS (SELECT vec_id, v, ({bucket}) AS bucket FROM corpus),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS sim
+      FROM emb a JOIN emb b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM pairs WHERE sim >= {threshold}
+    """
+
+
+@register(
+    "q_dedup_embedding",
+    _embedding_dedup_oracle(),
+    doc="embedding-cosine near-dup: sign-LSH bucket equi-join keeps the "
+    "pair space bucket-local (never all-pairs), cosine >= 0.9 confirms. "
+    "Corpus = embeddings plus deterministically perturbed copies "
+    "(cosine ~ 0.9999998) so recall is observable.",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    perturbed = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1) + F.lit(0.001) * ((i % 3) - 1)),
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(perturbed)
+    return embedding_near_dup_pairs(corpus, threshold=0.9)
+
+
+@register(
+    "q_stream_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured Streaming executed to completion: readStream over the "
+    "events parquet → watermarked 1h tumbling aggregation → memory sink "
+    "(availableNow trigger). Same oracle as the batch twin q_window_events — "
+    "stream/batch parity is the correctness claim.",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+        stream_tumbling_counts,
+    )
+
+    out = stream_tumbling_counts(read_events_stream(spark, sf_dir))
+    run_stream_to_table(out, "q_stream_tumbling_sink", "complete")
+    return spark.table("q_stream_tumbling_sink")
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,51 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from inbev_data_engineering_case_spark.functions import dsum
 
 
+def read_events_stream(spark, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``sources.readers.read_events``: file-source
+    readStream over the events parquet with the nanosecond timestamp
+    surfaced as a proper (microsecond) TimestampType column. The explicit
+    schema comes from a metadata-only batch read (streaming sources require
+    one; inference is disabled at scale)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file-stream source only monitors directories; the table is a
+    # single read-only parquet file, so stage a symlink directory for it
+    # (a real deployment streams from a landing directory anyway).
+    stage = "/tmp/spark_graft_stream_src" + sf_dir.replace("/", "_")
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_stream_to_table(
+    out: DataFrame, name: str, output_mode: str, timeout: int = 300
+) -> None:
+    """Execute a streaming DataFrame to completion into an in-memory table
+    (availableNow trigger: process everything currently in the source, then
+    stop). In production the sink would be Delta/Kafka; the memory sink is
+    the harness for batch-parity checks."""
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(f"stream {name} did not drain in {timeout}s")
+
+
 def stream_tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",
