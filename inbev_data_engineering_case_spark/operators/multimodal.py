@@ -123,6 +123,97 @@ def decode_features(
     return assets.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = ASSET_SCHEMA
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def resize_assets(
+    assets: DataFrame, target_bytes: int = 64, real_decoder: bool = False
+) -> DataFrame:
+    """Resize each asset payload (1→1 binary transform, same asset schema
+    out). The real branch would decode → resample → re-encode (PIL/ffmpeg);
+    the stub truncates/zero-pads to ``target_bytes`` — deterministic, and
+    exercises the exact production plumbing: binary in, binary out, metadata
+    recomputed from the new payload."""
+    if real_decoder:
+        raise NotImplementedError(
+            "real image/audio resizing requires PIL/ffmpeg (not installed); "
+            "replace the stub body inside `resize` below."
+        )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out_payloads, metas = [], []
+            for payload, meta in zip(batch["payload"], batch["meta"]):
+                b = bytes(payload) if payload is not None else b""
+                resized = b[:target_bytes].ljust(target_bytes, b"\0")
+                out_payloads.append(resized)
+                metas.append(
+                    {"n_bytes": len(resized), "source": meta["source"]}
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch["asset_id"],
+                    "media_type": batch["media_type"],
+                    "payload": out_payloads,
+                    "meta": metas,
+                }
+            )
+
+    return assets.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame,
+    frame_bytes: int = 32,
+    every_n: int = 2,
+    real_decoder: bool = False,
+) -> DataFrame:
+    """Frame-sample each asset (1→N explode: one output row per kept frame).
+    The real branch would demux the container and keep every n-th video
+    frame; the stub treats the payload as fixed-size byte chunks. The
+    distributed shape is the production one: ``mapInPandas`` may yield more
+    rows than it consumes, frames inherit the asset id for downstream joins,
+    and no shuffle happens until something groups on asset_id."""
+    if real_decoder:
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg/pyav (not installed); "
+            "replace the chunking inside `sample` below."
+        )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, frames = [], [], []
+            for asset_id, payload in zip(batch["asset_id"], batch["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                chunks = [
+                    b[o : o + frame_bytes]
+                    for o in range(0, len(b), frame_bytes)
+                ]
+                for i in range(0, len(chunks), every_n):
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    frames.append(chunks[i])
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return assets.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
 def target_rows_per_partition(
     avg_payload_bytes: int, budget_bytes: int = 256 * 1024 * 1024
 ) -> int:

@@ -1390,3 +1390,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 3).alias("first_byte"),
         F.element_at("feature", 4).alias("last_byte"),
     )
+
+
+@register(
+    "q_frame_sample",
+    """
+    SELECT doc_id AS asset_id,
+           ((length(text) + 31) // 32 + 1) // 2 AS n_frames,
+           list_sum([least(32, length(text) - 32 * i)
+                     FOR i IN range(0, (length(text) + 31) // 32, 2)])
+             AS bytes_kept
+    FROM documents
+    """,
+    doc="frame sampling (1->N mapInPandas explode): payloads chunked into "
+    "32-byte frames, every 2nd kept, aggregated per asset. The oracle "
+    "derives frame counts/bytes arithmetically from the text length "
+    "(fixture corpus is pure ASCII, so byte == char).",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        assets_from_documents,
+        sample_frames,
+    )
+
+    assets = assets_from_documents(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(assets, frame_bytes=32, every_n=2)
+    return frames.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("n_bytes").alias("bytes_kept"),
+    )

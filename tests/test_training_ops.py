@@ -15,6 +15,8 @@ from inbev_data_engineering_case_spark.operators.dedup import (
 from inbev_data_engineering_case_spark.operators.multimodal import (
     assets_from_documents,
     decode_features,
+    resize_assets,
+    sample_frames,
     target_rows_per_partition,
 )
 from inbev_data_engineering_case_spark.operators.similarity import (
@@ -164,3 +166,35 @@ def test_multimodal_plumbing(spark, docs):
 def test_target_rows_per_partition():
     assert target_rows_per_partition(2 * 1024 * 1024) == 128
     assert target_rows_per_partition(0) >= 1
+
+
+def test_resize_assets_pads_and_truncates(spark, docs):
+    documents = docs.withColumn("source", F.lit("unit")).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text"))
+    assets = assets_from_documents(documents)
+    out = {r["asset_id"]: r for r in resize_assets(assets, target_bytes=16).collect()}
+    for r in out.values():
+        assert len(bytes(r["payload"])) == 16
+        assert r["meta"]["n_bytes"] == 16
+    long_text = docs.filter(F.col("doc_id") == 1).first()["text"]
+    assert bytes(out[1]["payload"]) == long_text.encode()[:16]  # truncated
+    with pytest.raises(NotImplementedError, match="resizing"):
+        resize_assets(assets, real_decoder=True)
+
+
+def test_sample_frames_is_one_to_many(spark, docs):
+    documents = docs.withColumn("source", F.lit("unit")).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text"))
+    assets = assets_from_documents(documents.filter(F.col("doc_id") == 1))
+    text = docs.filter(F.col("doc_id") == 1).first()["text"].encode()
+    frames = sorted(
+        sample_frames(assets, frame_bytes=10, every_n=2).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    n_chunks = (len(text) + 9) // 10
+    assert len(frames) == (n_chunks + 1) // 2  # every 2nd chunk kept
+    assert [r["frame_idx"] for r in frames] == list(range(0, n_chunks, 2))
+    assert bytes(frames[0]["frame"]) == text[:10]
+    assert all(r["n_bytes"] == len(bytes(r["frame"])) for r in frames)
