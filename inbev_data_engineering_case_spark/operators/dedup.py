@@ -262,6 +262,63 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     return out
 
 
+def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of the near-dup pair graph → (node, comp) with
+    comp = min node id reachable; rows whose doc belongs to a dup cluster.
+    Downstream keeps one doc per comp (e.g. the comp id itself).
+
+    Iterative min-label propagation: labels(node) start as node; each round
+    every node takes the min of its own label and its neighbors' labels.
+    Converges in O(diameter) rounds — near-dup clusters are shallow (pairs
+    chain through shared docs), so a handful of rounds suffices. Each round
+    is one shuffle join + one groupBy on node; ``localCheckpoint`` truncates
+    the lineage so the plan doesn't grow per iteration (on a cluster use a
+    checkpoint dir / write-read instead — localCheckpoint pins executor
+    memory and is not fault-tolerant).
+
+    This is the canonical iterative-algorithm shape Spark SQL cannot express
+    in one query; the DuckDB oracle uses a recursive CTE instead.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "comp")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            neighbor_min.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = neighbor_min
+        if changed == 0:
+            break
+    return labels
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

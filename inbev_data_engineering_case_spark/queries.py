@@ -288,6 +288,57 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_quantity, [0.25, 0.75])[2]
+             - quantile_cont(l_quantity, [0.25, 0.75])[1] AS iqr_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact interpolated percentiles per group (median/p90/IQR). At "
+    "100 TB swap F.percentile for F.approx_percentile (t-digest sketch, "
+    "mergeable map-side) — exact percentile sorts per group.",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        (
+            F.percentile("l_quantity", 0.75)
+            - F.percentile("l_quantity", 0.25)
+        ).alias("iqr_qty"),
+    )
+
+
+@register(
+    "q_count_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="multi count-distinct per group (Expand + two-phase aggregate). At "
+    "100 TB prefer approx_count_distinct (HLL++, mergeable, no Expand "
+    "blowup) when ±2% is acceptable.",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
     "q_rollup",
     """
     SELECT l_returnflag, l_linestatus,
@@ -1028,6 +1079,36 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return minhash_dedup_pairs(_corpus_near(spark, sf_dir))
+
+
+@register(
+    "q_dedup_components",
+    f"""
+    WITH RECURSIVE mh AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM mh
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node, min(r) AS comp FROM reach GROUP BY node
+    """,
+    doc="connected components over the MinHash near-dup pair graph "
+    "(iterative min-label propagation, lineage truncated per round) — the "
+    "cluster assignment that turns pairwise near-dups into keep/drop "
+    "decisions. Oracle: recursive CTE reachability closure.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components,
+        minhash_dedup_pairs,
+    )
+
+    return dedup_components(minhash_dedup_pairs(_corpus_near(spark, sf_dir)))
 
 
 @register(

@@ -198,3 +198,16 @@ def test_sample_frames_is_one_to_many(spark, docs):
     assert [r["frame_idx"] for r in frames] == list(range(0, n_chunks, 2))
     assert bytes(frames[0]["frame"]) == text[:10]
     assert all(r["n_bytes"] == len(bytes(r["frame"])) for r in frames)
+
+
+def test_dedup_components_chain_and_singleton(spark):
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    # chain 1-2-3 (one component), pair 7-9, node 5 only as id_a partner
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (5, 9)], ["id_a", "id_b"]
+    )
+    out = {r["node"]: r["comp"] for r in dedup_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 7: 5, 9: 5}
