@@ -1279,6 +1279,66 @@ def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_bucketed_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _ann_ivf_oracle(
+    k: int = 5, n_centroids: int = 16, n_probe: int = 2
+) -> str:
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < {n_centroids}
+    ),
+    corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cassign AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT c.vec_id, c.v, ct.cent_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.v, ct.cv), 6) DESC,
+                          ct.cent_id) AS rn
+        FROM corpus c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    qassign AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT c.vec_id, c.v, ct.cent_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY round(list_cosine_similarity(c.v, ct.cv), 6) DESC,
+                          ct.cent_id) AS rn
+        FROM corpus c CROSS JOIN cents ct
+        WHERE c.vec_id < 10
+      ) WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS sim
+      FROM qassign q JOIN cassign c USING (cent_id)
+      WHERE c.vec_id != q.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@register(
+    "q_ann_ivf",
+    _ann_ivf_oracle(),
+    doc="IVF-style ANN (the FAISS-shaped scale path): corpus partitioned "
+    "into inverted lists by nearest centroid, queries probe their 2 closest "
+    "cells, scoring is cell-local. Deterministic centroids (first 16 "
+    "vectors) stand in for k-means; the operator shape is identical.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 # Perturbation factor for the constructed embedding near-dups: element i
 # scaled by 1 + 0.001*((i mod 3) - 1) — deterministic, double-precision in
 # both engines, cosine vs the original ≈ 0.9999998.
@@ -1424,6 +1484,59 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("session_end"),
         )
     )
+
+
+@register(
+    "q_stream_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+               AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM sessions GROUP BY user_id, sid
+    ),
+    ranked AS (
+      SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid FROM agg
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM ranked WHERE sid < last_sid
+    """,
+    doc="custom stateful streaming operator, oracle-checked: "
+    "applyInPandasWithState sessionization drained with availableNow. "
+    "Emitted rows are exactly the gap-CLOSED sessions; each user's open "
+    "(final) session stays in the state store — the oracle is the batch "
+    "gaps-and-islands query minus every user's last island.",
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+        stream_sessionize,
+    )
+
+    out = stream_sessionize(
+        read_events_stream(spark, sf_dir), flush_timeout=False
+    )
+    run_stream_to_table(out, "q_stream_sessionize_sink", "append")
+    return spark.table("q_stream_sessionize_sink")
 
 
 # ---------------------------------------------------------------------------

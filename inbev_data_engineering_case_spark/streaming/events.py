@@ -121,66 +121,90 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
-def _sessionize_group(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-user stateful sessionizer: accumulate events into the open
-    session, emit a row whenever a 30-min gap closes one, keep the open
-    session in the state store, flush on processing timeout."""
-    (user_id,) = key
-    closed: list[tuple[int, int, int]] = []
+def _make_sessionizer(flush_timeout: bool):
+    """Build the per-user stateful sessionizer: accumulate events into the
+    open session, emit a row whenever a 30-min gap closes one, keep the open
+    session in the state store; optionally flush idle users on processing
+    timeout."""
 
-    if state.hasTimedOut:
-        if state.exists:
-            start_us, last_us, n = state.get
-            closed.append((start_us, last_us, n))
-            state.remove()
-    else:
-        ts_us = sorted(
-            int(t)
-            for batch in batches
-            for t in (batch["ts"].astype("int64") // 1000)
-        )
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us, last_us, n = 0, 0, 0
-        for t in ts_us:
-            if n == 0:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us > SESSION_GAP_US:
+    def sessionize_group(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int]] = []
+
+        if flush_timeout and state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
                 closed.append((start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
+                state.remove()
+        else:
+            ts_us = sorted(
+                int(t)
+                for batch in batches
+                for t in (batch["ts"].astype("int64") // 1000)
+            )
+            if state.exists:
+                start_us, last_us, n = state.get
             else:
-                last_us, n = t, n + 1
-        if n > 0:
-            state.update((start_us, last_us, n))
-            state.setTimeoutDuration(60 * 60 * 1000)  # flush idle users hourly
+                start_us, last_us, n = 0, 0, 0
+            for t in ts_us:
+                if n == 0:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > SESSION_GAP_US:
+                    closed.append((start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+            if n > 0:
+                state.update((start_us, last_us, n))
+                if flush_timeout:
+                    state.setTimeoutDuration(60 * 60 * 1000)  # idle flush
 
-    if closed:
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
-                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
-                "n_events": [n for _, _, n in closed],
-            }
-        )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in closed
+                    ],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    return sessionize_group
 
 
-def stream_sessionize(events: DataFrame) -> DataFrame:
+def stream_sessionize(
+    events: DataFrame, flush_timeout: bool = True
+) -> DataFrame:
     """Custom stateful streaming operator: 30-min-gap sessionization via
-    applyInPandasWithState (state = the open session per user)."""
+    applyInPandasWithState (state = the open session per user).
+
+    ``flush_timeout=True`` (production) registers a processing-time timer
+    that flushes idle users' open sessions hourly — note the timer keeps
+    the query triggering micro-batches even when no data arrives, so a
+    drain-and-stop run (availableNow) never terminates. Pass ``False`` for
+    drain-style runs: only gap-closed sessions are emitted; open sessions
+    stay in the state store."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_timeout
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_group,
+            _make_sessionizer(flush_timeout),
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout,
         )
     )

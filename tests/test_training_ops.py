@@ -211,3 +211,28 @@ def test_dedup_components_chain_and_singleton(spark):
     )
     out = {r["node"]: r["comp"] for r in dedup_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 7: 5, 9: 5}
+
+
+def test_ann_ivf_is_subset_of_exact(spark):
+    import random
+
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 3)
+    all_scores = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in cosine_topk(df, queries, k=60).collect()
+    }
+    approx = ann_ivf_topk(df, queries, k=5, n_centroids=8, n_probe=2).collect()
+    assert approx  # probing 2 of 8 cells yields candidates
+    for r in approx:
+        assert all_scores[(r["query_id"], r["neighbor_id"])] == r["sim"]
+    # per-query ranks are 1..n contiguous
+    for qid in {r["query_id"] for r in approx}:
+        ranks = sorted(r["rank"] for r in approx if r["query_id"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
