@@ -129,6 +129,22 @@ def minhash_signatures(
     return hashed.select("id", sig.alias("sig"))
 
 
+def _band_keys(sig_col: str, band_size: int) -> Column:
+    """array<string> of band keys: each is the ':'-joined slots of one
+    ``band_size``-wide slice of the signature."""
+    return F.transform(
+        F.sequence(
+            F.lit(0), F.floor(F.size(sig_col) / band_size).cast("int") - 1
+        ),
+        lambda b: F.concat_ws(
+            ":",
+            F.slice(F.col(sig_col), b * band_size + 1, band_size).cast(
+                "array<string>"
+            ),
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     band_size: int = DEFAULT_BAND_SIZE,
@@ -141,19 +157,9 @@ def lsh_candidate_pairs(
     survive — the standard LSH recall/precision dial via band_size."""
     bands = signatures.select(
         "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(0), F.floor(F.size("sig") / band_size).cast("int") - 1
-                ),
-                lambda b: F.concat_ws(
-                    ":",
-                    F.slice(
-                        F.col("sig"), b * band_size + 1, band_size
-                    ).cast("array<string>"),
-                ),
-            )
-        ).alias("band_idx", "band_key"),
+        F.posexplode(_band_keys("sig", band_size)).alias(
+            "band_idx", "band_key"
+        ),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -208,13 +214,52 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    signature-similarity filter ≥ threshold."""
+    signature-similarity filter ≥ threshold.
+
+    The signature array rides along through the band explode and the
+    self-join, so the (expensive) shingle+hash subtree is evaluated exactly
+    once and the similarity needs no join back onto the signature table —
+    the naive compose (``lsh_candidate_pairs`` + ``signature_similarity``)
+    evaluates signatures three times. The shuffle key is still the band
+    key; each row just carries ``num_hashes`` extra longs (~64 bytes)."""
     sigs = minhash_signatures(
         _ensure_parallelism(df), text_col, id_col, num_hashes, shingle_words
     )
-    pairs = lsh_candidate_pairs(sigs, band_size)
-    return signature_similarity(pairs, sigs).filter(
-        F.col("est_jaccard") >= threshold
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(_band_keys("sig", band_size)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            # raw IEEE division: bit-identical across engines
+            (matches / F.size("sig_a")).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
     )
 
 
