@@ -1,0 +1,95 @@
+"""Property-based Spark↔DuckDB parity for the portable expression
+primitives everything else is built on (hypothesis; SURVEY.md §5.2).
+
+The oracle gate only sees the fixture corpus; these tests hammer the same
+expressions with adversarial generated strings — mojibake chars, accents,
+connector punctuation, quotes, mixed whitespace — and assert value-level
+equality between the Spark Column expression and the DuckDB SQL the oracle
+generators emit. A divergence here would silently corrupt every
+hash/normalize-based oracle downstream.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from inbev_data_engineering_case_spark.functions import portable_hash64
+from inbev_data_engineering_case_spark.operators.normalize import (
+    accent_fold_sql_literals,
+    clean_text,
+    normalize_location,
+)
+
+# Conservative-but-nasty alphabet: ASCII, spaces/tabs, connector
+# punctuation (\p{Pc}: _ and ‿), accented Latin, the U+FFFD replacement
+# char the reference repairs, and quote chars (SQL-literal hazards).
+ALPHABET = list(
+    "abzABZ 019.,-'\"_"
+) + ["\t", "�", "â", "‿", "Ä", "ä", "ö", "ü", "ß", "ç", "Å", "ø", "É", "è"]
+
+TEXTS = st.lists(
+    st.text(alphabet=st.sampled_from(ALPHABET), max_size=24),
+    min_size=1,
+    max_size=24,
+)
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duckdb.connect()
+
+
+def _spark_values(spark, texts, expr):
+    df = spark.createDataFrame([(t,) for t in texts], ["s"])
+    return [r[0] for r in df.select(expr).collect()]
+
+
+@settings(**SETTINGS)
+@given(texts=TEXTS)
+def test_normalize_location_parity(spark, con, texts):
+    got = _spark_values(spark, texts, normalize_location("s"))
+    want = [
+        con.execute(
+            "SELECT replace(lower(trim(?)), ' ', '-')", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(texts=TEXTS)
+def test_clean_text_parity(spark, con, texts):
+    matching, replace = accent_fold_sql_literals()
+    got = _spark_values(spark, texts, clean_text("s"))
+    want = [
+        con.execute(
+            "SELECT translate(regexp_replace(?, '\\p{Pc}', '', 'g'), "
+            f"'{matching}', '{replace}')",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(texts=TEXTS)
+def test_portable_hash64_parity(spark, con, texts):
+    got = _spark_values(spark, texts, portable_hash64("s"))
+    want = [
+        con.execute(
+            "SELECT (('0x' || substr(md5(?), 1, 15)))::BIGINT", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
