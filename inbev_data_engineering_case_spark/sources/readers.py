@@ -70,6 +70,31 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines scan with explicit schema (no sampling pass) and corrupt-
+    record quarantine — the landing format for most document/event feeds.
+    Unlike parquet, JSON scans can't prune columns at the parser level, so
+    at scale JSONL is a bronze-only format: convert to parquet in silver."""
+    schema_with_corrupt = T.StructType(
+        [*schema.fields, T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return spark.read.json(
+        path,
+        schema=schema_with_corrupt,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar like parquet (vectorized read, predicate
+    pushdown, column pruning all apply); supported so ORC-resident lakes
+    can be consumed without conversion."""
+    return spark.read.orc(path)
+
+
 def star_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All synthetic tables as DataFrames keyed by name (TESTDATA.md)."""
     return {t: read_parquet_table(spark, sf_dir, t) for t in STAR_TABLES}
