@@ -268,8 +268,9 @@ def jaccard_similarity(
     id_col: str = "doc_id", shingle: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate verification:
-    |A ∩ B| / |A ∪ B| over distinct shingle sets."""
-    sh = docs.select(
+    |A ∩ B| / |A ∪ B| over distinct shingle sets. Shingling is the
+    compute-heavy part — parallelism-guarded like the signature stages."""
+    sh = _ensure_parallelism(docs).select(
         F.col(id_col).alias("id"), shingle_set(text_col, shingle).alias("sh")
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
