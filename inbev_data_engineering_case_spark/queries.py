@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from inbev_data_engineering_case_spark.functions import (
     disc_price,
     dsum,
+    money,
     xsum,
 )
 from inbev_data_engineering_case_spark.operators import windows as W
@@ -550,6 +551,40 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_correlated_subquery",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(18,2))
+            * (SELECT count(*) FROM customer c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    doc="correlated scalar subqueries (above-nation-average customers) "
+    "through the SQL interface — Catalyst decorrelates them into an "
+    "aggregate + join, no per-row re-execution (SURVEY.md §4.2 listed "
+    "decorrelation as unexercised by the reference). The predicate is "
+    "bal*n > sum in exact decimal, not bal > avg in float: a float avg's "
+    "partial-sum order is engine-dependent and could flip boundary rows.",
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer_v c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+                * (SELECT count(*) FROM customer_v c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+                 FROM customer_v c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@register(
     "q_asof_join",
     """
     WITH r AS (
@@ -744,6 +779,38 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Event-time / JSON / date functions (events table)
 # ---------------------------------------------------------------------------
+
+@register(
+    "q_trailing_window",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           )::DOUBLE AS trailing_7d
+    FROM orders
+    """,
+    doc="time-RANGE window frame (not ROWS): 7-day trailing revenue per "
+    "customer — frame bounds in event-time microseconds so peers and "
+    "boundaries are exact in both engines. One shuffle on the partition "
+    "key, same cost as a groupBy.",
+)
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        # NTZ → TZ cast is identity under the engine's UTC session timezone
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-604_800_000_000, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("trailing_7d"),
+    )
+
 
 @register(
     "q_window_events",
