@@ -53,6 +53,16 @@ DEFAULT_SHINGLE = 5
 DEFAULT_SHINGLE_WORDS = 3
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute a signature table once and share it across both sides of the
+    subsequent self-join. Without this, the a/b branches of the join each
+    re-evaluate the whole shingle+hash subtree — doubling the dominant cost.
+    Locally a lazy ``localCheckpoint`` (block-cached RDD) is ideal; on a
+    cluster at 100 TB, write the signatures to a parquet/Delta table and
+    read it back (fault-tolerant, spillable), same one-liner swap."""
+    return df.localCheckpoint(eager=False)
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition up to the session's core count when the scan produced
     fewer splits. Signature computation is compute-bound per row; a small
@@ -222,8 +232,10 @@ def minhash_dedup_pairs(
     the naive compose (``lsh_candidate_pairs`` + ``signature_similarity``)
     evaluates signatures three times. The shuffle key is still the band
     key; each row just carries ``num_hashes`` extra longs (~64 bytes)."""
-    sigs = minhash_signatures(
-        _ensure_parallelism(df), text_col, id_col, num_hashes, shingle_words
+    sigs = _materialize(
+        minhash_signatures(
+            _ensure_parallelism(df), text_col, id_col, num_hashes, shingle_words
+        )
     )
     bands = sigs.select(
         "id",
@@ -382,10 +394,12 @@ def embedding_near_dup_pairs(
         signlsh_bucket,
     )
 
-    sigs = _ensure_parallelism(emb).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        signlsh_bucket(vec_col, num_planes).alias("bucket"),
+    sigs = _materialize(
+        _ensure_parallelism(emb).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            signlsh_bucket(vec_col, num_planes).alias("bucket"),
+        )
     )
     from inbev_data_engineering_case_spark.functions import cosine
 
@@ -418,10 +432,10 @@ def simhash_near_pairs(
     (so the self-join is per-bucket, not all-pairs), then filter
     popcount(XOR) ≤ max_hamming. Note the bucket prefilter trades recall
     for scale exactly like LSH banding."""
-    sigs = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
-    ).withColumn(
-        "bucket", F.shiftright("sh", bits - bucket_bits)
+    sigs = _materialize(
+        _ensure_parallelism(df)
+        .select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh"))
+        .withColumn("bucket", F.shiftright("sh", bits - bucket_bits))
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     hamming = F.bit_count(
