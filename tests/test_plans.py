@@ -1,0 +1,79 @@
+"""Physical-plan assertions: the properties that make these queries viable
+at 100 TB, locked in as tests so a refactor can't silently regress them.
+
+Checked against the optimized (pre-AQE-finalization) executed plan string —
+the same evidence a human reads from .explain("formatted").
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from inbev_data_engineering_case_spark.queries import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = CATALOG[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = _plan(spark, "q_join_star")
+    # every dim side broadcasts; the fact side never shuffles for the joins
+    assert plan.count("BroadcastHashJoin") == 5, plan
+    assert "SortMergeJoin" not in plan
+    # the only hash-partition exchange is the final aggregation's
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_filters_reach_the_scan(spark):
+    plan = _plan(spark, "q_join_orders")
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan, plan
+
+
+def test_column_pruning_reaches_the_scan(spark):
+    plan = _plan(spark, "q_project")
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in plan, plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "q_orderby_limit")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_aggregation_is_two_phase(spark):
+    plan = _plan(spark, "q_gold_agg")
+    # partial (map-side) + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_asof_join_has_no_row_explosion(spark):
+    plan = _plan(spark, "q_asof_join")
+    # union-merge form: a window over the union — never a join of left
+    # events against all earlier right rows
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_broadcasts_band_dim(spark):
+    plan = _plan(spark, "q_range_join")
+    assert "BroadcastNestedLoopJoin" in plan, plan  # tiny inequality side
+
+
+def test_rollup_is_single_expand_pass(spark):
+    plan = _plan(spark, "q_rollup")
+    assert plan.count("Expand") == 1, plan
+    # one scan of lineitem, not one per grouping set
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_whole_stage_codegen_covers_normalization(spark):
+    df = CATALOG["q_clean_text"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert "*(1) Project" in plan, plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
