@@ -84,6 +84,25 @@ def test_clean_text_parity(spark, con, texts):
 
 @settings(**SETTINGS)
 @given(texts=TEXTS)
+def test_word_ngrams_parity(spark, con, texts):
+    """Word 3-gram shingles (the MinHash unit) must agree with the oracle's
+    regexp_split + slice construction, including short/empty strings."""
+    from inbev_data_engineering_case_spark.functions import word_ngrams
+
+    got = _spark_values(spark, texts, word_ngrams("s", 3))
+    want = [
+        con.execute(
+            "SELECT [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]"
+            " FROM (SELECT regexp_split_to_array(trim(?), '\\s+') AS w)",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(texts=TEXTS)
 def test_portable_hash64_parity(spark, con, texts):
     got = _spark_values(spark, texts, portable_hash64("s"))
     want = [
