@@ -71,6 +71,44 @@ def test_rollup_is_single_expand_pass(spark):
     assert plan.count("FileScan parquet") == 1, plan
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """A hot join key (90% of rows) must not serialize the join onto one
+    task: AQE's skew-join optimization splits the oversized partition at
+    runtime. Thresholds are lowered to make the tiny test corpus register
+    as skewed; on real data the defaults (256MB) apply."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 300_000
+        # the ADAPTIVE final plan (same QueryExecution as the collect)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "skewed" in plan, plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_whole_stage_codegen_covers_normalization(spark):
     df = CATALOG["q_clean_text"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
