@@ -551,6 +551,61 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_having",
+    """
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+    doc="HAVING-style post-aggregation filter (TPC-H Q18 shape) — the "
+    "filter runs after the final HashAggregate, on grouped rows, not "
+    "pushed to the scan (it can't be).",
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "q_intersect_except",
+    """
+    SELECT nationkey, 'both' AS which FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS which FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+    doc="set ops beyond union: INTERSECT and EXCEPT (plan as semi/anti "
+    "aggregates — no full materialization of either side).",
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("which", F.lit("both"))
+    # subtract = EXCEPT DISTINCT (exceptAll is bag semantics — it leaves
+    # surplus occurrences of keys present on both sides)
+    only_c = c.subtract(s).withColumn("which", F.lit("customer_only"))
+    return both.unionByName(only_c)
+
+
+@register(
     "q_correlated_subquery",
     """
     SELECT c_custkey, c_name, c_acctbal
