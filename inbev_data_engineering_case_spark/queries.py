@@ -853,6 +853,9 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # the NTZ->TZ cast below is only identity under UTC; pin it in case the
+    # driver built the session in a non-UTC environment
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     w = (
         Window.partitionBy("o_custkey")
         # NTZ → TZ cast is identity under the engine's UTC session timezone

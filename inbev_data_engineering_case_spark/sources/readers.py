@@ -62,6 +62,9 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin UTC so NTZ<->TZ conversions are identity even on a session the
+    # driver built without engine defaults in a non-UTC environment
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     # Integer `div`, NOT float division: int64 nanos exceed double's 53-bit
     # mantissa, so `/ 1000` would round the low microseconds.

@@ -42,6 +42,7 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # The file-stream source only monitors directories; the table is a
