@@ -296,28 +296,55 @@ def jaccard_similarity(
     )
 
 
-def simhash(text: Column | str, bits: int = 32) -> Column:
-    """SimHash signature: bit b is the sign of the majority vote of bit b
-    over all token hashes. The bit loop unrolls in Python (bits is a build
-    constant), producing one codegen'd projection per row — per-row compute
-    only, no shuffle."""
+def token_hashes(text: Column | str) -> Column:
+    """array<long> of per-token portable hashes over the lowercased text —
+    the (md5-bearing, expensive) half of SimHash, split out so callers can
+    project it ONCE before computing the signature. Folding it into the
+    signature expression would embed the md5 transform in every per-bit
+    vote and hash each token ``bits`` times."""
     from inbev_data_engineering_case_spark.functions import tokens
 
     toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
-    hashes = F.transform(toks, lambda t: portable_hash64(t))
+    return F.transform(toks, lambda t: portable_hash64(t))
 
-    def vote(bit_mask: int):
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(bit_mask)) != 0, 1
-        ).otherwise(-1)
 
+def simhash_from_hashes(hashes: Column | str, bits: int = 32) -> Column:
+    """SimHash signature from a token-hash array column: bit b of the
+    output is the sign of the majority vote of bit b over all hashes.
+    One array aggregate with an array<long> vote accumulator — a single
+    pass over the tokens regardless of ``bits``."""
+    hashes = F.col(hashes) if isinstance(hashes, str) else hashes
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(
+                    h.bitwiseAND(m) != 0, F.lit(1).cast("long")
+                ).otherwise(F.lit(-1).cast("long")),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
     out = F.lit(0).cast("long")
     for b in range(bits):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), vote(1 << b))
-        out = out + F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        out = out + F.when(
+            F.element_at(votes, b + 1) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash signature of a text column (see ``simhash_from_hashes``).
+    Prefer the two-step form (project ``token_hashes`` first) in pipelines —
+    as a single inline expression the `votes` subtree references the token
+    hashing once, so this is safe, but the two-step form keeps the md5 work
+    visible and shareable."""
+    return simhash_from_hashes(token_hashes(text), bits)
 
 
 def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
@@ -432,9 +459,11 @@ def simhash_near_pairs(
     (so the self-join is per-bucket, not all-pairs), then filter
     popcount(XOR) ≤ max_hamming. Note the bucket prefilter trades recall
     for scale exactly like LSH banding."""
+    hashed = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), token_hashes(text_col).alias("th")
+    )
     sigs = _materialize(
-        _ensure_parallelism(df)
-        .select(F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh"))
+        hashed.select("id", simhash_from_hashes("th", bits).alias("sh"))
         .withColumn("bucket", F.shiftright("sh", bits - bucket_bits))
     )
     a, b = sigs.alias("a"), sigs.alias("b")
