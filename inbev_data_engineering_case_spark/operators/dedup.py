@@ -410,41 +410,53 @@ def embedding_near_dup_pairs(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup: (id_a, id_b, sim) for same-sign-LSH-bucket
     pairs with cosine ≥ threshold. The bucket equi-join keeps the pair space
     bucket-local (the all-pairs O(n²) is impossible at 100 TB); near-dups
     almost always share a bucket because near-parallel vectors fall on the
-    same side of most hyperplanes. Recall can be raised with multiple probe
-    tables (re-bucket with a different plane seed, union the pairs)."""
+    same side of most hyperplanes.
+
+    ``n_probes > 1`` raises recall at proportional cost: the corpus is
+    re-bucketed under additional independent hyperplane seeds, candidate
+    pairs are unioned and deduplicated — a pair missed by one bucketing
+    (a near-zero hyperplane dot flips a bit) is almost surely caught by
+    another."""
+    from inbev_data_engineering_case_spark.functions import cosine
     from inbev_data_engineering_case_spark.operators.similarity import (
         signlsh_bucket,
     )
 
-    sigs = _materialize(
-        _ensure_parallelism(emb).select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            signlsh_bucket(vec_col, num_planes).alias("bucket"),
+    base = _ensure_parallelism(emb)
+    per_probe = []
+    for seed in range(n_probes):
+        sigs = _materialize(
+            base.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+            )
         )
-    )
-    from inbev_data_engineering_case_spark.functions import cosine
-
-    a, b = sigs.alias("a"), sigs.alias("b")
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        a, b = sigs.alias("a"), sigs.alias("b")
+        sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+        per_probe.append(
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            ).select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                sim.alias("sim"),
+            )
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            sim.alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
+    pairs = per_probe[0]
+    for p in per_probe[1:]:
+        pairs = pairs.unionByName(p)
+    if n_probes > 1:
+        pairs = pairs.distinct()  # sim is identical across probes
+    return pairs.filter(F.col("sim") >= threshold)
 
 
 def simhash_near_pairs(

@@ -61,26 +61,30 @@ def cosine_topk(
     )
 
 
-def _plane_weight(plane: int, dim: Column) -> Column:
+def _plane_weight(plane: int, dim: Column, seed: int = 0) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1):
-    portable_hash64 of 'p:d' scaled into the unit interval."""
+    portable_hash64 of 'p:d' (seed 0) / 's{seed}:p:d' scaled into the unit
+    interval. Seed 0 keeps the original key format so existing oracles and
+    bucket assignments are unchanged."""
     from inbev_data_engineering_case_spark.functions import portable_hash64
 
-    key = F.concat(F.lit(f"{plane}:"), dim.cast("string"))
+    prefix = f"{plane}:" if seed == 0 else f"s{seed}:{plane}:"
+    key = F.concat(F.lit(prefix), dim.cast("string"))
     return (portable_hash64(key) % 2000001 - 1000000) / 1000000.0
 
 
 def signlsh_bucket(
-    vec: Column | str, num_planes: int = 8
+    vec: Column | str, num_planes: int = 8, seed: int = 0
 ) -> Column:
     """h-bit sign-LSH bucket id: bit p = sign(dot(vec, plane_p)) with
-    deterministic hyperplanes (see module docstring)."""
+    deterministic hyperplanes (see module docstring). Different ``seed``
+    values give independent bucketings — the multi-probe recall lever."""
     vec = F.col(vec) if isinstance(vec, str) else vec
 
     def weighted(plane: int):
         # closure factory (a default-arg lambda would change the arity
         # PySpark infers for zip_with and break the call)
-        return lambda x, i: x.cast("double") * _plane_weight(plane, i)
+        return lambda x, i: x.cast("double") * _plane_weight(plane, i, seed)
 
     bits = []
     for p in range(num_planes):

@@ -551,6 +551,50 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dq_profile",
+    """
+    WITH wide AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS v0,
+             sum(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000
+                      THEN 1 ELSE 0 END) AS v1,
+             sum(CASE WHEN c_nationkey NOT BETWEEN 0 AND 24
+                      THEN 1 ELSE 0 END) AS v2,
+             sum(CASE WHEN c_mktsegment NOT IN
+                   ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+                      THEN 1 ELSE 0 END) AS v3
+      FROM customer
+    )
+    SELECT 'name_not_null' AS rule, v0 AS n_violations, n_rows FROM wide
+    UNION ALL SELECT 'acctbal_in_range', v1, n_rows FROM wide
+    UNION ALL SELECT 'nationkey_domain', v2, n_rows FROM wide
+    UNION ALL SELECT 'mktsegment_domain', v3, n_rows FROM wide
+    """,
+    doc="data-quality profile: all rule-violation counts in ONE aggregation "
+    "pass over the table (one scan regardless of rule count), unpivoted to "
+    "long form for gating — generalizes the reference's page-count "
+    "invariant and EDA checks (README.md:84; SURVEY.md §5.1).",
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.quality import dq_profile
+
+    c = _t(spark, sf_dir, "customer")
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return dq_profile(
+        c,
+        [
+            ("name_not_null", F.col("c_name").isNull()),
+            (
+                "acctbal_in_range",
+                (F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000),
+            ),
+            ("nationkey_domain", ~F.col("c_nationkey").between(0, 24)),
+            ("mktsegment_domain", ~F.col("c_mktsegment").isin(segments)),
+        ],
+    )
+
+
+@register(
     "q_having",
     """
     SELECT o_custkey,

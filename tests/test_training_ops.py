@@ -236,3 +236,33 @@ def test_ann_ivf_is_subset_of_exact(spark):
     for qid in {r["query_id"] for r in approx}:
         ranks = sorted(r["rank"] for r in approx if r["query_id"] == qid)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_embedding_near_dup_multiprobe_superset(spark):
+    import random
+
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = random.Random(3)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(40)]
+    # near-dups: tiny perturbation of each base vector
+    rows = [(i, v) for i, v in enumerate(base)] + [
+        (100 + i, [x * 1.001 if j % 2 else x for j, x in enumerate(v)])
+        for i, v in enumerate(base)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    one = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.99).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.99, n_probes=3
+        ).collect()
+    }
+    assert one <= multi  # extra probes only add recall
+    # with 3 probes every constructed near-dup pair should be found
+    assert {(i, 100 + i) for i in range(40)} <= multi
