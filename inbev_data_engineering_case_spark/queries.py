@@ -1656,6 +1656,38 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           v.event_id AS view_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(v.ts AS TIMESTAMP) AS view_ts
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+           + INTERVAL 30 MINUTE
+    """,
+    doc="stream-stream inner join (clicks x same-user views within 30 min "
+    "after), watermarked on both sides with a time-bound join condition so "
+    "join state is evictable — drained with availableNow and hash-matched "
+    "against the equivalent batch self-join.",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+        stream_click_view_join,
+    )
+
+    out = stream_click_view_join(read_events_stream(spark, sf_dir))
+    run_stream_to_table(out, "q_stream_join_sink", "append")
+    return spark.table("q_stream_join_sink")
+
+
+@register(
     "q_stream_sessionize",
     """
     WITH ordered AS (

@@ -102,6 +102,52 @@ def stream_tumbling_counts(
     )
 
 
+def stream_click_view_join(
+    events: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's
+    views within ``max_gap`` AFTER the click.
+
+    Both sides carry watermarks and the join condition bounds view_ts
+    relative to click_ts — that bound is what lets Spark evict join state
+    (without it, both sides' state grows forever; Spark would reject the
+    append-mode query). State is keyed by user_id in the state store,
+    partitioned like any shuffle."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("click_ts"))
+        & (F.col("view_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {max_gap}")),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "view_id",
+        "click_ts",
+        "view_ts",
+    )
+
+
 SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("session_start_us", T.LongType()),
