@@ -999,6 +999,84 @@ _SQL_FP = f"(('0x' || substr(md5({_SQL_NORM}), 1, 15)))::BIGINT"
 
 
 @register(
+    "q_map_lookup",
+    """
+    SELECT o_orderpriority,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+             WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+             WHEN '5-LOW' THEN 5 END AS priority_rank,
+           count(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="map-typed literal + element_at lookup (map functions family): a "
+    "broadcast-free dimension encoded as a map literal in the plan; the "
+    "oracle states the same mapping as CASE.",
+)
+def q_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = {
+        "1-URGENT": 1,
+        "2-HIGH": 2,
+        "3-MEDIUM": 3,
+        "4-NOT SPECIFIED": 4,
+        "5-LOW": 5,
+    }
+    rank_map = F.create_map(
+        *[F.lit(x) for kv in ranks.items() for x in kv]
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.element_at(rank_map, F.col("o_orderpriority")).alias(
+                "priority_rank"
+            ),
+        )
+        .groupBy("o_orderpriority", "priority_rank")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_array_functions",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 6)
+             AS max_abs,
+           list_sum(list_transform(embedding, x -> CASE WHEN x > 0.5
+                                                        THEN 1 ELSE 0 END))
+             AS n_large,
+           CASE WHEN len(list_filter(embedding, x -> abs(x) > 2)) > 0
+                THEN true ELSE false END AS any_outlier
+    FROM embeddings
+    """,
+    doc="higher-order array functions (filter/transform/exists + "
+    "size/aggregate) over the embedding column — all JVM-side lambda "
+    "expressions inside codegen, no UDFs.",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = F.col("embedding")
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double")))), 6
+        ).alias("max_abs"),
+        F.aggregate(
+            F.transform(
+                emb, lambda x: F.when(x > 0.5, 1).otherwise(0).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("n_large"),
+        F.exists(emb, lambda x: F.abs(x) > 2).alias("any_outlier"),
+    )
+
+
+@register(
     "q_token_stats",
     f"""
     SELECT doc_id,
