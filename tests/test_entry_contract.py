@@ -3,52 +3,57 @@ driver does — a VANILLA SparkSession (none of the engine's session
 defaults: ANSI mode on, default timezone, no nanosAsLong preset) — so any
 query that silently depends on engine session tuning fails here first.
 
-Only spark.sql.shuffle.partitions is lowered (pure speed knob for the
-200-partition default; it cannot mask a correctness dependency).
+Runs in a SUBPROCESS: inside the pytest process, getOrCreate() would reuse
+the engine-configured shared session (not vanilla at all), and stopping it
+would kill the SparkContext for every later test.
 """
 
 from __future__ import annotations
 
-import pytest
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("entry-contract")
+    .config("spark.sql.shuffle.partitions", "8")  # pure speed knob
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
 import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
 
+assert len(entrymod.entry(spark).collect()) > 0, "entry() returned no rows"
 
-@pytest.fixture(scope="module")
-def vanilla_spark():
-    # NOT conftest's engine session: no UTC pin, no Arrow, no nanosAsLong
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .appName("entry-contract")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+qs, sql = entrymod.queries(), entrymod.oracle_sql()
+assert set(sql) <= set(qs), "oracle_sql keys not a subset of queries"
+assert len(qs) >= 50, f"catalog shrank: {len(qs)}"
+
+failures = []
+for name, fn in qs.items():
+    try:
+        df = fn(spark, SF)
+        assert df.count() >= 0
+        assert df.columns
+    except Exception as e:
+        failures.append(f"{name}: {type(e).__name__} {str(e)[:120]}")
+assert not failures, "\n".join(failures)
+print(f"CONTRACT_OK {len(qs)}")
+"""
+
+
+def test_driver_contract_on_vanilla_session():
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=900,
     )
-    yield spark
-    spark.stop()
-
-
-def test_entry_returns_rows(vanilla_spark):
-    df = entrymod.entry(vanilla_spark)
-    assert len(df.collect()) > 0
-
-
-def test_oracle_keys_subset_of_queries(vanilla_spark):
-    qs, sql = entrymod.queries(), entrymod.oracle_sql()
-    assert set(sql) <= set(qs)
-    assert len(qs) >= 50
-
-
-def test_every_query_runs_on_vanilla_session(vanilla_spark):
-    failures = []
-    for name, fn in entrymod.queries().items():
-        try:
-            df = fn(vanilla_spark, SF)
-            assert df.count() >= 0
-            assert df.columns  # stable, named schema
-        except Exception as e:  # noqa: BLE001
-            failures.append(f"{name}: {type(e).__name__} {str(e)[:120]}")
-    assert not failures, "\n".join(failures)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "CONTRACT_OK" in proc.stdout
