@@ -92,6 +92,15 @@ class PagedRestSource:
         if self.expected_total is not None:
             # README.md:84 invariant, asserted for real: every page must have
             # produced rows and the page count must cover expected_total.
+            # Materialize FIRST (eager checkpoint truncates lineage), so the
+            # invariant check and every downstream action read the same
+            # single fetch — an unmaterialized plan would re-invoke the
+            # transport per action, and against a live mutable API the
+            # validated data would not be the data returned. On a cluster,
+            # prefer writing bronze then counting the written files
+            # (pipeline.write_layer does exactly that); localCheckpoint
+            # keeps the no-filesystem fast path here.
+            df = df.localCheckpoint(eager=True)
             got_pages = df.select(F.countDistinct("__page")).first()[0]
             want_pages = -(-self.expected_total // self.per_page)
             if got_pages != want_pages:

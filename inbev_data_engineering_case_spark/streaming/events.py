@@ -47,12 +47,23 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     # The file-stream source only monitors directories; the table is a
     # single read-only parquet file, so stage a symlink directory for it
-    # (a real deployment streams from a landing directory anyway).
-    stage = "/tmp/spark_graft_stream_src" + sf_dir.replace("/", "_")
+    # (a real deployment streams from a landing directory anyway). The
+    # stage dir is scoped per Spark application so concurrent sessions
+    # don't race on one path, and the link is recreated via lexists +
+    # unlink: a stale symlink (target moved) fails os.path.exists but
+    # still blocks os.symlink.
+    app_id = spark.sparkContext.applicationId
+    stage = (
+        f"/tmp/spark_graft_stream_src_{app_id}" + sf_dir.replace("/", "_")
+    )
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/events.parquet"
-    if not os.path.exists(link):
+    if os.path.lexists(link):
+        os.unlink(link)
+    try:
         os.symlink(path, link)
+    except FileExistsError:
+        pass  # concurrent creator within the same app won the race; same target
     return (
         spark.readStream.schema(schema)
         .parquet(stage)
@@ -168,6 +179,33 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
+def advance_session(
+    start_us: int, last_us: int, n: int, ts_us: list[int]
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int]]:
+    """Advance one user's open session ``(start_us, last_us, n)`` (n == 0
+    means no open session) over event timestamps, returning the sessions
+    closed by a >30-min gap and the new open-session state.
+
+    Out-of-order events (t <= last_us — possible ACROSS micro-batches even
+    though each batch is sorted) fold into the open session's bounds
+    instead of advancing it: ``last_us`` never moves backwards, so
+    session_end and subsequent gap computations stay correct. Events older
+    than the watermark should be dropped upstream; anything that reaches
+    here is treated as late data for the open session."""
+    closed: list[tuple[int, int, int]] = []
+    for t in ts_us:
+        if n == 0:
+            start_us, last_us, n = t, t, 1
+        elif t <= last_us:
+            start_us, n = min(start_us, t), n + 1
+        elif t - last_us > SESSION_GAP_US:
+            closed.append((start_us, last_us, n))
+            start_us, last_us, n = t, t, 1
+        else:
+            last_us, n = t, n + 1
+    return closed, (start_us, last_us, n)
+
+
 def _make_sessionizer(flush_timeout: bool):
     """Build the per-user stateful sessionizer: accumulate events into the
     open session, emit a row whenever a 30-min gap closes one, keep the open
@@ -197,14 +235,10 @@ def _make_sessionizer(flush_timeout: bool):
                 start_us, last_us, n = state.get
             else:
                 start_us, last_us, n = 0, 0, 0
-            for t in ts_us:
-                if n == 0:
-                    start_us, last_us, n = t, t, 1
-                elif t - last_us > SESSION_GAP_US:
-                    closed.append((start_us, last_us, n))
-                    start_us, last_us, n = t, t, 1
-                else:
-                    last_us, n = t, n + 1
+            newly_closed, (start_us, last_us, n) = advance_session(
+                start_us, last_us, n, ts_us
+            )
+            closed.extend(newly_closed)
             if n > 0:
                 state.update((start_us, last_us, n))
                 if flush_timeout:

@@ -47,6 +47,28 @@ def test_fetch_all_pages_parallel(spark):
     assert df.schema == SCHEMA
 
 
+def test_each_page_fetched_exactly_once(spark):
+    # The invariant check is an action; without materialization the
+    # returned (lazy) df would re-invoke the transport on the next action,
+    # double-fetching every page — and validating data other than what is
+    # returned. An accumulator counts executor-side transport calls.
+    calls = spark.sparkContext.accumulator(0)
+    inner = make_fake_transport()
+
+    def counting_transport(page: int) -> list[dict]:
+        calls.add(1)
+        return inner(page)
+
+    src = PagedRestSource(
+        transport=counting_transport, schema=SCHEMA, n_pages=3, per_page=2,
+        expected_total=6,
+    )
+    df = src.to_dataframe(spark)
+    assert df.count() == 6  # downstream action after the invariant ran
+    assert df.count() == 6  # and another one
+    assert calls.value == 3  # one transport call per page, total
+
+
 def test_completeness_invariant_raises(spark):
     fake_transport = make_fake_transport()
     src = PagedRestSource(

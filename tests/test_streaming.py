@@ -101,3 +101,52 @@ def test_stream_sessionize_closes_on_gap(spark, event_dir):
     assert r["n_events"] == 2
     assert r["session_start"] == datetime(2024, 1, 1, 0, 0)
     assert r["session_end"] == datetime(2024, 1, 1, 0, 10)
+
+
+MIN_US = 60 * 1_000_000
+
+
+def test_advance_session_pure_logic():
+    from inbev_data_engineering_case_spark.streaming.events import (
+        advance_session,
+    )
+
+    # in-order: 45-min gap closes the first session
+    closed, state = advance_session(
+        0, 0, 0, [0, 10 * MIN_US, 55 * MIN_US, 60 * MIN_US]
+    )
+    assert closed == [(0, 10 * MIN_US, 2)]
+    assert state == (55 * MIN_US, 60 * MIN_US, 2)
+
+
+def test_advance_session_out_of_order_never_regresses():
+    from inbev_data_engineering_case_spark.streaming.events import (
+        advance_session,
+    )
+
+    # batch 1 leaves an open session ending at t=20min
+    closed, state = advance_session(0, 0, 0, [0, 20 * MIN_US])
+    assert closed == []
+    # batch 2 delivers a LATE event at t=5min: it must fold into the open
+    # session without moving last_us backwards...
+    closed, state = advance_session(*state, [5 * MIN_US])
+    assert closed == []
+    assert state == (0, 20 * MIN_US, 3)
+    # ...so a later event 25 min after the true session end still closes
+    # the session at 20min (with the regression bug, last_us=5min would
+    # misread the 45-min gap and also corrupt session_end)
+    closed, state = advance_session(*state, [51 * MIN_US])
+    assert closed == [(0, 20 * MIN_US, 3)]
+    assert state == (51 * MIN_US, 51 * MIN_US, 1)
+
+
+def test_advance_session_late_event_extends_start():
+    from inbev_data_engineering_case_spark.streaming.events import (
+        advance_session,
+    )
+
+    closed, state = advance_session(
+        10 * MIN_US, 12 * MIN_US, 2, [3 * MIN_US]
+    )
+    assert closed == []
+    assert state == (3 * MIN_US, 12 * MIN_US, 3)
