@@ -137,6 +137,62 @@ def ivf_assign(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train IVF centroids with Lloyd iterations expressed as DataFrame ops:
+    broadcast-assign every vector to its nearest centroid (cosine), then
+    recenter each cell as the element-wise mean.
+
+    Scale shape: the assign step is the same broadcast join ``ivf_assign``
+    uses (|corpus| × K similarity evaluations, JVM-side); the recenter step
+    posexplodes to (cent_id, pos, val) rows — n·d rows with map-side
+    partial aggregation down to K·d means, so the shuffle carries only the
+    model. Between iterations the K×d centroid table (a model, not data) is
+    collected and re-created, truncating lineage — the same move MLlib's
+    k-means makes per iteration.
+
+    Determinism: init is the first-N corpus vectors by id (the production
+    swap is k-means|| sampling), and means are rounded to 6 decimals so
+    float partial-sum ordering across partitions can't leak into the
+    result. Cells that lose all members drop out (K may shrink)."""
+    spark = corpus.sparkSession
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
+    )
+    for _ in range(n_iter):
+        assigned = ivf_assign(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            cents,
+            n_probe=1,
+            id_col="id",
+            vec_col="v",
+        )
+        means = (
+            assigned.select(
+                "cent_id", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("cent_id", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("cent_id", F.col("pm.m").alias("cv"))
+        )
+        rows = means.collect()
+        cents = spark.createDataFrame(
+            [(int(r["cent_id"]), [float(x) for x in r["cv"]]) for r in rows],
+            "cent_id long, cv array<double>",
+        )
+    return cents
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,6 +201,7 @@ def ann_ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors partitioned into inverted lists by
     nearest centroid; each query probes its ``n_probe`` closest cells and
@@ -152,15 +209,20 @@ def ann_ivf_topk(
     two broadcast assignments plus one cell-local equi-join — candidate
     count drops by ~n_probe/n_centroids vs brute force.
 
-    Centroids here are the first ``n_centroids`` corpus vectors
-    (deterministic; a production pipeline would k-means them — the operator
-    shape is identical, only the centroid table changes). Every corpus
-    vector lives in exactly one cell, so probing distinct cells can't
-    produce duplicate candidate pairs."""
+    ``centroids`` (cent_id, cv) selects the cell layout: pass
+    ``train_ivf_centroids(...)`` output for Lloyd-trained cells, or leave
+    None for the first ``n_centroids`` corpus vectors — deterministic and
+    exactly replicable in the SQL oracle, which trained (iterative) cells
+    are not. Every corpus vector lives in exactly one cell, so probing
+    distinct cells can't produce duplicate candidate pairs."""
     from pyspark.sql import Window
 
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+        )
     )
     c = ivf_assign(
         corpus.select(

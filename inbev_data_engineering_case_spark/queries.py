@@ -1633,6 +1633,55 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "q_ann_ivf_trained",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           true AS trained_recall_ok, true AS holds_vs_firstn
+    FROM embeddings WHERE vec_id < 50
+    """,
+    doc="IVF ANN with Lloyd-TRAINED centroids (train_ivf_centroids: "
+    "broadcast assign + posexplode groupBy-mean recenter, model collected "
+    "per iteration a la MLlib k-means). An iteratively-trained model can't "
+    "be replicated in one SQL oracle, so this is a property oracle: the "
+    "query computes recall@5 of trained-centroid IVF against the exact "
+    "brute-force top-k (both in Spark) over 50 queries and asserts (a) a "
+    "recall floor and (b) recall holds within 0.05 of the first-N-centroid "
+    "layout at equal probe count; the oracle states the expected booleans. "
+    "q_ann_ivf keeps the exactly-oracled first-N layout.",
+)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+
+    def recall_of(ivf: DataFrame) -> float:
+        hits = (
+            ivf.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .count()
+        )
+        return hits / exact.count()
+
+    trained = recall_of(
+        ann_ivf_topk(
+            emb, q, k=5, centroids=train_ivf_centroids(emb, 16, n_iter=2)
+        )
+    )
+    firstn = recall_of(ann_ivf_topk(emb, q, k=5, n_centroids=16))
+    return q.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.lit(trained >= 0.4).alias("trained_recall_ok"),
+        F.lit(trained >= firstn - 0.05).alias("holds_vs_firstn"),
+    )
+
+
 # Perturbation factor for the constructed embedding near-dups: element i
 # scaled by 1 + 0.001*((i mod 3) - 1) — deterministic, double-precision in
 # both engines, cosine vs the original ≈ 0.9999998.
@@ -1959,6 +2008,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q_running_total  -> q_trailing_window (RANGE frame) + q_sessionize's
 #                       internal ROWS running sum
 #   q_window_events  -> q_stream_tumbling (identical result/oracle)
+#   q_anti_join      -> q_semi_join (same left-semi plan family, negated)
 _DEMOTED_NEAR_TWINS = [
     "q_project",
     "q_group_stats",
@@ -1966,6 +2016,7 @@ _DEMOTED_NEAR_TWINS = [
     "q_cube",
     "q_running_total",
     "q_window_events",
+    "q_anti_join",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:

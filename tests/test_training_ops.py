@@ -266,3 +266,40 @@ def test_embedding_near_dup_multiprobe_superset(spark):
     assert one <= multi  # extra probes only add recall
     # with 3 probes every constructed near-dup pair should be found
     assert {(i, 100 + i) for i in range(40)} <= multi
+
+
+def test_ivf_trained_centroids_recall_holds(spark):
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+
+    def recall(ivf):
+        return (
+            ivf.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .count()
+            / n_exact
+        )
+
+    cents = train_ivf_centroids(emb, n_centroids=16, n_iter=2)
+    assert cents.count() <= 16  # cells may drop, never multiply
+    # deterministic training: rounded means, deterministic init/ties
+    again = train_ivf_centroids(emb, n_centroids=16, n_iter=2)
+    assert sorted(map(tuple, cents.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    trained = recall(ann_ivf_topk(emb, q, k=5, centroids=cents))
+    firstn = recall(ann_ivf_topk(emb, q, k=5, n_centroids=16))
+    # on this near-uniform synthetic corpus training rebalances cells;
+    # recall must hold (within noise) at equal probe count, with a floor
+    assert trained >= firstn - 0.05
+    assert trained >= 0.4
