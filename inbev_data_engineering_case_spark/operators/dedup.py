@@ -347,49 +347,69 @@ def simhash(text: Column | str, bits: int = 32) -> Column:
     return simhash_from_hashes(token_hashes(text), bits)
 
 
-def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Connected components of the near-dup pair graph → (node, comp) with
-    comp = min node id reachable; rows whose doc belongs to a dup cluster.
-    Downstream keeps one doc per comp (e.g. the comp id itself).
+def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
+    """Cut the plan between iterations so it doesn't grow per round.
+    ``reliable=True`` → fault-tolerant ``checkpoint()`` to the session's
+    checkpoint dir (HDFS/object store on a cluster — survives executor
+    loss); ``False`` → ``localCheckpoint`` (executor-block storage: fast,
+    no filesystem, but recomputes-from-nothing on executor failure — the
+    local/test fast path)."""
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
+
+def dedup_components_with_stats(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    reliable_checkpoint: bool | None = None,
+) -> tuple[DataFrame, int]:
+    """Connected components of the near-dup pair graph → ((node, comp),
+    rounds_run) with comp = min node id reachable.
 
     Iterative min-label propagation: labels(node) start as node; each round
     every node takes the min of its own label and its neighbors' labels.
     Converges in O(diameter) rounds — near-dup clusters are shallow (pairs
-    chain through shared docs), so a handful of rounds suffices. Each round
-    is one shuffle join + one groupBy on node; ``localCheckpoint`` truncates
-    the lineage so the plan doesn't grow per iteration (on a cluster use a
-    checkpoint dir / write-read instead — localCheckpoint pins executor
-    memory and is not fault-tolerant).
+    chain through shared docs), so a handful of rounds suffices; the final
+    round is the fixed-point check (no labels changed). Each round is one
+    shuffle join + one groupBy on node, with lineage truncated per round.
+
+    ``reliable_checkpoint``: None → auto (reliable iff the SparkContext has
+    a checkpoint dir configured); True forces ``checkpoint()`` (cluster
+    mode, requires ``sc.setCheckpointDir``); False forces
+    ``localCheckpoint`` (single-node fast path).
 
     This is the canonical iterative-algorithm shape Spark SQL cannot express
     in one query; the DuckDB oracle uses a recursive CTE instead.
     """
+    if reliable_checkpoint is None:
+        sc = pairs.sparkSession.sparkContext
+        reliable_checkpoint = sc.getCheckpointDir() is not None
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    edges = (
+    edges = _truncate_lineage(
         edges.unionByName(
             edges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
-        )
-        .distinct()
-        .localCheckpoint()
+        ).distinct(),
+        reliable_checkpoint,
     )
-    labels = (
+    labels = _truncate_lineage(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("comp", F.col("node"))
-        .localCheckpoint()
+        .withColumn("comp", F.col("node")),
+        reliable_checkpoint,
     )
+    rounds = 0
     for _ in range(max_iter):
-        neighbor_min = (
+        rounds += 1
+        neighbor_min = _truncate_lineage(
             edges.join(labels, edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "comp")
             .unionByName(labels)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .agg(F.min("comp").alias("comp")),
+            reliable_checkpoint,
         )
         changed = (
             neighbor_min.alias("n")
@@ -401,6 +421,19 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = neighbor_min
         if changed == 0:
             break
+    return labels, rounds
+
+
+def dedup_components(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
+    """See ``dedup_components_with_stats`` — this is the DataFrame-only
+    convenience wrapper."""
+    labels, _ = dedup_components_with_stats(
+        pairs, max_iter, reliable_checkpoint
+    )
     return labels
 
 

@@ -303,3 +303,34 @@ def test_ivf_trained_centroids_recall_holds(spark):
     # recall must hold (within noise) at equal probe count, with a floor
     assert trained >= firstn - 0.05
     assert trained >= 0.4
+
+
+def test_dedup_components_reliable_checkpoint_and_rounds(spark, tmp_path):
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components_with_stats,
+    )
+
+    # path graph 0-1-2-3-4: diameter 4 — min-label propagation moves the
+    # min one hop per round, so 4 rounds to converge + 1 fixed-point check
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], ["id_a", "id_b"]
+    )
+    expected = {i: 0 for i in range(5)}
+
+    local_labels, local_rounds = dedup_components_with_stats(
+        pairs, reliable_checkpoint=False
+    )
+    assert {r["node"]: r["comp"] for r in local_labels.collect()} == expected
+    assert local_rounds == 5
+
+    # cluster-safe path: fault-tolerant checkpoint to a checkpoint dir
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        rel_labels, rel_rounds = dedup_components_with_stats(pairs)  # auto
+        assert {r["node"]: r["comp"] for r in rel_labels.collect()} == expected
+        assert rel_rounds == local_rounds
+        import os
+
+        assert os.listdir(str(tmp_path / "ckpt"))  # actually wrote there
+    finally:
+        spark.sparkContext.setCheckpointDir(None)
