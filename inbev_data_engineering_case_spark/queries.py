@@ -1467,6 +1467,7 @@ def _simhash_oracle(bits: int = 32, bucket_bits: int = 8, max_hamming: int = 6) 
 @register(
     "q_dedup_simhash",
     _simhash_oracle(),
+    headline=True,
     doc="SimHash near-dedup: 32-bit bitwise-majority signature per document "
     "(pure per-row compute), high-8-bit bucketing so the pair join is "
     "bucket-local, Hamming distance ≤ 6 via popcount(XOR).",
@@ -1619,6 +1620,7 @@ def _ann_ivf_oracle(
 @register(
     "q_ann_ivf",
     _ann_ivf_oracle(),
+    headline=True,
     doc="IVF-style ANN (the FAISS-shaped scale path): corpus partitioned "
     "into inverted lists by nearest centroid, queries probe their 2 closest "
     "cells, scoring is cell-local. Deterministic centroids (first 16 "
@@ -1747,6 +1749,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
     FROM events GROUP BY 1, 2
     """,
+    headline=True,
     doc="Structured Streaming executed to completion: readStream over the "
     "events parquet → watermarked 1h tumbling aggregation → memory sink "
     "(availableNow trigger). Same oracle as the batch twin q_window_events — "
