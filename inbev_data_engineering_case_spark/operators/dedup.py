@@ -63,14 +63,53 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def _estimate_scan_splits(df: DataFrame) -> int | None:
+    """Estimate how many partitions the file scan will produce, using the
+    same arithmetic as Spark's ``FilePartition.maxSplitBytes`` (file sizes
+    + open cost vs maxPartitionBytes). Driver-side metadata only — no
+    plan-to-RDD conversion, no job. Returns None when the input isn't a
+    plain file scan (leave such plans alone)."""
+    spark = df.sparkSession
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file source / streaming
+        return None
+    if not files:
+        return None
+    try:
+        jvm = spark._jvm
+        java_utils = jvm.org.apache.spark.network.util.JavaUtils
+        max_part = java_utils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+        open_cost = java_utils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4MB")
+        )
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            fs = path.getFileSystem(hconf)
+            total += fs.getFileStatus(path).getLen()
+    except Exception:  # noqa: BLE001 — FS quirk: skip the optimization
+        return None
+    parallelism = spark.sparkContext.defaultParallelism
+    padded = total + len(files) * open_cost
+    max_split = min(max_part, max(open_cost, padded // parallelism or 1))
+    return max(1, -(-padded // max_split))
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's core count when the scan produced
-    fewer splits. Signature computation is compute-bound per row; a small
-    input file (1-2 parquet splits) would otherwise pin the whole stage to
-    1-2 cores. On a real cluster reading 100 TB the scan already yields
-    thousands of splits and this is a no-op."""
+    """Repartition up to the session's core count when the scan would
+    produce fewer splits. Signature computation is compute-bound per row; a
+    small input file (1-2 parquet splits) would otherwise pin the whole
+    stage to 1-2 cores. On a real cluster reading 100 TB the scan already
+    yields thousands of splits and this is a no-op — and because the split
+    count comes from file metadata (not ``df.rdd``), deciding costs no
+    plan-to-RDD conversion there either."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    splits = _estimate_scan_splits(df)
+    if splits is not None and splits < target:
         return df.repartition(target)
     return df
 
