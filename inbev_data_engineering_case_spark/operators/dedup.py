@@ -270,7 +270,14 @@ def minhash_dedup_pairs(
     once and the similarity needs no join back onto the signature table —
     the naive compose (``lsh_candidate_pairs`` + ``signature_similarity``)
     evaluates signatures three times. The shuffle key is still the band
-    key; each row just carries ``num_hashes`` extra longs (~64 bytes)."""
+    key; each row just carries ``num_hashes`` extra longs (~64 bytes).
+
+    Similarity is computed and thresholded BEFORE the pair-dedup
+    ``distinct``: the estimate is a pure function of the pair, so the
+    result is identical, but the distinct's exchange then carries 24-byte
+    (id_a, id_b, est) rows instead of two full signature arrays, and
+    sub-threshold candidates never enter that shuffle at all — at 100 TB
+    the band join's output is the biggest intermediate in the pipeline."""
     sigs = _materialize(
         minhash_signatures(
             _ensure_parallelism(df), text_col, id_col, num_hashes, shingle_words
@@ -286,7 +293,7 @@ def minhash_dedup_pairs(
     a, b = bands.alias("a"), bands.alias("b")
     matches = F.size(
         F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
             lambda eq: eq,
         )
     )
@@ -300,17 +307,11 @@ def minhash_dedup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .distinct()
-        .select(
-            "id_a",
-            "id_b",
             # raw IEEE division: bit-identical across engines
-            (matches / F.size("sig_a")).alias("est_jaccard"),
+            (matches / F.size("a.sig")).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 
