@@ -43,6 +43,14 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Stateful streaming parallelism = spark.sql.shuffle.partitions at the
+    # stream's FIRST run (state-store layout persists in the checkpoint).
+    # AQE does not coalesce stateful exchanges, so an untuned session's 200
+    # partitions means 200 state stores + 200 Python state workers per
+    # micro-batch. Size it to the machine before the stream starts; batch
+    # queries are unaffected (AQE coalesces their shuffles at runtime).
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # The file-stream source only monitors directories; the table is a
