@@ -150,3 +150,51 @@ def test_advance_session_late_event_extends_start():
     )
     assert closed == []
     assert state == (3 * MIN_US, 12 * MIN_US, 3)
+
+
+def test_advance_session_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inbev_data_engineering_case_spark.streaming.events import (
+        advance_session,
+    )
+
+    GAP = 30 * 60 * 1_000_000
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=10**12), min_size=0,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(batches):
+        state = (0, 0, 0)
+        all_closed = []
+        total = 0
+        prev_last = None
+        for batch in batches:
+            ts = sorted(batch)  # each micro-batch arrives sorted
+            total += len(ts)
+            closed, state = advance_session(*state, ts)
+            all_closed.extend(closed)
+            # last_us never regresses across batches once a session is open
+            if prev_last is not None and state[2] > 0:
+                assert state[1] >= prev_last
+            if state[2] > 0:
+                prev_last = state[1]
+        # event conservation: every event is in a closed or the open session
+        assert sum(n for _, _, n in all_closed) + state[2] == total
+        for start, end, n in all_closed:
+            assert start <= end and n >= 1
+        # NOTE: consecutive closed sessions are NOT guaranteed >GAP apart
+        # across micro-batches — a late event may fold into the open
+        # session and pull its start before an earlier close (by design;
+        # the upstream watermark bounds how late such events can be).
+
+    run()
