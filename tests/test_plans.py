@@ -115,3 +115,30 @@ def test_whole_stage_codegen_covers_normalization(spark):
     # "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
     assert "*(1) Project" in plan, plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_minhash_pair_dedup_exchange_is_narrow(spark):
+    """The pair-dedup distinct must shuffle (id_a, id_b, est_jaccard) only
+    — never the signature arrays — and must partially aggregate map-side
+    before the exchange (the band join's output is the largest
+    intermediate in the pipeline at scale)."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        minhash_dedup_pairs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    dedup_exchanges = [line for line in exchanges if "id_a" in line]
+    assert dedup_exchanges, plan
+    for line in dedup_exchanges:
+        assert "sig" not in line, line
+    # partial dedup before the exchange: two HashAggregates on the keys
+    assert plan.count("HashAggregate(keys=[id_a") == 2, plan

@@ -198,3 +198,60 @@ def test_advance_session_properties():
         # the upstream watermark bounds how late such events can be).
 
     run()
+
+
+def test_foreachbatch_parquet_sink_is_replay_safe(spark, event_dir, tmp_path):
+    from inbev_data_engineering_case_spark.streaming.events import (
+        run_stream_to_parquet_idempotent,
+    )
+
+    schema = spark.read.parquet(event_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_dir)
+    # append-shaped stream (cleansed event landing) — the recipe's use case
+    out = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    run_stream_to_parquet_idempotent(out, sink, ckpt)
+    first = sorted(
+        tuple(r)
+        for r in spark.read.parquet(sink).drop("batch_id").collect()
+    )
+    batch_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(event_dir)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    assert first == batch_rows and len(first) == 4
+
+    # drain again with the same checkpoint: offsets are committed, so no
+    # new batch runs and nothing is duplicated
+    stream2 = spark.readStream.schema(schema).parquet(event_dir)
+    out2 = stream2.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    run_stream_to_parquet_idempotent(out2, sink, ckpt)
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(sink).drop("batch_id").collect()
+    )
+    assert again == first
+
+    # simulate the crash window (batch written, checkpoint offset NOT
+    # committed -> the batch replays): re-writing the same batch id
+    # overwrites its directory instead of appending duplicates
+    batch0 = spark.read.parquet(f"{sink}/batch_id=0")
+    rows, schema0 = batch0.collect(), batch0.schema  # materialize first:
+    # can't lazily read and overwrite the same directory
+    spark.createDataFrame(rows, schema0).write.mode("overwrite").parquet(
+        f"{sink}/batch_id=0"
+    )
+    after_replay = sorted(
+        tuple(r)
+        for r in spark.read.parquet(sink).drop("batch_id").collect()
+    )
+    assert after_replay == first
