@@ -112,3 +112,45 @@ def test_portable_hash64_parity(spark, con, texts):
         for t in texts
     ]
     assert got == want
+
+
+FLOATS32 = st.lists(
+    st.floats(
+        min_value=-100.0,
+        max_value=100.0,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,  # float32, like the embedding column
+    ),
+    min_size=1,
+    max_size=32,
+)
+
+
+@settings(**SETTINGS)
+@given(xs=FLOATS32)
+def test_floor_micros_parity(spark, con, xs):
+    """floor(abs(x)*1e6) on float32-origin doubles must agree bit-for-bit
+    between engines — it replaced round(x, 6) in oracle-compared columns
+    because round's tie rules are engine-specific while float32→double
+    widening, |x|, IEEE multiply and floor are all exact/deterministic."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "x float")
+    got = [
+        r[0]
+        for r in df.select(
+            F.floor(F.abs(F.col("x").cast("double")) * 1_000_000).cast(
+                "long"
+            )
+        ).collect()
+    ]
+    want = [
+        con.execute(
+            "SELECT CAST(floor(abs(CAST(CAST(? AS FLOAT) AS DOUBLE))"
+            " * 1000000) AS BIGINT)",
+            [float(x)],
+        ).fetchone()[0]
+        for x in xs
+    ]
+    assert got == want
