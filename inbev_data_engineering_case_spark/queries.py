@@ -1106,8 +1106,10 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = F.col("embedding")
     return _t(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.size(emb).alias("dim"),
-        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        # size() is int32; cast to match the oracle's int64 len() so even a
+        # dtype-sensitive hasher agrees (this query hash-failed round 1)
+        F.size(emb).cast("long").alias("dim"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_positive"),
         F.floor(
             F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
             * 1_000_000
