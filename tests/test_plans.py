@@ -142,3 +142,26 @@ def test_minhash_pair_dedup_exchange_is_narrow(spark):
         assert "sig" not in line, line
     # partial dedup before the exchange: two HashAggregates on the keys
     assert plan.count("HashAggregate(keys=[id_a") == 2, plan
+
+
+def test_no_row_at_a_time_python_across_catalog(spark):
+    """UDF policy lock for the WHOLE catalog: no BatchEvalPython (per-row
+    Python UDF) in any batch query's physical plan. Arrow-batched
+    MapInPandas / FlatMapGroupsInPandasWithState are the only Python
+    operators allowed. Queries that execute work during construction
+    (streams drain, iterative algorithms run jobs) are skipped here —
+    their own tests cover them."""
+    from inbev_data_engineering_case_spark.queries import CATALOG
+
+    skip = {
+        "q_stream_tumbling", "q_stream_join", "q_stream_sessionize",
+        "q_dedup_components", "q_ann_ivf_trained",
+    }
+    offenders = []
+    for name, spec in CATALOG.items():
+        if name in skip:
+            continue
+        plan = spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
