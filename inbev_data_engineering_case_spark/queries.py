@@ -1663,7 +1663,14 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 50)
-    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    # computed once, consumed by a count and two joins — without the
+    # checkpoint the broadcast-NL + ranking window would re-run three times
+    exact = (
+        cosine_topk(emb, q, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    n_exact = exact.count()
 
     def recall_of(ivf: DataFrame) -> float:
         hits = (
@@ -1671,7 +1678,7 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(exact, ["query_id", "neighbor_id"])
             .count()
         )
-        return hits / exact.count()
+        return hits / n_exact
 
     trained = recall_of(
         ann_ivf_topk(
