@@ -76,6 +76,13 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
+    # every file yields >= 1 split, so a file count at/above the target
+    # parallelism already answers the question — without this, a 100 TB
+    # table (~1e5-1e6 files) would trigger that many driver-side
+    # getFileStatus calls; the stat loop below only ever runs on fewer
+    # files than cores
+    if len(files) >= spark.sparkContext.defaultParallelism:
+        return len(files)
     try:
         jvm = spark._jvm
         java_utils = jvm.org.apache.spark.network.util.JavaUtils
