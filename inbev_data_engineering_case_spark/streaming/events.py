@@ -47,10 +47,15 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     # stream's FIRST run (state-store layout persists in the checkpoint).
     # AQE does not coalesce stateful exchanges, so an untuned session's 200
     # partitions means 200 state stores + 200 Python state workers per
-    # micro-batch. Size it to the machine before the stream starts; batch
-    # queries are unaffected (AQE coalesces their shuffles at runtime).
+    # micro-batch (3-6x slower on a vanilla local[8] session). Size it to
+    # the machine before the stream starts — but only when the current
+    # value looks untuned (well above core count); a deliberate setting
+    # near the machine size is respected. Batch queries are unaffected
+    # either way (AQE coalesces their shuffles at runtime).
     cores = spark.sparkContext.defaultParallelism
-    spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    current = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if current > max(4 * cores, 64):
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # The file-stream source only monitors directories; the table is a
