@@ -211,6 +211,24 @@ def stream_click_view_join(
     )
 
 
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    against the (batch) dimension table — the standard pattern for
+    attaching slowly-changing reference data to an event stream.
+
+    The static side is re-planned per micro-batch (so a Delta/parquet dim
+    picks up updates between batches) and is broadcast when small — no
+    watermark needed because the static side holds no streaming state.
+    Left join keeps unmatched events (enrichment, not filtering); pass
+    ``how='inner'`` to drop them."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
 SESSION_STATE_SCHEMA = T.StructType(
     [
         T.StructField("session_start_us", T.LongType()),

@@ -255,3 +255,25 @@ def test_foreachbatch_parquet_sink_is_replay_safe(spark, event_dir, tmp_path):
         for r in spark.read.parquet(sink).drop("batch_id").collect()
     )
     assert after_replay == first
+
+
+def test_stream_static_enrichment_join(spark, event_dir, tmp_path):
+    from inbev_data_engineering_case_spark.streaming.events import (
+        run_stream_to_table,
+        stream_enrich,
+    )
+
+    # static dimension: user attributes (user 2 missing -> left join nulls)
+    dim = spark.createDataFrame(
+        [(1, "pro"), (3, "free")], ["user_id", "tier"]
+    )
+    schema = spark.read.parquet(event_dir).schema
+    stream = spark.readStream.schema(schema).parquet(event_dir)
+    out = stream_enrich(
+        stream.select("event_id", "user_id", "value"), dim, on="user_id"
+    )
+    run_stream_to_table(out, "enrich_test", "append")
+    rows = {r["event_id"]: r for r in spark.table("enrich_test").collect()}
+    assert len(rows) == 6  # left join keeps every event
+    assert rows[0]["tier"] == "pro"  # user 1 enriched
+    assert rows[10]["tier"] is None  # user 2 has no dim row
