@@ -1,0 +1,150 @@
+"""End-to-end training-corpus curation: the composition a 100 TB data
+pipeline actually runs, built from the operator library —
+
+    documents → language filter → quality filter → exact dedup
+              → MinHash near-dedup → connected components → keep-list
+              → curated corpus
+
+plus the INCREMENTAL form: dedupe a new crawl against an existing corpus's
+stored signature table without re-reading the corpus text.
+
+Scale shape:
+- the lang/quality stage is pure Column expressions (one codegen'd scan);
+- exact dedup shuffles 8-byte fingerprints; near-dedup shuffles band keys;
+- the keep-list join is a broadcast (keep-lists of duplicate ids are tiny
+  relative to the corpus) or a shuffle join on doc_id when they aren't;
+- incremental dedup joins new signatures against the stored signature
+  table on band keys — the corpus side is read from its (bucketed)
+  signature table, so a daily crawl never re-hashes the historical corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inbev_data_engineering_case_spark.operators.dedup import (
+    DEFAULT_BAND_SIZE,
+    DEFAULT_NUM_HASHES,
+    DEFAULT_SHINGLE_WORDS,
+    _band_keys,
+    dedup_components,
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+)
+from inbev_data_engineering_case_spark.operators.textops import (
+    lang_id,
+    quality_score,
+)
+
+
+def curate_corpus(
+    documents: DataFrame,
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full curation pass returning the kept documents with their curation
+    metadata (lang, quality). Survivor policy is deterministic end to end:
+    exact dedup keeps min id per fingerprint; near-dup clusters keep the
+    component id (= min doc id in the cluster)."""
+    scored = documents.select(
+        id_col,
+        text_col,
+        lang_id(text_col).alias("lang"),
+        quality_score(text_col).alias("quality"),
+    )
+    eligible = scored.filter(
+        F.col("lang").isin(*languages) & (F.col("quality") >= min_quality)
+    )
+
+    # exact dedup: survivors only (min id per fingerprint)
+    exact_keep = exact_dedup(eligible, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    eligible = eligible.join(exact_keep, on=id_col, how="left_semi")
+
+    # near-dedup: drop every cluster member except the component id
+    pairs = minhash_dedup_pairs(
+        eligible, text_col, id_col, threshold=near_dup_threshold
+    )
+    clusters = dedup_components(pairs)  # (node, comp)
+    drop = clusters.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return eligible.join(drop, on=id_col, how="left_anti")
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    stored_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_words: int = DEFAULT_SHINGLE_WORDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against itself AND against an existing
+    corpus represented only by its stored signature table (id, sig) —
+    yesterday's corpus text is never re-read or re-hashed.
+
+    Returns (id_a, id_b, est_jaccard) where id_b is always a new doc and
+    id_a may be stored or new (id_a < id_b within the new batch). Banding
+    matches ``minhash_dedup_pairs``; the candidate join shuffles on band
+    keys, and when ``stored_sigs`` reads from a table bucketed by id the
+    signature fetch itself was already exchange-free."""
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_words
+    ).localCheckpoint(eager=False)
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "id",
+            "sig",
+            F.posexplode(_band_keys("sig", band_size)).alias(
+                "band_idx", "band_key"
+            ),
+        )
+
+    new_bands = banded(new_sigs)
+    stored_bands = banded(stored_sigs)
+    matches = F.size(
+        F.filter(
+            F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+
+    def score(joined: DataFrame) -> DataFrame:
+        return (
+            joined.select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                (matches / F.size("a.sig")).alias("est_jaccard"),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+            .distinct()
+        )
+
+    # new-vs-stored: stored docs never pair with each other (already done)
+    vs_stored = score(
+        stored_bands.alias("a").join(
+            new_bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+    )
+    # new-vs-new: the ordinary self-join on the new batch only
+    vs_new = score(
+        new_bands.alias("a").join(
+            new_bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+    )
+    return vs_stored.unionByName(vs_new)

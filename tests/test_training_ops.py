@@ -397,3 +397,77 @@ def test_stdlib_real_decoder_wav_end_to_end(spark):
 
     with _pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
         _stdlib_featurize("image/png", b"\x89PNG")
+
+
+def test_curate_corpus_end_to_end(spark):
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    en = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for that in the sun with a friend of the family"
+    )
+    rows = [
+        (1, en),                         # kept
+        (2, en),                         # exact dup of 1 -> dropped
+        (3, en + " extra tail words"),   # near-dup of 1 -> dropped
+        (4, "el que la de y en un una por con el que la de y en un por"),
+        # ^ Spanish -> dropped by language filter
+        (5, "x! y? z. a; b: c, d! e? f."),  # junk -> dropped by quality
+        (6, "a completely different english text about the history of "
+            "bridges and the people that built them in the old days of "
+            "iron and stone for the crossing of rivers"),  # kept
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = curate_corpus(docs, min_quality=0.3, near_dup_threshold=0.5)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 6]
+    cols = set(kept.columns)
+    assert {"doc_id", "text", "lang", "quality"} <= cols
+
+
+def test_incremental_minhash_matches_batch_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        incremental_minhash_pairs,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for that in the sun with a friend of the family"
+    )
+    other = (
+        "a completely different english text about the history of bridges "
+        "and the people that built them in the old days of iron and stone"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(10, base + " late arrival"), (11, other), (12, "unrelated words "
+          "nothing shared here with anyone at all in any way")],
+        ["doc_id", "text"],
+    )
+
+    stored = minhash_signatures(corpus)
+    inc = incremental_minhash_pairs(new, stored)
+    got = {(r["id_a"], r["id_b"]) for r in inc.collect()}
+    # new-vs-stored hits + no stored-vs-stored pairs, no self pairs
+    assert (1, 10) in got and (2, 11) in got
+    assert all(b >= 10 for _, b in got)
+
+    # parity: the same pairs a full-batch rerun over corpus+new would find,
+    # restricted to pairs involving a new doc
+    full = minhash_dedup_pairs(corpus.unionByName(new))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_b"] >= 10 or r["id_a"] >= 10
+    }
+    assert got == want
