@@ -7,14 +7,25 @@ and prints ONE JSON line:
 Each query executes fully via the noop sink (no collect — rows are computed
 and discarded executor-side, so timing measures the plan, not driver
 materialization). A warm-up run of the flagship query amortizes session/JIT
-startup out of the numbers.
+startup out of the numbers, and every reported number is the MEDIAN of
+``RUNS_PER_QUERY`` timed runs — a single sample on a busy machine can read
+20%+ off and makes round-over-round deltas meaningless.
+
+``stream_sink_drain`` times the events stream drained through the
+idempotent foreachBatch parquet sink (streaming/events.py), so sink +
+checkpoint overhead is visible alongside the in-memory-harness streaming
+queries; each run uses a fresh checkpoint so every run re-processes the
+full source.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -22,12 +33,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from inbev_data_engineering_case_spark.queries import CATALOG  # noqa: E402
 from inbev_data_engineering_case_spark.session import get_spark  # noqa: E402
 
+RUNS_PER_QUERY = 3
+
 
 def run_query(spark, name: str, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = CATALOG[name].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def run_stream_sink(spark, sf_dir: str) -> float:
+    """One full drain of the events stream (append-shaped projection) into
+    the replay-idempotent batch_id-partitioned parquet sink."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_parquet_idempotent,
+    )
+
+    out = tempfile.mkdtemp(prefix="bench_stream_sink_")
+    try:
+        t0 = time.perf_counter()
+        cleansed = read_events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "ts", F.col("value")
+        )
+        run_stream_to_parquet_idempotent(
+            cleansed, f"{out}/data", f"{out}/ckpt"
+        )
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def median_of(runs: int, fn, *args) -> float:
+    return round(statistics.median(fn(*args) for _ in range(runs)), 3)
 
 
 def main() -> None:
@@ -40,7 +81,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in headline:
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+        timings[name] = median_of(RUNS_PER_QUERY, run_query, spark, name, sf_dir)
+    timings["stream_sink_drain"] = median_of(
+        RUNS_PER_QUERY, run_stream_sink, spark, sf_dir
+    )
     total = round(sum(timings.values()), 3)
     spark.stop()
 
@@ -52,6 +96,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": RUNS_PER_QUERY,
             }
         )
     )

@@ -92,11 +92,14 @@ def incremental_minhash_pairs(
     corpus represented only by its stored signature table (id, sig) —
     yesterday's corpus text is never re-read or re-hashed.
 
-    Returns (id_a, id_b, est_jaccard) where id_b is always a new doc and
-    id_a may be stored or new (id_a < id_b within the new batch). Banding
-    matches ``minhash_dedup_pairs``; the candidate join shuffles on band
-    keys, and when ``stored_sigs`` reads from a table bucketed by id the
-    signature fetch itself was already exchange-free."""
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b — the same
+    least/greatest canonical orientation ``minhash_dedup_pairs`` emits, so
+    incremental output unions cleanly with historical pair tables. A doc
+    re-crawled verbatim (same id in ``stored_sigs`` and the new batch)
+    yields no (x, x) self-pair: the stored-vs-new join filters id equality.
+    Banding matches ``minhash_dedup_pairs``; the candidate join shuffles on
+    band keys, and when ``stored_sigs`` reads from a table bucketed by id
+    the signature fetch itself was already exchange-free."""
     new_sigs = minhash_signatures(
         new_docs, text_col, id_col, num_hashes, shingle_words
     ).localCheckpoint(eager=False)
@@ -120,22 +123,22 @@ def incremental_minhash_pairs(
     )
 
     def score(joined: DataFrame) -> DataFrame:
-        return (
-            joined.select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                (matches / F.size("a.sig")).alias("est_jaccard"),
-            )
-            .filter(F.col("est_jaccard") >= threshold)
-            .distinct()
-        )
+        # least/greatest canonicalizes stored-vs-new pairs whose stored id
+        # exceeds the new id; est_jaccard is symmetric so order is free
+        return joined.select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            (matches / F.size("a.sig")).alias("est_jaccard"),
+        ).filter(F.col("est_jaccard") >= threshold)
 
-    # new-vs-stored: stored docs never pair with each other (already done)
+    # new-vs-stored: stored docs never pair with each other (already done);
+    # id inequality drops (x, x) self-pairs from re-crawled docs
     vs_stored = score(
         stored_bands.alias("a").join(
             new_bands.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") != F.col("b.id")),
         )
     )
     # new-vs-new: the ordinary self-join on the new batch only
@@ -147,4 +150,8 @@ def incremental_minhash_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
     )
-    return vs_stored.unionByName(vs_new)
+    # ONE distinct over the union instead of one per branch: dedups
+    # multi-band repeats AND the stored∩new overlap (a re-crawled doc makes
+    # the same canonical pair appear in both branches); the exchange carries
+    # only thresholded 24-byte rows
+    return vs_stored.unionByName(vs_new).distinct()

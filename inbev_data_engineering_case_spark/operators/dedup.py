@@ -116,7 +116,19 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     plan-to-RDD conversion there either."""
     target = df.sparkSession.sparkContext.defaultParallelism
     splits = _estimate_scan_splits(df)
-    if splits is not None and splits < target:
+    if splits is None:
+        # Non-file source (in-memory relation, localCheckpoint, ...): fall
+        # back to the plan's actual partition count. ``df.rdd`` costs a
+        # driver-side plan-to-RDD conversion, which is exactly what the
+        # metadata path avoids for 100 TB file scans — but non-file inputs
+        # are small/local by nature, and without this a single-partition
+        # createDataFrame corpus would pin the compute-bound signature
+        # stage to one core.
+        try:
+            splits = df.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001 — e.g. streaming plans
+            return df
+    if splits < target:
         return df.repartition(target)
     return df
 

@@ -1155,6 +1155,15 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_STOP_EN = "('the','a','of','and','to','in','is','that','it','for')"
+# DuckDB twin of textops.quality_score over a column named `text`; shared by
+# q_quality_score and the curation oracle so both filters agree bit-for-bit.
+_SQL_QUALITY = (
+    f"0.5 * (len(list_filter({_SQL_TOKENS}, t -> t IN {_SQL_STOP_EN}))"
+    f" / len({_SQL_TOKENS}))"
+    " + 0.3 * least(length(text) / 500.0, 1.0)"
+    " + 0.2 * (1 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))"
+    " / length(text)) * 10, 1.0))"
+)
 
 
 @register(
@@ -1166,11 +1175,7 @@ _SQL_STOP_EN = "('the','a','of','and','to','in','is','that','it','for')"
              / length(text) AS punct_ratio,
            len(list_filter({_SQL_TOKENS}, t -> t IN {_SQL_STOP_EN}))
              / len({_SQL_TOKENS}) AS stopword_ratio,
-           0.5 * (len(list_filter({_SQL_TOKENS}, t -> t IN {_SQL_STOP_EN}))
-                  / len({_SQL_TOKENS}))
-             + 0.3 * least(length(text) / 500.0, 1.0)
-             + 0.2 * (1 - least((length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
-                                 / length(text)) * 10, 1.0)) AS quality
+           {_SQL_QUALITY} AS quality
     FROM documents
     """,
     doc="document quality scoring: length / punctuation-density / "
@@ -1192,7 +1197,9 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_id_oracle() -> str:
+def _lang_case_sql() -> str:
+    """DuckDB twin of textops.lang_id as a bare CASE expression over a
+    column named `text` — shared by q_lang_id and the curation oracle."""
     from inbev_data_engineering_case_spark.operators.textops import (
         LANG_PRIORITY,
         LANG_STOPWORDS,
@@ -1212,9 +1219,13 @@ def _lang_id_oracle() -> str:
         conds += [f"{score[lang]} >= {score[o]}" for o in LANG_PRIORITY[i + 1:]]
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     case_sql = " ".join(cases)
+    return f"CASE WHEN {all_zero} THEN 'und' {case_sql} END"
+
+
+def _lang_id_oracle() -> str:
     return f"""
     SELECT doc_id, lang,
-           CASE WHEN {all_zero} THEN 'und' {case_sql} END AS lang_pred
+           {_lang_case_sql()} AS lang_pred
     FROM documents
     """
 
@@ -2004,6 +2015,190 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: corpus curation compositions (operators/curate.py)
+# ---------------------------------------------------------------------------
+
+def _sig_ctes(
+    tag: str,
+    corpus_sql: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_words: int = 3,
+) -> str:
+    """CTE chain `shingled_<tag> → hashed_<tag> → sigs_<tag> → bands_<tag>`
+    replicating ``dedup.minhash_signatures`` + banding over an arbitrary
+    corpus subquery — the parameterized core of ``_minhash_oracle``, reused
+    by the curation and incremental-dedup oracles (which need signatures
+    over two different corpora in one statement)."""
+    from inbev_data_engineering_case_spark.functions import (
+        MH_PRIME,
+        MH_RANGE,
+        minhash_mixers,
+    )
+
+    sig = "[" + ", ".join(
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MH_PRIME}))"
+        for a, b in minhash_mixers(num_hashes)
+    ) + "]"
+    n_bands = num_hashes // band_size
+    band_key = " || ':' || ".join(
+        f"sig[b * {band_size} + {j + 1}]::VARCHAR" for j in range(band_size)
+    )
+    return f"""
+    shingled_{tag} AS (
+      SELECT doc_id AS id,
+             list_distinct([array_to_string(w[i:i+{shingle_words - 1}], ' ')
+                            FOR i IN range(1, len(w) - {shingle_words - 2})]) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(trim(nt), '\\s+') AS w
+            FROM (SELECT doc_id, {_SQL_NORM} AS nt FROM {corpus_sql} AS c_{tag}))
+    ),
+    hashed_{tag} AS (
+      SELECT id, list_transform(sh, s ->
+               (('0x' || substr(md5(s), 1, 15)))::BIGINT % {MH_RANGE}) AS h
+      FROM shingled_{tag}
+    ),
+    sigs_{tag} AS (SELECT id, {sig} AS sig FROM hashed_{tag}),
+    bands_{tag} AS (
+      SELECT id, sig, b AS band_idx, {band_key} AS band_key
+      FROM sigs_{tag}, (SELECT unnest(range(0, {n_bands})) AS b)
+    )"""
+
+
+def _sig_match_sql(a: str, b: str, num_hashes: int = 8) -> str:
+    """Estimated Jaccard between `<a>.sig` and `<b>.sig` (fraction of equal
+    minhash slots) — raw IEEE division, identical to the Spark side."""
+    return (
+        f"list_sum(list_transform(range(1, {num_hashes + 1}), "
+        f"i -> CASE WHEN {a}.sig[i] = {b}.sig[i] THEN 1 ELSE 0 END))"
+        f" / {num_hashes}"
+    )
+
+
+def _curate_oracle(
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    threshold: float = 0.5,
+) -> str:
+    langs = ", ".join(f"'{lang}'" for lang in languages)
+    return f"""
+    WITH RECURSIVE corpus AS (SELECT * FROM {_SQL_CORPUS_NEAR} AS c0),
+    scored AS (
+      SELECT doc_id, text,
+             {_lang_case_sql()} AS lang,
+             {_SQL_QUALITY} AS quality
+      FROM corpus
+    ),
+    eligible AS (
+      SELECT * FROM scored
+      WHERE lang IN ({langs}) AND quality >= CAST({min_quality} AS DOUBLE)
+    ),
+    fps AS (SELECT doc_id, {_SQL_FP} AS fp FROM eligible),
+    exact_keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+    survivors AS (
+      SELECT e.* FROM eligible e JOIN exact_keep k USING (doc_id)
+    ),
+    {_sig_ctes("cu", "(SELECT doc_id, text FROM survivors)")},
+    mh AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands_cu a JOIN bands_cu b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id < b.id
+      WHERE {_sig_match_sql("a", "b")} >= {threshold}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM mh
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM comp WHERE node != comp)
+    SELECT doc_id, text, lang, quality FROM survivors
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+@register(
+    "q_curate_corpus",
+    _curate_oracle(),
+    headline=True,
+    doc="flagship curation composition (operators/curate.py:curate_corpus): "
+    "documents → lang-ID filter → quality filter → exact fingerprint dedup "
+    "→ MinHash+LSH near-dedup → connected components → keep-list anti-join. "
+    "One codegen'd scan scores lang+quality; every dedup exchange carries "
+    "fingerprints/band keys, never documents. Oracle replays the identical "
+    "pipeline in DuckDB ending in a recursive-CTE components closure.",
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    return curate_corpus(_corpus_near(spark, sf_dir))
+
+
+def _incremental_oracle(threshold: float = 0.5) -> str:
+    match = _sig_match_sql("a", "b")
+    return f"""
+    WITH stored AS (SELECT doc_id, text FROM documents),
+    newb AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text || ' the end' AS text
+      FROM documents
+    ),
+    {_sig_ctes("s", "stored")},
+    {_sig_ctes("n", "newb")},
+    pairs AS (
+      SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+             {match} AS est_jaccard
+      FROM bands_s a JOIN bands_n b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id != b.id
+      UNION ALL
+      SELECT a.id AS id_a, b.id AS id_b, {match} AS est_jaccard
+      FROM bands_n a JOIN bands_n b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id < b.id
+    )
+    SELECT DISTINCT id_a, id_b, est_jaccard FROM pairs
+    WHERE est_jaccard >= {threshold}
+    """
+
+
+@register(
+    "q_dedup_incremental",
+    _incremental_oracle(),
+    doc="incremental near-dedup (operators/curate.py:incremental_minhash_"
+    "pairs): a new crawl — 50 re-crawled docs plus suffix-modified variants "
+    "— deduped against the stored corpus via its signature table only; the "
+    "historical text is never re-read or re-hashed. Re-crawled ids exercise "
+    "the self-pair guard; pairs are least/greatest-canonical so they union "
+    "with batch output. The 100 TB daily-crawl shape.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        incremental_minhash_pairs,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = d.filter(F.col("doc_id") < 50).unionByName(
+        d.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat("text", F.lit(" the end")).alias("text"),
+        )
+    )
+    return incremental_minhash_pairs(new, minhash_signatures(d))
+
+
+# ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate reports at most 50 queries per round, in
@@ -2021,6 +2216,20 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                       internal ROWS running sum
 #   q_window_events  -> q_stream_tumbling (identical result/oracle)
 #   q_anti_join      -> q_semi_join (same left-semi plan family, negated)
+#   q_approx_percentiles -> q_percentiles (same agg family; GK sketch is the
+#                       scale twin, locally oracle-checked)
+#   q_ngram_jaccard  -> q_dedup_minhash (the post-LSH verifier rides the
+#                       same shingle/similarity family)
+#   q_ann_ivf_trained -> q_ann_probes (same 1-row recall-property shape,
+#                        now covering multi-probe) + q_ann_ivf (full 50-row
+#                        value check of the IVF path stays in-window)
+#
+# INVARIANT (keep when registering anything new): every DISTINCT operator
+# family must stay within the first 50 entries — demote a near-twin when
+# adding, never let a new family slide past the window. The tail is NOT
+# unverified: tests/test_queries.py + tools/check_oracle.py run the strict
+# oracle gate over the ENTIRE catalog (demoted entries included) and are a
+# required part of `pytest tests/`.
 _DEMOTED_NEAR_TWINS = [
     "q_project",
     "q_group_stats",
@@ -2029,6 +2238,9 @@ _DEMOTED_NEAR_TWINS = [
     "q_running_total",
     "q_window_events",
     "q_anti_join",
+    "q_approx_percentiles",
+    "q_ngram_jaccard",
+    "q_ann_ivf_trained",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:

@@ -53,8 +53,13 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     # near the machine size is respected. Batch queries are unaffected
     # either way (AQE coalesces their shuffles at runtime).
     cores = spark.sparkContext.defaultParallelism
-    current = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    if current > max(4 * cores, 64):
+    try:
+        current = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        # non-numeric value (e.g. Databricks' 'auto') — a platform is
+        # already managing shuffle parallelism; don't fight it
+        current = None
+    if current is not None and current > max(4 * cores, 64):
         spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
@@ -216,17 +221,28 @@ def stream_enrich(
     dim: DataFrame,
     on: str,
     how: str = "left",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Stream-static enrichment join: each micro-batch of the stream joins
     against the (batch) dimension table — the standard pattern for
     attaching slowly-changing reference data to an event stream.
 
     The static side is re-planned per micro-batch (so a Delta/parquet dim
-    picks up updates between batches) and is broadcast when small — no
-    watermark needed because the static side holds no streaming state.
-    Left join keeps unmatched events (enrichment, not filtering); pass
-    ``how='inner'`` to drop them."""
-    return stream.join(F.broadcast(dim), on=on, how=how)
+    picks up updates between batches) — no watermark needed because the
+    static side holds no streaming state. Left join keeps unmatched events
+    (enrichment, not filtering); pass ``how='inner'`` to drop them.
+
+    ``broadcast=None`` (default) lets the planner decide from the dim's
+    size estimate vs ``spark.sql.autoBroadcastJoinThreshold`` — the safe
+    call at the 100 TB design point, where an unconditionally-hinted huge
+    dimension would OOM executors; ``True`` forces the broadcast hint for
+    a dim known to be small (skips the stats dependence); ``False``
+    guarantees a shuffle join."""
+    if broadcast is True:
+        dim = F.broadcast(dim)
+    elif broadcast is False:
+        dim = dim.hint("shuffle_hash")
+    return stream.join(dim, on=on, how=how)
 
 
 SESSION_STATE_SCHEMA = T.StructType(

@@ -277,3 +277,22 @@ def test_stream_static_enrichment_join(spark, event_dir, tmp_path):
     assert len(rows) == 6  # left join keeps every event
     assert rows[0]["tier"] == "pro"  # user 1 enriched
     assert rows[10]["tier"] is None  # user 2 has no dim row
+
+
+def test_stream_enrich_broadcast_gate(spark):
+    """broadcast=True forces the hint, broadcast=False guarantees no
+    broadcast even for a tiny dim, None defers to the planner. Plan shape is
+    checked on the batch form — stream_enrich is a plain join, identical in
+    each micro-batch."""
+    from inbev_data_engineering_case_spark.streaming.events import (
+        stream_enrich,
+    )
+
+    facts = spark.range(1000).withColumnRenamed("id", "user_id")
+    dim = spark.createDataFrame([(1, "pro")], ["user_id", "tier"])
+
+    forced = stream_enrich(facts, dim, on="user_id", broadcast=True)
+    assert "BroadcastHashJoin" in forced._jdf.queryExecution().executedPlan().toString()
+
+    never = stream_enrich(facts, dim, on="user_id", broadcast=False)
+    assert "BroadcastHashJoin" not in never._jdf.queryExecution().executedPlan().toString()

@@ -399,6 +399,30 @@ def test_stdlib_real_decoder_wav_end_to_end(spark):
         _stdlib_featurize("image/png", b"\x89PNG")
 
 
+def test_ensure_parallelism_in_memory_fallback(spark):
+    """Non-file sources (createDataFrame) have no scan-split estimate; the
+    rdd-partition fallback must still fan a 1-partition corpus out to the
+    session's core count before the compute-bound signature stage."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    one_part = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], ["doc_id", "text"]
+    ).coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    assert _ensure_parallelism(one_part).rdd.getNumPartitions() == target
+
+    # file scans keep the metadata path: a parquet input at/above target
+    # parallelism is left alone (no extra exchange)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.range(1000).repartition(target).write.parquet(f"{d}/t")
+        wide = spark.read.parquet(f"{d}/t")
+        assert _ensure_parallelism(wide) is wide
+
+
 def test_curate_corpus_end_to_end(spark):
     from inbev_data_engineering_case_spark.operators.curate import (
         curate_corpus,
@@ -471,3 +495,34 @@ def test_incremental_minhash_matches_batch_semantics(spark):
         if r["id_b"] >= 10 or r["id_a"] >= 10
     }
     assert got == want
+
+
+def test_incremental_minhash_recrawl_overlap(spark):
+    """A doc present in BOTH the stored signatures and the new batch must
+    not emit an (x, x) self-pair, and pairs whose stored id exceeds the new
+    id must come out least/greatest-canonical."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        incremental_minhash_pairs,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for that in the sun with a friend of the family"
+    )
+    # stored corpus has a HIGH id (20) so the stored-vs-new pair comes back
+    # (5, 20) only if the canonicalization reorders it
+    corpus = spark.createDataFrame([(20, base)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(20, base), (5, base + " late arrival")], ["doc_id", "text"]
+    )
+
+    inc = incremental_minhash_pairs(new, minhash_signatures(corpus))
+    got = {(r["id_a"], r["id_b"]) for r in inc.collect()}
+    assert all(a < b for a, b in got), f"non-canonical pair in {got}"
+    assert (20, 20) not in got, "re-crawled doc paired with itself"
+    # the near-dup is found exactly once despite appearing in both branches
+    rows = inc.filter("id_a = 5 AND id_b = 20").collect()
+    assert len(rows) == 1 and rows[0]["est_jaccard"] >= 0.5
