@@ -87,6 +87,92 @@ def _fake_featurize(payload: bytes) -> tuple[int, list[float]]:
     return checksum, [float(n), mean, first, last]
 
 
+def _featurize_bmp(payload: bytes) -> tuple[int, list[float]]:
+    """Pure-stdlib BMP decode (uncompressed BI_RGB, 8/24/32 bpp): header
+    parse via ``struct``, pixel raster via numpy with the 4-byte row padding
+    stripped. Feature = [width, height, bpp, mean pixel value]; checksum =
+    crc32 of the unpadded raster (padding bytes are undefined by the format
+    and must not affect the fingerprint). Negative height (top-down rows)
+    only flips row order, which neither the mean nor the per-row crc input
+    order here depends on — we hash rows in stored order either way."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (8, 24, 32):
+        raise ValueError(
+            f"unsupported BMP variant (compression={compression}, bpp={bpp})"
+        )
+    abs_h, bytes_pp = abs(height), bpp // 8
+    row_stride = ((width * bytes_pp + 3) // 4) * 4
+    if pix_off + row_stride * abs_h > len(payload):
+        raise ValueError("BMP raster truncated")
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * abs_h, offset=pix_off
+    )
+    pixels = raster.reshape(abs_h, row_stride)[:, : width * bytes_pp]
+    checksum = zlib.crc32(pixels.tobytes()) % 1_000_003
+    mean_px = float(pixels.astype(np.float64).mean()) if pixels.size else 0.0
+    return checksum, [float(width), float(abs_h), float(bpp), mean_px]
+
+
+def _featurize_pnm(payload: bytes) -> tuple[int, list[float]]:
+    """Pure-stdlib binary PNM decode (P6 PPM = RGB, P5 PGM = gray, 8-bit
+    maxval): whitespace/comment-tolerant header tokenizer, then the raster
+    straight out of numpy. Feature = [width, height, channels, mean sample];
+    checksum = crc32 of the raster."""
+    import zlib
+
+    import numpy as np
+
+    magic = payload[:2]
+    channels = {b"P6": 3, b"P5": 1}.get(magic)
+    if channels is None:
+        raise ValueError("not a binary PNM payload (P5/P6 magic expected)")
+    # header: magic, then width/height/maxval as ASCII ints separated by
+    # whitespace, with '#'-to-EOL comments allowed anywhere between tokens
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        if i >= len(payload):
+            raise ValueError("PNM header truncated")
+        c = payload[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == ord("#"):
+            while i < len(payload) and payload[i] != ord("\n"):
+                i += 1
+        elif ord("0") <= c <= ord("9"):
+            j = i
+            while j < len(payload) and ord("0") <= payload[j] <= ord("9"):
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+        else:
+            raise ValueError(f"malformed PNM header at byte {i}")
+    width, height, maxval = tokens
+    if not 0 < maxval < 256:
+        raise ValueError(f"unsupported PNM maxval {maxval} (8-bit only)")
+    i += 1  # exactly ONE whitespace byte separates maxval from the raster
+    count = width * height * channels
+    if i + count > len(payload):
+        raise ValueError("PNM raster truncated")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=count, offset=i)
+    checksum = zlib.crc32(raster.tobytes()) % 1_000_003
+    mean_px = float(raster.astype(np.float64).mean()) if raster.size else 0.0
+    return checksum, [float(width), float(height), float(channels), mean_px]
+
+
 def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]]:
     """REAL decoders built from the stdlib, so the mapInPandas plumbing is
     exercised end-to-end by genuine decoding (not the deterministic fake):
@@ -94,8 +180,12 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
     - ``audio/wav``: parsed with ``wave`` — feature = [duration_s,
       framerate, n_channels, mean |amplitude|] over the decoded PCM frames,
       checksum = crc32 of the raw frames.
-    - ``image/* / video/*``: needs PIL/ffmpeg — not installed here, raises
-      NotImplementedError (the one remaining stub branch).
+    - ``image/*``: BMP (BI_RGB 8/24/32bpp) and binary PNM (P5/P6) decode
+      for real — header parse + raster mean/crc32, dispatched on the
+      payload magic so mislabeled subtypes still decode. Compressed
+      formats (PNG/JPEG/...) need PIL and raise.
+    - ``video/*``: container demux needs ffmpeg — not installed here,
+      raises NotImplementedError (the remaining honest stub).
     - anything else: treated as opaque binary — crc32 checksum and
       compressibility features (zlib ratio), the standard corpus-QA signal.
     """
@@ -123,9 +213,19 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             mean_abs = 0.0
         duration = n_frames / framerate if framerate else 0.0
         return checksum, [duration, float(framerate), float(nch), mean_abs]
-    if media_type.partition("/")[0] in ("image", "video"):
+    if media_type.partition("/")[0] == "image":
+        if payload[:2] == b"BM":
+            return _featurize_bmp(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return _featurize_pnm(payload)
         raise NotImplementedError(
-            "real image/video decoding requires PIL/ffmpeg, which are not "
+            "compressed image decoding (PNG/JPEG/...) requires PIL, which "
+            "is not installed in this environment; BMP and binary PNM "
+            "decode natively — see _featurize_bmp/_featurize_pnm."
+        )
+    if media_type.partition("/")[0] == "video":
+        raise NotImplementedError(
+            "real video decoding requires PIL/ffmpeg, which are not "
             "installed in this environment; the mapInPandas plumbing is the "
             "production path — add the decoder for these media types here."
         )

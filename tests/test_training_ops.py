@@ -392,11 +392,95 @@ def test_stdlib_real_decoder_wav_end_to_end(spark):
     assert out[3]["checksum"] == zlib.crc32(blob) % 1_000_003
     assert 0.0 < out[3]["feature"][1] < 1.0  # repetitive text compresses
 
-    # image/video remain the honest stub: PIL/ffmpeg are not installed
+    # compressed images / video remain the honest stub: PIL/ffmpeg absent
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+    with _pytest.raises(NotImplementedError, match="requires PIL"):
         _stdlib_featurize("image/png", b"\x89PNG")
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
+        _stdlib_featurize("video/mp4", b"\x00\x00\x00 ftypisom")
+
+
+def _make_bmp(
+    pixels_bgr: list[list[tuple[int, int, int]]], top_down: bool = False
+) -> bytes:
+    """Assemble a 24bpp BI_RGB BMP from a row-major pixel grid (stored
+    bottom-up unless top_down, matching the format)."""
+    import struct
+
+    height, width = len(pixels_bgr), len(pixels_bgr[0])
+    row_stride = ((width * 3 + 3) // 4) * 4
+    raster = b""
+    rows = pixels_bgr if top_down else list(reversed(pixels_bgr))
+    for row in rows:
+        raw = b"".join(bytes(px) for px in row)
+        raster += raw.ljust(row_stride, b"\xAA")  # junk padding on purpose
+    hdr_h = -height if top_down else height
+    info = struct.pack("<IiiHHIIiiII", 40, width, hdr_h, 1, 24, 0,
+                       len(raster), 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(raster), 0, 0, 54)
+    return file_hdr + info + raster
+
+
+def test_stdlib_image_decoders():
+    """BMP and binary-PNM decode natively: dimensions, mean pixel, and a
+    padding-insensitive crc32 — no PIL involved."""
+    import zlib
+
+    import pytest as _pytest
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _stdlib_featurize,
+    )
+
+    # 2x3 BMP, known bytes: mean over the UNPADDED raster only
+    grid = [
+        [(0, 0, 0), (255, 255, 255), (10, 20, 30)],
+        [(100, 110, 120), (1, 2, 3), (200, 210, 220)],
+    ]
+    flat = [b for row in grid for px in row for b in px]
+    want_mean = sum(flat) / len(flat)
+    checksum, feat = _stdlib_featurize("image/bmp", _make_bmp(grid))
+    assert feat == [3.0, 2.0, 24.0, want_mean]
+
+    # top-down variant: same pixels, same mean, same dimensions
+    _, feat_td = _stdlib_featurize("image/bmp", _make_bmp(grid, top_down=True))
+    assert feat_td[:3] == [3.0, 2.0, 24.0] and feat_td[3] == want_mean
+
+    # P6 PPM with a header comment; checksum is crc32 of the raster
+    raster = bytes(range(2 * 2 * 3))
+    ppm = b"P6\n# a comment\n2 2\n255\n" + raster
+    checksum, feat = _stdlib_featurize("image/x-portable-pixmap", ppm)
+    assert feat == [2.0, 2.0, 3.0, sum(raster) / len(raster)]
+    assert checksum == zlib.crc32(raster) % 1_000_003
+
+    # P5 PGM, dispatched on magic even under a generic media type
+    pgm = b"P5 3 1 255 " + bytes([0, 128, 255])
+    _, feat = _stdlib_featurize("image/anything", pgm)
+    assert feat == [3.0, 1.0, 1.0, (0 + 128 + 255) / 3]
+
+    # malformed payloads fail loud, not wrong
+    with _pytest.raises(ValueError, match="truncated"):
+        _stdlib_featurize("image/bmp", _make_bmp(grid)[:-4])
+    with _pytest.raises(ValueError, match="maxval"):
+        _stdlib_featurize("image/x-portable-pixmap", b"P6 1 1 65535 \x00\x00")
+
+
+def test_stdlib_image_decode_through_spark(spark):
+    """The BMP branch through the real mapInPandas path (not just the inner
+    function): q_multimodal_features' plumbing with real_decoder=True."""
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    bmp = _make_bmp([[(5, 5, 5), (10, 10, 10)]])
+    assets = spark.createDataFrame(
+        [(1, "image/bmp", bmp, {"n_bytes": len(bmp), "source": "t"})],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    row = decode_features(assets, real_decoder=True).collect()[0]
+    assert row["feature"] == [2.0, 1.0, 24.0, 7.5]
 
 
 def test_ensure_parallelism_in_memory_fallback(spark):
