@@ -17,10 +17,15 @@ Scale design (the point of each implementation):
   (huge LSH buckets → the join degenerates toward all-pairs), while word
   shingles keep the random-pair Jaccard near zero. One md5 per shingle,
   then k affine mixes, instead of k md5 passes over every shingle.
-- **SimHash** (``simhash``): one 32-bit signature per document via bitwise
+- **SimHash** (``simhash``): one 60-bit signature per document via bitwise
   majority vote over token hashes; near-dup test is popcount(XOR) ≤ d.
   Pure per-row compute, no shuffle; candidate pairing buckets on the high
-  bits so the self-join never goes all-pairs.
+  bits so the self-join never goes all-pairs. 60 bits (not 64) because the
+  portable hash family is 15 hex nibbles — the widest value that parses as
+  a signed BIGINT in every oracle engine — so bits 60-63 of any token hash
+  are always zero and could never vote; 60 is the full usable width, and
+  keeping signatures below 2^60 also keeps every shift/sum sign-free in
+  both engines (DuckDB raises on ``1::BIGINT << 63``).
 - **n-gram Jaccard** (``jaccard_similarity``): exact set similarity used to
   *verify* LSH candidates (cheap, because candidates are few).
 
@@ -367,11 +372,17 @@ def token_hashes(text: Column | str) -> Column:
     return F.transform(toks, lambda t: portable_hash64(t))
 
 
-def simhash_from_hashes(hashes: Column | str, bits: int = 32) -> Column:
+def simhash_from_hashes(hashes: Column | str, bits: int = 60) -> Column:
     """SimHash signature from a token-hash array column: bit b of the
     output is the sign of the majority vote of bit b over all hashes.
     One array aggregate with an array<long> vote accumulator — a single
-    pass over the tokens regardless of ``bits``."""
+    pass over the tokens regardless of ``bits``.
+
+    Default 60 bits = the full width of ``portable_hash64`` (see module
+    docstring): at billions of documents a 32-bit signature
+    under-discriminates (birthday collisions at ~2^16 docs), while wider
+    than 60 is impossible for this hash family — those hash bits are
+    never set, so their majority vote is constant."""
     hashes = F.col(hashes) if isinstance(hashes, str) else hashes
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
 
@@ -397,7 +408,7 @@ def simhash_from_hashes(hashes: Column | str, bits: int = 32) -> Column:
     return out
 
 
-def simhash(text: Column | str, bits: int = 32) -> Column:
+def simhash(text: Column | str, bits: int = 60) -> Column:
     """SimHash signature of a text column (see ``simhash_from_hashes``).
     Prefer the two-step form (project ``token_hashes`` first) in pipelines —
     as a single inline expression the `votes` subtree references the token
@@ -556,13 +567,14 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int = 60,
     bucket_bits: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top ``bucket_bits`` bits
-    (so the self-join is per-bucket, not all-pairs), then filter
-    popcount(XOR) ≤ max_hamming. Note the bucket prefilter trades recall
-    for scale exactly like LSH banding."""
+    (signature bits ``bits-bucket_bits``..``bits-1``, so the self-join is
+    per-bucket, not all-pairs), then filter popcount(XOR) ≤ max_hamming.
+    Note the bucket prefilter trades recall for scale exactly like LSH
+    banding: 8 bucket bits → 256-way candidate split at any ``bits``."""
     hashed = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), token_hashes(text_col).alias("th")
     )

@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
 
 from inbev_data_engineering_case_spark.functions import cosine
 
+# Upper bound on K*d for collect()-based Lloyd training: ~32 MB of doubles
+# on the driver per iteration. Above this, the "model" stops being small.
+MAX_CENTROID_CELLS = 4_000_000
+
 
 def cosine_topk(
     corpus: DataFrame,
@@ -159,8 +163,24 @@ def train_ivf_centroids(
     Determinism: init is the first-N corpus vectors by id (the production
     swap is k-means|| sampling), and means are rounded to 6 decimals so
     float partial-sum ordering across partitions can't leak into the
-    result. Cells that lose all members drop out (K may shrink)."""
+    result. Cells that lose all members drop out (K may shrink).
+
+    Driver-memory contract: the K×d model is collect()ed each iteration,
+    so K·d is capped at ``MAX_CENTROID_CELLS`` — a caller asking for a
+    million centroids should train with a checkpoint-based variant (write
+    the centroid table per iteration, read it back), not this one."""
     spark = corpus.sparkSession
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row else 0
+    if n_centroids * dim > MAX_CENTROID_CELLS:
+        raise ValueError(
+            f"IVF model too large to collect per Lloyd iteration: "
+            f"K*d = {n_centroids}*{dim} = {n_centroids * dim:,} cells "
+            f"> MAX_CENTROID_CELLS ({MAX_CENTROID_CELLS:,}, ~"
+            f"{MAX_CENTROID_CELLS * 8 // 2**20} MB of doubles on the "
+            f"driver). Reduce n_centroids, or train via a checkpointed "
+            f"centroid table instead of collect()."
+        )
     cents = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
@@ -267,32 +287,47 @@ def ann_bucketed_topk(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates. Same output
     shape as ``cosine_topk`` (minus sim recall for cross-bucket neighbors).
     The candidate join shuffles on the bucket id; buckets are balanced in
-    expectation (hash-sign bits are unbiased)."""
+    expectation (hash-sign bits are unbiased).
+
+    ``n_probes > 1`` re-buckets corpus and queries under additional
+    independent hyperplane seeds and unions the candidate pairs before the
+    ranking window — the recall lever at linear cost. Because seed 0's
+    candidates are a subset of every multi-probe run and ranking is by the
+    TRUE cosine, recall@k is monotonically non-decreasing in ``n_probes``
+    (a candidate can only displace a lower-similarity one)."""
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        signlsh_bucket(vec_col, num_planes).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        signlsh_bucket(vec_col, num_planes).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine("qvec", "cvec"), 6).alias("sim"),
+    per_probe = []
+    for seed in range(n_probes):
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
         )
-    )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+        )
+        per_probe.append(
+            c.join(F.broadcast(q), on="bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine("qvec", "cvec"), 6).alias("sim"),
+            )
+        )
+    scored = per_probe[0]
+    for p in per_probe[1:]:
+        scored = scored.unionByName(p)
+    if n_probes > 1:
+        scored = scored.distinct()  # same pair from several probes: sim identical
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )

@@ -980,6 +980,39 @@ def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sliding_window",
+    """
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+    FROM (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000 - i) * 1800000000)
+               AS window_start,
+             event_type, value
+      FROM events, (SELECT unnest(range(0, 2)) AS i) AS probe
+    )
+    GROUP BY 1, 2, 3
+    """,
+    doc="sliding event-time window (1h window / 30min slide) per event "
+    "type via F.window — each event lands in exactly window/slide = 2 "
+    "buckets; pure projection until the (bucket, key) aggregation shuffle, "
+    "which is naturally well-distributed over time. Oracle replays the "
+    "window assignment arithmetically from epoch-microseconds.",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_window_agg(
+        read_events(spark, sf_dir),
+        "ts",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [F.count("*").alias("n_events"), dsum("value", "total_value")],
+    )
+
+
+@register(
     "q_json_extract",
     """
     SELECT event_type,
@@ -1453,7 +1486,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_similarity(pairs, corpus)
 
 
-def _simhash_oracle(bits: int = 32, bucket_bits: int = 8, max_hamming: int = 6) -> str:
+def _simhash_oracle(bits: int = 60, bucket_bits: int = 8, max_hamming: int = 6) -> str:
     simhash = f"""
       list_sum(list_transform(range(0, {bits}), b ->
         CASE WHEN list_sum(list_transform({_SQL_TOKENS}, t ->
@@ -1481,9 +1514,11 @@ def _simhash_oracle(bits: int = 32, bucket_bits: int = 8, max_hamming: int = 6) 
     "q_dedup_simhash",
     _simhash_oracle(),
     headline=True,
-    doc="SimHash near-dedup: 32-bit bitwise-majority signature per document "
-    "(pure per-row compute), high-8-bit bucketing so the pair join is "
-    "bucket-local, Hamming distance ≤ 6 via popcount(XOR).",
+    doc="SimHash near-dedup: 60-bit bitwise-majority signature per document "
+    "(pure per-row compute; 60 = full width of the portable hash family — "
+    "32 bits under-discriminates at billions of docs), high-8-bit "
+    "bucketing so the pair join is bucket-local, Hamming distance ≤ 6 via "
+    "popcount(XOR).",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inbev_data_engineering_case_spark.operators.dedup import (
@@ -1491,7 +1526,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return simhash_near_pairs(
-        _corpus_near(spark, sf_dir), max_hamming=6, bits=32, bucket_bits=8
+        _corpus_near(spark, sf_dir), max_hamming=6, bits=60, bucket_bits=8
     )
 
 
@@ -1701,6 +1736,56 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_queries"),
         F.lit(trained >= 0.4).alias("trained_recall_ok"),
         F.lit(trained >= firstn - 0.05).alias("holds_vs_firstn"),
+    )
+
+
+@register(
+    "q_ann_probes",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           true AS multiprobe_improves, true AS monotone
+    FROM embeddings WHERE vec_id < 50
+    """,
+    doc="multi-probe recall property for sign-LSH bucketed ANN "
+    "(ann_bucketed_topk n_probes + the same lever in "
+    "embedding_near_dup_pairs): recall@5 vs the exact brute-force top-k is "
+    "computed at 1, 2 and 3 probes and the query asserts (a) 3 probes "
+    "STRICTLY beat 1 probe and (b) recall is monotone in probes — the "
+    "monotonicity is guaranteed by construction (seed-0 candidates are a "
+    "subset of every multi-probe run and ranking is by true cosine), the "
+    "strict gain is the measured value of the lever. Probe count buys "
+    "recall at linear cost with no change to the bucket-local join shape.",
+)
+def q_ann_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_bucketed_topk,
+        cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = (
+        cosine_topk(emb, q, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    n_exact = exact.count()
+
+    def recall_of(ann: DataFrame) -> float:
+        hits = (
+            ann.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .count()
+        )
+        return hits / n_exact
+
+    r1 = recall_of(ann_bucketed_topk(emb, q, k=5, n_probes=1))
+    r2 = recall_of(ann_bucketed_topk(emb, q, k=5, n_probes=2))
+    r3 = recall_of(ann_bucketed_topk(emb, q, k=5, n_probes=3))
+    return q.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.lit(r3 > r1).alias("multiprobe_improves"),
+        F.lit(r3 >= r2 >= r1).alias("monotone"),
     )
 
 
@@ -2223,6 +2308,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q_ann_ivf_trained -> q_ann_probes (same 1-row recall-property shape,
 #                        now covering multi-probe) + q_ann_ivf (full 50-row
 #                        value check of the IVF path stays in-window)
+#   q_sliding_window -> q_window_events (same tumbling/sliding F.window
+#                       family) + q_trailing_window (RANGE frames)
 #
 # INVARIANT (keep when registering anything new): every DISTINCT operator
 # family must stay within the first 50 entries — demote a near-twin when
@@ -2241,6 +2328,7 @@ _DEMOTED_NEAR_TWINS = [
     "q_approx_percentiles",
     "q_ngram_jaccard",
     "q_ann_ivf_trained",
+    "q_sliding_window",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:

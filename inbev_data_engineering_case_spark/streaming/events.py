@@ -33,6 +33,27 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from inbev_data_engineering_case_spark.functions import dsum
 
 
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _cleanup_stage_dirs_at_exit(app_id: str) -> None:
+    """Remove this application's symlink stage dirs at interpreter exit so
+    /tmp doesn't accumulate one dir per app run. Registered once per app;
+    other (possibly live) apps' dirs are never touched."""
+    if app_id in _CLEANUP_REGISTERED:
+        return
+    _CLEANUP_REGISTERED.add(app_id)
+    import atexit
+    import glob
+    import shutil
+
+    def _cleanup() -> None:
+        for d in glob.glob(f"/tmp/spark_graft_stream_src_{app_id}*"):
+            shutil.rmtree(d, ignore_errors=True)
+
+    atexit.register(_cleanup)
+
+
 def read_events_stream(spark, sf_dir: str) -> DataFrame:
     """Streaming twin of ``sources.readers.read_events``: file-source
     readStream over the events parquet with the nanosecond timestamp
@@ -74,6 +95,7 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     stage = (
         f"/tmp/spark_graft_stream_src_{app_id}" + sf_dir.replace("/", "_")
     )
+    _cleanup_stage_dirs_at_exit(app_id)
     os.makedirs(stage, exist_ok=True)
     link = f"{stage}/events.parquet"
     if os.path.lexists(link):

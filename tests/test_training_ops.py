@@ -483,6 +483,53 @@ def test_stdlib_image_decode_through_spark(spark):
     assert row["feature"] == [2.0, 1.0, 24.0, 7.5]
 
 
+def test_train_ivf_centroids_rejects_huge_k(spark):
+    """The Lloyd trainer collect()s the K×d model per iteration; a K that
+    makes the model driver-sized must fail loud before any training work."""
+    import pytest as _pytest
+
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="MAX_CENTROID_CELLS"):
+        train_ivf_centroids(emb, n_centroids=2_000_000)
+
+
+def test_ann_multiprobe_recall_monotone(spark):
+    """Multi-probe candidates are a superset of single-probe (seed 0 runs
+    in both) and ranking is by true cosine, so every exact neighbor found
+    at 1 probe is still found at 3."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_bucketed_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    p1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bucketed_topk(emb, q, k=5, n_probes=1).collect()
+    }
+    p3 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bucketed_topk(emb, q, k=5, n_probes=3).collect()
+    }
+    # per query, 3-probe top-5 is at least as similar: the 1-probe hit set
+    # against the exact top-k can only grow (asserted end-to-end by
+    # q_ann_probes); here we check the candidate-superset mechanics —
+    # every query keeps >= as many returned neighbors
+    from collections import Counter
+
+    c1, c3 = Counter(a for a, _ in p1), Counter(a for a, _ in p3)
+    assert all(c3[qid] >= n for qid, n in c1.items())
+
+
 def test_ensure_parallelism_in_memory_fallback(spark):
     """Non-file sources (createDataFrame) have no scan-split estimate; the
     rdd-partition fallback must still fan a 1-partition corpus out to the
