@@ -28,6 +28,7 @@ from inbev_data_engineering_case_spark.operators.dedup import (
     DEFAULT_NUM_HASHES,
     DEFAULT_SHINGLE_WORDS,
     _band_keys,
+    _materialize,
     dedup_components,
     exact_dedup,
     minhash_dedup_pairs,
@@ -57,15 +58,26 @@ def curate_corpus(
         lang_id(text_col).alias("lang"),
         quality_score(text_col).alias("quality"),
     )
-    eligible = scored.filter(
-        F.col("lang").isin(*languages) & (F.col("quality") >= min_quality)
+    # Three downstream consumers read `eligible` (exact-dedup keep list,
+    # near-dedup signatures, final keep anti-join): without materializing
+    # it once, each consumer re-runs the full corpus scan + lang/quality
+    # scoring — three 100 TB scans instead of one. Locally a lazy
+    # localCheckpoint; on a cluster, write the scored-eligible table to
+    # parquet/Delta and read it back (same one-liner swap as dedup's
+    # signature tables).
+    eligible = _materialize(
+        scored.filter(
+            F.col("lang").isin(*languages) & (F.col("quality") >= min_quality)
+        )
     )
 
     # exact dedup: survivors only (min id per fingerprint)
     exact_keep = exact_dedup(eligible, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    eligible = eligible.join(exact_keep, on=id_col, how="left_semi")
+    eligible = _materialize(
+        eligible.join(exact_keep, on=id_col, how="left_semi")
+    )
 
     # near-dedup: drop every cluster member except the component id
     pairs = minhash_dedup_pairs(
