@@ -144,6 +144,38 @@ def test_minhash_pair_dedup_exchange_is_narrow(spark):
     assert plan.count("HashAggregate(keys=[id_a") == 2, plan
 
 
+def test_sliding_window_is_expand_plus_one_exchange(spark):
+    """The 1h/30min sliding window must plan as Expand (one row per
+    window/slide bucket) feeding a two-phase aggregate with a single
+    exchange — NOT a self-join or a per-window scan."""
+    plan = _plan(spark, "q_sliding_window")
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_multiprobe_ann_stays_bucket_local(spark):
+    """Multi-probe re-bucketing must not degrade the candidate join: every
+    probe remains a bucket equi-join (broadcast on the query side), never
+    a cartesian/nested-loop fallback."""
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_bucketed_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    plan = (
+        ann_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_probes=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan  # one per probe
+
+
 def test_no_row_at_a_time_python_across_catalog(spark):
     """UDF policy lock for the WHOLE catalog: no BatchEvalPython (per-row
     Python UDF) in any batch query's physical plan. Arrow-batched
