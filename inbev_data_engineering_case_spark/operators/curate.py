@@ -90,6 +90,89 @@ def curate_corpus(
     return eligible.join(drop, on=id_col, how="left_anti")
 
 
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in a split
+    by ``portable_hash64(salt || id) % buckets`` against cumulative weight
+    boundaries. Pure per-row expression — no shuffle, no RNG state, stable
+    under retries/AQE and across engines (the property a random() split
+    lacks: a re-run must put every document in the SAME split, or eval
+    contaminates train). Changing ``salt`` re-draws the assignment.
+
+    Weights are fractions summing to 1.0; boundaries are exact integer
+    bucket counts so both engines agree bit-for-bit."""
+    from inbev_data_engineering_case_spark.functions import portable_hash64
+
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    bucket = portable_hash64(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    ) % F.lit(buckets)
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        hi = lo + int(round(w * buckets))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    # rounding shortfall (boundaries not covering all buckets) falls into
+    # the LAST named split rather than a null
+    expr = expr.otherwise(F.lit(list(weights)[-1]))
+    return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_packers: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in id
+    order and sliced into ``ctx_len``-token training sequences; each doc is
+    assigned to the bin its FIRST token falls in. Returns
+    (packer, bin_id, doc_id, n_tokens).
+
+    Scale shape: a single global running sum would serialize the corpus
+    through one partition, so docs are salted into ``n_packers``
+    independent packer streams (deterministic hash of id) and the running
+    token count is a window per packer — shuffle on packer id, ~|corpus|/
+    n_packers rows per state, embarrassingly parallel. This is how
+    pretraining shards pack in practice: order only needs to be stable
+    WITHIN a shard, not global. Token counts use the whitespace tokenizer
+    (``textops.token_count``); swap in the BPE-ish proxy for closer
+    budgets."""
+    from pyspark.sql import Window
+
+    from inbev_data_engineering_case_spark.functions import portable_hash64
+    from inbev_data_engineering_case_spark.operators.textops import token_count
+
+    packer = portable_hash64(
+        F.concat(F.lit("pack:"), F.col(id_col).cast("string"))
+    ) % F.lit(n_packers)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        packer.alias("packer"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("packer")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "packer",
+        F.floor(cum_before / ctx_len).cast("long").alias("bin_id"),
+        "doc_id",
+        "n_tokens",
+    )
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
     stored_sigs: DataFrame,

@@ -2283,6 +2283,82 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_pairs(new, minhash_signatures(d))
 
 
+@register(
+    "q_train_split",
+    """
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM (
+      SELECT text,
+             CASE WHEN h < 9800 THEN 'train'
+                  WHEN h < 9900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT text,
+                   (('0x' || substr(md5('split:' || doc_id), 1, 15)))::BIGINT
+                     % 10000 AS h
+            FROM documents)
+    )
+    GROUP BY split
+    """,
+    doc="deterministic train/val/test split (curate.py:hash_split): "
+    "portable hash of (salt, id) against cumulative weight boundaries — "
+    "pure per-row expression, no shuffle, no RNG state, so a re-run or a "
+    "retried task puts every document in the SAME split (the property "
+    "rand()-based splits lack, and the reason eval sets stay "
+    "uncontaminated at 100 TB). 98/1/1 weights over 10k buckets.",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import hash_split
+
+    return (
+        hash_split(_t(spark, sf_dir, "documents"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "q_pack_sequences",
+    """
+    SELECT packer,
+           CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id,
+           doc_id, n_tokens
+    FROM (
+      SELECT packer, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY packer ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (
+        SELECT doc_id,
+               (('0x' || substr(md5('pack:' || doc_id), 1, 15)))::BIGINT
+                 % 64 AS packer,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+      )
+    )
+    """,
+    doc="concat-and-chunk sequence packing (curate.py:pack_sequences): "
+    "docs salted into 64 independent packer streams, token stream chunked "
+    "into 512-token training sequences, each doc assigned to the bin its "
+    "first token falls in. The salting is the scale move: a global "
+    "running sum would serialize 100 TB through one partition; per-packer "
+    "windows shuffle once on packer id and pack in parallel — shard-local "
+    "order is exactly how pretraining shards pack in practice.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        pack_sequences,
+    )
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), ctx_len=512, n_packers=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -2310,6 +2386,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                        value check of the IVF path stays in-window)
 #   q_sliding_window -> q_window_events (same tumbling/sliding F.window
 #                       family) + q_trailing_window (RANGE frames)
+#   q_map_lookup / q_date_functions -> q_json_extract + q_array_functions
+#                       (the scalar-function family stays doubly
+#                       represented in-window; freed slots went to the
+#                       q_train_split / q_pack_sequences pipeline stages)
 #
 # INVARIANT (keep when registering anything new): every DISTINCT operator
 # family must stay within the first 50 entries — demote a near-twin when
@@ -2329,6 +2409,8 @@ _DEMOTED_NEAR_TWINS = [
     "q_ngram_jaccard",
     "q_ann_ivf_trained",
     "q_sliding_window",
+    "q_map_lookup",
+    "q_date_functions",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:

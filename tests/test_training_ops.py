@@ -582,6 +582,54 @@ def test_curate_corpus_end_to_end(spark):
     assert {"doc_id", "text", "lang", "quality"} <= cols
 
 
+def test_hash_split_deterministic_and_complete(spark):
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.curate import hash_split
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    split = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # every row assigned, no nulls
+    assert 0.75 < counts["train"] / 2000 < 0.85  # hash is roughly uniform
+    assert counts["val"] > 0 and counts["test"] > 0
+
+    # deterministic: identical assignment on re-run; different under a salt
+    again = {r["doc_id"]: r["split"] for r in hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r["doc_id"]: r["split"] for r in split.collect()}
+    assert first == again
+    other = {r["doc_id"]: r["split"] for r in hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v2").collect()}
+    assert first != other
+
+
+def test_pack_sequences_bin_assignment(spark):
+    """Within each packer stream: bins fill in doc-id order, bin_id is
+    exactly floor(tokens-before / ctx_len), and every doc lands in one
+    bin."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (5 + i % 7)) for i in range(300)], ["doc_id", "text"]
+    )
+    packed = pack_sequences(docs, ctx_len=16, n_packers=4)
+    rows = sorted(
+        ((r["packer"], r["doc_id"], r["bin_id"], r["n_tokens"])
+         for r in packed.collect()),
+    )
+    assert len(rows) == 300
+    by_packer: dict = {}
+    for packer, doc_id, bin_id, n_tokens in rows:
+        cum_before = by_packer.get(packer, 0)
+        assert bin_id == cum_before // 16, (packer, doc_id)
+        by_packer[packer] = cum_before + n_tokens
+    assert len(by_packer) == 4  # all packer streams populated
+
+
 def test_incremental_minhash_matches_batch_semantics(spark):
     from pyspark.sql import functions as F
 
