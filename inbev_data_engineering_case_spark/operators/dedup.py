@@ -435,12 +435,17 @@ def dedup_components_with_stats(
     """Connected components of the near-dup pair graph → ((node, comp),
     rounds_run) with comp = min node id reachable.
 
-    Iterative min-label propagation: labels(node) start as node; each round
-    every node takes the min of its own label and its neighbors' labels.
-    Converges in O(diameter) rounds — near-dup clusters are shallow (pairs
-    chain through shared docs), so a handful of rounds suffices; the final
-    round is the fixed-point check (no labels changed). Each round is one
-    shuffle join + one groupBy on node, with lineage truncated per round.
+    Iterative min-label propagation WITH pointer jumping: each round every
+    node takes the min of its own and its neighbors' labels (one hop),
+    then jumps to its label's label (comp ← comp(comp) — path
+    compression). The jump doubles the distance already-propagated labels
+    cover, so convergence is **O(log diameter)** rounds, not O(diameter):
+    a 64-node chain converges in 7 rounds where pure propagation needs 63
+    — and would silently exceed ``max_iter`` and return non-minimal labels
+    (the 100 TB failure mode: organic near-dup chains through shared
+    boilerplate can be arbitrarily long; with jumping, 25 iterations cover
+    diameter ~2^25). Each round is two shuffle joins + one groupBy, with
+    lineage truncated per round.
 
     ``reliable_checkpoint``: None → auto (reliable iff the SparkContext has
     a checkpoint dir configured); True forces ``checkpoint()`` (cluster
@@ -481,14 +486,30 @@ def dedup_components_with_stats(
             .agg(F.min("comp").alias("comp")),
             reliable_checkpoint,
         )
+        # pointer jumping: comp <- comp(comp). Every label IS a node of the
+        # graph (it started as one and min() only selects among them), so
+        # the self-join always resolves; coalesce guards the root labels
+        # (comp(x) == x rows are present, so it's belt-and-braces only).
+        jump_to = neighbor_min.select(
+            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        )
+        jumped = _truncate_lineage(
+            neighbor_min.join(
+                jump_to, neighbor_min["comp"] == jump_to["jnode"], "left"
+            ).select(
+                "node",
+                F.coalesce("jcomp", "comp").alias("comp"),
+            ),
+            reliable_checkpoint,
+        )
         changed = (
-            neighbor_min.alias("n")
+            jumped.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .limit(1)
             .count()
         )
-        labels = neighbor_min
+        labels = jumped
         if changed == 0:
             break
     return labels, rounds

@@ -317,8 +317,9 @@ def test_dedup_components_reliable_checkpoint_and_rounds(spark, tmp_path):
         dedup_components_with_stats,
     )
 
-    # path graph 0-1-2-3-4: diameter 4 — min-label propagation moves the
-    # min one hop per round, so 4 rounds to converge + 1 fixed-point check
+    # path graph 0-1-2-3-4: diameter 4 — propagation moves the min one hop
+    # per round and pointer jumping doubles covered distance, so 3 rounds
+    # (hop+jump reaches 4 hops in round 2; round 3 is the fixed-point check)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(4)], ["id_a", "id_b"]
     )
@@ -328,7 +329,7 @@ def test_dedup_components_reliable_checkpoint_and_rounds(spark, tmp_path):
         pairs, reliable_checkpoint=False
     )
     assert {r["node"]: r["comp"] for r in local_labels.collect()} == expected
-    assert local_rounds == 5
+    assert local_rounds == 3
 
     # cluster-safe path: fault-tolerant checkpoint to a checkpoint dir
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
@@ -580,6 +581,23 @@ def test_curate_corpus_end_to_end(spark):
     assert ids == [1, 6]
     cols = set(kept.columns)
     assert {"doc_id", "text", "lang", "quality"} <= cols
+
+
+def test_components_long_chain_converges_logarithmically(spark):
+    """A 64-node path graph has diameter 63: pure min-label propagation
+    needs 63 rounds (silently wrong under max_iter=25); pointer jumping
+    must converge in O(log diameter) and still produce minimal labels."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components_with_stats,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    labels, rounds = dedup_components_with_stats(chain)
+    assert {r["comp"] for r in labels.collect()} == {0}
+    assert labels.count() == 64
+    assert rounds <= 9, rounds  # log2(63) ~ 6 plus fixed-point round
 
 
 def test_hash_split_deterministic_and_complete(spark):
