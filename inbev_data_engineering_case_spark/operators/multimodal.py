@@ -2,11 +2,12 @@
 columns with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema, partitioning,
-UDF signature, batch shape. The actual media decoding is STUBBED: the
-image/audio libraries are not in this container, so ``decode_features``
-routes to a deterministic fake featurizer by default and raises
-``NotImplementedError`` from the clearly-marked real branch. Swapping in a
-real decoder (PIL/librosa/ffmpeg) changes only the inner function — the
+UDF signature, batch shape. Decoding is REAL for every format the stdlib
+can express: WAV (``wave``), BMP/binary-PNM (``struct``+numpy), PNG
+(``zlib`` inflate + scanline unfiltering), and Y4M video (header+frame
+demux). Codec-bound formats (JPEG/WebP, H.264/VP9 containers) raise a
+clearly-marked ``NotImplementedError`` — they need PIL/ffmpeg, absent in
+this container; swapping one in changes only the inner function — the
 distributed plumbing is already the production shape:
 
 - **Arrow batches, not rows**: ``mapInPandas`` streams pandas DataFrames of
@@ -173,6 +174,201 @@ def _featurize_pnm(payload: bytes) -> tuple[int, list[float]]:
     return checksum, [float(width), float(height), float(channels), mean_px]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> samples/px
+
+
+def _png_decode(payload: bytes):
+    """Pure-stdlib PNG decode (8-bit, non-interlaced, color types
+    0/2/3/4/6): chunk walk → IHDR/PLTE/IDAT → ``zlib`` inflate →
+    per-scanline unfiltering (all five filter types per the spec, §9).
+    Returns ``(pixels, channels_out)`` with ``pixels`` an (h, w, c) uint8
+    array, palette already expanded to RGB. Interlaced (Adam7) and 16-bit
+    images raise — rare in training corpora and cheap to detect.
+
+    Sub/Up unfilter vectorized with numpy (cumsum per byte-offset class /
+    whole-row add); Average/Paeth are inherently sequential along the row
+    (each byte depends on the reconstructed left neighbor), so those rows
+    fall back to a per-byte loop — correctness-first; a production build
+    would swap in a native decoder, which changes only this function."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("PNG chunk truncated")
+        pos += 12 + length  # data + 4-byte CRC
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None or comp != 0 or filt != 0:
+        raise ValueError(f"malformed PNG (color_type={color_type})")
+    if depth != 8 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (bit_depth={depth}, "
+            f"interlace={interlace}); 8-bit non-interlaced only"
+        )
+    stride = width * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != height * (1 + stride):
+        raise ValueError("PNG raster truncated")
+    raw = raw.reshape(height, 1 + stride)
+    recon = np.zeros((height, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            row = line
+        elif ftype == 1:  # Sub: cumulative sum per byte-offset class
+            row = line.copy()
+            for r in range(bpp):
+                row[r::bpp] = np.cumsum(line[r::bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            row = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            row = line.copy()
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            row = line.copy()
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        recon[y] = row
+        prev = row
+    pixels = recon.astype(np.uint8).reshape(height, width, channels)
+    if color_type == 3:  # palette -> RGB
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG missing/malformed PLTE")
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = pixels[:, :, 0]
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        pixels = table[idx]
+        channels = 3
+    return pixels, channels
+
+
+def _featurize_png(payload: bytes) -> tuple[int, list[float]]:
+    """Real PNG featurization: [width, height, channels, mean sample] over
+    the decoded (palette-expanded) raster; checksum = crc32 of the raster —
+    two encodings of the same image (different filter choices, different
+    zlib levels) fingerprint identically, which is exactly what near-dup
+    detection over a scraped image corpus needs."""
+    import zlib
+
+    pixels, channels = _png_decode(payload)
+    checksum = zlib.crc32(pixels.tobytes()) % 1_000_003
+    h, w = pixels.shape[0], pixels.shape[1]
+    mean_px = float(pixels.astype("float64").mean()) if pixels.size else 0.0
+    return checksum, [float(w), float(h), float(channels), mean_px]
+
+
+def _parse_y4m(payload: bytes):
+    """Demux an uncompressed YUV4MPEG2 stream with the stdlib: parse the
+    parameter line (W/H/C tags; chroma defaults to 420), then split the
+    byte stream at FRAME markers into fixed-size raw planar frames.
+    Returns ``(width, height, frames)`` — each frame is the raw plane
+    bytes, luma first."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M header line unterminated")
+    width = height = 0
+    chroma = "420"
+    for param in payload[9:nl].split():
+        tag, val = param[:1], param[1:]
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"C":
+            chroma = val.decode("ascii")
+    if width <= 0 or height <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if chroma.startswith("420"):
+        frame_size = width * height * 3 // 2
+    elif chroma.startswith("422"):
+        frame_size = width * height * 2
+    elif chroma.startswith("444"):
+        frame_size = width * height * 3
+    elif chroma.startswith("mono"):
+        frame_size = width * height
+    else:
+        raise ValueError(f"unsupported Y4M chroma subsampling {chroma!r}")
+    frames: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"Y4M FRAME marker expected at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_size > len(payload):
+            raise ValueError("Y4M frame truncated")
+        frames.append(payload[fnl + 1 : fnl + 1 + frame_size])
+        pos = fnl + 1 + frame_size
+    return width, height, frames
+
+
+def _featurize_y4m(payload: bytes) -> tuple[int, list[float]]:
+    """Real (uncompressed) video featurization: demux, then
+    [width, height, n_frames, mean luma] with the mean taken over each
+    frame's luma plane (first w*h bytes — valid for every supported chroma
+    layout); checksum = crc32 over the concatenated frame payloads, so
+    header cosmetics (frame-rate tag, param order) don't perturb it."""
+    import zlib
+
+    import numpy as np
+
+    width, height, frames = _parse_y4m(payload)
+    crc = 0
+    luma_total, luma_count = 0.0, 0
+    n_luma = width * height
+    for frame in frames:
+        crc = zlib.crc32(frame, crc)
+        luma = np.frombuffer(frame, dtype=np.uint8, count=n_luma)
+        luma_total += float(luma.sum())
+        luma_count += n_luma
+    mean_luma = luma_total / luma_count if luma_count else 0.0
+    return crc % 1_000_003, [
+        float(width),
+        float(height),
+        float(len(frames)),
+        mean_luma,
+    ]
+
+
 def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]]:
     """REAL decoders built from the stdlib, so the mapInPandas plumbing is
     exercised end-to-end by genuine decoding (not the deterministic fake):
@@ -180,12 +376,13 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
     - ``audio/wav``: parsed with ``wave`` — feature = [duration_s,
       framerate, n_channels, mean |amplitude|] over the decoded PCM frames,
       checksum = crc32 of the raw frames.
-    - ``image/*``: BMP (BI_RGB 8/24/32bpp) and binary PNM (P5/P6) decode
-      for real — header parse + raster mean/crc32, dispatched on the
-      payload magic so mislabeled subtypes still decode. Compressed
-      formats (PNG/JPEG/...) need PIL and raise.
-    - ``video/*``: container demux needs ffmpeg — not installed here,
-      raises NotImplementedError (the remaining honest stub).
+    - ``image/*``: BMP (BI_RGB 8/24/32bpp), binary PNM (P5/P6), and PNG
+      (8-bit non-interlaced, zlib inflate + full unfilter) decode for
+      real — dispatched on the payload magic so mislabeled subtypes still
+      decode. Codec-bound formats (JPEG/GIF/WebP) need PIL and raise.
+    - ``video/*``: uncompressed YUV4MPEG2 demuxes natively (frame split +
+      luma stats); compressed containers (mp4/webm/...) need ffmpeg —
+      not installed here — and raise (the remaining honest stub).
     - anything else: treated as opaque binary — crc32 checksum and
       compressibility features (zlib ratio), the standard corpus-QA signal.
     """
@@ -218,16 +415,21 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             return _featurize_bmp(payload)
         if payload[:2] in (b"P5", b"P6"):
             return _featurize_pnm(payload)
+        if payload[:8] == _PNG_SIG:
+            return _featurize_png(payload)
         raise NotImplementedError(
-            "compressed image decoding (PNG/JPEG/...) requires PIL, which "
-            "is not installed in this environment; BMP and binary PNM "
-            "decode natively — see _featurize_bmp/_featurize_pnm."
+            "codec-bound image decoding (JPEG/GIF/WebP/...) requires PIL, "
+            "which is not installed in this environment; BMP, binary PNM, "
+            "and PNG decode natively — see _featurize_bmp/_featurize_pnm/"
+            "_featurize_png."
         )
     if media_type.partition("/")[0] == "video":
+        if payload[:9] == b"YUV4MPEG2":
+            return _featurize_y4m(payload)
         raise NotImplementedError(
-            "real video decoding requires PIL/ffmpeg, which are not "
-            "installed in this environment; the mapInPandas plumbing is the "
-            "production path — add the decoder for these media types here."
+            "compressed video decoding requires ffmpeg/pyav, which are not "
+            "installed in this environment; uncompressed YUV4MPEG2 demuxes "
+            "natively — see _featurize_y4m/_parse_y4m."
         )
     checksum = zlib.crc32(payload) % 1_000_003
     n = len(payload)
@@ -243,10 +445,11 @@ def decode_features(
     """Decode/feature-extract each asset via Arrow-batched ``mapInPandas``.
 
     ``real_decoder=True`` routes to the stdlib decoders in
-    ``_stdlib_featurize`` (real WAV parsing via ``wave``+numpy, crc32/zlib
-    features for opaque binary; image/video still need PIL/ffmpeg and
-    raise). The default fake featurizer stays the oracle-checked path —
-    its output is reproducible in SQL, the crc32/PCM decoders' is not."""
+    ``_stdlib_featurize`` (real WAV/BMP/PNM/PNG/Y4M decoding, crc32/zlib
+    features for opaque binary; only codec-bound formats — JPEG, mp4 —
+    still need PIL/ffmpeg and raise). The default fake featurizer stays
+    the oracle-checked path — its output is reproducible in SQL, the
+    crc32/PCM decoders' is not."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -286,26 +489,161 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _decode_image_pixels(payload: bytes):
+    """Decode any natively-supported image payload to an (h, w, c) uint8
+    pixel array in RGB/grayscale order: BMP rows are flipped to top-down
+    and BGR(A) reordered to RGB; PNG alpha is dropped (resize targets don't
+    carry it through PNM); PNM is already raster-ordered. Raises
+    NotImplementedError for codec-bound formats (JPEG/...)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        pix_off = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (8, 24, 32):
+            raise ValueError(
+                f"unsupported BMP variant (compression={compression}, "
+                f"bpp={bpp})"
+            )
+        abs_h, bytes_pp = abs(height), bpp // 8
+        row_stride = ((width * bytes_pp + 3) // 4) * 4
+        if pix_off + row_stride * abs_h > len(payload):
+            raise ValueError("BMP raster truncated")
+        raster = np.frombuffer(
+            payload, dtype=np.uint8, count=row_stride * abs_h, offset=pix_off
+        )
+        pixels = raster.reshape(abs_h, row_stride)[:, : width * bytes_pp]
+        pixels = pixels.reshape(abs_h, width, bytes_pp)
+        if height > 0:  # bottom-up storage -> top-down pixels
+            pixels = pixels[::-1]
+        if bytes_pp >= 3:  # BGR(A) -> RGB, alpha dropped
+            pixels = pixels[:, :, 2::-1]
+        return np.ascontiguousarray(pixels)
+    if payload[:2] in (b"P5", b"P6"):
+        # _featurize_pnm validated this same layout; re-tokenize the header
+        tokens: list[int] = []
+        i = 2
+        while len(tokens) < 3:
+            c = payload[i]
+            if c in b" \t\r\n":
+                i += 1
+            elif c == ord("#"):
+                i = payload.index(b"\n", i)
+            else:
+                j = i
+                while ord("0") <= payload[j] <= ord("9"):
+                    j += 1
+                tokens.append(int(payload[i:j]))
+                i = j
+        width, height, _maxval = tokens
+        channels = 3 if payload[:2] == b"P6" else 1
+        raster = np.frombuffer(
+            payload, dtype=np.uint8, count=width * height * channels,
+            offset=i + 1,
+        )
+        return raster.reshape(height, width, channels)
+    if payload[:8] == _PNG_SIG:
+        pixels, channels = _png_decode(payload)
+        if channels in (2, 4):  # GA/RGBA -> drop alpha
+            pixels = pixels[:, :, : channels - 1]
+        return np.ascontiguousarray(pixels)
+    raise NotImplementedError(
+        "codec-bound image resizing (JPEG/GIF/WebP/...) requires PIL; "
+        "BMP, binary PNM, and PNG resize natively."
+    )
+
+
+def _encode_pnm(pixels) -> tuple[bytes, str]:
+    """Re-encode an (h, w, c) uint8 array as binary PNM — P5 for 1
+    channel, P6 for 3 — returning (payload, media_type). PNM is the
+    deterministic stdlib-writable target: no compressor choices, so two
+    identical pixel arrays always serialize identically."""
+    h, w, c = pixels.shape
+    magic, mtype = (
+        (b"P6", "image/x-portable-pixmap")
+        if c == 3
+        else (b"P5", "image/x-portable-graymap")
+    )
+    return magic + b"\n%d %d\n255\n" % (w, h) + pixels.tobytes(), mtype
+
+
+def _resize_image(payload: bytes, target_bytes: int) -> tuple[bytes, str]:
+    """Real image resize: decode (BMP/PNM/PNG) → nearest-neighbor
+    downsample so the raster fits ``target_bytes`` → re-encode as binary
+    PNM. Never upsamples; aspect ratio is preserved."""
+    import numpy as np
+
+    pixels = _decode_image_pixels(payload)
+    h, w, c = pixels.shape
+    scale = min(1.0, (target_bytes / max(pixels.size, 1)) ** 0.5)
+    new_h, new_w = max(1, int(h * scale)), max(1, int(w * scale))
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    return _encode_pnm(np.ascontiguousarray(pixels[ys][:, xs]))
+
+
+def _resize_wav(payload: bytes, target_bytes: int) -> bytes:
+    """Real audio downsample: decimate PCM frames by the smallest integer
+    factor that fits ``target_bytes``, writing the frame rate down by the
+    same factor so duration is preserved. Stdlib ``wave`` both ways."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as r:
+        nch, sampwidth = r.getnchannels(), r.getsampwidth()
+        framerate, n_frames = r.getframerate(), r.getnframes()
+        frames = r.readframes(n_frames)
+    frame_size = nch * sampwidth
+    k = max(1, -(-len(frames) // max(target_bytes, frame_size)))
+    kept = b"".join(
+        frames[i : i + frame_size]
+        for i in range(0, len(frames), frame_size * k)
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wout:
+        wout.setnchannels(nch)
+        wout.setsampwidth(sampwidth)
+        wout.setframerate(max(1, framerate // k))
+        wout.writeframes(kept)
+    return buf.getvalue()
+
+
 def resize_assets(
     assets: DataFrame, target_bytes: int = 64, real_decoder: bool = False
 ) -> DataFrame:
     """Resize each asset payload (1→1 binary transform, same asset schema
-    out). The real branch would decode → resample → re-encode (PIL/ffmpeg);
-    the stub truncates/zero-pads to ``target_bytes`` — deterministic, and
-    exercises the exact production plumbing: binary in, binary out, metadata
-    recomputed from the new payload."""
-    if real_decoder:
-        raise NotImplementedError(
-            "real image/audio resizing requires PIL/ffmpeg (not installed); "
-            "replace the stub body inside `resize` below."
-        )
+    out). The real branch decodes → resamples → re-encodes with the stdlib
+    decoders: images (BMP/PNM/PNG) are nearest-neighbor downsampled and
+    re-encoded as binary PNM (media_type updated to match), WAV audio is
+    frame-decimated with duration preserved; codec-bound formats raise.
+    Opaque binary — and everything under the default stub — truncates /
+    zero-pads to ``target_bytes``: deterministic, and it exercises the
+    exact production plumbing either way (binary in, binary out, metadata
+    recomputed from the new payload)."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out_payloads, metas = [], []
-            for payload, meta in zip(batch["payload"], batch["meta"]):
+            out_types, out_payloads, metas = [], [], []
+            for media_type, payload, meta in zip(
+                batch["media_type"], batch["payload"], batch["meta"]
+            ):
                 b = bytes(payload) if payload is not None else b""
-                resized = b[:target_bytes].ljust(target_bytes, b"\0")
+                mtype = media_type
+                kind = media_type.partition("/")[0]
+                if real_decoder and kind == "image":
+                    resized, mtype = _resize_image(b, target_bytes)
+                elif real_decoder and media_type in (
+                    "audio/wav",
+                    "audio/x-wav",
+                ):
+                    resized = _resize_wav(b, target_bytes)
+                else:
+                    resized = b[:target_bytes].ljust(target_bytes, b"\0")
+                out_types.append(mtype)
                 out_payloads.append(resized)
                 metas.append(
                     {"n_bytes": len(resized), "source": meta["source"]}
@@ -313,7 +651,7 @@ def resize_assets(
             yield pd.DataFrame(
                 {
                     "asset_id": batch["asset_id"],
-                    "media_type": batch["media_type"],
+                    "media_type": out_types,
                     "payload": out_payloads,
                     "meta": metas,
                 }
@@ -329,26 +667,36 @@ def sample_frames(
     real_decoder: bool = False,
 ) -> DataFrame:
     """Frame-sample each asset (1→N explode: one output row per kept frame).
-    The real branch would demux the container and keep every n-th video
-    frame; the stub treats the payload as fixed-size byte chunks. The
-    distributed shape is the production one: ``mapInPandas`` may yield more
-    rows than it consumes, frames inherit the asset id for downstream joins,
+    Under ``real_decoder=True``, video payloads are genuinely demuxed:
+    uncompressed YUV4MPEG2 streams split at FRAME markers and every n-th
+    raw planar frame is emitted with its ORIGINAL frame index (so
+    downstream timing math stays honest); compressed containers raise
+    (ffmpeg absent). Non-video payloads — and everything under the default
+    stub — are treated as fixed-size byte chunks. The distributed shape is
+    the production one either way: ``mapInPandas`` may yield more rows
+    than it consumes, frames inherit the asset id for downstream joins,
     and no shuffle happens until something groups on asset_id."""
-    if real_decoder:
-        raise NotImplementedError(
-            "real frame sampling requires ffmpeg/pyav (not installed); "
-            "replace the chunking inside `sample` below."
-        )
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             ids, idxs, frames = [], [], []
-            for asset_id, payload in zip(batch["asset_id"], batch["payload"]):
+            for asset_id, media_type, payload in zip(
+                batch["asset_id"], batch["media_type"], batch["payload"]
+            ):
                 b = bytes(payload) if payload is not None else b""
-                chunks = [
-                    b[o : o + frame_bytes]
-                    for o in range(0, len(b), frame_bytes)
-                ]
+                if real_decoder and media_type.partition("/")[0] == "video":
+                    if b[:9] != b"YUV4MPEG2":
+                        raise NotImplementedError(
+                            "compressed video demux requires ffmpeg/pyav "
+                            "(not installed); uncompressed YUV4MPEG2 "
+                            "demuxes natively."
+                        )
+                    _w, _h, chunks = _parse_y4m(b)
+                else:
+                    chunks = [
+                        b[o : o + frame_bytes]
+                        for o in range(0, len(b), frame_bytes)
+                    ]
                 for i in range(0, len(chunks), every_n):
                     ids.append(asset_id)
                     idxs.append(i)

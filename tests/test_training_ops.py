@@ -186,8 +186,13 @@ def test_resize_assets_pads_and_truncates(spark, docs):
         assert r["meta"]["n_bytes"] == 16
     long_text = docs.filter(F.col("doc_id") == 1).first()["text"]
     assert bytes(out[1]["payload"]) == long_text.encode()[:16]  # truncated
-    with pytest.raises(NotImplementedError, match="resizing"):
-        resize_assets(assets, real_decoder=True)
+    # the real branch treats non-media payloads the same way (no decoder
+    # to apply): truncate/pad, metadata recomputed
+    real = {
+        r["asset_id"]: r
+        for r in resize_assets(assets, target_bytes=16, real_decoder=True).collect()
+    }
+    assert bytes(real[1]["payload"]) == long_text.encode()[:16]
 
 
 def test_sample_frames_is_one_to_many(spark, docs):
@@ -482,6 +487,248 @@ def test_stdlib_image_decode_through_spark(spark):
     )
     row = decode_features(assets, real_decoder=True).collect()[0]
     assert row["feature"] == [2.0, 1.0, 24.0, 7.5]
+
+
+def _make_png(rows, color_type, filters, palette=None) -> bytes:
+    """Assemble a real PNG: per-row forward filtering (the encoder side of
+    the spec's five filters, so the decoder's unfilter paths all get
+    exercised), zlib-compressed scanlines, CRC'd chunks."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    def px_bytes(px):
+        return bytes([px]) if isinstance(px, int) else bytes(px)
+
+    raw_rows = [b"".join(px_bytes(px) for px in row) for row in rows]
+    bpp, stride = channels, len(raw_rows[0])
+    prev = bytes(stride)
+    scan = b""
+    for raw, f in zip(raw_rows, filters):
+        if f == 0:
+            filt = raw
+        elif f == 1:  # Sub
+            filt = bytes(
+                (raw[x] - (raw[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif f == 2:  # Up
+            filt = bytes((raw[x] - prev[x]) & 0xFF for x in range(stride))
+        elif f == 3:  # Average
+            filt = bytes(
+                (raw[x] - (((raw[x - bpp] if x >= bpp else 0) + prev[x]) >> 1))
+                & 0xFF
+                for x in range(stride)
+            )
+        else:  # Paeth
+            filt = b""
+            for x in range(stride):
+                a = raw[x - bpp] if x >= bpp else 0
+                b_ = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                filt += bytes([(raw[x] - pred) & 0xFF])
+        scan += bytes([f]) + filt
+        prev = raw
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", stride // channels, len(rows), 8,
+                       color_type, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    body += chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def test_stdlib_png_decoder():
+    """PNG decodes for real — zlib inflate + all five unfilter paths; the
+    fingerprint is over decoded pixels, so two encodings of the same image
+    (different filter choices) hash identically."""
+    import zlib
+
+    import pytest as _pytest
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _stdlib_featurize,
+    )
+
+    # 3x5 RGB gradient: filters None/Sub/Up on one encoding, Avg/Paeth/Sub
+    # on another — identical decoded raster, identical checksum
+    rows = [
+        [((r * 40 + c * 31) % 256, (r * 7 + c * 11) % 256, (r + c * 90) % 256)
+         for c in range(5)]
+        for r in range(3)
+    ]
+    flat = [v for row in rows for px in row for v in px]
+    want_mean = sum(flat) / len(flat)
+    want_crc = zlib.crc32(bytes(flat)) % 1_000_003
+    enc_a = _make_png(rows, color_type=2, filters=[0, 1, 2])
+    enc_b = _make_png(rows, color_type=2, filters=[3, 4, 1])
+    for enc in (enc_a, enc_b):
+        checksum, feat = _stdlib_featurize("image/png", enc)
+        assert feat == [5.0, 3.0, 3.0, want_mean]
+        assert checksum == want_crc
+    assert enc_a != enc_b  # genuinely different byte streams
+
+    # grayscale with Paeth + RGBA with Average: channel counts flow through
+    gray = [[10, 200, 30], [250, 5, 128]]
+    _, feat = _stdlib_featurize("image/png", _make_png(gray, 0, [4, 4]))
+    assert feat == [3.0, 2.0, 1.0, (10 + 200 + 30 + 250 + 5 + 128) / 6]
+    rgba = [[(1, 2, 3, 255), (9, 8, 7, 0)]]
+    _, feat = _stdlib_featurize("image/png", _make_png(rgba, 6, [3]))
+    assert feat[:3] == [2.0, 1.0, 4.0]
+
+    # palette expands through PLTE before the stats
+    pal = [(255, 0, 0), (0, 255, 0)]
+    png_p = _make_png([[0, 1], [1, 0]], 3, [0, 2], palette=pal)
+    checksum, feat = _stdlib_featurize("image/png", png_p)
+    assert feat == [2.0, 2.0, 3.0, 510 / 6.0]
+    expanded = bytes([255, 0, 0, 0, 255, 0, 0, 255, 0, 255, 0, 0])
+    assert checksum == zlib.crc32(expanded) % 1_000_003
+
+    # malformed/unsupported fail loud (cut reaches into the IDAT data;
+    # a clipped IEND alone is tolerated, as it should be)
+    with _pytest.raises(ValueError, match="truncated"):
+        _stdlib_featurize("image/png", enc_a[:-17])
+    import struct as _struct
+
+    bad_depth = bytearray(_make_png(gray, 0, [0, 0]))
+    bad_depth[24] = 16  # IHDR bit_depth byte
+    bad_depth[29:33] = _struct.pack(
+        ">I", zlib.crc32(bytes(bad_depth[12:29]))
+    )
+    with _pytest.raises(ValueError, match="bit_depth"):
+        _stdlib_featurize("image/png", bytes(bad_depth))
+    # codec-bound formats are still the honest stub
+    with _pytest.raises(NotImplementedError, match="requires PIL"):
+        _stdlib_featurize("image/jpeg", b"\xff\xd8\xff\xe0 not decodable")
+
+
+def _make_y4m(width: int, height: int, lumas: list[int]) -> bytes:
+    """Assemble a C420 YUV4MPEG2 stream: one constant-luma frame per entry
+    (chroma planes fixed at 128)."""
+    head = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (width, height)
+    n_luma = width * height
+    n_chroma = n_luma // 2
+    return head + b"".join(
+        b"FRAME\n" + bytes([y]) * n_luma + bytes([128]) * n_chroma
+        for y in lumas
+    )
+
+
+def test_y4m_demux_featurize_and_frame_sample(spark):
+    """Uncompressed video decodes for real: the Y4M featurizer reports
+    true dimensions/frame-count/mean-luma, and sample_frames' real branch
+    demuxes at FRAME boundaries keeping original frame indices."""
+    import pytest as _pytest
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _stdlib_featurize,
+        sample_frames,
+    )
+
+    y4m = _make_y4m(4, 2, lumas=[0, 100, 200, 50, 250])
+    checksum, feat = _stdlib_featurize("video/x-y4m", y4m)
+    assert feat == [4.0, 2.0, 5.0, (0 + 100 + 200 + 50 + 250) / 5]
+
+    assets = spark.createDataFrame(
+        [(7, "video/x-y4m", y4m, {"n_bytes": len(y4m), "source": "t"})],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    frames = sorted(
+        sample_frames(assets, every_n=2, real_decoder=True).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in frames] == [0, 2, 4]
+    # each kept frame is the raw planar payload: 8 luma + 4 chroma bytes
+    assert all(r["n_bytes"] == 4 * 2 * 3 // 2 for r in frames)
+    assert bytes(frames[1]["frame"])[:8] == bytes([200]) * 8
+
+    with _pytest.raises(ValueError, match="FRAME marker"):
+        _stdlib_featurize("video/x-y4m", y4m + b"JUNK")
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
+        _stdlib_featurize("video/mp4", b"\x00\x00\x00 ftypisom")
+
+
+def test_resize_assets_real_decoders(spark):
+    """The real resize branch decodes → resamples → re-encodes: images
+    come back as smaller PNM rasters (media_type updated), WAV comes back
+    frame-decimated with duration preserved."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        resize_assets,
+    )
+
+    bmp = _make_bmp([[(90, 90, 90)] * 4 for _ in range(4)])  # 4x4 constant
+    png = _make_png([[(10, 20, 30)] * 6 for _ in range(6)], 2, [0] * 6)
+    pcm = (np.sin(np.arange(4000) / 20) * 9000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    wav = buf.getvalue()
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image/bmp", bmp, {"n_bytes": len(bmp), "source": "t"}),
+            (2, "image/png", png, {"n_bytes": len(png), "source": "t"}),
+            (3, "audio/wav", wav, {"n_bytes": len(wav), "source": "t"}),
+        ],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    out = {
+        r["asset_id"]: r
+        for r in resize_assets(
+            assets, target_bytes=2000, real_decoder=True
+        ).collect()
+    }
+
+    # 4x4x3 = 48 bytes already fits 2000 -> no upsampling, same pixels
+    p1 = bytes(out[1]["payload"])
+    assert out[1]["media_type"] == "image/x-portable-pixmap"
+    assert p1.startswith(b"P6\n4 4\n255\n")
+    assert set(p1.split(b"255\n", 1)[1]) == {90}  # BGR->RGB of a constant
+
+    # 6x6 PNG -> PNM, still 6x6 (108 bytes fit), RGB order preserved
+    p2 = bytes(out[2]["payload"])
+    assert p2.startswith(b"P6\n6 6\n255\n")
+    assert p2.split(b"255\n", 1)[1][:3] == bytes([10, 20, 30])
+
+    # image genuinely shrinks when over budget: 6x6 -> 2x2 under 12 bytes
+    small = {
+        r["asset_id"]: r
+        for r in resize_assets(
+            assets.filter("asset_id = 2"), target_bytes=12, real_decoder=True
+        ).collect()
+    }
+    assert bytes(small[2]["payload"]).startswith(b"P6\n2 2\n255\n")
+
+    # WAV: 8000 bytes of PCM -> k=4 decimation, frame rate 8000->2000,
+    # duration 0.5 s preserved
+    with wave.open(io.BytesIO(bytes(out[3]["payload"]))) as r:
+        assert r.getframerate() == 2000
+        assert r.getnframes() == 1000
+        kept = np.frombuffer(r.readframes(1000), dtype="<i2")
+    assert np.array_equal(kept, pcm[::4])
 
 
 def test_train_ivf_centroids_rejects_huge_k(spark):
