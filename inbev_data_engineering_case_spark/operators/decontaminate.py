@@ -1,0 +1,96 @@
+"""Benchmark decontamination: find (and drop) training documents that
+overlap an evaluation/benchmark set by word n-grams.
+
+The standard LLM-pipeline hygiene step (the reference has no analogue; this
+extends the training-data operator family of SURVEY.md §7.2): a training
+corpus is "contaminated" where it contains any n-gram (n=8 words is the
+common published choice) that also appears in a held-out benchmark. At
+100 TB the only viable shape is the one implemented here:
+
+- The benchmark side is SMALL by construction (eval sets are 10²-10⁵
+  short rows). Its distinct n-gram hashes are computed once and
+  **broadcast** — the corpus is never shuffled against it.
+- The corpus side is a single projection pass: tokenize → n-gram windows →
+  60-bit portable hash → explode. Narrow rows (id + 8-byte hash) feed a
+  broadcast hash join that filters to contaminated grams immediately, so
+  the only exchange in the plan carries *matches only* (≈0 rows for a
+  clean corpus) into the per-document count.
+- Hashes use ``portable_hash64`` (md5-based) rather than ``xxhash64`` so
+  the DuckDB oracle computes the identical join keys — any collision
+  behaves identically in both engines.
+
+``decontaminate`` then drops flagged docs with a left-anti join against
+the (tiny) report — again broadcast, again shuffle-free for the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inbev_data_engineering_case_spark.functions import (
+    portable_hash64,
+    word_ngrams,
+)
+
+DEFAULT_NGRAM_WORDS = 8
+
+
+def benchmark_ngram_hashes(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM_WORDS,
+) -> DataFrame:
+    """Distinct 60-bit hashes of every lowercased word n-gram in the
+    benchmark set → single-column ``gram_h`` DataFrame. Small enough to
+    broadcast; persist it when scanning multiple corpus shards."""
+    return (
+        benchmark.select(
+            F.explode(word_ngrams(F.lower(F.col(text_col)), n)).alias("gram")
+        )
+        .select(portable_hash64("gram").alias("gram_h"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_NGRAM_WORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination: ``(id_col, matched_ngrams)`` for every
+    training document sharing ≥1 word n-gram with the benchmark, where
+    ``matched_ngrams`` counts the document's *distinct* overlapping grams
+    (``array_distinct`` before the explode, so repeated phrases within one
+    document don't inflate the count)."""
+    bench = benchmark_ngram_hashes(benchmark, text_col, n)
+    doc_grams = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))
+        ).alias("gram"),
+    ).select(id_col, portable_hash64("gram").alias("gram_h"))
+    return (
+        doc_grams.join(F.broadcast(bench), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("matched_ngrams"))
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_NGRAM_WORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus with contaminated documents removed: left-anti join
+    against the contamination report. The report is tiny (flagged docs
+    only), so the anti join broadcasts and the corpus passes through
+    without a shuffle."""
+    flagged = contamination_report(
+        documents, benchmark, n, id_col, text_col
+    ).select(id_col)
+    return documents.join(F.broadcast(flagged), id_col, "left_anti")

@@ -1292,6 +1292,67 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic decontamination fixture: every 40th document is the
+# "benchmark"; the corpus is everything else plus a planted verbatim copy
+# of each benchmark doc (id+300000, prefixed so the copy isn't an exact
+# dup). Both engines construct the identical corpus, so the report rows
+# are exactly the planted copies plus any organic 8-gram overlap.
+_SQL_DECON_GRAMS = (
+    "[array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]"
+)
+
+
+@register(
+    "q_decontaminate",
+    f"""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 40 = 0),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 40 <> 0
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, 'copied verbatim: ' || text AS text
+      FROM bench
+    ),
+    bgrams AS (
+      SELECT DISTINCT (('0x' || substr(md5(g), 1, 15)))::BIGINT AS gram_h
+      FROM (SELECT unnest({_SQL_DECON_GRAMS}) AS g
+            FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                  FROM bench))
+    ),
+    dgrams AS (
+      SELECT doc_id,
+             unnest(list_distinct({_SQL_DECON_GRAMS})) AS g
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM corpus)
+    )
+    SELECT doc_id, count(*) AS matched_ngrams
+    FROM dgrams
+    JOIN bgrams ON (('0x' || substr(md5(g), 1, 15)))::BIGINT = gram_h
+    GROUP BY doc_id
+    """,
+    headline=True,
+    doc="benchmark decontamination: flag training docs sharing any 8-word "
+    "n-gram with an eval set. Benchmark gram hashes are tiny -> broadcast; "
+    "the corpus is one codegen'd tokenize/hash/explode pass whose only "
+    "shuffle carries matched grams (≈0 rows when clean). The standard "
+    "published test-set-overlap hygiene step for LLM training corpora.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    corpus = docs.filter(F.col("doc_id") % 40 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(F.lit("copied verbatim: "), "text").alias("text"),
+        )
+    )
+    return contamination_report(corpus, bench, n=8)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: deduplication (operators/dedup.py)
 # ---------------------------------------------------------------------------
@@ -2390,6 +2451,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                       (the scalar-function family stays doubly
 #                       represented in-window; freed slots went to the
 #                       q_train_split / q_pack_sequences pipeline stages)
+#   q_fingerprint    -> q_dedup_exact groups on the exact same md5
+#                       fingerprint expression (it IS the grouping key);
+#                       the freed slot went to q_decontaminate, a distinct
+#                       family (benchmark n-gram overlap)
 #
 # INVARIANT (keep when registering anything new): every DISTINCT operator
 # family must stay within the first 50 entries — demote a near-twin when
@@ -2411,6 +2476,7 @@ _DEMOTED_NEAR_TWINS = [
     "q_sliding_window",
     "q_map_lookup",
     "q_date_functions",
+    "q_fingerprint",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:

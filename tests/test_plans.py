@@ -176,6 +176,18 @@ def test_multiprobe_ann_stays_bucket_local(spark):
     assert plan.count("BroadcastHashJoin") == 3, plan  # one per probe
 
 
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The corpus side must never shuffle against the benchmark: gram
+    matching is a broadcast hash join. The only exchanges are the
+    benchmark-side distinct (tiny by construction) and the final per-doc
+    aggregation (carrying matched grams only) — the corpus itself flows
+    scan → explode → join with no exchange."""
+    plan = _plan(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 def test_no_row_at_a_time_python_across_catalog(spark):
     """UDF policy lock for the WHOLE catalog: no BatchEvalPython (per-row
     Python UDF) in any batch query's physical plan. Arrow-batched

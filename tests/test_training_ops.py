@@ -847,6 +847,45 @@ def test_components_long_chain_converges_logarithmically(spark):
     assert rounds <= 9, rounds  # log2(63) ~ 6 plus fixed-point round
 
 
+def test_contamination_report_and_decontaminate(spark):
+    """Known-answer decontamination: a doc embedding a benchmark 8-gram is
+    flagged with the exact distinct-gram count; clean docs pass through
+    untouched; repeated phrases within one doc don't inflate the count."""
+    from inbev_data_engineering_case_spark.operators.decontaminate import (
+        contamination_report,
+        decontaminate,
+    )
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    benchmark = spark.createDataFrame(
+        [(900, bench_text)], "doc_id long, text string"
+    )
+    # 9 tokens -> two 8-grams: tokens[0:8] and tokens[1:9]
+    contaminated = "intro " + bench_text + " outro"  # contains both grams
+    repeated = ("alpha bravo charlie delta echo foxtrot golf hotel " * 2).strip()
+    clean = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, contaminated), (2, repeated), (3, clean)],
+        "doc_id long, text string",
+    )
+
+    report = {
+        r["doc_id"]: r["matched_ngrams"]
+        for r in contamination_report(docs, benchmark, n=8).collect()
+    }
+    # doc 1 embeds the full benchmark text -> both benchmark 8-grams match
+    # (the intro/outro-spanning grams don't exist in the benchmark)
+    assert report[1] == 2
+    # doc 2 repeats the first 8-gram; array_distinct keeps the count at 1
+    assert report == {1: 2, 2: 1}
+
+    kept = decontaminate(docs, benchmark, n=8)
+    assert [r["doc_id"] for r in kept.collect()] == [3]
+    # a clean corpus passes through whole
+    clean_only = docs.filter("doc_id = 3")
+    assert decontaminate(clean_only, benchmark, n=8).count() == 1
+
+
 def test_hash_split_deterministic_and_complete(spark):
     from pyspark.sql import functions as F
 
