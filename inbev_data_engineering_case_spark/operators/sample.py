@@ -1,0 +1,78 @@
+"""Deterministic sampling and ordering for training corpora.
+
+``df.sample()`` / ``sampleBy()`` draw from a seeded RNG whose stream
+depends on partitioning — resample after an AQE re-plan, a retry, or a
+repartition and you get a DIFFERENT subset. For training-data work the
+sample must be a pure function of the data (reproducible across engines,
+clusters, and reruns), so these operators decide membership by hashing the
+row's id: ``portable_hash64(id) % 1e6 < fraction * 1e6``. The hash is
+md5-based and engine-portable, which also makes every query here exactly
+oracle-checkable in DuckDB.
+
+Scale shape: membership is a pure Column predicate — no shuffle, no RNG
+state, pushes through codegen, and composes with partition pruning. The
+global shuffle (training order) is the one deliberate exception: ordering
+by a salted hash is a range-partition sort, the standard "shuffle the
+corpus once per epoch" step, priced accordingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from inbev_data_engineering_case_spark.functions import portable_hash64
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+def sample_predicate(
+    id_col: Column | str, fraction: float, salt: int = 0
+) -> Column:
+    """Deterministic Bernoulli membership: true for ~``fraction`` of ids.
+    Different ``salt`` values draw independent samples."""
+    bucket = portable_hash64(id_col, seed=salt) % SAMPLE_BUCKETS
+    return bucket < int(fraction * SAMPLE_BUCKETS)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sample — the corpus-balancing step (e.g.
+    downsample over-represented languages). ``fractions`` maps stratum
+    value → keep-fraction; strata not listed keep ``default_fraction``.
+
+    The per-stratum threshold is a small CASE expression (fractions are
+    config, not data), so the whole filter is one codegen'd predicate over
+    the scan: no join, no shuffle, prunes before anything downstream."""
+    bucket = portable_hash64(id_col, seed=salt) % SAMPLE_BUCKETS
+    threshold: Column = F.lit(int(default_fraction * SAMPLE_BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * SAMPLE_BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    keep_key: bool = False,
+) -> DataFrame:
+    """Global pseudo-random training order: sort by a salted hash of the
+    id. A new ``salt`` is a new epoch's permutation; the order is a pure
+    function of (ids, salt) — stable across retries and cluster sizes,
+    unlike ``orderBy(rand())``. One range-partition sort, Spark's standard
+    total-order exchange (sampled range boundaries keep partitions even
+    because the hash is uniform). ``keep_key=True`` surfaces the sort key
+    as a ``shuffle_key`` column (auditing / oracle checks)."""
+    key = portable_hash64(id_col, seed=salt)
+    if keep_key:
+        return df.withColumn("shuffle_key", key).orderBy("shuffle_key")
+    return df.orderBy(key)

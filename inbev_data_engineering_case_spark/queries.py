@@ -1353,6 +1353,70 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(corpus, bench, n=8)
 
 
+# md5-hash bucket of doc_id, the deterministic Bernoulli coin shared by the
+# sampling queries (seed '' = salt 0; '7' = salt 7).
+def _sql_hash_bucket(seed: str = "") -> str:
+    inner = f"'{seed}' || doc_id::VARCHAR" if seed else "doc_id::VARCHAR"
+    return f"((('0x' || substr(md5({inner}), 1, 15)))::BIGINT % 1000000)"
+
+
+@register(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_sql_hash_bucket()}
+          < CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 250000
+                      WHEN 'de' THEN 100000 WHEN 'fr' THEN 100000
+                      ELSE 0 END
+    """,
+    doc="deterministic stratified sampling (corpus balancing): per-language "
+    "keep-fractions decided by hashing the doc id, not an RNG — the sample "
+    "is a pure function of the data, stable across retries/AQE/partitioning, "
+    "and is one codegen'd predicate at the scan (no join, no shuffle).",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.sample import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        strata_col="lang",
+        fractions={"en": 0.5, "es": 0.25, "de": 0.1, "fr": 0.1},
+    ).select("doc_id", "lang")
+
+
+@register(
+    "q_corpus_shuffle",
+    f"""
+    SELECT doc_id,
+           (('0x' || substr(md5('7' || doc_id::VARCHAR), 1, 15)))::BIGINT
+             AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key
+    LIMIT 200
+    """,
+    doc="deterministic corpus shuffle (training order): global sort by a "
+    "salted id-hash — a new salt is a new epoch permutation, reproducible "
+    "across cluster sizes unlike orderBy(rand()). Spark plans the limit as "
+    "TakeOrderedAndProject, so no full sort materializes here; the "
+    "unlimited form is one range-partition total-order exchange.",
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.sample import (
+        deterministic_shuffle,
+    )
+
+    return (
+        deterministic_shuffle(
+            _t(spark, sf_dir, "documents").select("doc_id"),
+            salt=7,
+            keep_key=True,
+        ).limit(200)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: deduplication (operators/dedup.py)
 # ---------------------------------------------------------------------------
@@ -2455,6 +2519,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                       fingerprint expression (it IS the grouping key);
 #                       the freed slot went to q_decontaminate, a distinct
 #                       family (benchmark n-gram overlap)
+#   q_count_distinct -> q_distinct (same distinct-aggregate family, both
+#                       were in-window); the freed slot went to
+#                       q_stratified_sample, a distinct family
+#                       (deterministic hash-based sampling)
+#   q_corpus_shuffle -> q_orderby_limit (same TakeOrdered/total-order
+#                       family — the epoch shuffle is ordering by a hash)
 #
 # INVARIANT (keep when registering anything new): every DISTINCT operator
 # family must stay within the first 50 entries — demote a near-twin when
@@ -2477,6 +2547,8 @@ _DEMOTED_NEAR_TWINS = [
     "q_map_lookup",
     "q_date_functions",
     "q_fingerprint",
+    "q_count_distinct",
+    "q_corpus_shuffle",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:

@@ -886,6 +886,60 @@ def test_contamination_report_and_decontaminate(spark):
     assert decontaminate(clean_only, benchmark, n=8).count() == 1
 
 
+def test_stratified_sample_deterministic_and_balanced(spark):
+    """Hash-based stratified sampling: membership is a pure function of
+    (id, salt) — identical across reruns and repartitions; per-stratum
+    keep-rates land near the configured fractions; unlisted strata use the
+    default."""
+    from inbev_data_engineering_case_spark.operators.sample import (
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else ("es" if i % 4 == 1 else "xx"))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fractions = {"en": 0.5, "es": 0.2}
+
+    kept = stratified_sample(df, "lang", fractions).collect()
+    again = stratified_sample(df.repartition(7), "lang", fractions).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(
+        r["doc_id"] for r in again
+    )  # stable under repartition (sampleBy with a seed is NOT)
+
+    by_lang = {}
+    for r in kept:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang.get("xx", 0) == 0  # default fraction 0
+    assert abs(by_lang["en"] / 1000 - 0.5) < 0.08
+    assert abs(by_lang["es"] / 500 - 0.2) < 0.08
+
+    # independent draws under different salts
+    other = stratified_sample(df, "lang", fractions, salt=3).collect()
+    assert sorted(r["doc_id"] for r in other) != sorted(
+        r["doc_id"] for r in kept
+    )
+
+
+def test_deterministic_shuffle_is_stable_permutation(spark):
+    """Epoch shuffle: a total order that is a pure function of (ids, salt)
+    — same permutation on rerun, different permutation per salt, every row
+    exactly once."""
+    from inbev_data_engineering_case_spark.operators.sample import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    e0 = [r["doc_id"] for r in deterministic_shuffle(df, salt=0).collect()]
+    e0_again = [
+        r["doc_id"]
+        for r in deterministic_shuffle(df.repartition(5), salt=0).collect()
+    ]
+    e1 = [r["doc_id"] for r in deterministic_shuffle(df, salt=1).collect()]
+    assert e0 == e0_again
+    assert e0 != e1 and e0 != sorted(e0)
+    assert sorted(e0) == sorted(e1) == list(range(500))
+
+
 def test_hash_split_deterministic_and_complete(spark):
     from pyspark.sql import functions as F
 
