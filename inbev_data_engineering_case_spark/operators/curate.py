@@ -47,29 +47,46 @@ def curate_corpus(
     near_dup_threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    benchmark: DataFrame | None = None,
+    decontaminate_ngram: int = 8,
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
     metadata (lang, quality). Survivor policy is deterministic end to end:
     exact dedup keeps min id per fingerprint; near-dup clusters keep the
-    component id (= min doc id in the cluster)."""
+    component id (= min doc id in the cluster).
+
+    Passing an eval/benchmark set adds a decontamination stage between the
+    filters and the dedups: documents sharing any ``decontaminate_ngram``
+    word n-gram with ``benchmark`` are dropped. It runs after the cheap
+    lang/quality predicate (fewer docs to n-gram-hash) and before the
+    materialization barrier, so the n-gram pass still happens exactly
+    once."""
     scored = documents.select(
         id_col,
         text_col,
         lang_id(text_col).alias("lang"),
         quality_score(text_col).alias("quality"),
     )
+    eligible = scored.filter(
+        F.col("lang").isin(*languages) & (F.col("quality") >= min_quality)
+    )
+    if benchmark is not None:
+        from inbev_data_engineering_case_spark.operators.decontaminate import (
+            decontaminate,
+        )
+
+        eligible = decontaminate(
+            eligible, benchmark, n=decontaminate_ngram,
+            id_col=id_col, text_col=text_col,
+        )
     # Three downstream consumers read `eligible` (exact-dedup keep list,
     # near-dedup signatures, final keep anti-join): without materializing
     # it once, each consumer re-runs the full corpus scan + lang/quality
-    # scoring — three 100 TB scans instead of one. Locally a lazy
-    # localCheckpoint; on a cluster, write the scored-eligible table to
-    # parquet/Delta and read it back (same one-liner swap as dedup's
-    # signature tables).
-    eligible = _materialize(
-        scored.filter(
-            F.col("lang").isin(*languages) & (F.col("quality") >= min_quality)
-        )
-    )
+    # scoring (+ decontamination) — three 100 TB passes instead of one.
+    # Locally a lazy localCheckpoint; on a cluster, write the
+    # scored-eligible table to parquet/Delta and read it back (same
+    # one-liner swap as dedup's signature tables).
+    eligible = _materialize(eligible)
 
     # exact dedup: survivors only (min id per fingerprint)
     exact_keep = exact_dedup(eligible, text_col, id_col).select(

@@ -15,9 +15,12 @@ common published choice) that also appears in a held-out benchmark. At
   broadcast hash join that filters to contaminated grams immediately, so
   the only exchange in the plan carries *matches only* (≈0 rows for a
   clean corpus) into the per-document count.
-- Hashes use ``portable_hash64`` (md5-based) rather than ``xxhash64`` so
-  the DuckDB oracle computes the identical join keys — any collision
-  behaves identically in both engines.
+- Hashes default to ``portable_hash64`` (md5-based) so the DuckDB
+  oracle computes the identical join keys — any collision behaves
+  identically in both engines. Pass ``portable=False`` in production for
+  ``xxhash64``: same plan shape, ~3x cheaper per gram on the corpus-side
+  pass that dominates the job at 100 TB (no oracle needs to reproduce it
+  there).
 
 ``decontaminate`` then drops flagged docs with a left-anti join against
 the (tiny) report — again broadcast, again shuffle-free for the corpus.
@@ -36,10 +39,15 @@ from inbev_data_engineering_case_spark.functions import (
 DEFAULT_NGRAM_WORDS = 8
 
 
+def _gram_hash(col: str, portable: bool):
+    return portable_hash64(col) if portable else F.xxhash64(col)
+
+
 def benchmark_ngram_hashes(
     benchmark: DataFrame,
     text_col: str = "text",
     n: int = DEFAULT_NGRAM_WORDS,
+    portable: bool = True,
 ) -> DataFrame:
     """Distinct 60-bit hashes of every lowercased word n-gram in the
     benchmark set → single-column ``gram_h`` DataFrame. Small enough to
@@ -48,7 +56,7 @@ def benchmark_ngram_hashes(
         benchmark.select(
             F.explode(word_ngrams(F.lower(F.col(text_col)), n)).alias("gram")
         )
-        .select(portable_hash64("gram").alias("gram_h"))
+        .select(_gram_hash("gram", portable).alias("gram_h"))
         .distinct()
     )
 
@@ -59,19 +67,20 @@ def contamination_report(
     n: int = DEFAULT_NGRAM_WORDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = True,
 ) -> DataFrame:
     """Per-document contamination: ``(id_col, matched_ngrams)`` for every
     training document sharing ≥1 word n-gram with the benchmark, where
     ``matched_ngrams`` counts the document's *distinct* overlapping grams
     (``array_distinct`` before the explode, so repeated phrases within one
     document don't inflate the count)."""
-    bench = benchmark_ngram_hashes(benchmark, text_col, n)
+    bench = benchmark_ngram_hashes(benchmark, text_col, n, portable)
     doc_grams = documents.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))
         ).alias("gram"),
-    ).select(id_col, portable_hash64("gram").alias("gram_h"))
+    ).select(id_col, _gram_hash("gram", portable).alias("gram_h"))
     return (
         doc_grams.join(F.broadcast(bench), "gram_h")
         .groupBy(id_col)
@@ -85,12 +94,13 @@ def decontaminate(
     n: int = DEFAULT_NGRAM_WORDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = True,
 ) -> DataFrame:
     """The corpus with contaminated documents removed: left-anti join
     against the contamination report. The report is tiny (flagged docs
     only), so the anti join broadcasts and the corpus passes through
     without a shuffle."""
     flagged = contamination_report(
-        documents, benchmark, n, id_col, text_col
+        documents, benchmark, n, id_col, text_col, portable
     ).select(id_col)
     return documents.join(F.broadcast(flagged), id_col, "left_anti")

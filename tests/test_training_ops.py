@@ -615,6 +615,50 @@ def test_stdlib_png_decoder():
         _stdlib_featurize("image/jpeg", b"\xff\xd8\xff\xe0 not decodable")
 
 
+def test_png_roundtrip_property():
+    """Encoder(test)→decoder(engine) round-trip under hypothesis: any pixel
+    grid, any per-row filter choice, any supported channel count must
+    decode back to exactly the input pixels — the unfilter math (incl. the
+    sequential Average/Paeth paths) is bit-exact, not approximately right."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _png_decode,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        h = data.draw(st.integers(1, 5))
+        w = data.draw(st.integers(1, 5))
+        color_type, ch = data.draw(
+            st.sampled_from([(0, 1), (2, 3), (6, 4)])
+        )
+        px = data.draw(
+            st.lists(
+                st.lists(
+                    st.tuples(*([st.integers(0, 255)] * ch)),
+                    min_size=w, max_size=w,
+                ),
+                min_size=h, max_size=h,
+            )
+        )
+        rows = [[p[0] for p in row] for row in px] if ch == 1 else px
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        decoded, channels = _png_decode(_make_png(rows, color_type, filters))
+        assert channels == ch
+        want = np.array(
+            [[list(p) for p in row] for row in px], dtype=np.uint8
+        )
+        assert np.array_equal(decoded, want)
+
+    check()
+
+
 def _make_y4m(width: int, height: int, lumas: list[int]) -> bytes:
     """Assemble a C420 YUV4MPEG2 stream: one constant-luma frame per entry
     (chroma planes fixed at 128)."""
@@ -829,6 +873,17 @@ def test_curate_corpus_end_to_end(spark):
     cols = set(kept.columns)
     assert {"doc_id", "text", "lang", "quality"} <= cols
 
+    # optional decontamination stage: a benchmark sharing an 8-gram with
+    # doc 6 drops it from the curated corpus; everything else unchanged
+    benchmark = spark.createDataFrame(
+        [(99, "the history of bridges and the people that built them")],
+        ["doc_id", "text"],
+    )
+    decon = curate_corpus(
+        docs, min_quality=0.3, near_dup_threshold=0.5, benchmark=benchmark
+    )
+    assert sorted(r["doc_id"] for r in decon.collect()) == [1]
+
 
 def test_components_long_chain_converges_logarithmically(spark):
     """A 64-node path graph has diameter 63: pure min-label propagation
@@ -884,6 +939,16 @@ def test_contamination_report_and_decontaminate(spark):
     # a clean corpus passes through whole
     clean_only = docs.filter("doc_id = 3")
     assert decontaminate(clean_only, benchmark, n=8).count() == 1
+
+    # the xxhash64 production path (portable=False) reports identically —
+    # only the join-key hash function differs
+    fast = {
+        r["doc_id"]: r["matched_ngrams"]
+        for r in contamination_report(
+            docs, benchmark, n=8, portable=False
+        ).collect()
+    }
+    assert fast == report
 
 
 def test_stratified_sample_deterministic_and_balanced(spark):
