@@ -123,6 +123,41 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
+def token_repetition_ratio(text: Column | str) -> Column:
+    """Fraction of repeated tokens: 1 - distinct/total over the lowercased
+    whitespace tokens (0 = all unique). The Gopher/C4-family intra-document
+    repetition signal — boilerplate and SEO spam score high. Kept as the
+    exact integer-difference division so both engines produce the
+    identical IEEE double (same reasoning as ``punct_ratio``)."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    return (F.size(toks) - F.size(F.array_distinct(toks))) / F.size(toks)
+
+
+def line_repetition_ratio(text: Column | str) -> Column:
+    """Fraction of repeated lines: 1 - distinct/total over newline-split
+    lines. Catches templated pages whose repeated units are whole lines
+    (nav bars, footers) that token-level stats dilute."""
+    text = F.col(text) if isinstance(text, str) else text
+    lines = F.split(text, "\n")
+    return (F.size(lines) - F.size(F.array_distinct(lines))) / F.size(lines)
+
+
+# Conservative, RE2-compatible patterns (no lookarounds/backrefs) so the
+# same regex text runs identically in Spark's Java engine and DuckDB's RE2.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\s-]{6,}[0-9]"
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact emails then phone-shaped digit runs with typed placeholders —
+    the standard pre-training PII scrub pass. Order matters (emails first:
+    a phone pattern must not eat digits inside an address). Pure
+    ``regexp_replace`` expressions: codegen'd, no UDF, linear scan."""
+    text = F.col(text) if isinstance(text, str) else text
+    no_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>")
+
+
 def normalize_for_fingerprint(text: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse all whitespace
     runs to single spaces, trim."""

@@ -2485,6 +2485,99 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Tail near-twins: corpus-QA / streaming family variants (see the ordering
+# note below — their families are already represented in-window)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_repetition",
+    """
+    SELECT doc_id,
+           (len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+            - len(list_distinct(
+                regexp_split_to_array(trim(lower(text)), '\\s+'))))
+           / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+             AS token_rep,
+           (len(string_split(text, chr(10)))
+            - len(list_distinct(string_split(text, chr(10)))))
+           / len(string_split(text, chr(10))) AS line_rep
+    FROM documents
+    """,
+    doc="intra-document repetition scoring (Gopher/C4 quality family): "
+    "repeated-token and repeated-line fractions as pure codegen'd "
+    "expressions — boilerplate/SEO-spam signal for corpus filtering.",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.textops import (
+        line_repetition_ratio,
+        token_repetition_ratio,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_repetition_ratio("text").alias("token_rep"),
+        line_repetition_ratio("text").alias("line_rep"),
+    )
+
+
+@register(
+    "q_pii_scrub",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact: user' || doc_id::VARCHAR ||
+               '@example.com or +1 (555) 010-' || doc_id::VARCHAR || '9',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\s-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+    FROM documents
+    """,
+    doc="PII scrubbing (normalize family): redact emails then phone-shaped "
+    "runs with RE2-compatible patterns — same regex text runs in Spark's "
+    "Java engine and the DuckDB oracle. Fixture plants a deterministic "
+    "email+phone per doc so the redaction is actually exercised.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.textops import scrub_pii
+
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.col("doc_id").cast("string"),
+        F.lit("9"),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", scrub_pii(planted).alias("scrubbed")
+    )
+
+
+@register(
+    "q_stream_dedup",
+    "SELECT DISTINCT event_id FROM events",
+    doc="streaming dedup: an at-least-once feed (the stream unioned with "
+    "itself, so every event arrives twice) restored to exactly-once by "
+    "dropDuplicatesWithinWatermark — state bounded by the watermark "
+    "horizon, unlike dropDuplicates whose id set grows forever. Output "
+    "is the id column only, so the oracle is the exact distinct set.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+        stream_dedup_events,
+    )
+
+    src = read_events_stream(spark, sf_dir)
+    doubled = src.unionByName(read_events_stream(spark, sf_dir))
+    out = stream_dedup_events(doubled).select("event_id")
+    run_stream_to_table(out, "q_stream_dedup_sink", "append")
+    return spark.table("q_stream_dedup_sink")
+
+
+# ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate reports at most 50 queries per round, in
@@ -2525,6 +2618,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                       (deterministic hash-based sampling)
 #   q_corpus_shuffle -> q_orderby_limit (same TakeOrdered/total-order
 #                       family — the epoch shuffle is ordering by a hash)
+#   q_repetition     -> q_quality_score (same corpus-QA expression family)
+#   q_pii_scrub      -> q_clean_text / q_mojibake_repair (same regex
+#                       normalize family)
+#   q_stream_dedup   -> q_stream_tumbling / q_stream_sessionize (streaming
+#                       family triple-represented in-window; this adds the
+#                       fourth stateful op, dropDuplicatesWithinWatermark)
 #
 # INVARIANT (keep when registering anything new): every DISTINCT operator
 # family must stay within the first 50 entries — demote a near-twin when
@@ -2549,6 +2648,9 @@ _DEMOTED_NEAR_TWINS = [
     "q_fingerprint",
     "q_count_distinct",
     "q_corpus_shuffle",
+    "q_repetition",
+    "q_pii_scrub",
+    "q_stream_dedup",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:

@@ -192,6 +192,23 @@ def stream_tumbling_counts(
     )
 
 
+def stream_dedup_events(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exactly-once event feed from an at-least-once source: drop repeated
+    ``event_id``s inside the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` (not ``dropDuplicates``) is the only
+    form that survives an unbounded stream: state for an id is evicted
+    once the watermark passes it, so the state store holds ~one watermark
+    window of ids instead of every id ever seen. The trade is the
+    at-least-once source contract every real bus (Kafka) gives anyway:
+    a duplicate arriving later than the watermark is no longer caught."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_click_view_join(
     events: DataFrame,
     max_gap: str = "30 minutes",

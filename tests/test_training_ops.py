@@ -951,6 +951,52 @@ def test_contamination_report_and_decontaminate(spark):
     assert fast == report
 
 
+def test_repetition_ratios_known_answers(spark):
+    from inbev_data_engineering_case_spark.operators.textops import (
+        line_repetition_ratio,
+        token_repetition_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),              # all unique
+            (2, "spam spam spam ham"),   # 2 repeated of 4
+            (3, "x\ny\nx\ny\nz"),        # 2 repeated lines of 5
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_repetition_ratio("text").alias("tr"),
+            line_repetition_ratio("text").alias("lr"),
+        ).collect()
+    }
+    assert out[1]["tr"] == 0.0 and out[1]["lr"] == 0.0
+    assert out[2]["tr"] == 0.5
+    assert out[3]["lr"] == 0.4
+
+
+def test_scrub_pii_redacts_emails_then_phones(spark):
+    from inbev_data_engineering_case_spark.operators.textops import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@sub.example.org or call "
+                "+1 (555) 010-2233 today"),
+            (2, "no pii here, just the year 2024 and pi 3.14"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["scrubbed"] for r in df.select(
+        "doc_id", scrub_pii("text").alias("scrubbed")
+    ).collect()}
+    assert out[1] == "mail me at <EMAIL> or call <PHONE> today"
+    # short digit runs and decimals survive (phone pattern needs 8+ chars)
+    assert out[2] == "no pii here, just the year 2024 and pi 3.14"
+
+
 def test_stratified_sample_deterministic_and_balanced(spark):
     """Hash-based stratified sampling: membership is a pure function of
     (id, salt) — identical across reruns and repartitions; per-stratum
