@@ -188,6 +188,23 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_sampling_and_qa_scans_are_shuffle_free(spark):
+    """Membership-by-hash sampling and the corpus-QA projections must stay
+    single-pass scans: no exchange of any kind — the whole point of
+    hash-Bernoulli over RNG sampling and expression-only QA scoring."""
+    for name in ("q_stratified_sample", "q_repetition", "q_pii_scrub"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_corpus_shuffle_limit_takes_ordered(spark):
+    """The epoch-shuffle preview plans as TakeOrderedAndProject — no full
+    global sort materializes for the limited form."""
+    plan = _plan(spark, "q_corpus_shuffle")
+    assert "TakeOrdered" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
 def test_no_row_at_a_time_python_across_catalog(spark):
     """UDF policy lock for the WHOLE catalog: no BatchEvalPython (per-row
     Python UDF) in any batch query's physical plan. Arrow-batched
