@@ -101,6 +101,56 @@ def write_layer(
         open(marker, "w").close()
 
 
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under a path via the Hadoop FileSystem API — works for
+    any scheme Spark can read (file://, hdfs://, s3a://), no driver-side
+    os.walk that would break off-local-disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(jpath).getLength()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files; returns the file
+    count. The operational fix for the 100 TB failure mode streaming and
+    per-partition sinks create — millions of KB-sized files whose
+    open/list overhead dwarfs the scan (every NameNode/S3-LIST call is a
+    file, every task starts with a footer read).
+
+    With ``sort_cols``, rows are range-partitioned and sorted within each
+    output file on those columns — parquet then records tight min/max
+    stats per row group, so later range predicates on the sort key prune
+    whole files (poor-man's clustering; same intent as Delta OPTIMIZE
+    ZORDER on one dimension).
+
+    ``dst`` must differ from ``src``: overwrite-in-place would delete the
+    input mid-read. Swap via the snapshot/latest_snapshot contract."""
+    import math
+
+    if os.path.abspath(dst) == os.path.abspath(src):
+        raise ValueError("compact_parquet: dst must differ from src")
+    n_files = max(
+        1, math.ceil(dir_bytes(spark, src) / target_file_bytes)
+    )
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files
+
+
 def publish_view(spark: SparkSession, df: DataFrame, name: str) -> list[str]:
     """OP-09: register as a global temp view and return the catalog listing
     (reference gold_data_aggregation.py:53-56)."""

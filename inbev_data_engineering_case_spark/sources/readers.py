@@ -101,3 +101,62 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 def star_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All synthetic tables as DataFrames keyed by name (TESTDATA.md)."""
     return {t: read_parquet_table(spark, sf_dir, t) for t in STAR_TABLES}
+
+
+# file-extension -> media_type for the binary-asset landing scan. Content
+# magic still wins at decode time (operators/multimodal.py dispatches on
+# payload bytes), this only routes the metadata.
+_EXT_MEDIA_TYPES = {
+    "bmp": "image/bmp",
+    "png": "image/png",
+    "ppm": "image/x-portable-pixmap",
+    "pgm": "image/x-portable-graymap",
+    "wav": "audio/wav",
+    "y4m": "video/x-y4m",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "mp4": "video/mp4",
+}
+
+
+def read_binary_assets(
+    spark: SparkSession, path_glob: str, max_bytes: int | None = None
+) -> DataFrame:
+    """Multimodal landing scan: Spark's ``binaryFile`` source over an
+    object-store glob, mapped to the multimodal asset schema
+    (``operators.multimodal.ASSET_SCHEMA``): asset_id = 60-bit portable
+    hash of the path (stable across re-runs and listing order), media_type
+    from the file extension, payload = raw bytes, metadata struct carrying
+    size + source path.
+
+    Scale notes: ``binaryFile`` never splits a file, so parallelism is
+    file-granular — right for media corpora (many files, each far under a
+    partition budget). ``max_bytes`` pushes a LENGTH filter into the
+    source (``pathGlobFilter``'s sibling pushdown: length and path are
+    read from the file index, so oversized payloads are skipped before a
+    single content byte is read — the pruning that matters when a crawl
+    directory mixes 4 KB thumbnails with 4 GB videos)."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.functions import portable_hash64
+
+    df = spark.read.format("binaryFile").load(path_glob)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    media_type = F.coalesce(
+        *[
+            F.when(ext == e, F.lit(t))
+            for e, t in _EXT_MEDIA_TYPES.items()
+        ],
+        F.lit("application/octet-stream"),
+    )
+    return df.select(
+        portable_hash64("path").alias("asset_id"),
+        media_type.alias("media_type"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.col("length").cast("long").alias("n_bytes"),
+            F.col("path").alias("source"),
+        ).alias("meta"),
+    )

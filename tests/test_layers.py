@@ -59,3 +59,52 @@ def test_write_layer_partitions_and_success(spark, tmp_path):
     assert len([f for f in os.listdir(leaf) if f.endswith(".parquet")]) == 1
     back = spark.read.parquet(out)
     assert back.count() == 3
+
+
+def test_compact_parquet_reduces_files_and_keeps_rows(spark, tmp_path):
+    from inbev_data_engineering_case_spark.layers import (
+        compact_parquet,
+        dir_bytes,
+    )
+
+    src = str(tmp_path / "fragmented")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(src)  # the streaming-sink failure mode
+    n_small = len(
+        [f for f in os.listdir(src) if f.endswith(".parquet")]
+    )
+    assert n_small == 64
+
+    dst = str(tmp_path / "compacted")
+    total = dir_bytes(spark, src)
+    n = compact_parquet(spark, src, dst, target_file_bytes=total // 2)
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == n <= 3  # ceil(total / (total//2)) = 2 (3 on rounding)
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(id)").first()[0] == df.selectExpr(
+        "sum(id)"
+    ).first()[0]
+
+    # sorted variant: each output file covers a disjoint id range -> later
+    # range predicates prune whole files via parquet min/max stats
+    dst2 = str(tmp_path / "clustered")
+    n2 = compact_parquet(
+        spark, src, dst2, target_file_bytes=total // 2, sort_cols=["id"]
+    )
+    per_file = [
+        (spark.read.parquet(f"{dst2}/{f}").selectExpr(
+            "min(id)", "max(id)"
+        ).first())
+        for f in os.listdir(dst2) if f.endswith(".parquet")
+    ]
+    spans = sorted((lo, hi) for lo, hi in per_file)
+    assert all(
+        prev_hi < lo for (_, prev_hi), (lo, _) in zip(spans, spans[1:])
+    )
+    assert n2 == len(spans)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dst must differ"):
+        compact_parquet(spark, src, src)

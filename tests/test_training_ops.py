@@ -775,6 +775,50 @@ def test_resize_assets_real_decoders(spark):
     assert np.array_equal(kept, pcm[::4])
 
 
+def test_read_binary_assets_lands_real_media(spark, tmp_path):
+    """The binaryFile landing scan → asset schema → real decoder, end to
+    end: files on disk come back as typed assets whose payloads genuinely
+    decode; the size cap prunes oversized files at the source."""
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_features,
+    )
+    from inbev_data_engineering_case_spark.sources.readers import (
+        read_binary_assets,
+    )
+
+    bmp = _make_bmp([[(9, 9, 9), (9, 9, 9)]])
+    y4m = _make_y4m(2, 2, lumas=[10, 20])
+    (tmp_path / "a.bmp").write_bytes(bmp)
+    (tmp_path / "b.y4m").write_bytes(y4m)
+    (tmp_path / "huge.bin").write_bytes(b"\0" * 4096)
+
+    assets = read_binary_assets(spark, str(tmp_path), max_bytes=2048)
+    # same names/types as the asset contract (nullability flags differ:
+    # source-derived columns are conservatively nullable)
+    assert assets.schema.simpleString() == ASSET_SCHEMA.simpleString()
+    rows = {r["media_type"]: r for r in assets.collect()}
+    assert set(rows) == {"image/bmp", "video/x-y4m"}  # huge.bin pruned
+    assert bytes(rows["image/bmp"]["payload"]) == bmp
+    assert rows["video/x-y4m"]["meta"]["n_bytes"] == len(y4m)
+    assert rows["image/bmp"]["meta"]["source"].endswith("a.bmp")
+
+    feats = {
+        r["media_type"]: r["feature"]
+        for r in decode_features(assets, real_decoder=True).collect()
+    }
+    assert feats["image/bmp"] == [2.0, 1.0, 24.0, 9.0]
+    assert feats["video/x-y4m"] == [2.0, 2.0, 2.0, 15.0]
+
+    # asset ids are a pure function of the path: stable across re-listing
+    ids_a = sorted(r["asset_id"] for r in assets.collect())
+    ids_b = sorted(
+        r["asset_id"]
+        for r in read_binary_assets(spark, str(tmp_path), max_bytes=2048).collect()
+    )
+    assert ids_a == ids_b
+
+
 def test_train_ivf_centroids_rejects_huge_k(spark):
     """The Lloyd trainer collect()s the K×d model per iteration; a K that
     makes the model driver-sized must fail loud before any training work."""
