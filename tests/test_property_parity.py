@@ -114,6 +114,57 @@ def test_portable_hash64_parity(spark, con, texts):
     assert got == want
 
 
+@settings(**SETTINGS)
+@given(texts=TEXTS)
+def test_scrub_pii_parity(spark, con, texts):
+    """The PII regexes are RE2-compatible by design — Spark's Java engine
+    and DuckDB's RE2 must rewrite adversarial strings identically. Planted
+    PII exercises the match path on every example."""
+    from inbev_data_engineering_case_spark.operators.textops import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        scrub_pii,
+    )
+
+    planted = [
+        f"{t} a.b-c_9@ex-am.ple.org +44 (0) 1234-5678 {t}" for t in texts
+    ]
+    got = _spark_values(spark, planted, scrub_pii("s"))
+    want = [
+        con.execute(
+            "SELECT regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'),"
+            " ?, '<PHONE>', 'g')",
+            [t, PII_EMAIL_RE, PII_PHONE_RE],
+        ).fetchone()[0]
+        for t in planted
+    ]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(texts=TEXTS)
+def test_repetition_ratio_parity(spark, con, texts):
+    """Repetition ratios (q_repetition's oracle shape) must produce the
+    bit-identical IEEE division in both engines, including the duplicate
+    tokens the generator produces by chance."""
+    from inbev_data_engineering_case_spark.operators.textops import (
+        token_repetition_ratio,
+    )
+
+    # ensure at least some duplication and non-emptiness
+    planted = [f"{t} x x" for t in texts]
+    got = _spark_values(spark, planted, token_repetition_ratio("s"))
+    want = [
+        con.execute(
+            "SELECT (len(w) - len(list_distinct(w))) / len(w) FROM"
+            " (SELECT regexp_split_to_array(trim(lower(?)), '\\s+') AS w)",
+            [t],
+        ).fetchone()[0]
+        for t in planted
+    ]
+    assert got == want
+
+
 FLOATS32 = st.lists(
     st.floats(
         min_value=-100.0,
