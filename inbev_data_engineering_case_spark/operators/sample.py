@@ -59,6 +59,36 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def top_fraction_by_score(
+    df: DataFrame,
+    score_col: str,
+    keep_fraction: float,
+    approx: bool = False,
+) -> DataFrame:
+    """Adaptive corpus filter: keep rows at or above the corpus's
+    ``1 - keep_fraction`` score quantile ("top 30% by quality") — the
+    threshold adapts to the data instead of being a hand-picked constant
+    that rots as the corpus mix shifts.
+
+    Two passes: (1) aggregate the global threshold — exact
+    ``F.percentile`` for oracle parity, or ``approx_percentile``
+    (``approx=True``) at scale: a mergeable Greenwald-Khanna sketch, map-
+    side combinable, no global sort; (2) broadcast the single-row
+    threshold into the filter (1-row BroadcastNestedLoop — effectively a
+    scalar subquery), which stays a codegen'd scan predicate."""
+    q = 1.0 - keep_fraction
+    thr_expr = (
+        F.expr(f"approx_percentile({score_col}, {q})")
+        if approx
+        else F.percentile(score_col, F.lit(q))
+    )
+    thr = df.agg(thr_expr.alias("_thr"))
+    return (
+        df.join(F.broadcast(thr), F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

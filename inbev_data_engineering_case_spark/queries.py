@@ -2555,6 +2555,32 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quality_threshold",
+    f"""
+    WITH scored AS (SELECT doc_id, {_SQL_QUALITY} AS quality FROM documents),
+    thr AS (SELECT quantile_cont(quality, 0.75) AS t FROM scored)
+    SELECT doc_id, quality FROM scored, thr WHERE quality >= t
+    """,
+    doc="adaptive quality filter: keep the corpus's top 25% by quality "
+    "score — the threshold is the data's own 0.75 quantile (exact "
+    "percentile for oracle parity; approx_percentile sketch at scale), "
+    "broadcast as a 1-row scalar into the scan filter.",
+)
+def q_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.sample import (
+        top_fraction_by_score,
+    )
+    from inbev_data_engineering_case_spark.operators.textops import (
+        quality_score,
+    )
+
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    return top_fraction_by_score(scored, "quality", keep_fraction=0.25)
+
+
+@register(
     "q_stream_dedup",
     "SELECT DISTINCT event_id FROM events",
     doc="streaming dedup: an at-least-once feed (the stream unioned with "
@@ -2624,6 +2650,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q_stream_dedup   -> q_stream_tumbling / q_stream_sessionize (streaming
 #                       family triple-represented in-window; this adds the
 #                       fourth stateful op, dropDuplicatesWithinWatermark)
+#   q_quality_threshold -> q_quality_score (same scoring expressions) +
+#                       q_percentiles (same exact-percentile aggregate)
 #
 # INVARIANT (keep when registering anything new): every DISTINCT operator
 # family must stay within the first 50 entries — demote a near-twin when
@@ -2651,6 +2679,7 @@ _DEMOTED_NEAR_TWINS = [
     "q_repetition",
     "q_pii_scrub",
     "q_stream_dedup",
+    "q_quality_threshold",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:

@@ -1075,6 +1075,36 @@ def test_stratified_sample_deterministic_and_balanced(spark):
     )
 
 
+def test_top_fraction_by_score_adaptive_threshold(spark):
+    """The keep-set adapts to the data: the threshold is the corpus's own
+    quantile, so shifting every score shifts the cut, not the kept ids."""
+    from inbev_data_engineering_case_spark.operators.sample import (
+        top_fraction_by_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, score double"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in top_fraction_by_score(df, "score", 0.25).collect()
+    )
+    # 0.75-quantile of 0..99 is 74.25 -> keep 75..99
+    assert kept == list(range(75, 100))
+
+    shifted = df.selectExpr("doc_id", "score + 1000 AS score")
+    kept2 = sorted(
+        r["doc_id"]
+        for r in top_fraction_by_score(shifted, "score", 0.25).collect()
+    )
+    assert kept2 == kept  # same ids survive a uniform shift
+
+    # the sketch path keeps roughly the same fraction (exactness not
+    # contractual at scale)
+    approx = top_fraction_by_score(df, "score", 0.25, approx=True).count()
+    assert 20 <= approx <= 30
+
+
 def test_deterministic_shuffle_is_stable_permutation(spark):
     """Epoch shuffle: a total order that is a pure function of (ids, salt)
     — same permutation on rerun, different permutation per salt, every row
