@@ -2555,6 +2555,52 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bpe_train",
+    """
+    SELECT true AS learned_all, true AS compresses, true AS deterministic
+    """,
+    doc="distributed BPE training (operators/bpe.py): one corpus scan to "
+    "a word-frequency vocab, then per-merge pair-count aggregations over "
+    "the vocab only (argmax collects ONE row per round, like Lloyd). An "
+    "iteratively-trained model can't be replicated in one SQL oracle, so "
+    "this is a property oracle: all requested merges learned, tokenized "
+    "corpus sits between word count and char count (real compression), "
+    "and re-training yields the identical merge list (determinism).",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.bpe import (
+        bpe_tokenize,
+        train_bpe,
+    )
+    from inbev_data_engineering_case_spark.operators.textops import (
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(docs, n_merges=8)
+    again = train_bpe(docs, n_merges=8)
+    stats = (
+        docs.join(bpe_tokenize(docs, merges), "doc_id")
+        .agg(
+            F.avg(F.length("text")).alias("chars"),
+            F.avg("n_bpe_tokens").alias("bpe"),
+            F.avg(token_count("text").cast("long")).alias("words"),
+        )
+        .first()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(merges) == 8,
+                bool(stats["words"] <= stats["bpe"] < stats["chars"]),
+                merges == again,
+            )
+        ],
+        "learned_all boolean, compresses boolean, deterministic boolean",
+    )
+
+
+@register(
     "q_quality_threshold",
     f"""
     WITH scored AS (SELECT doc_id, {_SQL_QUALITY} AS quality FROM documents),
@@ -2652,6 +2698,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                       fourth stateful op, dropDuplicatesWithinWatermark)
 #   q_quality_threshold -> q_quality_score (same scoring expressions) +
 #                       q_percentiles (same exact-percentile aggregate)
+#   q_bpe_train      -> q_token_stats (token-counting family; the regex
+#                       proxy is in-window, the trained tokenizer is the
+#                       property-oracled deep twin)
 #
 # INVARIANT (keep when registering anything new): every DISTINCT operator
 # family must stay within the first 50 entries — demote a near-twin when
@@ -2680,6 +2729,7 @@ _DEMOTED_NEAR_TWINS = [
     "q_pii_scrub",
     "q_stream_dedup",
     "q_quality_threshold",
+    "q_bpe_train",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:

@@ -1075,6 +1075,43 @@ def test_stratified_sample_deterministic_and_balanced(spark):
     )
 
 
+def test_bpe_train_and_tokenize_classic_example(spark):
+    """The textbook BPE corpus: frequency-ordered merges, lexicographic
+    tie-break, and a frequent word collapsing to a single token."""
+    from inbev_data_engineering_case_spark.operators.bpe import (
+        bpe_tokenize,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low low low"),
+            (2, "lower lower newest newest"),
+            (3, "newest newest newest newest widest widest"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=6)
+    # 'es' appears 8x (6 newest + 2 widest) -> first; then est, est</w>;
+    # 'lo' 7x; 'low' 7x; then 'e','w' (ties broken lexicographically)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"),
+        ("l", "o"), ("lo", "w"), ("e", "w"),
+    ]
+
+    toks = {
+        r["doc_id"]: r
+        for r in bpe_tokenize(docs, merges).collect()
+    }
+    assert toks[1]["bpe_tokens"] == ["low", "</w>"] * 5
+    assert toks[3]["bpe_tokens"][:3] == ["n", "ew", "est</w>"]
+    assert toks[3]["n_bpe_tokens"] == 4 * 3 + 2 * 4  # newest x4, widest x2
+
+    # early stop: merges below min_pair_count are not learned
+    tiny = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    assert train_bpe(tiny, n_merges=5, min_pair_count=2) == []
+
+
 def test_top_fraction_by_score_adaptive_threshold(spark):
     """The keep-set adapts to the data: the threshold is the corpus's own
     quantile, so shifting every score shifts the cut, not the kept ids."""
