@@ -2601,6 +2601,36 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_enrich",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="stream-static enrichment executed as a real stream: each "
+    "micro-batch of the events stream joins the (batch) customer "
+    "dimension — broadcast decided by the planner per micro-batch, never "
+    "forced (a huge dim must fall back to shuffle at the 100 TB design "
+    "point). Inner join; memory sink, availableNow drain.",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+        stream_enrich,
+    )
+
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    out = stream_enrich(
+        read_events_stream(spark, sf_dir), dim, on="user_id", how="inner"
+    ).select("event_id", "user_id", "segment")
+    run_stream_to_table(out, "q_stream_enrich_sink", "append")
+    return spark.table("q_stream_enrich_sink")
+
+
+@register(
     "q_quality_threshold",
     f"""
     WITH scored AS (SELECT doc_id, {_SQL_QUALITY} AS quality FROM documents),
@@ -2701,6 +2731,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q_bpe_train      -> q_token_stats (token-counting family; the regex
 #                       proxy is in-window, the trained tokenizer is the
 #                       property-oracled deep twin)
+#   q_stream_enrich  -> q_stream_join (stream-side join family; the static
+#                       side needs no watermark/state — the simpler twin)
 #
 # INVARIANT (keep when registering anything new): every DISTINCT operator
 # family must stay within the first 50 entries — demote a near-twin when
@@ -2730,6 +2762,7 @@ _DEMOTED_NEAR_TWINS = [
     "q_stream_dedup",
     "q_quality_threshold",
     "q_bpe_train",
+    "q_stream_enrich",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:
