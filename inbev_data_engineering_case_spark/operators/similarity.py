@@ -335,3 +335,87 @@ def ann_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def rademacher_matrix(
+    d_in: int, d_out: int, seed: int = 0
+) -> list[list[float]]:
+    """Deterministic ±1 projection matrix: entry sign from an md5 of
+    (seed, i, j). A Rademacher matrix satisfies the Johnson-Lindenstrauss
+    guarantee like a Gaussian one (Achlioptas 2003) but needs no RNG state
+    — the matrix is a pure function of (d_in, d_out, seed), so every
+    executor, every retry, and the SQL oracle all use identical weights."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for j in range(d_out)
+        ]
+        for i in range(d_in)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    d_in: int,
+    d_out: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding to ``d_out`` dims through the deterministic Rademacher
+    matrix, scaled by 1/sqrt(d_out) so pairwise distances are preserved in
+    expectation. Returns (id_col, proj).
+
+    Scale shape: a pure per-row expression — d_out zip_with dot products
+    inside codegen, zero shuffle, the matrix lives in the plan as
+    literals (d_in × d_out ≤ a few thousand doubles). The standard
+    pre-step before ANN indexing when 1000+-dim embeddings make bucket
+    hashing and distance math needlessly wide. Components are rounded to
+    6 decimals so both engines agree bit-for-bit regardless of their
+    float-summation association order (same dodge as ``cosine_topk``)."""
+    import math
+
+    matrix = rademacher_matrix(d_in, d_out, seed)
+    scale = 1.0 / math.sqrt(d_out)
+    vec = F.col(vec_col).cast("array<double>")
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(matrix[i][j]) for i in range(d_in)]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale),
+            6,
+        )
+        for j in range(d_out)
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
+def random_projection_oracle_sql(
+    d_in: int, d_out: int, seed: int = 0, vec_expr: str = "embedding"
+) -> str:
+    """DuckDB twin of ``random_projection``'s projection expression — the
+    SAME Python-generated matrix embedded as SQL literals."""
+    import math
+
+    matrix = rademacher_matrix(d_in, d_out, seed)
+    scale = repr(1.0 / math.sqrt(d_out))
+    comps = []
+    for j in range(d_out):
+        weights = ", ".join(repr(matrix[i][j]) for i in range(d_in))
+        comps.append(
+            f"round(list_sum(list_transform(range(1, {d_in + 1}), i -> "
+            f"{vec_expr}[i]::DOUBLE * ([{weights}])[i])) * {scale}, 6)"
+        )
+    return "[" + ", ".join(comps) + "]"

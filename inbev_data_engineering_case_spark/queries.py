@@ -2600,6 +2600,37 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _random_projection_oracle() -> str:
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        random_projection_oracle_sql,
+    )
+
+    return (
+        "SELECT vec_id, "
+        + random_projection_oracle_sql(64, 8)
+        + " AS proj FROM embeddings"
+    )
+
+
+@register(
+    "q_random_projection",
+    _random_projection_oracle(),
+    doc="Johnson-Lindenstrauss dimensionality reduction: 64-dim embeddings "
+    "-> 8 dims through a deterministic Rademacher (+-1) matrix scaled by "
+    "1/sqrt(8) — distance-preserving in expectation, zero shuffle, the "
+    "matrix is plan literals shared verbatim with the oracle. The "
+    "standard pre-step before ANN indexing on 1000+-dim embeddings.",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        random_projection,
+    )
+
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), d_in=64, d_out=8
+    )
+
+
 @register(
     "q_stream_enrich",
     """
@@ -2733,6 +2764,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                       property-oracled deep twin)
 #   q_stream_enrich  -> q_stream_join (stream-side join family; the static
 #                       side needs no watermark/state — the simpler twin)
+#   q_random_projection -> q_ann_cosine / q_dedup_embedding (embedding
+#                       expression family: same zip_with/aggregate dot
+#                       product core, here as a JL pre-step)
 #
 # INVARIANT (keep when registering anything new): every DISTINCT operator
 # family must stay within the first 50 entries — demote a near-twin when
@@ -2763,6 +2797,7 @@ _DEMOTED_NEAR_TWINS = [
     "q_quality_threshold",
     "q_bpe_train",
     "q_stream_enrich",
+    "q_random_projection",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:

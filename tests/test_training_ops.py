@@ -1075,6 +1075,37 @@ def test_stratified_sample_deterministic_and_balanced(spark):
     )
 
 
+def test_random_projection_preserves_norms_in_expectation(spark):
+    """JL property: with the 1/sqrt(d_out)-scaled Rademacher matrix,
+    E[||proj||^2] = ||x||^2 — the mean squared-norm ratio over the fixture
+    embeddings must sit near 1; and the matrix is deterministic, so the
+    projection is identical on rerun."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+    )
+    joined = (
+        random_projection(emb, d_in=64, d_out=8)
+        .join(emb, "vec_id")
+        .select(
+            (sq(F.col("proj")) / sq(F.col("embedding").cast("array<double>"))
+             ).alias("ratio")
+        )
+    )
+    mean_ratio = joined.agg(F.avg("ratio")).first()[0]
+    assert 0.8 < mean_ratio < 1.2, mean_ratio
+
+    a = random_projection(emb, d_in=64, d_out=8).orderBy("vec_id").collect()
+    b = random_projection(emb, d_in=64, d_out=8).orderBy("vec_id").collect()
+    assert a == b
+
+
 def test_bpe_train_and_tokenize_classic_example(spark):
     """The textbook BPE corpus: frequency-ordered merges, lexicographic
     tie-break, and a frequent word collapsing to a single token."""
