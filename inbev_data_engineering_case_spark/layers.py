@@ -135,7 +135,12 @@ def compact_parquet(
     input mid-read. Swap via the snapshot/latest_snapshot contract."""
     import math
 
-    if os.path.abspath(dst) == os.path.abspath(src):
+    def norm(p: str) -> str:
+        # abspath would mangle URI schemes (s3a://...); normalize local
+        # paths only, trim trailing slashes on the rest
+        return p.rstrip("/") if "://" in p else os.path.abspath(p)
+
+    if norm(dst) == norm(src):
         raise ValueError("compact_parquet: dst must differ from src")
     n_files = max(
         1, math.ceil(dir_bytes(spark, src) / target_file_bytes)

@@ -127,15 +127,11 @@ def _featurize_bmp(payload: bytes) -> tuple[int, list[float]]:
     return checksum, [float(width), float(abs_h), float(bpp), mean_px]
 
 
-def _featurize_pnm(payload: bytes) -> tuple[int, list[float]]:
-    """Pure-stdlib binary PNM decode (P6 PPM = RGB, P5 PGM = gray, 8-bit
-    maxval): whitespace/comment-tolerant header tokenizer, then the raster
-    straight out of numpy. Feature = [width, height, channels, mean sample];
-    checksum = crc32 of the raster."""
-    import zlib
-
-    import numpy as np
-
+def _pnm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary PNM (P5/P6) header → (width, height, channels,
+    raster_offset). Whitespace/comment-tolerant; raises ValueError on any
+    malformation (shared by featurize and resize so both fail loud the
+    same way)."""
     magic = payload[:2]
     channels = {b"P6": 3, b"P5": 1}.get(magic)
     if channels is None:
@@ -164,11 +160,24 @@ def _featurize_pnm(payload: bytes) -> tuple[int, list[float]]:
     width, height, maxval = tokens
     if not 0 < maxval < 256:
         raise ValueError(f"unsupported PNM maxval {maxval} (8-bit only)")
-    i += 1  # exactly ONE whitespace byte separates maxval from the raster
+    # exactly ONE whitespace byte separates maxval from the raster
+    return width, height, channels, i + 1
+
+
+def _featurize_pnm(payload: bytes) -> tuple[int, list[float]]:
+    """Pure-stdlib binary PNM decode (P6 PPM = RGB, P5 PGM = gray, 8-bit
+    maxval): whitespace/comment-tolerant header tokenizer, then the raster
+    straight out of numpy. Feature = [width, height, channels, mean sample];
+    checksum = crc32 of the raster."""
+    import zlib
+
+    import numpy as np
+
+    width, height, channels, offset = _pnm_header(payload)
     count = width * height * channels
-    if i + count > len(payload):
+    if offset + count > len(payload):
         raise ValueError("PNM raster truncated")
-    raster = np.frombuffer(payload, dtype=np.uint8, count=count, offset=i)
+    raster = np.frombuffer(payload, dtype=np.uint8, count=count, offset=offset)
     checksum = zlib.crc32(raster.tobytes()) % 1_000_003
     mean_px = float(raster.astype(np.float64).mean()) if raster.size else 0.0
     return checksum, [float(width), float(height), float(channels), mean_px]
@@ -524,26 +533,12 @@ def _decode_image_pixels(payload: bytes):
             pixels = pixels[:, :, 2::-1]
         return np.ascontiguousarray(pixels)
     if payload[:2] in (b"P5", b"P6"):
-        # _featurize_pnm validated this same layout; re-tokenize the header
-        tokens: list[int] = []
-        i = 2
-        while len(tokens) < 3:
-            c = payload[i]
-            if c in b" \t\r\n":
-                i += 1
-            elif c == ord("#"):
-                i = payload.index(b"\n", i)
-            else:
-                j = i
-                while ord("0") <= payload[j] <= ord("9"):
-                    j += 1
-                tokens.append(int(payload[i:j]))
-                i = j
-        width, height, _maxval = tokens
-        channels = 3 if payload[:2] == b"P6" else 1
+        width, height, channels, offset = _pnm_header(payload)
+        count = width * height * channels
+        if offset + count > len(payload):
+            raise ValueError("PNM raster truncated")
         raster = np.frombuffer(
-            payload, dtype=np.uint8, count=width * height * channels,
-            offset=i + 1,
+            payload, dtype=np.uint8, count=count, offset=offset
         )
         return raster.reshape(height, width, channels)
     if payload[:8] == _PNG_SIG:

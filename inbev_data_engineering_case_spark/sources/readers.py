@@ -143,7 +143,10 @@ def read_binary_assets(
     df = spark.read.format("binaryFile").load(path_glob)
     if max_bytes is not None:
         df = df.filter(F.col("length") <= max_bytes)
-    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    # extension of the BASENAME (a dot in a directory name must not leak
+    # into the media-type routing)
+    basename = F.element_at(F.split(F.col("path"), "/"), -1)
+    ext = F.lower(F.element_at(F.split(basename, r"\."), -1))
     media_type = F.coalesce(
         *[
             F.when(ext == e, F.lit(t))
