@@ -2632,6 +2632,59 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_projected",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           true AS wider_is_better, true AS beats_random
+    FROM embeddings WHERE vec_id < 20
+    """,
+    doc="ANN on JL-projected vectors (the 1000-dim production shape "
+    "composed end to end): exact cosine top-5 in the projected space, "
+    "recall measured against exact top-5 in the original 64-dim space. "
+    "The fixture embeddings are isotropic noise — the hardest case for "
+    "neighbor identity — so the asserted property is the LEVER, not an "
+    "absolute floor: recall rises with projection width (d_out 32 > 8, "
+    "measured 0.21 vs 0.05 here) and beats random k/n (~0.01) at every "
+    "width. Property oracle, like q_ann_probes' probe lever: the "
+    "projection-then-search composition isn't one SQL statement.",
+)
+def q_ann_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        cosine_topk,
+        random_projection,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = (
+        cosine_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    n_exact = exact.count()
+
+    def recall_at(d_out: int) -> float:
+        proj = random_projection(emb, d_in=64, d_out=d_out).select(
+            "vec_id", F.col("proj").alias("embedding")
+        )
+        hits = (
+            cosine_topk(proj, proj.filter(F.col("vec_id") < 20), k=5)
+            .select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .count()
+        )
+        return hits / n_exact
+
+    narrow, wide = recall_at(8), recall_at(32)
+    random_recall = 5 / n_corpus
+    return spark.createDataFrame(
+        [(20, wide > narrow, narrow >= 3 * random_recall)],
+        "n_queries bigint, wider_is_better boolean, beats_random boolean",
+    )
+
+
+@register(
     "q_stream_enrich",
     """
     SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
@@ -2767,6 +2820,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q_random_projection -> q_ann_cosine / q_dedup_embedding (embedding
 #                       expression family: same zip_with/aggregate dot
 #                       product core, here as a JL pre-step)
+#   q_ann_projected  -> q_ann_probes / q_ann_ivf_trained (same 1-row
+#                       recall-property shape, composing the projection
+#                       into the search)
 #
 # INVARIANT (keep when registering anything new): every DISTINCT operator
 # family must stay within the first 50 entries — demote a near-twin when
@@ -2798,6 +2854,7 @@ _DEMOTED_NEAR_TWINS = [
     "q_bpe_train",
     "q_stream_enrich",
     "q_random_projection",
+    "q_ann_projected",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:
