@@ -2064,6 +2064,85 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+               AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, sum(is_new) OVER
+                  (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="sessionization via Spark's NATIVE session_window (gap-merged "
+    "dynamic windows in one groupBy — no lag/running-sum scaffolding, and "
+    "the same operator works in Structured Streaming with a watermark). "
+    "Twin of q_sessionize's manual construction; native boundary "
+    "semantics: a gap of exactly the timeout starts a NEW session, hence "
+    "the oracle's >= where the manual form uses >. window.end is last "
+    "event + gap by definition.",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events(spark, sf_dir)
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_approx_count_distinct",
+    """
+    SELECT true AS within_5pct, CAST(count(DISTINCT o_custkey) AS BIGINT)
+             AS exact_customers
+    FROM orders
+    """,
+    doc="HLL++ sketch count-distinct (approx_count_distinct): the 100 TB "
+    "path for distinct cardinalities — mergeable map-side sketch, no "
+    "Expand blowup, fixed memory per group. Sketch values can't "
+    "hash-match an exact oracle, so this is a property oracle: the "
+    "estimate must sit within the documented 5% relative error of the "
+    "exact count (also returned, exactly, for the hash compare).",
+)
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).first()
+    within = abs(row["approx"] - row["exact"]) <= 0.05 * row["exact"]
+    return spark.createDataFrame(
+        [(bool(within), row["exact"])],
+        "within_5pct boolean, exact_customers bigint",
+    )
+
+
+@register(
     "q_stream_join",
     """
     SELECT c.user_id,
@@ -2823,6 +2902,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q_ann_projected  -> q_ann_probes / q_ann_ivf_trained (same 1-row
 #                       recall-property shape, composing the projection
 #                       into the search)
+#   q_session_window -> q_sessionize (same gap-sessionization family; this
+#                       is the native session_window form)
+#   q_approx_count_distinct -> q_count_distinct (distinct-agg family; the
+#                       HLL sketch is the scale twin, property-oracled)
 #
 # INVARIANT (keep when registering anything new): every DISTINCT operator
 # family must stay within the first 50 entries — demote a near-twin when
@@ -2855,6 +2938,8 @@ _DEMOTED_NEAR_TWINS = [
     "q_stream_enrich",
     "q_random_projection",
     "q_ann_projected",
+    "q_session_window",
+    "q_approx_count_distinct",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:
