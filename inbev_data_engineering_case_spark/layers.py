@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 SNAPSHOT_PREFIX = "brewery_data"
 SUCCESS_MARKER = "_SUCCESS"
@@ -154,6 +155,49 @@ def compact_parquet(
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(dst)
     return n_files
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture between two snapshots of the same table:
+    returns ``key_cols + (change)`` with change ∈ {insert, update,
+    delete} — the feed an incremental downstream (gold refresh, index
+    update, cache invalidation) consumes instead of re-reading the whole
+    new snapshot.
+
+    One full-outer shuffle join on the keys; change detection compares a
+    single xxhash64 over ``compare_cols`` (default: all non-key columns,
+    sorted for stability), so the exchange carries key + 8-byte hash per
+    side regardless of row width — the same narrow-shuffle discipline as
+    exact dedup. Unchanged rows are filtered out before anything
+    downstream."""
+    compare_cols = compare_cols or sorted(
+        c for c in new.columns if c not in key_cols
+    )
+
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        cols = [F.col(c).cast("string") for c in compare_cols]
+        return df.select(
+            *key_cols, F.xxhash64(*cols).alias(f"{alias}_h")
+        )
+
+    joined = hashed(old, "old").join(
+        hashed(new, "new"), on=key_cols, how="full_outer"
+    )
+    change = (
+        F.when(F.col("old_h").isNull(), F.lit("insert"))
+        .when(F.col("new_h").isNull(), F.lit("delete"))
+        .when(F.col("old_h") != F.col("new_h"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )
 
 
 def publish_view(spark: SparkSession, df: DataFrame, name: str) -> list[str]:

@@ -2064,6 +2064,57 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_snapshot_diff",
+    """
+    WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),
+    new AS (
+      SELECT o_orderkey,
+             o_totalprice
+               + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 103 = 0
+    ),
+    j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_totalprice AS op, n.o_totalprice AS np
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN op IS NULL THEN 'insert'
+                WHEN np IS NULL THEN 'delete'
+                WHEN op <> np THEN 'update' END AS change
+    FROM j
+    WHERE op IS NULL OR np IS NULL OR op <> np
+    """,
+    doc="snapshot diff / CDC (layers.snapshot_diff): inserts, updates, "
+    "and deletes between two snapshots of a table via one full-outer "
+    "join whose exchange carries key + 8-byte xxhash64 of the compared "
+    "columns per side — row width never rides the shuffle. The feed an "
+    "incremental downstream consumes instead of re-reading the snapshot. "
+    "Fixture plants deterministic changes (key % 97 update, % 101 "
+    "delete, % 103 insert); the oracle diffs values directly.",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.layers import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    key = F.col("o_orderkey")
+    new = orders.filter(key % 101 != 0).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(key % 97 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    ).unionByName(
+        orders.filter(key % 103 == 0).select(
+            (key + 10_000_000).alias("o_orderkey"), "o_totalprice"
+        )
+    )
+    return snapshot_diff(orders, new, key_cols=["o_orderkey"])
+
+
+@register(
     "q_session_window",
     """
     WITH ordered AS (
@@ -2904,6 +2955,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                       into the search)
 #   q_session_window -> q_sessionize (same gap-sessionization family; this
 #                       is the native session_window form)
+#   q_snapshot_diff  -> q_join_orders (outer-join family) +
+#                       q_intersect_except (set-diff semantics) — the CDC
+#                       composition of the two over the snapshot contract
 #   q_approx_count_distinct -> q_count_distinct (distinct-agg family; the
 #                       HLL sketch is the scale twin, property-oracled)
 #
@@ -2940,6 +2994,7 @@ _DEMOTED_NEAR_TWINS = [
     "q_ann_projected",
     "q_session_window",
     "q_approx_count_distinct",
+    "q_snapshot_diff",
 ]
 
 for _name in _DEMOTED_NEAR_TWINS:

@@ -108,3 +108,33 @@ def test_compact_parquet_reduces_files_and_keeps_rows(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="dst must differ"):
         compact_parquet(spark, src, src)
+
+
+def test_snapshot_diff_cdc_known_answer(spark):
+    from inbev_data_engineering_case_spark.layers import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged -> absent from the diff
+         (2, "b", 21.0),          # value update
+         (4, "D", 40.0),          # non-key column update
+         (5, "e", 50.0)],         # insert; 3 deleted
+        "k long, name string, v double",
+    )
+    diff = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(old, new, key_cols=["k"]).collect()
+    }
+    assert diff == {2: "update", 3: "delete", 4: "update", 5: "insert"}
+
+    # compare_cols narrows change detection: name-only edits vanish
+    vdiff = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(
+            old, new, key_cols=["k"], compare_cols=["v"]
+        ).collect()
+    }
+    assert vdiff == {2: "update", 3: "delete", 5: "insert"}
