@@ -56,6 +56,14 @@ DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2
 DEFAULT_SHINGLE = 5
 DEFAULT_SHINGLE_WORDS = 3
+# Hot-bucket cap for the banded self-joins. Boilerplate-heavy corpora
+# (identical headers/templates/license blocks) can put millions of
+# documents into ONE band key or SimHash bucket, making the bucket-local
+# join quadratic in that bucket — the one way LSH degenerates back toward
+# all-pairs at 100 TB. Buckets above the cap switch to star-linking (see
+# ``_split_hot_buckets``). 10k² /2 = 5e7 comparisons is the most any
+# single bucket may cost before the fallback engages.
+DEFAULT_MAX_BUCKET_SIZE = 10_000
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -136,6 +144,40 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     if splits < target:
         return df.repartition(target)
     return df
+
+
+def _split_hot_buckets(
+    rows: DataFrame, keys: list[str], max_bucket_size: int
+) -> tuple[DataFrame, DataFrame]:
+    """Split bucketed rows into (cold, hot) by per-bucket row count.
+
+    The count is a groupBy with map-side partial aggregation (the exchange
+    carries one row per distinct bucket per map task, never the data), and
+    only buckets ABOVE the cap survive the filter — by construction at most
+    ``total_rows / max_bucket_size`` of them, so the key table is tiny and
+    AQE broadcasts the flagging join: the data rows themselves are never
+    shuffled to be classified.
+
+    Hot-bucket handling downstream is **star-linking**: every member pairs
+    with the bucket's min-id representative only (n-1 pairs instead of
+    n(n-1)/2), then passes the same exact similarity verification as a
+    cold pair. This is the published-practice fallback for template-heavy
+    corpora: connectivity is preserved (every member reachable through the
+    representative, so connected-components grouping is unchanged for
+    buckets of true duplicates — which is what hot buckets overwhelmingly
+    are), while the pair count per bucket drops from quadratic to linear.
+    The recall trade: a pair similar to each other but NOT to the
+    representative inside a hot bucket is missed in that bucket (it can
+    still surface from any other band/bucket it shares)."""
+    counts = (
+        rows.groupBy(*keys)
+        .agg(F.count("*").alias("_bucket_n"))
+        .filter(F.col("_bucket_n") > max_bucket_size)
+    )
+    flagged = rows.join(counts, keys, "left")
+    cold = flagged.filter(F.col("_bucket_n").isNull()).drop("_bucket_n")
+    hot = flagged.filter(F.col("_bucket_n").isNotNull()).drop("_bucket_n")
+    return cold, hot
 
 
 def exact_dedup(
@@ -221,31 +263,49 @@ def _band_keys(sig_col: str, band_size: int) -> Column:
 def lsh_candidate_pairs(
     signatures: DataFrame,
     band_size: int = DEFAULT_BAND_SIZE,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_index, band_key):
     (id_a, id_b) candidate pairs with id_a < id_b, deduplicated.
 
     The band key is the concatenation of the band's signature slots; the
-    join shuffles on it (uniform, so no skew). Pairs sharing ≥1 band
-    survive — the standard LSH recall/precision dial via band_size."""
+    join shuffles on it (uniform-hash-distributed — skew only arises from
+    genuinely identical band slices, which ``max_bucket_size`` guards: see
+    ``_split_hot_buckets``). Pairs sharing ≥1 band survive — the standard
+    LSH recall/precision dial via band_size."""
     bands = signatures.select(
         "id",
         F.posexplode(_band_keys("sig", band_size)).alias(
             "band_idx", "band_key"
         ),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+    if max_bucket_size is not None:
+        cold, hot = _split_hot_buckets(
+            bands, ["band_idx", "band_key"], max_bucket_size
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    else:
+        cold, hot = bands, None
+    a = cold.alias("a")
+    b = cold.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    if hot is not None:
+        reps = hot.groupBy("band_idx", "band_key").agg(
+            F.min("id").alias("rep_id")
+        )
+        star = (
+            hot.join(reps, ["band_idx", "band_key"])
+            .filter(F.col("id") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("id_a"), F.col("id").alias("id_b")
+            )
+        )
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def signature_similarity(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
@@ -285,6 +345,7 @@ def minhash_dedup_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_words: int = DEFAULT_SHINGLE_WORDS,
     threshold: float = 0.5,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     signature-similarity filter ≥ threshold.
@@ -301,7 +362,13 @@ def minhash_dedup_pairs(
     result is identical, but the distinct's exchange then carries 24-byte
     (id_a, id_b, est) rows instead of two full signature arrays, and
     sub-threshold candidates never enter that shuffle at all — at 100 TB
-    the band join's output is the biggest intermediate in the pipeline."""
+    the band join's output is the biggest intermediate in the pipeline.
+
+    ``max_bucket_size`` is the hot-bucket guard (see ``_split_hot_buckets``):
+    band buckets above the cap star-link to their min-id representative
+    instead of all-pairs joining, bounding any single bucket's cost to
+    linear. Star pairs pass the SAME signature-similarity threshold. None
+    disables the guard (exact parity with the unguarded pipeline)."""
     sigs = _materialize(
         minhash_signatures(
             _ensure_parallelism(df), text_col, id_col, num_hashes, shingle_words
@@ -314,29 +381,52 @@ def minhash_dedup_pairs(
             "band_idx", "band_key"
         ),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    matches = F.size(
-        F.filter(
-            F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
-            lambda eq: eq,
+
+    def est(sig_a: Column, sig_b: Column) -> Column:
+        matches = F.size(
+            F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                     lambda eq: eq)
         )
+        # raw IEEE division: bit-identical across engines
+        return matches / F.size(sig_a)
+
+    if max_bucket_size is not None:
+        cold, hot = _split_hot_buckets(
+            bands, ["band_idx", "band_key"], max_bucket_size
+        )
+    else:
+        cold, hot = bands, None
+    a, b = cold.alias("a"), cold.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        est(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+    if hot is not None:
+        # one (rep_id, rep_sig) row per hot bucket: partial min/min_by
+        # aggregation map-side, so the skewed bucket never concentrates on
+        # one reducer; the tiny rep table then AQE-broadcasts back onto the
+        # hot rows — the hot data itself is never reshuffled
+        reps = hot.groupBy("band_idx", "band_key").agg(
+            F.min("id").alias("rep_id"),
+            F.min_by("sig", "id").alias("rep_sig"),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            # raw IEEE division: bit-identical across engines
-            (matches / F.size("a.sig")).alias("est_jaccard"),
+        star = (
+            hot.join(reps, ["band_idx", "band_key"])
+            .filter(F.col("id") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                est(F.col("rep_sig"), F.col("sig")).alias("est_jaccard"),
+            )
         )
-        .filter(F.col("est_jaccard") >= threshold)
-        .distinct()
-    )
+        pairs = pairs.unionByName(star)
+    return pairs.filter(F.col("est_jaccard") >= threshold).distinct()
 
 
 def jaccard_similarity(
@@ -535,6 +625,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = 1,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Embedding-cosine near-dup: (id_a, id_b, sim) for same-sign-LSH-bucket
     pairs with cosine ≥ threshold. The bucket equi-join keeps the pair space
@@ -546,7 +637,13 @@ def embedding_near_dup_pairs(
     re-bucketed under additional independent hyperplane seeds, candidate
     pairs are unioned and deduplicated — a pair missed by one bucketing
     (a near-zero hyperplane dot flips a bit) is almost surely caught by
-    another."""
+    another.
+
+    ``max_bucket_size`` is the hot-bucket guard (``_split_hot_buckets``):
+    embedding collapse (many identical vectors — e.g. an encoder's output
+    for empty/boilerplate inputs) concentrates one bucket; above the cap
+    the bucket star-links to its min-id representative with the same
+    cosine ≥ threshold verify."""
     from inbev_data_engineering_case_spark.functions import cosine
     from inbev_data_engineering_case_spark.operators.similarity import (
         signlsh_bucket,
@@ -562,19 +659,38 @@ def embedding_near_dup_pairs(
                 signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
             )
         )
-        a, b = sigs.alias("a"), sigs.alias("b")
+        if max_bucket_size is not None:
+            cold, hot = _split_hot_buckets(sigs, ["bucket"], max_bucket_size)
+        else:
+            cold, hot = sigs, None
+        a, b = cold.alias("a"), cold.alias("b")
         sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
-        per_probe.append(
-            a.join(
-                b,
-                (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.id") < F.col("b.id")),
-            ).select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                sim.alias("sim"),
-            )
+        probe = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("sim"),
         )
+        if hot is not None:
+            reps = hot.groupBy("bucket").agg(
+                F.min("id").alias("rep_id"),
+                F.min_by("v", "id").alias("rep_v"),
+            )
+            star_sim = F.round(cosine(F.col("rep_v"), F.col("v")), 6)
+            star = (
+                hot.join(reps, ["bucket"])
+                .filter(F.col("id") != F.col("rep_id"))
+                .select(
+                    F.col("rep_id").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    star_sim.alias("sim"),
+                )
+            )
+            probe = probe.unionByName(star)
+        per_probe.append(probe)
     pairs = per_probe[0]
     for p in per_probe[1:]:
         pairs = pairs.unionByName(p)
@@ -590,12 +706,18 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bits: int = 60,
     bucket_bits: int = 8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top ``bucket_bits`` bits
     (signature bits ``bits-bucket_bits``..``bits-1``, so the self-join is
     per-bucket, not all-pairs), then filter popcount(XOR) ≤ max_hamming.
     Note the bucket prefilter trades recall for scale exactly like LSH
-    banding: 8 bucket bits → 256-way candidate split at any ``bits``."""
+    banding: 8 bucket bits → 256-way candidate split at any ``bits``.
+
+    ``max_bucket_size`` is the hot-bucket guard (``_split_hot_buckets``):
+    identical templates concentrate in ONE SimHash bucket (their top bits
+    are equal by construction); above the cap the bucket star-links to its
+    min-id representative, with the same popcount ≤ max_hamming verify."""
     hashed = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), token_hashes(text_col).alias("th")
     )
@@ -603,11 +725,15 @@ def simhash_near_pairs(
         hashed.select("id", simhash_from_hashes("th", bits).alias("sh"))
         .withColumn("bucket", F.shiftright("sh", bits - bucket_bits))
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    if max_bucket_size is not None:
+        cold, hot = _split_hot_buckets(sigs, ["bucket"], max_bucket_size)
+    else:
+        cold, hot = sigs, None
+    a, b = cold.alias("a"), cold.alias("b")
     hamming = F.bit_count(
         F.col("a.sh").bitwiseXOR(F.col("b.sh"))
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -620,3 +746,23 @@ def simhash_near_pairs(
             hamming.alias("hamming"),
         )
     )
+    if hot is not None:
+        reps = hot.groupBy("bucket").agg(
+            F.min("id").alias("rep_id"),
+            F.min_by("sh", "id").alias("rep_sh"),
+        )
+        star_hamming = F.bit_count(
+            F.col("rep_sh").bitwiseXOR(F.col("sh"))
+        )
+        star = (
+            hot.join(reps, ["bucket"])
+            .filter(F.col("id") != F.col("rep_id"))
+            .filter(star_hamming <= max_hamming)
+            .select(
+                F.col("rep_id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                star_hamming.alias("hamming"),
+            )
+        )
+        pairs = pairs.unionByName(star)
+    return pairs

@@ -1316,3 +1316,69 @@ def test_incremental_minhash_recrawl_overlap(spark):
     # the near-dup is found exactly once despite appearing in both branches
     rows = inc.filter("id_a = 5 AND id_b = 20").collect()
     assert len(rows) == 1 and rows[0]["est_jaccard"] >= 0.5
+
+
+def test_hot_bucket_guard_bounds_pair_counts(spark):
+    """Degenerate template-heavy corpus: every doc shares one long
+    boilerplate prefix + a unique tail, so (uncapped) every band bucket
+    holds the whole corpus and the self-join goes quadratic. With the cap,
+    hot buckets star-link to the min-id representative: pair count drops
+    from O(n^2) to O(n), and component connectivity is preserved (all
+    members still collapse into one duplicate group)."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    n = 200
+    boiler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " tail"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    uncapped = minhash_dedup_pairs(docs, max_bucket_size=None).count()
+    capped_df = minhash_dedup_pairs(docs, max_bucket_size=50)
+    capped = capped_df.count()
+    assert uncapped >= n * (n - 1) // 2  # quadratic blow-up is real
+    assert capped <= 2 * n  # star pairs: linear in bucket size
+    # connectivity preserved: everything still collapses into one group
+    comps = dedup_components(capped_df)
+    assert comps.select("comp").distinct().count() == 1
+    assert comps.count() == n
+
+
+def test_hot_bucket_guard_is_identity_below_cap(spark, docs):
+    """On a corpus whose buckets all sit below the cap, the guarded and
+    unguarded pipelines are row-identical — the guard only changes hot
+    buckets (this also covers the driver fixtures, where the default cap
+    never engages and oracle parity is exact)."""
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(minhash_dedup_pairs(docs, max_bucket_size=None)) == rows(
+        minhash_dedup_pairs(docs, max_bucket_size=10_000)
+    )
+    assert rows(
+        simhash_near_pairs(docs, max_hamming=6, bucket_bits=1,
+                           max_bucket_size=None)
+    ) == rows(
+        simhash_near_pairs(docs, max_hamming=6, bucket_bits=1,
+                           max_bucket_size=10_000)
+    )
+
+
+def test_hot_bucket_guard_simhash_star_links(spark):
+    """Identical texts share one SimHash bucket AND signature; with a cap
+    below the group size the bucket emits exactly n-1 star pairs at
+    hamming 0."""
+    n = 64
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same exact template text body for every single doc").alias(
+            "text"
+        ),
+    )
+    pairs = simhash_near_pairs(
+        docs, max_hamming=3, bucket_bits=4, max_bucket_size=10
+    ).collect()
+    assert len(pairs) == n - 1
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in pairs)

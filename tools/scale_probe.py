@@ -94,6 +94,32 @@ def main() -> None:
             flush=True,
         )
 
+    # hot-bucket guard probe: a template-heavy corpus (every doc = one
+    # shared boilerplate block + unique tail) drives every band bucket to
+    # corpus size. Uncapped, the bucket-local join is quadratic; with the
+    # cap, hot buckets star-link to their representative and the pair
+    # count (and wall time) collapses to linear.
+    n_hot = 3000
+    boiler = " ".join(f"tok{i}" for i in range(60))
+    hot_corpus = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " tail"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    t0 = time.perf_counter()
+    uncapped = minhash_dedup_pairs(hot_corpus, max_bucket_size=None).count()
+    t_uncapped = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    capped = minhash_dedup_pairs(hot_corpus, max_bucket_size=500).count()
+    t_capped = time.perf_counter() - t0
+    print(
+        f"hot-bucket guard: docs={n_hot} uncapped_pairs={uncapped} "
+        f"({t_uncapped:.1f}s) capped_pairs={capped} ({t_capped:.1f}s) "
+        f"[cap=500 engaged: {capped < uncapped}]",
+        flush=True,
+    )
+
     spark.stop()
 
 
