@@ -6,9 +6,13 @@ UDF signature, batch shape. Decoding is REAL for every format the stdlib
 can express: WAV (``wave``), BMP/binary-PNM (``struct``+numpy), PNG
 (``zlib`` inflate + scanline unfiltering), and Y4M video (header+frame
 demux). Codec-bound formats (JPEG/WebP, H.264/VP9 containers) raise a
-clearly-marked ``NotImplementedError`` — they need PIL/ffmpeg, absent in
-this container; swapping one in changes only the inner function — the
-distributed plumbing is already the production shape:
+clearly-marked ``NotImplementedError`` from the inner decoders — they
+need PIL/ffmpeg, absent in this container; swapping one in changes only
+the inner function. At the OPERATOR level decode errors are
+dead-lettered, not raised (``decode_ok``/``error`` columns; opt back
+into raising with ``strict=True``): one corrupt or codec-bound asset in
+a 100 TB corpus must flag its row, not kill the job. The distributed
+plumbing is already the production shape:
 
 - **Arrow batches, not rows**: ``mapInPandas`` streams pandas DataFrames of
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows; payload bytes move
@@ -55,6 +59,8 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("checksum", T.LongType(), True),
         T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
     ]
 )
 
@@ -89,42 +95,26 @@ def _fake_featurize(payload: bytes) -> tuple[int, list[float]]:
 
 
 def _featurize_bmp(payload: bytes) -> tuple[int, list[float]]:
-    """Pure-stdlib BMP decode (uncompressed BI_RGB, 8/24/32 bpp): header
-    parse via ``struct``, pixel raster via numpy with the 4-byte row padding
-    stripped. Feature = [width, height, bpp, mean pixel value]; checksum =
-    crc32 of the unpadded raster (padding bytes are undefined by the format
-    and must not affect the fingerprint). Negative height (top-down rows)
-    only flips row order, which neither the mean nor the per-row crc input
-    order here depends on — we hash rows in stored order either way."""
+    """Pure-stdlib BMP featurization over the NORMALIZED raster: decode via
+    ``_decode_image_pixels`` (top-down row order, BGR(A)→RGB, 8-bpp palette
+    expanded through the color table), then [width, height, stored_bpp,
+    mean pixel] with checksum = crc32 of the normalized pixels. Hashing the
+    normalized raster — not the stored bytes — makes the fingerprint
+    encoding-invariant: the same image as a paletted BMP, a paletted PNG,
+    or a P6 PNM checksums identically, which is what cross-encoding
+    near-dup detection over a scraped corpus needs. Row padding is
+    stripped before hashing (undefined by the format)."""
     import struct
     import zlib
 
     import numpy as np
 
-    if len(payload) < 54 or payload[:2] != b"BM":
-        raise ValueError("not a BMP payload (missing 'BM' magic)")
-    pix_off = struct.unpack_from("<I", payload, 10)[0]
-    hdr_size = struct.unpack_from("<I", payload, 14)[0]
-    if hdr_size < 40:
-        raise ValueError(f"unsupported BMP header size {hdr_size}")
-    width, height = struct.unpack_from("<ii", payload, 18)
+    pixels = _decode_image_pixels(payload)
     bpp = struct.unpack_from("<H", payload, 28)[0]
-    compression = struct.unpack_from("<I", payload, 30)[0]
-    if compression != 0 or bpp not in (8, 24, 32):
-        raise ValueError(
-            f"unsupported BMP variant (compression={compression}, bpp={bpp})"
-        )
-    abs_h, bytes_pp = abs(height), bpp // 8
-    row_stride = ((width * bytes_pp + 3) // 4) * 4
-    if pix_off + row_stride * abs_h > len(payload):
-        raise ValueError("BMP raster truncated")
-    raster = np.frombuffer(
-        payload, dtype=np.uint8, count=row_stride * abs_h, offset=pix_off
-    )
-    pixels = raster.reshape(abs_h, row_stride)[:, : width * bytes_pp]
+    h, w = pixels.shape[0], pixels.shape[1]
     checksum = zlib.crc32(pixels.tobytes()) % 1_000_003
     mean_px = float(pixels.astype(np.float64).mean()) if pixels.size else 0.0
-    return checksum, [float(width), float(abs_h), float(bpp), mean_px]
+    return checksum, [float(w), float(h), float(bpp), mean_px]
 
 
 def _pnm_header(payload: bytes) -> tuple[int, int, int, int]:
@@ -449,28 +439,47 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
 
 
 def decode_features(
-    assets: DataFrame, real_decoder: bool = False
+    assets: DataFrame, real_decoder: bool = False, strict: bool = False
 ) -> DataFrame:
     """Decode/feature-extract each asset via Arrow-batched ``mapInPandas``.
 
     ``real_decoder=True`` routes to the stdlib decoders in
     ``_stdlib_featurize`` (real WAV/BMP/PNM/PNG/Y4M decoding, crc32/zlib
     features for opaque binary; only codec-bound formats — JPEG, mp4 —
-    still need PIL/ffmpeg and raise). The default fake featurizer stays
-    the oracle-checked path — its output is reproducible in SQL, the
-    crc32/PCM decoders' is not."""
+    still need PIL/ffmpeg). The default fake featurizer stays the
+    oracle-checked path — its output is reproducible in SQL, the
+    crc32/PCM decoders' is not.
+
+    Decode failures are **dead-lettered, not raised**: a corrupt or
+    codec-bound asset yields its row with ``decode_ok=false``, null
+    checksum/feature, and the error message in ``error`` — at corpus
+    scale one bad JPEG in 100 TB must not kill the job after task
+    retries. ``strict=True`` restores the raise (debugging / hard
+    quality gates)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            checksums, features = [], []
+            checksums, features, oks, errors = [], [], [], []
             for media_type, payload in zip(
                 batch["media_type"], batch["payload"]
             ):
                 payload = bytes(payload) if payload is not None else b""
-                if real_decoder:
-                    checksum, feature = _stdlib_featurize(media_type, payload)
+                try:
+                    if real_decoder:
+                        checksum, feature = _stdlib_featurize(
+                            media_type, payload
+                        )
+                    else:
+                        checksum, feature = _fake_featurize(payload)
+                except Exception as e:  # noqa: BLE001 — dead-letter path
+                    if strict:
+                        raise
+                    checksum, feature = None, None
+                    oks.append(False)
+                    errors.append(f"{type(e).__name__}: {e}")
                 else:
-                    checksum, feature = _fake_featurize(payload)
+                    oks.append(True)
+                    errors.append(None)
                 checksums.append(checksum)
                 features.append(feature)
             yield pd.DataFrame(
@@ -478,15 +487,23 @@ def decode_features(
                     "asset_id": batch["asset_id"],
                     "media_type": batch["media_type"],
                     "n_bytes": [len(bytes(p)) if p is not None else 0 for p in batch["payload"]],
-                    "checksum": checksums,
+                    "checksum": pd.array(checksums, dtype="Int64"),
                     "feature": features,
+                    "decode_ok": oks,
+                    "error": errors,
                 }
             )
 
     return assets.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
-RESIZE_SCHEMA = ASSET_SCHEMA
+RESIZE_SCHEMA = T.StructType(
+    list(ASSET_SCHEMA.fields)
+    + [
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
 
 FRAME_SCHEMA = T.StructType(
     [
@@ -494,6 +511,8 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.LongType(), False),
         T.StructField("frame", T.BinaryType(), True),
         T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
     ]
 )
 
@@ -509,7 +528,12 @@ def _decode_image_pixels(payload: bytes):
     import numpy as np
 
     if payload[:2] == b"BM":
+        if len(payload) < 54:
+            raise ValueError("BMP header truncated")
         pix_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:
+            raise ValueError(f"unsupported BMP header size {hdr_size}")
         width, height = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
         compression = struct.unpack_from("<I", payload, 30)[0]
@@ -529,7 +553,24 @@ def _decode_image_pixels(payload: bytes):
         pixels = pixels.reshape(abs_h, width, bytes_pp)
         if height > 0:  # bottom-up storage -> top-down pixels
             pixels = pixels[::-1]
-        if bytes_pp >= 3:  # BGR(A) -> RGB, alpha dropped
+        if bpp == 8:
+            # expand palette indices through the color table (BGRA
+            # entries, 4 bytes each; biClrUsed == 0 means a full 256) —
+            # mirroring _png_decode's PLTE expansion, so the same image
+            # stored as paletted BMP vs paletted PNG normalizes (and
+            # therefore fingerprints) identically
+            n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+            pal_off = 14 + hdr_size
+            if pal_off + n_colors * 4 > len(payload):
+                raise ValueError("BMP color table truncated")
+            table = np.frombuffer(
+                payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+            ).reshape(-1, 4)[:, 2::-1]  # BGRA -> RGB
+            idx = pixels[:, :, 0]
+            if int(idx.max(initial=0)) >= n_colors:
+                raise ValueError("BMP palette index out of range")
+            pixels = table[idx]
+        elif bytes_pp >= 3:  # BGR(A) -> RGB, alpha dropped
             pixels = pixels[:, :, 2::-1]
         return np.ascontiguousarray(pixels)
     if payload[:2] in (b"P5", b"P6"):
@@ -608,47 +649,70 @@ def _resize_wav(payload: bytes, target_bytes: int) -> bytes:
 
 
 def resize_assets(
-    assets: DataFrame, target_bytes: int = 64, real_decoder: bool = False
+    assets: DataFrame,
+    target_bytes: int = 64,
+    real_decoder: bool = False,
+    strict: bool = False,
 ) -> DataFrame:
-    """Resize each asset payload (1→1 binary transform, same asset schema
-    out). The real branch decodes → resamples → re-encodes with the stdlib
-    decoders: images (BMP/PNM/PNG) are nearest-neighbor downsampled and
-    re-encoded as binary PNM (media_type updated to match), WAV audio is
-    frame-decimated with duration preserved; codec-bound formats raise.
-    Opaque binary — and everything under the default stub — truncates /
-    zero-pads to ``target_bytes``: deterministic, and it exercises the
-    exact production plumbing either way (binary in, binary out, metadata
-    recomputed from the new payload)."""
+    """Resize each asset payload (1→1 binary transform, asset schema plus
+    the ``decode_ok``/``error`` dead-letter columns out). The real branch
+    decodes → resamples → re-encodes with the stdlib decoders: images
+    (BMP/PNM/PNG) are nearest-neighbor downsampled and re-encoded as
+    binary PNM (media_type updated to match), WAV audio is frame-decimated
+    with duration preserved. Opaque binary — and everything under the
+    default stub — truncates / zero-pads to ``target_bytes``:
+    deterministic, and it exercises the exact production plumbing either
+    way (binary in, binary out, metadata recomputed from the new payload).
+
+    A failed decode dead-letters the row — ORIGINAL payload and metadata
+    kept (so a later pass with a real codec can retry it), ``decode_ok``
+    false, message in ``error`` — unless ``strict=True``, which raises."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            out_types, out_payloads, metas = [], [], []
+            out_types, out_payloads, metas, oks, errors = [], [], [], [], []
             for media_type, payload, meta in zip(
                 batch["media_type"], batch["payload"], batch["meta"]
             ):
                 b = bytes(payload) if payload is not None else b""
                 mtype = media_type
                 kind = media_type.partition("/")[0]
-                if real_decoder and kind == "image":
-                    resized, mtype = _resize_image(b, target_bytes)
-                elif real_decoder and media_type in (
-                    "audio/wav",
-                    "audio/x-wav",
-                ):
-                    resized = _resize_wav(b, target_bytes)
+                try:
+                    if real_decoder and kind == "image":
+                        resized, mtype = _resize_image(b, target_bytes)
+                    elif real_decoder and media_type in (
+                        "audio/wav",
+                        "audio/x-wav",
+                    ):
+                        resized = _resize_wav(b, target_bytes)
+                    else:
+                        resized = b[:target_bytes].ljust(target_bytes, b"\0")
+                except Exception as e:  # noqa: BLE001 — dead-letter path
+                    if strict:
+                        raise
+                    out_types.append(media_type)
+                    out_payloads.append(b)
+                    metas.append(
+                        {"n_bytes": len(b), "source": meta["source"]}
+                    )
+                    oks.append(False)
+                    errors.append(f"{type(e).__name__}: {e}")
                 else:
-                    resized = b[:target_bytes].ljust(target_bytes, b"\0")
-                out_types.append(mtype)
-                out_payloads.append(resized)
-                metas.append(
-                    {"n_bytes": len(resized), "source": meta["source"]}
-                )
+                    out_types.append(mtype)
+                    out_payloads.append(resized)
+                    metas.append(
+                        {"n_bytes": len(resized), "source": meta["source"]}
+                    )
+                    oks.append(True)
+                    errors.append(None)
             yield pd.DataFrame(
                 {
                     "asset_id": batch["asset_id"],
                     "media_type": out_types,
                     "payload": out_payloads,
                     "meta": metas,
+                    "decode_ok": oks,
+                    "error": errors,
                 }
             )
 
@@ -660,48 +724,72 @@ def sample_frames(
     frame_bytes: int = 32,
     every_n: int = 2,
     real_decoder: bool = False,
+    strict: bool = False,
 ) -> DataFrame:
     """Frame-sample each asset (1→N explode: one output row per kept frame).
     Under ``real_decoder=True``, video payloads are genuinely demuxed:
     uncompressed YUV4MPEG2 streams split at FRAME markers and every n-th
     raw planar frame is emitted with its ORIGINAL frame index (so
-    downstream timing math stays honest); compressed containers raise
-    (ffmpeg absent). Non-video payloads — and everything under the default
-    stub — are treated as fixed-size byte chunks. The distributed shape is
-    the production one either way: ``mapInPandas`` may yield more rows
-    than it consumes, frames inherit the asset id for downstream joins,
-    and no shuffle happens until something groups on asset_id."""
+    downstream timing math stays honest). Non-video payloads — and
+    everything under the default stub — are treated as fixed-size byte
+    chunks. The distributed shape is the production one either way:
+    ``mapInPandas`` may yield more rows than it consumes, frames inherit
+    the asset id for downstream joins, and no shuffle happens until
+    something groups on asset_id.
+
+    A demux failure (compressed container — needs ffmpeg, absent here —
+    or corrupt stream) dead-letters the asset as ONE marker row:
+    ``frame_idx=-1``, null frame, ``decode_ok`` false, message in
+    ``error`` — so the asset stays visible downstream (counts, quarantine
+    routing) instead of killing the job. ``strict=True`` raises."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            ids, idxs, frames = [], [], []
+            ids, idxs, frames, oks, errors = [], [], [], [], []
             for asset_id, media_type, payload in zip(
                 batch["asset_id"], batch["media_type"], batch["payload"]
             ):
                 b = bytes(payload) if payload is not None else b""
-                if real_decoder and media_type.partition("/")[0] == "video":
-                    if b[:9] != b"YUV4MPEG2":
-                        raise NotImplementedError(
-                            "compressed video demux requires ffmpeg/pyav "
-                            "(not installed); uncompressed YUV4MPEG2 "
-                            "demuxes natively."
-                        )
-                    _w, _h, chunks = _parse_y4m(b)
-                else:
-                    chunks = [
-                        b[o : o + frame_bytes]
-                        for o in range(0, len(b), frame_bytes)
-                    ]
+                try:
+                    if real_decoder and media_type.partition("/")[0] == "video":
+                        if b[:9] != b"YUV4MPEG2":
+                            raise NotImplementedError(
+                                "compressed video demux requires ffmpeg/pyav "
+                                "(not installed); uncompressed YUV4MPEG2 "
+                                "demuxes natively."
+                            )
+                        _w, _h, chunks = _parse_y4m(b)
+                    else:
+                        chunks = [
+                            b[o : o + frame_bytes]
+                            for o in range(0, len(b), frame_bytes)
+                        ]
+                except Exception as e:  # noqa: BLE001 — dead-letter path
+                    if strict:
+                        raise
+                    ids.append(asset_id)
+                    idxs.append(-1)
+                    frames.append(None)
+                    oks.append(False)
+                    errors.append(f"{type(e).__name__}: {e}")
+                    continue
                 for i in range(0, len(chunks), every_n):
                     ids.append(asset_id)
                     idxs.append(i)
                     frames.append(chunks[i])
+                    oks.append(True)
+                    errors.append(None)
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
                     "frame_idx": idxs,
                     "frame": frames,
-                    "n_bytes": [len(f) for f in frames],
+                    "n_bytes": pd.array(
+                        [len(f) if f is not None else None for f in frames],
+                        dtype="Int64",
+                    ),
+                    "decode_ok": oks,
+                    "error": errors,
                 }
             )
 

@@ -1382,3 +1382,94 @@ def test_hot_bucket_guard_simhash_star_links(spark):
     ).collect()
     assert len(pairs) == n - 1
     assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in pairs)
+
+
+def test_decode_errors_dead_letter_not_raise(spark):
+    """A codec-bound (JPEG) or corrupt asset must survive as a flagged row
+    — null features, decode_ok=false, message in `error` — instead of
+    killing the job; strict=True restores the raise."""
+    import pytest as _pytest
+    from pyspark.errors import PythonException
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        decode_features,
+        resize_assets,
+        sample_frames,
+    )
+
+    bmp = _make_bmp([[(5, 5, 5), (10, 10, 10)]])
+    jpeg = b"\xff\xd8\xff\xe0 not decodable"
+    assets = spark.createDataFrame(
+        [
+            (1, "image/bmp", bmp, {"n_bytes": len(bmp), "source": "t"}),
+            (2, "image/jpeg", jpeg, {"n_bytes": len(jpeg), "source": "t"}),
+            (3, "video/mp4", b"\x00\x00\x00 ftyp", {"n_bytes": 8, "source": "t"}),
+        ],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+
+    feats = {
+        r["asset_id"]: r
+        for r in decode_features(assets, real_decoder=True).collect()
+    }
+    assert feats[1]["decode_ok"] and feats[1]["error"] is None
+    assert feats[1]["feature"] == [2.0, 1.0, 24.0, 7.5]
+    for bad in (2, 3):
+        assert not feats[bad]["decode_ok"]
+        assert feats[bad]["checksum"] is None
+        assert feats[bad]["feature"] is None
+        assert "NotImplementedError" in feats[bad]["error"]
+
+    resized = {
+        r["asset_id"]: r
+        for r in resize_assets(assets, 2000, real_decoder=True).collect()
+    }
+    assert resized[1]["decode_ok"]
+    assert not resized[2]["decode_ok"]
+    assert bytes(resized[2]["payload"]) == jpeg  # original kept for retry
+
+    frames = sample_frames(assets, real_decoder=True).collect()
+    bad_rows = [r for r in frames if not r["decode_ok"]]
+    assert {r["asset_id"] for r in bad_rows} == {3}  # only video demuxes
+    assert bad_rows[0]["frame_idx"] == -1 and bad_rows[0]["frame"] is None
+
+    with _pytest.raises(PythonException, match="NotImplementedError"):
+        decode_features(assets, real_decoder=True, strict=True).collect()
+
+
+def test_paletted_bmp_matches_paletted_png_fingerprint(spark):
+    """Cross-encoding parity: the same image stored as a paletted (8-bpp)
+    BMP and a paletted PNG must produce identical checksum and mean —
+    both normalize through their color tables to the same RGB raster."""
+    import struct
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _stdlib_featurize,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (12, 34, 56)]
+    idx_rows = [[0, 1, 2], [2, 1, 0]]
+
+    # 8bpp BMP: color table of BGRA entries right after the 40-byte info
+    # header, palette-index raster stored bottom-up with row padding
+    table = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in pal)
+    stride = ((3 + 3) // 4) * 4
+    raster = b"".join(
+        bytes(row).ljust(stride, b"\xAA") for row in reversed(idx_rows)
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, len(raster), 2835, 2835, len(pal), 0
+    )
+    off = 14 + 40 + len(table)
+    bmp = (
+        struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+        + info + table + raster
+    )
+    png = _make_png(idx_rows, 3, [0, 0], palette=pal)
+
+    bmp_crc, bmp_feat = _stdlib_featurize("image/bmp", bmp)
+    png_crc, png_feat = _stdlib_featurize("image/png", png)
+    assert bmp_crc == png_crc
+    assert bmp_feat[3] == png_feat[3]  # identical mean over expanded RGB
+    assert bmp_feat[:2] == png_feat[:2] == [3.0, 2.0]
