@@ -9,10 +9,13 @@ Scale shape (the industrial one, cf. the original BPE formulation):
   vocabulary. Everything after runs on the vocab table, which grows
   sublinearly with the corpus (Heaps' law) — at 100 TB the vocab is
   millions of rows, not billions of documents.
-- Each merge round is one pair-count aggregation over the vocab
-  (adjacent-pair explode weighted by word frequency → groupBy → argmax)
-  plus one merge application. The argmax collect is ONE row per round —
-  the same driver-sized model-state move as Lloyd's k-means in
+- Each round is one pair-count aggregation over the vocab
+  (adjacent-pair explode weighted by word frequency → groupBy → ranked
+  top) plus one merge application, and learns up to ``batch_size``
+  pairwise-disjoint merges (standard batched BPE — ``_select_batch``):
+  a 32k-merge production vocab is ~32k/K rounds, not 32k sequential
+  Spark jobs. The per-round collect is a few driver-sized rows — the
+  same model-state move as Lloyd's k-means in
   ``similarity.train_ivf_centroids``.
 - Merge application rewrites the symbol arrays via Arrow-batched
   ``mapInPandas`` — the documented exception to the no-Python-UDF policy
@@ -73,34 +76,85 @@ def _merge_seq(seq: list, left: str, right: str) -> list:
     return out
 
 
-def _apply_merge(vocab_syms: DataFrame, left: str, right: str) -> DataFrame:
-    """Rewrite every vocab row's symbol array under one merge rule
-    (Arrow-batched; rows are vocab entries, not documents)."""
+def _apply_merges(
+    vocab_syms: DataFrame, rules: list[tuple[str, str]]
+) -> DataFrame:
+    """Rewrite every vocab row's symbol array under an ordered list of
+    merge rules in ONE Arrow-batched pass (rows are vocab entries, not
+    documents). Rules apply sequentially within each word, so a batch of
+    pairwise-disjoint rules is exactly equivalent to applying them in
+    ``len(rules)`` separate Spark jobs."""
     schema = vocab_syms.schema
 
     def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             batch = batch.copy()
-            batch["syms"] = [
-                _merge_seq(list(s), left, right) for s in batch["syms"]
-            ]
+            out = []
+            for s in batch["syms"]:
+                seq = list(s)
+                for left, right in rules:
+                    seq = _merge_seq(seq, left, right)
+                out.append(seq)
+            batch["syms"] = out
             yield batch
 
     return vocab_syms.mapInPandas(apply, schema=schema)
 
 
-def train_bpe(
+def _apply_merge(vocab_syms: DataFrame, left: str, right: str) -> DataFrame:
+    """Single-rule convenience wrapper over ``_apply_merges``."""
+    return _apply_merges(vocab_syms, [(left, right)])
+
+
+def _select_batch(
+    ranked_pairs: list, k: int
+) -> list[tuple[str, str]]:
+    """Greedy top-K NON-OVERLAPPING batch selection from pairs ranked by
+    (count desc, left, right). A pair (l, r) is admitted only if applying
+    the batch's earlier merges cannot change its count: an instance of
+    (l, r) overlaps an instance of an earlier (a, b) only when ``r == a``
+    (…l a b… — the a is consumed) or ``l == b`` (a b r… — the b is
+    consumed), so those are the exclusions — sharing left-with-left
+    (e·s / e·r) or right-with-right is provably count-invariant and IS
+    batched. Operands equal to a merged symbol minted this round are
+    also excluded (their counts could only grow mid-batch). Every
+    admitted pair's count — and therefore its min_pair_count admission —
+    is thus exactly the count sequential BPE would have seen at its
+    turn. The approximation (standard batched BPE) is only that pairs
+    built FROM this round's new symbols wait for the next round's count;
+    selection within a round can't see them."""
+    selected: list[tuple[str, str]] = []
+    lefts: set[str] = set()
+    rights: set[str] = set()
+    minted: set[str] = set()
+    for row in ranked_pairs:
+        if len(selected) == k:
+            break
+        left, right = row["left"], row["right"]
+        if (
+            right in lefts
+            or left in rights
+            or left in minted
+            or right in minted
+        ):
+            continue
+        selected.append((left, right))
+        lefts.add(left)
+        rights.add(right)
+        minted.add(left + right)
+    return selected
+
+
+def train_bpe_with_stats(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
     min_pair_count: int = 2,
-) -> list[tuple[str, str]]:
-    """Learn ``n_merges`` BPE merge rules from the corpus. Returns the
-    ordered merge list (the model). Deterministic: the argmax tie-breaks
-    lexicographically, so the same corpus always yields the same rules.
-
-    Stops early when no adjacent pair reaches ``min_pair_count`` — further
-    merges would memorize hapax words."""
+    batch_size: int = 1,
+) -> tuple[list[tuple[str, str]], int]:
+    """``train_bpe`` returning ``(merges, rounds)`` — the round count is
+    the number of (pair-count aggregation + merge application) Spark-job
+    cycles, the quantity batching exists to cut."""
     vocab = build_word_vocab(docs, text_col)
     syms = _materialize(
         vocab.select(
@@ -111,7 +165,10 @@ def train_bpe(
         )
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
+        rounds += 1
+        k = min(batch_size, n_merges - len(merges))
         pairs = syms.select(
             F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
                 "i", "left"
@@ -123,18 +180,51 @@ def train_bpe(
             F.element_at("syms", F.col("i") + 2).alias("right"),
             "n",
         )
-        best = (
+        # over-fetch 4k ranked rows so the greedy non-overlap scan has
+        # slack to skip conflicting pairs; still one driver-sized collect
+        # per ROUND (k merges), not per merge
+        top = (
             pairs.groupBy("left", "right")
             .agg(F.sum("n").alias("cnt"))
+            .filter(F.col("cnt") >= min_pair_count)
             .orderBy(F.desc("cnt"), "left", "right")
-            .limit(1)
+            .limit(max(4 * k, k))
             .collect()
         )
-        if not best or best[0]["cnt"] < min_pair_count:
+        if not top:
             break
-        left, right = best[0]["left"], best[0]["right"]
-        merges.append((left, right))
-        syms = _materialize(_apply_merge(syms, left, right))
+        batch = _select_batch(top, k)
+        merges.extend(batch)
+        syms = _materialize(_apply_merges(syms, batch))
+    return merges, rounds
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    batch_size: int = 1,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus. Returns the
+    ordered merge list (the model). Deterministic: ranking tie-breaks
+    lexicographically, so the same corpus always yields the same rules.
+
+    ``batch_size=1`` is classic sequential BPE (exact argmax per merge).
+    ``batch_size=K`` learns up to K pairwise-disjoint merges per
+    pair-count round (see ``_select_batch``): a production 32k-merge
+    vocab becomes ~32k/K aggregation rounds instead of 32k sequential
+    Spark jobs — scheduling overhead, not data volume, dominates this
+    loop, so cutting rounds is the scale lever. Batched selection is the
+    standard batched-BPE approximation: admitted pairs' counts are exact
+    (disjointness), but pairs built FROM a new symbol can only be learned
+    in a later round.
+
+    Stops early when no adjacent pair reaches ``min_pair_count`` — further
+    merges would memorize hapax words."""
+    merges, _ = train_bpe_with_stats(
+        docs, n_merges, text_col, min_pair_count, batch_size
+    )
     return merges
 
 
@@ -143,11 +233,17 @@ def bpe_tokenize(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_size: int = 1 << 17,
 ) -> DataFrame:
     """Tokenize a corpus under learned merges → (id, bpe_tokens,
     n_bpe_tokens). One Arrow-batched pass; the merge list rides the task
-    closure. Within a batch, each distinct word is tokenized once and
-    cached — Zipf makes that cache hit constantly."""
+    closure. Within a task, each distinct word is tokenized once and
+    LRU-cached, capped at ``cache_size`` entries — unbounded, a
+    long-lived task over a billion-word corpus would accumulate every
+    distinct word's tokenization in Python memory, while Zipf means a
+    bounded LRU keeps nearly all of the hit rate."""
+    from functools import lru_cache
+
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -161,24 +257,21 @@ def bpe_tokenize(
     )
     rules = list(merges)
 
-    def encode_word(word: str, cache: dict) -> list[str]:
-        got = cache.get(word)
-        if got is None:
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        @lru_cache(maxsize=cache_size)
+        def encode_word(word: str) -> list[str]:
             seq = list(word) + [EOW]
             for left, right in rules:
                 seq = _merge_seq(seq, left, right)
-            got = cache[word] = seq
-        return got
+            return seq
 
-    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict = {}
         for batch in batches:
             ids, toks_out, counts = [], [], []
             for doc_id, text in zip(batch[id_col], batch[text_col]):
                 words = (text or "").lower().split()
                 doc_toks: list[str] = []
                 for w in words:
-                    doc_toks.extend(encode_word(w, cache))
+                    doc_toks.extend(encode_word(w))
                 ids.append(doc_id)
                 toks_out.append(doc_toks)
                 counts.append(len(doc_toks))

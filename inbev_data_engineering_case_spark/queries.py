@@ -2690,12 +2690,13 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT true AS learned_all, true AS compresses, true AS deterministic
     """,
     doc="distributed BPE training (operators/bpe.py): one corpus scan to "
-    "a word-frequency vocab, then per-merge pair-count aggregations over "
-    "the vocab only (argmax collects ONE row per round, like Lloyd). An "
-    "iteratively-trained model can't be replicated in one SQL oracle, so "
-    "this is a property oracle: all requested merges learned, tokenized "
-    "corpus sits between word count and char count (real compression), "
-    "and re-training yields the identical merge list (determinism).",
+    "a word-frequency vocab, then pair-count aggregations over the vocab "
+    "only, learning batch_size=4 pairwise-disjoint merges per round "
+    "(batched BPE — 8 merges in 2 Spark rounds, not 8). An iteratively-"
+    "trained model can't be replicated in one SQL oracle, so this is a "
+    "property oracle: all requested merges learned, tokenized corpus "
+    "sits between word count and char count (real compression), and "
+    "re-training yields the identical merge list (determinism).",
 )
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inbev_data_engineering_case_spark.operators.bpe import (
@@ -2707,8 +2708,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = train_bpe(docs, n_merges=8)
-    again = train_bpe(docs, n_merges=8)
+    merges = train_bpe(docs, n_merges=8, batch_size=4)
+    again = train_bpe(docs, n_merges=8, batch_size=4)
     stats = (
         docs.join(bpe_tokenize(docs, merges), "doc_id")
         .agg(

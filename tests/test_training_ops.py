@@ -1473,3 +1473,68 @@ def test_paletted_bmp_matches_paletted_png_fingerprint(spark):
     assert bmp_crc == png_crc
     assert bmp_feat[3] == png_feat[3]  # identical mean over expanded RGB
     assert bmp_feat[:2] == png_feat[:2] == [3.0, 2.0]
+
+
+def test_batched_bpe_cuts_rounds_and_stays_valid(spark):
+    """Batched BPE learns K pairwise-disjoint merges per Spark round:
+    same merge budget in >=5x fewer (count + apply) cycles, deterministic
+    across re-runs, batch members mutually disjoint, and batch_size=1
+    reduces exactly to the classic sequential algorithm."""
+    from inbev_data_engineering_case_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_with_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low low low"),
+            (2, "lower lower newest newest"),
+            (3, "newest newest newest newest widest widest"),
+            (4, "bright brighter brightest brightly brighten"),
+        ],
+        "doc_id long, text string",
+    )
+
+    seq_merges, seq_rounds = train_bpe_with_stats(docs, n_merges=10)
+    bat_merges, bat_rounds = train_bpe_with_stats(
+        docs, n_merges=10, batch_size=5
+    )
+    assert seq_rounds == 10 and bat_rounds == 2  # 5x fewer Spark cycles
+    assert len(bat_merges) == 10
+    assert bat_merges == train_bpe(docs, n_merges=10, batch_size=5)  # det.
+
+    # within each round's batch, no pair consumes an earlier pair's
+    # operand (right==earlier-left / left==earlier-right) or uses a
+    # symbol minted this round — the count-invariance admission rule
+    for start in (0, 5):
+        lefts, rights, minted = set(), set(), set()
+        for left, right in bat_merges[start : start + 5]:
+            assert right not in lefts and left not in rights
+            assert left not in minted and right not in minted
+            lefts.add(left)
+            rights.add(right)
+            minted.add(left + right)
+
+    # batch_size=1 IS classic BPE
+    assert train_bpe(docs, n_merges=6, batch_size=1) == train_bpe(
+        docs, n_merges=6
+    )
+
+
+def test_bpe_tokenize_cache_cap_preserves_output(spark):
+    """A tiny LRU cap must not change tokenization — only bound memory."""
+    from inbev_data_engineering_case_spark.operators.bpe import (
+        bpe_tokenize,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"newest widest lowest token{i} alpha beta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, n_merges=6)
+    big = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_tokenize(docs, merges).collect()}
+    tiny = {r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_tokenize(docs, merges, cache_size=2).collect()}
+    assert big == tiny

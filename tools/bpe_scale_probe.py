@@ -33,6 +33,7 @@ def main() -> None:
     from inbev_data_engineering_case_spark.operators.bpe import (
         build_word_vocab,
         train_bpe,
+        train_bpe_with_stats,
     )
     from inbev_data_engineering_case_spark.session import get_spark
 
@@ -76,6 +77,31 @@ def main() -> None:
             f"merges={fp}",
             flush=True,
         )
+
+    # batched-BPE probe: the scheduling-overhead cut. Classic sequential
+    # training runs one (count + apply) Spark cycle per merge; batched
+    # learns up to K disjoint merges per cycle — same corpus, same merge
+    # budget, >=5x fewer rounds. Also reports how many of the classic
+    # merges the batched list reproduces (batched defers pairs built on
+    # this round's new symbols; on real corpora the lists largely agree).
+    base = docs.localCheckpoint()
+    n = 16
+    t0 = time.perf_counter()
+    seq_merges, seq_rounds = train_bpe_with_stats(base, n_merges=n)
+    t_seq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bat_merges, bat_rounds = train_bpe_with_stats(
+        base, n_merges=n, batch_size=8
+    )
+    t_bat = time.perf_counter() - t0
+    shared = len(set(seq_merges) & set(bat_merges))
+    print(
+        f"batched-BPE: merges={n} sequential_rounds={seq_rounds} "
+        f"({t_seq:.1f}s) batched_rounds={bat_rounds} ({t_bat:.1f}s) "
+        f"round_reduction={seq_rounds / max(bat_rounds, 1):.1f}x "
+        f"shared_merges={shared}/{n}",
+        flush=True,
+    )
 
     spark.stop()
 
