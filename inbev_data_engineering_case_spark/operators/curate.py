@@ -49,6 +49,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     benchmark: DataFrame | None = None,
     decontaminate_ngram: int = 8,
+    materialize_mode: str = "local",
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
     metadata (lang, quality). Survivor policy is deterministic end to end:
@@ -60,7 +61,13 @@ def curate_corpus(
     word n-gram with ``benchmark`` are dropped. It runs after the cheap
     lang/quality predicate (fewer docs to n-gram-hash) and before the
     materialization barrier, so the n-gram pass still happens exactly
-    once."""
+    once.
+
+    ``materialize_mode`` ('local' | 'checkpoint' | 'table:<dir>', see
+    ``dedup._materialize``) selects how the scored-eligible corpus and the
+    near-dedup signature table are shared across their consumers — the
+    cluster-safe swap (parquet scratch table instead of executor-local
+    blocks) is a config value, not a code edit."""
     scored = documents.select(
         id_col,
         text_col,
@@ -83,22 +90,23 @@ def curate_corpus(
     # near-dedup signatures, final keep anti-join): without materializing
     # it once, each consumer re-runs the full corpus scan + lang/quality
     # scoring (+ decontamination) — three 100 TB passes instead of one.
-    # Locally a lazy localCheckpoint; on a cluster, write the
-    # scored-eligible table to parquet/Delta and read it back (same
-    # one-liner swap as dedup's signature tables).
-    eligible = _materialize(eligible)
+    # materialize_mode selects the sharing mechanism (local blocks /
+    # reliable checkpoint / parquet scratch table).
+    eligible = _materialize(eligible, materialize_mode)
 
     # exact dedup: survivors only (min id per fingerprint)
     exact_keep = exact_dedup(eligible, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
     eligible = _materialize(
-        eligible.join(exact_keep, on=id_col, how="left_semi")
+        eligible.join(exact_keep, on=id_col, how="left_semi"),
+        materialize_mode,
     )
 
     # near-dedup: drop every cluster member except the component id
     pairs = minhash_dedup_pairs(
-        eligible, text_col, id_col, threshold=near_dup_threshold
+        eligible, text_col, id_col, threshold=near_dup_threshold,
+        materialize_mode=materialize_mode,
     )
     clusters = dedup_components(pairs)  # (node, comp)
     drop = clusters.filter(F.col("node") != F.col("comp")).select(
@@ -199,6 +207,7 @@ def incremental_minhash_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_words: int = DEFAULT_SHINGLE_WORDS,
     threshold: float = 0.5,
+    materialize_mode: str = "local",
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against itself AND against an existing
     corpus represented only by its stored signature table (id, sig) —
@@ -212,9 +221,12 @@ def incremental_minhash_pairs(
     Banding matches ``minhash_dedup_pairs``; the candidate join shuffles on
     band keys, and when ``stored_sigs`` reads from a table bucketed by id
     the signature fetch itself was already exchange-free."""
-    new_sigs = minhash_signatures(
-        new_docs, text_col, id_col, num_hashes, shingle_words
-    ).localCheckpoint(eager=False)
+    new_sigs = _materialize(
+        minhash_signatures(
+            new_docs, text_col, id_col, num_hashes, shingle_words
+        ),
+        materialize_mode,
+    )
 
     def banded(sigs: DataFrame) -> DataFrame:
         return sigs.select(

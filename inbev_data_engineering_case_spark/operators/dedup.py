@@ -66,14 +66,51 @@ DEFAULT_SHINGLE_WORDS = 3
 DEFAULT_MAX_BUCKET_SIZE = 10_000
 
 
-def _materialize(df: DataFrame) -> DataFrame:
-    """Compute a signature table once and share it across both sides of the
-    subsequent self-join. Without this, the a/b branches of the join each
-    re-evaluate the whole shingle+hash subtree — doubling the dominant cost.
-    Locally a lazy ``localCheckpoint`` (block-cached RDD) is ideal; on a
-    cluster at 100 TB, write the signatures to a parquet/Delta table and
-    read it back (fault-tolerant, spillable), same one-liner swap."""
-    return df.localCheckpoint(eager=False)
+def _parse_materialize_mode(mode: str) -> tuple[str, str | None]:
+    """Split a materialize-mode string into (kind, path).
+
+    Accepted: ``"local"``, ``"checkpoint"``, ``"table:<dir>"``. One string
+    so deployments can carry it in a single config value."""
+    if mode in ("local", "checkpoint"):
+        return mode, None
+    if mode.startswith("table:") and len(mode) > len("table:"):
+        return "table", mode[len("table:"):]
+    raise ValueError(
+        f"materialize_mode must be 'local', 'checkpoint', or "
+        f"'table:<dir>'; got {mode!r}"
+    )
+
+
+def _materialize(df: DataFrame, mode: str = "local") -> DataFrame:
+    """Compute an intermediate (signature table, scored corpus) once and
+    share it across every downstream consumer. Without this, e.g. the a/b
+    branches of a self-join each re-evaluate the whole shingle+hash
+    subtree — doubling the dominant cost.
+
+    ``mode`` selects the cluster-safety/speed trade as CONFIG, not a code
+    edit:
+
+    - ``"local"`` (default): lazy ``localCheckpoint`` — executor-block
+      storage, fastest, but blocks are lost with their executor, so a
+      cluster job fails on executor loss. The single-node/test fast path.
+    - ``"checkpoint"``: eager fault-tolerant ``checkpoint()`` to the
+      session's checkpoint dir (requires ``sc.setCheckpointDir``; put it
+      on HDFS/object store on a cluster — survives executor loss).
+    - ``"table:<dir>"``: write parquet under ``<dir>`` and read it back —
+      fault-tolerant, spillable, survives the session, and the rescan
+      gets a fresh file-source plan (size stats for AQE/broadcast
+      decisions). The 100 TB production setting; point it at the job's
+      scratch prefix (swap for Delta by writing a table instead)."""
+    kind, path = _parse_materialize_mode(mode)
+    if kind == "local":
+        return df.localCheckpoint(eager=False)
+    if kind == "checkpoint":
+        return df.checkpoint(eager=True)
+    import uuid
+
+    target = f"{path.rstrip('/')}/mat_{uuid.uuid4().hex}"
+    df.write.parquet(target)
+    return df.sparkSession.read.parquet(target)
 
 
 def _estimate_scan_splits(df: DataFrame) -> int | None:
@@ -346,6 +383,7 @@ def minhash_dedup_pairs(
     shingle_words: int = DEFAULT_SHINGLE_WORDS,
     threshold: float = 0.5,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    materialize_mode: str = "local",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     signature-similarity filter ≥ threshold.
@@ -368,11 +406,16 @@ def minhash_dedup_pairs(
     band buckets above the cap star-link to their min-id representative
     instead of all-pairs joining, bounding any single bucket's cost to
     linear. Star pairs pass the SAME signature-similarity threshold. None
-    disables the guard (exact parity with the unguarded pipeline)."""
+    disables the guard (exact parity with the unguarded pipeline).
+
+    ``materialize_mode`` picks how the signature table is shared between
+    the self-join's sides (see ``_materialize``): 'local' | 'checkpoint' |
+    'table:<dir>' — the cluster-safe swap is a config value."""
     sigs = _materialize(
         minhash_signatures(
             _ensure_parallelism(df), text_col, id_col, num_hashes, shingle_words
-        )
+        ),
+        materialize_mode,
     )
     bands = sigs.select(
         "id",
@@ -626,6 +669,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_probes: int = 1,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    materialize_mode: str = "local",
 ) -> DataFrame:
     """Embedding-cosine near-dup: (id_a, id_b, sim) for same-sign-LSH-bucket
     pairs with cosine ≥ threshold. The bucket equi-join keeps the pair space
@@ -657,7 +701,8 @@ def embedding_near_dup_pairs(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).alias("v"),
                 signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
-            )
+            ),
+            materialize_mode,
         )
         if max_bucket_size is not None:
             cold, hot = _split_hot_buckets(sigs, ["bucket"], max_bucket_size)
@@ -707,6 +752,7 @@ def simhash_near_pairs(
     bits: int = 60,
     bucket_bits: int = 8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    materialize_mode: str = "local",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top ``bucket_bits`` bits
     (signature bits ``bits-bucket_bits``..``bits-1``, so the self-join is
@@ -723,7 +769,8 @@ def simhash_near_pairs(
     )
     sigs = _materialize(
         hashed.select("id", simhash_from_hashes("th", bits).alias("sh"))
-        .withColumn("bucket", F.shiftright("sh", bits - bucket_bits))
+        .withColumn("bucket", F.shiftright("sh", bits - bucket_bits)),
+        materialize_mode,
     )
     if max_bucket_size is not None:
         cold, hot = _split_hot_buckets(sigs, ["bucket"], max_bucket_size)

@@ -929,6 +929,87 @@ def test_curate_corpus_end_to_end(spark):
     assert sorted(r["doc_id"] for r in decon.collect()) == [1]
 
 
+def test_curate_corpus_materialize_modes_identical(spark, tmp_path):
+    """The cluster-safe materialization swaps (reliable checkpoint,
+    parquet scratch table) are config values; every mode must produce the
+    byte-identical curated corpus as the executor-local default."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    en = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for that in the sun with a friend of the family"
+    )
+    rows = [
+        (1, en),
+        (2, en),
+        (3, en + " extra tail words"),
+        (6, "a completely different english text about the history of "
+            "bridges and the people that built them in the old days of "
+            "iron and stone for the crossing of rivers"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def snapshot(mode: str) -> list[tuple]:
+        kept = curate_corpus(
+            docs, min_quality=0.3, near_dup_threshold=0.5,
+            materialize_mode=mode,
+        )
+        return sorted(tuple(r) for r in kept.collect())
+
+    baseline = snapshot("local")
+    assert [r[0] for r in baseline] == [1, 6]
+
+    assert snapshot(f"table:{tmp_path}/mat") == baseline
+    # table mode actually wrote its scratch tables
+    assert list((tmp_path / "mat").glob("mat_*")), "no scratch tables written"
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        assert snapshot("checkpoint") == baseline
+    finally:
+        sc.setCheckpointDir(None)
+
+
+def test_materialize_mode_rejects_unknown(spark):
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _parse_materialize_mode,
+    )
+
+    for bad in ("tables", "table:", "delta", ""):
+        with pytest.raises(ValueError):
+            _parse_materialize_mode(bad)
+    assert _parse_materialize_mode("table:/tmp/x") == ("table", "/tmp/x")
+
+
+def test_incremental_pairs_table_mode_identical(spark, tmp_path):
+    from inbev_data_engineering_case_spark.operators.curate import (
+        incremental_minhash_pairs,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    stored = minhash_signatures(
+        spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    )
+    new = spark.createDataFrame(
+        [(10, base + " tail"), (11, "totally unrelated words here now")],
+        ["doc_id", "text"],
+    )
+
+    def pairs(mode: str) -> list[tuple]:
+        out = incremental_minhash_pairs(
+            new, stored, threshold=0.3, materialize_mode=mode
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    assert pairs(f"table:{tmp_path}/inc") == pairs("local")
+
+
 def test_components_long_chain_converges_logarithmically(spark):
     """A 64-node path graph has diameter 63: pure min-label propagation
     needs 63 rounds (silently wrong under max_iter=25); pointer jumping
