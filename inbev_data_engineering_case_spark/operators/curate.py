@@ -115,6 +115,117 @@ def curate_corpus(
     return eligible.join(drop, on=id_col, how="left_anti")
 
 
+def curate_incremental(
+    old_snapshot: DataFrame,
+    new_snapshot: DataFrame,
+    stored_sigs: DataFrame,
+    stored_fps: DataFrame,
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize_mode: str = "local",
+) -> DataFrame:
+    """The composed daily-crawl pipeline: diff a new snapshot against the
+    previous one and curate ONLY the delta against the stored corpus
+    artifacts — the historical corpus text is never re-read, re-scored,
+    or re-hashed. Returns the newly-kept documents with (id, text, lang,
+    quality), the same schema ``curate_corpus`` emits, so the curated
+    corpus advances as ``kept ∪ result`` (and the signature/fingerprint
+    tables as their unions with the delta's).
+
+    Stages, each reusing the batch operator it mirrors:
+
+    1. ``layers.snapshot_diff`` finds inserts+updates (deletes are
+       ignored: curation keep-decisions are append-only). The exchange
+       carries key + 8-byte hash, never documents.
+    2. lang/quality scoring on the delta only (one codegen'd scan of the
+       delta — the 100 TB corpus is not touched).
+    3. exact dedup: delta fingerprints anti-joined against the stored
+       fingerprint table (tiny vs corpus: broadcast-able), then min-id
+       per fingerprint within the delta.
+    4. near-dedup: ``incremental_minhash_pairs`` bands the delta
+       signatures against the STORED signature table; connected
+       components assign cluster representatives and every delta doc
+       that is not its component's min id is dropped.
+
+    Keep-decision parity with ``curate_corpus`` on the full union holds
+    when stored ids precede delta ids and delta near-dups link DIRECTLY
+    to kept corpus docs (the common case). The documented divergence of
+    every append-only incremental dedup: a delta doc whose only
+    similarity path to the kept corpus runs THROUGH a previously-dropped
+    document may be kept here where a full rebatch would drop it, and a
+    delta doc bridging two kept docs never retro-drops either of them.
+
+    ``stored_sigs`` is (id, sig) from ``minhash_signatures`` over the
+    kept corpus; ``stored_fps`` any table with the kept corpus's ``fp``
+    fingerprint column (``exact_dedup`` output works as-is). An updated
+    doc re-enters curation under its (unchanged) id; the self-pair guard
+    keeps it from matching its own stale stored signature — refresh the
+    stored artifact tables with the delta's rows after each run."""
+    from inbev_data_engineering_case_spark.layers import snapshot_diff
+    from inbev_data_engineering_case_spark.operators.textops import (
+        fingerprint,
+    )
+
+    changed = snapshot_diff(
+        old_snapshot.select(id_col, text_col),
+        new_snapshot.select(id_col, text_col),
+        key_cols=[id_col],
+    ).filter(F.col("change") != "delete")
+    delta = new_snapshot.select(id_col, text_col).join(
+        changed.select(id_col), on=id_col, how="left_semi"
+    )
+
+    scored = delta.select(
+        id_col,
+        text_col,
+        lang_id(text_col).alias("lang"),
+        quality_score(text_col).alias("quality"),
+    )
+    eligible = _materialize(
+        scored.filter(
+            F.col("lang").isin(*languages)
+            & (F.col("quality") >= min_quality)
+        ),
+        materialize_mode,
+    )
+
+    # exact dedup: against the stored corpus (anti-join on the 8-byte
+    # fingerprint — the fp table is tiny next to the corpus text and
+    # broadcast-able), then min-id survivor within the delta itself
+    fps = eligible.select(
+        F.col(id_col), fingerprint(text_col).alias("fp")
+    ).join(
+        stored_fps.select("fp").distinct(), on="fp", how="left_anti"
+    )
+    exact_keep = fps.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    eligible = _materialize(
+        eligible.join(
+            exact_keep.select(id_col), on=id_col, how="left_semi"
+        ),
+        materialize_mode,
+    )
+
+    # near-dedup vs stored signatures + within the delta; drop every
+    # delta member that is not its component's min id (stored docs are
+    # never dropped — keep decisions are append-only)
+    pairs = incremental_minhash_pairs(
+        eligible,
+        stored_sigs,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=near_dup_threshold,
+        materialize_mode=materialize_mode,
+    )
+    clusters = dedup_components(pairs)
+    drop = clusters.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return eligible.join(drop, on=id_col, how="left_anti")
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float] | None = None,

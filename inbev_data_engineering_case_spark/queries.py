@@ -2542,6 +2542,136 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_pairs(new, minhash_signatures(d))
 
 
+_REVISED_SUFFIX = " revised edition with brand new closing words"
+
+
+def _curate_incremental_oracle(
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    threshold: float = 0.5,
+) -> str:
+    langs = ", ".join(f"'{lang}'" for lang in languages)
+    match = _sig_match_sql("a", "b")
+    return f"""
+    WITH RECURSIVE newb AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || '{_REVISED_SUFFIX}'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 101 != 0
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, text
+      FROM documents WHERE doc_id % 17 = 0
+      UNION ALL
+      SELECT doc_id + 400000 AS doc_id, text || ' the end' AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    delta AS (
+      SELECT n.doc_id, n.text
+      FROM newb n LEFT JOIN documents o ON n.doc_id = o.doc_id
+      WHERE o.doc_id IS NULL OR o.text != n.text
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             {_lang_case_sql()} AS lang,
+             {_SQL_QUALITY} AS quality
+      FROM delta
+    ),
+    eligible AS (
+      SELECT * FROM scored
+      WHERE lang IN ({langs}) AND quality >= CAST({min_quality} AS DOUBLE)
+    ),
+    stored_fp AS (SELECT DISTINCT {_SQL_FP} AS fp FROM documents),
+    fps AS (SELECT doc_id, {_SQL_FP} AS fp FROM eligible),
+    fresh AS (
+      SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM stored_fp)
+    ),
+    exact_keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp),
+    survivors AS (
+      SELECT e.* FROM eligible e JOIN exact_keep k USING (doc_id)
+    ),
+    {_sig_ctes("s", "(SELECT doc_id, text FROM documents)")},
+    {_sig_ctes("n", "(SELECT doc_id, text FROM survivors)")},
+    mh AS (
+      SELECT DISTINCT least(a.id, b.id) AS id_a,
+                      greatest(a.id, b.id) AS id_b
+      FROM bands_s a JOIN bands_n b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id != b.id
+      WHERE {match} >= {threshold}
+      UNION
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM bands_n a JOIN bands_n b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id < b.id
+      WHERE {match} >= {threshold}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM mh
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM comp WHERE node != comp)
+    SELECT doc_id, text, lang, quality FROM survivors
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+@register(
+    "q_curate_incremental",
+    _curate_incremental_oracle(),
+    doc="the composed daily-crawl pipeline (curate.py:curate_incremental): "
+    "snapshot_diff finds the delta (updates under modified ids %13, exact "
+    "re-uploads %17, near-dup re-posts %7, deletes %101 ignored), then "
+    "lang/quality scoring, exact dedup against the stored fingerprint "
+    "table, and MinHash near-dedup against the stored signature table run "
+    "on the DELTA ONLY — the historical corpus text is never re-read or "
+    "re-hashed, the 100 TB daily-ingest shape. Oracle replays the whole "
+    "composition in DuckDB ending in the recursive-CTE components "
+    "closure. Parity with full-batch curate_corpus on the union is "
+    "asserted in tests/test_training_ops.py.",
+)
+def q_curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_incremental,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        exact_dedup,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    key = F.col("doc_id")
+    new = (
+        d.filter(key % 101 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                key % 13 == 0, F.concat("text", F.lit(_REVISED_SUFFIX))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.filter(key % 17 == 0).select(
+                (key + 300000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(key % 7 == 0).select(
+                (key + 400000).alias("doc_id"),
+                F.concat("text", F.lit(" the end")).alias("text"),
+            )
+        )
+    )
+    return curate_incremental(
+        d, new, minhash_signatures(d), exact_dedup(d)
+    )
+
+
 @register(
     "q_train_split",
     """

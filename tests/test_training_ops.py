@@ -929,6 +929,92 @@ def test_curate_corpus_end_to_end(spark):
     assert sorted(r["doc_id"] for r in decon.collect()) == [1]
 
 
+def test_curate_incremental_parity_with_full_batch(spark):
+    """The composed daily-crawl pipeline: curating only the snapshot delta
+    against the stored corpus artifacts must reach the same curated corpus
+    as re-running full-batch curate_corpus on the union (for delta docs
+    whose similarity links are direct — the documented incremental
+    contract)."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+        curate_incremental,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        exact_dedup,
+        minhash_signatures,
+    )
+
+    en = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for that in the sun with a friend of the family"
+    )
+    bridges = (
+        "a completely different english text about the history of bridges "
+        "and the people that built them in the old days of iron and stone "
+        "for the crossing of rivers"
+    )
+    history = spark.createDataFrame(
+        [
+            (1, en),                        # kept
+            (2, en),                        # exact dup -> dropped
+            (3, en + " extra tail words"),  # near-dup of 1 -> dropped
+            (6, bridges),                   # kept
+        ],
+        ["doc_id", "text"],
+    )
+    kept = curate_corpus(history, min_quality=0.3, near_dup_threshold=0.5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 6]
+
+    # yesterday's run stored these artifacts over the KEPT corpus only
+    stored_sigs = minhash_signatures(kept.select("doc_id", "text"))
+    stored_fps = exact_dedup(kept.select("doc_id", "text"))
+
+    delta = spark.createDataFrame(
+        [
+            (10, en),                        # exact dup of kept 1 -> dropped
+            (11, en + " extra tail words"),  # near-dup of kept 1 -> dropped
+            (12, bridges + " extra tail words"),  # near-dup of kept 6 -> dropped
+            (13, "an entirely fresh english report on the building of "
+                 "lighthouses along the coast and the keepers who lived "
+                 "in them through the long storms of winter"),  # kept
+            (14, "el que la de y en un una por con el que la de y en un"),
+            # ^ Spanish -> filtered
+        ],
+        ["doc_id", "text"],
+    )
+    new_snapshot = history.unionByName(delta)
+
+    incr = curate_incremental(
+        history, new_snapshot, stored_sigs, stored_fps,
+        min_quality=0.3, near_dup_threshold=0.5,
+    )
+    incr_ids = sorted(r["doc_id"] for r in incr.collect())
+    assert incr_ids == [13]
+
+    full = curate_corpus(
+        new_snapshot, min_quality=0.3, near_dup_threshold=0.5
+    )
+    kept_union = sorted(
+        [r["doc_id"] for r in kept.collect()] + incr_ids
+    )
+    assert kept_union == sorted(r["doc_id"] for r in full.collect())
+
+    # updates re-enter curation under their unchanged id: the self-pair
+    # guard keeps an updated doc from matching its own stale signature
+    updated = new_snapshot.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 6,
+            F.concat("text", F.lit(" revised edition with new words")),
+        ).otherwise(F.col("text")),
+    )
+    upd = curate_incremental(
+        new_snapshot, updated, stored_sigs, stored_fps,
+        min_quality=0.3, near_dup_threshold=0.5,
+    )
+    assert sorted(r["doc_id"] for r in upd.collect()) == [6]
+
+
 def test_curate_corpus_materialize_modes_identical(spark, tmp_path):
     """The cluster-safe materialization swaps (reliable checkpoint,
     parquet scratch table) are config values; every mode must produce the
