@@ -118,14 +118,21 @@ def ivf_assign(
     n_probe: int = 1,
     id_col: str = "id",
     vec_col: str = "v",
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by cosine:
     (id, v, cent_id, probe_rank). The centroid table broadcasts (it is tiny
     by construction); cost is |vectors| × K similarity evaluations, all
-    JVM-side. Ties break on cent_id so assignment is deterministic."""
+    JVM-side. Ties break on cent_id so assignment is deterministic.
+
+    ``hint_broadcast=False`` drops the explicit broadcast hint and lets
+    the planner pick from the centroid table's size stats — the right
+    call when the centroids come from a materialized table whose size the
+    caller doesn't know a priori (the DataFrame training path)."""
     from pyspark.sql import Window
 
-    scored = vectors.join(F.broadcast(centroids)).select(
+    cents = F.broadcast(centroids) if hint_broadcast else centroids
+    scored = vectors.join(cents).select(
         id_col,
         vec_col,
         "cent_id",
@@ -147,39 +154,64 @@ def train_ivf_centroids(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
+    materialize_mode: str = "local",
+    max_centroid_cells: int = MAX_CENTROID_CELLS,
 ) -> DataFrame:
     """Train IVF centroids with Lloyd iterations expressed as DataFrame ops:
-    broadcast-assign every vector to its nearest centroid (cosine), then
-    recenter each cell as the element-wise mean.
+    assign every vector to its nearest centroid (cosine), then recenter
+    each cell as the element-wise mean.
 
-    Scale shape: the assign step is the same broadcast join ``ivf_assign``
-    uses (|corpus| × K similarity evaluations, JVM-side); the recenter step
+    Scale shape: the assign step is the same join ``ivf_assign`` uses
+    (|corpus| × K similarity evaluations, JVM-side); the recenter step
     posexplodes to (cent_id, pos, val) rows — n·d rows with map-side
-    partial aggregation down to K·d means, so the shuffle carries only the
-    model. Between iterations the K×d centroid table (a model, not data) is
-    collected and re-created, truncating lineage — the same move MLlib's
-    k-means makes per iteration.
+    partial aggregation down to K·d means, so the shuffle carries only
+    the model.
+
+    ``method`` picks how the K×d model crosses iterations:
+
+    - ``"collect"``: collect + re-create the centroid table on the driver
+      (the move MLlib's k-means makes). Fastest for small K; guarded by
+      ``max_centroid_cells`` (~32 MB of doubles at the default) so the
+      "model" stays driver-sized.
+    - ``"dataframe"``: no driver round-trip — the means stay a DataFrame,
+      lineage truncated per iteration by ``materialize_mode`` ('local' |
+      'checkpoint' | 'table:<dir>', see ``dedup._materialize``), and the
+      assignment join is left to the planner (the materialized table has
+      size stats, so small models still broadcast; a giant one falls back
+      to a shuffle join instead of OOMing the driver). The path for K
+      beyond the guard.
+    - ``"auto"`` (default): ``dataframe`` when K·d exceeds
+      ``max_centroid_cells``, else ``collect`` — large K trains instead
+      of refusing.
 
     Determinism: init is the first-N corpus vectors by id (the production
     swap is k-means|| sampling), and means are rounded to 6 decimals so
     float partial-sum ordering across partitions can't leak into the
-    result. Cells that lose all members drop out (K may shrink).
+    result — both methods produce bit-identical centroids. Cells that
+    lose all members drop out (K may shrink)."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _materialize,
+    )
 
-    Driver-memory contract: the K×d model is collect()ed each iteration,
-    so K·d is capped at ``MAX_CENTROID_CELLS`` — a caller asking for a
-    million centroids should train with a checkpoint-based variant (write
-    the centroid table per iteration, read it back), not this one."""
     spark = corpus.sparkSession
     dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(dim_row["d"]) if dim_row else 0
-    if n_centroids * dim > MAX_CENTROID_CELLS:
+    if method == "auto":
+        method = (
+            "dataframe" if n_centroids * dim > max_centroid_cells else "collect"
+        )
+    if method not in ("collect", "dataframe"):
+        raise ValueError(
+            f"method must be 'auto', 'collect', or 'dataframe'; got {method!r}"
+        )
+    if method == "collect" and n_centroids * dim > max_centroid_cells:
         raise ValueError(
             f"IVF model too large to collect per Lloyd iteration: "
             f"K*d = {n_centroids}*{dim} = {n_centroids * dim:,} cells "
-            f"> MAX_CENTROID_CELLS ({MAX_CENTROID_CELLS:,}, ~"
-            f"{MAX_CENTROID_CELLS * 8 // 2**20} MB of doubles on the "
-            f"driver). Reduce n_centroids, or train via a checkpointed "
-            f"centroid table instead of collect()."
+            f"> max_centroid_cells ({max_centroid_cells:,}, ~"
+            f"{max_centroid_cells * 8 // 2**20} MB of doubles on the "
+            f"driver). Use method='dataframe' (or 'auto')."
         )
     cents = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"),
@@ -192,6 +224,7 @@ def train_ivf_centroids(
             n_probe=1,
             id_col="id",
             vec_col="v",
+            hint_broadcast=(method == "collect"),
         )
         means = (
             assigned.select(
@@ -205,11 +238,14 @@ def train_ivf_centroids(
             )
             .select("cent_id", F.col("pm.m").alias("cv"))
         )
-        rows = means.collect()
-        cents = spark.createDataFrame(
-            [(int(r["cent_id"]), [float(x) for x in r["cv"]]) for r in rows],
-            "cent_id long, cv array<double>",
-        )
+        if method == "collect":
+            rows = means.collect()
+            cents = spark.createDataFrame(
+                [(int(r["cent_id"]), [float(x) for x in r["cv"]]) for r in rows],
+                "cent_id long, cv array<double>",
+            )
+        else:
+            cents = _materialize(means, materialize_mode)
     return cents
 
 

@@ -1865,6 +1865,48 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_ivf_df",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           true AS df_equals_collect, true AS beyond_guard_trains
+    FROM embeddings
+    """,
+    doc="DataFrame-only IVF training (train_ivf_centroids "
+    "method='dataframe'): Lloyd iterations with NO driver round-trip — "
+    "the K×d centroid table stays distributed, lineage truncated per "
+    "iteration via the materialize modes, and the assignment join left "
+    "to the planner (size stats from the materialized table keep small "
+    "models broadcast; giant ones fall back to a shuffle join instead "
+    "of OOMing the driver). Property oracle: (a) the DataFrame path "
+    "produces bit-identical centroids to the collect path (means are "
+    "rounded to 6 decimals, so this is guaranteed, not measured), and "
+    "(b) a K·d above the collect guard — forced here by shrinking "
+    "max_centroid_cells — now TRAINS via auto-selection instead of "
+    "refusing.",
+)
+def q_ann_ivf_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c_collect = train_ivf_centroids(emb, 16, n_iter=2, method="collect")
+    c_df = train_ivf_centroids(emb, 16, n_iter=2, method="dataframe")
+    same = (
+        c_df.exceptAll(c_collect).count() == 0
+        and c_collect.exceptAll(c_df).count() == 0
+    )
+    beyond = train_ivf_centroids(
+        emb, 16, n_iter=1, max_centroid_cells=8
+    ).count()
+    return emb.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.lit(same).alias("df_equals_collect"),
+        F.lit(1 <= beyond <= 16).alias("beyond_guard_trains"),
+    )
+
+
+@register(
     "q_ann_probes",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_queries,

@@ -929,6 +929,41 @@ def test_curate_corpus_end_to_end(spark):
     assert sorted(r["doc_id"] for r in decon.collect()) == [1]
 
 
+def test_ivf_dataframe_training_matches_collect(spark, tmp_path):
+    """method='dataframe' must produce bit-identical centroids to the
+    collect path (means are rounded before they cross iterations), and a
+    K*d above the collect guard must train via auto-selection instead of
+    raising."""
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 3) % 7), float((i * 5) % 11), float(i % 4) + 1.0])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    coll = train_ivf_centroids(vecs, 4, n_iter=2, method="collect")
+    for mode in ("local", f"table:{tmp_path}/ivf"):
+        df = train_ivf_centroids(
+            vecs, 4, n_iter=2, method="dataframe", materialize_mode=mode
+        )
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, coll.collect())
+        )
+
+    # collect path refuses beyond the guard; auto now trains instead
+    with pytest.raises(ValueError, match="too large to collect"):
+        train_ivf_centroids(vecs, 4, method="collect", max_centroid_cells=4)
+    auto = train_ivf_centroids(vecs, 4, n_iter=2, max_centroid_cells=4)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, coll.collect())
+    )
+
+
 def test_curate_incremental_parity_with_full_batch(spark):
     """The composed daily-crawl pipeline: curating only the snapshot delta
     against the stored corpus artifacts must reach the same curated corpus
