@@ -257,6 +257,94 @@ def test_foreachbatch_parquet_sink_is_replay_safe(spark, event_dir, tmp_path):
     assert after_replay == first
 
 
+def test_stream_dedup_crash_recovery_exactly_once(spark, tmp_path):
+    """Crash-recovery, not just batch replay: the dedup query FAILS after
+    its sink write but before the checkpoint commit (the real crash
+    window), is restarted from the same checkpoint, and then processes a
+    second feed containing cross-restart duplicates. Exactly-once means
+    the replayed batch rewrites instead of appending AND the restored
+    state store still drops ids first seen before the crash — output must
+    hash-match the batch-distinct oracle over everything ever fed."""
+    import glob as g
+    import shutil
+
+    from pyspark.errors import StreamingQueryException
+
+    from inbev_data_engineering_case_spark.streaming.events import (
+        stream_dedup_events,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed_once"
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [
+                (i, t0 + timedelta(minutes=int(i) % 70), 1, "click", 1.0)
+                for i in ids
+            ],
+            ["event_id", "ts", "user_id", "event_type", "value"],
+        )
+
+    def feed(ids, name):
+        stage = tmp_path / f"stage_{name}"
+        mk(ids).coalesce(1).write.parquet(str(stage))
+        src = g.glob(str(stage / "part-*.parquet"))[0]
+        shutil.copy(src, str(landing / f"{name}.parquet"))
+
+    schema = mk([0]).schema
+
+    def start():
+        stream = spark.readStream.schema(schema).parquet(str(landing))
+        out = stream_dedup_events(stream).select("event_id")
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+            if not marker.exists():
+                marker.write_text("crashed")
+                raise RuntimeError(
+                    "injected crash: sink written, offset not committed"
+                )
+
+        return (
+            out.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # feed 1 carries in-batch duplicates (at-least-once source) and the
+    # first run dies mid-feed, after writing but before committing
+    feed([*range(10), 3, 7], "p1")
+    with pytest.raises(StreamingQueryException):
+        start().awaitTermination(120)
+    assert marker.exists()
+
+    # feed 2 arrives while the query is down: duplicates of pre-crash ids
+    # (3, 7, 9) plus new ones — only state recovery can drop the former
+    feed([3, 7, 9, *range(10, 15)], "p2")
+    q = start()
+    assert q.awaitTermination(120)
+
+    got = sorted(
+        r["event_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(str(landing))
+        .select("event_id")
+        .distinct()
+        .collect()
+    )
+    assert got == want  # equal as MULTISETS: no duplicate survived
+
+
 def test_stream_static_enrichment_join(spark, event_dir, tmp_path):
     from inbev_data_engineering_case_spark.streaming.events import (
         run_stream_to_table,
