@@ -34,8 +34,10 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    # rejects; read as int64 nanos and convert (sources.readers.read_events).
+    # events.parquet has carried TIMESTAMP(NANOS) in some fixture rounds,
+    # which Spark's vectorized reader rejects; this conf surfaces it as
+    # int64 nanos (no-op for MICROS fixtures) and the readers adapt either
+    # way (sources.readers.read_events / streaming read_events_stream).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.compression.codec": "snappy",
     "spark.ui.enabled": "false",

@@ -50,27 +50,35 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with its nanosecond timestamp surfaced as a proper
-    (microsecond) TimestampType column.
+    """events table with its timestamp surfaced as a proper (microsecond)
+    TimestampType column, whatever the file encodes.
 
-    Parquet TIMESTAMP(NANOS) is not readable by Spark's vectorized reader;
-    ``spark.sql.legacy.parquet.nanosAsLong`` (runtime conf, set here so the
-    driver's session works too) surfaces it as int64 nanos, which we floor
-    to micros. Oracles must compare via ``CAST(ts AS TIMESTAMP)`` (micros)
-    or bucket-truncated values.
+    The fixture has shipped `ts` as parquet TIMESTAMP(NANOS) in some
+    rounds and TIMESTAMP(MICROS) in others, so this reader adapts to the
+    file instead of assuming: NANOS is not readable by Spark's vectorized
+    reader, so ``spark.sql.legacy.parquet.nanosAsLong`` (runtime conf, set
+    here so the driver's session works too) surfaces it as int64 nanos
+    which we floor to micros; MICROS arrives as TIMESTAMP_NTZ (unaffected
+    by the nanos conf) and is cast to the session-zone TimestampType —
+    identity under the pinned UTC zone. Either way downstream sees the
+    same TimestampType micros column, and oracles compare via
+    ``CAST(ts AS TIMESTAMP)`` or bucket-truncated values.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # pin UTC so NTZ<->TZ conversions are identity even on a session the
     # driver built without engine defaults in a non-UTC environment
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # Integer `div`, NOT float division: int64 nanos exceed double's 53-bit
-    # mantissa, so `/ 1000` would round the low microseconds.
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # Integer `div`, NOT float division: int64 nanos exceed double's
+        # 53-bit mantissa, so `/ 1000` would round the low microseconds.
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_jsonl(

@@ -83,7 +83,12 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     if current is not None and current > max(4 * cores, 64):
         spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    batch = spark.read.parquet(path)
+    schema = batch.schema
+    # The fixture has shipped `ts` as TIMESTAMP(NANOS) (surfaced as int64
+    # nanos by the conf above) or TIMESTAMP(MICROS) (TIMESTAMP_NTZ) in
+    # different rounds — adapt like sources.readers.read_events does.
+    ts_is_long = isinstance(schema["ts"].dataType, T.LongType)
     # The file-stream source only monitors directories; the table is a
     # single read-only parquet file, so stage a symlink directory for it
     # (a real deployment streams from a landing directory anyway). The
@@ -104,11 +109,12 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     except FileExistsError:
         pass  # concurrent creator within the same app won the race; same target
-    return (
-        spark.readStream.schema(schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if ts_is_long:
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_stream_to_table(
