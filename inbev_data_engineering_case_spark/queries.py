@@ -3091,102 +3091,66 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order (round 1: exactly registrations #1-50 appeared;
 # #51-55 had no row at all). Every DISTINCT operator family must land in
 # the first 50, so near-twin queries — ones whose operator family is fully
-# represented by an earlier entry — are moved to the tail. Each demotion's
-# coverage stand-in:
-#   q_project        -> column pruning is plan-asserted (test_plans) and
-#                       every query projects; q_filter_predicate remains
-#   q_group_stats    -> q_agg_pricing + q_percentiles (same agg shapes)
-#   q_set_ops        -> q_intersect_except + q_distinct (set-op family)
-#   q_cube           -> q_rollup + q_grouping_sets + q_pivot (Expand)
-#   q_running_total  -> q_trailing_window (RANGE frame) + q_sessionize's
-#                       internal ROWS running sum
-#   q_window_events  -> q_stream_tumbling (identical result/oracle)
-#   q_anti_join      -> q_semi_join (same left-semi plan family, negated)
-#   q_approx_percentiles -> q_percentiles (same agg family; GK sketch is the
-#                       scale twin, locally oracle-checked)
-#   q_ngram_jaccard  -> q_dedup_minhash (the post-LSH verifier rides the
-#                       same shingle/similarity family)
-#   q_ann_ivf_trained -> q_ann_probes (same 1-row recall-property shape,
-#                        now covering multi-probe) + q_ann_ivf (full 50-row
-#                        value check of the IVF path stays in-window)
-#   q_sliding_window -> q_window_events (same tumbling/sliding F.window
-#                       family) + q_trailing_window (RANGE frames)
-#   q_map_lookup / q_date_functions -> q_json_extract + q_array_functions
-#                       (the scalar-function family stays doubly
-#                       represented in-window; freed slots went to the
-#                       q_train_split / q_pack_sequences pipeline stages)
-#   q_fingerprint    -> q_dedup_exact groups on the exact same md5
-#                       fingerprint expression (it IS the grouping key);
-#                       the freed slot went to q_decontaminate, a distinct
-#                       family (benchmark n-gram overlap)
-#   q_count_distinct -> q_distinct (same distinct-aggregate family, both
-#                       were in-window); the freed slot went to
-#                       q_stratified_sample, a distinct family
-#                       (deterministic hash-based sampling)
-#   q_corpus_shuffle -> q_orderby_limit (same TakeOrdered/total-order
-#                       family — the epoch shuffle is ordering by a hash)
-#   q_repetition     -> q_quality_score (same corpus-QA expression family)
-#   q_pii_scrub      -> q_clean_text / q_mojibake_repair (same regex
-#                       normalize family)
-#   q_stream_dedup   -> q_stream_tumbling / q_stream_sessionize (streaming
-#                       family triple-represented in-window; this adds the
-#                       fourth stateful op, dropDuplicatesWithinWatermark)
-#   q_quality_threshold -> q_quality_score (same scoring expressions) +
-#                       q_percentiles (same exact-percentile aggregate)
-#   q_bpe_train      -> q_token_stats (token-counting family; the regex
-#                       proxy is in-window, the trained tokenizer is the
-#                       property-oracled deep twin)
-#   q_stream_enrich  -> q_stream_join (stream-side join family; the static
-#                       side needs no watermark/state — the simpler twin)
-#   q_random_projection -> q_ann_cosine / q_dedup_embedding (embedding
-#                       expression family: same zip_with/aggregate dot
-#                       product core, here as a JL pre-step)
-#   q_ann_projected  -> q_ann_probes / q_ann_ivf_trained (same 1-row
-#                       recall-property shape, composing the projection
-#                       into the search)
-#   q_session_window -> q_sessionize (same gap-sessionization family; this
-#                       is the native session_window form)
-#   q_snapshot_diff  -> q_join_orders (outer-join family) +
-#                       q_intersect_except (set-diff semantics) — the CDC
-#                       composition of the two over the snapshot contract
-#   q_approx_count_distinct -> q_count_distinct (distinct-agg family; the
-#                       HLL sketch is the scale twin, property-oracled)
+# represented by an in-window entry — are moved to the tail.
 #
-# INVARIANT (keep when registering anything new): every DISTINCT operator
-# family must stay within the first 50 entries — demote a near-twin when
-# adding, never let a new family slide past the window. The tail is NOT
+# THE WINDOW ROTATES each round so every catalog entry eventually earns an
+# external driver-green CORRECTNESS row (rounds 1-3 pinned the same 50;
+# 27 entries had only the local gate). This round promotes every entry
+# that has never had a driver row — q_sliding_window q_corpus_shuffle
+# q_repetition q_pii_scrub q_stream_dedup q_quality_threshold q_bpe_train
+# q_stream_enrich q_random_projection q_ann_projected q_session_window
+# q_approx_count_distinct q_snapshot_diff plus the new
+# q_curate_incremental and q_ann_ivf_df — and demotes a same-family twin
+# for each, every one of them driver-green in CORRECTNESS_r03 (that row
+# is the evidence the family stays healthy while its twin sits in the
+# tail).
+#
+# INVARIANT (keep when registering anything new, machine-checked by
+# tests/test_entry_contract.py): every demoted entry names in-window
+# stand-ins from its own operator family in _FAMILY_STAND_INS, and the
+# front section stays exactly DRIVER_WINDOW entries. The tail is NOT
 # unverified: tests/test_queries.py + tools/check_oracle.py run the strict
 # oracle gate over the ENTIRE catalog (demoted entries included) and are a
 # required part of `pytest tests/`.
-_DEMOTED_NEAR_TWINS = [
-    "q_project",
-    "q_group_stats",
-    "q_set_ops",
-    "q_cube",
-    "q_running_total",
-    "q_window_events",
-    "q_anti_join",
-    "q_approx_percentiles",
-    "q_ngram_jaccard",
-    "q_ann_ivf_trained",
-    "q_sliding_window",
-    "q_map_lookup",
-    "q_date_functions",
-    "q_fingerprint",
-    "q_count_distinct",
-    "q_corpus_shuffle",
-    "q_repetition",
-    "q_pii_scrub",
-    "q_stream_dedup",
-    "q_quality_threshold",
-    "q_bpe_train",
-    "q_stream_enrich",
-    "q_random_projection",
-    "q_ann_projected",
-    "q_session_window",
-    "q_approx_count_distinct",
-    "q_snapshot_diff",
-]
+DRIVER_WINDOW = 50
 
-for _name in _DEMOTED_NEAR_TWINS:
+# demoted entry -> in-window same-family stand-ins (all must be in the
+# first DRIVER_WINDOW entries; the rotation test enforces it)
+_FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
+    # never-promoted structural twins (column pruning is also
+    # plan-asserted in test_plans for q_project)
+    "q_project": ("q_filter_predicate",),
+    "q_group_stats": ("q_agg_pricing", "q_percentiles"),
+    "q_set_ops": ("q_intersect_except",),
+    "q_cube": ("q_rollup", "q_pivot"),
+    "q_running_total": ("q_window_topk", "q_sliding_window"),
+    "q_window_events": ("q_stream_tumbling",),  # identical result/oracle
+    "q_anti_join": ("q_semi_join",),
+    "q_approx_percentiles": ("q_percentiles",),
+    "q_ngram_jaccard": ("q_dedup_minhash",),
+    "q_ann_ivf_trained": ("q_ann_ivf_df", "q_ann_ivf"),
+    "q_map_lookup": ("q_json_extract",),
+    "q_date_functions": ("q_json_extract",),
+    "q_fingerprint": ("q_dedup_exact",),  # groups on the same md5 fp
+    "q_count_distinct": ("q_approx_count_distinct", "q_percentiles"),
+    # rotated OUT this round (each r3-driver-green; its promoted twin
+    # in parentheses took the slot)
+    "q_trailing_window": ("q_window_topk", "q_sliding_window"),
+    "q_orderby_limit": ("q_corpus_shuffle",),  # TakeOrdered family
+    "q_quality_score": ("q_repetition", "q_quality_threshold"),
+    "q_mojibake_repair": ("q_clean_text", "q_normalize_location", "q_pii_scrub"),
+    "q_stream_sessionize": ("q_session_window", "q_stream_tumbling"),
+    "q_grouping_sets": ("q_rollup", "q_pivot"),  # Expand family
+    "q_array_functions": ("q_json_extract",),  # scalar-fn family
+    "q_stream_join": ("q_stream_enrich",),  # stream-side join family
+    "q_dedup_embedding": ("q_ann_cosine", "q_random_projection"),
+    "q_ann_probes": ("q_ann_projected", "q_ann_ivf_df"),  # 1-row recall
+    "q_sessionize": ("q_session_window",),  # gap-sessionization family
+    "q_distinct": ("q_approx_count_distinct", "q_intersect_except"),
+    "q_join_star": ("q_join_orders", "q_salted_join"),
+    "q_frame_sample": ("q_multimodal_features",),
+    "q_ann_bucketed": ("q_ann_cosine", "q_ann_ivf"),
+}
+
+for _name in _FAMILY_STAND_INS:
     CATALOG[_name] = CATALOG.pop(_name)  # move to tail, others keep order

@@ -57,3 +57,31 @@ def test_driver_contract_on_vanilla_session():
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "CONTRACT_OK" in proc.stdout
+
+
+def test_driver_window_rotation_invariants():
+    """The driver's correctness gate reports the first DRIVER_WINDOW
+    catalog entries. The rotation contract: the front section is exactly
+    DRIVER_WINDOW wide, the tail is exactly the demotion map's keys, and
+    every demoted entry's declared same-family stand-ins actually sit in
+    the window — so no operator family ever rotates fully out of external
+    verification."""
+    from inbev_data_engineering_case_spark.queries import (
+        CATALOG,
+        DRIVER_WINDOW,
+        _FAMILY_STAND_INS,
+    )
+
+    names = list(CATALOG)
+    front = set(names[:DRIVER_WINDOW])
+    tail = names[DRIVER_WINDOW:]
+
+    assert len(names) == DRIVER_WINDOW + len(_FAMILY_STAND_INS)
+    assert set(tail) == set(_FAMILY_STAND_INS)
+    for demoted, stand_ins in _FAMILY_STAND_INS.items():
+        assert stand_ins, f"{demoted} declares no stand-ins"
+        missing = [s for s in stand_ins if s not in front]
+        assert not missing, (
+            f"{demoted}'s family stand-ins {missing} are not in the "
+            f"first {DRIVER_WINDOW} entries"
+        )

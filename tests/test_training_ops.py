@@ -820,8 +820,11 @@ def test_read_binary_assets_lands_real_media(spark, tmp_path):
 
 
 def test_train_ivf_centroids_rejects_huge_k(spark):
-    """The Lloyd trainer collect()s the K×d model per iteration; a K that
-    makes the model driver-sized must fail loud before any training work."""
+    """The collect-path Lloyd trainer round-trips the K×d model through
+    the driver per iteration; a K that makes the model driver-sized must
+    fail loud before any training work — while 'auto' routes the same K
+    to the DataFrame path instead of refusing (covered in
+    test_ivf_dataframe_training_matches_collect)."""
     import pytest as _pytest
 
     from inbev_data_engineering_case_spark.operators.similarity import (
@@ -832,8 +835,8 @@ def test_train_ivf_centroids_rejects_huge_k(spark):
         [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(8)],
         "vec_id long, embedding array<double>",
     )
-    with _pytest.raises(ValueError, match="MAX_CENTROID_CELLS"):
-        train_ivf_centroids(emb, n_centroids=2_000_000)
+    with _pytest.raises(ValueError, match="max_centroid_cells"):
+        train_ivf_centroids(emb, n_centroids=2_000_000, method="collect")
 
 
 def test_ann_multiprobe_recall_monotone(spark):
