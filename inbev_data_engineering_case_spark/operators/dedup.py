@@ -184,7 +184,10 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
 
 
 def _split_hot_buckets(
-    rows: DataFrame, keys: list[str], max_bucket_size: int
+    rows: DataFrame,
+    keys: list[str],
+    max_bucket_size: int,
+    materialize_mode: str = "local",
 ) -> tuple[DataFrame, DataFrame]:
     """Split bucketed rows into (cold, hot) by per-bucket row count.
 
@@ -206,12 +209,27 @@ def _split_hot_buckets(
     The recall trade: a pair similar to each other but NOT to the
     representative inside a hot bucket is missed in that bucket (it can
     still surface from any other band/bucket it shares)."""
-    counts = (
+    # The common case is ZERO hot buckets, and the guard must cost almost
+    # nothing there: materialize the (normally empty) hot-keys table,
+    # check it eagerly — one extra job running just the count aggregate,
+    # map-side partial so the exchange carries one row per distinct
+    # bucket per task — and when it is empty return the rows untouched,
+    # so the downstream self-join keeps the exact unguarded plan (no flag
+    # join on either side, no empty star branch). Only corpora that
+    # actually have oversized buckets pay for the flagging pass, and
+    # there the flagged table is materialized once so the 4 consumers
+    # (both join sides, hot, reps) share one evaluation.
+    counts = _materialize(
         rows.groupBy(*keys)
         .agg(F.count("*").alias("_bucket_n"))
-        .filter(F.col("_bucket_n") > max_bucket_size)
+        .filter(F.col("_bucket_n") > max_bucket_size),
+        materialize_mode,
     )
-    flagged = rows.join(counts, keys, "left")
+    if counts.isEmpty():
+        return rows, None
+    flagged = _materialize(
+        rows.join(counts, keys, "left"), materialize_mode
+    )
     cold = flagged.filter(F.col("_bucket_n").isNull()).drop("_bucket_n")
     hot = flagged.filter(F.col("_bucket_n").isNotNull()).drop("_bucket_n")
     return cold, hot
@@ -435,7 +453,8 @@ def minhash_dedup_pairs(
 
     if max_bucket_size is not None:
         cold, hot = _split_hot_buckets(
-            bands, ["band_idx", "band_key"], max_bucket_size
+            bands, ["band_idx", "band_key"], max_bucket_size,
+            materialize_mode,
         )
     else:
         cold, hot = bands, None
@@ -705,7 +724,9 @@ def embedding_near_dup_pairs(
             materialize_mode,
         )
         if max_bucket_size is not None:
-            cold, hot = _split_hot_buckets(sigs, ["bucket"], max_bucket_size)
+            cold, hot = _split_hot_buckets(
+                sigs, ["bucket"], max_bucket_size, materialize_mode
+            )
         else:
             cold, hot = sigs, None
         a, b = cold.alias("a"), cold.alias("b")
@@ -773,7 +794,9 @@ def simhash_near_pairs(
         materialize_mode,
     )
     if max_bucket_size is not None:
-        cold, hot = _split_hot_buckets(sigs, ["bucket"], max_bucket_size)
+        cold, hot = _split_hot_buckets(
+            sigs, ["bucket"], max_bucket_size, materialize_mode
+        )
     else:
         cold, hot = sigs, None
     a, b = cold.alias("a"), cold.alias("b")
