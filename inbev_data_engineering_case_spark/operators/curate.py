@@ -35,8 +35,7 @@ from inbev_data_engineering_case_spark.operators.dedup import (
     minhash_signatures,
 )
 from inbev_data_engineering_case_spark.operators.textops import (
-    lang_id,
-    quality_score,
+    score_documents,
 )
 
 
@@ -68,12 +67,9 @@ def curate_corpus(
     near-dedup signature table are shared across their consumers — the
     cluster-safe swap (parquet scratch table instead of executor-local
     blocks) is a config value, not a code edit."""
-    scored = documents.select(
-        id_col,
-        text_col,
-        lang_id(text_col).alias("lang"),
-        quality_score(text_col).alias("quality"),
-    )
+    # score_documents: one tokenization pass for lang + quality (the
+    # standalone expressions would re-split the text per reference)
+    scored = score_documents(documents, text_col, id_col)
     eligible = scored.filter(
         F.col("lang").isin(*languages) & (F.col("quality") >= min_quality)
     )
@@ -178,12 +174,7 @@ def curate_incremental(
         changed.select(id_col), on=id_col, how="left_semi"
     )
 
-    scored = delta.select(
-        id_col,
-        text_col,
-        lang_id(text_col).alias("lang"),
-        quality_score(text_col).alias("quality"),
-    )
+    scored = score_documents(delta, text_col, id_col)
     eligible = _materialize(
         scored.filter(
             F.col("lang").isin(*languages)

@@ -932,6 +932,41 @@ def test_curate_corpus_end_to_end(spark):
     assert sorted(r["doc_id"] for r in decon.collect()) == [1]
 
 
+def test_score_documents_matches_standalone_expressions(spark):
+    """The staged one-tokenization scorer must produce bit-identical
+    (lang, quality) to the standalone lang_id/quality_score expressions —
+    it is a plan restructuring, not a semantic change."""
+    from inbev_data_engineering_case_spark.operators.textops import (
+        lang_id,
+        quality_score,
+        score_documents,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in a field"),
+        (2, "el que la de y en un una por con el que la de y en un"),
+        (3, "der die das und ist von mit ein zu den der die das und"),
+        (4, "le la les de et un une est que pour le la les de et"),
+        (5, "zzz qqq www!!! ???"),          # und + junky punctuation
+        (6, "the el der le"),               # cross-language tie-break
+        (7, "x"),                           # single token, no stopwords
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    staged = {
+        r["doc_id"]: (r["lang"], r["quality"])
+        for r in score_documents(docs).collect()
+    }
+    standalone = {
+        r["doc_id"]: (r["lang"], r["quality"])
+        for r in docs.select(
+            "doc_id",
+            lang_id("text").alias("lang"),
+            quality_score("text").alias("quality"),
+        ).collect()
+    }
+    assert staged == standalone  # exact float equality, not approx
+
+
 def test_ivf_dataframe_training_matches_collect(spark, tmp_path):
     """method='dataframe' must produce bit-identical centroids to the
     collect path (means are rounded before they cross iterations), and a
