@@ -627,6 +627,22 @@ def dedup_components_with_stats(
         .withColumn("comp", F.col("node")),
         reliable_checkpoint,
     )
+
+    def label_sum(lbls: DataFrame):
+        # Convergence check WITHOUT a join: per-node labels are
+        # monotonically non-increasing (min-propagation + jumping can
+        # only lower them), so a round changed something iff the total
+        # label sum strictly dropped. One narrow aggregate over the
+        # cached table replaces the old jumped-vs-labels join — which at
+        # scale reshuffled both full label tables every round just to
+        # answer yes/no. decimal(38,0): 1e9 nodes x 1e18-max ids can
+        # overflow a bigint sum, and ANSI mode makes that an error.
+        row = lbls.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).first()
+        return row["s"]
+
+    prev_sum = label_sum(labels)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -654,16 +670,11 @@ def dedup_components_with_stats(
             ),
             reliable_checkpoint,
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = label_sum(jumped)
         labels = jumped
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels, rounds
 
 
