@@ -28,6 +28,7 @@ from inbev_data_engineering_case_spark.operators.dedup import (
     DEFAULT_NUM_HASHES,
     DEFAULT_SHINGLE_WORDS,
     _band_keys,
+    _ensure_parallelism,
     _materialize,
     dedup_components,
     exact_dedup,
@@ -217,6 +218,44 @@ def curate_incremental(
     return eligible.join(drop, on=id_col, how="left_anti")
 
 
+def advance_corpus_artifacts(
+    kept_delta: DataFrame,
+    stored_sigs: DataFrame,
+    stored_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_words: int = DEFAULT_SHINGLE_WORDS,
+) -> tuple[DataFrame, DataFrame]:
+    """The post-run step of the daily-crawl loop: advance the stored
+    artifact tables by the newly-kept delta, so tomorrow's
+    ``curate_incremental`` dedups against today's corpus without ever
+    re-reading it. Returns ``(signatures, fingerprints)`` — in
+    production, write both back to their (bucketed-by-id / by-fp)
+    tables; only the delta's rows are new, so the write is delta-sized.
+
+    The signature pass runs over the kept delta only — the invariant the
+    whole incremental design exists for: historical text is hashed
+    exactly once, on the day it arrives."""
+    from inbev_data_engineering_case_spark.operators.textops import (
+        fingerprint,
+    )
+
+    sigs = stored_sigs.select("id", "sig").unionByName(
+        minhash_signatures(
+            kept_delta, text_col, id_col, num_hashes, shingle_words
+        )
+    )
+    fps = (
+        stored_fps.select("fp")
+        .unionByName(
+            kept_delta.select(fingerprint(text_col).alias("fp"))
+        )
+        .distinct()
+    )
+    return sigs, fps
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float] | None = None,
@@ -323,9 +362,13 @@ def incremental_minhash_pairs(
     Banding matches ``minhash_dedup_pairs``; the candidate join shuffles on
     band keys, and when ``stored_sigs`` reads from a table bucketed by id
     the signature fetch itself was already exchange-free."""
+    # parallelism guard like minhash_dedup_pairs: a small delta arriving
+    # as 1-2 scan splits would pin the compute-bound shingle+hash stage
+    # to 1-2 cores
     new_sigs = _materialize(
         minhash_signatures(
-            new_docs, text_col, id_col, num_hashes, shingle_words
+            _ensure_parallelism(new_docs), text_col, id_col,
+            num_hashes, shingle_words,
         ),
         materialize_mode,
     )

@@ -1088,6 +1088,78 @@ def test_curate_incremental_parity_with_full_batch(spark):
     assert sorted(r["doc_id"] for r in upd.collect()) == [6]
 
 
+def test_curate_incremental_chained_two_days(spark):
+    """Two consecutive incremental runs with artifact advancement between
+    them must reach the same corpus as one full-batch run over
+    everything — the loop a daily pipeline actually executes: curate
+    delta, advance artifacts by the kept rows, repeat."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        advance_corpus_artifacts,
+        curate_corpus,
+        curate_incremental,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        exact_dedup,
+        minhash_signatures,
+    )
+
+    en = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for that in the sun with a friend of the family"
+    )
+    lighthouse = (
+        "an entirely fresh english report on the building of lighthouses "
+        "along the coast and the keepers who lived in them through the "
+        "long storms of winter"
+    )
+    day0 = spark.createDataFrame([(1, en)], ["doc_id", "text"])
+    kept0 = curate_corpus(day0, min_quality=0.3, near_dup_threshold=0.5)
+    sigs = minhash_signatures(kept0.select("doc_id", "text"))
+    fps = exact_dedup(kept0.select("doc_id", "text"))
+
+    # day 1: one fresh doc (kept), one near-dup of day-0 (dropped)
+    d1 = spark.createDataFrame(
+        [(10, lighthouse), (11, en + " extra tail words")],
+        ["doc_id", "text"],
+    )
+    snap1 = day0.unionByName(d1)
+    kept1 = curate_incremental(
+        day0, snap1, sigs, fps, min_quality=0.3, near_dup_threshold=0.5
+    )
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [10]
+    sigs, fps = advance_corpus_artifacts(
+        kept1.select("doc_id", "text"), sigs, fps
+    )
+
+    # day 2: near-dup AND exact dup of the doc kept on day 1 — only the
+    # advanced artifacts can drop these — plus one fresh doc
+    d2 = spark.createDataFrame(
+        [
+            (20, lighthouse + " extra tail words"),
+            (21, lighthouse),
+            (22, "a completely different english text about the history "
+                 "of bridges and the people that built them in the old "
+                 "days of iron and stone for the crossing of rivers"),
+        ],
+        ["doc_id", "text"],
+    )
+    snap2 = snap1.unionByName(d2)
+    kept2 = curate_incremental(
+        snap1, snap2, sigs, fps, min_quality=0.3, near_dup_threshold=0.5
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [22]
+
+    full = curate_corpus(snap2, min_quality=0.3, near_dup_threshold=0.5)
+    incremental_union = sorted(
+        [r["doc_id"] for r in kept0.collect()]
+        + [r["doc_id"] for r in kept1.collect()]
+        + [r["doc_id"] for r in kept2.collect()]
+    )
+    assert incremental_union == sorted(
+        r["doc_id"] for r in full.collect()
+    )
+
+
 def test_curate_corpus_materialize_modes_identical(spark, tmp_path):
     """The cluster-safe materialization swaps (reliable checkpoint,
     parquet scratch table) are config values; every mode must produce the
