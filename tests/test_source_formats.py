@@ -3,6 +3,51 @@ table exactly; JSONL quarantines corrupt records instead of dropping them."""
 
 from __future__ import annotations
 
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_read_events_adapts_to_nanos_and_micros(spark, tmp_path):
+    """The fixture has shipped events.ts as TIMESTAMP(NANOS) in some
+    rounds and TIMESTAMP(MICROS) in others; read_events must surface the
+    identical TimestampType micros column from either encoding."""
+    from inbev_data_engineering_case_spark.sources.readers import (
+        read_events,
+    )
+
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, in micros
+    rows = {
+        "event_id": [1, 2, 3],
+        "user_id": [10, 11, 12],
+        "event_type": ["click", "view", "click"],
+        "value": [1.5, 2.5, 3.5],
+    }
+    for unit, mult in (("ns", 1000), ("us", 1)):
+        d = tmp_path / unit
+        d.mkdir()
+        table = pa.table(
+            {
+                **rows,
+                "ts": pa.array(
+                    [(base_us + i) * mult for i in range(3)],
+                    type=pa.timestamp(unit),
+                ),
+            }
+        )
+        # version 2.6 keeps ns as parquet TIMESTAMP(NANOS) instead of
+        # silently coercing to micros
+        pq.write_table(table, d / "events.parquet", version="2.6")
+
+    got = {}
+    for unit in ("ns", "us"):
+        df = read_events(spark, str(tmp_path / unit))
+        assert str(df.schema["ts"].dataType) == "TimestampType()"
+        got[unit] = sorted(
+            (r["event_id"], r["ts"].isoformat()) for r in df.collect()
+        )
+    assert got["ns"] == got["us"]
+    assert got["us"][0][1].startswith("2023-11-14T22:13:20")
+
 from pyspark.sql import functions as F
 
 from inbev_data_engineering_case_spark.sources.readers import (
