@@ -291,6 +291,61 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pretraining/RAG prep for documents longer than the model
+    context. Returns (doc_id, chunk_idx, chunk_text, n_tokens): chunk i
+    covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap, so consecutive chunks share
+    ``overlap`` tokens and no token is dropped; a doc at or under the
+    window is one chunk.
+
+    Scale shape: pure Column expressions — tokenize once per doc,
+    explode a per-doc chunk-index sequence, slice + rejoin per chunk.
+    Zero shuffle; output rows ~ corpus_tokens / stride. Whitespace
+    tokens (``functions.tokens``) keep the exact DuckDB oracle; swap in
+    the BPE tokenizer offline for model-true boundaries."""
+    from inbev_data_engineering_case_spark.functions import tokens
+
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(float(stride))).cast("int") + 1
+    )
+    start = F.col("chunk_idx") * stride
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("_t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice("_t", start + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.size("_t") - start)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     ctx_len: int = 2048,

@@ -1088,6 +1088,38 @@ def test_curate_incremental_parity_with_full_batch(spark):
     assert sorted(r["doc_id"] for r in upd.collect()) == [6]
 
 
+def test_chunk_documents_known_answer(spark):
+    """Hand-computed chunk boundaries: 10 tokens, window 4, overlap 1
+    (stride 3) -> chunks at starts 0,3,6 cover all tokens... n=10:
+    n_chunks = ceil((10-4)/3)+1 = 3, last chunk = tokens 7..10."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+            (2, "a b c"),  # under the window: one whole chunk
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(
+            docs, chunk_tokens=4, overlap=1
+        ).collect()
+    }
+    assert out == {
+        (1, 0): ("t1 t2 t3 t4", 4),
+        (1, 1): ("t4 t5 t6 t7", 4),
+        (1, 2): ("t7 t8 t9 t10", 4),
+        (2, 0): ("a b c", 3),
+    }
+    # every token appears in some chunk; consecutive chunks overlap by 1
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
 def test_curate_incremental_chained_two_days(spark):
     """Two consecutive incremental runs with artifact advancement between
     them must reach the same corpus as one full-batch run over
