@@ -438,6 +438,53 @@ def random_projection(
     return df.select(F.col(id_col), F.array(*comps).alias("proj"))
 
 
+def random_projection_rows(
+    df: DataFrame,
+    d_in: int,
+    d_out: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """``random_projection`` with a scalar-only output shape: one row per
+    (vector, output dimension) — columns ``(id_col, dim, component)``.
+
+    Exists because external result harnesses (and most sinks) canonicalize
+    by sorting cell values, which breaks on array-typed cells; any
+    driver/oracle-facing query must emit scalar columns only. The
+    array-returning ``random_projection`` remains the composition-friendly
+    form for internal pipelines (ANN indexing takes the array). posexplode
+    is a narrow per-row expansion — still zero shuffle."""
+    proj = random_projection(df, d_in, d_out, id_col, vec_col, seed)
+    return proj.select(
+        F.col(id_col),
+        F.posexplode("proj").alias("dim", "component"),
+    ).select(
+        F.col(id_col),
+        F.col("dim").cast("bigint").alias("dim"),
+        F.col("component"),
+    )
+
+
+def random_projection_rows_oracle_sql(
+    d_in: int,
+    d_out: int,
+    seed: int = 0,
+    vec_expr: str = "embedding",
+    id_expr: str = "vec_id",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of ``random_projection_rows``: unnest the projection
+    list zipped with an ordinality list (DuckDB zips same-length unnests
+    in one SELECT), yielding scalar (id, dim, component) rows."""
+    proj = random_projection_oracle_sql(d_in, d_out, seed, vec_expr)
+    dims = ", ".join(str(j) for j in range(d_out))
+    return (
+        f"SELECT {id_expr}, CAST(unnest([{dims}]) AS BIGINT) AS dim, "
+        f"unnest({proj}) AS component FROM {table}"
+    )
+
+
 def random_projection_oracle_sql(
     d_in: int, d_out: int, seed: int = 0, vec_expr: str = "embedding"
 ) -> str:
