@@ -6,10 +6,16 @@ and prints ONE JSON line:
 
 Each query executes fully via the noop sink (no collect — rows are computed
 and discarded executor-side, so timing measures the plan, not driver
-materialization). A warm-up run of the flagship query amortizes session/JIT
-startup out of the numbers, and every reported number is the MEDIAN of
-``RUNS_PER_QUERY`` timed runs — a single sample on a busy machine can read
-20%+ off and makes round-over-round deltas meaningless.
+materialization). Every query gets ONE untimed warm-up run (its first
+execution pays Catalyst analysis + whole-stage codegen compile — measured
+~2.2s vs ~1.0s steady-state for q_join_orders — and that compile cost is
+per-plan-shape, amortized to zero on any real corpus), then the reported
+number is the MEDIAN of ``RUNS_PER_QUERY`` timed runs — a single sample on
+a busy machine can read 20%+ off and makes round-over-round deltas
+meaningless. (Round-4's apparent q_join_orders 2.6s "regression" was
+exactly this: a contended driver machine + the cold compile run landing in
+a 3-run median; 9 steady-state runs on the same fixtures median 1.00s,
+matching round 3.)
 
 ``stream_sink_drain`` times the events stream drained through the
 idempotent foreachBatch parquet sink (streaming/events.py), so sink +
@@ -33,7 +39,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from inbev_data_engineering_case_spark.queries import CATALOG  # noqa: E402
 from inbev_data_engineering_case_spark.session import get_spark  # noqa: E402
 
-RUNS_PER_QUERY = 3
+RUNS_PER_QUERY = 5
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
@@ -77,11 +83,12 @@ def main() -> None:
     spark = get_spark("bench")
 
     headline = [n for n, spec in CATALOG.items() if spec.headline]
-    run_query(spark, headline[0], sf_dir)  # warm-up: JVM/JIT/codegen caches
 
     timings: dict[str, float] = {}
     for name in headline:
+        run_query(spark, name, sf_dir)  # untimed warm-up: codegen compile
         timings[name] = median_of(RUNS_PER_QUERY, run_query, spark, name, sf_dir)
+    run_stream_sink(spark, sf_dir)  # untimed warm-up
     timings["stream_sink_drain"] = median_of(
         RUNS_PER_QUERY, run_stream_sink, spark, sf_dir
     )
