@@ -188,8 +188,10 @@ def _split_hot_buckets(
     keys: list[str],
     max_bucket_size: int,
     materialize_mode: str = "local",
-) -> tuple[DataFrame, DataFrame]:
-    """Split bucketed rows into (cold, hot) by per-bucket row count.
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split bucketed rows into (cold, hot) by per-bucket row count;
+    ``hot`` is None on the (common) empty fast path so callers keep the
+    exact unguarded plan.
 
     The count is a groupBy with map-side partial aggregation (the exchange
     carries one row per distinct bucket per map task, never the data), and
@@ -210,23 +212,27 @@ def _split_hot_buckets(
     representative inside a hot bucket is missed in that bucket (it can
     still surface from any other band/bucket it shares)."""
     # The common case is ZERO hot buckets, and the guard must cost almost
-    # nothing there: materialize the (normally empty) hot-keys table,
-    # check it eagerly — one extra job running just the count aggregate,
-    # map-side partial so the exchange carries one row per distinct
-    # bucket per task — and when it is empty return the rows untouched,
-    # so the downstream self-join keeps the exact unguarded plan (no flag
-    # join on either side, no empty star branch). Only corpora that
-    # actually have oversized buckets pay for the flagging pass, and
-    # there the flagged table is materialized once so the 4 consumers
+    # nothing there: probe the (normally empty) hot-keys aggregate with
+    # isEmpty — ONE extra job running just the count aggregate, map-side
+    # partial so the exchange carries one row per distinct bucket per
+    # task, take(1)-bounded on the read side, and NO materialization (in
+    # table:<dir> mode an unconditional _materialize would write a
+    # scratch parquet table per banded join just to discover it is
+    # empty). When empty, return the rows untouched so the downstream
+    # self-join keeps the exact unguarded plan (no flag join on either
+    # side, no empty star branch). Only corpora that actually have
+    # oversized buckets materialize: the counts once (recomputing the
+    # cheap aggregate the probe already ran, rather than persisting on
+    # the off chance), then the flagged table once so its 4 consumers
     # (both join sides, hot, reps) share one evaluation.
-    counts = _materialize(
+    counts = (
         rows.groupBy(*keys)
         .agg(F.count("*").alias("_bucket_n"))
-        .filter(F.col("_bucket_n") > max_bucket_size),
-        materialize_mode,
+        .filter(F.col("_bucket_n") > max_bucket_size)
     )
     if counts.isEmpty():
         return rows, None
+    counts = _materialize(counts, materialize_mode)
     flagged = _materialize(
         rows.join(counts, keys, "left"), materialize_mode
     )
