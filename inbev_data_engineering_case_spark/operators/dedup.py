@@ -100,7 +100,17 @@ def _materialize(df: DataFrame, mode: str = "local") -> DataFrame:
       fault-tolerant, spillable, survives the session, and the rescan
       gets a fresh file-source plan (size stats for AQE/broadcast
       decisions). The 100 TB production setting; point it at the job's
-      scratch prefix (swap for Delta by writing a table instead)."""
+      scratch prefix (swap for Delta by writing a table instead).
+
+    Cleanup contract for ``table:`` mode: scratch tables are CALLER-owned.
+    Each call writes a fresh uuid-named directory under ``<dir>`` and
+    nothing deletes it automatically (a composed pipeline may still be
+    reading an earlier scratch when a later one is written, so no safe
+    auto-TTL exists inside this helper). Every created path is recorded in
+    ``scratch_table_paths(spark)``; call ``cleanup_scratch_tables(spark)``
+    after the job's terminal action, or point ``<dir>`` at a job-scoped
+    prefix your orchestrator deletes — the reference's Airflow pattern —
+    and skip per-path bookkeeping entirely."""
     kind, path = _parse_materialize_mode(mode)
     if kind == "local":
         return df.localCheckpoint(eager=False)
@@ -110,7 +120,35 @@ def _materialize(df: DataFrame, mode: str = "local") -> DataFrame:
 
     target = f"{path.rstrip('/')}/mat_{uuid.uuid4().hex}"
     df.write.parquet(target)
-    return df.sparkSession.read.parquet(target)
+    spark = df.sparkSession
+    scratch_table_paths(spark).append(target)
+    return spark.read.parquet(target)
+
+
+def scratch_table_paths(spark) -> list[str]:
+    """The session-lived registry of ``table:`` scratch directories written
+    by ``_materialize`` (oldest first). Mutating it is allowed — cleanup
+    removes entries it deletes."""
+    if not hasattr(spark, "_graft_scratch_tables"):
+        spark._graft_scratch_tables = []
+    return spark._graft_scratch_tables
+
+
+def cleanup_scratch_tables(spark) -> list[str]:
+    """Delete every registered ``table:`` scratch directory and return the
+    paths removed. Uses the Hadoop FileSystem API so it works on whatever
+    store the scratch prefix lives on (local, HDFS, s3a, ...). Call only
+    after the job's terminal action — scratch tables back live plans."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    registry = scratch_table_paths(spark)
+    removed = []
+    for target in list(registry):
+        p = jvm.org.apache.hadoop.fs.Path(target)
+        p.getFileSystem(hconf).delete(p, True)
+        registry.remove(target)
+        removed.append(target)
+    return removed
 
 
 def _estimate_scan_splits(df: DataFrame) -> int | None:

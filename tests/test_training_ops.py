@@ -1228,6 +1228,21 @@ def test_curate_corpus_materialize_modes_identical(spark, tmp_path):
     # table mode actually wrote its scratch tables
     assert list((tmp_path / "mat").glob("mat_*")), "no scratch tables written"
 
+    # every scratch path is registered, and bulk cleanup removes them all
+    # (caller-owned contract: nothing is auto-deleted while plans may
+    # still read them; cleanup is explicit after the terminal action)
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        cleanup_scratch_tables,
+        scratch_table_paths,
+    )
+
+    on_disk = {str(p) for p in (tmp_path / "mat").glob("mat_*")}
+    assert on_disk <= set(scratch_table_paths(spark))
+    removed = cleanup_scratch_tables(spark)
+    assert on_disk <= set(removed)
+    assert not list((tmp_path / "mat").glob("mat_*"))
+    assert scratch_table_paths(spark) == []
+
     sc = spark.sparkContext
     sc.setCheckpointDir(str(tmp_path / "ckpt"))
     try:
