@@ -159,8 +159,12 @@ def curate_incremental(
     kept corpus; ``stored_fps`` any table with the kept corpus's ``fp``
     fingerprint column (``exact_dedup`` output works as-is). An updated
     doc re-enters curation under its (unchanged) id; the self-pair guard
-    keeps it from matching its own stale stored signature — refresh the
-    stored artifact tables with the delta's rows after each run."""
+    keeps it from matching its own stale stored signature. Advance the
+    stored artifact tables after each run with
+    ``advance_corpus_artifacts`` — mode ``"append"`` keeps an updated
+    doc's old rows (append-only emission semantics, the default) and
+    ``"replace"`` sheds them (current-state semantics); see its
+    docstring for when each is right."""
     from inbev_data_engineering_case_spark.layers import snapshot_diff
     from inbev_data_engineering_case_spark.operators.textops import (
         fingerprint,
@@ -226,13 +230,34 @@ def advance_corpus_artifacts(
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_words: int = DEFAULT_SHINGLE_WORDS,
+    mode: str = "append",
+    delta_ids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The post-run step of the daily-crawl loop: advance the stored
     artifact tables by the newly-kept delta, so tomorrow's
     ``curate_incremental`` dedups against today's corpus without ever
-    re-reading it. Returns ``(signatures, fingerprints)`` — in
-    production, write both back to their (bucketed-by-id / by-fp)
-    tables; only the delta's rows are new, so the write is delta-sized.
+    re-reading it. Returns ``(signatures, fingerprints)`` — signatures as
+    (id, sig), fingerprints as (fp, keep_id) — in production, write both
+    back to their (bucketed-by-id / by-fp) tables; only the delta's rows
+    are new, so the write is delta-sized.
+
+    ``mode`` states what an UPDATED document (same id, new text) means:
+
+    - ``"append"`` (default): the stored rows for that id stay alongside
+      the new ones. This is the right semantics for training-data
+      curation, where emission is append-only — the old text was already
+      shipped into the corpus and cannot be retracted, so a future
+      document that near-dups the OLD text must still be dropped. Stale
+      signatures here are not a leak; they are the memory of everything
+      ever emitted.
+    - ``"replace"``: the stored artifact rows for the changed ids are
+      anti-joined away before the union — current-state semantics, for
+      corpora maintained as a live snapshot rather than an append log.
+      Removal keys on ``delta_ids`` when given (pass the FULL changed-id
+      set, so an updated doc whose new version got dropped in curation
+      also sheds its stale artifacts), else on the kept delta's ids.
+      Fingerprint rows with a null ``keep_id`` (from a legacy fp-only
+      store) cannot be attributed to an id and are never removed.
 
     The signature pass runs over the kept delta only — the invariant the
     whole incremental design exists for: historical text is hashed
@@ -241,18 +266,40 @@ def advance_corpus_artifacts(
         fingerprint,
     )
 
-    sigs = stored_sigs.select("id", "sig").unionByName(
+    if mode not in ("append", "replace"):
+        raise ValueError(f"mode must be 'append' or 'replace'; got {mode!r}")
+
+    old_sigs = stored_sigs.select("id", "sig")
+    if "keep_id" in stored_fps.columns:
+        old_fps = stored_fps.select("fp", "keep_id")
+    else:  # legacy fp-only store: rows have no owner to replace by
+        old_fps = stored_fps.select(
+            "fp", F.lit(None).cast("long").alias("keep_id")
+        )
+    if mode == "replace":
+        changed = (
+            delta_ids.select(F.col(delta_ids.columns[0]).alias("id"))
+            if delta_ids is not None
+            else kept_delta.select(F.col(id_col).alias("id"))
+        ).distinct()
+        old_sigs = old_sigs.join(changed, on="id", how="left_anti")
+        old_fps = old_fps.join(
+            changed.select(F.col("id").alias("keep_id")),
+            on="keep_id",
+            how="left_anti",
+        )
+
+    sigs = old_sigs.unionByName(
         minhash_signatures(
             kept_delta, text_col, id_col, num_hashes, shingle_words
         )
     )
-    fps = (
-        stored_fps.select("fp")
-        .unionByName(
-            kept_delta.select(fingerprint(text_col).alias("fp"))
+    fps = old_fps.unionByName(
+        kept_delta.select(
+            fingerprint(text_col).alias("fp"),
+            F.col(id_col).cast("long").alias("keep_id"),
         )
-        .distinct()
-    )
+    ).dropDuplicates(["fp", "keep_id"])
     return sigs, fps
 
 

@@ -1192,6 +1192,77 @@ def test_curate_incremental_chained_two_days(spark):
     )
 
 
+def test_advance_artifacts_update_semantics(spark):
+    """An UPDATED doc (same id, new text) across an advancement: append
+    mode keeps the old rows as the memory of everything ever emitted
+    (a later near-dup of the OLD text still drops), replace mode sheds
+    them (a later near-dup of the old text is fresh again). Both modes
+    index the new text."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        advance_corpus_artifacts,
+        curate_corpus,
+        curate_incremental,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        exact_dedup,
+        minhash_signatures,
+    )
+
+    old_text = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for that in the sun with a friend of the family"
+    )
+    new_text = (
+        "an entirely fresh english report on the building of lighthouses "
+        "along the coast and the keepers who lived in them through the "
+        "long storms of winter"
+    )
+    day0 = spark.createDataFrame([(1, old_text)], ["doc_id", "text"])
+    kept0 = curate_corpus(day0, min_quality=0.3, near_dup_threshold=0.5)
+    sigs0 = minhash_signatures(kept0.select("doc_id", "text"))
+    fps0 = exact_dedup(kept0.select("doc_id", "text"))
+
+    # day 1: doc 1 is UPDATED to entirely new text
+    snap1 = spark.createDataFrame([(1, new_text)], ["doc_id", "text"])
+    kept1 = curate_incremental(
+        day0, snap1, sigs0, fps0, min_quality=0.3, near_dup_threshold=0.5
+    )
+    # the update re-enters curation and, being fresh text, is kept (the
+    # self-pair guard keeps it from matching its own stale signature)
+    assert [r["doc_id"] for r in kept1.collect()] == [1]
+
+    probe = spark.createDataFrame(
+        [(50, old_text + " extra tail words"),
+         (51, new_text + " extra tail words")],
+        ["doc_id", "text"],
+    )
+
+    def day2_kept(sigs, fps):
+        snap2 = snap1.unionByName(probe)
+        kept = curate_incremental(
+            snap1, snap2, sigs, fps, min_quality=0.3,
+            near_dup_threshold=0.5,
+        )
+        return sorted(r["doc_id"] for r in kept.collect())
+
+    ap_sigs, ap_fps = advance_corpus_artifacts(
+        kept1.select("doc_id", "text"), sigs0, fps0
+    )
+    # append: BOTH old-text and new-text near-dups drop — the old text
+    # was already emitted, its signature is retained on purpose
+    assert day2_kept(ap_sigs, ap_fps) == []
+    assert ap_sigs.filter(F.col("id") == 1).count() == 2  # old + new rows
+
+    rp_sigs, rp_fps = advance_corpus_artifacts(
+        kept1.select("doc_id", "text"), sigs0, fps0, mode="replace",
+        delta_ids=snap1.select("doc_id"),
+    )
+    # replace: the stale signature is gone, so the old-text near-dup is
+    # fresh again; the new-text near-dup still drops
+    assert day2_kept(rp_sigs, rp_fps) == [50]
+    assert rp_sigs.filter(F.col("id") == 1).count() == 1  # new row only
+
+
 def test_curate_corpus_materialize_modes_identical(spark, tmp_path):
     """The cluster-safe materialization swaps (reliable checkpoint,
     parquet scratch table) are config values; every mode must produce the
