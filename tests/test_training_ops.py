@@ -869,6 +869,71 @@ def test_ann_multiprobe_recall_monotone(spark):
     assert all(c3[qid] >= n for qid, n in c1.items())
 
 
+def test_ann_multiprobe_provably_adds_known_neighbor(spark):
+    """Deterministic synthetic fixture where the second probe PROVABLY
+    contributes: a neighbor in a different seed-0 bucket than the query
+    but the same seed-1 bucket is invisible at n_probes=1 and found at
+    n_probes=2. An implementation that silently ignores the lever (e.g.
+    always bucketing under seed 0) returns the identical result for both
+    and fails here — the regression class the weakened sf-fixture
+    property oracles (monotone + in-range) cannot detect."""
+    import math
+
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_bucketed_topk,
+        signlsh_bucket,
+    )
+
+    d = 16
+    vecs = {
+        j: [math.sin(j * 37.0 + i * 13.0) for i in range(d)]
+        for j in range(80)
+    }
+    df = spark.createDataFrame(
+        [(j, v) for j, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    buckets = {
+        r["vec_id"]: (r["b0"], r["b1"])
+        for r in df.select(
+            "vec_id",
+            signlsh_bucket("embedding", 8, seed=0).alias("b0"),
+            signlsh_bucket("embedding", 8, seed=1).alias("b1"),
+        ).collect()
+    }
+    # pick (query, cross, same): `cross` shares the query's seed-1 bucket
+    # only; `same` shares its seed-0 bucket. Hyperplanes are deterministic
+    # pseudo-randoms of (plane, dim), so this scan is reproducible.
+    pick = next(
+        (
+            (q, c, s)
+            for q in buckets
+            for c in buckets
+            for s in buckets
+            if len({q, c, s}) == 3
+            and buckets[c][0] != buckets[q][0]
+            and buckets[c][1] == buckets[q][1]
+            and buckets[s][0] == buckets[q][0]
+        ),
+        None,
+    )
+    assert pick is not None, "fixture degenerated: no probe-2-only pair"
+    qid, cross, same = pick
+
+    corpus = df.filter(F.col("vec_id").isin(qid, cross, same))
+    query = df.filter(F.col("vec_id") == qid)
+
+    def found(n_probes: int) -> set:
+        return {
+            r["neighbor_id"]
+            for r in ann_bucketed_topk(
+                corpus, query, k=5, n_probes=n_probes
+            ).collect()
+        }
+
+    assert found(1) == {same}  # cross-bucket neighbor invisible
+    assert found(2) == {same, cross}  # second probe adds exactly it
+
+
 def test_ensure_parallelism_in_memory_fallback(spark):
     """Non-file sources (createDataFrame) have no scan-split estimate; the
     rdd-partition fallback must still fan a 1-partition corpus out to the
