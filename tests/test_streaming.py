@@ -345,6 +345,126 @@ def test_stream_dedup_crash_recovery_exactly_once(spark, tmp_path):
     assert got == want  # equal as MULTISETS: no duplicate survived
 
 
+def test_stream_sessionize_crash_recovery(spark, tmp_path):
+    """Crash-recovery for the applyInPandasWithState sessionizer — the
+    user-managed state store, the riskier recovery path. The query dies
+    in the sink-written/offset-uncommitted window, restarts from the
+    checkpoint, and a post-crash feed closes a session whose START lives
+    only in pre-crash state: the emitted sessions must match the batch
+    lag-window sessionization of everything ever fed (open sessions
+    excluded), which is only possible if the open-session state survived
+    the crash."""
+    import glob as g
+    import shutil
+
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import Window
+
+    t0 = datetime(2024, 1, 1)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    marker = tmp_path / "crashed_once"
+
+    def feed(rows, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(
+            [(u, t0 + timedelta(minutes=m)) for u, m in rows],
+            ["user_id", "ts"],
+        ).coalesce(1).write.parquet(str(stage))
+        shutil.copy(
+            g.glob(str(stage / "part-*.parquet"))[0],
+            str(landing / f"{name}.parquet"),
+        )
+
+    def start():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(str(landing))
+        )
+        out = stream_sessionize(stream, flush_timeout=False)
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+            if not marker.exists():
+                marker.write_text("crashed")
+                raise RuntimeError(
+                    "injected crash: sink written, offset not committed"
+                )
+
+        return (
+            out.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # feed 1: u1 closes one session in-batch ([0,5] by the 55-min gap to
+    # 60) and leaves one open at 60; u2 leaves one open at 0
+    feed([(1, 0), (1, 5), (1, 60), (2, 0)], "p1")
+    with pytest.raises(StreamingQueryException):
+        start().awaitTermination(120)
+    assert marker.exists()
+
+    # feed 2 arrives while the query is down: u1's 65 folds into the open
+    # session and 120 closes [60,65] — a session whose start exists ONLY
+    # in recovered state; u2's 45 closes [0,0] the same way
+    feed([(1, 65), (1, 120), (2, 45)], "p2")
+    q = start()
+    assert q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect()
+    )
+
+    # batch oracle: lag-window sessionization over everything fed, minus
+    # each user's final (still-open) session
+    ev = spark.read.parquet(str(landing))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        ev.select(
+            "user_id",
+            "ts",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.unix_micros("ts")
+                    - F.unix_micros(F.lag("ts").over(w))
+                    > 1_800_000_000
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    last = sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("session_id")
+    )
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessions.join(
+            last, on=["user_id", "session_id"], how="left_anti"
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 3  # [0,5]@u1 pre-crash, [60,65]@u1, [0,0]@u2
+
+
 def test_stream_static_enrichment_join(spark, event_dir, tmp_path):
     from inbev_data_engineering_case_spark.streaming.events import (
         run_stream_to_table,
