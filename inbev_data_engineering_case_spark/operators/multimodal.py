@@ -176,6 +176,86 @@ def _featurize_pnm(payload: bytes) -> tuple[int, list[float]]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> samples/px
 
+# Capability probes for OPTIONAL codec backends. Probed lazily, cached per
+# interpreter (each Python worker probes once, then every Arrow batch
+# reuses the answer). When the backend is present, codec-bound formats
+# (JPEG/GIF/WebP via PIL; mp4/webm/... via ffmpeg) decode for real; when
+# absent, the stdlib decoders still cover BMP/PNM/PNG/WAV/Y4M and
+# codec-bound assets fall through to the dead-letter path — capability
+# changes coverage, never control flow.
+_UNPROBED = object()
+_PIL_IMAGE = _UNPROBED
+_FFMPEG = _UNPROBED
+
+
+def _optional_pil():
+    """``PIL.Image`` if importable, else None."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is _UNPROBED:
+        try:
+            from PIL import Image
+
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+def _optional_ffmpeg():
+    """Path to an ffmpeg binary if one is on PATH, else None."""
+    global _FFMPEG
+    if _FFMPEG is _UNPROBED:
+        import shutil
+
+        _FFMPEG = shutil.which("ffmpeg")
+    return _FFMPEG
+
+
+def _pil_decode_pixels(payload: bytes):
+    """Decode a codec-bound image through PIL to the same normalized
+    (h, w, c) uint8 raster shape the stdlib decoders produce: grayscale
+    stays 1-channel, everything else converts to RGB (alpha dropped, like
+    the PNG path)."""
+    import io
+
+    import numpy as np
+
+    image_mod = _optional_pil()
+    with image_mod.open(io.BytesIO(payload)) as im:
+        if im.mode != "L":
+            im = im.convert("RGB")
+        arr = np.asarray(im, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return np.ascontiguousarray(arr)
+
+
+def _ffmpeg_to_y4m(payload: bytes) -> bytes:
+    """Demux/decode a compressed video container to uncompressed
+    YUV4MPEG2 through the probed ffmpeg binary (stdin→stdout, no temp
+    files), so every downstream consumer reuses the native Y4M path."""
+    import subprocess
+
+    proc = subprocess.run(
+        [
+            _optional_ffmpeg(),
+            "-v", "error",
+            "-i", "pipe:0",
+            "-f", "yuv4mpegpipe",
+            "-pix_fmt", "yuv420p",
+            "pipe:1",
+        ],
+        input=payload,
+        capture_output=True,
+        check=False,
+    )
+    if proc.returncode != 0 or not proc.stdout:
+        raise ValueError(
+            "ffmpeg demux failed: "
+            + proc.stderr.decode("utf-8", "replace")[:200]
+        )
+    return proc.stdout
+
 
 def _png_decode(payload: bytes):
     """Pure-stdlib PNG decode (8-bit, non-interlaced, color types
@@ -416,19 +496,33 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             return _featurize_pnm(payload)
         if payload[:8] == _PNG_SIG:
             return _featurize_png(payload)
+        if _optional_pil() is not None:
+            import numpy as np
+
+            pixels = _pil_decode_pixels(payload)
+            h, w, c = pixels.shape
+            checksum = zlib.crc32(pixels.tobytes()) % 1_000_003
+            mean_px = (
+                float(pixels.astype(np.float64).mean())
+                if pixels.size
+                else 0.0
+            )
+            return checksum, [float(w), float(h), float(8 * c), mean_px]
         raise NotImplementedError(
             "codec-bound image decoding (JPEG/GIF/WebP/...) requires PIL, "
-            "which is not installed in this environment; BMP, binary PNM, "
-            "and PNG decode natively — see _featurize_bmp/_featurize_pnm/"
-            "_featurize_png."
+            "which was not found by the capability probe (_optional_pil); "
+            "BMP, binary PNM, and PNG decode natively — see "
+            "_featurize_bmp/_featurize_pnm/_featurize_png."
         )
     if media_type.partition("/")[0] == "video":
         if payload[:9] == b"YUV4MPEG2":
             return _featurize_y4m(payload)
+        if _optional_ffmpeg() is not None:
+            return _featurize_y4m(_ffmpeg_to_y4m(payload))
         raise NotImplementedError(
-            "compressed video decoding requires ffmpeg/pyav, which are not "
-            "installed in this environment; uncompressed YUV4MPEG2 demuxes "
-            "natively — see _featurize_y4m/_parse_y4m."
+            "compressed video decoding requires ffmpeg (capability probe "
+            "_optional_ffmpeg found none on PATH) or pyav; uncompressed "
+            "YUV4MPEG2 demuxes natively — see _featurize_y4m/_parse_y4m."
         )
     checksum = zlib.crc32(payload) % 1_000_003
     n = len(payload)
@@ -587,9 +681,12 @@ def _decode_image_pixels(payload: bytes):
         if channels in (2, 4):  # GA/RGBA -> drop alpha
             pixels = pixels[:, :, : channels - 1]
         return np.ascontiguousarray(pixels)
+    if _optional_pil() is not None:
+        return _pil_decode_pixels(payload)
     raise NotImplementedError(
-        "codec-bound image resizing (JPEG/GIF/WebP/...) requires PIL; "
-        "BMP, binary PNM, and PNG resize natively."
+        "codec-bound image resizing (JPEG/GIF/WebP/...) requires PIL "
+        "(capability probe _optional_pil found none); BMP, binary PNM, "
+        "and PNG resize natively."
     )
 
 
@@ -753,11 +850,14 @@ def sample_frames(
                 try:
                     if real_decoder and media_type.partition("/")[0] == "video":
                         if b[:9] != b"YUV4MPEG2":
-                            raise NotImplementedError(
-                                "compressed video demux requires ffmpeg/pyav "
-                                "(not installed); uncompressed YUV4MPEG2 "
-                                "demuxes natively."
-                            )
+                            if _optional_ffmpeg() is not None:
+                                b = _ffmpeg_to_y4m(b)
+                            else:
+                                raise NotImplementedError(
+                                    "compressed video demux requires ffmpeg "
+                                    "(capability probe found none) or pyav; "
+                                    "uncompressed YUV4MPEG2 demuxes natively."
+                                )
                         _w, _h, chunks = _parse_y4m(b)
                     else:
                         chunks = [

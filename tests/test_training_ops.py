@@ -1882,14 +1882,27 @@ def test_hot_bucket_guard_simhash_star_links(spark):
 def test_decode_errors_dead_letter_not_raise(spark):
     """A codec-bound (JPEG) or corrupt asset must survive as a flagged row
     — null features, decode_ok=false, message in `error` — instead of
-    killing the job; strict=True restores the raise."""
+    killing the job; strict=True restores the raise. The expected error
+    class depends on the capability probes: with no PIL/ffmpeg the
+    decoders refuse with NotImplementedError; with a backend present
+    these deliberately-corrupt payloads fail inside it instead — either
+    way the row is dead-lettered, never raised."""
     import pytest as _pytest
     from pyspark.errors import PythonException
 
     from inbev_data_engineering_case_spark.operators.multimodal import (
+        _optional_ffmpeg,
+        _optional_pil,
         decode_features,
         resize_assets,
         sample_frames,
+    )
+
+    img_err = (
+        "NotImplementedError" if _optional_pil() is None else "Error"
+    )
+    vid_err = (
+        "NotImplementedError" if _optional_ffmpeg() is None else "Error"
     )
 
     bmp = _make_bmp([[(5, 5, 5), (10, 10, 10)]])
@@ -1910,11 +1923,11 @@ def test_decode_errors_dead_letter_not_raise(spark):
     }
     assert feats[1]["decode_ok"] and feats[1]["error"] is None
     assert feats[1]["feature"] == [2.0, 1.0, 24.0, 7.5]
-    for bad in (2, 3):
+    for bad, expect in ((2, img_err), (3, vid_err)):
         assert not feats[bad]["decode_ok"]
         assert feats[bad]["checksum"] is None
         assert feats[bad]["feature"] is None
-        assert "NotImplementedError" in feats[bad]["error"]
+        assert expect in feats[bad]["error"]
 
     resized = {
         r["asset_id"]: r
@@ -1929,8 +1942,85 @@ def test_decode_errors_dead_letter_not_raise(spark):
     assert {r["asset_id"] for r in bad_rows} == {3}  # only video demuxes
     assert bad_rows[0]["frame_idx"] == -1 and bad_rows[0]["frame"] is None
 
-    with _pytest.raises(PythonException, match="NotImplementedError"):
+    with _pytest.raises(PythonException, match="Error"):
         decode_features(assets, real_decoder=True, strict=True).collect()
+
+
+def test_jpeg_featurize_through_pil_when_available(spark):
+    """Capability-routed codec decode: with PIL importable a real JPEG
+    featurizes (and resizes) through the same mapInPandas plumbing, same
+    normalized-raster feature shape as the stdlib decoders. Skips where
+    PIL is absent — there the dead-letter test above covers the fallback
+    arm of the same probe."""
+    import io
+
+    image_mod = pytest.importorskip(
+        "PIL.Image", reason="PIL not installed; stdlib fallback covered "
+        "by test_decode_errors_dead_letter_not_raise"
+    )
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        decode_features,
+        resize_assets,
+    )
+
+    im = image_mod.new("RGB", (6, 4), (10, 20, 30))
+    buf = io.BytesIO()
+    im.save(buf, "JPEG")
+    jpeg = buf.getvalue()
+    assets = spark.createDataFrame(
+        [(1, "image/jpeg", jpeg, {"n_bytes": len(jpeg), "source": "t"})],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+
+    r = decode_features(assets, real_decoder=True).collect()[0]
+    assert r["decode_ok"] and r["error"] is None
+    w, h, bpp, mean_px = r["feature"]
+    assert (w, h, bpp) == (6.0, 4.0, 24.0)
+    assert 0.0 < mean_px < 255.0
+
+    rz = resize_assets(assets, 2000, real_decoder=True).collect()[0]
+    assert rz["decode_ok"]  # decoded via PIL, re-encoded to PNM
+
+
+def test_compressed_video_through_ffmpeg_when_available(spark):
+    """Capability-routed video demux: with ffmpeg on PATH a compressed
+    container round-trips (y4m → mp4 via ffmpeg, then featurize + frame
+    sample through _ffmpeg_to_y4m). Skips where ffmpeg is absent."""
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        pytest.skip("ffmpeg not on PATH; dead-letter fallback covered "
+                    "by test_decode_errors_dead_letter_not_raise")
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        decode_features,
+        sample_frames,
+    )
+
+    y4m = _make_y4m(4, 2, lumas=[0, 100, 200])
+    proc = subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "yuv4mpegpipe", "-i", "pipe:0",
+         "-f", "mp4", "-movflags", "frag_keyframe+empty_moov", "pipe:1"],
+        input=y4m, capture_output=True, check=True,
+    )
+    mp4 = proc.stdout
+    assets = spark.createDataFrame(
+        [(1, "video/mp4", mp4, {"n_bytes": len(mp4), "source": "t"})],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+
+    r = decode_features(assets, real_decoder=True).collect()[0]
+    assert r["decode_ok"] and r["error"] is None
+    # feature = [width, height, n_frames, mean_luma]
+    assert r["feature"][:3] == [4.0, 2.0, 3.0]
+
+    frames = sample_frames(assets, real_decoder=True).collect()
+    assert all(f["decode_ok"] for f in frames)
+    assert len(frames) >= 1
 
 
 def test_paletted_bmp_matches_paletted_png_fingerprint(spark):

@@ -17,6 +17,11 @@ Reported per multiplier: docs, vocab size, corpus-scan time, total train
 time for 6 merges, per-round time, and the merge list fingerprint.
 
 Usage: python tools/bpe_scale_probe.py [multiplier ...]  (default: 1 4 10)
+       python tools/bpe_scale_probe.py --vocab
+           vocab-scale mode: n_merges=500 at batch_size 1/16/64 on the
+           sf0.1 corpus, reporting rounds, wall time, and the
+           extrapolated Spark-round count for a 32k-merge vocabulary —
+           the evidence behind the batched trainer's claim.
 """
 
 from __future__ import annotations
@@ -37,13 +42,41 @@ def main() -> None:
     )
     from inbev_data_engineering_case_spark.session import get_spark
 
-    multipliers = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    vocab_mode = "--vocab" in sys.argv[1:]
+    multipliers = [
+        int(a) for a in sys.argv[1:] if not a.startswith("--")
+    ] or [1, 4, 10]
     spark = get_spark("bpe-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(
         "/root/testdata/sf0.1/documents.parquet"
     ).select("doc_id", "text")
+
+    if vocab_mode:
+        # vocab-scale: a production tokenizer learns 32k+ merges; the
+        # binding cost is SPARK ROUNDS (each round = one ~vocab-sized
+        # collect + one distributed merge apply), so the batched trainer's
+        # worth is measured in rounds-per-merge at a real merge budget.
+        base = docs.localCheckpoint()
+        n = 500
+        target = 32_000
+        for bs in (1, 16, 64):
+            t0 = time.perf_counter()
+            merges, rounds = train_bpe_with_stats(
+                base, n_merges=n, batch_size=bs
+            )
+            dt = time.perf_counter() - t0
+            eff = len(merges) / max(rounds, 1)
+            print(
+                f"vocab-scale: batch_size={bs} merges={len(merges)} "
+                f"rounds={rounds} wall={dt:.1f}s "
+                f"merges_per_round={eff:.1f} "
+                f"extrapolated_rounds_at_{target}={int(target / eff):,}",
+                flush=True,
+            )
+        spark.stop()
+        return
 
     for mult in multipliers:
         corpus = None
