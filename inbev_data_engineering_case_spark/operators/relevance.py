@@ -1,0 +1,100 @@
+"""Corpus relevance weighting: TF-IDF scoring and per-document keyword
+extraction.
+
+The reference has no analogue (its text handling stops at normalization,
+SURVEY.md §2.2); this extends the training-data text-analysis family
+(§7.2) with the classic corpus-statistics operator: term frequency ×
+inverse document frequency, then the top-k highest-weighted terms per
+document — the standard building block for keyword tagging, corpus
+search, and quality/topicality features.
+
+Scale shape (the only viable one at 100 TB):
+- Tokenize → explode → ``groupBy(doc, term).count()`` builds term
+  frequencies with a map-side partial aggregate, so the first exchange
+  carries (doc_id, term_hashable, partial count) — not raw tokens.
+- Document frequency is a second aggregate OVER THE TF TABLE (already
+  distinct per (doc, term)), so the term-keyed exchange carries one row
+  per (doc, term), never one per token occurrence.
+- The corpus document count joins in as a broadcast single-row aggregate
+  (a scalar subquery), NOT a driver-side ``.count()`` — no action at plan
+  time, no literal embedded in the plan.
+- TF and DF join on ``term``; both sides arrive hash-partitioned on a
+  term-derived key so AQE can reuse/align the exchanges. The final
+  per-document top-k is one ranking window partitioned by doc_id.
+
+Cross-engine determinism: ranking ties are decided on the ROUNDED score
+(6 decimals) with the term string as tie-break, so a last-ulp ``ln``
+difference between engines cannot flip neighbor ranks — the same
+discipline as the ANN score rounding in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inbev_data_engineering_case_spark.functions import tokens
+
+
+def term_frequencies(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id_col, term, tf)`` — occurrences of each lowercased whitespace
+    token per document. One explode + one partial-aggregated exchange."""
+    return (
+        documents.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf_topk(
+    documents: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document:
+    ``(id_col, term, tf, df, score, rnk)``.
+
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` — the smoothed
+    ("+1") formulation, never negative and never divides by zero, rounded
+    to 6 decimals. ``rnk`` ranks within the document by (score DESC,
+    term ASC); ties between equally-weighted terms are deterministic.
+    """
+    tf = term_frequencies(documents, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rnk")
+    )

@@ -1292,6 +1292,44 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_tfidf_topk",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS _n FROM documents),
+    scored AS (
+      SELECT doc_id, tf.term AS term, tf, df,
+             round(tf * (ln((_n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+    doc="TF-IDF keyword extraction (corpus relevance weighting, new "
+    "family): smoothed tf*idf over whitespace tokens, top-3 terms per "
+    "document. DF is aggregated over the TF table (one row per (doc, "
+    "term), never per occurrence); the corpus size joins as a broadcast "
+    "1-row aggregate, not a driver-side count; ranking ties are decided "
+    "on the ROUNDED score so a last-ulp ln() difference between engines "
+    "cannot flip ranks.",
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        tfidf_topk,
+    )
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
 # Deterministic decontamination fixture: every 40th document is the
 # "benchmark"; the corpus is everything else plus a planted verbatim copy
 # of each benchmark doc (id+300000, prefixed so the copy isn't an exact
