@@ -89,6 +89,84 @@ def top_fraction_by_score(
     )
 
 
+MIXTURE_PPM = 1_000_000
+
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    target_ppm: dict[str, int],
+) -> DataFrame:
+    """Per-stratum keep rates that resample the corpus to a target mixture
+    — the data-mixing step of an LLM pipeline ("30% web, 30% code, …"):
+    ``(strata_col, n_rows, target_ppm, rate_ppm)``.
+
+    ``target_ppm`` maps stratum → parts-per-million of the OUTPUT
+    composition (weights are config; they need not sum to exactly 1e6).
+    Downsampling only (no replication): the achievable output size is
+    bounded by the scarcest stratum, ``budget = min_s floor(n_s * 1e6 /
+    w_s)`` — always ≤ total rows by the mediant inequality — and each
+    stratum keeps ``floor(w_s * budget / 1e6)`` rows, capped at rate 1.
+
+    EVERY step is int64 arithmetic (``div``, no doubles), so the rates —
+    and therefore the sampled subset — are bit-identical on any engine.
+    Overflow bound: ``w_s * budget ≤ 1e6 * n_total`` needs
+    ``n_total < 9.2e12`` rows, comfortably above a 100 TB corpus.
+
+    Plan shape: one partial-aggregated exchange for the per-stratum
+    counts (stratum cardinality is small — languages, sources, domains);
+    the weights are a literal in-memory table; the budget is a broadcast
+    1-row aggregate. Strata absent from ``target_ppm`` get no row
+    (rate 0 — dropped by the inner join, i.e. excluded from the mix).
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_rows"))
+    weights = df.sparkSession.createDataFrame(
+        sorted(target_ppm.items()), [strata_col, "target_ppm"]
+    )
+    joined = counts.join(F.broadcast(weights), strata_col)
+    budget = joined.agg(
+        F.min(F.expr(f"(n_rows * {MIXTURE_PPM}) div target_ppm")).alias(
+            "_budget"
+        )
+    )
+    return (
+        joined.join(F.broadcast(budget))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(MIXTURE_PPM),
+                F.expr(
+                    f"(((target_ppm * _budget) div {MIXTURE_PPM})"
+                    f" * {MIXTURE_PPM}) div n_rows"
+                ),
+            ),
+        )
+        .select(strata_col, "n_rows", "target_ppm", "rate_ppm")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    target_ppm: dict[str, int],
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """The corpus resampled to the target mixture: broadcast the (tiny)
+    per-stratum rate table onto the corpus and keep rows whose
+    deterministic id-hash bucket falls under the stratum's rate — the same
+    hash-Bernoulli membership as ``sample_predicate``, so the subset is a
+    pure function of (ids, weights, salt): stable across retries, AQE
+    re-plans, and cluster sizes. The corpus itself never shuffles."""
+    rates = mixture_rates(df, strata_col, target_ppm)
+    bucket = portable_hash64(id_col, seed=salt) % SAMPLE_BUCKETS
+    return (
+        df.join(F.broadcast(rates.select(strata_col, "rate_ppm")), strata_col)
+        .filter(bucket < F.col("rate_ppm"))
+        .drop("rate_ppm")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

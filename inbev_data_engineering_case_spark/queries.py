@@ -1330,6 +1330,90 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
 
 
+# Data-mixing config for q_mixture_sample: 20 sources weighted 1..5 by
+# (i % 5) + 1, normalized to ppm with the remainder on the last source.
+# Computed once here and embedded in BOTH plans (Spark literal table /
+# SQL VALUES) — weights are config, and the single source of truth is
+# what makes the oracle exact.
+_MIX_RAW = {f"src{i}": (i % 5) + 1 for i in range(20)}
+_MIX_TOTAL = sum(_MIX_RAW.values())
+_MIX_PPM = {s: w * 1_000_000 // _MIX_TOTAL for s, w in _MIX_RAW.items()}
+_MIX_PPM["src19"] += 1_000_000 - sum(_MIX_PPM.values())
+_MIX_SALT = 7
+
+
+def _mixture_oracle() -> str:
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64_sql,
+    )
+
+    values = ", ".join(
+        f"('{s}', {p})" for s, p in sorted(_MIX_PPM.items())
+    )
+    h = portable_hash64_sql("doc_id", seed=_MIX_SALT)
+    return f"""
+    WITH w(source, target_ppm) AS (VALUES {values}),
+    counts AS (
+      SELECT source, count(*)::BIGINT AS n_rows FROM documents GROUP BY 1
+    ),
+    j AS (
+      SELECT counts.source AS source, n_rows, target_ppm
+      FROM counts JOIN w ON counts.source = w.source
+    ),
+    b AS (
+      SELECT min((n_rows * 1000000) // target_ppm) AS _budget FROM j
+    ),
+    rates AS (
+      SELECT source, n_rows, target_ppm,
+             least(1000000,
+                   (((target_ppm * _budget) // 1000000) * 1000000) // n_rows
+             ) AS rate_ppm
+      FROM j CROSS JOIN b
+    ),
+    kept AS (
+      SELECT d.source AS source, count(*)::BIGINT AS kept
+      FROM documents d JOIN rates ON d.source = rates.source
+      WHERE ({h}) % 1000000 < rate_ppm
+      GROUP BY 1
+    )
+    SELECT rates.source AS source, n_rows,
+           target_ppm::BIGINT AS target_ppm, rate_ppm::BIGINT AS rate_ppm,
+           coalesce(kept, 0)::BIGINT AS kept
+    FROM rates LEFT JOIN kept ON rates.source = kept.source
+    """
+
+
+@register(
+    "q_mixture_sample",
+    _mixture_oracle(),
+    doc="corpus mixture resampling (data-mixing family, new): resample the "
+    "20-source corpus to a 1..5-weighted target composition. Rates are "
+    "derived in pure int64 arithmetic (budget = scarcest stratum, div "
+    "only — bit-identical on any engine), membership is the deterministic "
+    "id-hash Bernoulli predicate, and the report joins achieved kept "
+    "counts against the rate table. The corpus itself never shuffles: "
+    "counts partial-aggregate, rates broadcast.",
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.sample import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = mixture_rates(docs, "source", _MIX_PPM)
+    kept = (
+        mixture_sample(docs, "source", _MIX_PPM, salt=_MIX_SALT)
+        .groupBy("source")
+        .agg(F.count("*").alias("_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .withColumn("kept", F.coalesce(F.col("_kept"), F.lit(0)))
+        .select("source", "n_rows", "target_ppm", "rate_ppm", "kept")
+    )
+
+
 # Deterministic decontamination fixture: every 40th document is the
 # "benchmark"; the corpus is everything else plus a planted verbatim copy
 # of each benchmark doc (id+300000, prefixed so the copy isn't an exact

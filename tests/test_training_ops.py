@@ -1570,6 +1570,45 @@ def test_stratified_sample_deterministic_and_balanced(spark):
     )
 
 
+def test_mixture_sample_hits_target_composition(spark):
+    """Data-mixing resampling: the achieved output composition tracks the
+    target weights, the scarcest stratum binds (its rate is ~1), rates are
+    pure int64 (deterministic under repartition), and unweighted strata
+    are excluded."""
+    from inbev_data_engineering_case_spark.operators.sample import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    # a: 3000 rows, b: 1000 rows (scarce), c: 2000 rows, d: unweighted
+    rows = [(i, ["a", "a", "a", "b", "c", "c", "d"][i % 7]) for i in range(7000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    target = {"a": 400_000, "b": 300_000, "c": 300_000}
+
+    rates = {r["src"]: r for r in mixture_rates(df, "src", target).collect()}
+    assert set(rates) == {"a", "b", "c"}  # d has no target -> no rate row
+    # b is scarcest relative to its weight -> binding stratum, rate ~1
+    # (floor arithmetic in budget and keep_n shaves <=2 ppm-grains)
+    assert rates["b"]["rate_ppm"] >= 998_000
+    assert rates["a"]["rate_ppm"] < 1_000_000
+
+    kept = mixture_sample(df, "src", target, id_col="doc_id").collect()
+    by = {}
+    for r in kept:
+        by[r["src"]] = by.get(r["src"], 0) + 1
+    assert "d" not in by
+    total = sum(by.values())
+    # achieved composition within a few percent of target (hash noise)
+    assert abs(by["a"] / total - 0.4) < 0.05
+    assert abs(by["b"] / total - 0.3) < 0.05
+    assert abs(by["c"] / total - 0.3) < 0.05
+
+    again = mixture_sample(df.repartition(5), "src", target).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in kept
+    )
+
+
 def test_random_projection_preserves_norms_in_expectation(spark):
     """JL property: with the 1/sqrt(d_out)-scaled Rademacher matrix,
     E[||proj||^2] = ||x||^2 — the mean squared-norm ratio over the fixture
