@@ -1,0 +1,99 @@
+"""Ordered event-funnel analysis: how many users progress through a
+required event sequence (view → click → purchase) with each step inside a
+conversion window of the previous one.
+
+The reference's event handling stops at ingestion (SURVEY.md §2); this is
+the standard product-analytics operator layered on the ``events`` table,
+built as a chain of conditional first-occurrence joins — the shape that
+survives 100 TB:
+
+- Each step is ``filter(type) → groupBy(user).min(ts)``: a partial
+  aggregate, so the user-keyed exchange carries one row per user, not one
+  per event.
+- Step i joins step i-1 ON USER ONLY (equi-join, hash-partitioned by
+  user_id); the time-ordering constraint is a post-join predicate. Every
+  stage is keyed the same way, so AQE aligns/reuses the exchanges, and
+  the step tables shrink monotonically down the funnel.
+- No window over a per-user event sort and no ``collect_list`` — a
+  hot user with millions of events costs an aggregate, not a sort buffer.
+
+Conversion is reported in exact ppm (int64 ``div``), so the report is
+bit-identical on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STEPS = ("view", "click", "purchase")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = DEFAULT_STEPS,
+    max_gap_seconds: int = 86_400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> list[DataFrame]:
+    """One DataFrame per funnel step: ``(user_col, reached_ts)`` — the
+    user's FIRST qualifying occurrence (first event of step i that is
+    strictly after their step-(i-1) time and within ``max_gap_seconds``
+    of it)."""
+    gap = F.expr(f"INTERVAL {max_gap_seconds} SECOND")
+    out: list[DataFrame] = []
+    cur: DataFrame | None = None
+    for step in steps:
+        ev = events.filter(F.col(type_col) == step).select(user_col, ts_col)
+        if cur is None:
+            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("reached_ts"))
+        else:
+            cur = (
+                ev.join(cur, user_col)
+                .filter(
+                    (F.col(ts_col) > F.col("reached_ts"))
+                    & (F.col(ts_col) <= F.col("reached_ts") + gap)
+                )
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("reached_ts"))
+            )
+        out.append(cur)
+    return out
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: tuple[str, ...] = DEFAULT_STEPS,
+    max_gap_seconds: int = 86_400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel summary: ``(step, step_name, users, conv_ppm)`` — one row
+    per step, ``conv_ppm = users_i * 1e6 div users_1`` (exact int64;
+    1_000_000 for the first step). The per-step counts are single-row
+    aggregates unioned together; the conversion window runs over the
+    tiny report, never over event data."""
+    stages = funnel_steps(
+        events, steps, max_gap_seconds, user_col, type_col, ts_col
+    )
+    counted = [
+        stage.agg(F.count("*").alias("users")).select(
+            F.lit(i + 1).cast("bigint").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col("users"),
+        )
+        for i, (name, stage) in enumerate(zip(steps, stages))
+    ]
+    report = counted[0]
+    for c in counted[1:]:
+        report = report.unionByName(c)
+    first_cnt = stages[0].agg(F.count("*").alias("_first"))
+    return (
+        report.join(F.broadcast(first_cnt))
+        .withColumn(
+            "conv_ppm", F.expr("(users * 1000000) div nullif(_first, 0)")
+        )
+        .select("step", "step_name", "users", "conv_ppm")
+    )

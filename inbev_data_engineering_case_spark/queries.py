@@ -1012,6 +1012,61 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_GAP_S = 86_400  # 24h conversion window per step
+
+
+@register(
+    "q_event_funnel",
+    f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(ts) AS t
+      FROM events e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts > s1.t
+        AND ts <= s1.t + INTERVAL {_FUNNEL_GAP_S} SECOND
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(ts) AS t
+      FROM events e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > s2.t
+        AND ts <= s2.t + INTERVAL {_FUNNEL_GAP_S} SECOND
+      GROUP BY 1
+    ),
+    counts AS (
+      SELECT 1::BIGINT AS step, 'view' AS step_name,
+             count(*)::BIGINT AS users FROM s1
+      UNION ALL
+      SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2
+      UNION ALL
+      SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3
+    )
+    SELECT step, step_name, users,
+           (users * 1000000) // nullif((SELECT count(*) FROM s1), 0)
+             AS conv_ppm
+    FROM counts
+    """,
+    doc="ordered event-funnel analysis (product-analytics family, new): "
+    "users progressing view -> click -> purchase, each step's FIRST "
+    "qualifying occurrence within 24h of the previous step. Chain of "
+    "conditional min-joins keyed on user_id only (time constraint is a "
+    "post-join predicate) — partial aggregates, monotonically shrinking "
+    "step tables, no per-user event sort, no collect_list; conversion in "
+    "exact int64 ppm.",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.funnel import (
+        funnel_report,
+    )
+
+    return funnel_report(
+        read_events(spark, sf_dir), max_gap_seconds=_FUNNEL_GAP_S
+    )
+
+
 @register(
     "q_json_extract",
     """

@@ -1,0 +1,78 @@
+"""Known-answer tests for the ordered event-funnel operator: ordering is
+required (a click before the first view does not count), the conversion
+window cuts off late steps, and each step uses the FIRST qualifying
+occurrence (not any occurrence)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from inbev_data_engineering_case_spark.operators.funnel import (
+    funnel_report,
+    funnel_steps,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, datetime(2024, 1, 1, h, m)) for u, t, (h, m) in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_requires_order_and_window(spark):
+    events = _ev(
+        spark,
+        [
+            # u1: clean view -> click -> purchase inside the window
+            (1, "view", (9, 0)),
+            (1, "click", (9, 30)),
+            (1, "purchase", (10, 0)),
+            # u2: click BEFORE the first view -> never reaches step 2
+            (2, "click", (8, 0)),
+            (2, "view", (9, 0)),
+            (2, "purchase", (10, 0)),
+            # u3: click too late (outside 1h gap)
+            (3, "view", (9, 0)),
+            (3, "click", (11, 30)),
+            # u4: view only
+            (4, "view", (9, 0)),
+        ],
+    )
+    rows = {
+        r["step_name"]: r
+        for r in funnel_report(events, max_gap_seconds=3600).collect()
+    }
+    assert rows["view"]["users"] == 4
+    assert rows["click"]["users"] == 1  # only u1
+    assert rows["purchase"]["users"] == 1
+    assert rows["view"]["conv_ppm"] == 1_000_000
+    assert rows["click"]["conv_ppm"] == 250_000
+
+
+def test_funnel_uses_first_qualifying_occurrence(spark):
+    # u1 has two clicks after the view; step-2 time must be the FIRST one,
+    # which puts the purchase (35 min after click #1) inside the window
+    # even though it is outside the window of click #2.
+    events = _ev(
+        spark,
+        [
+            (1, "view", (9, 0)),
+            (1, "click", (9, 10)),
+            (1, "click", (9, 50)),
+            (1, "purchase", (9, 45)),
+        ],
+    )
+    steps = funnel_steps(events, max_gap_seconds=3600)
+    s2 = steps[1].collect()
+    assert s2[0]["reached_ts"] == datetime(2024, 1, 1, 9, 10)
+    s3 = steps[2].collect()
+    assert len(s3) == 1 and s3[0]["reached_ts"] == datetime(2024, 1, 1, 9, 45)
+
+
+def test_funnel_empty_step_reports_zero(spark):
+    events = _ev(spark, [(1, "view", (9, 0))])
+    rows = {r["step_name"]: r for r in funnel_report(events).collect()}
+    assert rows["click"]["users"] == 0 and rows["click"]["conv_ppm"] == 0
