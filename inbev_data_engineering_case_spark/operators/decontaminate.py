@@ -88,6 +88,63 @@ def contamination_report(
     )
 
 
+def boilerplate_report(
+    documents: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = True,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Cross-corpus boilerplate profiling (C4/RefinedWeb-style hygiene —
+    headers, footers, license blurbs shared verbatim across pages): for
+    each document, how much of it is word n-grams that also appear in at
+    least ``min_docs - 1`` OTHER documents.
+
+    Returns ``(id_col, n_grams, n_hot, boiler_ppm)`` over documents with
+    ≥ n words (shorter docs have no n-gram and no row); ``boiler_ppm =
+    n_hot * 1e6 div n_grams`` in exact int64.
+
+    Scale shape: grams are DISTINCT per document before the explode, so
+    the gram-keyed exchange carries one (doc, gram-hash) row per distinct
+    gram — 8-byte keys, never gram text. The "hot" set (grams in ≥
+    min_docs docs) is derived by a partial-aggregated count over that
+    exchange and is SMALL for real corpora (true boilerplate vocabulary,
+    not the gram universe) — it broadcasts back onto the gram stream, so
+    the per-document re-aggregation is the only second exchange. For a
+    corpus whose hot set is too big to broadcast (pathologically
+    templated data), ``broadcast_hot=False`` keeps the same plan with a
+    planner-decided shuffle join; both exchanges hash on ``gram_h``, so
+    AQE aligns them.
+    """
+    grams = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))
+        ).alias("gram"),
+    ).select(id_col, _gram_hash("gram", portable).alias("gram_h"))
+    hot = (
+        grams.groupBy("gram_h")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram_h", F.lit(1).alias("_hot"))
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    return (
+        grams.join(hot, "gram_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hot"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hot"),
+        )
+        .withColumn("boiler_ppm", F.expr("(n_hot * 1000000) div n_grams"))
+    )
+
+
 def decontaminate(
     documents: DataFrame,
     benchmark: DataFrame,

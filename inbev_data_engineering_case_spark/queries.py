@@ -1530,6 +1530,53 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(corpus, bench, n=8)
 
 
+@register(
+    "q_boilerplate",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(gram), 1, 15)))::BIGINT AS gram_h
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(
+                 [array_to_string(w[i:i+4], ' ')
+                  FOR i IN range(1, len(w) - 3)])) AS gram
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents)
+      )
+    ),
+    hot AS (SELECT gram_h FROM grams GROUP BY 1 HAVING count(*) >= 2),
+    per_doc AS (
+      SELECT g.doc_id AS doc_id, count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN h.gram_h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_hot
+      FROM grams g LEFT JOIN hot h ON g.gram_h = h.gram_h
+      GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_hot,
+           (n_hot * 1000000) // n_grams AS boiler_ppm
+    FROM per_doc
+    """,
+    doc="cross-corpus boilerplate profiling (corpus-hygiene family, new): "
+    "per-document fraction of distinct word 5-grams shared with >=1 other "
+    "document. Grams dedup per doc BEFORE the explode; the gram exchange "
+    "carries 8-byte hashes; the hot-gram set (true boilerplate "
+    "vocabulary, small for real corpora) broadcasts back onto the gram "
+    "stream (broadcast_hot=False keeps the same AQE-aligned plan with a "
+    "shuffle join for pathologically templated data); fraction in exact "
+    "int64 ppm.",
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.decontaminate import (
+        boilerplate_report,
+    )
+
+    return boilerplate_report(
+        _t(spark, sf_dir, "documents"), n=5, min_docs=2
+    )
+
+
 # md5-hash bucket of doc_id, the deterministic Bernoulli coin shared by the
 # sampling queries (seed '' = salt 0; '7' = salt 7).
 def _sql_hash_bucket(seed: str = "") -> str:

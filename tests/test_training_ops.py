@@ -1490,6 +1490,46 @@ def test_contamination_report_and_decontaminate(spark):
     assert fast == report
 
 
+def test_boilerplate_report_known_answer(spark):
+    """Known-answer boilerplate profiling: a footer phrase shared by two
+    docs is hot, unique text is not, repeated grams within one doc count
+    once, docs shorter than n words get no row, and the shuffle-join path
+    (broadcast_hot=False) reports identically."""
+    from inbev_data_engineering_case_spark.operators.decontaminate import (
+        boilerplate_report,
+    )
+
+    footer = "all rights reserved by example corp"  # 6 words -> two 5-grams
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha text one two three " + footer),
+            (2, "different beta words four five six " + footer),
+            (3, "entirely original content with no shared phrases at all"),
+            (4, "too short"),  # < 5 words -> no gram, no row
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["doc_id"]: r for r in boilerplate_report(docs, n=5, min_docs=2).collect()
+    }
+    assert set(rep) == {1, 2, 3}
+    # doc 1: 12 words -> 8 distinct 5-grams; hot ones are the 2 footer
+    # grams (the bridging grams mix unique prefix words, so not shared)
+    assert rep[1]["n_grams"] == 8 and rep[1]["n_hot"] == 2
+    assert rep[1]["boiler_ppm"] == 2 * 1_000_000 // 8
+    assert rep[3]["n_hot"] == 0 and rep[3]["boiler_ppm"] == 0
+
+    shuffled = {
+        r["doc_id"]: (r["n_grams"], r["n_hot"])
+        for r in boilerplate_report(
+            docs, n=5, min_docs=2, broadcast_hot=False
+        ).collect()
+    }
+    assert shuffled == {
+        k: (v["n_grams"], v["n_hot"]) for k, v in rep.items()
+    }
+
+
 def test_repetition_ratios_known_answers(spark):
     from inbev_data_engineering_case_spark.operators.textops import (
         line_repetition_ratio,
