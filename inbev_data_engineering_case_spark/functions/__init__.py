@@ -132,6 +132,24 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def sqdist(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance of two array columns — a sequential left fold
+    of (x-y)² terms, matching DuckDB's ``list_sum(list_transform(...))``
+    evaluation order term-for-term so oracles reproduce it bit-exactly."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def tokens(c: Column | str) -> Column:
     """Whitespace tokenization → array<string>; empty strings removed.
 

@@ -502,3 +502,239 @@ def random_projection_oracle_sql(
             f"{vec_expr}[i]::DOUBLE * ([{weights}])[i])) * {scale}, 6)"
         )
     return "[" + ", ".join(comps) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress vectors to m small codes, search with
+# asymmetric-distance (ADC) lookup tables — the memory-scale ANN path
+# (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011). A 64-dim float32 embedding (256 B) becomes m=4
+# one-byte codes: 64× smaller, so a 100 TB embedding corpus's quantized
+# form fits a cluster's memory and candidate scoring never touches the
+# raw vectors.
+# ---------------------------------------------------------------------------
+
+# Distances are carried as MICRO-UNIT int64 (round(d² * 1e6)): integer
+# argmin and integer ADC sums are order-independent, so results are
+# bit-identical across partial-aggregation trees and engines.
+PQ_DIST_SCALE = 1_000_000
+
+
+def _pq_subvec(vec: Column, s: int, m: int) -> Column:
+    """Subspace s of m: a contiguous ``size(vec) div m`` slice (trailing
+    dims beyond m * (size div m) are ignored; pick m | d in practice)."""
+    width = F.floor(F.size(vec) / m).cast("int")
+    return F.slice(vec, (width * s + 1).cast("int"), width)
+
+
+def _pq_micro_dist(a: Column, b: Column) -> Column:
+    from inbev_data_engineering_case_spark.functions import sqdist
+
+    return F.round(sqdist(a, b) * PQ_DIST_SCALE).cast("bigint")
+
+
+def pq_sampled_codebook(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 0xC0DE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(subspace, code, cv)`` — k codewords per subspace, sliced from k
+    hash-sampled corpus rows (the k smallest ``portable_hash64(id, seed)``;
+    codes 0..k-1 in hash order). A deterministic, engine-replayable
+    codebook: the statistical upgrade is Lloyd refinement per subspace
+    (``train_pq_codebooks``), the plumbing is identical. The k-row seed
+    pick is a TakeOrdered (no global sort); the codebook is model-sized
+    (m·k rows) and broadcasts everywhere it is consumed."""
+    from pyspark.sql import Window
+
+    from inbev_data_engineering_case_spark.functions import portable_hash64
+
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_h", portable_hash64(F.col(id_col), seed=seed))
+        .orderBy("_h", id_col)
+        .limit(k)
+    )
+    w = Window.orderBy("_h", id_col)  # k rows — single-partition window is fine
+    coded = seeds.withColumn("code", F.row_number().over(w) - 1)
+    return coded.select(
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        F.transform(
+                            _pq_subvec(F.col(vec_col), s, m),
+                            lambda x: x.cast("double"),
+                        ).alias("cv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sc"),
+    ).select("sc.subspace", "code", "sc.cv")
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined PQ codebooks: per subspace, the existing IVF trainer
+    runs on the sliced sub-vectors (same distributed recenter shape —
+    the shuffle carries only the k×(d/m) model). Deterministic for the
+    same reasons the IVF trainer is (first-k init, rounded means).
+    Returns the same ``(subspace, code, cv)`` schema as
+    ``pq_sampled_codebook`` — drop-in for ``pq_encode``/``pq_adc_topk``;
+    note codes here are cell ids surviving Lloyd (may be < k)."""
+    books = []
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            _pq_subvec(F.col(vec_col), s, m).alias("_sv"),
+        )
+        cents = train_ivf_centroids(
+            sliced, n_centroids=k, n_iter=n_iter, id_col=id_col, vec_col="_sv"
+        )
+        books.append(
+            cents.select(
+                F.lit(s).alias("subspace"),
+                F.col("cent_id").cast("int").alias("code"),
+                F.col("cv"),
+            )
+        )
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every vector: ``(id_col, subspace, code)`` — the nearest
+    codeword per subspace by squared L2 (micro-int; ties → smaller code).
+
+    Scale shape: vectors explode to m sub-vector rows, join the BROADCAST
+    codebook (model-sized by construction), and the argmin is a plain
+    ``min`` over the packed key ``d2_micro * k + code`` — map-side
+    combinable, so the only exchange carries one row per (vector,
+    subspace) and no window/sort ever sees the k-way candidate fanout."""
+    subs = vectors.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        _pq_subvec(F.col(vec_col), s, m).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sc"),
+    ).select(id_col, "sc.subspace", "sc.sv")
+    packed = (
+        subs.join(F.broadcast(codebook), "subspace")
+        .select(
+            id_col,
+            "subspace",
+            (_pq_micro_dist(F.col("sv"), F.col("cv")) * k + F.col("code"))
+            .alias("_key"),
+        )
+        .groupBy(id_col, "subspace")
+        .agg(F.min("_key").alias("_mk"))
+    )
+    return packed.select(
+        id_col, "subspace", (F.col("_mk") % k).cast("int").alias("code")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 10,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact query sub-vectors against the
+    corpus's quantized codes. Returns ``(query_id, neighbor_id,
+    adc_micro, rnk)`` — ``adc_micro`` the int64 sum of per-subspace
+    micro-distances (order-independent), self-matches excluded.
+
+    Scale shape: the lookup table (|Q|·m·k rows — model-sized) is built
+    once from the broadcast codebook and itself broadcasts onto the code
+    stream; candidates aggregate by (query, vector) with map-side
+    combine; only the per-query ranking window shuffles, keyed on
+    query_id."""
+    from pyspark.sql import Window
+
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        _pq_subvec(F.col(vec_col), s, m).alias("qv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sc"),
+    ).select("query_id", "sc.subspace", "sc.qv")
+    lut = qsubs.join(F.broadcast(codebook), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        _pq_micro_dist(F.col("qv"), F.col("cv")).alias("lut_d"),
+    )
+    cand = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("lut_d").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_neighbors)
+    )
+
+
+def ann_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 10,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 0xC0DE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end PQ search with the sampled codebook: build codebook →
+    encode corpus → ADC top-k. One corpus pass for encoding, one for
+    scoring; the raw vectors are never joined against the queries."""
+    book = pq_sampled_codebook(corpus, m, k, seed, id_col, vec_col)
+    codes = pq_encode(corpus, book, m, k, id_col, vec_col)
+    return pq_adc_topk(
+        codes, book, queries, k_neighbors, m, k, id_col, vec_col
+    )

@@ -3292,6 +3292,110 @@ def q_ann_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Product quantization oracle: full SQL replay of sampled-codebook PQ
+# (seed pick -> per-subspace codebooks -> integer-argmin encode -> integer
+# ADC sums). Constants (d=64, m=4 -> width 16, k=16) are fixture config
+# embedded identically in both plans; every distance is a micro-unit
+# int64, so argmin/sum/rank are exact on any engine.
+_PQ_M, _PQ_K, _PQ_SEED, _PQ_W = 4, 16, 0xC0DE, 16
+
+
+def _pq_micro_sql(a: str, b_double: str) -> str:
+    """CAST(round(1e6 * sum((a_i::DOUBLE - b_i)^2)) AS BIGINT) with the
+    same sequential fold as functions.sqdist; ``b_double`` is already a
+    DOUBLE[] expression."""
+    term = f"({a}[i]::DOUBLE - {b_double}[i]) * ({a}[i]::DOUBLE - {b_double}[i])"
+    return (
+        f"CAST(round(list_sum(list_transform(range(1, {_PQ_W + 1}), i -> "
+        f"{term})) * 1000000) AS BIGINT)"
+    )
+
+
+def _pq_oracle() -> str:
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64_sql,
+    )
+
+    h = portable_hash64_sql("vec_id", seed=_PQ_SEED)
+    sub = f"embedding[(s*{_PQ_W}+1):(s*{_PQ_W}+{_PQ_W})]"
+    return f"""
+    WITH coded AS (
+      SELECT vec_id, embedding AS v,
+             row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+      FROM (SELECT vec_id, embedding, ({h}) AS h
+            FROM embeddings ORDER BY h, vec_id LIMIT {_PQ_K})
+    ),
+    book AS (
+      SELECT s, code,
+             list_transform(v[(s*{_PQ_W}+1):(s*{_PQ_W}+{_PQ_W})],
+                            x -> x::DOUBLE) AS cv
+      FROM coded CROSS JOIN range(0, {_PQ_M}) t(s)
+    ),
+    subs AS (
+      SELECT vec_id, s, {sub} AS sv
+      FROM embeddings CROSS JOIN range(0, {_PQ_M}) t(s)
+    ),
+    codes AS (
+      SELECT vec_id, s AS subspace, (mk % {_PQ_K})::INT AS code
+      FROM (SELECT subs.vec_id AS vec_id, subs.s AS s,
+                   min({_pq_micro_sql('sv', 'cv')} * {_PQ_K} + book.code)
+                     AS mk
+            FROM subs JOIN book ON subs.s = book.s
+            GROUP BY 1, 2)
+    ),
+    lut AS (
+      SELECT query_id, q.s AS subspace, book.code AS code,
+             {_pq_micro_sql('qv', 'cv')} AS lut_d
+      FROM (SELECT vec_id AS query_id, s, {sub} AS qv
+            FROM embeddings CROSS JOIN range(0, {_PQ_M}) t(s)
+            WHERE vec_id < 8) q
+      JOIN book ON q.s = book.s
+    ),
+    cand AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             sum(lut_d)::BIGINT AS adc_micro
+      FROM codes c
+      JOIN lut ON c.subspace = lut.subspace AND c.code = lut.code
+      WHERE c.vec_id != lut.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_micro, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_micro, neighbor_id)
+                      AS rnk
+          FROM cand)
+    WHERE rnk <= 10
+    """
+
+
+@register(
+    "q_ann_pq",
+    _pq_oracle(),
+    doc="product-quantization ANN (PQ/ADC, the memory-scale path — "
+    "Jégou et al. 2011): hash-sampled per-subspace codebooks (m=4, "
+    "k=16), corpus quantized to 4 one-byte codes (64x smaller than the "
+    "raw float32 vectors), asymmetric-distance top-10 via an integer "
+    "lookup table. Codebook and LUT are model-sized broadcasts; encode "
+    "argmin is a packed-int min (map-side combinable, no window over the "
+    "candidate fanout); every distance is micro-unit int64 so the whole "
+    "search is bit-exact on any engine.",
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k_neighbors=10,
+        m=_PQ_M,
+        k=_PQ_K,
+        seed=_PQ_SEED,
+    )
+
+
 @register(
     "q_stream_enrich",
     """

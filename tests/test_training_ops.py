@@ -1610,6 +1610,113 @@ def test_stratified_sample_deterministic_and_balanced(spark):
     )
 
 
+def test_pq_encode_codes_in_range_and_deterministic(spark):
+    """PQ plumbing: every (vector, subspace) gets exactly one code in
+    [0, k); encoding is a pure function of the data (stable under
+    repartition); a codebook SEED row encodes to its own codeword in
+    every subspace (its sub-slices ARE codewords -> distance 0)."""
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        pq_encode,
+        pq_sampled_codebook,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m, k = 4, 8
+    book = pq_sampled_codebook(emb, m=m, k=k)
+    brows = book.collect()
+    assert len(brows) == m * k
+    assert {r["subspace"] for r in brows} == set(range(m))
+
+    codes = pq_encode(emb, book, m=m, k=k).collect()
+    n = emb.count()
+    assert len(codes) == n * m
+    assert all(0 <= r["code"] < k for r in codes)
+
+    again = pq_encode(emb.repartition(7), book, m=m, k=k).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, again))
+
+    # seed rows quantize losslessly to their own codeword
+    from inbev_data_engineering_case_spark.functions import portable_hash64
+    seeds = (
+        emb.withColumn("_h", portable_hash64(F.col("vec_id"), seed=0xC0DE))
+        .orderBy("_h", "vec_id").limit(k).collect()
+    )
+    seed_code = {r["vec_id"]: i for i, r in enumerate(seeds)}
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r["vec_id"], {})[r["subspace"]] = r["code"]
+    for vid, code in seed_code.items():
+        got = by_vec[vid]
+        # every subspace of a seed row re-finds its own code (or an
+        # identical earlier codeword — smaller-code tie-break)
+        assert all(c <= code for c in got.values())
+        assert any(c == code for c in got.values()) or any(
+            seeds[c]["embedding"] == seeds[code]["embedding"]
+            for c in got.values()
+        )
+
+
+def test_pq_adc_distance_is_exact_on_codebook_rows(spark):
+    """For query AND neighbor both in the seed set, PQ reconstruction is
+    lossless, so adc_micro must equal the true micro squared distance —
+    verifies the encode/LUT/sum path numerically end to end."""
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_pq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m, k = 4, 8
+    from inbev_data_engineering_case_spark.functions import portable_hash64
+    seeds = (
+        emb.withColumn("_h", portable_hash64(F.col("vec_id"), seed=0xC0DE))
+        .orderBy("_h", "vec_id").limit(k)
+    )
+    seed_rows = seeds.collect()
+    corpus = seeds.select("vec_id", "embedding")
+    out = ann_pq_topk(
+        corpus, corpus, k_neighbors=k, m=m, k=k
+    ).collect()
+
+    import math
+
+    def micro_sq(a, b):
+        w = len(a) // m
+        total = 0
+        for s in range(m):
+            d2 = math.fsum(
+                (float(a[i]) - float(b[i])) ** 2
+                for i in range(s * w, (s + 1) * w)
+            )
+            total += round(d2 * 1_000_000)
+        return total
+
+    vecs = {r["vec_id"]: r["embedding"] for r in seed_rows}
+    for r in out:
+        expected = micro_sq(vecs[r["query_id"]], vecs[r["neighbor_id"]])
+        # fsum vs sequential fold can differ in the last micro-unit
+        assert abs(r["adc_micro"] - expected) <= m
+
+
+def test_train_pq_codebooks_deterministic_and_usable(spark):
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 100)
+    m, k = 2, 4
+    book = train_pq_codebooks(emb, m=m, k=k, n_iter=1)
+    rows = sorted(map(tuple, book.collect()))
+    again = sorted(map(tuple, train_pq_codebooks(emb, m=m, k=k, n_iter=1).collect()))
+    assert rows == again  # rounded means -> bit-identical retrain
+    assert {r[0] for r in rows} == set(range(m))
+
+    codes = pq_encode(emb, book, m=m, k=k)
+    assert codes.count() == emb.count() * m
+
+
 def test_mixture_sample_hits_target_composition(spark):
     """Data-mixing resampling: the achieved output composition tracks the
     target weights, the scarcest stratum binds (its rate is ~1), rates are
