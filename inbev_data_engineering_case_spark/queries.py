@@ -3526,6 +3526,16 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_join_star": ("q_join_orders",),
     "q_frame_sample": ("q_multimodal_features",),
     "q_ann_bucketed": ("q_ann_cosine", "q_ann_ivf_df"),
+    # rotated OUT mid-r5 to make room for the five NEW operator families
+    # added this round (q_tfidf_topk, q_mixture_sample, q_event_funnel,
+    # q_boilerplate, q_ann_pq — new entries must debut in the window or
+    # they'd sit unverified; every demotion below was driver-green in
+    # CORRECTNESS_r04 and names its in-window family cover)
+    "q_having": ("q_group_stats", "q_correlated_subquery"),
+    "q_asof_join": ("q_range_join",),  # temporal band-join family
+    "q_token_stats": ("q_tfidf_topk", "q_repetition"),  # token statistics
+    "q_stratified_sample": ("q_mixture_sample", "q_corpus_shuffle"),
+    "q_snapshot_diff": ("q_curate_incremental",),  # CDC family (composes it)
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family
