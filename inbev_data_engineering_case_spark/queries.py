@@ -1369,6 +1369,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, term, tf, df, score, rnk FROM ranked WHERE rnk <= 3
     """,
+    headline=True,
     doc="TF-IDF keyword extraction (corpus relevance weighting, new "
     "family): smoothed tf*idf over whitespace tokens, top-3 terms per "
     "document. DF is aggregated over the TF table (one row per (doc, "
@@ -1558,6 +1559,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            (n_hot * 1000000) // n_grams AS boiler_ppm
     FROM per_doc
     """,
+    headline=True,
     doc="cross-corpus boilerplate profiling (corpus-hygiene family, new): "
     "per-document fraction of distinct word 5-grams shared with >=1 other "
     "document. Grams dedup per doc BEFORE the explode; the gram exchange "
@@ -3371,6 +3373,7 @@ def _pq_oracle() -> str:
 @register(
     "q_ann_pq",
     _pq_oracle(),
+    headline=True,
     doc="product-quantization ANN (PQ/ADC, the memory-scale path — "
     "Jégou et al. 2011): hash-sampled per-subspace codebooks (m=4, "
     "k=16), corpus quantized to 4 one-byte codes (64x smaller than the "

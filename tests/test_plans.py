@@ -226,3 +226,41 @@ def test_no_row_at_a_time_python_across_catalog(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_funnel_has_no_event_side_nested_loop(spark):
+    """Funnel steps join on user_id only (equi-joins); the single
+    BroadcastNestedLoopJoin allowed is the 1-row conversion denominator
+    (a scalar subquery in join form) — never event-vs-event."""
+    plan = _plan(spark, "q_event_funnel")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_tfidf_prunes_scan_to_id_and_text(spark):
+    plan = _plan(spark, "q_tfidf_topk")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_boilerplate_hot_set_broadcasts(spark):
+    """The hot-gram set joins back onto the gram stream as a broadcast
+    (the default); the gram exchange carries 8-byte hashes, and no plan
+    node ever sorts the gram universe."""
+    plan = _plan(spark, "q_boilerplate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_pq_codebook_and_lut_broadcast_encode_is_aggregate(spark):
+    """PQ search: codebook + LUT joins broadcast (model-sized sides);
+    the encode argmin is a packed-int min AGGREGATE, not a window over
+    the k-way candidate fanout — the only Window is the final per-query
+    top-k ranking."""
+    plan = _plan(spark, "q_ann_pq")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # encode never windows over (vector, subspace) — argmin is min()
+    assert "windowspecdefinition(vec_id" not in plan, plan
+    # the per-query rank pushes the limit into the shuffle (top-k, no sort)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
