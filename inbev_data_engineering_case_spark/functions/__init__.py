@@ -190,3 +190,53 @@ def word_ngrams(c: Column | str, n: int) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def morton_bucket_expr(c: str, lo: str, hi: str, bits: int) -> Column:
+    """Scale an INTEGER column named ``c`` into ``[0, 2^bits)`` given its
+    global min/max columns ``lo``/``hi`` — pure int64 arithmetic
+    (``div``), so the bucket is bit-identical on any engine. Degenerate
+    ranges (hi == lo) map to 0. Non-integer dimensions must be
+    pre-quantized exactly by the caller (e.g. 2-decimal money × 100) —
+    float scaling would put rows on different sides of a bucket edge per
+    engine. Takes column NAMES (not Columns) because integer ``div`` is
+    only reachable through the SQL parser."""
+    return F.expr(
+        f"CASE WHEN ({hi}) - ({lo}) <= 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE ((({c}) - ({lo})) * {(1 << bits) - 1}) "
+        f"div (({hi}) - ({lo})) END"
+    )
+
+
+def bit_interleave(buckets: list[Column], bits: int) -> Column:
+    """Morton (Z-order) code: interleave the low ``bits`` bits of each
+    bucket column — bit b of column i lands at position ``b * n + i``.
+    Unrolled into ~bits·n shift/mask adds (each term owns a distinct
+    output bit, so ``+`` == OR), all JVM-side integers."""
+    n = len(buckets)
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(buckets):
+            bit = F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1))
+            out = out + F.shiftleft(bit, b * n + i)
+    return out
+
+
+def morton_bucket_sql(expr: str, lo: str, hi: str, bits: int) -> str:
+    """DuckDB twin of ``morton_bucket``."""
+    return (
+        f"CASE WHEN ({hi}) - ({lo}) <= 0 THEN 0 ELSE "
+        f"((({expr}) - ({lo})) * {(1 << bits) - 1}) // (({hi}) - ({lo})) "
+        f"END"
+    )
+
+
+def bit_interleave_sql(bucket_exprs: list[str], bits: int) -> str:
+    """DuckDB twin of ``bit_interleave``."""
+    n = len(bucket_exprs)
+    terms = [
+        f"((((({e})::BIGINT >> {b}) & 1)) << {b * n + i})"
+        for b in range(bits)
+        for i, e in enumerate(bucket_exprs)
+    ]
+    return "(" + " + ".join(terms) + ")"

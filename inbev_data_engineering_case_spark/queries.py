@@ -2396,6 +2396,56 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(orders, new, key_cols=["o_orderkey"])
 
 
+def _zorder_oracle(bits: int = 16) -> str:
+    from inbev_data_engineering_case_spark.functions import (
+        bit_interleave_sql,
+        morton_bucket_sql,
+    )
+
+    b1 = morton_bucket_sql("o_custkey", "lo1", "hi1", bits)
+    b2 = morton_bucket_sql("cents", "lo2", "hi2", bits)
+    z = bit_interleave_sql([f"({b1})", f"({b2})"], bits)
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT min(o_custkey) AS lo1, max(o_custkey) AS hi1,
+             min(cents) AS lo2, max(cents) AS hi2
+      FROM base
+    )
+    SELECT o_orderkey, {z} AS zkey
+    FROM base CROSS JOIN b
+    """
+
+
+@register(
+    "q_zorder_key",
+    _zorder_oracle(),
+    doc="Morton/Z-order clustering key (data-layout family, new): "
+    "customer key and exact order cents each scaled to 16-bit buckets "
+    "against their global min/max (broadcast 1-row bounds; table stats "
+    "at 100 TB), bits interleaved so rows close in BOTH dimensions sort "
+    "together — layers.zorder_compact then range-writes by this key and "
+    "parquet min/max stats prune files for selective predicates on "
+    "either dimension. Pure int64 scaling (div) and shift/mask "
+    "interleave: bit-identical on any engine.",
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.layers import add_zorder_key
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return add_zorder_key(base, ["o_custkey", "cents"], bits=16).select(
+        "o_orderkey", "zkey"
+    )
+
+
 @register(
     "q_session_window",
     """
@@ -3539,6 +3589,8 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_token_stats": ("q_tfidf_topk", "q_repetition"),  # token statistics
     "q_stratified_sample": ("q_mixture_sample", "q_corpus_shuffle"),
     "q_snapshot_diff": ("q_curate_incremental",),  # CDC family (composes it)
+    # q_zorder_key (data-layout family, new mid-r5) took this slot:
+    "q_dedup_incremental": ("q_curate_incremental",),  # composes it too
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family
