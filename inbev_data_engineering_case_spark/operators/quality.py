@@ -39,3 +39,82 @@ def dq_profile(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
         f"stack({len(rules)}, {stack_expr}) AS (rule, n_violations)",
         "__n AS n_rows",
     ).select("rule", "n_violations", "n_rows")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Shuffle-skew diagnostics: the ``top_n`` heaviest values of a
+    prospective join/aggregation key with their exact corpus share —
+    ``(key_col, cnt, share_ppm, rnk)``. The operational pre-check before
+    keying a 100 TB shuffle (a key holding >1% of rows wants salting or
+    an AQE skew-join; `q_salted_join` is the fix this report triggers).
+
+    Scale shape: per-key counts partial-aggregate (the exchange carries
+    group cardinality); the top-n is ``orderBy().limit()`` — Spark plans
+    TakeOrderedAndProject, a per-partition heap + tiny driver merge,
+    never a global sort; the total-row denominator joins as a broadcast
+    1-row aggregate and the share is exact int64 ppm. Ranking ties break
+    on the key value, so the report is deterministic."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    total = df.agg(F.count("*").alias("_total"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col(key_col))
+        .limit(top_n)
+        .join(F.broadcast(total))
+        .withColumn("share_ppm", F.expr("(cnt * 1000000) div _total"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select(key_col, "cnt", "share_ppm", "rnk")
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    approx: bool = False,
+) -> DataFrame:
+    """Equi-depth histogram: ``(bucket, n, lo, hi)`` with boundaries at
+    the 1/n..(n-1)/n quantiles, so each bucket holds ~the same row count
+    regardless of the distribution (an equi-WIDTH histogram collapses on
+    skewed data — most rows land in one bin).
+
+    Boundaries come from exact ``F.percentile`` (oracle parity) or the
+    mergeable GK sketch (``approx=True`` — the 100 TB setting, same
+    discipline as ``sample.top_fraction_by_score``); either way they are
+    a single-row aggregate broadcast into a codegen'd CASE bucketing
+    pass, then one partial-aggregated count. Two scans total, no sort."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    if approx:
+        aggs = [
+            F.expr(f"approx_percentile({value_col}, {q})").alias(f"_b{i}")
+            for i, q in enumerate(qs)
+        ]
+    else:
+        aggs = [
+            F.percentile(value_col, F.lit(q)).alias(f"_b{i}")
+            for i, q in enumerate(qs)
+        ]
+    bounds = df.agg(*aggs)
+    bucket: Column = F.lit(n_buckets)
+    for i in range(len(qs) - 1, -1, -1):
+        bucket = F.when(
+            F.col(value_col) <= F.col(f"_b{i}"), F.lit(i + 1)
+        ).otherwise(bucket)
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn("bucket", bucket.cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+    )

@@ -637,6 +637,78 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_skew_report",
+    """
+    WITH counts AS (
+      SELECT l_suppkey, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1
+    ),
+    total AS (SELECT count(*)::BIGINT AS _total FROM lineitem),
+    top AS (
+      SELECT l_suppkey, cnt,
+             row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rnk
+      FROM counts
+    )
+    SELECT l_suppkey, cnt, (cnt * 1000000) // _total AS share_ppm, rnk
+    FROM top CROSS JOIN total WHERE rnk <= 10
+    """,
+    doc="shuffle-skew diagnostics (profiling family): the 10 heaviest "
+    "values of a prospective join key with their exact corpus share in "
+    "int64 ppm — the pre-check that decides whether a 100 TB shuffle "
+    "needs salting (q_salted_join) or AQE skew-join. Counts partial-"
+    "aggregate; top-n is TakeOrderedAndProject (no global sort); the "
+    "denominator is a broadcast 1-row aggregate.",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.quality import (
+        skew_report,
+    )
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_n=10)
+
+
+@register(
+    "q_histogram",
+    """
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    b AS (
+      SELECT quantile_cont(cents, 0.25) AS b0,
+             quantile_cont(cents, 0.50) AS b1,
+             quantile_cont(cents, 0.75) AS b2
+      FROM base
+    )
+    SELECT bucket, count(*)::BIGINT AS n, min(cents) AS lo, max(cents) AS hi
+    FROM (
+      SELECT CASE WHEN cents <= b0 THEN 1
+                  WHEN cents <= b1 THEN 2
+                  WHEN cents <= b2 THEN 3
+                  ELSE 4 END::BIGINT AS bucket,
+             cents
+      FROM base CROSS JOIN b
+    )
+    GROUP BY 1
+    """,
+    doc="equi-depth histogram (distribution profiling): 4 buckets with "
+    "boundaries at the exact quartiles of order value in cents, so each "
+    "bucket holds ~equal rows however skewed the distribution (equi-"
+    "WIDTH collapses on skew). Boundaries are a 1-row broadcast "
+    "aggregate into a codegen'd CASE pass + one partial-aggregated "
+    "count — two scans, no sort; approx=True swaps the exact percentile "
+    "for the mergeable GK sketch at 100 TB.",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.quality import (
+        equi_depth_histogram,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    return equi_depth_histogram(base, "cents", n_buckets=4)
+
+
+@register(
     "q_having",
     """
     SELECT o_custkey,
@@ -3591,6 +3663,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_snapshot_diff": ("q_curate_incremental",),  # CDC family (composes it)
     # q_zorder_key (data-layout family, new mid-r5) took this slot:
     "q_dedup_incremental": ("q_curate_incremental",),  # composes it too
+    # q_skew_report (profiling family, new mid-r5) took this slot:
+    "q_dq_profile": ("q_skew_report", "q_group_stats"),
+    # q_histogram (distribution profiling, new mid-r5) took this slot —
+    # components stays covered by the two entries that compose/verify it:
+    "q_dedup_components": ("q_dedup_minhash", "q_curate_corpus"),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family
