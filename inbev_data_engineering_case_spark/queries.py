@@ -637,6 +637,39 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fuzzy_match",
+    """
+    WITH names AS (
+      SELECT p_name AS name, count(*)::BIGINT AS cnt,
+             substr(p_name, 1, 1) AS blk, length(p_name) // 3 AS lb
+      FROM part GROUP BY 1, 3, 4
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name)::INTEGER AS dist,
+           a.cnt AS cnt_a, b.cnt AS cnt_b
+    FROM names a JOIN names b ON a.blk = b.blk AND a.lb = b.lb
+                             AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+    doc="blocked fuzzy name matching (entity-resolution family, new): "
+    "part-name pairs within edit distance 2. The two scale rules: match "
+    "the DISTINCT name vocabulary, not the rows (names repeat — the "
+    "domain is orders of magnitude smaller), and block on (first char, "
+    "length band) so the levenshtein self-join is block-local, never "
+    "all-pairs. Edit distance is an integer metric, identical on any "
+    "engine.",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.fuzzy import (
+        fuzzy_name_pairs,
+    )
+
+    return fuzzy_name_pairs(
+        _t(spark, sf_dir, "part"), "p_name", max_distance=2, length_band=3
+    )
+
+
+@register(
     "q_skew_report",
     """
     WITH counts AS (
@@ -1137,6 +1170,56 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_report(
         read_events(spark, sf_dir), max_gap_seconds=_FUNNEL_GAP_S
     )
+
+
+@register(
+    "q_resample_ffill",
+    """
+    WITH bucketed AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts, ts, event_id,
+             value
+      FROM events
+    ),
+    observed AS (
+      SELECT user_id, bucket_ts, value AS _obs
+      FROM (SELECT *, row_number() OVER (
+                        PARTITION BY user_id, bucket_ts
+                        ORDER BY ts DESC, event_id DESC) AS rn
+            FROM bucketed)
+      WHERE rn = 1
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM bucketed GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM bounds
+    )
+    SELECT g.user_id AS user_id, g.bucket_ts AS bucket_ts,
+           last_value(_obs IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           (_obs IS NOT NULL) AS is_observed
+    FROM grid g LEFT JOIN observed o
+      ON g.user_id = o.user_id AND g.bucket_ts = o.bucket_ts
+    """,
+    doc="time-series resample + forward fill (regularization family, "
+    "new): each user's irregular events become an hourly grid between "
+    "their first and last hour; value = the bucket's LAST observation "
+    "(deterministic tie-break), carried forward across empty buckets, "
+    "is_observed flags filled rows. Grid generated per key from its own "
+    "bounds (no global calendar cartesian); pick, fill, and grid share "
+    "one key-partitioned exchange; values are carried, never "
+    "recomputed — nothing floats between engines.",
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    return resample_ffill(read_events(spark, sf_dir), unit="hour")
 
 
 @register(
@@ -3668,6 +3751,14 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_histogram (distribution profiling, new mid-r5) took this slot —
     # components stays covered by the two entries that compose/verify it:
     "q_dedup_components": ("q_dedup_minhash", "q_curate_corpus"),
+    # q_resample_ffill (time-series regularization, new mid-r5) took this
+    # slot — lang scoring stays covered by q_curate_corpus, whose oracle
+    # replays score_documents' lang component end to end:
+    "q_lang_id": ("q_curate_corpus", "q_repetition"),
+    # q_fuzzy_match (entity resolution, new mid-r5) took this slot —
+    # hash-split membership is the same predicate family the mixture and
+    # shuffle entries exercise:
+    "q_train_split": ("q_mixture_sample", "q_corpus_shuffle"),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family
