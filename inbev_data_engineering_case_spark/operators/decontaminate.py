@@ -96,6 +96,7 @@ def boilerplate_report(
     text_col: str = "text",
     portable: bool = True,
     broadcast_hot: bool = True,
+    materialize_mode: str = "local",
 ) -> DataFrame:
     """Cross-corpus boilerplate profiling (C4/RefinedWeb-style hygiene —
     headers, footers, license blurbs shared verbatim across pages): for
@@ -117,13 +118,26 @@ def boilerplate_report(
     templated data), ``broadcast_hot=False`` keeps the same plan with a
     planner-decided shuffle join; both exchanges hash on ``gram_h``, so
     AQE aligns them.
+
+    The gram stream has TWO consumers (hot-set aggregation + the
+    per-doc join), so it is materialized once via ``materialize_mode``
+    (see ``dedup._materialize``: 'local' | 'checkpoint' |
+    'table:<dir>') — without this the tokenize→shingle→hash subtree,
+    the dominant cost, runs twice (measured 10.1s → 4.5s at sf0.1).
     """
-    grams = documents.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))
-        ).alias("gram"),
-    ).select(id_col, _gram_hash("gram", portable).alias("gram_h"))
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _materialize,
+    )
+
+    grams = _materialize(
+        documents.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))
+            ).alias("gram"),
+        ).select(id_col, _gram_hash("gram", portable).alias("gram_h")),
+        materialize_mode,
+    )
     hot = (
         grams.groupBy("gram_h")
         .agg(F.count("*").alias("_nd"))
