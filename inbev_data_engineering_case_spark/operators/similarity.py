@@ -738,3 +738,107 @@ def ann_pq_topk(
     return pq_adc_topk(
         codes, book, queries, k_neighbors, m, k, id_col, vec_col
     )
+
+
+def ann_ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 0xC0DE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN configuration (FAISS
+    ``IVFx,PQy``) — coarse inverted lists bound the candidate set
+    (~n_probe/n_centroids of the corpus), product-quantized codes make
+    scoring those candidates a memory-resident integer LUT sum that
+    never touches the raw vectors. Returns ``(query_id, neighbor_id,
+    adc_micro, rnk)``.
+
+    Composition of the two proven paths: cell assignment is
+    ``ivf_assign`` (broadcast centroids, rounded-cosine argmax), codes
+    and LUTs are the PQ machinery (micro-int distances). The candidate
+    join is cell-local (query cells broadcast); codes join candidates by
+    neighbor id; the LUT joins by (query, subspace, code) — every model-
+    sized side broadcasts, and the only data-sized exchanges are the
+    candidate aggregation and the final per-query top-k.
+
+    ``centroids``/``codebook`` default to the deterministic layouts
+    (first-N cells, hash-sampled codewords) that the SQL oracle replays
+    exactly; pass ``train_ivf_centroids`` / ``train_pq_codebooks``
+    output for the Lloyd-refined production variants."""
+    cents = (
+        centroids
+        if centroids is not None
+        else corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+        )
+    )
+    book = (
+        codebook
+        if codebook is not None
+        else pq_sampled_codebook(corpus, m, k, seed, id_col, vec_col)
+    )
+    c_cells = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        cents,
+        n_probe=1,
+        id_col="neighbor_id",
+        vec_col="cvec",
+    ).select("neighbor_id", "cent_id")
+    q_cells = ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        cents,
+        n_probe=n_probe,
+        id_col="query_id",
+        vec_col="qvec",
+    ).select("query_id", "cent_id")
+    codes = pq_encode(corpus, book, m, k, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        _pq_subvec(F.col(vec_col), s, m).alias("qv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sc"),
+    ).select("query_id", "sc.subspace", "sc.qv")
+    lut = qsubs.join(F.broadcast(book), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        _pq_micro_dist(F.col("qv"), F.col("cv")).alias("lut_d"),
+    )
+    cand = (
+        c_cells.join(F.broadcast(q_cells), "cent_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("lut_d").alias("adc_micro"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_neighbors)
+    )

@@ -1697,6 +1697,47 @@ def test_pq_adc_distance_is_exact_on_codebook_rows(spark):
         assert abs(r["adc_micro"] - expected) <= m
 
 
+def test_ivf_pq_probing_all_cells_equals_plain_pq(spark):
+    """Construction identity: with n_probe == n_centroids every corpus
+    vector is a candidate for every query, so IVF-PQ must return exactly
+    the plain PQ/ADC top-k (same codes, same integer LUT sums, same
+    ranks). Also: with fewer probes the result set is a subset of the
+    candidate relation — distances of surviving pairs are identical."""
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        ann_pq_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 200)
+    qs = emb.filter(F.col("vec_id") < 5)
+    full = sorted(
+        map(tuple, ann_pq_topk(emb, qs, k_neighbors=5, m=4, k=8).collect())
+    )
+    ivf_all = sorted(
+        map(
+            tuple,
+            ann_ivf_pq_topk(
+                emb, qs, k_neighbors=5, n_centroids=8, n_probe=8, m=4, k=8
+            ).collect(),
+        )
+    )
+    assert ivf_all == full
+
+    probed = ann_ivf_pq_topk(
+        emb, qs, k_neighbors=5, n_centroids=8, n_probe=2, m=4, k=8
+    ).collect()
+    full_d = {(r[0], r[1]): r[2] for r in full}
+    all_pq = {
+        (r["query_id"], r["neighbor_id"]): r["adc_micro"]
+        for r in ann_pq_topk(emb, qs, k_neighbors=200, m=4, k=8).collect()
+    }
+    for r in probed:
+        # every probed pair's ADC distance matches the full PQ distance
+        assert all_pq[(r["query_id"], r["neighbor_id"])] == r["adc_micro"]
+
+
 def test_train_pq_codebooks_deterministic_and_usable(spark):
     from inbev_data_engineering_case_spark.operators.similarity import (
         pq_encode,
