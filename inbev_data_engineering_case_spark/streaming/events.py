@@ -420,3 +420,96 @@ def stream_sessionize(
             timeoutConf=timeout,
         )
     )
+
+
+def merge_upsert_snapshot(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    base_dir: str,
+    key_cols: list[str],
+    order_col: str,
+) -> str:
+    """One keyed MERGE step for the plain-parquet upsert sink: dedupe the
+    batch per key (highest ``order_col`` wins, deterministic), anti-join
+    the previous snapshot on the keys (old rows for re-sent keys drop),
+    union, and write snapshot ``merge=<batch_id>``. Returns the written
+    path.
+
+    Idempotent by construction: the snapshot directory name is the batch
+    id, so a REPLAYED batch (crash between sink write and checkpoint
+    commit) rewrites the same directory from the same predecessor state
+    (`latest_snapshot` orders by id and gates on ``_SUCCESS``, so a torn
+    write is invisible and the replay rebuilds it) — merge(merge(S, B),
+    B) == merge(S, B)."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from inbev_data_engineering_case_spark.layers import latest_snapshot
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    latest_batch = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        prev = spark.read.parquet(
+            latest_snapshot(base_dir, prefix="merge=")
+        )
+    except (FileNotFoundError, ValueError):
+        prev = None
+    merged = (
+        latest_batch
+        if prev is None
+        else prev.join(
+            latest_batch.select(*key_cols), key_cols, "left_anti"
+        ).unionByName(latest_batch)
+    )
+    out = os.path.join(base_dir, f"merge={batch_id:020d}")
+    merged.write.mode("overwrite").parquet(out)
+    return out
+
+
+def run_stream_upsert_parquet(
+    out: DataFrame,
+    base_dir: str,
+    checkpoint: str,
+    key_cols: list[str],
+    order_col: str,
+    timeout: int = 300,
+) -> None:
+    """Streaming MERGE (upsert) into a keyed parquet snapshot — the
+    poor-man's Delta MERGE for sinks without transactions: each
+    micro-batch replaces its keys' previous rows and appends new keys,
+    so re-delivered events and key updates both land exactly once in the
+    final state (``merge_upsert_snapshot`` carries the idempotency
+    argument). Readers resolve ``latest_snapshot(base_dir,
+    prefix='merge=')``.
+
+    Scale contract: each merge rewrites the FULL snapshot, so this sink
+    is for DIMENSION-scale keyed state (user profiles, device registry —
+    the stream-static enrich side), not fact tables; at fact scale use a
+    transactional sink's native MERGE. The rewrite itself is one
+    broadcast-or-shuffle anti-join keyed like the stream, and snapshots
+    double as a per-batch history for debugging/time travel (compact old
+    ones with ``layers.compact_parquet``)."""
+    spark = out.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert_snapshot(
+            spark, batch_df, batch_id, base_dir, key_cols, order_col
+        )
+
+    q = (
+        out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"upsert stream to {base_dir} did not drain in {timeout}s"
+        )

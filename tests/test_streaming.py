@@ -504,3 +504,74 @@ def test_stream_enrich_broadcast_gate(spark):
 
     never = stream_enrich(facts, dim, on="user_id", broadcast=False)
     assert "BroadcastHashJoin" not in never._jdf.queryExecution().executedPlan().toString()
+
+
+def test_merge_upsert_snapshot_replaces_keys_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Keyed MERGE steps: batch 2 updates key 1 and inserts key 3;
+    replaying batch 2 (crash between sink write and checkpoint commit)
+    rebuilds the identical snapshot — merge(merge(S,B),B) == merge(S,B).
+    Within a batch the highest order_col wins per key."""
+    from inbev_data_engineering_case_spark.layers import latest_snapshot
+    from inbev_data_engineering_case_spark.streaming.events import (
+        merge_upsert_snapshot,
+    )
+
+    base = str(tmp_path / "profiles")
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 11, "b"), (1, 12, "a2")],  # key 1 twice: 12 wins
+        "user_id long, seq long, v string",
+    )
+    merge_upsert_snapshot(spark, b1, 0, base, ["user_id"], "seq")
+    s1 = {
+        r["user_id"]: (r["seq"], r["v"])
+        for r in spark.read.parquet(
+            latest_snapshot(base, prefix="merge=")
+        ).collect()
+    }
+    assert s1 == {1: (12, "a2"), 2: (11, "b")}
+
+    b2 = spark.createDataFrame(
+        [(1, 20, "a3"), (3, 21, "c")], "user_id long, seq long, v string"
+    )
+    merge_upsert_snapshot(spark, b2, 1, base, ["user_id"], "seq")
+    want = {1: (20, "a3"), 2: (11, "b"), 3: (21, "c")}
+    got = lambda: {  # noqa: E731
+        r["user_id"]: (r["seq"], r["v"])
+        for r in spark.read.parquet(
+            latest_snapshot(base, prefix="merge=")
+        ).collect()
+    }
+    assert got() == want
+    # replay batch 1 (same id): rewrites merge=...1 from the same
+    # predecessor (merge=...0 still present) -> state unchanged
+    merge_upsert_snapshot(spark, b2, 1, base, ["user_id"], "seq")
+    assert got() == want
+
+
+def test_run_stream_upsert_parquet_end_to_end(spark, tmp_path):
+    """The streaming MERGE sink drains a duplicated events stream into a
+    keyed snapshot holding exactly one (latest) row per event_id."""
+    from inbev_data_engineering_case_spark.layers import latest_snapshot
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_upsert_parquet,
+    )
+
+    src = read_events_stream(spark, "/root/testdata/sf0.001")
+    doubled = src.unionByName(src)
+    base = str(tmp_path / "events_upsert")
+    run_stream_upsert_parquet(
+        doubled.select("event_id", "ts", "event_type", "value"),
+        base,
+        str(tmp_path / "ckpt"),
+        key_cols=["event_id"],
+        order_col="ts",
+    )
+    snap = spark.read.parquet(latest_snapshot(base, prefix="merge="))
+    n_events = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).count()
+    assert snap.count() == n_events
+    assert snap.select("event_id").distinct().count() == n_events
