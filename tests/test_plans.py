@@ -264,3 +264,53 @@ def test_pq_codebook_and_lut_broadcast_encode_is_aggregate(spark):
     # the per-query rank pushes the limit into the shuffle (top-k, no sort)
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_skew_report_plans_takeordered(spark):
+    plan = _plan(spark, "q_skew_report")
+    assert "TakeOrdered" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_histogram_has_no_sort(spark):
+    """Equi-depth histogram: percentile boundaries + CASE bucketing +
+    count — never a global sort of the data."""
+    plan = _plan(spark, "q_histogram")
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_resample_grid_join_is_equi(spark):
+    """Grid-to-observation join runs on (key, bucket) equi keys — no
+    nested-loop over event data; the only BNLJ-free plan also proves the
+    per-key sequence explode replaced a calendar cartesian."""
+    plan = _plan(spark, "q_resample_ffill")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fuzzy_match_joins_on_block_keys(spark):
+    """The levenshtein self-join is block-local: an equi-join on the
+    blocking keys with the distance filter applied post-join — never an
+    unconditioned all-pairs nested loop."""
+    plan = _plan(spark, "q_fuzzy_match")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan, plan
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    """The corpus-side pass joins only broadcast model-sized tables
+    (rates, budget) — the documents scan itself never shuffles."""
+    plan = _plan(spark, "q_mixture_sample")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_zorder_key_is_pure_projection_plus_bounds(spark):
+    """Morton key: one 1-row bounds aggregate broadcast into a codegen'd
+    projection — no shuffle of the data itself."""
+    plan = _plan(spark, "q_zorder_key")
+    assert "Exchange rangepartitioning" not in plan, plan
+    # the only exchange is the single-row bounds aggregation
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
