@@ -902,3 +902,152 @@ def target_rows_per_partition(
     """Rows per partition so a partition's payloads fit the memory budget —
     the repartition hint for large media (e.g. 2 MB images → ~128 rows)."""
     return max(1, budget_bytes // max(avg_payload_bytes, 1))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup: dHash (difference hash) over the stdlib
+# decoders, bridging the multimodal family to the dedup machinery — exact
+# byte-level dedup misses re-encoded/resized copies of the same picture;
+# a 64-bit gradient-sign fingerprint catches them (the standard cheap
+# perceptual hash; pHash/DCT is the heavier sibling, same plumbing).
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _dhash64(pixels) -> int:
+    """64-bit difference hash: luma → nearest-neighbor 9×8 downsample →
+    horizontal gradient signs. Resolution/re-encode invariant by
+    construction (any decode path yielding the same pixels — or a
+    resampled version of them — yields the same gradient signs)."""
+    import numpy as np
+
+    gray = (
+        pixels.astype(np.float64).mean(axis=2)
+        if pixels.ndim == 3
+        else pixels.astype(np.float64)
+    )
+    h, w = gray.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    small = gray[np.ix_(ys, xs)]
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    h = int(sum(1 << i for i, b in enumerate(bits.tolist()) if b))
+    # two's-complement into signed int64 (LongType can't hold bit-63 set
+    # as unsigned; XOR/popcount downstream are representation-agnostic)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_dhash(assets: DataFrame, strict: bool = False) -> DataFrame:
+    """Perceptual hash per image asset via Arrow-batched ``mapInPandas``
+    (same batch shape and dead-letter contract as ``decode_features``):
+    ``(asset_id, media_type, dhash, decode_ok, error)``. Non-image and
+    codec-bound payloads dead-letter unless PIL is importable (the
+    capability-detected path inside ``_decode_image_pixels``)."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            hashes, oks, errors = [], [], []
+            for payload in batch["payload"]:
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    hashes.append(_dhash64(_decode_image_pixels(payload)))
+                    oks.append(True)
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001 — dead-letter path
+                    if strict:
+                        raise
+                    hashes.append(None)
+                    oks.append(False)
+                    errors.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch["asset_id"],
+                    "media_type": batch["media_type"],
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "decode_ok": oks,
+                    "error": errors,
+                }
+            )
+
+    return assets.mapInPandas(hash_batch, schema=DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    assets: DataFrame,
+    max_hamming: int = 6,
+    bucket_bits: int = 12,
+    max_bucket_size: int | None = None,
+    materialize_mode: str = "local",
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash the decodable assets once
+    (materialized — the decode is the dominant cost), bucket on the top
+    ``bucket_bits`` hash bits so the self-join is bucket-local (the same
+    trade as SimHash banding: a near-dup pair differing in a bucket bit
+    is missed; more buckets = cheaper and lower recall), verify with
+    popcount(XOR) ≤ ``max_hamming``. ``max_bucket_size`` engages the
+    dedup hot-bucket guard (star-link to the min-id representative) for
+    corpora with massively-reposted images; default None — image dHash
+    buckets are far sparser than text templates."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _materialize,
+        _split_hot_buckets,
+    )
+
+    sigs = _materialize(
+        image_dhash(assets)
+        .filter(F.col("decode_ok"))
+        .select(
+            F.col("asset_id").alias("id"),
+            F.col("dhash").alias("sh"),
+        )
+        .withColumn("bucket", F.shiftrightunsigned("sh", 64 - bucket_bits)),
+        materialize_mode,
+    )
+    if max_bucket_size is not None:
+        cold, hot = _split_hot_buckets(
+            sigs, ["bucket"], max_bucket_size, materialize_mode
+        )
+    else:
+        cold, hot = sigs, None
+    a, b = cold.alias("a"), cold.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+    )
+    if hot is not None:
+        reps = hot.groupBy("bucket").agg(
+            F.min("id").alias("rep_id"),
+            F.min_by("sh", "id").alias("rep_sh"),
+        )
+        star_hamming = F.bit_count(F.col("rep_sh").bitwiseXOR(F.col("sh")))
+        star = (
+            hot.join(reps, ["bucket"])
+            .filter(F.col("id") != F.col("rep_id"))
+            .filter(star_hamming <= max_hamming)
+            .select(
+                F.col("rep_id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                star_hamming.alias("hamming"),
+            )
+        )
+        pairs = pairs.unionByName(star)
+    return pairs

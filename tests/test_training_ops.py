@@ -2350,3 +2350,56 @@ def test_bpe_tokenize_cache_cap_preserves_output(spark):
     tiny = {r["doc_id"]: r["bpe_tokens"]
             for r in bpe_tokenize(docs, merges, cache_size=2).collect()}
     assert big == tiny
+
+
+def test_image_dhash_perceptual_near_dup(spark):
+    """dHash perceptual near-dup: the SAME picture at a different
+    resolution (2x nearest upsample) hashes identically (hamming 0); a
+    slightly-edited copy lands within the hamming radius; an unrelated
+    image does not pair; undecodable payloads dead-letter."""
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _dhash64,
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(16, 18, 3)).astype("uint8")
+    up = np.kron(base, np.ones((2, 2, 1))).astype("uint8")  # 2x upsample
+    assert _dhash64(base) == _dhash64(up)
+
+    edited = base.copy()
+    edited[0, 0] = [255, 255, 255]  # tiny edit -> small hamming
+    other = rng.randint(0, 256, size=(16, 18, 3)).astype("uint8")
+
+    def bmp(px):
+        # _make_bmp takes row-major BGR tuples
+        return _make_bmp(
+            [[tuple(int(v) for v in p[::-1]) for p in row] for row in px]
+        )
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image/bmp", bytearray(bmp(base))),
+            (2, "image/bmp", bytearray(bmp(up))),
+            (3, "image/bmp", bytearray(bmp(edited))),
+            (4, "image/bmp", bytearray(bmp(other))),
+            (5, "image/jpeg", bytearray(b"\xff\xd8\xff junk")),
+        ],
+        "asset_id long, media_type string, payload binary",
+    )
+    hashes = {r["asset_id"]: r for r in image_dhash(assets).collect()}
+    assert hashes[1]["dhash"] == hashes[2]["dhash"]
+    assert hashes[5]["decode_ok"] is False and hashes[5]["error"]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(
+            assets, max_hamming=6, bucket_bits=4
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # resolution-invariant exact match
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 6  # edited copy found
+    assert not any(4 in p for p in pairs)  # unrelated image stays out
