@@ -119,3 +119,69 @@ def test_zorder_compact_tightens_file_stats_on_both_dims(spark, tmp_path):
         spark.read.parquet(z_dst).count()
         == spark.read.parquet(src).count()
     )
+
+
+def test_morton_key_properties(spark):
+    """Morton key invariants (hypothesis over random int grids): the key
+    is monotone in each dimension with the other fixed at equal buckets,
+    round-trips the bucket bits exactly (de-interleave == bucket), and
+    stays within 2*bits width."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from inbev_data_engineering_case_spark.functions import (
+        bit_interleave,
+        morton_bucket_expr,
+    )
+
+    bits = 8
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=-500, max_value=500),
+            ),
+            min_size=2,
+            max_size=20,
+            unique=True,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(rows)],
+            "rid long, a long, b long",
+        )
+        aggs = [
+            F.min("a").alias("_lo_a"), F.max("a").alias("_hi_a"),
+            F.min("b").alias("_lo_b"), F.max("b").alias("_hi_b"),
+        ]
+        out = (
+            df.join(F.broadcast(df.agg(*aggs)))
+            .withColumn("ba", morton_bucket_expr("a", "_lo_a", "_hi_a", bits))
+            .withColumn("bb", morton_bucket_expr("b", "_lo_b", "_hi_b", bits))
+            .withColumn(
+                "z", bit_interleave([F.col("ba"), F.col("bb")], bits)
+            )
+            .collect()
+        )
+        for r in out:
+            assert 0 <= r["ba"] < (1 << bits) and 0 <= r["bb"] < (1 << bits)
+            assert 0 <= r["z"] < (1 << (2 * bits))
+            # de-interleave recovers the buckets exactly
+            da = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(bits))
+            db = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(bits))
+            assert (da, db) == (r["ba"], r["bb"])
+        # monotone per dimension at fixed other-bucket
+        by_bb = {}
+        for r in out:
+            by_bb.setdefault(r["bb"], []).append((r["ba"], r["z"]))
+        for group in by_bb.values():
+            group.sort()
+            zs = [z for _, z in group]
+            assert zs == sorted(zs)
+
+    check()

@@ -314,3 +314,13 @@ def test_zorder_key_is_pure_projection_plus_bounds(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     # the only exchange is the single-row bounds aggregation
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_ivf_pq_candidates_are_cell_bounded(spark):
+    """IVF-PQ: candidate generation joins corpus cells against BROADCAST
+    query cells; scoring joins broadcast codes/LUT — never a cartesian,
+    and the raw query vectors never join the corpus."""
+    plan = _plan(spark, "q_ann_ivf_pq")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "WindowGroupLimit" in plan, plan
