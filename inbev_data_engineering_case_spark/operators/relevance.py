@@ -53,6 +53,72 @@ def term_frequencies(
     )
 
 
+def bigram_lm_scores(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model quality scoring (the CCNet/KenLM-shaped
+    perplexity filter, here with an add-one-smoothed bigram model trained
+    on the corpus itself): ``(id_col, n_bigrams, sum_lp_micro,
+    avg_logprob)`` where each bigram contributes
+    ``ln((C(w1,w2) + 1) / (C(w1) + V))`` — higher average = more typical
+    of the corpus; gibberish scores low, and thresholding avg_logprob is
+    the perplexity filter. Documents with < 2 tokens have no bigram and
+    no row.
+
+    Scale shape: the model IS a table, never a broadcast — bigram counts
+    partial-aggregate (one row per distinct bigram crosses the
+    exchange); scoring joins the document's bigram stream against it on
+    the bigram key, re-aggregating per document. Unigram counts and the
+    vocabulary size ride along as a second aggregate and a broadcast
+    1-row join. One tokenize pass feeds both training and scoring.
+    Numeric determinism: each bigram's logprob is carried as a MICRO-UNIT
+    int64 (``round(ln(ratio) * 1e6)`` of an exact int-ratio double), so
+    the per-document sum is order-independent across any partial-
+    aggregation tree, and the final mean is one IEEE division of exact
+    integers — bit-identical on any engine (the same discipline as the
+    PQ ADC distances)."""
+    toks = documents.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w"),
+    )
+    nxt = toks.select(
+        F.col(id_col),
+        (F.col("pos") + 1).alias("pos"),
+        F.col("w").alias("w1"),
+    )
+    bigrams = toks.join(nxt, [id_col, "pos"]).select(
+        id_col, "w1", F.col("w").alias("w2")
+    )
+    big_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_counts = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toks.agg(F.countDistinct("w").alias("_v"))
+    scored = (
+        bigrams.join(big_counts, ["w1", "w2"])
+        .join(uni_counts, "w1")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "lp_micro",
+            F.round(
+                F.log(
+                    (F.col("c12") + F.lit(1.0))
+                    / (F.col("c1") + F.col("_v"))
+                )
+                * 1_000_000
+            ).cast("bigint"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lp_micro").alias("sum_lp_micro"),
+    ).withColumn(
+        "avg_logprob",
+        F.col("sum_lp_micro")
+        / (F.col("n_bigrams") * F.lit(1_000_000)),
+    )
+
+
 def tfidf_topk(
     documents: DataFrame,
     k: int = 3,

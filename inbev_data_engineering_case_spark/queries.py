@@ -1595,6 +1595,59 @@ def _mixture_oracle() -> str:
 
 
 @register(
+    "q_lm_perplexity",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(ws) AS w FROM base),
+    bigrams AS (
+      -- parallel unnests zip positionally: (w_i, w_i+1) pairs
+      SELECT doc_id,
+             unnest(ws[1:len(ws)-1]) AS w1,
+             unnest(ws[2:len(ws)]) AS w2
+      FROM base WHERE len(ws) >= 2
+    ),
+    bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bigrams GROUP BY 1, 2),
+    uc AS (SELECT w1, count(*)::BIGINT AS c1 FROM bigrams GROUP BY 1),
+    v AS (SELECT count(DISTINCT w)::BIGINT AS _v FROM toks),
+    scored AS (
+      SELECT g.doc_id AS doc_id,
+             CAST(round(ln((c12 + 1.0) / (c1 + _v)) * 1000000) AS BIGINT)
+               AS lp_micro
+      FROM bigrams g
+      JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+      JOIN uc ON g.w1 = uc.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           sum(lp_micro)::BIGINT AS sum_lp_micro,
+           sum(lp_micro)::BIGINT / (count(*)::BIGINT * 1000000)
+             AS avg_logprob
+    FROM scored GROUP BY 1
+    """,
+    doc="bigram-LM quality scoring (the CCNet/KenLM-shaped perplexity "
+    "filter, trained on the corpus itself with add-one smoothing): "
+    "per-document mean bigram logprob — the standard 'does this read "
+    "like natural text' signal; threshold it for the perplexity filter. "
+    "The model is a TABLE (never broadcast): bigram counts partial-"
+    "aggregate, scoring re-joins the doc bigram stream on the bigram "
+    "key; per-bigram logprobs are micro-unit int64 so sums are order-"
+    "independent and the final mean is one exact-int IEEE division. "
+    "Registered late in r5 — tail slot, first driver window slot in r6 "
+    "(stand-in: q_tfidf_topk, the same corpus-statistics machinery).",
+)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bigram_lm_scores,
+    )
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "q_mixture_sample",
     _mixture_oracle(),
     doc="corpus mixture resampling (data-mixing family, new): resample the "
@@ -3851,6 +3904,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # the identical gram/hash/broadcast machinery (still bench-timed as
     # a headline query from the tail):
     "q_decontaminate": ("q_boilerplate",),
+    # registered LATE in r5 with the window already full of this round's
+    # debuts — starts in the tail under the strict local gate; promote in
+    # r6 (its family cover runs the same tf/df corpus-statistics shape):
+    "q_lm_perplexity": ("q_tfidf_topk", "q_quality_threshold"),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family

@@ -2403,3 +2403,30 @@ def test_image_dhash_perceptual_near_dup(spark):
     assert pairs.get((1, 2)) == 0  # resolution-invariant exact match
     assert (1, 3) in pairs and pairs[(1, 3)] <= 6  # edited copy found
     assert not any(4 in p for p in pairs)  # unrelated image stays out
+
+
+def test_bigram_lm_scores_typical_text_higher(spark):
+    """Perplexity-filter semantics: a document made of the corpus's
+    dominant bigrams scores a higher avg logprob than one of unique
+    gibberish; one-token docs get no row; the integer sum path is
+    deterministic under repartition."""
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bigram_lm_scores,
+    )
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(5)]
+        + [(10, "zq xv jk wp lm qn"), (11, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert 11 not in rows  # no bigram
+    assert rows[0]["n_bigrams"] == 5
+    assert rows[0]["avg_logprob"] > rows[10]["avg_logprob"]
+
+    again = {
+        r["doc_id"]: r["sum_lp_micro"]
+        for r in bigram_lm_scores(docs.repartition(7)).collect()
+    }
+    assert again == {k: v["sum_lp_micro"] for k, v in rows.items()}
