@@ -3688,6 +3688,7 @@ def _ivfpq_oracle(n_centroids: int = 16, n_probe: int = 2) -> str:
 @register(
     "q_ann_ivf_pq",
     _ivfpq_oracle(),
+    headline=True,
     doc="IVF-PQ composition (the standard billion-scale ANN "
     "configuration, FAISS IVFx,PQy): coarse first-N inverted lists "
     "bound candidates to the queries' 2 probed cells, then scoring is "

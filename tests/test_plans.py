@@ -324,3 +324,12 @@ def test_ivf_pq_candidates_are_cell_bounded(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_lm_scoring_model_is_joined_not_collected(spark):
+    """The bigram model joins as a table (partial-aggregated counts on
+    the bigram key); nothing collects to the driver and nothing goes
+    cartesian. One tokenize subtree feeds train and score."""
+    plan = _plan(spark, "q_lm_perplexity")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x counts
