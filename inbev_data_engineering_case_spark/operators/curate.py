@@ -49,6 +49,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     benchmark: DataFrame | None = None,
     decontaminate_ngram: int = 8,
+    min_avg_logprob: float | None = None,
     materialize_mode: str = "local",
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
@@ -62,6 +63,13 @@ def curate_corpus(
     lang/quality predicate (fewer docs to n-gram-hash) and before the
     materialization barrier, so the n-gram pass still happens exactly
     once.
+
+    ``min_avg_logprob`` (default None = off) adds the bigram-LM
+    perplexity filter (``relevance.bigram_lm_scores``) at the same spot:
+    documents whose mean bigram logprob under the corpus-trained model
+    falls below the threshold are dropped (gibberish/word-salad pruning).
+    The LM trains on the already-filtered eligible set — the standard
+    ordering, so junk the cheap filters caught doesn't pollute the model.
 
     ``materialize_mode`` ('local' | 'checkpoint' | 'table:<dir>', see
     ``dedup._materialize``) selects how the scored-eligible corpus and the
@@ -83,6 +91,21 @@ def curate_corpus(
             eligible, benchmark, n=decontaminate_ngram,
             id_col=id_col, text_col=text_col,
         )
+    if min_avg_logprob is not None:
+        from inbev_data_engineering_case_spark.operators.relevance import (
+            bigram_lm_scores,
+        )
+
+        # LM training + scoring reads `eligible` several times (bigram
+        # counts, unigram counts, vocab, scoring join) — materialize
+        # first so those are table reads, not repeated corpus scans.
+        eligible = _materialize(eligible, materialize_mode)
+        keep_lm = (
+            bigram_lm_scores(eligible, id_col=id_col, text_col=text_col)
+            .filter(F.col("avg_logprob") >= min_avg_logprob)
+            .select(id_col)
+        )
+        eligible = eligible.join(keep_lm, on=id_col, how="left_semi")
     # Three downstream consumers read `eligible` (exact-dedup keep list,
     # near-dedup signatures, final keep anti-join): without materializing
     # it once, each consumer re-runs the full corpus scan + lang/quality

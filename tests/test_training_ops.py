@@ -2430,3 +2430,39 @@ def test_bigram_lm_scores_typical_text_higher(spark):
         for r in bigram_lm_scores(docs.repartition(7)).collect()
     }
     assert again == {k: v["sum_lp_micro"] for k, v in rows.items()}
+
+
+def test_curate_corpus_perplexity_stage(spark):
+    """min_avg_logprob drops the gibberish doc the cheap filters keep,
+    and default-off leaves curate_corpus output unchanged."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    docs = spark.createDataFrame(
+        [(i, natural + f" extra{i}") for i in range(6)]
+        + [(20, "the zq the xv the jk the wp the lm the qn the aa the bb")],
+        "doc_id long, text string",
+    )
+    base_ids = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, languages=("en",), min_quality=0.0, near_dup_threshold=0.9
+        ).collect()
+    }
+    assert 20 in base_ids  # survives lang/quality (stopword-heavy)
+
+    filtered_ids = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs,
+            languages=("en",),
+            min_quality=0.0,
+            near_dup_threshold=0.9,
+            min_avg_logprob=-2.5,
+        ).collect()
+    }
+    assert 20 not in filtered_ids  # rare bigrams: -2.9 vs -1.55 typical
+    assert filtered_ids  # natural docs survive
+    assert filtered_ids <= base_ids
