@@ -3824,6 +3824,49 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_dedup_sink")
 
 
+@register(
+    "q_stream_upsert",
+    """
+    SELECT DISTINCT event_id, event_type, value FROM events
+    """,
+    doc="streaming MERGE sink end-to-end: an at-least-once feed (stream "
+    "unioned with itself) drained through run_stream_upsert_parquet — "
+    "per-batch keyed anti-join+union snapshots with deterministic "
+    "batch-id directories, so replays rebuild instead of duplicating. "
+    "The final snapshot must hold exactly one row per event_id, i.e. "
+    "the exact distinct event set (duplicates are identical rows, so "
+    "latest-wins == the row itself). The oracle is that batch set — "
+    "the sink's exactly-once guarantee checked at the VALUE level, not "
+    "just id counts.",
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from inbev_data_engineering_case_spark.layers import latest_snapshot
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_upsert_parquet,
+    )
+
+    src = read_events_stream(spark, sf_dir)
+    doubled = src.unionByName(read_events_stream(spark, sf_dir))
+    work = tempfile.mkdtemp(prefix="q_stream_upsert_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    run_stream_upsert_parquet(
+        doubled.select("event_id", "ts", "event_type", "value"),
+        f"{work}/snap",
+        f"{work}/ckpt",
+        key_cols=["event_id"],
+        order_col="ts",
+    )
+    return spark.read.parquet(
+        latest_snapshot(f"{work}/snap", prefix="merge=")
+    ).select("event_id", "event_type", "value")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -3909,6 +3952,9 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # debuts — starts in the tail under the strict local gate; promote in
     # r6 (its family cover runs the same tf/df corpus-statistics shape):
     "q_lm_perplexity": ("q_tfidf_topk", "q_quality_threshold"),
+    # same late-r5 situation; the MERGE sink's family cover is the other
+    # exactly-once streaming-sink entry, in-window and driver-checked:
+    "q_stream_upsert": ("q_stream_dedup", "q_stream_enrich"),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family
