@@ -73,8 +73,9 @@ def run_stream_sink(spark, sf_dir: str) -> float:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def median_of(runs: int, fn, *args) -> float:
-    return round(statistics.median(fn(*args) for _ in range(runs)), 3)
+def median_and_min(runs: int, fn, *args) -> tuple[float, float]:
+    samples = [fn(*args) for _ in range(runs)]
+    return round(statistics.median(samples), 3), round(min(samples), 3)
 
 
 def main() -> None:
@@ -85,11 +86,14 @@ def main() -> None:
     headline = [n for n, spec in CATALOG.items() if spec.headline]
 
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in headline:
         run_query(spark, name, sf_dir)  # untimed warm-up: codegen compile
-        timings[name] = median_of(RUNS_PER_QUERY, run_query, spark, name, sf_dir)
+        timings[name], mins[name] = median_and_min(
+            RUNS_PER_QUERY, run_query, spark, name, sf_dir
+        )
     run_stream_sink(spark, sf_dir)  # untimed warm-up
-    timings["stream_sink_drain"] = median_of(
+    timings["stream_sink_drain"], mins["stream_sink_drain"] = median_and_min(
         RUNS_PER_QUERY, run_stream_sink, spark, sf_dir
     )
     total = round(sum(timings.values()), 3)
@@ -102,6 +106,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query minimum of the timed runs: the machine-drift
+                # discriminator (a real code regression moves the MIN; a
+                # contended/hot machine moves the median while the min
+                # holds — the r4 q_join_orders / r5 q_curate_corpus
+                # lesson, made diagnosable from the recorded JSON alone)
+                "query_mins": mins,
                 "sf": sf,
                 "runs_per_query": RUNS_PER_QUERY,
             }
