@@ -97,3 +97,48 @@ def funnel_report(
         )
         .select("step", "step_name", "users", "conv_ppm")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — the other canonical product-analytics
+    operator: users grouped by first-seen period (their cohort), tracked
+    across subsequent activity periods. Returns ``(cohort, period_offset,
+    users, retention_ppm)`` where ``retention_ppm`` is exact int64 ppm of
+    the cohort's period-0 size.
+
+    Scale shape: one aggregate for first-seen (partial, user-keyed), one
+    distinct over (user, period) — the exchange carries one row per user
+    per active period, not per event — then a user-keyed join and a
+    small-cardinality (cohort, offset) aggregate. The denominator table
+    (one row per cohort) broadcasts. ``date_trunc`` periods and day-count
+    division keep every derived value integer-exact across engines."""
+    days = {"week": 7, "day": 1}[unit]
+    # DATE-typed periods (DuckDB's date_trunc('week') yields DATE while
+    # Spark's yields TIMESTAMP — the cast aligns the engines' types)
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    firsts = events.groupBy(user_col).agg(F.min(bucket).alias("cohort"))
+    active = events.select(user_col, bucket.alias("period")).distinct()
+    counts = (
+        active.join(firsts, user_col)
+        .withColumn(
+            "period_offset",
+            F.expr(f"datediff(period, cohort) div {days}"),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct(user_col).alias("users"))
+    )
+    base = counts.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("users").alias("_base")
+    )
+    return (
+        counts.join(F.broadcast(base), "cohort")
+        .withColumn(
+            "retention_ppm", F.expr("(users * 1000000) div _base")
+        )
+        .select("cohort", "period_offset", "users", "retention_ppm")
+    )

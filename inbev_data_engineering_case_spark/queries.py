@@ -1223,6 +1223,46 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY 1
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS period FROM events
+    ),
+    counts AS (
+      SELECT cohort,
+             date_diff('day', cohort, period) // 7 AS period_offset,
+             count(DISTINCT user_id)::BIGINT AS users
+      FROM active JOIN firsts USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT c.cohort AS cohort, c.period_offset AS period_offset,
+           c.users AS users,
+           (c.users * 1000000) // b.users AS retention_ppm
+    FROM counts c
+    JOIN (SELECT cohort, users FROM counts WHERE period_offset = 0) b
+      ON c.cohort = b.cohort
+    """,
+    doc="cohort retention matrix (product-analytics family, with "
+    "q_event_funnel): users bucketed by first-seen week, tracked across "
+    "subsequent active weeks; retention in exact int64 ppm of the "
+    "cohort's week-0 size. The (user, period) distinct bounds the "
+    "exchange at one row per user-week (never per event); the per-cohort "
+    "denominator broadcasts. Registered late in r5 — tail slot, r6 "
+    "window promotion.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    return cohort_retention(read_events(spark, sf_dir), unit="week")
+
+
+@register(
     "q_json_extract",
     """
     SELECT event_type,
@@ -3955,6 +3995,8 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # same late-r5 situation; the MERGE sink's family cover is the other
     # exactly-once streaming-sink entry, in-window and driver-checked:
     "q_stream_upsert": ("q_stream_dedup", "q_stream_enrich"),
+    # same late-r5 situation; product-analytics family cover:
+    "q_cohort_retention": ("q_event_funnel", "q_window_events"),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family

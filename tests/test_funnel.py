@@ -72,6 +72,44 @@ def test_funnel_uses_first_qualifying_occurrence(spark):
     assert len(s3) == 1 and s3[0]["reached_ts"] == datetime(2024, 1, 1, 9, 45)
 
 
+def test_cohort_retention_known_answer(spark):
+    """Two weekly cohorts with churn: week-0 rows are 100%, retained
+    fractions are exact ppm, a user's cohort is their FIRST week even
+    with later activity, and a week gap yields no row (no zero-fill)."""
+    from datetime import datetime as dt
+
+    from inbev_data_engineering_case_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    # weeks: 2024-01-01 (Mon), 2024-01-08, 2024-01-15
+    rows = [
+        # cohort A (w0): users 1,2,3; week1 keeps 1,2; week2 keeps 1 only
+        (1, dt(2024, 1, 2)), (2, dt(2024, 1, 3)), (3, dt(2024, 1, 4)),
+        (1, dt(2024, 1, 9)), (2, dt(2024, 1, 10)),
+        (1, dt(2024, 1, 16)),
+        # cohort B (w1): users 4,5; user 4 skips week 2 entirely
+        (4, dt(2024, 1, 8)), (5, dt(2024, 1, 11)),
+        (5, dt(2024, 1, 17)),
+    ]
+    events = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        (r["cohort"].isoformat(), r["period_offset"]): (
+            r["users"], r["retention_ppm"]
+        )
+        for r in cohort_retention(events, unit="week").collect()
+    }
+    assert out[("2024-01-01", 0)] == (3, 1_000_000)
+    assert out[("2024-01-01", 1)] == (2, 666_666)
+    assert out[("2024-01-01", 2)] == (1, 333_333)
+    assert out[("2024-01-08", 0)] == (2, 1_000_000)
+    assert out[("2024-01-08", 1)] == (1, 500_000)
+    assert len(out) == 5
+
+
 def test_funnel_empty_step_reports_zero(spark):
     events = _ev(spark, [(1, "view", (9, 0))])
     rows = {r["step_name"]: r for r in funnel_report(events).collect()}
