@@ -1,0 +1,148 @@
+"""Slowly-changing-dimension Type 2 maintenance — the canonical
+silver-layer dimension pattern the reference's medallion pipeline
+(SURVEY.md §2: bronze→silver→gold snapshots,
+``data_transformations_bronze_to_silver.py``) stops short of: keep every
+historical version of a dimension row with validity intervals instead of
+overwriting in place, so facts join to the version that was true at
+their event time (the as-of join in ``operators/asof.py`` consumes
+exactly this shape).
+
+Two entry points:
+
+- ``scd2_from_log``: rebuild the full versioned history from an
+  observation log (key, attributes, observed-at) — consecutive
+  duplicate observations collapse, each surviving change opens a
+  version; the whole derivation is two window functions over one
+  exchange on the key. This is the backfill/bootstrap path, and it is
+  the oracle-checked one (pure lag/lead SQL).
+- ``scd2_merge``: the incremental daily path — merge one batch of
+  current observations into an existing history table (close changed
+  open rows, insert new versions, pass unchanged rows through), the
+  same append-style artifact advancement as
+  ``curate.advance_corpus_artifacts``. Verified by a pytest parity
+  check against ``scd2_from_log`` on the concatenated log.
+
+Scale shape: one exchange on the dimension key in both paths (windows
+and joins all share it); ``scd2_merge`` touches only open rows plus the
+batch — closed history is never rewritten (union it back unmodified, or
+at the storage layer leave closed partitions untouched); no Python, no
+collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _changed(attr_cols: list[str], left: str, right: str):
+    """Any-attribute-differs predicate, null-safe (<=> negation)."""
+    cond = F.lit(False)
+    for a in attr_cols:
+        cond = cond | ~F.col(f"{left}.{a}").eqNullSafe(F.col(f"{right}.{a}"))
+    return cond
+
+
+def scd2_from_log(
+    log: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Versioned dimension history from an observation log.
+
+    Output: ``(key_col, *attr_cols, effective_from, effective_to,
+    is_current)`` — one row per (key, run of consecutive equal
+    attributes); ``effective_to`` is the next version's start (null for
+    the open version), so intervals are half-open ``[from, to)`` and an
+    as-of probe at time t matches exactly one version.
+
+    Ties on ``ts_col`` are broken by ``id_col`` (required for
+    determinism when one key can be observed twice at one timestamp;
+    the LAST observation in that order wins the interval start).
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # version boundary = first row, or any attribute differs from the
+    # previous observation of the same key
+    boundary = F.lit(False)
+    for a in attr_cols:
+        boundary = boundary | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    boundary = boundary | F.lag(ts_col).over(w).isNull()
+    runs = (
+        log.withColumn("_new_version", boundary)
+        .withColumn(
+            "_version",
+            F.sum(F.col("_new_version").cast("bigint")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        # one row per version: its FIRST observation starts the interval
+        .filter(F.col("_new_version"))
+    )
+    # order the version chain by (ts, id) — NOT ts alone — so two
+    # versions opened at the same timestamp chain deterministically
+    w_next = Window.partitionBy(key_col).orderBy(*order)
+    return runs.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("effective_from"),
+        F.lead(ts_col).over(w_next).alias("effective_to"),
+        F.lead(ts_col).over(w_next).isNull().alias("is_current"),
+    )
+
+
+def scd2_merge(
+    history: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    batch_ts_col: str,
+) -> DataFrame:
+    """Merge one batch of observations into an SCD2 ``history`` table
+    (schema as produced by ``scd2_from_log``); at most one observation
+    per key per batch (enforce upstream with e.g. a latest-wins window).
+
+    - unknown key            -> new open row;
+    - known key, changed attrs -> close the open row at the batch ts,
+      insert a new open row;
+    - known key, same attrs  -> history unchanged;
+    - closed rows            -> passed through untouched.
+    """
+    closed = history.filter(~F.col("is_current"))
+    open_rows = history.filter(F.col("is_current")).alias("o")
+    b = batch.alias("b")
+
+    joined = b.join(open_rows, F.col(f"b.{key_col}") == F.col(f"o.{key_col}"), "left")
+    is_new = F.col(f"o.{key_col}").isNull()
+    changes = joined.filter(is_new | _changed(attr_cols, "b", "o")).select(
+        F.col(f"b.{key_col}").alias(key_col),
+        *[F.col(f"b.{a}").alias(a) for a in attr_cols],
+        F.col(f"b.{batch_ts_col}").alias("effective_from"),
+        F.lit(None).cast(history.schema["effective_to"].dataType).alias(
+            "effective_to"
+        ),
+        F.lit(True).alias("is_current"),
+    )
+    change_keys = changes.select(key_col, F.col("effective_from").alias("_close_ts"))
+    to_close = (
+        open_rows.join(change_keys, key_col, "inner")
+        .select(
+            key_col,
+            *attr_cols,
+            "effective_from",
+            F.col("_close_ts").alias("effective_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    untouched_open = open_rows.join(change_keys, key_col, "left_anti").select(
+        key_col, *attr_cols, "effective_from", "effective_to", "is_current"
+    )
+    closed_sel = closed.select(
+        key_col, *attr_cols, "effective_from", "effective_to", "is_current"
+    )
+    return closed_sel.unionByName(untouched_open).unionByName(to_close).unionByName(
+        changes
+    )

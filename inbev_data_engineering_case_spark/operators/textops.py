@@ -230,3 +230,56 @@ def normalize_for_fingerprint(text: Column | str) -> Column:
 def fingerprint(text: Column | str) -> Column:
     """64-bit portable content fingerprint of the normalized text."""
     return portable_hash64(normalize_for_fingerprint(text))
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate removal (web-crawl text extraction)
+# ---------------------------------------------------------------------------
+# Ordered (pattern, replacement) rewrite chain shared verbatim with the
+# DuckDB oracle. RE2-compatible: no backreferences (script/style each get
+# their own closed-block pattern), no lookarounds; `(?is)` inline flags are
+# honored by both Java's engine and RE2. Regex tag-stripping is the
+# documented production trade for crawl-scale extraction (a DOM parse per
+# document is Python/driver-bound): it handles well-formed markup and
+# degrades to leaving text intact, never dropping it, on pathological
+# markup (e.g. a literal `<` in prose consumes through the next `>`).
+HTML_STRIP_RULES: list[tuple[str, str]] = [
+    # closed script/style/noscript blocks first (content is never prose)
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?is)<noscript[^>]*>.*?</noscript>", " "),
+    (r"(?s)<!--.*?-->", " "),          # comments (incl. commented markup)
+    (r"(?s)<[^>]+>", " "),             # any remaining tag -> space
+    # minimal entity decode: the named set that dominates real corpora
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&apos;", "'"),
+    (r"\s+", " "),                     # collapse whitespace runs
+]
+
+
+def html_to_text(text: Column | str) -> Column:
+    """Extract prose from HTML: drop script/style/noscript blocks and
+    comments, strip remaining tags to spaces (so `</p><p>` never glues
+    words), decode the common named entities, collapse whitespace, trim.
+    A chain of codegen'd ``regexp_replace`` — one linear scan per rule,
+    zero UDFs, zero shuffle; the rule table IS the oracle (same patterns
+    run under DuckDB's RE2)."""
+    out = F.col(text) if isinstance(text, str) else text
+    for pattern, repl in HTML_STRIP_RULES:
+        out = F.regexp_replace(out, pattern, repl)
+    return F.trim(out)
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The identical rewrite chain as a DuckDB SQL expression."""
+    out = expr
+    for pattern, repl in HTML_STRIP_RULES:
+        pat = pattern.replace("'", "''")
+        rep = repl.replace("'", "''").replace('"', '"')
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return f"trim({out})"

@@ -85,3 +85,100 @@ def resample_ffill(
         .withColumn("is_observed", F.col("_obs").isNotNull())
         .select(key_col, "bucket_ts", "value", "is_observed")
     )
+
+
+def rolling_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_rows: int = 24,
+    z_threshold: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection over a trailing ROWS
+    window — the metrics-monitoring primitive (flag readings more than
+    ``z_threshold`` sample standard deviations from their own trailing
+    mean) the raw-events family needs once the series is regular.
+
+    Engine-stable by construction — no float accumulation anywhere:
+
+    - values are scaled to integer milli-units (``round(value*scale)``)
+      so the window's ``sum`` and ``sum of squares`` are EXACT integers
+      accumulated order-independently;
+    - ``z_e4`` (the score in 1e-4 units) is derived by a fixed chain of
+      IEEE-exact ops on those integers — two casts, one subtraction,
+      multiply, divide, ``sqrt`` — each correctly rounded and identical
+      on any IEEE engine, then truncated with ``floor`` (exact);
+    - ``is_anomaly`` never touches a float: the sample-variance
+      inequality ``(n*v - s)^2 * (n-1) > z^2 * n * (n*ssq - s^2)`` is
+      evaluated in 38-digit integer arithmetic (DECIMAL(38,0) here,
+      HUGEINT in the DuckDB oracle), so the boundary cannot flip on a
+      rounding ulp.
+
+    Scale shape: one exchange on ``key_col`` (the window partition);
+    the window is a single ordered pass per key partition with O(window)
+    state; everything is codegen'd Column arithmetic — no Python, no
+    self-join against earlier rows. Only full windows are scored
+    (``n == window_rows``), so warm-up rows never emit spurious flags.
+
+    Output: ``(key_col, ts, event id, value, z_e4, is_anomaly)`` for
+    full-window rows only.
+    """
+    # the current row is part of its own baseline (the standard rolling
+    # z-score), which caps |z| at (n-1)/sqrt(n) — a spike can never be
+    # more than that many sigmas from a window containing itself. The
+    # threshold must be reachable or the detector is silently useless.
+    z_cap = (window_rows - 1) / window_rows**0.5
+    if z_cap <= z_threshold:
+        raise ValueError(
+            f"window_rows={window_rows} caps |z| at {z_cap:.2f} <= "
+            f"threshold {z_threshold}; use a window of at least "
+            f"{int(z_threshold**2) + 3} rows"
+        )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    v = F.round(F.col(value_col) * scale).cast("bigint")
+    wide = "decimal(38,0)"
+    df = (
+        events.withColumn("_v", v)
+        .withColumn("_n", F.count("*").over(w))
+        .withColumn("_s", F.sum("_v").over(w))
+        .withColumn("_ssq", F.sum(F.col("_v") * F.col("_v")).over(w))
+        .filter(F.col("_n") == window_rows)
+    )
+    n = F.col("_n")
+    # var_num = n*ssq - s^2 = n*(n-1)*sample_variance (exact int64 at
+    # milli-scale for window<=64 and |value|<=~1e5; the comparison below
+    # widens to 38 digits so the product terms can't overflow)
+    var_num = n * F.col("_ssq") - F.col("_s") * F.col("_s")
+    dev = n * F.col("_v") - F.col("_s")  # n*(v - mean), exact
+    z = (
+        dev.cast("double")
+        / (
+            F.sqrt(
+                (var_num.cast("double")) / (window_rows * (window_rows - 1))
+            )
+            * window_rows
+        )
+    )
+    anomaly = (
+        dev.cast(wide) * dev.cast(wide) * F.lit(window_rows - 1).cast(wide)
+        > F.lit(z_threshold * z_threshold).cast(wide)
+        * F.lit(window_rows).cast(wide)
+        * var_num.cast(wide)
+    )
+    return df.select(
+        key_col,
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        F.col(value_col).alias("value"),
+        F.when(var_num > 0, F.floor(z * 10000).cast("bigint")).alias("z_e4"),
+        F.when(var_num > 0, anomaly).otherwise(F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
