@@ -333,3 +333,38 @@ def test_lm_scoring_model_is_joined_not_collected(spark):
     plan = _plan(spark, "q_lm_perplexity")
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # partial+final x counts
+
+
+def test_scd2_windows_share_one_key_exchange(spark):
+    plan = _plan(spark, "q_scd2_history")
+    # both window passes (version boundary + interval chaining) partition
+    # on the dimension key, so Catalyst plans ONE exchange for the whole
+    # history rebuild — no second shuffle for the lead() pass
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_is_single_pass_on_the_key(spark):
+    plan = _plan(spark, "q_anomaly_zscore")
+    # window sums, the score, and the integer flag all ride one exchange
+    # on the series key; everything after it is Column arithmetic
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sketch_partials_aggregate_map_side(spark):
+    plan = _plan(spark, "q_sketch_rollup")
+    # sketches merge in the partial-aggregation phase, so the exchange
+    # carries one sketch per (group, bucket) — bytes, not raw rows
+    assert "partial_hll_sketch_agg" in plan, plan
+    assert "partial_hll_union_agg" in plan, plan
+
+
+def test_url_and_html_rewrites_are_shuffle_free_scans(spark):
+    # the per-row rewrite chains plan as pure projections: the ONLY
+    # exchange in q_url_normalize is its final canonical-key group-by,
+    # and q_html_strip has none at all
+    plan = _plan(spark, "q_html_strip")
+    assert "Exchange" not in plan, plan
+    plan = _plan(spark, "q_url_normalize")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
