@@ -142,3 +142,100 @@ def cohort_retention(
         )
         .select("cohort", "period_offset", "users", "retention_ppm")
     )
+
+
+def attribution_touches(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_seconds: int = 86_400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per conversion event: its first- and last-touch marketing channel.
+
+    For every ``conversion_type`` event, consider the same user's
+    ``touch_types`` events in the ``window_seconds`` before it (strictly
+    earlier; ties between touches break on the id column). Output one
+    row per conversion: ``(user_col, conversion_id, conversion_ts,
+    first_touch, last_touch)`` — ``'(none)'`` when no touch qualifies,
+    so unattributed conversions stay visible instead of vanishing.
+
+    Scale shape: conversions and touches are two narrow filtered
+    projections of the same scan, equi-joined ON USER ONLY (the time
+    band is a post-join predicate — same discipline as funnel_steps);
+    first/last are ``min/max(struct(ts, id, type))`` partial aggregates
+    keyed by conversion id, so the exchange carries one row per
+    (conversion, qualifying touch) and no per-user sort or
+    ``collect_list`` ever materializes a hot user's history.
+    """
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+    )
+    touch = events.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("_tu"),
+        F.col(ts_col).alias("_tts"),
+        F.col(id_col).alias("_tid"),
+        F.col(type_col).alias("_ttype"),
+    )
+    gap = F.expr(f"INTERVAL {window_seconds} SECOND")
+    joined = conv.join(
+        touch,
+        (F.col("_u") == F.col("_tu"))
+        & (F.col("_tts") < F.col("conversion_ts"))
+        & (F.col("_tts") >= F.col("conversion_ts") - gap),
+        "left",
+    )
+    picked = joined.groupBy("_u", "conversion_id", "conversion_ts").agg(
+        F.min(F.struct("_tts", "_tid", "_ttype")).alias("_first"),
+        F.max(F.struct("_tts", "_tid", "_ttype")).alias("_last"),
+    )
+    return picked.select(
+        F.col("_u").alias(user_col),
+        "conversion_id",
+        "conversion_ts",
+        F.coalesce(F.col("_first._ttype"), F.lit("(none)")).alias(
+            "first_touch"
+        ),
+        F.coalesce(F.col("_last._ttype"), F.lit("(none)")).alias(
+            "last_touch"
+        ),
+    )
+
+
+def attribution_report(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_seconds: int = 86_400,
+    **kwargs,
+) -> DataFrame:
+    """Channel credit under the first-touch and last-touch models:
+    ``(model, channel, conversions, share_ppm)`` — exact int64 ppm of
+    all conversions, bit-identical on any engine (the same ppm
+    discipline as funnel_report). The two models are one unpivot of the
+    per-conversion table; the denominator is a broadcast 1-row count."""
+    touches = attribution_touches(
+        events, touch_types, conversion_type, window_seconds, **kwargs
+    )
+    total = touches.agg(F.count("*").alias("_total"))
+    unpivoted = touches.selectExpr(
+        "stack(2, 'first_touch', first_touch, 'last_touch', last_touch) "
+        "AS (model, channel)"
+    )
+    return (
+        unpivoted.groupBy("model", "channel")
+        .agg(F.count("*").alias("conversions"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "model",
+            "channel",
+            "conversions",
+            F.expr("conversions * 1000000 DIV _total").alias("share_ppm"),
+        )
+        .orderBy("model", "channel")
+    )

@@ -4147,6 +4147,68 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_attribution",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, event_id AS conversion_id,
+             CAST(ts AS TIMESTAMP) AS conversion_ts
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT user_id AS tu, CAST(ts AS TIMESTAMP) AS tts,
+             event_id AS tid, event_type AS ttype
+      FROM events WHERE event_type IN ('view', 'click')
+    ), joined AS (
+      SELECT c.u, c.conversion_id, c.conversion_ts, t.tts, t.tid, t.ttype
+      FROM conv c LEFT JOIN touch t
+        ON c.u = t.tu AND t.tts < c.conversion_ts
+       AND t.tts >= c.conversion_ts - INTERVAL 24 HOUR
+    ), picked AS (
+      SELECT conversion_id, ttype,
+             row_number() OVER (PARTITION BY conversion_id
+                                ORDER BY tts ASC, tid ASC) AS rn_f,
+             row_number() OVER (PARTITION BY conversion_id
+                                ORDER BY tts DESC, tid DESC) AS rn_l
+      FROM joined
+    ), labeled AS (
+      SELECT conversion_id,
+             coalesce(max(CASE WHEN rn_f = 1 THEN ttype END), '(none)')
+               AS first_touch,
+             coalesce(max(CASE WHEN rn_l = 1 THEN ttype END), '(none)')
+               AS last_touch
+      FROM picked GROUP BY conversion_id
+    ), unpivoted AS (
+      SELECT 'first_touch' AS model, first_touch AS channel FROM labeled
+      UNION ALL
+      SELECT 'last_touch' AS model, last_touch AS channel FROM labeled
+    ), total AS (SELECT count(*) AS _total FROM labeled)
+    SELECT model, channel, CAST(count(*) AS BIGINT) AS conversions,
+           CAST(count(*) * 1000000 // _total AS BIGINT) AS share_ppm
+    FROM unpivoted, total
+    GROUP BY model, channel, _total
+    ORDER BY model, channel
+    """,
+    doc="Marketing attribution (funnel.attribution_report): per purchase, "
+    "the same user's first and last view/click touch in the trailing 24h "
+    "window; channel credit under both models in exact int64 ppm. "
+    "Unattributed conversions surface as '(none)' instead of vanishing. "
+    "Touches and conversions are two narrow filtered projections "
+    "equi-joined ON USER ONLY (the time band is a post-join predicate, "
+    "the funnel_steps discipline); first/last are min/max(struct) "
+    "partial aggregates — no per-user sort, no collect_list, so a hot "
+    "user costs an aggregate, not a sort buffer. Registered late in r5 "
+    "with the window full: starts in the tail under the strict local "
+    "gate, r6 window promotion (family cover: q_event_funnel runs the "
+    "same conditional-join machinery in-window).",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.funnel import (
+        attribution_report,
+    )
+
+    return attribution_report(read_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -4237,6 +4299,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_stream_upsert": ("q_stream_dedup", "q_stream_enrich"),
     # same late-r5 situation; product-analytics family cover:
     "q_cohort_retention": ("q_event_funnel", "q_window_events"),
+    # same late-r5 situation; attribution runs the funnel's
+    # conditional-join machinery (user-only equi-join, time band as a
+    # post-join predicate):
+    "q_attribution": ("q_event_funnel", "q_window_events"),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family

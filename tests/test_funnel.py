@@ -114,3 +114,74 @@ def test_funnel_empty_step_reports_zero(spark):
     events = _ev(spark, [(1, "view", (9, 0))])
     rows = {r["step_name"]: r for r in funnel_report(events).collect()}
     assert rows["click"]["users"] == 0 and rows["click"]["conv_ppm"] == 0
+
+
+def _ev_id(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, u, t, datetime(2024, 1, 1, h, m))
+            for i, (u, t, (h, m)) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_attribution_first_and_last_touch(spark):
+    from inbev_data_engineering_case_spark.operators.funnel import (
+        attribution_touches,
+    )
+
+    events = _ev_id(
+        spark,
+        [
+            # u1: view -> click -> purchase: first=view, last=click
+            (1, "view", (9, 0)),
+            (1, "click", (9, 30)),
+            (1, "purchase", (10, 0)),
+            # u2: touch AFTER the conversion never counts
+            (2, "purchase", (9, 0)),
+            (2, "click", (9, 30)),
+            # u3: only touch is outside the window (2h before)
+            (3, "view", (0, 0)),
+            (3, "purchase", (2, 0)),
+        ],
+    )
+    # 1h window: u1's 9:00 view sits exactly on the inclusive boundary,
+    # u3's 2h-old view falls outside
+    out = {
+        r["conversion_id"]: r
+        for r in attribution_touches(events, window_seconds=3600).collect()
+    }
+    assert out[2]["first_touch"] == "view"
+    assert out[2]["last_touch"] == "click"
+    assert out[3]["first_touch"] == "(none)"  # post-conversion touch
+    assert out[3]["last_touch"] == "(none)"
+    assert out[6]["first_touch"] == "(none)"  # out-of-window touch
+    assert len(out) == 3  # one row per conversion, always
+
+
+def test_attribution_report_exact_ppm(spark):
+    from inbev_data_engineering_case_spark.operators.funnel import (
+        attribution_report,
+    )
+
+    events = _ev_id(
+        spark,
+        [
+            (1, "view", (9, 0)),
+            (1, "click", (9, 30)),
+            (1, "purchase", (10, 0)),
+            (2, "view", (9, 0)),
+            (2, "purchase", (9, 30)),
+        ],
+    )
+    rows = {
+        (r["model"], r["channel"]): r
+        for r in attribution_report(events).collect()
+    }
+    # first-touch: both conversions credit 'view'
+    assert rows[("first_touch", "view")]["conversions"] == 2
+    assert rows[("first_touch", "view")]["share_ppm"] == 1_000_000
+    # last-touch: one click, one view -> 500000 ppm each (exact div)
+    assert rows[("last_touch", "click")]["share_ppm"] == 500_000
+    assert rows[("last_touch", "view")]["share_ppm"] == 500_000

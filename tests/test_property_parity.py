@@ -205,3 +205,82 @@ def test_floor_micros_parity(spark, con, xs):
         for x in xs
     ]
     assert got == want
+
+
+# URL-shaped adversarial pieces: schemes with odd but legal chars, hosts
+# with mixed case/ports, paths/queries with tracking params in odd
+# positions, fragments, and outright non-URLs.
+_URL_PIECES = st.sampled_from(
+    [
+        "http://", "HTTPS://", "ftp://", "",
+        "Example.COM", "a.b.c.ORG:8080", "Host.net:80", "x.io:443",
+        "/", "/Path", "/a/b/", "//",
+        "?a=1&b=2", "?utm_source=x", "?b=2&a=1&utm_x=9", "?fbclid=z",
+        "?ref=hn&z=", "?=", "&&", "#frag", "#", "plain words", "?q=a%20b",
+    ]
+)
+_URLS = st.lists(
+    st.lists(_URL_PIECES, min_size=1, max_size=5).map("".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(urls=_URLS)
+def test_canonical_url_parity_and_idempotence(spark, con, urls):
+    from inbev_data_engineering_case_spark.operators.weburl import (
+        canonical_url,
+        canonical_url_sql,
+    )
+
+    got = _spark_values(spark, urls, canonical_url("s").alias("c"))
+    con.execute("CREATE OR REPLACE TABLE _urls(s VARCHAR)")
+    con.executemany("INSERT INTO _urls VALUES (?)", [(u,) for u in urls])
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonical_url_sql('s')} FROM _urls"
+        ).fetchall()
+    ]
+    assert got == want
+    # idempotence: canonicalizing a canonical form is a no-op
+    again = _spark_values(spark, got, canonical_url("s").alias("c"))
+    assert again == got
+
+
+# HTML-shaped adversarial pieces: unterminated tags, entities split
+# across content, script/style with angle brackets inside, comments.
+_HTML_PIECES = st.sampled_from(
+    [
+        "<p>", "</p>", "<P >", "text", "a & b", "&amp;", "&nbsp;", "&lt;",
+        "<script>", "</script>", "if(i<n)", "<style>", "</style>",
+        "<!--", "-->", "<br/>", "< notatag", ">", "  ", "\n", "&#39;",
+        "<div class='x'>", "x=\"<b>\"", "&quot;",
+    ]
+)
+_HTMLS = st.lists(
+    st.lists(_HTML_PIECES, min_size=1, max_size=8).map("".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(docs=_HTMLS)
+def test_html_to_text_parity(spark, con, docs):
+    from inbev_data_engineering_case_spark.operators.textops import (
+        html_to_text,
+        html_to_text_sql,
+    )
+
+    got = _spark_values(spark, docs, html_to_text("s").alias("t"))
+    con.execute("CREATE OR REPLACE TABLE _docs(s VARCHAR)")
+    con.executemany("INSERT INTO _docs VALUES (?)", [(d,) for d in docs])
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {html_to_text_sql('s')} FROM _docs"
+        ).fetchall()
+    ]
+    assert got == want
