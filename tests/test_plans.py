@@ -368,3 +368,37 @@ def test_url_and_html_rewrites_are_shuffle_free_scans(spark):
     assert "Exchange" not in plan, plan
     plan = _plan(spark, "q_url_normalize")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime Bloom-filter join pruning (the selective fact-to-fact
+    shuffle reducer): with the engagement thresholds lowered to fixture
+    scan sizes — at 100 TB the defaults engage unaided — Spark injects
+    might_contain() on the probe side BEFORE its exchange, so
+    non-matching fact rows die map-side. tools/bloom_probe.py measures
+    the row reduction (~80% on this join)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        sel = orders.filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        joined = lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
