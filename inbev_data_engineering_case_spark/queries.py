@@ -4148,6 +4148,70 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_sketch",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_keys,
+           true AS merged_within_tol, true AS stream_equals_batch
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming sketch-partial maintenance (streaming/events.py "
+    "stream_sketch_partials): the per-day HLL distinct sketches are "
+    "built INCREMENTALLY by an append-mode watermarked windowed "
+    "aggregation — executed here as a real stream, drained with "
+    "availableNow — then union-merged per event_type. Property oracle "
+    "like q_sketch_rollup: exact count anchors the hash; the "
+    "streamed-and-merged estimate must sit within 5% of exact AND "
+    "equal the batch one-shot sketch estimate bit-for-bit (the same "
+    "register-max losslessness, now across the batch/streaming "
+    "boundary — the state a 100 TB deployment maintains daily without "
+    "a raw rescan). Registered late in r5 with the window full: tail "
+    "slot, r6 promotion (family cover: q_stream_dedup and "
+    "q_sketch_rollup each exercise half of this composition "
+    "in-window).",
+)
+def q_stream_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.sketches import (
+        rollup_estimate,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+        stream_sketch_partials,
+    )
+
+    out = stream_sketch_partials(read_events_stream(spark, sf_dir))
+    # complete mode for the memory-sink parity check (all buckets emit,
+    # q_stream_tumbling's discipline); production appends watermark-closed
+    # sketch rows to the stored partial table instead
+    run_stream_to_table(out, "q_stream_sketch_sink", "complete")
+    partials = spark.table("q_stream_sketch_sink")
+    merged = rollup_estimate(partials)
+
+    batch = read_events(spark, sf_dir)
+    direct = batch.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+        ).alias("direct_estimate"),
+        F.countDistinct("user_id").alias("exact_keys"),
+    )
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_keys",
+            (
+                F.abs(F.col("merged_estimate") - F.col("exact_keys"))
+                <= 0.05 * F.col("exact_keys")
+            ).alias("merged_within_tol"),
+            (F.col("merged_estimate") == F.col("direct_estimate")).alias(
+                "stream_equals_batch"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q_attribution",
     """
     WITH conv AS (
@@ -4303,6 +4367,9 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # conditional-join machinery (user-only equi-join, time band as a
     # post-join predicate):
     "q_attribution": ("q_event_funnel", "q_window_events"),
+    # same late-r5 situation; each half of the composition (watermarked
+    # streaming agg / sketch rollup) has in-window cover:
+    "q_stream_sketch": ("q_stream_dedup", "q_sketch_rollup"),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family

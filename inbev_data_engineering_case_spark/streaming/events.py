@@ -513,3 +513,38 @@ def run_stream_upsert_parquet(
         raise TimeoutError(
             f"upsert stream to {base_dir} did not drain in {timeout}s"
         )
+
+
+def stream_sketch_partials(
+    events: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Streaming twin of ``operators.sketches.sketch_partials``: maintain
+    the per-(group, day) HLL distinct-count sketches INCREMENTALLY from
+    the event stream instead of rebuilding them from raw history.
+
+    Append-mode windowed aggregation: each day's sketch row emits once
+    the watermark closes the window, landing in the same partial table
+    the batch rollup reads — so the arbitrary-range distinct-count
+    answers (``rollup_estimate``) stay current with no daily batch job
+    and no raw-event rescan. Watermark bounds the aggregation state to
+    ~one window+horizon of open sketches per group, each a fixed
+    ~2^lg_k bytes — state is (groups x open windows) sketches
+    regardless of event volume, the same mergeability argument as the
+    stored table.
+
+    Output: ``(bucket_ts, group_col, sketch)`` — schema-compatible with
+    the batch partials (window start == ``date_trunc`` of the bucket).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("_w"), F.col(group_col))
+        .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("sketch"))
+        .select(
+            F.col("_w.start").alias("bucket_ts"), group_col, "sketch"
+        )
+    )

@@ -575,3 +575,58 @@ def test_run_stream_upsert_parquet_end_to_end(spark, tmp_path):
     ).count()
     assert snap.count() == n_events
     assert snap.select("event_id").distinct().count() == n_events
+
+
+def test_stream_sketch_partials_append_emits_closed_buckets(spark, tmp_path):
+    """Append-mode sketch maintenance: only watermark-closed day buckets
+    land in the partial table (bounded state), and each landed sketch is
+    BIT-IDENTICAL to the batch-built partial for that bucket — so the
+    streamed table composes with rollup_estimate exactly like a batch
+    rebuild."""
+    from inbev_data_engineering_case_spark.operators.sketches import (
+        sketch_partials,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        stream_sketch_partials,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # day 1: users 1..5 / day 2: users 4..9 / day 3 (open): users 100..101
+    for i, u in enumerate(range(1, 6)):
+        rows.append((i, t0 + timedelta(hours=6), u, "click", 1.0))
+    for i, u in enumerate(range(4, 10)):
+        rows.append((10 + i, t0 + timedelta(days=1, hours=6), u, "click", 1.0))
+    # 03:00 puts the watermark (max_ts - 2h) past day-2's close but
+    # before day-3's own close, so exactly two buckets emit
+    for i, u in enumerate(range(100, 102)):
+        rows.append((20 + i, t0 + timedelta(days=2, hours=3), u, "click", 1.0))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    src = str(tmp_path / "sketch_events")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_sketch_partials(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sketch_append_test")
+        .outputMode("append")
+        .start()
+    )
+    wait_done(q)
+    got = {
+        (r["bucket_ts"].isoformat(), r["event_type"]): bytes(r["sketch"])
+        for r in spark.sql("select * from sketch_append_test").collect()
+    }
+    # the final-day bucket stays open (watermark = max_ts - 2h < day-3
+    # close), so exactly days 1 and 2 emit
+    assert len(got) == 2
+
+    batch = {
+        (r["bucket_ts"].isoformat(), r["event_type"]): bytes(r["sketch"])
+        for r in sketch_partials(df).collect()
+    }
+    for key, sketch in got.items():
+        assert sketch == batch[key]  # bit-identical partials
