@@ -51,6 +51,7 @@ def curate_corpus(
     decontaminate_ngram: int = 8,
     min_avg_logprob: float | None = None,
     materialize_mode: str = "local",
+    strip_html: bool = False,
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
     metadata (lang, quality). Survivor policy is deterministic end to end:
@@ -75,7 +76,21 @@ def curate_corpus(
     ``dedup._materialize``) selects how the scored-eligible corpus and the
     near-dedup signature table are shared across their consumers — the
     cluster-safe swap (parquet scratch table instead of executor-local
-    blocks) is a config value, not a code edit."""
+    blocks) is a config value, not a code edit.
+
+    ``strip_html=True`` prepends the crawl-extraction stage
+    (``textops.html_to_text``): raw page markup is reduced to prose
+    BEFORE any scoring/hashing, so lang-ID, quality, n-grams, and dedup
+    fingerprints all see text, not tags (markup inflates token counts
+    and makes every templated page a near-dup of every other). A pure
+    codegen'd rewrite folded into the same first corpus scan — no extra
+    pass."""
+    if strip_html:
+        from inbev_data_engineering_case_spark.operators.textops import (
+            html_to_text,
+        )
+
+        documents = documents.withColumn(text_col, html_to_text(text_col))
     # score_documents: one tokenization pass for lang + quality (the
     # standalone expressions would re-split the text per reference)
     scored = score_documents(documents, text_col, id_col)

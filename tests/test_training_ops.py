@@ -2466,3 +2466,46 @@ def test_curate_corpus_perplexity_stage(spark):
     assert 20 not in filtered_ids  # rare bigrams: -2.9 vs -1.55 typical
     assert filtered_ids  # natural docs survive
     assert filtered_ids <= base_ids
+
+
+def test_curate_corpus_strip_html_stage(spark):
+    """strip_html=True reduces page markup to prose BEFORE scoring and
+    dedup: an HTML-wrapped copy of a kept doc becomes its exact dup (the
+    markup would otherwise make fingerprints differ), and a markup-heavy
+    junk page is judged on its stripped text, not its tags."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    en = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for that in the sun with a friend of the family"
+    )
+    rows = [
+        (1, en),
+        (2, f"<html><body><p>{en}</p><script>var x=1;</script></body></html>"),
+        # markup-only page: strips to almost nothing -> quality-dropped
+        (3, "<div><span></span></div><script>a=1</script>"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = curate_corpus(
+        docs, min_quality=0.3, near_dup_threshold=0.5, strip_html=True
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # doc 2 collapses to an exact dup of doc 1 (min-id survivor wins)
+    assert ids == [1]
+    # the stripping is what makes it EXACT: raw fingerprints differ
+    # (markup in the hash), stripped fingerprints are identical
+    from inbev_data_engineering_case_spark.operators.textops import (
+        fingerprint,
+        html_to_text,
+    )
+
+    fps = docs.select(
+        "doc_id",
+        fingerprint("text").alias("raw_fp"),
+        fingerprint(html_to_text("text")).alias("stripped_fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in fps}
+    assert by_id[1]["raw_fp"] != by_id[2]["raw_fp"]
+    assert by_id[1]["stripped_fp"] == by_id[2]["stripped_fp"]
