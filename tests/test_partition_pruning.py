@@ -185,3 +185,55 @@ def test_morton_key_properties(spark):
             assert zs == sorted(zs)
 
     check()
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, partitioned_events):
+    """Dynamic partition pruning: when the partition-key predicate lives
+    on the DIM side of a join (not as a literal on the fact), Spark
+    broadcasts the filtered dim keys as a runtime subquery and prunes
+    fact partitions with them — the star-schema twin of the static case
+    above, and at 100 TB the difference between scanning one
+    event_type's directories and the whole lake. (Same family as the
+    runtime Bloom filter in test_plans.py, but at FILE granularity.)"""
+    fact = spark.read.parquet(partitioned_events)
+    dim = spark.createDataFrame(
+        [(t, t[:1]) for t in ("click", "view", "purchase", "signup", "error")],
+        "event_type string, label string",
+    )
+    # Force the standalone-subquery DPP path so the pruning is
+    # observable in this toy layout: AQE off (its query stages hide the
+    # scan metrics from collectLeaves) and reuseBroadcastOnly/useStats
+    # off (the benefit heuristics skip the subquery when the table is
+    # KB-sized — at cluster scale the default broadcast-reuse path
+    # prunes identically at zero extra cost).
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly":
+            "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        q = fact.join(
+            F.broadcast(dim.filter(F.col("label") == "c")), "event_type"
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        # executing proves the pruning monetizes: one of the five
+        # partition directories opened, only its rows scanned
+        assert len(q.collect()) > 0
+        stats = None
+        scans = q._jdf.queryExecution().executedPlan().collectLeaves()
+        for i in range(scans.size()):
+            m = scans.apply(i).metrics()
+            if m.contains("numFiles"):
+                stats = (
+                    m.apply("numFiles").value(),
+                    m.apply("numPartitions").value(),
+                )
+        assert stats == (1, 1), stats
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
