@@ -4,8 +4,9 @@ columns with typed metadata, processed through Arrow-batched ``mapInPandas``.
 The Spark-side machinery here is real and tested — schema, partitioning,
 UDF signature, batch shape. Decoding is REAL for every format the stdlib
 can express: WAV (``wave``), BMP/binary-PNM (``struct``+numpy), PNG
-(``zlib`` inflate + scanline unfiltering), and Y4M video (header+frame
-demux). Codec-bound formats (JPEG/WebP, H.264/VP9 containers) raise a
+(``zlib`` inflate + scanline unfiltering), GIF (87a/89a LZW + interlace),
+and Y4M video (header+frame demux). Codec-bound formats (JPEG/WebP,
+H.264/VP9 containers) raise a
 clearly-marked ``NotImplementedError`` from the inner decoders — they
 need PIL/ffmpeg, absent in this container; swapping one in changes only
 the inner function. At the OPERATOR level decode errors are
@@ -179,7 +180,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> samples/px
 # Capability probes for OPTIONAL codec backends. Probed lazily, cached per
 # interpreter (each Python worker probes once, then every Arrow batch
 # reuses the answer). When the backend is present, codec-bound formats
-# (JPEG/GIF/WebP via PIL; mp4/webm/... via ffmpeg) decode for real; when
+# (JPEG/WebP via PIL; mp4/webm/... via ffmpeg) decode for real; when
 # absent, the stdlib decoders still cover BMP/PNM/PNG/WAV/Y4M and
 # codec-bound assets fall through to the dead-letter path — capability
 # changes coverage, never control flow.
@@ -255,6 +256,154 @@ def _ffmpeg_to_y4m(payload: bytes) -> bytes:
             + proc.stderr.decode("utf-8", "replace")[:200]
         )
     return proc.stdout
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
+    """GIF-variant LZW decode (variable code width ``min+1``..12 bits,
+    LSB-first bit packing, in-stream CLEAR/EOI codes). Returns exactly
+    ``expected`` palette indices; raises ValueError on a corrupt stream.
+    Pure Python, but bounded: each code appends at least one output byte,
+    so the loop runs at most ``expected`` + dictionary-reset times."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i, bit_o = divmod(bitpos, 8)
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> bit_o) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            del table[clear + 2 :]
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table) or not table[code]:
+                raise ValueError("GIF LZW: bad first code after clear")
+            entry = table[code]
+        else:
+            if code < len(table) and (table[code] or code < clear):
+                entry = table[code]
+            elif code == len(table):  # the KwK special case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("GIF LZW: code out of range")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(
+            f"GIF LZW: raster truncated ({len(out)} of {expected} pixels)"
+        )
+    return bytes(out[:expected])
+
+
+def _gif_decode_pixels(payload: bytes):
+    """Pure-stdlib GIF decode (GIF87a/89a, first frame) → (h, w, 3) uint8
+    RGB: logical-screen + color-table walk, extension-block skip, LZW
+    raster decode, interlace reorder, palette expansion — mirroring the
+    paletted-BMP/PNG normalization so the same image stored as GIF
+    checksums/fingerprints identically. Animated GIFs yield frame 1
+    (the still-image semantics every thumbnailer uses)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF header truncated")
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + n * 3 > len(payload):
+            raise ValueError("GIF global color table truncated")
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("GIF image descriptor truncated")
+            _, _, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                if pos + n * 3 > len(payload):
+                    raise ValueError("GIF local color table truncated")
+                table = np.frombuffer(
+                    payload, np.uint8, n * 3, pos
+                ).reshape(-1, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF image has no color table")
+            if w <= 0 or h <= 0:
+                raise ValueError("GIF image has empty dimensions")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(data), min_code, w * h), np.uint8
+            ).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: reorder the four passes
+                ordered = np.empty_like(idx)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    n_rows = len(range(start, h, step))
+                    ordered[start:h:step] = idx[src : src + n_rows]
+                    src += n_rows
+                idx = ordered
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("GIF palette index out of range")
+            return np.ascontiguousarray(table[idx])
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _featurize_gif(payload: bytes) -> tuple[int, list[float]]:
+    """GIF featurization over the NORMALIZED (palette-expanded) raster,
+    the same encoding-invariance contract as ``_featurize_bmp``: the
+    identical image stored as GIF, paletted BMP/PNG, or P6 PNM checksums
+    identically. Bit depth reported is the stored palette index width."""
+    import zlib
+
+    import numpy as np
+
+    pixels = _gif_decode_pixels(payload)
+    h, w = pixels.shape[0], pixels.shape[1]
+    depth = float((payload[10] & 7) + 1)
+    checksum = zlib.crc32(pixels.tobytes()) % 1_000_003
+    mean_px = float(pixels.astype(np.float64).mean()) if pixels.size else 0.0
+    return checksum, [float(w), float(h), depth, mean_px]
 
 
 def _png_decode(payload: bytes):
@@ -455,10 +604,11 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
     - ``audio/wav``: parsed with ``wave`` — feature = [duration_s,
       framerate, n_channels, mean |amplitude|] over the decoded PCM frames,
       checksum = crc32 of the raw frames.
-    - ``image/*``: BMP (BI_RGB 8/24/32bpp), binary PNM (P5/P6), and PNG
-      (8-bit non-interlaced, zlib inflate + full unfilter) decode for
-      real — dispatched on the payload magic so mislabeled subtypes still
-      decode. Codec-bound formats (JPEG/GIF/WebP) need PIL and raise.
+    - ``image/*``: BMP (BI_RGB 8/24/32bpp), binary PNM (P5/P6), PNG
+      (8-bit non-interlaced, zlib inflate + full unfilter), and GIF
+      (87a/89a LZW, interlace, palette expansion) decode for real —
+      dispatched on the payload magic so mislabeled subtypes still
+      decode. Codec-bound formats (JPEG/WebP) need PIL and raise.
     - ``video/*``: uncompressed YUV4MPEG2 demuxes natively (frame split +
       luma stats); compressed containers (mp4/webm/...) need ffmpeg —
       not installed here — and raise (the remaining honest stub).
@@ -496,6 +646,8 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             return _featurize_pnm(payload)
         if payload[:8] == _PNG_SIG:
             return _featurize_png(payload)
+        if payload[:4] == b"GIF8":
+            return _featurize_gif(payload)
         if _optional_pil() is not None:
             import numpy as np
 
@@ -509,10 +661,10 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             )
             return checksum, [float(w), float(h), float(8 * c), mean_px]
         raise NotImplementedError(
-            "codec-bound image decoding (JPEG/GIF/WebP/...) requires PIL, "
+            "codec-bound image decoding (JPEG/WebP/...) requires PIL, "
             "which was not found by the capability probe (_optional_pil); "
-            "BMP, binary PNM, and PNG decode natively — see "
-            "_featurize_bmp/_featurize_pnm/_featurize_png."
+            "BMP, binary PNM, PNG, and GIF decode natively — see "
+            "_featurize_bmp/_featurize_pnm/_featurize_png/_featurize_gif."
         )
     if media_type.partition("/")[0] == "video":
         if payload[:9] == b"YUV4MPEG2":
@@ -681,12 +833,14 @@ def _decode_image_pixels(payload: bytes):
         if channels in (2, 4):  # GA/RGBA -> drop alpha
             pixels = pixels[:, :, : channels - 1]
         return np.ascontiguousarray(pixels)
+    if payload[:4] == b"GIF8":
+        return _gif_decode_pixels(payload)
     if _optional_pil() is not None:
         return _pil_decode_pixels(payload)
     raise NotImplementedError(
-        "codec-bound image resizing (JPEG/GIF/WebP/...) requires PIL "
+        "codec-bound image resizing (JPEG/WebP/...) requires PIL "
         "(capability probe _optional_pil found none); BMP, binary PNM, "
-        "and PNG resize natively."
+        "PNG, and GIF resize natively."
     )
 
 

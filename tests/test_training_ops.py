@@ -2509,3 +2509,216 @@ def test_curate_corpus_strip_html_stage(spark):
     by_id = {r["doc_id"]: r for r in fps}
     assert by_id[1]["raw_fp"] != by_id[2]["raw_fp"]
     assert by_id[1]["stripped_fp"] == by_id[2]["stripped_fp"]
+
+
+def _make_gif(idx_rows, palette, interlaced=False, animated_tail=False):
+    """Minimal GIF89a encoder for tests: global color table padded to 4
+    entries (min LZW code size 2), raster emitted with a CLEAR code
+    before every pixel code (the classic 'uncompressed GIF' technique —
+    valid LZW, dictionary never grows), optional interlace flag with
+    rows pre-shuffled into pass order, optional second image block to
+    exercise first-frame semantics."""
+    import struct
+
+    h = len(idx_rows)
+    w = len(idx_rows[0])
+    pal = list(palette) + [(0, 0, 0)] * (4 - len(palette))
+    gct = b"".join(bytes(c) for c in pal)
+    header = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80 | 0x01, 0, 0])
+    # rows in stream order: interlaced GIFs store pass 1 (rows 0,8,..),
+    # pass 2 (4,12,..), pass 3 (2,6,..), pass 4 (odd rows)
+    rows = idx_rows
+    if interlaced:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = [idx_rows[r] for r in order]
+    min_code, clear, eoi = 2, 4, 5
+    bits, nbits = [], 3  # code size = min_code + 1
+    for px in (p for row in rows for p in row):
+        for code in (clear, px):
+            for b in range(nbits):
+                bits.append((code >> b) & 1)
+    for b in range(nbits):
+        bits.append((eoi >> b) & 1)
+    while len(bits) % 8:
+        bits.append(0)
+    data = bytes(
+        sum(bit << i for i, bit in enumerate(bits[k : k + 8]))
+        for k in range(0, len(bits), 8)
+    )
+    blocks = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    )
+    img = (
+        b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlaced else 0])
+        + bytes([min_code]) + blocks + b"\x00"
+    )
+    # a graphic-control extension before the image (block-skip coverage)
+    ext = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+    tail = img if animated_tail else b""
+    return header + gct + ext + img + tail + b"\x3B"
+
+
+def test_stdlib_gif_decoder_known_answer():
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _gif_decode_pixels,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (12, 34, 56)]
+    idx_rows = [[0, 1, 2], [2, 1, 0]]
+    pixels = _gif_decode_pixels(_make_gif(idx_rows, pal))
+    want = np.array([[pal[i] for i in row] for row in idx_rows], np.uint8)
+    assert pixels.shape == (2, 3, 3)
+    assert (pixels == want).all()
+
+
+def test_gif_interlace_and_first_frame():
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _gif_decode_pixels,
+    )
+
+    pal = [(10, 0, 0), (0, 20, 0), (0, 0, 30), (40, 40, 40)]
+    idx_rows = [[r % 4] * 2 for r in range(5)]  # 5 rows -> 4 passes used
+    plain = _gif_decode_pixels(_make_gif(idx_rows, pal))
+    inter = _gif_decode_pixels(_make_gif(idx_rows, pal, interlaced=True))
+    assert (plain == inter).all()  # deinterlace restores row order
+    # animated: first frame decoded, trailer frames ignored
+    anim = _gif_decode_pixels(_make_gif(idx_rows, pal, animated_tail=True))
+    assert (anim == plain).all()
+    want = np.array([[pal[r % 4]] * 2 for r in range(5)], np.uint8)
+    assert (plain == want).all()
+
+
+def test_gif_matches_paletted_png_fingerprint():
+    """Cross-encoding parity, extended to GIF: the same paletted image as
+    GIF and paletted PNG checksums identically over the expanded RGB
+    raster (the encoding-invariance contract of _featurize_bmp)."""
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _stdlib_featurize,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (12, 34, 56)]
+    idx_rows = [[0, 1, 2], [2, 1, 0]]
+    gif_crc, gif_feat = _stdlib_featurize(
+        "image/gif", _make_gif(idx_rows, pal)
+    )
+    png_crc, png_feat = _stdlib_featurize(
+        "image/png", _make_png(idx_rows, 3, [0, 0], palette=pal)
+    )
+    assert gif_crc == png_crc
+    assert gif_feat[:2] == png_feat[:2] == [3.0, 2.0]
+    assert gif_feat[3] == png_feat[3]
+
+
+def test_gif_corrupt_stream_raises():
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _gif_decode_pixels,
+    )
+
+    pal = [(1, 2, 3)]
+    good = _make_gif([[0, 0], [0, 0]], pal)
+    with pytest.raises(ValueError):
+        _gif_decode_pixels(good[:20])  # truncated mid-stream
+    with pytest.raises(ValueError):
+        _gif_decode_pixels(b"GIF89a" + b"\x00" * 5)  # header truncated
+
+
+def test_gif_lzw_roundtrip_with_real_compression():
+    """The clear-per-pixel fixtures above never grow the LZW dictionary;
+    this encodes rasters with the REAL GIF LZW algorithm (growing
+    dictionary, variable code width, KwK self-reference on repeats) and
+    round-trips them through the decoder."""
+    import random
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    def lzw_encode(indices, min_code_size):
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        out_bits = []
+        code_size = min_code_size + 1
+
+        def emit(code):
+            for b in range(code_size):
+                out_bits.append((code >> b) & 1)
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        emit(clear)
+        cur = b""
+        for px in indices:
+            nxt = cur + bytes([px])
+            if nxt in table:
+                cur = nxt
+                continue
+            emit(table[cur])
+            table[nxt] = next_code
+            next_code += 1
+            # encoder widens AFTER assigning the code that fills the
+            # current width (mirror of the decoder's bump condition)
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+            cur = bytes([px])
+        if cur:
+            emit(table[cur])
+        emit(eoi)
+        while len(out_bits) % 8:
+            out_bits.append(0)
+        return bytes(
+            sum(bit << i for i, bit in enumerate(out_bits[k : k + 8]))
+            for k in range(0, len(out_bits), 8)
+        )
+
+    rng = random.Random(7)
+    for trial, min_code in [(0, 2), (1, 4), (2, 8)]:
+        n_colors = 1 << min_code
+        # runs of repeats force the KwK case; enough pixels to force
+        # several code-width bumps
+        indices = []
+        while len(indices) < 4000:
+            indices += [rng.randrange(n_colors)] * rng.randint(1, 9)
+        indices = indices[:4000]
+        data = lzw_encode(indices, min_code)
+        got = _gif_lzw_decode(data, min_code, len(indices))
+        assert list(got) == indices, f"trial {trial} mismatch"
+
+
+def test_gif_decoder_matches_pil_when_available():
+    """Cross-implementation check against a REAL encoder: PIL-written
+    GIFs (its LZW, its palette layout) must decode to PIL's own pixel
+    answer. Skips where PIL is absent (this container); runs anywhere it
+    exists."""
+    import io
+
+    import numpy as np
+    import pytest
+
+    image_mod = pytest.importorskip("PIL.Image")
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _gif_decode_pixels,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 255, size=(13, 17, 3), dtype=np.uint8)
+    im = image_mod.fromarray(rgb, "RGB").convert(
+        "P", palette=image_mod.Palette.ADAPTIVE
+    )
+    buf = io.BytesIO()
+    im.save(buf, format="GIF")
+    payload = buf.getvalue()
+    want = np.asarray(im.convert("RGB"))
+    got = _gif_decode_pixels(payload)
+    assert got.shape == want.shape
+    assert (got == want).all()
