@@ -1205,3 +1205,144 @@ def image_near_dup_pairs(
         )
         pairs = pairs.unionByName(star)
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Video metadata extraction (ISO BMFF box walk — no codec required)
+# ---------------------------------------------------------------------------
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("meta_ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (box_type, body_start, body_end) over an ISO BMFF box range,
+    handling 64-bit largesize and size-0 (extends-to-end) boxes."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        btype = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("BMFF largesize truncated")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"BMFF box {btype!r} overruns its container")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _parse_mp4_metadata(payload: bytes) -> tuple[int, int, int, int]:
+    """(width, height, duration_ms, n_tracks) from an MP4/MOV container's
+    ``moov`` structure: ``mvhd`` carries timescale+duration, each
+    ``trak``'s ``tkhd`` carries the 16.16 fixed-point display size (audio
+    tracks report 0x0; the max over tracks is the video size). Only box
+    headers and two leaf payloads are read — no sample data, no codec."""
+    import struct
+
+    moov = None
+    for btype, body, bend in _iter_boxes(payload, 0, len(payload)):
+        if btype == b"moov":
+            moov = (body, bend)
+            break
+    if moov is None:
+        raise ValueError("no moov box (not an MP4/MOV, or metadata-last "
+                         "file truncated before its moov)")
+    width = height = n_tracks = 0
+    duration_ms = None
+    for btype, body, bend in _iter_boxes(payload, *moov):
+        if btype == b"mvhd":
+            version = payload[body]
+            if version == 1:
+                timescale = struct.unpack_from(">I", payload, body + 20)[0]
+                duration = struct.unpack_from(">Q", payload, body + 24)[0]
+            else:
+                timescale = struct.unpack_from(">I", payload, body + 12)[0]
+                duration = struct.unpack_from(">I", payload, body + 16)[0]
+            if timescale:
+                duration_ms = duration * 1000 // timescale
+        elif btype == b"trak":
+            n_tracks += 1
+            for t2, b2, e2 in _iter_boxes(payload, body, bend):
+                if t2 == b"tkhd":
+                    # display size: the final 8 bytes, 16.16 fixed point
+                    w = struct.unpack_from(">I", payload, e2 - 8)[0] >> 16
+                    h = struct.unpack_from(">I", payload, e2 - 4)[0] >> 16
+                    width, height = max(width, w), max(height, h)
+    if duration_ms is None:
+        raise ValueError("moov has no mvhd")
+    return width, height, duration_ms, n_tracks
+
+
+def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
+    """Per-asset video metadata WITHOUT decoding: MP4/MOV through the
+    ISO BMFF box walk (``_parse_mp4_metadata``), uncompressed Y4M through
+    the existing demux header. The corpus-QA pre-filter: resolution and
+    duration gates run over a metadata-only pass — box headers, not
+    sample data — so the expensive decode/featurize stage only ever sees
+    assets that survived them. Same Arrow-batch + dead-letter contract
+    as ``decode_features`` (``meta_ok=false`` + error per bad asset;
+    ``strict=True`` raises)."""
+
+    def meta_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            widths, heights, durs, tracks, oks, errors = [], [], [], [], [], []
+            for payload in batch["payload"]:
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    if payload[4:8] in (b"ftyp", b"moov", b"wide", b"free"):
+                        w, h, d, n = _parse_mp4_metadata(payload)
+                    elif payload[:9] == b"YUV4MPEG2":
+                        w, h, frames = _parse_y4m(payload)
+                        d, n = None, 1
+                    else:
+                        raise ValueError(
+                            "unrecognized video container (MP4/MOV/Y4M "
+                            "supported)"
+                        )
+                except Exception as e:  # noqa: BLE001 — dead-letter path
+                    if strict:
+                        raise
+                    widths.append(None)
+                    heights.append(None)
+                    durs.append(None)
+                    tracks.append(None)
+                    oks.append(False)
+                    errors.append(f"{type(e).__name__}: {e}")
+                else:
+                    widths.append(w)
+                    heights.append(h)
+                    durs.append(d)
+                    tracks.append(n)
+                    oks.append(True)
+                    errors.append(None)
+            yield pd.DataFrame(
+                {
+                    "asset_id": batch["asset_id"],
+                    "media_type": batch["media_type"],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                    "n_tracks": pd.array(tracks, dtype="Int32"),
+                    "meta_ok": oks,
+                    "error": errors,
+                }
+            )
+
+    return assets.mapInPandas(meta_batch, VIDEO_META_SCHEMA)

@@ -2722,3 +2722,79 @@ def test_gif_decoder_matches_pil_when_available():
     got = _gif_decode_pixels(payload)
     assert got.shape == want.shape
     assert (got == want).all()
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _make_mp4(width=320, height=240, timescale=1000, duration=2500,
+              audio_track=True, largesize_mdat=False):
+    """Minimal ISO BMFF fixture: ftyp + (optional 64-bit-size mdat) +
+    moov[mvhd + video trak + optional audio trak]."""
+    import struct
+
+    mvhd = _box(
+        b"mvhd",
+        bytes(1) + bytes(3)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", timescale, duration)
+        + bytes(80),  # rate/volume/reserved/matrix/predefines/next id
+    )
+
+    def tkhd(w, h):
+        return _box(
+            b"tkhd",
+            bytes(4) + struct.pack(">IIII", 0, 0, 1, 0)
+            + struct.pack(">I", duration) + bytes(52)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+
+    traks = _box(b"trak", tkhd(width, height))
+    if audio_track:
+        traks += _box(b"trak", tkhd(0, 0))
+    moov = _box(b"moov", mvhd + traks)
+    ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    mdat = b""
+    if largesize_mdat:
+        payload = b"\x00" * 24
+        mdat = (
+            struct.pack(">I", 1) + b"mdat"
+            + struct.pack(">Q", 16 + len(payload)) + payload
+        )
+    return ftyp + mdat + moov
+
+
+def test_video_metadata_box_walk(spark):
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        video_metadata,
+    )
+
+    rows = [
+        (1, "video/mp4", _make_mp4()),
+        (2, "video/mp4", _make_mp4(width=1920, height=1080, timescale=600,
+                                   duration=1200, audio_track=False,
+                                   largesize_mdat=True)),
+        (3, "video/y4m", _make_y4m(4, 2, [10, 200])),
+        (4, "video/mp4", b"\x00\x00\x00\x08ftyp"),  # no moov -> dead-letter
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    out = {r["asset_id"]: r for r in video_metadata(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (320, 240)
+    assert out[1]["duration_ms"] == 2500  # 2500 ticks @ 1000 ticks/s
+    assert out[1]["n_tracks"] == 2  # audio trak counted, its 0x0 ignored
+    assert (out[2]["width"], out[2]["height"]) == (1920, 1080)
+    assert out[2]["duration_ms"] == 2000  # 1200 ticks @ 600 ticks/s
+    assert out[2]["n_tracks"] == 1  # 64-bit mdat skipped correctly
+    assert (out[3]["width"], out[3]["height"]) == (4, 2)
+    assert out[3]["meta_ok"] and out[3]["duration_ms"] is None
+    assert not out[4]["meta_ok"] and "moov" in out[4]["error"]
+    # strict mode raises instead of dead-lettering
+    import pytest
+
+    with pytest.raises(Exception, match="moov"):
+        video_metadata(df, strict=True).collect()
