@@ -73,6 +73,52 @@ def latest_snapshot(
     )
 
 
+def snapshot_as_of(
+    base_dir: str,
+    as_of_run_id: str,
+    prefix: str = SNAPSHOT_PREFIX,
+    require_success: bool = True,
+    data_suffix: str | None = None,
+) -> str:
+    """Time travel over the snapshot layout: the newest committed
+    snapshot whose run id is <= ``as_of_run_id`` — "the table as the
+    pipeline published it at that moment". Works because run ids are
+    lexicographically chronological (the reference's timestamp format,
+    ``snapshot_path``); same ``_SUCCESS``/data gates as
+    ``latest_snapshot``, so an uncommitted write can never be selected
+    by a historical read either. With ``zorder_compact``'s rewrites this
+    is the poor-man's Delta time travel: reproduce any day's gold
+    numbers, or pin a training run's input to the snapshot it started
+    from while the daily pipeline keeps publishing."""
+    if not os.path.isdir(base_dir):
+        raise FileNotFoundError(f"layer directory does not exist: {base_dir}")
+    cutoff = f"{prefix}_{as_of_run_id}"
+    folders = sorted(
+        (
+            f
+            for f in os.listdir(base_dir)
+            if f.startswith(prefix) and f <= cutoff
+        ),
+        reverse=True,
+    )
+    for folder in folders:
+        path = os.path.join(base_dir, folder)
+        if not os.path.isdir(path):
+            continue
+        names = os.listdir(path)
+        if require_success and SUCCESS_MARKER not in names:
+            continue
+        if data_suffix is not None and not any(
+            n.endswith(data_suffix) for n in names
+        ):
+            continue
+        return path
+    raise FileNotFoundError(
+        f"no committed '{prefix}_*' snapshot at or before "
+        f"{as_of_run_id!r} under {base_dir}"
+    )
+
+
 def write_layer(
     df: DataFrame,
     path: str,

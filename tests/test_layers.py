@@ -138,3 +138,22 @@ def test_snapshot_diff_cdc_known_answer(spark):
         ).collect()
     }
     assert vdiff == {2: "update", 3: "delete", 5: "insert"}
+
+
+def test_snapshot_as_of_time_travel(tmp_path):
+    from inbev_data_engineering_case_spark.layers import snapshot_as_of
+
+    jan = mkdir_snapshot(tmp_path, "2024-01-01-00-00", ["_SUCCESS", "a.parquet"])
+    mkdir_snapshot(tmp_path, "2024-03-01-00-00")  # uncommitted (no _SUCCESS)
+    jun = mkdir_snapshot(tmp_path, "2024-06-01-00-00", ["_SUCCESS", "b.parquet"])
+
+    # historical read: the March cut resolves to January — the newest
+    # COMMITTED snapshot at that moment (the uncommitted one is skipped)
+    assert snapshot_as_of(str(tmp_path), "2024-03-15-00-00") == jan
+    # an as-of on the exact run id is inclusive
+    assert snapshot_as_of(str(tmp_path), "2024-01-01-00-00") == jan
+    # a future as-of sees the latest
+    assert snapshot_as_of(str(tmp_path), "2025-01-01-00-00") == jun
+    # before the first commit: nothing existed
+    with pytest.raises(FileNotFoundError):
+        snapshot_as_of(str(tmp_path), "2023-12-31-23-59")
