@@ -175,3 +175,85 @@ def decontaminate(
         documents, benchmark, n, id_col, text_col, portable
     ).select(id_col)
     return documents.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def semantic_contamination(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space contamination: ``(corpus_id, bench_id, sim)`` for
+    every corpus vector within cosine ``threshold`` of a benchmark
+    vector — the SEMANTIC complement of the n-gram overlap check above
+    (paraphrased eval questions share no 8-gram but sit next to the
+    original in embedding space).
+
+    Same scale shape as the n-gram path: the benchmark side is an eval
+    set (thousands of vectors) and BROADCASTS with its sign-LSH bucket
+    ids, so the corpus never shuffles — one scan, bucket-equi-join
+    against the broadcast, cosine verify on same-bucket candidates
+    only (never all-pairs). ``n_probes`` re-buckets under independent
+    hyperplane seeds for recall, exactly like
+    ``dedup.embedding_near_dup_pairs``; no hot-bucket guard is needed
+    because the broadcast join never exchanges on the bucket key.
+    """
+    from inbev_data_engineering_case_spark.functions import cosine
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        signlsh_bucket,
+    )
+
+    per_probe = []
+    for seed in range(n_probes):
+        c = corpus_emb.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(vec_col).alias("_cv"),
+            signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+        )
+        b = bench_emb.select(
+            F.col(id_col).alias("bench_id"),
+            F.col(vec_col).alias("_bv"),
+            signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+        )
+        sim = F.round(cosine(F.col("_cv"), F.col("_bv")), 6)
+        per_probe.append(
+            c.join(F.broadcast(b), "bucket")
+            .select("corpus_id", "bench_id", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
+        )
+    pairs = per_probe[0]
+    for p in per_probe[1:]:
+        pairs = pairs.unionByName(p)
+    if n_probes > 1:  # a pair caught by several probes reports once
+        pairs = pairs.dropDuplicates(["corpus_id", "bench_id"])
+    return pairs
+
+
+def semantic_decontaminate(
+    documents: DataFrame,
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    n_probes: int = 1,
+    doc_id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop documents whose embedding sits within cosine ``threshold``
+    of any benchmark vector (``corpus_emb`` maps ``emb_id_col`` onto the
+    documents' ``doc_id_col``). The flagged-id set is benchmark-sized or
+    smaller, so the final anti-join broadcasts — the corpus is scanned
+    once and never shuffled, mirroring ``decontaminate``."""
+    flagged = (
+        semantic_contamination(
+            corpus_emb, bench_emb, threshold, num_planes, n_probes,
+            emb_id_col, vec_col,
+        )
+        .select(F.col("corpus_id").alias(doc_id_col))
+        .distinct()
+    )
+    return documents.join(F.broadcast(flagged), doc_id_col, "left_anti")

@@ -4147,6 +4147,74 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_decon_oracle(num_planes: int = 8, threshold: float = 0.9) -> str:
+    bucket = _signlsh_bucket_sql(num_planes)
+    return f"""
+    WITH bench AS (
+      SELECT vec_id AS bench_id, embedding::DOUBLE[] AS v,
+             ({bucket}) AS bucket
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20)
+    ),
+    corpus AS (
+      SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id >= 20
+      UNION ALL
+      SELECT vec_id + 100000 AS corpus_id,
+             list_transform(range(0, len(embedding)), i ->
+               embedding[i + 1]::DOUBLE * {_PERTURB}) AS v
+      FROM embeddings WHERE vec_id < 20
+    ),
+    cb AS (
+      SELECT corpus_id, embedding AS v, ({bucket}) AS bucket
+      FROM (SELECT corpus_id, v AS embedding FROM corpus)
+    )
+    SELECT c.corpus_id, b.bench_id,
+           round(list_cosine_similarity(c.v, b.v), 6) AS sim
+    FROM cb c JOIN bench b ON c.bucket = b.bucket
+    WHERE round(list_cosine_similarity(c.v, b.v), 6) >= {threshold}
+    """
+
+
+@register(
+    "q_semantic_decon",
+    _semantic_decon_oracle(),
+    doc="Semantic benchmark decontamination "
+    "(decontaminate.semantic_contamination): corpus vectors within "
+    "cosine 0.9 of an eval-set vector are flagged — the embedding-space "
+    "complement of q_decontaminate's 8-gram overlap (a paraphrased eval "
+    "question shares no 8-gram but sits next to the original in "
+    "embedding space). Benchmark = vec_id<20 with sign-LSH buckets, "
+    "BROADCAST like the n-gram path's grams; corpus = the rest plus "
+    "deterministically perturbed near-copies of the benchmark (hits are "
+    "observable) — scanned once, never shuffled, cosine verified on "
+    "same-bucket candidates only. Registered late in r5, tail slot, r6 "
+    "promotion (family cover: q_boilerplate's broadcast gram profile + "
+    "q_ann_cosine's cosine verify are both in-window).",
+)
+def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    bench = as_double.filter(F.col("vec_id") < 20)
+    perturbed = bench.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1) + F.lit(0.001) * ((i % 3) - 1)),
+        ).alias("embedding"),
+    )
+    corpus = as_double.filter(F.col("vec_id") >= 20).unionByName(perturbed)
+    return semantic_contamination(corpus, bench, threshold=0.9)
+
+
 @register(
     "q_stream_sketch",
     """
@@ -4370,6 +4438,9 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # same late-r5 situation; each half of the composition (watermarked
     # streaming agg / sketch rollup) has in-window cover:
     "q_stream_sketch": ("q_stream_dedup", "q_sketch_rollup"),
+    # same late-r5 situation; each half (broadcast contamination check /
+    # bucketed cosine verify) has in-window cover:
+    "q_semantic_decon": ("q_boilerplate", "q_ann_cosine"),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family

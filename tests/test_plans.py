@@ -402,3 +402,12 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_semantic_decon_broadcasts_benchmark(spark):
+    plan = _plan(spark, "q_semantic_decon")
+    # eval-set side broadcasts with its buckets; the corpus never
+    # shuffles and the pair space is bucket-local, never all-pairs
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -2798,3 +2798,34 @@ def test_video_metadata_box_walk(spark):
 
     with pytest.raises(Exception, match="moov"):
         video_metadata(df, strict=True).collect()
+
+
+def test_semantic_decontaminate_drops_paraphrase_neighbors(spark):
+    """A corpus vector nearly parallel to a benchmark vector is flagged
+    and its document dropped; orthogonal vectors survive. The n-gram
+    check would miss this entirely (no shared text)."""
+    from inbev_data_engineering_case_spark.operators.decontaminate import (
+        semantic_contamination,
+        semantic_decontaminate,
+    )
+
+    d = 8
+    e = lambda i: [0.0] * i + [1.0] + [0.0] * (d - i - 1)  # noqa: E731
+    bench = spark.createDataFrame(
+        [(900, e(0)), (901, e(1))], "vec_id long, embedding array<double>"
+    )
+    near = [0.999] + [0.001] * (d - 1)  # cosine ~0.9999 to e(0)
+    corpus_emb = spark.createDataFrame(
+        [(1, near), (2, e(4)), (3, e(5))],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = semantic_contamination(corpus_emb, bench, threshold=0.9).collect()
+    assert {(r["corpus_id"], r["bench_id"]) for r in pairs} == {(1, 900)}
+    assert pairs[0]["sim"] > 0.99
+
+    docs = spark.createDataFrame(
+        [(1, "paraphrased eval question"), (2, "clean"), (3, "clean too")],
+        "doc_id long, text string",
+    )
+    kept = semantic_decontaminate(docs, corpus_emb, bench, threshold=0.9)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
