@@ -52,6 +52,9 @@ def curate_corpus(
     min_avg_logprob: float | None = None,
     materialize_mode: str = "local",
     strip_html: bool = False,
+    corpus_embeddings: DataFrame | None = None,
+    benchmark_embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.9,
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
     metadata (lang, quality). Survivor policy is deterministic end to end:
@@ -105,6 +108,29 @@ def curate_corpus(
         eligible = decontaminate(
             eligible, benchmark, n=decontaminate_ngram,
             id_col=id_col, text_col=text_col,
+        )
+    if benchmark_embeddings is not None:
+        # semantic complement of the n-gram stage: drop docs whose
+        # embedding sits within cosine `semantic_threshold` of an eval
+        # vector (paraphrased leaks share no 8-gram). corpus_embeddings
+        # maps vec_id onto the documents' id_col; the flagged set is
+        # eval-sized, so this is one more broadcast anti-join on the
+        # same single corpus pass.
+        if corpus_embeddings is None:
+            raise ValueError(
+                "benchmark_embeddings requires corpus_embeddings "
+                "(vec_id-aligned with the documents' id column)"
+            )
+        from inbev_data_engineering_case_spark.operators.decontaminate import (
+            semantic_decontaminate,
+        )
+
+        eligible = semantic_decontaminate(
+            eligible,
+            corpus_embeddings,
+            benchmark_embeddings,
+            threshold=semantic_threshold,
+            doc_id_col=id_col,
         )
     if min_avg_logprob is not None:
         from inbev_data_engineering_case_spark.operators.relevance import (

@@ -2829,3 +2829,44 @@ def test_semantic_decontaminate_drops_paraphrase_neighbors(spark):
     )
     kept = semantic_decontaminate(docs, corpus_emb, bench, threshold=0.9)
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_curate_corpus_semantic_stage(spark):
+    """The optional semantic-decontamination stage inside curate_corpus:
+    a doc whose embedding neighbors an eval vector is dropped even
+    though its TEXT shares nothing with the benchmark."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    en1 = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for that in the sun with a friend of the family"
+    )
+    en2 = (
+        "a completely different english text about the history of bridges "
+        "and the people that built them in the old days of iron and stone"
+    )
+    docs = spark.createDataFrame([(1, en1), (2, en2)], ["doc_id", "text"])
+    d = 8
+    e = lambda i: [0.0] * i + [1.0] + [0.0] * (d - i - 1)  # noqa: E731
+    corpus_emb = spark.createDataFrame(
+        [(1, [0.999] + [0.001] * (d - 1)), (2, e(4))],
+        "vec_id long, embedding array<double>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(900, e(0))], "vec_id long, embedding array<double>"
+    )
+    kept = curate_corpus(
+        docs,
+        min_quality=0.3,
+        near_dup_threshold=0.5,
+        corpus_embeddings=corpus_emb,
+        benchmark_embeddings=bench_emb,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+    # guard: benchmark embeddings without the corpus mapping is an error
+    import pytest
+
+    with pytest.raises(ValueError, match="corpus_embeddings"):
+        curate_corpus(docs, benchmark_embeddings=bench_emb)
