@@ -284,3 +284,51 @@ def test_html_to_text_parity(spark, con, docs):
         ).fetchall()
     ]
     assert got == want
+
+
+# SCD2: random observation logs + a later batch — the incremental merge
+# must equal a from-scratch rebuild of the concatenated log (per the
+# contract: one observation per key per batch, batch after history).
+_SCD_KEYS = st.integers(min_value=1, max_value=4)
+_SCD_ATTRS = st.sampled_from(["A", "B", "C"])
+_SCD_LOG = st.lists(
+    st.tuples(_SCD_KEYS, _SCD_ATTRS, st.integers(1, 25)),  # day-of-month
+    min_size=1,
+    max_size=12,
+)
+_SCD_BATCH = st.dictionaries(_SCD_KEYS, _SCD_ATTRS, min_size=1, max_size=4)
+
+
+@settings(**SETTINGS)
+@given(log=_SCD_LOG, batch=_SCD_BATCH)
+def test_scd2_merge_equals_rebuild(spark, log, batch):
+    import datetime
+
+    from inbev_data_engineering_case_spark.operators.scd import (
+        scd2_from_log,
+        scd2_merge,
+    )
+
+    jan = [
+        (k, a, datetime.date(2024, 1, day), i)
+        for i, (k, a, day) in enumerate(log)
+    ]
+    feb_day = datetime.date(2024, 2, 1)
+    feb = [
+        (k, a, feb_day, 1000 + i) for i, (k, a) in enumerate(batch.items())
+    ]
+    schema = "k long, attr string, ts date, id long"
+    history = scd2_from_log(
+        spark.createDataFrame(jan, schema), "k", ["attr"], "ts", "id"
+    )
+    batch_df = spark.createDataFrame(
+        [(k, a, t) for k, a, t, _ in feb], "k long, attr string, ts date"
+    )
+    merged = scd2_merge(history, batch_df, "k", ["attr"], "ts")
+    rebuilt = scd2_from_log(
+        spark.createDataFrame(jan + feb, schema), "k", ["attr"], "ts", "id"
+    )
+    cols = ["k", "attr", "effective_from", "effective_to", "is_current"]
+    got = sorted(map(tuple, merged.select(*cols).collect()))
+    want = sorted(map(tuple, rebuilt.select(*cols).collect()))
+    assert got == want
