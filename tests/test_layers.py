@@ -157,3 +157,53 @@ def test_snapshot_as_of_time_travel(tmp_path):
     # before the first commit: nothing existed
     with pytest.raises(FileNotFoundError):
         snapshot_as_of(str(tmp_path), "2023-12-31-23-59")
+
+
+def test_delete_rows_rewrites_only_matching_files(spark, tmp_path):
+    """Surgical delete: on a key-clustered table, deleting a few keys
+    rewrites only the file(s) whose min/max span them — the other files
+    land byte-identical (hard-linked), the keys are gone, and everything
+    else survives."""
+    import filecmp
+    import glob
+
+    from inbev_data_engineering_case_spark.layers import (
+        compact_parquet,
+        delete_rows,
+    )
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS user_id", "id * 2 AS value"
+    )
+    raw = str(tmp_path / "raw")
+    df.write.parquet(raw)
+    src = str(tmp_path / "clustered")
+    # tiny target -> several files, disjoint user_id spans per file
+    compact_parquet(spark, raw, src, target_file_bytes=4096,
+                    sort_cols=["user_id"])
+    files_before = sorted(glob.glob(src + "/*.parquet"))
+    assert len(files_before) > 2
+
+    dst = str(tmp_path / "deleted")
+    stats = delete_rows(spark, src, dst, "user_id", [3, 7])
+    assert stats["rows_deleted"] == 2
+    assert stats["files_total"] == len(files_before)
+    # keys 3 and 7 sit in the low span: one file rewritten (maybe two if
+    # a span boundary splits them), the rest linked byte-identical
+    assert stats["files_rewritten"] < len(files_before)
+    linked = [
+        f for f in glob.glob(dst + "/*.parquet")
+        if not os.path.basename(f).startswith("rewrite-")
+    ]
+    assert linked, "expected untouched files to be carried over"
+    for f in linked:
+        twin = os.path.join(src, os.path.basename(f))
+        assert filecmp.cmp(f, twin, shallow=False)
+
+    out = spark.read.parquet(dst)
+    assert out.count() == 998
+    assert out.filter("user_id IN (3, 7)").count() == 0
+    # remaining data intact, not just counts
+    assert out.agg({"value": "sum"}).first()[0] == sum(
+        i * 2 for i in range(1000) if i not in (3, 7)
+    )
