@@ -38,66 +38,24 @@ def snapshot_path(base_dir: str, run_id: str, prefix: str = SNAPSHOT_PREFIX) -> 
     return os.path.join(base_dir, f"{prefix}_{run_id}")
 
 
-def latest_snapshot(
+def _resolve_snapshot(
     base_dir: str,
-    prefix: str = SNAPSHOT_PREFIX,
-    require_success: bool = True,
-    data_suffix: str | None = None,
-) -> str:
-    """OP-08: newest snapshot folder that actually contains data.
-
-    ``require_success=True`` gates on Spark's committed-output ``_SUCCESS``
-    marker (the silver/gold rule); ``data_suffix='.csv'`` replicates the
-    bronze rule (any page file present). Raises if nothing qualifies.
-    """
+    prefix: str,
+    require_success: bool,
+    data_suffix: str | None,
+    cutoff: str | None,
+) -> str | None:
+    """Shared committed-snapshot walk: newest folder (optionally <=
+    ``cutoff``) that passes the ``_SUCCESS``/data gates, or None. ONE
+    copy of the publish-gating contract so the latest and as-of readers
+    can never diverge."""
     if not os.path.isdir(base_dir):
         raise FileNotFoundError(f"layer directory does not exist: {base_dir}")
-    folders = sorted(
-        (f for f in os.listdir(base_dir) if f.startswith(prefix)), reverse=True
-    )
-    for folder in folders:
-        path = os.path.join(base_dir, folder)
-        if not os.path.isdir(path):
-            continue
-        names = os.listdir(path)
-        if require_success and SUCCESS_MARKER not in names:
-            continue
-        if data_suffix is not None and not any(
-            n.endswith(data_suffix) for n in names
-        ):
-            continue
-        return path
-    raise FileNotFoundError(
-        f"no valid '{prefix}_*' snapshot under {base_dir} "
-        f"(require_success={require_success}, data_suffix={data_suffix})"
-    )
-
-
-def snapshot_as_of(
-    base_dir: str,
-    as_of_run_id: str,
-    prefix: str = SNAPSHOT_PREFIX,
-    require_success: bool = True,
-    data_suffix: str | None = None,
-) -> str:
-    """Time travel over the snapshot layout: the newest committed
-    snapshot whose run id is <= ``as_of_run_id`` — "the table as the
-    pipeline published it at that moment". Works because run ids are
-    lexicographically chronological (the reference's timestamp format,
-    ``snapshot_path``); same ``_SUCCESS``/data gates as
-    ``latest_snapshot``, so an uncommitted write can never be selected
-    by a historical read either. With ``zorder_compact``'s rewrites this
-    is the poor-man's Delta time travel: reproduce any day's gold
-    numbers, or pin a training run's input to the snapshot it started
-    from while the daily pipeline keeps publishing."""
-    if not os.path.isdir(base_dir):
-        raise FileNotFoundError(f"layer directory does not exist: {base_dir}")
-    cutoff = f"{prefix}_{as_of_run_id}"
     folders = sorted(
         (
             f
             for f in os.listdir(base_dir)
-            if f.startswith(prefix) and f <= cutoff
+            if f.startswith(prefix) and (cutoff is None or f <= cutoff)
         ),
         reverse=True,
     )
@@ -113,10 +71,63 @@ def snapshot_as_of(
         ):
             continue
         return path
-    raise FileNotFoundError(
-        f"no committed '{prefix}_*' snapshot at or before "
-        f"{as_of_run_id!r} under {base_dir}"
+    return None
+
+
+def latest_snapshot(
+    base_dir: str,
+    prefix: str = SNAPSHOT_PREFIX,
+    require_success: bool = True,
+    data_suffix: str | None = None,
+) -> str:
+    """OP-08: newest snapshot folder that actually contains data.
+
+    ``require_success=True`` gates on Spark's committed-output ``_SUCCESS``
+    marker (the silver/gold rule); ``data_suffix='.csv'`` replicates the
+    bronze rule (any page file present). Raises if nothing qualifies.
+    """
+    path = _resolve_snapshot(
+        base_dir, prefix, require_success, data_suffix, cutoff=None
     )
+    if path is None:
+        raise FileNotFoundError(
+            f"no valid '{prefix}_*' snapshot under {base_dir} "
+            f"(require_success={require_success}, data_suffix={data_suffix})"
+        )
+    return path
+
+
+def snapshot_as_of(
+    base_dir: str,
+    as_of_run_id: str,
+    prefix: str = SNAPSHOT_PREFIX,
+    require_success: bool = True,
+    data_suffix: str | None = None,
+) -> str:
+    """Time travel over the snapshot layout: the newest committed
+    snapshot whose run id is <= ``as_of_run_id`` — "the table as the
+    pipeline published it at that moment". Works because run ids are
+    lexicographically chronological (the reference's timestamp format,
+    ``snapshot_path``); same ``_SUCCESS``/data gates as
+    ``latest_snapshot`` (one shared walk, ``_resolve_snapshot``), so an
+    uncommitted write can never be selected by a historical read either.
+    With ``zorder_compact``'s rewrites this is the poor-man's Delta time
+    travel: reproduce any day's gold numbers, or pin a training run's
+    input to the snapshot it started from while the daily pipeline keeps
+    publishing."""
+    path = _resolve_snapshot(
+        base_dir,
+        prefix,
+        require_success,
+        data_suffix,
+        cutoff=f"{prefix}_{as_of_run_id}",
+    )
+    if path is None:
+        raise FileNotFoundError(
+            f"no committed '{prefix}_*' snapshot at or before "
+            f"{as_of_run_id!r} under {base_dir}"
+        )
+    return path
 
 
 def write_layer(
@@ -377,7 +388,8 @@ def delete_rows(
         return False
 
     touched = [f for f in files if may_contain(f)]
-    untouched = [f for f in files if f not in set(touched)]
+    touched_set = set(touched)
+    untouched = [f for f in files if f not in touched_set]
 
     os.makedirs(dst, exist_ok=True)
     for f in untouched:
@@ -390,8 +402,11 @@ def delete_rows(
     rows_deleted = 0
     if touched:
         before = sum(pq.ParquetFile(f).metadata.num_rows for f in touched)
+        # NULL-safe: ~isin(...) is NULL (dropped by filter) for NULL
+        # keys, which would silently delete every anonymous row in a
+        # rewritten file — keep NULL-keyed rows explicitly
         kept = spark.read.parquet(*touched).filter(
-            ~F.col(key_col).isin(*key_list)
+            ~F.col(key_col).isin(*key_list) | F.col(key_col).isNull()
         )
         tmp = dst.rstrip("/") + "._delete_tmp"
         kept.write.mode("overwrite").parquet(tmp)

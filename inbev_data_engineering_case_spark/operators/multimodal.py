@@ -313,11 +313,19 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> bytes:
 
 def _gif_decode_pixels(payload: bytes):
     """Pure-stdlib GIF decode (GIF87a/89a, first frame) → (h, w, 3) uint8
-    RGB: logical-screen + color-table walk, extension-block skip, LZW
-    raster decode, interlace reorder, palette expansion — mirroring the
-    paletted-BMP/PNG normalization so the same image stored as GIF
-    checksums/fingerprints identically. Animated GIFs yield frame 1
-    (the still-image semantics every thumbnailer uses)."""
+    RGB. See ``_gif_decode``."""
+    return _gif_decode(payload)[0]
+
+
+def _gif_decode(payload: bytes):
+    """Pure-stdlib GIF decode (GIF87a/89a, first frame) → ((h, w, 3)
+    uint8 RGB pixels, color_table_entries): logical-screen + color-table
+    walk, extension-block skip, LZW raster decode, interlace reorder,
+    palette expansion — mirroring the paletted-BMP/PNG normalization so
+    the same image stored as GIF checksums/fingerprints identically.
+    ``color_table_entries`` is the size of the table the frame actually
+    used (local wins over global), for depth reporting. Animated GIFs
+    yield frame 1 (the still-image semantics every thumbnailer uses)."""
     import struct
 
     import numpy as np
@@ -381,7 +389,7 @@ def _gif_decode_pixels(payload: bytes):
                 idx = ordered
             if int(idx.max(initial=0)) >= len(table):
                 raise ValueError("GIF palette index out of range")
-            return np.ascontiguousarray(table[idx])
+            return np.ascontiguousarray(table[idx]), len(table)
         elif block == 0x3B:  # trailer
             break
         else:
@@ -393,14 +401,18 @@ def _featurize_gif(payload: bytes) -> tuple[int, list[float]]:
     """GIF featurization over the NORMALIZED (palette-expanded) raster,
     the same encoding-invariance contract as ``_featurize_bmp``: the
     identical image stored as GIF, paletted BMP/PNG, or P6 PNM checksums
-    identically. Bit depth reported is the stored palette index width."""
+    identically. Bit depth = index width of the color table the frame
+    ACTUALLY used (local table wins) — the logical-screen packed bits
+    describe only the global table and are meaningless when a local one
+    is present or the global flag is unset."""
+    import math
     import zlib
 
     import numpy as np
 
-    pixels = _gif_decode_pixels(payload)
+    pixels, table_entries = _gif_decode(payload)
     h, w = pixels.shape[0], pixels.shape[1]
-    depth = float((payload[10] & 7) + 1)
+    depth = float(max(1, math.ceil(math.log2(table_entries))))
     checksum = zlib.crc32(pixels.tobytes()) % 1_000_003
     mean_px = float(pixels.astype(np.float64).mean()) if pixels.size else 0.0
     return checksum, [float(w), float(h), depth, mean_px]

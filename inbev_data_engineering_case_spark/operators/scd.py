@@ -71,16 +71,9 @@ def scd2_from_log(
     for a in attr_cols:
         boundary = boundary | ~F.col(a).eqNullSafe(F.lag(a).over(w))
     boundary = boundary | F.lag(ts_col).over(w).isNull()
-    runs = (
-        log.withColumn("_new_version", boundary)
-        .withColumn(
-            "_version",
-            F.sum(F.col("_new_version").cast("bigint")).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        # one row per version: its FIRST observation starts the interval
-        .filter(F.col("_new_version"))
+    # one row per version: its FIRST observation starts the interval
+    runs = log.withColumn("_new_version", boundary).filter(
+        F.col("_new_version")
     )
     # order the version chain by (ts, id) — NOT ts alone — so two
     # versions opened at the same timestamp chain deterministically

@@ -250,14 +250,17 @@ HTML_STRIP_RULES: list[tuple[str, str]] = [
     (r"(?is)<noscript[^>]*>.*?</noscript>", " "),
     (r"(?s)<!--.*?-->", " "),          # comments (incl. commented markup)
     (r"(?s)<[^>]+>", " "),             # any remaining tag -> space
-    # minimal entity decode: the named set that dominates real corpora
+    # minimal entity decode: the named set that dominates real corpora.
+    # &amp; decodes LAST (the standard order): decoding it first would
+    # double-decode escaped entities — '&amp;lt;b&amp;gt;' (a page
+    # DISPLAYING the text '&lt;b&gt;') must not collapse to '<b>'
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
     (r"&apos;", "'"),
+    (r"&amp;", "&"),
     (r"\s+", " "),                     # collapse whitespace runs
 ]
 
@@ -280,6 +283,6 @@ def html_to_text_sql(expr: str) -> str:
     out = expr
     for pattern, repl in HTML_STRIP_RULES:
         pat = pattern.replace("'", "''")
-        rep = repl.replace("'", "''").replace('"', '"')
+        rep = repl.replace("'", "''")
         out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
     return f"trim({out})"

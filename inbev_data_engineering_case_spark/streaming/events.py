@@ -519,6 +519,7 @@ def stream_sketch_partials(
     events: DataFrame,
     group_col: str = "event_type",
     key_col: str = "user_id",
+    ts_col: str = "ts",
     window: str = "1 day",
     watermark: str = "2 hours",
     lg_k: int = 12,
@@ -539,10 +540,13 @@ def stream_sketch_partials(
 
     Output: ``(bucket_ts, group_col, sketch)`` — schema-compatible with
     the batch partials (window start == ``date_trunc`` of the bucket).
+    Keep ``window`` in sync with the batch twin's ``unit`` (``1 day`` ↔
+    ``day``) when both feed one partial table — the columns line up
+    regardless, but mixed granularities would interleave buckets.
     """
     return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("_w"), F.col(group_col))
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("_w"), F.col(group_col))
         .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("sketch"))
         .select(
             F.col("_w.start").alias("bucket_ts"), group_col, "sketch"

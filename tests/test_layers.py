@@ -207,3 +207,23 @@ def test_delete_rows_rewrites_only_matching_files(spark, tmp_path):
     assert out.agg({"value": "sum"}).first()[0] == sum(
         i * 2 for i in range(1000) if i not in (3, 7)
     )
+
+
+def test_delete_rows_preserves_null_keyed_rows(spark, tmp_path):
+    """NULL-safety regression: ~isin() is NULL for NULL keys, which a
+    filter drops — anonymous rows in a rewritten file must survive a
+    delete that doesn't name them."""
+    from inbev_data_engineering_case_spark.layers import delete_rows
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (None, 30), (None, 40), (7, 70)],
+        "user_id long, value long",
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    dst = str(tmp_path / "dst")
+    stats = delete_rows(spark, src, dst, "user_id", [7])
+    assert stats["rows_deleted"] == 1
+    out = spark.read.parquet(dst)
+    assert out.count() == 4
+    assert out.filter("user_id IS NULL").count() == 2

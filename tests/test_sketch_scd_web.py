@@ -293,3 +293,19 @@ def test_scd2_merge_matches_full_rebuild(spark):
     assert rows[(1, "B")]["is_current"]
     assert rows[(4, "N")]["is_current"]
     assert rows[(2, "X")]["effective_from"] == d(2024, 1, 1)
+
+
+def test_html_escaped_entities_single_decode(spark):
+    """A page DISPLAYING escaped markup ('&amp;lt;b&amp;gt;') must
+    render to the literal text '&lt;b&gt;', not double-decode to
+    '<b>' — &amp; decodes last."""
+    from inbev_data_engineering_case_spark.operators.textops import (
+        html_to_text,
+    )
+
+    df = spark.createDataFrame(
+        [("<p>Use &amp;lt;b&amp;gt; to bold &amp;amp; more</p>",)],
+        "text string",
+    )
+    got = df.select(html_to_text("text").alias("t")).first()["t"]
+    assert got == "Use &lt;b&gt; to bold &amp; more"

@@ -2870,3 +2870,16 @@ def test_curate_corpus_semantic_stage(spark):
 
     with pytest.raises(ValueError, match="corpus_embeddings"):
         curate_corpus(docs, benchmark_embeddings=bench_emb)
+
+
+def test_gif_depth_reflects_actual_color_table():
+    """Depth regression: the reported bit depth comes from the color
+    table the frame USED, not the logical-screen packed bits (which are
+    meaningless for local tables / unset global flags)."""
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _featurize_gif,
+    )
+
+    pal4 = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    _, feat = _featurize_gif(_make_gif([[0, 1], [2, 3]], pal4))
+    assert feat[2] == 2.0  # 4-entry table -> 2-bit indices
