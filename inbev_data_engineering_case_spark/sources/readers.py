@@ -171,3 +171,55 @@ def read_binary_assets(
             F.col("path").alias("source"),
         ).alias("meta"),
     )
+
+
+def read_parquet_evolving(
+    spark: SparkSession,
+    paths: list[str],
+    expected_schema,
+    strict_types: bool = False,
+):
+    """Schema-evolution-tolerant parquet read: reconcile a set of
+    snapshot directories written at DIFFERENT times (a crawl that grew a
+    column, a source that dropped one) onto ``expected_schema``.
+
+    - columns missing from the files arrive as typed nulls;
+    - extra file columns are dropped (column pruning means they are
+      never even read);
+    - matching columns are cast to the expected type (``try_cast``
+      unless ``strict_types=True`` — ANSI mode makes a bad cast a job
+      failure, the quarantine-vs-fail trade the CSV reader documents).
+
+    Returns ``(df, report)`` where ``report`` lists per-path extra and
+    missing column names — the drift log a daily pipeline alerts on.
+    ``mergeSchema`` is deliberately NOT used: it unions schemas at
+    footer-read time (one listing pass per file) and still fails on type
+    conflicts; projecting each path onto the expected schema reads only
+    the expected columns and makes the drift explicit instead of silent.
+    """
+    from pyspark.sql import functions as F
+
+    report: list[dict] = []
+    parts = []
+    expected = {f.name: f.dataType for f in expected_schema.fields}
+    for path in paths:
+        df = spark.read.parquet(path)
+        have = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))
+        extra = sorted(set(have) - set(expected))
+        missing = sorted(set(expected) - set(have))
+        report.append({"path": path, "extra": extra, "missing": missing})
+        cols = []
+        for name, dtype in expected.items():
+            if name not in have:
+                cols.append(F.lit(None).cast(dtype).alias(name))
+            elif have[name] == dtype:
+                cols.append(F.col(name))
+            elif strict_types:
+                cols.append(F.col(name).cast(dtype).alias(name))
+            else:
+                cols.append(F.col(name).try_cast(dtype).alias(name))
+        parts.append(df.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out, report

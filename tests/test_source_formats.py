@@ -102,3 +102,54 @@ def test_orc_round_trip(spark, tmp_path):
     assert back.schema == docs.schema
     assert back.exceptAll(docs).count() == 0
     assert docs.exceptAll(back).count() == 0
+
+
+def test_read_parquet_evolving_reconciles_drift(spark, tmp_path):
+    """Two snapshots with drifted schemas (grown column, dropped column,
+    widened type) reconcile onto the expected schema: missing -> typed
+    nulls, extra -> dropped, type drift -> try_cast; the report names
+    the drift per path."""
+    from pyspark.sql import types as T
+
+    from inbev_data_engineering_case_spark.sources.readers import (
+        read_parquet_evolving,
+    )
+
+    old = str(tmp_path / "day1")
+    new = str(tmp_path / "day2")
+    spark.createDataFrame(
+        [(1, "a", 10)], "id long, name string, score int"
+    ).write.parquet(old)
+    # day2: dropped `score`, added `lang`, `id` arrives as string
+    spark.createDataFrame(
+        [("2", "b", "en")], "id string, name string, lang string"
+    ).write.parquet(new)
+
+    expected = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.IntegerType()),
+        ]
+    )
+    df, report = read_parquet_evolving(spark, [old, new], expected)
+    assert [f.dataType for f in df.schema.fields] == [
+        T.LongType(), T.StringType(), T.IntegerType()
+    ]
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] == 10
+    assert rows[2]["score"] is None  # missing column -> typed null
+    assert rows[2]["name"] == "b"
+    by_path = {r["path"]: r for r in report}
+    assert by_path[old] == {"path": old, "extra": [], "missing": []}
+    assert by_path[new]["extra"] == ["lang"]
+    assert by_path[new]["missing"] == ["score"]
+
+    # a malformed value under try_cast lands as null, not a job failure
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [("not-a-number", "c")], "id string, name string"
+    ).write.parquet(bad)
+    df2, _ = read_parquet_evolving(spark, [bad], expected)
+    row = df2.first()
+    assert row["id"] is None and row["name"] == "c"
