@@ -355,6 +355,12 @@ def delete_rows(
     are retired).
 
     Returns ``{"files_total", "files_rewritten", "rows_deleted"}``.
+
+    Replay-safe: the snapshot is assembled in a scratch directory and
+    published with one atomic rename — a retried job after a mid-run
+    crash finds either no ``dst`` (and rebuilds from scratch; stale
+    scratch dirs are reaped first) or the complete published snapshot
+    (and fails fast on the rename instead of appending duplicates).
     """
     import bisect
     import glob
@@ -364,13 +370,21 @@ def delete_rows(
 
     if os.path.abspath(dst) == os.path.abspath(src):
         raise ValueError("delete_rows: dst must differ from src")
+    if os.path.exists(dst):
+        raise FileExistsError(
+            f"delete_rows: {dst} already exists — snapshots are immutable "
+            "(a completed run published it; point a retry at a new dst or "
+            "remove the old snapshot explicitly)"
+        )
     files = sorted(glob.glob(os.path.join(src, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet files under {src}")
     key_list = sorted(set(keys))
+    file_rows: dict[str, int] = {}
 
     def may_contain(path: str) -> bool:
         md = pq.ParquetFile(path).metadata
+        file_rows[path] = md.num_rows  # cache: no second footer read
         for rg in range(md.num_row_groups):
             group = md.row_group(rg)
             stats = None
@@ -391,9 +405,12 @@ def delete_rows(
     touched_set = set(touched)
     untouched = [f for f in files if f not in touched_set]
 
-    os.makedirs(dst, exist_ok=True)
+    # build in a scratch dir; publish with one atomic rename at the end
+    building = dst.rstrip("/") + "._building"
+    shutil.rmtree(building, ignore_errors=True)  # reap a crashed attempt
+    os.makedirs(building)
     for f in untouched:
-        target = os.path.join(dst, os.path.basename(f))
+        target = os.path.join(building, os.path.basename(f))
         try:
             os.link(f, target)
         except OSError:
@@ -401,7 +418,7 @@ def delete_rows(
 
     rows_deleted = 0
     if touched:
-        before = sum(pq.ParquetFile(f).metadata.num_rows for f in touched)
+        before = sum(file_rows[f] for f in touched)
         # NULL-safe: ~isin(...) is NULL (dropped by filter) for NULL
         # keys, which would silently delete every anonymous row in a
         # rewritten file — keep NULL-keyed rows explicitly
@@ -416,11 +433,15 @@ def delete_rows(
         ):
             after += pq.ParquetFile(f).metadata.num_rows
             os.replace(
-                f, os.path.join(dst, f"rewrite-{i:05d}-{os.path.basename(f)}")
+                f,
+                os.path.join(
+                    building, f"rewrite-{i:05d}-{os.path.basename(f)}"
+                ),
             )
         shutil.rmtree(tmp, ignore_errors=True)
         rows_deleted = before - after
-    open(os.path.join(dst, SUCCESS_MARKER), "w").close()
+    open(os.path.join(building, SUCCESS_MARKER), "w").close()
+    os.rename(building, dst)  # atomic publish
     return {
         "files_total": len(files),
         "files_rewritten": len(touched),

@@ -325,7 +325,12 @@ def _gif_decode(payload: bytes):
     the same image stored as GIF checksums/fingerprints identically.
     ``color_table_entries`` is the size of the table the frame actually
     used (local wins over global), for depth reporting. Animated GIFs
-    yield frame 1 (the still-image semantics every thumbnailer uses)."""
+    yield frame 1 (the still-image semantics every thumbnailer uses).
+    A first frame that is a SUB-RECTANGLE of the logical screen (some
+    optimizers crop it) is composed onto the full screen canvas at its
+    (left, top) offset over the background color — like PIL — so the
+    decoded raster always has the logical-screen dimensions and the
+    cross-encoding checksum contract holds."""
     import struct
 
     import numpy as np
@@ -334,7 +339,9 @@ def _gif_decode(payload: bytes):
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
         raise ValueError("GIF header truncated")
+    screen_w, screen_h = struct.unpack_from("<HH", payload, 6)
     packed = payload[10]
+    bg_index = payload[11]
     pos = 13
     gct = None
     if packed & 0x80:
@@ -353,7 +360,7 @@ def _gif_decode(payload: bytes):
         elif block == 0x2C:  # image descriptor
             if pos + 10 > len(payload):
                 raise ValueError("GIF image descriptor truncated")
-            _, _, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
             ipacked = payload[pos + 9]
             pos += 10
             table = gct
@@ -389,7 +396,24 @@ def _gif_decode(payload: bytes):
                 idx = ordered
             if int(idx.max(initial=0)) >= len(table):
                 raise ValueError("GIF palette index out of range")
-            return np.ascontiguousarray(table[idx]), len(table)
+            pixels = table[idx]
+            full_w = max(screen_w, left + w)
+            full_h = max(screen_h, top + h)
+            if (full_w, full_h) != (w, h) or (left, top) != (0, 0):
+                # compose the sub-rect onto the logical screen over the
+                # background color (PIL's frame-1 semantics)
+                # the background index is defined against the GLOBAL
+                # table (the logical screen's), not the frame's local one
+                bg = (
+                    gct[bg_index]
+                    if gct is not None and bg_index < len(gct)
+                    else np.zeros(3, np.uint8)
+                )
+                canvas = np.empty((full_h, full_w, 3), np.uint8)
+                canvas[:, :] = bg
+                canvas[top : top + h, left : left + w] = pixels
+                pixels = canvas
+            return np.ascontiguousarray(pixels), len(table)
         elif block == 0x3B:  # trailer
             break
         else:
@@ -1318,16 +1342,15 @@ def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
             for payload in batch["payload"]:
                 payload = bytes(payload) if payload is not None else b""
                 try:
-                    if payload[4:8] in (b"ftyp", b"moov", b"wide", b"free"):
-                        w, h, d, n = _parse_mp4_metadata(payload)
-                    elif payload[:9] == b"YUV4MPEG2":
+                    if payload[:9] == b"YUV4MPEG2":
                         w, h, frames = _parse_y4m(payload)
                         d, n = None, 1
                     else:
-                        raise ValueError(
-                            "unrecognized video container (MP4/MOV/Y4M "
-                            "supported)"
-                        )
+                        # no magic allowlist: ISO BMFF files may lead
+                        # with styp/skip/pnot/mdat/...; the box walk
+                        # itself validates structure and raises cleanly
+                        # on non-BMFF payloads
+                        w, h, d, n = _parse_mp4_metadata(payload)
                 except Exception as e:  # noqa: BLE001 — dead-letter path
                     if strict:
                         raise

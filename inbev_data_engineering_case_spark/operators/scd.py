@@ -93,6 +93,7 @@ def scd2_merge(
     key_col: str,
     attr_cols: list[str],
     batch_ts_col: str,
+    validate: bool = True,
 ) -> DataFrame:
     """Merge one batch of observations into an SCD2 ``history`` table
     (schema as produced by ``scd2_from_log``); at most one observation
@@ -103,12 +104,38 @@ def scd2_merge(
       insert a new open row;
     - known key, same attrs  -> history unchanged;
     - closed rows            -> passed through untouched.
+
+    PRECONDITION: every batch observation is dated strictly AFTER the
+    key's open version began — closing an open row at an earlier ts
+    would publish an inverted ``[from, to)`` interval that as-of probes
+    can never match. ``validate=True`` (default) checks this with one
+    dimension-scale aggregate and raises on violation; late-arriving
+    observations belong in a ``scd2_from_log`` rebuild of the affected
+    keys, not a forward merge.
     """
     closed = history.filter(~F.col("is_current"))
     open_rows = history.filter(F.col("is_current")).alias("o")
     b = batch.alias("b")
 
     joined = b.join(open_rows, F.col(f"b.{key_col}") == F.col(f"o.{key_col}"), "left")
+    if validate:
+        # only observations that would CHANGE history can invert an
+        # interval — an unchanged same-ts observation (e.g. an
+        # idempotent batch replay) is a harmless no-op and must not trip
+        n_late = (
+            joined.filter(
+                F.col("o.effective_from").isNotNull()
+                & _changed(attr_cols, "b", "o")
+                & (F.col(f"b.{batch_ts_col}") <= F.col("o.effective_from"))
+            ).count()
+        )
+        if n_late:
+            raise ValueError(
+                f"scd2_merge: {n_late} batch observation(s) are not "
+                "strictly after their key's open version — merging would "
+                "invert validity intervals. Rebuild the affected keys "
+                "with scd2_from_log instead."
+            )
     is_new = F.col(f"o.{key_col}").isNull()
     changes = joined.filter(is_new | _changed(attr_cols, "b", "o")).select(
         F.col(f"b.{key_col}").alias(key_col),

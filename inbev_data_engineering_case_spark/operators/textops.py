@@ -261,7 +261,11 @@ HTML_STRIP_RULES: list[tuple[str, str]] = [
     (r"&#39;", "'"),
     (r"&apos;", "'"),
     (r"&amp;", "&"),
-    (r"\s+", " "),                     # collapse whitespace runs
+    # collapse whitespace runs — EXPLICIT class, not \s: Java's \s
+    # includes \x0B (vertical tab) while RE2's does not, so the shared
+    # rule text would diverge between Spark and the DuckDB oracle on any
+    # document containing one
+    (r"[ \t\n\x0B\f\r]+", " "),
 ]
 
 

@@ -144,12 +144,16 @@ def rolling_zscore(
     )
     v = F.round(F.col(value_col) * scale).cast("bigint")
     wide = "decimal(38,0)"
+    # _n counts NON-NULL values (count(_v), not count(*)): a window
+    # containing a NULL reading must not be scored — count(*) would let
+    # it through with sums that silently excluded the null, skewing
+    # every statistic in that window
     df = (
         events.withColumn("_v", v)
-        .withColumn("_n", F.count("*").over(w))
+        .withColumn("_n", F.count("_v").over(w))
         .withColumn("_s", F.sum("_v").over(w))
         .withColumn("_ssq", F.sum(F.col("_v") * F.col("_v")).over(w))
-        .filter(F.col("_n") == window_rows)
+        .filter(F.col("_v").isNotNull() & (F.col("_n") == window_rows))
     )
     n = F.col("_n")
     # var_num = n*ssq - s^2 = n*(n-1)*sample_variance (exact int64 at

@@ -3948,7 +3948,7 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), win AS (
       SELECT user_id, ts, event_id, value, v,
-             count(*) OVER w AS n, sum(v) OVER w AS s,
+             count(v) OVER w AS n, sum(v) OVER w AS s,
              sum(v * v) OVER w AS ssq
       FROM scaled
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -3956,7 +3956,7 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), calc AS (
       SELECT user_id, ts, event_id, value,
              24 * ssq - s * s AS var_num, 24 * v - s AS dev
-      FROM win WHERE n = 24
+      FROM win WHERE v IS NOT NULL AND n = 24
     )
     SELECT user_id, ts, event_id, value,
            CASE WHEN var_num > 0 THEN CAST(floor(
@@ -4239,6 +4239,7 @@ def q_semantic_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inbev_data_engineering_case_spark.operators.sketches import (
+        DEFAULT_LG_K,
         rollup_estimate,
     )
     from inbev_data_engineering_case_spark.streaming.events import (
@@ -4256,9 +4257,12 @@ def q_stream_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = rollup_estimate(partials)
 
     batch = read_events(spark, sf_dir)
+    # DEFAULT_LG_K shared with stream_sketch_partials' default: the
+    # bit-identity claim (streamed-merged == batch-direct) requires the
+    # SAME lg_k on both sides — one constant, not two literals
     direct = batch.groupBy("event_type").agg(
         F.hll_sketch_estimate(
-            F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+            F.hll_sketch_agg(F.col("user_id"), F.lit(DEFAULT_LG_K))
         ).alias("direct_estimate"),
         F.countDistinct("user_id").alias("exact_keys"),
     )

@@ -522,7 +522,7 @@ def stream_sketch_partials(
     ts_col: str = "ts",
     window: str = "1 day",
     watermark: str = "2 hours",
-    lg_k: int = 12,
+    lg_k: int | None = None,
 ) -> DataFrame:
     """Streaming twin of ``operators.sketches.sketch_partials``: maintain
     the per-(group, day) HLL distinct-count sketches INCREMENTALLY from
@@ -544,6 +544,13 @@ def stream_sketch_partials(
     ``day``) when both feed one partial table — the columns line up
     regardless, but mixed granularities would interleave buckets.
     """
+    from inbev_data_engineering_case_spark.operators.sketches import (
+        DEFAULT_LG_K,
+    )
+
+    if lg_k is None:
+        lg_k = DEFAULT_LG_K  # one constant with the batch twin: merged
+        # streamed partials must be bit-compatible with batch sketches
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("_w"), F.col(group_col))

@@ -227,3 +227,27 @@ def test_delete_rows_preserves_null_keyed_rows(spark, tmp_path):
     out = spark.read.parquet(dst)
     assert out.count() == 4
     assert out.filter("user_id IS NULL").count() == 2
+
+
+def test_delete_rows_refuses_replay_into_published_snapshot(spark, tmp_path):
+    """Replay safety: a retry into an already-published dst must fail
+    fast instead of appending duplicate rewrite files; a crashed
+    attempt's scratch dir is reaped and rebuilt."""
+    from inbev_data_engineering_case_spark.layers import delete_rows
+
+    src = str(tmp_path / "src")
+    spark.range(0, 100).selectExpr("id AS user_id").coalesce(1).write.parquet(
+        src
+    )
+    dst = str(tmp_path / "dst")
+    # simulate a crashed earlier attempt: stale scratch dir exists
+    os.makedirs(dst + "._building")
+    open(dst + "._building/leftover.parquet", "w").close()
+    stats = delete_rows(spark, src, dst, "user_id", [5])
+    assert stats["rows_deleted"] == 1
+    out = spark.read.parquet(dst)
+    assert out.count() == 99  # stale scratch reaped, not included
+    # second run into the published snapshot: refuse, leave it intact
+    with pytest.raises(FileExistsError):
+        delete_rows(spark, src, dst, "user_id", [5])
+    assert spark.read.parquet(dst).count() == 99

@@ -309,3 +309,77 @@ def test_html_escaped_entities_single_decode(spark):
     )
     got = df.select(html_to_text("text").alias("t")).first()["t"]
     assert got == "Use &lt;b&gt; to bold &amp; more"
+
+
+def test_scd2_merge_rejects_late_batch(spark):
+    """A batch observation dated at/before its key's open version would
+    invert the validity interval — the merge must raise (rebuild via
+    scd2_from_log is the late-data path); replaying an UNCHANGED batch
+    at the same ts stays a harmless no-op."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.scd import (
+        scd2_from_log,
+        scd2_merge,
+    )
+
+    d = datetime.date
+    history = scd2_from_log(
+        _log(spark, [(1, "A", d(2024, 2, 1), 1)]), "k", ["attr"], "ts", "id"
+    )
+    late = spark.createDataFrame(
+        [(1, "B", d(2024, 1, 15))], "k long, attr string, ts date"
+    )
+    with pytest.raises(ValueError, match="strictly after"):
+        scd2_merge(history, late, "k", ["attr"], "ts").collect()
+    # unchanged same-ts replay: no-op, no raise
+    replay = spark.createDataFrame(
+        [(1, "A", d(2024, 2, 1))], "k long, attr string, ts date"
+    )
+    out = scd2_merge(history, replay, "k", ["attr"], "ts")
+    assert out.count() == 1 and out.first()["is_current"]
+
+
+def test_html_vertical_tab_collapses_identically(spark):
+    """Java's \\s includes \\x0B, RE2's does not — the rule table uses an
+    explicit class so both engines collapse it."""
+    import duckdb
+
+    from inbev_data_engineering_case_spark.operators.textops import (
+        html_to_text,
+        html_to_text_sql,
+    )
+
+    s = "a\x0bb  c"
+    df = spark.createDataFrame([(s,)], "text string")
+    got = df.select(html_to_text("text").alias("t")).first()["t"]
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT {html_to_text_sql('?')}", [s]
+    ).fetchone()[0]
+    assert got == want == "a b c"
+
+
+def test_zscore_null_values_excluded_from_windows(spark):
+    """A NULL reading must not be scored, and windows containing it must
+    not be scored either (count(*) would score them with sums that
+    silently excluded the null)."""
+    import datetime as dt
+
+    from inbev_data_engineering_case_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, i), i,
+         None if i == 13 else float(10 + (i % 2)))
+        for i in range(26)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = rolling_zscore(df, window_rows=12).collect()
+    scored_ids = {r["event_id"] for r in out}
+    assert 13 not in scored_ids  # the null row itself
+    # every window overlapping the null (ids 14..24) is unscored too
+    assert scored_ids == set(range(11, 13)) | {25}

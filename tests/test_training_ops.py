@@ -2883,3 +2883,55 @@ def test_gif_depth_reflects_actual_color_table():
     pal4 = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
     _, feat = _featurize_gif(_make_gif([[0, 1], [2, 3]], pal4))
     assert feat[2] == 2.0  # 4-entry table -> 2-bit indices
+
+
+def test_gif_offset_frame_composes_onto_logical_screen():
+    """A first frame that is a sub-rectangle of the logical screen must
+    compose at its (left, top) offset over the background color — like
+    PIL — so dimensions and checksums stay encoding-invariant."""
+    import struct
+
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _gif_decode_pixels,
+    )
+
+    # 4x3 logical screen, 2x1 frame at (1, 1); bg index 1
+    pal = [(10, 20, 30), (200, 200, 200), (1, 2, 3), (4, 5, 6)]
+    base = _make_gif([[0, 2]], pal)  # reuse the encoder's blocks
+    # patch: header screen 4x3, bg=1; image descriptor left=1, top=1
+    patched = bytearray(base)
+    struct.pack_into("<HH", patched, 6, 4, 3)
+    patched[11] = 1
+    img_off = patched.index(0x2C)
+    struct.pack_into("<HH", patched, img_off + 1, 1, 1)
+    pixels = _gif_decode_pixels(bytes(patched))
+    assert pixels.shape == (3, 4, 3)
+    bg = np.array(pal[1], np.uint8)
+    assert (pixels[0, 0] == bg).all() and (pixels[2, 3] == bg).all()
+    assert (pixels[1, 1] == np.array(pal[0], np.uint8)).all()
+    assert (pixels[1, 2] == np.array(pal[2], np.uint8)).all()
+
+
+def test_video_metadata_accepts_styp_and_mdat_first(spark):
+    """BMFF files needn't lead with ftyp: fragmented streams lead with
+    styp and legacy MOVs can be mdat-first — the box walk, not a magic
+    allowlist, decides."""
+    import struct
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        video_metadata,
+    )
+
+    base = _make_mp4(width=640, height=480)
+    styp_first = _box(b"styp", b"msdh" + bytes(4)) + base
+    # mdat-first: move a tiny mdat ahead of everything
+    mdat_first = _box(b"mdat", b"\x00" * 8) + base
+    df = spark.createDataFrame(
+        [(1, "video/mp4", styp_first), (2, "video/quicktime", mdat_first)],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = {r["asset_id"]: r for r in video_metadata(df).collect()}
+    assert out[1]["meta_ok"] and (out[1]["width"], out[1]["height"]) == (640, 480)
+    assert out[2]["meta_ok"] and (out[2]["width"], out[2]["height"]) == (640, 480)
