@@ -150,14 +150,23 @@ def sqdist(a: Column | str, b: Column | str) -> Column:
     )
 
 
+# Whitespace-run regex shared by every tokenizer/normalizer AND their
+# DuckDB oracle twins. EXPLICIT class, never \s: Java's \s includes
+# \x0B (vertical tab) while RE2's does not, so the same pattern text
+# would tokenize differently across the two engines on any document
+# containing one — a silent driver-gate hash mismatch.
+WS_RE = r"[ \t\n\x0b\f\r]+"
+
+
 def tokens(c: Column | str) -> Column:
     """Whitespace tokenization → array<string>; empty strings removed.
 
-    ``split(trim(c), '\\\\s+')`` matches DuckDB's
-    ``regexp_split_to_array(trim(c), '\\s+')`` for non-empty input.
+    ``split(trim(c), WS_RE)`` matches DuckDB's
+    ``regexp_split_to_array(trim(c), WS_RE)`` for non-empty input (the
+    oracles embed the same class literally).
     """
     c = F.col(c) if isinstance(c, str) else c
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(c), WS_RE)
 
 
 def char_ngrams(c: Column | str, n: int) -> Column:

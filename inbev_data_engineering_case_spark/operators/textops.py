@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from inbev_data_engineering_case_spark.functions import portable_hash64, tokens
+from inbev_data_engineering_case_spark.functions import (
+    WS_RE,
+    portable_hash64,
+    tokens,
+)
 
 # Tiny per-language stopword inventories for the n-gram/stopword language-ID
 # heuristic. Deliberately small and hard-coded: the operator's job is the
@@ -46,7 +50,7 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(
         F.filter(
             F.split(
-                F.regexp_replace(text, r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])", "$1\x1f"),
+                F.regexp_replace(text, r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r])", "$1\x1f"),
                 "\x1f",
             ),
             lambda t: F.trim(t) != "",
@@ -207,7 +211,7 @@ def line_repetition_ratio(text: Column | str) -> Column:
 # Conservative, RE2-compatible patterns (no lookarounds/backrefs) so the
 # same regex text runs identically in Spark's Java engine and DuckDB's RE2.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE_RE = r"\+?[0-9][0-9()\s-]{6,}[0-9]"
+PII_PHONE_RE = r"\+?[0-9][0-9() \t\n\x0b\f\r-]{6,}[0-9]"
 
 
 def scrub_pii(text: Column | str) -> Column:
@@ -224,7 +228,7 @@ def normalize_for_fingerprint(text: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse all whitespace
     runs to single spaces, trim."""
     text = F.col(text) if isinstance(text, str) else text
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.regexp_replace(F.lower(F.trim(text)), WS_RE, " ")
 
 
 def fingerprint(text: Column | str) -> Column:

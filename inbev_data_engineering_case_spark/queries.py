@@ -1319,8 +1319,8 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB twins of the textops expressions. \x1f (unit separator) is spelled
 # chr(31) in SQL.
-_SQL_TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
-_SQL_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_SQL_TOKENS = "regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')"
+_SQL_NORM = "regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')"
 _SQL_FP = f"(('0x' || substr(md5({_SQL_NORM}), 1, 15)))::BIGINT"
 
 
@@ -1416,7 +1416,7 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_filter(
              regexp_split_to_array(
                regexp_replace(text,
-                 '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s])', '\\1' || chr(31), 'g'),
+                 '([A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r])', '\\1' || chr(31), 'g'),
                chr(31)),
              t -> trim(t) != '')) AS n_bpe_tokens
     FROM documents
@@ -1639,7 +1639,7 @@ def _mixture_oracle() -> str:
     """
     WITH base AS (
       SELECT doc_id,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+             regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS ws
       FROM documents
     ),
     toks AS (SELECT doc_id, unnest(ws) AS w FROM base),
@@ -1741,14 +1741,14 @@ _SQL_DECON_GRAMS = (
     bgrams AS (
       SELECT DISTINCT (('0x' || substr(md5(g), 1, 15)))::BIGINT AS gram_h
       FROM (SELECT unnest({_SQL_DECON_GRAMS}) AS g
-            FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+            FROM (SELECT regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w
                   FROM bench))
     ),
     dgrams AS (
       SELECT doc_id,
              unnest(list_distinct({_SQL_DECON_GRAMS})) AS g
       FROM (SELECT doc_id,
-                   regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                   regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w
             FROM corpus)
     )
     SELECT doc_id, count(*) AS matched_ngrams
@@ -1791,7 +1791,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  [array_to_string(w[i:i+4], ' ')
                   FOR i IN range(1, len(w) - 3)])) AS gram
         FROM (SELECT doc_id,
-                     regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                     regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+') AS w
               FROM documents)
       )
     ),
@@ -1970,7 +1970,7 @@ def _minhash_oracle(
       SELECT doc_id AS id,
              list_distinct([array_to_string(w[i:i+{shingle_words - 1}], ' ')
                             FOR i IN range(1, len(w) - {shingle_words - 2})]) AS sh
-      FROM (SELECT doc_id, regexp_split_to_array(trim(nt), '\\s+') AS w
+      FROM (SELECT doc_id, regexp_split_to_array(trim(nt), '[ \\t\\n\\x0b\\f\\r]+') AS w
             FROM (SELECT doc_id, {_SQL_NORM} AS nt FROM corpus))
     ),
     hashed AS (
@@ -2969,7 +2969,7 @@ def _sig_ctes(
       SELECT doc_id AS id,
              list_distinct([array_to_string(w[i:i+{shingle_words - 1}], ' ')
                             FOR i IN range(1, len(w) - {shingle_words - 2})]) AS sh
-      FROM (SELECT doc_id, regexp_split_to_array(trim(nt), '\\s+') AS w
+      FROM (SELECT doc_id, regexp_split_to_array(trim(nt), '[ \\t\\n\\x0b\\f\\r]+') AS w
             FROM (SELECT doc_id, {_SQL_NORM} AS nt FROM {corpus_sql} AS c_{tag}))
     ),
     hashed_{tag} AS (
@@ -3257,7 +3257,7 @@ def q_curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_chunk_documents",
     """
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS w
       FROM documents
     ),
     meta AS (
@@ -3349,7 +3349,7 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                (('0x' || substr(md5('pack:' || doc_id), 1, 15)))::BIGINT
                  % 64 AS packer,
-               CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               CAST(len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'))
                     AS BIGINT) AS n_tokens
         FROM documents
       )
@@ -3382,10 +3382,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_repetition",
     """
     SELECT doc_id,
-           (len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+           (len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'))
             - len(list_distinct(
-                regexp_split_to_array(trim(lower(text)), '\\s+'))))
-           / len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'))))
+           / len(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+'))
              AS token_rep,
            (len(string_split(text, chr(10)))
             - len(list_distinct(string_split(text, chr(10)))))
@@ -3419,7 +3419,7 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                '@example.com or +1 (555) 010-' || doc_id::VARCHAR || '9',
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                '<EMAIL>', 'g'),
-             '\\+?[0-9][0-9()\\s-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+             '\\+?[0-9][0-9() \\t\\n\\x0b\\f\\r-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
     FROM documents
     """,
     doc="PII scrubbing (normalize family): redact emails then phone-shaped "

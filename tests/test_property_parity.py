@@ -28,7 +28,10 @@ from inbev_data_engineering_case_spark.operators.normalize import (
 # char the reference repairs, and quote chars (SQL-literal hazards).
 ALPHABET = list(
     "abzABZ 019.,-'\"_"
-) + ["\t", "�", "â", "‿", "Ä", "ä", "ö", "ü", "ß", "ç", "Å", "ø", "É", "è"]
+) + ["\t", "\x0b", "�", "â", "‿", "Ä", "ä", "ö", "ü", "ß", "ç", "Å", "ø", "É", "è"]
+# \x0b (vertical tab): Java's \s matches it, RE2's does not — every
+# shared pattern must use the explicit whitespace class (functions.WS_RE)
+# or these parity tests catch the divergence.
 
 TEXTS = st.lists(
     st.text(alphabet=st.sampled_from(ALPHABET), max_size=24),
@@ -93,7 +96,7 @@ def test_word_ngrams_parity(spark, con, texts):
     want = [
         con.execute(
             "SELECT [array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]"
-            " FROM (SELECT regexp_split_to_array(trim(?), '\\s+') AS w)",
+            " FROM (SELECT regexp_split_to_array(trim(?), '[ \\t\\n\\x0b\\f\\r]+') AS w)",
             [t],
         ).fetchone()[0]
         for t in texts
@@ -157,7 +160,7 @@ def test_repetition_ratio_parity(spark, con, texts):
     want = [
         con.execute(
             "SELECT (len(w) - len(list_distinct(w))) / len(w) FROM"
-            " (SELECT regexp_split_to_array(trim(lower(?)), '\\s+') AS w)",
+            " (SELECT regexp_split_to_array(trim(lower(?)), '[ \\t\\n\\x0b\\f\\r]+') AS w)",
             [t],
         ).fetchone()[0]
         for t in planted
