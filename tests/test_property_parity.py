@@ -335,3 +335,36 @@ def test_scd2_merge_equals_rebuild(spark, log, batch):
     got = sorted(map(tuple, merged.select(*cols).collect()))
     want = sorted(map(tuple, rebuilt.select(*cols).collect()))
     assert got == want
+
+
+def test_no_bare_backslash_s_in_engine_strings():
+    """Lint guard: no string literal in the engine may contain \\s —
+    Java's \\s matches \\x0B, RE2's does not, so a shared pattern using
+    it diverges between Spark and the DuckDB oracles. Use the explicit
+    class (functions.WS_RE). Docstrings are exempt (prose)."""
+    import ast
+    import glob
+
+    offenders = []
+    for path in glob.glob(
+        "inbev_data_engineering_case_spark/**/*.py", recursive=True
+    ):
+        tree = ast.parse(open(path).read())
+        docstrings = set()
+        for node in ast.walk(tree):
+            if isinstance(
+                node,
+                (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+            ):
+                d = ast.get_docstring(node, clean=False)
+                if d:
+                    docstrings.add(d)
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Constant)
+                and isinstance(node.value, str)
+                and "\\s" in node.value
+                and node.value not in docstrings
+            ):
+                offenders.append(f"{path}:{node.lineno}")
+    assert not offenders, offenders
