@@ -184,3 +184,44 @@ def deterministic_shuffle(
     if keep_key:
         return df.withColumn("shuffle_key", key).orderBy("shuffle_key")
     return df.orderBy(key)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: Column | str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws key = -ln(u)/w with u a pure function
+    of (salt, id); the k smallest keys are the sample. Inclusion
+    probability scales with the weight, no row repeats, and — like every
+    sampler here — the subset is a pure function of the data: retries,
+    AQE re-plans, and the DuckDB oracle all select the identical rows.
+
+    The quality-weighted data-selection step ("sample proportional to
+    quality^T"): pass e.g. ``F.pow(F.col('quality'), T)`` as the weight.
+    Rows with weight <= 0 or NULL are excluded (A-ES is undefined there;
+    a zero-weight row must never be drawn).
+
+    u comes from the portable 60-bit hash scaled into (0, 1) —
+    ``(h % B + 0.5) / B`` never hits 0 or 1, so ln(u) is finite; the
+    -ln(u)/w chain is IEEE-exact on identical doubles, and ties (only
+    possible via hash collision) break on the id. Scale shape: the key
+    is a codegen'd per-row expression; top-k plans as
+    TakeOrderedAndProject — no global sort, no RNG state.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        (portable_hash64(id_col, seed=salt) % SAMPLE_BUCKETS).cast("double")
+        + 0.5
+    ) / SAMPLE_BUCKETS
+    key = -F.log(u) / w.cast("double")
+    return (
+        df.filter(w.isNotNull() & (w.cast("double") > 0))
+        .withColumn("_es_key", key)
+        .orderBy("_es_key", id_col)
+        .limit(k)
+        .drop("_es_key")
+    )

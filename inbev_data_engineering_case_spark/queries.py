@@ -4147,6 +4147,42 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 1000000) + 0.5) / 1000000.0)
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM keyed ORDER BY k, doc_id LIMIT 200
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(sample.weighted_sample, Efraimidis-Spirakis A-ES): 200 documents "
+    "drawn with probability scaling in n_chars — the 'sample "
+    "proportional to quality^T' data-selection step, here weighted by "
+    "length. key = -ln(u)/w with u a pure hash of the id, so the "
+    "subset is a pure function of the data: retries, AQE re-plans, and "
+    "this oracle (the identical formula on the identical hash) select "
+    "the same rows; top-k plans as TakeOrderedAndProject, no global "
+    "sort, no RNG. Registered late in r5: tail slot, r6 promotion "
+    "(family cover: q_mixture_sample + q_corpus_shuffle run the same "
+    "hash-deterministic sampling machinery in-window).",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.sample import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, 200, "n_chars").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+
+
 def _semantic_decon_oracle(num_planes: int = 8, threshold: float = 0.9) -> str:
     bucket = _signlsh_bucket_sql(num_planes)
     return f"""
@@ -4445,6 +4481,8 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # same late-r5 situation; each half (broadcast contamination check /
     # bucketed cosine verify) has in-window cover:
     "q_semantic_decon": ("q_boilerplate", "q_ann_cosine"),
+    # same late-r5 situation; hash-deterministic sampling family cover:
+    "q_weighted_sample": ("q_mixture_sample", "q_corpus_shuffle"),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family

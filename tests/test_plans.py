@@ -411,3 +411,10 @@ def test_semantic_decon_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_takes_ordered(spark):
+    plan = _plan(spark, "q_weighted_sample")
+    # top-k by the A-ES key: TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan

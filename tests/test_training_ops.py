@@ -2935,3 +2935,33 @@ def test_video_metadata_accepts_styp_and_mdat_first(spark):
     out = {r["asset_id"]: r for r in video_metadata(df).collect()}
     assert out[1]["meta_ok"] and (out[1]["width"], out[1]["height"]) == (640, 480)
     assert out[2]["meta_ok"] and (out[2]["width"], out[2]["height"]) == (640, 480)
+
+
+def test_weighted_sample_scales_with_weight(spark):
+    """A-ES properties: heavier rows are overrepresented, no row repeats,
+    zero/NULL weights never draw, and the subset is deterministic."""
+    from inbev_data_engineering_case_spark.operators.sample import (
+        weighted_sample,
+    )
+
+    rows = (
+        [(i, 10.0) for i in range(500)]           # heavy: weight 10
+        + [(1000 + i, 1.0) for i in range(500)]   # light: weight 1
+        + [(9001, 0.0), (9002, None)]             # never drawn
+    )
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = weighted_sample(df, 300, "w").collect()
+    ids = [r["doc_id"] for r in picked]
+    assert len(ids) == len(set(ids)) == 300  # without replacement
+    assert 9001 not in ids and 9002 not in ids
+    heavy = sum(1 for i in ids if i < 500)
+    # E[heavy] ~ 272 of 300 (weight ratio 10:1); even a loose bound
+    # separates it decisively from unweighted (~150)
+    assert heavy > 200, heavy
+    # deterministic: same data -> same subset; new salt -> new subset
+    again = [r["doc_id"] for r in weighted_sample(df, 300, "w").collect()]
+    assert again == ids
+    other = [
+        r["doc_id"] for r in weighted_sample(df, 300, "w", salt=1).collect()
+    ]
+    assert other != ids
