@@ -368,6 +368,9 @@ def delete_rows(
 
     import pyarrow.parquet as pq
 
+    # a trailing slash would break the atomic rename publish (ENOENT on
+    # Linux for a nonexistent "dir/" rename target)
+    dst = dst.rstrip("/")
     if os.path.abspath(dst) == os.path.abspath(src):
         raise ValueError("delete_rows: dst must differ from src")
     if os.path.exists(dst):

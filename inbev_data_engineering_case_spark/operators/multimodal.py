@@ -397,8 +397,24 @@ def _gif_decode(payload: bytes):
             if int(idx.max(initial=0)) >= len(table):
                 raise ValueError("GIF palette index out of range")
             pixels = table[idx]
-            full_w = max(screen_w, left + w)
-            full_h = max(screen_h, top + h)
+            # a frame overhanging the declared screen is corrupt (PIL
+            # crops; we dead-letter — the checksum could never match the
+            # image's other encodings either way)
+            if left + w > max(screen_w, w) or top + h > max(screen_h, h):
+                raise ValueError(
+                    "GIF frame overhangs the logical screen "
+                    f"({left},{top})+{w}x{h} vs {screen_w}x{screen_h}"
+                )
+            full_w = max(screen_w, w)
+            full_h = max(screen_h, h)
+            # header-declared canvas bound: a 40-byte payload can claim a
+            # 65535x65535 screen; allocating it would OOM the executor
+            # task instead of dead-lettering one asset
+            if full_w * full_h > 64_000_000:
+                raise ValueError(
+                    f"GIF logical screen {full_w}x{full_h} exceeds the "
+                    "64M-pixel decode bound"
+                )
             if (full_w, full_h) != (w, h) or (left, top) != (0, 0):
                 # compose the sub-rect onto the logical screen over the
                 # background color (PIL's frame-1 semantics)

@@ -206,11 +206,21 @@ def weighted_sample(
     a zero-weight row must never be drawn).
 
     u comes from the portable 60-bit hash scaled into (0, 1) —
-    ``(h % B + 0.5) / B`` never hits 0 or 1, so ln(u) is finite; the
-    -ln(u)/w chain is IEEE-exact on identical doubles, and ties (only
-    possible via hash collision) break on the id. Scale shape: the key
-    is a codegen'd per-row expression; top-k plans as
-    TakeOrderedAndProject — no global sort, no RNG state.
+    ``(h % B + 0.5) / B`` never hits 0 or 1, so ln(u) is finite; ties
+    (only possible via hash collision) break on the id. Rows with a
+    NULL id are excluded (a NULL hash key would sort engine-specifically
+    — Spark NULLS FIRST vs the oracle's NULLS LAST — and an unkeyed row
+    has no defined draw probability anyway).
+
+    Cross-engine caveat (unlike the division/sqrt-only operators, which
+    are bit-exact by construction): ``ln`` is faithfully-rounded but not
+    CORRECTLY-rounded in IEEE — Java's Math.log and libm may differ in
+    the last ulp. The subset is always deterministic per engine; across
+    engines it could in principle flip only if two rows straddle rank k
+    with keys within ~1 ulp (~1e-16 relative; never observed in the
+    oracle gate). Scale shape: the key is a codegen'd per-row
+    expression; top-k plans as TakeOrderedAndProject — no global sort,
+    no RNG state.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u = (
@@ -219,7 +229,11 @@ def weighted_sample(
     ) / SAMPLE_BUCKETS
     key = -F.log(u) / w.cast("double")
     return (
-        df.filter(w.isNotNull() & (w.cast("double") > 0))
+        df.filter(
+            F.col(id_col).isNotNull()
+            & w.isNotNull()
+            & (w.cast("double") > 0)
+        )
         .withColumn("_es_key", key)
         .orderBy("_es_key", id_col)
         .limit(k)

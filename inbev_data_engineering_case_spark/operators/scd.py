@@ -111,7 +111,9 @@ def scd2_merge(
     can never match. ``validate=True`` (default) checks this with one
     dimension-scale aggregate and raises on violation; late-arriving
     observations belong in a ``scd2_from_log`` rebuild of the affected
-    keys, not a forward merge.
+    keys, not a forward merge. The check costs one extra batch-vs-open
+    join execution per merge (dimension-scale); pass ``validate=False``
+    on a feed whose timestamps are guaranteed monotone upstream.
     """
     closed = history.filter(~F.col("is_current"))
     open_rows = history.filter(F.col("is_current")).alias("o")

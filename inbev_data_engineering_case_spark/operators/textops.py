@@ -269,7 +269,7 @@ HTML_STRIP_RULES: list[tuple[str, str]] = [
     # includes \x0B (vertical tab) while RE2's does not, so the shared
     # rule text would diverge between Spark and the DuckDB oracle on any
     # document containing one
-    (r"[ \t\n\x0B\f\r]+", " "),
+    (r"[ \t\n\x0b\f\r]+", " "),
 ]
 
 

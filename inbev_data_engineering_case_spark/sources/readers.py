@@ -199,6 +199,11 @@ def read_parquet_evolving(
     """
     from pyspark.sql import functions as F
 
+    if not paths:
+        raise ValueError(
+            "read_parquet_evolving: no paths — an empty snapshot manifest "
+            "should be handled by the caller, not read as an empty table"
+        )
     report: list[dict] = []
     parts = []
     expected = {f.name: f.dataType for f in expected_schema.fields}

@@ -251,3 +251,16 @@ def test_delete_rows_refuses_replay_into_published_snapshot(spark, tmp_path):
     with pytest.raises(FileExistsError):
         delete_rows(spark, src, dst, "user_id", [5])
     assert spark.read.parquet(dst).count() == 99
+
+
+def test_delete_rows_accepts_trailing_slash_dst(spark, tmp_path):
+    from inbev_data_engineering_case_spark.layers import delete_rows
+
+    src = str(tmp_path / "src")
+    spark.range(0, 50).selectExpr("id AS user_id").coalesce(1).write.parquet(
+        src
+    )
+    dst = str(tmp_path / "out") + "/"  # trailing slash must not break publish
+    stats = delete_rows(spark, src, dst, "user_id", [1])
+    assert stats["rows_deleted"] == 1
+    assert spark.read.parquet(dst).count() == 49

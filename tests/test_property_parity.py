@@ -368,3 +368,25 @@ def test_no_bare_backslash_s_in_engine_strings():
             ):
                 offenders.append(f"{path}:{node.lineno}")
     assert not offenders, offenders
+
+
+def test_whitespace_classes_are_canonical():
+    """Companion to the \\s guard: every explicit whitespace class in the
+    engine and tests must be the ONE canonical spelling (functions.WS_RE
+    without the quantifier) — a drifted copy (say, one oracle string
+    dropping \\x0b) would reintroduce the same silent Spark-vs-oracle
+    divergence."""
+    import glob
+    import re
+
+    canonical = "[ \\t\\n\\x0b\\f\\r]"
+    pat = re.compile(r"\[ \\t\\n[^\]]*\]")
+    offenders = []
+    for path in glob.glob(
+        "inbev_data_engineering_case_spark/**/*.py", recursive=True
+    ) + glob.glob("tests/*.py"):
+        for i, line in enumerate(open(path), 1):
+            for m in pat.findall(line):
+                if m != canonical:
+                    offenders.append(f"{path}:{i}: {m}")
+    assert not offenders, offenders

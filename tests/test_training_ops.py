@@ -2965,3 +2965,40 @@ def test_weighted_sample_scales_with_weight(spark):
         r["doc_id"] for r in weighted_sample(df, 300, "w", salt=1).collect()
     ]
     assert other != ids
+
+
+def test_gif_declared_screen_bounds_are_enforced():
+    """A tiny payload declaring a huge logical screen must dead-letter,
+    not allocate a multi-GB canvas; an overhanging frame is corrupt."""
+    import struct
+
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _gif_decode_pixels,
+    )
+
+    pal = [(1, 2, 3)]
+    base = bytearray(_make_gif([[0, 0]], pal))
+    struct.pack_into("<HH", base, 6, 65535, 65535)  # 12.9 GB canvas claim
+    with pytest.raises(ValueError, match="64M-pixel"):
+        _gif_decode_pixels(bytes(base))
+
+    overhang = bytearray(_make_gif([[0, 0]], pal))
+    struct.pack_into("<HH", overhang, 6, 2, 1)  # screen 2x1
+    img_off = overhang.index(0x2C)
+    struct.pack_into("<HH", overhang, img_off + 1, 1, 0)  # frame at left=1
+    with pytest.raises(ValueError, match="overhangs"):
+        _gif_decode_pixels(bytes(overhang))
+
+
+def test_weighted_sample_excludes_null_ids(spark):
+    from inbev_data_engineering_case_spark.operators.sample import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (None, 99.0), (2, 5.0)], "doc_id long, w double"
+    )
+    ids = [r["doc_id"] for r in weighted_sample(df, 3, "w").collect()]
+    assert ids and None not in ids
