@@ -590,3 +590,70 @@ def incremental_minhash_pairs(
     # the same canonical pair appear in both branches); the exchange carries
     # only thresholded 24-byte rows
     return vs_stored.unionByName(vs_new).distinct()
+
+
+def curation_report(
+    documents: DataFrame,
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize_mode: str = "local",
+) -> DataFrame:
+    """Pipeline observability for ``curate_corpus``: one row per stage
+    with the surviving document count — ``(stage_idx, stage,
+    survivors)`` for input → lang → quality → exact_dedup → near_dedup.
+    The funnel every curation run should log: a sudden stage-level drop
+    (a lang-ID regression, an exploding near-dup cluster) shows up as a
+    step change here long before anyone inspects the corpus itself.
+
+    Shares the engine's own stages (``score_documents``, ``exact_dedup``,
+    ``minhash_dedup_pairs`` → ``dedup_components``) with identical
+    parameters, so its counts are BY CONSTRUCTION the cardinalities of
+    ``curate_corpus``'s intermediate frames — the final row always
+    equals ``curate_corpus(...).count()``. The scored corpus
+    materializes once (same ``materialize_mode`` contract) and the three
+    filter-stage counts come from ONE conditional aggregation over it.
+    """
+    scored = _materialize(
+        score_documents(documents, text_col, id_col), materialize_mode
+    )
+    lang_ok = F.col("lang").isin(*languages)
+    quality_ok = lang_ok & (F.col("quality") >= min_quality)
+    head = scored.agg(
+        F.count("*").alias("_input"),
+        F.count(F.when(lang_ok, 1)).alias("_lang"),
+        F.count(F.when(quality_ok, 1)).alias("_quality"),
+    )
+
+    eligible = _materialize(scored.filter(quality_ok), materialize_mode)
+    exact_keep = exact_dedup(eligible, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    survivors = _materialize(
+        eligible.join(exact_keep, on=id_col, how="left_semi"),
+        materialize_mode,
+    )
+    pairs = minhash_dedup_pairs(
+        survivors, text_col, id_col, threshold=near_dup_threshold,
+        materialize_mode=materialize_mode,
+    )
+    clusters = dedup_components(pairs)
+    drop = clusters.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    n_exact = survivors.count()
+    n_final = survivors.join(drop, on=id_col, how="left_anti").count()
+    r = head.first()
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        [
+            (1, "input", r["_input"]),
+            (2, "lang", r["_lang"]),
+            (3, "quality", r["_quality"]),
+            (4, "exact_dedup", n_exact),
+            (5, "near_dedup", n_final),
+        ],
+        "stage_idx int, stage string, survivors bigint",
+    )

@@ -4147,6 +4147,93 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_report_oracle(
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    threshold: float = 0.5,
+) -> str:
+    langs = ", ".join(f"'{lang}'" for lang in languages)
+    return f"""
+    WITH RECURSIVE corpus AS (SELECT * FROM {_SQL_CORPUS_NEAR} AS c0),
+    scored AS (
+      SELECT doc_id, text,
+             {_lang_case_sql()} AS lang,
+             {_SQL_QUALITY} AS quality
+      FROM corpus
+    ),
+    head AS (
+      SELECT count(*) AS n_input,
+             count(CASE WHEN lang IN ({langs}) THEN 1 END) AS n_lang,
+             count(CASE WHEN lang IN ({langs})
+                         AND quality >= CAST({min_quality} AS DOUBLE)
+                   THEN 1 END) AS n_quality
+      FROM scored
+    ),
+    eligible AS (
+      SELECT * FROM scored
+      WHERE lang IN ({langs}) AND quality >= CAST({min_quality} AS DOUBLE)
+    ),
+    fps AS (SELECT doc_id, {_SQL_FP} AS fp FROM eligible),
+    exact_keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
+    survivors AS (
+      SELECT e.* FROM eligible e JOIN exact_keep k USING (doc_id)
+    ),
+    {_sig_ctes("cr", "(SELECT doc_id, text FROM survivors)")},
+    mh AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands_cr a JOIN bands_cr b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id < b.id
+      WHERE {_sig_match_sql("a", "b")} >= {threshold}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM mh
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM comp WHERE node != comp),
+    n4 AS (SELECT count(*) AS n FROM survivors),
+    n5 AS (SELECT count(*) AS n FROM survivors
+           WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+    SELECT 1 AS stage_idx, 'input' AS stage,
+           CAST(n_input AS BIGINT) AS survivors FROM head
+    UNION ALL SELECT 2, 'lang', CAST(n_lang AS BIGINT) FROM head
+    UNION ALL SELECT 3, 'quality', CAST(n_quality AS BIGINT) FROM head
+    UNION ALL SELECT 4, 'exact_dedup', CAST(n AS BIGINT) FROM n4
+    UNION ALL SELECT 5, 'near_dedup', CAST(n AS BIGINT) FROM n5
+    """
+
+
+@register(
+    "q_curation_report",
+    _curation_report_oracle(),
+    doc="Curation-pipeline observability (curate.curation_report): the "
+    "per-stage survivor funnel — input → lang → quality → exact_dedup → "
+    "near_dedup — over the same planted-near-dup corpus q_curate_corpus "
+    "runs on, sharing the engine's own stage implementations so each "
+    "count is BY CONSTRUCTION the cardinality of the corresponding "
+    "intermediate frame (the last row equals the curated corpus size). "
+    "The step-change alarm every daily curation run logs. Oracle "
+    "replays the identical funnel in SQL, ending in the same "
+    "recursive-CTE components closure. Registered late in r5: tail "
+    "slot, r6 promotion (family cover: q_curate_corpus runs the full "
+    "composition in-window, q_dq_profile's one-pass rule-counts shape "
+    "is covered by q_skew_report + q_group_stats).",
+)
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curation_report,
+    )
+
+    return curation_report(_corpus_near(spark, sf_dir))
+
+
 @register(
     "q_weighted_sample",
     """
@@ -4483,6 +4570,9 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_semantic_decon": ("q_boilerplate", "q_ann_cosine"),
     # same late-r5 situation; hash-deterministic sampling family cover:
     "q_weighted_sample": ("q_mixture_sample", "q_corpus_shuffle"),
+    # same late-r5 situation; the full composition it reports on is
+    # in-window (its counts are that pipeline's stage cardinalities):
+    "q_curation_report": ("q_curate_corpus",),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family

@@ -3002,3 +3002,43 @@ def test_weighted_sample_excludes_null_ids(spark):
     )
     ids = [r["doc_id"] for r in weighted_sample(df, 3, "w").collect()]
     assert ids and None not in ids
+
+
+def test_curation_report_matches_pipeline_cardinalities(spark):
+    """The report's funnel counts are the pipeline's own intermediate
+    cardinalities: monotone non-increasing, and the final row equals
+    curate_corpus's output size on the same corpus."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+        curation_report,
+    )
+
+    en = (
+        "the quick brown fox jumps over the lazy dog and it is a fine day "
+        "for that in the sun with a friend of the family"
+    )
+    rows = [
+        (1, en),
+        (2, en),                            # exact dup
+        (3, en + " extra tail words"),      # near dup
+        (4, "el que la de y en un una por con el que la de y en un por"),
+        (5, "x! y? z. a; b: c, d! e? f."),  # junk
+        (6, "a completely different english text about the history of "
+            "bridges and the people that built them in the old days"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    report = {
+        r["stage"]: r["survivors"]
+        for r in curation_report(docs).collect()
+    }
+    assert report["input"] == 6
+    # doc 4 (Spanish) and doc 5 (no stopwords -> lang 'und') both fall
+    # at the language gate; nothing else falls at quality here
+    assert report["lang"] == 4
+    assert report["quality"] == 4
+    assert report["exact_dedup"] == 3  # doc 2 out
+    assert report["near_dedup"] == 2   # doc 3 out
+    counts = [report[s] for s in
+              ("input", "lang", "quality", "exact_dedup", "near_dedup")]
+    assert counts == sorted(counts, reverse=True)
+    assert report["near_dedup"] == curate_corpus(docs).count()
