@@ -409,7 +409,7 @@ def delete_rows(
     untouched = [f for f in files if f not in touched_set]
 
     # build in a scratch dir; publish with one atomic rename at the end
-    building = dst.rstrip("/") + "._building"
+    building = dst + "._building"
     shutil.rmtree(building, ignore_errors=True)  # reap a crashed attempt
     os.makedirs(building)
     for f in untouched:
@@ -428,7 +428,7 @@ def delete_rows(
         kept = spark.read.parquet(*touched).filter(
             ~F.col(key_col).isin(*key_list) | F.col(key_col).isNull()
         )
-        tmp = dst.rstrip("/") + "._delete_tmp"
+        tmp = dst + "._delete_tmp"
         kept.write.mode("overwrite").parquet(tmp)
         after = 0
         for i, f in enumerate(

@@ -154,26 +154,44 @@ def curate_corpus(
     # materialize_mode selects the sharing mechanism (local blocks /
     # reliable checkpoint / parquet scratch table).
     eligible = _materialize(eligible, materialize_mode)
+    _, final = _dedup_chain(
+        eligible, text_col, id_col, near_dup_threshold, materialize_mode
+    )
+    return final
 
+
+def _dedup_chain(
+    eligible: DataFrame,
+    text_col: str,
+    id_col: str,
+    near_dup_threshold: float,
+    materialize_mode: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared dedup tail of the curation pipeline: exact fingerprint
+    dedup (min-id survivor) then MinHash near-dedup via components.
+    Returns ``(after_exact, final)`` — ONE implementation consumed by
+    both ``curate_corpus`` and ``curation_report``, so the report's
+    funnel counts are structurally the pipeline's own cardinalities,
+    not a hand-synchronized copy."""
     # exact dedup: survivors only (min id per fingerprint)
     exact_keep = exact_dedup(eligible, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
     )
-    eligible = _materialize(
+    after_exact = _materialize(
         eligible.join(exact_keep, on=id_col, how="left_semi"),
         materialize_mode,
     )
 
     # near-dedup: drop every cluster member except the component id
     pairs = minhash_dedup_pairs(
-        eligible, text_col, id_col, threshold=near_dup_threshold,
+        after_exact, text_col, id_col, threshold=near_dup_threshold,
         materialize_mode=materialize_mode,
     )
     clusters = dedup_components(pairs)  # (node, comp)
     drop = clusters.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)
     )
-    return eligible.join(drop, on=id_col, how="left_anti")
+    return after_exact, after_exact.join(drop, on=id_col, how="left_anti")
 
 
 def curate_incremental(
@@ -608,13 +626,15 @@ def curation_report(
     (a lang-ID regression, an exploding near-dup cluster) shows up as a
     step change here long before anyone inspects the corpus itself.
 
-    Shares the engine's own stages (``score_documents``, ``exact_dedup``,
-    ``minhash_dedup_pairs`` → ``dedup_components``) with identical
-    parameters, so its counts are BY CONSTRUCTION the cardinalities of
-    ``curate_corpus``'s intermediate frames — the final row always
-    equals ``curate_corpus(...).count()``. The scored corpus
-    materializes once (same ``materialize_mode`` contract) and the three
-    filter-stage counts come from ONE conditional aggregation over it.
+    Shares the engine's own stages (``score_documents`` and the
+    ``_dedup_chain`` helper ``curate_corpus`` itself calls) with
+    identical parameters, so its counts are STRUCTURALLY the
+    cardinalities of ``curate_corpus``'s intermediate frames — the
+    final row always equals ``curate_corpus(...).count()``. The scored
+    corpus materializes once (same ``materialize_mode`` contract) and
+    the three filter-stage counts come from ONE conditional aggregation
+    over it; invoked standalone it costs roughly one curation run (it
+    IS the pipeline, instrumented).
     """
     scored = _materialize(
         score_documents(documents, text_col, id_col), materialize_mode
@@ -628,23 +648,11 @@ def curation_report(
     )
 
     eligible = _materialize(scored.filter(quality_ok), materialize_mode)
-    exact_keep = exact_dedup(eligible, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    after_exact, final = _dedup_chain(
+        eligible, text_col, id_col, near_dup_threshold, materialize_mode
     )
-    survivors = _materialize(
-        eligible.join(exact_keep, on=id_col, how="left_semi"),
-        materialize_mode,
-    )
-    pairs = minhash_dedup_pairs(
-        survivors, text_col, id_col, threshold=near_dup_threshold,
-        materialize_mode=materialize_mode,
-    )
-    clusters = dedup_components(pairs)
-    drop = clusters.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias(id_col)
-    )
-    n_exact = survivors.count()
-    n_final = survivors.join(drop, on=id_col, how="left_anti").count()
+    n_exact = after_exact.count()
+    n_final = final.count()
     r = head.first()
     spark = documents.sparkSession
     return spark.createDataFrame(

@@ -376,6 +376,24 @@ def _gif_decode(payload: bytes):
                 raise ValueError("GIF image has no color table")
             if w <= 0 or h <= 0:
                 raise ValueError("GIF image has empty dimensions")
+            # bound BOTH declared geometries BEFORE any raster work: the
+            # LZW decode + palette expansion allocate O(w*h) (and the
+            # screen canvas O(screen area)) — a small payload declaring
+            # huge dimensions must dead-letter before those allocations,
+            # not OOM inside them
+            if w * h > 64_000_000 or screen_w * screen_h > 64_000_000:
+                raise ValueError(
+                    f"GIF dimensions exceed the 64M-pixel decode bound "
+                    f"(frame {w}x{h}, screen {screen_w}x{screen_h})"
+                )
+            # a frame extending beyond the logical screen in ANY
+            # direction is corrupt (PIL crops; we dead-letter — the
+            # checksum could never match the image's other encodings)
+            if left + w > screen_w or top + h > screen_h:
+                raise ValueError(
+                    "GIF frame overhangs the logical screen "
+                    f"({left},{top})+{w}x{h} vs {screen_w}x{screen_h}"
+                )
             min_code = payload[pos]
             pos += 1
             data = bytearray()
@@ -397,24 +415,7 @@ def _gif_decode(payload: bytes):
             if int(idx.max(initial=0)) >= len(table):
                 raise ValueError("GIF palette index out of range")
             pixels = table[idx]
-            # a frame overhanging the declared screen is corrupt (PIL
-            # crops; we dead-letter — the checksum could never match the
-            # image's other encodings either way)
-            if left + w > max(screen_w, w) or top + h > max(screen_h, h):
-                raise ValueError(
-                    "GIF frame overhangs the logical screen "
-                    f"({left},{top})+{w}x{h} vs {screen_w}x{screen_h}"
-                )
-            full_w = max(screen_w, w)
-            full_h = max(screen_h, h)
-            # header-declared canvas bound: a 40-byte payload can claim a
-            # 65535x65535 screen; allocating it would OOM the executor
-            # task instead of dead-lettering one asset
-            if full_w * full_h > 64_000_000:
-                raise ValueError(
-                    f"GIF logical screen {full_w}x{full_h} exceeds the "
-                    "64M-pixel decode bound"
-                )
+            full_w, full_h = screen_w, screen_h
             if (full_w, full_h) != (w, h) or (left, top) != (0, 0):
                 # compose the sub-rect onto the logical screen over the
                 # background color (PIL's frame-1 semantics)

@@ -3042,3 +3042,30 @@ def test_curation_report_matches_pipeline_cardinalities(spark):
               ("input", "lang", "quality", "exact_dedup", "near_dedup")]
     assert counts == sorted(counts, reverse=True)
     assert report["near_dedup"] == curate_corpus(docs).count()
+
+
+def test_gif_frame_declared_bounds_checked_before_decode():
+    """The 64M-pixel bound and overhang check run BEFORE the LZW decode
+    and palette expansion — a descriptor-declared huge frame must
+    dead-letter without allocating its raster, and a frame larger than
+    the screen at (0,0) is just as corrupt as a shifted one."""
+    import struct
+
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _gif_decode_pixels,
+    )
+
+    pal = [(1, 2, 3)]
+    huge_frame = bytearray(_make_gif([[0, 0]], pal))
+    struct.pack_into("<HH", huge_frame, 6, 65535, 65535)  # screen claim
+    img_off = huge_frame.index(0x2C)
+    struct.pack_into("<HH", huge_frame, img_off + 5, 65535, 65535)  # frame
+    with pytest.raises(ValueError, match="64M-pixel"):
+        _gif_decode_pixels(bytes(huge_frame))
+
+    origin_overhang = bytearray(_make_gif([[0, 0]], pal))  # frame 2x1
+    struct.pack_into("<HH", origin_overhang, 6, 1, 1)  # screen 1x1
+    with pytest.raises(ValueError, match="overhangs"):
+        _gif_decode_pixels(bytes(origin_overhang))
