@@ -368,6 +368,21 @@ def delete_rows(
 
     import pyarrow.parquet as pq
 
+    # validate the request before ANY filesystem work: an empty key list
+    # would reach .isin() with zero arguments (analysis error after the
+    # scratch dir exists), and a None key would make sorted() raise on
+    # the mixed-type compare — and can never match anyway (NULL-keyed
+    # rows are explicitly preserved below)
+    keys = list(keys)
+    if not keys:
+        raise ValueError("delete_rows: keys is empty — nothing to delete")
+    if any(k is None for k in keys):
+        raise ValueError(
+            "delete_rows: keys contains None — NULL keys never match a "
+            "deletion request (NULL-keyed rows are preserved); drop them "
+            "from the request"
+        )
+
     # a trailing slash would break the atomic rename publish (ENOENT on
     # Linux for a nonexistent "dir/" rename target)
     dst = dst.rstrip("/")

@@ -1322,6 +1322,8 @@ def _parse_mp4_metadata(payload: bytes) -> tuple[int, int, int, int]:
     for btype, body, bend in _iter_boxes(payload, *moov):
         if btype == b"mvhd":
             version = payload[body]
+            if bend - body < (32 if version == 1 else 20):
+                raise ValueError("mvhd truncated")
             if version == 1:
                 timescale = struct.unpack_from(">I", payload, body + 20)[0]
                 duration = struct.unpack_from(">Q", payload, body + 24)[0]
@@ -1334,7 +1336,13 @@ def _parse_mp4_metadata(payload: bytes) -> tuple[int, int, int, int]:
             n_tracks += 1
             for t2, b2, e2 in _iter_boxes(payload, body, bend):
                 if t2 == b"tkhd":
-                    # display size: the final 8 bytes, 16.16 fixed point
+                    # display size: the final 8 bytes, 16.16 fixed point.
+                    # A real tkhd body is >=84 bytes (v0); anything
+                    # shorter would make e2-8 reach back into the
+                    # preceding sibling and report garbage dimensions
+                    # with meta_ok=true — dead-letter it instead
+                    if e2 - b2 < 84:
+                        raise ValueError("tkhd truncated")
                     w = struct.unpack_from(">I", payload, e2 - 8)[0] >> 16
                     h = struct.unpack_from(">I", payload, e2 - 4)[0] >> 16
                     width, height = max(width, w), max(height, h)

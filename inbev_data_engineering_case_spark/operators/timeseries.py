@@ -106,7 +106,9 @@ def rolling_zscore(
 
     - values are scaled to integer milli-units (``round(value*scale)``)
       so the window's ``sum`` and ``sum of squares`` are EXACT integers
-      accumulated order-independently;
+      accumulated order-independently — in DECIMAL(38,0) (HUGEINT in the
+      oracle), so neither the sums nor the ``n*ssq`` / ``s*s`` products
+      downstream can wrap int64;
     - ``z_e4`` (the score in 1e-4 units) is derived by a fixed chain of
       IEEE-exact ops on those integers — two casts, one subtraction,
       multiply, divide, ``sqrt`` — each correctly rounded and identical
@@ -147,20 +149,30 @@ def rolling_zscore(
     # _n counts NON-NULL values (count(_v), not count(*)): a window
     # containing a NULL reading must not be scored — count(*) would let
     # it through with sums that silently excluded the null, skewing
-    # every statistic in that window
+    # every statistic in that window.
+    #
+    # _s and _ssq accumulate in DECIMAL(38,0) (HUGEINT in the oracle),
+    # not int64: the downstream products n*ssq and s*s would otherwise
+    # overflow int64 long before the cast-for-comparison could save them
+    # (window 24 wraps at |value| ~1.26e5 milli-scale). With 38-digit
+    # sums the binding constraint is s*s staying within 38 digits:
+    # |sum| < 1e19, i.e. |value| < 1e19/(window*scale) — ~1.5e14 for
+    # window 64 at milli-scale, far past any physical metric.
     df = (
         events.withColumn("_v", v)
         .withColumn("_n", F.count("_v").over(w))
-        .withColumn("_s", F.sum("_v").over(w))
-        .withColumn("_ssq", F.sum(F.col("_v") * F.col("_v")).over(w))
+        .withColumn("_s", F.sum(F.col("_v").cast(wide)).over(w))
+        .withColumn(
+            "_ssq",
+            F.sum(F.col("_v").cast(wide) * F.col("_v").cast(wide)).over(w),
+        )
         .filter(F.col("_v").isNotNull() & (F.col("_n") == window_rows))
     )
-    n = F.col("_n")
-    # var_num = n*ssq - s^2 = n*(n-1)*sample_variance (exact int64 at
-    # milli-scale for window<=64 and |value|<=~1e5; the comparison below
-    # widens to 38 digits so the product terms can't overflow)
+    n = F.col("_n").cast(wide)
+    # var_num = n*ssq - s^2 = n*(n-1)*sample_variance, every term already
+    # 38-digit so the products cannot wrap
     var_num = n * F.col("_ssq") - F.col("_s") * F.col("_s")
-    dev = n * F.col("_v") - F.col("_s")  # n*(v - mean), exact
+    dev = n * F.col("_v").cast(wide) - F.col("_s")  # n*(v - mean), exact
     z = (
         dev.cast("double")
         / (
@@ -171,10 +183,10 @@ def rolling_zscore(
         )
     )
     anomaly = (
-        dev.cast(wide) * dev.cast(wide) * F.lit(window_rows - 1).cast(wide)
+        dev * dev * F.lit(window_rows - 1).cast(wide)
         > F.lit(z_threshold * z_threshold).cast(wide)
         * F.lit(window_rows).cast(wide)
-        * var_num.cast(wide)
+        * var_num
     )
     return df.select(
         key_col,

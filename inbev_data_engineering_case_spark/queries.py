@@ -3948,14 +3948,16 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), win AS (
       SELECT user_id, ts, event_id, value, v,
-             count(v) OVER w AS n, sum(v) OVER w AS s,
-             sum(v * v) OVER w AS ssq
+             count(v) OVER w AS n,
+             sum(CAST(v AS HUGEINT)) OVER w AS s,
+             sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) OVER w AS ssq
       FROM scaled
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
     ), calc AS (
       SELECT user_id, ts, event_id, value,
-             24 * ssq - s * s AS var_num, 24 * v - s AS dev
+             24 * ssq - s * s AS var_num,
+             24 * CAST(v AS HUGEINT) - s AS dev
       FROM win WHERE v IS NOT NULL AND n = 24
     )
     SELECT user_id, ts, event_id, value,
@@ -3964,8 +3966,7 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               / (sqrt(CAST(var_num AS DOUBLE) / (24 * 23)) * 24)) * 10000
            ) AS BIGINT) END AS z_e4,
            CASE WHEN var_num > 0 THEN
-             CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT) * 23
-               > 9 * 24 * CAST(var_num AS HUGEINT)
+             dev * dev * 23 > 9 * 24 * var_num
            ELSE false END AS is_anomaly
     FROM calc
     """,

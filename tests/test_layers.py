@@ -264,3 +264,27 @@ def test_delete_rows_accepts_trailing_slash_dst(spark, tmp_path):
     stats = delete_rows(spark, src, dst, "user_id", [1])
     assert stats["rows_deleted"] == 1
     assert spark.read.parquet(dst).count() == 49
+
+
+def test_delete_rows_rejects_empty_and_null_keys(spark, tmp_path):
+    """Empty / None-bearing key lists fail up front with a clear error,
+    before any scratch directory is created — not deep inside Spark with
+    a zero-arg isin() analysis error or a mixed-type sorted() TypeError."""
+    import os
+
+    import pytest
+
+    from inbev_data_engineering_case_spark.layers import delete_rows
+
+    src = str(tmp_path / "src")
+    spark.range(0, 10).selectExpr("id AS user_id").coalesce(1).write.parquet(
+        src
+    )
+    dst = str(tmp_path / "out")
+    with pytest.raises(ValueError, match="empty"):
+        delete_rows(spark, src, dst, "user_id", [])
+    with pytest.raises(ValueError, match="None"):
+        delete_rows(spark, src, dst, "user_id", [3, None])
+    # no scratch or partial output left behind by the rejected requests
+    assert not os.path.exists(dst)
+    assert not os.path.exists(dst + "._building")

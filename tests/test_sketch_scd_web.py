@@ -98,6 +98,21 @@ def test_zscore_constant_window_is_not_anomalous(spark):
     assert all(r["z_e4"] is None for r in out)  # zero variance -> no score
 
 
+def test_zscore_survives_values_past_the_int64_product_envelope(spark):
+    """Values around 3e5 make the window products n*ssq and s*s exceed
+    int64 (12 * 12*(3e8)^2 ~ 1.3e19 > 9.2e18); the 38-digit sums must
+    keep the flag exact instead of silently wrapping under non-ANSI
+    Spark. Same calm-series-plus-spike shape as the small-value test —
+    the detector's verdicts must not change with the offset."""
+    base = 300_000.0
+    values = [base, base + 10.0] * 8 + [base + 100_000.0] + [base] * 4
+    out = _zscore_frame(spark, values)
+    spiked = [r for r in out if r["value"] == base + 100_000.0]
+    assert len(spiked) == 1 and spiked[0]["is_anomaly"]
+    assert spiked[0]["z_e4"] > 30000
+    assert sum(r["is_anomaly"] for r in out) == 1
+
+
 def test_zscore_unreachable_threshold_rejected(spark):
     import pytest
 

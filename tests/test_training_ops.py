@@ -2800,6 +2800,34 @@ def test_video_metadata_box_walk(spark):
         video_metadata(df, strict=True).collect()
 
 
+def test_video_metadata_truncated_tkhd_dead_letters(spark):
+    """A tkhd whose body is shorter than the 84-byte v0 layout must
+    dead-letter, not read its display size from the preceding sibling's
+    bytes and report garbage dimensions with meta_ok=true."""
+    import struct
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        video_metadata,
+    )
+
+    mvhd = _box(
+        b"mvhd",
+        bytes(1) + bytes(3) + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, 2500) + bytes(80),
+    )
+    stub_tkhd = _box(b"tkhd", bytes(4) + struct.pack(">III", 0, 0, 1))
+    moov = _box(b"moov", mvhd + _box(b"trak", stub_tkhd))
+    ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isomiso2")
+    short_mvhd = _box(b"moov", _box(b"mvhd", bytes(4)))
+    df = spark.createDataFrame(
+        [(1, "video/mp4", ftyp + moov), (2, "video/mp4", ftyp + short_mvhd)],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = {r["asset_id"]: r for r in video_metadata(df).collect()}
+    assert not out[1]["meta_ok"] and "tkhd" in out[1]["error"]
+    assert not out[2]["meta_ok"] and "mvhd" in out[2]["error"]
+
+
 def test_semantic_decontaminate_drops_paraphrase_neighbors(spark):
     """A corpus vector nearly parallel to a benchmark vector is flagged
     and its document dropped; orthogonal vectors survive. The n-gram
