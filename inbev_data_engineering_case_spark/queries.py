@@ -4480,16 +4480,20 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # THE WINDOW ROTATES each round so every catalog entry eventually earns an
 # external driver-green CORRECTNESS row (rounds 1-3 pinned the same 50;
-# round 4 promoted the 15 never-driver-checked entries). Round 5 promotes
-# q_chunk_documents (the last entry with no driver row ever) plus the 14
-# entries whose newest driver row is from rounds 1-2 — q_project
-# q_group_stats q_set_ops q_cube q_running_total q_window_events
-# q_anti_join q_approx_percentiles q_ngram_jaccard q_ann_ivf_trained
-# q_map_lookup q_date_functions q_fingerprint q_count_distinct — and
-# demotes a same-family twin for each, every one of them driver-green in
-# CORRECTNESS_r04 (that row is the evidence the family stays healthy
-# while its twin sits in the tail). q_random_projection, r4's only err
-# (shape, fixed above), stays in the window to earn its green row.
+# round 4 promoted the 15 never-driver-checked entries; round 5 promoted
+# q_chunk_documents + the 14 r1-2-stale entries and went 50/50 green).
+# Round 6 promotes (a) the eight late-r5 registrations that have never
+# been driver-checked — q_lm_perplexity q_stream_upsert
+# q_cohort_retention q_attribution q_stream_sketch q_semantic_decon
+# q_weighted_sample q_curation_report — and (b) eight of the r4-demoted
+# resting entries whose newest driver row is r3 — q_distinct
+# q_grouping_sets q_array_functions q_stream_sessionize q_join_star
+# q_dedup_embedding q_frame_sample q_quality_score. The sixteen slots
+# come from r5-green entries (all 16 have a CORRECTNESS_r05 green row as
+# the family-health evidence) each naming in-window same-family cover
+# below. q_anomaly_zscore deliberately STAYS in-window: its integer
+# arithmetic moved to 38-digit sums this round and the new path should
+# earn its own external row.
 #
 # INVARIANT (keep when registering anything new, machine-checked by
 # tests/test_entry_contract.py): every demoted entry names in-window
@@ -4507,18 +4511,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # previous stand-in was itself demoted this round)
     "q_trailing_window": ("q_running_total",),
     "q_orderby_limit": ("q_corpus_shuffle",),  # TakeOrdered family
-    "q_quality_score": ("q_repetition",),
     "q_mojibake_repair": ("q_clean_text", "q_pii_scrub"),
-    "q_stream_sessionize": ("q_session_window",),
-    "q_grouping_sets": ("q_cube",),  # Expand family
-    "q_array_functions": ("q_map_lookup", "q_date_functions"),
     "q_stream_join": ("q_stream_enrich",),  # stream-side join family
-    "q_dedup_embedding": ("q_ann_cosine", "q_random_projection"),
-    "q_ann_probes": ("q_ann_projected", "q_ann_ivf_trained"),  # 1-row recall
-    "q_sessionize": ("q_session_window",),  # gap-sessionization family
-    "q_distinct": ("q_count_distinct", "q_set_ops"),
-    "q_join_star": ("q_join_orders",),
-    "q_frame_sample": ("q_multimodal_features",),
+    "q_ann_probes": ("q_ann_ivf_trained",),  # 1-row recall family
+    "q_sessionize": ("q_stream_sessionize",),  # gap-sessionization family
     "q_ann_bucketed": ("q_ann_cosine", "q_ann_ivf_trained"),
     # rotated OUT mid-r5 to make room for the five NEW operator families
     # added this round (q_tfidf_topk, q_mixture_sample, q_event_funnel,
@@ -4527,7 +4523,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # CORRECTNESS_r04 and names its in-window family cover)
     "q_having": ("q_group_stats", "q_correlated_subquery"),
     "q_asof_join": ("q_range_join",),  # temporal band-join family
-    "q_token_stats": ("q_tfidf_topk", "q_repetition"),  # token statistics
+    "q_token_stats": ("q_tfidf_topk", "q_quality_score"),  # token statistics
     "q_stratified_sample": ("q_mixture_sample", "q_corpus_shuffle"),
     "q_snapshot_diff": ("q_curate_incremental",),  # CDC family (composes it)
     # q_zorder_key (data-layout family, new mid-r5) took this slot:
@@ -4537,70 +4533,62 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_histogram (distribution profiling, new mid-r5) took this slot —
     # components stays covered by the two entries that compose/verify it:
     "q_dedup_components": ("q_dedup_minhash", "q_curate_corpus"),
-    # q_resample_ffill (time-series regularization, new mid-r5) took this
-    # slot — lang scoring stays covered by q_curate_corpus, whose oracle
-    # replays score_documents' lang component end to end:
-    "q_lang_id": ("q_curate_corpus", "q_repetition"),
-    # q_fuzzy_match (entity resolution, new mid-r5) took this slot —
+    # lang scoring stays covered by q_curate_corpus, whose oracle replays
+    # score_documents' lang component end to end:
+    "q_lang_id": ("q_curate_corpus", "q_quality_score"),
     # hash-split membership is the same predicate family the mixture and
     # shuffle entries exercise:
     "q_train_split": ("q_mixture_sample", "q_corpus_shuffle"),
-    # q_ann_ivf_pq (billion-scale ANN composition, new mid-r5) took this
-    # slot — n-gram hygiene stays covered by q_boilerplate, which runs
-    # the identical gram/hash/broadcast machinery (still bench-timed as
-    # a headline query from the tail):
+    # n-gram hygiene stays covered by q_boilerplate, which runs the
+    # identical gram/hash/broadcast machinery (still bench-timed as a
+    # headline query from the tail):
     "q_decontaminate": ("q_boilerplate",),
-    # registered LATE in r5 with the window already full of this round's
-    # debuts — starts in the tail under the strict local gate; promote in
-    # r6 (its family cover runs the same tf/df corpus-statistics shape):
-    "q_lm_perplexity": ("q_tfidf_topk",),
-    # same late-r5 situation; the MERGE sink's family cover is the other
-    # exactly-once streaming-sink entry, in-window and driver-checked:
-    "q_stream_upsert": ("q_stream_dedup", "q_stream_enrich"),
-    # same late-r5 situation; product-analytics family cover:
-    "q_cohort_retention": ("q_event_funnel", "q_window_events"),
-    # same late-r5 situation; attribution runs the funnel's
-    # conditional-join machinery (user-only equi-join, time band as a
-    # post-join predicate):
-    "q_attribution": ("q_event_funnel", "q_window_events"),
-    # same late-r5 situation; each half of the composition (watermarked
-    # streaming agg / sketch rollup) has in-window cover:
-    "q_stream_sketch": ("q_stream_dedup", "q_sketch_rollup"),
-    # same late-r5 situation; each half (broadcast contamination check /
-    # bucketed cosine verify) has in-window cover:
-    "q_semantic_decon": ("q_boilerplate", "q_ann_cosine"),
-    # same late-r5 situation; hash-deterministic sampling family cover:
-    "q_weighted_sample": ("q_mixture_sample", "q_corpus_shuffle"),
-    # same late-r5 situation; the full composition it reports on is
-    # in-window (its counts are that pipeline's stage cardinalities):
-    "q_curation_report": ("q_curate_corpus",),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family
     "q_agg_pricing": ("q_group_stats",),  # grouped-agg family
     "q_intersect_except": ("q_set_ops",),
-    "q_rollup": ("q_cube",),  # Expand family
+    "q_rollup": ("q_grouping_sets",),  # Expand family
     "q_window_topk": ("q_running_total",),
     "q_stream_tumbling": ("q_window_events", "q_stream_dedup"),  # identical result/oracle
     "q_percentiles": ("q_approx_percentiles", "q_group_stats"),
     "q_dedup_simhash": ("q_dedup_minhash", "q_ngram_jaccard"),
     "q_ann_ivf": ("q_ann_ivf_trained",),
-    "q_json_extract": ("q_map_lookup", "q_date_functions"),
+    "q_json_extract": ("q_array_functions", "q_date_functions"),
     "q_dedup_exact": ("q_fingerprint",),  # groups on the same md5 fp
-    "q_approx_count_distinct": ("q_count_distinct",),
+    "q_approx_count_distinct": ("q_distinct",),  # distinct-agg family
     "q_pack_sequences": ("q_chunk_documents",),  # sequence-budget family
     "q_semi_join": ("q_anti_join",),
-    "q_salted_join": ("q_join_orders", "q_range_join"),
-    # rotated OUT late-r5 to debut the five NEW operator families added
-    # in this session (q_sketch_rollup, q_anomaly_zscore, q_html_strip,
-    # q_url_normalize, q_scd2_history) — new entries must start in the
-    # window; every demotion below was driver-green in CORRECTNESS_r04
-    # and names its in-window family cover:
+    "q_salted_join": ("q_join_star", "q_range_join"),
+    # rotated OUT late-r5 to debut five NEW r5 operator families; each
+    # was driver-green in CORRECTNESS_r04 and names in-window cover:
     "q_normalize_location": ("q_clean_text", "q_gold_agg"),  # q_gold_agg composes it
-    "q_pivot": ("q_cube",),  # Expand family
+    "q_pivot": ("q_grouping_sets",),  # Expand family
     "q_sliding_window": ("q_running_total", "q_window_events"),
     "q_ann_ivf_df": ("q_ann_ivf_trained",),  # same IVF trainer family
-    "q_quality_threshold": ("q_repetition", "q_mixture_sample"),  # score-filter family
+    "q_quality_threshold": ("q_quality_score", "q_mixture_sample"),  # score-filter family
+    # rotated OUT in r6 to seat the eight never-driver-checked late-r5
+    # registrations plus eight returning r3-stale entries; every
+    # demotion below is driver-green in CORRECTNESS_r05 and names
+    # in-window same-family cover:
+    "q_fuzzy_match": ("q_ngram_jaccard",),  # blocked string-similarity join
+    "q_histogram": ("q_skew_report",),  # distribution-profiling family
+    "q_resample_ffill": ("q_anomaly_zscore",),  # per-key time-series pass
+    "q_bpe_train": ("q_tfidf_topk", "q_chunk_documents"),  # token pipeline
+    # IVF-PQ composes plain PQ; the probe-all == plain-PQ identity test
+    # pins the shared ADC machinery:
+    "q_ann_pq": ("q_ann_ivf_pq",),
+    "q_html_strip": ("q_curate_corpus",),  # curate composes strip_html
+    "q_url_normalize": ("q_clean_text", "q_pii_scrub"),  # rewrite chains
+    "q_scd2_history": ("q_curate_incremental", "q_range_join"),
+    "q_count_distinct": ("q_distinct",),  # distinct-agg family
+    "q_cube": ("q_grouping_sets",),  # Expand family
+    "q_map_lookup": ("q_array_functions", "q_date_functions"),
+    "q_session_window": ("q_stream_sessionize",),  # sessionization family
+    "q_join_orders": ("q_join_star",),  # broadcast-dim join family
+    "q_ann_projected": ("q_random_projection", "q_ann_cosine"),
+    "q_multimodal_features": ("q_frame_sample",),  # same decode machinery
+    "q_repetition": ("q_quality_score",),  # text-scoring family
 }
 
 for _name in _FAMILY_STAND_INS:
