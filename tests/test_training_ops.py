@@ -610,8 +610,9 @@ def test_stdlib_png_decoder():
     )
     with _pytest.raises(ValueError, match="bit_depth"):
         _stdlib_featurize("image/png", bytes(bad_depth))
-    # codec-bound formats are still the honest stub
-    with _pytest.raises(NotImplementedError, match="requires PIL"):
+    # JPEG now routes to the native decoder: a corrupt stream fails loud
+    # (ValueError -> dead-letter), not as a capability gap
+    with _pytest.raises(ValueError, match="truncated|marker"):
         _stdlib_featurize("image/jpeg", b"\xff\xd8\xff\xe0 not decodable")
 
 
@@ -2119,15 +2120,14 @@ def test_decode_errors_dead_letter_not_raise(spark):
 
     from inbev_data_engineering_case_spark.operators.multimodal import (
         _optional_ffmpeg,
-        _optional_pil,
         decode_features,
         resize_assets,
         sample_frames,
     )
 
-    img_err = (
-        "NotImplementedError" if _optional_pil() is None else "Error"
-    )
+    # the corrupt JPEG now always fails INSIDE a decoder (native baseline
+    # or PIL), so a ValueError/OSError — matched by "Error" — either way
+    img_err = "Error"
     vid_err = (
         "NotImplementedError" if _optional_ffmpeg() is None else "Error"
     )
@@ -2209,6 +2209,203 @@ def test_jpeg_featurize_through_pil_when_available(spark):
 
     rz = resize_assets(assets, 2000, real_decoder=True).collect()[0]
     assert rz["decode_ok"]  # decoded via PIL, re-encoded to PNM
+
+
+def _jpeg_gradient(h, w):
+    """Smooth RGB gradient — JPEG-friendly content with a known mean."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(w + h - 2, 1),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_native_roundtrip_444():
+    """Native encoder → native decoder at 4:4:4: non-multiple-of-8
+    dimensions, high quality — every pixel within a few quantization
+    levels, dimensions exact."""
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode_baseline,
+    )
+
+    img = _jpeg_gradient(41, 53)
+    out = _jpeg_decode(_jpeg_encode_baseline(img, quality=95))
+    assert out.shape == img.shape
+    diff = np.abs(out.astype(int) - img.astype(int))
+    assert diff.max() <= 6 and diff.mean() < 1.5
+
+
+def test_jpeg_native_roundtrip_420_restarts_identical():
+    """4:2:0 chroma subsampling decodes (upsample path), and restart
+    intervals are pure framing: the decoded raster with DRI 1/3/7 is
+    bit-identical to the no-restart stream of the same coefficients."""
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode_baseline,
+    )
+
+    img = _jpeg_gradient(37, 61)
+    base = _jpeg_decode(_jpeg_encode_baseline(img, quality=90))
+    for ri in (1, 3, 7):
+        out = _jpeg_decode(
+            _jpeg_encode_baseline(img, quality=90, restart_interval=ri)
+        )
+        assert np.array_equal(out, base)
+    sub = _jpeg_decode(
+        _jpeg_encode_baseline(
+            img, quality=90, subsample=True, restart_interval=2
+        )
+    )
+    assert sub.shape == img.shape
+    assert np.abs(sub.astype(int) - img.astype(int)).max() <= 30
+
+
+def test_jpeg_native_grayscale_single_component_scan():
+    """1-component JPEG exercises the A.2.2 single-component MCU rule
+    (plain 8x8 grid) and stays 1-channel like every other gray decode."""
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode_baseline,
+    )
+
+    gray = _jpeg_gradient(21, 34)[:, :, 0]
+    out = _jpeg_decode(_jpeg_encode_baseline(gray, quality=95))
+    assert out.shape == (21, 34, 1)
+    assert np.abs(out[:, :, 0].astype(int) - gray.astype(int)).max() <= 4
+
+
+def test_jpeg_native_unsupported_variants_fail_loud():
+    """Progressive (SOF2) raises NotImplementedError (the PIL-or-dead-
+    letter arm); truncated entropy data and corrupt headers raise
+    ValueError — never garbage pixels with decode_ok semantics."""
+    import pytest as _pytest
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode_baseline,
+    )
+
+    payload = bytearray(_jpeg_encode_baseline(_jpeg_gradient(16, 16)))
+    sof_at = payload.index(b"\xff\xc0")
+    progressive = bytes(
+        payload[:sof_at] + b"\xff\xc2" + payload[sof_at + 2 :]
+    )
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        _jpeg_decode(progressive)
+    with _pytest.raises(ValueError, match="truncated"):
+        _jpeg_decode(bytes(payload[: len(payload) // 2]))
+    with _pytest.raises(ValueError, match="SOI"):
+        _jpeg_decode(b"\x89PNG not a jpeg")
+
+
+def test_jpeg_decodes_through_spark_without_pil(spark):
+    """The round-6 'Done' criterion: a real .jpg payload decodes with
+    decode_ok=true and featurizes through the mapInPandas plumbing with
+    no PIL in the environment; dhash and resize consume the same native
+    path; a progressive variant still dead-letters."""
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_encode_baseline,
+        decode_features,
+        image_dhash,
+        resize_assets,
+    )
+
+    img = _jpeg_gradient(24, 32)
+    jpeg = _jpeg_encode_baseline(img, quality=95)
+    payload = bytearray(jpeg)
+    sof_at = payload.index(b"\xff\xc0")
+    progressive = bytes(
+        payload[:sof_at] + b"\xff\xc2" + payload[sof_at + 2 :]
+    )
+    assets = spark.createDataFrame(
+        [
+            (1, "image/jpeg", jpeg, {"n_bytes": len(jpeg), "source": "t"}),
+            (
+                2,
+                "image/jpeg",
+                progressive,
+                {"n_bytes": len(progressive), "source": "t"},
+            ),
+        ],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+
+    feats = {
+        r["asset_id"]: r
+        for r in decode_features(assets, real_decoder=True).collect()
+    }
+    ok = feats[1]
+    assert ok["decode_ok"] and ok["error"] is None
+    w, h, bpp, mean_px = ok["feature"]
+    assert (w, h, bpp) == (32.0, 24.0, 24.0)
+    assert abs(mean_px - float(img.mean())) < 3.0
+    bad = feats[2]
+    assert not bad["decode_ok"] and "progressive" in bad["error"]
+
+    hashes = {r["asset_id"]: r for r in image_dhash(assets).collect()}
+    assert hashes[1]["decode_ok"] and hashes[1]["dhash"] is not None
+    assert not hashes[2]["decode_ok"]
+
+    rz = {
+        r["asset_id"]: r
+        for r in resize_assets(assets, 500, real_decoder=True).collect()
+    }
+    assert rz[1]["decode_ok"]  # decoded natively, re-encoded to PNM
+    assert not rz[2]["decode_ok"]
+    assert bytes(rz[2]["payload"]) == progressive  # kept for a PIL retry
+
+
+def test_jpeg_native_matches_pil_decode(spark):
+    """Cross-implementation check against a REAL codec where available:
+    PIL's decode of our encoder's stream and our decode of PIL's stream
+    must agree within a few levels (IDCT implementations legitimately
+    differ by rounding). Skips where PIL is absent (this container)."""
+    import io
+
+    import numpy as np
+
+    image_mod = pytest.importorskip(
+        "PIL.Image", reason="PIL not installed; round-trip tests above "
+        "cover the native decoder against the native encoder"
+    )
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode_baseline,
+    )
+
+    img = _jpeg_gradient(40, 48)
+    # our encoder -> PIL decoder
+    with image_mod.open(io.BytesIO(_jpeg_encode_baseline(img, 95))) as im:
+        pil_pixels = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    ours = _jpeg_decode(_jpeg_encode_baseline(img, 95))
+    assert np.abs(
+        pil_pixels.astype(int) - ours.astype(int)
+    ).max() <= 4
+    # PIL encoder -> our decoder
+    buf = io.BytesIO()
+    image_mod.fromarray(img).save(buf, "JPEG", quality=95)
+    theirs_decoded = _jpeg_decode(buf.getvalue())
+    with image_mod.open(io.BytesIO(buf.getvalue())) as im:
+        pil_own = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    assert np.abs(
+        theirs_decoded.astype(int) - pil_own.astype(int)
+    ).max() <= 4
 
 
 def test_compressed_video_through_ffmpeg_when_available(spark):
