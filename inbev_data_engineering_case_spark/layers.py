@@ -130,6 +130,122 @@ def snapshot_as_of(
     return path
 
 
+class SnapshotConflictError(RuntimeError):
+    """Another writer published a snapshot after this writer read its
+    parent — the staged delta was computed against a stale base and must
+    be recomputed against the new latest snapshot, then retried."""
+
+
+def _parent_run_id(path: str | None, prefix: str) -> str | None:
+    return (
+        None
+        if path is None
+        else os.path.basename(path).removeprefix(f"{prefix}_")
+    )
+
+
+def commit_snapshot(
+    base_dir: str,
+    run_id: str,
+    write_fn,
+    expected_parent: str | None,
+    prefix: str = SNAPSHOT_PREFIX,
+    lock_timeout_s: float = 60.0,
+) -> str:
+    """Optimistic-concurrency snapshot publish for the read-modify-write
+    artifact loops (``advance_corpus_artifacts`` writers, ``scd2_merge``,
+    ``run_stream_upsert_parquet`` snapshots): two overlapping runs — a
+    retry racing its original is the realistic case — must not interleave
+    snapshot advancement and silently lose one delta.
+
+    Protocol:
+
+    1. The caller reads the CURRENT latest snapshot, computes its new
+       state from it, and passes that snapshot's run id as
+       ``expected_parent`` (None for the first snapshot ever).
+    2. ``write_fn(staging_dir)`` writes the full new snapshot content
+       into a hidden staging dir (any Spark write; a ``_SUCCESS`` marker
+       is added if the writer didn't).
+    3. The commit: under a short-lived lock file, re-check that the
+       latest committed snapshot is still ``expected_parent`` and the
+       target doesn't exist, then one atomic ``os.rename`` publishes the
+       staging dir. Any other outcome raises ``SnapshotConflictError``
+       and the staging dir is cleaned up — the loser recomputes from the
+       NEW latest (both deltas survive) and retries with a fresh run id.
+
+    The lock guards only the check+rename critical section (microseconds;
+    Spark writes happen before, unlocked, so writers stage in parallel).
+    A lock older than ``lock_timeout_s`` is considered leaked by a dead
+    process and broken. On a local/NFS/HDFS filesystem this is correct
+    as-is; on S3-style stores swap the lock+rename for the store's
+    conditional-put (the protocol shape is unchanged — this function is
+    the one place to do it).
+    """
+    import shutil
+    import time
+    import uuid
+
+    os.makedirs(base_dir, exist_ok=True)
+    final = snapshot_path(base_dir, run_id, prefix)
+    staging = os.path.join(
+        base_dir, f".staging_{prefix}_{run_id}_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(staging)
+    lock = os.path.join(base_dir, f".{prefix}.commit_lock")
+    try:
+        write_fn(staging)
+        marker = os.path.join(staging, SUCCESS_MARKER)
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+
+        deadline = time.monotonic() + lock_timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    held_for = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder released between open and stat
+                if held_for > lock_timeout_s:
+                    try:
+                        os.unlink(lock)  # leaked by a dead process
+                    except FileNotFoundError:
+                        pass  # another waiter broke it first
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lock {lock} held for {held_for:.0f}s"
+                    ) from None
+                time.sleep(0.02)
+        try:
+            current = _resolve_snapshot(base_dir, prefix, True, None, None)
+            current_id = _parent_run_id(current, prefix)
+            if current_id != expected_parent:
+                raise SnapshotConflictError(
+                    f"latest snapshot is {current_id!r}, not the expected "
+                    f"parent {expected_parent!r} — recompute against it "
+                    "and retry"
+                )
+            if os.path.exists(final):
+                raise SnapshotConflictError(
+                    f"snapshot {run_id!r} already published — retry with "
+                    "a fresh run id"
+                )
+            os.rename(staging, final)  # atomic publish
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return final
+
+
 def write_layer(
     df: DataFrame,
     path: str,

@@ -343,7 +343,15 @@ def advance_corpus_artifacts(
 
     The signature pass runs over the kept delta only — the invariant the
     whole incremental design exists for: historical text is hashed
-    exactly once, on the day it arrives."""
+    exactly once, on the day it arrives.
+
+    Concurrent writers: this function is a pure transformation; the
+    WRITE of its outputs back to the artifact tables is where two
+    overlapping runs (a retry racing its original) could interleave and
+    lose a delta. Publish through ``layers.commit_snapshot`` — read the
+    parent snapshot, compute, commit against that parent, recompute-and-
+    retry on ``SnapshotConflictError`` — so exactly one advance wins and
+    the loser replays on top of it."""
     from inbev_data_engineering_case_spark.operators.textops import (
         fingerprint,
     )

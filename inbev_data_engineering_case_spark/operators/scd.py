@@ -114,6 +114,11 @@ def scd2_merge(
     keys, not a forward merge. The check costs one extra batch-vs-open
     join execution per merge (dimension-scale); pass ``validate=False``
     on a feed whose timestamps are guaranteed monotone upstream.
+
+    Concurrent writers: pure transformation — when two merge jobs can
+    overlap (a retry racing its original), publish the new history
+    through ``layers.commit_snapshot`` so one wins and the loser
+    re-merges onto the winner's snapshot instead of clobbering it.
     """
     closed = history.filter(~F.col("is_current"))
     open_rows = history.filter(F.col("is_current")).alias("o")

@@ -494,7 +494,13 @@ def run_stream_upsert_parquet(
     transactional sink's native MERGE. The rewrite itself is one
     broadcast-or-shuffle anti-join keyed like the stream, and snapshots
     double as a per-batch history for debugging/time travel (compact old
-    ones with ``layers.compact_parquet``)."""
+    ones with ``layers.compact_parquet``).
+
+    One writer per (base_dir, checkpoint): the checkpoint makes restarts
+    of THIS query replay-idempotent, but a second concurrent query over
+    the same base_dir would interleave snapshot advancement — publish
+    competing batch writers through ``layers.commit_snapshot`` (the
+    optimistic expected-parent commit) instead."""
     spark = out.sparkSession
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

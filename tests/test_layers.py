@@ -288,3 +288,114 @@ def test_delete_rows_rejects_empty_and_null_keys(spark, tmp_path):
     # no scratch or partial output left behind by the rejected requests
     assert not os.path.exists(dst)
     assert not os.path.exists(dst + "._building")
+
+
+# ---------------------------------------------------------------------------
+# optimistic-concurrency snapshot commit
+# ---------------------------------------------------------------------------
+
+
+def _read_corpus(base):
+    """Current corpus state: the id set stored in the latest snapshot."""
+    from inbev_data_engineering_case_spark.layers import (
+        SNAPSHOT_PREFIX,
+        _parent_run_id,
+        _resolve_snapshot,
+    )
+
+    latest = _resolve_snapshot(str(base), SNAPSHOT_PREFIX, True, None, None)
+    if latest is None:
+        return None, set()
+    with open(os.path.join(latest, "ids.txt")) as f:
+        return _parent_run_id(latest, SNAPSHOT_PREFIX), {
+            int(x) for x in f.read().split()
+        }
+
+
+def _advance(base, run_id, delta, barrier=None):
+    """One read-modify-write advance: read latest, union the delta,
+    commit against the observed parent. Returns the conflict if it lost."""
+    from inbev_data_engineering_case_spark.layers import (
+        SnapshotConflictError,
+        commit_snapshot,
+    )
+
+    parent, ids = _read_corpus(base)
+    merged = ids | set(delta)
+    if barrier is not None:
+        barrier.wait()  # both writers observed the SAME parent
+
+    def write(staging):
+        with open(os.path.join(staging, "ids.txt"), "w") as f:
+            f.write(" ".join(str(x) for x in sorted(merged)))
+
+    try:
+        commit_snapshot(str(base), run_id, write, parent)
+        return None
+    except SnapshotConflictError as e:
+        return e
+
+
+def test_commit_snapshot_exactly_one_winner_loser_retry_keeps_both(tmp_path):
+    """Two concurrent advances race from the same parent: exactly one
+    publishes; the loser gets SnapshotConflictError, recomputes against
+    the winner's snapshot, and its retry preserves BOTH deltas. No
+    staging or lock litter survives."""
+    import threading
+
+    assert _advance(tmp_path, "2024-01-01-00-00", {1, 2}) is None  # seed
+
+    barrier = threading.Barrier(2)
+    results = {}
+
+    def run(name, run_id, delta):
+        results[name] = _advance(tmp_path, run_id, delta, barrier)
+
+    t_a = threading.Thread(target=run, args=("a", "2024-01-02-00-00", {10}))
+    t_b = threading.Thread(target=run, args=("b", "2024-01-02-00-01", {20}))
+    t_a.start(); t_b.start(); t_a.join(); t_b.join()
+
+    losers = [k for k, v in results.items() if v is not None]
+    assert len(losers) == 1  # exactly one winner, one conflict
+    _parent, ids = _read_corpus(tmp_path)
+    winner_delta = {10} if losers == ["b"] else {20}
+    assert ids == {1, 2} | winner_delta  # loser's delta NOT silently lost
+
+    # loser retries from the new latest with a fresh run id
+    loser_delta = {20} if losers == ["b"] else {10}
+    assert _advance(tmp_path, "2024-01-02-00-05", loser_delta) is None
+    _parent, ids = _read_corpus(tmp_path)
+    assert ids == {1, 2, 10, 20}  # both deltas survived the race
+
+    litter = [n for n in os.listdir(tmp_path) if n.startswith(".")]
+    assert litter == []
+
+
+def test_commit_snapshot_rejects_duplicate_run_id_and_breaks_stale_lock(
+    tmp_path,
+):
+    """A replayed run id conflicts instead of overwriting the published
+    snapshot, and a lock file leaked by a dead process (old mtime) is
+    broken rather than deadlocking every future commit."""
+    from inbev_data_engineering_case_spark.layers import (
+        SnapshotConflictError,
+        commit_snapshot,
+    )
+
+    assert _advance(tmp_path, "2024-01-01-00-00", {1}) is None
+    with pytest.raises(SnapshotConflictError, match="already published"):
+        commit_snapshot(
+            str(tmp_path),
+            "2024-01-01-00-00",
+            lambda staging: None,
+            "2024-01-01-00-00",
+        )
+
+    from inbev_data_engineering_case_spark.layers import SNAPSHOT_PREFIX
+
+    lock = os.path.join(tmp_path, f".{SNAPSHOT_PREFIX}.commit_lock")
+    open(lock, "w").close()
+    os.utime(lock, (0, 0))  # epoch mtime: leaked long ago
+    assert _advance(tmp_path, "2024-01-03-00-00", {2}) is None
+    _parent, ids = _read_corpus(tmp_path)
+    assert ids == {1, 2}
