@@ -117,13 +117,63 @@ def read_events_stream(spark, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def query_metrics(q) -> dict[str, int]:
+    """Observability counters aggregated from a query's progress history
+    (``recentProgress``): total input rows, rows SILENTLY dropped for
+    arriving later than the watermark, and peak state size.
+
+    ``dropped_rows_by_watermark`` is the alarm the watermarked operators
+    otherwise hide: a nonzero (or rising) count means the horizon is too
+    tight for the source's real disorder, and the "missing" aggregates
+    aren't missing — they were late and discarded. Feed it to the same
+    day-over-day drift surface as ``curation_report`` stage counts.
+
+    Works on completed availableNow drains (every batch is still in
+    ``recentProgress``, capped at
+    ``spark.sql.streaming.numRecentProgressUpdates`` = 100 by default);
+    a long-running production query should attach a
+    ``StreamingQueryListener`` and export the same fields per batch
+    instead of sampling the tail.
+
+    Two measured-on-this-engine caveats the reader of the counter must
+    know (pinned by ``tests/test_streaming.py``'s lateness test):
+
+    - the late-row filter engages one batch AFTER the watermark-advancing
+      data's batch commits, so the first late batch after a jump slips
+      through uncounted — the counter is an alarm level, not an exact
+      ledger at batch granularity;
+    - windowed AGGREGATIONS in this Spark version absorb too-late rows
+      into (re-created) state rather than dropping them — the counter
+      registers on the row-wise stateful operators (dedup variants,
+      stream-stream joins). Compose a dedup stage upstream of an
+      aggregation if dropped-late accounting of it is required."""
+    metrics = {
+        "batches": 0,
+        "input_rows": 0,
+        "dropped_rows_by_watermark": 0,
+        "peak_state_rows": 0,
+    }
+    for p in q.recentProgress:
+        metrics["batches"] += 1
+        metrics["input_rows"] += int(p.numInputRows or 0)
+        for op in p.stateOperators or []:
+            metrics["dropped_rows_by_watermark"] += int(
+                op.numRowsDroppedByWatermark or 0
+            )
+            metrics["peak_state_rows"] = max(
+                metrics["peak_state_rows"], int(op.numRowsTotal or 0)
+            )
+    return metrics
+
+
 def run_stream_to_table(
     out: DataFrame, name: str, output_mode: str, timeout: int = 300
-) -> None:
+) -> dict[str, int]:
     """Execute a streaming DataFrame to completion into an in-memory table
     (availableNow trigger: process everything currently in the source, then
     stop). In production the sink would be Delta/Kafka; the memory sink is
-    the harness for batch-parity checks."""
+    the harness for batch-parity checks. Returns ``query_metrics`` for the
+    drained query — lateness drops included."""
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -134,11 +184,12 @@ def run_stream_to_table(
     if not q.awaitTermination(timeout):
         q.stop()
         raise TimeoutError(f"stream {name} did not drain in {timeout}s")
+    return query_metrics(q)
 
 
 def run_stream_to_parquet_idempotent(
     out: DataFrame, path: str, checkpoint: str, timeout: int = 300
-) -> None:
+) -> dict[str, int]:
     """Drain a streaming DataFrame into parquet with replay-safe writes:
     each micro-batch lands in its own ``batch_id=<id>`` directory in
     overwrite mode, via ``foreachBatch``.
@@ -158,7 +209,8 @@ def run_stream_to_parquet_idempotent(
     too: a window's row lands only in the batch where the watermark
     passes it, so drain-style single runs emit nothing — aggregations
     want the memory/complete harness (``run_stream_to_table``) or a
-    merge-capable sink."""
+    merge-capable sink. Returns ``query_metrics`` for the drained
+    query."""
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(
             f"{path}/batch_id={batch_id}"
@@ -173,6 +225,7 @@ def run_stream_to_parquet_idempotent(
     if not q.awaitTermination(timeout):
         q.stop()
         raise TimeoutError(f"stream to {path} did not drain in {timeout}s")
+    return query_metrics(q)
 
 
 def stream_tumbling_counts(
@@ -519,6 +572,7 @@ def run_stream_upsert_parquet(
         raise TimeoutError(
             f"upsert stream to {base_dir} did not drain in {timeout}s"
         )
+    return query_metrics(q)
 
 
 def stream_sketch_partials(

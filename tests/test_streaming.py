@@ -630,3 +630,74 @@ def test_stream_sketch_partials_append_emits_closed_buckets(spark, tmp_path):
     }
     for key, sketch in got.items():
         assert sketch == batch[key]  # bit-identical partials
+
+
+def test_lateness_metrics_report_watermark_drops(spark, tmp_path):
+    """Deliberately-late fixture through the dedup operator: batch 0
+    advances the watermark past the late rows in batches 1 and 2. The
+    runner's metrics must report the watermark drops — without this
+    counter a too-tight watermark looks like missing data, not dropped
+    data. Pins the measured engine semantics the query_metrics docstring
+    documents: the late filter engages one batch after the watermark-
+    advancing commit (batch 1's late rows slip through; batch 2's are
+    dropped and counted), and the counter exactly accounts for the rows
+    missing from the output."""
+    import os
+    import shutil
+
+    from inbev_data_engineering_case_spark.streaming.events import (
+        run_stream_to_table,
+        stream_dedup_events,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    batches = [
+        # batch 0: on-time, advances the watermark to max_ts - 1h
+        [(i, t0 + timedelta(minutes=i), 1, "click", 1.0) for i in range(20)],
+        # batches 1-2: a day older than the watermark (all unique ids, so
+        # any row missing from the output was watermark-dropped, not
+        # deduped)
+        [(100 + i, t0 - timedelta(days=1), 2, "view", 1.0) for i in range(5)],
+        [(200 + i, t0 - timedelta(days=1), 3, "view", 1.0) for i in range(3)],
+    ]
+    src = tmp_path / "late_events"
+    src.mkdir()
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            str(src / f"b{bi}")
+        )
+    for bi in range(len(batches)):
+        (f,) = (src / f"b{bi}").glob("*.parquet")
+        dst = src / f"file_{bi}.parquet"
+        os.rename(f, dst)
+        # file-source processes in modification-time order: force the
+        # on-time file to form micro-batch 0 and set the watermark
+        os.utime(dst, (1_000_000 + bi * 1000, 1_000_000 + bi * 1000))
+        shutil.rmtree(src / f"b{bi}")
+
+    schema = spark.createDataFrame([], "event_id long, ts timestamp, "
+                                   "user_id long, event_type string, "
+                                   "value double").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stream_dedup_events(stream, watermark="1 hour")
+    metrics = run_stream_to_table(
+        out, "lateness_metrics_test", "append", timeout=120
+    )
+    emitted = spark.sql(
+        "select count(*) c from lateness_metrics_test"
+    ).first()["c"]
+    assert metrics["batches"] == 3
+    assert metrics["input_rows"] == 28
+    # one-batch propagation lag: batch 1's 5 late rows slip through;
+    # batch 2's 3 late rows are dropped AND counted
+    assert metrics["dropped_rows_by_watermark"] == 3
+    # the counter exactly explains the missing rows
+    assert metrics["input_rows"] - emitted == (
+        metrics["dropped_rows_by_watermark"]
+    )
+    assert metrics["peak_state_rows"] >= 20
