@@ -673,3 +673,64 @@ def curation_report(
         ],
         "stage_idx int, stage string, survivors bigint",
     )
+
+
+def curation_drift(
+    history: DataFrame,
+    day_col: str = "day",
+    stage_col: str = "stage",
+    count_col: str = "survivors",
+    window_days: int = 12,
+    z_threshold: int = 3,
+) -> DataFrame:
+    """Cross-run drift alarm over stored ``curation_report`` funnels:
+    per-stage survivor-count series day over day, flagging any day whose
+    count z-scores beyond ``z_threshold`` against that stage's own
+    trailing ``window_days`` window — the alarm that catches a bad crawl
+    or a broken filter (a lang-ID regression collapsing the ``lang``
+    stage, an exploding near-dup cluster collapsing ``near_dedup``)
+    BEFORE the day's output ships into training data.
+
+    Pure composition: ``timeseries.rolling_zscore`` keyed by stage over
+    the day series at ``scale=1`` (counts are already integers, so the
+    flag inherits its exact-integer engine-stability). Input is the
+    union of daily report outputs — a tiny table (stages × days), so
+    this costs one window pass over kilobytes regardless of corpus size.
+    Only full windows score: a new pipeline needs ``window_days`` days
+    of history before the alarm arms, and the self-inclusion cap means
+    ``window_days`` must exceed ~``z_threshold**2 + 2`` (enforced by
+    ``rolling_zscore``).
+
+    Returns ``(stage, day, survivors, z_e4, is_drift)``.
+    """
+    from inbev_data_engineering_case_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    series = history.select(
+        F.col(stage_col).alias("stage"),
+        F.col(day_col).cast("timestamp").alias("_ts"),
+        F.datediff(
+            F.col(day_col).cast("date"), F.to_date(F.lit("1970-01-01"))
+        )
+        .cast("long")
+        .alias("_day_id"),
+        F.col(count_col).cast("double").alias("_count"),
+    )
+    out = rolling_zscore(
+        series,
+        key_col="stage",
+        ts_col="_ts",
+        value_col="_count",
+        id_col="_day_id",
+        window_rows=window_days,
+        z_threshold=z_threshold,
+        scale=1,
+    )
+    return out.select(
+        "stage",
+        F.col("ts").cast("date").alias("day"),
+        F.col("value").cast("bigint").alias("survivors"),
+        "z_e4",
+        F.col("is_anomaly").alias("is_drift"),
+    )

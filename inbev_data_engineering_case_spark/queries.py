@@ -4470,6 +4470,123 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-6 additions: cross-run curation drift alarm
+# ---------------------------------------------------------------------------
+
+
+def _curation_drift_oracle(
+    n_days: int = 24, window: int = 12, z: int = 3
+) -> str:
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64_sql,
+    )
+
+    day = (
+        f"(DATE '2024-01-01' + "
+        f"(({portable_hash64_sql('doc_id::VARCHAR')}) % {n_days})::INTEGER)"
+    )
+    ok = f"lang IN ('en') AND quality >= CAST(0.3 AS DOUBLE)"
+    return f"""
+    WITH scored AS (
+      SELECT {day} AS day,
+             {_lang_case_sql()} AS lang,
+             {_SQL_QUALITY} AS quality,
+             {_SQL_FP} AS fp
+      FROM documents
+    ), funnel AS (
+      SELECT day,
+             count(*) AS input_c,
+             count(CASE WHEN lang IN ('en') THEN 1 END) AS lang_c,
+             count(CASE WHEN {ok} THEN 1 END) AS quality_c,
+             count(DISTINCT CASE WHEN {ok} THEN fp END) AS exact_c
+      FROM scored GROUP BY day
+    ), history AS (
+      SELECT day, 'input' AS stage, input_c AS v FROM funnel
+      UNION ALL SELECT day, 'lang', lang_c FROM funnel
+      UNION ALL SELECT day, 'quality', quality_c FROM funnel
+      UNION ALL SELECT day, 'exact_dedup', exact_c FROM funnel
+    ), win AS (
+      SELECT stage, day, v,
+             count(v) OVER w AS n,
+             sum(CAST(v AS HUGEINT)) OVER w AS s,
+             sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) OVER w AS ssq
+      FROM history
+      WINDOW w AS (PARTITION BY stage ORDER BY day
+                   ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+    ), calc AS (
+      SELECT stage, day, v,
+             {window} * ssq - s * s AS var_num,
+             {window} * CAST(v AS HUGEINT) - s AS dev
+      FROM win WHERE v IS NOT NULL AND n = {window}
+    )
+    SELECT stage, day, CAST(v AS BIGINT) AS survivors,
+           CASE WHEN var_num > 0 THEN CAST(floor(
+             (CAST(dev AS DOUBLE)
+              / (sqrt(CAST(var_num AS DOUBLE)
+                      / ({window} * {window - 1})) * {window})) * 10000
+           ) AS BIGINT) END AS z_e4,
+           CASE WHEN var_num > 0 THEN
+             dev * dev * {window - 1} > {z * z} * {window} * var_num
+           ELSE false END AS is_drift
+    FROM calc
+    """
+
+
+@register(
+    "q_curation_drift",
+    _curation_drift_oracle(),
+    doc="Cross-run curation drift alarm (operators/curate.py "
+    "curation_drift): per-stage survivor-count funnels day over day "
+    "through timeseries.rolling_zscore at scale=1 — flag a stage whose "
+    "day-N count z-scores beyond 3 vs its own trailing 12-day window, "
+    "catching a bad crawl or a broken filter before it ships into "
+    "training data. The fixture has no calendar, so days are "
+    "deterministic hash buckets of doc_id and the funnel (input → lang "
+    "→ quality → exact-fingerprint dedup) is ONE conditional "
+    "aggregation pass over the scored corpus; the alarm itself runs "
+    "over stages x days rows — kilobytes at any corpus size. Oracle "
+    "replays day bucketing, scoring, funnel, and the HUGEINT z-score "
+    "window end to end.",
+)
+def q_curation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.functions import portable_hash64
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curation_drift,
+    )
+    from inbev_data_engineering_case_spark.operators.textops import (
+        fingerprint,
+        lang_id,
+        quality_score,
+    )
+
+    n_days = 24
+    day = F.date_add(
+        F.to_date(F.lit("2024-01-01")),
+        (portable_hash64(F.col("doc_id")) % n_days).cast("int"),
+    )
+    scored = _t(spark, sf_dir, "documents").select(
+        day.alias("day"),
+        lang_id("text").alias("lang"),
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fp"),
+    )
+    lang_ok = F.col("lang").isin("en")
+    quality_ok = lang_ok & (F.col("quality") >= 0.3)
+    funnel = scored.groupBy("day").agg(
+        F.count("*").alias("input_c"),
+        F.count(F.when(lang_ok, 1)).alias("lang_c"),
+        F.count(F.when(quality_ok, 1)).alias("quality_c"),
+        F.countDistinct(F.when(quality_ok, F.col("fp"))).alias("exact_c"),
+    )
+    history = funnel.selectExpr(
+        "day",
+        "stack(4, 'input', input_c, 'lang', lang_c, 'quality', quality_c,"
+        " 'exact_dedup', exact_c) AS (stage, survivors)",
+    )
+    return curation_drift(history, window_days=12)
+
+
+# ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate reports at most 50 queries per round, in
@@ -4589,6 +4706,9 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_ann_projected": ("q_random_projection", "q_ann_cosine"),
     "q_multimodal_features": ("q_frame_sample",),  # same decode machinery
     "q_repetition": ("q_quality_score",),  # text-scoring family
+    # rotated OUT mid-r6 to debut q_curation_drift (new entries must
+    # start in the window); r5-green, deterministic-bit-key family cover:
+    "q_zorder_key": ("q_fingerprint",),
 }
 
 for _name in _FAMILY_STAND_INS:

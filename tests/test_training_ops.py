@@ -3269,6 +3269,46 @@ def test_curation_report_matches_pipeline_cardinalities(spark):
     assert report["near_dedup"] == curate_corpus(docs).count()
 
 
+def test_curation_drift_flags_injected_collapse(spark):
+    """Known-answer drift alarm: 15 days of stable per-stage funnel
+    counts with small jitter, then day 15's quality stage collapses —
+    exactly that (stage, day) flags, nothing else does, warm-up days
+    emit no rows, and a zero-variance stage never scores."""
+    import datetime
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curation_drift,
+    )
+
+    d0 = datetime.date(2024, 3, 1)
+    rows = []
+    for i in range(15):
+        day = d0 + datetime.timedelta(days=i)
+        rows.append((day, "input", 5000))            # constant: never scores
+        rows.append((day, "quality", 1000 + i % 3))  # jittered baseline
+    rows.append((d0 + datetime.timedelta(days=15), "input", 5000))
+    rows.append((d0 + datetime.timedelta(days=15), "quality", 300))  # crash
+    history = spark.createDataFrame(
+        rows, "day date, stage string, survivors long"
+    )
+
+    out = curation_drift(history, window_days=12).collect()
+    # only full 12-day windows score: days 0-10 are warm-up
+    assert len(out) == 2 * (16 - 11)
+    flagged = [r for r in out if r["is_drift"]]
+    assert len(flagged) == 1
+    assert flagged[0]["stage"] == "quality"
+    assert flagged[0]["day"] == d0 + datetime.timedelta(days=15)
+    assert flagged[0]["survivors"] == 300
+    assert flagged[0]["z_e4"] < -30000  # a collapse, not a spike
+    # the constant stage has zero variance -> no score, no flag
+    assert all(
+        r["z_e4"] is None and not r["is_drift"]
+        for r in out
+        if r["stage"] == "input"
+    )
+
+
 def test_gif_frame_declared_bounds_checked_before_decode():
     """The 64M-pixel bound and overhang check run BEFORE the LZW decode
     and palette expansion — a descriptor-declared huge frame must
