@@ -198,3 +198,151 @@ def rolling_zscore(
             "is_anomaly"
         ),
     )
+
+
+def heartbeat_gaps(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_gap_s: int = 21_600,
+) -> DataFrame:
+    """Per-key silence detection: every inter-event gap longer than
+    ``max_gap_s`` seconds — the missing-heartbeat monitor for device
+    fleets, upstream feeds, and per-source crawl health (a source that
+    goes quiet shows up here the day it happens, not when its volume
+    drop finally moves an aggregate).
+
+    Scale shape: ONE exchange on ``key_col``; the gap is a single
+    ``lag`` window pass per key partition (ordered by ``ts_col`` with
+    ``id_col`` tie-break, so equal timestamps are deterministic), then a
+    codegen'd filter — no self-join, no grid materialization. Output is
+    alarm-sized (only the gaps), not series-sized.
+
+    Returns ``(key_col, gap_start, gap_end, gap_s)``; a key's first
+    event has no predecessor and never emits. The gap is computed in
+    exact integer MICROseconds (``unix_micros`` here, ``epoch_us`` in
+    the oracle) and floored to seconds — no float epoch arithmetic whose
+    truncation could differ across engines at a boundary.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    return (
+        events.select(
+            key_col,
+            prev.alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            gap_us.alias("_gap_us"),
+        )
+        .filter(F.col("_gap_us") > max_gap_s * 1_000_000)
+        .select(
+            key_col,
+            "gap_start",
+            "gap_end",
+            F.expr("_gap_us div 1000000").cast("bigint").alias("gap_s"),
+        )
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    slack_milli: int = 500,
+    threshold_milli: int = 10_000,
+    scale: int = 1000,
+    target_milli: int | None = None,
+) -> DataFrame:
+    """Per-key CUSUM drift detection — the changepoint primitive that
+    catches SMALL PERSISTENT level shifts the rolling z-score is blind
+    to (a +0.5σ drift never crosses a 3σ spike gate, but its cumulative
+    sum grows without bound).
+
+    Declarative CUSUM: the textbook recursion
+    ``S_k = max(0, S_{k-1} + (v_k - target - slack))`` looks inherently
+    sequential, but it has an exact closed form over prefix sums —
+    ``S_k = P_k - min(P_0..P_k)`` where ``P`` is the running sum of the
+    drift terms (the recursion resets exactly where the prefix sum sets
+    a new minimum). That identity turns the stateful loop into two
+    stacked window functions (a running sum, then a running min of it)
+    over ONE exchange on ``key_col`` — no UDF, no iteration, no state
+    store. The downward detector mirrors with negated drift terms.
+
+    Everything is exact integer arithmetic with NO division anywhere in
+    the decision path: values scale to milli-units, and instead of
+    comparing against the key's mean ``S/n`` (whose rounding differs
+    across engines), every drift term is multiplied through by the
+    key's count — ``d_k = n*v_k - S - n*slack`` — so target-centering is
+    a pure integer subtraction and the alarm compares the count-scaled
+    cumulative sum against ``threshold*n``. Sums accumulate in
+    DECIMAL(38,0) (HUGEINT in the oracle) like ``rolling_zscore``; the
+    reported milli-unit scores divide the (always nonnegative) scaled
+    sums by ``n`` with truncating integer division, which equals floor
+    on nonnegative values in both engines.
+
+    ``slack_milli`` is the classic k allowance (drift below it never
+    accumulates); an alarm fires while either cumulative sum exceeds
+    ``threshold_milli`` (h).
+
+    ``target_milli`` chooses the reference level. ``None`` (default)
+    self-estimates it as the key's own whole-series mean — right for
+    exploratory "did this series shift anywhere" scans, with the caveat
+    that a mid-series shift makes BOTH halves drift relative to the
+    blended mean (the early half alarms the opposite detector — that is
+    correct CUSUM behavior, not a bug). Production monitoring against a
+    known baseline (yesterday's level, an SLO) should pass the explicit
+    target; drifts are then measured against it alone. Internally the
+    explicit-target mode is the count-scaled form with n=1.
+
+    Returns ``(key_col, ts, event_id, value, cusum_up_milli,
+    cusum_down_milli, is_change)`` for every non-NULL reading.
+    """
+    wide = "decimal(38,0)"
+    v = F.round(F.col(value_col) * scale).cast("bigint")
+    w_all = Window.partitionBy(key_col)
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = events.withColumn("_v", v).filter(F.col("_v").isNotNull())
+    if target_milli is None:
+        df = df.withColumn(
+            "_n", F.count("_v").over(w_all).cast(wide)
+        ).withColumn("_s", F.sum(F.col("_v").cast(wide)).over(w_all))
+    else:
+        df = df.withColumn("_n", F.lit(1).cast(wide)).withColumn(
+            "_s", F.lit(int(target_milli)).cast(wide)
+        )
+    n, s = F.col("_n"), F.col("_s")
+    slack = F.lit(slack_milli).cast(wide)
+    up = n * F.col("_v").cast(wide) - s - n * slack
+    down = s - n * F.col("_v").cast(wide) - n * slack
+    df = df.withColumn("_pu", F.sum(up).over(w_run)).withColumn(
+        "_pd", F.sum(down).over(w_run)
+    )
+    # S_k = P_k - min(P_0..P_k, 0): the implicit S_0 = 0 start means the
+    # running min must include an initial zero prefix
+    zero = F.lit(0).cast(wide)
+    su = F.col("_pu") - F.least(F.min("_pu").over(w_run), zero)
+    sd = F.col("_pd") - F.least(F.min("_pd").over(w_run), zero)
+    h = F.lit(threshold_milli).cast(wide) * n
+    return (
+        df.withColumn("_su", su)
+        .withColumn("_sd", sd)
+        .withColumn("_alarm", (su > h) | (sd > h))
+        .select(
+            key_col,
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("event_id"),
+            F.col(value_col).alias("value"),
+            # su/sd are nonnegative, so truncating integral division is
+            # floor division on every engine
+            F.expr("_su div _n").cast("bigint").alias("cusum_up_milli"),
+            F.expr("_sd div _n").cast("bigint").alias("cusum_down_milli"),
+            F.col("_alarm").alias("is_change"),
+        )
+    )

@@ -4586,6 +4586,95 @@ def q_curation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_drift(history, window_days=12)
 
 
+@register(
+    "q_event_gaps",
+    """
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2, event_id,
+             lag(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id, prev_ts AS gap_start, ts2 AS gap_end,
+           CAST((epoch_us(ts2) - epoch_us(prev_ts)) // 1000000 AS BIGINT)
+             AS gap_s
+    FROM ordered
+    WHERE epoch_us(ts2) - epoch_us(prev_ts) > 86400000000
+    """,
+    doc="Per-key heartbeat-gap detection (operators/timeseries.py "
+    "heartbeat_gaps): every inter-event silence beyond 24h per user — "
+    "the missing-heartbeat monitor that catches a quiet device/feed/"
+    "crawl source the day it happens. ONE exchange on the key, a "
+    "single lag window pass, codegen'd filter; output is alarm-sized. "
+    "Gaps computed in exact integer microseconds (unix_micros / "
+    "epoch_us) so no float-epoch truncation can flip a boundary.",
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.timeseries import (
+        heartbeat_gaps,
+    )
+
+    return heartbeat_gaps(read_events(spark, sf_dir), max_gap_s=86400)
+
+
+@register(
+    "q_cusum_changepoint",
+    """
+    WITH scaled AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             CAST(round(value * 1000) AS BIGINT) AS v
+      FROM events
+    ), keyed AS (
+      SELECT user_id, ts, event_id, value, v,
+             CAST(count(v) OVER wk AS HUGEINT) AS n,
+             sum(CAST(v AS HUGEINT)) OVER wk AS s
+      FROM scaled WHERE v IS NOT NULL
+      WINDOW wk AS (PARTITION BY user_id)
+    ), drift AS (
+      SELECT user_id, ts, event_id, value, n,
+             sum(n * CAST(v AS HUGEINT) - s - n * 25000) OVER wr AS pu,
+             sum(s - n * CAST(v AS HUGEINT) - n * 25000) OVER wr AS pd
+      FROM keyed
+      WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), scored AS (
+      SELECT user_id, ts, event_id, value, n,
+             pu - least(min(pu) OVER wr, CAST(0 AS HUGEINT)) AS su,
+             pd - least(min(pd) OVER wr, CAST(0 AS HUGEINT)) AS sd
+      FROM drift
+      WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id, value,
+           CAST(su // n AS BIGINT) AS cusum_up_milli,
+           CAST(sd // n AS BIGINT) AS cusum_down_milli,
+           (su > 250000 * n OR sd > 250000 * n) AS is_change
+    FROM scored
+    """,
+    doc="Per-key CUSUM changepoint detection (operators/timeseries.py "
+    "cusum_changepoints): catches small persistent level shifts the "
+    "3-sigma z-score gate is blind to. The sequential recursion "
+    "S_k = max(0, S_{k-1} + drift_k) is evaluated DECLARATIVELY via its "
+    "prefix-sum closed form S_k = P_k - min(P_0..P_k) — two stacked "
+    "window functions over one key exchange, no UDF, no iteration. "
+    "Division-free exact integers: drift terms are count-scaled "
+    "(n*v - S - n*slack) so target-centering never rounds; sums run in "
+    "38-digit arithmetic (HUGEINT oracle); slack 25 units, alarm at "
+    "h=250 units. ~1% of fixture rows alarm.",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(
+        read_events(spark, sf_dir),
+        slack_milli=25_000,
+        threshold_milli=250_000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -4709,6 +4798,13 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # rotated OUT mid-r6 to debut q_curation_drift (new entries must
     # start in the window); r5-green, deterministic-bit-key family cover:
     "q_zorder_key": ("q_fingerprint",),
+    # rotated OUT mid-r6 to debut q_event_gaps and q_cusum_changepoint;
+    # both r5-green with in-window family cover: cohort + attribution
+    # run the funnel's conditional-join machinery, and the streaming
+    # sketch maintainer appends bit-identical partials to the rollup's
+    # (its oracle asserts the merge identity the rollup family pins):
+    "q_event_funnel": ("q_cohort_retention", "q_attribution"),
+    "q_sketch_rollup": ("q_stream_sketch",),
 }
 
 for _name in _FAMILY_STAND_INS:
