@@ -118,3 +118,85 @@ def equi_depth_histogram(
             F.max(value_col).alias("hi"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    id_col: str,
+    phi_ppm: int = 10_000,
+    sample_ppm: int = 100_000,
+    seed: str = "hh",
+) -> DataFrame:
+    """phi-frequent items (heavy hitters) WITHOUT a full-distinct
+    shuffle: find every item occurring in more than ``phi_ppm`` parts
+    per million of the rows — hot URLs, template domains, repeated
+    boilerplate keys — via deterministic sample-then-verify.
+
+    Why not plain ``groupBy(item).count()``: at 100 TB with billions of
+    DISTINCT items, that exchange carries one row per distinct item —
+    almost all of them cold. Here:
+
+    1. **Sample pass**: rows whose ``portable_hash64(seed || id)`` lands
+       under ``sample_ppm`` (a deterministic hash-Bernoulli, the
+       ``hash_split`` discipline — stable across retries/AQE and
+       replayable by the oracle, unlike ``rand()``) are counted per
+       item; candidates are items whose sampled count reaches HALF the
+       expected sample count of a phi-frequent item. The candidate set
+       is tiny (≤ ~2/phi items by a counting argument) and broadcasts.
+    2. **Verify pass**: one corpus scan with a broadcast semi-join
+       counts ONLY the candidates exactly, then filters on the true
+       threshold ``cnt/N > phi``. The exchange carries candidate rows
+       only.
+
+    A phi-frequent item missing from the sample needs its ~phi·N
+    occurrences to ALL hash above the cutoff — probability
+    exponentially small in phi·N·rate (the half-expectation cutoff
+    leaves a Chernoff margin); results on a given dataset are exactly
+    reproducible, and false candidates are removed by the verify pass,
+    so reported counts are EXACT.
+
+    All thresholds are integer ppm arithmetic — no float boundary can
+    disagree between engines. Returns ``(item, cnt, share_ppm)``.
+    """
+    from inbev_data_engineering_case_spark.functions import portable_hash64
+
+    n = df.agg(F.count("*").alias("_n"))
+    sampled = df.filter(
+        portable_hash64(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+        % 1_000_000
+        < sample_ppm
+    )
+    cand = (
+        sampled.groupBy(item_col)
+        .agg(F.count("*").alias("_sc"))
+        .join(F.broadcast(n))
+        .filter(
+            # half the expected sample count of a phi-frequent item,
+            # floored stepwise so no intermediate product can exceed
+            # int64 before ~3e14 rows
+            F.col("_sc")
+            >= F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(
+                    f"((_n * {phi_ppm}) div 1000000 * {sample_ppm})"
+                    " div 2000000"
+                ),
+            )
+        )
+        .select(item_col)
+    )
+    return (
+        df.join(F.broadcast(cand), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(n))
+        .filter(F.col("cnt") * 1_000_000 > F.lit(phi_ppm) * F.col("_n"))
+        .select(
+            F.col(item_col).alias("item"),
+            "cnt",
+            F.expr("(cnt * 1000000) div _n").cast("bigint").alias(
+                "share_ppm"
+            ),
+        )
+    )

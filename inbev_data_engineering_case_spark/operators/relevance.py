@@ -164,3 +164,94 @@ def tfidf_topk(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", "score", "rnk")
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 full-text retrieval: the top-``k`` documents for a bag
+    of ``query_terms`` — the ranking function behind Lucene/Elasticsearch
+    relevance, and the retrieval primitive corpus curation itself uses
+    (finding benchmark-adjacent or topic-adjacent documents by keyword).
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
+    with the Lucene idf ``ln(1 + (N−df+0.5)/(df+0.5))`` (never negative).
+
+    Scale shape — the inverted-index discipline without materializing
+    one: the token stream is FILTERED TO THE QUERY TERMS before any
+    aggregation, so the tf exchange carries only rows for documents
+    that match at least one term (query-result-sized, not corpus-sized);
+    per-term document frequencies are a ≤|q|-row broadcast; document
+    lengths aggregate doc-keyed from the same tokenize stream and join
+    the (already query-sized) tf side on the doc key. N and avgdl ride
+    in as a broadcast 1-row aggregate, not a driver collect. The final
+    top-k is one TakeOrderedAndProject.
+
+    Numeric determinism: each (doc, term) partial score rounds to an
+    int64 MICRO-unit before the per-document sum, so summation order
+    can't flip a rank and a last-ulp ``ln`` difference between engines
+    is absorbed by the rounding (the bigram-LM / ANN discipline). Ranks
+    tie-break on ``id_col``.
+
+    Returns ``(id_col, n_terms_matched, score_micro, rnk)``.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms is empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    doc_len = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = documents.agg(F.count("*").alias("_n"))
+    avgdl = doc_len.agg(
+        (F.sum("dl") / F.count("*")).alias("_avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doc_len, id_col)
+        .join(F.broadcast(corpus))
+        .join(F.broadcast(avgdl))
+        .withColumn(
+            "score_micro",
+            F.round(idf * tfn * 1_000_000).cast("bigint"),
+        )
+    )
+    ranked = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_terms_matched"),
+        F.sum("score_micro").alias("score_micro"),
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    # k rows to the driver-side merge — never a global single-partition
+    # sort); the rank number is then assigned over just those k rows
+    topk = ranked.orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    ).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        id_col, "n_terms_matched", "score_micro", "rnk"
+    )

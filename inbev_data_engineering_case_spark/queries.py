@@ -4675,6 +4675,129 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("customer", "dup", "stream", "vector")
+
+
+def _bm25_oracle(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    doc_len AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    corpus AS (SELECT count(*) AS _n FROM documents),
+    avgdl AS (SELECT sum(dl) / count(*) AS _avgdl FROM doc_len),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ({terms}) GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(
+               ln(1.0 + (_n - df + 0.5) / (df + 0.5))
+               * ((tf * {k1 + 1.0}) / (tf + {k1} *
+                  ({1.0 - b} + {b} * dl / _avgdl)))
+               * 1000000) AS BIGINT) AS score_micro
+      FROM tf t JOIN dfreq USING (term) JOIN doc_len USING (doc_id)
+      CROSS JOIN corpus CROSS JOIN avgdl
+    ),
+    ranked AS (
+      SELECT doc_id, count(*) AS n_terms_matched,
+             CAST(sum(score_micro) AS BIGINT) AS score_micro
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id, n_terms_matched, score_micro,
+           row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+    FROM ranked ORDER BY score_micro DESC, doc_id LIMIT {k}
+    """
+
+
+@register(
+    "q_bm25_search",
+    _bm25_oracle(),
+    doc="Okapi BM25 full-text retrieval (operators/relevance.py "
+    "bm25_topk): top-10 documents for a 4-term keyword query under the "
+    "Lucene idf — the relevance function behind Elasticsearch, and the "
+    "keyword-retrieval primitive curation itself uses. The inverted-"
+    "index discipline without materializing one: the token stream "
+    "filters to the query terms BEFORE any aggregation (the tf exchange "
+    "is query-result-sized), df is a <=|q|-row broadcast, N/avgdl ride "
+    "as broadcast 1-row aggregates, and the top-k is a "
+    "TakeOrderedAndProject, never a global sort. Per-(doc,term) scores "
+    "round to int64 micro-units before the per-doc sum, so summation "
+    "order can't flip a rank and ln ulp differences are absorbed "
+    "(the bigram-LM discipline).",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bm25_topk,
+    )
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10
+    )
+
+
+def _heavy_hitters_oracle(
+    phi_ppm: int = 32_000, sample_ppm: int = 200_000
+) -> str:
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64_sql,
+    )
+
+    h = portable_hash64_sql("doc_id::VARCHAR", seed="hh")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+    ),
+    n AS (SELECT count(*) AS _n FROM toks),
+    sampled AS (
+      SELECT term FROM toks WHERE {h} % 1000000 < {sample_ppm}
+    ),
+    cand AS (
+      SELECT term FROM sampled, n GROUP BY term, _n
+      HAVING count(*) >= greatest(
+        1, ((_n * {phi_ppm}) // 1000000 * {sample_ppm}) // 2000000)
+    ),
+    counted AS (
+      SELECT t.term AS item, count(*) AS cnt
+      FROM toks t JOIN cand USING (term) GROUP BY 1
+    )
+    SELECT item, cnt, CAST((cnt * 1000000) // _n AS BIGINT) AS share_ppm
+    FROM counted, n WHERE cnt * 1000000 > {phi_ppm} * _n
+    """
+
+
+@register(
+    "q_heavy_hitters",
+    _heavy_hitters_oracle(),
+    doc="phi-frequent items without a full-distinct shuffle "
+    "(operators/quality.py heavy_hitters): terms above 3.2% of the "
+    "token stream via deterministic sample-then-verify — a hash-"
+    "Bernoulli sample (docs as the sampling unit) nominates candidates "
+    "whose sampled count reaches half the expected count of a "
+    "phi-frequent item, then ONE corpus pass with a broadcast semi-join "
+    "counts only the candidates exactly. At 100 TB the exchange carries "
+    "candidate rows, not one row per distinct item; reported counts are "
+    "EXACT and the sampling replays identically in the oracle "
+    "(portable_hash64, integer-ppm thresholds everywhere).",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.functions import tokens
+    from inbev_data_engineering_case_spark.operators.quality import (
+        heavy_hitters,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    return heavy_hitters(
+        toks, "term", "doc_id", phi_ppm=32_000, sample_ppm=200_000
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -4721,7 +4844,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_stream_join": ("q_stream_enrich",),  # stream-side join family
     "q_ann_probes": ("q_ann_ivf_trained",),  # 1-row recall family
     "q_sessionize": ("q_stream_sessionize",),  # gap-sessionization family
-    "q_ann_bucketed": ("q_ann_cosine", "q_ann_ivf_trained"),
+    "q_ann_bucketed": ("q_ann_ivf_trained",),
     # rotated OUT mid-r5 to make room for the five NEW operator families
     # added this round (q_tfidf_topk, q_mixture_sample, q_event_funnel,
     # q_boilerplate, q_ann_pq — new entries must debut in the window or
@@ -4758,7 +4881,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_window_topk": ("q_running_total",),
     "q_stream_tumbling": ("q_window_events", "q_stream_dedup"),  # identical result/oracle
     "q_percentiles": ("q_approx_percentiles", "q_group_stats"),
-    "q_dedup_simhash": ("q_dedup_minhash", "q_ngram_jaccard"),
+    "q_dedup_simhash": ("q_dedup_minhash",),
     "q_ann_ivf": ("q_ann_ivf_trained",),
     "q_json_extract": ("q_array_functions", "q_date_functions"),
     "q_dedup_exact": ("q_fingerprint",),  # groups on the same md5 fp
@@ -4777,7 +4900,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # registrations plus eight returning r3-stale entries; every
     # demotion below is driver-green in CORRECTNESS_r05 and names
     # in-window same-family cover:
-    "q_fuzzy_match": ("q_ngram_jaccard",),  # blocked string-similarity join
+    "q_fuzzy_match": ("q_dedup_minhash",),  # blocked-similarity-join family
     "q_histogram": ("q_skew_report",),  # distribution-profiling family
     "q_resample_ffill": ("q_anomaly_zscore",),  # per-key time-series pass
     "q_bpe_train": ("q_tfidf_topk", "q_chunk_documents"),  # token pipeline
@@ -4792,7 +4915,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_map_lookup": ("q_array_functions", "q_date_functions"),
     "q_session_window": ("q_stream_sessionize",),  # sessionization family
     "q_join_orders": ("q_join_star",),  # broadcast-dim join family
-    "q_ann_projected": ("q_random_projection", "q_ann_cosine"),
+    "q_ann_projected": ("q_random_projection", "q_ann_ivf_trained"),
     "q_multimodal_features": ("q_frame_sample",),  # same decode machinery
     "q_repetition": ("q_quality_score",),  # text-scoring family
     # rotated OUT mid-r6 to debut q_curation_drift (new entries must
@@ -4805,6 +4928,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # (its oracle asserts the merge identity the rollup family pins):
     "q_event_funnel": ("q_cohort_retention", "q_attribution"),
     "q_sketch_rollup": ("q_stream_sketch",),
+    # rotated OUT mid-r6 to debut q_bm25_search and q_heavy_hitters;
+    # both r5-green: cosine's brute-force scoring is composed inside the
+    # in-window IVF entries (probe-all identity), and gram-set Jaccard
+    # shares the banded-similarity machinery minhash pins:
+    "q_ann_cosine": ("q_ann_ivf_trained", "q_ann_ivf_pq"),
+    "q_ngram_jaccard": ("q_dedup_minhash",),
 }
 
 for _name in _FAMILY_STAND_INS:

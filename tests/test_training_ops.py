@@ -3334,3 +3334,79 @@ def test_gif_frame_declared_bounds_checked_before_decode():
     struct.pack_into("<HH", origin_overhang, 6, 1, 1)  # screen 1x1
     with pytest.raises(ValueError, match="overhangs"):
         _gif_decode_pixels(bytes(origin_overhang))
+
+
+def test_bm25_ranks_rare_term_and_length_norm(spark):
+    """BM25 semantics: a doc matching the RARE query term outranks docs
+    matching only the common one (idf), and between two docs with the
+    same tf for the same term, the shorter one ranks higher (length
+    normalization). Scores are int64 micro-units; ranks tie-break on
+    doc_id."""
+    import pytest as _pytest
+
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bm25_topk,
+    )
+
+    common = "the data table holds data rows"
+    rows = [
+        (1, "zebra " + common),                 # rare term + common
+        (2, common + " " + common),             # common terms only
+        (4, "nothing relevant here at all"),    # no match -> absent
+        # identical tf profile (zebra:1, data:1), different lengths:
+        (6, "zebra data pad pad pad pad pad pad pad pad"),
+        (7, "zebra data"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in bm25_topk(docs, ["zebra", "data"], k=10).collect()
+    }
+    assert 4 not in out
+    assert out[1]["n_terms_matched"] == 2
+    # rare-term docs beat the common-only doc
+    assert out[1]["rnk"] < out[2]["rnk"] and out[7]["rnk"] < out[2]["rnk"]
+    # same tf profile: the shorter doc wins on length normalization
+    assert out[7]["score_micro"] > out[6]["score_micro"]
+    with _pytest.raises(ValueError, match="empty"):
+        bm25_topk(docs, [])
+
+
+def test_heavy_hitters_exact_counts_and_threshold(spark):
+    """Sample-then-verify heavy hitters: an item above phi is reported
+    with its EXACT count and integer-ppm share; items below phi are
+    absent even when sampled; results are deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.quality import (
+        heavy_hitters,
+    )
+
+    # 400 rows across carrier ids 0..199: 'hot' 200x (50% of the
+    # stream), 'warm' 58x (14.5%), 'cold' 2x (0.5%), fillers for the rest
+    rows = [(i, "hot") for i in range(200)]
+    rows += [(i % 200, "warm") for i in range(58)]
+    rows += [(i, "cold") for i in range(2)]
+    rows += [(i % 200, "filler%d" % (i % 97)) for i in range(140)]
+    df = spark.createDataFrame(rows, ["doc_id", "term"])
+    n = df.count()
+    assert n == 400
+
+    out = {
+        r["item"]: r
+        for r in heavy_hitters(
+            df, "term", "doc_id", phi_ppm=50_000, sample_ppm=500_000
+        ).collect()
+    }
+    assert set(out) == {"hot", "warm"}
+    assert out["hot"]["cnt"] == 200  # exact, not estimated
+    assert out["warm"]["cnt"] == 58
+    assert out["hot"]["share_ppm"] == 200 * 1_000_000 // n
+    # determinism: the hash-Bernoulli sample is a pure function of ids
+    again = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(
+            df, "term", "doc_id", phi_ppm=50_000, sample_ppm=500_000
+        ).collect()
+    }
+    assert again == {k: v["cnt"] for k, v in out.items()}
