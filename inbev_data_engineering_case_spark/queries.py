@@ -4652,6 +4652,7 @@ def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
            (su > 250000 * n OR sd > 250000 * n) AS is_change
     FROM scored
     """,
+    headline=True,
     doc="Per-key CUSUM changepoint detection (operators/timeseries.py "
     "cusum_changepoints): catches small persistent level shifts the "
     "3-sigma z-score gate is blind to. The sequential recursion "
@@ -4716,6 +4717,7 @@ def _bm25_oracle(k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
 @register(
     "q_bm25_search",
     _bm25_oracle(),
+    headline=True,
     doc="Okapi BM25 full-text retrieval (operators/relevance.py "
     "bm25_topk): top-10 documents for a 4-term keyword query under the "
     "Lucene idf — the relevance function behind Elasticsearch, and the "
@@ -4772,6 +4774,7 @@ def _heavy_hitters_oracle(
 @register(
     "q_heavy_hitters",
     _heavy_hitters_oracle(),
+    headline=True,
     doc="phi-frequent items without a full-distinct shuffle "
     "(operators/quality.py heavy_hitters): terms above 3.2% of the "
     "token stream via deterministic sample-then-verify — a hash-"
