@@ -163,64 +163,84 @@ def commit_snapshot(
     1. The caller reads the CURRENT latest snapshot, computes its new
        state from it, and passes that snapshot's run id as
        ``expected_parent`` (None for the first snapshot ever).
-    2. ``write_fn(staging_dir)`` writes the full new snapshot content
-       into a hidden staging dir (any Spark write; a ``_SUCCESS`` marker
-       is added if the writer didn't).
-    3. The commit: under a short-lived lock file, re-check that the
+    2. ``write_fn(staging_dir)`` creates and fills the hidden staging
+       dir — a Spark write does both (its default ErrorIfExists mode is
+       why the dir is NOT pre-created); plain-file writers
+       ``os.makedirs`` it first. A ``_SUCCESS`` marker is added if the
+       writer didn't.
+    3. The commit: under an ``flock``-held lock file, re-check that the
        latest committed snapshot is still ``expected_parent`` and the
        target doesn't exist, then one atomic ``os.rename`` publishes the
        staging dir. Any other outcome raises ``SnapshotConflictError``
        and the staging dir is cleaned up — the loser recomputes from the
-       NEW latest (both deltas survive) and retries with a fresh run id.
+       NEW latest (both deltas survive) and retries with a fresh,
+       HIGHER-SORTING run id (enforced: a run id that doesn't sort after
+       its parent would publish invisibly under the newest-first reader
+       and silently lose its delta).
 
-    The lock guards only the check+rename critical section (microseconds;
-    Spark writes happen before, unlocked, so writers stage in parallel).
-    A lock older than ``lock_timeout_s`` is considered leaked by a dead
-    process and broken. On a local/NFS/HDFS filesystem this is correct
-    as-is; on S3-style stores swap the lock+rename for the store's
-    conditional-put (the protocol shape is unchanged — this function is
-    the one place to do it).
+    The lock guards only the check+rename critical section
+    (microseconds; Spark writes happen before, unlocked, so writers
+    stage in parallel). flock is released by the kernel when the holder
+    dies — there is no stale-lock state to break, and
+    ``lock_timeout_s`` bounds only how long a waiter queues. On a
+    local/NFSv4/HDFS-fuse filesystem this is correct as-is; on S3-style
+    stores swap the lock+rename for the store's conditional-put (the
+    protocol shape is unchanged — this function is the one place to do
+    it).
     """
+    import fcntl
     import shutil
     import time
     import uuid
 
+    if expected_parent is not None and run_id <= expected_parent:
+        raise ValueError(
+            f"commit_snapshot: run_id {run_id!r} does not sort after the "
+            f"expected parent {expected_parent!r} — readers resolve the "
+            "lexicographically NEWEST snapshot, so a lower-sorting commit "
+            "would publish successfully yet stay permanently invisible "
+            "(and its delta would be silently lost)"
+        )
     os.makedirs(base_dir, exist_ok=True)
     final = snapshot_path(base_dir, run_id, prefix)
     staging = os.path.join(
         base_dir, f".staging_{prefix}_{run_id}_{uuid.uuid4().hex[:8]}"
     )
-    os.makedirs(staging)
+    # the lock file is a tiny permanent sentinel per table dir, held via
+    # flock: the kernel releases it when the holder dies, so there is no
+    # stale-lock state and no break-the-lock race (an unlink-based
+    # existence lock can be "broken" twice, letting two writers into the
+    # critical section). The file is deliberately never unlinked —
+    # unlinking a live flock target is the classic lock-split bug.
     lock = os.path.join(base_dir, f".{prefix}.commit_lock")
     try:
+        # write_fn owns staging creation: Spark's default ErrorIfExists
+        # save mode refuses a pre-created directory, so plain-file
+        # writers os.makedirs(staging) themselves
         write_fn(staging)
+        if not os.path.isdir(staging):
+            raise ValueError(
+                "commit_snapshot: write_fn produced no staging directory "
+                f"at {staging}"
+            )
         marker = os.path.join(staging, SUCCESS_MARKER)
         if not os.path.exists(marker):
             open(marker, "w").close()
 
-        deadline = time.monotonic() + lock_timeout_s
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    held_for = time.time() - os.path.getmtime(lock)
-                except OSError:
-                    continue  # holder released between open and stat
-                if held_for > lock_timeout_s:
-                    try:
-                        os.unlink(lock)  # leaked by a dead process
-                    except FileNotFoundError:
-                        pass  # another waiter broke it first
-                    continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"commit lock {lock} held for {held_for:.0f}s"
-                    ) from None
-                time.sleep(0.02)
+        lock_fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
+            deadline = time.monotonic() + lock_timeout_s
+            while True:
+                try:
+                    fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except BlockingIOError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"commit lock {lock} not acquired within "
+                            f"{lock_timeout_s}s"
+                        ) from None
+                    time.sleep(0.02)
             current = _resolve_snapshot(base_dir, prefix, True, None, None)
             current_id = _parent_run_id(current, prefix)
             if current_id != expected_parent:
@@ -236,10 +256,7 @@ def commit_snapshot(
                 )
             os.rename(staging, final)  # atomic publish
         finally:
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+            os.close(lock_fd)  # drops the flock
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise

@@ -156,8 +156,19 @@ def heavy_hitters(
     reproducible, and false candidates are removed by the verify pass,
     so reported counts are EXACT.
 
-    All thresholds are integer ppm arithmetic — no float boundary can
-    disagree between engines. Returns ``(item, cnt, share_ppm)``.
+    ``id_col`` is the SAMPLING UNIT and the guarantee is per-unit: rows
+    sharing an id sample together, so the exponential bound holds over
+    the number of distinct units carrying the item, not its row count.
+    Pass a row-unique id (e.g. ``(doc_id, position)`` for a token
+    stream) for the per-occurrence guarantee — an item concentrated in
+    a handful of ids under a coarse unit rides on those few ids' hashes
+    and CAN be missed outright. Coarse units are only appropriate when
+    hot items are known to spread across many units.
+
+    All count arithmetic runs in integer ppm and widens to
+    DECIMAL(38,0) where products could pass int64 — no float boundary
+    and no silent wrap can disagree between engines. Returns
+    ``(item, cnt, share_ppm)``.
     """
     from inbev_data_engineering_case_spark.functions import portable_hash64
 
@@ -186,17 +197,23 @@ def heavy_hitters(
         )
         .select(item_col)
     )
+    wide = "decimal(38,0)"
     return (
         df.join(F.broadcast(cand), item_col, "left_semi")
         .groupBy(item_col)
         .agg(F.count("*").alias("cnt"))
         .join(F.broadcast(n))
-        .filter(F.col("cnt") * 1_000_000 > F.lit(phi_ppm) * F.col("_n"))
+        # widened: cnt * 1e6 passes int64 at cnt > ~9.2e12, inside the
+        # operator's own row envelope — HUGEINT on the oracle side
+        .filter(
+            F.col("cnt").cast(wide) * F.lit(1_000_000).cast(wide)
+            > F.lit(phi_ppm).cast(wide) * F.col("_n").cast(wide)
+        )
         .select(
             F.col(item_col).alias("item"),
             "cnt",
-            F.expr("(cnt * 1000000) div _n").cast("bigint").alias(
-                "share_ppm"
-            ),
+            F.expr(
+                "(cast(cnt as decimal(38,0)) * 1000000) div _n"
+            ).cast("bigint").alias("share_ppm"),
         )
     )

@@ -4748,10 +4748,20 @@ def _heavy_hitters_oracle(
         portable_hash64_sql,
     )
 
-    h = portable_hash64_sql("doc_id::VARCHAR", seed="hh")
+    # row-unique sampling unit (doc_id:position): the per-occurrence
+    # guarantee — a term concentrated in one huge doc must not ride on
+    # a single document hash
+    h = portable_hash64_sql("tok_id", seed="hh")
     return f"""
     WITH toks AS (
-      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+      SELECT u.t AS term,
+             doc_id::VARCHAR || ':' || u.p::VARCHAR AS tok_id
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform({_SQL_TOKENS},
+                      (x, i) -> struct_pack(t := x, p := i - 1))) AS u
+        FROM documents
+      )
     ),
     n AS (SELECT count(*) AS _n FROM toks),
     sampled AS (
@@ -4766,8 +4776,12 @@ def _heavy_hitters_oracle(
       SELECT t.term AS item, count(*) AS cnt
       FROM toks t JOIN cand USING (term) GROUP BY 1
     )
-    SELECT item, cnt, CAST((cnt * 1000000) // _n AS BIGINT) AS share_ppm
-    FROM counted, n WHERE cnt * 1000000 > {phi_ppm} * _n
+    SELECT item, cnt,
+           CAST((CAST(cnt AS HUGEINT) * 1000000) // _n AS BIGINT)
+             AS share_ppm
+    FROM counted, n
+    WHERE CAST(cnt AS HUGEINT) * 1000000
+          > {phi_ppm} * CAST(_n AS HUGEINT)
     """
 
 
@@ -4778,7 +4792,9 @@ def _heavy_hitters_oracle(
     doc="phi-frequent items without a full-distinct shuffle "
     "(operators/quality.py heavy_hitters): terms above 3.2% of the "
     "token stream via deterministic sample-then-verify — a hash-"
-    "Bernoulli sample (docs as the sampling unit) nominates candidates "
+    "Bernoulli sample over the row-unique (doc_id, position) token id "
+    "(the per-occurrence guarantee: a term concentrated in one huge "
+    "document must not ride on a single doc hash) nominates candidates "
     "whose sampled count reaches half the expected count of a "
     "phi-frequent item, then ONE corpus pass with a broadcast semi-join "
     "counts only the candidates exactly. At 100 TB the exchange carries "
@@ -4792,12 +4808,21 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy_hitters,
     )
 
-    toks = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(tokens(F.lower(F.col("text")))).alias(
+                "pos", "term"
+            ),
+        )
+        .select(
+            F.concat_ws(":", F.col("doc_id"), F.col("pos")).alias("tok_id"),
+            "term",
+        )
     )
     return heavy_hitters(
-        toks, "term", "doc_id", phi_ppm=32_000, sample_ppm=200_000
+        toks, "term", "tok_id", phi_ppm=32_000, sample_ppm=200_000
     )
 
 

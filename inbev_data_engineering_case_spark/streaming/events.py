@@ -532,7 +532,7 @@ def run_stream_upsert_parquet(
     key_cols: list[str],
     order_col: str,
     timeout: int = 300,
-) -> None:
+) -> dict[str, int]:
     """Streaming MERGE (upsert) into a keyed parquet snapshot — the
     poor-man's Delta MERGE for sinks without transactions: each
     micro-batch replaces its keys' previous rows and appends new keys,

@@ -326,6 +326,7 @@ def _advance(base, run_id, delta, barrier=None):
         barrier.wait()  # both writers observed the SAME parent
 
     def write(staging):
+        os.makedirs(staging)  # write_fn owns staging creation
         with open(os.path.join(staging, "ids.txt"), "w") as f:
             f.write(" ".join(str(x) for x in sorted(merged)))
 
@@ -367,35 +368,68 @@ def test_commit_snapshot_exactly_one_winner_loser_retry_keeps_both(tmp_path):
     _parent, ids = _read_corpus(tmp_path)
     assert ids == {1, 2, 10, 20}  # both deltas survived the race
 
+    # no staging litter; the flock sentinel is the one deliberate dotfile
     litter = [n for n in os.listdir(tmp_path) if n.startswith(".")]
-    assert litter == []
+    assert litter == [".brewery_data.commit_lock"]
 
 
 def test_commit_snapshot_rejects_duplicate_run_id_and_breaks_stale_lock(
     tmp_path,
 ):
-    """A replayed run id conflicts instead of overwriting the published
-    snapshot, and a lock file leaked by a dead process (old mtime) is
-    broken rather than deadlocking every future commit."""
+    """A non-advancing run id is rejected up front (it would publish
+    invisibly under the newest-first reader), an uncommitted leftover
+    dir with the target name conflicts instead of being overwritten, a
+    lock file left by a dead process doesn't block (flock died with it),
+    and a lock HELD by a live writer times out rather than deadlocking."""
+    import fcntl
+
     from inbev_data_engineering_case_spark.layers import (
+        SNAPSHOT_PREFIX,
         SnapshotConflictError,
         commit_snapshot,
+        snapshot_path,
     )
 
     assert _advance(tmp_path, "2024-01-01-00-00", {1}) is None
-    with pytest.raises(SnapshotConflictError, match="already published"):
+    # replayed / lower-sorting run id: rejected before any work
+    with pytest.raises(ValueError, match="sort after"):
         commit_snapshot(
             str(tmp_path),
             "2024-01-01-00-00",
             lambda staging: None,
             "2024-01-01-00-00",
         )
+    # an uncommitted leftover dir with the target name conflicts
+    os.makedirs(snapshot_path(str(tmp_path), "2024-01-02-00-00"))
+    with pytest.raises(SnapshotConflictError, match="already published"):
+        commit_snapshot(
+            str(tmp_path),
+            "2024-01-02-00-00",
+            lambda staging: os.makedirs(staging),
+            "2024-01-01-00-00",
+        )
 
-    from inbev_data_engineering_case_spark.layers import SNAPSHOT_PREFIX
-
+    # a lock FILE left behind by a dead process carries no flock: the
+    # next commit proceeds immediately
     lock = os.path.join(tmp_path, f".{SNAPSHOT_PREFIX}.commit_lock")
     open(lock, "w").close()
-    os.utime(lock, (0, 0))  # epoch mtime: leaked long ago
     assert _advance(tmp_path, "2024-01-03-00-00", {2}) is None
     _parent, ids = _read_corpus(tmp_path)
     assert ids == {1, 2}
+
+    # a lock HELD by a live process makes a second writer time out
+    holder = os.open(lock, os.O_RDWR)
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(TimeoutError, match="commit lock"):
+            commit_snapshot(
+                str(tmp_path),
+                "2024-01-04-00-00",
+                lambda staging: os.makedirs(staging),
+                "2024-01-03-00-00",
+                lock_timeout_s=0.3,
+            )
+    finally:
+        os.close(holder)
+    # released: the same commit succeeds now
+    assert _advance(tmp_path, "2024-01-05-00-00", {3}) is None
