@@ -239,3 +239,53 @@ def attribution_report(
         )
         .orderBy("model", "channel")
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered pair of consecutive events by the same
+    user, count the (previous type → current type) transition and its
+    probability within the source state — the "what do users do next"
+    model behind next-action prediction, funnel design, and anomalous-
+    flow detection (a transition whose ppm shifts day-over-day feeds the
+    same drift alarms as everything else).
+
+    Scale shape: ONE exchange on the user key; the predecessor is a
+    single ``lag`` window pass per user partition (ordered by ts with
+    the id tie-break, like ``heartbeat_gaps``), then the transition
+    count is a partial-aggregated groupBy over (prev, curr) — state-
+    pair-sized, never event-sized, on the second exchange. Per-source
+    probabilities come from a window sum over the transition matrix
+    itself (state-count-sized). Probabilities are exact integer ppm
+    (floor division), so no float summation order can disagree.
+
+    Returns ``(prev_type, event_type, n_transitions, prob_ppm)``; each
+    user's first event has no predecessor and feeds no transition.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    matrix = (
+        events.select(
+            F.lag(F.col(type_col)).over(w).alias("prev_type"),
+            F.col(type_col),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", type_col)
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    # n * 1e6 stays in int64 to ~9.2e12 transitions per pair — beyond
+    # even a 100 TB event log's per-pair counts
+    return matrix.withColumn(
+        "prob_ppm",
+        F.expr(
+            "n_transitions * 1000000 div "
+            "sum(n_transitions) OVER (PARTITION BY prev_type)"
+        ).cast("bigint"),
+    ).select("prev_type", type_col, "n_transitions", "prob_ppm")

@@ -255,3 +255,79 @@ def bm25_topk(
     return topk.withColumn("rnk", F.row_number().over(w)).select(
         id_col, "n_terms_matched", "score_micro", "rnk"
     )
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` collocations (adjacent token pairs) by pointwise mutual
+    information — the corpus-statistics operator behind multi-word
+    vocabulary induction ("new york", "machine learning") and tokenizer
+    merge candidates: ``pmi(w1,w2) = ln(N·c12 / (c1·c2))`` over adjacent
+    pairs, where high PMI means the pair co-occurs far more than its
+    unigrams predict.
+
+    ``min_count`` floors the pair count — rare pairs have wildly
+    overdispersed PMI (a hapax pair of two hapax words scores ln(N)) and
+    every practical collocation extractor filters them.
+
+    Scale shape: one tokenize pass feeds pair counts and LEFT-unigram /
+    RIGHT-unigram counts (three partial-aggregated exchanges over
+    (pair)/(w1)/(w2) keys — rows are distinct grams, never occurrences);
+    N joins as a broadcast 1-row aggregate; the top-k plans as
+    TakeOrderedAndProject. PMI is carried as int64 MICRO-units (exact
+    integer ratio into one ln, then rounded) so ranking ties are
+    engine-stable with the (w1, w2) tie-break.
+
+    Returns ``(w1, w2, pair_count, pmi_micro, rnk)``.
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w"),
+    )
+    nxt = toks.select(
+        F.col(id_col),
+        (F.col("pos") + 1).alias("pos"),
+        F.col("w").alias("w1"),
+    )
+    pairs = toks.join(nxt, [id_col, "pos"]).select(
+        "w1", F.col("w").alias("w2")
+    )
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    left_counts = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    right_counts = pairs.groupBy("w2").agg(F.count("*").alias("c2"))
+    n_pairs = pairs.agg(F.count("*").alias("_n"))
+    scored = (
+        pair_counts.join(left_counts, "w1")
+        .join(right_counts, "w2")
+        .join(F.broadcast(n_pairs))
+        .withColumn(
+            "pmi_micro",
+            F.round(
+                F.log(
+                    (F.col("_n").cast("double") * F.col("c12"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                )
+                * 1_000_000
+            ).cast("bigint"),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        "w1", "w2", F.col("c12").alias("pair_count"), "pmi_micro", "rnk"
+    )

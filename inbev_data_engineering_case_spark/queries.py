@@ -4586,9 +4586,7 @@ def q_curation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_drift(history, window_days=12)
 
 
-@register(
-    "q_event_gaps",
-    """
+_EVENT_GAPS_ORACLE = """
     WITH ordered AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2, event_id,
              lag(CAST(ts AS TIMESTAMP)) OVER (
@@ -4601,7 +4599,12 @@ def q_curation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS gap_s
     FROM ordered
     WHERE epoch_us(ts2) - epoch_us(prev_ts) > 86400000000
-    """,
+    """
+
+
+@register(
+    "q_event_gaps",
+    _EVENT_GAPS_ORACLE,
     doc="Per-key heartbeat-gap detection (operators/timeseries.py "
     "heartbeat_gaps): every inter-event silence beyond 24h per user — "
     "the missing-heartbeat monitor that catches a quiet device/feed/"
@@ -4826,6 +4829,124 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pmi_oracle(k: int = 20, min_count: int = 5) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, u.w AS w, u.p AS p
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform({_SQL_TOKENS},
+                      (x, i) -> struct_pack(w := x, p := i - 1))) AS u
+        FROM documents
+      )
+    ),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+    ),
+    pc AS (
+      SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2
+      HAVING count(*) >= {min_count}
+    ),
+    lc AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+    rc AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY 1),
+    n AS (SELECT count(*) AS _n FROM pairs),
+    scored AS (
+      SELECT w1, w2, c12,
+             CAST(round(ln((_n::DOUBLE * c12) / (c1::DOUBLE * c2))
+                        * 1000000) AS BIGINT) AS pmi_micro
+      FROM pc JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN n
+    )
+    SELECT w1, w2, c12 AS pair_count, pmi_micro,
+           row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS rnk
+    FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT {k}
+    """
+
+
+@register(
+    "q_pmi_collocations",
+    _pmi_oracle(),
+    doc="PMI collocation mining (operators/relevance.py "
+    "pmi_collocations): top-20 adjacent token pairs by pointwise mutual "
+    "information with a min-count floor — multi-word vocabulary "
+    "induction / tokenizer merge candidates. One tokenize pass feeds "
+    "pair + left-unigram + right-unigram counts (three partial-"
+    "aggregated gram-keyed exchanges, rows are distinct grams); N is a "
+    "broadcast 1-row aggregate; top-k is TakeOrderedAndProject. PMI in "
+    "int64 micro-units with (w1, w2) tie-break — engine-stable ranking.",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "q_markov_transitions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events
+    ),
+    matrix AS (
+      SELECT prev_type, event_type, count(*) AS n_transitions
+      FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, event_type, n_transitions,
+           CAST(n_transitions * 1000000
+                // sum(n_transitions) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS prob_ppm
+    FROM matrix
+    """,
+    doc="first-order Markov transition matrix "
+    "(operators/funnel.py markov_transitions): per-user consecutive "
+    "event-type pairs counted into a state-pair-sized matrix with exact "
+    "integer-ppm per-source probabilities — next-action modeling and "
+    "the flow-drift input for the same day-over-day alarms as "
+    "everything else. One user-keyed exchange + one lag pass; the "
+    "second exchange is state-pair-sized, never event-sized.",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.funnel import (
+        markov_transitions,
+    )
+
+    return markov_transitions(read_events(spark, sf_dir))
+
+
+@register(
+    "q_stream_gaps",
+    _EVENT_GAPS_ORACLE,
+    doc="streaming heartbeat-gap alarm (streaming/events.py "
+    "stream_heartbeat_gaps): the missing-heartbeat monitor maintained "
+    "INCREMENTALLY via applyInPandasWithState — one 8-byte last-seen "
+    "cursor per user in the state store; each arriving event checks its "
+    "distance to it and emits the gap row the moment the silence "
+    "breaks, replacing a daily batch rescan. Arrival-triggered (no "
+    "timer), so the drained output is an exact function of the data and "
+    "the batch operator's SQL replay is the oracle (q_event_gaps' "
+    "relation). Executed as a REAL stream (availableNow drain to a "
+    "memory sink).",
+)
+def q_stream_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+        stream_heartbeat_gaps,
+    )
+
+    out = stream_heartbeat_gaps(
+        read_events_stream(spark, sf_dir), max_gap_s=86_400
+    )
+    run_stream_to_table(out, "q_stream_gaps_sink", "append")
+    return spark.table("q_stream_gaps_sink")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -4866,7 +4987,7 @@ DRIVER_WINDOW = 50
 _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # rotated OUT in r4, still resting (stand-ins updated where their
     # previous stand-in was itself demoted this round)
-    "q_trailing_window": ("q_running_total",),
+    "q_trailing_window": ("q_window_events",),
     "q_orderby_limit": ("q_corpus_shuffle",),  # TakeOrdered family
     "q_mojibake_repair": ("q_clean_text", "q_pii_scrub"),
     "q_stream_join": ("q_stream_enrich",),  # stream-side join family
@@ -4878,7 +4999,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_boilerplate, q_ann_pq — new entries must debut in the window or
     # they'd sit unverified; every demotion below was driver-green in
     # CORRECTNESS_r04 and names its in-window family cover)
-    "q_having": ("q_group_stats", "q_correlated_subquery"),
+    "q_having": ("q_correlated_subquery",),
     "q_asof_join": ("q_range_join",),  # temporal band-join family
     "q_token_stats": ("q_tfidf_topk", "q_quality_score"),  # token statistics
     "q_stratified_sample": ("q_mixture_sample", "q_corpus_shuffle"),
@@ -4886,7 +5007,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_zorder_key (data-layout family, new mid-r5) took this slot:
     "q_dedup_incremental": ("q_curate_incremental",),  # composes it too
     # q_skew_report (profiling family, new mid-r5) took this slot:
-    "q_dq_profile": ("q_skew_report", "q_group_stats"),
+    "q_dq_profile": ("q_skew_report",),
     # q_histogram (distribution profiling, new mid-r5) took this slot —
     # components stays covered by the two entries that compose/verify it:
     "q_dedup_components": ("q_dedup_minhash", "q_curate_corpus"),
@@ -4903,15 +5024,15 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family
-    "q_agg_pricing": ("q_group_stats",),  # grouped-agg family
+    "q_agg_pricing": ("q_gold_agg",),  # grouped-agg family
     "q_intersect_except": ("q_set_ops",),
     "q_rollup": ("q_grouping_sets",),  # Expand family
-    "q_window_topk": ("q_running_total",),
+    "q_window_topk": ("q_window_events",),
     "q_stream_tumbling": ("q_window_events", "q_stream_dedup"),  # identical result/oracle
-    "q_percentiles": ("q_approx_percentiles", "q_group_stats"),
+    "q_percentiles": ("q_approx_percentiles",),
     "q_dedup_simhash": ("q_dedup_minhash",),
     "q_ann_ivf": ("q_ann_ivf_trained",),
-    "q_json_extract": ("q_array_functions", "q_date_functions"),
+    "q_json_extract": ("q_array_functions",),
     "q_dedup_exact": ("q_fingerprint",),  # groups on the same md5 fp
     "q_approx_count_distinct": ("q_distinct",),  # distinct-agg family
     "q_pack_sequences": ("q_chunk_documents",),  # sequence-budget family
@@ -4921,7 +5042,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # was driver-green in CORRECTNESS_r04 and names in-window cover:
     "q_normalize_location": ("q_clean_text", "q_gold_agg"),  # q_gold_agg composes it
     "q_pivot": ("q_grouping_sets",),  # Expand family
-    "q_sliding_window": ("q_running_total", "q_window_events"),
+    "q_sliding_window": ("q_window_events",),
     "q_ann_ivf_df": ("q_ann_ivf_trained",),  # same IVF trainer family
     "q_quality_threshold": ("q_quality_score", "q_mixture_sample"),  # score-filter family
     # rotated OUT in r6 to seat the eight never-driver-checked late-r5
@@ -4940,7 +5061,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_scd2_history": ("q_curate_incremental", "q_range_join"),
     "q_count_distinct": ("q_distinct",),  # distinct-agg family
     "q_cube": ("q_grouping_sets",),  # Expand family
-    "q_map_lookup": ("q_array_functions", "q_date_functions"),
+    "q_map_lookup": ("q_array_functions",),
     "q_session_window": ("q_stream_sessionize",),  # sessionization family
     "q_join_orders": ("q_join_star",),  # broadcast-dim join family
     "q_ann_projected": ("q_random_projection", "q_ann_ivf_trained"),
@@ -4962,6 +5083,14 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # shares the banded-similarity machinery minhash pins:
     "q_ann_cosine": ("q_ann_ivf_trained", "q_ann_ivf_pq"),
     "q_ngram_jaccard": ("q_dedup_minhash",),
+    # rotated OUT mid-r6 to debut q_pmi_collocations,
+    # q_markov_transitions, and q_stream_gaps; all three r5-green with
+    # in-window family cover (date/map/array scalar fns consolidate on
+    # q_array_functions, window frames on q_window_events, grouped
+    # aggregation on the flagship q_gold_agg):
+    "q_date_functions": ("q_array_functions",),
+    "q_running_total": ("q_window_events",),
+    "q_group_stats": ("q_gold_agg",),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -475,6 +475,96 @@ def stream_sessionize(
     )
 
 
+GAP_STATE_SCHEMA = T.StructType([T.StructField("last_us", T.LongType())])
+
+GAP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("gap_start", T.TimestampType()),
+        T.StructField("gap_end", T.TimestampType()),
+        T.StructField("gap_s", T.LongType()),
+    ]
+)
+
+
+def _make_gap_detector(max_gap_s: int):
+    """Per-user stateful gap detector: state is the newest timestamp
+    seen; each arriving event whose distance to it exceeds the threshold
+    emits a gap row. Late events (t <= last) never move the cursor
+    backwards and emit nothing — a late arrival can only SHRINK a true
+    gap, so silence is the conservative alarm behavior; the batch twin
+    (``timeseries.heartbeat_gaps``) remains the exact replay."""
+    max_gap_us = max_gap_s * 1_000_000
+
+    def detect(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ts_us = sorted(
+            int(t)
+            for batch in batches
+            for t in (batch["ts"].astype("int64") // 1000)
+        )
+        if not ts_us:
+            return
+        last = state.get[0] if state.exists else None
+        gaps: list[tuple[int, int]] = []
+        for t in ts_us:
+            if last is not None and t - last > max_gap_us:
+                gaps.append((last, t))
+            if last is None or t > last:
+                last = t
+        state.update((last,))
+        if gaps:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(gaps),
+                    "gap_start": [
+                        pd.Timestamp(s, unit="us") for s, _ in gaps
+                    ],
+                    "gap_end": [pd.Timestamp(e, unit="us") for _, e in gaps],
+                    "gap_s": [(e - s) // 1_000_000 for s, e in gaps],
+                }
+            )
+
+    return detect
+
+
+def stream_heartbeat_gaps(
+    events: DataFrame, max_gap_s: int = 86_400
+) -> DataFrame:
+    """Streaming twin of ``timeseries.heartbeat_gaps``: the
+    missing-heartbeat alarm maintained INCREMENTALLY — each arriving
+    event checks its distance to the user's stored last-seen timestamp
+    (one long per user in the state store) and emits the gap row the
+    moment the silence breaks, instead of a daily batch rescan of the
+    full history.
+
+    Arrival-triggered by design (no processing-time timer): a gap is
+    reported when the key wakes up, which keeps drain-style availableNow
+    runs terminating and makes the output an exact function of the data
+    — the batch operator replays it (the oracle relation for
+    ``q_stream_gaps``). A production variant that must page on STILL-
+    silent sources adds a ProcessingTimeTimeout flush like
+    ``stream_sessionize``'s, trading replayability for liveness.
+
+    State is one 8-byte cursor per key — bounded by the key domain, not
+    event volume."""
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_gap_detector(max_gap_s),
+            outputStructType=GAP_OUTPUT_SCHEMA,
+            stateStructType=GAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def merge_upsert_snapshot(
     spark,
     batch_df: DataFrame,

@@ -185,3 +185,43 @@ def test_attribution_report_exact_ppm(spark):
     # last-touch: one click, one view -> 500000 ppm each (exact div)
     assert rows[("last_touch", "click")]["share_ppm"] == 500_000
     assert rows[("last_touch", "view")]["share_ppm"] == 500_000
+
+
+def test_markov_transitions_known_matrix(spark):
+    """Known per-user sequences produce exact transition counts and
+    integer-ppm probabilities; each user's first event feeds nothing."""
+    import datetime as dt
+
+    from inbev_data_engineering_case_spark.operators.funnel import (
+        markov_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def seq(uid, types, base):
+        return [
+            (base + i, t0 + dt.timedelta(minutes=i), uid, t)
+            for i, t in enumerate(types)
+        ]
+
+    rows = (
+        seq(1, ["view", "click", "view", "click", "purchase"], 0)
+        + seq(2, ["view", "view", "click"], 100)
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["prev_type"], r["event_type"]): r
+        for r in markov_transitions(df).collect()
+    }
+    # transitions: u1 v->c, c->v, v->c, c->p ; u2 v->v, v->c
+    assert out[("view", "click")]["n_transitions"] == 3
+    assert out[("view", "view")]["n_transitions"] == 1
+    assert out[("click", "view")]["n_transitions"] == 1
+    assert out[("click", "purchase")]["n_transitions"] == 1
+    # from 'view': 4 transitions total -> 3/4 and 1/4 in exact ppm
+    assert out[("view", "click")]["prob_ppm"] == 750_000
+    assert out[("view", "view")]["prob_ppm"] == 250_000
+    assert out[("click", "view")]["prob_ppm"] == 500_000
+    assert sum(r["n_transitions"] for r in out.values()) == 6

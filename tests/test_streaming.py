@@ -701,3 +701,64 @@ def test_lateness_metrics_report_watermark_drops(spark, tmp_path):
         metrics["dropped_rows_by_watermark"]
     )
     assert metrics["peak_state_rows"] >= 20
+
+
+def test_stream_heartbeat_gaps_matches_batch_and_spans_batches(spark, tmp_path):
+    """The streaming gap detector's drained output equals the batch
+    operator's on the same data, INCLUDING a gap whose two sides arrive
+    in different micro-batches (the 8-byte cursor carries across), and
+    state never moves backwards on a late duplicate."""
+    import os
+
+    from inbev_data_engineering_case_spark.operators.timeseries import (
+        heartbeat_gaps,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        run_stream_to_table,
+        stream_heartbeat_gaps,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    cols = ["event_id", "ts", "user_id"]
+    batch1 = [(1, t0, 1), (2, t0 + timedelta(hours=1), 1),
+              (10, t0, 2)]
+    # batch 2 starts 9h after user 1's last event -> the gap spans the
+    # batch boundary; user 2 stays quiet 30h
+    batch2 = [(3, t0 + timedelta(hours=10), 1),
+              (11, t0 + timedelta(hours=30), 2),
+              (4, t0 + timedelta(hours=10), 1)]  # same-ts duplicate
+    src = tmp_path / "gap_stream"
+    src.mkdir()
+    for bi, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            str(src / f"b{bi}")
+        )
+        (f,) = (src / f"b{bi}").glob("*.parquet")
+        dst = src / f"file_{bi}.parquet"
+        os.rename(f, dst)
+        os.utime(dst, (1_000_000 + bi * 1000, 1_000_000 + bi * 1000))
+    schema = spark.createDataFrame([], "event_id long, ts timestamp, "
+                                   "user_id long").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    metrics = run_stream_to_table(
+        stream_heartbeat_gaps(stream, max_gap_s=6 * 3600),
+        "stream_gaps_sink",
+        "append",
+        timeout=120,
+    )
+    assert metrics["batches"] >= 2
+    got = {
+        (r["user_id"], r["gap_s"])
+        for r in spark.sql("select * from stream_gaps_sink").collect()
+    }
+    batch_df = spark.read.parquet(*[str(src / f"file_{i}.parquet")
+                                    for i in range(2)])
+    want = {
+        (r["user_id"], r["gap_s"])
+        for r in heartbeat_gaps(batch_df, max_gap_s=6 * 3600).collect()
+    }
+    assert got == want == {(1, 9 * 3600), (2, 30 * 3600)}

@@ -3410,3 +3410,26 @@ def test_heavy_hitters_exact_counts_and_threshold(spark):
         ).collect()
     }
     assert again == {k: v["cnt"] for k, v in out.items()}
+
+
+def test_pmi_collocations_finds_planted_pair(spark):
+    """A planted collocation ('san francisco': the pair always co-occurs)
+    tops the PMI ranking over independent filler pairs; pairs under the
+    min-count floor never appear."""
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        pmi_collocations,
+    )
+
+    filler = "the of and to in for on at by from"
+    rows = []
+    for i in range(20):
+        rows.append((i, f"san francisco {filler}"))
+    rows.append((100, "rare pair " + filler))  # below min_count=5
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_collocations(docs, k=5, min_count=5).collect()
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("san", "francisco")
+    assert top["pair_count"] == 20 and top["rnk"] == 1
+    assert all((r["w1"], r["w2"]) != ("rare", "pair") for r in out)
+    # PMI of the always-together pair beats any filler transition
+    assert top["pmi_micro"] > out[1]["pmi_micro"]
