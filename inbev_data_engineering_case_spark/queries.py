@@ -4947,6 +4947,64 @@ def q_stream_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_gaps_sink")
 
 
+@register(
+    "q_stream_cusum",
+    """
+    WITH scaled AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             CAST(round(value * 1000) AS BIGINT) AS v
+      FROM events
+    ), drift AS (
+      -- explicit target 50.0 (50000 milli), slack 25000:
+      -- up term v-target-slack = v-75000; down term target-v-slack = 25000-v
+      SELECT user_id, ts, event_id, value,
+             sum(CAST(v AS HUGEINT) - 75000) OVER wr AS pu,
+             sum(25000 - CAST(v AS HUGEINT)) OVER wr AS pd
+      FROM scaled WHERE v IS NOT NULL
+      WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id, value,
+           CAST(pu - least(min(pu) OVER wr, CAST(0 AS HUGEINT)) AS BIGINT)
+             AS cusum_up_milli,
+           CAST(pd - least(min(pd) OVER wr, CAST(0 AS HUGEINT)) AS BIGINT)
+             AS cusum_down_milli,
+           (pu - least(min(pu) OVER wr, CAST(0 AS HUGEINT)) > 250000
+            OR pd - least(min(pd) OVER wr, CAST(0 AS HUGEINT)) > 250000)
+             AS is_change
+    FROM drift
+    WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="streaming CUSUM drift alarm (streaming/events.py stream_cusum): "
+    "the small-persistent-shift detector maintained INCREMENTALLY — two "
+    "int64 cumulative sums per key in the state store, advanced by each "
+    "arriving reading against an explicit baseline (target 50.0, slack "
+    "25, h 250), alarming the moment either sum crosses h instead of at "
+    "the next batch rescan. Arrival-triggered and timer-free, so the "
+    "drained output is an exact function of the data; the oracle is the "
+    "batch closed form (S_k = P_k - min(P_0..P_k), HUGEINT) — the "
+    "recursion the stream runs natively and the identity the batch twin "
+    "is built on, checked against each other end to end. State: 16 "
+    "bytes per key. Executed as a REAL stream.",
+)
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+        stream_cusum,
+    )
+
+    out = stream_cusum(
+        read_events_stream(spark, sf_dir),
+        target_milli=50_000,
+        slack_milli=25_000,
+        threshold_milli=250_000,
+    )
+    run_stream_to_table(out, "q_stream_cusum_sink", "append")
+    return spark.table("q_stream_cusum_sink")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -4988,7 +5046,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # rotated OUT in r4, still resting (stand-ins updated where their
     # previous stand-in was itself demoted this round)
     "q_trailing_window": ("q_window_events",),
-    "q_orderby_limit": ("q_corpus_shuffle",),  # TakeOrdered family
+    "q_orderby_limit": ("q_weighted_sample",),  # TakeOrdered family
     "q_mojibake_repair": ("q_clean_text", "q_pii_scrub"),
     "q_stream_join": ("q_stream_enrich",),  # stream-side join family
     "q_ann_probes": ("q_ann_ivf_trained",),  # 1-row recall family
@@ -5002,7 +5060,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_having": ("q_correlated_subquery",),
     "q_asof_join": ("q_range_join",),  # temporal band-join family
     "q_token_stats": ("q_tfidf_topk", "q_quality_score"),  # token statistics
-    "q_stratified_sample": ("q_mixture_sample", "q_corpus_shuffle"),
+    "q_stratified_sample": ("q_mixture_sample",),
     "q_snapshot_diff": ("q_curate_incremental",),  # CDC family (composes it)
     # q_zorder_key (data-layout family, new mid-r5) took this slot:
     "q_dedup_incremental": ("q_curate_incremental",),  # composes it too
@@ -5016,7 +5074,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_lang_id": ("q_curate_corpus", "q_quality_score"),
     # hash-split membership is the same predicate family the mixture and
     # shuffle entries exercise:
-    "q_train_split": ("q_mixture_sample", "q_corpus_shuffle"),
+    "q_train_split": ("q_mixture_sample",),
     # n-gram hygiene stays covered by q_boilerplate, which runs the
     # identical gram/hash/broadcast machinery (still bench-timed as a
     # headline query from the tail):
@@ -5091,6 +5149,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_date_functions": ("q_array_functions",),
     "q_running_total": ("q_window_events",),
     "q_group_stats": ("q_gold_agg",),
+    # rotated OUT mid-r6 to debut q_stream_cusum; r5-green, the
+    # hash-deterministic sampling family consolidates on the mixture
+    # and A-ES entries (the latter is the same TakeOrdered shape):
+    "q_corpus_shuffle": ("q_mixture_sample", "q_weighted_sample"),
 }
 
 for _name in _FAMILY_STAND_INS:

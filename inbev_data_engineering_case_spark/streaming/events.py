@@ -565,6 +565,131 @@ def stream_heartbeat_gaps(
     )
 
 
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("su", T.LongType()),
+        T.StructField("sd", T.LongType()),
+    ]
+)
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("cusum_up_milli", T.LongType()),
+        T.StructField("cusum_down_milli", T.LongType()),
+        T.StructField("is_change", T.BooleanType()),
+    ]
+)
+
+
+def _make_cusum(
+    target_milli: int, slack_milli: int, threshold_milli: int, scale: int
+):
+    """Per-key stateful CUSUM: state is the pair of cumulative sums;
+    the textbook recursion S = max(0, S + drift) runs natively here —
+    streaming IS sequential per key, so no closed form is needed (the
+    batch twin uses the prefix-sum identity instead). Exact integer
+    milli-unit arithmetic, identical to
+    ``timeseries.cusum_changepoints(target_milli=...)``."""
+
+    import math
+
+    def half_up(x: float) -> int:
+        # Spark's round() is HALF_UP (away from zero), Python's round()
+        # is half-even — replicate Spark's so batch/stream agree on the
+        # .5 boundary exactly
+        return (
+            math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+        )
+
+    def score(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = sorted(
+            (int(ts_ns) // 1000, int(eid), float(val))
+            for batch in batches
+            for ts_ns, eid, val in zip(
+                batch["ts"].astype("int64"),
+                batch["event_id"],
+                batch["value"],
+            )
+            if not pd.isna(val)  # NULL readings are never scored
+        )
+        if not rows:
+            return
+        su, sd = state.get if state.exists else (0, 0)
+        out: list[tuple[int, int, float, int, int, bool]] = []
+        for ts_us, eid, val in rows:
+            v = half_up(val * scale)
+            su = max(0, su + (v - target_milli - slack_milli))
+            sd = max(0, sd + (target_milli - v - slack_milli))
+            out.append(
+                (
+                    ts_us,
+                    eid,
+                    val,
+                    su,
+                    sd,
+                    su > threshold_milli or sd > threshold_milli,
+                )
+            )
+        state.update((su, sd))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "ts": [pd.Timestamp(r[0], unit="us") for r in out],
+                "event_id": [r[1] for r in out],
+                "value": [r[2] for r in out],
+                "cusum_up_milli": [r[3] for r in out],
+                "cusum_down_milli": [r[4] for r in out],
+                "is_change": [r[5] for r in out],
+            }
+        )
+
+    return score
+
+
+def stream_cusum(
+    events: DataFrame,
+    target_milli: int,
+    slack_milli: int = 25_000,
+    threshold_milli: int = 250_000,
+    scale: int = 1000,
+) -> DataFrame:
+    """Streaming twin of ``timeseries.cusum_changepoints`` in its
+    explicit-target mode: the small-persistent-drift alarm maintained
+    INCREMENTALLY — two int64 cumulative sums per key in the state
+    store, advanced by each arriving reading against the known baseline
+    ``target_milli`` (an SLO, yesterday's level), alarming the moment
+    either crosses the threshold instead of at the next batch rescan.
+
+    Arrival-triggered and timer-free like ``stream_heartbeat_gaps``, so
+    a drained run is an exact function of the data and the batch
+    operator's SQL replay is the oracle (``q_stream_cusum``). In-order
+    sources replay exactly; an out-of-order event across micro-batches
+    folds into the running sums at arrival position (bounded by the
+    upstream watermark), where the batch twin would re-sort globally.
+
+    State: 16 bytes per key, independent of event volume."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_cusum(target_milli, slack_milli, threshold_milli, scale),
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def merge_upsert_snapshot(
     spark,
     batch_df: DataFrame,

@@ -762,3 +762,75 @@ def test_stream_heartbeat_gaps_matches_batch_and_spans_batches(spark, tmp_path):
         for r in heartbeat_gaps(batch_df, max_gap_s=6 * 3600).collect()
     }
     assert got == want == {(1, 9 * 3600), (2, 30 * 3600)}
+
+
+def test_stream_cusum_matches_batch_and_carries_state(spark, tmp_path):
+    """The streaming CUSUM equals the batch explicit-target operator on
+    the same data, including sums that accumulate ACROSS micro-batches
+    (the 16-byte state carries), and the alarm fires mid-stream the
+    moment the threshold is crossed."""
+    import os
+
+    from inbev_data_engineering_case_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        run_stream_to_table,
+        stream_cusum,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    cols = ["event_id", "ts", "user_id", "value"]
+    # a persistent +2 drift over target 10.0 accumulates 1.9 units/event
+    # after slack 0.1; threshold 15 units crosses at the 8th drifted event
+    batch1 = [(i, t0 + timedelta(minutes=i), 1, 12.0) for i in range(5)]
+    batch2 = [(10 + i, t0 + timedelta(minutes=10 + i), 1, 12.0)
+              for i in range(5)]
+    src = tmp_path / "cusum_stream"
+    src.mkdir()
+    for bi, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            str(src / f"b{bi}")
+        )
+        (f,) = (src / f"b{bi}").glob("*.parquet")
+        dst = src / f"file_{bi}.parquet"
+        os.rename(f, dst)
+        os.utime(dst, (1_000_000 + bi * 1000, 1_000_000 + bi * 1000))
+    schema = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    metrics = run_stream_to_table(
+        stream_cusum(stream, target_milli=10_000, slack_milli=100,
+                     threshold_milli=15_000),
+        "stream_cusum_sink",
+        "append",
+        timeout=120,
+    )
+    assert metrics["batches"] >= 2
+    got = sorted(
+        (
+            (r["event_id"], r["cusum_up_milli"], r["is_change"])
+            for r in spark.sql("select * from stream_cusum_sink").collect()
+        )
+    )
+    batch_df = spark.read.parquet(*[str(src / f"file_{i}.parquet")
+                                    for i in range(2)])
+    want = sorted(
+        (r["event_id"], r["cusum_up_milli"], r["is_change"])
+        for r in cusum_changepoints(
+            batch_df, slack_milli=100, threshold_milli=15_000,
+            target_milli=10_000,
+        ).collect()
+    )
+    assert got == want
+    # drift accumulates 1900 milli/event; the 8th event (id 12, in
+    # BATCH 2 — state carried) is the first past 15000
+    by_id = {e: (u, c) for e, u, c in got}
+    assert by_id[11] == (13_300, False)
+    assert by_id[12] == (15_200, True)
+    assert all(c for e, (u, c) in by_id.items() if e >= 12)
