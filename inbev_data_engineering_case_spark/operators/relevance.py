@@ -188,10 +188,11 @@ def bm25_topk(
     aggregation, so the tf exchange carries only rows for documents
     that match at least one term (query-result-sized, not corpus-sized);
     per-term document frequencies are a ≤|q|-row broadcast; document
-    lengths aggregate doc-keyed from the same tokenize stream and join
-    the (already query-sized) tf side on the doc key. N and avgdl ride
-    in as a broadcast 1-row aggregate, not a driver collect. The final
-    top-k is one TakeOrderedAndProject.
+    lengths are computed IN-ROW (``size`` of the token array — no
+    explode, no aggregation, one scan) and join the (already
+    query-sized) tf side on the doc key. N and avgdl ride in as a
+    broadcast 1-row aggregate, not a driver collect. The final top-k is
+    one TakeOrderedAndProject.
 
     Numeric determinism: each (doc, term) partial score rounds to an
     int64 MICRO-unit before the per-document sum, so summation order
@@ -208,11 +209,15 @@ def bm25_topk(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
-    doc_len = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    corpus = documents.agg(F.count("*").alias("_n"))
-    avgdl = doc_len.agg(
-        (F.sum("dl") / F.count("*")).alias("_avgdl")
+    # dl in-row: size(tokens) equals the explode count exactly (empty
+    # text tokenizes to [''] -> size 1; NULL text -> NULL dl, excluded
+    # from avg the same way explode excluded the row)
+    doc_len = documents.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("dl"),
     )
+    corpus = documents.agg(F.count("*").alias("_n"))
+    avgdl = doc_len.agg(F.avg("dl").alias("_avgdl"))
     tf = (
         toks.filter(F.col("term").isin(terms))
         .groupBy(id_col, "term")
@@ -275,27 +280,36 @@ def pmi_collocations(
     overdispersed PMI (a hapax pair of two hapax words scores ln(N)) and
     every practical collocation extractor filters them.
 
-    Scale shape: one tokenize pass feeds pair counts and LEFT-unigram /
-    RIGHT-unigram counts (three partial-aggregated exchanges over
-    (pair)/(w1)/(w2) keys — rows are distinct grams, never occurrences);
-    N joins as a broadcast 1-row aggregate; the top-k plans as
-    TakeOrderedAndProject. PMI is carried as int64 MICRO-units (exact
-    integer ratio into one ln, then rounded) so ranking ties are
-    engine-stable with the (w1, w2) tie-break.
+    Scale shape: adjacent pairs are formed in-row from the token array
+    (a ``transform`` lambda over the tail slice — no posexplode
+    self-join, no occurrence-sized shuffle), then one tokenize pass
+    feeds pair counts and LEFT-unigram / RIGHT-unigram counts (three
+    partial-aggregated exchanges over (pair)/(w1)/(w2) keys — exchange
+    rows are distinct grams, never occurrences); N joins as a broadcast
+    1-row aggregate; the top-k plans as TakeOrderedAndProject. PMI is
+    carried as int64 MICRO-units (exact integer ratio into one ln, then
+    rounded) so ranking ties are engine-stable with the (w1, w2)
+    tie-break.
 
     Returns ``(w1, w2, pair_count, pmi_micro, rnk)``.
     """
-    toks = documents.select(
-        F.col(id_col),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w"),
-    )
-    nxt = toks.select(
-        F.col(id_col),
-        (F.col("pos") + 1).alias("pos"),
-        F.col("w").alias("w1"),
-    )
-    pairs = toks.join(nxt, [id_col, "pos"]).select(
-        "w1", F.col("w").alias("w2")
+    # adjacent pairs are formed IN-ROW from the token array (lambda over
+    # the tail slice, predecessor by index) — zero shuffle; the only
+    # exchanges in the whole operator are the gram-keyed aggregations
+    pairs = (
+        documents.select(
+            tokens(F.lower(F.col(text_col))).alias("_toks")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "transform("
+                    "slice(_toks, 2, greatest(size(_toks) - 1, 0)), "
+                    "(w, i) -> struct(_toks[i] AS w1, w AS w2))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.w1", "pr.w2")
     )
     pair_counts = (
         pairs.groupBy("w1", "w2")

@@ -502,10 +502,15 @@ def _make_gap_detector(max_gap_s: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        # NaT would astype to the int64 sentinel (~-9.2e18) and poison
+        # the cursor; drop NULL timestamps like the batch twin's NULL
+        # arithmetic does
         ts_us = sorted(
             int(t)
             for batch in batches
-            for t in (batch["ts"].astype("int64") // 1000)
+            for t in (
+                batch["ts"][batch["ts"].notna()].astype("int64") // 1000
+            )
         )
         if not ts_us:
             return
@@ -565,6 +570,9 @@ def stream_heartbeat_gaps(
     )
 
 
+# pandas maps NaT to this int64 value under .astype("int64")
+_NAT_SENTINEL = -(2**63)
+
 CUSUM_STATE_SCHEMA = T.StructType(
     [
         T.StructField("su", T.LongType()),
@@ -611,6 +619,9 @@ def _make_cusum(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        # NULL readings are never scored; NaT timestamps would astype
+        # to the int64 sentinel and poison the ordering/emit, so they
+        # are dropped the same way
         rows = sorted(
             (int(ts_ns) // 1000, int(eid), float(val))
             for batch in batches
@@ -619,7 +630,7 @@ def _make_cusum(
                 batch["event_id"],
                 batch["value"],
             )
-            if not pd.isna(val)  # NULL readings are never scored
+            if not (pd.isna(val) or ts_ns == _NAT_SENTINEL)
         )
         if not rows:
             return

@@ -764,6 +764,52 @@ def test_stream_heartbeat_gaps_matches_batch_and_spans_batches(spark, tmp_path):
     assert got == want == {(1, 9 * 3600), (2, 30 * 3600)}
 
 
+def test_stream_detectors_tolerate_null_timestamps(spark, tmp_path):
+    """A NULL ts would astype to the int64 NaT sentinel and poison the
+    gap cursor / CUSUM ordering (the emit would then overflow
+    pd.Timestamp and fail the whole drain); both detectors must drop
+    such rows like the batch twins' NULL arithmetic does."""
+    from inbev_data_engineering_case_spark.streaming.events import (
+        run_stream_to_table,
+        stream_cusum,
+        stream_heartbeat_gaps,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    src = tmp_path / "nat_stream"
+    spark.createDataFrame(
+        [
+            (1, t0, 1, 12.0),
+            (2, None, 1, 12.0),  # NULL ts
+            (3, t0 + timedelta(hours=30), 1, 12.0),
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    ).write.parquet(str(src))
+    schema = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, value double"
+    ).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    run_stream_to_table(
+        stream_heartbeat_gaps(stream, max_gap_s=6 * 3600),
+        "nat_gaps_sink",
+        "append",
+        timeout=120,
+    )
+    gaps = spark.sql("select * from nat_gaps_sink").collect()
+    assert [(r["user_id"], r["gap_s"]) for r in gaps] == [(1, 30 * 3600)]
+
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    run_stream_to_table(
+        stream_cusum(stream2, target_milli=10_000, slack_milli=100,
+                     threshold_milli=15_000),
+        "nat_cusum_sink",
+        "append",
+        timeout=120,
+    )
+    scored = spark.sql("select * from nat_cusum_sink").collect()
+    assert sorted(r["event_id"] for r in scored) == [1, 3]
+
+
 def test_stream_cusum_matches_batch_and_carries_state(spark, tmp_path):
     """The streaming CUSUM equals the batch explicit-target operator on
     the same data, including sums that accumulate ACROSS micro-batches
