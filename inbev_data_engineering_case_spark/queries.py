@@ -5005,6 +5005,74 @@ def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_cusum_sink")
 
 
+def _pagerank_oracle(
+    n_iter: int = 8, damping_ppm: int = 850_000
+) -> str:
+    base = f"(1000000 - {damping_ppm}) // _n"
+    its = ["it0 AS (SELECT node, 1000000 // _n AS r FROM nodes CROSS JOIN nagg)"]
+    for k in range(1, n_iter + 1):
+        its.append(
+            f"""it{k} AS (
+      SELECT node, {base} + ({damping_ppm} * coalesce(c, 0)) // 1000000 AS r
+      FROM nodes CROSS JOIN nagg
+      LEFT JOIN (
+        SELECT e.dst AS node, sum((p.r * e.wppm) // 1000000) AS c
+        FROM wppm e JOIN it{k - 1} p ON p.node = e.src GROUP BY 1
+      ) s USING (node)
+    )"""
+        )
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst, count(*) AS w
+      FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    wout AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+    wppm AS (
+      SELECT src, dst, (w * 1000000) // wout AS wppm
+      FROM edges JOIN wout USING (src)
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nagg AS (SELECT count(*) AS _n FROM nodes),
+    {",".join(its)}
+    SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM it{n_iter}
+    """
+
+
+@register(
+    "q_pagerank",
+    _pagerank_oracle(),
+    doc="weighted PageRank (operators/graph.py pagerank): 8 exact "
+    "integer-ppm iterations over the event-type transition graph (the "
+    "Markov matrix as a weighted edge list) — the page-importance "
+    "signal web-corpus curation attaches to crawled documents, and the "
+    "canonical iterative-loop discipline test: per-source weight shares "
+    "precomputed once, each iteration two exchanges (edge-partitioned "
+    "contribution join + node-keyed sum) over a node-sized rank table; "
+    "N rides as a broadcast 1-row aggregate so there is no driver "
+    "collect/count anywhere; every division an explicit int64 floor, "
+    "so the unrolled-CTE DuckDB replay matches hash-for-hash.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.funnel import (
+        markov_transitions,
+    )
+    from inbev_data_engineering_case_spark.operators.graph import pagerank
+
+    edges = markov_transitions(read_events(spark, sf_dir)).select(
+        F.col("prev_type").alias("src"),
+        F.col("event_type").alias("dst"),
+        F.col("n_transitions").alias("weight"),
+    )
+    return pagerank(edges, n_iter=8, weight_col="weight")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -5094,7 +5162,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_dedup_exact": ("q_fingerprint",),  # groups on the same md5 fp
     "q_approx_count_distinct": ("q_distinct",),  # distinct-agg family
     "q_pack_sequences": ("q_chunk_documents",),  # sequence-budget family
-    "q_semi_join": ("q_anti_join",),
+    # rewired mid-r6 when q_anti_join itself rotated out (below): the
+    # left-semi plan family runs in-window inside q_heavy_hitters
+    # (quality.py:202 candidate semi-join) and q_curate_corpus
+    # (curate.py left_semi keep-joins):
+    "q_semi_join": ("q_heavy_hitters", "q_curate_corpus"),
     "q_salted_join": ("q_join_star", "q_range_join"),
     # rotated OUT late-r5 to debut five NEW r5 operator families; each
     # was driver-green in CORRECTNESS_r04 and names in-window cover:
@@ -5153,6 +5225,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # hash-deterministic sampling family consolidates on the mixture
     # and A-ES entries (the latter is the same TakeOrdered shape):
     "q_corpus_shuffle": ("q_mixture_sample", "q_weighted_sample"),
+    # rotated OUT late-r6 to debut q_pagerank; r5-green (0-row match),
+    # and the left-anti plan family runs in-window inside
+    # q_semantic_decon (decontaminate.py:259 left_anti removal) and
+    # q_curate_corpus (curate.py left_anti drop-joins):
+    "q_anti_join": ("q_semantic_decon", "q_curate_corpus"),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -1,0 +1,75 @@
+"""Known-answer tests for the iterative graph operators."""
+
+from inbev_data_engineering_case_spark.operators.graph import pagerank
+
+
+def _ranks(df):
+    return {r["node"]: r["rank_ppm"] for r in df.collect()}
+
+
+def test_pagerank_cycle_fixed_point(spark):
+    """A symmetric 2-cycle is a fixed point: both nodes hold exactly
+    half the mass through every iteration."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = _ranks(pagerank(edges, n_iter=8))
+    assert got == {"a": 500_000, "b": 500_000}
+
+
+def test_pagerank_star_hand_computed_iteration(spark):
+    """One iteration of a->c, b->c, c->a, hand-computed in exact ppm
+    floor arithmetic; after any number of iterations the in-degree-0
+    node stays the minimum and mass never exceeds the budget (the a<->c
+    cycle oscillates between even/odd iterations, so no a-vs-c ordering
+    is asserted)."""
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    # init 333333 each; base = (1e6-850000) div 3 = 50000
+    # r1(c) = 50000 + (850000*666666) div 1e6 = 616666
+    # r1(a) = 50000 + (850000*333333) div 1e6 = 333333
+    # r1(b) = 50000 (no in-edges)
+    assert _ranks(pagerank(edges, n_iter=1)) == {
+        "a": 333_333,
+        "b": 50_000,
+        "c": 616_666,
+    }
+    got = _ranks(pagerank(edges, n_iter=8))
+    assert got["b"] < min(got["a"], got["c"])
+    assert sum(got.values()) <= 1_000_000
+
+
+def test_pagerank_dangling_mass_is_dropped(spark):
+    """A sink with no out-edges loses its mass: ranks no longer sum to
+    1e6 ppm — the documented large-graph simplification."""
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = _ranks(pagerank(edges, n_iter=1))
+    # base = 150000 div 2 = 75000; contrib(b) = 500000 ->
+    # r(b) = 75000 + 425000
+    assert got == {"a": 75_000, "b": 500_000}
+    assert sum(got.values()) < 1_000_000
+
+
+def test_pagerank_weights_and_parallel_edges(spark):
+    """Parallel edges sum into one weighted edge; a 3x-heavier edge
+    gets 3x the ppm share (750000 vs 250000), and checkpointing every
+    iteration changes nothing."""
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)],
+        "src string, dst string, weight long",
+    )
+    got = pagerank(edges, n_iter=1, weight_col="weight")
+    unweighted = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "b"), ("a", "c")],
+        "src string, dst string",
+    )
+    assert _ranks(got) == _ranks(pagerank(unweighted, n_iter=1))
+    # wppm(a->b)=750000: contrib(b) = (333333*750000) div 1e6 = 249999
+    r = _ranks(got)
+    assert r["b"] == 50_000 + (850_000 * 249_999) // 1_000_000
+    checkpointed = pagerank(
+        edges, n_iter=3, weight_col="weight", checkpoint_every=1
+    )
+    plain = pagerank(edges, n_iter=3, weight_col="weight")
+    assert _ranks(checkpointed) == _ranks(plain)
