@@ -173,3 +173,62 @@ def scd2_merge(
     return closed_sel.unionByName(untouched_open).unionByName(to_close).unionByName(
         changes
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    ts_col: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    broadcast_history: bool = False,
+) -> DataFrame:
+    """Point-in-time (PIT) join: enrich each fact row with the dimension
+    version that was valid AT the fact's own timestamp — the
+    feature-store correctness primitive that prevents future leakage
+    into training data (a model trained on "the customer's segment
+    today" instead of "their segment when the order happened" learns
+    from the future; Feast/Tecton call this same operation a PIT join).
+
+    ``history`` is SCD2-shaped (``scd2_from_log`` output): half-open
+    ``[from_col, to_col)`` validity intervals per key, ``NULL`` end on
+    the open version — so a probe at time t matches AT MOST one version
+    (exactly one when t is not before the key's first version). Facts
+    whose key is absent or whose ts precedes the first version are
+    dropped (inner semantics): an unmatched fact has no leakage-safe
+    attribute value, and silently nulling it would hide the coverage
+    gap — count them upstream if needed.
+
+    Scale shape: an equi-join on the key with the validity predicate as
+    the join condition — both sides exchange once on the key and the
+    per-key fan-out is bounded by that key's version count (small by
+    SCD construction), so cost is fact-sized, never fact×history.
+    ``broadcast_history=True`` skips the fact-side shuffle entirely when
+    the dimension history fits in an executor (the common case: even a
+    100M-row dimension with 10 versions/key is a few GB) — the same
+    broadcast-the-model discipline as the ANN and LM operators.
+
+    Returns all fact columns plus the history's attribute columns and
+    ``from_col`` (the version stamp); ``to_col``/``is_current`` are
+    dropped — the probe time plus version stamp identify the interval.
+    """
+    h = history.drop("is_current") if "is_current" in history.columns else history
+    # explicit aliases: facts and history often derive from the SAME
+    # source table (e.g. a dimension rebuilt from the fact log), and
+    # bracket column refs on shared-lineage frames trip Spark's
+    # ambiguous-self-join analyzer
+    f_a, h_a = facts.alias("_pit_f"), h.alias("_pit_h")
+    rhs = F.broadcast(h_a) if broadcast_history else h_a
+    fc = lambda c: F.col(f"_pit_f.{c}")  # noqa: E731
+    hc = lambda c: F.col(f"_pit_h.{c}")  # noqa: E731
+    cond = (
+        (fc(key_col) == hc(key_col))
+        & (fc(ts_col) >= hc(from_col))
+        & (hc(to_col).isNull() | (fc(ts_col) < hc(to_col)))
+    )
+    joined = f_a.join(rhs, cond, "inner")
+    keep = [fc(c) for c in facts.columns] + [
+        hc(c) for c in h.columns if c not in (key_col, to_col)
+    ]
+    return joined.select(*keep)

@@ -5073,6 +5073,70 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=8, weight_col="weight")
 
 
+@register(
+    "q_pit_join",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER w AS prev_attr,
+             lag(o_orderdate) OVER w AS prev_ts
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), starts AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ordered
+      WHERE prev_ts IS NULL OR o_orderpriority IS DISTINCT FROM prev_attr
+    ), hist AS (
+      SELECT o_custkey, o_orderpriority,
+             o_orderdate AS effective_from,
+             lead(o_orderdate) OVER w2 AS effective_to
+      FROM starts
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), facts AS (
+      SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_custkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT f.l_orderkey, f.l_linenumber, f.l_shipdate, f.o_custkey,
+           h.o_orderpriority AS priority_at_ship, h.effective_from
+    FROM facts f JOIN hist h ON f.o_custkey = h.o_custkey
+     AND f.l_shipdate >= h.effective_from
+     AND (h.effective_to IS NULL OR f.l_shipdate < h.effective_to)
+    """,
+    doc="point-in-time join (operators/scd.py point_in_time_join): "
+    "every lineitem enriched with the customer's order-priority version "
+    "that was valid AT ITS OWN ship date — the feature-store "
+    "leakage-safety primitive (training on 'the attribute today' "
+    "instead of 'the attribute when it happened' learns from the "
+    "future). Probes the SCD2 half-open [from, to) history mid-"
+    "interval, not just the open tail. One key exchange each side, "
+    "per-key fan-out bounded by the version count; "
+    "broadcast_history skips the fact-side shuffle when the dimension "
+    "fits an executor.",
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.scd import (
+        point_in_time_join,
+        scd2_from_log,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = scd2_from_log(
+        orders, "o_custkey", ["o_orderpriority"], "o_orderdate", "o_orderkey"
+    )
+    facts = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .drop("o_orderkey")
+    )
+    return point_in_time_join(
+        facts, hist, "o_custkey", "l_shipdate"
+    ).withColumnRenamed("o_orderpriority", "priority_at_ship")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -5126,7 +5190,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # they'd sit unverified; every demotion below was driver-green in
     # CORRECTNESS_r04 and names its in-window family cover)
     "q_having": ("q_correlated_subquery",),
-    "q_asof_join": ("q_range_join",),  # temporal band-join family
+    "q_asof_join": ("q_pit_join",),  # temporal band-join family
     "q_token_stats": ("q_tfidf_topk", "q_quality_score"),  # token statistics
     "q_stratified_sample": ("q_mixture_sample",),
     "q_snapshot_diff": ("q_curate_incremental",),  # CDC family (composes it)
@@ -5167,7 +5231,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # (quality.py:202 candidate semi-join) and q_curate_corpus
     # (curate.py left_semi keep-joins):
     "q_semi_join": ("q_heavy_hitters", "q_curate_corpus"),
-    "q_salted_join": ("q_join_star", "q_range_join"),
+    "q_salted_join": ("q_join_star", "q_pit_join"),
     # rotated OUT late-r5 to debut five NEW r5 operator families; each
     # was driver-green in CORRECTNESS_r04 and names in-window cover:
     "q_normalize_location": ("q_clean_text", "q_gold_agg"),  # q_gold_agg composes it
@@ -5188,7 +5252,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_ann_pq": ("q_ann_ivf_pq",),
     "q_html_strip": ("q_curate_corpus",),  # curate composes strip_html
     "q_url_normalize": ("q_clean_text", "q_pii_scrub"),  # rewrite chains
-    "q_scd2_history": ("q_curate_incremental", "q_range_join"),
+    "q_scd2_history": ("q_curate_incremental", "q_pit_join"),
     "q_count_distinct": ("q_distinct",),  # distinct-agg family
     "q_cube": ("q_grouping_sets",),  # Expand family
     "q_map_lookup": ("q_array_functions",),
@@ -5230,6 +5294,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_semantic_decon (decontaminate.py:259 left_anti removal) and
     # q_curate_corpus (curate.py left_anti drop-joins):
     "q_anti_join": ("q_semantic_decon", "q_curate_corpus"),
+    # rotated OUT late-r6 to debut q_pit_join; r5-green, and PIT is the
+    # same validity-interval band-join machinery probing an SCD2
+    # history mid-interval (the asof/salted/scd2 chains repoint to it):
+    "q_range_join": ("q_pit_join",),
 }
 
 for _name in _FAMILY_STAND_INS:

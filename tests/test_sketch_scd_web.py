@@ -398,3 +398,73 @@ def test_zscore_null_values_excluded_from_windows(spark):
     assert 13 not in scored_ids  # the null row itself
     # every window overlapping the null (ids 14..24) is unscored too
     assert scored_ids == set(range(11, 13)) | {25}
+
+
+def test_pit_join_picks_the_version_valid_at_the_fact_ts(spark):
+    """Leakage safety: a fact timestamped inside a CLOSED interval gets
+    that old version, never the current one; a fact before the key's
+    first version (or with an unknown key) is dropped."""
+    import datetime as dt
+
+    from inbev_data_engineering_case_spark.operators.scd import (
+        point_in_time_join,
+        scd2_from_log,
+    )
+
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731
+    log = spark.createDataFrame(
+        [(1, "bronze", d(10), 100), (1, "gold", d(20), 101)],
+        "cust long, tier string, obs_ts timestamp, obs_id long",
+    )
+    hist = scd2_from_log(log, "cust", ["tier"], "obs_ts", "obs_id")
+    facts = spark.createDataFrame(
+        [
+            (1, d(15), "mid"),      # inside the closed bronze interval
+            (1, d(20), "boundary"), # [from, to): lands in gold
+            (1, d(25), "open"),     # open gold interval
+            (1, d(5), "early"),     # before first version -> dropped
+            (2, d(15), "unknown"),  # unknown key -> dropped
+        ],
+        "cust long, ts timestamp, tag string",
+    )
+    out = {
+        r["tag"]: (r["tier"], r["effective_from"])
+        for r in point_in_time_join(facts, hist, "cust", "ts").collect()
+    }
+    assert out == {
+        "mid": ("bronze", d(10)),
+        "boundary": ("gold", d(20)),
+        "open": ("gold", d(20)),
+    }
+
+
+def test_pit_join_broadcast_parity_and_shared_lineage(spark):
+    """broadcast_history returns identical rows, and facts deriving
+    from the SAME source as the history (the rebuilt-dimension case)
+    join without tripping the ambiguous-self-join analyzer."""
+    import datetime as dt
+
+    from inbev_data_engineering_case_spark.operators.scd import (
+        point_in_time_join,
+        scd2_from_log,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, "a", dt.datetime(2024, 1, 1), 1),
+            (1, "b", dt.datetime(2024, 1, 5), 2),
+            (2, "a", dt.datetime(2024, 1, 3), 3),
+        ],
+        "cust long, tier string, obs_ts timestamp, obs_id long",
+    )
+    hist = scd2_from_log(log, "cust", ["tier"], "obs_ts", "obs_id")
+    facts = log.select("cust", "obs_ts", "obs_id")  # same lineage
+    plain = point_in_time_join(facts, hist, "cust", "obs_ts")
+    bcast = point_in_time_join(
+        facts, hist, "cust", "obs_ts", broadcast_history=True
+    )
+    key = lambda r: (r["cust"], r["obs_id"], r["tier"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(
+        map(key, bcast.collect())
+    )
+    assert len(plain.collect()) == 3  # every observation matches itself
