@@ -79,21 +79,26 @@ def bigram_lm_scores(
     aggregation tree, and the final mean is one IEEE division of exact
     integers — bit-identical on any engine (the same discipline as the
     PQ ADC distances)."""
-    toks = documents.select(
+    arr = documents.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    # bigrams formed IN-ROW from the token array (lambda over the tail
+    # slice, predecessor by index — no posexplode self-join, no
+    # occurrence-sized shuffle; same shape as pmi_collocations)
+    bigrams = arr.select(
         F.col(id_col),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "w"),
-    )
-    nxt = toks.select(
-        F.col(id_col),
-        (F.col("pos") + 1).alias("pos"),
-        F.col("w").alias("w1"),
-    )
-    bigrams = toks.join(nxt, [id_col, "pos"]).select(
-        id_col, "w1", F.col("w").alias("w2")
-    )
+        F.explode(
+            F.expr(
+                "transform(slice(_toks, 2, greatest(size(_toks) - 1, 0)), "
+                "(w, i) -> struct(_toks[i] AS w1, w AS w2))"
+            )
+        ).alias("pr"),
+    ).select(id_col, "pr.w1", "pr.w2")
     big_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     uni_counts = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = toks.agg(F.countDistinct("w").alias("_v"))
+    vocab = arr.select(
+        F.explode(F.col("_toks")).alias("w")
+    ).agg(F.countDistinct("w").alias("_v"))
     scored = (
         bigrams.join(big_counts, ["w1", "w2"])
         .join(uni_counts, "w1")
@@ -344,4 +349,58 @@ def pmi_collocations(
     )
     return topk.withColumn("rnk", F.row_number().over(w)).select(
         "w1", "w2", F.col("c12").alias("pair_count"), "pmi_micro", "rnk"
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several retrieval rankings — the
+    hybrid-search combiner (Cormack et al. 2009; what Elasticsearch /
+    OpenSearch ship as `rrf`): a lexical BM25 list and an embedding
+    top-k list fused into one ranking, ``score(d) = Σ_lists
+    1e6 div (k + rank_l(d))``, rewarding documents several retrievers
+    agree on without any score normalization across incomparable
+    scales.
+
+    Scale shape: each input is already top-k-sized (the HEAVY work —
+    BM25 scan, ANN search — happened upstream in the retrievers), so
+    the union + id-keyed sum here touches only ``Σ len(lists)`` rows;
+    the final top-k plans as TakeOrderedAndProject and the rank window
+    runs over just ``topk`` rows. Scores are exact int64 micro-units
+    (floor division), so fusion order can't flip a rank; ties break on
+    ``id_col``.
+
+    Returns ``(id_col, n_lists, rrf_micro, rnk)``.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings is empty")
+    if k < 1:
+        raise ValueError("rrf_fuse: k must be >= 1")
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.col(rank_col).cast("bigint").alias("_rnk"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.count("*").alias("n_lists"),
+        F.sum(F.expr(f"1000000 div ({k} + _rnk)")).alias("rrf_micro"),
+    )
+    topk_df = fused.orderBy(
+        F.col("rrf_micro").desc(), F.col(id_col).asc()
+    ).limit(topk)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc())
+    return topk_df.withColumn("rnk", F.row_number().over(w)).select(
+        id_col, "n_lists", "rrf_micro", "rnk"
     )

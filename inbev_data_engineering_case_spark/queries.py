@@ -5075,7 +5075,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pit_join",
-    """
+    headline=True,
+    oracle="""
     WITH ordered AS (
       SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              lag(o_orderpriority) OVER w AS prev_attr,
@@ -5135,6 +5136,74 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_time_join(
         facts, hist, "o_custkey", "l_shipdate"
     ).withColumnRenamed("o_orderpriority", "priority_at_ship")
+
+
+def _hybrid_retrieval_oracle(
+    fuse_k: int = 60, topk: int = 10, list_k: int = 20
+) -> str:
+    return f"""
+    WITH bm AS ({_bm25_oracle(k=list_k)}),
+    ann AS (
+      WITH q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+      ),
+      scored AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_cosine_similarity(
+                 qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS sim
+        FROM q, embeddings e WHERE e.vec_id != 0
+      )
+      SELECT doc_id,
+             row_number() OVER (ORDER BY sim DESC, doc_id) AS rnk
+      FROM scored ORDER BY sim DESC, doc_id LIMIT {list_k}
+    ),
+    unioned AS (
+      SELECT doc_id, rnk FROM bm
+      UNION ALL
+      SELECT doc_id, rnk FROM ann
+    ),
+    fused AS (
+      SELECT doc_id, count(*) AS n_lists,
+             CAST(sum(1000000 // ({fuse_k} + rnk)) AS BIGINT) AS rrf_micro
+      FROM unioned GROUP BY 1
+    )
+    SELECT doc_id, n_lists, rrf_micro,
+           row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rnk
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {topk}
+    """
+
+
+@register(
+    "q_hybrid_retrieval",
+    _hybrid_retrieval_oracle(),
+    doc="hybrid retrieval via reciprocal-rank fusion "
+    "(operators/relevance.py rrf_fuse): the BM25 top-20 for the "
+    "4-term keyword query fused with the embedding top-20 around "
+    "vec_id 0 — the lexical+semantic hybrid-search combiner "
+    "(Elasticsearch/OpenSearch rrf) that rewards documents both "
+    "retrievers agree on without cross-scale score normalization. The "
+    "heavy work stays in the upstream retrievers (query-sized BM25 "
+    "aggregation, broadcast-query cosine scan); fusion itself touches "
+    "only the union of two top-k lists, exact int64 micro-unit scores "
+    "with id tie-breaks, final top-k as TakeOrderedAndProject.",
+)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    bm = bm25_topk(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=20
+    ).select("doc_id", "rnk")
+    emb = _t(spark, sf_dir, "embeddings")
+    ann = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rnk")
+    )
+    return rrf_fuse([bm, ann], topk=10)
 
 
 # ---------------------------------------------------------------------------
@@ -5223,7 +5292,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_dedup_simhash": ("q_dedup_minhash",),
     "q_ann_ivf": ("q_ann_ivf_trained",),
     "q_json_extract": ("q_array_functions",),
-    "q_dedup_exact": ("q_fingerprint",),  # groups on the same md5 fp
+    # rewired late-r6 when q_fingerprint rotated out: exact fp
+    # dedup (min-per-fingerprint groupBy) runs in-window inside
+    # q_curate_corpus, and minhash shares the fp machinery:
+    "q_dedup_exact": ("q_curate_corpus", "q_dedup_minhash"),
     "q_approx_count_distinct": ("q_distinct",),  # distinct-agg family
     "q_pack_sequences": ("q_chunk_documents",),  # sequence-budget family
     # rewired mid-r6 when q_anti_join itself rotated out (below): the
@@ -5263,7 +5335,9 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_repetition": ("q_quality_score",),  # text-scoring family
     # rotated OUT mid-r6 to debut q_curation_drift (new entries must
     # start in the window); r5-green, deterministic-bit-key family cover:
-    "q_zorder_key": ("q_fingerprint",),
+    # rewired late-r6: the deterministic hash/bit-key family is
+    # exercised in-window by the A-ES key and mixture bucketing:
+    "q_zorder_key": ("q_weighted_sample", "q_mixture_sample"),
     # rotated OUT mid-r6 to debut q_event_gaps and q_cusum_changepoint;
     # both r5-green with in-window family cover: cohort + attribution
     # run the funnel's conditional-join machinery, and the streaming
@@ -5298,6 +5372,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # same validity-interval band-join machinery probing an SCD2
     # history mid-interval (the asof/salted/scd2 chains repoint to it):
     "q_range_join": ("q_pit_join",),
+    # rotated OUT late-r6 to debut q_hybrid_retrieval; r5-green, and
+    # the md5-fingerprint construction runs in-window inside
+    # q_curate_corpus's exact-dedup stage (dedup_exact/zorder chains
+    # repointed to their in-window machinery twins):
+    "q_fingerprint": ("q_curate_corpus", "q_dedup_minhash"),
 }
 
 for _name in _FAMILY_STAND_INS:

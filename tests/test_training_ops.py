@@ -3433,3 +3433,32 @@ def test_pmi_collocations_finds_planted_pair(spark):
     assert all((r["w1"], r["w2"]) != ("rare", "pair") for r in out)
     # PMI of the always-together pair beats any filler transition
     assert top["pmi_micro"] > out[1]["pmi_micro"]
+
+
+def test_rrf_fuse_rewards_agreement_with_exact_micro_scores(spark):
+    """A document ranked 2nd+3rd in two lists outscores the leaders of
+    either single list (1e6//62 + 1e6//63 > 1e6//61), scores are exact
+    floor-division micro-units, and ties break on the id."""
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(10, 1), (7, 2), (3, 3)], "doc_id long, rnk long"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (7, 2), (10, 4)], "doc_id long, rnk long"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, sem], topk=10).collect()}
+    assert out[7]["rrf_micro"] == 1_000_000 // 62 + 1_000_000 // 62
+    assert out[10]["rrf_micro"] == 1_000_000 // 61 + 1_000_000 // 64
+    assert out[20]["rrf_micro"] == 1_000_000 // 61
+    assert out[3]["rrf_micro"] == 1_000_000 // 63
+    assert out[7]["n_lists"] == 2 and out[20]["n_lists"] == 1
+    # 7 (32258) > 10 (32016) > 20 (16393) > 3 (15873)
+    assert [r["doc_id"] for r in sorted(
+        out.values(), key=lambda r: r["rnk"])] == [7, 10, 20, 3]
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
