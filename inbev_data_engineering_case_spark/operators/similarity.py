@@ -842,3 +842,66 @@ def ann_ivf_pq_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k_neighbors)
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    ``k`` most-similar corpus vectors with a DIFFERENT label — close in
+    embedding space yet semantically distinct, exactly the pairs that
+    sharpen an embedding model (random negatives are trivially easy;
+    in-batch negatives are uncontrolled; mined hard negatives are the
+    standard third stage — DPR/SBERT-style training data).
+
+    Rows with a NULL label are excluded from BOTH sides: an unknown
+    label cannot certify the pair as a true negative, and a false
+    negative (actually-same-class pair labeled negative) actively
+    hurts contrastive training — silence is the conservative choice.
+
+    Scale shape: identical to ``cosine_topk`` — the query batch
+    broadcasts against the corpus scan, similarity is JVM-side
+    ``zip_with``/``aggregate``, the label-mismatch predicate rides the
+    join condition so non-negatives never materialize, per-query top-k
+    is one ranking window. For billion-vector corpora compose with the
+    IVF machinery instead (mine within probed cells, then label-filter
+    — same recipe as ``ann_ivf_topk``); this brute form is the exact
+    baseline those miners are validated against.
+
+    Returns ``(query_id, neighbor_id, neighbor_label, sim, rank)``;
+    ranking ties break on ``neighbor_id`` after 6-decimal rounding, so
+    ordering is engine-stable.
+    """
+    from pyspark.sql import Window
+
+    q = queries.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = corpus.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("neighbor_label") != F.col("qlabel")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(cosine("qvec", "cvec"), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -5206,6 +5206,49 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, ann], topk=10)
 
 
+@register(
+    "q_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < 10 AND label IS NOT NULL
+    ),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             round(list_cosine_similarity(qv::DOUBLE[], e.embedding::DOUBLE[]), 6)
+               AS sim
+      FROM q, embeddings e
+      WHERE e.vec_id != query_id AND e.label IS NOT NULL
+        AND e.label != qlabel
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label, sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="hard-negative mining for contrastive training "
+    "(operators/similarity.py hard_negatives): per query, the 5 "
+    "most-similar vectors with a DIFFERENT label — the DPR/SBERT "
+    "training-pair miner. Broadcast query batch against the corpus "
+    "scan, label-mismatch predicate riding the join condition so "
+    "non-negatives never materialize, NULL labels excluded both sides "
+    "(an unknown label can't certify a true negative), per-query "
+    "ranking window with rounded-sim id tie-breaks. Late-r6 tail "
+    "debut; at billion-vector scale mine within IVF-probed cells "
+    "instead — this brute form is the exactness baseline.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -5377,6 +5420,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_curate_corpus's exact-dedup stage (dedup_exact/zorder chains
     # repointed to their in-window machinery twins):
     "q_fingerprint": ("q_curate_corpus", "q_dedup_minhash"),
+    # LATE-r6 DEBUT (not a demotion): registered after the r6 window
+    # filled; leads the r7 promotion queue. Its family (broadcast-query
+    # cosine ANN) is externally covered in-window by the IVF entries,
+    # whose probe-all identity pins the same brute scoring:
+    "q_hard_negatives": ("q_ann_ivf_trained", "q_ann_ivf_pq"),
 }
 
 for _name in _FAMILY_STAND_INS:

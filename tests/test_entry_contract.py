@@ -62,10 +62,11 @@ def test_driver_contract_on_vanilla_session():
 def test_driver_window_rotation_invariants():
     """The driver's correctness gate reports the first DRIVER_WINDOW
     catalog entries. The rotation contract: the front section is exactly
-    DRIVER_WINDOW wide, the tail is exactly the demotion map's keys, and
-    every demoted entry's declared same-family stand-ins actually sit in
-    the window — so no operator family ever rotates fully out of external
-    verification."""
+    DRIVER_WINDOW wide, the tail is exactly the stand-in map's keys
+    (demoted entries plus any late-registered debut awaiting next-round
+    promotion), and every tail entry's declared same-family stand-ins
+    actually sit in the window — so no operator family ever rotates
+    fully out of external verification."""
     from inbev_data_engineering_case_spark.queries import (
         CATALOG,
         DRIVER_WINDOW,

@@ -3462,3 +3462,32 @@ def test_rrf_fuse_rewards_agreement_with_exact_micro_scores(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_hard_negatives_excludes_same_label_and_null_labels(spark):
+    """The nearest neighbor overall shares the query's label and must
+    NOT appear; the mined hard negative is the closest CROSS-label
+    vector; NULL-label vectors are excluded from both sides."""
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 1),     # query, label 1
+        (1, [0.99, 0.14], 1),   # nearest overall — same label, excluded
+        (2, [0.9, 0.44], 2),    # closest cross-label -> the hard negative
+        (3, [0.0, 1.0], 2),     # far cross-label
+        (4, [1.0, 0.01], None), # nearer than 2 but unlabeled, excluded
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = hard_negatives(
+        emb, emb.filter("vec_id = 0"), k=2
+    ).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in got] == [(2, 1), (3, 2)]
+    assert all(r["neighbor_label"] == 2 for r in got)
+    # a NULL-label QUERY mines nothing
+    assert (
+        hard_negatives(emb, emb.filter("vec_id = 4"), k=2).count() == 0
+    )
