@@ -90,6 +90,15 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if checkpoint_every:
+        # materialize the loop-invariant side once: every iteration
+        # references wppm and nodes, and without this each action
+        # re-derives them from the raw edges (a groupBy + join + distinct
+        # per iteration per reference) — measured 61s/48s/29s for
+        # plain / rank-only checkpoint / this at 16 iterations on the
+        # probe graph (tools/graph_scale_probe.py)
+        wppm = wppm.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
     n_agg = nodes.agg(F.count("*").alias("_n"))
     ranks = nodes.join(F.broadcast(n_agg)).select(
         "node", F.expr("1000000 div _n").alias("r")
