@@ -71,6 +71,19 @@ def pagerank(
         if weight_col is not None
         else F.lit(1).cast("bigint")
     )
+    # declarative input validation (no driver-side action): the exact-
+    # replay contract relies on truncating `div` == flooring `//`, which
+    # only holds for non-negative operands, and a NULL/zero/negative
+    # weight would otherwise silently skew or NULL the ppm shares
+    w = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit("pagerank: edge weights must be positive, got "),
+                w.cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(w)
     e = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
@@ -90,12 +103,13 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    if checkpoint_every:
-        # materialize the loop-invariant side once: every iteration
-        # references wppm and nodes, and without this each action
-        # re-derives them from the raw edges (a groupBy + join + distinct
-        # per iteration per reference) — measured 61s/48s/29s for
-        # plain / rank-only checkpoint / this at 16 iterations on the
+    if n_iter >= 2:
+        # materialize the loop-invariant side once (independent of the
+        # rank-lineage knob): every iteration references wppm and nodes,
+        # and without this each action re-derives them from the raw
+        # edges (a groupBy + join + distinct per iteration per
+        # reference) — measured 61s/48s/29s for plain / rank-only
+        # checkpoint / full materialization at 16 iterations on the
         # probe graph (tools/graph_scale_probe.py)
         wppm = wppm.localCheckpoint(eager=True)
         nodes = nodes.localCheckpoint(eager=True)

@@ -381,10 +381,25 @@ def rrf_fuse(
         raise ValueError("rrf_fuse: rankings is empty")
     if k < 1:
         raise ValueError("rrf_fuse: k must be >= 1")
+    # NULL ranks (outer-joined retriever output) are dropped BEFORE the
+    # union so a document is either scored by a list or not in it —
+    # never counted in n_lists with no score contribution; a rank < 1
+    # is a caller bug and fails loudly (it would corrupt or zero the
+    # reciprocal term)
+    rnk = F.col(rank_col).cast("bigint")
+    guarded = F.when(
+        rnk < 1,
+        F.raise_error(
+            F.concat(
+                F.lit("rrf_fuse: ranks must be >= 1, got "),
+                rnk.cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(rnk)
     parts = [
-        r.select(
+        r.filter(rnk.isNotNull()).select(
             F.col(id_col),
-            F.col(rank_col).cast("bigint").alias("_rnk"),
+            guarded.alias("_rnk"),
         )
         for r in rankings
     ]

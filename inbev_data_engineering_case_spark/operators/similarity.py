@@ -28,6 +28,51 @@ from inbev_data_engineering_case_spark.functions import cosine
 MAX_CENTROID_CELLS = 4_000_000
 
 
+def _cosine_scored_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None = None,
+) -> DataFrame:
+    """Shared core of ``cosine_topk`` and ``hard_negatives``: broadcast
+    the query batch against the corpus scan, score with the JVM-side
+    cosine, rank per query with rounded-sim + neighbor_id tie-breaks.
+    With ``label_col`` set, only CROSS-label pairs score (both sides
+    NULL-label-filtered) and ``neighbor_label`` is carried through."""
+    from pyspark.sql import Window
+
+    q_cols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")]
+    c_cols = [
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+    ]
+    cond = F.col("query_id") != F.col("neighbor_id")
+    out_cols = ["query_id", "neighbor_id"]
+    if label_col is not None:
+        queries = queries.filter(F.col(label_col).isNotNull())
+        corpus = corpus.filter(F.col(label_col).isNotNull())
+        q_cols.append(F.col(label_col).alias("qlabel"))
+        c_cols.append(F.col(label_col).alias("neighbor_label"))
+        cond = cond & (F.col("neighbor_label") != F.col("qlabel"))
+        out_cols.append("neighbor_label")
+    scored = (
+        corpus.select(*c_cols)
+        .join(F.broadcast(queries.select(*q_cols)), cond)
+        .select(
+            *out_cols,
+            F.round(cosine("qvec", "cvec"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -40,29 +85,7 @@ def cosine_topk(
     Returns (query_id, neighbor_id, sim, rank), rank 1..k, self-matches
     excluded. Rank ties break on neighbor_id after rounding the similarity,
     so ordering is engine-stable."""
-    from pyspark.sql import Window
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine("qvec", "cvec"), 6).alias("sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _cosine_scored_topk(corpus, queries, k, id_col, vec_col)
 
 
 def _plane_weight(plane: int, dim: Column, seed: int = 0) -> Column:
@@ -875,33 +898,10 @@ def hard_negatives(
 
     Returns ``(query_id, neighbor_id, neighbor_label, sim, rank)``;
     ranking ties break on ``neighbor_id`` after 6-decimal rounding, so
-    ordering is engine-stable.
+    ordering is engine-stable. Shares ``_cosine_scored_topk`` with
+    ``cosine_topk`` — the two can never drift on tie-break or rounding
+    semantics.
     """
-    from pyspark.sql import Window
-
-    q = queries.filter(F.col(label_col).isNotNull()).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.col(label_col).alias("qlabel"),
-    )
-    c = corpus.filter(F.col(label_col).isNotNull()).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        F.col(label_col).alias("neighbor_label"),
-    )
-    scored = c.join(
-        F.broadcast(q),
-        (F.col("query_id") != F.col("neighbor_id"))
-        & (F.col("neighbor_label") != F.col("qlabel")),
-    ).select(
-        "query_id",
-        "neighbor_id",
-        "neighbor_label",
-        F.round(cosine("qvec", "cvec"), 6).alias("sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return _cosine_scored_topk(
+        corpus, queries, k, id_col, vec_col, label_col=label_col
     )

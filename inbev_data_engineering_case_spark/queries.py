@@ -5073,11 +5073,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=8, weight_col="weight")
 
 
-@register(
-    "q_pit_join",
-    headline=True,
-    oracle="""
-    WITH ordered AS (
+# shared SCD2-history CTE block (ordered/starts/hist over orders) used
+# by both PIT oracles — one copy, so a change to scd2_from_log's
+# boundary or tie-break semantics can't silently leave a stale twin
+_SCD2_HIST_CTES = """WITH ordered AS (
       SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              lag(o_orderpriority) OVER w AS prev_attr,
              lag(o_orderdate) OVER w AS prev_ts
@@ -5093,7 +5092,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(o_orderdate) OVER w2 AS effective_to
       FROM starts
       WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    ), facts AS (
+    )"""
+
+
+@register(
+    "q_pit_join",
+    headline=True,
+    oracle=f"""
+    {_SCD2_HIST_CTES}, facts AS (
       SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_custkey
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     )
@@ -5247,6 +5253,59 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "q_stream_pit",
+    f"""
+    {_SCD2_HIST_CTES}
+    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           e.user_id AS o_custkey,
+           h.o_orderpriority AS priority_at_event, h.effective_from
+    FROM events e JOIN hist h ON e.user_id = h.o_custkey
+     AND CAST(e.ts AS TIMESTAMP) >= h.effective_from
+     AND (h.effective_to IS NULL
+          OR CAST(e.ts AS TIMESTAMP) < h.effective_to)
+    """,
+    doc="stream-static point-in-time enrichment (scd.point_in_time_join "
+    "over a readStream fact side): each arriving event picks up the "
+    "customer's order-priority version valid AT ITS OWN event time — "
+    "the online feature-store serving path (no future leakage into "
+    "real-time features), executed as a REAL stream (availableNow "
+    "drain to a memory sink). The PIT operator is stream-agnostic: the "
+    "static SCD2 side re-reads per micro-batch and the validity "
+    "predicate rides the join, so enrichment is stateless per event "
+    "and the drained output is an exact function of the data — the "
+    "batch PIT relation is the oracle. On this fixture every event ts "
+    "postdates the history (events 2024, orders ≤2001) so probes land "
+    "in each key's OPEN version — the NULL-end arm; mid-interval "
+    "probing is pinned by q_pit_join. Late-r6 tail debut.",
+)
+def q_stream_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.scd import (
+        point_in_time_join,
+        scd2_from_log,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    hist = scd2_from_log(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        ["o_orderpriority"],
+        "o_orderdate",
+        "o_orderkey",
+    )
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "ts", F.col("user_id").alias("o_custkey")
+    )
+    out = point_in_time_join(
+        stream, hist, "o_custkey", "ts"
+    ).withColumnRenamed("o_orderpriority", "priority_at_event")
+    run_stream_to_table(out, "q_stream_pit_sink", "append")
+    return spark.table("q_stream_pit_sink")
 
 
 # ---------------------------------------------------------------------------
@@ -5425,6 +5484,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # cosine ANN) is externally covered in-window by the IVF entries,
     # whose probe-all identity pins the same brute scoring:
     "q_hard_negatives": ("q_ann_ivf_trained", "q_ann_ivf_pq"),
+    # LATE-r6 DEBUT (not a demotion): stream-static PIT enrichment,
+    # r7 promotion queue. Both halves are externally covered in-window:
+    # the PIT validity-interval join by q_pit_join and the
+    # stream-static drain machinery by q_stream_enrich:
+    "q_stream_pit": ("q_pit_join", "q_stream_enrich"),
 }
 
 for _name in _FAMILY_STAND_INS:

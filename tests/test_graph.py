@@ -73,3 +73,16 @@ def test_pagerank_weights_and_parallel_edges(spark):
     )
     plain = pagerank(edges, n_iter=3, weight_col="weight")
     assert _ranks(checkpointed) == _ranks(plain)
+
+
+def test_pagerank_rejects_nonpositive_weights(spark):
+    """The exact-replay contract (truncating div == flooring //) only
+    holds for non-negative operands; a zero/negative/NULL weight fails
+    loudly inside the plan instead of silently skewing the shares."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [("a", "b", -1)], "src string, dst string, weight long"
+    )
+    with pytest.raises(Exception, match="must be positive"):
+        pagerank(edges, n_iter=1, weight_col="weight").collect()

@@ -20,6 +20,29 @@ def wait_done(query, timeout=60):
     query.processAllAvailable()
     query.stop()
 
+def stage_batches(spark, src, batches, ddl):
+    """Stage each batch as one parquet file with strictly increasing
+    mtimes (the file source processes in mtime order) and return a
+    readStream with maxFilesPerTrigger=1, so each staged file forms its
+    own micro-batch."""
+    import os
+
+    src.mkdir(exist_ok=True)
+    for bi, rows in enumerate(batches):
+        spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+            str(src / f"b{bi}")
+        )
+        (f,) = (src / f"b{bi}").glob("*.parquet")
+        dst = src / f"file_{bi}.parquet"
+        os.rename(f, dst)
+        os.utime(dst, (1_000_000 + bi * 1000, 1_000_000 + bi * 1000))
+    schema = spark.createDataFrame([], ddl).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+
 
 @pytest.fixture()
 def event_dir(spark, tmp_path):
@@ -642,16 +665,12 @@ def test_lateness_metrics_report_watermark_drops(spark, tmp_path):
     advancing commit (batch 1's late rows slip through; batch 2's are
     dropped and counted), and the counter exactly accounts for the rows
     missing from the output."""
-    import os
-    import shutil
-
     from inbev_data_engineering_case_spark.streaming.events import (
         run_stream_to_table,
         stream_dedup_events,
     )
 
     t0 = datetime(2024, 1, 1, 12, 0)
-    cols = ["event_id", "ts", "user_id", "event_type", "value"]
     batches = [
         # batch 0: on-time, advances the watermark to max_ts - 1h
         [(i, t0 + timedelta(minutes=i), 1, "click", 1.0) for i in range(20)],
@@ -661,28 +680,12 @@ def test_lateness_metrics_report_watermark_drops(spark, tmp_path):
         [(100 + i, t0 - timedelta(days=1), 2, "view", 1.0) for i in range(5)],
         [(200 + i, t0 - timedelta(days=1), 3, "view", 1.0) for i in range(3)],
     ]
-    src = tmp_path / "late_events"
-    src.mkdir()
-    for bi, rows in enumerate(batches):
-        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
-            str(src / f"b{bi}")
-        )
-    for bi in range(len(batches)):
-        (f,) = (src / f"b{bi}").glob("*.parquet")
-        dst = src / f"file_{bi}.parquet"
-        os.rename(f, dst)
-        # file-source processes in modification-time order: force the
-        # on-time file to form micro-batch 0 and set the watermark
-        os.utime(dst, (1_000_000 + bi * 1000, 1_000_000 + bi * 1000))
-        shutil.rmtree(src / f"b{bi}")
-
-    schema = spark.createDataFrame([], "event_id long, ts timestamp, "
-                                   "user_id long, event_type string, "
-                                   "value double").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
+    # file-source processes in modification-time order: stage_batches
+    # forces the on-time file to form micro-batch 0 and set the watermark
+    stream = stage_batches(
+        spark, tmp_path / "late_events", batches,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
     )
     out = stream_dedup_events(stream, watermark="1 hour")
     metrics = run_stream_to_table(
@@ -708,8 +711,6 @@ def test_stream_heartbeat_gaps_matches_batch_and_spans_batches(spark, tmp_path):
     operator's on the same data, INCLUDING a gap whose two sides arrive
     in different micro-batches (the 8-byte cursor carries across), and
     state never moves backwards on a late duplicate."""
-    import os
-
     from inbev_data_engineering_case_spark.operators.timeseries import (
         heartbeat_gaps,
     )
@@ -719,7 +720,6 @@ def test_stream_heartbeat_gaps_matches_batch_and_spans_batches(spark, tmp_path):
     )
 
     t0 = datetime(2024, 1, 1)
-    cols = ["event_id", "ts", "user_id"]
     batch1 = [(1, t0, 1), (2, t0 + timedelta(hours=1), 1),
               (10, t0, 2)]
     # batch 2 starts 9h after user 1's last event -> the gap spans the
@@ -728,21 +728,9 @@ def test_stream_heartbeat_gaps_matches_batch_and_spans_batches(spark, tmp_path):
               (11, t0 + timedelta(hours=30), 2),
               (4, t0 + timedelta(hours=10), 1)]  # same-ts duplicate
     src = tmp_path / "gap_stream"
-    src.mkdir()
-    for bi, rows in enumerate([batch1, batch2]):
-        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
-            str(src / f"b{bi}")
-        )
-        (f,) = (src / f"b{bi}").glob("*.parquet")
-        dst = src / f"file_{bi}.parquet"
-        os.rename(f, dst)
-        os.utime(dst, (1_000_000 + bi * 1000, 1_000_000 + bi * 1000))
-    schema = spark.createDataFrame([], "event_id long, ts timestamp, "
-                                   "user_id long").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
+    stream = stage_batches(
+        spark, src, [batch1, batch2],
+        "event_id long, ts timestamp, user_id long",
     )
     metrics = run_stream_to_table(
         stream_heartbeat_gaps(stream, max_gap_s=6 * 3600),
@@ -815,8 +803,6 @@ def test_stream_cusum_matches_batch_and_carries_state(spark, tmp_path):
     the same data, including sums that accumulate ACROSS micro-batches
     (the 16-byte state carries), and the alarm fires mid-stream the
     moment the threshold is crossed."""
-    import os
-
     from inbev_data_engineering_case_spark.operators.timeseries import (
         cusum_changepoints,
     )
@@ -826,29 +812,15 @@ def test_stream_cusum_matches_batch_and_carries_state(spark, tmp_path):
     )
 
     t0 = datetime(2024, 1, 1)
-    cols = ["event_id", "ts", "user_id", "value"]
     # a persistent +2 drift over target 10.0 accumulates 1.9 units/event
     # after slack 0.1; threshold 15 units crosses at the 8th drifted event
     batch1 = [(i, t0 + timedelta(minutes=i), 1, 12.0) for i in range(5)]
     batch2 = [(10 + i, t0 + timedelta(minutes=10 + i), 1, 12.0)
               for i in range(5)]
     src = tmp_path / "cusum_stream"
-    src.mkdir()
-    for bi, rows in enumerate([batch1, batch2]):
-        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
-            str(src / f"b{bi}")
-        )
-        (f,) = (src / f"b{bi}").glob("*.parquet")
-        dst = src / f"file_{bi}.parquet"
-        os.rename(f, dst)
-        os.utime(dst, (1_000_000 + bi * 1000, 1_000_000 + bi * 1000))
-    schema = spark.createDataFrame(
-        [], "event_id long, ts timestamp, user_id long, value double"
-    ).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
+    stream = stage_batches(
+        spark, src, [batch1, batch2],
+        "event_id long, ts timestamp, user_id long, value double",
     )
     metrics = run_stream_to_table(
         stream_cusum(stream, target_milli=10_000, slack_milli=100,
@@ -880,3 +852,44 @@ def test_stream_cusum_matches_batch_and_carries_state(spark, tmp_path):
     assert by_id[11] == (13_300, False)
     assert by_id[12] == (15_200, True)
     assert all(c for e, (u, c) in by_id.items() if e >= 12)
+
+
+def test_stream_pit_enrich_probes_closed_and_open_versions(spark, tmp_path):
+    """Stream-static PIT enrichment: events arriving across micro-batches
+    pick the SCD2 version valid at their own event time — a fact inside
+    a CLOSED interval gets the old version even though a newer one is
+    current, and a pre-history fact drops."""
+    from inbev_data_engineering_case_spark.operators.scd import (
+        point_in_time_join,
+        scd2_from_log,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        run_stream_to_table,
+    )
+
+    d = lambda day: datetime(2024, 1, day)  # noqa: E731
+    log = spark.createDataFrame(
+        [(1, "bronze", d(10), 100), (1, "gold", d(20), 101)],
+        "cust long, tier string, obs_ts timestamp, obs_id long",
+    )
+    hist = scd2_from_log(log, "cust", ["tier"], "obs_ts", "obs_id")
+    batches = [
+        [(1, d(15), 1)],            # closed bronze interval
+        [(2, d(25), 1), (3, d(5), 1)],  # open gold; pre-history drops
+    ]
+    stream = stage_batches(
+        spark, tmp_path / "pit_stream", batches,
+        "event_id long, ts timestamp, cust long",
+    )
+    metrics = run_stream_to_table(
+        point_in_time_join(stream, hist, "cust", "ts"),
+        "stream_pit_sink",
+        "append",
+        timeout=120,
+    )
+    assert metrics["batches"] >= 2
+    got = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("select * from stream_pit_sink").collect()
+    }
+    assert got == {1: "bronze", 2: "gold"}  # 3 dropped (pre-history)

@@ -3491,3 +3491,23 @@ def test_hard_negatives_excludes_same_label_and_null_labels(spark):
     assert (
         hard_negatives(emb, emb.filter("vec_id = 4"), k=2).count() == 0
     )
+
+
+def test_rrf_fuse_null_and_invalid_ranks(spark):
+    """NULL ranks drop before the union (the doc is 'not in that list'
+    — n_lists excludes it); a rank < 1 is a caller bug and fails
+    loudly rather than corrupting the reciprocal term."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        rrf_fuse,
+    )
+
+    withnull = spark.createDataFrame(
+        [(1, None), (2, 1)], "doc_id long, rnk long"
+    )
+    out = rrf_fuse([withnull]).collect()
+    assert [(r["doc_id"], r["n_lists"]) for r in out] == [(2, 1)]
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, rnk long")
+    with pytest.raises(Exception, match="must be >= 1"):
+        rrf_fuse([bad]).collect()
