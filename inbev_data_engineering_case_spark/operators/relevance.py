@@ -419,3 +419,108 @@ def rrf_fuse(
     return topk_df.withColumn("rnk", F.row_number().over(w)).select(
         id_col, "n_lists", "rrf_micro", "rnk"
     )
+
+
+def build_text_index(
+    documents: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Materialize the inverted-index tables BM25 needs, once, so
+    repeated queries never re-tokenize the corpus: ``tf/`` (one row per
+    (doc, term) — this IS the inverted index, bucketable by term),
+    ``doclen/`` (one row per doc), and ``stats/`` (1 row: N, avgdl).
+    The DEPLOYMENT note's "materialize the tf table once and reuse it
+    across queries" made concrete.
+
+    One tokenize scan feeds everything (the same single-evaluation
+    discipline as curate_corpus). Term-partitionable: at 100 TB write
+    ``tf`` bucketed by ``term`` so a query's per-term lookups touch
+    only matching buckets. Returns row counts per table (the build's
+    audit record).
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf.write.mode("overwrite").parquet(f"{index_dir}/tf")
+    doclen = documents.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("dl"),
+    )
+    doclen.write.mode("overwrite").parquet(f"{index_dir}/doclen")
+    spark = documents.sparkSession
+    stats = documents.agg(F.count("*").alias("_n")).join(
+        spark.read.parquet(f"{index_dir}/doclen").agg(
+            F.avg("dl").alias("_avgdl")
+        )
+    )
+    stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
+    return {
+        "tf_rows": spark.read.parquet(f"{index_dir}/tf").count(),
+        "doclen_rows": spark.read.parquet(f"{index_dir}/doclen").count(),
+        "stats_rows": 1,
+    }
+
+
+def bm25_from_index(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval over a ``build_text_index`` output — per-query
+    cost decoupled from the corpus: the tf scan filters to the query
+    terms (term-pruned at the parquet level when the index is bucketed
+    or sorted by term; ``PushedFilters`` carries ``term IN (...)``),
+    df is a ≤|q|-row aggregate of the already-filtered rows, N/avgdl
+    read from the 1-row stats table. Result-identical to ``bm25_topk``
+    on the same corpus (the identity test pins it); same int64
+    micro-unit scoring, same tie-breaks.
+    """
+    if not query_terms:
+        raise ValueError("bm25_from_index: query_terms is empty")
+    terms = sorted({t.lower() for t in query_terms})
+    tf = spark.read.parquet(f"{index_dir}/tf").filter(
+        F.col("term").isin(terms)
+    )
+    doc_len = spark.read.parquet(f"{index_dir}/doclen")
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doc_len, id_col)
+        .join(F.broadcast(stats))
+        .withColumn(
+            "score_micro",
+            F.round(idf * tfn * 1_000_000).cast("bigint"),
+        )
+    )
+    ranked = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_terms_matched"),
+        F.sum("score_micro").alias("score_micro"),
+    )
+    topk = ranked.orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    ).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    return topk.withColumn("rnk", F.row_number().over(w)).select(
+        id_col, "n_terms_matched", "score_micro", "rnk"
+    )

@@ -5308,6 +5308,34 @@ def q_stream_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_pit_sink")
 
 
+@register(
+    "q_bm25_indexed",
+    _bm25_oracle(),
+    doc="BM25 over a MATERIALIZED inverted index "
+    "(operators/relevance.py build_text_index + bm25_from_index): the "
+    "DEPLOYMENT note's 'the tf table IS the index — build once, reuse "
+    "across queries' made concrete. The build is one tokenize scan "
+    "into tf/doclen/stats parquet; the query side filters the stored "
+    "tf on the query terms (PushedFilters carries term IN (...), so a "
+    "term-bucketed index prunes at the parquet level), df aggregates "
+    "the already-filtered rows, N/avgdl read from the 1-row stats "
+    "table — per-query cost fully decoupled from corpus tokenization. "
+    "Result-identical to q_bm25_search by construction (same oracle "
+    "SQL; the identity is also unit-pinned). Late-r6 tail debut.",
+)
+def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bm25_from_index,
+        build_text_index,
+    )
+
+    index_dir = tempfile.mkdtemp(prefix="bm25_index_")
+    build_text_index(_t(spark, sf_dir, "documents"), index_dir)
+    return bm25_from_index(spark, index_dir, list(_BM25_TERMS), k=10)
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -5489,6 +5517,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # the PIT validity-interval join by q_pit_join and the
     # stream-static drain machinery by q_stream_enrich:
     "q_stream_pit": ("q_pit_join", "q_stream_enrich"),
+    # LATE-r6 DEBUT (not a demotion): BM25 over the materialized
+    # inverted index, r7 promotion queue; result-identical by
+    # construction to the in-window scan-path q_bm25_search (same
+    # oracle SQL, identity unit-pinned):
+    "q_bm25_indexed": ("q_bm25_search",),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -3511,3 +3511,35 @@ def test_rrf_fuse_null_and_invalid_ranks(spark):
     bad = spark.createDataFrame([(1, 0)], "doc_id long, rnk long")
     with pytest.raises(Exception, match="must be >= 1"):
         rrf_fuse([bad]).collect()
+
+
+def test_bm25_index_roundtrip_identical_to_scan_path(spark, tmp_path):
+    """bm25_from_index over a build_text_index output returns rows
+    IDENTICAL to bm25_topk's one-pass scan on the same corpus — the
+    materialized index changes where the work happens, never the
+    answer. The index build's audit counts match the corpus shape."""
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bm25_from_index,
+        bm25_topk,
+        build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark shuffles data across the cluster"),
+            (1, "spark spark spark tuning"),
+            (2, "a zebra walked into the cluster"),
+            (3, "unrelated text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "index")
+    audit = build_text_index(docs, idx)
+    assert audit["doclen_rows"] == 4
+    assert audit["tf_rows"] == spark.read.parquet(f"{idx}/tf").count()
+    key = lambda r: tuple(r)  # noqa: E731
+    scan = sorted(map(key, bm25_topk(docs, ["spark", "zebra"], k=4).collect()))
+    indexed = sorted(
+        map(key, bm25_from_index(spark, idx, ["spark", "zebra"], k=4).collect())
+    )
+    assert scan == indexed and len(scan) == 3  # doc 3 matches nothing
