@@ -86,3 +86,36 @@ def test_pagerank_rejects_nonpositive_weights(spark):
     )
     with pytest.raises(Exception, match="must be positive"):
         pagerank(edges, n_iter=1, weight_col="weight").collect()
+
+
+def test_pagerank_invariants_on_generated_graphs(spark):
+    """Structural invariants on three deterministic hash-wired graphs:
+    every node appears exactly once; every rank is at least the
+    teleport base and the total never exceeds the 1e6 ppm budget
+    (dangling mass can only LOWER the total, never raise it)."""
+    from pyspark.sql import functions as F
+
+    for n, fanout in [(50, 2), (120, 3), (300, 1)]:
+        edges = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("src"),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(fanout - 1)),
+                        lambda j: F.pmod(
+                            F.xxhash64(F.col("id"), j), F.lit(n)
+                        ),
+                    )
+                ).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        ranks = _ranks(pagerank(edges, n_iter=6))
+        n_nodes = edges.select(
+            F.col("src").alias("n")
+        ).union(edges.select("dst")).distinct().count()
+        assert len(ranks) == n_nodes
+        base = (1_000_000 - 850_000) // n_nodes
+        assert all(r >= base for r in ranks.values())
+        assert sum(ranks.values()) <= 1_000_000

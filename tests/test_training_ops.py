@@ -3543,3 +3543,25 @@ def test_bm25_index_roundtrip_identical_to_scan_path(spark, tmp_path):
         map(key, bm25_from_index(spark, idx, ["spark", "zebra"], k=4).collect())
     )
     assert scan == indexed and len(scan) == 3  # doc 3 matches nothing
+
+
+def test_rrf_fuse_order_invariant_and_monotone(spark):
+    """Fusion is invariant under list-order permutation (integer sums
+    commute), and adding a list can only raise a document's score."""
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rnk long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rnk long")
+    c = spark.createDataFrame([(1, 3)], "doc_id long, rnk long")
+    key = lambda r: tuple(r)  # noqa: E731
+    fwd = sorted(map(key, rrf_fuse([a, b, c]).collect()))
+    rev = sorted(map(key, rrf_fuse([c, b, a]).collect()))
+    assert fwd == rev
+    two = {r["doc_id"]: r["rrf_micro"] for r in rrf_fuse([a, b]).collect()}
+    three = {
+        r["doc_id"]: r["rrf_micro"] for r in rrf_fuse([a, b, c]).collect()
+    }
+    assert all(three[d] >= s for d, s in two.items())
+    assert three[1] > two[1]  # doc 1 gained from list c
