@@ -120,3 +120,88 @@ def sketch_rollup_report(
         )
         .orderBy(group_col)
     )
+
+
+# --- count-min frequency partials ------------------------------------------
+# The counting twin of the HLL rollup: "how often did item X occur in
+# range R" without a per-item exact count over raw history. Counter-wise
+# SUM is associative and lossless, so per-day partial tables compose into
+# any window — the same store-partials-once shape as sketch_partials.
+# Deterministic portable hashing (seeded portable_hash64) makes the whole
+# sketch exactly replayable in the DuckDB oracle — no RNG, no approximation
+# ambiguity: the estimate is a deterministic function of the data.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_cells(item: F.Column, depth: int, width: int) -> F.Column:
+    """Array of (r, c) cells an item touches — one per hash row."""
+    from inbev_data_engineering_case_spark.functions import portable_hash64
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                (portable_hash64(item, seed=r + 1) % width).alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_partials(
+    events: DataFrame,
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+    unit: str = "day",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Sparse count-min partials per time bucket:
+    ``(bucket_ts, r, c, cnt)`` — at most ``buckets x depth x width``
+    rows regardless of event volume (the stored table), built in ONE
+    scan (cells explode in-row; the exchange is partial-aggregated on
+    the bounded (bucket, r, c) key, never event-sized).
+
+    Estimates from a count-min sketch are one-sided: ``est >= true``
+    always, and ``est <= true + eN/width`` in expectation per row —
+    the min over ``depth`` rows tightens the bound exponentially.
+    """
+    return (
+        events.select(
+            F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts"),
+            F.explode(
+                _cms_cells(F.col(item_col), depth, width)
+            ).alias("rc"),
+        )
+        .groupBy("bucket_ts", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    partials: DataFrame,
+    items: DataFrame,
+    item_col: str = "user_id",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Frequency estimates for ``items`` from stored partials (optionally
+    pre-filtered to a bucket range): merge = counter-wise SUM over the
+    covered buckets (touches ``<= buckets x depth x width`` rows, never
+    raw events), then each item reads its ``depth`` cells and takes the
+    min (absent cell = 0). Returns ``(item, est_count)`` with the
+    one-sided guarantee ``est_count >= true count`` for items drawn
+    from the sketched stream.
+    """
+    merged = partials.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+    probes = items.select(
+        F.col(item_col).alias("item"),
+        F.explode(_cms_cells(F.col(item_col), depth, width)).alias("rc"),
+    ).select("item", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    return (
+        probes.join(F.broadcast(merged), ["r", "c"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )

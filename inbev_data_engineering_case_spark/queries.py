@@ -5336,6 +5336,69 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_from_index(spark, index_dir, list(_BM25_TERMS), k=10)
 
 
+def _cms_oracle(depth: int = 4, width: int = 256) -> str:
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64_sql,
+    )
+
+    def cell(expr: str, r: int) -> str:
+        return f"{portable_hash64_sql(expr, seed=r + 1)} % {width}"
+
+    cells = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS r, {cell('CAST(user_id AS VARCHAR)', r)} AS c,"
+        " count(*) AS cnt FROM events GROUP BY 2"
+        for r in range(depth)
+    )
+    probes = "\n      UNION ALL ".join(
+        f"SELECT user_id, CAST({r} AS INT) AS r,"
+        f" {cell('CAST(user_id AS VARCHAR)', r)} AS c FROM items"
+        for r in range(depth)
+    )
+    return f"""
+    WITH cells AS (
+      {cells}
+    ),
+    items AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 20
+    ),
+    probes AS (
+      {probes}
+    )
+    SELECT p.user_id AS item,
+           CAST(min(coalesce(cl.cnt, 0)) AS BIGINT) AS est_count
+    FROM probes p LEFT JOIN cells cl USING (r, c)
+    GROUP BY 1
+    """
+
+
+@register(
+    "q_cms_freq",
+    _cms_oracle(),
+    doc="count-min frequency sketch (operators/sketches.py "
+    "cms_partials + cms_estimate): per-user event-count estimates for "
+    "20 probe users from stored per-day partials — the counting twin "
+    "of the HLL rollup family. Partials are (bucket, r, c, cnt) rows "
+    "bounded by buckets x 4 x 256 regardless of event volume, built in "
+    "one scan (in-row cell explode, partial-aggregated bounded-key "
+    "exchange); the range merge is counter-wise SUM (associative, "
+    "lossless), the per-item estimate the min over 4 broadcast-joined "
+    "cells. Deterministic seeded portable hashing makes the sketch "
+    "EXACTLY replayable in the oracle — the estimate is a pure "
+    "function of the data, one-sided (est >= true). Late-r6 tail "
+    "debut.",
+)
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.sketches import (
+        cms_estimate,
+        cms_partials,
+    )
+
+    ev = read_events(spark, sf_dir)
+    partials = cms_partials(ev, item_col="user_id")
+    items = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    return cms_estimate(partials, items, item_col="user_id")
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -5522,6 +5585,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # construction to the in-window scan-path q_bm25_search (same
     # oracle SQL, identity unit-pinned):
     "q_bm25_indexed": ("q_bm25_search",),
+    # LATE-r6 DEBUT (not a demotion): count-min frequency partials,
+    # r7 promotion queue; the mergeable-partials family is covered
+    # in-window by q_stream_sketch (HLL partial maintenance), and the
+    # probe-item exact counting by q_heavy_hitters:
+    "q_cms_freq": ("q_stream_sketch", "q_heavy_hitters"),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -468,3 +468,46 @@ def test_pit_join_broadcast_parity_and_shared_lineage(spark):
         map(key, bcast.collect())
     )
     assert len(plain.collect()) == 3  # every observation matches itself
+
+
+def test_cms_one_sided_and_partials_merge_losslessly(spark):
+    """Count-min guarantees: est >= true for every sketched item; and
+    summing per-day partials equals a direct single-build (counter-wise
+    SUM is associative) so stored daily rows answer any range."""
+    import datetime as dt
+
+    from inbev_data_engineering_case_spark.operators.sketches import (
+        cms_estimate,
+        cms_partials,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 3)), i % 7, "e", 1.0)
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    daily = cms_partials(ev, item_col="user_id", unit="day")
+    # partials table is bounded by buckets x depth x width
+    assert daily.count() <= 3 * 4 * 256
+    items = ev.select("user_id").distinct()
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(daily, items, item_col="user_id").collect()
+    }
+    true = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(true)
+    assert all(est[u] >= true[u] for u in true)
+    # merging across days == building over the whole stream directly
+    whole = cms_partials(ev, item_col="user_id", unit="year")
+    est_whole = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(whole, items, item_col="user_id").collect()
+    }
+    assert est == est_whole
