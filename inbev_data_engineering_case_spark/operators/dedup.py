@@ -891,3 +891,91 @@ def simhash_near_pairs(
         )
         pairs = pairs.unionByName(star)
     return pairs
+
+
+def dedup_spans(
+    documents: DataFrame,
+    span_tokens: int = 16,
+    max_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level exact dedup WITH document reconstruction (the
+    C4/Dolma cleaning step the gram profiler only reports on): slice
+    each document into non-overlapping ``span_tokens``-token spans,
+    drop every span whose case-folded fingerprint appears in more than
+    ``max_docs`` distinct documents (boilerplate headers, license
+    blocks, navigation chrome — shared verbatim across a corpus), and
+    reassemble what remains in order. Case is preserved in the output;
+    matching is case-folded. Output text is token-normalized (single
+    spaces) — the span boundary set, not original whitespace, is the
+    unit this operator guarantees.
+
+    Returns ``(id_col, text_clean, n_spans, n_dropped)`` — one row per
+    document with at least one span (NULL-text docs have none);
+    ``text_clean`` is ``''`` when every span was boilerplate.
+
+    Scale shape: spans are formed IN-ROW (``transform`` over a span
+    index sequence + ``slice`` — no posexplode self-join); the only
+    exchanges are the span-fingerprint aggregation (rows = distinct
+    spans, 8-byte keys) and the per-doc regroup. The hot-span set is
+    corpus-boilerplate-sized and broadcasts into a left-anti join —
+    documents never shuffle by content. Same discipline as the minhash
+    banded join; composable before it (drop boilerplate spans first,
+    then near-dedup whole documents).
+    """
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64,
+        tokens,
+    )
+
+    k = span_tokens
+    arr = documents.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    segs = arr.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(_toks) / {k}.0) as int) - 1), "
+                f"i -> struct(i AS seg_no, "
+                f"array_join(slice(_toks, i * {k} + 1, {k}), ' ') AS seg))"
+            )
+        ).alias("s"),
+    ).select(
+        id_col,
+        F.col("s.seg_no").alias("seg_no"),
+        F.col("s.seg").alias("seg"),
+        portable_hash64(F.lower(F.col("s.seg"))).alias("fp"),
+    )
+    hot = (
+        segs.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") > max_docs)
+        .select("fp")
+    )
+    kept = segs.join(F.broadcast(hot), "fp", "left_anti")
+    totals = segs.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("seg_no", "seg"))
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            "n_spans",
+            (
+                F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_dropped"),
+        )
+    )

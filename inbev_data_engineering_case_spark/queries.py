@@ -5399,6 +5399,68 @@ def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(partials, items, item_col="user_id")
 
 
+def _dedup_spans_oracle(span_tokens: int = 16, max_docs: int = 3) -> str:
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64_sql,
+    )
+
+    k = span_tokens
+    fp = portable_hash64_sql("lower(seg)")
+    return f"""
+    WITH arr AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS a
+      FROM documents WHERE text IS NOT NULL
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_no,
+             array_to_string(list_slice(a, i * {k} + 1, i * {k} + {k}), ' ')
+               AS seg
+      FROM arr, unnest(range(CAST(ceil(len(a) / {k}.0) AS BIGINT))) AS t(i)
+    ),
+    segfp AS (SELECT doc_id, seg_no, seg, {fp} AS fp FROM segs),
+    hot AS (
+      SELECT fp FROM (
+        SELECT fp, count(DISTINCT doc_id) AS nd FROM segfp GROUP BY 1
+      ) WHERE nd > {max_docs}
+    ),
+    kept AS (
+      SELECT * FROM segfp WHERE fp NOT IN (SELECT fp FROM hot)
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_spans FROM segfp GROUP BY 1),
+    rebuilt AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS text_clean,
+             count(*) AS n_kept
+      FROM kept GROUP BY 1
+    )
+    SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean,
+           t.n_spans,
+           CAST(t.n_spans - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
+@register(
+    "q_dedup_spans",
+    _dedup_spans_oracle(),
+    doc="span-level exact dedup with reconstruction "
+    "(operators/dedup.py dedup_spans): the C4/Dolma cleaning step the "
+    "gram profiler only reports on — non-overlapping 16-token spans, "
+    "spans shared verbatim (case-folded fingerprint) by >3 documents "
+    "dropped, remaining spans reassembled in order, case preserved. "
+    "Spans form in-row (transform + slice, no posexplode self-join); "
+    "exchanges carry span fingerprints and the per-doc regroup only; "
+    "the hot-span set broadcasts into a left-anti join. Composable "
+    "before the minhash near-dedup. Late-r6 tail debut.",
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    return dedup_spans(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -5590,6 +5652,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # in-window by q_stream_sketch (HLL partial maintenance), and the
     # probe-item exact counting by q_heavy_hitters:
     "q_cms_freq": ("q_stream_sketch", "q_heavy_hitters"),
+    # LATE-r6 DEBUT (not a demotion): span-level dedup with
+    # reconstruction, r7 promotion queue; the gram/fingerprint
+    # machinery is covered in-window by q_boilerplate-family stand-in
+    # q_dedup_minhash and by q_curate_corpus's dedup stages:
+    "q_dedup_spans": ("q_dedup_minhash", "q_curate_corpus"),
 }
 
 for _name in _FAMILY_STAND_INS:

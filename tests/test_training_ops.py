@@ -3565,3 +3565,36 @@ def test_rrf_fuse_order_invariant_and_monotone(spark):
     }
     assert all(three[d] >= s for d, s in two.items())
     assert three[1] > two[1]  # doc 1 gained from list c
+
+
+def test_dedup_spans_drops_planted_boilerplate_and_preserves_case(spark):
+    """A 4-token span shared verbatim by 5 docs (case differing — the
+    match is case-folded) is dropped everywhere; unique spans keep
+    their original case and order; an all-boilerplate doc rebuilds to
+    ''; counts account for every span."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    boiler = "subscribe to our newsletter"
+    docs = [(i, f"{boiler} Unique{i} content here now") for i in range(4)]
+    docs.append((4, boiler.upper()))  # all-boilerplate, case differs
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_spans(df, span_tokens=4, max_docs=3).collect()
+    }
+    assert len(out) == 5
+    for i in range(4):
+        assert out[i]["text_clean"] == f"Unique{i} content here now"
+        assert (out[i]["n_spans"], out[i]["n_dropped"]) == (2, 1)
+    assert out[4]["text_clean"] == ""
+    assert (out[4]["n_spans"], out[4]["n_dropped"]) == (1, 1)
+    # below the threshold nothing drops
+    few = spark.createDataFrame(docs[:3], "doc_id long, text string")
+    assert (
+        dedup_spans(few, span_tokens=4, max_docs=3)
+        .filter("n_dropped > 0")
+        .count()
+        == 0
+    )
