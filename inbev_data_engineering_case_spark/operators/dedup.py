@@ -929,6 +929,10 @@ def dedup_spans(
         tokens,
     )
 
+    if span_tokens < 1:
+        raise ValueError("dedup_spans: span_tokens must be >= 1")
+    if max_docs < 1:
+        raise ValueError("dedup_spans: max_docs must be >= 1")
     k = span_tokens
     arr = documents.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")

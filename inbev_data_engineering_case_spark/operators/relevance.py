@@ -221,13 +221,32 @@ def bm25_topk(
         F.col(id_col),
         F.size(tokens(F.lower(F.col(text_col)))).alias("dl"),
     )
-    corpus = documents.agg(F.count("*").alias("_n"))
-    avgdl = doc_len.agg(F.avg("dl").alias("_avgdl"))
+    stats = documents.agg(F.count("*").alias("_n")).join(
+        doc_len.agg(F.avg("dl").alias("_avgdl"))
+    )
     tf = (
         toks.filter(F.col("term").isin(terms))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
+    return _bm25_rank(tf, doc_len, stats, id_col, k, k1, b)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    doc_len: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared BM25 scoring/ranking tail of ``bm25_topk`` and
+    ``bm25_from_index`` — one copy, so the idf formulation, micro-unit
+    rounding, and tie-breaks can never drift between the scan path and
+    the index path. Inputs: the query-filtered ``tf`` relation, the
+    per-doc ``doc_len`` (``dl``), and a 1-row ``stats`` frame carrying
+    ``_n`` and ``_avgdl``."""
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -242,8 +261,7 @@ def bm25_topk(
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(doc_len, id_col)
-        .join(F.broadcast(corpus))
-        .join(F.broadcast(avgdl))
+        .join(F.broadcast(stats))
         .withColumn(
             "score_micro",
             F.round(idf * tfn * 1_000_000).cast("bigint"),
@@ -434,11 +452,15 @@ def build_text_index(
     The DEPLOYMENT note's "materialize the tf table once and reuse it
     across queries" made concrete.
 
-    One tokenize scan feeds everything (the same single-evaluation
-    discipline as curate_corpus). Term-partitionable: at 100 TB write
-    ``tf`` bucketed by ``term`` so a query's per-term lookups touch
-    only matching buckets. Returns row counts per table (the build's
-    audit record).
+    One tokenize scan feeds everything: ``tf`` is the only job that
+    reads document text; ``doclen`` derives from the WRITTEN tf
+    (``dl = sum(tf)`` per doc — exact, because empty text tokenizes to
+    ``['']`` so every non-NULL doc has tf rows; NULL-text docs have no
+    rows on either derivation and are excluded from avgdl the same
+    way); ``stats``' N is a column-pruned count over documents. The
+    audit counts are parquet-footer-metadata reads, not scans.
+    Term-partitionable: at 100 TB write ``tf`` bucketed by ``term`` so
+    a query's per-term lookups touch only matching buckets.
     """
     toks = documents.select(
         F.col(id_col),
@@ -446,12 +468,13 @@ def build_text_index(
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     tf.write.mode("overwrite").parquet(f"{index_dir}/tf")
-    doclen = documents.select(
-        F.col(id_col),
-        F.size(tokens(F.lower(F.col(text_col)))).alias("dl"),
+    spark = documents.sparkSession
+    doclen = (
+        spark.read.parquet(f"{index_dir}/tf")
+        .groupBy(id_col)
+        .agg(F.sum("tf").alias("dl"))
     )
     doclen.write.mode("overwrite").parquet(f"{index_dir}/doclen")
-    spark = documents.sparkSession
     stats = documents.agg(F.count("*").alias("_n")).join(
         spark.read.parquet(f"{index_dir}/doclen").agg(
             F.avg("dl").alias("_avgdl")
@@ -480,8 +503,8 @@ def bm25_from_index(
     or sorted by term; ``PushedFilters`` carries ``term IN (...)``),
     df is a ≤|q|-row aggregate of the already-filtered rows, N/avgdl
     read from the 1-row stats table. Result-identical to ``bm25_topk``
-    on the same corpus (the identity test pins it); same int64
-    micro-unit scoring, same tie-breaks.
+    on the same corpus BY CONSTRUCTION: both paths feed the shared
+    ``_bm25_rank`` scoring/ranking tail (plus the identity unit test).
     """
     if not query_terms:
         raise ValueError("bm25_from_index: query_terms is empty")
@@ -491,36 +514,4 @@ def bm25_from_index(
     )
     doc_len = spark.read.parquet(f"{index_dir}/doclen")
     stats = spark.read.parquet(f"{index_dir}/stats")
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(doc_len, id_col)
-        .join(F.broadcast(stats))
-        .withColumn(
-            "score_micro",
-            F.round(idf * tfn * 1_000_000).cast("bigint"),
-        )
-    )
-    ranked = scored.groupBy(id_col).agg(
-        F.count("*").alias("n_terms_matched"),
-        F.sum("score_micro").alias("score_micro"),
-    )
-    topk = ranked.orderBy(
-        F.col("score_micro").desc(), F.col(id_col).asc()
-    ).limit(k)
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
-    return topk.withColumn("rnk", F.row_number().over(w)).select(
-        id_col, "n_terms_matched", "score_micro", "rnk"
-    )
+    return _bm25_rank(tf, doc_len, stats, id_col, k, k1, b)

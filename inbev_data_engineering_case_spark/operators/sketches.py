@@ -167,7 +167,15 @@ def cms_partials(
     Estimates from a count-min sketch are one-sided: ``est >= true``
     always, and ``est <= true + eN/width`` in expectation per row —
     the min over ``depth`` rows tightens the bound exponentially.
+
+    The build dimensions ride along as constant ``depth``/``width``
+    columns (bytes on a bounded table): ``cms_estimate`` validates its
+    own dimensions against them, because probing a sketch with the
+    wrong geometry would silently return 0 — inverting the one-sided
+    guarantee — instead of failing.
     """
+    if depth < 1 or width < 1:
+        raise ValueError("cms_partials: depth and width must be >= 1")
     return (
         events.select(
             F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts"),
@@ -177,6 +185,11 @@ def cms_partials(
         )
         .groupBy("bucket_ts", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
         .agg(F.count("*").alias("cnt"))
+        .select(
+            "*",
+            F.lit(depth).alias("depth"),
+            F.lit(width).alias("width"),
+        )
     )
 
 
@@ -194,7 +207,33 @@ def cms_estimate(
     min (absent cell = 0). Returns ``(item, est_count)`` with the
     one-sided guarantee ``est_count >= true count`` for items drawn
     from the sketched stream.
+
+    Dimension safety: if the partials carry build-time ``depth``/
+    ``width`` columns (``cms_partials`` writes them), any mismatch
+    with this call's parameters fails loudly inside the plan — a
+    wrong-geometry probe would otherwise hash to absent cells and
+    return 0, silently inverting the one-sided guarantee.
     """
+    if depth < 1 or width < 1:
+        raise ValueError("cms_estimate: depth and width must be >= 1")
+    if {"depth", "width"} <= set(partials.columns):
+        guard = F.when(
+            (F.col("depth") != depth) | (F.col("width") != width),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "cms_estimate: sketch built with (depth, width) = ("
+                    ),
+                    F.col("depth").cast("string"),
+                    F.lit(", "),
+                    F.col("width").cast("string"),
+                    F.lit(f"), probed with ({depth}, {width})"),
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("cnt"))
+        partials = partials.select(
+            "r", "c", guard.alias("cnt")
+        )
     merged = partials.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
     probes = items.select(
         F.col(item_col).alias("item"),

@@ -5324,6 +5324,7 @@ def q_stream_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SQL; the identity is also unit-pinned). Late-r6 tail debut.",
 )
 def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import tempfile
 
     from inbev_data_engineering_case_spark.operators.relevance import (
@@ -5331,7 +5332,13 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_text_index,
     )
 
-    index_dir = tempfile.mkdtemp(prefix="bm25_index_")
+    # fixed per-process path + overwrite writes: repeated gate/bench
+    # runs REUSE one directory instead of accumulating a corpus-sized
+    # index per invocation (the returned DataFrame reads these files
+    # lazily, so the dir cannot be removed here)
+    index_dir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_bm25_index"
+    )
     build_text_index(_t(spark, sf_dir, "documents"), index_dir)
     return bm25_from_index(spark, index_dir, list(_BM25_TERMS), k=10)
 

@@ -511,3 +511,30 @@ def test_cms_one_sided_and_partials_merge_losslessly(spark):
         for r in cms_estimate(whole, items, item_col="user_id").collect()
     }
     assert est == est_whole
+
+
+def test_cms_estimate_rejects_wrong_geometry(spark):
+    """Probing a stored sketch with different depth/width would hash to
+    absent cells and return 0 — inverting the one-sided guarantee — so
+    the build dimensions ride with the partials and a mismatch fails
+    loudly."""
+    import datetime as dt
+
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.sketches import (
+        cms_estimate,
+        cms_partials,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 7, "e", 1.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    partials = cms_partials(ev, item_col="user_id", depth=4, width=256)
+    items = ev.select("user_id").distinct()
+    with pytest.raises(Exception, match="built with"):
+        cms_estimate(partials, items, item_col="user_id", depth=8).collect()
+    with pytest.raises(ValueError):
+        cms_partials(ev, item_col="user_id", width=0)

@@ -62,6 +62,10 @@ def main() -> None:
 
     t0 = time.perf_counter()
     index_dir = tempfile.mkdtemp(prefix="bm25_probe_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, index_dir, True)
     audit = build_text_index(docs, index_dir)
     build_s = time.perf_counter() - t0
     bm25_from_index(spark, index_dir, queries[0], k=10).count()  # warm-up
