@@ -937,13 +937,21 @@ def dedup_spans(
     arr = documents.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
+    # size(_toks) >= 1 always holds today (split(trim(x)) yields at
+    # least ['']), but sequence(0, -1) would auto-step DOWNWARD and
+    # fabricate phantom spans if a 0-length array ever arrived — guard
+    # explicitly (char_ngrams' discipline) so the expression cannot
+    # step negative; the empty-array arm explodes to zero rows, which
+    # is exactly the oracle twin's range(0) behavior
     segs = arr.select(
         F.col(id_col),
         F.explode(
             F.expr(
+                f"case when size(_toks) >= 1 then "
                 f"transform(sequence(0, cast(ceil(size(_toks) / {k}.0) as int) - 1), "
                 f"i -> struct(i AS seg_no, "
-                f"array_join(slice(_toks, i * {k} + 1, {k}), ' ') AS seg))"
+                f"array_join(slice(_toks, i * {k} + 1, {k}), ' ') AS seg)) "
+                f"else array() end"
             )
         ).alias("s"),
     ).select(

@@ -414,11 +414,20 @@ def rrf_fuse(
             )
         ).cast("bigint"),
     ).otherwise(rnk)
+    # each list contributes AT MOST ONE membership per document: a
+    # caller passing an undeduplicated ranking (e.g. one row per
+    # matched term) would otherwise inflate n_lists past len(rankings)
+    # and hand the doc several reciprocal terms from one retriever —
+    # collapse to the best (minimum) rank per doc before the union;
+    # the inputs are top-k-sized, so the extra aggregate is free
     parts = [
-        r.filter(rnk.isNotNull()).select(
+        r.filter(rnk.isNotNull())
+        .select(
             F.col(id_col),
             guarded.alias("_rnk"),
         )
+        .groupBy(id_col)
+        .agg(F.min("_rnk").alias("_rnk"))
         for r in rankings
     ]
     u = parts[0]

@@ -3513,6 +3513,25 @@ def test_rrf_fuse_null_and_invalid_ranks(spark):
         rrf_fuse([bad]).collect()
 
 
+def test_rrf_fuse_dedups_duplicate_doc_within_one_list(spark):
+    """A retriever list carrying the same doc twice (e.g. one row per
+    matched term) contributes exactly ONE membership at its BEST
+    (minimum) rank — n_lists never inflates past len(rankings) and the
+    doc never collects two reciprocal terms from one list."""
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        rrf_fuse,
+    )
+
+    dup = spark.createDataFrame(
+        [(7, 2), (7, 5), (3, 1)], "doc_id long, rnk long"
+    )
+    other = spark.createDataFrame([(7, 1)], "doc_id long, rnk long")
+    out = {r["doc_id"]: r for r in rrf_fuse([dup, other], topk=10).collect()}
+    assert out[7]["n_lists"] == 2  # once per list, not once per row
+    assert out[7]["rrf_micro"] == 1_000_000 // 62 + 1_000_000 // 61
+    assert out[3]["n_lists"] == 1
+
+
 def test_bm25_index_roundtrip_identical_to_scan_path(spark, tmp_path):
     """bm25_from_index over a build_text_index output returns rows
     IDENTICAL to bm25_topk's one-pass scan on the same corpus — the
@@ -3601,3 +3620,36 @@ def test_dedup_spans_drops_planted_boilerplate_and_preserves_case(spark):
         .count()
         == 0
     )
+
+
+def test_dedup_spans_zero_length_token_array_cannot_step_negative(spark):
+    """The span-index sequence is guarded: a 0-length token array must
+    yield ZERO spans, matching the oracle twin's range(0). Unguarded,
+    Spark's sequence(0, -1) auto-steps downward and fabricates two
+    phantom spans — unreachable through tokens() today (split(trim(x))
+    always yields >= 1 element) but pinned here at the expression level
+    so the guard can't be dropped silently."""
+    k = 4
+    guarded = spark.sql(
+        "SELECT case when size(_toks) >= 1 then "
+        f"transform(sequence(0, cast(ceil(size(_toks) / {k}.0) as int) - 1), "
+        "i -> i) else array() end AS spans "
+        "FROM (SELECT cast(array() as array<string>) AS _toks)"
+    ).collect()
+    assert guarded[0]["spans"] == []
+    # the failure mode the guard exists for, pinned: without it the
+    # sequence steps DOWNWARD and fabricates phantom span indices
+    unguarded = spark.sql(
+        "SELECT sequence(0, cast(ceil(size(_toks) / 4.0) as int) - 1) AS s "
+        "FROM (SELECT cast(array() as array<string>) AS _toks)"
+    ).collect()
+    assert unguarded[0]["s"] == [0, -1]
+    # the normal path is unchanged: empty STRING text tokenizes to ['']
+    # (one empty token -> one span), never to a 0-length array
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    rows = dedup_spans(df, span_tokens=k, max_docs=3).collect()
+    assert [(r["doc_id"], r["n_spans"]) for r in rows] == [(1, 1)]
