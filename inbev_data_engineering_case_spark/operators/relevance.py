@@ -448,11 +448,57 @@ def rrf_fuse(
     )
 
 
+TEXT_INDEX_PREFIX = "textindex"
+
+
+def resolve_text_index(index_dir: str) -> str:
+    """Path of the newest COMMITTED index snapshot under ``index_dir``
+    (the ``textindex_<run>`` directory holding ``tf/``, ``doclen/``,
+    ``stats/``). Readers always come through here, so a crashed or
+    in-flight rebuild — which exists only as a hidden staging dir until
+    its single atomic rename — can never hand them a mixed-generation
+    index."""
+    from inbev_data_engineering_case_spark.layers import latest_snapshot
+
+    return latest_snapshot(index_dir, prefix=TEXT_INDEX_PREFIX)
+
+
+def _next_index_run(index_dir: str) -> tuple[str | None, str]:
+    """(expected_parent, next run id) for an index commit: run ids are
+    zero-padded integers so lexicographic snapshot order == build
+    order, with no wall-clock dependence."""
+    from inbev_data_engineering_case_spark.layers import latest_snapshot
+
+    try:
+        import os
+
+        parent = os.path.basename(
+            latest_snapshot(index_dir, prefix=TEXT_INDEX_PREFIX)
+        ).removeprefix(f"{TEXT_INDEX_PREFIX}_")
+    except FileNotFoundError:
+        parent = None
+    return parent, f"{(int(parent) if parent else 0) + 1:012d}"
+
+
+def _prune_index_snapshots(index_dir: str, keep: int) -> None:
+    import os
+    import shutil
+
+    snaps = sorted(
+        d
+        for d in os.listdir(index_dir)
+        if d.startswith(f"{TEXT_INDEX_PREFIX}_")
+    )
+    for d in snaps[:-keep] if keep else []:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+
+
 def build_text_index(
     documents: DataFrame,
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_snapshots: int | None = 2,
 ) -> dict[str, int]:
     """Materialize the inverted-index tables BM25 needs, once, so
     repeated queries never re-tokenize the corpus: ``tf/`` (one row per
@@ -470,29 +516,72 @@ def build_text_index(
     audit counts are parquet-footer-metadata reads, not scans.
     Term-partitionable: at 100 TB write ``tf`` bucketed by ``term`` so
     a query's per-term lookups touch only matching buckets.
+
+    Publication is ATOMIC: all three tables stage under one hidden
+    directory and one ``layers.commit_snapshot`` rename publishes them
+    together (flock + expected-parent check), so a crash mid-build or
+    a rebuild racing a serving reader can never expose tf from one
+    generation with doclen/stats from another — the reader
+    (``bm25_from_index``) resolves the newest COMMITTED snapshot. A
+    lost commit race (another writer published first) retries against
+    the new parent; the build itself is parent-independent, so no
+    recompute is needed. ``keep_snapshots`` bounds disk growth across
+    repeated rebuilds (None keeps all — required if readers pin old
+    snapshots via ``layers.snapshot_as_of``).
     """
+    from inbev_data_engineering_case_spark.layers import (
+        SnapshotConflictError,
+        commit_snapshot,
+    )
+
     toks = documents.select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    tf.write.mode("overwrite").parquet(f"{index_dir}/tf")
     spark = documents.sparkSession
-    doclen = (
-        spark.read.parquet(f"{index_dir}/tf")
-        .groupBy(id_col)
-        .agg(F.sum("tf").alias("dl"))
-    )
-    doclen.write.mode("overwrite").parquet(f"{index_dir}/doclen")
-    stats = documents.agg(F.count("*").alias("_n")).join(
-        spark.read.parquet(f"{index_dir}/doclen").agg(
-            F.avg("dl").alias("_avgdl")
+
+    def write_fn(staging: str) -> None:
+        tf.write.parquet(f"{staging}/tf")
+        doclen = (
+            spark.read.parquet(f"{staging}/tf")
+            .groupBy(id_col)
+            .agg(F.sum("tf").alias("dl"))
         )
-    )
-    stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
+        doclen.write.parquet(f"{staging}/doclen")
+        # N = indexed documents (one doclen row per doc with text) —
+        # the same definition update_text_index maintains from partials,
+        # so the delta path and a full rebuild agree exactly; identical
+        # to count(documents) whenever every doc has non-NULL text
+        # (NULL-text docs produce no tf rows and are not indexed)
+        stats = spark.read.parquet(f"{staging}/doclen").agg(
+            F.count("*").alias("_n"), F.avg("dl").alias("_avgdl")
+        )
+        stats.write.parquet(f"{staging}/stats")
+
+    for _attempt in range(3):
+        parent, run_id = _next_index_run(index_dir)
+        try:
+            snap = commit_snapshot(
+                index_dir,
+                run_id,
+                write_fn,
+                expected_parent=parent,
+                prefix=TEXT_INDEX_PREFIX,
+            )
+            break
+        except SnapshotConflictError:
+            continue
+    else:
+        raise SnapshotConflictError(
+            f"build_text_index: lost the commit race 3 times under "
+            f"{index_dir}"
+        )
+    if keep_snapshots:
+        _prune_index_snapshots(index_dir, keep_snapshots)
     return {
-        "tf_rows": spark.read.parquet(f"{index_dir}/tf").count(),
-        "doclen_rows": spark.read.parquet(f"{index_dir}/doclen").count(),
+        "tf_rows": spark.read.parquet(f"{snap}/tf").count(),
+        "doclen_rows": spark.read.parquet(f"{snap}/doclen").count(),
         "stats_rows": 1,
     }
 
@@ -518,9 +607,140 @@ def bm25_from_index(
     if not query_terms:
         raise ValueError("bm25_from_index: query_terms is empty")
     terms = sorted({t.lower() for t in query_terms})
-    tf = spark.read.parquet(f"{index_dir}/tf").filter(
+    # resolve ONE committed snapshot and read all three tables from it:
+    # a concurrent rebuild publishes atomically elsewhere, so tf,
+    # doclen, and stats here are always the same generation
+    snap = resolve_text_index(index_dir)
+    tf = spark.read.parquet(f"{snap}/tf").filter(
         F.col("term").isin(terms)
     )
-    doc_len = spark.read.parquet(f"{index_dir}/doclen")
-    stats = spark.read.parquet(f"{index_dir}/stats")
+    doc_len = spark.read.parquet(f"{snap}/doclen")
+    stats = spark.read.parquet(f"{snap}/stats")
     return _bm25_rank(tf, doc_len, stats, id_col, k, k1, b)
+
+
+def _link_parquet_files(src_dir: str, dst_dir: str) -> int:
+    """Hard-link every data file of a parquet directory into ``dst_dir``
+    (markers and hidden files skipped): byte-zero reuse of an existing
+    generation's files inside a new staged snapshot. Part-file names
+    carry task UUIDs, so linked and freshly written files cannot
+    collide."""
+    import os
+
+    os.makedirs(dst_dir, exist_ok=True)
+    n = 0
+    for name in os.listdir(src_dir):
+        if name.startswith(("_", ".")):
+            continue
+        os.link(os.path.join(src_dir, name), os.path.join(dst_dir, name))
+        n += 1
+    return n
+
+
+def update_text_index(
+    spark,
+    index_dir: str,
+    changed_docs: DataFrame,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_snapshots: int | None = 2,
+) -> dict[str, int | str]:
+    """Delta maintenance for ``build_text_index`` output — the
+    daily-crawl composition the curation loop uses
+    (``curate.curate_incremental`` decides WHAT changed; this applies
+    it to the serving index): only ``changed_docs`` re-tokenize, the
+    stored tf/doclen partials merge, and stats recompute from the
+    merged doclen partials — never from raw text. Published through
+    the same ``commit_snapshot`` protocol as the full build, with
+    ``expected_parent`` pinned to the snapshot the delta was computed
+    against, so a concurrent refresh cannot silently lose this delta
+    (the loser raises ``SnapshotConflictError``; recompute against the
+    new latest and retry).
+
+    Two physical paths, chosen by what the delta touches:
+
+    - **append** (new docs only — the common crawl case): the previous
+      generation's tf/doclen part files HARD-LINK into the staged
+      snapshot (zero bytes copied, audit-visible via inode identity)
+      and the delta writes alongside them as extra part files — total
+      work is delta-sized plus a doclen-sized stats aggregate;
+    - **merge** (changed or deleted docs): stale rows for the touched
+      ids anti-join out of the stored tables and the delta unions in —
+      a copy-through rewrite with NO re-tokenization of history; at
+      100 TB keep tf term-bucketed so the rewrite is bucket-local.
+
+    Returns audit metadata incl. which path ran (``mode``) and the
+    published snapshot path.
+    """
+    from inbev_data_engineering_case_spark.layers import (
+        commit_snapshot,
+    )
+
+    parent_snap = resolve_text_index(index_dir)
+    parent, run_id = _next_index_run(index_dir)
+
+    toks = changed_docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    delta_tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    delta_doclen = delta_tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+
+    touched = changed_docs.select(id_col)
+    if deleted_ids is not None:
+        touched = touched.unionByName(deleted_ids.select(id_col))
+    prev_doclen = spark.read.parquet(f"{parent_snap}/doclen")
+    # one doc-id-column pass over the doc-sized doclen table decides the
+    # physical path; pure-new deltas (overlap 0, no deletes) take the
+    # link+append path and never touch stored bytes
+    overlap = (
+        prev_doclen.join(touched, id_col, "left_semi").limit(1).count()
+    )
+    append_only = overlap == 0 and deleted_ids is None
+
+    def write_fn(staging: str) -> None:
+        if append_only:
+            _link_parquet_files(f"{parent_snap}/tf", f"{staging}/tf")
+            _link_parquet_files(
+                f"{parent_snap}/doclen", f"{staging}/doclen"
+            )
+            delta_tf.write.mode("append").parquet(f"{staging}/tf")
+            delta_doclen.write.mode("append").parquet(
+                f"{staging}/doclen"
+            )
+        else:
+            prev_tf = spark.read.parquet(f"{parent_snap}/tf")
+            merged_tf = prev_tf.join(
+                touched, id_col, "left_anti"
+            ).unionByName(delta_tf)
+            merged_tf.write.parquet(f"{staging}/tf")
+            merged_doclen = prev_doclen.join(
+                touched, id_col, "left_anti"
+            ).unionByName(delta_doclen)
+            merged_doclen.write.parquet(f"{staging}/doclen")
+        # stats recompute from the MERGED doclen partials (doc-sized),
+        # never from raw text: N is the doclen row count and avgdl its
+        # mean — the same definition build_text_index writes, so delta
+        # maintenance and full rebuild agree exactly
+        stats = spark.read.parquet(f"{staging}/doclen").agg(
+            F.count("*").alias("_n"), F.avg("dl").alias("_avgdl")
+        )
+        stats.write.parquet(f"{staging}/stats")
+
+    snap = commit_snapshot(
+        index_dir,
+        run_id,
+        write_fn,
+        expected_parent=parent,
+        prefix=TEXT_INDEX_PREFIX,
+    )
+    if keep_snapshots:
+        _prune_index_snapshots(index_dir, keep_snapshots)
+    return {
+        "mode": "append" if append_only else "merge",
+        "snapshot": snap,
+        "tf_rows": spark.read.parquet(f"{snap}/tf").count(),
+        "doclen_rows": spark.read.parquet(f"{snap}/doclen").count(),
+        "stats_rows": 1,
+    }

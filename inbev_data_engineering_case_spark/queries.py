@@ -5324,6 +5324,7 @@ def q_stream_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SQL; the identity is also unit-pinned). Late-r6 tail debut.",
 )
 def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import getpass
     import os
     import tempfile
 
@@ -5332,12 +5333,17 @@ def q_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_text_index,
     )
 
-    # fixed per-process path + overwrite writes: repeated gate/bench
-    # runs REUSE one directory instead of accumulating a corpus-sized
-    # index per invocation (the returned DataFrame reads these files
-    # lazily, so the dir cannot be removed here)
+    # dir scoped per (user, Spark app): two concurrent gate/bench
+    # processes — or different users on a shared host — never race
+    # each other's builds, and the predictable world-shared /tmp name
+    # is gone. Within one app repeated runs reuse the dir; the build's
+    # snapshot retention (keep_snapshots=2) bounds accumulation, and
+    # each build publishes atomically via commit_snapshot (the returned
+    # DataFrame reads the committed snapshot lazily)
     index_dir = os.path.join(
-        tempfile.gettempdir(), "spark_graft_bm25_index"
+        tempfile.gettempdir(),
+        f"spark_graft_bm25_{getpass.getuser()}_"
+        f"{spark.sparkContext.applicationId}",
     )
     build_text_index(_t(spark, sf_dir, "documents"), index_dir)
     return bm25_from_index(spark, index_dir, list(_BM25_TERMS), k=10)

@@ -3567,6 +3567,170 @@ def test_bm25_index_roundtrip_identical_to_scan_path(spark, tmp_path):
     assert scan == indexed and len(scan) == 3  # doc 3 matches nothing
 
 
+def test_text_index_publishes_atomically_and_prunes(spark, tmp_path):
+    """Each build publishes ONE committed snapshot (tf/doclen/stats
+    together behind a single rename): a reader can never see
+    mixed-generation tables. A crashed build's staging leftovers are
+    invisible to resolution, and retention caps snapshot accumulation
+    across rebuilds."""
+    import os
+
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        TEXT_INDEX_PREFIX,
+        build_text_index,
+        resolve_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "index")
+    build_text_index(docs, idx)
+    snap1 = resolve_text_index(idx)
+    assert os.path.basename(snap1) == f"{TEXT_INDEX_PREFIX}_000000000001"
+    for table in ("tf", "doclen", "stats"):
+        assert os.path.isdir(os.path.join(snap1, table))
+    # a torn build = staging dir with no commit; resolution ignores it
+    os.makedirs(
+        os.path.join(idx, f".staging_{TEXT_INDEX_PREFIX}_999_dead/tf")
+    )
+    assert resolve_text_index(idx) == snap1
+    # rebuilds advance the snapshot; retention (default 2) prunes
+    build_text_index(docs, idx)
+    build_text_index(docs, idx)
+    snaps = sorted(
+        d for d in os.listdir(idx) if d.startswith(TEXT_INDEX_PREFIX)
+    )
+    assert snaps == [
+        f"{TEXT_INDEX_PREFIX}_000000000002",
+        f"{TEXT_INDEX_PREFIX}_000000000003",
+    ]
+
+
+def test_text_index_delta_update_two_day_loop(spark, tmp_path):
+    """The daily-crawl index loop: day 2 publishes a NEW committed
+    snapshot from DELTA-SIZED work — only the new docs tokenize, day
+    1's tf/doclen part files ride into the new snapshot as HARD LINKS
+    (inode identity: zero bytes rewritten), and stats recompute from
+    the merged doclen partials. The updated index is query-identical
+    to a full rebuild over day1+day2."""
+    import os
+
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bm25_from_index,
+        build_text_index,
+        resolve_text_index,
+        update_text_index,
+    )
+
+    day1 = spark.createDataFrame(
+        [
+            (0, "spark shuffles data across the cluster"),
+            (1, "spark spark spark tuning"),
+        ],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [(2, "a zebra walked into the cluster")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "index")
+    build_text_index(day1, idx)
+    snap1 = resolve_text_index(idx)
+    inodes1 = {
+        f: os.stat(os.path.join(snap1, "tf", f)).st_ino
+        for f in os.listdir(os.path.join(snap1, "tf"))
+        if not f.startswith(("_", "."))
+    }
+    audit = update_text_index(spark, idx, day2)
+    assert audit["mode"] == "append"
+    snap2 = resolve_text_index(idx)
+    assert snap2 != snap1
+    # delta-sized work, proven physically: every day-1 tf part file is
+    # the SAME inode inside the new snapshot (hard link, not a copy)
+    inodes2 = {
+        f: os.stat(os.path.join(snap2, "tf", f)).st_ino
+        for f in os.listdir(os.path.join(snap2, "tf"))
+        if not f.startswith(("_", "."))
+    }
+    assert set(inodes1) <= set(inodes2)  # old files present + new delta files
+    for f, ino in inodes1.items():
+        assert inodes2[f] == ino
+    # parity vs full rebuild: identical query answers and stats
+    rebuild_dir = str(tmp_path / "rebuild")
+    build_text_index(day1.unionByName(day2), rebuild_dir)
+    key = lambda r: tuple(r)  # noqa: E731
+    got = sorted(
+        map(key, bm25_from_index(spark, idx, ["spark", "zebra"], k=4).collect())
+    )
+    want = sorted(
+        map(
+            key,
+            bm25_from_index(
+                spark, rebuild_dir, ["spark", "zebra"], k=4
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 3
+    stats_got = spark.read.parquet(f"{snap2}/stats").collect()
+    stats_want = spark.read.parquet(
+        f"{resolve_text_index(rebuild_dir)}/stats"
+    ).collect()
+    assert stats_got == stats_want
+
+
+def test_text_index_delta_update_merge_path_on_changed_doc(spark, tmp_path):
+    """A CHANGED document routes to the merge path: its stale tf/doclen
+    rows anti-join out, the re-tokenized rows union in, and the result
+    is query- and stats-identical to a full rebuild of the final
+    corpus. Deletes ride the same path."""
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bm25_from_index,
+        build_text_index,
+        resolve_text_index,
+        update_text_index,
+    )
+
+    v1 = spark.createDataFrame(
+        [(0, "spark tuning"), (1, "zebra herd"), (2, "doomed doc")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "index")
+    build_text_index(v1, idx)
+    changed = spark.createDataFrame(
+        [(0, "spark spark cluster")], "doc_id long, text string"
+    )
+    deleted = spark.createDataFrame([(2,)], "doc_id long")
+    audit = update_text_index(spark, idx, changed, deleted_ids=deleted)
+    assert audit["mode"] == "merge"
+    final = spark.createDataFrame(
+        [(0, "spark spark cluster"), (1, "zebra herd")],
+        "doc_id long, text string",
+    )
+    rebuild_dir = str(tmp_path / "rebuild")
+    build_text_index(final, rebuild_dir)
+    key = lambda r: tuple(r)  # noqa: E731
+    got = sorted(
+        map(key, bm25_from_index(spark, idx, ["spark", "zebra"], k=4).collect())
+    )
+    want = sorted(
+        map(
+            key,
+            bm25_from_index(
+                spark, rebuild_dir, ["spark", "zebra"], k=4
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 2
+    snap = resolve_text_index(idx)
+    assert spark.read.parquet(f"{snap}/stats").collect() == (
+        spark.read.parquet(
+            f"{resolve_text_index(rebuild_dir)}/stats"
+        ).collect()
+    )
+    assert audit["doclen_rows"] == 2  # doc 2 fully gone
+
+
 def test_rrf_fuse_order_invariant_and_monotone(spark):
     """Fusion is invariant under list-order permutation (integer sums
     commute), and adding a list can only raise a document's score."""
