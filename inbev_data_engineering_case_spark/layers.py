@@ -263,6 +263,32 @@ def commit_snapshot(
     return final
 
 
+def next_snapshot_run(base_dir: str, prefix: str) -> tuple[str | None, str]:
+    """(expected_parent, next run id) for a ``commit_snapshot`` of a
+    rebuild-style artifact (the materialized text/ANN indexes): run ids
+    are zero-padded integers, so lexicographic snapshot order == build
+    order with no wall-clock dependence."""
+    try:
+        parent = _parent_run_id(latest_snapshot(base_dir, prefix), prefix)
+    except FileNotFoundError:
+        parent = None
+    return parent, f"{(int(parent) if parent else 0) + 1:012d}"
+
+
+def prune_snapshots(base_dir: str, prefix: str, keep: int) -> None:
+    """Drop all but the newest ``keep`` committed snapshots — bounds
+    disk growth across repeated rebuilds of a derived artifact. Don't
+    prune tables whose readers pin old snapshots via
+    ``snapshot_as_of``."""
+    import shutil
+
+    snaps = sorted(
+        d for d in os.listdir(base_dir) if d.startswith(f"{prefix}_")
+    )
+    for d in snaps[:-keep] if keep else []:
+        shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+
+
 def write_layer(
     df: DataFrame,
     path: str,

@@ -463,36 +463,6 @@ def resolve_text_index(index_dir: str) -> str:
     return latest_snapshot(index_dir, prefix=TEXT_INDEX_PREFIX)
 
 
-def _next_index_run(index_dir: str) -> tuple[str | None, str]:
-    """(expected_parent, next run id) for an index commit: run ids are
-    zero-padded integers so lexicographic snapshot order == build
-    order, with no wall-clock dependence."""
-    from inbev_data_engineering_case_spark.layers import latest_snapshot
-
-    try:
-        import os
-
-        parent = os.path.basename(
-            latest_snapshot(index_dir, prefix=TEXT_INDEX_PREFIX)
-        ).removeprefix(f"{TEXT_INDEX_PREFIX}_")
-    except FileNotFoundError:
-        parent = None
-    return parent, f"{(int(parent) if parent else 0) + 1:012d}"
-
-
-def _prune_index_snapshots(index_dir: str, keep: int) -> None:
-    import os
-    import shutil
-
-    snaps = sorted(
-        d
-        for d in os.listdir(index_dir)
-        if d.startswith(f"{TEXT_INDEX_PREFIX}_")
-    )
-    for d in snaps[:-keep] if keep else []:
-        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
-
-
 def build_text_index(
     documents: DataFrame,
     index_dir: str,
@@ -532,6 +502,8 @@ def build_text_index(
     from inbev_data_engineering_case_spark.layers import (
         SnapshotConflictError,
         commit_snapshot,
+        next_snapshot_run,
+        prune_snapshots,
     )
 
     toks = documents.select(
@@ -560,7 +532,7 @@ def build_text_index(
         stats.write.parquet(f"{staging}/stats")
 
     for _attempt in range(3):
-        parent, run_id = _next_index_run(index_dir)
+        parent, run_id = next_snapshot_run(index_dir, TEXT_INDEX_PREFIX)
         try:
             snap = commit_snapshot(
                 index_dir,
@@ -578,7 +550,7 @@ def build_text_index(
             f"{index_dir}"
         )
     if keep_snapshots:
-        _prune_index_snapshots(index_dir, keep_snapshots)
+        prune_snapshots(index_dir, TEXT_INDEX_PREFIX, keep_snapshots)
     return {
         "tf_rows": spark.read.parquet(f"{snap}/tf").count(),
         "doclen_rows": spark.read.parquet(f"{snap}/doclen").count(),
@@ -675,10 +647,12 @@ def update_text_index(
     """
     from inbev_data_engineering_case_spark.layers import (
         commit_snapshot,
+        next_snapshot_run,
+        prune_snapshots,
     )
 
     parent_snap = resolve_text_index(index_dir)
-    parent, run_id = _next_index_run(index_dir)
+    parent, run_id = next_snapshot_run(index_dir, TEXT_INDEX_PREFIX)
 
     toks = changed_docs.select(
         F.col(id_col),
@@ -736,7 +710,7 @@ def update_text_index(
         prefix=TEXT_INDEX_PREFIX,
     )
     if keep_snapshots:
-        _prune_index_snapshots(index_dir, keep_snapshots)
+        prune_snapshots(index_dir, TEXT_INDEX_PREFIX, keep_snapshots)
     return {
         "mode": "append" if append_only else "merge",
         "snapshot": snap,

@@ -815,6 +815,32 @@ def ann_ivf_pq_topk(
         id_col="neighbor_id",
         vec_col="cvec",
     ).select("neighbor_id", "cent_id")
+    codes = pq_encode(corpus, book, m, k, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    return _ivf_pq_probe(
+        cents, c_cells, book, codes, queries, k_neighbors, n_probe, m,
+        id_col, vec_col,
+    )
+
+
+def _ivf_pq_probe(
+    cents: DataFrame,
+    c_cells: DataFrame,
+    book: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int,
+    n_probe: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF-PQ query tail of ``ann_ivf_pq_topk`` and
+    ``ann_from_index`` — one copy of the probe/LUT/score/rank plan, so
+    the direct path and the materialized-index path cannot drift.
+    Inputs are the four model relations (centroids, cell assignments,
+    codebook, codes) from either source."""
     q_cells = ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
         cents,
@@ -822,9 +848,6 @@ def ann_ivf_pq_topk(
         id_col="query_id",
         vec_col="qvec",
     ).select("query_id", "cent_id")
-    codes = pq_encode(corpus, book, m, k, id_col, vec_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
     qsubs = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(
@@ -864,6 +887,168 @@ def ann_ivf_pq_topk(
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k_neighbors)
+    )
+
+
+ANN_INDEX_PREFIX = "annindex"
+
+
+def resolve_ann_index(index_dir: str) -> str:
+    """Path of the newest COMMITTED ANN-index snapshot under
+    ``index_dir`` (``annindex_<run>`` holding ``centroids/``,
+    ``cells/``, ``codebook/``, ``codes/``, ``meta/``). Readers come
+    through here, so an in-flight or crashed rebuild is invisible until
+    its one atomic rename."""
+    from inbev_data_engineering_case_spark.layers import latest_snapshot
+
+    return latest_snapshot(index_dir, prefix=ANN_INDEX_PREFIX)
+
+
+def build_ann_index(
+    vectors: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 0xC0DE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    keep_snapshots: int | None = 2,
+) -> dict[str, int | str]:
+    """Materialize the trained IVF-PQ model ONCE — the
+    build-once/probe-many retrieval-index contract ``build_text_index``
+    established for BM25, applied to vectors: ``centroids/`` (K rows),
+    ``cells/`` (one (neighbor_id, cent_id) row per vector — the
+    inverted lists; bucket by cent_id at scale for parquet-level cell
+    pruning), ``codebook/`` (m·k codewords), ``codes/`` (m one-byte
+    codes per vector — the 64×-compressed corpus), and ``meta/``
+    (1 row: m, k, n_centroids — the build geometry).
+
+    Training and assignment run once here; ``ann_from_index`` answers
+    every subsequent query batch from the stored model with per-query
+    cost decoupled from training/encoding (measured by
+    ``tools/ann_index_probe.py``). ``centroids``/``codebook`` default
+    to the deterministic layouts the SQL oracle replays exactly; pass
+    ``train_ivf_centroids`` / ``train_pq_codebooks`` output for the
+    Lloyd-refined production variants — probing is agnostic.
+
+    Publication is ATOMIC via ``layers.commit_snapshot`` (flock +
+    expected-parent), the ``build_text_index`` discipline: all five
+    tables appear together in one rename, a concurrent reader can
+    never see codes from one generation against a codebook from
+    another, and a lost commit race retries against the new parent
+    (the build is parent-independent).
+    """
+    from inbev_data_engineering_case_spark.layers import (
+        SnapshotConflictError,
+        commit_snapshot,
+        next_snapshot_run,
+        prune_snapshots,
+    )
+
+    cents = (
+        centroids
+        if centroids is not None
+        else vectors.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+        )
+    )
+    book = (
+        codebook
+        if codebook is not None
+        else pq_sampled_codebook(vectors, m, k, seed, id_col, vec_col)
+    )
+    c_cells = ivf_assign(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        cents,
+        n_probe=1,
+        id_col="neighbor_id",
+        vec_col="cvec",
+    ).select("neighbor_id", "cent_id")
+    codes = pq_encode(vectors, book, m, k, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    spark = vectors.sparkSession
+
+    def write_fn(staging: str) -> None:
+        cents.write.parquet(f"{staging}/centroids")
+        book.write.parquet(f"{staging}/codebook")
+        c_cells.write.parquet(f"{staging}/cells")
+        codes.write.parquet(f"{staging}/codes")
+        spark.createDataFrame(
+            [(m, k, n_centroids)], "m int, k int, n_centroids int"
+        ).write.parquet(f"{staging}/meta")
+
+    for _attempt in range(3):
+        parent, run_id = next_snapshot_run(index_dir, ANN_INDEX_PREFIX)
+        try:
+            snap = commit_snapshot(
+                index_dir,
+                run_id,
+                write_fn,
+                expected_parent=parent,
+                prefix=ANN_INDEX_PREFIX,
+            )
+            break
+        except SnapshotConflictError:
+            continue
+    else:
+        raise SnapshotConflictError(
+            f"build_ann_index: lost the commit race 3 times under "
+            f"{index_dir}"
+        )
+    if keep_snapshots:
+        prune_snapshots(index_dir, ANN_INDEX_PREFIX, keep_snapshots)
+    return {
+        "snapshot": snap,
+        "cells_rows": spark.read.parquet(f"{snap}/cells").count(),
+        "codes_rows": spark.read.parquet(f"{snap}/codes").count(),
+    }
+
+
+def ann_from_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k_neighbors: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k over a ``build_ann_index`` output: centroids,
+    inverted lists, codebook, and codes load from the committed
+    snapshot; only the QUERY side computes (cell probe + LUT — both
+    model-sized), so per-query cost is independent of corpus training
+    and encoding. Result-identical to ``ann_ivf_pq_topk`` on the same
+    corpus/model BY CONSTRUCTION: both feed the shared
+    ``_ivf_pq_probe`` tail (plus the identity unit test).
+
+    The subspace count ``m`` comes from the stored ``meta`` geometry,
+    not a caller parameter — probing a PQ index with the wrong m would
+    silently compute garbage distances (the CMS wrong-geometry
+    lesson), so the stored build value is the only source of truth.
+    """
+    snap = resolve_ann_index(index_dir)
+    meta = spark.read.parquet(f"{snap}/meta").collect()[0]
+    cents = spark.read.parquet(f"{snap}/centroids")
+    book = spark.read.parquet(f"{snap}/codebook")
+    c_cells = spark.read.parquet(f"{snap}/cells")
+    codes = spark.read.parquet(f"{snap}/codes")
+    return _ivf_pq_probe(
+        cents,
+        c_cells,
+        book,
+        codes,
+        queries,
+        k_neighbors,
+        n_probe,
+        int(meta["m"]),
+        id_col,
+        vec_col,
     )
 
 

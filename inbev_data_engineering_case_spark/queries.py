@@ -5474,6 +5474,54 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "q_ann_indexed",
+    _ivfpq_oracle(),
+    doc="IVF-PQ over a MATERIALIZED ANN index "
+    "(operators/similarity.py build_ann_index + ann_from_index): the "
+    "build-once/probe-many retrieval-index contract q_bm25_indexed "
+    "established, applied to vectors — centroids, inverted lists "
+    "(cells), PQ codebook, and one-byte codes persist to parquet in "
+    "one atomic commit_snapshot publish; the query side loads the "
+    "committed model and computes only the cell probe + LUT (both "
+    "model-sized broadcasts), per-query cost decoupled from training "
+    "and corpus encoding. m comes from the stored meta geometry, not "
+    "a caller parameter (the CMS wrong-geometry discipline). "
+    "Result-identical to q_ann_ivf_pq by construction: both paths "
+    "feed the shared _ivf_pq_probe tail (same oracle SQL; identity "
+    "also unit-pinned). r7 window debut.",
+)
+def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import getpass
+    import os
+    import tempfile
+
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_from_index,
+        build_ann_index,
+    )
+
+    # per-(user, app) scoped dir — the q_bm25_indexed discipline: no
+    # cross-process build races, no world-shared /tmp name; snapshot
+    # retention bounds accumulation within one app
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ann_{getpass.getuser()}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    build_ann_index(
+        emb, index_dir, n_centroids=16, m=_PQ_M, k=_PQ_K, seed=_PQ_SEED
+    )
+    return ann_from_index(
+        spark,
+        index_dir,
+        emb.filter(F.col("vec_id") < 8),
+        k_neighbors=10,
+        n_probe=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------

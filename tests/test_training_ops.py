@@ -1739,6 +1739,56 @@ def test_ivf_pq_probing_all_cells_equals_plain_pq(spark):
         assert all_pq[(r["query_id"], r["neighbor_id"])] == r["adc_micro"]
 
 
+def test_ann_index_roundtrip_identical_to_direct_path(spark, tmp_path):
+    """ann_from_index over a build_ann_index output returns rows
+    IDENTICAL to ann_ivf_pq_topk's direct compute on the same
+    corpus/model — the materialized index changes where the work
+    happens, never the answer (shared _ivf_pq_probe tail). The probe
+    side takes m from the stored meta geometry; rebuilding publishes a
+    new committed snapshot and retention prunes old generations."""
+    import os
+
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ANN_INDEX_PREFIX,
+        ann_from_index,
+        ann_ivf_pq_topk,
+        build_ann_index,
+        resolve_ann_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 200)
+    qs = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "annindex")
+    audit = build_ann_index(emb, idx, n_centroids=8, m=4, k=8)
+    assert audit["cells_rows"] == 200  # one inverted-list row per vector
+    assert audit["codes_rows"] == 200 * 4  # m codes per vector
+    direct = sorted(
+        map(
+            tuple,
+            ann_ivf_pq_topk(
+                emb, qs, k_neighbors=5, n_centroids=8, n_probe=2, m=4, k=8
+            ).collect(),
+        )
+    )
+    indexed = sorted(
+        map(
+            tuple,
+            ann_from_index(spark, idx, qs, k_neighbors=5, n_probe=2).collect(),
+        )
+    )
+    assert indexed == direct and len(indexed) == 25
+    snap1 = resolve_ann_index(idx)
+    build_ann_index(emb, idx, n_centroids=8, m=4, k=8)
+    build_ann_index(emb, idx, n_centroids=8, m=4, k=8)
+    assert resolve_ann_index(idx) != snap1
+    snaps = [
+        d for d in os.listdir(idx) if d.startswith(ANN_INDEX_PREFIX)
+    ]
+    assert len(snaps) == 2  # retention (default 2) pruned the first
+
+
 def test_train_pq_codebooks_deterministic_and_usable(spark):
     from inbev_data_engineering_case_spark.operators.similarity import (
         pq_encode,
