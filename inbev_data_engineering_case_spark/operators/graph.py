@@ -25,10 +25,13 @@ Spark-first shape (vs the reference's single-process Python DAGs,
   rank table is materialized every k iterations (``localCheckpoint``),
   the standard guard against O(iterations) plan growth on long runs.
 
-Dangling nodes (no out-edges) lose their mass — ranks then sum to less
-than 1e6 ppm; this is the common large-graph simplification (a full
-teleport redistribution adds one more broadcast scalar per iteration
-and is deliberately omitted to keep the oracle replay exact).
+Dangling nodes (no out-edges) lose their mass by default — ranks then
+sum to less than 1e6 ppm; this is the common large-graph
+simplification. ``redistribute_dangling=True`` adds the full teleport
+redistribution: one more broadcast 1-row aggregate per iteration (the
+summed rank of the dangling set, shared uniformly), still exact
+int64-ppm, still zero driver actions, and still exactly replayable in
+the unrolled-CTE oracle.
 """
 
 from __future__ import annotations
@@ -45,6 +48,7 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: str | None = None,
     checkpoint_every: int | None = None,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over an edge list, exact integer-ppm.
 
@@ -58,6 +62,16 @@ def pagerank(
     (non-negative operands, so Spark's truncating ``div`` and DuckDB's
     flooring ``//`` agree), which makes ``n_iter`` iterations bit-
     reproducible across engines and partitionings.
+
+    ``redistribute_dangling=True`` conserves the mass of sink nodes
+    (no out-edges) instead of dropping it: each iteration the dangling
+    set's summed rank ``dm`` rides in as ONE more broadcast 1-row
+    aggregate and every node's contribution becomes
+    ``contrib(v) + dm div N`` — ranks then stay ~1e6 ppm total (floor
+    error only). The dangling node SET is loop-invariant and
+    materializes once with the other invariants; the per-iteration
+    cost is a left-semi filter of the node-sized rank table plus the
+    broadcast — no driver action, oracle replay still exact.
 
     ``weight_col=None`` treats every edge as weight 1 (parallel edges
     still sum). Returns ``(node, rank_ppm)``.
@@ -103,6 +117,15 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    dang = (
+        nodes.join(
+            e.select(F.col("src").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        if redistribute_dangling
+        else None
+    )
     if n_iter >= 2:
         # materialize the loop-invariant side once (independent of the
         # rank-lineage knob): every iteration references wppm and nodes,
@@ -113,12 +136,27 @@ def pagerank(
         # probe graph (tools/graph_scale_probe.py)
         wppm = wppm.localCheckpoint(eager=True)
         nodes = nodes.localCheckpoint(eager=True)
+        if dang is not None:
+            dang = dang.localCheckpoint(eager=True)
     n_agg = nodes.agg(F.count("*").alias("_n"))
     ranks = nodes.join(F.broadcast(n_agg)).select(
         "node", F.expr("1000000 div _n").alias("r")
     )
     base = F.expr(f"(1000000 - {damping_ppm}) div _n")
     for i in range(n_iter):
+        if dang is not None and i > 0 and i % 2 == 0:
+            # the teleport variant reads the previous rank table TWICE
+            # per iteration (contribution join + dangling sum): without
+            # materializing it, each consumer re-derives the full prior
+            # lineage and the plan doubles per iteration (2^n blowup —
+            # measured 253s vs 10s at 8 iterations on the event graph;
+            # a .cache() alternative OOMs the driver generating the
+            # shared-subtree plan string). Materializing EVERY OTHER
+            # iteration caps the blowup at 4 reads of a 2-level plan
+            # while halving the per-iteration job overhead; the rank
+            # table is node-sized, so each job is tiny, and this is
+            # lineage truncation, not a driver data path.
+            ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             wppm.join(ranks, wppm["src"] == ranks["node"])
             .select(
@@ -128,10 +166,29 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .join(F.broadcast(n_agg))
-            .select(
+        updated = nodes.join(contrib, "node", "left").join(
+            F.broadcast(n_agg)
+        )
+        if dang is not None:
+            # the dangling set's PREVIOUS-iteration rank sum as a
+            # broadcast 1-row aggregate (coalesce covers the no-sinks
+            # graph); shared uniformly — dm div N floors, so the
+            # replay stays exact
+            dm_agg = ranks.join(dang, "node", "left_semi").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).alias("_dm")
+            )
+            ranks = updated.join(F.broadcast(dm_agg)).select(
+                "node",
+                (
+                    base
+                    + F.expr(
+                        f"({damping_ppm} * (coalesce(c, 0) + _dm div _n))"
+                        " div 1000000"
+                    )
+                ).alias("r"),
+            )
+        else:
+            ranks = updated.select(
                 "node",
                 (
                     base
@@ -140,7 +197,6 @@ def pagerank(
                     )
                 ).alias("r"),
             )
-        )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_ppm"))

@@ -5474,6 +5474,94 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(_t(spark, sf_dir, "documents"))
 
 
+def _pagerank_teleport_oracle(
+    n_iter: int = 8, damping_ppm: int = 850_000, sink_src: str = "view"
+) -> str:
+    base = f"(1000000 - {damping_ppm}) // _n"
+    # AS MATERIALIZED: each iteration reads it{k-1} TWICE (contribution
+    # join + dangling-sum scalar); DuckDB inlines plain CTEs, so the
+    # unrolled replay would re-derive the whole prior lineage per
+    # reference — 2^8 blowup, measured 87s -> 0.07s with the hint
+    its = [
+        "it0 AS MATERIALIZED "
+        "(SELECT node, 1000000 // _n AS r FROM nodes CROSS JOIN nagg)"
+    ]
+    for k in range(1, n_iter + 1):
+        its.append(
+            f"""it{k} AS MATERIALIZED (
+      SELECT node,
+             {base} + ({damping_ppm} * (coalesce(c, 0) + dm // _n))
+               // 1000000 AS r
+      FROM nodes CROSS JOIN nagg
+      CROSS JOIN (SELECT coalesce(sum(r), 0) AS dm FROM it{k - 1}
+                  WHERE node NOT IN (SELECT src FROM wppm)) dm{k}
+      LEFT JOIN (
+        SELECT e.dst AS node, sum((p.r * e.wppm) // 1000000) AS c
+        FROM wppm e JOIN it{k - 1} p ON p.node = e.src GROUP BY 1
+      ) s USING (node)
+    )"""
+        )
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst, count(*) AS w
+      FROM ordered
+      WHERE prev_type IS NOT NULL AND prev_type <> '{sink_src}'
+      GROUP BY 1, 2
+    ),
+    wout AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+    wppm AS (
+      SELECT src, dst, (w * 1000000) // wout AS wppm
+      FROM edges JOIN wout USING (src)
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nagg AS (SELECT count(*) AS _n FROM nodes),
+    {",".join(its)}
+    SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM it{n_iter}
+    """
+
+
+@register(
+    "q_pagerank_teleport",
+    _pagerank_teleport_oracle(),
+    doc="PageRank with dangling-mass redistribution "
+    "(operators/graph.py pagerank, redistribute_dangling=True): the "
+    "full teleport treatment of sink nodes — each iteration the "
+    "dangling set's summed rank rides in as ONE broadcast 1-row "
+    "aggregate and every node receives dm div N extra contribution, "
+    "so total rank mass stays ~1e6 ppm instead of leaking. The graph "
+    "HERE has a real sink: transition edges out of 'view' are dropped, "
+    "leaving 'view' reachable but absorbing. Still exact int64-ppm "
+    "with explicit floors, still zero driver actions in the loop, and "
+    "the unrolled-CTE replay (one dangling-sum scalar per iteration) "
+    "matches hash-for-hash. r7 window debut.",
+)
+def q_pagerank_teleport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.funnel import (
+        markov_transitions,
+    )
+    from inbev_data_engineering_case_spark.operators.graph import pagerank
+
+    edges = (
+        markov_transitions(read_events(spark, sf_dir))
+        .filter(F.col("prev_type") != "view")
+        .select(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+            F.col("n_transitions").alias("weight"),
+        )
+    )
+    return pagerank(
+        edges, n_iter=8, weight_col="weight", redistribute_dangling=True
+    )
+
+
 @register(
     "q_ann_indexed",
     _ivfpq_oracle(),

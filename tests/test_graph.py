@@ -51,6 +51,49 @@ def test_pagerank_dangling_mass_is_dropped(spark):
     assert sum(got.values()) < 1_000_000
 
 
+def test_pagerank_teleport_conserves_mass_hand_computed(spark):
+    """redistribute_dangling=True hand-checked on a->b (b is a sink):
+    iteration 1 shares b's full previous rank uniformly — dm=500000,
+    dm div N = 250000 — and total mass stays EXACTLY 1e6 ppm here;
+    the same graph without redistribution leaks 425000 ppm."""
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = _ranks(pagerank(edges, n_iter=1, redistribute_dangling=True))
+    # base = 150000 div 2 = 75000
+    # r(a) = 75000 + (850000*(0      + 250000)) div 1e6 = 287500
+    # r(b) = 75000 + (850000*(500000 + 250000)) div 1e6 = 712500
+    assert got == {"a": 287_500, "b": 712_500}
+    assert sum(got.values()) == 1_000_000
+
+
+def test_pagerank_teleport_mass_property_on_sink_graph(spark):
+    """Property (the VERDICT-asked invariant): on a graph WITH sinks,
+    8 redistributed iterations keep the total rank within N-floor
+    error of 1e6 ppm, while the default drop variant ends strictly
+    lower; a graph with NO sinks is unchanged by the flag."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )  # c is a sink; d has no in-edges
+    n_nodes, n_iter = 4, 8
+    kept = _ranks(
+        pagerank(edges, n_iter=n_iter, redistribute_dangling=True)
+    )
+    dropped = _ranks(pagerank(edges, n_iter=n_iter))
+    # each iteration floors at most 3 divisions per node -> a loose
+    # N*(3+n_iter) bound comfortably covers accumulated floor error
+    assert 1_000_000 - n_nodes * (3 + n_iter) <= sum(kept.values())
+    assert sum(kept.values()) <= 1_000_000
+    assert sum(dropped.values()) < sum(kept.values())
+    # no sinks -> the dangling sum is 0 every iteration and the flag
+    # is a no-op (bit-identical ranks)
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    assert _ranks(pagerank(cyc, n_iter=5, redistribute_dangling=True)) == (
+        _ranks(pagerank(cyc, n_iter=5))
+    )
+
+
 def test_pagerank_weights_and_parallel_edges(spark):
     """Parallel edges sum into one weighted edge; a 3x-heavier edge
     gets 3x the ppm share (750000 vs 250000), and checkpointing every
