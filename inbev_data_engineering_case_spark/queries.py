@@ -5474,6 +5474,44 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "q_stream_cms",
+    _cms_oracle(),
+    doc="streaming count-min maintenance (streaming/events.py "
+    "stream_cms_partials): the per-day CMS frequency partials kept "
+    "current by an append-mode watermarked windowed aggregation — "
+    "executed here as a REAL stream, drained with availableNow — then "
+    "the SAME batch cms_estimate answers the 20 probe users from the "
+    "drained partials. Live hot-key detection composed with the "
+    "stored-partials query path. Because each cell count is an exact "
+    "count(*) over a deterministic hash, a closed bucket's streamed "
+    "rows are IDENTICAL to batch-built partials (unit-pinned), so the "
+    "oracle is q_cms_freq's deterministic SQL replay unchanged — "
+    "across the batch/streaming boundary. State is bounded at (open "
+    "windows x depth x width) counters regardless of event volume. "
+    "r7 window debut.",
+)
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.sketches import (
+        cms_estimate,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+        stream_cms_partials,
+    )
+
+    out = stream_cms_partials(read_events_stream(spark, sf_dir))
+    # complete mode for the memory-sink parity check (all buckets emit,
+    # q_stream_sketch's discipline); production appends watermark-closed
+    # partial rows to the stored table instead
+    run_stream_to_table(out, "q_stream_cms_sink", "complete")
+    partials = spark.table("q_stream_cms_sink")
+    ev = read_events(spark, sf_dir)
+    items = ev.filter(F.col("user_id") < 20).select("user_id").distinct()
+    return cms_estimate(partials, items, item_col="user_id")
+
+
 def _pagerank_teleport_oracle(
     n_iter: int = 8, damping_ppm: int = 850_000, sink_src: str = "view"
 ) -> str:

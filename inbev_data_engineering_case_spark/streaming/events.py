@@ -845,3 +845,72 @@ def stream_sketch_partials(
             F.col("_w.start").alias("bucket_ts"), group_col, "sketch"
         )
     )
+
+
+def stream_cms_partials(
+    events: DataFrame,
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.sketches.cms_partials``: maintain
+    the per-bucket count-min FREQUENCY sketches incrementally from the
+    event stream — live hot-key detection over the event feed, with
+    batch ``cms_estimate`` answering "how often did item X occur in the
+    last N buckets" from the stored partials, no raw-event rescan.
+
+    Same append-mode watermarked-window shape as
+    ``stream_sketch_partials`` (HLL's maintenance pattern applied to
+    the counting sketch): cells explode IN-ROW, the windowed
+    aggregation's state is at most (open windows × depth × width)
+    int64 counters regardless of event volume, and each closed
+    window's rows land in the same partial table the batch build
+    writes. Because a cell count is an exact ``count(*)`` over a
+    deterministic hash, the streamed rows for a closed bucket are
+    IDENTICAL (not just statistically equivalent) to the batch-built
+    partials — so ``cms_estimate`` and the range-merge SUM compose
+    unchanged, and the oracle replay is the batch replay.
+
+    Output: ``(bucket_ts, r, c, cnt, depth, width)`` — the
+    ``cms_partials`` schema, geometry columns included so
+    ``cms_estimate``'s wrong-geometry guard works on streamed
+    partials too.
+    """
+    from inbev_data_engineering_case_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _cms_cells,
+    )
+
+    if depth is None:
+        depth = CMS_DEPTH  # one constant with the batch twin — the
+    if width is None:  # bit-identity claim needs the SAME geometry
+        width = CMS_WIDTH
+    if depth < 1 or width < 1:
+        raise ValueError("stream_cms_partials: depth and width must be >= 1")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            F.explode(
+                _cms_cells(F.col(item_col), depth, width)
+            ).alias("rc"),
+        )
+        .groupBy(
+            F.window(ts_col, window).alias("_w"),
+            F.col("rc.r").alias("r"),
+            F.col("rc.c").alias("c"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("_w.start").alias("bucket_ts"),
+            "r",
+            "c",
+            "cnt",
+            F.lit(depth).alias("depth"),
+            F.lit(width).alias("width"),
+        )
+    )

@@ -655,6 +655,85 @@ def test_stream_sketch_partials_append_emits_closed_buckets(spark, tmp_path):
         assert sketch == batch[key]  # bit-identical partials
 
 
+def test_stream_cms_partials_bit_identical_and_replay_safe(spark, tmp_path):
+    """Append-mode CMS maintenance: only watermark-closed buckets emit
+    (bounded state), every landed (bucket, r, c, cnt) row is IDENTICAL
+    to the batch-built partial — exact counts over deterministic
+    hashes, so the identity is bitwise, not statistical — estimates
+    from streamed partials match estimates from batch partials, and a
+    REPLAYED drain through the idempotent parquet sink leaves the
+    partial table unchanged."""
+    from inbev_data_engineering_case_spark.operators.sketches import (
+        cms_estimate,
+        cms_partials,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        run_stream_to_parquet_idempotent,
+        stream_cms_partials,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # day 1: users 1..5 (user 1 three times) / day 2: users 4..9 /
+    # day 3 (open): users 100..101
+    for i, u in enumerate([1, 1, 1, 2, 3, 4, 5]):
+        rows.append((i, t0 + timedelta(hours=6), u, "click", 1.0))
+    for i, u in enumerate(range(4, 10)):
+        rows.append((10 + i, t0 + timedelta(days=1, hours=6), u, "click", 1.0))
+    for i, u in enumerate(range(100, 102)):
+        rows.append((20 + i, t0 + timedelta(days=2, hours=3), u, "click", 1.0))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    src = str(tmp_path / "cms_events")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stream_cms_partials(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_append_test")
+        .outputMode("append")
+        .start()
+    )
+    wait_done(q)
+    streamed = spark.sql("select * from cms_append_test")
+    got = {
+        (r["bucket_ts"].isoformat(), r["r"], r["c"]): r["cnt"]
+        for r in streamed.collect()
+    }
+    # the day-3 bucket stays open, so only days 1 and 2 emitted
+    assert len({k[0] for k in got}) == 2
+    batch = {
+        (r["bucket_ts"].isoformat(), r["r"], r["c"]): r["cnt"]
+        for r in cms_partials(df).collect()
+        if not r["bucket_ts"].isoformat().startswith("2024-01-03")
+    }
+    assert got == batch  # bit-identical closed-bucket partials
+    # estimates compose unchanged across the boundary (user 1 counted
+    # 3x on day 1; day-3 users absent from the closed buckets)
+    items = df.filter("user_id < 20").select("user_id").distinct()
+    est = {
+        r["item"]: r["est_count"]
+        for r in cms_estimate(streamed, items).collect()
+    }
+    assert est[1] >= 3  # one-sided guarantee holds through the stream
+    assert est[4] >= 2  # present in both closed days
+
+    # replay safety: drain through the idempotent parquet sink twice
+    # (second start reuses the checkpoint -> no new batches, same rows)
+    sink = str(tmp_path / "cms_sink")
+    ckpt = str(tmp_path / "cms_ckpt")
+    out2 = stream_cms_partials(
+        spark.readStream.schema(df.schema).parquet(src),
+        watermark="2 hours",
+    )
+    run_stream_to_parquet_idempotent(out2, sink, ckpt)
+    first = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    run_stream_to_parquet_idempotent(out2, sink, ckpt)
+    assert sorted(map(tuple, spark.read.parquet(sink).collect())) == first
+
+
 def test_lateness_metrics_report_watermark_drops(spark, tmp_path):
     """Deliberately-late fixture through the dedup operator: batch 0
     advances the watermark past the late rows in batches 1 and 2. The
