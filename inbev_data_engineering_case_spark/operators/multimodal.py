@@ -64,8 +64,30 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.DoubleType()), True),
         T.StructField("decode_ok", T.BooleanType(), False),
         T.StructField("error", T.StringType(), True),
+        T.StructField("reason", T.StringType(), True),
     ]
 )
+
+
+def _dead_letter_reason(e: BaseException) -> str:
+    """Machine-usable dead-letter reason code, distinguishing the two
+    very different failure populations a corpus QA report must size
+    separately:
+
+    - ``decoder_gap`` — a format the native decoders DELIBERATELY
+      refuse (every capability-gated ``NotImplementedError``:
+      progressive/arithmetic JPEG, WebP, codec-bound video, exotic bit
+      depths). These are recoverable by investing in a decoder or a
+      PIL/ffmpeg runtime — their corpus share is the business case for
+      e.g. SOF2 support.
+    - ``corrupt`` — a malformed payload (anything else). No decoder
+      investment recovers these; they are junk-data telemetry.
+
+    The human-readable detail stays in ``error``;
+    ``decode_reason_report`` groups the two into per-kind shares."""
+    return (
+        "decoder_gap" if isinstance(e, NotImplementedError) else "corrupt"
+    )
 
 FEATURE_DIM = 4
 
@@ -1481,7 +1503,7 @@ def decode_features(
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            checksums, features, oks, errors = [], [], [], []
+            checksums, features, oks, errors, reasons = [], [], [], [], []
             for media_type, payload in zip(
                 batch["media_type"], batch["payload"]
             ):
@@ -1499,9 +1521,11 @@ def decode_features(
                     checksum, feature = None, None
                     oks.append(False)
                     errors.append(f"{type(e).__name__}: {e}")
+                    reasons.append(_dead_letter_reason(e))
                 else:
                     oks.append(True)
                     errors.append(None)
+                    reasons.append(None)
                 checksums.append(checksum)
                 features.append(feature)
             yield pd.DataFrame(
@@ -1513,10 +1537,49 @@ def decode_features(
                     "feature": features,
                     "decode_ok": oks,
                     "error": errors,
+                    "reason": reasons,
                 }
             )
 
     return assets.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def decode_reason_report(features: DataFrame) -> DataFrame:
+    """Corpus QA report over ``decode_features`` output: one row per
+    (media_type, reason, detail) with exact counts and integer-ppm
+    corpus share — the 'how big is the progressive-JPEG gap' question
+    answered BEFORE anyone invests in SOF2 support, with decoder gaps
+    (recoverable by a decoder/runtime investment) never lumped in with
+    corrupt junk.
+
+    ``detail`` strips the error message at the first parenthesis (the
+    routing hint), so each distinct gap kind — progressive JPEG,
+    arithmetic JPEG, WebP, codec video — sizes as its own line while
+    corrupt messages with variable specifics still group usefully.
+    Decoded-ok rows aggregate under reason ``ok``. Share denominator
+    rides as a broadcast 1-row aggregate; the grouped table is
+    kinds-sized, KB at any corpus size.
+    """
+    total = features.agg(F.count("*").alias("_total"))
+    kinds = features.groupBy(
+        "media_type",
+        F.coalesce(F.col("reason"), F.lit("ok")).alias("reason"),
+        F.when(
+            F.col("error").isNotNull(),
+            F.trim(F.regexp_replace(F.col("error"), r"\(.*$", "")),
+        ).alias("detail"),
+    ).agg(F.count("*").alias("n_assets"))
+    return (
+        kinds.join(F.broadcast(total))
+        .select(
+            "media_type",
+            "reason",
+            "detail",
+            "n_assets",
+            F.expr("(n_assets * 1000000) div _total").alias("share_ppm"),
+        )
+        .orderBy("media_type", "reason", "detail")
+    )
 
 
 RESIZE_SCHEMA = T.StructType(

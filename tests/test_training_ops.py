@@ -2223,6 +2223,55 @@ def test_decode_errors_dead_letter_not_raise(spark):
         decode_features(assets, real_decoder=True, strict=True).collect()
 
 
+def test_decode_reason_codes_size_the_progressive_gap(spark):
+    """Reason-coded dead-letters: a PROGRESSIVE JPEG (real baseline
+    stream re-marked SOF0->SOF2 — structurally valid progressive
+    header; the decoder refuses at SOF2 before entropy decode) lands
+    as reason='decoder_gap', a corrupt stream as reason='corrupt', a
+    good asset as reason NULL — so a corpus QA report can size the
+    decoder gap separately from junk data. decode_reason_report turns
+    that into per-kind exact-ppm corpus shares, progressive JPEG on
+    its own line."""
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_encode_baseline,
+        decode_features,
+        decode_reason_report,
+    )
+
+    baseline = _jpeg_encode_baseline(_jpeg_gradient(16, 16), quality=90)
+    assert b"\xff\xc0" in baseline
+    progressive = baseline.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    corrupt = b"\xff\xd8\xff\xe0 not decodable"
+    bmp = _make_bmp([[(5, 5, 5), (10, 10, 10)]])
+    assets = spark.createDataFrame(
+        [
+            (1, "image/jpeg", progressive, {"n_bytes": len(progressive), "source": "t"}),
+            (2, "image/jpeg", corrupt, {"n_bytes": len(corrupt), "source": "t"}),
+            (3, "image/bmp", bmp, {"n_bytes": len(bmp), "source": "t"}),
+            (4, "image/jpeg", baseline, {"n_bytes": len(baseline), "source": "t"}),
+        ],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    feats = decode_features(assets, real_decoder=True)
+    rows = {r["asset_id"]: r for r in feats.collect()}
+    assert rows[1]["reason"] == "decoder_gap"
+    assert "progressive" in rows[1]["error"]
+    assert rows[2]["reason"] == "corrupt"
+    assert rows[3]["reason"] is None and rows[3]["decode_ok"]
+    assert rows[4]["reason"] is None and rows[4]["decode_ok"]
+
+    report = decode_reason_report(feats).collect()
+    by_key = {(r["media_type"], r["reason"]): r for r in report}
+    gap = by_key[("image/jpeg", "decoder_gap")]
+    assert gap["n_assets"] == 1 and gap["share_ppm"] == 250_000
+    assert "progressive" in gap["detail"]
+    assert by_key[("image/jpeg", "corrupt")]["share_ppm"] == 250_000
+    assert by_key[("image/bmp", "ok")]["n_assets"] == 1
+    assert by_key[("image/jpeg", "ok")]["detail"] is None
+    assert sum(r["n_assets"] for r in report) == 4
+
+
 def test_jpeg_featurize_through_pil_when_available(spark):
     """Capability-routed codec decode: with PIL importable a real JPEG
     featurizes (and resizes) through the same mapInPandas plumbing, same
