@@ -5661,18 +5661,19 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # external driver-green CORRECTNESS row (rounds 1-3 pinned the same 50;
 # round 4 promoted the 15 never-driver-checked entries; round 5 promoted
 # q_chunk_documents + the 14 r1-2-stale entries and went 50/50 green).
-# Round 6 promotes (a) the eight late-r5 registrations that have never
-# been driver-checked — q_lm_perplexity q_stream_upsert
-# q_cohort_retention q_attribution q_stream_sketch q_semantic_decon
-# q_weighted_sample q_curation_report — and (b) eight of the r4-demoted
-# resting entries whose newest driver row is r3 — q_distinct
-# q_grouping_sets q_array_functions q_stream_sessionize q_join_star
-# q_dedup_embedding q_frame_sample q_quality_score. The sixteen slots
-# come from r5-green entries (all 16 have a CORRECTNESS_r05 green row as
-# the family-health evidence) each naming in-window same-family cover
-# below. q_anomaly_zscore deliberately STAYS in-window: its integer
-# arithmetic moved to 38-digit sums this round and the new path should
-# earn its own external row.
+# Round 6 promoted the eight late-r5 registrations plus eight r3-stale
+# returners and went 50/50 green (CORRECTNESS_r06). Round 7 promotes
+# (a) the five late-r6 registrations that have never been
+# driver-checked — q_hard_negatives q_stream_pit q_bm25_indexed
+# q_cms_freq q_dedup_spans — and (b) ALL seven remaining r3-stale
+# resting entries — q_trailing_window q_orderby_limit
+# q_mojibake_repair q_sessionize q_ann_probes q_stream_join
+# q_ann_bucketed — emptying the stale pool: after r7 reports, no
+# catalog entry's newest external row is older than round 4. Three new
+# r7 families debut in the window (q_ann_indexed, q_pagerank_teleport,
+# q_stream_cms). The fifteen slots come from r6-green entries (every
+# demotion below has a CORRECTNESS_r06 green row as the family-health
+# evidence) each naming in-window same-family cover below.
 #
 # INVARIANT (keep when registering anything new, machine-checked by
 # tests/test_entry_contract.py): every demoted entry names in-window
@@ -5686,15 +5687,10 @@ DRIVER_WINDOW = 50
 # demoted entry -> in-window same-family stand-ins (all must be in the
 # first DRIVER_WINDOW entries; the rotation test enforces it)
 _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
-    # rotated OUT in r4, still resting (stand-ins updated where their
-    # previous stand-in was itself demoted this round)
-    "q_trailing_window": ("q_window_events",),
-    "q_orderby_limit": ("q_weighted_sample",),  # TakeOrdered family
-    "q_mojibake_repair": ("q_clean_text", "q_pii_scrub"),
-    "q_stream_join": ("q_stream_enrich",),  # stream-side join family
-    "q_ann_probes": ("q_ann_ivf_trained",),  # 1-row recall family
-    "q_sessionize": ("q_stream_sessionize",),  # gap-sessionization family
-    "q_ann_bucketed": ("q_ann_ivf_trained",),
+    # (the seven r3-stale resting entries that led this section —
+    # q_trailing_window q_orderby_limit q_mojibake_repair q_sessionize
+    # q_ann_probes q_stream_join q_ann_bucketed — were all PROMOTED in
+    # r7, emptying the stale pool)
     # rotated OUT mid-r5 to make room for the five NEW operator families
     # added this round (q_tfidf_topk, q_mixture_sample, q_event_funnel,
     # q_boilerplate, q_ann_pq — new entries must debut in the window or
@@ -5721,7 +5717,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # n-gram hygiene stays covered by q_boilerplate, which runs the
     # identical gram/hash/broadcast machinery (still bench-timed as a
     # headline query from the tail):
-    "q_decontaminate": ("q_boilerplate",),
+    # rewired r7 (q_boilerplate demoted): the broadcast-gram
+    # hygiene machinery runs in-window inside q_dedup_spans (gram
+    # fingerprints + broadcast hot set + left-anti removal):
+    "q_decontaminate": ("q_dedup_spans",),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family
@@ -5744,7 +5743,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # left-semi plan family runs in-window inside q_heavy_hitters
     # (quality.py:202 candidate semi-join) and q_curate_corpus
     # (curate.py left_semi keep-joins):
-    "q_semi_join": ("q_heavy_hitters", "q_curate_corpus"),
+    "q_semi_join": ("q_curate_corpus",),  # left-semi keep-joins in-window
     "q_salted_join": ("q_join_star", "q_pit_join"),
     # rotated OUT late-r5 to debut five NEW r5 operator families; each
     # was driver-green in CORRECTNESS_r04 and names in-window cover:
@@ -5763,7 +5762,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_bpe_train": ("q_tfidf_topk", "q_chunk_documents"),  # token pipeline
     # IVF-PQ composes plain PQ; the probe-all == plain-PQ identity test
     # pins the shared ADC machinery:
-    "q_ann_pq": ("q_ann_ivf_pq",),
+    # rewired r7 (q_ann_ivf_pq demoted): the shared ADC machinery is
+    # pinned in-window by q_ann_indexed, which probes the SAME
+    # composition from the materialized model (identity-tested):
+    "q_ann_pq": ("q_ann_indexed",),
     "q_html_strip": ("q_curate_corpus",),  # curate composes strip_html
     "q_url_normalize": ("q_clean_text", "q_pii_scrub"),  # rewrite chains
     "q_scd2_history": ("q_curate_incremental", "q_pit_join"),
@@ -5779,19 +5781,23 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # start in the window); r5-green, deterministic-bit-key family cover:
     # rewired late-r6: the deterministic hash/bit-key family is
     # exercised in-window by the A-ES key and mixture bucketing:
-    "q_zorder_key": ("q_weighted_sample", "q_mixture_sample"),
+    "q_zorder_key": ("q_mixture_sample", "q_curate_corpus"),
     # rotated OUT mid-r6 to debut q_event_gaps and q_cusum_changepoint;
     # both r5-green with in-window family cover: cohort + attribution
     # run the funnel's conditional-join machinery, and the streaming
     # sketch maintainer appends bit-identical partials to the rollup's
     # (its oracle asserts the merge identity the rollup family pins):
-    "q_event_funnel": ("q_cohort_retention", "q_attribution"),
-    "q_sketch_rollup": ("q_stream_sketch",),
+    "q_event_funnel": ("q_attribution",),  # same conditional-join machinery
+    # rewired r7 (q_stream_sketch demoted): the mergeable-partials
+    # family is pinned in-window by the CMS twins, whose lossless
+    # range-merge is EXACTLY replayed (strictly stronger than the
+    # HLL property oracle):
+    "q_sketch_rollup": ("q_cms_freq", "q_stream_cms"),
     # rotated OUT mid-r6 to debut q_bm25_search and q_heavy_hitters;
     # both r5-green: cosine's brute-force scoring is composed inside the
     # in-window IVF entries (probe-all identity), and gram-set Jaccard
     # shares the banded-similarity machinery minhash pins:
-    "q_ann_cosine": ("q_ann_ivf_trained", "q_ann_ivf_pq"),
+    "q_ann_cosine": ("q_ann_ivf_trained", "q_ann_indexed"),
     "q_ngram_jaccard": ("q_dedup_minhash",),
     # rotated OUT mid-r6 to debut q_pmi_collocations,
     # q_markov_transitions, and q_stream_gaps; all three r5-green with
@@ -5804,12 +5810,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # rotated OUT mid-r6 to debut q_stream_cusum; r5-green, the
     # hash-deterministic sampling family consolidates on the mixture
     # and A-ES entries (the latter is the same TakeOrdered shape):
-    "q_corpus_shuffle": ("q_mixture_sample", "q_weighted_sample"),
+    "q_corpus_shuffle": ("q_mixture_sample", "q_orderby_limit"),
     # rotated OUT late-r6 to debut q_pagerank; r5-green (0-row match),
     # and the left-anti plan family runs in-window inside
     # q_semantic_decon (decontaminate.py:259 left_anti removal) and
     # q_curate_corpus (curate.py left_anti drop-joins):
-    "q_anti_join": ("q_semantic_decon", "q_curate_corpus"),
+    "q_anti_join": ("q_curate_corpus",),  # left-anti drop-joins in-window
     # rotated OUT late-r6 to debut q_pit_join; r5-green, and PIT is the
     # same validity-interval band-join machinery probing an SCD2
     # history mid-interval (the asof/salted/scd2 chains repoint to it):
@@ -5819,31 +5825,69 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_curate_corpus's exact-dedup stage (dedup_exact/zorder chains
     # repointed to their in-window machinery twins):
     "q_fingerprint": ("q_curate_corpus", "q_dedup_minhash"),
-    # LATE-r6 DEBUT (not a demotion): registered after the r6 window
-    # filled; leads the r7 promotion queue. Its family (broadcast-query
-    # cosine ANN) is externally covered in-window by the IVF entries,
-    # whose probe-all identity pins the same brute scoring:
-    "q_hard_negatives": ("q_ann_ivf_trained", "q_ann_ivf_pq"),
-    # LATE-r6 DEBUT (not a demotion): stream-static PIT enrichment,
-    # r7 promotion queue. Both halves are externally covered in-window:
-    # the PIT validity-interval join by q_pit_join and the
-    # stream-static drain machinery by q_stream_enrich:
-    "q_stream_pit": ("q_pit_join", "q_stream_enrich"),
-    # LATE-r6 DEBUT (not a demotion): BM25 over the materialized
-    # inverted index, r7 promotion queue; result-identical by
-    # construction to the in-window scan-path q_bm25_search (same
-    # oracle SQL, identity unit-pinned):
-    "q_bm25_indexed": ("q_bm25_search",),
-    # LATE-r6 DEBUT (not a demotion): count-min frequency partials,
-    # r7 promotion queue; the mergeable-partials family is covered
-    # in-window by q_stream_sketch (HLL partial maintenance), and the
-    # probe-item exact counting by q_heavy_hitters:
-    "q_cms_freq": ("q_stream_sketch", "q_heavy_hitters"),
-    # LATE-r6 DEBUT (not a demotion): span-level dedup with
-    # reconstruction, r7 promotion queue; the gram/fingerprint
-    # machinery is covered in-window by q_boilerplate-family stand-in
-    # q_dedup_minhash and by q_curate_corpus's dedup stages:
-    "q_dedup_spans": ("q_dedup_minhash", "q_curate_corpus"),
+    # (the five LATE-r6 DEBUT entries that closed this dict —
+    # q_hard_negatives q_stream_pit q_bm25_indexed q_cms_freq
+    # q_dedup_spans — were all PROMOTED in r7 as planned)
+    #
+    # rotated OUT in r7 to seat the twelve promotions plus the three
+    # new r7 families (q_ann_indexed, q_pagerank_teleport,
+    # q_stream_cms); every demotion below is driver-green in
+    # CORRECTNESS_r06 and names in-window same-family cover:
+    #
+    # relevance scoring: the tokenize/score/rank machinery stays
+    # in-window via TF-IDF and BM25 (the LM's micro-unit logprob
+    # discipline is the same one BM25's scoring pins):
+    "q_lm_perplexity": ("q_tfidf_topk", "q_bm25_search"),
+    # gram profiling: q_dedup_spans runs the identical
+    # distinct-gram/fingerprint/broadcast-hot-set machinery in-window
+    # AND exercises the removal join the profiler only reports on:
+    "q_boilerplate": ("q_dedup_spans", "q_dedup_minhash"),
+    # funnel family: attribution runs the same user-keyed
+    # conditional-join machinery and exact-ppm shares in-window:
+    "q_cohort_retention": ("q_attribution",),
+    # streaming sink family: the exactly-once drain machinery stays
+    # in-window via the dedup and enrich streams (the MERGE sink's
+    # replay idempotence remains unit-tested):
+    "q_stream_upsert": ("q_stream_dedup", "q_stream_enrich"),
+    # q_curation_drift COMPOSES curation_report's funnel per day — the
+    # stage-count machinery is in-window inside it:
+    "q_curation_report": ("q_curation_drift",),
+    # stateful stream detectors: each batch twin stays in-window, and
+    # the applyInPandasWithState machinery is pinned by the in-window
+    # sessionizer (same worker discipline, NaT guards included):
+    "q_stream_gaps": ("q_event_gaps", "q_stream_sessionize"),
+    "q_stream_cusum": ("q_cusum_changepoint", "q_stream_sessionize"),
+    # adjacent-pair mining: PMI forms the identical in-row pairs
+    # in-window; the per-user lag machinery is attribution's:
+    "q_markov_transitions": ("q_pmi_collocations", "q_attribution"),
+    # embedding decontamination: the sign-LSH bucket machinery is
+    # in-window via q_dedup_embedding, the left-anti removal via
+    # q_curate_corpus's drop-joins:
+    "q_semantic_decon": ("q_dedup_embedding", "q_curate_corpus"),
+    # hash-deterministic sampling: mixture runs the same pure-hash
+    # membership in-window; the A-ES TakeOrdered shape is pinned by
+    # the returning q_orderby_limit:
+    "q_weighted_sample": ("q_mixture_sample", "q_orderby_limit"),
+    # frequency estimation: the CMS entries answer the same per-item
+    # count question in-window (exactly-replayed), and the skew report
+    # pins the top-n frequent-key machinery:
+    "q_heavy_hitters": ("q_cms_freq", "q_skew_report"),
+    # RRF fuses the two in-window retrievers — BM25 and the ANN
+    # family — and touches only their top-k outputs:
+    "q_hybrid_retrieval": ("q_bm25_search", "q_ann_ivf_trained"),
+    # the teleport variant runs the SAME iteration loop plus the
+    # dangling-mass aggregate — a strict superset of the machinery:
+    "q_pagerank": ("q_pagerank_teleport",),
+    # q_ann_indexed probes the SAME IVF-PQ composition from the
+    # materialized model through the shared _ivf_pq_probe tail
+    # (identity-tested), so the composition stays in-window:
+    "q_ann_ivf_pq": ("q_ann_indexed",),
+    # mergeable sketch partials: the CMS twins pin the
+    # partial-maintenance + lossless-merge contract in-window with an
+    # EXACT replay (strictly stronger than HLL's property oracle);
+    # HLL-specific merge identity stays pytest- and tail-oracle-pinned
+    # (q_sketch_rollup, test_streaming bit-identity):
+    "q_stream_sketch": ("q_stream_cms", "q_cms_freq"),
 }
 
 for _name in _FAMILY_STAND_INS:
