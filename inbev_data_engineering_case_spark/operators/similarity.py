@@ -1010,6 +1010,120 @@ def build_ann_index(
     }
 
 
+def update_ann_index(
+    spark,
+    index_dir: str,
+    changed_vectors: DataFrame,
+    deleted_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_snapshots: int | None = 2,
+) -> dict[str, int | str]:
+    """Delta maintenance for ``build_ann_index`` output — the daily
+    ingest composition (``update_text_index``'s contract applied to
+    vectors): only ``changed_vectors`` assign cells and PQ-encode,
+    against the STORED centroids and codebook (the standard IVF append
+    discipline — the coarse/fine model stays fixed between rebuilds,
+    so stored codes remain comparable and the probe path is
+    untouched); the cells/codes partials merge; centroids, codebook,
+    and meta carry forward unchanged. Published via ``commit_snapshot``
+    with ``expected_parent`` pinned to the generation the delta was
+    computed against.
+
+    Physical paths, chosen like the text twin: a pure-new delta
+    HARD-LINKS the previous generation's cells/codes part files into
+    the staged snapshot (zero bytes rewritten) and appends delta part
+    files beside them; changed or deleted ids take the copy-through
+    merge (anti-join + union — bucket-local when ``cells/`` is
+    bucketed by cent_id). Model drift (a corpus whose distribution
+    outgrows the frozen centroids) is a REBUILD, not an update — the
+    same trade FAISS documents for IVF add_with_ids.
+
+    Returns audit metadata incl. which path ran (``mode``) and the
+    published snapshot path.
+    """
+    from inbev_data_engineering_case_spark.layers import (
+        commit_snapshot,
+        next_snapshot_run,
+        prune_snapshots,
+    )
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        _link_parquet_files,
+    )
+
+    parent_snap = resolve_ann_index(index_dir)
+    parent, run_id = next_snapshot_run(index_dir, ANN_INDEX_PREFIX)
+    meta = spark.read.parquet(f"{parent_snap}/meta").collect()[0]
+    m, k = int(meta["m"]), int(meta["k"])
+    cents = spark.read.parquet(f"{parent_snap}/centroids")
+    book = spark.read.parquet(f"{parent_snap}/codebook")
+
+    delta_cells = ivf_assign(
+        changed_vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        cents,
+        n_probe=1,
+        id_col="neighbor_id",
+        vec_col="cvec",
+    ).select("neighbor_id", "cent_id")
+    delta_codes = pq_encode(
+        changed_vectors, book, m, k, id_col, vec_col
+    ).withColumnRenamed(id_col, "neighbor_id")
+
+    touched = changed_vectors.select(
+        F.col(id_col).alias("neighbor_id")
+    )
+    if deleted_ids is not None:
+        touched = touched.unionByName(
+            deleted_ids.select(F.col(id_col).alias("neighbor_id"))
+        )
+    prev_cells = spark.read.parquet(f"{parent_snap}/cells")
+    overlap = (
+        prev_cells.join(touched, "neighbor_id", "left_semi")
+        .limit(1)
+        .count()
+    )
+    append_only = overlap == 0 and deleted_ids is None
+
+    def write_fn(staging: str) -> None:
+        if append_only:
+            _link_parquet_files(f"{parent_snap}/cells", f"{staging}/cells")
+            _link_parquet_files(f"{parent_snap}/codes", f"{staging}/codes")
+            delta_cells.write.mode("append").parquet(f"{staging}/cells")
+            delta_codes.write.mode("append").parquet(f"{staging}/codes")
+        else:
+            prev_cells.join(
+                touched, "neighbor_id", "left_anti"
+            ).unionByName(delta_cells).write.parquet(f"{staging}/cells")
+            spark.read.parquet(f"{parent_snap}/codes").join(
+                touched, "neighbor_id", "left_anti"
+            ).unionByName(delta_codes).write.parquet(f"{staging}/codes")
+        # the model tables carry forward byte-identical (hard links):
+        # the update contract is "same model, fresher corpus"
+        _link_parquet_files(
+            f"{parent_snap}/centroids", f"{staging}/centroids"
+        )
+        _link_parquet_files(f"{parent_snap}/codebook", f"{staging}/codebook")
+        _link_parquet_files(f"{parent_snap}/meta", f"{staging}/meta")
+
+    snap = commit_snapshot(
+        index_dir,
+        run_id,
+        write_fn,
+        expected_parent=parent,
+        prefix=ANN_INDEX_PREFIX,
+    )
+    if keep_snapshots:
+        prune_snapshots(index_dir, ANN_INDEX_PREFIX, keep_snapshots)
+    return {
+        "mode": "append" if append_only else "merge",
+        "snapshot": snap,
+        "cells_rows": spark.read.parquet(f"{snap}/cells").count(),
+        "codes_rows": spark.read.parquet(f"{snap}/codes").count(),
+    }
+
+
 def ann_from_index(
     spark,
     index_dir: str,

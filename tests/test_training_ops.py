@@ -1789,6 +1789,119 @@ def test_ann_index_roundtrip_identical_to_direct_path(spark, tmp_path):
     assert len(snaps) == 2  # retention (default 2) pruned the first
 
 
+def test_ann_index_delta_update_two_day_loop(spark, tmp_path):
+    """The daily vector-ingest loop: day 2's NEW vectors assign cells
+    and PQ-encode against the STORED model (centroids/codebook frozen
+    between rebuilds — the IVF append discipline), day 1's cells/codes
+    part files ride into the new snapshot as HARD LINKS (inode
+    identity: zero bytes rewritten), and probing the updated index is
+    identical to the direct IVF-PQ compute over day1+day2 with the
+    same model. A changed+deleted delta routes to the merge path with
+    the same parity."""
+    import os
+
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_from_index,
+        ann_ivf_pq_topk,
+        build_ann_index,
+        pq_sampled_codebook,
+        resolve_ann_index,
+        update_ann_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    day1 = emb.filter(F.col("vec_id") < 150)
+    day2 = emb.filter(
+        (F.col("vec_id") >= 150) & (F.col("vec_id") < 200)
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    # the frozen model: day-1 deterministic centroids + day-1 codebook
+    cents = day1.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    book = pq_sampled_codebook(day1, m=4, k=8)
+    idx = str(tmp_path / "annindex")
+    build_ann_index(
+        day1, idx, n_centroids=8, m=4, k=8, centroids=cents, codebook=book
+    )
+    snap1 = resolve_ann_index(idx)
+    inodes1 = {
+        f: os.stat(os.path.join(snap1, "codes", f)).st_ino
+        for f in os.listdir(os.path.join(snap1, "codes"))
+        if not f.startswith(("_", "."))
+    }
+    audit = update_ann_index(spark, idx, day2)
+    assert audit["mode"] == "append"
+    assert audit["cells_rows"] == 200 and audit["codes_rows"] == 800
+    snap2 = resolve_ann_index(idx)
+    inodes2 = {
+        f: os.stat(os.path.join(snap2, "codes", f)).st_ino
+        for f in os.listdir(os.path.join(snap2, "codes"))
+        if not f.startswith(("_", "."))
+    }
+    for f, ino in inodes1.items():
+        assert inodes2[f] == ino  # day-1 files hard-linked, not copied
+    key = lambda r: tuple(r)  # noqa: E731
+    indexed = sorted(
+        map(
+            tuple,
+            ann_from_index(spark, idx, qs, k_neighbors=5, n_probe=2).collect(),
+        )
+    )
+    direct = sorted(
+        map(
+            key,
+            ann_ivf_pq_topk(
+                day1.unionByName(day2),
+                qs,
+                k_neighbors=5,
+                n_probe=2,
+                m=4,
+                k=8,
+                centroids=cents,
+                codebook=book,
+            ).collect(),
+        )
+    )
+    assert indexed == direct and len(indexed) == 25
+
+    # merge path: re-embed one vector, delete another; parity against
+    # direct compute over the final corpus with the same frozen model
+    changed = day1.filter(F.col("vec_id") == 120).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x * F.lit(-1.0)).cast("float")
+        ).alias("embedding"),
+    )
+    deleted = spark.createDataFrame([(121,)], "vec_id long")
+    audit2 = update_ann_index(spark, idx, changed, deleted_ids=deleted)
+    assert audit2["mode"] == "merge"
+    assert audit2["cells_rows"] == 199  # 121 gone, 120 replaced
+    final = (
+        day1.filter(~F.col("vec_id").isin(120, 121))
+        .unionByName(day2)
+        .unionByName(changed)
+    )
+    indexed2 = sorted(
+        map(
+            key,
+            ann_from_index(spark, idx, qs, k_neighbors=5, n_probe=2).collect(),
+        )
+    )
+    direct2 = sorted(
+        map(
+            key,
+            ann_ivf_pq_topk(
+                final, qs, k_neighbors=5, n_probe=2, m=4, k=8,
+                centroids=cents, codebook=book,
+            ).collect(),
+        )
+    )
+    assert indexed2 == direct2
+
+
 def test_train_pq_codebooks_deterministic_and_usable(spark):
     from inbev_data_engineering_case_spark.operators.similarity import (
         pq_encode,
