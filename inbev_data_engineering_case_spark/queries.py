@@ -5603,6 +5603,7 @@ def q_pagerank_teleport(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ann_indexed",
     _ivfpq_oracle(),
+    headline=True,
     doc="IVF-PQ over a MATERIALIZED ANN index "
     "(operators/similarity.py build_ann_index + ann_from_index): the "
     "build-once/probe-many retrieval-index contract q_bm25_indexed "

@@ -266,6 +266,52 @@ def test_pq_codebook_and_lut_broadcast_encode_is_aggregate(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bm25_index_path_pushes_term_filter_to_stored_tf(spark, tmp_path):
+    """The materialized-index claim, plan-locked: bm25_from_index's tf
+    scan carries the query terms as PushedFilters (In(term, ...)), so a
+    term-bucketed/sorted index prunes at the parquet level — the
+    per-query input is term-filtered storage, never the corpus."""
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bm25_from_index,
+        build_text_index,
+    )
+    from inbev_data_engineering_case_spark.sources.readers import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(spark, SF, "documents")
+    idx = str(tmp_path / "bm25idx")
+    build_text_index(docs, idx)
+    df = bm25_from_index(spark, idx, ["data", "spark"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_index_path_broadcasts_model_sides(spark, tmp_path):
+    """ann_from_index's probe plan: every model-sized side (centroids
+    for the query assign, probed query cells, the ADC LUT) broadcasts;
+    the only exchanges key on the candidate aggregation and the
+    per-query ranking — never a cartesian or a range sort."""
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        ann_from_index,
+        build_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = str(tmp_path / "annidx")
+    build_ann_index(emb, idx, n_centroids=8, m=4, k=8)
+    df = ann_from_index(
+        spark, idx, emb.filter("vec_id < 5"), k_neighbors=5, n_probe=2
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
 def test_skew_report_plans_takeordered(spark):
     plan = _plan(spark, "q_skew_report")
     assert "TakeOrdered" in plan, plan
