@@ -469,6 +469,7 @@ def build_text_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_snapshots: int | None = 2,
+    cluster_by_term: int | None = None,
 ) -> dict[str, int]:
     """Materialize the inverted-index tables BM25 needs, once, so
     repeated queries never re-tokenize the corpus: ``tf/`` (one row per
@@ -498,6 +499,16 @@ def build_text_index(
     recompute is needed. ``keep_snapshots`` bounds disk growth across
     repeated rebuilds (None keeps all — required if readers pin old
     snapshots via ``layers.snapshot_as_of``).
+
+    ``cluster_by_term=N`` writes ``tf`` as N term-range-sorted files
+    (``repartitionByRange`` + in-partition sort), so each part file's
+    parquet min/max term stats cover a DISJOINT term range and a
+    query's ``term IN (...)`` pushed filter skips whole files — the
+    "bucket the index by term at scale" claim made physical (the
+    ``zorder_compact`` discipline applied to the inverted index; the
+    file-stats test proves the disjoint spans). Delta files appended
+    later by ``update_text_index`` carry their own (wider) stats;
+    re-cluster on periodic rebuild.
     """
     from inbev_data_engineering_case_spark.layers import (
         SnapshotConflictError,
@@ -514,7 +525,13 @@ def build_text_index(
     spark = documents.sparkSession
 
     def write_fn(staging: str) -> None:
-        tf.write.parquet(f"{staging}/tf")
+        out_tf = (
+            tf.repartitionByRange(cluster_by_term, "term")
+            .sortWithinPartitions("term")
+            if cluster_by_term
+            else tf
+        )
+        out_tf.write.parquet(f"{staging}/tf")
         doclen = (
             spark.read.parquet(f"{staging}/tf")
             .groupBy(id_col)

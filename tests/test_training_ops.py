@@ -3819,6 +3819,53 @@ def test_text_index_publishes_atomically_and_prunes(spark, tmp_path):
     ]
 
 
+def test_text_index_term_clustering_gives_disjoint_file_spans(
+    spark, tmp_path
+):
+    """cluster_by_term=N writes the tf table as N term-range files with
+    DISJOINT per-file term spans — parquet min/max stats then prune
+    whole files under the pushed term filter (the physical form of
+    'bucket the index by term at scale'). Results are identical to the
+    unclustered build."""
+    import os
+
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bm25_from_index,
+        build_text_index,
+        resolve_text_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "clustered")
+    build_text_index(docs, idx, cluster_by_term=8)
+    snap = resolve_text_index(idx)
+    tf_dir = os.path.join(snap, "tf")
+    spans = sorted(
+        spark.read.parquet(os.path.join(tf_dir, f))
+        .selectExpr("min(term)", "max(term)")
+        .first()
+        for f in os.listdir(tf_dir)
+        if f.endswith(".parquet")
+    )
+    assert len(spans) == 8
+    assert all(
+        prev_hi <= lo for (_, prev_hi), (lo, _) in zip(spans, spans[1:])
+    )
+    plain = str(tmp_path / "plain")
+    build_text_index(docs, plain)
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(
+        map(key, bm25_from_index(spark, idx, ["data", "the"], k=10).collect())
+    ) == sorted(
+        map(
+            key,
+            bm25_from_index(spark, plain, ["data", "the"], k=10).collect(),
+        )
+    )
+
+
 def test_text_index_delta_update_two_day_loop(spark, tmp_path):
     """The daily-crawl index loop: day 2 publishes a NEW committed
     snapshot from DELTA-SIZED work — only the new docs tokenize, day
