@@ -267,19 +267,95 @@ def next_snapshot_run(base_dir: str, prefix: str) -> tuple[str | None, str]:
     """(expected_parent, next run id) for a ``commit_snapshot`` of a
     rebuild-style artifact (the materialized text/ANN indexes): run ids
     are zero-padded integers, so lexicographic snapshot order == build
-    order with no wall-clock dependence."""
+    order with no wall-clock dependence.
+
+    Use this ONLY when the staged state is parent-independent (a full
+    rebuild). A delta writer that READ a specific parent snapshot must
+    derive ``expected_parent`` from that path via ``run_id_of`` — a
+    second directory walk here could see a commit that landed after the
+    read, and the expected-parent check would then pass against a
+    parent the delta was NOT computed from (silently dropping the
+    interleaved writer's delta)."""
     try:
         parent = _parent_run_id(latest_snapshot(base_dir, prefix), prefix)
     except FileNotFoundError:
         parent = None
-    return parent, f"{(int(parent) if parent else 0) + 1:012d}"
+    return parent, next_run_after(parent)
+
+
+def run_id_of(snapshot_path: str, prefix: str) -> str:
+    """Run id of a resolved snapshot path — the value a delta writer
+    passes as ``expected_parent`` so the commit is pinned to the exact
+    generation it read (see ``next_snapshot_run``)."""
+    return os.path.basename(snapshot_path).removeprefix(f"{prefix}_")
+
+
+def next_run_after(parent: str | None) -> str:
+    """Next zero-padded integer run id after ``parent``."""
+    return f"{(int(parent) if parent else 0) + 1:012d}"
+
+
+def commit_snapshot_with_retry(
+    base_dir: str,
+    prefix: str,
+    write_fn,
+    attempts: int = 3,
+    keep_snapshots: int | None = None,
+) -> str:
+    """``commit_snapshot`` for PARENT-INDEPENDENT publishes (full
+    rebuilds): on a lost race the staged state is still valid against
+    the new parent, so just re-resolve and retry with a fresh higher
+    run id. Delta writers must NOT use this — their state depends on
+    the parent they read, so a conflict means recompute, not retry."""
+    for _attempt in range(attempts):
+        parent, run_id = next_snapshot_run(base_dir, prefix)
+        try:
+            path = commit_snapshot(
+                base_dir, run_id, write_fn, expected_parent=parent,
+                prefix=prefix,
+            )
+            break
+        except SnapshotConflictError:
+            continue
+    else:
+        raise SnapshotConflictError(
+            f"lost the '{prefix}' commit race {attempts} times under "
+            f"{base_dir}"
+        )
+    if keep_snapshots:
+        prune_snapshots(base_dir, prefix, keep_snapshots)
+    return path
+
+
+def link_parquet_files(src_dir: str, dst_dir: str) -> int:
+    """Hard-link every data file of a parquet directory into ``dst_dir``
+    (markers and hidden files skipped): byte-zero reuse of an existing
+    generation's files inside a new staged snapshot. Part-file names
+    carry task UUIDs, so linked and freshly written files cannot
+    collide."""
+    os.makedirs(dst_dir, exist_ok=True)
+    n = 0
+    for name in os.listdir(src_dir):
+        if name.startswith(("_", ".")):
+            continue
+        os.link(os.path.join(src_dir, name), os.path.join(dst_dir, name))
+        n += 1
+    return n
 
 
 def prune_snapshots(base_dir: str, prefix: str, keep: int) -> None:
     """Drop all but the newest ``keep`` committed snapshots — bounds
-    disk growth across repeated rebuilds of a derived artifact. Don't
-    prune tables whose readers pin old snapshots via
-    ``snapshot_as_of``."""
+    disk growth across repeated rebuilds of a derived artifact.
+
+    Pruning does NOT synchronize with readers: a reader that resolved
+    generation N and is still scanning (or lazily holds a DataFrame
+    over it) fails with FileNotFoundError if ``keep`` newer publishes
+    land first and N is deleted. The default ``keep=2`` in the index
+    builders tolerates one overlapping rebuild; in a serving deployment
+    set ``keep`` above the number of publishes that can occur within
+    the longest reader's lifetime (or ``None`` to keep all — required
+    if readers pin old snapshots via ``snapshot_as_of``) and compact
+    offline."""
     import shutil
 
     snaps = sorted(

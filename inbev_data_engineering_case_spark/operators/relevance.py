@@ -511,10 +511,7 @@ def build_text_index(
     re-cluster on periodic rebuild.
     """
     from inbev_data_engineering_case_spark.layers import (
-        SnapshotConflictError,
-        commit_snapshot,
-        next_snapshot_run,
-        prune_snapshots,
+        commit_snapshot_with_retry,
     )
 
     toks = documents.select(
@@ -538,36 +535,46 @@ def build_text_index(
             .agg(F.sum("tf").alias("dl"))
         )
         doclen.write.parquet(f"{staging}/doclen")
-        # N = indexed documents (one doclen row per doc with text) —
-        # the same definition update_text_index maintains from partials,
-        # so the delta path and a full rebuild agree exactly; identical
-        # to count(documents) whenever every doc has non-NULL text
-        # (NULL-text docs produce no tf rows and are not indexed)
-        stats = spark.read.parquet(f"{staging}/doclen").agg(
-            F.count("*").alias("_n"), F.avg("dl").alias("_avgdl")
+        # N = indexed documents (one doclen row per doc) — the same
+        # definition update_text_index maintains from partials. A
+        # NULL-text doc would produce NO tf/doclen rows and silently
+        # shift every idf away from the scan path and the oracle
+        # (which count ALL docs), so indexability is ENFORCED, not
+        # assumed: any unindexable document fails the build loudly
+        # inside the stats job (staging never publishes) — drop
+        # NULL-text docs before indexing.
+        n_docs = documents.agg(F.count("*").alias("_nd"))
+        stats = (
+            spark.read.parquet(f"{staging}/doclen")
+            .agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
+            .join(F.broadcast(n_docs))
+            .select(
+                F.when(
+                    F.col("_n") != F.col("_nd"),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("build_text_index: "),
+                            (F.col("_nd") - F.col("_n")).cast("string"),
+                            F.lit(
+                                " document(s) produced no index rows "
+                                "(NULL text?) — N would diverge from "
+                                "the corpus count and every idf with "
+                                "it; filter them out before indexing"
+                            ),
+                        )
+                    ).cast("bigint"),
+                )
+                .otherwise(F.col("_n"))
+                .alias("_n"),
+                "_avgdl",
+            )
         )
         stats.write.parquet(f"{staging}/stats")
 
-    for _attempt in range(3):
-        parent, run_id = next_snapshot_run(index_dir, TEXT_INDEX_PREFIX)
-        try:
-            snap = commit_snapshot(
-                index_dir,
-                run_id,
-                write_fn,
-                expected_parent=parent,
-                prefix=TEXT_INDEX_PREFIX,
-            )
-            break
-        except SnapshotConflictError:
-            continue
-    else:
-        raise SnapshotConflictError(
-            f"build_text_index: lost the commit race 3 times under "
-            f"{index_dir}"
-        )
-    if keep_snapshots:
-        prune_snapshots(index_dir, TEXT_INDEX_PREFIX, keep_snapshots)
+    snap = commit_snapshot_with_retry(
+        index_dir, TEXT_INDEX_PREFIX, write_fn,
+        keep_snapshots=keep_snapshots,
+    )
     return {
         "tf_rows": spark.read.parquet(f"{snap}/tf").count(),
         "doclen_rows": spark.read.parquet(f"{snap}/doclen").count(),
@@ -608,24 +615,6 @@ def bm25_from_index(
     return _bm25_rank(tf, doc_len, stats, id_col, k, k1, b)
 
 
-def _link_parquet_files(src_dir: str, dst_dir: str) -> int:
-    """Hard-link every data file of a parquet directory into ``dst_dir``
-    (markers and hidden files skipped): byte-zero reuse of an existing
-    generation's files inside a new staged snapshot. Part-file names
-    carry task UUIDs, so linked and freshly written files cannot
-    collide."""
-    import os
-
-    os.makedirs(dst_dir, exist_ok=True)
-    n = 0
-    for name in os.listdir(src_dir):
-        if name.startswith(("_", ".")):
-            continue
-        os.link(os.path.join(src_dir, name), os.path.join(dst_dir, name))
-        n += 1
-    return n
-
-
 def update_text_index(
     spark,
     index_dir: str,
@@ -664,12 +653,20 @@ def update_text_index(
     """
     from inbev_data_engineering_case_spark.layers import (
         commit_snapshot,
-        next_snapshot_run,
+        link_parquet_files,
+        next_run_after,
         prune_snapshots,
+        run_id_of,
     )
 
     parent_snap = resolve_text_index(index_dir)
-    parent, run_id = next_snapshot_run(index_dir, TEXT_INDEX_PREFIX)
+    # expected_parent derives from the PATH WE READ, never a second
+    # directory walk: a commit landing between the two would otherwise
+    # pass the expected-parent check against a generation this delta
+    # was NOT computed from — silently dropping the interleaved delta,
+    # the exact failure the protocol exists to prevent
+    parent = run_id_of(parent_snap, TEXT_INDEX_PREFIX)
+    run_id = next_run_after(parent)
 
     toks = changed_docs.select(
         F.col(id_col),
@@ -692,8 +689,8 @@ def update_text_index(
 
     def write_fn(staging: str) -> None:
         if append_only:
-            _link_parquet_files(f"{parent_snap}/tf", f"{staging}/tf")
-            _link_parquet_files(
+            link_parquet_files(f"{parent_snap}/tf", f"{staging}/tf")
+            link_parquet_files(
                 f"{parent_snap}/doclen", f"{staging}/doclen"
             )
             delta_tf.write.mode("append").parquet(f"{staging}/tf")
@@ -713,9 +710,35 @@ def update_text_index(
         # stats recompute from the MERGED doclen partials (doc-sized),
         # never from raw text: N is the doclen row count and avgdl its
         # mean — the same definition build_text_index writes, so delta
-        # maintenance and full rebuild agree exactly
-        stats = spark.read.parquet(f"{staging}/doclen").agg(
-            F.count("*").alias("_n"), F.avg("dl").alias("_avgdl")
+        # maintenance and full rebuild agree exactly. The delta's own
+        # indexability is enforced like the full build's (history was
+        # validated when ITS generation published):
+        d_docs = changed_docs.agg(F.count("*").alias("_ndd"))
+        d_idx = delta_doclen.agg(F.count("*").alias("_ndi"))
+        stats = (
+            spark.read.parquet(f"{staging}/doclen")
+            .agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
+            .join(F.broadcast(d_docs))
+            .join(F.broadcast(d_idx))
+            .select(
+                F.when(
+                    F.col("_ndd") != F.col("_ndi"),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("update_text_index: "),
+                            (F.col("_ndd") - F.col("_ndi")).cast("string"),
+                            F.lit(
+                                " changed document(s) produced no "
+                                "index rows (NULL text?) — filter "
+                                "them out before updating"
+                            ),
+                        )
+                    ).cast("bigint"),
+                )
+                .otherwise(F.col("_n"))
+                .alias("_n"),
+                "_avgdl",
+            )
         )
         stats.write.parquet(f"{staging}/stats")
 

@@ -942,10 +942,7 @@ def build_ann_index(
     (the build is parent-independent).
     """
     from inbev_data_engineering_case_spark.layers import (
-        SnapshotConflictError,
-        commit_snapshot,
-        next_snapshot_run,
-        prune_snapshots,
+        commit_snapshot_with_retry,
     )
 
     cents = (
@@ -983,26 +980,10 @@ def build_ann_index(
             [(m, k, n_centroids)], "m int, k int, n_centroids int"
         ).write.parquet(f"{staging}/meta")
 
-    for _attempt in range(3):
-        parent, run_id = next_snapshot_run(index_dir, ANN_INDEX_PREFIX)
-        try:
-            snap = commit_snapshot(
-                index_dir,
-                run_id,
-                write_fn,
-                expected_parent=parent,
-                prefix=ANN_INDEX_PREFIX,
-            )
-            break
-        except SnapshotConflictError:
-            continue
-    else:
-        raise SnapshotConflictError(
-            f"build_ann_index: lost the commit race 3 times under "
-            f"{index_dir}"
-        )
-    if keep_snapshots:
-        prune_snapshots(index_dir, ANN_INDEX_PREFIX, keep_snapshots)
+    snap = commit_snapshot_with_retry(
+        index_dir, ANN_INDEX_PREFIX, write_fn,
+        keep_snapshots=keep_snapshots,
+    )
     return {
         "snapshot": snap,
         "cells_rows": spark.read.parquet(f"{snap}/cells").count(),
@@ -1044,15 +1025,19 @@ def update_ann_index(
     """
     from inbev_data_engineering_case_spark.layers import (
         commit_snapshot,
-        next_snapshot_run,
+        link_parquet_files,
+        next_run_after,
         prune_snapshots,
-    )
-    from inbev_data_engineering_case_spark.operators.relevance import (
-        _link_parquet_files,
+        run_id_of,
     )
 
     parent_snap = resolve_ann_index(index_dir)
-    parent, run_id = next_snapshot_run(index_dir, ANN_INDEX_PREFIX)
+    # expected_parent derives from the PATH WE READ, never a second
+    # directory walk (update_text_index's discipline): a commit landing
+    # between the two would pass the expected-parent check against a
+    # generation this delta was NOT computed from
+    parent = run_id_of(parent_snap, ANN_INDEX_PREFIX)
+    run_id = next_run_after(parent)
     meta = spark.read.parquet(f"{parent_snap}/meta").collect()[0]
     m, k = int(meta["m"]), int(meta["k"])
     cents = spark.read.parquet(f"{parent_snap}/centroids")
@@ -1088,8 +1073,8 @@ def update_ann_index(
 
     def write_fn(staging: str) -> None:
         if append_only:
-            _link_parquet_files(f"{parent_snap}/cells", f"{staging}/cells")
-            _link_parquet_files(f"{parent_snap}/codes", f"{staging}/codes")
+            link_parquet_files(f"{parent_snap}/cells", f"{staging}/cells")
+            link_parquet_files(f"{parent_snap}/codes", f"{staging}/codes")
             delta_cells.write.mode("append").parquet(f"{staging}/cells")
             delta_codes.write.mode("append").parquet(f"{staging}/codes")
         else:
@@ -1101,11 +1086,11 @@ def update_ann_index(
             ).unionByName(delta_codes).write.parquet(f"{staging}/codes")
         # the model tables carry forward byte-identical (hard links):
         # the update contract is "same model, fresher corpus"
-        _link_parquet_files(
+        link_parquet_files(
             f"{parent_snap}/centroids", f"{staging}/centroids"
         )
-        _link_parquet_files(f"{parent_snap}/codebook", f"{staging}/codebook")
-        _link_parquet_files(f"{parent_snap}/meta", f"{staging}/meta")
+        link_parquet_files(f"{parent_snap}/codebook", f"{staging}/codebook")
+        link_parquet_files(f"{parent_snap}/meta", f"{staging}/meta")
 
     snap = commit_snapshot(
         index_dir,

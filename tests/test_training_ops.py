@@ -3866,6 +3866,40 @@ def test_text_index_term_clustering_gives_disjoint_file_spans(
     )
 
 
+def test_text_index_refuses_unindexable_documents(spark, tmp_path):
+    """A NULL-text document produces no tf/doclen rows; silently
+    excluding it would shift N (and every idf) away from the scan path
+    and the shared oracle, so the build FAILS LOUDLY inside the stats
+    job instead — nothing publishes, and the caller is told to filter.
+    The delta updater enforces the same on its changed docs."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        build_text_index,
+        resolve_text_index,
+        update_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, None)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "index")
+    with _pytest.raises(Exception, match="produced no index rows"):
+        build_text_index(docs, idx)
+    with _pytest.raises(FileNotFoundError):
+        resolve_text_index(idx)  # the torn build never published
+    # a clean build, then a NULL-text delta: same loud refusal
+    build_text_index(docs.filter("text is not null"), idx)
+    good = resolve_text_index(idx)
+    delta = spark.createDataFrame(
+        [(2, None)], "doc_id long, text string"
+    )
+    with _pytest.raises((Exception, Py4JJavaError), match="produced no"):
+        update_text_index(spark, idx, delta)
+    assert resolve_text_index(idx) == good  # generation unchanged
+
+
 def test_text_index_delta_update_two_day_loop(spark, tmp_path):
     """The daily-crawl index loop: day 2 publishes a NEW committed
     snapshot from DELTA-SIZED work — only the new docs tokenize, day
