@@ -758,3 +758,61 @@ def update_text_index(
         "doclen_rows": spark.read.parquet(f"{snap}/doclen").count(),
         "stats_rows": 1,
     }
+
+
+def compact_text_index(
+    spark,
+    index_dir: str,
+    cluster_by_term: int = 8,
+    keep_snapshots: int | None = 2,
+) -> dict[str, int | str]:
+    """Periodic re-clustering of a delta-maintained index — the
+    maintenance step the daily loop schedules weekly: days of
+    ``update_text_index`` appends leave ``tf`` as the original
+    clustered files PLUS small wide-span delta files whose min/max
+    stats prune nothing. This rewrites ``tf`` as ``cluster_by_term``
+    term-range-sorted files (disjoint spans again) WITHOUT
+    re-tokenizing anything — it reads the stored tf rows, never
+    document text — and carries doclen/stats through as hard links
+    (their content is term-order-independent). Published as a new
+    committed snapshot through the same atomic protocol; query results
+    are identical before and after by construction (same rows, new
+    file layout).
+    """
+    from inbev_data_engineering_case_spark.layers import (
+        commit_snapshot,
+        link_parquet_files,
+        next_run_after,
+        prune_snapshots,
+        run_id_of,
+    )
+
+    if cluster_by_term < 1:
+        raise ValueError("compact_text_index: cluster_by_term must be >= 1")
+    parent_snap = resolve_text_index(index_dir)
+    parent = run_id_of(parent_snap, TEXT_INDEX_PREFIX)
+    run_id = next_run_after(parent)
+    tf = spark.read.parquet(f"{parent_snap}/tf")
+
+    def write_fn(staging: str) -> None:
+        (
+            tf.repartitionByRange(cluster_by_term, "term")
+            .sortWithinPartitions("term")
+            .write.parquet(f"{staging}/tf")
+        )
+        link_parquet_files(f"{parent_snap}/doclen", f"{staging}/doclen")
+        link_parquet_files(f"{parent_snap}/stats", f"{staging}/stats")
+
+    snap = commit_snapshot(
+        index_dir,
+        run_id,
+        write_fn,
+        expected_parent=parent,
+        prefix=TEXT_INDEX_PREFIX,
+    )
+    if keep_snapshots:
+        prune_snapshots(index_dir, TEXT_INDEX_PREFIX, keep_snapshots)
+    return {
+        "snapshot": snap,
+        "tf_rows": spark.read.parquet(f"{snap}/tf").count(),
+    }

@@ -3866,6 +3866,67 @@ def test_text_index_term_clustering_gives_disjoint_file_spans(
     )
 
 
+def test_text_index_compaction_reclusters_without_retokenizing(
+    spark, tmp_path
+):
+    """Weekly maintenance for the delta-maintained index: after appends
+    leave wide-span delta files, compact_text_index rewrites tf as N
+    disjoint term-range files FROM THE STORED ROWS (no document text is
+    read), hard-links doclen/stats through unchanged (inode identity),
+    and query results are identical across the compaction."""
+    import os
+
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bm25_from_index,
+        build_text_index,
+        compact_text_index,
+        resolve_text_index,
+        update_text_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    idx = str(tmp_path / "index")
+    build_text_index(docs.filter("doc_id < 400"), idx)
+    update_text_index(
+        spark, idx, docs.filter("doc_id >= 400")
+    )
+    before = resolve_text_index(idx)
+    key = lambda r: tuple(r)  # noqa: E731
+    want = sorted(
+        map(key, bm25_from_index(spark, idx, ["data", "the"], k=10).collect())
+    )
+    doclen_inodes = {
+        f: os.stat(os.path.join(before, "doclen", f)).st_ino
+        for f in os.listdir(os.path.join(before, "doclen"))
+        if not f.startswith(("_", "."))
+    }
+    compact_text_index(spark, idx, cluster_by_term=8)
+    snap = resolve_text_index(idx)
+    assert snap != before
+    tf_dir = os.path.join(snap, "tf")
+    spans = sorted(
+        spark.read.parquet(os.path.join(tf_dir, f))
+        .selectExpr("min(term)", "max(term)")
+        .first()
+        for f in os.listdir(tf_dir)
+        if f.endswith(".parquet")
+    )
+    assert len(spans) == 8
+    assert all(
+        prev_hi <= lo for (_, prev_hi), (lo, _) in zip(spans, spans[1:])
+    )
+    for f, ino in doclen_inodes.items():
+        assert (
+            os.stat(os.path.join(snap, "doclen", f)).st_ino == ino
+        )  # carried through as links, not rewritten
+    got = sorted(
+        map(key, bm25_from_index(spark, idx, ["data", "the"], k=10).collect())
+    )
+    assert got == want
+
+
 def test_text_index_refuses_unindexable_documents(spark, tmp_path):
     """A NULL-text document produces no tf/doclen rows; silently
     excluding it would shift N (and every idf) away from the scan path
