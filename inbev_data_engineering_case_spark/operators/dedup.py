@@ -991,3 +991,100 @@ def dedup_spans(
             ).alias("n_dropped"),
         )
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 5,
+    threshold_ppm: int = 800_000,
+    max_gram_df: int | None = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize_mode: str = "local",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection — directed n-gram containment
+    ``|grams(A) ∩ grams(B)| / |grams(A)|``: the quote-inclusion case
+    symmetric Jaccard (minhash/simhash) structurally misses. A short
+    document wholly quoted inside a long one has Jaccard ≈ |A|/|B| (tiny)
+    but containment ≈ 1 — exactly the "this page is just a excerpt of
+    that page" signal corpus curation drops or down-weights
+    (the Lee et al. 2021 deduplication taxonomy's substring case, done
+    at gram granularity).
+
+    Returns one DIRECTED row per qualifying ordered pair:
+    ``(contained_id, container_id, n_shared, n_grams,
+    containment_ppm)`` with ``containment_ppm = n_shared · 1e6 div
+    n_grams(contained)`` exact int64; mutual (near-identical) pairs
+    appear in both directions. Documents with < n words have no grams
+    and never pair.
+
+    Scale shape: distinct grams per doc hash to 8-byte keys BEFORE the
+    exchange (the boilerplate/decontaminate discipline); the candidate
+    join is gram-keyed, and ``max_gram_df`` caps each gram's pair
+    fan-out at df² by EXCLUDING corpus-hot grams (df > cap) from both
+    the numerator and the denominator — consistently, so the measure
+    stays well-defined as "containment over informative grams"
+    (boilerplate grams are profiled by ``boilerplate_report`` and
+    removed by ``dedup_spans``; carrying them here would both blow up
+    the join and inflate containment between unrelated templated
+    pages). ``max_gram_df=None`` is the exact-all-grams form for small
+    corpora. The gram stream has three consumers (hot counts, sizes,
+    the join), so it materializes once via ``materialize_mode``.
+    """
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64,
+        word_ngrams,
+    )
+
+    if n < 1:
+        raise ValueError("containment_pairs: n must be >= 1")
+    if not 0 < threshold_ppm <= 1_000_000:
+        raise ValueError(
+            "containment_pairs: threshold_ppm must be in (0, 1e6]"
+        )
+    grams = _materialize(
+        documents.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))
+            ).alias("gram"),
+        ).select(id_col, portable_hash64(F.col("gram")).alias("gram_h")),
+        materialize_mode,
+    )
+    if max_gram_df is not None:
+        hot = (
+            grams.groupBy("gram_h")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("gram_h")
+        )
+        grams = grams.join(F.broadcast(hot), "gram_h", "left_anti")
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    a = grams.select(
+        F.col(id_col).alias("contained_id"), "gram_h"
+    )
+    b = grams.select(
+        F.col(id_col).alias("container_id"), "gram_h"
+    )
+    shared = (
+        a.join(b, "gram_h")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed(id_col, "contained_id"),
+            "contained_id",
+        )
+        .select(
+            "contained_id",
+            "container_id",
+            "n_shared",
+            "n_grams",
+            F.expr("(n_shared * 1000000) div n_grams").alias(
+                "containment_ppm"
+            ),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+    )

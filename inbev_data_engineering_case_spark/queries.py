@@ -5668,6 +5668,99 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_oracle(
+    n: int = 5, threshold_ppm: int = 800_000, max_df: int = 100
+) -> str:
+    lo = n - 1
+    ws = r"'[ \t\n\x0b\f\r]+'"
+    grams_expr = (
+        f"[array_to_string(w[i:i+{lo}], ' ') FOR i IN range(1, len(w) - {lo - 1})]"
+    )
+    return f"""
+    WITH frag AS (
+      SELECT doc_id + 500000 AS doc_id,
+             array_to_string(w[1:greatest((len(w) * 2) // 5, 6)], ' ')
+               AS text
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), {ws}) AS w
+            FROM documents WHERE doc_id % 50 = 0)
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM frag
+    ),
+    grams AS (
+      SELECT doc_id, (('0x' || substr(md5(g), 1, 15)))::BIGINT AS gram_h
+      FROM (SELECT doc_id, unnest(list_distinct({grams_expr})) AS g
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), {ws}) AS w
+                  FROM corpus))
+    ),
+    informative AS (
+      SELECT * FROM grams WHERE gram_h NOT IN (
+        SELECT gram_h FROM grams GROUP BY 1 HAVING count(*) > {max_df}
+      )
+    ),
+    sizes AS (
+      SELECT doc_id, count(*)::BIGINT AS n_grams FROM informative GROUP BY 1
+    ),
+    shared AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             count(*)::BIGINT AS n_shared
+      FROM informative a JOIN informative b USING (gram_h)
+      WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+    )
+    SELECT contained_id, container_id, n_shared, n_grams,
+           (n_shared * 1000000) // n_grams AS containment_ppm
+    FROM shared JOIN sizes ON sizes.doc_id = shared.contained_id
+    WHERE (n_shared * 1000000) // n_grams >= {threshold_ppm}
+    """
+
+
+@register(
+    "q_containment",
+    _containment_oracle(),
+    doc="asymmetric n-gram containment (operators/dedup.py "
+    "containment_pairs): directed |grams(A) ∩ grams(B)| / |grams(A)| — "
+    "the quote-inclusion case symmetric Jaccard structurally misses (a "
+    "short page wholly excerpted inside a long one has tiny Jaccard "
+    "but containment ≈ 1; Lee et al. 2021's substring-dup case at gram "
+    "granularity). Fixture plants a 40%-prefix fragment of every 50th "
+    "document; each fragment must surface as contained in its source "
+    "at exact integer ppm. Grams hash to 8 bytes before the exchange, "
+    "the candidate join is gram-keyed with corpus-hot grams (df > 100) "
+    "excluded from numerator AND denominator — capping per-gram "
+    "fan-out at df² and keeping the measure well-defined over "
+    "informative grams (boilerplate is q_boilerplate/q_dedup_spans' "
+    "job). Late-r7 tail debut (family cover: q_dedup_minhash's banded "
+    "gram machinery + q_dedup_spans' hot-set discipline, both "
+    "in-window).",
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.functions import tokens
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    frag = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id"), tokens(F.col("text")).alias("_toks"))
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.array_join(
+                F.expr(
+                    "slice(_toks, 1, greatest((size(_toks) * 2) div 5, 6))"
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(frag)
+    return containment_pairs(
+        corpus, n=5, threshold_ppm=800_000, max_gram_df=100
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -5908,6 +6001,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # HLL-specific merge identity stays pytest- and tail-oracle-pinned
     # (q_sketch_rollup, test_streaming bit-identity):
     "q_stream_sketch": ("q_stream_cms", "q_cms_freq"),
+    # LATE-r7 DEBUT (not a demotion): asymmetric n-gram containment,
+    # registered after the r7 window filled; leads the r8 promotion
+    # queue. Its gram/hash/hot-set machinery is covered in-window by
+    # q_dedup_minhash (banded gram similarity) and q_dedup_spans
+    # (distinct-gram fingerprints + hot-set exclusion):
+    "q_containment": ("q_dedup_minhash", "q_dedup_spans"),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -4107,6 +4107,51 @@ def test_rrf_fuse_order_invariant_and_monotone(spark):
     assert three[1] > two[1]  # doc 1 gained from list c
 
 
+def test_containment_pairs_catches_quote_inclusion_jaccard_misses(spark):
+    """A 6-word fragment quoted inside a 40-word page: Jaccard ≈ 2/37
+    (far below any near-dup threshold) but containment(fragment in
+    page) = 1.0 — the directed pair surfaces, the reverse direction
+    does not; near-identical docs pair BOTH ways; a doc below n words
+    has no grams and never pairs; corpus-hot grams are excluded from
+    numerator and denominator consistently."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    page_words = [f"w{i}" for i in range(40)]
+    fragment = " ".join(page_words[10:16])  # 6 words inside the page
+    docs = [
+        (1, " ".join(page_words)),
+        (2, fragment),
+        (3, " ".join(page_words) + " tail"),  # near-identical to 1
+        (4, "too few words"),  # < 5 words -> no grams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["contained_id"], r["container_id"]): r
+        for r in containment_pairs(
+            df, n=5, threshold_ppm=800_000, max_gram_df=None
+        ).collect()
+    }
+    # fragment (2 five-grams) fully contained in page 1 and in page 3
+    assert out[(2, 1)]["containment_ppm"] == 1_000_000
+    assert out[(2, 1)]["n_shared"] == 2 and out[(2, 1)]["n_grams"] == 2
+    assert out[(2, 3)]["containment_ppm"] == 1_000_000
+    # the page is NOT contained in the fragment (2/36 grams)
+    assert (1, 2) not in out
+    # near-identical pages pair in BOTH directions
+    assert out[(1, 3)]["containment_ppm"] == 1_000_000  # 36/36
+    assert out[(3, 1)]["containment_ppm"] >= 900_000  # 36/37
+    # the short doc never appears on either side
+    assert not any(4 in k for k in out)
+    # hot-gram exclusion: with max_gram_df=1 every shared gram is hot
+    # (df >= 2), so no pair survives — exclusion hits both sides
+    assert (
+        containment_pairs(df, n=5, threshold_ppm=1, max_gram_df=1).count()
+        == 0
+    )
+
+
 def test_dedup_spans_drops_planted_boilerplate_and_preserves_case(spark):
     """A 4-token span shared verbatim by 5 docs (case differing — the
     match is case-folded) is dropped everywhere; unique spans keep
