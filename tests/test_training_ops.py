@@ -3927,6 +3927,97 @@ def test_text_index_compaction_reclusters_without_retokenizing(
     assert got == want
 
 
+def test_index_update_equals_rebuild_property(spark):
+    """Hypothesis property: for ANY day-1 corpus and ANY day-2 delta
+    (new docs + changed docs + deletes, in any mix hypothesis picks),
+    update_text_index over the delta produces tf/doclen/stats contents
+    IDENTICAL to a full rebuild of the final corpus — the delta path
+    can never drift from the rebuild it stands in for, whichever
+    physical path (append/merge) it routes to."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        build_text_index,
+        resolve_text_index,
+        update_text_index,
+    )
+
+    words = st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join)
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        day1=st.lists(words, min_size=1, max_size=5),
+        new=st.lists(words, min_size=0, max_size=3),
+        data=st.data(),
+    )
+    def prop(day1, new, data):
+        n1 = len(day1)
+        changed_ids = data.draw(
+            st.lists(
+                st.integers(0, n1 - 1), unique=True, max_size=n1
+            )
+        )
+        # delete from the unchanged day-1 ids; when none remain, a
+        # not-in-corpus id exercises the delete-absent no-op instead
+        deletable = sorted(set(range(n1)) - set(changed_ids))
+        deleted_ids = data.draw(
+            st.lists(st.sampled_from(deletable or [10**6]), unique=True)
+        )
+        d1 = spark.createDataFrame(
+            list(enumerate(day1)), "doc_id long, text string"
+        )
+        changed = spark.createDataFrame(
+            [(i, data.draw(words)) for i in changed_ids]
+            + [(n1 + j, t) for j, t in enumerate(new)],
+            "doc_id long, text string",
+        ) if (changed_ids or new) else d1.limit(0)
+        deleted = (
+            spark.createDataFrame(
+                [(i,) for i in deleted_ids], "doc_id long"
+            )
+            if deleted_ids
+            else None
+        )
+        root = tempfile.mkdtemp(prefix="idxprop_")
+        try:
+            idx = f"{root}/idx"
+            build_text_index(d1, idx)
+            update_text_index(spark, idx, changed, deleted_ids=deleted)
+            final = (
+                d1.join(changed.select("doc_id"), "doc_id", "left_anti")
+                .unionByName(changed)
+            )
+            if deleted is not None:
+                final = final.join(deleted, "doc_id", "left_anti")
+            rb = f"{root}/rebuild"
+            build_text_index(final, rb)
+            s_upd, s_rb = resolve_text_index(idx), resolve_text_index(rb)
+            for table in ("tf", "doclen", "stats"):
+                got = sorted(
+                    map(tuple, spark.read.parquet(f"{s_upd}/{table}").collect())
+                )
+                want = sorted(
+                    map(tuple, spark.read.parquet(f"{s_rb}/{table}").collect())
+                )
+                assert got == want, (table, got, want)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    prop()
+
+
 def test_text_index_refuses_unindexable_documents(spark, tmp_path):
     """A NULL-text document produces no tf/doclen rows; silently
     excluding it would shift N (and every idf) away from the scan path
