@@ -914,3 +914,72 @@ def stream_cms_partials(
             F.lit(width).alias("width"),
         )
     )
+
+
+def run_stream_index_update(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint: str,
+    timeout: int = 300,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Streaming maintenance of the SERVING text index: each arriving
+    micro-batch of new/changed documents applies to the committed
+    ``build_text_index`` snapshot chain through ``update_text_index`` —
+    the curation loop's index stays current with the crawl instead of
+    waiting for a nightly rebuild, and readers keep resolving committed
+    generations mid-stream (every batch publishes atomically).
+
+    Replay idempotence WITHOUT a dedup marker: ``update_text_index`` is
+    a keyed MERGE (a doc's stale tf/doclen rows anti-join out before
+    its re-tokenized rows union in), so a REPLAYED batch — crash
+    between the index commit and the checkpoint write — re-applies to
+    the exact same final contents, just as one more snapshot
+    generation (``merge_upsert_snapshot``'s argument, applied to the
+    index). Duplicate ids WITHIN a batch collapse via dropDuplicates
+    on the key first (an at-least-once source may re-deliver a doc
+    into the same batch; for conflicting texts under one id in one
+    batch the survivor is arbitrary — feed a keyed, deduped stream for
+    deterministic results).
+
+    One writer per (index_dir, checkpoint): concurrent batch writers
+    would conflict on ``expected_parent`` (the loser raises
+    ``SnapshotConflictError`` rather than losing a delta — rebuilds
+    belong in a quiet window). Returns ``query_metrics``.
+    """
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        update_text_index,
+    )
+
+    spark = docs_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # materialize the micro-batch ONCE: the delta update runs
+        # several actions over it (overlap probe, tf/doclen/stats
+        # writes, audits), and a foreachBatch file-source batch
+        # re-scans its input files per action otherwise (observed 7+
+        # re-reads per batch)
+        batch = (
+            batch_df.select(id_col, text_col)
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)
+        )
+        if not batch.take(1):
+            return
+        update_text_index(spark, index_dir, batch, id_col=id_col,
+                          text_col=text_col)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"index-update stream to {index_dir} did not drain in "
+            f"{timeout}s"
+        )
+    return query_metrics(q)

@@ -734,6 +734,95 @@ def test_stream_cms_partials_bit_identical_and_replay_safe(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(sink).collect())) == first
 
 
+def test_stream_index_update_keeps_serving_index_current(spark, tmp_path):
+    """The serving text index maintained FROM THE DOCUMENT STREAM: two
+    micro-batches of new/changed docs apply through update_text_index
+    (each publishing an atomic committed generation), the drained index
+    equals a full rebuild of the final corpus, and RE-APPLYING the last
+    batch (the crash-between-commit-and-checkpoint replay) changes
+    nothing — the keyed merge makes replay idempotent without a
+    marker."""
+    from inbev_data_engineering_case_spark.operators.relevance import (
+        bm25_from_index,
+        build_text_index,
+        update_text_index,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        run_stream_index_update,
+    )
+
+    idx = str(tmp_path / "serving_index")
+    day0 = spark.createDataFrame(
+        [(0, "spark shuffles data"), (1, "zebra crossing ahead")],
+        "doc_id long, text string",
+    )
+    build_text_index(day0, idx)
+
+    src = str(tmp_path / "doc_feed")
+    batch1 = spark.createDataFrame(
+        [(2, "spark tuning guide")], "doc_id long, text string"
+    )
+    batch2 = spark.createDataFrame(
+        # doc 1 CHANGES content; doc 3 is new; doc 3 re-delivered in
+        # the same batch (at-least-once source) collapses via the
+        # keyed dedup
+        [(1, "updated zebra text"), (3, "cluster spark facts"),
+         (3, "cluster spark facts")],
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    metrics = run_stream_index_update(
+        stream, idx, str(tmp_path / "ckpt")
+    )
+    assert metrics["input_rows"] == 4
+
+    final = spark.createDataFrame(
+        [
+            (0, "spark shuffles data"),
+            (1, "updated zebra text"),
+            (2, "spark tuning guide"),
+            (3, "cluster spark facts"),
+        ],
+        "doc_id long, text string",
+    )
+    rebuild = str(tmp_path / "rebuild")
+    build_text_index(final, rebuild)
+    key = lambda r: tuple(r)  # noqa: E731
+    want = sorted(
+        map(
+            key,
+            bm25_from_index(
+                spark, rebuild, ["spark", "zebra"], k=10
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            key,
+            bm25_from_index(spark, idx, ["spark", "zebra"], k=10).collect(),
+        )
+    )
+    assert got == want
+    # replay the final batch by hand: same final answers
+    update_text_index(
+        spark, idx, batch2.dropDuplicates(["doc_id"])
+    )
+    replayed = sorted(
+        map(
+            key,
+            bm25_from_index(spark, idx, ["spark", "zebra"], k=10).collect(),
+        )
+    )
+    assert replayed == want
+
+
 def test_lateness_metrics_report_watermark_drops(spark, tmp_path):
     """Deliberately-late fixture through the dedup operator: batch 0
     advances the watermark past the late rows in batches 1 and 2. The
