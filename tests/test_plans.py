@@ -312,6 +312,17 @@ def test_ann_index_path_broadcasts_model_sides(spark, tmp_path):
     assert "Exchange rangepartitioning" not in plan, plan
 
 
+def test_containment_hot_set_broadcasts_and_join_is_gram_keyed(spark):
+    """Containment's candidate join keys on the 8-byte gram hash (hash
+    exchanges only — never a range sort or cartesian), and the
+    corpus-hot gram set removes via a BROADCAST anti-join (the
+    boilerplate/dedup-spans discipline)."""
+    plan = _plan(spark, "q_containment")
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
 def test_skew_report_plans_takeordered(spark):
     plan = _plan(spark, "q_skew_report")
     assert "TakeOrdered" in plan, plan
