@@ -217,3 +217,80 @@ def heavy_hitters(
             ).cast("bigint").alias("share_ppm"),
         )
     )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_cuts: int = 15,
+    approx: bool = False,
+) -> DataFrame:
+    """Two-sample DISTRIBUTION drift — the KS-style ECDF comparison that
+    catches what ``curate.curation_drift``'s count alarms cannot: a
+    corpus whose per-stage survivor counts look normal while the
+    distribution of a score (quality, perplexity, length, value) shifts
+    under them. Evaluates both samples' empirical CDFs at the
+    REFERENCE distribution's ``n_cuts`` quantile probe points and
+    reports the per-cut gap in exact integer ppm; ``max(gap_ppm)`` is
+    the KS statistic at probe-point resolution — alarm when it clears
+    the threshold calibrated for the sample sizes.
+
+    Returns one row per probe point: ``(cut_idx, cut_value,
+    ref_cdf_ppm, cur_cdf_ppm, gap_ppm)``.
+
+    Scale shape: the probe boundaries are ONE row — exact
+    ``F.percentile`` for oracle parity or the mergeable GK sketch
+    (``approx=True``, the 100 TB setting) — broadcast into each side's
+    single codegen'd indicator-sum pass (two corpus scans total, no
+    sort, no shuffle beyond two 1-row aggregates). CDF numerators and
+    denominators count non-NULL values consistently; the ppm division
+    is an explicit int64 floor, so the replay matches hash-for-hash.
+    """
+    if n_cuts < 1:
+        raise ValueError("distribution_drift: n_cuts must be >= 1")
+    qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
+    if approx:
+        b_aggs = [
+            F.expr(f"approx_percentile({value_col}, {q})").alias(f"_b{i}")
+            for i, q in enumerate(qs)
+        ]
+    else:
+        b_aggs = [
+            F.percentile(value_col, F.lit(q)).alias(f"_b{i}")
+            for i, q in enumerate(qs)
+        ]
+    bounds = ref.agg(*b_aggs)
+
+    def ecdf_counts(df: DataFrame, prefix: str) -> DataFrame:
+        aggs = [
+            F.sum(
+                F.when(F.col(value_col) <= F.col(f"_b{i}"), 1).otherwise(0)
+            ).alias(f"{prefix}le{i}")
+            for i in range(n_cuts)
+        ]
+        return df.join(F.broadcast(bounds)).agg(
+            F.count(value_col).alias(f"{prefix}n"), *aggs
+        )
+
+    one = (
+        ecdf_counts(ref, "_r")
+        .join(F.broadcast(ecdf_counts(cur, "_c")))
+        .join(F.broadcast(bounds))
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("int").alias("cut_idx"),
+                F.col(f"_b{i}").cast("double").alias("cut_value"),
+                F.expr(f"(_rle{i} * 1000000) div _rn").alias("ref_cdf_ppm"),
+                F.expr(f"(_cle{i} * 1000000) div _cn").alias("cur_cdf_ppm"),
+                F.expr(
+                    f"abs((_rle{i} * 1000000) div _rn"
+                    f" - (_cle{i} * 1000000) div _cn)"
+                ).alias("gap_ppm"),
+            )
+            for i in range(n_cuts)
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

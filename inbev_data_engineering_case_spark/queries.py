@@ -5668,6 +5668,71 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dist_drift_oracle(n_cuts: int = 15) -> str:
+    qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
+    b_cols = ", ".join(
+        f"quantile_cont(value, {q!r}) AS _b{i}" for i, q in enumerate(qs)
+    )
+    r_sums = ", ".join(
+        f"sum(CASE WHEN value <= _b{i} THEN 1 ELSE 0 END)::BIGINT AS _rle{i}"
+        for i in range(n_cuts)
+    )
+    c_sums = ", ".join(
+        f"sum(CASE WHEN value <= _b{i} THEN 1 ELSE 0 END)::BIGINT AS _cle{i}"
+        for i in range(n_cuts)
+    )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INT) AS cut_idx, _b{i} AS cut_value,"
+        f" (_rle{i} * 1000000) // _rn AS ref_cdf_ppm,"
+        f" (_cle{i} * 1000000) // _cn AS cur_cdf_ppm,"
+        f" abs((_rle{i} * 1000000) // _rn - (_cle{i} * 1000000) // _cn)"
+        f" AS gap_ppm FROM refc CROSS JOIN curc CROSS JOIN bounds"
+        for i in range(n_cuts)
+    )
+    return f"""
+    WITH ref AS (SELECT value FROM events WHERE event_id % 2 = 0),
+    cur AS (SELECT value * 1.1 AS value FROM events WHERE event_id % 2 = 1),
+    bounds AS (SELECT {b_cols} FROM ref),
+    refc AS (SELECT count(value)::BIGINT AS _rn, {r_sums}
+             FROM ref CROSS JOIN bounds),
+    curc AS (SELECT count(value)::BIGINT AS _cn, {c_sums}
+             FROM cur CROSS JOIN bounds)
+    {selects}
+    """
+
+
+@register(
+    "q_dist_drift",
+    _dist_drift_oracle(),
+    doc="two-sample distribution drift (operators/quality.py "
+    "distribution_drift): the KS-style ECDF comparison that catches "
+    "what q_curation_drift's count alarms cannot — a corpus whose "
+    "per-stage survivor counts look normal while the DISTRIBUTION of "
+    "a score shifts under them. Both samples' empirical CDFs evaluate "
+    "at the reference distribution's 15 quantile probe points; "
+    "per-cut gap in exact integer ppm (max = the KS statistic at "
+    "probe resolution). Fixture: even-event values vs odd-event "
+    "values scaled 1.1x — a real planted shift, visible per cut. "
+    "Probe boundaries are a broadcast 1-row aggregate (exact "
+    "percentile here, GK sketch via approx=True at 100 TB) feeding "
+    "one codegen'd indicator-sum pass per side — two scans, no sort, "
+    "no data-sized shuffle. Late-r7 tail debut (family cover: "
+    "q_skew_report's distribution profiling + q_curation_drift's "
+    "drift alarms, both in-window).",
+)
+def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    ev = read_events(spark, sf_dir)
+    ref = ev.filter(F.col("event_id") % 2 == 0).select("value")
+    cur = ev.filter(F.col("event_id") % 2 == 1).select(
+        (F.col("value") * 1.1).alias("value")
+    )
+    return distribution_drift(ref, cur, "value", n_cuts=15)
+
+
 def _containment_oracle(
     n: int = 5, threshold_ppm: int = 800_000, max_df: int = 100
 ) -> str:
@@ -6007,6 +6072,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_dedup_minhash (banded gram similarity) and q_dedup_spans
     # (distinct-gram fingerprints + hot-set exclusion):
     "q_containment": ("q_dedup_minhash", "q_dedup_spans"),
+    # LATE-r7 DEBUT (not a demotion): two-sample ECDF drift, r8
+    # promotion queue; distribution profiling is covered in-window by
+    # q_skew_report and the day-over-day drift surface by
+    # q_curation_drift (this op is its distributional complement):
+    "q_dist_drift": ("q_skew_report", "q_curation_drift"),
 }
 
 for _name in _FAMILY_STAND_INS:

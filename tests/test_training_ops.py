@@ -4198,6 +4198,41 @@ def test_rrf_fuse_order_invariant_and_monotone(spark):
     assert three[1] > two[1]  # doc 1 gained from list c
 
 
+def test_distribution_drift_flags_shift_and_zeroes_identity(spark):
+    """Known answers: an identical sample pair gaps 0 ppm at every probe
+    point; a +1 location shift of a uniform sample shows a large max
+    gap (the KS signal); NULL values are excluded from numerator and
+    denominator consistently; probe points are the reference quantiles
+    in order."""
+    from inbev_data_engineering_case_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(100)] + [(None,)], "value double"
+    )
+    same = distribution_drift(ref, ref, "value", n_cuts=7).collect()
+    assert len(same) == 7
+    assert all(r["gap_ppm"] == 0 for r in same)
+    assert [r["cut_idx"] for r in same] == list(range(1, 8))
+    assert all(
+        a["cut_value"] < b["cut_value"] for a, b in zip(same, same[1:])
+    )
+    # ref CDF at the i/8 quantile probe is ~i/8 of the non-NULL rows
+    assert same[3]["ref_cdf_ppm"] == 500_000  # median probe: 50/100
+
+    shifted = spark.createDataFrame(
+        [(float(i) + 50.0,) for i in range(100)], "value double"
+    )
+    drift = distribution_drift(ref, shifted, "value", n_cuts=7).collect()
+    # at the ref median (49.5): ref CDF 0.5, shifted CDF 0 -> gap 500000
+    assert max(r["gap_ppm"] for r in drift) == 500_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_cuts"):
+        distribution_drift(ref, ref, "value", n_cuts=0)
+
+
 def test_containment_pairs_catches_quote_inclusion_jaccard_misses(spark):
     """A 6-word fragment quoted inside a 40-word page: Jaccard ≈ 2/37
     (far below any near-dup threshold) but containment(fragment in
