@@ -286,8 +286,10 @@ def next_snapshot_run(base_dir: str, prefix: str) -> tuple[str | None, str]:
 def run_id_of(snapshot_path: str, prefix: str) -> str:
     """Run id of a resolved snapshot path — the value a delta writer
     passes as ``expected_parent`` so the commit is pinned to the exact
-    generation it read (see ``next_snapshot_run``)."""
-    return os.path.basename(snapshot_path).removeprefix(f"{prefix}_")
+    generation it read (see ``next_snapshot_run``). Delegates to the
+    same parser ``commit_snapshot`` uses for its own parent resolution,
+    so the two can never diverge on snapshot naming."""
+    return _parent_run_id(snapshot_path, prefix)
 
 
 def next_run_after(parent: str | None) -> str:

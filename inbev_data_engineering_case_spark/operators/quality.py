@@ -250,17 +250,20 @@ def distribution_drift(
     if n_cuts < 1:
         raise ValueError("distribution_drift: n_cuts must be >= 1")
     qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
-    if approx:
-        b_aggs = [
-            F.expr(f"approx_percentile({value_col}, {q})").alias(f"_b{i}")
-            for i, q in enumerate(qs)
+    # ONE percentile aggregate over the probe array — not n_cuts
+    # independent ones: in approx mode each row would otherwise update
+    # n_cuts separate GK sketches (~n_cuts x the sketch CPU and buffer
+    # memory); the array form computes every cut from a single pass
+    fn = "approx_percentile" if approx else "percentile"
+    arr = ", ".join(repr(q) for q in qs)
+    bounds = ref.agg(
+        F.expr(f"{fn}({value_col}, array({arr}))").alias("_bs")
+    ).select(
+        *[
+            F.element_at(F.col("_bs"), i + 1).alias(f"_b{i}")
+            for i in range(n_cuts)
         ]
-    else:
-        b_aggs = [
-            F.percentile(value_col, F.lit(q)).alias(f"_b{i}")
-            for i, q in enumerate(qs)
-        ]
-    bounds = ref.agg(*b_aggs)
+    )
 
     def ecdf_counts(df: DataFrame, prefix: str) -> DataFrame:
         aggs = [
@@ -278,6 +281,25 @@ def distribution_drift(
         .join(F.broadcast(ecdf_counts(cur, "_c")))
         .join(F.broadcast(bounds))
     )
+    # an EMPTY (or all-NULL) sample is the failure a drift alarm most
+    # needs to catch — a NULL/zero gap would read as "no drift" while
+    # an upstream stage produced nothing. Fail loudly instead; the
+    # guard rides in the plan, so there is no extra driver action.
+    for side, name in (("_rn", "reference"), ("_cn", "current")):
+        one = one.withColumn(
+            side,
+            F.when(
+                F.col(side) == 0,
+                F.raise_error(
+                    F.lit(
+                        f"distribution_drift: the {name} sample has no "
+                        "non-NULL values — no CDF exists to compare; "
+                        "this is itself the drift event (alarm "
+                        "upstream on the empty stage)"
+                    )
+                ).cast("bigint"),
+            ).otherwise(F.col(side)),
+        )
     rows = F.array(
         *[
             F.struct(

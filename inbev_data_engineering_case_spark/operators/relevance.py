@@ -543,13 +543,31 @@ def build_text_index(
         # assumed: any unindexable document fails the build loudly
         # inside the stats job (staging never publishes) — drop
         # NULL-text docs before indexing.
-        n_docs = documents.agg(F.count("*").alias("_nd"))
+        n_docs = documents.agg(
+            F.count("*").alias("_nrows"),
+            F.countDistinct(id_col).alias("_nd"),
+        )
         stats = (
             spark.read.parquet(f"{staging}/doclen")
             .agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
             .join(F.broadcast(n_docs))
             .select(
                 F.when(
+                    F.col("_nrows") != F.col("_nd"),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("build_text_index: "),
+                            (F.col("_nrows") - F.col("_nd")).cast("string"),
+                            F.lit(
+                                " duplicate doc id row(s) in the input "
+                                "— their term counts would merge into "
+                                "one corrupted tf entry; dedupe per "
+                                "id before indexing"
+                            ),
+                        )
+                    ).cast("bigint"),
+                )
+                .when(
                     F.col("_n") != F.col("_nd"),
                     F.raise_error(
                         F.concat(
@@ -557,7 +575,7 @@ def build_text_index(
                             (F.col("_nd") - F.col("_n")).cast("string"),
                             F.lit(
                                 " document(s) produced no index rows "
-                                "(NULL text?) — N would diverge from "
+                                "(NULL text) — N would diverge from "
                                 "the corpus count and every idf with "
                                 "it; filter them out before indexing"
                             ),
@@ -713,7 +731,10 @@ def update_text_index(
         # maintenance and full rebuild agree exactly. The delta's own
         # indexability is enforced like the full build's (history was
         # validated when ITS generation published):
-        d_docs = changed_docs.agg(F.count("*").alias("_ndd"))
+        d_docs = changed_docs.agg(
+            F.count("*").alias("_ndrows"),
+            F.countDistinct(id_col).alias("_ndd"),
+        )
         d_idx = delta_doclen.agg(F.count("*").alias("_ndi"))
         stats = (
             spark.read.parquet(f"{staging}/doclen")
@@ -722,6 +743,22 @@ def update_text_index(
             .join(F.broadcast(d_idx))
             .select(
                 F.when(
+                    F.col("_ndrows") != F.col("_ndd"),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("update_text_index: "),
+                            (F.col("_ndrows") - F.col("_ndd")).cast(
+                                "string"
+                            ),
+                            F.lit(
+                                " duplicate doc id row(s) in the "
+                                "delta — dedupe per id before "
+                                "updating"
+                            ),
+                        )
+                    ).cast("bigint"),
+                )
+                .when(
                     F.col("_ndd") != F.col("_ndi"),
                     F.raise_error(
                         F.concat(
@@ -729,7 +766,7 @@ def update_text_index(
                             (F.col("_ndd") - F.col("_ndi")).cast("string"),
                             F.lit(
                                 " changed document(s) produced no "
-                                "index rows (NULL text?) — filter "
+                                "index rows (NULL text) — filter "
                                 "them out before updating"
                             ),
                         )

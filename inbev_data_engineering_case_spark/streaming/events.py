@@ -941,7 +941,11 @@ def run_stream_index_update(
     on the key first (an at-least-once source may re-deliver a doc
     into the same batch; for conflicting texts under one id in one
     batch the survivor is arbitrary — feed a keyed, deduped stream for
-    deterministic results).
+    deterministic results). NULL-text docs are DROPPED per batch
+    rather than raised: the batch operator's fail-loud indexability
+    guard would otherwise turn one bad doc into a permanently
+    replaying failed stream — quarantine upstream if unindexable docs
+    need accounting.
 
     One writer per (index_dir, checkpoint): concurrent batch writers
     would conflict on ``expected_parent`` (the loser raises
@@ -959,9 +963,17 @@ def run_stream_index_update(
         # several actions over it (overlap probe, tf/doclen/stats
         # writes, audits), and a foreachBatch file-source batch
         # re-scans its input files per action otherwise (observed 7+
-        # re-reads per batch)
+        # re-reads per batch). NULL-text docs are filtered HERE, not
+        # raised: update_text_index's fail-loud indexability guard is
+        # right for a batch caller who can fix the input, but inside a
+        # replaying stream one unindexable doc would fail the batch
+        # before the offset commit and every restart would replay it —
+        # a permanent poison pill. Dropping is the dead-letter
+        # equivalent (the doc simply isn't searchable; route a
+        # quarantine stream upstream if those docs need accounting).
         batch = (
             batch_df.select(id_col, text_col)
+            .filter(F.col(text_col).isNotNull())
             .dropDuplicates([id_col])
             .localCheckpoint(eager=True)
         )

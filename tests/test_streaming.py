@@ -765,9 +765,10 @@ def test_stream_index_update_keeps_serving_index_current(spark, tmp_path):
     batch2 = spark.createDataFrame(
         # doc 1 CHANGES content; doc 3 is new; doc 3 re-delivered in
         # the same batch (at-least-once source) collapses via the
-        # keyed dedup
+        # keyed dedup; doc 9's NULL text must DROP, not poison the
+        # stream into a permanently replaying failed batch
         [(1, "updated zebra text"), (3, "cluster spark facts"),
-         (3, "cluster spark facts")],
+         (3, "cluster spark facts"), (9, None)],
         "doc_id long, text string",
     )
     batch1.coalesce(1).write.parquet(src)
@@ -781,7 +782,7 @@ def test_stream_index_update_keeps_serving_index_current(spark, tmp_path):
     metrics = run_stream_index_update(
         stream, idx, str(tmp_path / "ckpt")
     )
-    assert metrics["input_rows"] == 4
+    assert metrics["input_rows"] == 5  # incl. the dropped NULL-text doc
 
     final = spark.createDataFrame(
         [
@@ -810,9 +811,12 @@ def test_stream_index_update_keeps_serving_index_current(spark, tmp_path):
         )
     )
     assert got == want
-    # replay the final batch by hand: same final answers
+    # replay the final batch by hand (as apply_batch would see it:
+    # NULL-text filtered, keyed-deduped): same final answers
     update_text_index(
-        spark, idx, batch2.dropDuplicates(["doc_id"])
+        spark,
+        idx,
+        batch2.filter("text is not null").dropDuplicates(["doc_id"]),
     )
     replayed = sorted(
         map(

@@ -4050,6 +4050,16 @@ def test_text_index_refuses_unindexable_documents(spark, tmp_path):
     with _pytest.raises((Exception, Py4JJavaError), match="produced no"):
         update_text_index(spark, idx, delta)
     assert resolve_text_index(idx) == good  # generation unchanged
+    # duplicate ids get their OWN diagnosis (their term counts would
+    # merge into one corrupted tf entry) — never blamed on NULL text
+    dup = spark.createDataFrame(
+        [(5, "alpha"), (5, "alpha")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="duplicate doc id"):
+        build_text_index(dup, str(tmp_path / "dupidx"))
+    with _pytest.raises((Exception, Py4JJavaError), match="duplicate doc id"):
+        update_text_index(spark, idx, dup)
+    assert resolve_text_index(idx) == good
 
 
 def test_text_index_delta_update_two_day_loop(spark, tmp_path):
@@ -4231,6 +4241,13 @@ def test_distribution_drift_flags_shift_and_zeroes_identity(spark):
 
     with _pytest.raises(ValueError, match="n_cuts"):
         distribution_drift(ref, ref, "value", n_cuts=0)
+    # an empty/all-NULL sample IS the drift event — fail loudly, never
+    # report a NULL/zero gap that reads as "no drift"
+    empty = spark.createDataFrame([(None,)], "value double")
+    with _pytest.raises(Exception, match="no non-NULL values"):
+        distribution_drift(ref, empty, "value", n_cuts=3).collect()
+    with _pytest.raises(Exception, match="no non-NULL values"):
+        distribution_drift(empty, ref, "value", n_cuts=3).collect()
 
 
 def test_containment_pairs_catches_quote_inclusion_jaccard_misses(spark):
