@@ -94,6 +94,34 @@ def test_pagerank_teleport_mass_property_on_sink_graph(spark):
     )
 
 
+def test_pagerank_rank_unit_scales_resolution(spark):
+    """`unit` sets the integer rank grid: the symmetric 2-cycle holds
+    exactly half the mass at any unit; unit=1e6 (default) matches the
+    original formula bit-for-bit; invalid units fail loudly. The
+    resolution motivation: ranks live on `unit` steps, so unit must be
+    >> N (the 100k-node probe collapses at 1e6 and conserves mass at
+    1e12 — tools/graph_scale_probe.py)."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    big = _ranks(pagerank(edges, n_iter=8, unit=10**12))
+    assert big == {"a": 500_000_000_000, "b": 500_000_000_000}
+    assert _ranks(pagerank(edges, n_iter=8, unit=1_000_000)) == (
+        _ranks(pagerank(edges, n_iter=8))
+    )
+    # teleport at a large unit conserves mass on a sink graph
+    sink = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = _ranks(
+        pagerank(sink, n_iter=8, redistribute_dangling=True, unit=10**12)
+    )
+    assert sum(got.values()) >= 10**12 - 100
+    for bad in (0, 500_000, 1_500_000, 10**13):
+        with pytest.raises(ValueError, match="unit"):
+            pagerank(edges, unit=bad)
+
+
 def test_pagerank_weights_and_parallel_edges(spark):
     """Parallel edges sum into one weighted edge; a 3x-heavier edge
     gets 3x the ppm share (750000 vs 250000), and checkpointing every

@@ -104,6 +104,42 @@ def main() -> None:
         f"ranks identical ({len(plain):,} nodes); "
         f"plain {tp:.2f}s vs checkpointed {tc:.2f}s"
     )
+
+    # --- teleport: dangling redistribution at scale ----------------------
+    # make 10% of nodes real sinks (drop their out-edges), then compare
+    # the plain loop against redistribute_dangling=True (which reads
+    # the prev rank table twice per iteration and therefore
+    # materializes it every other iteration — the 2^n-blowup guard).
+    # RESOLUTION matters here: at unit=1e6 a 100k-node graph quantizes
+    # every rank to a handful of integer steps and floor loss swallows
+    # the whole mass budget (measured: both variants collapse to ~N
+    # total and redistribution is a no-op) — so the at-scale run uses
+    # unit=1e12, the documented large-graph setting.
+    from pyspark.sql import functions as F
+
+    unit = 1_000_000_000_000
+    es = e1.filter(F.pmod(F.col("src"), F.lit(10)) != 0).cache()
+    es.count()
+    drop, td = timed(
+        "8 iter with 10% sinks, mass dropped (unit=1e12)",
+        lambda: pagerank(es, n_iter=8, unit=unit).agg(
+            F.sum("rank_ppm").alias("s"), F.count("*").alias("n")
+        ).first(),
+    )
+    keep, tk = timed(
+        "8 iter with 10% sinks, teleport redistribution (unit=1e12)",
+        lambda: pagerank(
+            es, n_iter=8, redistribute_dangling=True, unit=unit
+        ).agg(F.sum("rank_ppm").alias("s"), F.count("*").alias("n")).first(),
+    )
+    print(
+        f"mass: dropped-variant {drop['s'] / unit:.4f} vs teleport "
+        f"{keep['s'] / unit:.4f} of 1.0 over {keep['n']:,} nodes; "
+        f"teleport overhead {tk / td:.2f}x"
+    )
+    assert keep["s"] > drop["s"]
+    assert keep["s"] <= unit
+    assert keep["s"] >= unit - keep["n"] * 11 * (unit // 1_000_000)
     spark.stop()
 
 
