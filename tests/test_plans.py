@@ -312,6 +312,17 @@ def test_ann_index_path_broadcasts_model_sides(spark, tmp_path):
     assert "Exchange rangepartitioning" not in plan, plan
 
 
+def test_dist_drift_is_two_scans_with_broadcast_bounds(spark):
+    """distribution_drift's plan: the probe boundaries and the two
+    1-row ECDF aggregates join as BROADCASTS (nested-loop on 1-row
+    sides is fine — no data-sized shuffle), and nothing range-sorts;
+    each side is one scan + one partial-aggregated indicator pass."""
+    plan = _plan(spark, "q_dist_drift")
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
 def test_containment_hot_set_broadcasts_and_join_is_gram_keyed(spark):
     """Containment's candidate join keys on the 8-byte gram hash (hash
     exchanges only — never a range sort or cartesian), and the
