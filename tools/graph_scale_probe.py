@@ -139,7 +139,11 @@ def main() -> None:
     )
     assert keep["s"] > drop["s"]
     assert keep["s"] <= unit
-    assert keep["s"] >= unit - keep["n"] * 11 * (unit // 1_000_000)
+    # 0.1% conservation tolerance: per-edge/per-iteration floors lose
+    # well under this (measured loss ~0 at 800k edges x 8 iter), while
+    # the resolution-collapse regression this probe exists to catch
+    # loses >30% — a meaningful, never-flaky bound
+    assert keep["s"] >= unit - unit // 1000
     spark.stop()
 
 
