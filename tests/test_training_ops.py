@@ -1902,6 +1902,105 @@ def test_ann_index_delta_update_two_day_loop(spark, tmp_path):
     assert indexed2 == direct2
 
 
+def test_ann_index_update_equals_rebuild_property(spark):
+    """Hypothesis property (the text-index twin): for ANY day-1 vector
+    set and ANY delta mix (new + changed + deleted ids), update_ann_index
+    against the FROZEN day-1 model produces cells/codes contents
+    identical to a full rebuild of the final corpus with the same
+    model — whichever physical path (append/merge) the delta routes
+    to."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        build_ann_index,
+        pq_sampled_codebook,
+        resolve_ann_index,
+        update_ann_index,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 60)
+        .localCheckpoint(eager=True)
+    )
+    base = emb.filter(F.col("vec_id") < 40)
+    cents = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    book = pq_sampled_codebook(base, m=4, k=8)
+
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        n_new=st.integers(0, 10),
+        changed_ids=st.lists(
+            st.integers(10, 39), unique=True, max_size=4
+        ),
+        deleted_ids=st.lists(
+            st.integers(10, 39), unique=True, max_size=4
+        ),
+    )
+    def prop(n_new, changed_ids, deleted_ids):
+        deleted_ids = [i for i in deleted_ids if i not in changed_ids]
+        new = emb.filter(
+            (F.col("vec_id") >= 40) & (F.col("vec_id") < 40 + n_new)
+        )
+        changed = emb.filter(F.col("vec_id").isin(changed_ids)).select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: (x * F.lit(-1.0)).cast("float")
+            ).alias("embedding"),
+        ) if changed_ids else new.limit(0)
+        delta = changed.unionByName(new)
+        deleted = (
+            spark.createDataFrame(
+                [(i,) for i in deleted_ids], "vec_id long"
+            )
+            if deleted_ids
+            else None
+        )
+        root = tempfile.mkdtemp(prefix="annprop_")
+        try:
+            idx = f"{root}/idx"
+            build_ann_index(
+                base, idx, n_centroids=4, m=4, k=8,
+                centroids=cents, codebook=book,
+            )
+            update_ann_index(spark, idx, delta, deleted_ids=deleted)
+            final = (
+                base.join(delta.select("vec_id"), "vec_id", "left_anti")
+                .unionByName(delta)
+            )
+            if deleted is not None:
+                final = final.join(deleted, "vec_id", "left_anti")
+            rb = f"{root}/rebuild"
+            build_ann_index(
+                final, rb, n_centroids=4, m=4, k=8,
+                centroids=cents, codebook=book,
+            )
+            s_upd, s_rb = resolve_ann_index(idx), resolve_ann_index(rb)
+            for table in ("cells", "codes"):
+                got = sorted(
+                    map(tuple, spark.read.parquet(f"{s_upd}/{table}").collect())
+                )
+                want = sorted(
+                    map(tuple, spark.read.parquet(f"{s_rb}/{table}").collect())
+                )
+                assert got == want, (table, len(got), len(want))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    prop()
+
+
 def test_train_pq_codebooks_deterministic_and_usable(spark):
     from inbev_data_engineering_case_spark.operators.similarity import (
         pq_encode,
