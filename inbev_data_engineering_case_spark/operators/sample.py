@@ -239,3 +239,70 @@ def weighted_sample(
         .limit(k)
         .drop("_es_key")
     )
+
+
+def cap_per_source(
+    documents: DataFrame,
+    max_docs: int = 40,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    presalt: int | None = None,
+) -> DataFrame:
+    """Per-source quota enforcement — the RefinedWeb/C4-style domain cap
+    corpus curation applies so one prolific domain cannot dominate the
+    training mix: keep at most ``max_docs`` documents per source, the
+    HIGHEST-QUALITY ones, with a fully deterministic rank (quality
+    score rounded to 6 decimals DESC, then ``id_col`` ASC — the TF-IDF
+    tie discipline, so a last-ulp difference can never flip the cap
+    boundary between engines or retries).
+
+    Returns ``(id_col, group_col, quality_r, src_rank)`` for the kept
+    documents.
+
+    Scale shape: one hash exchange on ``group_col`` + a per-group rank
+    window. A pathologically hot domain (one source with 1e9 pages)
+    makes that window's partition the straggler; ``presalt=S`` bounds
+    it with a TWO-PHASE cap: phase one ranks within ``(source,
+    hash(id) % S)`` and keeps ``max_docs`` per salt bucket — a strict
+    superset of the final winners, since any true top-``max_docs``
+    document is outranked by at most ``max_docs − 1`` others in its
+    own bucket — so the exact phase-two window sees at most
+    ``S · max_docs`` rows per source. Pure hash salting, no RNG;
+    result identical to the direct form (identity-tested).
+    """
+    from pyspark.sql.window import Window
+
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64,
+    )
+    from inbev_data_engineering_case_spark.operators.textops import (
+        quality_score,
+    )
+
+    if max_docs < 1:
+        raise ValueError("cap_per_source: max_docs must be >= 1")
+    if presalt is not None and presalt < 1:
+        raise ValueError("cap_per_source: presalt must be >= 1")
+    scored = documents.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.round(quality_score(text_col), 6).alias("quality_r"),
+    )
+    if presalt:
+        wpre = Window.partitionBy(
+            group_col,
+            F.pmod(portable_hash64(F.col(id_col).cast("string")), F.lit(presalt)),
+        ).orderBy(F.col("quality_r").desc(), F.col(id_col).asc())
+        scored = (
+            scored.withColumn("_pre", F.row_number().over(wpre))
+            .filter(F.col("_pre") <= max_docs)
+            .drop("_pre")
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality_r").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= max_docs)
+    )

@@ -5668,6 +5668,46 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _source_cap_oracle(max_docs: int = 10) -> str:
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, round({_SQL_QUALITY}, 6) AS quality_r
+      FROM documents
+    )
+    SELECT doc_id, source, quality_r, src_rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY quality_r DESC, doc_id
+      ) AS src_rank FROM scored
+    ) WHERE src_rank <= {max_docs}
+    """
+
+
+@register(
+    "q_source_cap",
+    _source_cap_oracle(),
+    doc="per-source quota enforcement (operators/sample.py "
+    "cap_per_source): the RefinedWeb/C4-style domain cap — keep at "
+    "most 10 documents per source, the highest-quality ones, so one "
+    "prolific domain cannot dominate the training mix. Rank is fully "
+    "deterministic (quality rounded to 6 decimals DESC, doc_id ASC — "
+    "the TF-IDF tie discipline), so the cap boundary cannot flip "
+    "between engines or retries. One hash exchange on source + a "
+    "per-group rank window; a pathologically hot domain is bounded by "
+    "the presalt two-phase cap (phase one keeps max_docs per "
+    "(source, hash salt) bucket — a proven superset of the winners — "
+    "so the exact window sees ≤ S·max_docs rows/source; "
+    "identity-tested against the direct form). Late-r7 tail debut "
+    "(family cover: q_quality_score's scoring machinery + "
+    "q_window_events' per-key rank windows, both in-window).",
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.sample import (
+        cap_per_source,
+    )
+
+    return cap_per_source(_t(spark, sf_dir, "documents"), max_docs=10)
+
+
 def _dist_drift_oracle(n_cuts: int = 15) -> str:
     qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
     b_cols = ", ".join(
@@ -6077,6 +6117,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_skew_report and the day-over-day drift surface by
     # q_curation_drift (this op is its distributional complement):
     "q_dist_drift": ("q_skew_report", "q_curation_drift"),
+    # LATE-r7 DEBUT (not a demotion): per-source quota caps, r8
+    # promotion queue; the scoring machinery is covered in-window by
+    # q_quality_score and the per-key rank window by q_window_events:
+    "q_source_cap": ("q_quality_score", "q_window_events"),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -4307,6 +4307,71 @@ def test_rrf_fuse_order_invariant_and_monotone(spark):
     assert three[1] > two[1]  # doc 1 gained from list c
 
 
+def test_cap_per_source_keeps_best_and_presalt_is_identity(spark):
+    """Domain caps: exactly max_docs survive per source, the survivors
+    are the HIGHEST-quality ones with a deterministic boundary, and
+    the presalt two-phase form (the hot-domain bound) returns the
+    IDENTICAL result — phase one's per-salt-bucket cap is a proven
+    superset of the winners."""
+    from inbev_data_engineering_case_spark.operators.sample import (
+        cap_per_source,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "text")
+    kept = cap_per_source(docs, max_docs=5).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    n_sources = docs.select("source").distinct().count()
+    assert len(by_src) == n_sources
+    assert all(len(v) == 5 for v in by_src.values())
+    assert all(
+        sorted(r["src_rank"] for r in v) == [1, 2, 3, 4, 5]
+        for v in by_src.values()
+    )
+    # survivors really are the per-source top-5 by (quality desc, id)
+    one_src = kept[0]["source"]
+    from inbev_data_engineering_case_spark.operators.textops import (
+        quality_score,
+    )
+
+    ranked = (
+        docs.filter(F.col("source") == one_src)
+        .select(
+            "doc_id", F.round(quality_score("text"), 6).alias("q")
+        )
+        .collect()
+    )
+    want_ids = [
+        r["doc_id"]
+        for r in sorted(ranked, key=lambda r: (-r["q"], r["doc_id"]))[:5]
+    ]
+    got_ids = [
+        r["doc_id"]
+        for r in sorted(by_src[one_src], key=lambda r: r["src_rank"])
+    ]
+    assert got_ids == want_ids
+    # presalt two-phase identity, across salt counts
+    key = lambda r: tuple(r)  # noqa: E731
+    direct = sorted(map(key, kept))
+    for s in (1, 3, 16):
+        assert (
+            sorted(
+                map(
+                    key,
+                    cap_per_source(docs, max_docs=5, presalt=s).collect(),
+                )
+            )
+            == direct
+        )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_docs"):
+        cap_per_source(docs, max_docs=0)
+
+
 def test_distribution_drift_flags_shift_and_zeroes_identity(spark):
     """Known answers: an identical sample pair gaps 0 ppm at every probe
     point; a +1 location shift of a uniform sample shows a large max
