@@ -334,13 +334,26 @@ def link_parquet_files(src_dir: str, dst_dir: str) -> int:
     (markers and hidden files skipped): byte-zero reuse of an existing
     generation's files inside a new staged snapshot. Part-file names
     carry task UUIDs, so linked and freshly written files cannot
-    collide."""
+    collide.
+
+    Filesystems without hard-link support (NFS exports with links
+    disabled, FUSE object-store mounts — EPERM/ENOTSUP/EXDEV) fall
+    back to a byte copy per file: the delta append/compaction paths
+    then work anywhere ``commit_snapshot``'s rename protocol does,
+    just without the zero-byte reuse."""
+    import shutil
+
     os.makedirs(dst_dir, exist_ok=True)
     n = 0
     for name in os.listdir(src_dir):
         if name.startswith(("_", ".")):
             continue
-        os.link(os.path.join(src_dir, name), os.path.join(dst_dir, name))
+        src = os.path.join(src_dir, name)
+        dst = os.path.join(dst_dir, name)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
         n += 1
     return n
 

@@ -904,6 +904,41 @@ def resolve_ann_index(index_dir: str) -> str:
     return latest_snapshot(index_dir, prefix=ANN_INDEX_PREFIX)
 
 
+def _unique_id_guard(vectors: DataFrame, id_col: str, op: str) -> DataFrame:
+    """1-row frame whose evaluation raises in-plan if any id repeats —
+    the ``build_text_index`` duplicate-id discipline applied to the ANN
+    twin: a duplicate vec_id would silently write duplicate cells/codes
+    rows, surfacing as duplicated neighbor candidates in
+    ``ann_from_index`` top-k instead of an error. Broadcast-joined onto
+    the cells write and FOLDED INTO the written cent_id column (+0
+    when clean) so the guard rides the build job itself: a merely
+    projected-then-dropped guard column would be pruned by Catalyst
+    and the raise_error never evaluated. Staging never publishes on
+    failure."""
+    return vectors.agg(
+        F.count("*").alias("_nrows"),
+        F.countDistinct(id_col).alias("_nd"),
+    ).select(
+        F.when(
+            F.col("_nrows") != F.col("_nd"),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op}: "),
+                    (F.col("_nrows") - F.col("_nd")).cast("string"),
+                    F.lit(
+                        f" duplicate {id_col} row(s) in the input — "
+                        "each would write duplicate cells/codes rows "
+                        "and duplicated neighbor candidates; dedupe "
+                        "per id before indexing"
+                    ),
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("_ids_ok")
+    )
+
+
 def build_ann_index(
     vectors: DataFrame,
     index_dir: str,
@@ -957,15 +992,28 @@ def build_ann_index(
         if codebook is not None
         else pq_sampled_codebook(vectors, m, k, seed, id_col, vec_col)
     )
-    c_cells = ivf_assign(
-        vectors.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-        ),
-        cents,
-        n_probe=1,
-        id_col="neighbor_id",
-        vec_col="cvec",
-    ).select("neighbor_id", "cent_id")
+    c_cells = (
+        ivf_assign(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cvec"),
+            ),
+            cents,
+            n_probe=1,
+            id_col="neighbor_id",
+            vec_col="cvec",
+        )
+        .select("neighbor_id", "cent_id")
+        # fail-loud duplicate-id guard riding the cells write (1-row
+        # broadcast; +0 no-op when clean): build_text_index's
+        # contract, mirrored
+        .join(F.broadcast(_unique_id_guard(vectors, id_col,
+                                           "build_ann_index")))
+        .select(
+            "neighbor_id",
+            (F.col("cent_id") + F.col("_ids_ok")).alias("cent_id"),
+        )
+    )
     codes = pq_encode(vectors, book, m, k, id_col, vec_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
@@ -1043,15 +1091,29 @@ def update_ann_index(
     cents = spark.read.parquet(f"{parent_snap}/centroids")
     book = spark.read.parquet(f"{parent_snap}/codebook")
 
-    delta_cells = ivf_assign(
-        changed_vectors.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-        ),
-        cents,
-        n_probe=1,
-        id_col="neighbor_id",
-        vec_col="cvec",
-    ).select("neighbor_id", "cent_id")
+    delta_cells = (
+        ivf_assign(
+            changed_vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cvec"),
+            ),
+            cents,
+            n_probe=1,
+            id_col="neighbor_id",
+            vec_col="cvec",
+        )
+        .select("neighbor_id", "cent_id")
+        # duplicate ids WITHIN the delta would append twin cells/codes
+        # rows on both physical paths — same fail-loud guard as the
+        # build (a delta id matching a STORED id is the normal update
+        # case and anti-joins out, so only intra-delta dups can raise)
+        .join(F.broadcast(_unique_id_guard(changed_vectors, id_col,
+                                           "update_ann_index")))
+        .select(
+            "neighbor_id",
+            (F.col("cent_id") + F.col("_ids_ok")).alias("cent_id"),
+        )
+    )
     delta_codes = pq_encode(
         changed_vectors, book, m, k, id_col, vec_col
     ).withColumnRenamed(id_col, "neighbor_id")

@@ -923,6 +923,7 @@ def run_stream_index_update(
     timeout: int = 300,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_snapshots: int | None = 2,
 ) -> dict[str, int]:
     """Streaming maintenance of the SERVING text index: each arriving
     micro-batch of new/changed documents applies to the committed
@@ -951,6 +952,14 @@ def run_stream_index_update(
     would conflict on ``expected_parent`` (the loser raises
     ``SnapshotConflictError`` rather than losing a delta — rebuilds
     belong in a quiet window). Returns ``query_metrics``.
+
+    ``keep_snapshots`` passes through to ``update_text_index``: the
+    stream publishes ONE generation per micro-batch, so the default
+    of 2 prunes a resolved snapshot out from under a serving reader's
+    lazy scan after just two batches (FileNotFoundError mid-scan).
+    For serving deployments set it above the number of batches that
+    can land within the longest reader's lifetime, or ``None`` to
+    keep all and compact offline (``prune_snapshots``' own caveat).
     """
     from inbev_data_engineering_case_spark.operators.relevance import (
         update_text_index,
@@ -980,7 +989,8 @@ def run_stream_index_update(
         if not batch.take(1):
             return
         update_text_index(spark, index_dir, batch, id_col=id_col,
-                          text_col=text_col)
+                          text_col=text_col,
+                          keep_snapshots=keep_snapshots)
 
     q = (
         docs_stream.writeStream.foreachBatch(apply_batch)

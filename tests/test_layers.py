@@ -433,3 +433,34 @@ def test_commit_snapshot_rejects_duplicate_run_id_and_breaks_stale_lock(
         os.close(holder)
     # released: the same commit succeeds now
     assert _advance(tmp_path, "2024-01-05-00-00", {3}) is None
+
+
+def test_link_parquet_files_falls_back_to_copy(tmp_path, monkeypatch):
+    """Filesystems without hard-link support (FUSE object-store mounts,
+    NFS with links disabled) raise OSError from os.link; the delta
+    append/compaction paths must then degrade to a byte copy rather
+    than fail where commit_snapshot's rename protocol itself works.
+    Simulated by making os.link raise EPERM."""
+    import errno
+
+    from inbev_data_engineering_case_spark.layers import link_parquet_files
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part-000.parquet").write_bytes(b"payload")
+    (src / "_SUCCESS").write_bytes(b"")
+    (src / ".hidden").write_bytes(b"x")
+
+    def deny_link(a, b, **kw):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    monkeypatch.setattr(os, "link", deny_link)
+    dst = tmp_path / "dst"
+    n = link_parquet_files(str(src), str(dst))
+    assert n == 1  # markers and hidden files still skipped
+    assert (dst / "part-000.parquet").read_bytes() == b"payload"
+    # copies, not links: distinct inodes
+    assert (
+        os.stat(dst / "part-000.parquet").st_ino
+        != os.stat(src / "part-000.parquet").st_ino
+    )

@@ -779,10 +779,18 @@ def test_stream_index_update_keeps_serving_index_current(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    # keep_snapshots=None (the serving setting): one generation per
+    # micro-batch must RETAIN — the default of 2 would prune a resolved
+    # snapshot out from under a serving reader after just two batches,
+    # so the passthrough is part of the operator's contract
     metrics = run_stream_index_update(
-        stream, idx, str(tmp_path / "ckpt")
+        stream, idx, str(tmp_path / "ckpt"), keep_snapshots=None
     )
     assert metrics["input_rows"] == 5  # incl. the dropped NULL-text doc
+    import os as _os
+
+    gens = [d for d in _os.listdir(idx) if d.startswith("textindex_")]
+    assert len(gens) == 3  # initial build + one per micro-batch, unpruned
 
     final = spark.createDataFrame(
         [

@@ -4523,3 +4523,42 @@ def test_dedup_spans_zero_length_token_array_cannot_step_negative(spark):
     df = spark.createDataFrame([(1, "")], "doc_id long, text string")
     rows = dedup_spans(df, span_tokens=k, max_docs=3).collect()
     assert [(r["doc_id"], r["n_spans"]) for r in rows] == [(1, 1)]
+
+
+def test_ann_index_duplicate_ids_fail_loudly(spark, tmp_path):
+    """A duplicate vec_id in the corpus (or within a delta) would write
+    duplicate cells/codes rows and surface as duplicated neighbor
+    candidates in top-k — the ANN index must refuse it the way
+    build_text_index refuses duplicate doc ids: an in-plan raise inside
+    the build job, so staging never publishes. A delta id that matches
+    a STORED id is the normal update case and must keep working."""
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        build_ann_index,
+        resolve_ann_index,
+        update_ann_index,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 100)
+    idx = str(tmp_path / "annindex")
+
+    dup_corpus = base.unionByName(base.filter(F.col("vec_id") == 7))
+    with pytest.raises(Exception, match="duplicate vec_id"):
+        build_ann_index(dup_corpus, idx, n_centroids=8, m=4, k=8)
+    with pytest.raises(FileNotFoundError):
+        resolve_ann_index(idx)  # the failed build published nothing
+
+    build_ann_index(base, idx, n_centroids=8, m=4, k=8)
+    delta = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+    )
+    with pytest.raises(Exception, match="duplicate vec_id"):
+        update_ann_index(
+            spark, idx, delta.unionByName(delta.limit(1))
+        )
+    # a changed id that exists in the store is an UPDATE, not a dup:
+    changed = base.filter(F.col("vec_id") == 3).unionByName(delta)
+    audit = update_ann_index(spark, idx, changed)
+    assert audit["mode"] == "merge" and audit["cells_rows"] == 110
