@@ -899,6 +899,7 @@ def dedup_spans(
     max_docs: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """Span-level exact dedup WITH document reconstruction (the
     C4/Dolma cleaning step the gram profiler only reports on): slice
@@ -918,11 +919,16 @@ def dedup_spans(
     Scale shape: spans are formed IN-ROW (``transform`` over a span
     index sequence + ``slice`` — no posexplode self-join); the only
     exchanges are the span-fingerprint aggregation (rows = distinct
-    spans, 8-byte keys) and the per-doc regroup. The hot-span set is
-    corpus-boilerplate-sized and broadcasts into a left-anti join —
-    documents never shuffle by content. Same discipline as the minhash
-    banded join; composable before it (drop boilerplate spans first,
-    then near-dedup whole documents).
+    spans, 8-byte keys) and the per-doc regroup. The hot-span anti-join
+    stays fp-keyed either way; ``broadcast_hot`` only picks the
+    physical strategy. Default True fits the common case (the hot set
+    is corpus-boilerplate-sized); at 100 TB the set SCALES WITH CORPUS
+    boilerplate and can exceed any broadcast limit — set False there
+    and the anti-join degrades gracefully to a shuffle on the same
+    8-byte key instead of failing the job (``boilerplate_report``'s
+    toggle, applied here). Documents never shuffle by content in
+    either mode. Composable before the minhash banded join (drop
+    boilerplate spans first, then near-dedup whole documents).
     """
     from inbev_data_engineering_case_spark.functions import (
         portable_hash64,
@@ -966,7 +972,9 @@ def dedup_spans(
         .filter(F.col("nd") > max_docs)
         .select("fp")
     )
-    kept = segs.join(F.broadcast(hot), "fp", "left_anti")
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    kept = segs.join(hot, "fp", "left_anti")
     totals = segs.groupBy(id_col).agg(F.count("*").alias("n_spans"))
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
@@ -1001,6 +1009,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize_mode: str = "local",
+    broadcast_hot: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection — directed n-gram containment
     ``|grams(A) ∩ grams(B)| / |grams(A)|``: the quote-inclusion case
@@ -1030,6 +1039,15 @@ def containment_pairs(
     pages). ``max_gram_df=None`` is the exact-all-grams form for small
     corpora. The gram stream has three consumers (hot counts, sizes,
     the join), so it materializes once via ``materialize_mode``.
+
+    ``broadcast_hot`` picks the PHYSICAL strategy of the hot-gram
+    removal only (the anti-join is gram-keyed either way): True for
+    the common case where df > ``max_gram_df`` grams are
+    boilerplate-sized; False at 100 TB, where the hot-gram set scales
+    with corpus vocabulary (plausibly 1e9+ rows) past any broadcast
+    limit — the anti-join then shuffles on the same 8-byte key and
+    degrades gracefully instead of failing the job
+    (``boilerplate_report``'s toggle, applied here).
     """
     from inbev_data_engineering_case_spark.functions import (
         portable_hash64,
@@ -1058,7 +1076,9 @@ def containment_pairs(
             .filter(F.col("_df") > max_gram_df)
             .select("gram_h")
         )
-        grams = grams.join(F.broadcast(hot), "gram_h", "left_anti")
+        if broadcast_hot:
+            hot = F.broadcast(hot)
+        grams = grams.join(hot, "gram_h", "left_anti")
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     a = grams.select(
         F.col(id_col).alias("contained_id"), "gram_h"

@@ -334,6 +334,87 @@ def test_containment_hot_set_broadcasts_and_join_is_gram_keyed(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def _hot_toggle_fixture(spark):
+    # 8 templated docs (the header grams go hot at max_gram_df=4) plus
+    # one genuine quote-inclusion pair on informative grams, so the
+    # identity check compares non-empty results
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    return spark.createDataFrame(
+        [(i, "shared header row " + ("alpha beta " * 3)
+          + f"unique tail {i} " * 4) for i in range(8)]
+        + [(100, quote), (101, quote + " and then some longer text "
+                          "follows the quoted passage here")],
+        "doc_id long, text string",
+    )
+
+
+def _hot_toggle_plans(spark, op, **kw):
+    """Physical plans of an operator under broadcast_hot True/False on
+    a tiny planted-boilerplate fixture."""
+    df = _hot_toggle_fixture(spark)
+    plans = {}
+    for flag in (True, False):
+        plans[flag] = (
+            op(df, broadcast_hot=flag)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    return plans
+
+
+def test_containment_hot_anti_join_keyed_under_both_strategies(spark):
+    """broadcast_hot only picks the PHYSICAL strategy of the hot-gram
+    removal: under True the anti-join broadcasts, under False (the
+    100 TB setting — the hot set scales with corpus vocabulary past
+    any broadcast limit) it degrades to a shuffle on the SAME 8-byte
+    gram key. Both stay gram-keyed: no cartesian, no range sort, and
+    the results are identical."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    op = lambda d, **kw: containment_pairs(  # noqa: E731
+        d, n=3, max_gram_df=4, threshold_ppm=100_000, **kw
+    )
+    plans = _hot_toggle_plans(spark, op)
+    for flag, plan in plans.items():
+        assert "CartesianProduct" not in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "LeftAnti" in plan, plan
+    df = _hot_toggle_fixture(spark)
+    rows = {
+        flag: sorted(map(tuple, op(df, broadcast_hot=flag).collect()))
+        for flag in (True, False)
+    }
+    assert rows[True] == rows[False] and rows[True]
+
+
+def test_dedup_spans_hot_anti_join_keyed_under_both_strategies(spark):
+    """dedup_spans' hot-span removal under broadcast_hot True/False:
+    fp-keyed anti-join in both modes (no cartesian, no range sort),
+    broadcast vs shuffle is the only difference — and the rebuilt
+    documents are identical."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    op = lambda d, **kw: dedup_spans(  # noqa: E731
+        d, span_tokens=4, max_docs=3, **kw
+    )
+    plans = _hot_toggle_plans(spark, op)
+    for flag, plan in plans.items():
+        assert "CartesianProduct" not in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
+        assert "LeftAnti" in plan, plan
+    df = _hot_toggle_fixture(spark)
+    rows = {
+        flag: sorted(map(tuple, op(df, broadcast_hot=flag).collect()))
+        for flag in (True, False)
+    }
+    assert rows[True] == rows[False] and rows[True]
+
+
 def test_skew_report_plans_takeordered(spark):
     plan = _plan(spark, "q_skew_report")
     assert "TakeOrdered" in plan, plan
