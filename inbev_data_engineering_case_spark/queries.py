@@ -5900,6 +5900,14 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # demotion below has a CORRECTNESS_r06 green row as the family-health
 # evidence) each naming in-window same-family cover below.
 #
+# Round 8 promotes the three late-r7 tail debuts — q_containment,
+# q_dist_drift, q_source_cap — the only catalog entries without an
+# external driver row (sf0.01-sweep- and pytest-green since r7). The
+# three slots come from r7-green entries with multiple lifetime
+# driver rows and trivially-clean in-window cover: q_mojibake_repair,
+# q_trailing_window, q_ann_probes (none is referenced as anyone
+# else's stand-in, so no chains rewire).
+#
 # INVARIANT (keep when registering anything new, machine-checked by
 # tests/test_entry_contract.py): every demoted entry names in-window
 # stand-ins from its own operator family in _FAMILY_STAND_INS, and the
@@ -6113,21 +6121,24 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # HLL-specific merge identity stays pytest- and tail-oracle-pinned
     # (q_sketch_rollup, test_streaming bit-identity):
     "q_stream_sketch": ("q_stream_cms", "q_cms_freq"),
-    # LATE-r7 DEBUT (not a demotion): asymmetric n-gram containment,
-    # registered after the r7 window filled; leads the r8 promotion
-    # queue. Its gram/hash/hot-set machinery is covered in-window by
-    # q_dedup_minhash (banded gram similarity) and q_dedup_spans
-    # (distinct-gram fingerprints + hot-set exclusion):
-    "q_containment": ("q_dedup_minhash", "q_dedup_spans"),
-    # LATE-r7 DEBUT (not a demotion): two-sample ECDF drift, r8
-    # promotion queue; distribution profiling is covered in-window by
-    # q_skew_report and the day-over-day drift surface by
-    # q_curation_drift (this op is its distributional complement):
-    "q_dist_drift": ("q_skew_report", "q_curation_drift"),
-    # LATE-r7 DEBUT (not a demotion): per-source quota caps, r8
-    # promotion queue; the scoring machinery is covered in-window by
-    # q_quality_score and the per-key rank window by q_window_events:
-    "q_source_cap": ("q_quality_score", "q_window_events"),
+    # (the three LATE-r7 DEBUTS that closed this dict — q_containment
+    # q_dist_drift q_source_cap — were PROMOTED in r8 as queued)
+    #
+    # rotated OUT in r8 to seat the three promotions; every demotion
+    # below is driver-green in CORRECTNESS_r07 with earlier rows too,
+    # and names in-window same-family cover:
+    # mojibake repair: the rule table + rewrite chain runs in-window
+    # inside q_clean_text (which composes repair_mojibake before
+    # folding):
+    "q_mojibake_repair": ("q_clean_text",),
+    # time-RANGE window frames: q_window_events pins the window-
+    # function family (rows frames, rank, lag) in-window; the RANGE
+    # frame variant stays oracle-pinned in the tail sweep:
+    "q_trailing_window": ("q_window_events",),
+    # the n_probe sweep probes the SAME trained-IVF composition the
+    # in-window entries pin (q_ann_ivf_trained trains it,
+    # q_ann_indexed probes the materialized twin — identity-tested):
+    "q_ann_probes": ("q_ann_ivf_trained", "q_ann_indexed"),
 }
 
 for _name in _FAMILY_STAND_INS:
