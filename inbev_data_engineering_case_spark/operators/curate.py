@@ -55,6 +55,9 @@ def curate_corpus(
     corpus_embeddings: DataFrame | None = None,
     benchmark_embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.9,
+    max_docs_per_source: int | None = None,
+    source_col: str = "source",
+    cap_presalt: int | None = None,
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
     metadata (lang, quality). Survivor policy is deterministic end to end:
@@ -87,7 +90,20 @@ def curate_corpus(
     fingerprints all see text, not tags (markup inflates token counts
     and makes every templated page a near-dup of every other). A pure
     codegen'd rewrite folded into the same first corpus scan — no extra
-    pass."""
+    pass.
+
+    ``max_docs_per_source`` (default None = off) appends the
+    RefinedWeb §3.1-style domain cap (``sample.cap_per_source``) as
+    the LAST stage: at most that many documents per ``source_col``
+    survive, the highest-quality ones (deterministic rank:
+    quality rounded to 6 decimals DESC, id ASC). Capping runs AFTER
+    the dedup chain so duplicates cannot consume quota slots, and it
+    reuses the pipeline's one-pass quality score (``quality_col`` —
+    no second tokenization scan); the kept set is identical to
+    standalone ``cap_per_source`` over the deduped corpus
+    (identity-tested). ``cap_presalt`` forwards the hot-domain
+    two-phase bound. When capping, ``source_col`` is carried through
+    the scoring projection and appears in the output."""
     if strip_html:
         from inbev_data_engineering_case_spark.operators.textops import (
             html_to_text,
@@ -95,8 +111,17 @@ def curate_corpus(
 
         documents = documents.withColumn(text_col, html_to_text(text_col))
     # score_documents: one tokenization pass for lang + quality (the
-    # standalone expressions would re-split the text per reference)
-    scored = score_documents(documents, text_col, id_col)
+    # standalone expressions would re-split the text per reference);
+    # the cap stage needs the source column, carried as a pure
+    # projection passthrough
+    scored = score_documents(
+        documents,
+        text_col,
+        id_col,
+        extra_cols=(
+            (source_col,) if max_docs_per_source is not None else ()
+        ),
+    )
     eligible = scored.filter(
         F.col("lang").isin(*languages) & (F.col("quality") >= min_quality)
     )
@@ -157,6 +182,26 @@ def curate_corpus(
     _, final = _dedup_chain(
         eligible, text_col, id_col, near_dup_threshold, materialize_mode
     )
+    if max_docs_per_source is not None:
+        from inbev_data_engineering_case_spark.operators.sample import (
+            cap_per_source,
+        )
+
+        # last stage BY DESIGN: duplicates must not consume quota
+        # slots, so the cap ranks the deduped survivors. quality_col
+        # reuses the one-pass score (bit-identical to the standalone
+        # expression), so the cap costs one hash exchange on source +
+        # a rank window — never a second corpus tokenization.
+        kept = cap_per_source(
+            final,
+            max_docs=max_docs_per_source,
+            group_col=source_col,
+            id_col=id_col,
+            text_col=text_col,
+            presalt=cap_presalt,
+            quality_col="quality",
+        ).select(id_col)
+        final = final.join(kept, on=id_col, how="left_semi")
     return final
 
 

@@ -248,6 +248,7 @@ def cap_per_source(
     id_col: str = "doc_id",
     text_col: str = "text",
     presalt: int | None = None,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Per-source quota enforcement — the RefinedWeb/C4-style domain cap
     corpus curation applies so one prolific domain cannot dominate the
@@ -270,6 +271,14 @@ def cap_per_source(
     own bucket — so the exact phase-two window sees at most
     ``S · max_docs`` rows per source. Pure hash salting, no RNG;
     result identical to the direct form (identity-tested).
+
+    ``quality_col`` names an ALREADY-COMPUTED quality column to rank
+    by (still rounded to 6 decimals here) instead of re-running
+    ``quality_score`` over the text — the composed-pipeline path:
+    ``curate_corpus`` scores the corpus once via ``score_documents``
+    (bit-identical to the standalone expression), so the cap stage
+    must not pay a second tokenization scan. Same kept set either way
+    (identity-tested).
     """
     from pyspark.sql.window import Window
 
@@ -284,10 +293,15 @@ def cap_per_source(
         raise ValueError("cap_per_source: max_docs must be >= 1")
     if presalt is not None and presalt < 1:
         raise ValueError("cap_per_source: presalt must be >= 1")
+    qexpr = (
+        F.col(quality_col)
+        if quality_col is not None
+        else quality_score(text_col)
+    )
     scored = documents.select(
         F.col(id_col),
         F.col(group_col),
-        F.round(quality_score(text_col), 6).alias("quality_r"),
+        F.round(qexpr, 6).alias("quality_r"),
     )
     if presalt:
         wpre = Window.partitionBy(

@@ -127,8 +127,16 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
-def score_documents(df, text_col: str = "text", id_col: str = "doc_id"):
-    """(id, text, lang, quality) for a corpus in ONE tokenization pass.
+def score_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+):
+    """(id, text, lang, quality[, *extra_cols]) for a corpus in ONE
+    tokenization pass. ``extra_cols`` names input columns to carry
+    through unchanged (e.g. the source/domain column the per-source
+    cap partitions on) — pure projection passthrough, no extra scan.
 
     ``lang_id(text)`` and ``quality_score(text)`` as standalone Column
     expressions each embed their own ``tokens(lower(text))`` subtree, and
@@ -147,11 +155,13 @@ def score_documents(df, text_col: str = "text", id_col: str = "doc_id"):
     toks = df.select(
         id_col,
         text_col,
+        *extra_cols,
         tokens(F.lower(F.col(text_col))).alias("_toks"),
     )
     scored = toks.select(
         id_col,
         text_col,
+        *extra_cols,
         "_toks",
         *[
             F.size(F.filter("_toks", _isin(sw))).alias(f"_s_{lang}")
@@ -186,6 +196,7 @@ def score_documents(df, text_col: str = "text", id_col: str = "doc_id"):
         text_col,
         lang_expr.alias("lang"),
         quality.alias("quality"),
+        *extra_cols,
     )
 
 

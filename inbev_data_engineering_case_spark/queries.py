@@ -2998,12 +2998,43 @@ def _curate_oracle(
     languages: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
     threshold: float = 0.5,
+    cap_per_source: int | None = None,
 ) -> str:
     langs = ", ".join(f"'{lang}'" for lang in languages)
+    # capping plumbs the source column through every stage and wraps
+    # the final select in the same deterministic rank window
+    # cap_per_source applies (round-6 quality DESC, doc_id ASC)
+    corpus_sql = (
+        """
+    (SELECT doc_id, text, source FROM documents
+     UNION ALL
+     SELECT doc_id + 200000 AS doc_id, text || ' the end' AS text, source
+     FROM documents)
+    """
+        if cap_per_source is not None
+        else _SQL_CORPUS_NEAR
+    )
+    src = ", source" if cap_per_source is not None else ""
+    final_select = (
+        f"""
+    SELECT doc_id, text, lang, quality, source FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY round(quality, 6) DESC, doc_id
+      ) AS _r
+      FROM (SELECT doc_id, text, lang, quality, source FROM survivors
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+    ) WHERE _r <= {cap_per_source}
+    """
+        if cap_per_source is not None
+        else """
+    SELECT doc_id, text, lang, quality FROM survivors
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+    )
     return f"""
-    WITH RECURSIVE corpus AS (SELECT * FROM {_SQL_CORPUS_NEAR} AS c0),
+    WITH RECURSIVE corpus AS (SELECT * FROM {corpus_sql} AS c0),
     scored AS (
-      SELECT doc_id, text,
+      SELECT doc_id, text{src},
              {_lang_case_sql()} AS lang,
              {_SQL_QUALITY} AS quality
       FROM corpus
@@ -3037,8 +3068,7 @@ def _curate_oracle(
     ),
     comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
     dropped AS (SELECT node AS doc_id FROM comp WHERE node != comp)
-    SELECT doc_id, text, lang, quality FROM survivors
-    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    {final_select}
     """
 
 
@@ -3059,6 +3089,39 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return curate_corpus(_corpus_near(spark, sf_dir))
+
+
+@register(
+    "q_curate_capped",
+    _curate_oracle(cap_per_source=5),
+    doc="the curation composition with the per-source quota cap "
+    "composed as its LAST stage (curate_corpus "
+    "max_docs_per_source=5): the RefinedWeb §3.1 ordering — dedup "
+    "first so duplicates cannot consume quota slots, then keep the 5 "
+    "highest-quality survivors per source (deterministic rank: "
+    "quality rounded to 6 decimals DESC, doc_id ASC). The cap reuses "
+    "the pipeline's ONE tokenization pass (cap_per_source "
+    "quality_col=) — it costs one hash exchange on source + a rank "
+    "window, never a second corpus scan; kept set identical to "
+    "standalone cap_per_source over the deduped corpus "
+    "(identity-tested). Late-r8 tail debut (family cover: "
+    "q_curate_corpus runs the same composition minus the cap, "
+    "q_source_cap the same cap machinery — both in-window).",
+)
+def q_curate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat("text", F.lit(" the end")).alias("text"),
+            "source",
+        )
+    )
+    return curate_corpus(corpus, max_docs_per_source=5)
 
 
 def _incremental_oracle(threshold: float = 0.5) -> str:
@@ -6139,6 +6202,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # in-window entries pin (q_ann_ivf_trained trains it,
     # q_ann_indexed probes the materialized twin — identity-tested):
     "q_ann_probes": ("q_ann_ivf_trained", "q_ann_indexed"),
+    # LATE-r8 DEBUT (not a demotion): the curation composition with
+    # the per-source cap as its last stage; leads the r9 promotion
+    # queue. Covered in-window by q_curate_corpus (the identical
+    # composition minus the cap) and q_source_cap (the identical cap
+    # machinery standalone):
+    "q_curate_capped": ("q_curate_corpus", "q_source_cap"),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -4562,3 +4562,62 @@ def test_ann_index_duplicate_ids_fail_loudly(spark, tmp_path):
     changed = base.filter(F.col("vec_id") == 3).unionByName(delta)
     audit = update_ann_index(spark, idx, changed)
     assert audit["mode"] == "merge" and audit["cells_rows"] == 110
+
+
+def test_curate_capped_mode_identity_with_standalone_cap(spark):
+    """curate_corpus(max_docs_per_source=) composes cap_per_source as
+    the LAST stage: the composed kept set must be IDENTICAL to running
+    standalone cap_per_source over the uncapped curation output
+    (dedup-then-cap, so duplicates never consume quota slots), and the
+    quality_col fast path (rank by the pipeline's one-pass score) must
+    equal the recompute path."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+    from inbev_data_engineering_case_spark.operators.sample import (
+        cap_per_source,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "source")
+
+    composed = curate_corpus(docs, max_docs_per_source=3)
+    assert set(composed.columns) == {
+        "doc_id", "text", "lang", "quality", "source"
+    }
+    uncapped = curate_corpus(docs, max_docs_per_source=None)
+    # standalone cap over the (re-sourced) uncapped output — the
+    # uncapped pipeline drops the source column, so join it back
+    standalone_ids = sorted(
+        r["doc_id"]
+        for r in cap_per_source(
+            uncapped.join(docs.select("doc_id", "source"), "doc_id"),
+            max_docs=3,
+        ).collect()
+    )
+    composed_ids = sorted(r["doc_id"] for r in composed.collect())
+    assert composed_ids == standalone_ids and composed_ids
+
+    # quality_col fast path == recompute path on the same frame
+    sourced = uncapped.join(docs.select("doc_id", "source"), "doc_id")
+    key = lambda r: tuple(r)  # noqa: E731
+    fast = sorted(
+        map(key, cap_per_source(sourced, max_docs=3,
+                                quality_col="quality").collect())
+    )
+    slow = sorted(map(key, cap_per_source(sourced, max_docs=3).collect()))
+    assert fast == slow
+
+    # presalt forwards through the composition unchanged
+    presalted = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, max_docs_per_source=3, cap_presalt=4
+        ).collect()
+    )
+    assert presalted == composed_ids
+
+    # a capped source really is capped at 3
+    per_src = composed.groupBy("source").count().collect()
+    assert per_src and all(r["count"] <= 3 for r in per_src)
