@@ -1001,6 +1001,133 @@ def dedup_spans(
     )
 
 
+def build_gram_table(
+    documents: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id_col, gram_h)`` — each document's DISTINCT word-n-gram
+    8-byte fingerprints, the gram stream ``containment_pairs`` joins on
+    and the STORED state the incremental containment path joins a new
+    crawl against (``curate_incremental``'s stored-signature shape
+    applied to grams: persist this once, then a daily crawl never
+    re-tokenizes the historical corpus). Bucket by ``gram_h`` at scale
+    so the delta join is bucket-local."""
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64,
+        word_ngrams,
+    )
+
+    return documents.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))
+        ).alias("gram"),
+    ).select(id_col, portable_hash64(F.col("gram")).alias("gram_h"))
+
+
+def incremental_containment_pairs(
+    stored_grams: DataFrame,
+    new_documents: DataFrame,
+    n: int = 5,
+    threshold_ppm: int = 800_000,
+    max_gram_df: int | None = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize_mode: str = "local",
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Daily-crawl containment — the delta form of
+    ``containment_pairs`` a pipeline actually runs each ingest: only
+    the NEW documents tokenize; the historical corpus participates
+    through its stored gram table (``build_gram_table`` output), and
+    the candidate join is (new-side grams) × (all informative grams)
+    on the 8-byte gram key — the stored×stored quadratic never forms.
+
+    Returns exactly the ``containment_pairs(stored ∪ new)`` rows in
+    which at least one side is a new document (full-batch parity,
+    identity-tested): the hot-gram cap is evaluated over the COMBINED
+    document frequency (stored df + delta df), so a gram that crosses
+    ``max_gram_df`` only once the crawl lands is excluded — from
+    numerator AND denominator of every pair, stored-side denominators
+    included — precisely as the full recompute would.
+
+    Ids must be disjoint between stored and new (a re-crawled doc is
+    delete + insert, ``curate_incremental``'s contract).
+
+    Scale shape: one linear aggregation over the stored gram table for
+    the combined df and denominators (table scans, no re-tokenization),
+    then gram-keyed joins whose per-gram fan-out is capped at the
+    combined df bound. ``broadcast_hot`` as in ``containment_pairs``.
+    """
+    if n < 1:
+        raise ValueError("incremental_containment_pairs: n must be >= 1")
+    if not 0 < threshold_ppm <= 1_000_000:
+        raise ValueError(
+            "incremental_containment_pairs: threshold_ppm must be in "
+            "(0, 1e6]"
+        )
+    new_grams = _materialize(
+        build_gram_table(new_documents, n, id_col, text_col),
+        materialize_mode,
+    )
+    all_grams = stored_grams.select(id_col, "gram_h").unionByName(new_grams)
+    if max_gram_df is not None:
+        hot = (
+            all_grams.groupBy("gram_h")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("gram_h")
+        )
+        if broadcast_hot:
+            hot = F.broadcast(hot)
+        all_grams = all_grams.join(hot, "gram_h", "left_anti")
+    # three consumers (sizes, both join sides) — share one evaluation
+    informative = _materialize(all_grams, materialize_mode)
+    new_ids = new_documents.select(F.col(id_col))
+    new_inf = informative.join(new_ids, id_col, "left_semi")
+    sizes = informative.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    # direction 1: a NEW doc as the contained side, vs everything
+    p1 = new_inf.select(
+        F.col(id_col).alias("contained_id"), "gram_h"
+    ).join(
+        informative.select(F.col(id_col).alias("container_id"), "gram_h"),
+        "gram_h",
+    )
+    # direction 2: a STORED doc contained in a new one (stored-only on
+    # the contained side so new-new pairs aren't double-counted — p1
+    # already emits both directions among new docs)
+    p2 = informative.join(new_ids, id_col, "left_anti").select(
+        F.col(id_col).alias("contained_id"), "gram_h"
+    ).join(
+        new_inf.select(F.col(id_col).alias("container_id"), "gram_h"),
+        "gram_h",
+    )
+    shared = (
+        p1.unionByName(p2)
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed(id_col, "contained_id"),
+            "contained_id",
+        )
+        .select(
+            "contained_id",
+            "container_id",
+            "n_shared",
+            "n_grams",
+            F.expr("(n_shared * 1000000) div n_grams").alias(
+                "containment_ppm"
+            ),
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+    )
+
+
 def containment_pairs(
     documents: DataFrame,
     n: int = 5,
@@ -1049,11 +1176,6 @@ def containment_pairs(
     degrades gracefully instead of failing the job
     (``boilerplate_report``'s toggle, applied here).
     """
-    from inbev_data_engineering_case_spark.functions import (
-        portable_hash64,
-        word_ngrams,
-    )
-
     if n < 1:
         raise ValueError("containment_pairs: n must be >= 1")
     if not 0 < threshold_ppm <= 1_000_000:
@@ -1061,12 +1183,7 @@ def containment_pairs(
             "containment_pairs: threshold_ppm must be in (0, 1e6]"
         )
     grams = _materialize(
-        documents.select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))
-            ).alias("gram"),
-        ).select(id_col, portable_hash64(F.col("gram")).alias("gram_h")),
+        build_gram_table(documents, n, id_col, text_col),
         materialize_mode,
     )
     if max_gram_df is not None:

@@ -5844,7 +5844,10 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_oracle(
-    n: int = 5, threshold_ppm: int = 800_000, max_df: int = 100
+    n: int = 5,
+    threshold_ppm: int = 800_000,
+    max_df: int = 100,
+    only_new: bool = False,
 ) -> str:
     lo = n - 1
     ws = r"'[ \t\n\x0b\f\r]+'"
@@ -5888,6 +5891,8 @@ def _containment_oracle(
            (n_shared * 1000000) // n_grams AS containment_ppm
     FROM shared JOIN sizes ON sizes.doc_id = shared.contained_id
     WHERE (n_shared * 1000000) // n_grams >= {threshold_ppm}
+    {"AND (contained_id >= 500000 OR container_id >= 500000)"
+     if only_new else ""}
     """
 
 
@@ -5911,10 +5916,21 @@ def _containment_oracle(
     "in-window).",
 )
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from inbev_data_engineering_case_spark.functions import tokens
     from inbev_data_engineering_case_spark.operators.dedup import (
         containment_pairs,
     )
+
+    docs, frag = _containment_frag(spark, sf_dir)
+    corpus = docs.unionByName(frag)
+    return containment_pairs(
+        corpus, n=5, threshold_ppm=800_000, max_gram_df=100
+    )
+
+
+def _containment_frag(spark: SparkSession, sf_dir: str):
+    """(stored docs, new-crawl fragment docs) — the q_containment
+    fixture split into the incremental path's two inputs."""
+    from inbev_data_engineering_case_spark.functions import tokens
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     frag = (
@@ -5930,9 +5946,41 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    corpus = docs.unionByName(frag)
-    return containment_pairs(
-        corpus, n=5, threshold_ppm=800_000, max_gram_df=100
+    return docs, frag
+
+
+@register(
+    "q_containment_incremental",
+    _containment_oracle(only_new=True),
+    doc="daily-crawl containment (operators/dedup.py "
+    "incremental_containment_pairs): the delta form a pipeline "
+    "actually runs each ingest — only the NEW crawl tokenizes; the "
+    "historical corpus participates through its stored gram table "
+    "(build_gram_table), and the candidate join is new-side grams × "
+    "informative grams on the 8-byte key, so the stored×stored "
+    "quadratic never forms. The hot-gram cap is evaluated over the "
+    "COMBINED df (stored + delta), giving exact full-batch parity: "
+    "this returns precisely the containment_pairs(stored ∪ new) rows "
+    "involving a new document (identity-tested; the oracle is the "
+    "full-batch SQL filtered to new-involving pairs). Fixture: the "
+    "q_containment planted fragments arrive as the new crawl. "
+    "Late-r8 tail debut (family cover: q_containment runs the same "
+    "full-batch machinery, q_curate_incremental the same "
+    "delta-vs-stored-state shape — both in-window).",
+)
+def q_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_gram_table,
+        incremental_containment_pairs,
+    )
+
+    docs, frag = _containment_frag(spark, sf_dir)
+    return incremental_containment_pairs(
+        build_gram_table(docs, n=5),
+        frag,
+        n=5,
+        threshold_ppm=800_000,
+        max_gram_df=100,
     )
 
 
@@ -6208,6 +6256,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # composition minus the cap) and q_source_cap (the identical cap
     # machinery standalone):
     "q_curate_capped": ("q_curate_corpus", "q_source_cap"),
+    # LATE-r8 DEBUT (not a demotion): the containment delta form; r9
+    # promotion queue. Covered in-window by q_containment (the
+    # identical full-batch machinery — this op is identity-tested
+    # against it) and q_curate_incremental (the same
+    # delta-vs-stored-state shape):
+    "q_containment_incremental": ("q_containment", "q_curate_incremental"),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -4621,3 +4621,79 @@ def test_curate_capped_mode_identity_with_standalone_cap(spark):
     # a capped source really is capped at 3
     per_src = composed.groupBy("source").count().collect()
     assert per_src and all(r["count"] <= 3 for r in per_src)
+
+
+def test_incremental_containment_full_batch_parity(spark):
+    """incremental_containment_pairs(stored gram table, new crawl) must
+    return EXACTLY the containment_pairs(stored ∪ new) rows involving a
+    new document — including when a gram crosses the hot cap only once
+    the delta lands (the combined-df semantics: that gram must leave
+    numerator AND denominator of every pair, stored-side denominators
+    included)."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_gram_table,
+        containment_pairs,
+        incremental_containment_pairs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").filter(F.col("doc_id") < 120)
+    # new crawl: 40%-prefix fragments of every 10th doc (true
+    # containment hits) plus docs that repeat one planted sentence so
+    # its grams cross max_gram_df only with the delta counted
+    from inbev_data_engineering_case_spark.functions import tokens
+
+    frag = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", tokens(F.col("text")).alias("_toks"))
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.array_join(
+                F.expr(
+                    "slice(_toks, 1, greatest((size(_toks) * 2) div 5, 6))"
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    planted = spark.range(600000, 600030).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the planted template sentence appears verbatim here "),
+            F.lit("plus tail "), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    new = frag.unionByName(planted)
+    kw = dict(n=3, threshold_ppm=300_000, max_gram_df=20)
+    full = containment_pairs(docs.unionByName(new), **kw)
+    want = sorted(
+        map(
+            tuple,
+            full.filter(
+                (F.col("contained_id") >= 500000)
+                | (F.col("container_id") >= 500000)
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            incremental_containment_pairs(
+                build_gram_table(docs, n=3), new, **kw
+            ).collect(),
+        )
+    )
+    assert got == want and got
+    # the planted sentence must pair the planted docs with each other
+    # BELOW the cap and stop once combined df crosses it — sanity that
+    # the fixture exercised the hot-cap path at all:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_gram_table as _bgt,
+    )
+
+    hot_df = (
+        _bgt(docs.unionByName(new), n=3)
+        .groupBy("gram_h").count().filter(F.col("count") > 20).count()
+    )
+    assert hot_df > 0  # the cap was load-bearing in this parity run
