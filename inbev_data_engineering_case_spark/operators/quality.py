@@ -241,11 +241,16 @@ def distribution_drift(
 
     Scale shape: the probe boundaries are ONE row — exact
     ``F.percentile`` for oracle parity or the mergeable GK sketch
-    (``approx=True``, the 100 TB setting) — broadcast into each side's
-    single codegen'd indicator-sum pass (two corpus scans total, no
-    sort, no shuffle beyond two 1-row aggregates). CDF numerators and
-    denominators count non-NULL values consistently; the ppm division
-    is an explicit int64 floor, so the replay matches hash-for-hash.
+    (``approx=True``, the 100 TB setting; rank error ≤ N/10000,
+    property-tested) — computed ONCE (localCheckpoint: the 1-row
+    result is referenced by three joins, and without pinning it each
+    reference re-ran the full reference-side scan — 5 scans in the
+    physical plan instead of 3) and broadcast into each side's single
+    codegen'd indicator-sum pass. Total: the two indicator scans plus
+    the one bounds pass, no sort, no data-sized shuffle, in BOTH
+    modes (plan-tested). CDF numerators and denominators count
+    non-NULL values consistently; the ppm division is an explicit
+    int64 floor, so the replay matches hash-for-hash.
     """
     if n_cuts < 1:
         raise ValueError("distribution_drift: n_cuts must be >= 1")
@@ -256,13 +261,19 @@ def distribution_drift(
     # memory); the array form computes every cut from a single pass
     fn = "approx_percentile" if approx else "percentile"
     arr = ", ".join(repr(q) for q in qs)
-    bounds = ref.agg(
-        F.expr(f"{fn}({value_col}, array({arr}))").alias("_bs")
-    ).select(
-        *[
-            F.element_at(F.col("_bs"), i + 1).alias(f"_b{i}")
-            for i in range(n_cuts)
-        ]
+    bounds = (
+        ref.agg(F.expr(f"{fn}({value_col}, array({arr}))").alias("_bs"))
+        .select(
+            *[
+                F.element_at(F.col("_bs"), i + 1).alias(f"_b{i}")
+                for i in range(n_cuts)
+            ]
+        )
+        # three consumers reference this 1-row frame; without pinning,
+        # each re-evaluates the aggregate — i.e. re-scans the full
+        # reference corpus (measured: 5 file scans vs 3). The pinned
+        # result is one row, so the eager action is model-sized.
+        .localCheckpoint(eager=True)
     )
 
     def ecdf_counts(df: DataFrame, prefix: str) -> DataFrame:

@@ -316,11 +316,40 @@ def test_dist_drift_is_two_scans_with_broadcast_bounds(spark):
     """distribution_drift's plan: the probe boundaries and the two
     1-row ECDF aggregates join as BROADCASTS (nested-loop on 1-row
     sides is fine — no data-sized shuffle), and nothing range-sorts;
-    each side is one scan + one partial-aggregated indicator pass."""
+    each side is one scan + one partial-aggregated indicator pass.
+    The bounds row is pinned (localCheckpoint), so the main plan
+    carries EXACTLY two corpus scans — in exact AND approx (GK
+    sketch) mode; before the pin, each of the three bounds references
+    re-ran the full reference scan (5 scans observed)."""
+    import re
+
+    from pyspark.sql import functions as F
+
     plan = _plan(spark, "q_dist_drift")
     assert "Exchange rangepartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+    from inbev_data_engineering_case_spark.operators.quality import (
+        distribution_drift,
+    )
+    from inbev_data_engineering_case_spark.sources.readers import (
+        read_events,
+    )
+
+    ev = read_events(spark, SF)
+    ref = ev.filter(F.col("event_id") % 2 == 0).select("value")
+    cur = ev.filter(F.col("event_id") % 2 == 1).select("value")
+    for approx in (False, True):
+        p = (
+            distribution_drift(ref, cur, "value", n_cuts=5, approx=approx)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert len(re.findall(r"Scan parquet", p)) == 2, (approx, p)
+        assert "Exchange rangepartitioning" not in p, (approx, p)
+        assert "CartesianProduct" not in p, (approx, p)
 
 
 def test_containment_hot_set_broadcasts_and_join_is_gram_keyed(spark):

@@ -4697,3 +4697,61 @@ def test_incremental_containment_full_batch_parity(spark):
         .groupBy("gram_h").count().filter(F.col("count") > 20).count()
     )
     assert hot_df > 0  # the cap was load-bearing in this parity run
+
+
+def test_distribution_drift_approx_cuts_within_gk_rank_error(spark):
+    """Hypothesis property for the 100 TB mode: every approx=True probe
+    boundary must satisfy the Greenwald-Khanna guarantee against the
+    reference sample — the returned cut is SOME order statistic whose
+    rank lies within N/accuracy (accuracy=10000; +1 for the ceiling)
+    of the target rank q*N. Tie-safe formulation: with duplicates the
+    cut's admissible rank range is [count(x < cut) + 1, count(x <=
+    cut)], which must intersect [qN - eps, qN + eps]. This is the
+    q_approx_percentiles discipline applied to the drift operator's
+    own bounds (the array-form approx_percentile path)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from inbev_data_engineering_case_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    n_cuts = 5
+    qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        values=st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, width=32),
+            min_size=12,
+            max_size=120,
+        )
+    )
+    def prop(values):
+        ref = spark.createDataFrame(
+            [(float(v),) for v in values], "value double"
+        )
+        rows = sorted(
+            distribution_drift(ref, ref, "value", n_cuts=n_cuts,
+                               approx=True).collect(),
+            key=lambda r: r["cut_idx"],
+        )
+        ordered = sorted(values)
+        n = len(ordered)
+        eps = n / 10000 + 1  # GK bound at accuracy=10000 + ceiling slack
+        for r, q in zip(rows, qs):
+            cut = r["cut_value"]
+            lo_rank = sum(1 for v in ordered if v < cut) + 1
+            hi_rank = sum(1 for v in ordered if v <= cut)
+            target = q * n
+            assert lo_rank <= target + eps and hi_rank >= target - eps, (
+                q, cut, lo_rank, hi_rank, target, n
+            )
+            # identical samples: the drift gap must be exactly zero
+            assert r["gap_ppm"] == 0
+
+    prop()
