@@ -87,8 +87,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
+    # The indexed-retrieval entries (q_*_indexed) price the PROBE of a
+    # committed snapshot — build-once/probe-many is their contract, so
+    # the one-time build runs inside the untimed warm-up. Record what
+    # that warm-up actually paid as a separate field so a probe line
+    # can never be mistaken for (or compared against) a build-inclusive
+    # one. The figure is build + one probe + codegen compile; the
+    # per-side split is tools/ann_index_probe.py's job.
+    index_build_costs: dict[str, float] = {}
     for name in headline:
+        t0 = time.perf_counter()
         run_query(spark, name, sf_dir)  # untimed warm-up: codegen compile
+        if name.endswith("_indexed"):
+            index_build_costs[name] = round(time.perf_counter() - t0, 3)
         timings[name], mins[name] = median_and_min(
             RUNS_PER_QUERY, run_query, spark, name, sf_dir
         )
@@ -112,6 +123,13 @@ def main() -> None:
                 # holds — the r4 q_join_orders / r5 q_curate_corpus
                 # lesson, made diagnosable from the recorded JSON alone)
                 "query_mins": mins,
+                # one-time index build seconds paid in the UNTIMED
+                # warm-up of each q_*_indexed entry (build + first
+                # probe + codegen): the headline number for those
+                # queries prices the probe of the committed snapshot,
+                # and this field keeps the build cost visible in the
+                # same artifact
+                "index_build_costs": index_build_costs,
                 "sf": sf,
                 "runs_per_query": RUNS_PER_QUERY,
             }
