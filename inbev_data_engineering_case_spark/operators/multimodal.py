@@ -6,9 +6,11 @@ UDF signature, batch shape. Decoding is REAL for every format the stdlib
 can express: WAV (``wave``), BMP/binary-PNM (``struct``+numpy), PNG
 (``zlib`` inflate + scanline unfiltering), GIF (87a/89a LZW + interlace),
 baseline-sequential JPEG (native huffman+IDCT decoder, ``_jpeg_decode``
-— the majority format of any web image crawl), and Y4M video
-(header+frame demux). Remaining codec-bound formats (WebP, progressive/
-arithmetic JPEG, H.264/VP9 containers) raise a
+— the majority format of any web image crawl), lossless WebP
+(``webp.vp8l_decode`` — full RFC 9649 VP8L: transforms, color cache,
+meta groups, LZ77), and Y4M video
+(header+frame demux). Remaining codec-bound formats (lossy WebP VP8,
+progressive/arithmetic JPEG, H.264/VP9 containers) raise a
 clearly-marked ``NotImplementedError`` from the inner decoders — they
 need PIL/ffmpeg, absent in this container; swapping one in changes only
 the inner function. At the OPERATOR level decode errors are
@@ -76,8 +78,8 @@ def _dead_letter_reason(e: BaseException) -> str:
 
     - ``decoder_gap`` — a format the native decoders DELIBERATELY
       refuse (every capability-gated ``NotImplementedError``:
-      progressive/arithmetic JPEG, WebP, codec-bound video, exotic bit
-      depths). These are recoverable by investing in a decoder or a
+      progressive/arithmetic JPEG, lossy WebP VP8, codec-bound video,
+      exotic bit depths). These are recoverable by investing in a decoder or a
       PIL/ffmpeg runtime — their corpus share is the business case for
       e.g. SOF2 support.
     - ``corrupt`` — a malformed payload (anything else). No decoder
@@ -204,8 +206,9 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> samples/px
 # Capability probes for OPTIONAL codec backends. Probed lazily, cached per
 # interpreter (each Python worker probes once, then every Arrow batch
 # reuses the answer). When the backend is present, codec-bound formats
-# (JPEG/WebP via PIL; mp4/webm/... via ffmpeg) decode for real; when
-# absent, the stdlib decoders still cover BMP/PNM/PNG/WAV/Y4M and
+# (lossy WebP via PIL; mp4/webm/... via ffmpeg) decode for real; when
+# absent, the stdlib decoders still cover BMP/PNM/PNG/GIF/JPEG/VP8L/
+# WAV/Y4M and
 # codec-bound assets fall through to the dead-letter path — capability
 # changes coverage, never control flow.
 _UNPROBED = object()
@@ -1397,11 +1400,12 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
       checksum = crc32 of the raw frames.
     - ``image/*``: BMP (BI_RGB 8/24/32bpp), binary PNM (P5/P6), PNG
       (8-bit non-interlaced, zlib inflate + full unfilter), GIF
-      (87a/89a LZW, interlace, palette expansion), and baseline JPEG
-      (huffman sequential DCT, ``_jpeg_decode``) decode for real —
-      dispatched on the payload magic so mislabeled subtypes still
-      decode. Remaining codec-bound formats (WebP, progressive JPEG)
-      need PIL and raise.
+      (87a/89a LZW, interlace, palette expansion), baseline JPEG
+      (huffman sequential DCT, ``_jpeg_decode``), and lossless WebP
+      (``webp.vp8l_decode``, full VP8L) decode for real — dispatched
+      on the payload magic so mislabeled subtypes still decode.
+      Remaining codec-bound formats (lossy WebP VP8, progressive
+      JPEG) need PIL and raise.
     - ``video/*``: uncompressed YUV4MPEG2 demuxes natively (frame split +
       luma stats); compressed containers (mp4/webm/...) need ffmpeg —
       not installed here — and raise (the remaining honest stub).
@@ -1441,6 +1445,19 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             return _featurize_png(payload)
         if payload[:4] == b"GIF8":
             return _featurize_gif(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from inbev_data_engineering_case_spark.operators.webp import (
+                featurize_webp,
+            )
+
+            try:
+                # lossless VP8L decodes natively (full RFC 9649
+                # feature set — transforms, cache, meta groups, LZ77)
+                return featurize_webp(payload)
+            except NotImplementedError:
+                if _optional_pil() is None:
+                    raise  # lossy VP8 → decoder_gap dead-letter
+                # lossy VP8 with PIL available: fall through to it
         if _optional_pil() is not None:
             import numpy as np
 
@@ -1458,11 +1475,12 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             # progressive/arithmetic/CMYK variants raise -> dead-letter
             return _featurize_jpeg(payload)
         raise NotImplementedError(
-            "codec-bound image decoding (WebP/...) requires PIL, which "
-            "was not found by the capability probe (_optional_pil); BMP, "
-            "binary PNM, PNG, GIF, and baseline JPEG decode natively — "
-            "see _featurize_bmp/_featurize_pnm/_featurize_png/"
-            "_featurize_gif/_featurize_jpeg."
+            "codec-bound image decoding (lossy WebP VP8/...) requires "
+            "PIL, which was not found by the capability probe "
+            "(_optional_pil); BMP, binary PNM, PNG, GIF, baseline JPEG, "
+            "and lossless WebP (VP8L) decode natively — see "
+            "_featurize_bmp/_featurize_pnm/_featurize_png/"
+            "_featurize_gif/_featurize_jpeg/webp.featurize_webp."
         )
     if media_type.partition("/")[0] == "video":
         if payload[:9] == b"YUV4MPEG2":
@@ -1607,8 +1625,10 @@ def _decode_image_pixels(payload: bytes):
     pixel array in RGB/grayscale order: BMP rows are flipped to top-down
     and BGR(A) reordered to RGB; PNG alpha is dropped (resize targets don't
     carry it through PNM); PNM is already raster-ordered; baseline JPEG
-    decodes through ``_jpeg_decode``. Raises NotImplementedError for the
-    remaining codec-bound formats (WebP, progressive JPEG, ...)."""
+    decodes through ``_jpeg_decode``; lossless WebP through
+    ``webp.webp_decode`` (alpha dropped like PNG). Raises
+    NotImplementedError for the remaining codec-bound formats (lossy
+    WebP VP8, progressive JPEG, ...)."""
     import struct
 
     import numpy as np
@@ -1675,14 +1695,26 @@ def _decode_image_pixels(payload: bytes):
         return np.ascontiguousarray(pixels)
     if payload[:4] == b"GIF8":
         return _gif_decode_pixels(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from inbev_data_engineering_case_spark.operators.webp import (
+            webp_decode,
+        )
+
+        try:
+            pixels = webp_decode(payload)
+            return np.ascontiguousarray(pixels[:, :, :3])  # drop alpha
+        except NotImplementedError:
+            if _optional_pil() is None:
+                raise  # lossy VP8 stays the capability gap
     if _optional_pil() is not None:
         return _pil_decode_pixels(payload)
     if payload[:2] == b"\xff\xd8":
         return _jpeg_decode(payload)
     raise NotImplementedError(
-        "codec-bound image resizing (WebP/...) requires PIL (capability "
-        "probe _optional_pil found none); BMP, binary PNM, PNG, GIF, and "
-        "baseline JPEG resize natively."
+        "codec-bound image resizing (lossy WebP VP8/...) requires PIL "
+        "(capability probe _optional_pil found none); BMP, binary PNM, "
+        "PNG, GIF, baseline JPEG, and lossless WebP (VP8L) resize "
+        "natively."
     )
 
 

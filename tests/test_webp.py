@@ -1,0 +1,393 @@
+"""WebP VP8L codec tests: encoder/decoder round trips over every
+encoder feature (plain literals, subtract-green, palette packing at
+every width, color cache, run-length LZ77), hand-built bitstreams for
+the decoder paths the fixture encoder doesn't emit (all 14 predictor
+modes, the color transform, meta-Huffman group switching, non-trivial
+LZ77 plane distances), and the Spark-side routing: VP8L decodes
+natively through decode_features / resize_assets, lossy VP8 stays the
+reason-coded decoder_gap dead-letter."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from inbev_data_engineering_case_spark.operators import webp as W
+
+
+def _rand_img(rng, h, w, ncol=None):
+    if ncol:
+        pal = rng.randint(0, 256, (ncol, 4), dtype=np.uint8)
+        return pal[rng.randint(0, ncol, (h, w))]
+    return rng.randint(0, 256, (h, w, 4), dtype=np.uint8)
+
+
+def test_vp8l_roundtrip_all_encoder_features():
+    rng = np.random.RandomState(7)
+    option_sets = (
+        {},
+        {"use_subtract_green": True},
+        {"cache_bits": 4},
+        {"rle": True},
+        {"rle": True, "cache_bits": 3},
+        {"use_subtract_green": True, "rle": True},
+    )
+    for trial in range(24):
+        h, w = rng.randint(1, 12), rng.randint(1, 12)
+        img = _rand_img(rng, h, w, ncol=(None, 3, None, 2)[trial % 4])
+        if trial % 4 == 3:  # runs: repeat one column
+            img = np.repeat(img[:, :1], w, axis=1)
+        for opts in option_sets:
+            out = W.webp_decode(W.vp8l_encode(img, **opts))
+            assert np.array_equal(out, img), (trial, opts)
+
+
+def test_vp8l_roundtrip_palette_every_packing_width():
+    """Palette sizes straddling each packed-pixel mode: ≤2 → 8 px per
+    green byte, ≤4 → 4, ≤16 → 2, >16 → unpacked."""
+    rng = np.random.RandomState(11)
+    for ncol in (2, 3, 4, 5, 15, 16, 17, 40, 200):
+        h, w = rng.randint(1, 14), rng.randint(1, 14)
+        img = _rand_img(rng, h, w, ncol=ncol)
+        for opts in (
+            {"use_palette": True},
+            {"use_palette": True, "use_subtract_green": True},
+            {"use_palette": True, "rle": True},
+        ):
+            out = W.webp_decode(W.vp8l_encode(img, **opts))
+            assert np.array_equal(out, img), (ncol, opts)
+
+
+def test_vp8l_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 9),
+        w=st.integers(1, 9),
+        seed=st.integers(0, 2**16),
+        sub_green=st.booleans(),
+        palette=st.booleans(),
+        cache=st.sampled_from([0, 2, 5]),
+        rle=st.booleans(),
+    )
+    def prop(h, w, seed, sub_green, palette, cache, rle):
+        rng = np.random.RandomState(seed)
+        img = _rand_img(rng, h, w, ncol=rng.randint(2, 9))
+        out = W.webp_decode(
+            W.vp8l_encode(
+                img,
+                use_subtract_green=sub_green,
+                use_palette=palette,
+                cache_bits=cache,
+                rle=rle,
+            )
+        )
+        assert np.array_equal(out, img)
+
+    prop()
+
+
+def _pack(img):
+    a = img.astype(np.uint32)
+    return [
+        int(v)
+        for v in (
+            (a[..., 3] << 24) | (a[..., 0] << 16) | (a[..., 1] << 8)
+            | a[..., 2]
+        ).reshape(-1)
+    ]
+
+
+def _sub_px(a, b):
+    """Per-channel (a - b) & 0xff over packed ARGB."""
+    out = 0
+    for shift in (24, 16, 8, 0):
+        out |= ((((a >> shift) & 0xFF) - ((b >> shift) & 0xFF)) & 0xFF) << shift
+    return out
+
+
+def _wrap(payload: bytes) -> bytes:
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def _header(bw, w, h):
+    bw.write(8, 0x2F)
+    bw.write(14, w - 1)
+    bw.write(14, h - 1)
+    bw.write(1, 1)
+    bw.write(3, 0)
+
+
+def test_vp8l_predictor_transform_all_modes():
+    """The fixture encoder never emits the predictor transform, so the
+    decoder path is pinned with hand-built streams: one per predictor
+    mode, residuals computed forward from the target image (the
+    reconstruction IS the target, so neighbor reads match), one tile
+    covering the whole 4x4 image. Includes the Select and clamped
+    add/subtract modes and the rightmost-column TR aliasing."""
+    rng = np.random.RandomState(3)
+    img = _rand_img(rng, 4, 4)
+    target = _pack(img)
+    w = h = 4
+    for mode in range(14):
+        res = [0] * (w * h)
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                if y == 0 and x == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = target[i - 1]
+                elif x == 0:
+                    pred = target[i - w]
+                else:
+                    pred = W._predict(
+                        mode,
+                        target[i - 1],
+                        target[i - w],
+                        target[i - w - 1],
+                        target[i - w + 1],
+                    )
+                res[i] = _sub_px(target[i], pred)
+        bw = W._BitWriter()
+        _header(bw, w, h)
+        bw.write(1, 1)  # transform present
+        bw.write(2, 0)  # predictor
+        bits = 2
+        bw.write(3, bits - 2)
+        W._encode_image(
+            bw, [0xFF000000 | (mode << 8)], 0, False, is_main=False
+        )
+        bw.write(1, 0)  # no more transforms
+        W._encode_image(bw, res, 0, False, is_main=True)
+        out = W.webp_decode(_wrap(bw.finish()))
+        assert np.array_equal(out, img), f"predictor mode {mode}"
+
+
+def test_vp8l_color_transform():
+    """Hand-built color-transform stream: known multipliers (packed per
+    libwebp's ColorCodeToMultipliers: blue byte = green_to_red, green
+    byte = green_to_blue, red byte = red_to_blue, incl. negative int8
+    values), residuals computed with the forward transform — decode
+    must restore the exact pixels."""
+    rng = np.random.RandomState(5)
+    img = _rand_img(rng, 3, 5)
+    target = _pack(img)
+    g2r, g2b, r2b = 0x40, 0xE0, 0x15  # 0xE0 = -32 as int8
+    res = []
+    for px in target:
+        g = (px >> 8) & 0xFF
+        red = (px >> 16) & 0xFF
+        blue = px & 0xFF
+        red_res = (red - W._ct_delta(g2r, g)) & 0xFF
+        blue_res = (
+            blue - W._ct_delta(g2b, g) - W._ct_delta(r2b, red)
+        ) & 0xFF
+        res.append((px & 0xFF00FF00) | (red_res << 16) | blue_res)
+    bw = W._BitWriter()
+    _header(bw, 5, 3)
+    bw.write(1, 1)
+    bw.write(2, 1)  # color transform
+    bits = 3  # one 8x8 tile covers 5x3
+    bw.write(3, bits - 2)
+    cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+    W._encode_image(bw, [cte], 0, False, is_main=False)
+    bw.write(1, 0)
+    W._encode_image(bw, res, 0, False, is_main=True)
+    out = W.webp_decode(_wrap(bw.finish()))
+    assert np.array_equal(out, img)
+
+
+def test_vp8l_meta_huffman_group_switch():
+    """Hand-built meta-Huffman stream: an 8x1 image, huffman_bits=2 →
+    two 4-pixel tiles selecting two DIFFERENT code groups (group index
+    = (red<<8)|green of the entropy-image pixel). Each group's
+    single-symbol codes decode a different pixel — group routing is
+    the only thing that can produce the expected output."""
+    px0 = 0xFF0A0102  # a=255 r=10 g=1 b=2
+    px1 = 0xFF141903  # a=255 r=20 g=25 b=3
+    bw = W._BitWriter()
+    _header(bw, 8, 1)
+    bw.write(1, 0)  # no transforms
+    bw.write(1, 0)  # no color cache
+    bw.write(1, 1)  # meta huffman present
+    hbits = 2
+    bw.write(3, hbits - 2)
+    # entropy image 2x1: green byte = group index
+    W._encode_image(
+        bw, [0xFF000000, 0xFF000100], 0, False, is_main=False
+    )
+    # group 0 then group 1: five codes each (single-symbol → 0 bits
+    # per emitted symbol, so the pixel stream below is empty)
+    for px in (px0, px1):
+        for sym in (
+            (px >> 8) & 0xFF,
+            (px >> 16) & 0xFF,
+            px & 0xFF,
+            (px >> 24) & 0xFF,
+            0,
+        ):
+            W._write_huffman_code(bw, {sym: 1})
+    out = W.webp_decode(_wrap(bw.finish()))
+    expect = np.zeros((1, 8, 4), np.uint8)
+    for x in range(8):
+        px = px0 if x < 4 else px1
+        expect[0, x] = [(px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF,
+                        (px >> 24) & 0xFF]
+    assert np.array_equal(out, expect)
+
+
+def test_vp8l_lz77_plane_distance():
+    """Hand-built LZ77 stream with a NON-trivial distance: two literals
+    then copy(length=2, distance=2) — distance 2 is plane code 6
+    ((2,0)), whose prefix code carries an extra bit. Output must be
+    A B A B; a wrong plane table or prefix decode cannot produce it."""
+    pxa = 0xFF010203
+    pxb = 0xFF040506
+    bw = W._BitWriter()
+    _header(bw, 4, 1)
+    bw.write(1, 0)  # no transforms
+    bw.write(1, 0)  # no cache
+    bw.write(1, 0)  # no meta
+    g_codes = W._write_huffman_code(
+        bw, W._huffman_lengths({2: 1, 5: 1, 257: 1}, 15)
+    )  # greens of A(2), B(5), and length-prefix symbol 257 (length 2)
+    r_codes = W._write_huffman_code(
+        bw, W._huffman_lengths({1: 1, 4: 1}, 15)
+    )
+    b_codes = W._write_huffman_code(
+        bw, W._huffman_lengths({3: 1, 6: 1}, 15)
+    )
+    a_codes = W._write_huffman_code(bw, {255: 1})
+    d_codes = W._write_huffman_code(bw, {4: 1})  # dist prefix code 4
+    for px in (pxa, pxb):
+        W._emit(bw, g_codes, (px >> 8) & 0xFF)
+        W._emit(bw, r_codes, (px >> 16) & 0xFF)
+        W._emit(bw, b_codes, px & 0xFF)
+        W._emit(bw, a_codes, 255)
+    W._emit(bw, g_codes, 257)  # length prefix 1 → length 2, no extras
+    W._emit(bw, d_codes, 4)  # dist prefix 4 + 1 extra bit
+    bw.write(1, 1)  # extra → dist code 6 → plane (2,0) → distance 2
+    out = W.webp_decode(_wrap(bw.finish()))
+    expect = np.array(
+        [[[1, 2, 3, 255], [4, 5, 6, 255], [1, 2, 3, 255], [4, 5, 6, 255]]],
+        np.uint8,
+    )
+    assert np.array_equal(out, expect)
+
+
+def test_plane_code_table_and_prefix_inverse():
+    """The generated distance table's head matches the spec's opening
+    enumeration, and prefix encode/decode are exact inverses over a
+    wide value range."""
+    assert W._PLANE_CODES[:8] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    ]
+    assert len(W._PLANE_CODES) == 120
+    assert len(set(W._PLANE_CODES)) == 120
+    for value in list(range(1, 300)) + [1000, 4096, 100000]:
+        code, extra, ev = W._prefix_encode(value)
+
+        class _FakeBr:
+            def read(self, n):
+                assert n == extra
+                return ev
+
+        assert W._prefix_value(code, _FakeBr()) == value
+
+
+def test_webp_container_routing_and_lossy_stub():
+    """Container parsing: VP8L decodes; a lossy-only (VP8) container
+    raises NotImplementedError (the decoder_gap contract); junk raises
+    ValueError (the corrupt contract)."""
+    img = np.full((2, 2, 4), 9, np.uint8)
+    ok = W.vp8l_encode(img)
+    assert np.array_equal(W.webp_decode(ok), img)
+
+    body = b"\x00" * 10
+    lossy = (
+        b"RIFF"
+        + (4 + 8 + len(body)).to_bytes(4, "little")
+        + b"WEBP"
+        + b"VP8 "
+        + len(body).to_bytes(4, "little")
+        + body
+    )
+    with pytest.raises(NotImplementedError, match="lossy"):
+        W.webp_decode(lossy)
+    with pytest.raises(ValueError):
+        W.webp_decode(b"RIFF\x00\x00\x00\x00JUNK")
+
+
+def test_webp_decodes_through_spark_and_lossy_dead_letters(spark):
+    """End to end through the mapInPandas operator: a genuine VP8L
+    asset decodes on a bare cluster (decode_ok, reason NULL, the
+    PNG-contract features), a lossy VP8 asset dead-letters as
+    decoder_gap, and decode_reason_report sizes the remaining gap with
+    lossless WebP now under 'ok'."""
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _optional_pil,
+        decode_features,
+        decode_reason_report,
+    )
+
+    rng = np.random.RandomState(13)
+    img = _rand_img(rng, 6, 5, ncol=4)
+    vp8l = W.vp8l_encode(img, use_palette=True, rle=True)
+    body = b"\x00" * 16
+    lossy = (
+        b"RIFF"
+        + (4 + 8 + len(body)).to_bytes(4, "little")
+        + b"WEBP"
+        + b"VP8 "
+        + len(body).to_bytes(4, "little")
+        + body
+    )
+    assets = spark.createDataFrame(
+        [
+            (1, "image/webp", vp8l, {"n_bytes": len(vp8l), "source": "t"}),
+            (2, "image/webp", lossy, {"n_bytes": len(lossy), "source": "t"}),
+        ],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in decode_features(assets, real_decoder=True).collect()
+    }
+    assert rows[1]["decode_ok"] and rows[1]["reason"] is None
+    assert rows[1]["feature"][0] == 5.0 and rows[1]["feature"][1] == 6.0
+    assert rows[1]["feature"][2] == 4.0  # RGBA channels
+    import zlib
+
+    assert rows[1]["checksum"] == zlib.crc32(img.tobytes()) % 1_000_003
+    if _optional_pil() is None:
+        assert not rows[2]["decode_ok"]
+        assert rows[2]["reason"] == "decoder_gap"
+        assert "lossy" in rows[2]["error"]
+        report = decode_reason_report(
+            decode_features(assets, real_decoder=True)
+        ).collect()
+        by_key = {(r["media_type"], r["reason"]): r for r in report}
+        assert by_key[("image/webp", "ok")]["n_assets"] == 1
+        assert by_key[("image/webp", "decoder_gap")]["share_ppm"] == 500_000
+
+
+def test_webp_resizes_natively(spark):
+    """resize_assets path: a VP8L asset decodes (alpha dropped, the
+    PNG discipline) and resizes through the native pipeline."""
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _decode_image_pixels,
+    )
+
+    rng = np.random.RandomState(17)
+    img = _rand_img(rng, 8, 6)
+    pixels = _decode_image_pixels(W.vp8l_encode(img))
+    assert pixels.shape == (8, 6, 3)
+    assert np.array_equal(pixels, img[:, :, :3])
