@@ -254,14 +254,33 @@ def distribution_drift(
     """
     if n_cuts < 1:
         raise ValueError("distribution_drift: n_cuts must be >= 1")
+    bounds = _drift_bounds(ref, value_col, n_cuts, approx)
+    one = (
+        _ecdf_counts(ref, bounds, value_col, n_cuts, "_r")
+        .join(F.broadcast(_ecdf_counts(cur, bounds, value_col, n_cuts, "_c")))
+        .join(F.broadcast(bounds))
+    )
+    return _drift_gap_rows(one, n_cuts)
+
+
+def _drift_bounds(
+    ref: DataFrame, value_col: str, n_cuts: int, approx: bool
+) -> DataFrame:
+    """The 1-row probe-boundary frame (reference quantiles), pinned.
+
+    ONE percentile aggregate over the probe array — not n_cuts
+    independent ones: in approx mode each row would otherwise update
+    n_cuts separate GK sketches (~n_cuts x the sketch CPU and buffer
+    memory); the array form computes every cut from a single pass.
+    Pinned via localCheckpoint because several consumers reference the
+    frame; without pinning each re-evaluates the aggregate — i.e.
+    re-scans the full reference corpus (measured: 5 file scans vs 3).
+    The pinned result is one row, so the eager action is model-sized.
+    """
     qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
-    # ONE percentile aggregate over the probe array — not n_cuts
-    # independent ones: in approx mode each row would otherwise update
-    # n_cuts separate GK sketches (~n_cuts x the sketch CPU and buffer
-    # memory); the array form computes every cut from a single pass
     fn = "approx_percentile" if approx else "percentile"
     arr = ", ".join(repr(q) for q in qs)
-    bounds = (
+    return (
         ref.agg(F.expr(f"{fn}({value_col}, array({arr}))").alias("_bs"))
         .select(
             *[
@@ -269,33 +288,34 @@ def distribution_drift(
                 for i in range(n_cuts)
             ]
         )
-        # three consumers reference this 1-row frame; without pinning,
-        # each re-evaluates the aggregate — i.e. re-scans the full
-        # reference corpus (measured: 5 file scans vs 3). The pinned
-        # result is one row, so the eager action is model-sized.
         .localCheckpoint(eager=True)
     )
 
-    def ecdf_counts(df: DataFrame, prefix: str) -> DataFrame:
-        aggs = [
-            F.sum(
-                F.when(F.col(value_col) <= F.col(f"_b{i}"), 1).otherwise(0)
-            ).alias(f"{prefix}le{i}")
-            for i in range(n_cuts)
-        ]
-        return df.join(F.broadcast(bounds)).agg(
-            F.count(value_col).alias(f"{prefix}n"), *aggs
-        )
 
-    one = (
-        ecdf_counts(ref, "_r")
-        .join(F.broadcast(ecdf_counts(cur, "_c")))
-        .join(F.broadcast(bounds))
+def _ecdf_counts(
+    df: DataFrame, bounds: DataFrame, value_col: str, n_cuts: int,
+    prefix: str,
+) -> DataFrame:
+    """1-row (count, Σ indicator per cut) frame — one codegen'd scan."""
+    aggs = [
+        F.sum(
+            F.when(F.col(value_col) <= F.col(f"_b{i}"), 1).otherwise(0)
+        ).alias(f"{prefix}le{i}")
+        for i in range(n_cuts)
+    ]
+    return df.join(F.broadcast(bounds)).agg(
+        F.count(value_col).alias(f"{prefix}n"), *aggs
     )
-    # an EMPTY (or all-NULL) sample is the failure a drift alarm most
-    # needs to catch — a NULL/zero gap would read as "no drift" while
-    # an upstream stage produced nothing. Fail loudly instead; the
-    # guard rides in the plan, so there is no extra driver action.
+
+
+def _drift_gap_rows(one: DataFrame, n_cuts: int) -> DataFrame:
+    """The shared drift tail: empty-sample guard + per-cut ppm rows.
+
+    An EMPTY (or all-NULL) sample is the failure a drift alarm most
+    needs to catch — a NULL/zero gap would read as "no drift" while an
+    upstream stage produced nothing. Fail loudly instead; the guard
+    rides in the plan, so there is no extra driver action.
+    """
     for side, name in (("_rn", "reference"), ("_cn", "current")):
         one = one.withColumn(
             side,
@@ -327,3 +347,72 @@ def distribution_drift(
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def drift_bound_values(
+    ref: DataFrame, value_col: str, n_cuts: int = 15, approx: bool = False
+) -> list[float]:
+    """The probe boundaries as plain floats — the form a STREAM embeds
+    as plan literals (the boundaries are fixed for the stream's
+    lifetime; re-deriving them per micro-batch would re-scan the
+    reference every trigger). The 1-row collect is model-sized, the
+    ``bpe``/centroid exception pattern."""
+    row = _drift_bounds(ref, value_col, n_cuts, approx).collect()[0]
+    return [row[f"_b{i}"] for i in range(n_cuts)]
+
+
+def drift_from_partials(
+    ref: DataFrame,
+    partials: DataFrame,
+    value_col: str,
+    n_cuts: int = 15,
+    approx: bool = False,
+) -> DataFrame:
+    """``distribution_drift`` with the CURRENT side supplied as
+    streamed indicator partials (``streaming.events.
+    stream_drift_partials`` output: one row per closed window with
+    ``(n, le[i])`` counts against the SAME reference boundaries).
+
+    Indicator counts are plain sums, so merging windowed partials is
+    LOSSLESS: the output rows are identical — not approximately equal
+    — to batch ``distribution_drift(ref, all current rows)``, the CMS
+    bit-identity discipline applied to the ECDF. A partial row whose
+    ``n_cuts`` disagrees with this call raises in-plan (the
+    wrong-geometry guard): summing counts probed against different
+    boundaries would silently fabricate a CDF.
+    """
+    if n_cuts < 1:
+        raise ValueError("drift_from_partials: n_cuts must be >= 1")
+    bounds = _drift_bounds(ref, value_col, n_cuts, approx)
+    guard = F.when(
+        F.col("n_cuts") != n_cuts,
+        F.raise_error(
+            F.concat(
+                F.lit("drift_from_partials: partial has n_cuts="),
+                F.col("n_cuts").cast("string"),
+                F.lit(
+                    f", merge expects {n_cuts} — counts probed against"
+                    " different boundaries cannot be summed"
+                ),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("n"))
+    cur_counts = partials.agg(
+        F.sum(guard).alias("_cn"),
+        *[
+            F.sum(F.element_at("le", i + 1)).alias(f"_cle{i}")
+            for i in range(n_cuts)
+        ],
+    ).select(
+        F.coalesce(F.col("_cn"), F.lit(0)).alias("_cn"),
+        *[
+            F.coalesce(F.col(f"_cle{i}"), F.lit(0)).alias(f"_cle{i}")
+            for i in range(n_cuts)
+        ],
+    )
+    one = (
+        _ecdf_counts(ref, bounds, value_col, n_cuts, "_r")
+        .join(F.broadcast(cur_counts))
+        .join(F.broadcast(bounds))
+    )
+    return _drift_gap_rows(one, n_cuts)

@@ -543,6 +543,50 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bloom_join",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_totalprice > 450000)
+    GROUP BY 1, 2
+    """,
+    doc="Bloom-prefiltered semi join (operators/joins.py "
+    "bloom_semi_join): the explicit, tunable form of Spark's "
+    "InjectRuntimeFilter for the curation keep-joins — the fact side "
+    "probes a KB-scale bitmap (built JVM-side as a bit_or over "
+    "num_bits/64 word rows, densified into ONE broadcast array row) "
+    "before the exact shuffle semi-join, so the shuffle carries only "
+    "true matches + the configured fp rate instead of the whole "
+    "corpus (~10%-selective keep list here). Result is IDENTICAL to "
+    "the plain semi join — false positives die in the real join, "
+    "false negatives are impossible by construction (property-"
+    "tested); a geometry-mismatched filter raises in-plan. Late-r8 "
+    "tail debut (family cover: q_join_star's join machinery + "
+    "q_curate_corpus's keep-joins, both in-window).",
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return bloom_semi_join(li, dim, "l_orderkey").groupBy(
+        "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@register(
     "q_semi_join",
     """
     SELECT c_custkey, c_name FROM customer
@@ -5843,6 +5887,52 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(ref, cur, "value", n_cuts=15)
 
 
+@register(
+    "q_stream_drift",
+    _dist_drift_oracle(),
+    doc="streaming distribution drift (streaming/events.py "
+    "stream_drift_partials + quality.drift_from_partials): the live "
+    "twin of q_dist_drift — per-window ECDF indicator counts "
+    "maintained incrementally against FIXED reference probe "
+    "boundaries (plan literals via drift_bound_values; re-deriving "
+    "them per micro-batch would re-scan the reference every "
+    "trigger), merged losslessly because indicator counts are plain "
+    "sums — the streamed rows are IDENTICAL to the batch compute, "
+    "the CMS bit-identity discipline applied to the ECDF, so the "
+    "oracle is q_dist_drift's SQL unchanged across the "
+    "batch/streaming boundary. Wrong-geometry partials (different "
+    "n_cuts) raise in-plan at merge. State per open window: one "
+    "count + n_cuts int64 sums regardless of event volume. Late-r8 "
+    "tail debut (family cover: q_dist_drift is the batch twin, "
+    "q_stream_cms the same streamed-mergeable-partials contract — "
+    "both in-window).",
+)
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.quality import (
+        drift_bound_values,
+        drift_from_partials,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+        stream_drift_partials,
+    )
+
+    ev = read_events(spark, sf_dir)
+    ref = ev.filter(F.col("event_id") % 2 == 0).select("value")
+    bounds = drift_bound_values(ref, "value", n_cuts=15)
+    cur_stream = read_events_stream(spark, sf_dir).filter(
+        F.col("event_id") % 2 == 1
+    ).select((F.col("value") * 1.1).alias("value"), "ts")
+    out = stream_drift_partials(cur_stream, bounds)
+    # complete mode for the memory-sink parity check (all windows
+    # emit, q_stream_cms's discipline); production appends
+    # watermark-closed partial rows to the stored table instead
+    run_stream_to_table(out, "q_stream_drift_sink", "complete")
+    partials = spark.table("q_stream_drift_sink")
+    return drift_from_partials(ref, partials, "value", n_cuts=15)
+
+
 def _containment_oracle(
     n: int = 5,
     threshold_ppm: int = 800_000,
@@ -6262,6 +6352,17 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # against it) and q_curate_incremental (the same
     # delta-vs-stored-state shape):
     "q_containment_incremental": ("q_containment", "q_curate_incremental"),
+    # LATE-r8 DEBUT (not a demotion): the streaming drift twin; r9
+    # promotion queue. Covered in-window by q_dist_drift (the batch
+    # twin whose oracle this entry replays unchanged) and
+    # q_stream_cms (the identical streamed-mergeable-partials
+    # contract with in-plan geometry guard):
+    "q_stream_drift": ("q_dist_drift", "q_stream_cms"),
+    # LATE-r8 DEBUT (not a demotion): the Bloom-prefiltered semi join;
+    # r9 promotion queue. Covered in-window by q_join_star (join
+    # machinery) and q_curate_corpus (the keep-join shape the
+    # prefilter accelerates):
+    "q_bloom_join": ("q_join_star", "q_curate_corpus"),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -916,6 +916,61 @@ def stream_cms_partials(
     )
 
 
+def stream_drift_partials(
+    events: DataFrame,
+    bounds: list[float],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the CURRENT side of
+    ``quality.distribution_drift``: maintain per-window ECDF indicator
+    counts against FIXED reference probe boundaries — live
+    distribution-drift monitoring over the event feed, with
+    ``quality.drift_from_partials`` answering "how far has the live
+    distribution moved from the reference" from the stored partials,
+    no raw-event rescan.
+
+    ``bounds`` are plain floats embedded as plan literals
+    (``quality.drift_bound_values``): the reference boundaries are
+    fixed for the stream's lifetime, so re-deriving them per
+    micro-batch would re-scan the reference every trigger for the
+    same row. Because an indicator count is an exact SUM of
+    deterministic comparisons, the streamed rows for a closed window
+    are IDENTICAL to batch-computed counts over the same rows — the
+    ``stream_cms_partials`` bit-identity discipline applied to the
+    ECDF — so the merge is lossless and the oracle replay is the
+    batch replay. State per open window is one count + n_cuts int64
+    sums regardless of event volume.
+
+    Output: ``(bucket_ts, n, le, n_cuts)`` — ``le[i]`` counts values
+    ≤ ``bounds[i]``; ``n_cuts`` rides along so the merge's
+    wrong-geometry guard works on streamed partials too.
+    """
+    if not bounds:
+        raise ValueError("stream_drift_partials: bounds must be non-empty")
+    le = [
+        F.sum(
+            F.when(F.col(value_col) <= F.lit(b), 1).otherwise(0)
+        ).cast("bigint").alias(f"_le{i}")
+        for i, b in enumerate(bounds)
+    ]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("_w"))
+        .agg(F.count(value_col).alias("n"), *le)
+        .select(
+            F.col("_w.start").alias("bucket_ts"),
+            "n",
+            F.array(*[F.col(f"_le{i}") for i in range(len(bounds))]).alias(
+                "le"
+            ),
+            F.lit(len(bounds)).alias("n_cuts"),
+        )
+    )
+
+
 def run_stream_index_update(
     docs_stream: DataFrame,
     index_dir: str,

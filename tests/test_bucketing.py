@@ -103,3 +103,94 @@ def test_bucketed_signature_table_verify_join(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_sigs_b")
+
+
+def test_bloom_semi_join_identity_and_no_false_negatives(spark):
+    """bloom_semi_join must be EXACTLY the plain left-semi join (false
+    positives die in the real join), the prefilter must be a superset
+    of the true matches at ANY geometry — false negatives are
+    impossible by construction, pinned over random key sets and
+    deliberately tiny (high-fp) filters — and a geometry-mismatched
+    probe raises in-plan rather than silently dropping matches."""
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inbev_data_engineering_case_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .localCheckpoint(eager=True)
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        keys=st.lists(
+            st.integers(0, 6000), unique=True, min_size=0, max_size=40
+        ),
+        num_bits=st.sampled_from([64, 512, 1 << 14]),
+        num_hashes=st.integers(1, 6),
+    )
+    def prop(keys, num_bits, num_hashes):
+        dim = spark.createDataFrame(
+            [(k,) for k in keys], "l_orderkey long"
+        )
+        want = sorted(
+            map(tuple, li.join(dim, "l_orderkey", "left_semi").collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                bloom_semi_join(
+                    li, dim, "l_orderkey", num_bits, num_hashes
+                ).collect(),
+            )
+        )
+        assert got == want
+        if keys:
+            bloom = bloom_filter_build(
+                dim, "l_orderkey", num_bits, num_hashes
+            )
+            kept = bloom_might_contain(
+                li, bloom, "l_orderkey", num_bits, num_hashes
+            ).count()
+            assert kept >= len(want)  # superset: no false negatives
+
+    prop()
+
+    dim = spark.createDataFrame([(7,), (9,)], "l_orderkey long")
+    bloom = bloom_filter_build(dim, "l_orderkey", 1 << 10, 3)
+    with pytest.raises(Exception, match="geometry"):
+        bloom_might_contain(li, bloom, "l_orderkey", 1 << 11, 3).count()
+    with pytest.raises(ValueError, match="num_bits"):
+        bloom_filter_build(dim, "l_orderkey", 100, 3)  # not a mult of 64
+
+
+def test_bloom_prefilter_rides_the_scan(spark):
+    """Plan shape: the probe is a broadcast of ONE bloom row into the
+    fact scan (no shuffle of the fact side before the filter, no
+    cartesian beyond the 1-row BNLJ), and the filter prunes before the
+    exact join's exchange."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    dim = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    df = bloom_semi_join(li, dim, "l_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    # the 1-row bloom joins as a broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

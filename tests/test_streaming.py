@@ -1073,3 +1073,70 @@ def test_stream_pit_enrich_probes_closed_and_open_versions(spark, tmp_path):
         for r in spark.sql("select * from stream_pit_sink").collect()
     }
     assert got == {1: "bronze", 2: "gold"}  # 3 dropped (pre-history)
+
+
+def test_stream_drift_partials_merge_equals_batch(spark, tmp_path):
+    """The streamed ECDF partials are IDENTICAL to batch-computed
+    counts over the same rows (indicator counts are exact sums), so
+    drift_from_partials over the drained windows reproduces batch
+    distribution_drift row-for-row; a partial probed against different
+    boundaries (wrong n_cuts) raises in-plan at merge rather than
+    fabricating a CDF."""
+    from inbev_data_engineering_case_spark.operators.quality import (
+        distribution_drift,
+        drift_bound_values,
+        drift_from_partials,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        run_stream_to_table,
+        stream_drift_partials,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    ref = spark.createDataFrame(
+        [(float(i % 17),) for i in range(200)], "value double"
+    )
+    cur_rows = [
+        (i, t0 + timedelta(hours=6 * i), float((i * 7) % 23))
+        for i in range(80)
+    ]
+    cur = spark.createDataFrame(
+        cur_rows, "event_id long, ts timestamp, value double"
+    )
+    src = str(tmp_path / "drift_feed")
+    cur.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(cur.schema).parquet(src)
+
+    n_cuts = 7
+    bounds = drift_bound_values(ref, "value", n_cuts=n_cuts)
+    out = stream_drift_partials(
+        stream.select("value", "ts"), bounds, window="1 day"
+    )
+    run_stream_to_table(out, "drift_partial_sink", "complete")
+    partials = spark.table("drift_partial_sink")
+    # windows partition the feed: totals must reconcile exactly
+    agg = partials.agg(F.sum("n").alias("n")).collect()[0]
+    assert agg["n"] == 80
+
+    streamed = sorted(
+        map(
+            tuple,
+            drift_from_partials(
+                ref, partials, "value", n_cuts=n_cuts
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            distribution_drift(
+                ref, cur.select("value"), "value", n_cuts=n_cuts
+            ).collect(),
+        )
+    )
+    assert streamed == batch  # lossless merge, not approximately equal
+
+    # wrong-geometry partial: in-plan raise, the CMS guard discipline
+    bad = partials.withColumn("n_cuts", F.lit(n_cuts + 1))
+    with pytest.raises(Exception, match="n_cuts"):
+        drift_from_partials(ref, bad, "value", n_cuts=n_cuts).collect()
