@@ -820,6 +820,162 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("sim") >= threshold)
 
 
+def build_embedding_sig_table(
+    emb: DataFrame,
+    num_planes: int = 8,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(seed, id, v, bucket)`` — the sign-LSH state
+    ``embedding_near_dup_pairs`` buckets on, one row per (probe seed,
+    vector), with the vector carried so the delta path can run the
+    cosine verify without re-reading the corpus embedding table
+    (``build_gram_table``'s stored-state contract applied to vectors).
+    Persist bucketed by ``(seed, bucket)`` at scale so the daily delta
+    join is bucket-local."""
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        signlsh_bucket,
+    )
+
+    per = [
+        emb.select(
+            F.lit(seed).alias("seed"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+        )
+        for seed in range(n_probes)
+    ]
+    out = per[0]
+    for p in per[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def incremental_embedding_near_dup(
+    stored_sigs: DataFrame,
+    new_emb: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    materialize_mode: str = "local",
+) -> DataFrame:
+    """Daily-crawl embedding near-dup — the delta form of
+    ``embedding_near_dup_pairs``: only the NEW vectors hash; the
+    historical corpus participates through its stored sign-LSH table
+    (``build_embedding_sig_table`` output), and candidates form as
+    (new-side sigs) × (bucket-mates) — the stored×stored quadratic
+    never forms.
+
+    Returns exactly the ``embedding_near_dup_pairs(stored ∪ new)``
+    rows in which at least one side is new (full-batch parity,
+    identity-tested): the hot-bucket guard is evaluated over the
+    COMBINED bucket population, and a hot bucket's star links use the
+    combined min-id representative — precisely as the full recompute
+    would (stale-hot star links not involving a new vector are the
+    full batch's new-free rows and are excluded by definition).
+
+    Ids must be disjoint between stored and new (a re-embedded doc is
+    delete + insert, ``curate_incremental``'s contract). The
+    ``n_probes``/``num_planes`` geometry must match the build — the
+    seeds are deterministic, so a mismatched probe count simply finds
+    no stored rows for the extra seeds and silently loses recall;
+    pass the build's values.
+    """
+    from inbev_data_engineering_case_spark.functions import cosine
+
+    new_sigs = _materialize(
+        build_embedding_sig_table(
+            new_emb, num_planes, n_probes, id_col, vec_col
+        ),
+        materialize_mode,
+    )
+    new_ids = new_emb.select(F.col(id_col).alias("id"))
+    per_probe = []
+    for seed in range(n_probes):
+        sigs = _materialize(
+            stored_sigs.filter(F.col("seed") == seed)
+            .select("id", "v", "bucket")
+            .unionByName(
+                new_sigs.filter(F.col("seed") == seed).select(
+                    "id", "v", "bucket"
+                )
+            ),
+            materialize_mode,
+        )
+        if max_bucket_size is not None:
+            cold, hot = _split_hot_buckets(
+                sigs, ["bucket"], max_bucket_size, materialize_mode
+            )
+        else:
+            cold, hot = sigs, None
+        new_cold = cold.join(new_ids, "id", "left_semi")
+        stored_cold = cold.join(new_ids, "id", "left_anti")
+        sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+        # a new (covers new-new and new<stored), then stored<new —
+        # the containment-incremental direction split, so no pair
+        # double-counts and no stored-stored candidate ever forms
+        pair_cols = [
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("sim"),
+        ]
+        p1 = new_cold.alias("a").join(
+            cold.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(*pair_cols)
+        p2 = stored_cold.alias("a").join(
+            new_cold.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(*pair_cols)
+        probe = p1.unionByName(p2)
+        if hot is not None:
+            # combined-population representative (min id), but only
+            # links touching a new vector are this operator's rows.
+            # "touches new" is an OR over two ids — expressed as two
+            # equi left-joins against a marker frame, never an
+            # OR-condition join (which would plan as a nested loop)
+            reps = hot.groupBy("bucket").agg(
+                F.min("id").alias("rep_id"),
+                F.min_by("v", "id").alias("rep_v"),
+            )
+            marks = new_ids.withColumn("_new", F.lit(True))
+            hot_m = hot.join(marks, "id", "left").withColumnRenamed(
+                "_new", "_member_new"
+            )
+            reps_m = reps.join(
+                marks.withColumnRenamed("id", "rep_id"), "rep_id", "left"
+            ).withColumnRenamed("_new", "_rep_new")
+            star_sim = F.round(cosine(F.col("rep_v"), F.col("v")), 6)
+            star = (
+                hot_m.join(reps_m, ["bucket"])
+                .filter(F.col("id") != F.col("rep_id"))
+                .filter(
+                    F.col("_member_new").isNotNull()
+                    | F.col("_rep_new").isNotNull()
+                )
+                .select(
+                    F.col("rep_id").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    star_sim.alias("sim"),
+                )
+            )
+            probe = probe.unionByName(star)
+        per_probe.append(probe)
+    pairs = per_probe[0]
+    for p in per_probe[1:]:
+        pairs = pairs.unionByName(p)
+    if n_probes > 1:
+        pairs = pairs.distinct()  # sim is identical across probes
+    return pairs.filter(F.col("sim") >= threshold)
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",

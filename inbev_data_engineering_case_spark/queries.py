@@ -2494,7 +2494,16 @@ def q_ann_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PERTURB = "(1 + 0.001 * ((i % 3) - 1))"
 
 
-def _embedding_dedup_oracle(num_planes: int = 8, threshold: float = 0.9) -> str:
+def _embedding_dedup_oracle(
+    num_planes: int = 8,
+    threshold: float = 0.9,
+    only_new: bool = False,
+    new_mod: int | None = None,
+) -> str:
+    new_filter = (
+        "AND (id_a >= 100000 OR id_b >= 100000)" if only_new else ""
+    )
+    mod_filter = f"WHERE vec_id % {new_mod} = 0" if new_mod else ""
     bucket = _signlsh_bucket_sql(num_planes)
     return f"""
     WITH corpus AS (
@@ -2503,7 +2512,7 @@ def _embedding_dedup_oracle(num_planes: int = 8, threshold: float = 0.9) -> str:
       SELECT vec_id + 100000 AS vec_id,
              list_transform(range(0, len(embedding)), i ->
                embedding[i + 1]::DOUBLE * {_PERTURB}) AS v
-      FROM embeddings
+      FROM embeddings {mod_filter}
     ),
     emb AS (SELECT vec_id, v, ({bucket}) AS bucket FROM corpus),
     pairs AS (
@@ -2513,6 +2522,7 @@ def _embedding_dedup_oracle(num_planes: int = 8, threshold: float = 0.9) -> str:
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, sim FROM pairs WHERE sim >= {threshold}
+    {new_filter}
     """
 
 
@@ -2542,6 +2552,53 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     ).unionByName(perturbed)
     return embedding_near_dup_pairs(corpus, threshold=0.9)
+
+
+@register(
+    "q_embedding_incremental",
+    _embedding_dedup_oracle(only_new=True, new_mod=5),
+    doc="daily-crawl embedding near-dup (operators/dedup.py "
+    "incremental_embedding_near_dup): the delta form — only the NEW "
+    "vectors hash; the historical corpus participates through its "
+    "stored sign-LSH table (build_embedding_sig_table, vectors "
+    "carried so the cosine verify needs no corpus re-read), "
+    "candidates form as new-side × bucket-mates so the "
+    "stored×stored quadratic never forms, and the hot-bucket guard "
+    "evaluates over the COMBINED bucket population. Exact full-batch "
+    "parity: returns precisely the embedding_near_dup_pairs(stored ∪ "
+    "new) rows involving a new vector (identity-tested; the oracle "
+    "is the full-batch SQL filtered to new-involving pairs). "
+    "Fixture: perturbed copies of every 5th vector arrive as the new "
+    "crawl — a genuinely delta-sized new side, so the entry prices "
+    "the delta path, not a full recompute. Late-r8 tail debut "
+    "(family cover: q_dedup_embedding runs the same full-batch "
+    "machinery, q_curate_incremental the same delta-vs-stored-state "
+    "shape — both in-window).",
+)
+def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_embedding_sig_table,
+        incremental_embedding_near_dup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    stored = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    new = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1) + F.lit(0.001) * ((i % 3) - 1)),
+        ).alias("embedding"),
+    )
+    return incremental_embedding_near_dup(
+        build_embedding_sig_table(stored), new, threshold=0.9
+    )
 
 
 @register(
@@ -6363,6 +6420,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # machinery) and q_curate_corpus (the keep-join shape the
     # prefilter accelerates):
     "q_bloom_join": ("q_join_star", "q_curate_corpus"),
+    # LATE-r8 DEBUT (not a demotion): the embedding near-dup delta
+    # form; r9 promotion queue. Covered in-window by
+    # q_dedup_embedding (the identical full-batch machinery — this op
+    # is identity-tested against it) and q_curate_incremental (the
+    # same delta-vs-stored-state shape):
+    "q_embedding_incremental": ("q_dedup_embedding", "q_curate_incremental"),
 }
 
 for _name in _FAMILY_STAND_INS:

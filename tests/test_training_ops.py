@@ -4755,3 +4755,72 @@ def test_distribution_drift_approx_cuts_within_gk_rank_error(spark):
             assert r["gap_ppm"] == 0
 
     prop()
+
+
+def test_incremental_embedding_near_dup_full_batch_parity(spark):
+    """incremental_embedding_near_dup(stored sig table, new vectors)
+    must return EXACTLY the embedding_near_dup_pairs(stored ∪ new)
+    rows involving a new vector — including when a bucket crosses the
+    hot cap only once the delta lands (combined-population guard and
+    combined min-id star representative), and under multi-probe."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_embedding_sig_table,
+        embedding_near_dup_pairs,
+        incremental_embedding_near_dup,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    stored = emb.filter(F.col("vec_id") < 80)
+    # new crawl: perturbed copies of some stored vectors (near-dup
+    # hits) plus EXACT copies of vector 3 to flood one bucket past a
+    # tiny hot cap only when the delta is counted
+    near = stored.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1) + F.lit(0.001) * ((i % 3) - 1)),
+        ).alias("embedding"),
+    )
+    flood_src = stored.filter(F.col("vec_id") == 3).select("embedding")
+    flood = spark.range(200000, 200012).join(
+        F.broadcast(flood_src)
+    ).select(F.col("id").alias("vec_id"), "embedding")
+    new = near.unionByName(flood)
+
+    for kw in (
+        dict(threshold=0.9, num_planes=8, n_probes=1, max_bucket_size=10),
+        dict(threshold=0.9, num_planes=6, n_probes=2, max_bucket_size=10),
+        dict(threshold=0.9, num_planes=8, n_probes=1,
+             max_bucket_size=None),
+    ):
+        full = embedding_near_dup_pairs(stored.unionByName(new), **kw)
+        want = sorted(
+            map(
+                tuple,
+                full.filter(
+                    (F.col("id_a") >= 100000) | (F.col("id_b") >= 100000)
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                incremental_embedding_near_dup(
+                    build_embedding_sig_table(
+                        stored,
+                        num_planes=kw["num_planes"],
+                        n_probes=kw["n_probes"],
+                    ),
+                    new,
+                    **kw,
+                ).collect(),
+            )
+        )
+        assert got == want and got, kw
