@@ -1049,6 +1049,131 @@ def simhash_near_pairs(
     return pairs
 
 
+def build_simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """``(id, sh, bucket)`` — the SimHash state ``simhash_near_pairs``
+    self-joins on, persisted so a daily crawl never re-hashes the
+    historical corpus (``build_gram_table``'s stored-state contract,
+    SimHash flavor). Bucket by ``bucket`` at scale."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), token_hashes(text_col).alias("th")
+    )
+    return hashed.select(
+        "id", simhash_from_hashes("th", bits).alias("sh")
+    ).withColumn("bucket", F.shiftright("sh", bits - bucket_bits))
+
+
+def incremental_simhash_near_pairs(
+    stored_sigs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 60,
+    bucket_bits: int = 8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    materialize_mode: str = "local",
+) -> DataFrame:
+    """Daily-crawl SimHash near-dup — the delta form of
+    ``simhash_near_pairs``: only the NEW crawl tokenizes and hashes;
+    the historical corpus participates through its stored signature
+    table (``build_simhash_table`` output), candidates form as
+    (new-side sigs) × (bucket-mates), and the stored×stored quadratic
+    never forms.
+
+    Returns exactly the ``simhash_near_pairs(stored ∪ new)`` rows in
+    which at least one side is new (full-batch parity,
+    identity-tested): the hot-bucket guard and min-id star
+    representative evaluate over the COMBINED bucket population, so a
+    bucket that goes hot only once the crawl lands splits precisely
+    as the full recompute would. Ids must be disjoint between stored
+    and new (delete + insert for re-crawls); ``bits``/``bucket_bits``
+    must match the build — a mismatch shifts every bucket and
+    silently loses recall, so pass the build's values.
+    """
+    new_sigs = _materialize(
+        build_simhash_table(new_docs, text_col, id_col, bits, bucket_bits),
+        materialize_mode,
+    )
+    sigs = _materialize(
+        stored_sigs.select("id", "sh", "bucket").unionByName(new_sigs),
+        materialize_mode,
+    )
+    new_ids = new_docs.select(F.col(id_col).alias("id"))
+    if max_bucket_size is not None:
+        cold, hot = _split_hot_buckets(
+            sigs, ["bucket"], max_bucket_size, materialize_mode
+        )
+    else:
+        cold, hot = sigs, None
+    new_cold = cold.join(new_ids, "id", "left_semi")
+    stored_cold = cold.join(new_ids, "id", "left_anti")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    pair_cols = [
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        hamming.alias("hamming"),
+    ]
+    cond = lambda: (  # noqa: E731
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    # a new (covers new-new and new<stored), then stored<new — the
+    # incremental direction split: no pair double-counts, no
+    # stored-stored candidate ever forms
+    p1 = (
+        new_cold.alias("a")
+        .join(cold.alias("b"), cond())
+        .filter(hamming <= max_hamming)
+        .select(*pair_cols)
+    )
+    p2 = (
+        stored_cold.alias("a")
+        .join(new_cold.alias("b"), cond())
+        .filter(hamming <= max_hamming)
+        .select(*pair_cols)
+    )
+    pairs = p1.unionByName(p2)
+    if hot is not None:
+        # combined-population representative; only links touching a
+        # new doc are this operator's rows ("touches new" = two equi
+        # left-joins against a marker frame, never an OR-condition
+        # join)
+        reps = hot.groupBy("bucket").agg(
+            F.min("id").alias("rep_id"),
+            F.min_by("sh", "id").alias("rep_sh"),
+        )
+        marks = new_ids.withColumn("_new", F.lit(True))
+        hot_m = hot.join(marks, "id", "left").withColumnRenamed(
+            "_new", "_member_new"
+        )
+        reps_m = reps.join(
+            marks.withColumnRenamed("id", "rep_id"), "rep_id", "left"
+        ).withColumnRenamed("_new", "_rep_new")
+        star_hamming = F.bit_count(F.col("rep_sh").bitwiseXOR(F.col("sh")))
+        star = (
+            hot_m.join(reps_m, ["bucket"])
+            .filter(F.col("id") != F.col("rep_id"))
+            .filter(
+                F.col("_member_new").isNotNull()
+                | F.col("_rep_new").isNotNull()
+            )
+            .filter(star_hamming <= max_hamming)
+            .select(
+                F.col("rep_id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                star_hamming.alias("hamming"),
+            )
+        )
+        pairs = pairs.unionByName(star)
+    return pairs
+
+
 def dedup_spans(
     documents: DataFrame,
     span_tokens: int = 16,

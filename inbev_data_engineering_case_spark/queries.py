@@ -2129,7 +2129,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_similarity(pairs, corpus)
 
 
-def _simhash_oracle(bits: int = 60, bucket_bits: int = 8, max_hamming: int = 6) -> str:
+def _simhash_oracle(
+    bits: int = 60,
+    bucket_bits: int = 8,
+    max_hamming: int = 6,
+    only_new: bool = False,
+) -> str:
     simhash = f"""
       list_sum(list_transform(range(0, {bits}), b ->
         CASE WHEN list_sum(list_transform({_SQL_TOKENS}, t ->
@@ -2150,6 +2155,7 @@ def _simhash_oracle(bits: int = 60, bucket_bits: int = 8, max_hamming: int = 6) 
     FROM sigs a JOIN sigs b
       ON a.bucket = b.bucket AND a.id < b.id
     WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    {"AND (a.id >= 200000 OR b.id >= 200000)" if only_new else ""}
     """
 
 
@@ -2170,6 +2176,47 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return simhash_near_pairs(
         _corpus_near(spark, sf_dir), max_hamming=6, bits=60, bucket_bits=8
+    )
+
+
+@register(
+    "q_simhash_incremental",
+    _simhash_oracle(only_new=True),
+    doc="daily-crawl SimHash near-dup (operators/dedup.py "
+    "incremental_simhash_near_pairs): the delta form — only the new "
+    "crawl tokenizes and hashes; the historical corpus participates "
+    "through its stored signature table (build_simhash_table), "
+    "candidates form as new-side × bucket-mates (stored×stored never "
+    "forms), and the hot-bucket guard + min-id star representative "
+    "evaluate over the COMBINED bucket population. Exact full-batch "
+    "parity: returns precisely the simhash_near_pairs(stored ∪ new) "
+    "rows involving a new document (identity-tested; the oracle is "
+    "the full-batch SQL filtered to new-involving pairs). With this "
+    "entry every signature-backed dedup family — exact, minhash, "
+    "simhash, containment, embedding — has a stored-state "
+    "incremental twin. Fixture: the q_dedup_simhash near-dup suffix "
+    "copies arrive as the new crawl. Late-r8 tail debut (family "
+    "cover: q_dedup_minhash pins the banded-signature machinery and "
+    "q_curate_incremental the delta-vs-stored-state shape — both "
+    "in-window).",
+)
+def q_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_simhash_table,
+        incremental_simhash_near_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" the end")).alias("text"),
+    )
+    return incremental_simhash_near_pairs(
+        build_simhash_table(docs, bits=60, bucket_bits=8),
+        new,
+        max_hamming=6,
+        bits=60,
+        bucket_bits=8,
     )
 
 
@@ -6426,6 +6473,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # is identity-tested against it) and q_curate_incremental (the
     # same delta-vs-stored-state shape):
     "q_embedding_incremental": ("q_dedup_embedding", "q_curate_incremental"),
+    # LATE-r8 DEBUT (not a demotion): the SimHash delta form; r9
+    # promotion queue. Covered in-window by q_dedup_minhash (the
+    # banded-signature family rep) and q_curate_incremental (the
+    # delta-vs-stored-state shape):
+    "q_simhash_incremental": ("q_dedup_minhash", "q_curate_incremental"),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -4824,3 +4824,59 @@ def test_incremental_embedding_near_dup_full_batch_parity(spark):
             )
         )
         assert got == want and got, kw
+
+
+def test_incremental_simhash_full_batch_parity(spark):
+    """incremental_simhash_near_pairs(stored sig table, new crawl)
+    must return EXACTLY the simhash_near_pairs(stored ∪ new) rows
+    involving a new document — including when identical templates
+    flood one bucket past the hot cap only once the delta lands
+    (combined-population guard + combined min-id star
+    representative)."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_simhash_table,
+        incremental_simhash_near_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    near = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" the end")).alias("text"),
+    )
+    # identical templates: same text → same signature → one bucket
+    flood = spark.range(300000, 300015).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the very same template text repeated verbatim").alias(
+            "text"
+        ),
+    )
+    new = near.unionByName(flood)
+    for kw in (
+        dict(max_hamming=6, bits=60, bucket_bits=8, max_bucket_size=8),
+        dict(max_hamming=6, bits=60, bucket_bits=8, max_bucket_size=None),
+        dict(max_hamming=3, bits=48, bucket_bits=6, max_bucket_size=8),
+    ):
+        build_kw = dict(bits=kw["bits"], bucket_bits=kw["bucket_bits"])
+        full = simhash_near_pairs(docs.unionByName(new), **kw)
+        want = sorted(
+            map(
+                tuple,
+                full.filter(
+                    (F.col("id_a") >= 200000) | (F.col("id_b") >= 200000)
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                incremental_simhash_near_pairs(
+                    build_simhash_table(docs, **build_kw), new, **kw
+                ).collect(),
+            )
+        )
+        assert got == want and got, kw
