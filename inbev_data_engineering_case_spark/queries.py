@@ -553,6 +553,7 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                          WHERE o_totalprice > 450000)
     GROUP BY 1, 2
     """,
+    headline=True,
     doc="Bloom-prefiltered semi join (operators/joins.py "
     "bloom_semi_join): the explicit, tunable form of Spark's "
     "InjectRuntimeFilter for the curation keep-joins — the fact side "
