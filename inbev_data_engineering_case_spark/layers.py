@@ -341,21 +341,39 @@ def link_parquet_files(src_dir: str, dst_dir: str) -> int:
     back to a byte copy per file: the delta append/compaction paths
     then work anywhere ``commit_snapshot``'s rename protocol does,
     just without the zero-byte reuse."""
-    import shutil
-
     os.makedirs(dst_dir, exist_ok=True)
     n = 0
     for name in os.listdir(src_dir):
         if name.startswith(("_", ".")):
             continue
-        src = os.path.join(src_dir, name)
-        dst = os.path.join(dst_dir, name)
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy2(src, dst)
+        _link_or_copy(
+            os.path.join(src_dir, name), os.path.join(dst_dir, name)
+        )
         n += 1
     return n
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hard-link ``src`` to ``dst``, falling back to a byte copy ONLY
+    on the no-link-capability errnos (EPERM/EACCES/ENOTSUP/EXDEV/
+    EMLINK). Anything else — notably EEXIST, which means a
+    double-staged destination, i.e. a staging bug — stays a loud
+    failure instead of a silent overwrite."""
+    import errno
+    import shutil
+
+    try:
+        os.link(src, dst)
+    except OSError as e:
+        if e.errno not in (
+            errno.EPERM,
+            errno.EACCES,
+            errno.ENOTSUP,
+            errno.EXDEV,
+            errno.EMLINK,
+        ):
+            raise
+        shutil.copy2(src, dst)
 
 
 def prune_snapshots(base_dir: str, prefix: str, keep: int) -> None:
@@ -678,11 +696,7 @@ def delete_rows(
     shutil.rmtree(building, ignore_errors=True)  # reap a crashed attempt
     os.makedirs(building)
     for f in untouched:
-        target = os.path.join(building, os.path.basename(f))
-        try:
-            os.link(f, target)
-        except OSError:
-            shutil.copy2(f, target)
+        _link_or_copy(f, os.path.join(building, os.path.basename(f)))
 
     rows_deleted = 0
     if touched:

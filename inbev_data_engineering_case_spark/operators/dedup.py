@@ -820,6 +820,42 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("sim") >= threshold)
 
 
+def _delta_star_links(hot, value_col: str, new_ids, measure, out_name: str):
+    """Star links of COMBINED-population hot buckets that touch a new
+    row — the shared hot-bucket tail of the incremental simhash and
+    embedding twins. The representative is the combined min id (so a
+    bucket that goes hot only with the delta splits exactly as the
+    full recompute would), and "touches new" is an OR over two ids —
+    expressed as two equi left-joins against a marker frame, never an
+    OR-condition join (which would plan as a nested loop).
+    ``measure(rep_val, val)`` produces the emitted similarity/distance
+    column named ``out_name``."""
+    reps = hot.groupBy("bucket").agg(
+        F.min("id").alias("rep_id"),
+        F.min_by(value_col, "id").alias("_rep_val"),
+    )
+    marks = new_ids.withColumn("_new", F.lit(True))
+    hot_m = hot.join(marks, "id", "left").withColumnRenamed(
+        "_new", "_member_new"
+    )
+    reps_m = reps.join(
+        marks.withColumnRenamed("id", "rep_id"), "rep_id", "left"
+    ).withColumnRenamed("_new", "_rep_new")
+    return (
+        hot_m.join(reps_m, ["bucket"])
+        .filter(F.col("id") != F.col("rep_id"))
+        .filter(
+            F.col("_member_new").isNotNull()
+            | F.col("_rep_new").isNotNull()
+        )
+        .select(
+            F.col("rep_id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            measure(F.col("_rep_val"), F.col(value_col)).alias(out_name),
+        )
+    )
+
+
 def build_embedding_sig_table(
     emb: DataFrame,
     num_planes: int = 8,
@@ -827,7 +863,7 @@ def build_embedding_sig_table(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """``(seed, id, v, bucket)`` — the sign-LSH state
+    """``(seed, id, v, bucket, num_planes, n_probes)`` — the sign-LSH state
     ``embedding_near_dup_pairs`` buckets on, one row per (probe seed,
     vector), with the vector carried so the delta path can run the
     cosine verify without re-reading the corpus embedding table
@@ -844,6 +880,11 @@ def build_embedding_sig_table(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
             signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+            # build geometry rides the state (the CMS wrong-geometry
+            # discipline): the incremental path raises in-plan on a
+            # mismatch instead of silently losing recall
+            F.lit(num_planes).alias("num_planes"),
+            F.lit(n_probes).alias("n_probes"),
         )
         for seed in range(n_probes)
     ]
@@ -880,25 +921,54 @@ def incremental_embedding_near_dup(
     full batch's new-free rows and are excluded by definition).
 
     Ids must be disjoint between stored and new (a re-embedded doc is
-    delete + insert, ``curate_incremental``'s contract). The
-    ``n_probes``/``num_planes`` geometry must match the build — the
-    seeds are deterministic, so a mismatched probe count simply finds
-    no stored rows for the extra seeds and silently loses recall;
-    pass the build's values.
+    delete + insert, ``curate_incremental``'s contract). A stored
+    table built with different ``num_planes``/``n_probes`` raises
+    IN-PLAN (the geometry columns ride the state): the seeds are
+    deterministic, so a silent mismatch would mis-bucket every stored
+    row and lose recall without any error.
     """
     from inbev_data_engineering_case_spark.functions import cosine
 
     new_sigs = _materialize(
         build_embedding_sig_table(
             new_emb, num_planes, n_probes, id_col, vec_col
-        ),
+        ).select("seed", "id", "v", "bucket"),
         materialize_mode,
     )
     new_ids = new_emb.select(F.col(id_col).alias("id"))
+    # geometry guard folded into the CONSUMED bucket column (a merely
+    # projected-then-dropped guard would be pruned by Catalyst)
+    stored_guarded = stored_sigs.select(
+        "seed",
+        "id",
+        "v",
+        F.when(
+            (F.col("num_planes") != num_planes)
+            | (F.col("n_probes") != n_probes),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "incremental_embedding_near_dup: stored sig "
+                        "table was built with (num_planes, n_probes)=("
+                    ),
+                    F.col("num_planes").cast("string"),
+                    F.lit(", "),
+                    F.col("n_probes").cast("string"),
+                    F.lit(
+                        f"), this call uses ({num_planes}, {n_probes})"
+                        " — mismatched hyperplanes mis-bucket every "
+                        "stored row and silently lose recall"
+                    ),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.col("bucket"))
+        .alias("bucket"),
+    )
     per_probe = []
     for seed in range(n_probes):
         sigs = _materialize(
-            stored_sigs.filter(F.col("seed") == seed)
+            stored_guarded.filter(F.col("seed") == seed)
             .select("id", "v", "bucket")
             .unionByName(
                 new_sigs.filter(F.col("seed") == seed).select(
@@ -936,35 +1006,12 @@ def incremental_embedding_near_dup(
         ).select(*pair_cols)
         probe = p1.unionByName(p2)
         if hot is not None:
-            # combined-population representative (min id), but only
-            # links touching a new vector are this operator's rows.
-            # "touches new" is an OR over two ids — expressed as two
-            # equi left-joins against a marker frame, never an
-            # OR-condition join (which would plan as a nested loop)
-            reps = hot.groupBy("bucket").agg(
-                F.min("id").alias("rep_id"),
-                F.min_by("v", "id").alias("rep_v"),
-            )
-            marks = new_ids.withColumn("_new", F.lit(True))
-            hot_m = hot.join(marks, "id", "left").withColumnRenamed(
-                "_new", "_member_new"
-            )
-            reps_m = reps.join(
-                marks.withColumnRenamed("id", "rep_id"), "rep_id", "left"
-            ).withColumnRenamed("_new", "_rep_new")
-            star_sim = F.round(cosine(F.col("rep_v"), F.col("v")), 6)
-            star = (
-                hot_m.join(reps_m, ["bucket"])
-                .filter(F.col("id") != F.col("rep_id"))
-                .filter(
-                    F.col("_member_new").isNotNull()
-                    | F.col("_rep_new").isNotNull()
-                )
-                .select(
-                    F.col("rep_id").alias("id_a"),
-                    F.col("id").alias("id_b"),
-                    star_sim.alias("sim"),
-                )
+            star = _delta_star_links(
+                hot,
+                "v",
+                new_ids,
+                lambda rv, v: F.round(cosine(rv, v), 6),
+                "sim",
             )
             probe = probe.unionByName(star)
         per_probe.append(probe)
@@ -1056,16 +1103,22 @@ def build_simhash_table(
     bits: int = 60,
     bucket_bits: int = 8,
 ) -> DataFrame:
-    """``(id, sh, bucket)`` — the SimHash state ``simhash_near_pairs``
+    """``(id, sh, bucket, bits, bucket_bits)`` — the SimHash state ``simhash_near_pairs``
     self-joins on, persisted so a daily crawl never re-hashes the
     historical corpus (``build_gram_table``'s stored-state contract,
     SimHash flavor). Bucket by ``bucket`` at scale."""
     hashed = df.select(
         F.col(id_col).alias("id"), token_hashes(text_col).alias("th")
     )
-    return hashed.select(
-        "id", simhash_from_hashes("th", bits).alias("sh")
-    ).withColumn("bucket", F.shiftright("sh", bits - bucket_bits))
+    return (
+        hashed.select("id", simhash_from_hashes("th", bits).alias("sh"))
+        .withColumn("bucket", F.shiftright("sh", bits - bucket_bits))
+        # build geometry rides the state (the CMS wrong-geometry
+        # discipline): the incremental path raises in-plan on a
+        # mismatch instead of silently shifting every bucket
+        .withColumn("bits", F.lit(bits))
+        .withColumn("bucket_bits", F.lit(bucket_bits))
+    )
 
 
 def incremental_simhash_near_pairs(
@@ -1092,16 +1145,47 @@ def incremental_simhash_near_pairs(
     representative evaluate over the COMBINED bucket population, so a
     bucket that goes hot only once the crawl lands splits precisely
     as the full recompute would. Ids must be disjoint between stored
-    and new (delete + insert for re-crawls); ``bits``/``bucket_bits``
-    must match the build — a mismatch shifts every bucket and
-    silently loses recall, so pass the build's values.
+    and new (delete + insert for re-crawls). A stored table built
+    with different ``bits``/``bucket_bits`` raises IN-PLAN (the
+    geometry columns ride the state): a silent mismatch would shift
+    every stored bucket and lose recall without any error.
     """
     new_sigs = _materialize(
-        build_simhash_table(new_docs, text_col, id_col, bits, bucket_bits),
+        build_simhash_table(
+            new_docs, text_col, id_col, bits, bucket_bits
+        ).select("id", "sh", "bucket"),
         materialize_mode,
     )
+    # geometry guard folded into the CONSUMED sh column (a merely
+    # projected-then-dropped guard would be pruned by Catalyst)
+    stored_guarded = stored_sigs.select(
+        "id",
+        F.when(
+            (F.col("bits") != bits)
+            | (F.col("bucket_bits") != bucket_bits),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "incremental_simhash_near_pairs: stored table "
+                        "was built with (bits, bucket_bits)=("
+                    ),
+                    F.col("bits").cast("string"),
+                    F.lit(", "),
+                    F.col("bucket_bits").cast("string"),
+                    F.lit(
+                        f"), this call uses ({bits}, {bucket_bits}) — "
+                        "a mismatch shifts every stored bucket and "
+                        "silently loses recall"
+                    ),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.col("sh"))
+        .alias("sh"),
+        "bucket",
+    )
     sigs = _materialize(
-        stored_sigs.select("id", "sh", "bucket").unionByName(new_sigs),
+        stored_guarded.select("id", "sh", "bucket").unionByName(new_sigs),
         materialize_mode,
     )
     new_ids = new_docs.select(F.col(id_col).alias("id"))
@@ -1140,36 +1224,13 @@ def incremental_simhash_near_pairs(
     )
     pairs = p1.unionByName(p2)
     if hot is not None:
-        # combined-population representative; only links touching a
-        # new doc are this operator's rows ("touches new" = two equi
-        # left-joins against a marker frame, never an OR-condition
-        # join)
-        reps = hot.groupBy("bucket").agg(
-            F.min("id").alias("rep_id"),
-            F.min_by("sh", "id").alias("rep_sh"),
-        )
-        marks = new_ids.withColumn("_new", F.lit(True))
-        hot_m = hot.join(marks, "id", "left").withColumnRenamed(
-            "_new", "_member_new"
-        )
-        reps_m = reps.join(
-            marks.withColumnRenamed("id", "rep_id"), "rep_id", "left"
-        ).withColumnRenamed("_new", "_rep_new")
-        star_hamming = F.bit_count(F.col("rep_sh").bitwiseXOR(F.col("sh")))
-        star = (
-            hot_m.join(reps_m, ["bucket"])
-            .filter(F.col("id") != F.col("rep_id"))
-            .filter(
-                F.col("_member_new").isNotNull()
-                | F.col("_rep_new").isNotNull()
-            )
-            .filter(star_hamming <= max_hamming)
-            .select(
-                F.col("rep_id").alias("id_a"),
-                F.col("id").alias("id_b"),
-                star_hamming.alias("hamming"),
-            )
-        )
+        star = _delta_star_links(
+            hot,
+            "sh",
+            new_ids,
+            lambda r, s: F.bit_count(r.bitwiseXOR(s)),
+            "hamming",
+        ).filter(F.col("hamming") <= max_hamming)
         pairs = pairs.unionByName(star)
     return pairs
 
@@ -1288,7 +1349,7 @@ def build_gram_table(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """``(id_col, gram_h)`` — each document's DISTINCT word-n-gram
+    """``(id_col, gram_h, n)`` — each document's DISTINCT word-n-gram
     8-byte fingerprints, the gram stream ``containment_pairs`` joins on
     and the STORED state the incremental containment path joins a new
     crawl against (``curate_incremental``'s stored-signature shape
@@ -1305,7 +1366,14 @@ def build_gram_table(
         F.explode(
             F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))
         ).alias("gram"),
-    ).select(id_col, portable_hash64(F.col("gram")).alias("gram_h"))
+    ).select(
+        id_col,
+        portable_hash64(F.col("gram")).alias("gram_h"),
+        # build geometry rides the state (the CMS wrong-geometry
+        # discipline): the incremental path raises in-plan on a
+        # mismatched n instead of silently mixing n-gram spaces
+        F.lit(n).alias("n"),
+    )
 
 
 def incremental_containment_pairs(
@@ -1335,7 +1403,10 @@ def incremental_containment_pairs(
     included — precisely as the full recompute would.
 
     Ids must be disjoint between stored and new (a re-crawled doc is
-    delete + insert, ``curate_incremental``'s contract).
+    delete + insert, ``curate_incremental``'s contract). A stored
+    table built with a different ``n`` raises IN-PLAN (the geometry
+    column rides the state): mixing n-gram spaces would produce wrong
+    containment values, not just missed pairs.
 
     Scale shape: one linear aggregation over the stored gram table for
     the combined df and denominators (table scans, no re-tokenization),
@@ -1350,10 +1421,33 @@ def incremental_containment_pairs(
             "(0, 1e6]"
         )
     new_grams = _materialize(
-        build_gram_table(new_documents, n, id_col, text_col),
+        build_gram_table(new_documents, n, id_col, text_col).select(
+            id_col, "gram_h"
+        ),
         materialize_mode,
     )
-    all_grams = stored_grams.select(id_col, "gram_h").unionByName(new_grams)
+    # geometry guard folded into the CONSUMED gram_h column (a merely
+    # projected-then-dropped guard would be pruned by Catalyst)
+    stored_guarded = stored_grams.select(
+        id_col,
+        F.when(
+            F.col("n") != n,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "incremental_containment_pairs: stored gram "
+                        "table was built with n="
+                    ),
+                    F.col("n").cast("string"),
+                    F.lit(f", this call uses n={n} — mixed n-gram "
+                          "spaces produce wrong containment values"),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.col("gram_h"))
+        .alias("gram_h"),
+    )
+    all_grams = stored_guarded.unionByName(new_grams)
     if max_gram_df is not None:
         hot = (
             all_grams.groupBy("gram_h")
@@ -1464,7 +1558,9 @@ def containment_pairs(
             "containment_pairs: threshold_ppm must be in (0, 1e6]"
         )
     grams = _materialize(
-        build_gram_table(documents, n, id_col, text_col),
+        build_gram_table(documents, n, id_col, text_col).select(
+            id_col, "gram_h"
+        ),
         materialize_mode,
     )
     if max_gram_df is not None:

@@ -140,9 +140,17 @@ def bloom_might_contain(
     geometry than the caller claims raises in-plan (the CMS
     wrong-geometry discipline — probing the wrong bit positions would
     silently drop true matches)."""
+    # underscore-prefix the bloom row's columns before the cross join
+    # so a fact column named bf/num_bits/num_hashes can't collide
+    # (ambiguous-reference or silent overwrite)
+    bloom = bloom.select(
+        F.col("bf").alias("_bloom_bf"),
+        F.col("num_bits").alias("_bloom_nb"),
+        F.col("num_hashes").alias("_bloom_nh"),
+    )
     guard = F.when(
-        (F.col("num_bits") != num_bits)
-        | (F.col("num_hashes") != num_hashes),
+        (F.col("_bloom_nb") != num_bits)
+        | (F.col("_bloom_nh") != num_hashes),
         F.raise_error(
             F.lit(
                 "bloom_might_contain: filter geometry "
@@ -158,13 +166,13 @@ def bloom_might_contain(
         # stage the position once per hash, then SQL-form shifts (the
         # Python shiftleft API only takes a literal bit count)
         joined = joined.withColumn(
-            f"_bp{i}",
+            f"_bloom_p{i}",
             F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)),
         )
         checks.append(
             F.expr(
-                f"element_at(bf, cast(_bp{i} div 64 as int) + 1) "
-                f"& shiftleft(1L, cast(_bp{i} % 64 as int))"
+                f"element_at(_bloom_bf, cast(_bloom_p{i} div 64 as int)"
+                f" + 1) & shiftleft(1L, cast(_bloom_p{i} % 64 as int))"
             )
             != 0
         )
@@ -172,8 +180,8 @@ def bloom_might_contain(
     for c in checks[1:]:
         cond = cond & c
     return joined.filter(guard & cond).drop(
-        "bf", "num_bits", "num_hashes",
-        *[f"_bp{i}" for i in range(num_hashes)],
+        "_bloom_bf", "_bloom_nb", "_bloom_nh",
+        *[f"_bloom_p{i}" for i in range(num_hashes)],
     )
 
 
@@ -205,6 +213,9 @@ def bloom_semi_join(
     pruned = bloom_might_contain(
         fact, bloom, key_col, num_bits, num_hashes
     )
+    # left-semi semantics already ignore duplicate matches — a
+    # .distinct() here would add a keep-list-sized exchange+aggregate
+    # to exactly the path the prefilter exists to slim down
     return pruned.join(
-        dim_keys.select(key_col).distinct(), on=key_col, how="left_semi"
+        dim_keys.select(key_col), on=key_col, how="left_semi"
     )

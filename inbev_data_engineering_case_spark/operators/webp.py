@@ -570,6 +570,7 @@ def webp_decode(payload: bytes):
     pos = 12
     vp8l = None
     saw_lossy = False
+    saw_extended = False
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -579,6 +580,8 @@ def webp_decode(payload: bytes):
             break
         if tag == b"VP8 ":
             saw_lossy = True
+        if tag in (b"VP8X", b"ANIM", b"ANMF"):
+            saw_extended = True
         pos += 8 + size + (size & 1)
     if vp8l is None:
         if saw_lossy:
@@ -586,6 +589,18 @@ def webp_decode(payload: bytes):
                 "lossy WebP (VP8) decoding requires a DCT/loop-filter "
                 "codec (PIL when the capability probe finds it); "
                 "lossless VP8L decodes natively — see webp.vp8l_decode."
+            )
+        if saw_extended:
+            # a structurally-valid EXTENDED container whose image data
+            # is not a top-level still chunk (animation frames inside
+            # ANMF, or exotic VP8X layouts): a decoder gap, NOT
+            # corruption — must stay NotImplementedError so the
+            # capability route falls through to PIL when present and
+            # the dead-letter reason codes it 'decoder_gap'
+            raise NotImplementedError(
+                "extended/animated WebP (VP8X without a top-level "
+                "still image chunk) requires PIL; still VP8L decodes "
+                "natively — see webp.vp8l_decode."
             )
         raise ValueError("WebP: no VP8L/VP8 image chunk found")
     pix, w, h = vp8l_decode(vp8l)
@@ -671,9 +686,14 @@ def _write_huffman_code(bw: _BitWriter, lengths: dict[int, int]) -> dict:
             bw.write(1, 1)
             bw.write(8, s)
         return {s: (0, 0)}
+    single_large = None
     if len(syms) == 1:
         # a symbol ≥ 256 cannot ride the 8-bit simple form; a
-        # single-length-1 full code is the allowed incomplete code
+        # single-length-1 full code is the allowed incomplete code.
+        # The DECODER reads a one-symbol code as 0 bits (_build_table's
+        # single-symbol case), so the returned emission map must be
+        # 0-bit too — a 1-bit map here would desync the stream.
+        single_large = syms[0]
         lengths = dict(lengths)
         lengths[syms[0]] = 1
     if len(syms) == 2 and max(syms) < 256:
@@ -712,6 +732,8 @@ def _write_huffman_code(bw: _BitWriter, lengths: dict[int, int]) -> dict:
         length, code = cl_codes[v]
         for bit_i in range(length - 1, -1, -1):
             bw.write(1, (code >> bit_i) & 1)
+    if single_large is not None:
+        return {single_large: (0, 0)}  # decoder reads this code 0-bit
     return _canonical_codes(lengths)
 
 

@@ -464,3 +464,12 @@ def test_link_parquet_files_falls_back_to_copy(tmp_path, monkeypatch):
         os.stat(dst / "part-000.parquet").st_ino
         != os.stat(src / "part-000.parquet").st_ino
     )
+
+    # EEXIST is NOT a capability gap — a double-staged destination is
+    # a staging bug and must stay a loud failure, not a silent
+    # copy-over (the fallback is restricted to the no-link errnos)
+    monkeypatch.undo()
+    dst2 = tmp_path / "dst2"
+    link_parquet_files(str(src), str(dst2))
+    with pytest.raises(OSError):
+        link_parquet_files(str(src), str(dst2))

@@ -4880,3 +4880,58 @@ def test_incremental_simhash_full_batch_parity(spark):
             )
         )
         assert got == want and got, kw
+
+
+def test_incremental_state_geometry_guards_raise_in_plan(spark):
+    """The r8 stored-state tables carry their build geometry, and each
+    incremental twin raises IN-PLAN on a mismatch instead of silently
+    mixing n-gram spaces (wrong containment values) or shifting every
+    bucket (lost recall) — the CMS wrong-geometry discipline applied
+    to the delta paths."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_embedding_sig_table,
+        build_gram_table,
+        build_simhash_table,
+        incremental_containment_pairs,
+        incremental_embedding_near_dup,
+        incremental_simhash_near_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 30)
+    )
+    new_docs = docs.select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    with pytest.raises(Exception, match="built with n="):
+        incremental_containment_pairs(
+            build_gram_table(docs, n=5), new_docs, n=3
+        ).collect()
+    with pytest.raises(Exception, match="bits, bucket_bits"):
+        incremental_simhash_near_pairs(
+            build_simhash_table(docs, bits=60, bucket_bits=8),
+            new_docs,
+            bits=48,
+            bucket_bits=6,
+        ).collect()
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).filter(F.col("vec_id") < 30)
+    new_emb = emb.select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(Exception, match="num_planes, n_probes"):
+        incremental_embedding_near_dup(
+            build_embedding_sig_table(emb, num_planes=8, n_probes=1),
+            new_emb,
+            num_planes=6,
+            n_probes=1,
+        ).collect()
