@@ -354,23 +354,27 @@ def link_parquet_files(src_dir: str, dst_dir: str) -> int:
 
 
 def _link_or_copy(src: str, dst: str) -> None:
-    """Hard-link ``src`` to ``dst``, falling back to a byte copy ONLY
-    on the no-link-capability errnos (EPERM/EACCES/ENOTSUP/EXDEV/
-    EMLINK). Anything else — notably EEXIST, which means a
-    double-staged destination, i.e. a staging bug — stays a loud
-    failure instead of a silent overwrite."""
+    """Hard-link ``src`` to ``dst``, falling back to a byte copy on
+    capability errors. Filesystems report missing hard-link support
+    with a zoo of errnos (EPERM, ENOTSUP, EXDEV, but also EINVAL on
+    FAT-backed mounts and ENOSYS on some SMB/NFS exports), so the
+    fallback DENYLISTS the errnos that always mean a caller bug
+    instead of allowlisting capability ones: EEXIST is a double-staged
+    destination and ENOENT/ENOTDIR/EISDIR are path mistakes — those
+    stay loud failures rather than a silent copy-over; everything
+    else degrades to copy2, keeping the docstring promise that the
+    staging paths work anywhere the rename protocol does."""
     import errno
     import shutil
 
     try:
         os.link(src, dst)
     except OSError as e:
-        if e.errno not in (
-            errno.EPERM,
-            errno.EACCES,
-            errno.ENOTSUP,
-            errno.EXDEV,
-            errno.EMLINK,
+        if e.errno in (
+            errno.EEXIST,
+            errno.ENOENT,
+            errno.ENOTDIR,
+            errno.EISDIR,
         ):
             raise
         shutil.copy2(src, dst)

@@ -87,6 +87,11 @@ def _materialize(df: DataFrame, mode: str = "local") -> DataFrame:
     branches of a self-join each re-evaluate the whole shingle+hash
     subtree — doubling the dominant cost.
 
+    This is the REPO-WIDE sharing helper: ``curate`` and ``quality``
+    import it too (the underscore marks it internal to the package,
+    not to this module), so the cluster-safety trade stays one config
+    value everywhere.
+
     ``mode`` selects the cluster-safety/speed trade as CONFIG, not a code
     edit:
 
@@ -820,6 +825,50 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("sim") >= threshold)
 
 
+def _geometry_guarded(df, expected: dict[str, int], carrier: str, op: str):
+    """The guarded carrier column for a stored-state table: raises
+    IN-PLAN (folded into the consumed ``carrier`` — a projected-then-
+    dropped guard would be pruned by Catalyst) when any geometry
+    column disagrees with ``expected``. A table that predates the
+    geometry columns (or isn't a state table at all) fails FAST at
+    plan time with an actionable message instead of an unresolved-
+    column error."""
+    missing = [c for c in expected if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{op}: stored state table lacks geometry column(s) "
+            f"{missing} — rebuild it with the current builder (build "
+            "geometry rides the state so a mismatched call can raise "
+            "in-plan instead of silently corrupting results)"
+        )
+    cond = None
+    for c, v in expected.items():
+        k = F.col(c) != v
+        cond = k if cond is None else cond | k
+    stored_desc = F.concat_ws(
+        ", ", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                for c in expected]
+    )
+    call_desc = ", ".join(f"{c}={v}" for c, v in expected.items())
+    return (
+        F.when(
+            cond,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op}: stored state table was built with ("),
+                    stored_desc,
+                    F.lit(f"), this call uses ({call_desc}) — a "
+                          "geometry mismatch silently corrupts results"
+                          " (mis-bucketed rows / mixed gram spaces); "
+                          "pass the build's values or rebuild"),
+                )
+            ).cast(df.schema[carrier].dataType.simpleString()),
+        )
+        .otherwise(F.col(carrier))
+        .alias(carrier)
+    )
+
+
 def _delta_star_links(hot, value_col: str, new_ids, measure, out_name: str):
     """Star links of COMBINED-population hot buckets that touch a new
     row — the shared hot-bucket tail of the incremental simhash and
@@ -936,34 +985,16 @@ def incremental_embedding_near_dup(
         materialize_mode,
     )
     new_ids = new_emb.select(F.col(id_col).alias("id"))
-    # geometry guard folded into the CONSUMED bucket column (a merely
-    # projected-then-dropped guard would be pruned by Catalyst)
     stored_guarded = stored_sigs.select(
         "seed",
         "id",
         "v",
-        F.when(
-            (F.col("num_planes") != num_planes)
-            | (F.col("n_probes") != n_probes),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "incremental_embedding_near_dup: stored sig "
-                        "table was built with (num_planes, n_probes)=("
-                    ),
-                    F.col("num_planes").cast("string"),
-                    F.lit(", "),
-                    F.col("n_probes").cast("string"),
-                    F.lit(
-                        f"), this call uses ({num_planes}, {n_probes})"
-                        " — mismatched hyperplanes mis-bucket every "
-                        "stored row and silently lose recall"
-                    ),
-                )
-            ).cast("bigint"),
-        )
-        .otherwise(F.col("bucket"))
-        .alias("bucket"),
+        _geometry_guarded(
+            stored_sigs,
+            {"num_planes": num_planes, "n_probes": n_probes},
+            "bucket",
+            "incremental_embedding_near_dup",
+        ),
     )
     per_probe = []
     for seed in range(n_probes):
@@ -1156,32 +1187,14 @@ def incremental_simhash_near_pairs(
         ).select("id", "sh", "bucket"),
         materialize_mode,
     )
-    # geometry guard folded into the CONSUMED sh column (a merely
-    # projected-then-dropped guard would be pruned by Catalyst)
     stored_guarded = stored_sigs.select(
         "id",
-        F.when(
-            (F.col("bits") != bits)
-            | (F.col("bucket_bits") != bucket_bits),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "incremental_simhash_near_pairs: stored table "
-                        "was built with (bits, bucket_bits)=("
-                    ),
-                    F.col("bits").cast("string"),
-                    F.lit(", "),
-                    F.col("bucket_bits").cast("string"),
-                    F.lit(
-                        f"), this call uses ({bits}, {bucket_bits}) — "
-                        "a mismatch shifts every stored bucket and "
-                        "silently loses recall"
-                    ),
-                )
-            ).cast("bigint"),
-        )
-        .otherwise(F.col("sh"))
-        .alias("sh"),
+        _geometry_guarded(
+            stored_sigs,
+            {"bits": bits, "bucket_bits": bucket_bits},
+            "sh",
+            "incremental_simhash_near_pairs",
+        ),
         "bucket",
     )
     sigs = _materialize(
@@ -1426,26 +1439,12 @@ def incremental_containment_pairs(
         ),
         materialize_mode,
     )
-    # geometry guard folded into the CONSUMED gram_h column (a merely
-    # projected-then-dropped guard would be pruned by Catalyst)
     stored_guarded = stored_grams.select(
         id_col,
-        F.when(
-            F.col("n") != n,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "incremental_containment_pairs: stored gram "
-                        "table was built with n="
-                    ),
-                    F.col("n").cast("string"),
-                    F.lit(f", this call uses n={n} — mixed n-gram "
-                          "spaces produce wrong containment values"),
-                )
-            ).cast("bigint"),
-        )
-        .otherwise(F.col("gram_h"))
-        .alias("gram_h"),
+        _geometry_guarded(
+            stored_grams, {"n": n}, "gram_h",
+            "incremental_containment_pairs",
+        ),
     )
     all_grams = stored_guarded.unionByName(new_grams)
     if max_gram_df is not None:

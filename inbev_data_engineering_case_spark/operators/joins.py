@@ -142,7 +142,16 @@ def bloom_might_contain(
     silently drop true matches)."""
     # underscore-prefix the bloom row's columns before the cross join
     # so a fact column named bf/num_bits/num_hashes can't collide
-    # (ambiguous-reference or silent overwrite)
+    # (ambiguous-reference or silent overwrite); the staging columns
+    # below share the prefix, so reserve it loudly rather than let
+    # withColumn silently overwrite a user's _bloom_* column
+    reserved = [c for c in fact.columns if c.startswith("_bloom_")]
+    if reserved:
+        raise ValueError(
+            f"bloom_might_contain: fact columns {reserved} use the "
+            "reserved _bloom_ prefix (internal staging names) — "
+            "rename them before probing"
+        )
     bloom = bloom.select(
         F.col("bf").alias("_bloom_bf"),
         F.col("num_bits").alias("_bloom_nb"),

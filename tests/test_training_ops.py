@@ -4905,17 +4905,25 @@ def test_incremental_state_geometry_guards_raise_in_plan(spark):
     new_docs = docs.select(
         (F.col("doc_id") + 900000).alias("doc_id"), "text"
     )
-    with pytest.raises(Exception, match="built with n="):
+    with pytest.raises(Exception, match="geometry mismatch"):
         incremental_containment_pairs(
             build_gram_table(docs, n=5), new_docs, n=3
         ).collect()
-    with pytest.raises(Exception, match="bits, bucket_bits"):
+    with pytest.raises(Exception, match="geometry mismatch"):
         incremental_simhash_near_pairs(
             build_simhash_table(docs, bits=60, bucket_bits=8),
             new_docs,
             bits=48,
             bucket_bits=6,
         ).collect()
+    # a pre-geometry (or plain-wrong) state table fails FAST at plan
+    # time with an actionable message, not an unresolved-column error
+    with pytest.raises(ValueError, match="lacks geometry column"):
+        incremental_containment_pairs(
+            build_gram_table(docs, n=5).select("doc_id", "gram_h"),
+            new_docs,
+            n=5,
+        )
 
     emb = spark.read.parquet(
         "/root/testdata/sf0.001/embeddings.parquet"
@@ -4928,7 +4936,7 @@ def test_incremental_state_geometry_guards_raise_in_plan(spark):
     new_emb = emb.select(
         (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
     )
-    with pytest.raises(Exception, match="num_planes, n_probes"):
+    with pytest.raises(Exception, match="geometry mismatch"):
         incremental_embedding_near_dup(
             build_embedding_sig_table(emb, num_planes=8, n_probes=1),
             new_emb,
