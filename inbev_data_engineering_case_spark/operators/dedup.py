@@ -918,7 +918,14 @@ def build_embedding_sig_table(
     cosine verify without re-reading the corpus embedding table
     (``build_gram_table``'s stored-state contract applied to vectors).
     Persist bucketed by ``(seed, bucket)`` at scale so the daily delta
-    join is bucket-local."""
+    join is bucket-local.
+
+    State size: the vector rides EVERY probe row, so the table is
+    ~``n_probes`` × the embedding bytes. At multi-probe production
+    scale, persist ``(id, v)`` once and the per-seed ``(seed, id,
+    bucket, …)`` rows separately, then join them back into this shape
+    for the incremental call — the operator consumes the JOINED form,
+    so the normalization is a storage choice, not an API change."""
     from inbev_data_engineering_case_spark.operators.similarity import (
         signlsh_bucket,
     )
