@@ -391,3 +391,83 @@ def test_webp_resizes_natively(spark):
     pixels = _decode_image_pixels(W.vp8l_encode(img))
     assert pixels.shape == (8, 6, 3)
     assert np.array_equal(pixels, img[:, :, :3])
+
+
+def test_vp8l_predictor_with_color_cache_combined():
+    """Transforms and the color cache COMPOSE: the cache operates on
+    the entropy-coded (residual) pixels, and inverse transforms apply
+    after — a decoder that cached post-inverse pixels would desync.
+    Hand-built: predictor mode 1 (L) over a constant-color image makes
+    every residual after the first pixel identical, so the stream is
+    one literal + cache hits; the decode must still reconstruct the
+    constant image through the inverse predictor."""
+    px = 0xFF2A1B3C
+    w, h = 6, 3
+    target = [px] * (w * h)
+    # forward predictor: first pixel vs black, row 0 vs L, col 0 vs T,
+    # interior mode-1 (L)
+    res = []
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if y == 0 and x == 0:
+                pred = 0xFF000000
+            elif y == 0 or x > 0:
+                pred = target[i - 1]
+            else:
+                pred = target[i - w]
+            res.append(_sub_px(target[i], pred))
+    assert len(set(res[1:])) == 1  # constant residual -> cache hits
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)  # transform present
+    bw.write(2, 0)  # predictor
+    bw.write(3, 0)  # bits=2 -> one tile here? 6px/4 -> 2x1 tiles
+    tiles_w = (w + 3) // 4
+    W._encode_image(
+        bw,
+        [0xFF000000 | (1 << 8)] * tiles_w,  # mode 1 everywhere
+        0,
+        False,
+        is_main=False,
+    )
+    bw.write(1, 0)  # no more transforms
+    cache_bits = 3
+    bw.write(1, 1)
+    bw.write(4, cache_bits)  # color cache on the MAIN image
+    bw.write(1, 0)  # no meta huffman
+    first, rest = res[0], res[1]
+    hit_idx = W._cache_index(rest, cache_bits)
+    g_codes = W._write_huffman_code(
+        bw,
+        W._huffman_lengths(
+            {(first >> 8) & 0xFF: 1, 280 + hit_idx: 1}, 15
+        ),
+    )
+    r_codes = W._write_huffman_code(
+        bw,
+        W._huffman_lengths(
+            {(first >> 16) & 0xFF: 1, (rest >> 16) & 0xFF: 1}, 15
+        ),
+    )
+    b_codes = W._write_huffman_code(
+        bw, W._huffman_lengths({first & 0xFF: 1, rest & 0xFF: 1}, 15)
+    )
+    a_codes = W._write_huffman_code(bw, {255: 1})
+    W._write_huffman_code(bw, {0: 1})  # distance: unused
+    # pixel stream: literal residual[0], literal residual[1] (fills the
+    # cache slot), then cache hits for the rest
+    for lit in (res[0], res[1]):
+        W._emit(bw, g_codes, (lit >> 8) & 0xFF)
+        W._emit(bw, r_codes, (lit >> 16) & 0xFF)
+        W._emit(bw, b_codes, lit & 0xFF)
+        W._emit(bw, a_codes, 255)
+    for _ in res[2:]:
+        W._emit(bw, g_codes, 280 + hit_idx)
+    out = W.webp_decode(_wrap(bw.finish()))
+    expect = np.full((h, w, 4), 0, np.uint8)
+    expect[..., 0] = (px >> 16) & 0xFF
+    expect[..., 1] = (px >> 8) & 0xFF
+    expect[..., 2] = px & 0xFF
+    expect[..., 3] = 255
+    assert np.array_equal(out, expect)
