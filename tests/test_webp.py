@@ -441,7 +441,12 @@ def test_vp8l_predictor_with_color_cache_combined():
     g_codes = W._write_huffman_code(
         bw,
         W._huffman_lengths(
-            {(first >> 8) & 0xFF: 1, 280 + hit_idx: 1}, 15
+            {
+                (first >> 8) & 0xFF: 1,
+                (rest >> 8) & 0xFF: 1,
+                280 + hit_idx: 1,
+            },
+            15,
         ),
     )
     r_codes = W._write_huffman_code(
@@ -453,7 +458,9 @@ def test_vp8l_predictor_with_color_cache_combined():
     b_codes = W._write_huffman_code(
         bw, W._huffman_lengths({first & 0xFF: 1, rest & 0xFF: 1}, 15)
     )
-    a_codes = W._write_huffman_code(bw, {255: 1})
+    # under the predictor transform the literal stream carries
+    # RESIDUALS, whose alpha is 0 here (constant opaque image), not 255
+    a_codes = W._write_huffman_code(bw, {(first >> 24) & 0xFF: 1})
     W._write_huffman_code(bw, {0: 1})  # distance: unused
     # pixel stream: literal residual[0], literal residual[1] (fills the
     # cache slot), then cache hits for the rest
@@ -461,7 +468,7 @@ def test_vp8l_predictor_with_color_cache_combined():
         W._emit(bw, g_codes, (lit >> 8) & 0xFF)
         W._emit(bw, r_codes, (lit >> 16) & 0xFF)
         W._emit(bw, b_codes, lit & 0xFF)
-        W._emit(bw, a_codes, 255)
+        W._emit(bw, a_codes, (lit >> 24) & 0xFF)
     for _ in res[2:]:
         W._emit(bw, g_codes, 280 + hit_idx)
     out = W.webp_decode(_wrap(bw.finish()))
