@@ -6445,40 +6445,41 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # in-window entries pin (q_ann_ivf_trained trains it,
     # q_ann_indexed probes the materialized twin — identity-tested):
     "q_ann_probes": ("q_ann_ivf_trained", "q_ann_indexed"),
-    # LATE-r8 DEBUT (not a demotion): the curation composition with
-    # the per-source cap as its last stage; leads the r9 promotion
-    # queue. Covered in-window by q_curate_corpus (the identical
-    # composition minus the cap) and q_source_cap (the identical cap
-    # machinery standalone):
-    "q_curate_capped": ("q_curate_corpus", "q_source_cap"),
-    # LATE-r8 DEBUT (not a demotion): the containment delta form; r9
-    # promotion queue. Covered in-window by q_containment (the
-    # identical full-batch machinery — this op is identity-tested
-    # against it) and q_curate_incremental (the same
-    # delta-vs-stored-state shape):
-    "q_containment_incremental": ("q_containment", "q_curate_incremental"),
-    # LATE-r8 DEBUT (not a demotion): the streaming drift twin; r9
-    # promotion queue. Covered in-window by q_dist_drift (the batch
-    # twin whose oracle this entry replays unchanged) and
-    # q_stream_cms (the identical streamed-mergeable-partials
-    # contract with in-plan geometry guard):
-    "q_stream_drift": ("q_dist_drift", "q_stream_cms"),
-    # LATE-r8 DEBUT (not a demotion): the Bloom-prefiltered semi join;
-    # r9 promotion queue. Covered in-window by q_join_star (join
-    # machinery) and q_curate_corpus (the keep-join shape the
-    # prefilter accelerates):
-    "q_bloom_join": ("q_join_star", "q_curate_corpus"),
-    # LATE-r8 DEBUT (not a demotion): the embedding near-dup delta
-    # form; r9 promotion queue. Covered in-window by
-    # q_dedup_embedding (the identical full-batch machinery — this op
-    # is identity-tested against it) and q_curate_incremental (the
-    # same delta-vs-stored-state shape):
-    "q_embedding_incremental": ("q_dedup_embedding", "q_curate_incremental"),
-    # LATE-r8 DEBUT (not a demotion): the SimHash delta form; r9
-    # promotion queue. Covered in-window by q_dedup_minhash (the
-    # banded-signature family rep) and q_curate_incremental (the
-    # delta-vs-stored-state shape):
-    "q_simhash_incremental": ("q_dedup_minhash", "q_curate_incremental"),
+    # (the six LATE-r8 DEBUTS that closed this dict — q_curate_capped
+    # q_containment_incremental q_stream_drift q_bloom_join
+    # q_embedding_incremental q_simhash_incremental — were all
+    # PROMOTED in r9 as queued)
+    #
+    # rotated OUT in r9 to seat the six promotions; every demotion
+    # below is driver-green in BOTH r7 and r8 (CORRECTNESS_r07/r08),
+    # was referenced by no other entry's stand-in chain (so nothing
+    # rewires), and names in-window same-family cover:
+    # bucketed sign-LSH ANN: q_dedup_embedding runs the identical
+    # sign-LSH bucket machinery in-window, and the trained-IVF entry
+    # pins the bucket-local candidate-join shape:
+    "q_ann_bucketed": ("q_dedup_embedding", "q_ann_ivf_trained"),
+    # batch sessionizer: the streaming twin runs the same
+    # gap-threshold session assignment in-window, and q_event_gaps
+    # is the identical per-user lag/gap machinery:
+    "q_sessionize": ("q_stream_sessionize", "q_event_gaps"),
+    # stream-stream join family: the watermark-bounded streaming join
+    # machinery stays in-window via the enrich (stream-static) and
+    # dedup streams; the interval-join state contract remains
+    # pytest-pinned (test_streaming):
+    "q_stream_join": ("q_stream_enrich", "q_stream_dedup"),
+    # hard-negative mining probes the SAME trained-IVF composition
+    # in-window (the label predicate is the only addition, and it
+    # rides the candidate join):
+    "q_hard_negatives": ("q_ann_ivf_trained", "q_ann_indexed"),
+    # stream-static PIT: the batch PIT twin pins the validity-interval
+    # band join in-window; the stream-static join discipline is the
+    # enrich stream's:
+    "q_stream_pit": ("q_pit_join", "q_stream_enrich"),
+    # maintained BM25 index: the scan-form scoring is in-window via
+    # q_bm25_search, and the materialized-index publish/probe
+    # machinery is pinned by q_ann_indexed (same atomic-snapshot
+    # contract):
+    "q_bm25_indexed": ("q_bm25_search", "q_ann_indexed"),
 }
 
 for _name in _FAMILY_STAND_INS:
