@@ -58,25 +58,52 @@ def anti_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
     return left.join(right, on=on, how="left_anti")
 
 
+# above this many bits (1 MiB of words) the single-row densify becomes
+# a single-task funnel and the banked layout takes over by default
+_SINGLE_ROW_MAX_BITS = 1 << 23
+# default bank width when banking engages: 128 KiB of bitmap per row —
+# big enough that a 1e10-bit filter is ~10k rows, small enough that each
+# collect_list task and each broadcast row stays comfortably in memory
+_DEFAULT_BANK_BITS = 1 << 20
+
+
+def _resolved_bank_bits(num_bits: int, bank_bits: int | None) -> int:
+    """The bank geometry BOTH build and probe must agree on: explicit
+    wins; otherwise one bank (the 1-row fast path) below
+    ``_SINGLE_ROW_MAX_BITS``, ``_DEFAULT_BANK_BITS`` banks above."""
+    if bank_bits is not None:
+        return bank_bits
+    if num_bits <= _SINGLE_ROW_MAX_BITS:
+        return num_bits
+    return _DEFAULT_BANK_BITS
+
+
 def bloom_filter_build(
     keys: DataFrame,
     key_col: str,
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
+    bank_bits: int | None = None,
 ) -> DataFrame:
-    """Distributed Bloom filter over a key set, as ONE row:
-    ``(bf: array<bigint>, num_bits, num_hashes)``.
+    """Distributed Bloom filter over a key set, as BANK rows:
+    ``(bank: bigint, bf: array<bigint>, num_bits, num_hashes,
+    bank_bits)``.
 
     The shape Spark's own InjectRuntimeFilter builds planner-side,
     made an explicit, tunable operator: each key sets ``num_hashes``
     bits (seeded xxhash64 positions) in a ``num_bits``-wide bitmap;
     the bits aggregate per 64-bit word (``bit_or`` over ``num_bits/64``
     word rows — a KB-scale exchange regardless of key count), then
-    densify into one array row. At 1M bits the row is 128 KB — small
-    enough to broadcast when the raw key set is NOT (the regime where
-    this matters: a 1e9-row keep-list is ~8 GB raw but its Bloom at
-    1% fp is ~1.2 GB/10⁹ keys... pick num_bits ≈ 10·|keys| for ~1% fp
-    with 5 hashes, still orders of magnitude under the raw set).
+    densify per BANK of ``bank_bits`` bits. Below
+    ``_SINGLE_ROW_MAX_BITS`` the default is one bank (the classic
+    1-row broadcast bitmap; at 1M bits the row is 128 KB). Above it —
+    the 1e9-key keep-list regime, num_bits ≈ 1e10 for ~1% fp at 5
+    hashes — a single-row densify would collect ~156M word structs in
+    ONE aggregation task and broadcast a ~1.2 GB row; banking keeps
+    every densify task at ``bank_bits/64`` structs and every broadcast
+    row at ``bank_bits/8`` bytes (128 KiB at the default), with the
+    bank id a pure hash expression on the probe side. Same bits, same
+    answers, at any geometry (identity property-tested).
 
     Entirely JVM-side: no driver collect, no Python; ``bloom_might_
     contain`` probes it with pure Column expressions. False negatives
@@ -89,8 +116,15 @@ def bloom_filter_build(
         )
     if num_hashes < 1:
         raise ValueError("bloom_filter_build: num_hashes must be >= 1")
+    bank_bits = _resolved_bank_bits(num_bits, bank_bits)
+    if bank_bits < 64 or bank_bits % 64 or num_bits % bank_bits:
+        raise ValueError(
+            "bloom_filter_build: bank_bits must be a positive multiple of"
+            " 64 that divides num_bits"
+        )
     spark = keys.sparkSession
     n_words = num_bits // 64
+    words_per_bank = bank_bits // 64
     pos = [
         F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
         for i in range(num_hashes)
@@ -111,6 +145,7 @@ def bloom_filter_build(
         spark.range(n_words)
         .select(F.col("id").alias("_w"))
         .join(words, "_w", "left")
+        .groupBy(F.expr(f"_w div {words_per_bank}").alias("bank"))
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_w", "_bits"))),
@@ -118,9 +153,11 @@ def bloom_filter_build(
             ).alias("bf")
         )
         .select(
+            "bank",
             "bf",
             F.lit(num_bits).alias("num_bits"),
             F.lit(num_hashes).alias("num_hashes"),
+            F.lit(bank_bits).alias("bank_bits"),
         )
     )
 
@@ -131,20 +168,25 @@ def bloom_might_contain(
     key_col: str,
     num_bits: int,
     num_hashes: int,
+    bank_bits: int | None = None,
 ) -> DataFrame:
     """Rows of ``fact`` whose key MIGHT be in the Bloom — a superset of
     the true matches (false positives at the configured rate, false
-    negatives never). The bloom row broadcasts; the probe is a pure
-    Column conjunction over ``num_hashes`` word lookups, so the filter
-    rides the fact scan inside codegen. A bloom built with different
-    geometry than the caller claims raises in-plan (the CMS
+    negatives never). The bank rows broadcast; single-bank filters
+    probe through one 1-row broadcast join and a pure Column
+    conjunction over ``num_hashes`` word lookups, so the filter rides
+    the fact scan inside codegen. Banked filters do one broadcast HASH
+    join per hash function (bank id = a pure expression on the key;
+    every bank id exists by construction, so the joins are inner and
+    lossless) — still zero fact-side shuffles. A bloom built with
+    different geometry than the caller claims raises in-plan (the CMS
     wrong-geometry discipline — probing the wrong bit positions would
     silently drop true matches)."""
-    # underscore-prefix the bloom row's columns before the cross join
-    # so a fact column named bf/num_bits/num_hashes can't collide
-    # (ambiguous-reference or silent overwrite); the staging columns
-    # below share the prefix, so reserve it loudly rather than let
-    # withColumn silently overwrite a user's _bloom_* column
+    # underscore-prefix the bloom rows' columns before joining so a
+    # fact column named bank/bf/num_bits/... can't collide (ambiguous
+    # reference or silent overwrite); the staging columns below share
+    # the prefix, so reserve it loudly rather than let withColumn
+    # silently overwrite a user's _bloom_* column
     reserved = [c for c in fact.columns if c.startswith("_bloom_")]
     if reserved:
         raise ValueError(
@@ -152,46 +194,112 @@ def bloom_might_contain(
             "reserved _bloom_ prefix (internal staging names) — "
             "rename them before probing"
         )
-    bloom = bloom.select(
-        F.col("bf").alias("_bloom_bf"),
-        F.col("num_bits").alias("_bloom_nb"),
-        F.col("num_hashes").alias("_bloom_nh"),
-    )
-    guard = F.when(
-        (F.col("_bloom_nb") != num_bits)
-        | (F.col("_bloom_nh") != num_hashes),
-        F.raise_error(
-            F.lit(
-                "bloom_might_contain: filter geometry "
-                "(num_bits/num_hashes) differs from the probe's — bit "
-                "positions would not line up and true matches would "
-                "silently drop"
-            )
-        ).cast("boolean"),
-    ).otherwise(F.lit(True))
-    joined = fact.join(F.broadcast(bloom))
-    checks = []
-    for i in range(num_hashes):
-        # stage the position once per hash, then SQL-form shifts (the
-        # Python shiftleft API only takes a literal bit count)
-        joined = joined.withColumn(
-            f"_bloom_p{i}",
-            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)),
+    bank_bits = _resolved_bank_bits(num_bits, bank_bits)
+    n_banks = num_bits // bank_bits if bank_bits else 0
+    if bank_bits < 64 or bank_bits % 64 or num_bits % bank_bits:
+        raise ValueError(
+            "bloom_might_contain: bank_bits must be a positive multiple"
+            " of 64 that divides num_bits"
         )
-        checks.append(
-            F.expr(
-                f"element_at(_bloom_bf, cast(_bloom_p{i} div 64 as int)"
-                f" + 1) & shiftleft(1L, cast(_bloom_p{i} % 64 as int))"
-            )
-            != 0
+
+    def _geometry_guard(nb, nh, bb):
+        return F.when(
+            (nb != num_bits) | (nh != num_hashes) | (bb != bank_bits),
+            F.raise_error(
+                F.lit(
+                    "bloom_might_contain: filter geometry "
+                    "(num_bits/num_hashes/bank_bits) differs from the "
+                    "probe's — bit positions would not line up and true "
+                    "matches would silently drop"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+
+    drop_cols: list[str] = []
+    if n_banks == 1:
+        bloom = bloom.select(
+            F.col("bf").alias("_bloom_bf"),
+            F.col("num_bits").alias("_bloom_nb"),
+            F.col("num_hashes").alias("_bloom_nh"),
+            F.col("bank_bits").alias("_bloom_bb"),
         )
+        guard = _geometry_guard(
+            F.col("_bloom_nb"), F.col("_bloom_nh"), F.col("_bloom_bb")
+        )
+        joined = fact.join(F.broadcast(bloom))
+        drop_cols += ["_bloom_bf", "_bloom_nb", "_bloom_nh", "_bloom_bb"]
+        checks = []
+        for i in range(num_hashes):
+            # stage the position once per hash, then SQL-form shifts
+            # (the Python shiftleft API only takes a literal bit count)
+            joined = joined.withColumn(
+                f"_bloom_p{i}",
+                F.pmod(
+                    F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)
+                ),
+            )
+            drop_cols.append(f"_bloom_p{i}")
+            checks.append(
+                F.expr(
+                    f"element_at(_bloom_bf, cast(_bloom_p{i} div 64 as"
+                    f" int) + 1) & shiftleft(1L, cast(_bloom_p{i} % 64"
+                    " as int))"
+                )
+                != 0
+            )
+    else:
+        # banked probe: one broadcast hash join per hash function —
+        # the bank id is a pure expression on the key, the banks table
+        # is (n_banks × bank_bits/8) bytes total, and each joined row
+        # carries only its own bank's slice
+        joined = fact
+        checks = []
+        guard = None
+        for i in range(num_hashes):
+            side = F.broadcast(
+                bloom.select(
+                    F.col("bank").alias(f"_bloom_bk{i}"),
+                    F.col("bf").alias(f"_bloom_bf{i}"),
+                    F.col("num_bits").alias(f"_bloom_nb{i}"),
+                    F.col("num_hashes").alias(f"_bloom_nh{i}"),
+                    F.col("bank_bits").alias(f"_bloom_bb{i}"),
+                )
+            )
+            joined = joined.withColumn(
+                f"_bloom_p{i}",
+                F.pmod(
+                    F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)
+                ),
+            ).join(
+                side,
+                F.expr(f"_bloom_p{i} div {bank_bits}")
+                == F.col(f"_bloom_bk{i}"),
+                "inner",
+            )
+            drop_cols += [
+                f"_bloom_p{i}", f"_bloom_bk{i}", f"_bloom_bf{i}",
+                f"_bloom_nb{i}", f"_bloom_nh{i}", f"_bloom_bb{i}",
+            ]
+            if guard is None:
+                guard = _geometry_guard(
+                    F.col(f"_bloom_nb{i}"),
+                    F.col(f"_bloom_nh{i}"),
+                    F.col(f"_bloom_bb{i}"),
+                )
+            # position within the bank indexes this bank's word array;
+            # pos % 64 is unchanged (bank_bits is a multiple of 64)
+            checks.append(
+                F.expr(
+                    f"element_at(_bloom_bf{i}, cast((_bloom_p{i} %"
+                    f" {bank_bits}) div 64 as int) + 1) & shiftleft(1L,"
+                    f" cast(_bloom_p{i} % 64 as int))"
+                )
+                != 0
+            )
     cond = checks[0]
     for c in checks[1:]:
         cond = cond & c
-    return joined.filter(guard & cond).drop(
-        "_bloom_bf", "_bloom_nb", "_bloom_nh",
-        *[f"_bloom_p{i}" for i in range(num_hashes)],
-    )
+    return joined.filter(guard & cond).drop(*drop_cols)
 
 
 def bloom_semi_join(
@@ -200,6 +308,7 @@ def bloom_semi_join(
     key_col: str,
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
+    bank_bits: int | None = None,
 ) -> DataFrame:
     """EXACT left-semi join with a Bloom pre-filter on the fact side —
     result identical to ``fact.join(dim_keys, key, "left_semi")``
@@ -217,10 +326,10 @@ def bloom_semi_join(
     is deterministic and composable with the curation pipeline.
     """
     bloom = bloom_filter_build(
-        dim_keys.select(key_col), key_col, num_bits, num_hashes
+        dim_keys.select(key_col), key_col, num_bits, num_hashes, bank_bits
     )
     pruned = bloom_might_contain(
-        fact, bloom, key_col, num_bits, num_hashes
+        fact, bloom, key_col, num_bits, num_hashes, bank_bits
     )
     # left-semi semantics already ignore duplicate matches — a
     # .distinct() here would add a keep-list-sized exchange+aggregate

@@ -135,8 +135,12 @@ def test_bloom_semi_join_identity_and_no_false_negatives(spark):
         ),
         num_bits=st.sampled_from([64, 512, 1 << 14]),
         num_hashes=st.integers(1, 6),
+        # None = the 1-row fast path; 64 divides every sampled num_bits
+        # and stresses the banked path at its finest geometry (up to
+        # 256 single-word banks)
+        bank_bits=st.sampled_from([None, 64]),
     )
-    def prop(keys, num_bits, num_hashes):
+    def prop(keys, num_bits, num_hashes, bank_bits):
         dim = spark.createDataFrame(
             [(k,) for k in keys], "l_orderkey long"
         )
@@ -147,17 +151,17 @@ def test_bloom_semi_join_identity_and_no_false_negatives(spark):
             map(
                 tuple,
                 bloom_semi_join(
-                    li, dim, "l_orderkey", num_bits, num_hashes
+                    li, dim, "l_orderkey", num_bits, num_hashes, bank_bits
                 ).collect(),
             )
         )
         assert got == want
         if keys:
             bloom = bloom_filter_build(
-                dim, "l_orderkey", num_bits, num_hashes
+                dim, "l_orderkey", num_bits, num_hashes, bank_bits
             )
             kept = bloom_might_contain(
-                li, bloom, "l_orderkey", num_bits, num_hashes
+                li, bloom, "l_orderkey", num_bits, num_hashes, bank_bits
             ).count()
             assert kept >= len(want)  # superset: no false negatives
 
@@ -167,8 +171,54 @@ def test_bloom_semi_join_identity_and_no_false_negatives(spark):
     bloom = bloom_filter_build(dim, "l_orderkey", 1 << 10, 3)
     with pytest.raises(Exception, match="geometry"):
         bloom_might_contain(li, bloom, "l_orderkey", 1 << 11, 3).count()
+    with pytest.raises(Exception, match="geometry"):
+        # same bit width, different banking — offsets into the bank
+        # arrays would not line up
+        bloom_might_contain(
+            li, bloom, "l_orderkey", 1 << 10, 3, bank_bits=64
+        ).count()
     with pytest.raises(ValueError, match="num_bits"):
         bloom_filter_build(dim, "l_orderkey", 100, 3)  # not a mult of 64
+    with pytest.raises(ValueError, match="bank_bits"):
+        bloom_filter_build(dim, "l_orderkey", 1 << 10, 3, bank_bits=96)
+    with pytest.raises(ValueError, match="bank_bits"):
+        # does not divide num_bits
+        bloom_filter_build(dim, "l_orderkey", 1 << 10, 3, bank_bits=640)
+
+
+def test_bloom_banked_build_has_no_single_task_densify(spark):
+    """At the 1e9-key regime (num_bits past _SINGLE_ROW_MAX_BITS) the
+    build must densify per BANK — a hash exchange on the bank id, one
+    bounded collect_list per bank — never the single global aggregate
+    that would pull every word struct into one task. Pinned on the
+    physical plan: no SinglePartition exchange anywhere in the banked
+    build, and exactly num_bits/bank_bits bank rows of bank_bits/64
+    words each."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.joins import (
+        _DEFAULT_BANK_BITS,
+        _SINGLE_ROW_MAX_BITS,
+        bloom_filter_build,
+    )
+
+    dim = spark.range(100).select(F.col("id").alias("k"))
+    num_bits = _SINGLE_ROW_MAX_BITS * 2  # auto-banks
+    bloom = bloom_filter_build(dim, "k", num_bits, 3)
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    rows = bloom.collect()
+    assert len(rows) == num_bits // _DEFAULT_BANK_BITS
+    assert sorted(r["bank"] for r in rows) == list(range(len(rows)))
+    assert all(len(r["bf"]) == _DEFAULT_BANK_BITS // 64 for r in rows)
+    assert all(
+        (r["num_bits"], r["num_hashes"], r["bank_bits"])
+        == (num_bits, 3, _DEFAULT_BANK_BITS)
+        for r in rows
+    )
+    # and the small default geometry keeps the classic 1-row form
+    small = bloom_filter_build(dim, "k", 1 << 20, 3)
+    assert small.count() == 1
 
 
 def test_bloom_prefilter_rides_the_scan(spark):
