@@ -40,6 +40,27 @@ from inbev_data_engineering_case_spark.operators.textops import (
 )
 
 
+def _keep_semi(
+    left: DataFrame,
+    keep: DataFrame,
+    id_col: str,
+    bloom_prefilter_bits: int | None,
+) -> DataFrame:
+    """The pipeline's keep-join in one place: a plain left-semi, or the
+    Bloom-prefiltered exact form when ``bloom_prefilter_bits`` is set
+    (same rows either way — the prefilter only slims the corpus-side
+    shuffle when the keep list can't broadcast)."""
+    if bloom_prefilter_bits is None:
+        return left.join(keep, on=id_col, how="left_semi")
+    from inbev_data_engineering_case_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    return bloom_semi_join(
+        left, keep, id_col, num_bits=bloom_prefilter_bits
+    )
+
+
 def curate_corpus(
     documents: DataFrame,
     languages: tuple[str, ...] = ("en",),
@@ -58,6 +79,7 @@ def curate_corpus(
     max_docs_per_source: int | None = None,
     source_col: str = "source",
     cap_presalt: int | None = None,
+    bloom_prefilter_bits: int | None = None,
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
     metadata (lang, quality). Survivor policy is deterministic end to end:
@@ -103,7 +125,19 @@ def curate_corpus(
     standalone ``cap_per_source`` over the deduped corpus
     (identity-tested). ``cap_presalt`` forwards the hot-domain
     two-phase bound. When capping, ``source_col`` is carried through
-    the scoring projection and appears in the output."""
+    the scoring projection and appears in the output.
+
+    ``bloom_prefilter_bits`` (default None = off) routes the three
+    id-keyed keep-joins (LM keep list, exact-dedup survivors, cap
+    winners) through ``joins.bloom_semi_join``: the corpus side probes
+    a compact bitmap before the exact semi join, so when the keep list
+    is too big to broadcast, the corpus-side shuffle carries only
+    (true keeps + fp·rest) rows instead of everything. The kept set is
+    hash-identical to the plain pipeline at ANY bit count
+    (identity-tested) — false positives die in the exact join, false
+    negatives cannot exist — so sizing (``≈ 10·|keep list|`` for ~1%
+    fp) affects throughput only. Builds past 2^23 bits bank
+    automatically (``joins.bloom_filter_build``)."""
     if strip_html:
         from inbev_data_engineering_case_spark.operators.textops import (
             html_to_text,
@@ -171,7 +205,9 @@ def curate_corpus(
             .filter(F.col("avg_logprob") >= min_avg_logprob)
             .select(id_col)
         )
-        eligible = eligible.join(keep_lm, on=id_col, how="left_semi")
+        eligible = _keep_semi(
+            eligible, keep_lm, id_col, bloom_prefilter_bits
+        )
     # Three downstream consumers read `eligible` (exact-dedup keep list,
     # near-dedup signatures, final keep anti-join): without materializing
     # it once, each consumer re-runs the full corpus scan + lang/quality
@@ -180,7 +216,8 @@ def curate_corpus(
     # reliable checkpoint / parquet scratch table).
     eligible = _materialize(eligible, materialize_mode)
     _, final = _dedup_chain(
-        eligible, text_col, id_col, near_dup_threshold, materialize_mode
+        eligible, text_col, id_col, near_dup_threshold, materialize_mode,
+        bloom_prefilter_bits=bloom_prefilter_bits,
     )
     if max_docs_per_source is not None:
         from inbev_data_engineering_case_spark.operators.sample import (
@@ -201,7 +238,7 @@ def curate_corpus(
             presalt=cap_presalt,
             quality_col="quality",
         ).select(id_col)
-        final = final.join(kept, on=id_col, how="left_semi")
+        final = _keep_semi(final, kept, id_col, bloom_prefilter_bits)
     return final
 
 
@@ -211,6 +248,7 @@ def _dedup_chain(
     id_col: str,
     near_dup_threshold: float,
     materialize_mode: str,
+    bloom_prefilter_bits: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared dedup tail of the curation pipeline: exact fingerprint
     dedup (min-id survivor) then MinHash near-dedup via components.
@@ -223,7 +261,7 @@ def _dedup_chain(
         F.col("keep_id").alias(id_col)
     )
     after_exact = _materialize(
-        eligible.join(exact_keep, on=id_col, how="left_semi"),
+        _keep_semi(eligible, exact_keep, id_col, bloom_prefilter_bits),
         materialize_mode,
     )
 

@@ -4623,6 +4623,36 @@ def test_curate_capped_mode_identity_with_standalone_cap(spark):
     assert per_src and all(r["count"] <= 3 for r in per_src)
 
 
+def test_curate_corpus_bloom_prefilter_identity(spark):
+    """bloom_prefilter_bits routes the three id-keyed keep-joins (LM
+    keep list, exact-dedup survivors, cap winners) through the
+    Bloom-prefiltered exact semi join — the kept rows must be
+    HASH-IDENTICAL to the plain pipeline at any bit count, including a
+    deliberately tiny (high-fp) filter: false positives die in the
+    exact join, false negatives cannot exist."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "source")
+
+    def snapshot(bits):
+        kept = curate_corpus(
+            docs,
+            min_avg_logprob=-12.0,  # exercises the LM keep-join too
+            max_docs_per_source=3,  # and the cap winners join
+            bloom_prefilter_bits=bits,
+        )
+        return sorted(tuple(r) for r in kept.collect())
+
+    plain = snapshot(None)
+    assert plain  # the fixture must keep something for this to mean much
+    assert snapshot(1 << 16) == plain
+    assert snapshot(64) == plain  # ~everything passes the filter: still exact
+
+
 def test_incremental_containment_full_batch_parity(spark):
     """incremental_containment_pairs(stored gram table, new crawl) must
     return EXACTLY the containment_pairs(stored ∪ new) rows involving a
