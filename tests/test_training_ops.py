@@ -4856,6 +4856,59 @@ def test_incremental_embedding_near_dup_full_batch_parity(spark):
         assert got == want and got, kw
 
 
+def test_embedding_sig_table_normalized_storage_parity(spark):
+    """The multi-probe storage split: build_embedding_sig_tables_
+    normalized + join_embedding_sig_tables must reassemble EXACTLY the
+    denormalized build_embedding_sig_table rows at n_probes>1, and the
+    incremental path must return identical pairs when fed the
+    reassembled form — normalization is a storage choice, not a
+    semantics change."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_embedding_sig_table,
+        build_embedding_sig_tables_normalized,
+        incremental_embedding_near_dup,
+        join_embedding_sig_tables,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    stored = emb.filter(F.col("vec_id") < 80)
+    new = stored.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1) + F.lit(0.001) * ((i % 3) - 1)),
+        ).alias("embedding"),
+    )
+
+    denorm = build_embedding_sig_table(stored, num_planes=6, n_probes=3)
+    vectors, buckets = build_embedding_sig_tables_normalized(
+        stored, num_planes=6, n_probes=3
+    )
+    joined = join_embedding_sig_tables(vectors, buckets)
+    assert joined.columns == denorm.columns
+    key = lambda r: (r["seed"], r["id"])  # noqa: E731
+    assert sorted(map(tuple, joined.collect()), key=lambda t: t[:2]) == \
+        sorted(map(tuple, denorm.collect()), key=lambda t: t[:2])
+    # each embedding is stored once; each probe contributes one bucket row
+    assert vectors.count() == stored.count()
+    assert buckets.count() == 3 * stored.count()
+    assert "v" not in buckets.columns and "bucket" not in vectors.columns
+
+    kw = dict(threshold=0.9, num_planes=6, n_probes=3, max_bucket_size=10)
+    want = sorted(map(tuple, incremental_embedding_near_dup(
+        denorm, new, **kw).collect()))
+    got = sorted(map(tuple, incremental_embedding_near_dup(
+        joined, new, **kw).collect()))
+    assert got == want and got
+
+
 def test_incremental_simhash_full_batch_parity(spark):
     """incremental_simhash_near_pairs(stored sig table, new crawl)
     must return EXACTLY the simhash_near_pairs(stored ∪ new) rows
