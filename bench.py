@@ -98,7 +98,10 @@ def main() -> None:
     for name in headline:
         t0 = time.perf_counter()
         run_query(spark, name, sf_dir)  # untimed warm-up: codegen compile
-        if name.endswith("_indexed"):
+        # _incremental headline entries persist their stored-state
+        # table (gram table etc.) in the warm-up the same way the
+        # _indexed ones build their index: one-time cost, recorded here
+        if name.endswith(("_indexed", "_incremental")):
             index_build_costs[name] = round(time.perf_counter() - t0, 3)
         timings[name], mins[name] = median_and_min(
             RUNS_PER_QUERY, run_query, spark, name, sf_dir

@@ -6108,7 +6108,10 @@ def _containment_oracle(
     "informative grams (boilerplate is q_boilerplate/q_dedup_spans' "
     "job). Late-r7 tail debut (family cover: q_dedup_minhash's banded "
     "gram machinery + q_dedup_spans' hot-set discipline, both "
-    "in-window).",
+    "in-window). Headline since r9: the full-batch twin of "
+    "q_containment_incremental, benched side by side so the "
+    "incremental-vs-full price is tracked in the driver artifact.",
+    headline=True,
 )
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inbev_data_engineering_case_spark.operators.dedup import (
@@ -6161,17 +6164,45 @@ def _containment_frag(spark: SparkSession, sf_dir: str):
     "q_containment planted fragments arrive as the new crawl. "
     "Late-r8 tail debut (family cover: q_containment runs the same "
     "full-batch machinery, q_curate_incremental the same "
-    "delta-vs-stored-state shape — both in-window).",
+    "delta-vs-stored-state shape — both in-window). Headline since "
+    "r9, priced like the q_*_indexed entries: the stored gram table "
+    "persists once per (user, app, corpus) — production's actual "
+    "shape, where the state table outlives the daily run — so the "
+    "bench line prices the DELTA against its full-batch twin "
+    "q_containment, and the one-time build cost lands in "
+    "index_build_costs via the untimed warm-up.",
+    headline=True,
 )
 def q_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import getpass
+    import hashlib
+    import os
+    import tempfile
+
     from inbev_data_engineering_case_spark.operators.dedup import (
         build_gram_table,
         incremental_containment_pairs,
     )
 
     docs, frag = _containment_frag(spark, sf_dir)
+    # per-(user, app, sf corpus) scoped state dir — the q_ann_indexed
+    # discipline: the stored gram table is build-once/probe-many state
+    # (in production it outlives every daily delta), so repeated runs
+    # against the same corpus REUSE the committed table and the bench
+    # line prices the incremental join, not a fresh full-batch
+    # tokenization of history
+    state_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_gram_{getpass.getuser()}_"
+        f"{spark.sparkContext.applicationId}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    if not os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        build_gram_table(docs, n=5).write.mode("overwrite").parquet(
+            state_dir
+        )
     return incremental_containment_pairs(
-        build_gram_table(docs, n=5),
+        spark.read.parquet(state_dir),
         frag,
         n=5,
         threshold_ppm=800_000,
