@@ -5,12 +5,13 @@ The Spark-side machinery here is real and tested — schema, partitioning,
 UDF signature, batch shape. Decoding is REAL for every format the stdlib
 can express: WAV (``wave``), BMP/binary-PNM (``struct``+numpy), PNG
 (``zlib`` inflate + scanline unfiltering), GIF (87a/89a LZW + interlace),
-baseline-sequential JPEG (native huffman+IDCT decoder, ``_jpeg_decode``
-— the majority format of any web image crawl), lossless WebP
+baseline-sequential AND progressive JPEG (native huffman+IDCT decoder,
+``_jpeg_decode`` — SOF0/SOF1/SOF2, together the overwhelming majority
+of any web image crawl), lossless WebP
 (``webp.vp8l_decode`` — full RFC 9649 VP8L: transforms, color cache,
 meta groups, LZ77), and Y4M video
 (header+frame demux). Remaining codec-bound formats (lossy WebP VP8,
-progressive/arithmetic JPEG, H.264/VP9 containers) raise a
+arithmetic/lossless JPEG, H.264/VP9 containers) raise a
 clearly-marked ``NotImplementedError`` from the inner decoders — they
 need PIL/ffmpeg, absent in this container; swapping one in changes only
 the inner function. At the OPERATOR level decode errors are
@@ -78,10 +79,11 @@ def _dead_letter_reason(e: BaseException) -> str:
 
     - ``decoder_gap`` — a format the native decoders DELIBERATELY
       refuse (every capability-gated ``NotImplementedError``:
-      progressive/arithmetic JPEG, lossy WebP VP8, codec-bound video,
+      arithmetic/lossless JPEG, lossy WebP VP8, codec-bound video,
       exotic bit depths). These are recoverable by investing in a decoder or a
       PIL/ffmpeg runtime — their corpus share is the business case for
-      e.g. SOF2 support.
+      the next decoder (the way SOF2 support was sized, then built, in
+      r9).
     - ``corrupt`` — a malformed payload (anything else). No decoder
       investment recovers these; they are junk-data telemetry.
 
@@ -604,13 +606,15 @@ def _featurize_png(payload: bytes) -> tuple[int, list[float]]:
 
 
 # ---------------------------------------------------------------------------
-# JPEG: native baseline sequential-DCT decoder + minimal encoder (ITU-T
-# T.81). JPEG is the majority format of any web image crawl, so a bare
-# environment (no PIL) must still decode it for the corpus-QA path:
+# JPEG: native baseline + progressive DCT decoder + minimal encoders
+# (ITU-T T.81). JPEG is the majority format of any web image crawl, so a
+# bare environment (no PIL) must still decode it for the corpus-QA path:
 # SOF0/SOF1 8-bit huffman streams — interleaved or single-component
 # scans, restart intervals, any integer chroma subsampling (444/422/420),
-# JFIF YCbCr / Adobe-transform-0 RGB / grayscale — decode natively.
-# Progressive (SOF2), arithmetic coding, 12-bit, lossless, and
+# JFIF YCbCr / Adobe-transform-0 RGB / grayscale — decode natively, and
+# SOF2 progressive streams decode natively too (Annex G: spectral
+# selection, successive approximation, EOB runs, per-scan restarts).
+# Arithmetic coding, 12-bit, lossless, and
 # CMYK/YCCK payloads raise NotImplementedError → the dead-letter path
 # (PIL handles them when the capability probe finds it; PIL also takes
 # the whole JPEG fast path when importable — the native decoder is the
@@ -628,7 +632,6 @@ _JPEG_ZIGZAG = (
 )
 
 _JPEG_UNSUPPORTED_SOF = {
-    0xC2: "progressive",
     0xC3: "lossless",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -742,10 +745,12 @@ def _jpeg_decode_block(bits, dc_table, ac_table, pred, out):
     return pred
 
 
-def _jpeg_split_entropy(payload: bytes, pos: int) -> list[bytes]:
+def _jpeg_split_entropy(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     """Split the entropy-coded data starting at ``pos`` into restart
     segments, removing 0xFF00 byte stuffing; stops at the first real
-    marker (EOI / next header)."""
+    marker (EOI / next header). Returns ``(segments, end_pos)`` where
+    ``end_pos`` is the offset of that next marker's 0xFF — progressive
+    streams keep parsing scans from there."""
     segs: list[bytes] = []
     cur = bytearray()
     n = len(payload)
@@ -768,7 +773,7 @@ def _jpeg_split_entropy(payload: bytes, pos: int) -> list[bytes]:
         else:
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, min(pos, n)
 
 
 def _jpeg_decode(payload: bytes):
@@ -788,6 +793,7 @@ def _jpeg_decode(payload: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
     restart_interval = 0
     adobe_transform = None
     scan = None
@@ -826,9 +832,10 @@ def _jpeg_decode(payload: bytes):
                 table = np.zeros(64, np.int32)
                 table[list(_JPEG_ZIGZAG)] = vals.astype(np.int32)
                 qt[tq] = table  # natural order
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both huffman seq.)
+        elif marker in (0xC0, 0xC1, 0xC2):  # huffman seq. / progressive
             if frame is not None:
                 raise ValueError("multiple SOF markers")
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise NotImplementedError(
                     f"{body[0]}-bit JPEG precision (only 8-bit decodes "
@@ -869,26 +876,39 @@ def _jpeg_decode(payload: bytes):
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
             adobe_transform = body[11]
-        elif marker == 0xDA:  # SOS — decode and stop (one-scan sequential)
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = body[0]
-            if ns != len(frame[2]):
-                raise NotImplementedError(
-                    "multi-scan sequential JPEG (non-interleaved color "
-                    "scans need PIL)"
-                )
             sel = {}
             for c in range(ns):
                 sel[body[1 + 2 * c]] = (
                     body[2 + 2 * c] >> 4,
                     body[2 + 2 * c] & 0x0F,
                 )
-            scan = _jpeg_decode_scan(
-                payload, nxt_pos, frame, sel, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                if ns != len(frame[2]):
+                    raise NotImplementedError(
+                        "multi-scan sequential JPEG (non-interleaved "
+                        "color scans need PIL)"
+                    )
+                scan = _jpeg_decode_scan(
+                    payload, nxt_pos, frame, sel, huff_dc, huff_ac,
+                    restart_interval,
+                )
+                break
+            # progressive: one scan of many — spectral selection +
+            # successive approximation ride the SOS tail; coefficients
+            # accumulate across scans into one array per component
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if scan is None:
+                scan = _jpeg_alloc_coef(frame)
+            pos = _jpeg_decode_progressive_scan(
+                payload, nxt_pos, frame, sel, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval, scan,
             )
-            break
+            continue  # keep parsing: DHT/DRI may precede the next scan
         pos = nxt_pos
     if frame is None or scan is None:
         raise ValueError("JPEG has no SOF/SOS (truncated header)")
@@ -967,7 +987,7 @@ def _jpeg_decode_scan(
         td, ta = sel[cid]
         if td not in huff_dc or ta not in huff_ac:
             raise ValueError("JPEG references a missing huffman table")
-    segs = iter(_jpeg_split_entropy(payload, pos))
+    segs = iter(_jpeg_split_entropy(payload, pos)[0])
     bits = _JpegBits(next(segs))
     preds = {c[0]: 0 for c in comps}
     interval = restart_interval or (mcus_x * mcus_y)
@@ -994,6 +1014,237 @@ def _jpeg_decode_scan(
                         )
             in_interval += 1
     return blocks
+
+
+def _jpeg_alloc_coef(frame):
+    """Zeroed coefficient store for a progressive frame, same layout as
+    ``_jpeg_decode_scan`` returns: ``{cid: (blocks_y, blocks_x, 64)}``
+    int32 in natural order, MCU-padded (single-component frames use the
+    plain 8x8 grid, A.2.2)."""
+    import numpy as np
+
+    height, width, comps = frame
+    if len(comps) == 1:
+        comps = [[comps[0][0], 1, 1, comps[0][3]]]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("JPEG sampling factors out of range")
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    return {
+        cid: np.zeros((mcus_y * vs, mcus_x * hs, 64), np.int32)
+        for cid, hs, vs, _tq in comps
+    }
+
+
+def _jpeg_comp_blocks(frame, hs, vs):
+    """Non-interleaved block-grid dims (blocks_y, blocks_x) of one
+    component: ceil-of-8 of the component's scaled size (A.2.2 — NOT
+    padded to MCU multiples)."""
+    height, width, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    comp_h = -(-height * vs // vmax)
+    comp_w = -(-width * hs // hmax)
+    return -(-comp_h // 8), -(-comp_w // 8)
+
+
+def _jpeg_ac_first_block(bits, ac_table, blk, ss, se, al, eobrun):
+    """Decode one block of an AC 'first' progressive scan (T.81 G.2.2:
+    spectral band [ss, se], values shifted up by the point transform
+    ``al``, EOB runs spanning blocks). Returns the remaining eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.huff(ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += bits.receive(r)
+                return eobrun - 1  # this block is part of the run
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past spectral band end")
+        blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(bits.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine_block(bits, ac_table, blk, ss, se, al, eobrun):
+    """Decode one block of an AC refinement scan (T.81 G.2.3): newly
+    nonzero coefficients arrive as ±2^al, every already-nonzero
+    coefficient in the band consumes a correction bit (appended to its
+    magnitude if set), and EOB runs carry correction bits for the run's
+    blocks. Returns the remaining eobrun."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = bits.huff(ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.receive(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG AC refinement magnitude must be 1"
+                    )
+                val = p1 if bits.bit() else m1
+            # advance over r zero-history coefficients, serving a
+            # correction bit to every nonzero-history one on the way
+            while k <= se:
+                z = _JPEG_ZIGZAG[k]
+                if blk[z] != 0:
+                    if bits.bit() and not (blk[z] & p1):
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("JPEG AC refinement past band end")
+                blk[_JPEG_ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        # the EOB-run tail still refines this block's nonzero history
+        while k <= se:
+            z = _JPEG_ZIGZAG[k]
+            if blk[z] != 0:
+                if bits.bit() and not (blk[z] & p1):
+                    blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_progressive_scan(
+    payload, pos, frame, sel, ss, se, ah, al,
+    huff_dc, huff_ac, restart_interval, coef,
+):
+    """Entropy-decode ONE progressive scan into the accumulated ``coef``
+    store; returns the payload offset of the marker that ended the
+    scan's entropy data. DC scans (ss==0) may interleave several
+    components over the MCU grid; AC scans are single-component over
+    that component's own block raster (G.2). Restart intervals reset
+    the DC predictors / the EOB run and switch segments, exactly as in
+    the sequential scan."""
+    height, width, comps = frame
+    if len(comps) == 1:
+        comps = [[comps[0][0], 1, 1, comps[0][3]]]
+    scan_comps = [c for c in comps if c[0] in sel]
+    if len(scan_comps) != len(sel):
+        raise ValueError("JPEG scan references an unknown component")
+    if ah > 13 or al > 13:
+        raise ValueError("JPEG successive-approximation out of range")
+    segs, end = _jpeg_split_entropy(payload, pos)
+    segs = iter(segs)
+    bits = _JpegBits(next(segs))
+
+    def next_segment():
+        try:
+            return _JpegBits(next(segs))
+        except StopIteration:
+            raise ValueError("JPEG missing restart segment") from None
+
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError(
+                "progressive JPEG scan mixes DC and AC coefficients"
+            )
+        if ah == 0:
+            for cid in sel:
+                if sel[cid][0] not in huff_dc:
+                    raise ValueError(
+                        "JPEG references a missing huffman table"
+                    )
+        preds = {c[0]: 0 for c in scan_comps}
+
+        def dc_block(blk, cid):
+            if ah == 0:
+                s = bits.huff(huff_dc[sel[cid][0]])
+                if s:
+                    preds[cid] += _jpeg_extend(bits.receive(s), s)
+                blk[0] = preds[cid] << al
+            elif bits.bit():
+                blk[0] |= 1 << al
+
+        if len(scan_comps) > 1:  # interleaved over the MCU grid
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            interval = restart_interval or (mcus_x * mcus_y)
+            done = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if done == interval:
+                        bits = next_segment()
+                        preds = {cid: 0 for cid in preds}
+                        done = 0
+                    for cid, hs, vs, _tq in scan_comps:
+                        for by in range(vs):
+                            for bx in range(hs):
+                                dc_block(
+                                    coef[cid][my * vs + by, mx * hs + bx],
+                                    cid,
+                                )
+                    done += 1
+        else:  # single component: its own block raster
+            cid, hs, vs, _tq = scan_comps[0]
+            bh, bw = _jpeg_comp_blocks(frame, hs, vs)
+            interval = restart_interval or (bh * bw)
+            done = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if done == interval:
+                        bits = next_segment()
+                        preds = {cid: 0}
+                        done = 0
+                    dc_block(coef[cid][by, bx], cid)
+                    done += 1
+        return end
+
+    # AC scan: single component, spectral band [ss, se]
+    if len(scan_comps) != 1:
+        raise ValueError(
+            "progressive JPEG AC scan must be single-component"
+        )
+    if se < ss or se > 63:
+        raise ValueError("JPEG spectral selection out of range")
+    cid, hs, vs, _tq = scan_comps[0]
+    ta = sel[cid][1]
+    if ta not in huff_ac:
+        raise ValueError("JPEG references a missing huffman table")
+    block_fn = _jpeg_ac_first_block if ah == 0 else _jpeg_ac_refine_block
+    bh, bw = _jpeg_comp_blocks(frame, hs, vs)
+    interval = restart_interval or (bh * bw)
+    done = 0
+    eobrun = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if done == interval:
+                bits = next_segment()
+                eobrun = 0
+                done = 0
+            eobrun = block_fn(
+                bits, huff_ac[ta], coef[cid][by, bx], ss, se, al, eobrun
+            )
+            done += 1
+    return end
 
 
 # Annex K.1/K.3 default tables (public spec constants): quantization in
@@ -1171,19 +1422,11 @@ def _jpeg_plane_coeffs(plane, q, m):
     return quant.reshape(by, bx, 64)[:, :, list(_JPEG_ZIGZAG)]
 
 
-def _jpeg_encode_baseline(
-    pixels,
-    quality: int = 75,
-    subsample: bool = False,
-    restart_interval: int = 0,
-):
-    """Minimal baseline JPEG ENCODER (SOF0, Annex-K default huffman
-    tables; grayscale or YCbCr 4:4:4 / 4:2:0; optional DRI restart
-    markers): real .jpg payloads for fixtures, round-trip decoder tests,
-    and thumbnails in environments without PIL. Input: (h, w, 1|3)
-    uint8 raster."""
-    import struct
-
+def _jpeg_prepare_encode(pixels, quality: int, subsample: bool):
+    """Shared encoder front half (baseline + progressive): color
+    convert, optionally subsample chroma, forward-DCT + quantize.
+    Returns ``(h, w, gray, samplings, quants, coeffs, mcus)`` with
+    ``coeffs`` zigzag-ordered per block."""
     import numpy as np
 
     pixels = np.asarray(pixels, np.uint8)
@@ -1234,6 +1477,65 @@ def _jpeg_encode_baseline(
     coeffs = [_jpeg_plane_coeffs(luma, q_luma, m)] + [
         _jpeg_plane_coeffs(pl, q_chroma, m) for pl in planes[1:]
     ]
+    return h, w, gray, samplings, quants, coeffs, (mcus_x, mcus_y)
+
+
+def _jpeg_header_segments(
+    h, w, gray, samplings, quants, sof_marker, restart_interval
+):
+    """SOI through DHT/DRI (everything before the first SOS), shared by
+    the baseline and progressive encoders."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, 2 + len(body)) + body
+
+    zz = list(_JPEG_ZIGZAG)
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(int(quants[0][i]) for i in zz))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(int(quants[1][i]) for i in zz))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci, (chs, cvs) in enumerate(samplings):
+        sof += bytes([ci + 1, (chs << 4) | cvs, 0 if ci == 0 else 1])
+    out += seg(sof_marker, bytes(sof))
+    for tc_th, (counts, vals) in (
+        (0x00, _JPEG_STD_DC_LUMA),
+        (0x10, _JPEG_STD_AC_LUMA),
+        *(
+            ()
+            if gray
+            else (
+                (0x01, _JPEG_STD_DC_CHROMA),
+                (0x11, _JPEG_STD_AC_CHROMA),
+            )
+        ),
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(counts) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def _jpeg_encode_baseline(
+    pixels,
+    quality: int = 75,
+    subsample: bool = False,
+    restart_interval: int = 0,
+):
+    """Minimal baseline JPEG ENCODER (SOF0, Annex-K default huffman
+    tables; grayscale or YCbCr 4:4:4 / 4:2:0; optional DRI restart
+    markers): real .jpg payloads for fixtures, round-trip decoder tests,
+    and thumbnails in environments without PIL. Input: (h, w, 1|3)
+    uint8 raster."""
+    import struct
+
+    h, w, gray, samplings, quants, coeffs, (mcus_x, mcus_y) = (
+        _jpeg_prepare_encode(pixels, quality, subsample)
+    )
+    planes = coeffs
 
     dc_maps = [_huff_code_map(*_JPEG_STD_DC_LUMA)] + [
         _huff_code_map(*_JPEG_STD_DC_CHROMA)
@@ -1267,31 +1569,9 @@ def _jpeg_encode_baseline(
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, 2 + len(body)) + body
 
-    zz = list(_JPEG_ZIGZAG)
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0]) + bytes(int(q_luma[i]) for i in zz))
-    if not gray:
-        out += seg(0xDB, bytes([1]) + bytes(int(q_chroma[i]) for i in zz))
-    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(planes)))
-    for ci, (chs, cvs) in enumerate(samplings):
-        sof += bytes([ci + 1, (chs << 4) | cvs, 0 if ci == 0 else 1])
-    out += seg(0xC0, bytes(sof))
-    for tc_th, (counts, vals) in (
-        (0x00, _JPEG_STD_DC_LUMA),
-        (0x10, _JPEG_STD_AC_LUMA),
-        *(
-            ()
-            if gray
-            else (
-                (0x01, _JPEG_STD_DC_CHROMA),
-                (0x11, _JPEG_STD_AC_CHROMA),
-            )
-        ),
-    ):
-        out += seg(0xC4, bytes([tc_th]) + bytes(counts) + bytes(vals))
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out = _jpeg_header_segments(
+        h, w, gray, samplings, quants, 0xC0, restart_interval
+    )
     sos = bytearray([len(planes)])
     for ci in range(len(planes)):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -1300,6 +1580,227 @@ def _jpeg_encode_baseline(
     out += writer.buf
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _jpeg_encode_progressive(
+    pixels,
+    quality: int = 75,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    scans: list[tuple] | None = None,
+):
+    """Progressive JPEG ENCODER (SOF2): the multi-scan fixture source
+    the native decoder round-trips against, built on the same DCT/
+    quantization front half as the baseline encoder — so a progressive
+    and a baseline encode of the same raster at the same quality carry
+    IDENTICAL quantized coefficients, and both decodes must produce the
+    same pixels (the round-trip test's cross-check).
+
+    ``scans`` is a list of ``(component_indices, ss, se, ah, al)``;
+    the default script mirrors libjpeg's simple progression: coarse DC
+    for all components, spectral-band AC firsts at reduced precision,
+    then DC and AC refinement passes down to full precision. EOB runs
+    are emitted per-block (EOB1 only) so the Annex-K default huffman
+    tables suffice — multi-block EOBn decoding is pinned separately by
+    hand-built streams in the tests."""
+    import struct
+
+    h, w, gray, samplings, quants, coeffs, (mcus_x, mcus_y) = (
+        _jpeg_prepare_encode(pixels, quality, subsample)
+    )
+    ncomp = 1 if gray else 3
+    if scans is None:
+        if gray:
+            scans = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, 63, 2, 1),
+                ([0], 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([1], 1, 63, 0, 1),
+                ([2], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([0], 1, 63, 2, 1),
+                ([1], 1, 63, 1, 0),
+                ([2], 1, 63, 1, 0),
+                ([0], 1, 63, 1, 0),
+            ]
+    dc_maps = [_huff_code_map(*_JPEG_STD_DC_LUMA)] + [
+        _huff_code_map(*_JPEG_STD_DC_CHROMA)
+    ] * (ncomp - 1)
+    ac_maps = [_huff_code_map(*_JPEG_STD_AC_LUMA)] + [
+        _huff_code_map(*_JPEG_STD_AC_CHROMA)
+    ] * (ncomp - 1)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, 2 + len(body)) + body
+
+    out = _jpeg_header_segments(
+        h, w, gray, samplings, quants, 0xC2, restart_interval
+    )
+    for comp_idx, ss, se, ah, al in scans:
+        sos = bytearray([len(comp_idx)])
+        for ci in comp_idx:
+            td_ta = 0x00 if ci == 0 else 0x11
+            sos += bytes([ci + 1, td_ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, bytes(sos))
+        out += _jpeg_encode_progressive_scan(
+            coeffs, samplings, comp_idx, ss, se, ah, al,
+            dc_maps, ac_maps, (mcus_x, mcus_y), restart_interval,
+            (h, w),
+        )
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_encode_progressive_scan(
+    coeffs, samplings, comp_idx, ss, se, ah, al,
+    dc_maps, ac_maps, mcus, restart_interval, dims,
+):
+    """Entropy data of one progressive scan (the encode mirror of
+    ``_jpeg_decode_progressive_scan``, EOB1-only). Non-interleaved
+    scans cover exactly the component's ceil-of-8 block grid (A.2.2) —
+    NOT the MCU-padded coefficient array — so the block walk must use
+    the true image dims."""
+    writer = _JpegBitWriter()
+    mcus_x, mcus_y = mcus
+    h, w = dims
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+
+    def comp_grid(ci):
+        chs, cvs = samplings[ci]
+        comp_h = -(-(h * cvs) // vmax)
+        comp_w = -(-(w * chs) // hmax)
+        return -(-comp_h // 8), -(-comp_w // 8)
+
+    rst_idx = 0
+    state = {"done": 0, "preds": dict.fromkeys(comp_idx, 0)}
+
+    def maybe_restart():
+        nonlocal rst_idx
+        if restart_interval and state["done"] == restart_interval:
+            writer.flush()
+            writer.buf += bytes([0xFF, 0xD0 + (rst_idx % 8)])
+            rst_idx += 1
+            state["done"] = 0
+            state["preds"] = dict.fromkeys(comp_idx, 0)
+
+    if ss == 0:  # DC scan
+        def dc_block(zz, ci):
+            if ah == 0:
+                v = int(zz[0]) >> al  # arithmetic shift, G.1.2.1
+                diff = v - state["preds"][ci]
+                state["preds"][ci] = v
+                s = abs(diff).bit_length()
+                writer.write(*dc_maps[ci][s])
+                if s:
+                    writer.write(
+                        diff if diff > 0 else diff + (1 << s) - 1, s
+                    )
+            else:
+                writer.write((int(zz[0]) >> al) & 1, 1)
+
+        if len(comp_idx) > 1:  # interleaved over the MCU grid
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart()
+                    for ci in comp_idx:
+                        chs, cvs = samplings[ci]
+                        for by in range(cvs):
+                            for bx in range(chs):
+                                dc_block(
+                                    coeffs[ci][
+                                        my * cvs + by, mx * chs + bx
+                                    ],
+                                    ci,
+                                )
+                    state["done"] += 1
+        else:
+            ci = comp_idx[0]
+            bh, bw = comp_grid(ci)
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart()
+                    dc_block(coeffs[ci][by, bx], ci)
+                    state["done"] += 1
+        writer.flush()
+        return writer.buf
+
+    # AC scan: single component
+    (ci,) = comp_idx
+    ac = ac_maps[ci]
+    bh, bw = comp_grid(ci)
+    for by in range(bh):
+        for bx in range(bw):
+            maybe_restart()
+            zz = coeffs[ci][by, bx]
+            if ah == 0:  # AC first: magnitudes shifted toward zero
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = abs(v) >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        writer.write(*ac[0xF0])  # ZRL
+                        run -= 16
+                    if v < 0:
+                        t = -t
+                    s = abs(t).bit_length()
+                    writer.write(*ac[(run << 4) | s])
+                    writer.write(t if t > 0 else t + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    writer.write(*ac[0x00])  # EOB1
+            else:  # AC refinement (the encode mirror of G.2.3)
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = ss - 1  # band position of the last NEW coefficient
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = ss + i
+                run = 0
+                pending: list[int] = []
+                for k in range(ss, se + 1):
+                    t = absv[k - ss]
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRLs only when a new coefficient still follows;
+                    # trailing zeros fold into the EOB instead
+                    while run > 15 and k <= eob:
+                        writer.write(*ac[0xF0])
+                        run -= 16
+                        for b in pending:
+                            writer.write(b, 1)
+                        pending = []
+                    if t > 1:  # nonzero history: buffered correction bit
+                        pending.append(t & 1)
+                        continue
+                    # newly nonzero: symbol, sign, then the buffered
+                    # correction bits of the history coefs just crossed
+                    writer.write(*ac[(run << 4) | 1])
+                    writer.write(0 if int(zz[k]) < 0 else 1, 1)
+                    for b in pending:
+                        writer.write(b, 1)
+                    pending = []
+                    run = 0
+                if run or pending:  # block tail: EOB1 + its corrections
+                    writer.write(*ac[0x00])
+                    for b in pending:
+                        writer.write(b, 1)
+            state["done"] += 1
+    writer.flush()
+    return writer.buf
 
 
 def _featurize_jpeg(payload: bytes) -> tuple[int, list[float]]:
@@ -1565,14 +2066,14 @@ def decode_features(
 def decode_reason_report(features: DataFrame) -> DataFrame:
     """Corpus QA report over ``decode_features`` output: one row per
     (media_type, reason, detail) with exact counts and integer-ppm
-    corpus share — the 'how big is the progressive-JPEG gap' question
-    answered BEFORE anyone invests in SOF2 support, with decoder gaps
-    (recoverable by a decoder/runtime investment) never lumped in with
-    corrupt junk.
+    corpus share — the 'how big is this decoder gap' question answered
+    BEFORE anyone invests in the decoder (exactly how SOF2 support was
+    sized in r8, then built in r9), with decoder gaps (recoverable by a
+    decoder/runtime investment) never lumped in with corrupt junk.
 
     ``detail`` strips the error message at the first parenthesis (the
-    routing hint), so each distinct gap kind — progressive JPEG,
-    arithmetic JPEG, WebP, codec video — sizes as its own line while
+    routing hint), so each distinct gap kind — arithmetic JPEG, lossy
+    WebP VP8, codec video — sizes as its own line while
     corrupt messages with variable specifics still group usefully.
     Decoded-ok rows aggregate under reason ``ok``. Share denominator
     rides as a broadcast 1-row aggregate; the grouped table is

@@ -2435,32 +2435,38 @@ def test_decode_errors_dead_letter_not_raise(spark):
         decode_features(assets, real_decoder=True, strict=True).collect()
 
 
-def test_decode_reason_codes_size_the_progressive_gap(spark):
-    """Reason-coded dead-letters: a PROGRESSIVE JPEG (real baseline
-    stream re-marked SOF0->SOF2 — structurally valid progressive
-    header; the decoder refuses at SOF2 before entropy decode) lands
-    as reason='decoder_gap', a corrupt stream as reason='corrupt', a
-    good asset as reason NULL — so a corpus QA report can size the
-    decoder gap separately from junk data. decode_reason_report turns
-    that into per-kind exact-ppm corpus shares, progressive JPEG on
-    its own line."""
+def test_decode_reason_codes_size_the_decoder_gap(spark):
+    """Reason-coded dead-letters: an ARITHMETIC-CODED JPEG (real
+    baseline stream re-marked SOF0->SOF9 — structurally valid header;
+    the decoder refuses at the SOF before entropy decode) lands as
+    reason='decoder_gap', a corrupt stream as reason='corrupt', a good
+    asset as reason NULL — so a corpus QA report can size the decoder
+    gap separately from junk data. A PROGRESSIVE (SOF2) stream, the
+    gap this report sized in r8, now DECODES natively (r9) — its row
+    is reason NULL. decode_reason_report turns the rest into per-kind
+    exact-ppm corpus shares, arithmetic JPEG on its own line."""
     from inbev_data_engineering_case_spark.operators.multimodal import (
         _jpeg_encode_baseline,
+        _jpeg_encode_progressive,
         decode_features,
         decode_reason_report,
     )
 
     baseline = _jpeg_encode_baseline(_jpeg_gradient(16, 16), quality=90)
     assert b"\xff\xc0" in baseline
-    progressive = baseline.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    arithmetic = baseline.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    progressive = _jpeg_encode_progressive(
+        _jpeg_gradient(16, 16), quality=90
+    )
     corrupt = b"\xff\xd8\xff\xe0 not decodable"
     bmp = _make_bmp([[(5, 5, 5), (10, 10, 10)]])
     assets = spark.createDataFrame(
         [
-            (1, "image/jpeg", progressive, {"n_bytes": len(progressive), "source": "t"}),
+            (1, "image/jpeg", arithmetic, {"n_bytes": len(arithmetic), "source": "t"}),
             (2, "image/jpeg", corrupt, {"n_bytes": len(corrupt), "source": "t"}),
             (3, "image/bmp", bmp, {"n_bytes": len(bmp), "source": "t"}),
             (4, "image/jpeg", baseline, {"n_bytes": len(baseline), "source": "t"}),
+            (5, "image/jpeg", progressive, {"n_bytes": len(progressive), "source": "t"}),
         ],
         "asset_id long, media_type string, payload binary, "
         "meta struct<n_bytes:long, source:string>",
@@ -2468,20 +2474,22 @@ def test_decode_reason_codes_size_the_progressive_gap(spark):
     feats = decode_features(assets, real_decoder=True)
     rows = {r["asset_id"]: r for r in feats.collect()}
     assert rows[1]["reason"] == "decoder_gap"
-    assert "progressive" in rows[1]["error"]
+    assert "arithmetic" in rows[1]["error"]
     assert rows[2]["reason"] == "corrupt"
     assert rows[3]["reason"] is None and rows[3]["decode_ok"]
     assert rows[4]["reason"] is None and rows[4]["decode_ok"]
+    assert rows[5]["reason"] is None and rows[5]["decode_ok"]
 
     report = decode_reason_report(feats).collect()
     by_key = {(r["media_type"], r["reason"]): r for r in report}
     gap = by_key[("image/jpeg", "decoder_gap")]
-    assert gap["n_assets"] == 1 and gap["share_ppm"] == 250_000
-    assert "progressive" in gap["detail"]
-    assert by_key[("image/jpeg", "corrupt")]["share_ppm"] == 250_000
+    assert gap["n_assets"] == 1 and gap["share_ppm"] == 200_000
+    assert "arithmetic" in gap["detail"]
+    assert by_key[("image/jpeg", "corrupt")]["share_ppm"] == 200_000
     assert by_key[("image/bmp", "ok")]["n_assets"] == 1
+    assert by_key[("image/jpeg", "ok")]["n_assets"] == 2
     assert by_key[("image/jpeg", "ok")]["detail"] is None
-    assert sum(r["n_assets"] for r in report) == 4
+    assert sum(r["n_assets"] for r in report) == 5
 
 
 def test_jpeg_featurize_through_pil_when_available(spark):
@@ -2599,9 +2607,12 @@ def test_jpeg_native_grayscale_single_component_scan():
 
 
 def test_jpeg_native_unsupported_variants_fail_loud():
-    """Progressive (SOF2) raises NotImplementedError (the PIL-or-dead-
-    letter arm); truncated entropy data and corrupt headers raise
-    ValueError — never garbage pixels with decode_ok semantics."""
+    """Arithmetic-coded (SOF9) raises NotImplementedError (the PIL-or-
+    dead-letter arm); truncated entropy data and corrupt headers raise
+    ValueError — never garbage pixels with decode_ok semantics. A
+    baseline stream re-marked SOF2 is NOT a valid progressive stream
+    (its sequential Ss=0/Se=63 scan mixes DC and AC), so it must fail
+    loud as corrupt rather than decode garbage."""
     import pytest as _pytest
 
     from inbev_data_engineering_case_spark.operators.multimodal import (
@@ -2611,15 +2622,170 @@ def test_jpeg_native_unsupported_variants_fail_loud():
 
     payload = bytearray(_jpeg_encode_baseline(_jpeg_gradient(16, 16)))
     sof_at = payload.index(b"\xff\xc0")
-    progressive = bytes(
+    arithmetic = bytes(
+        payload[:sof_at] + b"\xff\xc9" + payload[sof_at + 2 :]
+    )
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        _jpeg_decode(arithmetic)
+    fake_progressive = bytes(
         payload[:sof_at] + b"\xff\xc2" + payload[sof_at + 2 :]
     )
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        _jpeg_decode(progressive)
+    with _pytest.raises(ValueError, match="mixes DC and AC"):
+        _jpeg_decode(fake_progressive)
     with _pytest.raises(ValueError, match="truncated"):
         _jpeg_decode(bytes(payload[: len(payload) // 2]))
     with _pytest.raises(ValueError, match="SOI"):
         _jpeg_decode(b"\x89PNG not a jpeg")
+
+
+def test_jpeg_progressive_round_trip_matches_baseline():
+    """Progressive (SOF2) decodes natively: a progressive and a
+    baseline encode of the same raster at the same quality carry
+    IDENTICAL quantized coefficients, so the two decodes must be
+    BIT-IDENTICAL — across grayscale/color, 4:2:0 subsampling,
+    non-multiple-of-8 dims, per-scan restart intervals, and a custom
+    scan script with multiple successive-approximation levels."""
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode_baseline,
+        _jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(11)
+    cases = [
+        ((16, 16, 3), {}),
+        ((20, 24, 3), {"subsample": True}),
+        ((17, 9, 1), {}),
+        ((16, 16, 3), {"restart_interval": 2}),
+        ((24, 16, 3), {"subsample": True, "restart_interval": 1}),
+    ]
+    for shape, kw in cases:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        base = _jpeg_decode(_jpeg_encode_baseline(img, quality=80, **kw))
+        prog = _jpeg_decode(
+            _jpeg_encode_progressive(img, quality=80, **kw)
+        )
+        assert np.array_equal(base, prog), (shape, kw)
+
+    # deeper successive approximation (3 levels on luma AC) + a DC
+    # refinement chain, still bit-identical to the one-shot baseline
+    img = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+    scans = [
+        ([0, 1, 2], 0, 0, 0, 2),
+        ([0, 1, 2], 0, 0, 1, 1),
+        ([0], 1, 63, 0, 3),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+        ([0], 1, 63, 3, 2),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([0], 1, 63, 2, 1),
+        ([0], 1, 63, 1, 0),
+    ]
+    base = _jpeg_decode(_jpeg_encode_baseline(img, quality=70))
+    prog = _jpeg_decode(
+        _jpeg_encode_progressive(img, quality=70, scans=scans)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_hand_built_eob_runs_and_refinement():
+    """Pin the Annex-G entropy semantics with a HAND-BUILT stream,
+    independent of this repo's progressive encoder (the encoder emits
+    only EOB1, so multi-block EOB runs are only pinned here): a 3-block
+    grayscale SOF2 stream whose AC-first scan carries an EOB2-with-
+    extension run (eobrun=3 spans block 0's tail plus blocks 1-2) and
+    whose refinement scan orders bits exactly as G.2.3 requires —
+    huffman symbol, sign bit, then the buffered correction bits of the
+    nonzero-history coefficients crossed on the way."""
+    import struct
+
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators import (
+        multimodal as M,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, 2 + len(body)) + body
+
+    def dht(tc, th, lengths):  # {symbol: code_len} -> DHT body, 1-bit codes
+        counts = [0] * 16
+        for _sym, ln in lengths.items():
+            counts[ln - 1] += 1
+        # canonical order: by length then insertion — all length-1 here
+        vals = [s for s, ln in lengths.items()]
+        return seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(vals)
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # identity quant
+    out += seg(
+        0xC2, struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0])
+    )
+
+    # scan 1: DC first (Al=0), diffs 4, 4, -12 -> sizes {3, 4}
+    out += dht(0, 0, {3: 1, 4: 1})
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    w = M._JpegBitWriter()
+    w.write(0, 1)  # size 3 (code 0)
+    w.write(4, 3)  # DC block0 = 4
+    w.write(0, 1)
+    w.write(4, 3)  # diff 4 -> DC block1 = 8
+    w.write(1, 1)  # size 4 (code 1)
+    w.write(-12 + 15, 4)  # diff -12 -> DC block2 = -4
+    w.flush()
+    out += w.buf
+
+    # scan 2: AC first, band 1-63, Al=1 — block0 gets t=3 at zigzag
+    # k=1 (final value 6 before refinement), then EOB2+ext covering
+    # block0's tail AND blocks 1-2 (eobrun = 2 + receive(1) = 3)
+    out += dht(1, 0, {0x02: 1, 0x10: 1})
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    w = M._JpegBitWriter()
+    w.write(0, 1)  # symbol 0x02 (r=0, s=2)
+    w.write(3, 2)  # t = +3 -> coef 3<<1 = 6
+    w.write(1, 1)  # symbol 0x10 (EOB2)
+    w.write(1, 1)  # extension bit -> eobrun = 3
+    w.flush()
+    out += w.buf
+
+    # scan 3: AC refinement Ah=1 -> Al=0 — block0 refines k=1 from 6
+    # to 7 (correction bit 1) and adds a NEW coefficient -1 at k=3
+    # after one zero-history zero (r=1): bit order must be symbol
+    # 0x11, sign 0, THEN the buffered correction bit; EOB2+ext again
+    # spans the rest
+    out += dht(1, 0, {0x11: 1, 0x10: 1})
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    w = M._JpegBitWriter()
+    w.write(0, 1)  # symbol 0x11 (skip r=1 zero-history, new coef s=1)
+    w.write(0, 1)  # sign: negative -> -1 at k=3
+    w.write(1, 1)  # correction bit for the k=1 history coef: 6 -> 7
+    w.write(1, 1)  # symbol 0x10 (EOB2)
+    w.write(1, 1)  # extension -> eobrun = 3
+    w.flush()
+    out += w.buf
+    out += b"\xff\xd9"
+
+    got = M._jpeg_decode(bytes(out))
+
+    # expected raster from the pinned coefficients through the same
+    # orthonormal IDCT contract the sequential tests pin
+    m = M._jpeg_dct_matrix()
+    expect = np.zeros((8, 24), np.float64)
+    for b, dc in enumerate((4, 8, -4)):
+        c = np.zeros(64)
+        c[0] = dc
+        if b == 0:
+            c[M._JPEG_ZIGZAG[1]] = 7.0   # 6 + correction
+            c[M._JPEG_ZIGZAG[3]] = -1.0  # newly nonzero in refinement
+        spatial = m.T @ c.reshape(8, 8) @ m
+        expect[:, b * 8 : (b + 1) * 8] = spatial
+    expect = np.clip(np.round(expect) + 128.0, 0, 255).astype(np.uint8)
+    assert got.shape == (8, 24, 1)
+    assert np.array_equal(got[:, :, 0], expect)
 
 
 def test_jpeg_decodes_through_spark_without_pil(spark):
