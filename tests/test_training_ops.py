@@ -4819,6 +4819,48 @@ def test_curate_corpus_bloom_prefilter_identity(spark):
     assert snapshot(64) == plain  # ~everything passes the filter: still exact
 
 
+def test_containment_portable_false_same_pairs(spark):
+    """portable=False swaps the oracle-replayable md5 gram hash for
+    xxhash64 — the decontaminate family's production setting. The
+    emitted pairs must be IDENTICAL (any 60-bit fingerprint space
+    yields the same set semantics), in both the full-batch and the
+    delta form, with the hash kind riding the stored state."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_gram_table,
+        containment_pairs,
+        incremental_containment_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    new = docs.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.substring("text", 1, 120).alias("text"),
+    )
+    kw = dict(n=4, threshold_ppm=500_000, max_gram_df=50)
+    corpus = docs.unionByName(new)
+    md5_pairs = sorted(
+        map(tuple, containment_pairs(corpus, **kw).collect())
+    )
+    xx_pairs = sorted(
+        map(
+            tuple,
+            containment_pairs(corpus, portable=False, **kw).collect(),
+        )
+    )
+    assert md5_pairs == xx_pairs and md5_pairs
+
+    inc_md5 = sorted(map(tuple, incremental_containment_pairs(
+        build_gram_table(docs, n=4), new, **kw).collect()))
+    inc_xx = sorted(map(tuple, incremental_containment_pairs(
+        build_gram_table(docs, n=4, portable=False), new,
+        portable=False, **kw).collect()))
+    assert inc_md5 == inc_xx
+
+
 def test_incremental_containment_full_batch_parity(spark):
     """incremental_containment_pairs(stored gram table, new crawl) must
     return EXACTLY the containment_pairs(stored ∪ new) rows involving a
@@ -5157,6 +5199,15 @@ def test_incremental_state_geometry_guards_raise_in_plan(spark):
     with pytest.raises(Exception, match="geometry mismatch"):
         incremental_containment_pairs(
             build_gram_table(docs, n=5), new_docs, n=3
+        ).collect()
+    # the gram HASH KIND is geometry too: a delta hashed with the
+    # other function would match nothing, silently — so it raises
+    with pytest.raises(Exception, match="geometry mismatch"):
+        incremental_containment_pairs(
+            build_gram_table(docs, n=5, portable=True),
+            new_docs,
+            n=5,
+            portable=False,
         ).collect()
     with pytest.raises(Exception, match="geometry mismatch"):
         incremental_simhash_near_pairs(
