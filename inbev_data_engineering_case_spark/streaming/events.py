@@ -21,11 +21,12 @@ memory sink.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -1057,6 +1058,152 @@ def run_stream_index_update(
         q.stop()
         raise TimeoutError(
             f"index-update stream to {index_dir} did not drain in "
+            f"{timeout}s"
+        )
+    return query_metrics(q)
+
+
+CORPUS_ARTIFACT_PREFIX = "corpusart"
+
+
+def read_corpus_artifacts(
+    spark: SparkSession, state_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """``(signatures, fingerprints)`` from the latest committed
+    corpus-artifact snapshot (the pair ``run_stream_artifact_update``
+    maintains): signatures as ``(id, sig)``, fingerprints as
+    ``(fp, keep_id)`` — exactly the stored-state inputs
+    ``curate_incremental`` and ``advance_corpus_artifacts`` consume.
+    Raises ``FileNotFoundError`` when no snapshot has ever committed."""
+    from inbev_data_engineering_case_spark.layers import latest_snapshot
+
+    snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
+    return (
+        spark.read.parquet(os.path.join(snap, "sigs")),
+        spark.read.parquet(os.path.join(snap, "fps")),
+    )
+
+
+def run_stream_artifact_update(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    timeout: int = 300,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "append",
+    num_hashes: int | None = None,
+    shingle_words: int | None = None,
+    keep_snapshots: int | None = None,
+) -> dict[str, int]:
+    """Streaming maintenance of the DEDUP STATE the daily-crawl loop
+    reads: each micro-batch of kept documents advances the stored
+    minhash-signature and fingerprint tables through
+    ``curate.advance_corpus_artifacts``, publishing BOTH under one
+    atomic ``commit_snapshot`` generation — so tomorrow's
+    ``curate_incremental`` (or the next micro-batch) dedups against
+    everything emitted so far without ever re-hashing history, and a
+    crash can never leave the two tables at different generations.
+
+    Replay idempotence without a marker: a REPLAYED batch (crash
+    between the snapshot commit and the checkpoint write) re-applies
+    to the exact same final contents — fingerprints dedup on
+    ``(fp, keep_id)`` inside ``advance_corpus_artifacts`` and
+    signatures dedup on ``(id, sig)`` here (same id + same text ⇒ same
+    sig row; same id + NEW text is genuinely new state and appends
+    under ``mode='append'`` / replaces under ``'replace'``, exactly as
+    the batch operator defines). Duplicate ids within a batch collapse
+    via ``dropDuplicates`` on the key first; NULL-text docs are
+    DROPPED per batch (the index-updater's poison-pill rationale: one
+    bad doc must not turn into a permanently replaying failed batch).
+
+    Snapshot discipline: ``expected_parent`` derives from the snapshot
+    path actually READ (``layers.run_id_of``) — never a second
+    directory walk — so an interleaved writer makes the commit raise
+    ``SnapshotConflictError`` instead of silently losing a delta. One
+    writer per ``(state_dir, checkpoint)``; the stream publishes one
+    generation per micro-batch, so ``keep_snapshots`` follows
+    ``run_stream_index_update``'s serving contract (None = keep all).
+
+    Returns ``query_metrics``.
+    """
+    from inbev_data_engineering_case_spark.layers import (
+        commit_snapshot,
+        latest_snapshot,
+        next_run_after,
+        prune_snapshots,
+        run_id_of,
+    )
+    from inbev_data_engineering_case_spark.operators.curate import (
+        advance_corpus_artifacts,
+    )
+
+    spark = docs_stream.sparkSession
+    adv_kw = {}
+    if num_hashes is not None:
+        adv_kw["num_hashes"] = num_hashes
+    if shingle_words is not None:
+        adv_kw["shingle_words"] = shingle_words
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (
+            batch_df.select(id_col, text_col)
+            .filter(F.col(text_col).isNotNull())
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)  # file-source batches re-scan
+        )
+        if not batch.take(1):
+            return
+        try:
+            parent_snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
+            stored_sigs = spark.read.parquet(
+                os.path.join(parent_snap, "sigs")
+            )
+            stored_fps = spark.read.parquet(
+                os.path.join(parent_snap, "fps")
+            )
+            parent = run_id_of(parent_snap, CORPUS_ARTIFACT_PREFIX)
+        except FileNotFoundError:  # first generation ever
+            stored_sigs = spark.createDataFrame(
+                [], "id long, sig array<bigint>"
+            )
+            stored_fps = spark.createDataFrame([], "fp long, keep_id long")
+            parent = None
+        sigs, fps = advance_corpus_artifacts(
+            batch, stored_sigs, stored_fps,
+            text_col=text_col, id_col=id_col, mode=mode, **adv_kw,
+        )
+        # replay safety for append mode: an identical re-applied batch
+        # contributes only rows that already exist — drop them here
+        # (fps already dedup on (fp, keep_id) inside the operator)
+        sigs = sigs.dropDuplicates(["id", "sig"])
+
+        def write_pair(staging: str) -> None:
+            sigs.write.parquet(os.path.join(staging, "sigs"))
+            fps.write.parquet(os.path.join(staging, "fps"))
+
+        commit_snapshot(
+            state_dir,
+            next_run_after(parent),
+            write_pair,
+            expected_parent=parent,
+            prefix=CORPUS_ARTIFACT_PREFIX,
+        )
+        if keep_snapshots:
+            prune_snapshots(
+                state_dir, CORPUS_ARTIFACT_PREFIX, keep_snapshots
+            )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"artifact-update stream to {state_dir} did not drain in "
             f"{timeout}s"
         )
     return query_metrics(q)

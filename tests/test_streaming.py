@@ -1140,3 +1140,91 @@ def test_stream_drift_partials_merge_equals_batch(spark, tmp_path):
     bad = partials.withColumn("n_cuts", F.lit(n_cuts + 1))
     with pytest.raises(Exception, match="n_cuts"):
         drift_from_partials(ref, bad, "value", n_cuts=n_cuts).collect()
+
+
+def test_stream_artifact_update_maintains_dedup_state(spark, tmp_path):
+    """The dedup state (minhash signature + fingerprint tables)
+    maintained FROM THE DOCUMENT STREAM: two micro-batches advance the
+    pair through advance_corpus_artifacts, BOTH tables publish under
+    one atomic snapshot per batch, the drained state equals the batch
+    operator applied sequentially, and replaying the whole feed from a
+    fresh checkpoint (the crash-between-commit-and-checkpoint case)
+    changes nothing."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        advance_corpus_artifacts,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_corpus_artifacts,
+        run_stream_artifact_update,
+    )
+
+    state = str(tmp_path / "artifacts")
+    src = str(tmp_path / "doc_feed")
+    batch1 = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "an entirely different second document about rivers")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        # doc 3 new; doc 3 re-delivered same text (at-least-once)
+        # collapses; doc 9 NULL text drops, not poisons
+        [(3, "a third document that arrives on day two with news"),
+         (3, "a third document that arrives on day two with news"),
+         (9, None)],
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    metrics = run_stream_artifact_update(
+        stream, state, str(tmp_path / "ckpt")
+    )
+    assert metrics["input_rows"] == 5
+    sigs, fps = read_corpus_artifacts(spark, state)
+
+    # batch twin: the same two advances applied sequentially from empty
+    empty_sigs = spark.createDataFrame([], "id long, sig array<bigint>")
+    empty_fps = spark.createDataFrame([], "fp long, keep_id long")
+    s1, f1 = advance_corpus_artifacts(batch1, empty_sigs, empty_fps)
+    clean2 = batch2.filter(F.col("text").isNotNull()).dropDuplicates(
+        ["doc_id"]
+    )
+    s2, f2 = advance_corpus_artifacts(clean2, s1, f1)
+    key = lambda r: tuple(  # noqa: E731
+        tuple(v) if isinstance(v, list) else v for v in r
+    )
+    want_sigs = sorted(map(key, s2.collect()))
+    want_fps = sorted(map(key, f2.collect()))
+    assert sorted(map(key, sigs.collect())) == want_sigs
+    assert sorted(map(key, fps.collect())) == want_fps
+
+    # both tables live in ONE snapshot generation per batch (a crash
+    # can't leave sigs and fps at different generations)
+    import os as _os
+
+    gens = sorted(
+        d for d in _os.listdir(state) if d.startswith("corpusart_")
+    )
+    assert len(gens) == 2
+    for g in gens:
+        assert _os.path.isdir(_os.path.join(state, g, "sigs"))
+        assert _os.path.isdir(_os.path.join(state, g, "fps"))
+
+    # full replay from a fresh checkpoint: every batch re-applies to
+    # the same final contents (no dup signature rows, no dup fps)
+    stream2 = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_artifact_update(stream2, state, str(tmp_path / "ckpt2"))
+    sigs_r, fps_r = read_corpus_artifacts(spark, state)
+    assert sorted(map(key, sigs_r.collect())) == want_sigs
+    assert sorted(map(key, fps_r.collect())) == want_fps
