@@ -102,8 +102,11 @@ def bloom_filter_build(
     ONE aggregation task and broadcast a ~1.2 GB row; banking keeps
     every densify task at ``bank_bits/64`` structs and every broadcast
     row at ``bank_bits/8`` bytes (128 KiB at the default), with the
-    bank id a pure hash expression on the probe side. Same bits, same
-    answers, at any geometry (identity property-tested).
+    bank id a pure hash expression on the probe side. ``bank_bits``
+    need not divide ``num_bits`` — the final bank is simply shorter —
+    so the documented ``num_bits ≈ 10·|keys|`` sizing works verbatim
+    at any key count. Same bits, same answers, at any geometry
+    (identity property-tested, ragged final bank included).
 
     Entirely JVM-side: no driver collect, no Python; ``bloom_might_
     contain`` probes it with pure Column expressions. False negatives
@@ -117,10 +120,10 @@ def bloom_filter_build(
     if num_hashes < 1:
         raise ValueError("bloom_filter_build: num_hashes must be >= 1")
     bank_bits = _resolved_bank_bits(num_bits, bank_bits)
-    if bank_bits < 64 or bank_bits % 64 or num_bits % bank_bits:
+    if bank_bits < 64 or bank_bits % 64:
         raise ValueError(
             "bloom_filter_build: bank_bits must be a positive multiple of"
-            " 64 that divides num_bits"
+            " 64"
         )
     spark = keys.sparkSession
     n_words = num_bits // 64
@@ -172,16 +175,23 @@ def bloom_might_contain(
 ) -> DataFrame:
     """Rows of ``fact`` whose key MIGHT be in the Bloom — a superset of
     the true matches (false positives at the configured rate, false
-    negatives never). The bank rows broadcast; single-bank filters
-    probe through one 1-row broadcast join and a pure Column
-    conjunction over ``num_hashes`` word lookups, so the filter rides
-    the fact scan inside codegen. Banked filters do one broadcast HASH
-    join per hash function (bank id = a pure expression on the key;
-    every bank id exists by construction, so the joins are inner and
-    lossless) — still zero fact-side shuffles. A bloom built with
-    different geometry than the caller claims raises in-plan (the CMS
-    wrong-geometry discipline — probing the wrong bit positions would
-    silently drop true matches)."""
+    negatives never). Single-bank filters cross-join the one bank row
+    as a broadcast; banked filters first assemble a one-row
+    ``map<bank, bf>`` probe frame from the bank rows (a
+    single-partition aggregation over ``n_banks`` PRE-DENSIFIED rows —
+    bank-count-sized work, not the word-level single-task collect that
+    banking exists to remove) and cross-join that one row as a
+    broadcast. Either way the bitmap ships in exactly ONE broadcast
+    and the ``num_hashes`` lookups are a pure Column conjunction
+    riding the fact scan inside codegen — no joins, no fact-side
+    shuffle, no per-hash re-broadcast (plan-pinned). The whole bitmap
+    must fit executor memory — inherent to a broadcast Bloom (Spark's
+    own runtime filter caps itself at 67M bits for the same reason);
+    past executor memory, shrink ``num_bits`` (a higher fp rate costs
+    throughput, never correctness) or shuffle on the key instead. A
+    bloom built with different geometry than the caller claims raises
+    in-plan (the CMS wrong-geometry discipline — probing the wrong bit
+    positions would silently drop true matches)."""
     # underscore-prefix the bloom rows' columns before joining so a
     # fact column named bank/bf/num_bits/... can't collide (ambiguous
     # reference or silent overwrite); the staging columns below share
@@ -195,12 +205,12 @@ def bloom_might_contain(
             "rename them before probing"
         )
     bank_bits = _resolved_bank_bits(num_bits, bank_bits)
-    n_banks = num_bits // bank_bits if bank_bits else 0
-    if bank_bits < 64 or bank_bits % 64 or num_bits % bank_bits:
+    if bank_bits < 64 or bank_bits % 64:
         raise ValueError(
             "bloom_might_contain: bank_bits must be a positive multiple"
-            " of 64 that divides num_bits"
+            " of 64"
         )
+    n_banks = -(-num_bits // bank_bits)  # final bank may be shorter
 
     def _geometry_guard(nb, nh, bb):
         return F.when(
@@ -248,50 +258,55 @@ def bloom_might_contain(
                 != 0
             )
     else:
-        # banked probe: one broadcast hash join per hash function —
-        # the bank id is a pure expression on the key, the banks table
-        # is (n_banks × bank_bits/8) bytes total, and each joined row
-        # carries only its own bank's slice
-        joined = fact
+        # banked probe: assemble ONE map<bank, bf> row from the bank
+        # rows (single-partition agg over n_banks pre-densified rows —
+        # bank-count-sized work, never the word-level collect) and
+        # broadcast it once; the per-hash bank id and offset are pure
+        # expressions, so all num_hashes lookups ride the scan in
+        # codegen with no joins at all. Geometry is guarded via
+        # min==max==expected so ONE mixed-geometry bank row in a
+        # corrupt table raises rather than hiding behind first().
+        probe_row = bloom.groupBy().agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bank", "bf"))
+            ).alias("_bloom_map"),
+            F.min("num_bits").alias("_bloom_nb_min"),
+            F.max("num_bits").alias("_bloom_nb_max"),
+            F.min("num_hashes").alias("_bloom_nh_min"),
+            F.max("num_hashes").alias("_bloom_nh_max"),
+            F.min("bank_bits").alias("_bloom_bb_min"),
+            F.max("bank_bits").alias("_bloom_bb_max"),
+        )
+        guard = _geometry_guard(
+            F.col("_bloom_nb_min"), F.col("_bloom_nh_min"),
+            F.col("_bloom_bb_min"),
+        ) & _geometry_guard(
+            F.col("_bloom_nb_max"), F.col("_bloom_nh_max"),
+            F.col("_bloom_bb_max"),
+        )
+        joined = fact.join(F.broadcast(probe_row))
+        drop_cols += [
+            "_bloom_map",
+            "_bloom_nb_min", "_bloom_nb_max",
+            "_bloom_nh_min", "_bloom_nh_max",
+            "_bloom_bb_min", "_bloom_bb_max",
+        ]
         checks = []
-        guard = None
         for i in range(num_hashes):
-            side = F.broadcast(
-                bloom.select(
-                    F.col("bank").alias(f"_bloom_bk{i}"),
-                    F.col("bf").alias(f"_bloom_bf{i}"),
-                    F.col("num_bits").alias(f"_bloom_nb{i}"),
-                    F.col("num_hashes").alias(f"_bloom_nh{i}"),
-                    F.col("bank_bits").alias(f"_bloom_bb{i}"),
-                )
-            )
             joined = joined.withColumn(
                 f"_bloom_p{i}",
                 F.pmod(
                     F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits)
                 ),
-            ).join(
-                side,
-                F.expr(f"_bloom_p{i} div {bank_bits}")
-                == F.col(f"_bloom_bk{i}"),
-                "inner",
             )
-            drop_cols += [
-                f"_bloom_p{i}", f"_bloom_bk{i}", f"_bloom_bf{i}",
-                f"_bloom_nb{i}", f"_bloom_nh{i}", f"_bloom_bb{i}",
-            ]
-            if guard is None:
-                guard = _geometry_guard(
-                    F.col(f"_bloom_nb{i}"),
-                    F.col(f"_bloom_nh{i}"),
-                    F.col(f"_bloom_bb{i}"),
-                )
-            # position within the bank indexes this bank's word array;
-            # pos % 64 is unchanged (bank_bits is a multiple of 64)
+            drop_cols.append(f"_bloom_p{i}")
+            # bank lookup then word lookup within the bank; pos % 64 is
+            # unchanged by banking (bank_bits is a multiple of 64)
             checks.append(
                 F.expr(
-                    f"element_at(_bloom_bf{i}, cast((_bloom_p{i} %"
-                    f" {bank_bits}) div 64 as int) + 1) & shiftleft(1L,"
+                    f"element_at(element_at(_bloom_map, _bloom_p{i} div"
+                    f" {bank_bits}), cast((_bloom_p{i} % {bank_bits})"
+                    f" div 64 as int) + 1) & shiftleft(1L,"
                     f" cast(_bloom_p{i} % 64 as int))"
                 )
                 != 0

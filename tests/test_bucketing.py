@@ -135,10 +135,11 @@ def test_bloom_semi_join_identity_and_no_false_negatives(spark):
         ),
         num_bits=st.sampled_from([64, 512, 1 << 14]),
         num_hashes=st.integers(1, 6),
-        # None = the 1-row fast path; 64 divides every sampled num_bits
-        # and stresses the banked path at its finest geometry (up to
-        # 256 single-word banks)
-        bank_bits=st.sampled_from([None, 64]),
+        # None = the 1-row fast path; 64 stresses the banked path at
+        # its finest geometry (up to 256 single-word banks); 384 does
+        # NOT divide the sampled num_bits — the ragged-final-bank case
+        # (and exceeds num_bits=64 entirely — the one-short-bank case)
+        bank_bits=st.sampled_from([None, 64, 384]),
     )
     def prop(keys, num_bits, num_hashes, bank_bits):
         dim = spark.createDataFrame(
@@ -181,9 +182,6 @@ def test_bloom_semi_join_identity_and_no_false_negatives(spark):
         bloom_filter_build(dim, "l_orderkey", 100, 3)  # not a mult of 64
     with pytest.raises(ValueError, match="bank_bits"):
         bloom_filter_build(dim, "l_orderkey", 1 << 10, 3, bank_bits=96)
-    with pytest.raises(ValueError, match="bank_bits"):
-        # does not divide num_bits
-        bloom_filter_build(dim, "l_orderkey", 1 << 10, 3, bank_bits=640)
 
 
 def test_bloom_banked_build_has_no_single_task_densify(spark):
@@ -219,6 +217,71 @@ def test_bloom_banked_build_has_no_single_task_densify(spark):
     # and the small default geometry keeps the classic 1-row form
     small = bloom_filter_build(dim, "k", 1 << 20, 3)
     assert small.count() == 1
+
+    # documented sizing num_bits ~ 10*|keys| is rarely a bank multiple:
+    # the final bank is simply SHORTER and the semi join stays exact
+    from inbev_data_engineering_case_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_quantity")
+    keep = spark.createDataFrame(
+        [(7,), (9,), (4000,)], "l_orderkey long"
+    )
+    ragged_bits = _SINGLE_ROW_MAX_BITS + (3 << 18)  # 2^23 + 768K: ragged
+    ragged = bloom_filter_build(keep, "l_orderkey", ragged_bits, 5)
+    rows = sorted(ragged.collect(), key=lambda r: r["bank"])
+    assert len(rows) == -(-ragged_bits // _DEFAULT_BANK_BITS)
+    assert len(rows[-1]["bf"]) == (ragged_bits % _DEFAULT_BANK_BITS) // 64
+    want = sorted(
+        map(tuple, li.join(keep, "l_orderkey", "left_semi").collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            bloom_semi_join(li, keep, "l_orderkey", ragged_bits, 5)
+            .collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_bloom_banked_probe_ships_the_bitmap_once(spark):
+    """The banked probe must broadcast the bitmap exactly ONCE — as
+    the assembled one-row map<bank, bf> frame — with all num_hashes
+    lookups pure Column expressions: no per-hash join of the banks
+    table (which would ship the full bitmap num_hashes times at the
+    motivating 1e10-bit regime), no fact-side shuffle."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.joins import (
+        bloom_filter_build,
+        bloom_might_contain,
+    )
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_quantity")
+    dim = li.select("l_orderkey").filter(F.col("l_orderkey") % 7 == 0)
+    num_bits, num_hashes, bank_bits = 1 << 14, 5, 64  # 256 banks
+    bloom = bloom_filter_build(
+        dim, "l_orderkey", num_bits, num_hashes, bank_bits
+    )
+    pruned = bloom_might_contain(
+        li, bloom, "l_orderkey", num_bits, num_hashes, bank_bits
+    )
+    assert pruned.count() > 0
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # exactly one BNLJ carries the 1-row probe frame onto the fact;
+    # the only other broadcast is INSIDE the bitmap build (the word
+    # agg joined to spark.range), which executes once
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("BroadcastExchange") <= 2, plan
+    # the fact side reaches the filter unshuffled
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_bloom_prefilter_rides_the_scan(spark):
