@@ -968,13 +968,8 @@ def _jpeg_decode_scan(
     intervals (predictor reset + segment switch)."""
     import numpy as np
 
-    height, width, comps = frame
-    if len(comps) == 1:
-        comps = [[comps[0][0], 1, 1, comps[0][3]]]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-        raise ValueError("JPEG sampling factors out of range")
+    height, width, _ = frame
+    comps, hmax, vmax = _jpeg_frame_geometry(frame)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
     blocks = {
@@ -1016,13 +1011,14 @@ def _jpeg_decode_scan(
     return blocks
 
 
-def _jpeg_alloc_coef(frame):
-    """Zeroed coefficient store for a progressive frame, same layout as
-    ``_jpeg_decode_scan`` returns: ``{cid: (blocks_y, blocks_x, 64)}``
-    int32 in natural order, MCU-padded (single-component frames use the
-    plain 8x8 grid, A.2.2)."""
-    import numpy as np
-
+def _jpeg_frame_geometry(frame):
+    """The ONE place frame sampling geometry is interpreted:
+    ``(comps, hmax, vmax)`` with the single-component remap applied
+    (a one-component frame's declared sampling factors are ignored —
+    plain 8x8 grid, A.2.2; ``jpegtran -grayscale`` famously keeps the
+    luma factors at 2x2). Every consumer — sequential scan,
+    progressive alloc/scan, block-grid math — reads geometry through
+    here, so the remap cannot silently diverge between them again."""
     height, width, comps = frame
     if len(comps) == 1:
         comps = [[comps[0][0], 1, 1, comps[0][3]]]
@@ -1030,6 +1026,18 @@ def _jpeg_alloc_coef(frame):
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
         raise ValueError("JPEG sampling factors out of range")
+    return comps, hmax, vmax
+
+
+def _jpeg_alloc_coef(frame):
+    """Zeroed coefficient store for a progressive frame, same layout as
+    ``_jpeg_decode_scan`` returns: ``{cid: (blocks_y, blocks_x, 64)}``
+    int32 in natural order, MCU-padded (single-component frames use the
+    plain 8x8 grid, A.2.2)."""
+    import numpy as np
+
+    height, width, _ = frame
+    comps, hmax, vmax = _jpeg_frame_geometry(frame)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
     return {
@@ -1041,10 +1049,12 @@ def _jpeg_alloc_coef(frame):
 def _jpeg_comp_blocks(frame, hs, vs):
     """Non-interleaved block-grid dims (blocks_y, blocks_x) of one
     component: ceil-of-8 of the component's scaled size (A.2.2 — NOT
-    padded to MCU multiples)."""
-    height, width, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
+    padded to MCU multiples). ``hs``/``vs`` must come from the
+    REMAPPED comps (``_jpeg_frame_geometry``), whose hmax/vmax are
+    used here — so a single-component frame's declared-but-ignored
+    sampling can't shrink the walked grid."""
+    height, width, _ = frame
+    _, hmax, vmax = _jpeg_frame_geometry(frame)
     comp_h = -(-height * vs // vmax)
     comp_w = -(-width * hs // hmax)
     return -(-comp_h // 8), -(-comp_w // 8)
@@ -1142,9 +1152,8 @@ def _jpeg_decode_progressive_scan(
     that component's own block raster (G.2). Restart intervals reset
     the DC predictors / the EOB run and switch segments, exactly as in
     the sequential scan."""
-    height, width, comps = frame
-    if len(comps) == 1:
-        comps = [[comps[0][0], 1, 1, comps[0][3]]]
+    height, width, _ = frame
+    comps, _hmax, _vmax = _jpeg_frame_geometry(frame)
     scan_comps = [c for c in comps if c[0] in sel]
     if len(scan_comps) != len(sel):
         raise ValueError("JPEG scan references an unknown component")

@@ -2690,6 +2690,39 @@ def test_jpeg_progressive_round_trip_matches_baseline():
     assert np.array_equal(base, prog)
 
 
+def test_jpeg_grayscale_declared_sampling_factors_ignored():
+    """A one-component frame's declared sampling factors are IGNORED
+    (T.81 A.2.2 — `jpegtran -grayscale` output famously keeps the luma
+    factors at 2x2): both the sequential and the progressive decoder
+    must produce the identical raster when the SOF sampling byte says
+    2x2. The r9 review caught the progressive path walking only
+    ceil(h/16) blocks here — 191/256 pixels silently flat-gray with
+    decode_ok=true — because one of three geometry-math copies skipped
+    the remap; geometry now flows through _jpeg_frame_geometry."""
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode_baseline,
+        _jpeg_encode_progressive,
+    )
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (16, 16, 1), dtype=np.uint8)
+    for encode, sof_marker in (
+        (_jpeg_encode_baseline, b"\xff\xc0"),
+        (_jpeg_encode_progressive, b"\xff\xc2"),
+    ):
+        payload = bytearray(encode(img, quality=85))
+        at = payload.index(sof_marker)
+        # FF Cx | len(2) | prec(1) h(2) w(2) ncomp(1) | cid(1) hv(1) ...
+        assert payload[at + 11] == 0x11
+        want = _jpeg_decode(bytes(payload))
+        payload[at + 11] = 0x22  # declare 2x2 sampling on the only comp
+        got = _jpeg_decode(bytes(payload))
+        assert np.array_equal(got, want), sof_marker
+
+
 def test_jpeg_progressive_hand_built_eob_runs_and_refinement():
     """Pin the Annex-G entropy semantics with a HAND-BUILT stream,
     independent of this repo's progressive encoder (the encoder emits
