@@ -609,9 +609,10 @@ def _featurize_png(payload: bytes) -> tuple[int, list[float]]:
 # JPEG: native baseline + progressive DCT decoder + minimal encoders
 # (ITU-T T.81). JPEG is the majority format of any web image crawl, so a
 # bare environment (no PIL) must still decode it for the corpus-QA path:
-# SOF0/SOF1 8-bit huffman streams — interleaved or single-component
-# scans, restart intervals, any integer chroma subsampling (444/422/420),
-# JFIF YCbCr / Adobe-transform-0 RGB / grayscale — decode natively, and
+# SOF0/SOF1 8-bit huffman streams — interleaved OR fully
+# non-interleaved (one scan per component), restart intervals, any
+# integer chroma subsampling (444/422/420), JFIF YCbCr /
+# Adobe-transform-0 RGB / grayscale — decode natively, and
 # SOF2 progressive streams decode natively too (Annex G: spectral
 # selection, successive approximation, EOB runs, per-scan restarts).
 # Arithmetic coding, 12-bit, lossless, and
@@ -887,16 +888,29 @@ def _jpeg_decode(payload: bytes):
                     body[2 + 2 * c] & 0x0F,
                 )
             if not progressive:
-                if ns != len(frame[2]):
-                    raise NotImplementedError(
-                        "multi-scan sequential JPEG (non-interleaved "
-                        "color scans need PIL)"
+                if ns == len(frame[2]):
+                    scan = _jpeg_decode_scan(
+                        payload, nxt_pos, frame, sel, huff_dc, huff_ac,
+                        restart_interval,
                     )
-                scan = _jpeg_decode_scan(
+                    break
+                if ns != 1:
+                    raise NotImplementedError(
+                        "partially interleaved sequential JPEG scan "
+                        "(a strict subset of >1 components; route "
+                        "through PIL)"
+                    )
+                # fully non-interleaved sequential: one component per
+                # scan over its own 8x8 grid (A.2.2), accumulated like
+                # the progressive path; parsing continues to the next
+                # scan (DHT/DRI may be redefined between scans)
+                if scan is None:
+                    scan = _jpeg_alloc_coef(frame)
+                pos = _jpeg_decode_seq_single_scan(
                     payload, nxt_pos, frame, sel, huff_dc, huff_ac,
-                    restart_interval,
+                    restart_interval, scan,
                 )
-                break
+                continue
             # progressive: one scan of many — spectral selection +
             # successive approximation ride the SOS tail; coefficients
             # accumulate across scans into one array per component
@@ -1058,6 +1072,47 @@ def _jpeg_comp_blocks(frame, hs, vs):
     comp_h = -(-height * vs // vmax)
     comp_w = -(-width * hs // hmax)
     return -(-comp_h // 8), -(-comp_w // 8)
+
+
+def _jpeg_decode_seq_single_scan(
+    payload, pos, frame, sel, huff_dc, huff_ac, restart_interval, coef
+):
+    """One NON-INTERLEAVED sequential scan (a fully non-interleaved
+    baseline JPEG carries one such scan per component): full DC+AC
+    blocks over the component's own ceil-of-8 grid (A.2.2), written
+    into the shared ``coef`` store. Returns the payload offset of the
+    marker that ended the scan's entropy data."""
+    comps, _hmax, _vmax = _jpeg_frame_geometry(frame)
+    ((cid, (td, ta)),) = sel.items()
+    matching = [c for c in comps if c[0] == cid]
+    if not matching:
+        raise ValueError("JPEG scan references an unknown component")
+    _, hs, vs, _tq = matching[0]
+    if td not in huff_dc or ta not in huff_ac:
+        raise ValueError("JPEG references a missing huffman table")
+    segs, end = _jpeg_split_entropy(payload, pos)
+    segs = iter(segs)
+    bits = _JpegBits(next(segs))
+    bh, bw = _jpeg_comp_blocks(frame, hs, vs)
+    interval = restart_interval or (bh * bw)
+    pred = 0
+    done = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if done == interval:
+                try:
+                    bits = _JpegBits(next(segs))
+                except StopIteration:
+                    raise ValueError(
+                        "JPEG missing restart segment"
+                    ) from None
+                pred = 0
+                done = 0
+            pred = _jpeg_decode_block(
+                bits, huff_dc[td], huff_ac[ta], pred, coef[cid][by, bx]
+            )
+            done += 1
+    return end
 
 
 def _jpeg_ac_first_block(bits, ac_table, blk, ss, se, al, eobrun):

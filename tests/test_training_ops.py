@@ -2690,6 +2690,103 @@ def test_jpeg_progressive_round_trip_matches_baseline():
     assert np.array_equal(base, prog)
 
 
+def test_jpeg_sequential_non_interleaved_scans_decode():
+    """A fully NON-INTERLEAVED sequential JPEG (one scan per component
+    — a real libjpeg output mode) decodes natively and matches the
+    interleaved encode of the same raster bit for bit (identical
+    quantized coefficients, only the scan layout differs); a partially
+    interleaved scan subset stays honestly NIE-routed. Also pins the
+    per-scan restart-interval reset on the non-interleaved walk."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from inbev_data_engineering_case_spark.operators import (
+        multimodal as M,
+    )
+
+    def encode_non_interleaved(img, quality, subsample, restart=0):
+        h, w, gray, samplings, quants, coeffs, _ = (
+            M._jpeg_prepare_encode(img, quality, subsample)
+        )
+        ncomp = 1 if gray else 3
+        dc_maps = [M._huff_code_map(*M._JPEG_STD_DC_LUMA)] + [
+            M._huff_code_map(*M._JPEG_STD_DC_CHROMA)
+        ] * (ncomp - 1)
+        ac_maps = [M._huff_code_map(*M._JPEG_STD_AC_LUMA)] + [
+            M._huff_code_map(*M._JPEG_STD_AC_CHROMA)
+        ] * (ncomp - 1)
+        out = M._jpeg_header_segments(
+            h, w, gray, samplings, quants, 0xC0, restart
+        )
+        hmax = max(s[0] for s in samplings)
+        vmax = max(s[1] for s in samplings)
+        for ci in range(ncomp):
+            chs, cvs = samplings[ci]
+            bh = -(-(-(-h * cvs // vmax)) // 8)
+            bw = -(-(-(-w * chs // hmax)) // 8)
+            sos = bytes(
+                [1, ci + 1, 0x00 if ci == 0 else 0x11, 0, 63, 0]
+            )
+            out += struct.pack(">BBH", 0xFF, 0xDA, 2 + len(sos)) + sos
+            wtr = M._JpegBitWriter()
+            pred = 0
+            done = 0
+            rst = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and done == restart:
+                        wtr.flush()
+                        wtr.buf += bytes([0xFF, 0xD0 + (rst % 8)])
+                        rst += 1
+                        pred = 0
+                        done = 0
+                    pred = M._jpeg_encode_block(
+                        wtr, coeffs[ci][by, bx], pred,
+                        dc_maps[ci], ac_maps[ci],
+                    )
+                    done += 1
+            wtr.flush()
+            out += wtr.buf
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    rng = np.random.RandomState(17)
+    for shape, subsample, restart in (
+        ((16, 16, 3), False, 0),
+        ((20, 12, 3), True, 0),
+        ((16, 16, 3), False, 2),
+    ):
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        want = M._jpeg_decode(
+            M._jpeg_encode_baseline(img, quality=85, subsample=subsample)
+        )
+        got = M._jpeg_decode(
+            encode_non_interleaved(img, 85, subsample, restart)
+        )
+        assert np.array_equal(got, want), (shape, subsample, restart)
+
+    # a 2-of-3-component scan stays honestly capability-gated
+    img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
+    payload = bytearray(M._jpeg_encode_baseline(img, quality=85))
+    at = payload.index(b"\xff\xda")
+    # rewrite the SOS header to claim 2 components (structurally valid
+    # header; the decoder must refuse before entropy decode)
+    seglen = (payload[at + 2] << 8) | payload[at + 3]
+    sos = bytes([2]) + bytes(payload[at + 5 : at + 9]) + bytes(
+        payload[at + 2 + seglen - 3 : at + 2 + seglen]
+    )
+    two_comp = (
+        bytes(payload[:at])
+        + struct.pack(">BBH", 0xFF, 0xDA, 2 + len(sos))
+        + sos
+        + bytes(payload[at + 2 + seglen :])
+    )
+    with _pytest.raises(NotImplementedError, match="partially"):
+        M._jpeg_decode(two_comp)
+
+
 def test_jpeg_grayscale_declared_sampling_factors_ignored():
     """A one-component frame's declared sampling factors are IGNORED
     (T.81 A.2.2 — `jpegtran -grayscale` output famously keeps the luma
