@@ -1544,6 +1544,19 @@ def _jpeg_prepare_encode(pixels, quality: int, subsample: bool):
     return h, w, gray, samplings, quants, coeffs, (mcus_x, mcus_y)
 
 
+def _jpeg_std_maps(ncomp: int):
+    """(dc_maps, ac_maps) encode maps from the Annex-K default tables:
+    luma tables for component 0, chroma for the rest — the one map
+    construction both encoders share."""
+    dc = [_huff_code_map(*_JPEG_STD_DC_LUMA)] + [
+        _huff_code_map(*_JPEG_STD_DC_CHROMA)
+    ] * (ncomp - 1)
+    ac = [_huff_code_map(*_JPEG_STD_AC_LUMA)] + [
+        _huff_code_map(*_JPEG_STD_AC_CHROMA)
+    ] * (ncomp - 1)
+    return dc, ac
+
+
 def _jpeg_header_segments(
     h, w, gray, samplings, quants, sof_marker, restart_interval
 ):
@@ -1601,12 +1614,7 @@ def _jpeg_encode_baseline(
     )
     planes = coeffs
 
-    dc_maps = [_huff_code_map(*_JPEG_STD_DC_LUMA)] + [
-        _huff_code_map(*_JPEG_STD_DC_CHROMA)
-    ] * (len(planes) - 1)
-    ac_maps = [_huff_code_map(*_JPEG_STD_AC_LUMA)] + [
-        _huff_code_map(*_JPEG_STD_AC_CHROMA)
-    ] * (len(planes) - 1)
+    dc_maps, ac_maps = _jpeg_std_maps(len(planes))
     writer = _JpegBitWriter()
     preds = [0] * len(planes)
     mcu_idx = rst_idx = 0
@@ -1696,12 +1704,7 @@ def _jpeg_encode_progressive(
                 ([2], 1, 63, 1, 0),
                 ([0], 1, 63, 1, 0),
             ]
-    dc_maps = [_huff_code_map(*_JPEG_STD_DC_LUMA)] + [
-        _huff_code_map(*_JPEG_STD_DC_CHROMA)
-    ] * (ncomp - 1)
-    ac_maps = [_huff_code_map(*_JPEG_STD_AC_LUMA)] + [
-        _huff_code_map(*_JPEG_STD_AC_CHROMA)
-    ] * (ncomp - 1)
+    dc_maps, ac_maps = _jpeg_std_maps(ncomp)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, 2 + len(body)) + body
