@@ -3273,6 +3273,34 @@ def q_curate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(corpus, max_docs_per_source=5)
 
 
+@register(
+    "q_curate_bloom",
+    _curate_oracle(),
+    doc="the curation composition with the Bloom keep-join prefilter "
+    "engaged (curate_corpus bloom_prefilter_bits=1<<16): all three "
+    "id-keyed keep-joins (exact-dedup survivors here; LM/cap when "
+    "enabled) probe a compact bitmap before the exact semi join, so "
+    "at scale the corpus-side shuffle carries true keeps + fp·rest "
+    "instead of everything (measured 89% of shuffle rows pruned at a "
+    "10.9%-selective keep list). The kept set is HASH-IDENTICAL to "
+    "the plain pipeline — false positives die in the exact join, "
+    "false negatives cannot exist — so the oracle is q_curate_corpus' "
+    "oracle UNCHANGED: the driver independently verifies the "
+    "prefilter's exactness end to end. Late-r9 tail debut (family "
+    "cover: q_curate_corpus is the identical composition minus the "
+    "prefilter, q_bloom_join the identical prefiltered-semi-join "
+    "operator — both in-window).",
+)
+def q_curate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    return curate_corpus(
+        _corpus_near(spark, sf_dir), bloom_prefilter_bits=1 << 16
+    )
+
+
 def _incremental_oracle(threshold: float = 0.5) -> str:
     match = _sig_match_sql("a", "b")
     return f"""
@@ -6210,6 +6238,35 @@ def q_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_containment_fast",
+    _containment_oracle(),
+    doc="containment on the PRODUCTION hash path (containment_pairs "
+    "portable=False): gram fingerprints via xxhash64 instead of the "
+    "oracle-replayable md5 form — the decontaminate family's "
+    "measured ~1.1-1.7× cheaper setting. The emitted pairs are "
+    "hash-independent (shared-gram COUNTS, no hash values in the "
+    "output), so the oracle is q_containment's SQL UNCHANGED: the "
+    "driver independently verifies that swapping the fingerprint "
+    "space changes nothing. Late-r9 tail debut (family cover: "
+    "q_containment runs the identical machinery on the portable "
+    "hash, in-window since r9).",
+)
+def q_containment_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs, frag = _containment_frag(spark, sf_dir)
+    return containment_pairs(
+        docs.unionByName(frag),
+        n=5,
+        threshold_ppm=800_000,
+        max_gram_df=100,
+        portable=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog ordering
 # ---------------------------------------------------------------------------
@@ -6511,6 +6568,20 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # machinery is pinned by q_ann_indexed (same atomic-snapshot
     # contract):
     "q_bm25_indexed": ("q_bm25_search", "q_ann_indexed"),
+    # LATE-r9 DEBUT (not a demotion): the curation composition with
+    # the Bloom keep-join prefilter engaged — oracle is
+    # q_curate_corpus' SQL unchanged (the kept set is hash-identical
+    # by construction); leads the r10 promotion queue. Covered
+    # in-window by q_curate_corpus (the identical composition minus
+    # the prefilter) and q_bloom_join (the identical
+    # prefiltered-semi-join operator):
+    "q_curate_bloom": ("q_curate_corpus", "q_bloom_join"),
+    # LATE-r9 DEBUT (not a demotion): containment on the production
+    # xxhash64 path — oracle is q_containment's SQL unchanged (pairs
+    # are hash-independent); r10 promotion queue. Covered in-window
+    # by q_containment (the identical machinery on the portable
+    # hash):
+    "q_containment_fast": ("q_containment",),
 }
 
 for _name in _FAMILY_STAND_INS:
