@@ -1228,3 +1228,32 @@ def test_stream_artifact_update_maintains_dedup_state(spark, tmp_path):
     sigs_r, fps_r = read_corpus_artifacts(spark, state)
     assert sorted(map(key, sigs_r.collect())) == want_sigs
     assert sorted(map(key, fps_r.collect())) == want_fps
+
+    # the loop closes: the STREAM-maintained pair feeds the batch
+    # daily-crawl pipeline directly — a day-3 crawl whose first doc
+    # exactly duplicates streamed doc 0 and whose second is new must
+    # curate to exactly the new doc, identically to feeding the
+    # hand-built batch artifacts
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_incremental,
+    )
+
+    day2 = batch1.unionByName(clean2)
+    day3 = day2.unionByName(
+        spark.createDataFrame(
+            [(7, "the quick brown fox jumps over the lazy dog today"),
+             (8, "a genuinely new fourth document closing the loop")],
+            "doc_id long, text string",
+        )
+    )
+
+    def kept_ids(sig_df, fp_df):
+        return sorted(
+            r["doc_id"]
+            for r in curate_incremental(
+                day2, day3, sig_df, fp_df, min_quality=0.0
+            ).collect()
+        )
+
+    streamed = kept_ids(sigs_r, fps_r)
+    assert streamed == kept_ids(s2, f2) == [8]  # 7 is an exact dup of 0
