@@ -263,34 +263,34 @@ def bloom_might_contain(
         # bank-count-sized work, never the word-level collect) and
         # broadcast it once; the per-hash bank id and offset are pure
         # expressions, so all num_hashes lookups ride the scan in
-        # codegen with no joins at all. Geometry is guarded via
-        # min==max==expected so ONE mixed-geometry bank row in a
-        # corrupt table raises rather than hiding behind first().
+        # codegen with no joins at all. The geometry guard is FOLDED
+        # into the map key (the consumed-column discipline — a
+        # projected-then-dropped guard would be pruned), so EVERY bank
+        # row is checked during map assembly and one mixed-geometry
+        # row raises with the geometry message — before duplicate-key
+        # detection, which then only fires for genuinely duplicated
+        # same-geometry bank rows.
+        bank_guarded = F.when(
+            (F.col("num_bits") != num_bits)
+            | (F.col("num_hashes") != num_hashes)
+            | (F.col("bank_bits") != bank_bits),
+            F.raise_error(
+                F.lit(
+                    "bloom_might_contain: filter geometry "
+                    "(num_bits/num_hashes/bank_bits) differs from the "
+                    "probe's — bit positions would not line up and "
+                    "true matches would silently drop"
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col("bank"))
         probe_row = bloom.groupBy().agg(
             F.map_from_entries(
-                F.collect_list(F.struct("bank", "bf"))
+                F.collect_list(F.struct(bank_guarded.alias("bank"), "bf"))
             ).alias("_bloom_map"),
-            F.min("num_bits").alias("_bloom_nb_min"),
-            F.max("num_bits").alias("_bloom_nb_max"),
-            F.min("num_hashes").alias("_bloom_nh_min"),
-            F.max("num_hashes").alias("_bloom_nh_max"),
-            F.min("bank_bits").alias("_bloom_bb_min"),
-            F.max("bank_bits").alias("_bloom_bb_max"),
         )
-        guard = _geometry_guard(
-            F.col("_bloom_nb_min"), F.col("_bloom_nh_min"),
-            F.col("_bloom_bb_min"),
-        ) & _geometry_guard(
-            F.col("_bloom_nb_max"), F.col("_bloom_nh_max"),
-            F.col("_bloom_bb_max"),
-        )
+        guard = F.lit(True)
         joined = fact.join(F.broadcast(probe_row))
-        drop_cols += [
-            "_bloom_map",
-            "_bloom_nb_min", "_bloom_nb_max",
-            "_bloom_nh_min", "_bloom_nh_max",
-            "_bloom_bb_min", "_bloom_bb_max",
-        ]
+        drop_cols += ["_bloom_map"]
         checks = []
         for i in range(num_hashes):
             joined = joined.withColumn(

@@ -182,6 +182,19 @@ def test_bloom_semi_join_identity_and_no_false_negatives(spark):
         bloom_filter_build(dim, "l_orderkey", 100, 3)  # not a mult of 64
     with pytest.raises(ValueError, match="bank_bits"):
         bloom_filter_build(dim, "l_orderkey", 1 << 10, 3, bank_bits=96)
+    # a CORRUPT banked table mixing two geometries must raise the
+    # geometry error even when the probe's claim matches SOME rows —
+    # the guard is folded into the map key, so every bank row is
+    # checked during assembly and one wrong row can't hide
+    mixed = bloom_filter_build(
+        dim, "l_orderkey", 1 << 10, 3, bank_bits=128
+    ).unionByName(
+        bloom_filter_build(dim, "l_orderkey", 1 << 10, 4, bank_bits=128)
+    )
+    with pytest.raises(Exception, match="geometry"):
+        bloom_might_contain(
+            li, mixed, "l_orderkey", 1 << 10, 3, bank_bits=128
+        ).count()
 
 
 def test_bloom_banked_build_has_no_single_task_densify(spark):
