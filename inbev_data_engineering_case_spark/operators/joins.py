@@ -65,6 +65,16 @@ _SINGLE_ROW_MAX_BITS = 1 << 23
 # big enough that a 1e10-bit filter is ~10k rows, small enough that each
 # collect_list task and each broadcast row stays comfortably in memory
 _DEFAULT_BANK_BITS = 1 << 20
+# probe-side ceiling: the assembled map row must fit one UnsafeRow field
+# (hard JVM cap ~2 GB, hit as a cryptic BufferHolder error) — refuse at
+# plan time with headroom instead. 2^33 bits = 1 GiB of bitmap.
+_PROBE_MAX_BITS = 1 << 33
+
+_GEOMETRY_MSG = (
+    "bloom_might_contain: filter geometry "
+    "(num_bits/num_hashes/bank_bits) differs from the probe's — bit "
+    "positions would not line up and true matches would silently drop"
+)
 
 
 def _resolved_bank_bits(num_bits: int, bank_bits: int | None) -> int:
@@ -211,18 +221,20 @@ def bloom_might_contain(
             " of 64"
         )
     n_banks = -(-num_bits // bank_bits)  # final bank may be shorter
+    if n_banks > 1 and num_bits > _PROBE_MAX_BITS:
+        raise ValueError(
+            "bloom_might_contain: num_bits past the broadcastable probe"
+            f" ceiling ({_PROBE_MAX_BITS} bits = 1 GiB of bitmap): the"
+            " assembled probe row would exceed the JVM's single-field"
+            " cap. A bitmap this size should not broadcast at all —"
+            " shrink num_bits (a higher fp rate costs throughput, never"
+            " correctness) or shuffle the join on the key instead"
+        )
 
     def _geometry_guard(nb, nh, bb):
         return F.when(
             (nb != num_bits) | (nh != num_hashes) | (bb != bank_bits),
-            F.raise_error(
-                F.lit(
-                    "bloom_might_contain: filter geometry "
-                    "(num_bits/num_hashes/bank_bits) differs from the "
-                    "probe's — bit positions would not line up and true "
-                    "matches would silently drop"
-                )
-            ).cast("boolean"),
+            F.raise_error(F.lit(_GEOMETRY_MSG)).cast("boolean"),
         ).otherwise(F.lit(True))
 
     drop_cols: list[str] = []
@@ -274,23 +286,40 @@ def bloom_might_contain(
             (F.col("num_bits") != num_bits)
             | (F.col("num_hashes") != num_hashes)
             | (F.col("bank_bits") != bank_bits),
-            F.raise_error(
-                F.lit(
-                    "bloom_might_contain: filter geometry "
-                    "(num_bits/num_hashes/bank_bits) differs from the "
-                    "probe's — bit positions would not line up and "
-                    "true matches would silently drop"
-                )
-            ).cast("bigint"),
+            F.raise_error(F.lit(_GEOMETRY_MSG)).cast("bigint"),
         ).otherwise(F.col("bank"))
         probe_row = bloom.groupBy().agg(
             F.map_from_entries(
                 F.collect_list(F.struct(bank_guarded.alias("bank"), "bf"))
             ).alias("_bloom_map"),
+            F.count("*").alias("_bloom_nrows"),
         )
-        guard = F.lit(True)
+        # completeness: exactly n_banks rows AND map entries. A
+        # missing bank would NULL element_at into silent false
+        # negatives; a DUPLICATED bank row under
+        # spark.sql.mapKeyDedupPolicy=LAST_WIN silently merges —
+        # identical duplicates dedup back to n_banks map entries, so
+        # the ROW count is the check that catches every duplicate
+        # (divergent or not) under any dedup policy
+        guard = F.when(
+            (F.size("_bloom_map") != n_banks)
+            | (F.col("_bloom_nrows") != n_banks),
+            F.raise_error(
+                F.concat(
+                    F.lit("bloom_might_contain: banked filter has "),
+                    F.col("_bloom_nrows").cast("string"),
+                    F.lit(" bank rows / "),
+                    F.size("_bloom_map").cast("string"),
+                    F.lit(
+                        f" map entries, expected {n_banks} — a missing"
+                        " or duplicated bank would silently drop true"
+                        " matches; rebuild the filter"
+                    ),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
         joined = fact.join(F.broadcast(probe_row))
-        drop_cols += ["_bloom_map"]
+        drop_cols += ["_bloom_map", "_bloom_nrows"]
         checks = []
         for i in range(num_hashes):
             joined = joined.withColumn(

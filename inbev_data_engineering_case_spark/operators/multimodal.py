@@ -795,6 +795,7 @@ def _jpeg_decode(payload: bytes):
     huff_ac: dict[int, dict] = {}
     frame = None
     progressive = False
+    seq_scanned: set[int] = set()
     restart_interval = 0
     adobe_transform = None
     scan = None
@@ -906,6 +907,7 @@ def _jpeg_decode(payload: bytes):
                 # scan (DHT/DRI may be redefined between scans)
                 if scan is None:
                     scan = _jpeg_alloc_coef(frame)
+                seq_scanned.update(sel)
                 pos = _jpeg_decode_seq_single_scan(
                     payload, nxt_pos, frame, sel, huff_dc, huff_ac,
                     restart_interval, scan,
@@ -926,10 +928,22 @@ def _jpeg_decode(payload: bytes):
         pos = nxt_pos
     if frame is None or scan is None:
         raise ValueError("JPEG has no SOF/SOS (truncated header)")
+    if seq_scanned:
+        # the non-interleaved sequential path: UNLIKE progressive
+        # (where a coarse partial render is valid), a sequential frame
+        # component with no scan at all means the file was truncated —
+        # decoding the zeroed plane would return a color-shifted
+        # raster with decode_ok=true instead of a dead-letter
+        missing = [c[0] for c in frame[2] if c[0] not in seq_scanned]
+        if missing:
+            raise ValueError(
+                "JPEG entropy data truncated: non-interleaved "
+                f"sequential stream is missing scan(s) for component(s)"
+                f" {missing}"
+            )
 
-    height, width, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
+    height, width, _ = frame
+    comps, hmax, vmax = _jpeg_frame_geometry(frame)
     m = _jpeg_dct_matrix()
     planes = []
     for cid, hs, vs, tq in comps:

@@ -195,6 +195,33 @@ def test_bloom_semi_join_identity_and_no_false_negatives(spark):
         bloom_might_contain(
             li, mixed, "l_orderkey", 1 << 10, 3, bank_bits=128
         ).count()
+    # duplicated SAME-geometry bank rows under mapKeyDedupPolicy=
+    # LAST_WIN (a common global workaround) would silently merge,
+    # dropping one row's set bits — the size guard must raise instead
+    good = bloom_filter_build(dim, "l_orderkey", 1 << 10, 3, bank_bits=128)
+    doubled = good.unionByName(good)
+    old_policy = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    try:
+        with pytest.raises(Exception, match="bank rows"):
+            bloom_might_contain(
+                li, doubled, "l_orderkey", 1 << 10, 3, bank_bits=128
+            ).count()
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", old_policy)
+    # a MISSING bank row would NULL out element_at — silent false
+    # negatives; the same completeness guard catches it
+    with pytest.raises(Exception, match="bank rows"):
+        bloom_might_contain(
+            li, good.filter("bank != 1"), "l_orderkey", 1 << 10, 3,
+            bank_bits=128,
+        ).count()
+    # past the broadcastable ceiling the probe refuses at plan time
+    # with guidance, not a cryptic BufferHolder error mid-job
+    with pytest.raises(ValueError, match="ceiling"):
+        bloom_might_contain(
+            li, good, "l_orderkey", 1 << 34, 3, bank_bits=1 << 20
+        )
 
 
 def test_bloom_banked_build_has_no_single_task_densify(spark):

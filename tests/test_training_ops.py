@@ -2711,21 +2711,13 @@ def test_jpeg_sequential_non_interleaved_scans_decode():
             M._jpeg_prepare_encode(img, quality, subsample)
         )
         ncomp = 1 if gray else 3
-        dc_maps = [M._huff_code_map(*M._JPEG_STD_DC_LUMA)] + [
-            M._huff_code_map(*M._JPEG_STD_DC_CHROMA)
-        ] * (ncomp - 1)
-        ac_maps = [M._huff_code_map(*M._JPEG_STD_AC_LUMA)] + [
-            M._huff_code_map(*M._JPEG_STD_AC_CHROMA)
-        ] * (ncomp - 1)
+        dc_maps, ac_maps = M._jpeg_std_maps(ncomp)
         out = M._jpeg_header_segments(
             h, w, gray, samplings, quants, 0xC0, restart
         )
-        hmax = max(s[0] for s in samplings)
-        vmax = max(s[1] for s in samplings)
+        frame = (h, w, [[ci + 1, *samplings[ci], 0] for ci in range(ncomp)])
         for ci in range(ncomp):
-            chs, cvs = samplings[ci]
-            bh = -(-(-(-h * cvs // vmax)) // 8)
-            bw = -(-(-(-w * chs // hmax)) // 8)
+            bh, bw = M._jpeg_comp_blocks(frame, *samplings[ci])
             sos = bytes(
                 [1, ci + 1, 0x00 if ci == 0 else 0x11, 0, 63, 0]
             )
@@ -2766,6 +2758,23 @@ def test_jpeg_sequential_non_interleaved_scans_decode():
             encode_non_interleaved(img, 85, subsample, restart)
         )
         assert np.array_equal(got, want), (shape, subsample, restart)
+
+    # a stream TRUNCATED between component scans must fail loud — the
+    # zeroed Cb/Cr planes would otherwise decode to a color-shifted
+    # raster with decode_ok=true (the r9 second-review catch)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    full = encode_non_interleaved(img, 85, False)
+    sos_offsets = []
+    at = -1
+    while True:
+        at = full.find(b"\xff\xda", at + 1)
+        if at < 0:
+            break
+        sos_offsets.append(at)
+    assert len(sos_offsets) == 3
+    truncated = full[: sos_offsets[2]] + b"\xff\xd9"
+    with _pytest.raises(ValueError, match="missing scan"):
+        M._jpeg_decode(truncated)
 
     # a 2-of-3-component scan stays honestly capability-gated
     img = rng.randint(0, 256, (8, 8, 3), dtype=np.uint8)
