@@ -2796,6 +2796,56 @@ def test_jpeg_sequential_non_interleaved_scans_decode():
         M._jpeg_decode(two_comp)
 
 
+def test_jpeg_codec_round_trip_property():
+    """Hypothesis fuzz over the whole codec surface: ANY dims (down to
+    1x1 and single-row/column rasters), quality, grayscale/color,
+    4:2:0, and restart intervals — the progressive decode must equal
+    the baseline decode of the same raster bit for bit (identical
+    quantized coefficients by construction), and both decoders must
+    return the exact input shape."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode_baseline,
+        _jpeg_encode_progressive,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        gray=st.booleans(),
+        quality=st.integers(30, 95),
+        subsample=st.booleans(),
+        restart=st.sampled_from([0, 1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(h, w, gray, quality, subsample, restart, seed):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(
+            0, 256, (h, w, 1 if gray else 3), dtype=np.uint8
+        )
+        base = _jpeg_decode(
+            _jpeg_encode_baseline(
+                img, quality, subsample=subsample,
+                restart_interval=restart,
+            )
+        )
+        prog = _jpeg_decode(
+            _jpeg_encode_progressive(
+                img, quality, subsample=subsample,
+                restart_interval=restart,
+            )
+        )
+        assert base.shape == img.shape
+        assert np.array_equal(base, prog)
+
+    prop()
+
+
 def test_jpeg_grayscale_declared_sampling_factors_ignored():
     """A one-component frame's declared sampling factors are IGNORED
     (T.81 A.2.2 — `jpegtran -grayscale` output famously keeps the luma
