@@ -1067,21 +1067,35 @@ CORPUS_ARTIFACT_PREFIX = "corpusart"
 
 
 def read_corpus_artifacts(
-    spark: SparkSession, state_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """``(signatures, fingerprints)`` from the latest committed
-    corpus-artifact snapshot (the pair ``run_stream_artifact_update``
+    spark: SparkSession, state_dir: str, with_grams: bool = False
+):
+    """``(signatures, fingerprints)`` — plus the containment gram
+    table when ``with_grams=True`` — from the latest committed
+    corpus-artifact snapshot (the set ``run_stream_artifact_update``
     maintains): signatures as ``(id, sig)``, fingerprints as
-    ``(fp, keep_id)`` — exactly the stored-state inputs
-    ``curate_incremental`` and ``advance_corpus_artifacts`` consume.
-    Raises ``FileNotFoundError`` when no snapshot has ever committed."""
+    ``(fp, keep_id)``, grams as ``build_gram_table`` output — exactly
+    the stored-state inputs ``curate_incremental``,
+    ``advance_corpus_artifacts``, and ``incremental_containment_pairs``
+    consume. Raises ``FileNotFoundError`` when no snapshot has ever
+    committed, and a clear error when grams are requested from a
+    stream that was not maintaining them (``gram_n=None``)."""
     from inbev_data_engineering_case_spark.layers import latest_snapshot
 
     snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
-    return (
+    out = (
         spark.read.parquet(os.path.join(snap, "sigs")),
         spark.read.parquet(os.path.join(snap, "fps")),
     )
+    if not with_grams:
+        return out
+    gram_dir = os.path.join(snap, "grams")
+    if not os.path.isdir(gram_dir):
+        raise FileNotFoundError(
+            f"no gram table in snapshot {snap} — the maintaining stream "
+            "ran with gram_n=None; re-run it with gram_n set to also "
+            "maintain the containment state"
+        )
+    return (*out, spark.read.parquet(gram_dir))
 
 
 def run_stream_artifact_update(
@@ -1095,6 +1109,8 @@ def run_stream_artifact_update(
     num_hashes: int | None = None,
     shingle_words: int | None = None,
     keep_snapshots: int | None = None,
+    gram_n: int | None = None,
+    gram_portable: bool = True,
 ) -> dict[str, int]:
     """Streaming maintenance of the DEDUP STATE the daily-crawl loop
     reads: each micro-batch of kept documents advances the stored
@@ -1125,6 +1141,18 @@ def run_stream_artifact_update(
     generation per micro-batch, so ``keep_snapshots`` follows
     ``run_stream_index_update``'s serving contract (None = keep all).
 
+    ``gram_n`` (default None = off) additionally maintains the
+    containment gram table (``build_gram_table`` output, the stored
+    state ``incremental_containment_pairs`` joins a new crawl
+    against) in the SAME atomic snapshot — with it, every
+    signature-backed dedup family's stored state advances from the
+    stream: minhash sigs, exact fingerprints, and containment grams,
+    all at one consistent generation. Gram rows dedup on
+    ``(id, gram_h)`` for replay idempotence (a re-applied batch's
+    grams are identical); under ``mode='replace'`` a changed doc's
+    stale gram rows anti-join out first. ``gram_portable`` follows
+    ``build_gram_table``'s hash-kind contract and rides the state.
+
     Returns ``query_metrics``.
     """
     from inbev_data_engineering_case_spark.layers import (
@@ -1136,6 +1164,9 @@ def run_stream_artifact_update(
     )
     from inbev_data_engineering_case_spark.operators.curate import (
         advance_corpus_artifacts,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_gram_table,
     )
 
     spark = docs_stream.sparkSession
@@ -1154,6 +1185,7 @@ def run_stream_artifact_update(
         )
         if not batch.take(1):
             return
+        stored_grams = None
         try:
             parent_snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
             stored_sigs = spark.read.parquet(
@@ -1162,6 +1194,12 @@ def run_stream_artifact_update(
             stored_fps = spark.read.parquet(
                 os.path.join(parent_snap, "fps")
             )
+            if gram_n is not None and os.path.isdir(
+                os.path.join(parent_snap, "grams")
+            ):
+                stored_grams = spark.read.parquet(
+                    os.path.join(parent_snap, "grams")
+                )
             parent = run_id_of(parent_snap, CORPUS_ARTIFACT_PREFIX)
         except FileNotFoundError:  # first generation ever
             stored_sigs = spark.createDataFrame(
@@ -1177,10 +1215,27 @@ def run_stream_artifact_update(
         # contributes only rows that already exist — drop them here
         # (fps already dedup on (fp, keep_id) inside the operator)
         sigs = sigs.dropDuplicates(["id", "sig"])
+        grams = None
+        if gram_n is not None:
+            new_grams = build_gram_table(
+                batch, gram_n, id_col, text_col, gram_portable
+            )
+            if stored_grams is None:
+                grams = new_grams
+            else:
+                old = stored_grams
+                if mode == "replace":
+                    old = old.join(
+                        batch.select(F.col(id_col)), id_col, "left_anti"
+                    )
+                grams = old.unionByName(new_grams)
+            grams = grams.dropDuplicates([id_col, "gram_h"])
 
         def write_pair(staging: str) -> None:
             sigs.write.parquet(os.path.join(staging, "sigs"))
             fps.write.parquet(os.path.join(staging, "fps"))
+            if grams is not None:
+                grams.write.parquet(os.path.join(staging, "grams"))
 
         commit_snapshot(
             state_dir,

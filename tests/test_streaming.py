@@ -1257,3 +1257,87 @@ def test_stream_artifact_update_maintains_dedup_state(spark, tmp_path):
 
     streamed = kept_ids(sigs_r, fps_r)
     assert streamed == kept_ids(s2, f2) == [8]  # 7 is an exact dup of 0
+
+
+def test_stream_artifact_update_maintains_gram_table(spark, tmp_path):
+    """gram_n= extends the streamed dedup state with the containment
+    gram table, in the SAME atomic snapshot as sigs/fps: the drained
+    table equals build_gram_table over every streamed doc, a replay
+    from a fresh checkpoint changes nothing, and the streamed state
+    feeds incremental_containment_pairs directly — a day-3 fragment
+    of a streamed doc surfaces as contained without re-tokenizing
+    history."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_gram_table,
+        containment_pairs,
+        incremental_containment_pairs,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_corpus_artifacts,
+        run_stream_artifact_update,
+    )
+
+    state = str(tmp_path / "artifacts")
+    src = str(tmp_path / "doc_feed")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+        .localCheckpoint(eager=True)
+    )
+    b1 = docs.filter(F.col("doc_id") < 20)
+    b2 = docs.filter(F.col("doc_id") >= 20)
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    run_stream_artifact_update(
+        stream(), state, str(tmp_path / "ckpt"), gram_n=4
+    )
+    _sigs, _fps, grams = read_corpus_artifacts(
+        spark, state, with_grams=True
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    want = sorted(map(key, build_gram_table(docs, n=4).collect()))
+    assert sorted(map(key, grams.collect())) == want
+
+    # replay from a fresh checkpoint: identical final table
+    run_stream_artifact_update(
+        stream(), state, str(tmp_path / "ckpt2"), gram_n=4
+    )
+    _s, _f, grams_r = read_corpus_artifacts(spark, state, with_grams=True)
+    assert sorted(map(key, grams_r.collect())) == want
+
+    # the streamed gram state feeds the containment delta directly:
+    # a new crawl carrying a 40%-prefix fragment of doc 0 must surface
+    # as contained, matching the full-batch run filtered to new pairs
+    from inbev_data_engineering_case_spark.functions import tokens
+
+    frag = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(900000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                tokens(F.col("text")),
+                1,
+                20,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    kw = dict(n=4, threshold_ppm=800_000, max_gram_df=100)
+    got = sorted(map(key, incremental_containment_pairs(
+        grams, frag, **kw).collect()))
+    full = containment_pairs(docs.unionByName(frag), **kw)
+    want_pairs = sorted(map(key, full.filter(
+        (F.col("contained_id") == 900000)
+        | (F.col("container_id") == 900000)
+    ).collect()))
+    assert got == want_pairs and got
