@@ -6302,6 +6302,15 @@ def q_containment_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_trailing_window, q_ann_probes (none is referenced as anyone
 # else's stand-in, so no chains rewire).
 #
+# Round 9 promoted the six late-r8 tail debuts; round 10 promotes the
+# two late-r9 tail debuts — q_curate_bloom, q_containment_fast — the
+# only catalog entries without an external driver row. The two slots
+# come from q_source_cap and q_dist_drift: the only in-window entries
+# with TWO lifetime driver rows (r8+r9) that no stand-in chain
+# references, each with verbatim in-window family cover
+# (q_curate_capped composes cap_per_source; q_stream_drift's oracle is
+# the batch drift twin unchanged).
+#
 # INVARIANT (keep when registering anything new, machine-checked by
 # tests/test_entry_contract.py): every demoted entry names in-window
 # stand-ins from its own operator family in _FAMILY_STAND_INS, and the
@@ -6568,20 +6577,26 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # machinery is pinned by q_ann_indexed (same atomic-snapshot
     # contract):
     "q_bm25_indexed": ("q_bm25_search", "q_ann_indexed"),
-    # LATE-r9 DEBUT (not a demotion): the curation composition with
-    # the Bloom keep-join prefilter engaged — oracle is
-    # q_curate_corpus' SQL unchanged (the kept set is hash-identical
-    # by construction); leads the r10 promotion queue. Covered
-    # in-window by q_curate_corpus (the identical composition minus
-    # the prefilter) and q_bloom_join (the identical
-    # prefiltered-semi-join operator):
-    "q_curate_bloom": ("q_curate_corpus", "q_bloom_join"),
-    # LATE-r9 DEBUT (not a demotion): containment on the production
-    # xxhash64 path — oracle is q_containment's SQL unchanged (pairs
-    # are hash-independent); r10 promotion queue. Covered in-window
-    # by q_containment (the identical machinery on the portable
-    # hash):
-    "q_containment_fast": ("q_containment",),
+    # (the two LATE-r9 DEBUTS that closed this dict — q_curate_bloom
+    # q_containment_fast — were PROMOTED in r10 as queued: each returns
+    # to its registration slot, q_curate_bloom beside q_curate_corpus
+    # and q_containment_fast beside the containment pair)
+    #
+    # rotated OUT in r10 to seat the two promotions; both demotions
+    # below are driver-green in BOTH r8 and r9 (CORRECTNESS_r08/r09 —
+    # the only window entries with two lifetime rows that no other
+    # entry's stand-in chain references), and name in-window
+    # same-family cover:
+    # per-source quota caps: q_curate_capped COMPOSES cap_per_source as
+    # curate_corpus's final stage (the presalt two-phase bound runs
+    # in-window verbatim), and mixture sampling pins the
+    # hash-deterministic membership family:
+    "q_source_cap": ("q_curate_capped", "q_mixture_sample"),
+    # two-sample ECDF drift: the streaming form's oracle IS the batch
+    # twin's SQL unchanged (lossless partial merge), so the in-window
+    # q_stream_drift replays this exact computation; q_curation_drift
+    # pins the per-day drift-report family:
+    "q_dist_drift": ("q_stream_drift", "q_curation_drift"),
 }
 
 for _name in _FAMILY_STAND_INS:
