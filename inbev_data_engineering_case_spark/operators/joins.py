@@ -17,10 +17,13 @@ realistic gold view needs them, and they are where 100 TB plans live or die:
 
 from __future__ import annotations
 
+import logging
 from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def broadcast_dims(fact: DataFrame, dims: list[tuple[DataFrame, str]]) -> DataFrame:
@@ -175,6 +178,131 @@ def bloom_filter_build(
     )
 
 
+def _bloom_shuffle_probe(
+    fact: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int,
+    bank_bits: int,
+) -> DataFrame:
+    """Bank-partitioned Bloom probe for bitmaps past the broadcast
+    ceiling: no row of the plan ever holds the whole bitmap.
+
+    Shape: each fact row explodes into its ``num_hashes`` probe
+    positions (tagged with a per-evaluation row id so duplicates
+    regroup exactly), the positions shuffle-join the DISTRIBUTED bank
+    rows on ``pos div bank_bits`` (uniform by construction — the
+    positions are hashes), and rows regroup requiring every probe to
+    have hit a set bit. Two fact-side shuffles of ``num_hashes ×``
+    the fact bytes — the honest cost of probing a bitmap too big to
+    ship; prefer shrinking ``num_bits`` back under the broadcast
+    ceiling when the fp-rate budget allows.
+
+    The row id is ``monotonically_increasing_id`` used SAFELY: the
+    plan is linear (tag → explode → join → regroup), never a
+    self-join, so ids only need to be distinct within one evaluation.
+    Geometry mismatches raise in-plan via the bank-join key (consumed
+    column, can't be pruned); a missing bank row raises (it can only
+    mean a corrupt filter — ``bloom_filter_build`` densifies every
+    bank, so NULL here would otherwise become a silent false
+    negative); a duplicated bank row inflates the per-row probe count
+    past ``num_hashes`` and raises in the regroup.
+    """
+    fact_cols = fact.columns
+    key = F.col(f"_bloom_row.{key_col}")
+    pos = [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+    # the id must be assigned BEFORE the explode (a projection in the
+    # same select as the generator is evaluated per OUTPUT row, which
+    # would tag every probe position with its own id)
+    tagged = fact.select(
+        F.struct(*fact_cols).alias("_bloom_row"),
+        F.monotonically_increasing_id().alias("_bloom_rid"),
+    ).select(
+        "_bloom_row",
+        "_bloom_rid",
+        F.explode(F.array(*pos)).alias("_bloom_pos"),
+    )
+    banks = bloom.select(
+        F.when(
+            (F.col("num_bits") != num_bits)
+            | (F.col("num_hashes") != num_hashes)
+            | (F.col("bank_bits") != bank_bits),
+            F.raise_error(F.lit(_GEOMETRY_MSG)).cast("bigint"),
+        )
+        .otherwise(F.col("bank"))
+        .alias("_bloom_bank"),
+        F.col("bf").alias("_bloom_bf"),
+    )
+    joined = tagged.join(
+        banks,
+        F.expr(f"_bloom_pos div {bank_bits}") == F.col("_bloom_bank"),
+        "left",
+    )
+    hit = (
+        F.when(
+            F.col("_bloom_bf").isNull(),
+            F.raise_error(
+                F.lit(
+                    "bloom_might_contain: banked filter is missing a bank"
+                    " row — a probe position found no bank to look in,"
+                    " which would silently drop true matches; rebuild"
+                    " the filter"
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(
+            F.expr(
+                f"element_at(_bloom_bf, cast((_bloom_pos % {bank_bits})"
+                " div 64 as int) + 1) & shiftleft(1L, cast(_bloom_pos %"
+                " 64 as int))"
+            )
+        )
+        .alias("_bloom_word")
+    )
+    verdict = (
+        joined.select("_bloom_rid", "_bloom_row", hit)
+        .groupBy("_bloom_rid")
+        .agg(
+            F.first("_bloom_row").alias("_bloom_row"),
+            F.count("*").alias("_bloom_nprobe"),
+            F.sum(F.when(F.col("_bloom_word") != 0, 1).otherwise(0)).alias(
+                "_bloom_nset"
+            ),
+        )
+        .select(
+            "_bloom_row",
+            F.when(
+                F.col("_bloom_nprobe") != num_hashes,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bloom_might_contain: a probed fact row"
+                            " matched "
+                        ),
+                        F.col("_bloom_nprobe").cast("string"),
+                        F.lit(
+                            f" bank rows, expected {num_hashes} — the"
+                            " filter carries duplicated bank rows,"
+                            " which would silently drop true matches;"
+                            " rebuild the filter"
+                        ),
+                    )
+                ).cast("boolean"),
+            )
+            .otherwise(F.col("_bloom_nset") == num_hashes)
+            .alias("_bloom_keep"),
+        )
+        .filter("_bloom_keep")
+    )
+    return verdict.select(
+        *[F.col(f"_bloom_row.{c}").alias(c) for c in fact_cols]
+    )
+
+
 def bloom_might_contain(
     fact: DataFrame,
     bloom: DataFrame,
@@ -194,14 +322,25 @@ def bloom_might_contain(
     broadcast. Either way the bitmap ships in exactly ONE broadcast
     and the ``num_hashes`` lookups are a pure Column conjunction
     riding the fact scan inside codegen — no joins, no fact-side
-    shuffle, no per-hash re-broadcast (plan-pinned). The whole bitmap
-    must fit executor memory — inherent to a broadcast Bloom (Spark's
-    own runtime filter caps itself at 67M bits for the same reason);
-    past executor memory, shrink ``num_bits`` (a higher fp rate costs
-    throughput, never correctness) or shuffle on the key instead. A
-    bloom built with different geometry than the caller claims raises
-    in-plan (the CMS wrong-geometry discipline — probing the wrong bit
-    positions would silently drop true matches)."""
+    shuffle, no per-hash re-broadcast (plan-pinned).
+
+    Past ``_PROBE_MAX_BITS`` (1 GiB of bitmap — the assembled probe
+    row would approach the JVM's ~2 GB single-field cap, and a bitmap
+    that size should not broadcast at all; Spark's own runtime filter
+    caps itself at 67M bits for the same reason) the probe
+    AUTOMATICALLY falls back to the bank-partitioned shuffle probe
+    (``_bloom_shuffle_probe``): no row of the plan ever holds the
+    whole bitmap, the bank rows stay distributed, and the fact side
+    shuffles once on the probed bank ids. Same answers, different
+    physical regime — a loud log records the switch. The ceiling is
+    checked on EVERY path, including an explicit single-bank
+    ``bank_bits=num_bits`` geometry. A bloom built with different
+    geometry than the caller claims raises in-plan (the CMS
+    wrong-geometry discipline — probing the wrong bit positions would
+    silently drop true matches), and BOTH broadcast paths guard the
+    bank-row count (a duplicated bank row silently merges under map
+    dedup policies; on the single-bank path it would duplicate every
+    fact row)."""
     # underscore-prefix the bloom rows' columns before joining so a
     # fact column named bank/bf/num_bits/... can't collide (ambiguous
     # reference or silent overwrite); the staging columns below share
@@ -221,14 +360,24 @@ def bloom_might_contain(
             " of 64"
         )
     n_banks = -(-num_bits // bank_bits)  # final bank may be shorter
-    if n_banks > 1 and num_bits > _PROBE_MAX_BITS:
-        raise ValueError(
-            "bloom_might_contain: num_bits past the broadcastable probe"
-            f" ceiling ({_PROBE_MAX_BITS} bits = 1 GiB of bitmap): the"
-            " assembled probe row would exceed the JVM's single-field"
-            " cap. A bitmap this size should not broadcast at all —"
-            " shrink num_bits (a higher fp rate costs throughput, never"
-            " correctness) or shuffle the join on the key instead"
+    # ceiling check BEFORE branching: an explicit bank_bits=num_bits
+    # geometry past the ceiling has the same one-field problem the
+    # banked map row does (and a bigger one — the single bank row
+    # itself), so it must not slip through the n_banks==1 fast path
+    if num_bits > _PROBE_MAX_BITS:
+        _log.warning(
+            "bloom_might_contain: num_bits=%d past the broadcastable"
+            " probe ceiling (%d bits = 1 GiB of bitmap) — falling back"
+            " to the bank-partitioned shuffle probe: the fact side"
+            " shuffles once on the probed bank ids and the bitmap never"
+            " assembles into one row. Shrink num_bits to restore the"
+            " broadcast regime (a higher fp rate costs throughput,"
+            " never correctness)",
+            num_bits,
+            _PROBE_MAX_BITS,
+        )
+        return _bloom_shuffle_probe(
+            fact, bloom, key_col, num_bits, num_hashes, bank_bits
         )
 
     def _geometry_guard(nb, nh, bb):
@@ -239,17 +388,53 @@ def bloom_might_contain(
 
     drop_cols: list[str] = []
     if n_banks == 1:
-        bloom = bloom.select(
-            F.col("bf").alias("_bloom_bf"),
-            F.col("num_bits").alias("_bloom_nb"),
-            F.col("num_hashes").alias("_bloom_nh"),
-            F.col("bank_bits").alias("_bloom_bb"),
+        # aggregate to ONE probe row with the row count alongside: a
+        # filter accidentally carrying duplicate same-geometry rows
+        # would otherwise duplicate every fact row through the
+        # cross-join (the banked path's completeness guard, applied
+        # symmetrically — count is the check no dedup policy can hide)
+        probe_row = (
+            bloom.select(
+                F.col("bf").alias("_bloom_bf"),
+                F.col("num_bits").alias("_bloom_nb"),
+                F.col("num_hashes").alias("_bloom_nh"),
+                F.col("bank_bits").alias("_bloom_bb"),
+            )
+            .groupBy()
+            .agg(
+                F.first("_bloom_bf").alias("_bloom_bf"),
+                F.first("_bloom_nb").alias("_bloom_nb"),
+                F.first("_bloom_nh").alias("_bloom_nh"),
+                F.first("_bloom_bb").alias("_bloom_bb"),
+                F.count("*").alias("_bloom_nrows"),
+            )
         )
-        guard = _geometry_guard(
-            F.col("_bloom_nb"), F.col("_bloom_nh"), F.col("_bloom_bb")
+        guard = F.when(
+            F.col("_bloom_nrows") != 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("bloom_might_contain: single-bank filter has "),
+                    F.col("_bloom_nrows").cast("string"),
+                    F.lit(
+                        " bank rows, expected 1 — a duplicated bank row"
+                        " would duplicate every probed fact row;"
+                        " rebuild the filter"
+                    ),
+                )
+            ).cast("boolean"),
+        ).otherwise(
+            _geometry_guard(
+                F.col("_bloom_nb"), F.col("_bloom_nh"), F.col("_bloom_bb")
+            )
         )
-        joined = fact.join(F.broadcast(bloom))
-        drop_cols += ["_bloom_bf", "_bloom_nb", "_bloom_nh", "_bloom_bb"]
+        joined = fact.join(F.broadcast(probe_row))
+        drop_cols += [
+            "_bloom_bf",
+            "_bloom_nb",
+            "_bloom_nh",
+            "_bloom_bb",
+            "_bloom_nrows",
+        ]
         checks = []
         for i in range(num_hashes):
             # stage the position once per hash, then SQL-form shifts

@@ -1194,12 +1194,27 @@ def run_stream_artifact_update(
             stored_fps = spark.read.parquet(
                 os.path.join(parent_snap, "fps")
             )
-            if gram_n is not None and os.path.isdir(
-                os.path.join(parent_snap, "grams")
-            ):
-                stored_grams = spark.read.parquet(
-                    os.path.join(parent_snap, "grams")
-                )
+            if gram_n is not None:
+                grams_dir = os.path.join(parent_snap, "grams")
+                if not os.path.isdir(grams_dir):
+                    # seeding the gram table from this batch onward
+                    # would permanently omit every historical doc's
+                    # grams while read_corpus_artifacts(with_grams=
+                    # True) succeeded as if complete — containment
+                    # pairs against pre-upgrade docs would silently
+                    # vanish. Require an explicit backfill instead.
+                    raise ValueError(
+                        "run_stream_artifact_update: gram_n is set but"
+                        f" the parent snapshot {parent_snap} has no"
+                        " grams table — enabling gram maintenance on"
+                        " an existing stream needs a one-time"
+                        " backfill: build_gram_table over the FULL"
+                        " stored corpus, commit it alongside the"
+                        " stored sigs/fps as 'grams' in one snapshot,"
+                        " then restart the stream (or start a fresh"
+                        " state_dir)"
+                    )
+                stored_grams = spark.read.parquet(grams_dir)
             parent = run_id_of(parent_snap, CORPUS_ARTIFACT_PREFIX)
         except FileNotFoundError:  # first generation ever
             stored_sigs = spark.createDataFrame(

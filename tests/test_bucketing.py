@@ -216,12 +216,18 @@ def test_bloom_semi_join_identity_and_no_false_negatives(spark):
             li, good.filter("bank != 1"), "l_orderkey", 1 << 10, 3,
             bank_bits=128,
         ).count()
-    # past the broadcastable ceiling the probe refuses at plan time
-    # with guidance, not a cryptic BufferHolder error mid-job
-    with pytest.raises(ValueError, match="ceiling"):
-        bloom_might_contain(
-            li, good, "l_orderkey", 1 << 34, 3, bank_bits=1 << 20
-        )
+    # past the broadcastable ceiling the probe no longer raises — it
+    # routes to the bank-partitioned shuffle probe (never assembling
+    # the bitmap into one row), so planning succeeds and the mismatch
+    # between this filter's real geometry and the claimed one is
+    # caught in-plan at execution, exactly like the broadcast paths
+    past = bloom_might_contain(
+        li, good, "l_orderkey", 1 << 34, 3, bank_bits=1 << 20
+    )
+    plan = past._jdf.queryExecution().executedPlan().toString()
+    assert "map_from_entries" not in plan, plan
+    with pytest.raises(Exception, match="geometry"):
+        past.count()
 
 
 def test_bloom_banked_build_has_no_single_task_densify(spark):
@@ -347,3 +353,102 @@ def test_bloom_prefilter_rides_the_scan(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     # the 1-row bloom joins as a broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bloom_shuffle_probe_past_ceiling_is_exact(spark, monkeypatch):
+    """Past _PROBE_MAX_BITS the probe must AUTOMATICALLY fall back to
+    the bank-partitioned shuffle probe — same answers (semi-join
+    identity incl. duplicate fact rows, no-false-negative superset) at
+    every geometry the broadcast paths are pinned at, including the
+    ragged final bank and the explicit single-bank bank_bits=num_bits
+    form that used to bypass the ceiling — while NO row of the plan
+    assembles the whole bitmap (no one-row map frame, no BNLJ; with
+    auto-broadcast off, the bank rows join distributed)."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators import joins
+
+    monkeypatch.setattr(joins, "_PROBE_MAX_BITS", 1 << 10)
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .localCheckpoint(eager=True)
+    )
+    dim = li.select("l_orderkey").filter(F.col("l_orderkey") % 7 == 0)
+    want = sorted(
+        map(tuple, li.join(dim, "l_orderkey", "left_semi").collect())
+    )
+    assert want  # non-vacuous: lineitem has duplicate keys to preserve
+
+    num_bits = 1 << 14
+    # (bank_bits, label): fine banks, ragged final bank, and the
+    # explicit single-bank geometry that must not dodge the ceiling
+    for bank_bits in (64, 384, num_bits):
+        got = sorted(
+            map(
+                tuple,
+                joins.bloom_semi_join(
+                    li, dim, "l_orderkey", num_bits, 5, bank_bits
+                ).collect(),
+            )
+        )
+        assert got == want, bank_bits
+        bloom = joins.bloom_filter_build(
+            dim, "l_orderkey", num_bits, 5, bank_bits
+        )
+        pruned = joins.bloom_might_contain(
+            li, bloom, "l_orderkey", num_bits, 5, bank_bits
+        )
+        assert pruned.count() >= len(want), bank_bits  # superset
+
+    # plan shape with auto-broadcast off: distributed bank join, no
+    # single-row bitmap assembly anywhere
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bloom = joins.bloom_filter_build(dim, "l_orderkey", num_bits, 5, 64)
+        pruned = joins.bloom_might_contain(
+            li, bloom, "l_orderkey", num_bits, 5, 64
+        )
+        assert pruned.count() >= len(want)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "map_from_entries" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # geometry mismatch raises in-plan on the fallback path too
+    bloom = joins.bloom_filter_build(dim, "l_orderkey", num_bits, 5, 64)
+    with pytest.raises(Exception, match="geometry"):
+        joins.bloom_might_contain(
+            li, bloom, "l_orderkey", num_bits, 3, 64
+        ).count()
+    # a duplicated bank row inflates the per-row probe count -> raise
+    with pytest.raises(Exception, match="duplicated bank rows"):
+        joins.bloom_might_contain(
+            li, bloom.unionAll(bloom), "l_orderkey", num_bits, 5, 64
+        ).count()
+
+
+def test_bloom_single_bank_duplicate_row_raises(spark):
+    """The single-bank BROADCAST path (below the ceiling) must guard
+    the bank-row count like the banked path does: a filter carrying a
+    duplicate of its one row would otherwise silently duplicate every
+    probed fact row through the cross-join."""
+    from inbev_data_engineering_case_spark.operators import joins
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_quantity")
+    dim = spark.createDataFrame([(7,), (14,)], "l_orderkey long")
+    bloom = joins.bloom_filter_build(dim, "l_orderkey", 1 << 10, 3)
+    ok = joins.bloom_might_contain(li, bloom, "l_orderkey", 1 << 10, 3)
+    n_ok = ok.count()
+    assert n_ok > 0
+    with pytest.raises(Exception, match="bank rows, expected 1"):
+        joins.bloom_might_contain(
+            li, bloom.unionAll(bloom), "l_orderkey", 1 << 10, 3
+        ).count()

@@ -1341,3 +1341,45 @@ def test_stream_artifact_update_maintains_gram_table(spark, tmp_path):
         | (F.col("container_id") == 900000)
     ).collect()))
     assert got == want_pairs and got
+
+
+def test_stream_artifact_update_gram_upgrade_requires_backfill(
+    spark, tmp_path
+):
+    """Enabling gram_n on a stream whose existing snapshots lack a
+    grams table must raise with backfill guidance, not quietly seed
+    the gram table from the current batch onward — that state would
+    permanently omit historical docs' grams while read_corpus_
+    artifacts(with_grams=True) succeeded as if complete, silently
+    missing containment pairs with pre-upgrade documents."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.streaming.events import (
+        run_stream_artifact_update,
+    )
+
+    state = str(tmp_path / "artifacts")
+    src = str(tmp_path / "doc_feed")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 20)
+        .localCheckpoint(eager=True)
+    )
+    docs.coalesce(1).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # generation 1: no gram maintenance — snapshot has sigs/fps only
+    run_stream_artifact_update(stream(), state, str(tmp_path / "ckpt"))
+    # flipping gram_n on against that state must refuse loudly
+    with pytest.raises(Exception, match="backfill"):
+        run_stream_artifact_update(
+            stream(), state, str(tmp_path / "ckpt2"), gram_n=4
+        )
