@@ -22,6 +22,18 @@ idempotent foreachBatch parquet sink (streaming/events.py), so sink +
 checkpoint overhead is visible alongside the in-memory-harness streaming
 queries; each run uses a fresh checkpoint so every run re-processes the
 full source.
+
+Machine-drift adjudication is AUTOMATED in the artifact (it used to be
+README narrative + ad-hoc worktree A/Bs): every run records the 1/5/15-min
+load averages before and after, and when any query's MIN exceeds
+``DRIFT_RATIO`` × its floor in the newest ``BENCH_r*.json`` beside this
+script, the harness re-times the elevated queries twice in fresh
+subprocesses — once from a git worktree pinned at the commit that produced
+that artifact, once from HEAD — and emits both readings in the ``drift``
+field. A code regression shows HEAD slower than the pinned commit under
+identical conditions; a hot machine shows both elevated together. Disable
+with ``SPARK_GRAFT_BENCH_AB=0`` (the load averages and elevation list are
+still recorded).
 """
 
 from __future__ import annotations
@@ -40,6 +52,144 @@ from inbev_data_engineering_case_spark.queries import CATALOG  # noqa: E402
 from inbev_data_engineering_case_spark.session import get_spark  # noqa: E402
 
 RUNS_PER_QUERY = 5
+# a MIN this far above its prior-round floor triggers the commit-pinned
+# A/B (the documented machine band is 1.0-1.25x; README bench notes)
+DRIFT_RATIO = 1.25
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-POSIX
+        return None
+
+
+def _prior_floor_artifact() -> tuple[str, dict[str, float]] | None:
+    """Newest BENCH_r*.json beside this script -> (basename, query mins)."""
+    import glob
+    import re
+
+    best_n, best = -1, None
+    for path in glob.glob(os.path.join(_REPO_DIR, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), path
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            prior = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    # the round driver wraps this script's JSON line under "parsed"
+    if isinstance(prior.get("parsed"), dict):
+        prior = prior["parsed"]
+    floors = prior.get("query_mins") or prior.get("queries") or {}
+    return os.path.basename(best), {
+        k: float(v) for k, v in floors.items() if v
+    }
+
+
+_AB_DRIVER = """\
+import json, statistics, sys, time
+sys.path.insert(0, sys.argv[1])
+from inbev_data_engineering_case_spark.queries import CATALOG
+from inbev_data_engineering_case_spark.session import get_spark
+sf_dir, runs, names = sys.argv[2], int(sys.argv[3]), sys.argv[4:]
+spark = get_spark("bench-ab")
+out = {}
+for name in names:
+    if name not in CATALOG:
+        continue
+    def one():
+        t0 = time.perf_counter()
+        CATALOG[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+        return time.perf_counter() - t0
+    one()  # untimed warm-up: codegen compile
+    out[name] = round(min(one() for _ in range(runs)), 3)
+print("BENCH_AB_JSON:" + json.dumps(out))
+"""
+
+
+def _ab_run(tree_dir: str, names: list[str], sf_dir: str) -> dict[str, float]:
+    """Fresh-subprocess MIN timings of ``names`` with the package rooted
+    at ``tree_dir`` (HEAD checkout or a pinned worktree) — both sides of
+    the A/B get an identical cold-JVM-then-warm-up protocol."""
+    import subprocess
+
+    res = subprocess.run(
+        [sys.executable, "-c", _AB_DRIVER, tree_dir, sf_dir,
+         str(RUNS_PER_QUERY), *names],
+        capture_output=True, text=True, timeout=1800, cwd=tree_dir,
+    )
+    for line in res.stdout.splitlines():
+        if line.startswith("BENCH_AB_JSON:"):
+            return json.loads(line[len("BENCH_AB_JSON:"):])
+    raise RuntimeError(
+        f"A/B subprocess produced no result (rc={res.returncode}): "
+        + (res.stderr or res.stdout)[-500:]
+    )
+
+
+def _adjudicate_drift(
+    mins: dict[str, float], sf_dir: str
+) -> dict[str, object] | None:
+    """Compare this run's MINs to the newest committed artifact's floors;
+    past DRIFT_RATIO, re-time the elevated queries at HEAD and at the
+    commit that produced the floors, in fresh subprocesses."""
+    import subprocess
+
+    prior = _prior_floor_artifact()
+    if prior is None:
+        return None
+    floor_name, floors = prior
+    elevated = {}
+    for q, m in mins.items():
+        f = floors.get(q)
+        if f and m / f > DRIFT_RATIO:
+            elevated[q] = {
+                "min": m, "floor": f, "ratio": round(m / f, 3),
+            }
+    drift: dict[str, object] = {
+        "floor_artifact": floor_name,
+        "ratio_threshold": DRIFT_RATIO,
+        "elevated": elevated,
+    }
+    if not elevated:
+        return drift
+    if os.environ.get("SPARK_GRAFT_BENCH_AB", "1") == "0":
+        drift["ab"] = "disabled (SPARK_GRAFT_BENCH_AB=0)"
+        return drift
+    names = [q for q in elevated if q in CATALOG]
+    worktree = tempfile.mkdtemp(prefix="bench_ab_pin_")
+    try:
+        sha = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--", floor_name],
+            capture_output=True, text=True, cwd=_REPO_DIR, check=True,
+        ).stdout.strip()
+        if not sha:
+            raise RuntimeError(f"no commit touches {floor_name}")
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", "--force",
+             worktree, sha],
+            capture_output=True, text=True, cwd=_REPO_DIR, check=True,
+        )
+        drift["ab"] = {
+            "pinned_commit": sha,
+            "pinned_mins": _ab_run(worktree, names, sf_dir),
+            "head_mins": _ab_run(_REPO_DIR, names, sf_dir),
+        }
+    except Exception as exc:  # adjudication must never fail the bench
+        drift["ab_error"] = f"{type(exc).__name__}: {exc}"
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", worktree],
+            capture_output=True, cwd=_REPO_DIR,
+        )
+        shutil.rmtree(worktree, ignore_errors=True)
+    return drift
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
@@ -81,6 +231,7 @@ def median_and_min(runs: int, fn, *args) -> tuple[float, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    load_before = _loadavg()
     spark = get_spark("bench")
 
     headline = [n for n, spec in CATALOG.items() if spec.headline]
@@ -112,6 +263,8 @@ def main() -> None:
     )
     total = round(sum(timings.values()), 3)
     spark.stop()
+    load_after = _loadavg()
+    drift = _adjudicate_drift(mins, sf_dir)
 
     print(
         json.dumps(
@@ -135,6 +288,16 @@ def main() -> None:
                 "index_build_costs": index_build_costs,
                 "sf": sf,
                 "runs_per_query": RUNS_PER_QUERY,
+                # machine state + automated drift adjudication: load
+                # averages bracket the run; when any MIN exceeds
+                # DRIFT_RATIO x its floor in the newest committed
+                # BENCH_r*.json, `drift.ab` carries the commit-pinned
+                # vs HEAD re-timings (fresh subprocess each) so
+                # code-regression vs hot-machine is decidable from
+                # this artifact alone
+                "loadavg_before": load_before,
+                "loadavg_after": load_after,
+                "drift": drift,
             }
         )
     )

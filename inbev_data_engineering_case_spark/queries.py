@@ -3276,6 +3276,7 @@ def q_curate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_curate_bloom",
     _curate_oracle(),
+    headline=True,  # benched beside its unprefiltered twin
     doc="the curation composition with the Bloom keep-join prefilter "
     "engaged (curate_corpus bloom_prefilter_bits=1<<16): all three "
     "id-keyed keep-joins (exact-dedup survivors here; LM/cap when "
