@@ -923,12 +923,14 @@ def build_embedding_sig_table(
     State size: the vector rides EVERY probe row, so the table is
     ~``n_probes`` × the embedding bytes. At multi-probe production
     scale use ``build_embedding_sig_tables_normalized`` (persists
-    ``(id, v)`` once + per-seed ``(seed, id, bucket, …)`` rows) and
-    ``join_embedding_sig_tables`` to reassemble this shape for the
-    incremental call — the operator consumes the JOINED form, so the
-    normalization is a storage choice, not an API change
-    (parity-tested at ``n_probes>1``; measured 2.7× smaller at
-    n_probes=3, see the normalized builder's docstring)."""
+    ``(id, v)`` once + per-seed ``(seed, id, bucket, …)`` rows) with
+    ``incremental_embedding_near_dup_normalized``, which consumes the
+    pair NATIVELY — candidates form id-only and the vector payload
+    joins only for survivors (parity-tested at ``n_probes>1``;
+    measured 2.7× smaller state and ~120× less candidate-stage
+    shuffle at n_probes=3 — see the normalized builder's and native
+    operator's docstrings). ``join_embedding_sig_tables`` remains for
+    reassembling this denormalized shape when needed."""
     from inbev_data_engineering_case_spark.operators.similarity import (
         signlsh_bucket,
     )
@@ -1122,6 +1124,158 @@ def incremental_embedding_near_dup(
     if n_probes > 1:
         pairs = pairs.distinct()  # sim is identical across probes
     return pairs.filter(F.col("sim") >= threshold)
+
+
+def incremental_embedding_near_dup_normalized(
+    stored_vectors: DataFrame,
+    stored_buckets: DataFrame,
+    new_emb: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    materialize_mode: str = "local",
+) -> DataFrame:
+    """``incremental_embedding_near_dup`` consuming the NORMALIZED
+    ``(vectors, buckets)`` state pair natively — no reassembly join,
+    and the vector payload joins ONLY for actual candidates.
+
+    Same rows as the denormalized path (parity-tested at
+    ``n_probes>1``), different shuffle profile: the denormalized form
+    (or ``join_embedding_sig_tables`` + the denormalized operator)
+    carries every stored vector through every per-seed bucket
+    exchange — ``n_probes`` corpus-sized shuffles of the fattest
+    column before a single candidate exists. Here candidates form on
+    16-byte ``(id, bucket)`` rows per probe, dedup across probes
+    id-only, and the ``(id, v)`` table joins in exactly twice (side a,
+    side b) for the surviving pairs. Measured on the sf0.1 embeddings
+    fixture at n_probes=3 (tools/embedding_norm_probe.py, UI REST
+    stage metrics): 5.1 MB shuffle-written by the
+    reassembled-denormalized plan vs ~0.04 MB here (~120× less) — the
+    vector bytes (3 probes × corpus × 64 doubles) vanish from the
+    bucket exchanges, and at this candidate count the deferred
+    id-keyed vector joins broadcast instead of shuffling at all; at
+    cluster scale they are two exchanges whose pair side is
+    candidate-sized.
+
+    Hot buckets, combined-population counting, min-id star
+    representatives, the touches-new two-left-join discipline, and
+    the in-plan geometry raise all match the denormalized twin —
+    the geometry columns ride ``stored_buckets``.
+    """
+    from inbev_data_engineering_case_spark.functions import cosine
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        signlsh_bucket,
+    )
+
+    new_ids = new_emb.select(F.col(id_col).alias("id"))
+    new_b = [
+        new_emb.select(
+            F.lit(seed).alias("seed"),
+            F.col(id_col).alias("id"),
+            signlsh_bucket(vec_col, num_planes, seed=seed).alias(
+                "bucket"
+            ),
+        )
+        for seed in range(n_probes)
+    ]
+    stored_guarded = stored_buckets.select(
+        "seed",
+        "id",
+        _geometry_guarded(
+            stored_buckets,
+            {"num_planes": num_planes, "n_probes": n_probes},
+            "bucket",
+            "incremental_embedding_near_dup_normalized",
+        ),
+    )
+    per_probe = []
+    for seed in range(n_probes):
+        rows = _materialize(
+            stored_guarded.filter(F.col("seed") == seed)
+            .select("id", "bucket")
+            .unionByName(new_b[seed].select("id", "bucket")),
+            materialize_mode,
+        )
+        if max_bucket_size is not None:
+            cold, hot = _split_hot_buckets(
+                rows, ["bucket"], max_bucket_size, materialize_mode
+            )
+        else:
+            cold, hot = rows, None
+        new_cold = cold.join(new_ids, "id", "left_semi")
+        stored_cold = cold.join(new_ids, "id", "left_anti")
+        pair_cols = [
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        ]
+        p1 = new_cold.alias("a").join(
+            cold.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(*pair_cols)
+        p2 = stored_cold.alias("a").join(
+            new_cold.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(*pair_cols)
+        probe = p1.unionByName(p2)
+        if hot is not None:
+            # id-only star links: same reps (combined min id), same
+            # touches-new two-left-join shape as _delta_star_links,
+            # with the similarity deferred to the shared vector join
+            reps = hot.groupBy("bucket").agg(F.min("id").alias("rep_id"))
+            marks = new_ids.withColumn("_new", F.lit(True))
+            hot_m = hot.join(marks, "id", "left").withColumnRenamed(
+                "_new", "_member_new"
+            )
+            reps_m = reps.join(
+                marks.withColumnRenamed("id", "rep_id"), "rep_id", "left"
+            ).withColumnRenamed("_new", "_rep_new")
+            star = (
+                hot_m.join(reps_m, ["bucket"])
+                .filter(F.col("id") != F.col("rep_id"))
+                .filter(
+                    F.col("_member_new").isNotNull()
+                    | F.col("_rep_new").isNotNull()
+                )
+                .select(
+                    F.col("rep_id").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                )
+            )
+            probe = probe.unionByName(star)
+        per_probe.append(probe)
+    pairs = per_probe[0]
+    for p in per_probe[1:]:
+        pairs = pairs.unionByName(p)
+    if n_probes > 1:
+        # id-only dedup: sim is deterministic per pair, so deduping
+        # before the vector join is exactly the denormalized path's
+        # post-sim distinct — minus candidate-count × vector bytes
+        pairs = pairs.distinct()
+    all_vecs = stored_vectors.unionByName(
+        new_emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+    sim = F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+    return (
+        pairs.join(
+            all_vecs.select(
+                F.col("id").alias("id_a"), F.col("v").alias("_va")
+            ),
+            "id_a",
+        )
+        .join(
+            all_vecs.select(
+                F.col("id").alias("id_b"), F.col("v").alias("_vb")
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def simhash_near_pairs(

@@ -2650,6 +2650,52 @@ def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embedding_incr_norm",
+    _embedding_dedup_oracle(only_new=True, new_mod=5),
+    doc="the delta embedding near-dup consuming NORMALIZED state "
+    "natively (operators/dedup.py "
+    "incremental_embedding_near_dup_normalized): the stored (id,v) "
+    "vectors table and the per-seed (seed,id,bucket) rows are "
+    "consumed as-is — no reassembly join — candidates form on "
+    "16-byte id/bucket rows and the vector payload joins ONLY for "
+    "actual candidates (measured ~120x less candidate-stage shuffle "
+    "at n_probes=3, tools/embedding_norm_probe.py). Result identical "
+    "to q_embedding_incremental by construction (parity-tested incl. "
+    "hot buckets and n_probes>1), so the oracle is that entry's SQL "
+    "UNCHANGED — the driver independently verifies the deferred-"
+    "vector-join rewrite end to end. Late-r10 tail debut (family "
+    "cover: q_embedding_incremental is the identical delta machinery "
+    "on denormalized state, q_dedup_embedding the full-batch twin — "
+    "both in-window).",
+)
+def q_embedding_incr_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_embedding_sig_tables_normalized,
+        incremental_embedding_near_dup_normalized,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    stored = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    new = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * (F.lit(1) + F.lit(0.001) * ((i % 3) - 1)),
+        ).alias("embedding"),
+    )
+    vectors, buckets = build_embedding_sig_tables_normalized(stored)
+    return incremental_embedding_near_dup_normalized(
+        vectors, buckets, new, threshold=0.9
+    )
+
+
+@register(
     "q_stream_tumbling",
     """
     SELECT date_trunc('hour', ts) AS window_start,
@@ -6598,6 +6644,17 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_stream_drift replays this exact computation; q_curation_drift
     # pins the per-day drift-report family:
     "q_dist_drift": ("q_stream_drift", "q_curation_drift"),
+    # LATE-r10 DEBUT (not a demotion): the delta embedding near-dup
+    # consuming normalized (vectors, buckets) state natively — oracle
+    # is q_embedding_incremental's SQL unchanged (the deferred vector
+    # join cannot change pair decisions; parity-tested incl. hot
+    # buckets at n_probes>1); r11 promotion queue. Covered in-window
+    # by q_embedding_incremental (identical delta machinery on
+    # denormalized state) and q_dedup_embedding (full-batch twin):
+    "q_embedding_incr_norm": (
+        "q_embedding_incremental",
+        "q_dedup_embedding",
+    ),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -5432,3 +5432,76 @@ def test_incremental_state_geometry_guards_raise_in_plan(spark):
             num_planes=6,
             n_probes=1,
         ).collect()
+
+
+def test_incremental_embedding_normalized_native_parity(spark):
+    """incremental_embedding_near_dup_normalized consumes the
+    (vectors, buckets) pair directly — no reassembly join, vectors
+    joining only for candidates — and must return EXACTLY the
+    denormalized path's pairs at n_probes>1, including when identical
+    vectors flood one bucket past the hot cap (combined-population
+    guard + min-id star representative, id-only until the deferred
+    vector join)."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_embedding_sig_table,
+        build_embedding_sig_tables_normalized,
+        incremental_embedding_near_dup,
+        incremental_embedding_near_dup_normalized,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    base = emb.filter(F.col("vec_id") < 80)
+    # identical vectors flood one bucket in every probe -> hot path
+    template = emb.filter(F.col("vec_id") == 3).select("embedding")
+    flood = (
+        spark.range(300000, 300020)
+        .crossJoin(template)
+        .select(F.col("id").alias("vec_id"), "embedding")
+    )
+    stored = base.unionByName(flood)
+    new = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1) + F.lit(0.001) * ((i % 3) - 1)),
+        ).alias("embedding"),
+    ).unionByName(
+        # new members of the flooded bucket too (delta touches hot)
+        spark.range(400000, 400005)
+        .crossJoin(template)
+        .select(F.col("id").alias("vec_id"), "embedding")
+    )
+
+    kw = dict(threshold=0.9, num_planes=6, n_probes=3, max_bucket_size=10)
+    denorm = build_embedding_sig_table(stored, num_planes=6, n_probes=3)
+    vectors, buckets = build_embedding_sig_tables_normalized(
+        stored, num_planes=6, n_probes=3
+    )
+    want = sorted(map(tuple, incremental_embedding_near_dup(
+        denorm, new, **kw).collect()))
+    got = sorted(map(tuple, incremental_embedding_near_dup_normalized(
+        vectors, buckets, new, **kw).collect()))
+    assert got == want and got
+    # no-hot-guard form agrees too (the cold-only plan)
+    kw2 = dict(threshold=0.9, num_planes=6, n_probes=3,
+               max_bucket_size=None)
+    want2 = sorted(map(tuple, incremental_embedding_near_dup(
+        denorm, new, **kw2).collect()))
+    got2 = sorted(map(tuple, incremental_embedding_near_dup_normalized(
+        vectors, buckets, new, **kw2).collect()))
+    assert got2 == want2 and got2
+    # geometry mismatch raises in-plan, same as the denormalized twin
+    import pytest
+
+    with pytest.raises(Exception, match="num_planes"):
+        incremental_embedding_near_dup_normalized(
+            vectors, buckets, new, threshold=0.9, num_planes=8,
+            n_probes=3,
+        ).collect()
