@@ -10,10 +10,12 @@ baseline-sequential AND progressive JPEG (native huffman+IDCT decoder,
 of any web image crawl), lossless WebP
 (``webp.vp8l_decode`` — full RFC 9649 VP8L: transforms, color cache,
 meta groups, LZ77), and Y4M video
-(header+frame demux). Remaining codec-bound formats (lossy WebP VP8,
-arithmetic/lossless JPEG, H.264/VP9 containers) raise a
-clearly-marked ``NotImplementedError`` from the inner decoders — they
-need PIL/ffmpeg, absent in this container; swapping one in changes only
+(header+frame demux); lossy WebP VP8 and VP8X stills decode through
+the system libwebp when the ctypes probe resolves it
+(``operators/libwebp.py``). Remaining codec-bound formats
+(arithmetic/lossless JPEG, animated WebP, H.264/VP9 containers) raise
+a clearly-marked ``NotImplementedError`` from the inner decoders —
+they need PIL/ffmpeg; swapping one in changes only
 the inner function. At the OPERATOR level decode errors are
 dead-lettered, not raised (``decode_ok``/``error`` columns; opt back
 into raising with ``strict=True``): one corrupt or codec-bound asset in
@@ -79,7 +81,8 @@ def _dead_letter_reason(e: BaseException) -> str:
 
     - ``decoder_gap`` — a format the native decoders DELIBERATELY
       refuse (every capability-gated ``NotImplementedError``:
-      arithmetic/lossless JPEG, lossy WebP VP8, codec-bound video,
+      arithmetic/lossless JPEG, animated WebP — and lossy VP8 only
+      where no system libwebp resolved — codec-bound video,
       exotic bit depths). These are recoverable by investing in a decoder or a
       PIL/ffmpeg runtime — their corpus share is the business case for
       the next decoder (the way SOF2 support was sized, then built, in
@@ -208,7 +211,8 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> samples/px
 # Capability probes for OPTIONAL codec backends. Probed lazily, cached per
 # interpreter (each Python worker probes once, then every Arrow batch
 # reuses the answer). When the backend is present, codec-bound formats
-# (lossy WebP via PIL; mp4/webm/... via ffmpeg) decode for real; when
+# (lossy WebP via the system libwebp — operators/libwebp.py — or PIL;
+# mp4/webm/... via ffmpeg) decode for real; when
 # absent, the stdlib decoders still cover BMP/PNM/PNG/GIF/JPEG/VP8L/
 # WAV/Y4M and
 # codec-bound assets fall through to the dead-letter path — capability
@@ -1985,9 +1989,10 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
       (87a/89a LZW, interlace, palette expansion), baseline JPEG
       (huffman sequential DCT, ``_jpeg_decode``), and lossless WebP
       (``webp.vp8l_decode``, full VP8L) decode for real — dispatched
-      on the payload magic so mislabeled subtypes still decode.
-      Remaining codec-bound formats (lossy WebP VP8, progressive
-      JPEG) need PIL and raise.
+      on the payload magic so mislabeled subtypes still decode; lossy
+      WebP decodes via the system libwebp when its probe resolves.
+      Remaining codec-bound formats (arithmetic/lossless JPEG,
+      animated WebP) need PIL and raise.
     - ``video/*``: uncompressed YUV4MPEG2 demuxes natively (frame split +
       luma stats); compressed containers (mp4/webm/...) need ffmpeg —
       not installed here — and raise (the remaining honest stub).
@@ -2034,12 +2039,15 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
 
             try:
                 # lossless VP8L decodes natively (full RFC 9649
-                # feature set — transforms, cache, meta groups, LZ77)
+                # feature set); lossy VP8 / VP8X stills decode via
+                # the system libwebp when its probe resolves
                 return featurize_webp(payload)
             except NotImplementedError:
                 if _optional_pil() is None:
-                    raise  # lossy VP8 → decoder_gap dead-letter
-                # lossy VP8 with PIL available: fall through to it
+                    # no libwebp AND no PIL (lossy), or animated
+                    # (needs a demuxer) → decoder_gap dead-letter
+                    raise
+                # PIL available: fall through to it
         if _optional_pil() is not None:
             import numpy as np
 
@@ -2057,12 +2065,13 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             # progressive/arithmetic/CMYK variants raise -> dead-letter
             return _featurize_jpeg(payload)
         raise NotImplementedError(
-            "codec-bound image decoding (lossy WebP VP8/...) requires "
-            "PIL, which was not found by the capability probe "
-            "(_optional_pil); BMP, binary PNM, PNG, GIF, baseline JPEG, "
-            "and lossless WebP (VP8L) decode natively — see "
-            "_featurize_bmp/_featurize_pnm/_featurize_png/"
-            "_featurize_gif/_featurize_jpeg/webp.featurize_webp."
+            "codec-bound image decoding requires a codec library the "
+            "capability probes did not find (_optional_pil; lossy WebP "
+            "also tries the system libwebp via libwebp.available); "
+            "BMP, binary PNM, PNG, GIF, baseline JPEG, and lossless "
+            "WebP (VP8L) decode natively — see _featurize_bmp/"
+            "_featurize_pnm/_featurize_png/_featurize_gif/"
+            "_featurize_jpeg/webp.featurize_webp."
         )
     if media_type.partition("/")[0] == "video":
         if payload[:9] == b"YUV4MPEG2":
@@ -2207,10 +2216,11 @@ def _decode_image_pixels(payload: bytes):
     pixel array in RGB/grayscale order: BMP rows are flipped to top-down
     and BGR(A) reordered to RGB; PNG alpha is dropped (resize targets don't
     carry it through PNM); PNM is already raster-ordered; baseline JPEG
-    decodes through ``_jpeg_decode``; lossless WebP through
-    ``webp.webp_decode`` (alpha dropped like PNG). Raises
-    NotImplementedError for the remaining codec-bound formats (lossy
-    WebP VP8, progressive JPEG, ...)."""
+    decodes through ``_jpeg_decode``; WebP through
+    ``webp.webp_decode`` (alpha dropped like PNG; lossy VP8 rides the
+    system-libwebp probe inside it). Raises NotImplementedError for
+    the remaining codec-bound formats (arithmetic JPEG, animated
+    WebP, ...)."""
     import struct
 
     import numpy as np

@@ -5,9 +5,14 @@ Decoder: the full RFC 9649 VP8L feature set — all four transforms
 packing), color cache, meta Huffman groups, and LZ77 backward
 references — so WebP-lossless crawl assets decode on a bare cluster
 the way PNG/GIF/JPEG already do (``multimodal._stdlib_featurize``).
-Lossy VP8 remains an honest ``NotImplementedError`` → the
-``decoder_gap`` dead-letter reason (it needs a full DCT/loop-filter
-codec; PIL handles it when the capability probe finds one).
+Lossy VP8 decodes through the system libwebp when the capability
+probe resolves it (``operators/libwebp.py`` — a ctypes binding to the
+format's public reference implementation; its docstring explains why
+VP8 is bound, not reimplemented: the RFC 6386 normative probability
+tables are spec literals that cannot be re-derived offline). Without
+libwebp (or PIL), lossy stays an honest ``NotImplementedError`` → the
+``decoder_gap`` dead-letter reason; animated WebP always does (ANMF
+frames need a demuxer).
 
 Encoder: a fixture/round-trip tool (the ``_jpeg_encode`` discipline) —
 enough of the format (simple + code-length-coded Huffman, subtract-
@@ -561,8 +566,13 @@ def vp8l_decode(data: bytes):
 
 def webp_decode(payload: bytes):
     """RIFF/WEBP container → decoded (h, w, 4) uint8 RGBA array.
-    VP8L (also inside VP8X) decodes natively; lossy VP8 raises
-    NotImplementedError (→ the decoder_gap dead-letter reason)."""
+    VP8L (also inside VP8X) decodes natively; lossy VP8 (and VP8X
+    still images) decode via the system libwebp when the capability
+    probe finds it (operators/libwebp.py — see its docstring for why
+    VP8 is a binding, not a reimplementation); without it, lossy
+    raises NotImplementedError (→ the decoder_gap dead-letter
+    reason), as animated WebP always does (ANMF frames need a
+    demuxer)."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
@@ -571,6 +581,7 @@ def webp_decode(payload: bytes):
     vp8l = None
     saw_lossy = False
     saw_extended = False
+    saw_animated = False
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -580,27 +591,49 @@ def webp_decode(payload: bytes):
             break
         if tag == b"VP8 ":
             saw_lossy = True
-        if tag in (b"VP8X", b"ANIM", b"ANMF"):
+        if tag == b"VP8X":
             saw_extended = True
+        if tag in (b"ANIM", b"ANMF"):
+            saw_animated = True
         pos += 8 + size + (size & 1)
     if vp8l is None:
-        if saw_lossy:
-            raise NotImplementedError(
-                "lossy WebP (VP8) decoding requires a DCT/loop-filter "
-                "codec (PIL when the capability probe finds it); "
-                "lossless VP8L decodes natively — see webp.vp8l_decode."
+        if saw_lossy or saw_animated:
+            # lossy VP8 / extended still images: the system libwebp
+            # (RFC 6386's reference implementation) decodes them when
+            # the capability probe finds it — see operators/libwebp.py
+            # for why native VP8 is a binding, not a reimplementation
+            from inbev_data_engineering_case_spark.operators import (
+                libwebp as _libwebp,
             )
-        if saw_extended:
-            # a structurally-valid EXTENDED container whose image data
-            # is not a top-level still chunk (animation frames inside
-            # ANMF, or exotic VP8X layouts): a decoder gap, NOT
+
+            if _libwebp.available() and not saw_animated:
+                try:
+                    return _libwebp.decode_rgba(payload)
+                except ValueError:
+                    # a plain lossy still that libwebp rejects is
+                    # corrupt, not a capability gap
+                    raise ValueError(
+                        "WebP: lossy VP8 bitstream failed to decode"
+                    ) from None
+        if saw_lossy and not saw_animated:
+            raise NotImplementedError(
+                "lossy WebP (VP8) decoding requires a codec (the "
+                "system libwebp or PIL, when the capability probes "
+                "find one); lossless VP8L decodes natively — see "
+                "webp.vp8l_decode."
+            )
+        if saw_animated or saw_extended:
+            # ANIMATED (or exotic extended) WebP: frames live inside
+            # ANMF chunks — the still-image API (ours and libwebp's)
+            # deliberately does not decode them: a decoder gap, NOT
             # corruption — must stay NotImplementedError so the
             # capability route falls through to PIL when present and
             # the dead-letter reason codes it 'decoder_gap'
             raise NotImplementedError(
-                "extended/animated WebP (VP8X without a top-level "
-                "still image chunk) requires PIL; still VP8L decodes "
-                "natively — see webp.vp8l_decode."
+                "animated WebP (ANIM/ANMF frames) requires a demuxer "
+                "(PIL when the capability probe finds it); still "
+                "images decode natively (VP8L) or via the system "
+                "libwebp (VP8)."
             )
         raise ValueError("WebP: no VP8L/VP8 image chunk found")
     pix, w, h = vp8l_decode(vp8l)

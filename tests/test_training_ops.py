@@ -401,7 +401,9 @@ def test_stdlib_real_decoder_wav_end_to_end(spark):
     # compressed images / video remain the honest stub: PIL/ffmpeg absent
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="requires PIL"):
+    with _pytest.raises(
+        NotImplementedError, match="requires a codec library"
+    ):
         _stdlib_featurize("image/png", b"\x89PNG")
     with _pytest.raises(NotImplementedError, match="ffmpeg"):
         _stdlib_featurize("video/mp4", b"\x00\x00\x00 ftypisom")

@@ -4,8 +4,11 @@ every width, color cache, run-length LZ77), hand-built bitstreams for
 the decoder paths the fixture encoder doesn't emit (all 14 predictor
 modes, the color transform, meta-Huffman group switching, non-trivial
 LZ77 plane distances), and the Spark-side routing: VP8L decodes
-natively through decode_features / resize_assets, lossy VP8 stays the
-reason-coded decoder_gap dead-letter."""
+natively through decode_features / resize_assets; lossy VP8 decodes
+via the system libwebp when its capability probe resolves (with
+bidirectional VP8L parity against that independent implementation)
+and stays the reason-coded decoder_gap dead-letter when it doesn't;
+animated WebP is always the still-API's decoder gap."""
 
 from __future__ import annotations
 
@@ -303,9 +306,13 @@ def test_plane_code_table_and_prefix_inverse():
 
 
 def test_webp_container_routing_and_lossy_stub():
-    """Container parsing: VP8L decodes; a lossy-only (VP8) container
-    raises NotImplementedError (the decoder_gap contract); junk raises
-    ValueError (the corrupt contract)."""
+    """Container parsing: VP8L decodes; a GARBAGE lossy-only (VP8)
+    container is 'corrupt' when the system libwebp can try it
+    (ValueError) and a capability gap when it can't
+    (NotImplementedError); junk raises ValueError; an ANIMATED
+    container is always a decoder gap for the still-image API."""
+    from inbev_data_engineering_case_spark.operators import libwebp
+
     img = np.full((2, 2, 4), 9, np.uint8)
     ok = W.vp8l_encode(img)
     assert np.array_equal(W.webp_decode(ok), img)
@@ -319,18 +326,101 @@ def test_webp_container_routing_and_lossy_stub():
         + len(body).to_bytes(4, "little")
         + body
     )
-    with pytest.raises(NotImplementedError, match="lossy"):
-        W.webp_decode(lossy)
+    if libwebp.available():
+        with pytest.raises(ValueError, match="failed to decode"):
+            W.webp_decode(lossy)
+    else:
+        with pytest.raises(NotImplementedError, match="lossy"):
+            W.webp_decode(lossy)
     with pytest.raises(ValueError):
         W.webp_decode(b"RIFF\x00\x00\x00\x00JUNK")
+    anim = (
+        b"RIFF"
+        + (4 + 8 + 6).to_bytes(4, "little")
+        + b"WEBP"
+        + b"ANIM"
+        + (6).to_bytes(4, "little")
+        + b"\x00" * 6
+    )
+    with pytest.raises(NotImplementedError, match="animated"):
+        W.webp_decode(anim)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "inbev_data_engineering_case_spark.operators.libwebp",
+        fromlist=["available"],
+    ).available(),
+    reason="system libwebp not present",
+)
+def test_lossy_vp8_decodes_via_system_libwebp():
+    """A REAL lossy VP8 bitstream (encoded by libwebp itself — genuine
+    RFC 6386 boolean-coder output, not a fixture fake) decodes through
+    webp_decode: right shape, alpha opaque, content within the lossy
+    tolerance of the source."""
+    from inbev_data_engineering_case_spark.operators import libwebp
+
+    h, w = 24, 17
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 4), np.uint8)
+    img[..., 0] = (xx * 9) % 256
+    img[..., 1] = (yy * 7) % 256
+    img[..., 2] = ((xx + yy) * 5) % 256
+    img[..., 3] = 255
+    payload = libwebp.encode_rgba(img, quality=90.0)
+    assert payload[12:16] == b"VP8 "  # simple lossy container
+    out = W.webp_decode(payload)
+    assert out.shape == (h, w, 4)
+    assert (out[..., 3] == 255).all()
+    mad = float(np.abs(out.astype(int) - img.astype(int)).mean())
+    assert mad < 8.0, mad
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "inbev_data_engineering_case_spark.operators.libwebp",
+        fromlist=["available"],
+    ).available(),
+    reason="system libwebp not present",
+)
+def test_native_vp8l_decoder_parity_with_libwebp():
+    """Independent-implementation parity for the NATIVE VP8L decoder:
+    (a) libwebp's own lossless encoder produces streams our native
+    decoder must read bit-identically (stronger than self-round-trip —
+    the reference encoder exercises code paths our fixture encoder
+    never emits), and (b) our fixture encoder's streams decode
+    identically through both decoders."""
+    from inbev_data_engineering_case_spark.operators import libwebp
+
+    rng = np.random.RandomState(41)
+    for h, w, ncol in ((1, 1, 2), (7, 5, 4), (16, 11, 12), (9, 23, 0)):
+        if ncol:
+            pal = rng.randint(0, 256, (ncol, 4), np.uint8)
+            pal[:, 3] = rng.choice([255, 200], ncol)
+            img = pal[rng.randint(0, ncol, (h, w))]
+        else:
+            img = rng.randint(0, 256, (h, w, 4), np.uint8)
+            # keep alpha >= 1: libwebp's encoder rewrites the RGB of
+            # FULLY transparent pixels by default (alpha cleanup), so
+            # alpha-0 pixels round-trip the alpha but not the RGB —
+            # an encoder policy, not a decoder defect
+            img[..., 3] = np.maximum(img[..., 3], 1)
+        ref_stream = libwebp.encode_lossless_rgba(img)
+        assert ref_stream[12:16] == b"VP8L"
+        assert np.array_equal(W.webp_decode(ref_stream), img)  # (a)
+        ours = W.vp8l_encode(img, use_palette=bool(ncol))
+        assert np.array_equal(libwebp.decode_rgba(ours), img)  # (b)
 
 
 def test_webp_decodes_through_spark_and_lossy_dead_letters(spark):
     """End to end through the mapInPandas operator: a genuine VP8L
     asset decodes on a bare cluster (decode_ok, reason NULL, the
-    PNG-contract features), a lossy VP8 asset dead-letters as
-    decoder_gap, and decode_reason_report sizes the remaining gap with
-    lossless WebP now under 'ok'."""
+    PNG-contract features); a REAL lossy VP8 asset decodes when the
+    system libwebp resolved (the capability flip this round closed) or
+    dead-letters as decoder_gap without it; an ANIMATED container is
+    always the still-API's decoder gap; and decode_reason_report sizes
+    what remains."""
+    from inbev_data_engineering_case_spark.operators import libwebp
     from inbev_data_engineering_case_spark.operators.multimodal import (
         _optional_pil,
         decode_features,
@@ -340,19 +430,34 @@ def test_webp_decodes_through_spark_and_lossy_dead_letters(spark):
     rng = np.random.RandomState(13)
     img = _rand_img(rng, 6, 5, ncol=4)
     vp8l = W.vp8l_encode(img, use_palette=True, rle=True)
-    body = b"\x00" * 16
-    lossy = (
+    if libwebp.available():
+        limg = np.zeros((8, 9, 4), np.uint8)
+        limg[..., 1] = np.arange(9, dtype=np.uint8) * 20
+        limg[..., 3] = 255
+        lossy = libwebp.encode_rgba(limg, quality=90.0)
+    else:
+        body = b"\x00" * 16
+        lossy = (
+            b"RIFF"
+            + (4 + 8 + len(body)).to_bytes(4, "little")
+            + b"WEBP"
+            + b"VP8 "
+            + len(body).to_bytes(4, "little")
+            + body
+        )
+    anim = (
         b"RIFF"
-        + (4 + 8 + len(body)).to_bytes(4, "little")
+        + (4 + 8 + 6).to_bytes(4, "little")
         + b"WEBP"
-        + b"VP8 "
-        + len(body).to_bytes(4, "little")
-        + body
+        + b"ANIM"
+        + (6).to_bytes(4, "little")
+        + b"\x00" * 6
     )
     assets = spark.createDataFrame(
         [
             (1, "image/webp", vp8l, {"n_bytes": len(vp8l), "source": "t"}),
             (2, "image/webp", lossy, {"n_bytes": len(lossy), "source": "t"}),
+            (3, "image/webp", anim, {"n_bytes": len(anim), "source": "t"}),
         ],
         "asset_id long, media_type string, payload binary, "
         "meta struct<n_bytes:long, source:string>",
@@ -367,16 +472,27 @@ def test_webp_decodes_through_spark_and_lossy_dead_letters(spark):
     import zlib
 
     assert rows[1]["checksum"] == zlib.crc32(img.tobytes()) % 1_000_003
-    if _optional_pil() is None:
+    n_ok = 1
+    if libwebp.available():
+        # the r10 capability flip: a real VP8 still decodes end to end
+        assert rows[2]["decode_ok"] and rows[2]["reason"] is None
+        assert rows[2]["feature"][:3] == [9.0, 8.0, 4.0]
+        n_ok += 1
+    elif _optional_pil() is None:
         assert not rows[2]["decode_ok"]
         assert rows[2]["reason"] == "decoder_gap"
         assert "lossy" in rows[2]["error"]
+    if _optional_pil() is None:
+        assert not rows[3]["decode_ok"]
+        assert rows[3]["reason"] == "decoder_gap"
+        assert "animated" in rows[3]["error"]
         report = decode_reason_report(
             decode_features(assets, real_decoder=True)
         ).collect()
         by_key = {(r["media_type"], r["reason"]): r for r in report}
-        assert by_key[("image/webp", "ok")]["n_assets"] == 1
-        assert by_key[("image/webp", "decoder_gap")]["share_ppm"] == 500_000
+        assert by_key[("image/webp", "ok")]["n_assets"] == n_ok
+        gap_share = by_key[("image/webp", "decoder_gap")]["share_ppm"]
+        assert gap_share == (3 - n_ok) * 1_000_000 // 3
 
 
 def test_webp_resizes_natively(spark):
