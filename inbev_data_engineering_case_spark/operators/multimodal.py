@@ -619,8 +619,11 @@ def _featurize_png(payload: bytes) -> tuple[int, list[float]]:
 # Adobe-transform-0 RGB / grayscale — decode natively, and
 # SOF2 progressive streams decode natively too (Annex G: spectral
 # selection, successive approximation, EOB runs, per-scan restarts).
-# Arithmetic coding, 12-bit, lossless, and
-# CMYK/YCCK payloads raise NotImplementedError → the dead-letter path
+# 4-component CMYK/YCCK (Adobe APP14 transforms 0/2) decodes to the
+# stored-sample 4-channel raster (r10; _jpeg_cmyk_to_rgb composites),
+# and DNL-deferred heights resolve via a marker-aware pre-scan (r10).
+# Arithmetic coding, 12-bit, and lossless
+# payloads raise NotImplementedError → the dead-letter path
 # (PIL handles them when the capability probe finds it; PIL also takes
 # the whole JPEG fast path when importable — the native decoder is the
 # fallback that keeps a bare cluster decoding, not a PIL replacement).
@@ -781,6 +784,59 @@ def _jpeg_split_entropy(payload: bytes, pos: int) -> tuple[list[bytes], int]:
     return segs, min(pos, n)
 
 
+def _jpeg_find_dnl(payload: bytes):
+    """Marker-aware scan for the DNL segment (0xFFDC) -> its NL line
+    count, or None. T.81 B.2.5 places DNL at the end of the first
+    scan; byte stuffing guarantees a bare 0xFF + non-(0x00/RSTn/fill)
+    inside entropy data IS the next marker, so the walk is exact —
+    a 0xFFDC byte pair inside an APPn/COM body is never mistaken for
+    it (segments are skipped by their length fields)."""
+    import struct
+
+    pos, n = 2, len(payload)
+    in_entropy = False
+    while pos + 1 < n:
+        if not in_entropy:
+            if payload[pos] != 0xFF:
+                return None  # corrupt; let the real parser diagnose
+            while pos + 1 < n and payload[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 1 >= n:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                return None
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            if pos + 2 > n:
+                return None
+            seglen = struct.unpack_from(">H", payload, pos)[0]
+            if marker == 0xDC:
+                if seglen < 4 or pos + 4 > n:
+                    return None
+                return struct.unpack_from(">H", payload, pos + 2)[0]
+            if seglen < 2:
+                return None
+            if marker == 0xDA:
+                in_entropy = True
+            pos += seglen
+        else:
+            # entropy-coded bytes: the next true marker is 0xFF
+            # followed by anything but 0x00 (stuffing), 0xFF (fill),
+            # or RSTn (in-scan restarts)
+            nxt = payload.find(b"\xff", pos)
+            if nxt < 0 or nxt + 1 >= n:
+                return None
+            code = payload[nxt + 1]
+            if code == 0x00 or code == 0xFF or 0xD0 <= code <= 0xD7:
+                pos = nxt + 2
+                continue
+            in_entropy = False
+            pos = nxt
+    return None
+
+
 def _jpeg_decode(payload: bytes):
     """Native baseline/extended-sequential JPEG decoder -> (h, w, c)
     uint8 raster (grayscale stays 1-channel, color converts to RGB),
@@ -849,11 +905,20 @@ def _jpeg_decode(payload: bytes):
                 )
             height, width = struct.unpack_from(">HH", body, 1)
             if height == 0:
-                raise NotImplementedError("DNL-deferred JPEG height")
+                # DNL-deferred height (T.81 B.2.5: the NL field of the
+                # DNL marker closing the FIRST scan holds the true
+                # line count). Resolve it with a marker-aware pre-scan
+                # so every scan decodes against real geometry
+                height = _jpeg_find_dnl(payload)
+                if height is None:
+                    raise ValueError(
+                        "JPEG declares height 0 (DNL-deferred) but "
+                        "carries no DNL marker"
+                    )
             ncomp = body[5]
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"{ncomp}-component JPEG (CMYK/YCCK needs PIL)"
+                    f"{ncomp}-component JPEG (route through PIL)"
                 )
             comps = []
             for c in range(ncomp):
@@ -974,6 +1039,26 @@ def _jpeg_decode(payload: bytes):
 
     if len(planes) == 1:
         return planes[0].astype(np.uint8)[:, :, None]
+    if len(planes) == 4:
+        # Adobe CMYK/YCCK (APP14, Adobe TN 5116): transform 2 (YCCK)
+        # stores the first three planes YCbCr-converted — invert with
+        # the same BT.601 math as the 3-component path — while
+        # transform 0 / no marker stores the four samples directly.
+        # Adobe writers keep the samples INVERTED (255 = no ink); the
+        # raster returned is the stored-sample CMYK (what a
+        # CMYK-aware pipeline, and PIL's 'CMYK' mode, consume);
+        # ``_jpeg_cmyk_to_rgb`` composites it for RGB-only consumers.
+        if adobe_transform == 2:
+            y, cb, cr, k = planes
+            planes = [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+                k,
+            ]
+        return np.clip(np.round(np.stack(planes, axis=-1)), 0, 255).astype(
+            np.uint8
+        )
     comp_ids = [c[0] for c in comps]
     if adobe_transform == 0 or comp_ids == [0x52, 0x47, 0x42]:  # 'R','G','B'
         rgb = np.stack(planes, axis=-1)
@@ -1672,6 +1757,94 @@ def _jpeg_encode_baseline(
     return bytes(out)
 
 
+def _jpeg_cmyk_to_rgb(arr):
+    """Stored-sample (Adobe-inverted: 255 = no ink) CMYK raster → RGB
+    composite, the libjpeg/PIL quick conversion: ``channel * K / 255``
+    on the stored samples. Lossy-render only — pipelines that need the
+    ink channels consume the 4-channel raster directly."""
+    import numpy as np
+
+    a = arr.astype(np.float64)
+    k = a[..., 3:4]
+    return np.clip(np.round(a[..., :3] * k / 255.0), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _jpeg_encode_cmyk(pixels, quality: int = 90, transform: int = 0):
+    """Minimal 4-component JPEG fixture encoder (SOF0, 4:4:4, the
+    Annex-K luma tables for every component, an Adobe APP14 carrying
+    ``transform``): real CMYK (transform 0) / YCCK (transform 2)
+    payloads for decoder tests without PIL. Input: stored-sample
+    (Adobe-inverted) (h, w, 4) uint8 raster — exactly what
+    ``_jpeg_decode`` returns for these files, so round-trips compare
+    directly."""
+    import struct
+
+    import numpy as np
+
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    pixels = np.asarray(pixels, np.uint8)
+    if pixels.ndim != 3 or pixels.shape[2] != 4 or not pixels.size:
+        raise ValueError("encoder needs a non-empty (h, w, 4) raster")
+    h, w = pixels.shape[:2]
+    p = pixels.astype(np.float64)
+    planes = [p[..., i] for i in range(4)]
+    if transform == 2:
+        c_, m_, y_, k_ = planes
+        planes = [
+            0.299 * c_ + 0.587 * m_ + 0.114 * y_,
+            128.0 - 0.168736 * c_ - 0.331264 * m_ + 0.5 * y_,
+            128.0 + 0.5 * c_ - 0.418688 * m_ - 0.081312 * y_,
+            k_,
+        ]
+    q = _jpeg_scale_q(_JPEG_STD_LUMA_Q, quality)
+    m = _jpeg_dct_matrix()
+    coeffs = [_jpeg_plane_coeffs(pl, q, m) for pl in planes]
+    dc_map = _huff_code_map(*_JPEG_STD_DC_LUMA)
+    ac_map = _huff_code_map(*_JPEG_STD_AC_LUMA)
+    writer = _JpegBitWriter()
+    preds = [0] * 4
+    by, bx = coeffs[0].shape[:2]
+    for my in range(by):
+        for mx in range(bx):
+            for ci in range(4):
+                preds[ci] = _jpeg_encode_block(
+                    writer, coeffs[ci][my, mx], preds[ci], dc_map, ac_map
+                )
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, 2 + len(body)) + body
+
+    zz = list(_JPEG_ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    # APP14 body: "Adobe" + 2-byte version + 2x2-byte flags + transform
+    # (12 bytes total — the decoder reads the transform at body[11])
+    out += seg(
+        0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform)
+    )
+    out += seg(0xDB, bytes([0]) + bytes(int(q[i]) for i in zz))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, 4))
+    for ci in range(4):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC0, bytes(sof))
+    for tc_th, (counts, vals) in (
+        (0x00, _JPEG_STD_DC_LUMA),
+        (0x10, _JPEG_STD_AC_LUMA),
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(counts) + bytes(vals))
+    sos = bytearray([4])
+    for ci in range(4):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, bytes(sos))
+    out += writer.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _jpeg_encode_progressive(
     pixels,
     quality: int = 75,
@@ -2061,8 +2234,9 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             )
             return checksum, [float(w), float(h), float(8 * c), mean_px]
         if payload[:2] == b"\xff\xd8":
-            # no PIL: baseline/extended-sequential JPEG decodes natively;
-            # progressive/arithmetic/CMYK variants raise -> dead-letter
+            # no PIL: baseline/extended-sequential/progressive/CMYK
+            # JPEG decodes natively; arithmetic/12-bit/lossless
+            # variants raise -> dead-letter
             return _featurize_jpeg(payload)
         raise NotImplementedError(
             "codec-bound image decoding requires a codec library the "
@@ -2301,12 +2475,15 @@ def _decode_image_pixels(payload: bytes):
     if _optional_pil() is not None:
         return _pil_decode_pixels(payload)
     if payload[:2] == b"\xff\xd8":
-        return _jpeg_decode(payload)
+        pixels = _jpeg_decode(payload)
+        if pixels.shape[2] == 4:  # CMYK/YCCK: composite for resizing
+            pixels = _jpeg_cmyk_to_rgb(pixels)
+        return pixels
     raise NotImplementedError(
-        "codec-bound image resizing (lossy WebP VP8/...) requires PIL "
-        "(capability probe _optional_pil found none); BMP, binary PNM, "
-        "PNG, GIF, baseline JPEG, and lossless WebP (VP8L) resize "
-        "natively."
+        "codec-bound image resizing requires a codec library the "
+        "capability probes did not find; BMP, binary PNM, PNG, GIF, "
+        "baseline/progressive/CMYK JPEG, and WebP (VP8L natively, "
+        "VP8 via the system libwebp) resize natively."
     )
 
 

@@ -5507,3 +5507,101 @@ def test_incremental_embedding_normalized_native_parity(spark):
             vectors, buckets, new, threshold=0.9, num_planes=8,
             n_probes=3,
         ).collect()
+
+
+def _cmyk_gradient(h, w):
+    """Smooth stored-sample (Adobe-inverted) CMYK raster."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            255 - xx * 255 // max(w - 1, 1),
+            255 - yy * 255 // max(h - 1, 1),
+            255 - (xx + yy) * 128 // max(w + h - 2, 1),
+            200 + yy * 55 // max(h - 1, 1),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_cmyk_and_ycck_roundtrip():
+    """4-component JPEG decodes natively: a CMYK stream (Adobe APP14
+    transform 0) round-trips to the stored samples within quantization
+    tolerance, the YCCK form (transform 2) of the SAME raster decodes
+    to nearly the same samples (the color transform is the encoder's
+    internal affair), and the RGB composite helper renders it."""
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_cmyk_to_rgb,
+        _jpeg_decode,
+        _jpeg_encode_cmyk,
+    )
+
+    img = _cmyk_gradient(37, 29)  # non-multiple-of-8 dims
+    for transform in (0, 2):
+        out = _jpeg_decode(_jpeg_encode_cmyk(img, 95, transform))
+        assert out.shape == img.shape == (37, 29, 4)
+        diff = np.abs(out.astype(int) - img.astype(int))
+        assert diff.max() <= 12 and diff.mean() < 2.5, (
+            transform, diff.max(), diff.mean(),
+        )
+    rgb = _jpeg_cmyk_to_rgb(out)
+    assert rgb.shape == (37, 29, 3) and rgb.dtype == np.uint8
+
+
+def test_jpeg_cmyk_featurizes_and_reason_report_flips(spark):
+    """End to end: a CMYK asset lands decode_ok with 32-bit depth (4
+    channels × 8) through decode_features — the r10 flip of the
+    '4-component JPEG' decoder_gap line — and resize_assets composites
+    it to RGB rather than refusing."""
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_encode_cmyk,
+        decode_features,
+    )
+
+    payload = _jpeg_encode_cmyk(_cmyk_gradient(24, 16), 90, 2)
+    assets = spark.createDataFrame(
+        [(1, "image/jpeg", payload, {"n_bytes": len(payload), "source": "t"})],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    row = decode_features(assets, real_decoder=True).collect()[0]
+    assert row["decode_ok"] and row["reason"] is None
+    assert row["feature"][:3] == [16.0, 24.0, 32.0]
+
+
+def test_jpeg_dnl_deferred_height_decodes():
+    """A DNL-deferred stream (SOF height 0; the true line count in the
+    0xFFDC segment closing the first scan, per T.81 B.2.5) decodes
+    bit-identically to its plain twin — including with restart markers
+    in the entropy data (the marker-aware DNL scan must not trip on
+    RSTn or stuffed 0xFF00 bytes) — and a height-0 stream WITHOUT a
+    DNL is corrupt, not a gap."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _jpeg_decode,
+        _jpeg_encode_baseline,
+    )
+
+    img = _jpeg_gradient(21, 33)
+    for ri in (0, 3):
+        plain = _jpeg_encode_baseline(img, quality=90, restart_interval=ri)
+        want = _jpeg_decode(plain)
+        # defer the height: zero the SOF field, append DNL before EOI
+        sof_at = plain.index(b"\xff\xc0")
+        patched = bytearray(plain)
+        struct.pack_into(">H", patched, sof_at + 5, 0)
+        assert patched.endswith(b"\xff\xd9")
+        dnl = b"\xff\xdc\x00\x04" + struct.pack(">H", 21)
+        payload = bytes(patched[:-2]) + dnl + b"\xff\xd9"
+        got = _jpeg_decode(payload)
+        assert np.array_equal(got, want), ri
+
+    with pytest.raises(ValueError, match="DNL"):
+        _jpeg_decode(bytes(patched))  # height 0, no DNL segment
