@@ -163,6 +163,11 @@ def _adjudicate_drift(
         drift["ab"] = "disabled (SPARK_GRAFT_BENCH_AB=0)"
         return drift
     names = [q for q in elevated if q in CATALOG]
+    if not names:
+        # e.g. only stream_sink_drain drifted — it has no CATALOG
+        # entry, so there is nothing the A/B subprocesses could time
+        drift["ab"] = "skipped (no CATALOG queries among elevated)"
+        return drift
     worktree = tempfile.mkdtemp(prefix="bench_ab_pin_")
     try:
         sha = subprocess.run(

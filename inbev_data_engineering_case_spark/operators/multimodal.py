@@ -829,7 +829,12 @@ def _jpeg_find_dnl(payload: bytes):
             if nxt < 0 or nxt + 1 >= n:
                 return None
             code = payload[nxt + 1]
-            if code == 0x00 or code == 0xFF or 0xD0 <= code <= 0xD7:
+            if code == 0xFF:
+                # fill byte: the NEXT 0xFF may start the real marker —
+                # advancing by 2 would desync on odd-length fill runs
+                pos = nxt + 1
+                continue
+            if code == 0x00 or 0xD0 <= code <= 0xD7:
                 pos = nxt + 2
                 continue
             in_entropy = False
@@ -910,10 +915,14 @@ def _jpeg_decode(payload: bytes):
                 # line count). Resolve it with a marker-aware pre-scan
                 # so every scan decodes against real geometry
                 height = _jpeg_find_dnl(payload)
-                if height is None:
+                if not height:  # absent OR NL=0 (illegal per T.81,
+                    # valid range 1-65535): corrupt either way — a
+                    # zero height would 'decode' to an empty raster
+                    # with decode_ok=true and pollute fingerprints
                     raise ValueError(
                         "JPEG declares height 0 (DNL-deferred) but "
-                        "carries no DNL marker"
+                        "carries no DNL marker with a non-zero line "
+                        "count"
                     )
             ncomp = body[5]
             if ncomp not in (1, 3, 4):

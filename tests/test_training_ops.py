@@ -5602,6 +5602,15 @@ def test_jpeg_dnl_deferred_height_decodes():
         payload = bytes(patched[:-2]) + dnl + b"\xff\xd9"
         got = _jpeg_decode(payload)
         assert np.array_equal(got, want), ri
+        # T.81 B.1.1.2 fill bytes may pad ANY marker: an odd run of
+        # 0xFF before the DNL must not desync the marker-aware scan
+        filled = bytes(patched[:-2]) + b"\xff" + dnl + b"\xff\xd9"
+        assert np.array_equal(_jpeg_decode(filled), want), ri
 
     with pytest.raises(ValueError, match="DNL"):
         _jpeg_decode(bytes(patched))  # height 0, no DNL segment
+    with pytest.raises(ValueError, match="DNL"):
+        # NL=0 is illegal (valid range 1-65535): corrupt, never a
+        # decode_ok zero-pixel raster
+        zero_dnl = b"\xff\xdc\x00\x04" + struct.pack(">H", 0)
+        _jpeg_decode(bytes(patched[:-2]) + zero_dnl + b"\xff\xd9")
