@@ -13,7 +13,8 @@ meta groups, LZ77), and Y4M video
 (header+frame demux); lossy WebP VP8 and VP8X stills decode through
 the system libwebp when the ctypes probe resolves it
 (``operators/libwebp.py``). Remaining codec-bound formats
-(arithmetic/lossless JPEG, animated WebP, H.264/VP9 containers) raise
+(arithmetic/lossless JPEG, H.264/VP9 containers; animated WebP
+decodes frame 1 natively) raise
 a clearly-marked ``NotImplementedError`` from the inner decoders —
 they need PIL/ffmpeg; swapping one in changes only
 the inner function. At the OPERATOR level decode errors are
@@ -81,8 +82,9 @@ def _dead_letter_reason(e: BaseException) -> str:
 
     - ``decoder_gap`` — a format the native decoders DELIBERATELY
       refuse (every capability-gated ``NotImplementedError``:
-      arithmetic/lossless JPEG, animated WebP — and lossy VP8 only
-      where no system libwebp resolved — codec-bound video,
+      arithmetic/lossless JPEG, codec-bound video — and lossy VP8 or
+      a lossy animation first frame only where no system libwebp
+      resolved —
       exotic bit depths). These are recoverable by investing in a decoder or a
       PIL/ffmpeg runtime — their corpus share is the business case for
       the next decoder (the way SOF2 support was sized, then built, in
@@ -2173,8 +2175,9 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
       (``webp.vp8l_decode``, full VP8L) decode for real — dispatched
       on the payload magic so mislabeled subtypes still decode; lossy
       WebP decodes via the system libwebp when its probe resolves.
-      Remaining codec-bound formats (arithmetic/lossless JPEG,
-      animated WebP) need PIL and raise.
+      Remaining codec-bound formats (arithmetic/lossless JPEG)
+      need PIL and raise; animated WebP yields frame 1 (the GIF
+      discipline).
     - ``video/*``: uncompressed YUV4MPEG2 demuxes natively (frame split +
       luma stats); compressed containers (mp4/webm/...) need ffmpeg —
       not installed here — and raise (the remaining honest stub).
@@ -2226,8 +2229,8 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
                 return featurize_webp(payload)
             except NotImplementedError:
                 if _optional_pil() is None:
-                    # no libwebp AND no PIL (lossy), or animated
-                    # (needs a demuxer) → decoder_gap dead-letter
+                    # no libwebp AND no PIL for a lossy still or a
+                    # lossy animation first frame → decoder_gap
                     raise
                 # PIL available: fall through to it
         if _optional_pil() is not None:
@@ -2402,8 +2405,7 @@ def _decode_image_pixels(payload: bytes):
     decodes through ``_jpeg_decode``; WebP through
     ``webp.webp_decode`` (alpha dropped like PNG; lossy VP8 rides the
     system-libwebp probe inside it). Raises NotImplementedError for
-    the remaining codec-bound formats (arithmetic JPEG, animated
-    WebP, ...)."""
+    the remaining codec-bound formats (arithmetic JPEG, ...)."""
     import struct
 
     import numpy as np

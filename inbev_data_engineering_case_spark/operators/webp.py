@@ -11,8 +11,10 @@ format's public reference implementation; its docstring explains why
 VP8 is bound, not reimplemented: the RFC 6386 normative probability
 tables are spec literals that cannot be re-derived offline). Without
 libwebp (or PIL), lossy stays an honest ``NotImplementedError`` → the
-``decoder_gap`` dead-letter reason; animated WebP always does (ANMF
-frames need a demuxer).
+``decoder_gap`` dead-letter reason. Animated WebP decodes FRAME 1
+composed onto the canvas (``_webp_first_frame`` — pure RFC 9649
+container demux, the GIF first-frame discipline); a LOSSY first frame
+rides the same libwebp gate.
 
 Encoder: a fixture/round-trip tool (the ``_jpeg_encode`` discipline) —
 enough of the format (simple + code-length-coded Huffman, subtract-
@@ -564,6 +566,135 @@ def vp8l_decode(data: bytes):
     return pix, w, h
 
 
+def _le24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def _webp_first_frame(payload: bytes):
+    """Animated WebP → FRAME 1 composed onto the canvas as (h, w, 4)
+    uint8 RGBA — the GIF first-frame discipline (multimodal.
+    _gif_decode_pixels: sub-rectangle frames compose onto the full
+    canvas over the background color, so the raster always has the
+    canvas dimensions and the cross-encoding checksum contract holds).
+
+    Pure RFC 9649 container parsing: VP8X carries the canvas size,
+    ANIM the background color (stored B,G,R,A), the first ANMF the
+    frame rectangle (x/2, y/2, w-1, h-1 in 24-bit LE fields), its
+    blend flag, and the frame's own ALPH/VP8/VP8L sub-chunks. VP8L
+    frames decode natively; VP8 frames re-wrap as a still container
+    for the system libwebp (NotImplementedError without one — the
+    honest remaining gap); blend method 0 source-over-composites the
+    frame onto the background, 1 overwrites the rectangle."""
+    import numpy as np
+
+    pos = 12
+    canvas_w = canvas_h = None
+    bg = (255, 255, 255, 255)
+    anmf = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"VP8X" and len(body) >= 10:
+            canvas_w = _le24(body, 4) + 1
+            canvas_h = _le24(body, 7) + 1
+        elif tag == b"ANIM" and len(body) >= 6:
+            # stored byte order is Blue, Green, Red, Alpha
+            bg = (body[2], body[1], body[0], body[3])
+        elif tag == b"ANMF":
+            anmf = body
+            break
+        pos += 8 + size + (size & 1)
+    if anmf is None or canvas_w is None:
+        raise ValueError(
+            "animated WebP: missing ANMF frame or VP8X canvas"
+        )
+    if len(anmf) < 16:
+        raise ValueError("animated WebP: ANMF header truncated")
+    fx, fy = 2 * _le24(anmf, 0), 2 * _le24(anmf, 3)
+    fw, fh = _le24(anmf, 6) + 1, _le24(anmf, 9) + 1
+    no_blend = bool(anmf[15] & 0x02)
+    # frame data: optional ALPH chunk, then one VP8/VP8L chunk
+    fpos, alph = 16, None
+    frame_px = None
+    while fpos + 8 <= len(anmf):
+        tag = anmf[fpos : fpos + 4]
+        size = int.from_bytes(anmf[fpos + 4 : fpos + 8], "little")
+        body = anmf[fpos + 8 : fpos + 8 + size]
+        if tag == b"ALPH":
+            alph = anmf[fpos : fpos + 8 + size + (size & 1)]
+        elif tag == b"VP8L":
+            pix, w, h = vp8l_decode(body)
+            arr = np.asarray(pix, dtype=np.uint32).reshape(h, w)
+            frame_px = np.empty((h, w, 4), dtype=np.uint8)
+            frame_px[..., 0] = (arr >> 16) & 0xFF
+            frame_px[..., 1] = (arr >> 8) & 0xFF
+            frame_px[..., 2] = arr & 0xFF
+            frame_px[..., 3] = (arr >> 24) & 0xFF
+            break
+        elif tag == b"VP8 ":
+            from inbev_data_engineering_case_spark.operators import (
+                libwebp as _libwebp,
+            )
+
+            if not _libwebp.available():
+                raise NotImplementedError(
+                    "animated WebP with a LOSSY (VP8) first frame "
+                    "requires the system libwebp (capability probe "
+                    "found none); VP8L first frames decode natively."
+                )
+            chunk = anmf[fpos : fpos + 8 + size + (size & 1)]
+            if alph is not None:
+                # re-wrap as a VP8X still so libwebp applies the
+                # ALPH plane to the lossy frame
+                vp8x = (
+                    b"VP8X"
+                    + (10).to_bytes(4, "little")
+                    + bytes([0x10, 0, 0, 0])  # alpha flag
+                    + (fw - 1).to_bytes(3, "little")
+                    + (fh - 1).to_bytes(3, "little")
+                )
+                inner = vp8x + alph + chunk
+            else:
+                inner = chunk
+            still = (
+                b"RIFF"
+                + (4 + len(inner)).to_bytes(4, "little")
+                + b"WEBP"
+                + inner
+            )
+            frame_px = _libwebp.decode_rgba(still)
+            break
+        fpos += 8 + size + (size & 1)
+    if frame_px is None:
+        raise ValueError("animated WebP: ANMF carries no VP8/VP8L data")
+    if frame_px.shape[:2] != (fh, fw):
+        raise ValueError(
+            "animated WebP: frame bitstream size disagrees with the "
+            "ANMF rectangle"
+        )
+    if fx + fw > canvas_w or fy + fh > canvas_h:
+        raise ValueError("animated WebP: frame rectangle exits canvas")
+    canvas = np.empty((canvas_h, canvas_w, 4), dtype=np.uint8)
+    canvas[:] = np.asarray(bg, dtype=np.uint8)
+    target = canvas[fy : fy + fh, fx : fx + fw]
+    if no_blend:
+        target[:] = frame_px
+    else:  # source-over with straight alpha, per the blend method
+        fa = frame_px[..., 3:4].astype(np.float64) / 255.0
+        ba = target[..., 3:4].astype(np.float64) / 255.0
+        out_a = fa + ba * (1.0 - fa)
+        safe = np.where(out_a == 0.0, 1.0, out_a)
+        rgb = (
+            frame_px[..., :3] * fa + target[..., :3] * ba * (1.0 - fa)
+        ) / safe
+        target[..., :3] = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        target[..., 3:4] = np.clip(np.round(out_a * 255.0), 0, 255).astype(
+            np.uint8
+        )
+    return canvas
+
+
 def webp_decode(payload: bytes):
     """RIFF/WEBP container → decoded (h, w, 4) uint8 RGBA array.
     VP8L (also inside VP8X) decodes natively; lossy VP8 (and VP8X
@@ -571,8 +702,9 @@ def webp_decode(payload: bytes):
     probe finds it (operators/libwebp.py — see its docstring for why
     VP8 is a binding, not a reimplementation); without it, lossy
     raises NotImplementedError (→ the decoder_gap dead-letter
-    reason), as animated WebP always does (ANMF frames need a
-    demuxer)."""
+    reason). Animated WebP decodes FRAME 1 composed onto the canvas
+    (``_webp_first_frame``, the GIF first-frame discipline); a lossy
+    first frame needs libwebp too."""
     import numpy as np
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
@@ -622,17 +754,20 @@ def webp_decode(payload: bytes):
                 "find one); lossless VP8L decodes natively — see "
                 "webp.vp8l_decode."
             )
-        if saw_animated or saw_extended:
-            # ANIMATED (or exotic extended) WebP: frames live inside
-            # ANMF chunks — the still-image API (ours and libwebp's)
-            # deliberately does not decode them: a decoder gap, NOT
-            # corruption — must stay NotImplementedError so the
-            # capability route falls through to PIL when present and
-            # the dead-letter reason codes it 'decoder_gap'
+        if saw_animated:
+            # ANIMATED WebP: decode FRAME 1 composed onto the canvas
+            # (the GIF first-frame discipline — still-image semantics
+            # every thumbnailer uses). The demux is pure container
+            # parsing (RFC 9649 extended format); the frame payload
+            # routes to the same VP8L-native / VP8-via-libwebp codecs
+            # as stills, so the only remaining capability gap is a
+            # LOSSY first frame without a system libwebp
+            return _webp_first_frame(payload)
+        if saw_extended:
             raise NotImplementedError(
-                "animated WebP (ANIM/ANMF frames) requires a demuxer "
-                "(PIL when the capability probe finds it); still "
-                "images decode natively (VP8L) or via the system "
+                "extended WebP (VP8X) without a decodable image chunk "
+                "requires PIL; still images and animation first "
+                "frames decode natively (VP8L) or via the system "
                 "libwebp (VP8)."
             )
         raise ValueError("WebP: no VP8L/VP8 image chunk found")

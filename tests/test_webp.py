@@ -8,7 +8,9 @@ natively through decode_features / resize_assets; lossy VP8 decodes
 via the system libwebp when its capability probe resolves (with
 bidirectional VP8L parity against that independent implementation)
 and stays the reason-coded decoder_gap dead-letter when it doesn't;
-animated WebP is always the still-API's decoder gap."""
+animated WebP decodes FRAME 1 composed onto the canvas (the GIF
+first-frame discipline), with a lossy first frame riding the same
+libwebp gate."""
 
 from __future__ import annotations
 
@@ -334,6 +336,8 @@ def test_webp_container_routing_and_lossy_stub():
             W.webp_decode(lossy)
     with pytest.raises(ValueError):
         W.webp_decode(b"RIFF\x00\x00\x00\x00JUNK")
+    # a bare ANIM chunk with no ANMF frame is a CORRUPT animation now
+    # that frame 1 decodes (not a capability gap)
     anim = (
         b"RIFF"
         + (4 + 8 + 6).to_bytes(4, "little")
@@ -342,8 +346,20 @@ def test_webp_container_routing_and_lossy_stub():
         + (6).to_bytes(4, "little")
         + b"\x00" * 6
     )
-    with pytest.raises(NotImplementedError, match="animated"):
+    with pytest.raises(ValueError, match="ANMF"):
         W.webp_decode(anim)
+    # an extended container with NO image chunk at all stays the
+    # capability-gap NotImplementedError
+    vp8x_only = (
+        b"RIFF"
+        + (4 + 8 + 10).to_bytes(4, "little")
+        + b"WEBP"
+        + b"VP8X"
+        + (10).to_bytes(4, "little")
+        + b"\x00" * 10
+    )
+    with pytest.raises(NotImplementedError, match="extended"):
+        W.webp_decode(vp8x_only)
 
 
 @pytest.mark.skipif(
@@ -445,19 +461,21 @@ def test_webp_decodes_through_spark_and_lossy_dead_letters(spark):
             + len(body).to_bytes(4, "little")
             + body
         )
-    anim = (
+    # extended container with no image chunk: the one remaining
+    # always-gap webp shape (animation first frames decode since r10)
+    gap = (
         b"RIFF"
-        + (4 + 8 + 6).to_bytes(4, "little")
+        + (4 + 8 + 10).to_bytes(4, "little")
         + b"WEBP"
-        + b"ANIM"
-        + (6).to_bytes(4, "little")
-        + b"\x00" * 6
+        + b"VP8X"
+        + (10).to_bytes(4, "little")
+        + b"\x00" * 10
     )
     assets = spark.createDataFrame(
         [
             (1, "image/webp", vp8l, {"n_bytes": len(vp8l), "source": "t"}),
             (2, "image/webp", lossy, {"n_bytes": len(lossy), "source": "t"}),
-            (3, "image/webp", anim, {"n_bytes": len(anim), "source": "t"}),
+            (3, "image/webp", gap, {"n_bytes": len(gap), "source": "t"}),
         ],
         "asset_id long, media_type string, payload binary, "
         "meta struct<n_bytes:long, source:string>",
@@ -485,7 +503,7 @@ def test_webp_decodes_through_spark_and_lossy_dead_letters(spark):
     if _optional_pil() is None:
         assert not rows[3]["decode_ok"]
         assert rows[3]["reason"] == "decoder_gap"
-        assert "animated" in rows[3]["error"]
+        assert "extended" in rows[3]["error"]
         report = decode_reason_report(
             decode_features(assets, real_decoder=True)
         ).collect()
@@ -594,3 +612,125 @@ def test_vp8l_predictor_with_color_cache_combined():
     expect[..., 2] = px & 0xFF
     expect[..., 3] = 255
     assert np.array_equal(out, expect)
+
+
+def _anmf(x, y, fw, fh, flags, subchunks: bytes) -> bytes:
+    body = (
+        (x // 2).to_bytes(3, "little")
+        + (y // 2).to_bytes(3, "little")
+        + (fw - 1).to_bytes(3, "little")
+        + (fh - 1).to_bytes(3, "little")
+        + (40).to_bytes(3, "little")  # duration ms
+        + bytes([flags])
+        + subchunks
+    )
+    return b"ANMF" + len(body).to_bytes(4, "little") + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+
+
+def _make_animated_webp(canvas_wh, bg_rgba, frames) -> bytes:
+    """frames: list of (x, y, fw, fh, flags, inner_chunk_bytes)."""
+    cw, ch = canvas_wh
+    vp8x = (
+        b"VP8X"
+        + (10).to_bytes(4, "little")
+        + bytes([0x12, 0, 0, 0])  # animation + alpha hint flags
+        + (cw - 1).to_bytes(3, "little")
+        + (ch - 1).to_bytes(3, "little")
+    )
+    r, g, b, a = bg_rgba
+    anim = (
+        b"ANIM"
+        + (6).to_bytes(4, "little")
+        + bytes([b, g, r, a])  # stored B,G,R,A
+        + (0).to_bytes(2, "little")
+    )
+    inner = vp8x + anim + b"".join(
+        _anmf(*f[:5], f[5]) for f in frames
+    )
+    return (
+        b"RIFF" + (4 + len(inner)).to_bytes(4, "little") + b"WEBP" + inner
+    )
+
+
+def _still_chunk(payload: bytes) -> bytes:
+    """The VP8/VP8L chunk (with header + pad) out of a simple still."""
+    size = int.from_bytes(payload[16:20], "little")
+    return payload[12 : 20 + size + (size & 1)]
+
+
+def test_animated_webp_first_frame_composes_on_canvas():
+    """Animated WebP decodes frame 1 composed onto the canvas — the
+    GIF first-frame discipline: a sub-rectangle frame lands at its
+    (x, y) offset over the ANIM background color, the raster has the
+    canvas dimensions, overwrite (B=1) pastes verbatim, and blend
+    (B=0) source-over-composites so a transparent frame pixel shows
+    the background through."""
+    img = np.zeros((3, 4, 4), np.uint8)
+    img[..., 0] = 200
+    img[..., 3] = 255
+    img[1, 1] = (9, 9, 9, 0)  # one fully transparent pixel
+    frame = _still_chunk(W.vp8l_encode(img))
+
+    for flags, blended in ((0x02, False), (0x00, True)):
+        payload = _make_animated_webp(
+            (10, 7), (10, 20, 30, 255), [(2, 4, 4, 3, flags, frame)]
+        )
+        out = W.webp_decode(payload)
+        assert out.shape == (7, 10, 4)
+        assert tuple(out[0, 0]) == (10, 20, 30, 255)  # background
+        assert tuple(out[4, 2]) == (200, 0, 0, 255)  # frame origin
+        if blended:  # transparent px: background shows through
+            assert tuple(out[5, 3]) == (10, 20, 30, 255)
+        else:  # overwrite keeps the transparent pixel verbatim
+            assert tuple(out[5, 3]) == (9, 9, 9, 0)
+
+    # featurize + reason report see it as a decode_ok asset now
+    checksum, feats = W.featurize_webp(
+        _make_animated_webp(
+            (10, 7), (10, 20, 30, 255), [(2, 4, 4, 3, 0x02, frame)]
+        )
+    )
+    assert feats[:3] == [10.0, 7.0, 4.0]
+
+    # corrupt forms stay ValueError (not capability gaps)
+    with pytest.raises(ValueError, match="ANMF"):
+        W.webp_decode(
+            _make_animated_webp((10, 7), (0, 0, 0, 0), [])
+        )
+    with pytest.raises(ValueError, match="exits canvas"):
+        W.webp_decode(
+            _make_animated_webp(
+                (4, 3), (0, 0, 0, 0), [(2, 0, 4, 3, 0x02, frame)]
+            )
+        )
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "inbev_data_engineering_case_spark.operators.libwebp",
+        fromlist=["available"],
+    ).available(),
+    reason="system libwebp not present",
+)
+def test_animated_webp_lossy_first_frame_via_libwebp():
+    """An animated WebP whose first frame is LOSSY (VP8 chunk inside
+    ANMF) decodes through the re-wrapped libwebp route."""
+    from inbev_data_engineering_case_spark.operators import libwebp
+
+    h, w = 16, 24
+    img = np.zeros((h, w, 4), np.uint8)
+    img[..., 1] = 180
+    img[..., 3] = 255
+    frame = _still_chunk(libwebp.encode_rgba(img, quality=92.0))
+    assert frame[:4] == b"VP8 "
+    payload = _make_animated_webp(
+        (w, h), (0, 0, 0, 255), [(0, 0, w, h, 0x02, frame)]
+    )
+    out = W.webp_decode(payload)
+    assert out.shape == (h, w, 4)
+    mad = float(
+        np.abs(out.astype(int) - img.astype(int))[..., :3].mean()
+    )
+    assert mad < 8.0, mad
