@@ -566,6 +566,21 @@ def vp8l_decode(data: bytes):
     return pix, w, h
 
 
+def _vp8l_pixels_to_rgba(pix, w: int, h: int):
+    """Packed-ARGB word list → (h, w, 4) uint8 RGBA array — the ONE
+    channel-order-sensitive unpack, shared by the still and
+    animation-frame decode paths."""
+    import numpy as np
+
+    arr = np.asarray(pix, dtype=np.uint32).reshape(h, w)
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[..., 0] = (arr >> 16) & 0xFF  # R
+    out[..., 1] = (arr >> 8) & 0xFF  # G
+    out[..., 2] = arr & 0xFF  # B
+    out[..., 3] = (arr >> 24) & 0xFF  # A
+    return out
+
+
 def _le24(b: bytes, off: int) -> int:
     return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
 
@@ -578,18 +593,26 @@ def _webp_first_frame(payload: bytes):
     canvas dimensions and the cross-encoding checksum contract holds).
 
     Pure RFC 9649 container parsing: VP8X carries the canvas size,
-    ANIM the background color (stored B,G,R,A), the first ANMF the
-    frame rectangle (x/2, y/2, w-1, h-1 in 24-bit LE fields), its
-    blend flag, and the frame's own ALPH/VP8/VP8L sub-chunks. VP8L
-    frames decode natively; VP8 frames re-wrap as a still container
-    for the system libwebp (NotImplementedError without one — the
-    honest remaining gap); blend method 0 source-over-composites the
-    frame onto the background, 1 overwrites the rectangle."""
+    the first ANMF the frame rectangle (x/2, y/2, w-1, h-1 in 24-bit
+    LE fields), its blend flag, and the frame's own ALPH/VP8/VP8L
+    sub-chunks. VP8L frames decode natively; VP8 frames re-wrap as a
+    still container for the system libwebp (NotImplementedError
+    without one — the honest remaining gap); blend method 0
+    source-over-composites the frame onto the canvas, 1 overwrites
+    the rectangle.
+
+    The canvas initializes TRANSPARENT BLACK, deliberately ignoring
+    the ANIM background color: the spec makes the fill advisory
+    ("MAY be used"), and the reference renderers — libwebp's
+    WebPAnimDecoder, and therefore PIL's animated-WebP route —
+    compose onto a transparent canvas. Matching them keeps the
+    deterministic-fingerprint contract across capability routes: the
+    same asset checksums identically whether a worker decodes it
+    here or falls through to PIL."""
     import numpy as np
 
     pos = 12
     canvas_w = canvas_h = None
-    bg = (255, 255, 255, 255)
     anmf = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
@@ -598,9 +621,6 @@ def _webp_first_frame(payload: bytes):
         if tag == b"VP8X" and len(body) >= 10:
             canvas_w = _le24(body, 4) + 1
             canvas_h = _le24(body, 7) + 1
-        elif tag == b"ANIM" and len(body) >= 6:
-            # stored byte order is Blue, Green, Red, Alpha
-            bg = (body[2], body[1], body[0], body[3])
         elif tag == b"ANMF":
             anmf = body
             break
@@ -625,12 +645,7 @@ def _webp_first_frame(payload: bytes):
             alph = anmf[fpos : fpos + 8 + size + (size & 1)]
         elif tag == b"VP8L":
             pix, w, h = vp8l_decode(body)
-            arr = np.asarray(pix, dtype=np.uint32).reshape(h, w)
-            frame_px = np.empty((h, w, 4), dtype=np.uint8)
-            frame_px[..., 0] = (arr >> 16) & 0xFF
-            frame_px[..., 1] = (arr >> 8) & 0xFF
-            frame_px[..., 2] = arr & 0xFF
-            frame_px[..., 3] = (arr >> 24) & 0xFF
+            frame_px = _vp8l_pixels_to_rgba(pix, w, h)
             break
         elif tag == b"VP8 ":
             from inbev_data_engineering_case_spark.operators import (
@@ -675,8 +690,7 @@ def _webp_first_frame(payload: bytes):
         )
     if fx + fw > canvas_w or fy + fh > canvas_h:
         raise ValueError("animated WebP: frame rectangle exits canvas")
-    canvas = np.empty((canvas_h, canvas_w, 4), dtype=np.uint8)
-    canvas[:] = np.asarray(bg, dtype=np.uint8)
+    canvas = np.zeros((canvas_h, canvas_w, 4), dtype=np.uint8)
     target = canvas[fy : fy + fh, fx : fx + fw]
     if no_blend:
         target[:] = frame_px
@@ -772,13 +786,7 @@ def webp_decode(payload: bytes):
             )
         raise ValueError("WebP: no VP8L/VP8 image chunk found")
     pix, w, h = vp8l_decode(vp8l)
-    arr = np.asarray(pix, dtype=np.uint32).reshape(h, w)
-    out = np.empty((h, w, 4), dtype=np.uint8)
-    out[..., 0] = (arr >> 16) & 0xFF  # R
-    out[..., 1] = (arr >> 8) & 0xFF  # G
-    out[..., 2] = arr & 0xFF  # B
-    out[..., 3] = (arr >> 24) & 0xFF  # A
-    return out
+    return _vp8l_pixels_to_rgba(pix, w, h)
 
 
 def featurize_webp(payload: bytes):

@@ -662,11 +662,14 @@ def _still_chunk(payload: bytes) -> bytes:
 
 def test_animated_webp_first_frame_composes_on_canvas():
     """Animated WebP decodes frame 1 composed onto the canvas — the
-    GIF first-frame discipline: a sub-rectangle frame lands at its
-    (x, y) offset over the ANIM background color, the raster has the
-    canvas dimensions, overwrite (B=1) pastes verbatim, and blend
-    (B=0) source-over-composites so a transparent frame pixel shows
-    the background through."""
+    GIF first-frame discipline, with the canvas TRANSPARENT BLACK
+    (matching libwebp's WebPAnimDecoder / PIL, so the fingerprint is
+    identical across capability routes; the advisory ANIM background
+    color is deliberately not pre-filled): a sub-rectangle frame
+    lands at its (x, y) offset, the raster has the canvas
+    dimensions, overwrite (B=1) pastes verbatim, and blend (B=0)
+    source-over-composites so a transparent frame pixel stays
+    transparent."""
     img = np.zeros((3, 4, 4), np.uint8)
     img[..., 0] = 200
     img[..., 3] = 255
@@ -679,10 +682,10 @@ def test_animated_webp_first_frame_composes_on_canvas():
         )
         out = W.webp_decode(payload)
         assert out.shape == (7, 10, 4)
-        assert tuple(out[0, 0]) == (10, 20, 30, 255)  # background
+        assert tuple(out[0, 0]) == (0, 0, 0, 0)  # transparent canvas
         assert tuple(out[4, 2]) == (200, 0, 0, 255)  # frame origin
-        if blended:  # transparent px: background shows through
-            assert tuple(out[5, 3]) == (10, 20, 30, 255)
+        if blended:  # transparent px over transparent canvas
+            assert tuple(out[5, 3]) == (0, 0, 0, 0)
         else:  # overwrite keeps the transparent pixel verbatim
             assert tuple(out[5, 3]) == (9, 9, 9, 0)
 
