@@ -9,8 +9,10 @@ baseline-sequential AND progressive JPEG (native huffman+IDCT decoder,
 ``_jpeg_decode`` — SOF0/SOF1/SOF2, together the overwhelming majority
 of any web image crawl), lossless WebP
 (``webp.vp8l_decode`` — full RFC 9649 VP8L: transforms, color cache,
-meta groups, LZ77), and Y4M video
-(header+frame demux); lossy WebP VP8 and VP8X stills decode through
+meta groups, LZ77), Y4M video
+(header+frame demux), and Motion-JPEG AVI (native RIFF demux + the
+native JPEG decoder — real COMPRESSED video content on a bare
+cluster); lossy WebP VP8 and VP8X stills decode through
 the system libwebp when the ctypes probe resolves it
 (``operators/libwebp.py``). Remaining codec-bound formats
 (arithmetic/lossless JPEG, H.264/VP9 containers; animated WebP
@@ -623,7 +625,9 @@ def _featurize_png(payload: bytes) -> tuple[int, list[float]]:
 # selection, successive approximation, EOB runs, per-scan restarts).
 # 4-component CMYK/YCCK (Adobe APP14 transforms 0/2) decodes to the
 # stored-sample 4-channel raster (r10; _jpeg_cmyk_to_rgb composites),
-# and DNL-deferred heights resolve via a marker-aware pre-scan (r10).
+# DNL-deferred heights resolve via a marker-aware pre-scan (r10), and
+# the MJPEG implied-default-table convention decodes DHT-less frames
+# (mjpeg_default_huff — the Motion-JPEG AVI path uses it).
 # Arithmetic coding, 12-bit, and lossless
 # payloads raise NotImplementedError → the dead-letter path
 # (PIL handles them when the capability probe finds it; PIL also takes
@@ -844,13 +848,19 @@ def _jpeg_find_dnl(payload: bytes):
     return None
 
 
-def _jpeg_decode(payload: bytes):
+def _jpeg_decode(payload: bytes, mjpeg_default_huff: bool = False):
     """Native baseline/extended-sequential JPEG decoder -> (h, w, c)
     uint8 raster (grayscale stays 1-channel, color converts to RGB),
     the same normalized shape every other image decoder here produces.
     Bit-exact deterministic across environments (integer coefficients,
     one float64 IDCT + one rounding), so JPEG fingerprints/dhashes are
-    stable regardless of which libjpeg a cluster ships."""
+    stable regardless of which libjpeg a cluster ships.
+
+    ``mjpeg_default_huff`` pre-seeds the Annex-K default Huffman
+    tables (luma as id 0, chroma as id 1) — the Motion-JPEG
+    convention (OpenDML): AVI frames routinely omit DHT entirely and
+    imply the standard tables. A frame that DOES carry DHT still
+    overrides them, so conforming frames are unaffected."""
     import struct
 
     import numpy as np
@@ -860,6 +870,15 @@ def _jpeg_decode(payload: bytes):
     qt: dict[int, object] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
+    if mjpeg_default_huff:
+        huff_dc = {
+            0: _build_jpeg_huff(*_JPEG_STD_DC_LUMA),
+            1: _build_jpeg_huff(*_JPEG_STD_DC_CHROMA),
+        }
+        huff_ac = {
+            0: _build_jpeg_huff(*_JPEG_STD_AC_LUMA),
+            1: _build_jpeg_huff(*_JPEG_STD_AC_CHROMA),
+        }
     frame = None
     progressive = False
     seq_scanned: set[int] = set()
@@ -2161,6 +2180,162 @@ def _featurize_y4m(payload: bytes) -> tuple[int, list[float]]:
     ]
 
 
+def _parse_avi_mjpeg(payload: bytes):
+    """Demux a Motion-JPEG AVI with the stdlib → (width, height,
+    fps, [jpeg frame bytes]). RIFF walk: 'avih' carries the frame
+    period and canvas dims, the video 'strh' must declare an MJPG
+    handler (any OTHER codec raises NotImplementedError — that is
+    ffmpeg's job, and the reason-coded dead-letter without it), and
+    the 'movi' LIST's '##dc'/'##db' chunks (including ones nested in
+    'rec ' groups) are the frames — each a complete JPEG bitstream
+    per the OpenDML convention, possibly without DHT (the decoder's
+    ``mjpeg_default_huff`` handles that). Audio streams ('##wb') are
+    skipped."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/'AVI ') payload")
+
+    width = height = None
+    usec_per_frame = 0
+    handler_ok = False
+    stream_types: list[bytes] = []
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal width, height, usec_per_frame, handler_ok
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body_at = pos + 8
+            if body_at + size > end:
+                raise ValueError("AVI chunk exceeds its parent")
+            if tag == b"LIST":
+                # list type occupies the first 4 body bytes
+                walk(buf, body_at + 4, body_at + size)
+            elif tag == b"avih" and size >= 40:
+                usec_per_frame = struct.unpack_from("<I", buf, body_at)[0]
+                width, height = struct.unpack_from(
+                    "<II", buf, body_at + 32
+                )
+            elif tag == b"strh" and size >= 8:
+                fcc_type = buf[body_at : body_at + 4]
+                stream_types.append(fcc_type)
+                if fcc_type == b"vids":
+                    handler = buf[body_at + 4 : body_at + 8]
+                    if handler.upper() not in (b"MJPG", b"MJPA"):
+                        raise NotImplementedError(
+                            "AVI video codec "
+                            f"{handler!r} needs ffmpeg (capability "
+                            "probe); Motion-JPEG (MJPG) demuxes and "
+                            "decodes natively"
+                        )
+                    handler_ok = True
+            elif len(tag) == 4 and tag[2:4] in (b"dc", b"db"):
+                frames.append(bytes(buf[body_at : body_at + size]))
+            pos = body_at + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    if not handler_ok:
+        raise ValueError("AVI carries no MJPG video stream header")
+    if width is None or not frames:
+        raise ValueError("AVI is missing avih dimensions or frames")
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return int(width), int(height), fps, frames
+
+
+def _featurize_avi_mjpeg(payload: bytes) -> tuple[int, list[float]]:
+    """Real COMPRESSED-video featurization on a bare cluster: demux
+    the Motion-JPEG AVI, decode every frame through the native JPEG
+    decoder (Annex-K default tables implied when a frame omits DHT —
+    the MJPEG convention), and report the ``_featurize_y4m`` contract
+    [width, height, n_frames, mean luma] with the checksum over the
+    concatenated DECODED rasters (the decoder is bit-exact, so the
+    fingerprint is environment-stable; compressed bytes vary by
+    encoder whim for identical pixels)."""
+    import zlib
+
+    import numpy as np
+
+    width, height, _fps, frames = _parse_avi_mjpeg(payload)
+    crc = 0
+    total, count = 0.0, 0
+    for frame in frames:
+        px = _jpeg_decode(frame, mjpeg_default_huff=True)
+        if px.shape[1] != width or px.shape[0] != height:
+            raise ValueError(
+                "AVI frame dimensions disagree with the avih header"
+            )
+        crc = zlib.crc32(px.tobytes(), crc)
+        # luma per BT.601 for color frames; the plane itself for gray
+        if px.shape[2] == 1:
+            luma = px[:, :, 0].astype(np.float64)
+        else:
+            p = px.astype(np.float64)
+            luma = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+        total += float(luma.sum())
+        count += luma.size
+    return crc % 1_000_003, [
+        float(width),
+        float(height),
+        float(len(frames)),
+        total / count if count else 0.0,
+    ]
+
+
+def _avi_encode_mjpeg(frames, quality: int = 85, fps: int = 10) -> bytes:
+    """Minimal Motion-JPEG AVI fixture encoder: (h, w, 1|3) uint8
+    rasters → RIFF/'AVI ' with avih + MJPG strh + a movi LIST of
+    '00dc' JPEG chunks (each through ``_jpeg_encode_baseline``) —
+    genuine compressed-video payloads for tests without ffmpeg."""
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    first = np.asarray(frames[0])
+    h, w = first.shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack(
+            "<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, fps, 0, len(frames),
+            0, 0, 0, 0, 0, w, h,
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24,
+        int.from_bytes(b"MJPG", "little"), w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(
+        b"movi",
+        b"".join(
+            chunk(b"00dc", _jpeg_encode_baseline(f, quality=quality))
+            for f in frames
+        ),
+    )
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]]:
     """REAL decoders built from the stdlib, so the mapInPandas plumbing is
     exercised end-to-end by genuine decoding (not the deterministic fake):
@@ -2179,7 +2354,9 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
       need PIL and raise; animated WebP yields frame 1 (the GIF
       discipline).
     - ``video/*``: uncompressed YUV4MPEG2 demuxes natively (frame split +
-      luma stats); compressed containers (mp4/webm/...) need ffmpeg —
+      luma stats) and Motion-JPEG AVI decodes natively (every frame
+      through the bit-exact JPEG decoder); other compressed
+      containers (mp4/webm/...) need ffmpeg —
       not installed here — and raise (the remaining honest stub).
     - anything else: treated as opaque binary — crc32 checksum and
       compressibility features (zlib ratio), the standard corpus-QA signal.
@@ -2262,12 +2439,22 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
     if media_type.partition("/")[0] == "video":
         if payload[:9] == b"YUV4MPEG2":
             return _featurize_y4m(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            try:
+                # Motion-JPEG AVI: native demux + the native JPEG
+                # decoder — real compressed-video content on a bare
+                # cluster, deterministic-fingerprint reference
+                return _featurize_avi_mjpeg(payload)
+            except NotImplementedError:
+                if _optional_ffmpeg() is None:
+                    raise  # non-MJPEG AVI codec → decoder_gap
         if _optional_ffmpeg() is not None:
             return _featurize_y4m(_ffmpeg_to_y4m(payload))
         raise NotImplementedError(
             "compressed video decoding requires ffmpeg (capability probe "
             "_optional_ffmpeg found none on PATH) or pyav; uncompressed "
-            "YUV4MPEG2 demuxes natively — see _featurize_y4m/_parse_y4m."
+            "YUV4MPEG2 demuxes natively (_featurize_y4m/_parse_y4m) and "
+            "Motion-JPEG AVI decodes natively (_featurize_avi_mjpeg)."
         )
     checksum = zlib.crc32(payload) % 1_000_003
     n = len(payload)
@@ -2657,16 +2844,32 @@ def sample_frames(
                 b = bytes(payload) if payload is not None else b""
                 try:
                     if real_decoder and media_type.partition("/")[0] == "video":
-                        if b[:9] != b"YUV4MPEG2":
-                            if _optional_ffmpeg() is not None:
-                                b = _ffmpeg_to_y4m(b)
-                            else:
-                                raise NotImplementedError(
-                                    "compressed video demux requires ffmpeg "
-                                    "(capability probe found none) or pyav; "
-                                    "uncompressed YUV4MPEG2 demuxes natively."
+                        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                            # Motion-JPEG AVI: the natural frame unit
+                            # IS the per-frame JPEG payload — sampled
+                            # without decoding (decode happens where
+                            # a consumer needs pixels). A non-MJPEG
+                            # AVI falls through to ffmpeg if present.
+                            try:
+                                _w, _h, _fps, chunks = _parse_avi_mjpeg(b)
+                            except NotImplementedError:
+                                if _optional_ffmpeg() is None:
+                                    raise
+                                _w, _h, chunks = _parse_y4m(
+                                    _ffmpeg_to_y4m(b)
                                 )
-                        _w, _h, chunks = _parse_y4m(b)
+                        else:
+                            if b[:9] != b"YUV4MPEG2":
+                                if _optional_ffmpeg() is not None:
+                                    b = _ffmpeg_to_y4m(b)
+                                else:
+                                    raise NotImplementedError(
+                                        "compressed video demux requires "
+                                        "ffmpeg (capability probe found "
+                                        "none) or pyav; YUV4MPEG2 and "
+                                        "Motion-JPEG AVI demux natively."
+                                    )
+                            _w, _h, chunks = _parse_y4m(b)
                     else:
                         chunks = [
                             b[o : o + frame_bytes]

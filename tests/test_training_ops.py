@@ -5614,3 +5614,104 @@ def test_jpeg_dnl_deferred_height_decodes():
         # decode_ok zero-pixel raster
         zero_dnl = b"\xff\xdc\x00\x04" + struct.pack(">H", 0)
         _jpeg_decode(bytes(patched[:-2]) + zero_dnl + b"\xff\xd9")
+
+
+def test_avi_mjpeg_native_video_decode():
+    """Motion-JPEG AVI — the first COMPRESSED video format whose
+    content decodes natively: demux finds every '00dc' JPEG frame,
+    the featurizer reports the Y4M contract [w, h, n_frames, mean
+    luma] with a checksum over the bit-exact decoded rasters, a frame
+    stripped of its DHT segments still decodes (the MJPEG implied
+    Annex-K default-table convention), and a non-MJPEG AVI raises the
+    capability NotImplementedError rather than decoding garbage."""
+    import numpy as np
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _avi_encode_mjpeg,
+        _featurize_avi_mjpeg,
+        _jpeg_decode,
+        _parse_avi_mjpeg,
+    )
+
+    f0 = _jpeg_gradient(24, 32)
+    f1 = np.roll(f0, 5, axis=1)
+    f2 = np.roll(f0, 11, axis=0)
+    payload = _avi_encode_mjpeg([f0, f1, f2], quality=92, fps=8)
+
+    w, h, fps, frames = _parse_avi_mjpeg(payload)
+    assert (w, h, len(frames)) == (32, 24, 3)
+    assert abs(fps - 8.0) < 1e-6
+    assert all(fr[:2] == b"\xff\xd8" for fr in frames)
+
+    checksum, feats = _featurize_avi_mjpeg(payload)
+    assert feats[:3] == [32.0, 24.0, 3.0]
+    assert 0.0 < feats[3] < 255.0
+
+    # MJPEG convention: strip DHT (0xFFC4) segments from a frame —
+    # the implied Annex-K tables must decode it IDENTICALLY to the
+    # tables the encoder actually wrote (they are the same tables)
+    import struct as _struct
+
+    def strip_dht(jpeg: bytes) -> bytes:
+        out, pos = bytearray(jpeg[:2]), 2
+        while pos + 4 <= len(jpeg):
+            if jpeg[pos] != 0xFF:
+                out += jpeg[pos:]
+                break
+            marker = jpeg[pos + 1]
+            if marker == 0xDA:
+                out += jpeg[pos:]
+                break
+            seglen = _struct.unpack_from(">H", jpeg, pos + 2)[0]
+            if marker != 0xC4:
+                out += jpeg[pos : pos + 2 + seglen]
+            pos += 2 + seglen
+        return bytes(out)
+
+    bare = strip_dht(frames[0])
+    assert b"\xff\xc4" not in bare[: bare.index(b"\xff\xda")]
+    with pytest.raises(ValueError):
+        _jpeg_decode(bare)  # a PLAIN jpeg without DHT is corrupt
+    assert np.array_equal(
+        _jpeg_decode(bare, mjpeg_default_huff=True),
+        _jpeg_decode(frames[0]),
+    )
+
+    # foreign codec: honest capability gap, not garbage
+    xvid = payload.replace(b"vidsMJPG", b"vidsXVID", 1)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        _parse_avi_mjpeg(xvid)
+
+
+def test_avi_mjpeg_through_spark_featurize_and_frame_sample(spark):
+    """End to end through the Arrow operators: an MJPEG AVI asset
+    lands decode_ok through decode_features (video family), and
+    sample_frames emits its per-frame JPEG payloads with original
+    indices (every_n honored)."""
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _avi_encode_mjpeg,
+        decode_features,
+        sample_frames,
+    )
+
+    frames = [
+        np.roll(_jpeg_gradient(16, 16), k, axis=1) for k in range(5)
+    ]
+    payload = _avi_encode_mjpeg(frames, quality=90, fps=4)
+    assets = spark.createDataFrame(
+        [(1, "video/x-msvideo", payload,
+          {"n_bytes": len(payload), "source": "t"})],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    row = decode_features(assets, real_decoder=True).collect()[0]
+    assert row["decode_ok"] and row["reason"] is None
+    assert row["feature"][:3] == [16.0, 16.0, 5.0]
+
+    out = sample_frames(assets, every_n=2, real_decoder=True).collect()
+    kept = sorted(r["frame_idx"] for r in out)
+    assert kept == [0, 2, 4]
+    assert all(bytes(r["frame"])[:2] == b"\xff\xd8" for r in out)
