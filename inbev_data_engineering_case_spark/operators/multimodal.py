@@ -2180,7 +2180,7 @@ def _featurize_y4m(payload: bytes) -> tuple[int, list[float]]:
     ]
 
 
-def _parse_avi_mjpeg(payload: bytes):
+def _parse_avi_mjpeg(payload: bytes, require_mjpeg: bool = True):
     """Demux a Motion-JPEG AVI with the stdlib → (width, height,
     fps, [jpeg frame bytes]). RIFF walk: 'avih' carries the frame
     period and canvas dims, the video 'strh' must declare an MJPG
@@ -2190,7 +2190,10 @@ def _parse_avi_mjpeg(payload: bytes):
     'rec ' groups) are the frames — each a complete JPEG bitstream
     per the OpenDML convention, possibly without DHT (the decoder's
     ``mjpeg_default_huff`` handles that). Audio streams ('##wb') are
-    skipped."""
+    skipped. ``require_mjpeg=False`` demuxes ANY AVI's container
+    facts — the metadata-only pass (``video_metadata``) gates on
+    resolution/duration regardless of codec; only content decode is
+    MJPG-bound."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -2224,12 +2227,13 @@ def _parse_avi_mjpeg(payload: bytes):
                 if fcc_type == b"vids":
                     handler = buf[body_at + 4 : body_at + 8]
                     if handler.upper() not in (b"MJPG", b"MJPA"):
-                        raise NotImplementedError(
-                            "AVI video codec "
-                            f"{handler!r} needs ffmpeg (capability "
-                            "probe); Motion-JPEG (MJPG) demuxes and "
-                            "decodes natively"
-                        )
+                        if require_mjpeg:
+                            raise NotImplementedError(
+                                "AVI video codec "
+                                f"{handler!r} needs ffmpeg (capability "
+                                "probe); Motion-JPEG (MJPG) demuxes "
+                                "and decodes natively"
+                            )
                     handler_ok = True
             elif len(tag) == 4 and tag[2:4] in (b"dc", b"db"):
                 frames.append(bytes(buf[body_at : body_at + size]))
@@ -3174,6 +3178,19 @@ def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
                     if payload[:9] == b"YUV4MPEG2":
                         w, h, frames = _parse_y4m(payload)
                         d, n = None, 1
+                    elif (
+                        payload[:4] == b"RIFF"
+                        and payload[8:12] == b"AVI "
+                    ):
+                        # header-only pass would suffice for w/h, but
+                        # the frame count needs the chunk walk anyway
+                        w, h, fps, frames = _parse_avi_mjpeg(
+                            payload, require_mjpeg=False
+                        )
+                        d = (
+                            int(len(frames) * 1000 / fps) if fps else None
+                        )
+                        n = 1
                     else:
                         # no magic allowlist: ISO BMFF files may lead
                         # with styp/skip/pnot/mdat/...; the box walk

@@ -5715,3 +5715,32 @@ def test_avi_mjpeg_through_spark_featurize_and_frame_sample(spark):
     kept = sorted(r["frame_idx"] for r in out)
     assert kept == [0, 2, 4]
     assert all(bytes(r["frame"])[:2] == b"\xff\xd8" for r in out)
+
+
+def test_video_metadata_covers_avi(spark):
+    """The metadata-only pass parses AVI container facts regardless
+    of codec (resolution/duration gates are codec-agnostic), while
+    content DECODE stays MJPG-bound."""
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _avi_encode_mjpeg,
+        video_metadata,
+    )
+
+    frames = [np.roll(_jpeg_gradient(12, 20), k, axis=0) for k in range(4)]
+    mjpg = _avi_encode_mjpeg(frames, quality=85, fps=4)
+    xvid = mjpg.replace(b"vidsMJPG", b"vidsXVID", 1)
+    assets = spark.createDataFrame(
+        [
+            (1, "video/x-msvideo", mjpg, {"n_bytes": len(mjpg), "source": "t"}),
+            (2, "video/x-msvideo", xvid, {"n_bytes": len(xvid), "source": "t"}),
+        ],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    rows = {r["asset_id"]: r for r in video_metadata(assets).collect()}
+    for rid in (1, 2):  # codec-agnostic container facts
+        assert rows[rid]["meta_ok"]
+        assert (rows[rid]["width"], rows[rid]["height"]) == (20, 12)
+        assert rows[rid]["duration_ms"] == 1000  # 4 frames at 4 fps
