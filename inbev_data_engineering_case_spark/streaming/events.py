@@ -1277,3 +1277,162 @@ def run_stream_artifact_update(
             f"{timeout}s"
         )
     return query_metrics(q)
+
+
+EMBEDDING_ARTIFACT_PREFIX = "embart"
+
+
+def read_embedding_artifacts(spark: SparkSession, state_dir: str):
+    """``(vectors, buckets)`` — the NORMALIZED sign-LSH state pair
+    (``build_embedding_sig_tables_normalized`` shape) from the latest
+    committed embedding-artifact snapshot, exactly what
+    ``incremental_embedding_near_dup_normalized`` consumes. Raises
+    ``FileNotFoundError`` when no snapshot has ever committed."""
+    from inbev_data_engineering_case_spark.layers import latest_snapshot
+
+    snap = latest_snapshot(state_dir, EMBEDDING_ARTIFACT_PREFIX)
+    return (
+        spark.read.parquet(os.path.join(snap, "vectors")),
+        spark.read.parquet(os.path.join(snap, "buckets")),
+    )
+
+
+def run_stream_embedding_update(
+    emb_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    timeout: int = 300,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "append",
+    num_planes: int = 8,
+    n_probes: int = 1,
+    keep_snapshots: int | None = None,
+) -> dict[str, int]:
+    """Streaming maintenance of the EMBEDDING dedup state — the last
+    signature-backed family whose stored tables weren't
+    stream-advanced (``run_stream_artifact_update`` covers minhash
+    sigs, exact fingerprints, and containment grams): each micro-batch
+    of vectors hashes through
+    ``build_embedding_sig_tables_normalized`` and advances the
+    NORMALIZED ``(vectors, buckets)`` pair, publishing both under one
+    atomic ``commit_snapshot`` generation — so the next crawl's
+    ``incremental_embedding_near_dup_normalized`` runs against
+    everything streamed so far without ever re-hashing history, and a
+    crash can never leave the two tables at different generations.
+
+    The disciplines mirror ``run_stream_artifact_update`` exactly:
+    replay idempotence without a marker (vectors dedup on ``(id, v)``,
+    buckets on their full row — a re-applied batch recreates identical
+    rows; a same-id different-vector row is genuinely new state under
+    ``'append'`` and replaces under ``'replace'``, the batch
+    operator's delete+insert contract); duplicate ids within a batch
+    collapse first; NULL-vector rows drop per batch (the poison-pill
+    rationale); ``expected_parent`` pins the snapshot actually READ
+    (the TOCTOU rule — an interleaved writer raises
+    ``SnapshotConflictError`` instead of losing a delta). The build
+    geometry rides the bucket rows; resuming a stream with DIFFERENT
+    ``num_planes``/``n_probes`` than the stored state raises before
+    anything commits (a silent mismatch would mis-bucket every stored
+    row and lose recall with no error — the CMS wrong-geometry
+    discipline).
+
+    Returns ``query_metrics``.
+    """
+    from inbev_data_engineering_case_spark.layers import (
+        commit_snapshot,
+        latest_snapshot,
+        next_run_after,
+        prune_snapshots,
+        run_id_of,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_embedding_sig_tables_normalized,
+    )
+
+    spark = emb_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (
+            batch_df.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull())
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)  # file-source batches re-scan
+        )
+        if not batch.take(1):
+            return
+        try:
+            parent_snap = latest_snapshot(
+                state_dir, EMBEDDING_ARTIFACT_PREFIX
+            )
+            stored_vectors = spark.read.parquet(
+                os.path.join(parent_snap, "vectors")
+            )
+            stored_buckets = spark.read.parquet(
+                os.path.join(parent_snap, "buckets")
+            )
+            parent = run_id_of(parent_snap, EMBEDDING_ARTIFACT_PREFIX)
+            head = stored_buckets.select("num_planes", "n_probes").first()
+            if head is not None and (
+                head["num_planes"] != num_planes
+                or head["n_probes"] != n_probes
+            ):
+                raise ValueError(
+                    "run_stream_embedding_update: stored state was built"
+                    f" with num_planes={head['num_planes']},"
+                    f" n_probes={head['n_probes']} but this stream is"
+                    f" configured num_planes={num_planes},"
+                    f" n_probes={n_probes} — a silent mismatch would"
+                    " mis-bucket every stored row; rebuild the state or"
+                    " match the geometry"
+                )
+        except FileNotFoundError:  # first generation ever
+            stored_vectors = stored_buckets = None
+            parent = None
+        new_vectors, new_buckets = build_embedding_sig_tables_normalized(
+            batch, num_planes, n_probes, id_col, vec_col
+        )
+        if stored_vectors is not None:
+            old_v, old_b = stored_vectors, stored_buckets
+            if mode == "replace":
+                ids = batch.select(F.col(id_col).alias("id"))
+                old_v = old_v.join(ids, "id", "left_anti")
+                old_b = old_b.join(ids, "id", "left_anti")
+            vectors = old_v.unionByName(new_vectors)
+            buckets = old_b.unionByName(new_buckets)
+        else:
+            vectors, buckets = new_vectors, new_buckets
+        # replay safety: a re-applied batch contributes only rows that
+        # already exist — drop them here
+        vectors = vectors.dropDuplicates(["id", "v"])
+        buckets = buckets.dropDuplicates(["seed", "id", "bucket"])
+
+        def write_pair(staging: str) -> None:
+            vectors.write.parquet(os.path.join(staging, "vectors"))
+            buckets.write.parquet(os.path.join(staging, "buckets"))
+
+        commit_snapshot(
+            state_dir,
+            next_run_after(parent),
+            write_pair,
+            expected_parent=parent,
+            prefix=EMBEDDING_ARTIFACT_PREFIX,
+        )
+        if keep_snapshots:
+            prune_snapshots(
+                state_dir, EMBEDDING_ARTIFACT_PREFIX, keep_snapshots
+            )
+
+    q = (
+        emb_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"embedding-artifact stream to {state_dir} did not drain in "
+            f"{timeout}s"
+        )
+    return query_metrics(q)

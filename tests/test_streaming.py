@@ -1383,3 +1383,102 @@ def test_stream_artifact_update_gram_upgrade_requires_backfill(
         run_stream_artifact_update(
             stream(), state, str(tmp_path / "ckpt2"), gram_n=4
         )
+
+
+def test_stream_embedding_update_maintains_normalized_state(
+    spark, tmp_path
+):
+    """Streaming maintenance of the embedding dedup state: a two-batch
+    drain equals build_embedding_sig_tables_normalized over every
+    streamed vector, published atomically as one (vectors, buckets)
+    snapshot generation; a replay from a fresh checkpoint changes
+    nothing; the streamed state feeds
+    incremental_embedding_near_dup_normalized directly (matching the
+    full recompute filtered to new-involving pairs); and resuming with
+    different geometry raises before anything commits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_embedding_sig_tables_normalized,
+        embedding_near_dup_pairs,
+        incremental_embedding_near_dup_normalized,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_embedding_artifacts,
+        run_stream_embedding_update,
+    )
+
+    state = str(tmp_path / "embart")
+    src = str(tmp_path / "vec_feed")
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        .filter(F.col("vec_id") < 60)
+        .localCheckpoint(eager=True)
+    )
+    b1 = emb.filter(F.col("vec_id") < 30)
+    b2 = emb.filter(F.col("vec_id") >= 30)
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    kw = dict(num_planes=6, n_probes=2)
+    run_stream_embedding_update(
+        stream(), state, str(tmp_path / "ckpt"), **kw
+    )
+    vectors, buckets = read_embedding_artifacts(spark, state)
+    want_v, want_b = build_embedding_sig_tables_normalized(emb, **kw)
+    key = lambda r: tuple(  # noqa: E731 — arrays → tuples for sorting
+        tuple(x) if isinstance(x, list) else x for x in r
+    )
+    assert sorted(map(key, vectors.collect())) == sorted(
+        map(key, want_v.collect())
+    )
+    assert sorted(map(key, buckets.collect())) == sorted(
+        map(key, want_b.collect())
+    )
+
+    # replay from a fresh checkpoint: identical final state
+    run_stream_embedding_update(
+        stream(), state, str(tmp_path / "ckpt2"), **kw
+    )
+    v2, b2_ = read_embedding_artifacts(spark, state)
+    assert v2.count() == vectors.count()
+    assert b2_.count() == buckets.count()
+
+    # the streamed state feeds the normalized-native delta directly
+    new = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 500000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1) + F.lit(0.001) * ((i % 3) - 1)),
+        ).alias("embedding"),
+    )
+    got = sorted(map(tuple, incremental_embedding_near_dup_normalized(
+        v2, b2_, new, threshold=0.9, **kw).collect()))
+    full = embedding_near_dup_pairs(
+        emb.unionByName(new), threshold=0.9, **kw
+    )
+    want_pairs = sorted(map(tuple, full.filter(
+        (F.col("id_a") >= 500000) | (F.col("id_b") >= 500000)
+    ).collect()))
+    assert got == want_pairs and got
+
+    # geometry mismatch on resume refuses before committing
+    with pytest.raises(Exception, match="num_planes"):
+        run_stream_embedding_update(
+            stream(), state, str(tmp_path / "ckpt3"),
+            num_planes=8, n_probes=2,
+        )
