@@ -2182,18 +2182,23 @@ def _featurize_y4m(payload: bytes) -> tuple[int, list[float]]:
 
 def _parse_avi_mjpeg(payload: bytes, require_mjpeg: bool = True):
     """Demux a Motion-JPEG AVI with the stdlib → (width, height,
-    fps, [jpeg frame bytes]). RIFF walk: 'avih' carries the frame
-    period and canvas dims, the video 'strh' must declare an MJPG
-    handler (any OTHER codec raises NotImplementedError — that is
+    fps, [jpeg frame bytes], n_streams). RIFF walk: 'avih' carries
+    the frame period and (advisory — some capture muxers write 0)
+    canvas dims, the FIRST video 'strh' must declare the MJPG handler
+    (any other codec — including field-interlaced MJPA, whose chunks
+    are half-height field pairs — raises NotImplementedError: that is
     ffmpeg's job, and the reason-coded dead-letter without it), and
-    the 'movi' LIST's '##dc'/'##db' chunks (including ones nested in
-    'rec ' groups) are the frames — each a complete JPEG bitstream
-    per the OpenDML convention, possibly without DHT (the decoder's
-    ``mjpeg_default_huff`` handles that). Audio streams ('##wb') are
-    skipped. ``require_mjpeg=False`` demuxes ANY AVI's container
-    facts — the metadata-only pass (``video_metadata``) gates on
-    resolution/duration regardless of codec; only content decode is
-    MJPG-bound."""
+    that stream's '##dc'/'##db' chunks (including ones nested in
+    'rec ' groups, and in OpenDML 'RIFF AVIX' extension segments
+    beyond the first ~1 GB) are the frames — each a complete JPEG
+    bitstream per the OpenDML convention, possibly without DHT (the
+    decoder's ``mjpeg_default_huff`` handles that). Chunks of OTHER
+    streams (audio '##wb', secondary video) are skipped by their
+    2-digit stream prefix, so frame counts and durations are the
+    primary video stream's. ``require_mjpeg=False`` demuxes ANY AVI's
+    container facts — the metadata-only pass (``video_metadata``)
+    gates on resolution/duration regardless of codec; only content
+    decode is MJPG-bound."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -2201,12 +2206,12 @@ def _parse_avi_mjpeg(payload: bytes, require_mjpeg: bool = True):
 
     width = height = None
     usec_per_frame = 0
-    handler_ok = False
+    video_prefix = None  # b'00'… of the FIRST video stream
     stream_types: list[bytes] = []
     frames: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal width, height, usec_per_frame, handler_ok
+        nonlocal width, height, usec_per_frame, video_prefix
         while pos + 8 <= end:
             tag = buf[pos : pos + 4]
             size = struct.unpack_from("<I", buf, pos + 4)[0]
@@ -2216,6 +2221,11 @@ def _parse_avi_mjpeg(payload: bytes, require_mjpeg: bool = True):
             if tag == b"LIST":
                 # list type occupies the first 4 body bytes
                 walk(buf, body_at + 4, body_at + size)
+            elif tag == b"RIFF" and buf[body_at : body_at + 4] == b"AVIX":
+                # OpenDML extension segment: more movi data past the
+                # first segment's 32-bit size horizon — walk it, or
+                # every frame beyond ~1 GB silently vanishes
+                walk(buf, body_at + 4, body_at + size)
             elif tag == b"avih" and size >= 40:
                 usec_per_frame = struct.unpack_from("<I", buf, body_at)[0]
                 width, height = struct.unpack_from(
@@ -2223,29 +2233,39 @@ def _parse_avi_mjpeg(payload: bytes, require_mjpeg: bool = True):
                 )
             elif tag == b"strh" and size >= 8:
                 fcc_type = buf[body_at : body_at + 4]
-                stream_types.append(fcc_type)
-                if fcc_type == b"vids":
+                if fcc_type == b"vids" and video_prefix is None:
                     handler = buf[body_at + 4 : body_at + 8]
-                    if handler.upper() not in (b"MJPG", b"MJPA"):
-                        if require_mjpeg:
-                            raise NotImplementedError(
-                                "AVI video codec "
-                                f"{handler!r} needs ffmpeg (capability "
-                                "probe); Motion-JPEG (MJPG) demuxes "
-                                "and decodes natively"
-                            )
-                    handler_ok = True
-            elif len(tag) == 4 and tag[2:4] in (b"dc", b"db"):
+                    if handler.upper() != b"MJPG" and require_mjpeg:
+                        raise NotImplementedError(
+                            "AVI video codec "
+                            f"{handler!r} needs ffmpeg (capability "
+                            "probe); Motion-JPEG (MJPG) demuxes "
+                            "and decodes natively"
+                        )
+                    video_prefix = b"%02d" % len(stream_types)
+                stream_types.append(fcc_type)
+            elif (
+                len(tag) == 4
+                and tag[2:4] in (b"dc", b"db")
+                and video_prefix is not None
+                and tag[:2] == video_prefix
+            ):
                 frames.append(bytes(buf[body_at : body_at + size]))
             pos = body_at + size + (size & 1)
 
     walk(payload, 12, len(payload))
-    if not handler_ok:
-        raise ValueError("AVI carries no MJPG video stream header")
-    if width is None or not frames:
-        raise ValueError("AVI is missing avih dimensions or frames")
+    if video_prefix is None:
+        raise ValueError("AVI carries no video stream header")
+    if not frames:
+        raise ValueError("AVI carries no frames for its video stream")
     fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
-    return int(width), int(height), fps, frames
+    return (
+        int(width or 0),
+        int(height or 0),
+        fps,
+        frames,
+        len(stream_types),
+    )
 
 
 def _featurize_avi_mjpeg(payload: bytes) -> tuple[int, list[float]]:
@@ -2256,19 +2276,25 @@ def _featurize_avi_mjpeg(payload: bytes) -> tuple[int, list[float]]:
     [width, height, n_frames, mean luma] with the checksum over the
     concatenated DECODED rasters (the decoder is bit-exact, so the
     fingerprint is environment-stable; compressed bytes vary by
-    encoder whim for identical pixels)."""
+    encoder whim for identical pixels). The JPEG SOF dimensions are
+    authoritative (capture muxers routinely write avih dims of 0 or
+    stale values); frames must agree with EACH OTHER."""
     import zlib
 
     import numpy as np
 
-    width, height, _fps, frames = _parse_avi_mjpeg(payload)
+    _aw, _ah, _fps, frames, _n = _parse_avi_mjpeg(payload)
     crc = 0
     total, count = 0.0, 0
+    width = height = None
     for frame in frames:
         px = _jpeg_decode(frame, mjpeg_default_huff=True)
-        if px.shape[1] != width or px.shape[0] != height:
+        if width is None:
+            height, width = px.shape[:2]
+        elif px.shape[1] != width or px.shape[0] != height:
             raise ValueError(
-                "AVI frame dimensions disagree with the avih header"
+                "AVI frames disagree on dimensions "
+                f"({px.shape[1]}x{px.shape[0]} vs {width}x{height})"
             )
         crc = zlib.crc32(px.tobytes(), crc)
         # luma per BT.601 for color frames; the plane itself for gray
@@ -2452,6 +2478,12 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             except NotImplementedError:
                 if _optional_ffmpeg() is None:
                     raise  # non-MJPEG AVI codec → decoder_gap
+            except ValueError:
+                # the strict native parser/decoder rejected it; a
+                # more tolerant ffmpeg may still decode (pre-AVI-path
+                # behavior) — without one, corrupt stands
+                if _optional_ffmpeg() is None:
+                    raise
         if _optional_ffmpeg() is not None:
             return _featurize_y4m(_ffmpeg_to_y4m(payload))
         raise NotImplementedError(
@@ -2853,10 +2885,14 @@ def sample_frames(
                             # IS the per-frame JPEG payload — sampled
                             # without decoding (decode happens where
                             # a consumer needs pixels). A non-MJPEG
-                            # AVI falls through to ffmpeg if present.
+                            # codec OR a container the strict native
+                            # parser rejects falls through to ffmpeg
+                            # when present (the pre-AVI-path route).
                             try:
-                                _w, _h, _fps, chunks = _parse_avi_mjpeg(b)
-                            except NotImplementedError:
+                                _w, _h, _fps, chunks, _n = (
+                                    _parse_avi_mjpeg(b)
+                                )
+                            except (NotImplementedError, ValueError):
                                 if _optional_ffmpeg() is None:
                                     raise
                                 _w, _h, chunks = _parse_y4m(
@@ -3183,14 +3219,16 @@ def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
                         and payload[8:12] == b"AVI "
                     ):
                         # header-only pass would suffice for w/h, but
-                        # the frame count needs the chunk walk anyway
-                        w, h, fps, frames = _parse_avi_mjpeg(
+                        # the frame count needs the chunk walk anyway;
+                        # frames are the PRIMARY video stream's only,
+                        # so duration is per-stream correct and
+                        # n_tracks counts every strh like the MP4 path
+                        w, h, fps, frames, n = _parse_avi_mjpeg(
                             payload, require_mjpeg=False
                         )
                         d = (
                             int(len(frames) * 1000 / fps) if fps else None
                         )
-                        n = 1
                     else:
                         # no magic allowlist: ISO BMFF files may lead
                         # with styp/skip/pnot/mdat/...; the box walk

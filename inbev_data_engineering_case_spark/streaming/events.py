@@ -1350,6 +1350,15 @@ def run_stream_embedding_update(
         build_embedding_sig_tables_normalized,
     )
 
+    if mode not in ("append", "replace"):
+        # the artifact twin gets this check from advance_corpus_
+        # artifacts; a typo'd mode here would otherwise silently run
+        # as append and accumulate stale rows for re-embedded docs
+        raise ValueError(
+            f"run_stream_embedding_update: mode must be 'append' or"
+            f" 'replace', got {mode!r}"
+        )
+
     spark = emb_stream.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -5639,8 +5639,8 @@ def test_avi_mjpeg_native_video_decode():
     f2 = np.roll(f0, 11, axis=0)
     payload = _avi_encode_mjpeg([f0, f1, f2], quality=92, fps=8)
 
-    w, h, fps, frames = _parse_avi_mjpeg(payload)
-    assert (w, h, len(frames)) == (32, 24, 3)
+    w, h, fps, frames, n_streams = _parse_avi_mjpeg(payload)
+    assert (w, h, len(frames), n_streams) == (32, 24, 3, 1)
     assert abs(fps - 8.0) < 1e-6
     assert all(fr[:2] == b"\xff\xd8" for fr in frames)
 
@@ -5678,10 +5678,22 @@ def test_avi_mjpeg_native_video_decode():
         _jpeg_decode(frames[0]),
     )
 
-    # foreign codec: honest capability gap, not garbage
-    xvid = payload.replace(b"vidsMJPG", b"vidsXVID", 1)
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
-        _parse_avi_mjpeg(xvid)
+    # foreign codec: honest capability gap, not garbage — including
+    # field-interlaced MJPA, whose chunks are half-height field pairs
+    for fourcc in (b"XVID", b"MJPA"):
+        foreign = payload.replace(b"vidsMJPG", b"vids" + fourcc, 1)
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            _parse_avi_mjpeg(foreign)
+
+    # avih dims are ADVISORY (capture muxers write 0) — the JPEG SOF
+    # dims are authoritative for featurization
+    import struct as _st
+
+    zeroed = bytearray(payload)
+    at = payload.index(b"avih") + 8
+    _st.pack_into("<II", zeroed, at + 32, 0, 0)
+    checksum0, feats0 = _featurize_avi_mjpeg(bytes(zeroed))
+    assert feats0 == feats and checksum0 == checksum
 
 
 def test_avi_mjpeg_through_spark_featurize_and_frame_sample(spark):
@@ -5744,3 +5756,68 @@ def test_video_metadata_covers_avi(spark):
         assert rows[rid]["meta_ok"]
         assert (rows[rid]["width"], rows[rid]["height"]) == (20, 12)
         assert rows[rid]["duration_ms"] == 1000  # 4 frames at 4 fps
+
+
+def test_avi_opendml_avix_and_multistream():
+    """OpenDML 'RIFF AVIX' extension segments are walked (frames past
+    the first segment count), and chunks of NON-primary streams are
+    excluded by their stream prefix — an audio stream raises
+    n_streams without inflating the frame count or duration."""
+    import struct
+
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _avi_encode_mjpeg,
+        _featurize_avi_mjpeg,
+        _jpeg_encode_baseline,
+        _parse_avi_mjpeg,
+    )
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(t, body):
+        return chunk(b"LIST", t + body)
+
+    frames = [np.roll(_jpeg_gradient(16, 16), k, axis=1) for k in range(2)]
+    base = _avi_encode_mjpeg(frames, quality=90, fps=4)
+
+    # append an AVIX segment carrying a third frame
+    extra = _jpeg_encode_baseline(_jpeg_gradient(16, 16), quality=90)
+    avix = chunk(
+        b"RIFF", b"AVIX" + lst(b"movi", chunk(b"00dc", extra))
+    )
+    w, h, fps, got, n = _parse_avi_mjpeg(base + avix)
+    assert len(got) == 3 and got[2] == extra
+    _checksum, feats = _featurize_avi_mjpeg(base + avix)
+    assert feats[2] == 3.0
+
+    # inject an audio strl AFTER the video strl, and an '01wb' audio
+    # chunk into movi: n_streams=2, frames still the video stream's
+    strh_aud = b"auds" + b"\x00" * 48
+    audio_strl = lst(b"strl", chunk(b"strh", strh_aud))
+    # rebuild: insert the audio strl right before the movi LIST
+    movi_at = base.index(b"movi") - 8
+    with_audio = bytearray(
+        base[:movi_at] + audio_strl + base[movi_at:]
+    )
+    struct.pack_into(  # fix the outer RIFF size
+        "<I", with_audio, 4, len(with_audio) - 8
+    )
+    # smuggle an audio data chunk into movi too
+    movi_at2 = bytes(with_audio).index(b"movi") - 8
+    movi_size = struct.unpack_from("<I", with_audio, movi_at2 + 4)[0]
+    audio_chunk = chunk(b"01wb", b"\x00" * 10)
+    insert_at = movi_at2 + 8 + movi_size
+    out = bytearray(
+        bytes(with_audio[:insert_at])
+        + audio_chunk
+        + bytes(with_audio[insert_at:])
+    )
+    struct.pack_into("<I", out, movi_at2 + 4, movi_size + len(audio_chunk))
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    w2, h2, fps2, frames2, n2 = _parse_avi_mjpeg(bytes(out))
+    assert n2 == 2 and len(frames2) == 2  # audio chunk not a "frame"
