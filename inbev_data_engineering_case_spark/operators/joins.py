@@ -185,6 +185,7 @@ def _bloom_shuffle_probe(
     num_bits: int,
     num_hashes: int,
     bank_bits: int,
+    negate: bool = False,
 ) -> DataFrame:
     """Bank-partitioned Bloom probe for bitmaps past the broadcast
     ceiling: no row of the plan ever holds the whole bitmap.
@@ -210,6 +211,13 @@ def _bloom_shuffle_probe(
     past ``num_hashes`` and raises in the regroup.
     """
     fact_cols = fact.columns
+    # NULL keys hash to NULL positions: they would left-join no bank
+    # row and trip the missing-bank guard — but a null key is simply
+    # DEFINITELY MISSING (it can never equi-match). Route them around
+    # the probe: excluded from the might side, unioned into the
+    # negated side, so the two directions partition fact exactly.
+    null_rows = fact.filter(F.col(key_col).isNull())
+    fact = fact.filter(F.col(key_col).isNotNull())
     key = F.col(f"_bloom_row.{key_col}")
     pos = [
         F.pmod(F.xxhash64(key, F.lit(i)), F.lit(num_bits))
@@ -296,11 +304,14 @@ def _bloom_shuffle_probe(
             .otherwise(F.col("_bloom_nset") == num_hashes)
             .alias("_bloom_keep"),
         )
-        .filter("_bloom_keep")
+        .filter(~F.col("_bloom_keep") if negate else F.col("_bloom_keep"))
     )
-    return verdict.select(
+    out = verdict.select(
         *[F.col(f"_bloom_row.{c}").alias(c) for c in fact_cols]
     )
+    if negate:
+        out = out.unionByName(null_rows.select(*fact_cols))
+    return out
 
 
 def bloom_might_contain(
@@ -310,6 +321,7 @@ def bloom_might_contain(
     num_bits: int,
     num_hashes: int,
     bank_bits: int | None = None,
+    negate: bool = False,
 ) -> DataFrame:
     """Rows of ``fact`` whose key MIGHT be in the Bloom — a superset of
     the true matches (false positives at the configured rate, false
@@ -340,7 +352,16 @@ def bloom_might_contain(
     silently drop true matches), and BOTH broadcast paths guard the
     bank-row count (a duplicated bank row silently merges under map
     dedup policies; on the single-bank path it would duplicate every
-    fact row)."""
+    fact row).
+
+    ``negate=True`` returns the COMPLEMENT — rows whose key is
+    DEFINITELY NOT in the set (the direction with no error at all:
+    false negatives are impossible, so a cleared row is proof) — from
+    the same single broadcast and the same codegen'd lookups. NULL
+    keys are definitely-missing by definition (they hash to no
+    positions and can never equi-match), so they ride the negated
+    side; both directions together partition ``fact`` exactly.
+    ``bloom_anti_join`` is the consumer."""
     # underscore-prefix the bloom rows' columns before joining so a
     # fact column named bank/bf/num_bits/... can't collide (ambiguous
     # reference or silent overwrite); the staging columns below share
@@ -377,7 +398,7 @@ def bloom_might_contain(
             _PROBE_MAX_BITS,
         )
         return _bloom_shuffle_probe(
-            fact, bloom, key_col, num_bits, num_hashes, bank_bits
+            fact, bloom, key_col, num_bits, num_hashes, bank_bits, negate
         )
 
     def _geometry_guard(nb, nh, bb):
@@ -528,6 +549,12 @@ def bloom_might_contain(
     cond = checks[0]
     for c in checks[1:]:
         cond = cond & c
+    # a NULL key nulls every check; settle it to False (definitely
+    # missing) so the two probe directions PARTITION fact exactly —
+    # a null filter verdict would silently drop the row from both
+    cond = F.coalesce(cond, F.lit(False))
+    if negate:
+        cond = ~cond
     return joined.filter(guard & cond).drop(*drop_cols)
 
 
@@ -566,3 +593,54 @@ def bloom_semi_join(
     return pruned.join(
         dim_keys.select(key_col), on=key_col, how="left_semi"
     )
+
+
+def bloom_anti_join(
+    fact: DataFrame,
+    drop_keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    bank_bits: int | None = None,
+) -> DataFrame:
+    """EXACT left-anti join with a Bloom pre-filter — result identical
+    to ``fact.join(drop_keys, key, "left_anti")`` (identity-tested).
+
+    The anti-side dual of ``bloom_semi_join``, with the logic
+    inverted: a row the bloom CLEARS (no bit set) is definitely not
+    in the drop set — false negatives are impossible — so it bypasses
+    the exact join entirely and goes straight to the output; only the
+    might-match superset (true drops + fp_rate · the rest) enters the
+    exact anti join, which removes the true drops and returns the
+    false positives. Null keys never match an anti join's right side,
+    and the probe's hash treats them as no-bits-set, so they ride the
+    cleared branch — same rows either way.
+
+    Why at 100 TB: decontamination and blocklist scrubs anti-join a
+    fact-scale corpus against a drop set too big to broadcast raw; a
+    typically tiny drop rate means nearly EVERY row crosses the
+    anti-join shuffle just to be kept. With the pre-filter the
+    shuffle carries only (true drops + fp_rate · clean rows) — at 1%
+    fp and a 1%-dirty corpus, ~98% of the shuffle bytes disappear for
+    one KB-scale bitmap exchange + one broadcast row.
+
+    Physical note: ``fact`` is evaluated by TWO consumers (the
+    cleared branch and the might-match branch — the same broadcast
+    bloom, opposite filter directions, partitioning fact exactly).
+    Under one action the scan simply runs twice with each direction's
+    filter pushed down; persist/localCheckpoint ``fact`` first when
+    its lineage is expensive rather than a plain scan.
+    """
+    bloom = bloom_filter_build(
+        drop_keys.select(key_col), key_col, num_bits, num_hashes, bank_bits
+    )
+    cleared = bloom_might_contain(
+        fact, bloom, key_col, num_bits, num_hashes, bank_bits, negate=True
+    )
+    might = bloom_might_contain(
+        fact, bloom, key_col, num_bits, num_hashes, bank_bits
+    )
+    survivors = might.join(
+        drop_keys.select(key_col), on=key_col, how="left_anti"
+    )
+    return cleared.unionByName(survivors)

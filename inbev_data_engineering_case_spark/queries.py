@@ -588,6 +588,52 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bloom_anti",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                             WHERE o_totalprice > 450000)
+    GROUP BY 1, 2
+    """,
+    doc="Bloom-prefiltered anti join (operators/joins.py "
+    "bloom_anti_join): the anti-side dual of q_bloom_join for "
+    "decontamination/blocklist scrubs — a row the bloom CLEARS is "
+    "definitely not in the drop set (false negatives impossible) and "
+    "bypasses the exact anti join entirely; only the might-match "
+    "superset (true drops + fp rate) crosses the shuffle, where the "
+    "exact join removes the true drops and returns the false "
+    "positives. Result IDENTICAL to the plain left-anti join "
+    "(property-tested at every bank geometry, past the broadcast "
+    "ceiling, and with NULL keys — which an anti join keeps and the "
+    "probe routes to the cleared branch); the oracle is the plain "
+    "NOT IN SQL — the bloom is transparent. Late-r10 tail debut "
+    "(family cover: q_bloom_join is the same prefilter machinery in "
+    "the semi direction, q_curate_corpus runs left-anti drop-joins — "
+    "both in-window).",
+)
+def q_bloom_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.joins import (
+        bloom_anti_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return bloom_anti_join(li, dim, "l_orderkey").groupBy(
+        "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@register(
     "q_semi_join",
     """
     SELECT c_custkey, c_name FROM customer
@@ -6655,6 +6701,14 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
         "q_embedding_incremental",
         "q_dedup_embedding",
     ),
+    # LATE-r10 DEBUT (not a demotion): the Bloom-prefiltered anti
+    # join — oracle is the plain NOT IN SQL unchanged (the prefilter
+    # is exact by construction: cleared rows are proof of absence,
+    # false positives die in the exact anti join); r11 promotion
+    # queue. Covered in-window by q_bloom_join (the identical
+    # prefilter machinery, semi direction) and q_curate_corpus
+    # (left-anti drop-joins):
+    "q_bloom_anti": ("q_bloom_join", "q_curate_corpus"),
 }
 
 for _name in _FAMILY_STAND_INS:

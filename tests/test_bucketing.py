@@ -452,3 +452,75 @@ def test_bloom_single_bank_duplicate_row_raises(spark):
         joins.bloom_might_contain(
             li, bloom.unionAll(bloom), "l_orderkey", 1 << 10, 3
         ).count()
+
+
+def test_bloom_anti_join_identity_and_partition(spark, monkeypatch):
+    """bloom_anti_join must be EXACTLY the plain left-anti join at any
+    geometry (false negatives impossible ⇒ a cleared row is proof of
+    absence; false positives die in the exact anti join), NULL keys —
+    which a left-anti always keeps — must survive on the cleared
+    branch in BOTH probe regimes, and the two probe directions must
+    PARTITION the fact exactly (cleared + might == fact, row for
+    row)."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators import joins
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+        .limit(2000)
+        .unionByName(
+            spark.createDataFrame(
+                [(None, 1.0), (None, 2.0)],
+                "l_orderkey long, l_quantity double",
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    drop = li.select("l_orderkey").filter(F.col("l_orderkey") % 5 == 0)
+
+    def k(t):  # None-safe sort key
+        return tuple((x is None, 0 if x is None else x) for x in t)
+
+    want = sorted(
+        map(tuple, li.join(drop, "l_orderkey", "left_anti").collect()),
+        key=k,
+    )
+    assert any(t[0] is None for t in want)  # nulls are kept rows
+
+    for bank_bits in (None, 64, 384):
+        got = sorted(
+            map(
+                tuple,
+                joins.bloom_anti_join(
+                    li, drop, "l_orderkey", 1 << 14, 5, bank_bits
+                ).collect(),
+            ),
+            key=k,
+        )
+        assert got == want, bank_bits
+
+    # partition property: the two directions of one probe cover fact
+    # exactly once
+    bloom = joins.bloom_filter_build(drop, "l_orderkey", 1 << 14, 5, 64)
+    might = joins.bloom_might_contain(li, bloom, "l_orderkey", 1 << 14, 5, 64)
+    cleared = joins.bloom_might_contain(
+        li, bloom, "l_orderkey", 1 << 14, 5, 64, negate=True
+    )
+    both = sorted(map(tuple, might.unionByName(cleared).collect()), key=k)
+    assert both == sorted(map(tuple, li.collect()), key=k)
+
+    # past the broadcast ceiling: same identity through the shuffle
+    # probe, nulls routed around the missing-bank guard
+    monkeypatch.setattr(joins, "_PROBE_MAX_BITS", 1 << 10)
+    got = sorted(
+        map(
+            tuple,
+            joins.bloom_anti_join(
+                li, drop, "l_orderkey", 1 << 14, 5, 64
+            ).collect(),
+        ),
+        key=k,
+    )
+    assert got == want
