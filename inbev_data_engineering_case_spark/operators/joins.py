@@ -624,13 +624,42 @@ def bloom_anti_join(
     fp and a 1%-dirty corpus, ~98% of the shuffle bytes disappear for
     one KB-scale bitmap exchange + one broadcast row.
 
-    Physical note: ``fact`` is evaluated by TWO consumers (the
-    cleared branch and the might-match branch — the same broadcast
-    bloom, opposite filter directions, partitioning fact exactly).
-    Under one action the scan simply runs twice with each direction's
-    filter pushed down; persist/localCheckpoint ``fact`` first when
-    its lineage is expensive rather than a plain scan.
+    Physical note — and a CORRECTNESS requirement: ``fact`` is
+    evaluated by TWO consumers (the cleared branch and the might-match
+    branch — the same broadcast bloom, opposite filter directions,
+    partitioning fact exactly). That partition argument assumes the
+    two evaluations see the SAME rows, i.e. deterministic lineage. A
+    nondeterministic ``fact`` (``sample()``, ``limit`` over unordered
+    input, a ``rand()``-derived filter, shuffle recomputation after
+    executor loss) can hand each branch a different row set — a row
+    then lands in both branches (duplicated) or neither (silently
+    dropped): wrong rows, not an error. Persist or localCheckpoint
+    such a ``fact`` FIRST; for deterministic lineage the double
+    evaluation is just the scan running twice with each direction's
+    filter pushed down, and persisting is only a cost call.
+
+    Past the broadcast probe ceiling (``num_bits > 2**33``) this
+    operator routes to the PLAIN left-anti join instead: the
+    bank-partitioned shuffle probe would run twice (once per
+    direction), paying up to four fact-sized exchanges to save the
+    single fact shuffle of the join it wraps — strictly worse. The
+    semi dual keeps its shuffle-probe fallback because it probes
+    once.
     """
+    if num_bits > _PROBE_MAX_BITS:
+        _log.warning(
+            "bloom_anti_join: num_bits=%d past the broadcastable probe"
+            " ceiling (%d bits) — the shuffle-probe fallback would run"
+            " once per direction and cost more exchanges than the plain"
+            " left-anti join it prefilters; routing to the plain"
+            " left-anti join. Shrink num_bits to restore the prefilter"
+            " (a higher fp rate costs throughput, never correctness)",
+            num_bits,
+            _PROBE_MAX_BITS,
+        )
+        return fact.join(
+            drop_keys.select(key_col), on=key_col, how="left_anti"
+        )
     bloom = bloom_filter_build(
         drop_keys.select(key_col), key_col, num_bits, num_hashes, bank_bits
     )

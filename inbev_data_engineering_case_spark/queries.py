@@ -594,8 +594,9 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_rows,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
     FROM lineitem
-    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
-                             WHERE o_totalprice > 450000)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_orderkey = l_orderkey
+                        AND o_totalprice > 450000)
     GROUP BY 1, 2
     """,
     doc="Bloom-prefiltered anti join (operators/joins.py "
@@ -609,7 +610,12 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(property-tested at every bank geometry, past the broadcast "
     "ceiling, and with NULL keys — which an anti join keeps and the "
     "probe routes to the cleared branch); the oracle is the plain "
-    "NOT IN SQL — the bloom is transparent. Late-r10 tail debut "
+    "NOT EXISTS SQL — the bloom is transparent. NOT EXISTS, not NOT "
+    "IN: only the former matches left-anti semantics on nullable "
+    "keys (NOT IN drops NULL-key rows and returns zero rows if the "
+    "subquery yields a NULL; harmless on TPC-H's non-null orderkeys, "
+    "wrong as a reusable pattern for the operator's advertised "
+    "NULL-key identity). Late-r10 tail debut "
     "(family cover: q_bloom_join is the same prefilter machinery in "
     "the semi direction, q_curate_corpus runs left-anti drop-joins — "
     "both in-window).",

@@ -511,16 +511,28 @@ def test_bloom_anti_join_identity_and_partition(spark, monkeypatch):
     both = sorted(map(tuple, might.unionByName(cleared).collect()), key=k)
     assert both == sorted(map(tuple, li.collect()), key=k)
 
-    # past the broadcast ceiling: same identity through the shuffle
-    # probe, nulls routed around the missing-bank guard
+    # past the broadcast ceiling the anti join routes to the PLAIN
+    # left-anti (a twice-run shuffle probe would out-cost the join it
+    # prefilters): identity must hold and the plan must contain no
+    # bloom probe machinery at all
     monkeypatch.setattr(joins, "_PROBE_MAX_BITS", 1 << 10)
-    got = sorted(
-        map(
-            tuple,
-            joins.bloom_anti_join(
-                li, drop, "l_orderkey", 1 << 14, 5, 64
-            ).collect(),
-        ),
-        key=k,
-    )
+    past = joins.bloom_anti_join(li, drop, "l_orderkey", 1 << 14, 5, 64)
+    got = sorted(map(tuple, past.collect()), key=k)
     assert got == want
+    plan = past._jdf.queryExecution().executedPlan().toString()
+    assert "_bloom_" not in plan
+
+    # the negate shuffle probe itself (reachable via bloom_might_contain
+    # direct callers past the ceiling) still partitions fact exactly,
+    # nulls routed around the missing-bank guard onto the cleared side
+    might_p = joins.bloom_might_contain(
+        li, bloom, "l_orderkey", 1 << 14, 5, 64
+    )
+    cleared_p = joins.bloom_might_contain(
+        li, bloom, "l_orderkey", 1 << 14, 5, 64, negate=True
+    )
+    both_p = sorted(
+        map(tuple, might_p.unionByName(cleared_p).collect()), key=k
+    )
+    assert both_p == sorted(map(tuple, li.collect()), key=k)
+    assert any(t[0] is None for t in map(tuple, cleared_p.collect()))
