@@ -3,7 +3,9 @@ columns with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema, partitioning,
 UDF signature, batch shape. Decoding is REAL for every format the stdlib
-can express: WAV (``wave``), BMP/binary-PNM (``struct``+numpy), PNG
+can express: WAV (``wave``), FLAC (``operators/flac.py`` — native
+RFC 9639: fixed/LPC prediction, Rice partitions, stereo
+decorrelation, CRC + MD5 verification), BMP/binary-PNM (``struct``+numpy), PNG
 (``zlib`` inflate + scanline unfiltering), GIF (87a/89a LZW + interlace),
 baseline-sequential AND progressive JPEG (native huffman+IDCT decoder,
 ``_jpeg_decode`` — SOF0/SOF1/SOF2, together the overwhelming majority
@@ -2370,9 +2372,14 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
     """REAL decoders built from the stdlib, so the mapInPandas plumbing is
     exercised end-to-end by genuine decoding (not the deterministic fake):
 
-    - ``audio/wav``: parsed with ``wave`` — feature = [duration_s,
-      framerate, n_channels, mean |amplitude|] over the decoded PCM frames,
-      checksum = crc32 of the raw frames.
+    - ``audio/*``: dispatched on the payload magic — WAV parses with
+      ``wave``, FLAC decodes natively (``operators/flac.py``, full
+      RFC 9639: fixed/LPC prediction, Rice partitions, stereo
+      decorrelation, CRC + MD5 verification); feature = [duration_s,
+      framerate, n_channels, mean |amplitude|] over the decoded PCM
+      frames, checksum = crc32 of the interleaved little-endian PCM
+      (a WAV and a FLAC of the same PCM fingerprint identically).
+      Other audio codecs (mp3/ogg/opus/aac) raise → ``decoder_gap``.
     - ``image/*``: BMP (BI_RGB 8/24/32bpp), binary PNM (P5/P6), PNG
       (8-bit non-interlaced, zlib inflate + full unfilter), GIF
       (87a/89a LZW, interlace, palette expansion), baseline JPEG
@@ -2393,7 +2400,24 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
     """
     import zlib
 
-    if media_type in ("audio/wav", "audio/x-wav"):
+    if media_type.partition("/")[0] == "audio":
+        # magic dispatch, like images: a mislabeled subtype still
+        # decodes, an unrecognized audio container is a decoder_gap
+        # (mp3/ogg/opus/aac need a codec library), and a recognized
+        # container that fails to parse stays `corrupt`
+        if payload[:4] == b"fLaC":
+            from inbev_data_engineering_case_spark.operators.flac import (
+                featurize_flac,
+            )
+
+            return featurize_flac(payload)
+        if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+            raise NotImplementedError(
+                "audio codec decoding beyond WAV and FLAC requires a "
+                "codec library the capability probes did not find; WAV "
+                "(stdlib wave) and FLAC (operators/flac.py, full RFC "
+                "9639) decode natively."
+            )
         import io
         import wave
 
@@ -2776,6 +2800,31 @@ def _resize_wav(payload: bytes, target_bytes: int) -> bytes:
     return buf.getvalue()
 
 
+def _resize_flac(payload: bytes, target_bytes: int) -> bytes:
+    """The ``_resize_wav`` rule for FLAC: decimate PCM frames by the
+    smallest integer factor that fits the DECODED frames under the
+    byte budget (compressed output lands below it), divide the sample
+    rate by the same factor so duration is preserved, re-encode FLAC
+    (fixed order 1 — the re-encode is real, not a container rewrite)."""
+    from inbev_data_engineering_case_spark.operators.flac import (
+        flac_decode,
+        flac_encode,
+    )
+
+    rate, nch, bps, samples = flac_decode(payload)
+    frame_size = nch * ((bps + 7) // 8)
+    n_frames = samples.shape[0]
+    k = max(1, -(-n_frames * frame_size // max(1, target_bytes)))
+    return flac_encode(
+        samples[::k],
+        max(1, rate // k),
+        bps=bps,
+        block_size=max(16, min(4096, len(samples[::k]) or 16)),
+        subframe="fixed",
+        fixed_order=1,
+    )
+
+
 def resize_assets(
     assets: DataFrame,
     target_bytes: int = 64,
@@ -2786,8 +2835,9 @@ def resize_assets(
     the ``decode_ok``/``error`` dead-letter columns out). The real branch
     decodes → resamples → re-encodes with the stdlib decoders: images
     (BMP/PNM/PNG) are nearest-neighbor downsampled and re-encoded as
-    binary PNM (media_type updated to match), WAV audio is frame-decimated
-    with duration preserved. Opaque binary — and everything under the
+    binary PNM (media_type updated to match), WAV and FLAC audio are
+    frame-decimated with duration preserved (FLAC re-encodes through
+    the native encoder). Opaque binary — and everything under the
     default stub — truncates / zero-pads to ``target_bytes``:
     deterministic, and it exercises the exact production plumbing either
     way (binary in, binary out, metadata recomputed from the new payload).
@@ -2808,6 +2858,12 @@ def resize_assets(
                 try:
                     if real_decoder and kind == "image":
                         resized, mtype = _resize_image(b, target_bytes)
+                    elif (
+                        real_decoder
+                        and kind == "audio"
+                        and b[:4] == b"fLaC"
+                    ):
+                        resized = _resize_flac(b, target_bytes)
                     elif real_decoder and media_type in (
                         "audio/wav",
                         "audio/x-wav",

@@ -1,0 +1,392 @@
+"""FLAC codec tests: round-trips across every subframe/stereo/residual
+path, a hand-built stream pinning decoder paths the fixture encoder
+does not emit (variable blocking, table-coded block size / sample
+rate, end-of-header rate forms), independent CRC implementations,
+corruption → ValueError, and the mapInPandas integration (WAV and
+FLAC of the same PCM fingerprint identically; non-WAV/FLAC audio is a
+decoder_gap, a recognized-but-broken container is corrupt)."""
+
+import hashlib
+import io
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from inbev_data_engineering_case_spark.operators import flac
+
+
+def _pcm(n=2000, seed=7, scale=300):
+    rng = np.random.default_rng(seed)
+    p = np.cumsum(rng.integers(-scale, scale, size=n)).astype(np.int64)
+    return np.clip(p, -32768, 32767).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# round trips
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "subframe,kwargs",
+    [
+        ("verbatim", {}),
+        ("fixed", {"fixed_order": 0}),
+        ("fixed", {"fixed_order": 1}),
+        ("fixed", {"fixed_order": 2, "partition_order": 2}),
+        ("fixed", {"fixed_order": 3}),
+        ("fixed", {"fixed_order": 4, "partition_order": 1}),
+        ("fixed", {"fixed_order": 2, "rice2": True}),
+        ("fixed", {"fixed_order": 2, "force_escape": True}),
+        ("lpc", {"lpc": ([31, -14], 4, 6)}),
+        ("lpc", {"lpc": ([16], 4, 6), "partition_order": 2}),
+        ("lpc", {"lpc": ([25, -12, 3, -1], 5, 7)}),
+    ],
+)
+def test_flac_round_trip_mono(subframe, kwargs):
+    pcm = _pcm(1500)
+    enc = flac.flac_encode(
+        pcm, 8000, bps=16, block_size=512, subframe=subframe, **kwargs
+    )
+    rate, nch, bps, dec = flac.flac_decode(enc)
+    assert (rate, nch, bps) == (8000, 1, 16)
+    assert np.array_equal(dec[:, 0], pcm)
+    # genuine compression on the predictive paths (not a raw rewrap)
+    if subframe != "verbatim" and not kwargs.get("force_escape"):
+        assert len(enc) < pcm.nbytes
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_flac_round_trip_stereo_decorrelation(mode):
+    left = _pcm(1000, seed=1)
+    right = _pcm(1000, seed=2, scale=80)
+    st = np.stack([left, right], axis=1)
+    enc = flac.flac_encode(
+        st, 44100, bps=16, block_size=256, stereo_mode=mode,
+        subframe="fixed", fixed_order=2,
+    )
+    rate, nch, bps, dec = flac.flac_decode(enc)
+    assert (rate, nch, bps) == (44100, 2, 16)
+    assert np.array_equal(dec, st)
+
+
+@pytest.mark.parametrize("bps", [8, 12, 16, 20, 24, 32])
+def test_flac_round_trip_bit_depths(bps):
+    base = _pcm(600).astype(np.int64)
+    pcm = (base * ((1 << (bps - 1)) - 1) // 32768).astype(np.int64)
+    enc = flac.flac_encode(pcm, 16000, bps=bps, block_size=200)
+    rate, nch, got_bps, dec = flac.flac_decode(enc)
+    assert got_bps == bps
+    assert np.array_equal(dec[:, 0].astype(np.int64), pcm)
+
+
+def test_flac_constant_wasted_and_short_final_block():
+    flat = np.full(700, -123, dtype=np.int32)  # 700 % 256 != 0
+    enc = flac.flac_encode(flat, 8000, block_size=256, subframe="auto")
+    assert np.array_equal(flac.flac_decode(enc)[3][:, 0], flat)
+    assert len(enc) < 150  # constant subframes: bytes per frame, not per sample
+
+    w = (_pcm(512) // 8) * 8  # 3 guaranteed-zero low bits
+    enc_w = flac.flac_encode(
+        w, 8000, block_size=256, subframe="fixed", wasted_bits=3
+    )
+    enc_plain = flac.flac_encode(w, 8000, block_size=256, subframe="fixed")
+    assert np.array_equal(flac.flac_decode(enc_w)[3][:, 0], w)
+    assert len(enc_w) < len(enc_plain)  # wasted-bit signalling pays
+
+
+def test_flac_empty_first_partition():
+    # partition order that leaves the first partition exactly empty
+    # (block 256 >> 3 = 32 samples/partition == lpc order 32)
+    pcm = _pcm(256)
+    enc = flac.flac_encode(
+        pcm, 8000, block_size=256, subframe="lpc",
+        lpc=([1] * 32, 5, 4), partition_order=3,
+    )
+    assert np.array_equal(flac.flac_decode(enc)[3][:, 0], pcm)
+
+
+# ---------------------------------------------------------------------------
+# independent CRC implementations + MD5 cross-check
+# ---------------------------------------------------------------------------
+
+
+def _crc_bitwise(data: bytes, poly: int, width: int) -> int:
+    reg, top, mask = 0, 1 << (width - 1), (1 << width) - 1
+    for byte in data:
+        for i in range(7, -1, -1):
+            bit = (byte >> i) & 1
+            fb = ((reg >> (width - 1)) & 1) ^ bit
+            reg = ((reg << 1) & mask) ^ (poly if fb else 0)
+    return reg
+
+
+def test_flac_crc_tables_match_bitwise_definition():
+    for data in (b"", b"\x00", b"flac", bytes(range(256))):
+        assert flac._crc8(data) == _crc_bitwise(data, 0x07, 8)
+        assert flac._crc16(data) == _crc_bitwise(data, 0x8005, 16)
+
+
+def test_flac_md5_is_over_original_pcm():
+    # the encoder writes MD5 of the INPUT PCM; the decoder recomputes
+    # over its OUTPUT — so every green round trip is cross-checked by
+    # a hash path that never goes through the decoder
+    pcm = _pcm(300)
+    enc = flac.flac_encode(pcm, 8000, block_size=100)
+    assert enc[4 + 4 + 18:4 + 4 + 34] == hashlib.md5(
+        pcm.astype("<i2").tobytes()
+    ).digest()
+    flac.flac_decode(enc)  # green = decoder PCM matched that digest
+
+
+# ---------------------------------------------------------------------------
+# hand-built stream: decoder paths the fixture encoder never emits
+# ---------------------------------------------------------------------------
+
+
+def _hand_frame(sr_code, sr_extra_bits, blocking, coded_number_bytes,
+                bs_code=1, block=None, rate=44100):
+    """One constant-subframe frame with caller-chosen header codes."""
+    w = flac._BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 1)
+    w.write(blocking, 1)
+    w.write(bs_code, 4)
+    w.write(sr_code, 4)
+    w.write(0, 4)  # mono
+    w.write(4, 3)  # 16-bit
+    w.write(0, 1)
+    for b in coded_number_bytes:
+        w.write(b, 8)
+    if sr_extra_bits is not None:
+        w.write(*sr_extra_bits)
+    head = w.bytes()
+    w.write(flac._crc8(head), 8)
+    w.write(0, 1)
+    w.write(0, 6)  # CONSTANT
+    w.write(0, 1)  # no wasted bits
+    w.write(42, 16)
+    w.align()
+    w.write(flac._crc16(w.bytes()), 16)
+    return w.bytes()
+
+
+def _hand_stream(frame, rate=44100, total=192):
+    h = flac._BitWriter()
+    h.write(192, 16)
+    h.write(192, 16)
+    h.write(0, 24)
+    h.write(0, 24)
+    h.write(rate, 20)
+    h.write(0, 3)
+    h.write(15, 5)
+    h.write(total, 36)
+    si = h.bytes() + b"\x00" * 16  # all-zero MD5 = no check
+    return b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si + frame
+
+
+@pytest.mark.parametrize(
+    "sr_code,extra,rate",
+    [
+        (9, None, 44100),            # table-coded rate
+        (12, (44, 8), 44000),        # 8-bit kHz form
+        (13, (44100, 16), 44100),    # 16-bit Hz form
+        (14, (4410, 16), 44100),     # 16-bit Hz/10 form
+    ],
+)
+def test_flac_hand_built_header_rate_forms(sr_code, extra, rate):
+    # variable blocking (sample number 0), block size from the code
+    # table (code 1 = 192) — neither is emitted by the encoder
+    frame = _hand_frame(sr_code, extra, blocking=1,
+                        coded_number_bytes=[0], rate=rate)
+    got_rate, nch, bps, dec = flac.flac_decode(_hand_stream(frame, rate))
+    assert got_rate == rate
+    assert dec.shape == (192, 1)
+    assert set(dec[:, 0].tolist()) == {42}
+
+
+def test_flac_hand_built_multibyte_coded_number():
+    # a 2-byte coded sample number (value 128) — the UTF-8-style form
+    frame = _hand_frame(9, None, blocking=1,
+                        coded_number_bytes=[0xC2, 0x80])
+    assert flac.flac_decode(_hand_stream(frame)).__len__() == 4
+    # and the encoder's own coded numbers agree with the decoder at
+    # every byte-length boundary
+    for v in (0, 127, 128, 2047, 2048, 65535, 1 << 20, (1 << 31) - 1,
+              (1 << 36) - 1):
+        bits = flac._Bits(flac._coded_number(v))
+        assert flac._read_coded_number(bits, 7) == v
+
+
+# ---------------------------------------------------------------------------
+# corruption → ValueError (the `corrupt` dead-letter reason)
+# ---------------------------------------------------------------------------
+
+
+def test_flac_corruption_raises_value_error():
+    pcm = _pcm(400)
+    enc = bytearray(flac.flac_encode(pcm, 8000, block_size=200))
+    with pytest.raises(ValueError, match="fLaC"):
+        flac.flac_decode(b"fLaX" + bytes(enc[4:]))
+    # flip a bit deep in the entropy region → CRC-16 catches it
+    broken = bytearray(enc)
+    broken[-40] ^= 0x10
+    with pytest.raises(ValueError, match="flac"):
+        flac.flac_decode(bytes(broken))
+    # flip the STREAMINFO MD5 → decoded PCM fails the digest
+    md5_off = 4 + 4 + 18
+    broken = bytearray(enc)
+    broken[md5_off] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        flac.flac_decode(bytes(broken))
+    # truncation inside a frame
+    with pytest.raises(ValueError, match="truncated|lost|promised"):
+        flac.flac_decode(bytes(enc[:-30]))
+    # header CRC-8
+    broken = bytearray(enc)
+    si_end = 4 + 4 + 34
+    broken[si_end + 2] ^= 0x01  # inside the first frame header
+    with pytest.raises(ValueError):
+        flac.flac_decode(bytes(broken))
+
+
+def test_flac_reserved_codes_raise():
+    frame = _hand_frame(15, None, blocking=0, coded_number_bytes=[0])
+    with pytest.raises(ValueError, match="sample rate code"):
+        flac.flac_decode(_hand_stream(frame))
+    frame = _hand_frame(9, None, blocking=0, coded_number_bytes=[0],
+                        bs_code=0)
+    with pytest.raises(ValueError, match="block size code"):
+        flac.flac_decode(_hand_stream(frame))
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas integration
+# ---------------------------------------------------------------------------
+
+
+def test_flac_decode_features_integration(spark):
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    pcm = _pcm(1600, seed=3)
+    fl = flac.flac_encode(pcm, 8000, bps=16, block_size=512)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    wav = buf.getvalue()
+    assert len(fl) < len(wav)  # the compression is real
+
+    mp3ish = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb" * 40
+    bad_wav = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVEjunkjunk"
+    assets = spark.createDataFrame(
+        [
+            (1, "audio/flac", fl, {"n_bytes": len(fl), "source": "t"}),
+            (2, "audio/wav", wav, {"n_bytes": len(wav), "source": "t"}),
+            (3, "audio/wav", fl, {"n_bytes": len(fl), "source": "t"}),
+            (4, "audio/mpeg", mp3ish,
+             {"n_bytes": len(mp3ish), "source": "t"}),
+            (5, "audio/wav", bad_wav,
+             {"n_bytes": len(bad_wav), "source": "t"}),
+        ],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    out = {
+        r["asset_id"]: r
+        for r in decode_features(assets, real_decoder=True).collect()
+    }
+    # one PCM, two containers, ONE fingerprint + feature vector
+    assert out[1]["checksum"] == out[2]["checksum"]
+    assert out[1]["checksum"] == zlib.crc32(
+        pcm.astype("<i2").tobytes()
+    ) % 1_000_003
+    assert out[1]["feature"] == out[2]["feature"]
+    assert out[1]["feature"][:3] == [0.2, 8000.0, 1.0]
+    # magic dispatch: FLAC mislabeled as wav still decodes
+    assert out[3]["checksum"] == out[1]["checksum"]
+    # mp3: honestly a decoder gap; broken WAV container: corrupt
+    assert not out[4]["decode_ok"] and out[4]["reason"] == "decoder_gap"
+    assert not out[5]["decode_ok"] and out[5]["reason"] == "corrupt"
+
+
+def test_flac_resize_assets_decimates(spark):
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        resize_assets,
+    )
+
+    pcm = _pcm(4000, seed=5)
+    fl = flac.flac_encode(pcm, 8000, bps=16, block_size=1024)
+    assets = spark.createDataFrame(
+        [(1, "audio/flac", fl, {"n_bytes": len(fl), "source": "t"})],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    row = resize_assets(
+        assets, target_bytes=2000, real_decoder=True
+    ).collect()[0]
+    assert row["decode_ok"]
+    rate, nch, bps, dec = flac.flac_decode(bytes(row["payload"]))
+    k = -(-4000 * 2 // 2000)  # the decimation factor the rule picks
+    assert rate == 8000 // k
+    assert np.array_equal(dec[:, 0], pcm[::k])  # decimated, not resampled
+    # duration preserved: n/k samples at rate/k
+    assert abs(dec.shape[0] / rate - 4000 / 8000) < 0.01
+
+
+def test_flac_round_trip_fuzz():
+    """Encoder(fixture)→decoder(engine) under hypothesis: any PCM, any
+    subframe/stereo/partition/rice knob combination must decode back
+    bit-exactly — and every green example is independently cross-checked
+    by the STREAMINFO MD5 (computed from the input, verified against
+    the output)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        nch = data.draw(st.integers(1, 2))
+        n = data.draw(st.integers(16, 400))
+        bps = data.draw(st.sampled_from([8, 12, 16]))
+        hi = (1 << (bps - 1)) - 1
+        flat = data.draw(
+            st.lists(st.integers(-hi - 1, hi), min_size=n * nch,
+                     max_size=n * nch)
+        )
+        arr = np.array(flat, dtype=np.int64).reshape(n, nch)
+        block = data.draw(st.sampled_from([16, 64, 192, 256]))
+        mode = (
+            data.draw(st.sampled_from(
+                ["independent", "left_side", "right_side", "mid_side"]
+            ))
+            if nch == 2
+            else "independent"
+        )
+        sub = data.draw(st.sampled_from(["auto", "verbatim", "fixed"]))
+        kwargs = {}
+        if sub == "fixed":
+            kwargs["fixed_order"] = data.draw(st.integers(0, 4))
+            # a partition order the block divides (first partition may
+            # be small but the encoder raises if order exceeds it)
+            porder = data.draw(st.sampled_from([0, 1, 2]))
+            if (block >> porder) > kwargs["fixed_order"]:
+                kwargs["partition_order"] = porder
+            kwargs["rice2"] = data.draw(st.booleans())
+            kwargs["force_escape"] = data.draw(st.booleans())
+        enc = flac.flac_encode(
+            arr, 8000, bps=bps, block_size=block, stereo_mode=mode,
+            subframe=sub, **kwargs
+        )
+        rate, got_nch, got_bps, dec = flac.flac_decode(enc)
+        assert (rate, got_nch, got_bps) == (8000, nch, bps)
+        assert np.array_equal(dec.astype(np.int64), arr)
+
+    check()
