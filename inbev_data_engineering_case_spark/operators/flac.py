@@ -231,6 +231,13 @@ def _read_subframe(bits: _Bits, block_size: int, bps: int) -> list[int]:
     eff = bps - wasted
     if eff <= 0:
         raise ValueError("flac: wasted bits exceed sample size")
+    # every reconstructed sample of a conformant stream fits the
+    # subframe's bit depth — enforcing that per sample is ALSO the
+    # resource bound: without it, a crafted CRC-valid LPC subframe
+    # (large coefficient, zero residuals) grows samples exponentially
+    # and a KB-scale payload costs GBs of big-int memory before any
+    # later check runs — an executor OOM, not a catchable dead-letter
+    lo, hi = -(1 << (eff - 1)), (1 << (eff - 1)) - 1
     if stype == 0:  # CONSTANT
         v = bits.signed(eff)
         samples = [v] * block_size
@@ -247,7 +254,12 @@ def _read_subframe(bits: _Bits, block_size: int, bps: int) -> list[int]:
             pred = sum(
                 c * samples[-1 - j] for j, c in enumerate(coef)
             )
-            samples.append(r + pred)
+            s = r + pred
+            if s < lo or s > hi:
+                raise ValueError(
+                    "flac: predicted sample exceeds the bit depth"
+                )
+            samples.append(s)
     elif stype >= 32:  # LPC, order 1-32
         order = (stype & 31) + 1
         if order > block_size:
@@ -263,7 +275,12 @@ def _read_subframe(bits: _Bits, block_size: int, bps: int) -> list[int]:
         resid = _read_residual(bits, block_size, order)
         for r in resid:
             acc = sum(c * samples[-1 - j] for j, c in enumerate(coef))
-            samples.append(r + (acc >> shift))
+            s = r + (acc >> shift)
+            if s < lo or s > hi:
+                raise ValueError(
+                    "flac: predicted sample exceeds the bit depth"
+                )
+            samples.append(s)
     else:
         raise ValueError("flac: reserved subframe type %d" % stype)
     if wasted:
@@ -277,6 +294,14 @@ def flac_decode(payload: bytes):
     ``(n_samples, n_channels)``. Malformed input raises ``ValueError``
     (→ the ``corrupt`` dead-letter reason); there is no capability
     gate — every RFC 9639 stream decodes."""
+    return _flac_decode_full(payload, want_pcm=False)[:4]
+
+
+def _flac_decode_full(payload: bytes, want_pcm: bool):
+    """``flac_decode`` plus the interleaved little-endian PCM bytes —
+    serialized at most ONCE (the MD5 check needs them anyway when the
+    STREAMINFO digest is populated; ``featurize_flac`` reuses that
+    buffer for the crc32 fingerprint instead of a second full pass)."""
     if payload[:4] != b"fLaC":
         raise ValueError("flac: missing fLaC marker")
     pos = 4
@@ -416,10 +441,14 @@ def flac_decode(payload: bytes):
     out = np.empty((n_decoded, nch), dtype=dtype)
     for ch in range(nch):
         out[:, ch] = channels[ch]
+    pcm = None
     if md5 != b"\x00" * 16:
-        if hashlib.md5(_pcm_bytes(out, bps)).digest() != md5:
+        pcm = _pcm_bytes(out, bps)
+        if hashlib.md5(pcm).digest() != md5:
             raise ValueError("flac: decoded PCM fails the STREAMINFO MD5")
-    return rate, nch, bps, out
+    if want_pcm and pcm is None:
+        pcm = _pcm_bytes(out, bps)
+    return rate, nch, bps, out, pcm
 
 
 def _pcm_bytes(samples: np.ndarray, bps: int) -> bytes:
@@ -444,8 +473,7 @@ def featurize_flac(payload: bytes):
     of the interleaved little-endian PCM (a WAV and a FLAC encoding of
     the same PCM fingerprint identically), features = [duration_s,
     sample_rate, n_channels, mean |amplitude|]."""
-    rate, nch, _bps, samples = flac_decode(payload)
-    pcm = _pcm_bytes(samples, _bps)
+    rate, nch, _bps, samples, pcm = _flac_decode_full(payload, want_pcm=True)
     checksum = zlib.crc32(pcm) % 1_000_003
     mean_abs = (
         float(np.abs(samples.astype(np.int64)).mean())
@@ -543,7 +571,12 @@ def _write_residual(
             (v if v >= 0 else ~v).bit_length() + 1 for v in chunk
         ) if chunk else 0
         if raw > 31:
-            raise ValueError("flac encoder: residual exceeds 31 raw bits")
+            # the escape form caps at 31 raw bits and Rice quotients of
+            # 2**31-scale residuals would emit GB of unary — refuse and
+            # let _write_subframe's verbatim fallback handle the block
+            raise ValueError(
+                "flac encoder: residuals exceed 31 bits; encode verbatim"
+            )
         best_k, best_cost = 0, _rice_cost(chunk, 0)
         for k in range(1, escape):
             cost = _rice_cost(chunk, k)
@@ -600,16 +633,30 @@ def _write_subframe(
         return
     if subframe in ("fixed", "auto"):
         order = min(fixed_order, block_size)
-        w.write(8 | order, 6)
-        _wasted(w, wasted_bits)
-        for s in samples[:order]:
-            w.write(s, bps)
         coef = _FIXED_COEF[order]
         resid = [
             samples[i]
             - sum(c * samples[i - 1 - j] for j, c in enumerate(coef))
             for i in range(order, block_size)
         ]
+        widest = max(
+            ((v if v >= 0 else ~v).bit_length() + 1 for v in resid),
+            default=0,
+        )
+        if widest > 31:
+            # loud high-bit-depth content: differencing widens rather
+            # than narrows, Rice/escape can't carry it — fall back to
+            # verbatim (a real encoder's cheapest-subframe choice),
+            # bounded and bit-exact
+            w.write(1, 6)
+            _wasted(w, wasted_bits)
+            for s in samples:
+                w.write(s, bps)
+            return
+        w.write(8 | order, 6)
+        _wasted(w, wasted_bits)
+        for s in samples[:order]:
+            w.write(s, bps)
         _write_residual(
             w, resid, order, block_size, partition_order, rice2,
             force_escape,

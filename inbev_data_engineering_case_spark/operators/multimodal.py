@@ -2429,14 +2429,39 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             framerate = w.getframerate()
             n_frames = w.getnframes()
             frames = w.readframes(n_frames)
-        checksum = zlib.crc32(frames) % 1_000_003
-        if sampwidth == 2 and frames:
+        # canonicalize to SIGNED little-endian PCM before
+        # fingerprinting so a WAV and a FLAC of the same audio hash
+        # identically at EVERY bit depth: WAV stores 8-bit unsigned
+        # (offset 128) while 16/24/32-bit are already signed LE
+        if sampwidth == 1 and frames:
+            samples = (
+                np.frombuffer(frames, dtype=np.uint8).astype(np.int16)
+                - 128
+            )
+            canon = samples.astype("i1").tobytes()
+        elif sampwidth == 2 and frames:
             samples = np.frombuffer(frames, dtype="<i2")
-            mean_abs = float(np.abs(samples.astype(np.int64)).mean())
-        elif frames:
-            mean_abs = float(np.frombuffer(frames, dtype=np.uint8).mean())
+            canon = frames
+        elif sampwidth == 3 and frames:
+            b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
+            u = (
+                b[:, 0].astype(np.int64)
+                | (b[:, 1].astype(np.int64) << 8)
+                | (b[:, 2].astype(np.int64) << 16)
+            )
+            samples = (u ^ 0x800000) - 0x800000
+            canon = frames
+        elif sampwidth == 4 and frames:
+            samples = np.frombuffer(frames, dtype="<i4")
+            canon = frames
         else:
-            mean_abs = 0.0
+            samples, canon = np.zeros(0, dtype=np.int64), frames
+        checksum = zlib.crc32(canon) % 1_000_003
+        mean_abs = (
+            float(np.abs(samples.astype(np.int64)).mean())
+            if samples.size
+            else 0.0
+        )
         duration = n_frames / framerate if framerate else 0.0
         return checksum, [duration, float(framerate), float(nch), mean_abs]
     if media_type.partition("/")[0] == "image":
@@ -2774,10 +2799,23 @@ def _resize_image(payload: bytes, target_bytes: int) -> tuple[bytes, str]:
     return _encode_pnm(np.ascontiguousarray(pixels[ys][:, xs]))
 
 
+def _decimated_rate(framerate: int, n_frames: int, n_kept: int) -> int:
+    """New sample rate after keeping ``n_kept`` of ``n_frames`` frames,
+    ROUNDED so duration is preserved to the nearest representable
+    integer rate — ``framerate // k`` floors to 1 under aggressive
+    decimation (k > rate) and then reports arbitrarily wrong durations
+    (32 samples at 1 Hz = '32 s' for a 20 s clip)."""
+    if n_frames <= 0 or n_kept <= 0:
+        return max(1, framerate)
+    return max(1, (n_kept * framerate + n_frames // 2) // n_frames)
+
+
 def _resize_wav(payload: bytes, target_bytes: int) -> bytes:
     """Real audio downsample: decimate PCM frames by the smallest integer
     factor that fits ``target_bytes``, writing the frame rate down by the
-    same factor so duration is preserved. Stdlib ``wave`` both ways."""
+    same factor so duration is preserved (to integer-rate rounding under
+    aggressive decimation — ``_decimated_rate``). Stdlib ``wave`` both
+    ways."""
     import io
     import wave
 
@@ -2795,7 +2833,9 @@ def _resize_wav(payload: bytes, target_bytes: int) -> bytes:
     with wave.open(buf, "wb") as wout:
         wout.setnchannels(nch)
         wout.setsampwidth(sampwidth)
-        wout.setframerate(max(1, framerate // k))
+        wout.setframerate(
+            _decimated_rate(framerate, n_frames, len(kept) // frame_size)
+        )
         wout.writeframes(kept)
     return buf.getvalue()
 
@@ -2815,11 +2855,12 @@ def _resize_flac(payload: bytes, target_bytes: int) -> bytes:
     frame_size = nch * ((bps + 7) // 8)
     n_frames = samples.shape[0]
     k = max(1, -(-n_frames * frame_size // max(1, target_bytes)))
+    kept = samples[::k]
     return flac_encode(
-        samples[::k],
-        max(1, rate // k),
+        kept,
+        _decimated_rate(rate, n_frames, kept.shape[0]),
         bps=bps,
-        block_size=max(16, min(4096, len(samples[::k]) or 16)),
+        block_size=max(16, min(4096, kept.shape[0] or 16)),
         subframe="fixed",
         fixed_order=1,
     )
@@ -2858,17 +2899,22 @@ def resize_assets(
                 try:
                     if real_decoder and kind == "image":
                         resized, mtype = _resize_image(b, target_bytes)
-                    elif (
-                        real_decoder
-                        and kind == "audio"
-                        and b[:4] == b"fLaC"
-                    ):
-                        resized = _resize_flac(b, target_bytes)
-                    elif real_decoder and media_type in (
-                        "audio/wav",
-                        "audio/x-wav",
-                    ):
-                        resized = _resize_wav(b, target_bytes)
+                    elif real_decoder and kind == "audio":
+                        # magic dispatch, matching decode_features: a
+                        # mislabeled WAV/FLAC still resizes for real;
+                        # an unrecognized audio container dead-letters
+                        # honestly instead of being silently truncated
+                        # to garbage with decode_ok=true
+                        if b[:4] == b"fLaC":
+                            resized = _resize_flac(b, target_bytes)
+                        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                            resized = _resize_wav(b, target_bytes)
+                        else:
+                            raise NotImplementedError(
+                                "audio codec resize beyond WAV and FLAC "
+                                "requires a codec library the capability "
+                                "probes did not find"
+                            )
                     else:
                         resized = b[:target_bytes].ljust(target_bytes, b"\0")
                 except Exception as e:  # noqa: BLE001 — dead-letter path

@@ -120,7 +120,11 @@ _EXT_MEDIA_TYPES = {
     "ppm": "image/x-portable-pixmap",
     "pgm": "image/x-portable-graymap",
     "wav": "audio/wav",
+    "flac": "audio/flac",
+    "gif": "image/gif",
+    "webp": "image/webp",
     "y4m": "video/x-y4m",
+    "avi": "video/x-msvideo",
     "jpg": "image/jpeg",
     "jpeg": "image/jpeg",
     "mp4": "video/mp4",

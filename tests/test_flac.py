@@ -390,3 +390,180 @@ def test_flac_round_trip_fuzz():
         assert np.array_equal(dec.astype(np.int64), arr)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# review-batch regressions
+# ---------------------------------------------------------------------------
+
+
+def test_flac_crafted_lpc_bomb_is_bounded():
+    """A CRC-valid LPC subframe with a huge coefficient and all-zero
+    (escaped) residuals must die at the FIRST out-of-range predicted
+    sample with ValueError — not grow big-ints exponentially until the
+    executor OOMs (the range check IS the resource bound)."""
+    w = flac._BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 2)
+    w.write(1, 4)   # block size 192
+    w.write(9, 4)   # 44100
+    w.write(0, 4)   # mono
+    w.write(4, 3)   # 16-bit
+    w.write(0, 1)
+    w.write(0, 8)   # frame number 0
+    head = w.bytes()
+    w.write(flac._crc8(head), 8)
+    w.write(0, 1)
+    w.write(32, 6)          # LPC order 1
+    w.write(0, 1)           # no wasted bits
+    w.write(16384, 16)      # warmup
+    w.write(14, 4)          # precision 15
+    w.write(0, 5)           # shift 0
+    w.write(16383, 15)      # coefficient
+    w.write(0, 2)           # rice method 0
+    w.write(0, 4)           # partition order 0
+    w.write(15, 4)          # escape
+    w.write(0, 5)           # raw = 0 -> 191 zero residuals, zero bits
+    w.align()
+    w.write(flac._crc16(w.bytes()), 16)
+    with pytest.raises(ValueError, match="exceeds the bit depth"):
+        flac.flac_decode(_hand_stream(w.bytes()))
+
+
+def test_flac_32bit_full_scale_resizes_via_verbatim_fallback():
+    # full-scale 32-bit: order-1 differencing WIDENS past the 31-bit
+    # escape cap; the encoder must fall back to verbatim, not raise —
+    # so resize_assets can round-trip loud high-depth audio
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _resize_flac,
+    )
+
+    hi = (1 << 31) - 1
+    pcm = np.array([hi, -hi - 1] * 300, dtype=np.int64)
+    enc = flac.flac_encode(pcm, 8000, bps=32, block_size=100)
+    assert np.array_equal(flac.flac_decode(enc)[3][:, 0], pcm)
+    out = _resize_flac(enc, 1200)
+    rate, nch, bps, dec = flac.flac_decode(out)
+    # 600 samples * 4 bytes = 2400 -> k=2: every other sample survives
+    assert bps == 32 and np.array_equal(dec[:, 0], pcm[::2])
+
+
+def test_flac_wav_fingerprint_identity_at_8_and_24_bit(spark):
+    # WAV stores 8-bit PCM UNSIGNED; the fingerprint must canonicalize
+    # to signed LE so both containers hash identically at every depth
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    rows = []
+    p8 = (_pcm(400) // 256).astype(np.int32)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes((p8.astype(np.int16) + 128).astype(np.uint8).tobytes())
+    rows.append((1, "audio/wav", buf.getvalue()))
+    rows.append((2, "audio/flac", flac.flac_encode(p8, 8000, bps=8,
+                                                   block_size=100)))
+    p24 = (_pcm(400).astype(np.int64) * 200).astype(np.int64)
+    b4 = p24.astype("<i4").tobytes()
+    le3 = np.frombuffer(b4, dtype=np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        w.writeframes(le3)
+    rows.append((3, "audio/wav", buf.getvalue()))
+    rows.append((4, "audio/flac", flac.flac_encode(p24, 8000, bps=24,
+                                                   block_size=100)))
+    assets = spark.createDataFrame(
+        [(i, t, p, {"n_bytes": len(p), "source": "t"}) for i, t, p in rows],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    out = {
+        r["asset_id"]: r
+        for r in decode_features(assets, real_decoder=True).collect()
+    }
+    assert out[1]["checksum"] == out[2]["checksum"]
+    assert out[1]["feature"] == out[2]["feature"]
+    assert out[3]["checksum"] == out[4]["checksum"]
+    assert out[3]["feature"] == out[4]["feature"]
+
+
+def test_flac_resize_magic_dispatch_and_honest_audio_gap(spark):
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        resize_assets,
+    )
+
+    pcm = _pcm(2000)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    wav = buf.getvalue()
+    mp3ish = b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\xff\xfb" * 40
+    assets = spark.createDataFrame(
+        [
+            (1, "audio/mpeg", wav, {"n_bytes": len(wav), "source": "t"}),
+            (2, "audio/mpeg", mp3ish,
+             {"n_bytes": len(mp3ish), "source": "t"}),
+        ],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    out = {
+        r["asset_id"]: r
+        for r in resize_assets(
+            assets, target_bytes=1000, real_decoder=True
+        ).collect()
+    }
+    # mislabeled WAV: REALLY decimated (magic dispatch), not truncated
+    assert out[1]["decode_ok"]
+    with wave.open(io.BytesIO(bytes(out[1]["payload"]))) as r:
+        assert r.getnframes() == 500  # 4000 bytes / 1000 -> k=4
+    # unknown audio codec: honest dead-letter, original payload kept
+    assert not out[2]["decode_ok"]
+    assert bytes(out[2]["payload"]) == mp3ish
+
+
+def test_flac_aggressive_decimation_preserves_duration():
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _resize_flac,
+        _resize_wav,
+    )
+
+    pcm = _pcm(160_000)  # 20 s at 8 kHz
+    # k=5000 -> 32 samples; the true decimated rate is 1.6 Hz, so the
+    # best integer rate (2 Hz) reads 16 s — a 20% representability
+    # error, vs 60% (32 s) with the floored rate this test regresses
+    out = _resize_flac(
+        flac.flac_encode(pcm, 8000, block_size=4096), 64
+    )
+    rate, nch, bps, dec = flac.flac_decode(out)
+    assert abs(dec.shape[0] / rate - 20.0) / 20.0 < 0.25
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    with wave.open(io.BytesIO(_resize_wav(buf.getvalue(), 64))) as r:
+        assert abs(r.getnframes() / r.getframerate() - 20.0) / 20.0 < 0.25
+
+
+def test_flac_extension_routes_to_audio(spark, tmp_path):
+    from inbev_data_engineering_case_spark.sources.readers import (
+        read_binary_assets,
+    )
+
+    pcm = _pcm(400)
+    (tmp_path / "a.flac").write_bytes(
+        flac.flac_encode(pcm, 8000, block_size=100)
+    )
+    row = read_binary_assets(spark, str(tmp_path / "*.flac")).collect()[0]
+    assert row["media_type"] == "audio/flac"
