@@ -232,11 +232,14 @@ def _read_subframe(bits: _Bits, block_size: int, bps: int) -> list[int]:
     if eff <= 0:
         raise ValueError("flac: wasted bits exceed sample size")
     # every reconstructed sample of a conformant stream fits the
-    # subframe's bit depth — enforcing that per sample is ALSO the
-    # resource bound: without it, a crafted CRC-valid LPC subframe
-    # (large coefficient, zero residuals) grows samples exponentially
-    # and a KB-scale payload costs GBs of big-int memory before any
-    # later check runs — an executor OOM, not a catchable dead-letter
+    # subframe's bit depth — enforcing that per sample bounds the
+    # MAGNITUDE dimension of decode cost: without it, a crafted
+    # CRC-valid LPC subframe (large coefficient, zero residuals) grows
+    # samples exponentially and a KB-scale payload costs GBs of
+    # big-int memory before any later check runs — an executor OOM,
+    # not a catchable dead-letter. (The COUNT dimension — FLAC
+    # legitimately encodes 65536 silent samples in ~15 bytes — is
+    # bounded separately by ``flac_decode``'s max_samples cap.)
     lo, hi = -(1 << (eff - 1)), (1 << (eff - 1)) - 1
     if stype == 0:  # CONSTANT
         v = bits.signed(eff)
@@ -288,16 +291,30 @@ def _read_subframe(bits: _Bits, block_size: int, bps: int) -> list[int]:
     return samples
 
 
-def flac_decode(payload: bytes):
+_MAX_SAMPLES = 1 << 24  # ~6.3 min of 44.1 kHz audio per channel
+
+
+def flac_decode(payload: bytes, max_samples: int = _MAX_SAMPLES):
     """Decode a FLAC stream → ``(sample_rate, n_channels, bps,
     samples)`` with ``samples`` an int32/int64 ndarray of shape
     ``(n_samples, n_channels)``. Malformed input raises ``ValueError``
     (→ the ``corrupt`` dead-letter reason); there is no capability
-    gate — every RFC 9639 stream decodes."""
-    return _flac_decode_full(payload, want_pcm=False)[:4]
+    gate — every RFC 9639 stream decodes.
+
+    ``max_samples`` is the decompression-bomb guard (the PIL
+    discipline): FLAC legitimately stores 65536 silent samples in
+    ~15 bytes, so sample COUNT — unlike sample magnitude, which the
+    per-sample range check bounds — is not tied to payload size, and
+    a MB of crafted CONSTANT frames would otherwise materialize tens
+    of GB. Decoding raises ValueError as soon as the running count
+    would exceed the cap; raise it explicitly for known-long audio."""
+    return _flac_decode_full(payload, want_pcm=False,
+                             max_samples=max_samples)[:4]
 
 
-def _flac_decode_full(payload: bytes, want_pcm: bool):
+def _flac_decode_full(
+    payload: bytes, want_pcm: bool, max_samples: int = _MAX_SAMPLES
+):
     """``flac_decode`` plus the interleaved little-endian PCM bytes —
     serialized at most ONCE (the MD5 check needs them anyway when the
     STREAMINFO digest is populated; ``featurize_flac`` reuses that
@@ -337,6 +354,12 @@ def _flac_decode_full(payload: bytes, want_pcm: bool):
     md5 = streaminfo[18:34]
     if rate == 0:
         raise ValueError("flac: zero sample rate")
+    if total > max_samples:
+        raise ValueError(
+            "flac: STREAMINFO promises %d samples, past the %d-sample"
+            " decompression guard (pass max_samples= to raise it)"
+            % (total, max_samples)
+        )
 
     channels: list[list[int]] = [[] for _ in range(nch)]
     n_decoded = 0
@@ -394,6 +417,11 @@ def _flac_decode_full(payload: bytes, want_pcm: bool):
             raise ValueError("flac: reserved channel assignment")
         if frame_nch != nch:
             raise ValueError("flac: frame channels contradict STREAMINFO")
+        if n_decoded + block_size > max_samples:
+            raise ValueError(
+                "flac: decode passes the %d-sample decompression guard"
+                " (pass max_samples= to raise it)" % max_samples
+            )
         header_end = bits.bytepos()
         if _crc8(payload[frame_start:header_end]) != bits.read(8):
             raise ValueError("flac: frame header CRC-8 mismatch")
@@ -572,10 +600,12 @@ def _write_residual(
         ) if chunk else 0
         if raw > 31:
             # the escape form caps at 31 raw bits and Rice quotients of
-            # 2**31-scale residuals would emit GB of unary — refuse and
-            # let _write_subframe's verbatim fallback handle the block
+            # 2**31-scale residuals would emit GB of unary. fixed/auto
+            # subframes never reach this (their verbatim fallback
+            # prechecks) — only caller-chosen LPC coefficients can
             raise ValueError(
-                "flac encoder: residuals exceed 31 bits; encode verbatim"
+                "flac encoder: residuals exceed 31 bits (choose"
+                " different LPC coefficients or a verbatim subframe)"
             )
         best_k, best_cost = 0, _rice_cost(chunk, 0)
         for k in range(1, escape):
@@ -617,20 +647,7 @@ def _write_subframe(
         bps -= wasted_bits
     if subframe == "auto" and len(set(samples)) == 1:
         subframe = "constant"
-    w.write(0, 1)
-    if subframe == "constant":
-        if len(set(samples)) != 1:
-            raise ValueError("flac encoder: constant subframe, varying data")
-        w.write(0, 6)
-        _wasted(w, wasted_bits)
-        w.write(samples[0], bps)
-        return
-    if subframe == "verbatim":
-        w.write(1, 6)
-        _wasted(w, wasted_bits)
-        for s in samples:
-            w.write(s, bps)
-        return
+    resid = None
     if subframe in ("fixed", "auto"):
         order = min(fixed_order, block_size)
         coef = _FIXED_COEF[order]
@@ -648,11 +665,22 @@ def _write_subframe(
             # than narrows, Rice/escape can't carry it — fall back to
             # verbatim (a real encoder's cheapest-subframe choice),
             # bounded and bit-exact
-            w.write(1, 6)
-            _wasted(w, wasted_bits)
-            for s in samples:
-                w.write(s, bps)
-            return
+            subframe = "verbatim"
+    w.write(0, 1)
+    if subframe == "constant":
+        if len(set(samples)) != 1:
+            raise ValueError("flac encoder: constant subframe, varying data")
+        w.write(0, 6)
+        _wasted(w, wasted_bits)
+        w.write(samples[0], bps)
+        return
+    if subframe == "verbatim":
+        w.write(1, 6)
+        _wasted(w, wasted_bits)
+        for s in samples:
+            w.write(s, bps)
+        return
+    if subframe in ("fixed", "auto"):
         w.write(8 | order, 6)
         _wasted(w, wasted_bits)
         for s in samples[:order]:

@@ -2429,6 +2429,15 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             framerate = w.getframerate()
             n_frames = w.getnframes()
             frames = w.readframes(n_frames)
+        if len(frames) != n_frames * nch * sampwidth:
+            # a crawl-truncated data chunk: the header count would
+            # overstate duration while checksum/mean reflect the real
+            # bytes — inconsistent features and broken WAV/FLAC
+            # fingerprint parity (FLAC rejects truncation); reject too
+            raise ValueError(
+                "wav: data chunk truncated (%d frames promised, %d"
+                " bytes present)" % (n_frames, len(frames))
+            )
         # canonicalize to SIGNED little-endian PCM before
         # fingerprinting so a WAV and a FLAC of the same audio hash
         # identically at EVERY bit depth: WAV stores 8-bit unsigned
@@ -2824,6 +2833,11 @@ def _resize_wav(payload: bytes, target_bytes: int) -> bytes:
         framerate, n_frames = r.getframerate(), r.getnframes()
         frames = r.readframes(n_frames)
     frame_size = nch * sampwidth
+    if len(frames) != n_frames * frame_size:
+        raise ValueError(
+            "wav: data chunk truncated (%d frames promised, %d bytes"
+            " present)" % (n_frames, len(frames))
+        )
     k = max(1, -(-len(frames) // max(target_bytes, frame_size)))
     kept = b"".join(
         frames[i : i + frame_size]
@@ -2843,9 +2857,13 @@ def _resize_wav(payload: bytes, target_bytes: int) -> bytes:
 def _resize_flac(payload: bytes, target_bytes: int) -> bytes:
     """The ``_resize_wav`` rule for FLAC: decimate PCM frames by the
     smallest integer factor that fits the DECODED frames under the
-    byte budget (compressed output lands below it), divide the sample
-    rate by the same factor so duration is preserved, re-encode FLAC
-    (fixed order 1 — the re-encode is real, not a container rewrite)."""
+    byte budget (compressed output typically lands below it; for loud
+    high-bit-depth audio the encoder's verbatim fallback adds
+    container overhead ABOVE the PCM budget — the budget sizes the
+    decimation, it is not a hard output ceiling), re-derive the sample
+    rate from the kept-frame count so duration is preserved, re-encode
+    FLAC (fixed order 1 — the re-encode is real, not a container
+    rewrite)."""
     from inbev_data_engineering_case_spark.operators.flac import (
         flac_decode,
         flac_encode,
@@ -2907,8 +2925,10 @@ def resize_assets(
                         # to garbage with decode_ok=true
                         if b[:4] == b"fLaC":
                             resized = _resize_flac(b, target_bytes)
+                            mtype = "audio/flac"
                         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                             resized = _resize_wav(b, target_bytes)
+                            mtype = "audio/wav"
                         else:
                             raise NotImplementedError(
                                 "audio codec resize beyond WAV and FLAC "

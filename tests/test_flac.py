@@ -567,3 +567,88 @@ def test_flac_extension_routes_to_audio(spark, tmp_path):
     )
     row = read_binary_assets(spark, str(tmp_path / "*.flac")).collect()[0]
     assert row["media_type"] == "audio/flac"
+
+
+def test_flac_constant_bomb_hits_sample_count_guard():
+    """Sample COUNT is not tied to payload size (silence compresses
+    ~4000x legitimately), so a crafted pile of CONSTANT frames must hit
+    the decompression guard — ValueError, not a multi-GB materialize."""
+    def const_frame(frame_no, block_size):
+        w = flac._BitWriter()
+        w.write(0x3FFE, 14)
+        w.write(0, 2)
+        w.write(7, 4)  # 16-bit block size at end
+        w.write(9, 4)
+        w.write(0, 4)
+        w.write(4, 3)
+        w.write(0, 1)
+        for b in flac._coded_number(frame_no):
+            w.write(b, 8)
+        w.write(block_size - 1, 16)
+        head = w.bytes()
+        w.write(flac._crc8(head), 8)
+        w.write(0, 1)
+        w.write(0, 6)
+        w.write(0, 1)
+        w.write(0, 16)
+        w.align()
+        w.write(flac._crc16(w.bytes()), 16)
+        return w.bytes()
+
+    frames = b"".join(const_frame(i, 65535) for i in range(40))
+    stream = _hand_stream(frames, total=0)
+    # ~600 bytes claim 2.6M samples: fine under the default guard but
+    # must die at a small cap without materializing
+    with pytest.raises(ValueError, match="decompression guard"):
+        flac.flac_decode(stream, max_samples=1 << 20)
+    # STREAMINFO-promised totals past the cap die before any frame
+    big = _hand_stream(b"", total=(1 << 24) + 1)
+    with pytest.raises(ValueError, match="decompression guard"):
+        flac.flac_decode(big)
+
+
+def test_wav_truncation_is_corrupt_not_wrong_duration(spark):
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _resize_wav,
+        decode_features,
+    )
+
+    pcm = _pcm(2000)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    wav = buf.getvalue()
+    truncated = wav[: len(wav) - 1500]  # header still promises 2000 frames
+    assets = spark.createDataFrame(
+        [(1, "audio/wav", truncated,
+          {"n_bytes": len(truncated), "source": "t"})],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    row = decode_features(assets, real_decoder=True).collect()[0]
+    assert not row["decode_ok"] and row["reason"] == "corrupt"
+    with pytest.raises(ValueError, match="truncated"):
+        _resize_wav(truncated, 1000)
+
+
+def test_resize_corrects_media_type_on_magic_dispatch(spark):
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        resize_assets,
+    )
+
+    pcm = _pcm(2000)
+    fl = flac.flac_encode(pcm, 8000, block_size=512)
+    assets = spark.createDataFrame(
+        [(1, "audio/mpeg", fl, {"n_bytes": len(fl), "source": "t"})],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    row = resize_assets(
+        assets, target_bytes=1000, real_decoder=True
+    ).collect()[0]
+    # positively identified by magic and re-encoded -> type corrected,
+    # matching the _resize_image PNM precedent
+    assert row["decode_ok"] and row["media_type"] == "audio/flac"
