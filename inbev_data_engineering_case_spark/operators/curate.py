@@ -511,6 +511,59 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    buckets: int = 10_000,
+    max_iter: int = 25,
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
+    """``hash_split`` with the eval-contamination guard: near-duplicate
+    documents NEVER straddle splits.
+
+    A per-document hash split puts two near-identical pages on opposite
+    sides of the train/test boundary — the eval set then scores
+    memorization, not generalization (the reason pretraining pipelines
+    dedup ACROSS the split boundary, not just within train). This
+    operator assigns splits per near-dup CLUSTER: connected components
+    over ``pairs`` (any dedup family's (id_a, id_b) output — MinHash,
+    SimHash, embedding, containment), each document keyed by its
+    component representative (its own id when it has no near-dup), then
+    the same deterministic ``hash_split`` expression over that key. The
+    split is a pure function of the representative, so every member of
+    a cluster lands in ONE split by construction, and singletons get
+    exactly the assignment plain ``hash_split`` would give them.
+
+    Why at 100 TB: the component iteration is PAIR-NODE-sized — the
+    (typically >95%) of the corpus with no near-dup never enters the
+    O(log diameter) pointer-jumping loop; the representative attaches
+    through one ``id``-keyed left join; the split itself is a pure
+    column expression (no shuffle, no RNG state, re-run-stable). No
+    stage touches document text.
+
+    Extension operator (SURVEY.md §2.6 dedup/curation family); the
+    reference has no split machinery at all.
+    """
+    comp = dedup_components(
+        pairs, max_iter=max_iter, reliable_checkpoint=reliable_checkpoint
+    )
+    keyed = documents.join(
+        comp.select(
+            F.col("node").alias(id_col),
+            F.col("comp").alias("_split_key"),
+        ),
+        on=id_col,
+        how="left",
+    ).withColumn("_split_key", F.coalesce("_split_key", F.col(id_col)))
+    return hash_split(
+        keyed, weights=weights, id_col="_split_key", salt=salt,
+        buckets=buckets,
+    ).drop("_split_key")
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 256,

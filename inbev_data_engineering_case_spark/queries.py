@@ -3675,6 +3675,63 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_leakage_split",
+    f"""
+    WITH RECURSIVE mh AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM mh
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS split_key
+      FROM {_SQL_CORPUS_NEAR} AS d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN h < 9800 THEN 'train'
+                WHEN h < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 (('0x' || substr(md5('split:' || split_key), 1, 15)))::BIGINT
+                   % 10000 AS h
+          FROM keyed)
+    """,
+    doc="leakage-safe train/val/test split "
+    "(operators/curate.py:leakage_safe_split): the hash split keyed by "
+    "each document's near-dup CLUSTER representative (connected "
+    "components over the MinHash pair graph; own id for singletons), "
+    "so near-duplicates never straddle the train/test boundary — the "
+    "eval-contamination guard a per-document split lacks. Component "
+    "state is pair-node-sized (singletons skip the iteration), the "
+    "representative attaches via one id-keyed join, the split is a "
+    "pure column expression. Oracle replays pairs -> recursive-CTE "
+    "closure -> coalesce(comp, doc_id) -> the q_train_split hash "
+    "CASE; per-document (doc_id, split) rows make a straddle "
+    "hash-visible. Late-r10 tail debut (family cover: q_dedup_minhash "
+    "generates the identical pair graph, q_curate_corpus runs the "
+    "identical components closure — both in-window).",
+)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        leakage_safe_split,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    corpus = _corpus_near(spark, sf_dir)
+    return leakage_safe_split(
+        corpus, minhash_dedup_pairs(corpus)
+    ).select("doc_id", "split")
+
+
+@register(
     "q_pack_sequences",
     """
     SELECT packer,
@@ -6715,6 +6772,9 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # prefilter machinery, semi direction) and q_curate_corpus
     # (left-anti drop-joins):
     "q_bloom_anti": ("q_bloom_join", "q_curate_corpus"),
+    # cluster-keyed split = the minhash pair graph (in-window headline)
+    # + the identical components closure inside the curation flagship:
+    "q_leakage_split": ("q_dedup_minhash", "q_curate_corpus"),
 }
 
 for _name in _FAMILY_STAND_INS:
