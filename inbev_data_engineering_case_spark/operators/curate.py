@@ -546,9 +546,24 @@ def leakage_safe_split(
 
     Extension operator (SURVEY.md §2.6 dedup/curation family); the
     reference has no split machinery at all.
+
+    The components run REQUIRES observed convergence: non-minimal
+    labels would give one cluster several representatives — exactly
+    the straddle this operator exists to prevent, silently — so an
+    exhausted ``max_iter`` raises instead of returning (raise
+    ``max_iter``; pointer jumping covers diameter ~2^max_iter).
     """
+    if "_split_key" in documents.columns:
+        raise ValueError(
+            "leakage_safe_split: documents already carries a"
+            " '_split_key' column — rename it; the operator stages its"
+            " representative key under that name"
+        )
     comp = dedup_components(
-        pairs, max_iter=max_iter, reliable_checkpoint=reliable_checkpoint
+        pairs,
+        max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
+        require_convergence=True,
     )
     keyed = documents.join(
         comp.select(

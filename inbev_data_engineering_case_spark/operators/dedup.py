@@ -632,6 +632,7 @@ def dedup_components_with_stats(
     pairs: DataFrame,
     max_iter: int = 25,
     reliable_checkpoint: bool | None = None,
+    require_convergence: bool = False,
 ) -> tuple[DataFrame, int]:
     """Connected components of the near-dup pair graph → ((node, comp),
     rounds_run) with comp = min node id reachable.
@@ -693,6 +694,15 @@ def dedup_components_with_stats(
 
     prev_sum = label_sum(labels)
     rounds = 0
+    # convergence is OBSERVED, not inferred: the loop must execute one
+    # no-change round to know labels are minimal. require_convergence
+    # turns an exhausted max_iter into a loud error instead of quietly
+    # returning possibly-non-minimal labels (one cluster, several
+    # representatives — the silent failure leakage_safe_split must not
+    # inherit); a graph whose labels go minimal exactly on the last
+    # allowed round also raises, conservatively, since the confirming
+    # round never ran.
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         neighbor_min = _truncate_lineage(
@@ -722,8 +732,18 @@ def dedup_components_with_stats(
         cur_sum = label_sum(jumped)
         labels = jumped
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if require_convergence and not converged:
+        raise ValueError(
+            "dedup_components: label propagation exhausted max_iter=%d"
+            " without a no-change round — labels may be non-minimal"
+            " (one cluster, several representatives). Raise max_iter:"
+            " with pointer jumping %d rounds cover diameter ~2^%d, so"
+            " hitting this means an extraordinarily deep pair graph or"
+            " a too-small cap." % (max_iter, max_iter, max_iter)
+        )
     return labels, rounds
 
 
@@ -731,11 +751,12 @@ def dedup_components(
     pairs: DataFrame,
     max_iter: int = 25,
     reliable_checkpoint: bool | None = None,
+    require_convergence: bool = False,
 ) -> DataFrame:
     """See ``dedup_components_with_stats`` — this is the DataFrame-only
     convenience wrapper."""
     labels, _ = dedup_components_with_stats(
-        pairs, max_iter, reliable_checkpoint
+        pairs, max_iter, reliable_checkpoint, require_convergence
     )
     return labels
 

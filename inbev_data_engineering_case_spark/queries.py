@@ -2117,21 +2117,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(_corpus_near(spark, sf_dir))
 
 
-@register(
-    "q_dedup_components",
-    f"""
-    WITH RECURSIVE mh AS ({_minhash_oracle()}),
+def _components_closure_sql(pairs_cte: str = "mh") -> str:
+    """The edges/reach/comp CTE block — recursive reachability closure
+    with comp = min reachable node over a pair CTE carrying
+    (id_a, id_b) — the oracle twin of ``dedup.dedup_components``. One
+    definition serves every oracle that clusters a pair graph
+    (components, curation, leakage-safe split); a closure fix lands
+    everywhere at once."""
+    return f"""
     edges AS (
-      SELECT id_a AS src, id_b AS dst FROM mh
+      SELECT id_a AS src, id_b AS dst FROM {pairs_cte}
       UNION
-      SELECT id_b AS src, id_a AS dst FROM mh
+      SELECT id_b AS src, id_a AS dst FROM {pairs_cte}
     ),
     reach(node, r) AS (
       SELECT src, src FROM edges
       UNION
       SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
-    )
-    SELECT node, min(r) AS comp FROM reach GROUP BY node
+    ),
+    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+    """
+
+
+@register(
+    "q_dedup_components",
+    f"""
+    WITH RECURSIVE mh AS ({_minhash_oracle()}),
+    {_components_closure_sql()}
+    SELECT node, comp FROM comp
     """,
     doc="connected components over the MinHash near-dup pair graph "
     "(iterative min-label propagation, lineage truncated per round) — the "
@@ -3303,17 +3316,7 @@ def _curate_oracle(
            AND a.id < b.id
       WHERE {_sig_match_sql("a", "b")} >= {threshold}
     ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM mh
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM mh
-    ),
-    reach(node, r) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    {_components_closure_sql()},
     dropped AS (SELECT node AS doc_id FROM comp WHERE node != comp)
     {final_select}
     """
@@ -3520,17 +3523,7 @@ def _curate_incremental_oracle(
            AND a.id < b.id
       WHERE {match} >= {threshold}
     ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM mh
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM mh
-    ),
-    reach(node, r) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    {_components_closure_sql()},
     dropped AS (SELECT node AS doc_id FROM comp WHERE node != comp)
     SELECT doc_id, text, lang, quality FROM survivors
     WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
@@ -3678,17 +3671,7 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_leakage_split",
     f"""
     WITH RECURSIVE mh AS ({_minhash_oracle()}),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM mh
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM mh
-    ),
-    reach(node, r) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    {_components_closure_sql()},
     keyed AS (
       SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS split_key
       FROM {_SQL_CORPUS_NEAR} AS d LEFT JOIN comp c ON c.node = d.doc_id
@@ -4583,17 +4566,7 @@ def _curation_report_oracle(
            AND a.id < b.id
       WHERE {_sig_match_sql("a", "b")} >= {threshold}
     ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM mh
-      UNION
-      SELECT id_b AS src, id_a AS dst FROM mh
-    ),
-    reach(node, r) AS (
-      SELECT src, src FROM edges
-      UNION
-      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+    {_components_closure_sql()},
     dropped AS (SELECT node AS doc_id FROM comp WHERE node != comp),
     n4 AS (SELECT count(*) AS n FROM survivors),
     n5 AS (SELECT count(*) AS n FROM survivors

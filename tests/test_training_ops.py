@@ -5922,3 +5922,44 @@ def test_leakage_safe_split_real_pairs_never_straddle(spark):
     )
     assert straddles(naive) > 0
     assert straddles(safe_wide) == 0
+
+
+def test_leakage_safe_split_requires_convergence(spark):
+    """Non-minimal labels give one cluster several representatives —
+    the exact straddle the operator exists to prevent, silently. An
+    exhausted max_iter must therefore raise, not return."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        leakage_safe_split,
+    )
+
+    docs = spark.range(1, 40).select(F.col("id").alias("doc_id"))
+    # a 30-node chain: diameter 29 needs ~5 pointer-jumping rounds
+    # plus the confirming no-change round; max_iter=2 cannot finish
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="max_iter"):
+        leakage_safe_split(docs, chain, max_iter=2).collect()
+    # and the same chain converges fine at the default budget
+    out = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, chain).collect()
+    }
+    assert len({out[i] for i in range(1, 31)}) == 1
+
+
+def test_leakage_safe_split_rejects_reserved_column(spark):
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        leakage_safe_split,
+    )
+
+    docs = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("_split_key")
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="_split_key"):
+        leakage_safe_split(docs, pairs)
