@@ -579,6 +579,122 @@ def leakage_safe_split(
     ).drop("_split_key")
 
 
+def incremental_leakage_split(
+    new_docs: DataFrame,
+    stored_assignments: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    buckets: int = 10_000,
+    max_iter: int = 25,
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
+    """``leakage_safe_split``'s delta twin: assign splits to a NEW crawl
+    batch without touching — or re-splitting — history.
+
+    History is FROZEN by definition: moving a stored document's split
+    would contaminate whatever already trained on it. So the operator
+    emits ``(id, split, n_linked_splits)`` for the new batch only,
+    under a deterministic inheritance rule per new-side component
+    (connected components over ``pairs`` — any delta dedup family's
+    output covering new×new and new×stored edges, e.g.
+    ``incremental_minhash_pairs``):
+
+    - component touches NO stored document → the fresh-cluster case:
+      the plain hash split keyed by the component representative —
+      byte-identical to what ``leakage_safe_split`` assigns when run
+      with no history (parity-tested), so bootstrapping incrementally
+      from an empty corpus equals the batch operator.
+    - component touches stored documents with ONE distinct split → the
+      new members inherit it (the no-straddle guarantee extends across
+      the batch boundary).
+    - component touches ≥2 distinct stored splits → a BRIDGE: the new
+      document reveals a near-dup link between already-frozen train
+      and eval docs, so history leaks REGARDLESS of this assignment.
+      The new members deterministically take the minimum-id stored
+      member's split, and ``n_linked_splits`` carries the distinct
+      count — the honest telemetry a caller must alert on, never a
+      silent repair (frozen history cannot be re-split).
+
+    ``n_linked_splits`` is 0 / 1 / n for the three cases. New ids must
+    be disjoint from stored ids (re-crawled ids keep their frozen
+    assignment upstream); overlap raises.
+
+    Why at 100 TB: the component iteration is pair-node-sized, the
+    stored side joins only for documents that actually appear in the
+    pair graph (near-dup rate sized, not corpus sized), and the fresh
+    path is the same pure-column hash expression as the batch
+    operator. Yesterday's text is never re-read — pairs come from the
+    signature-table delta machinery.
+    """
+    if "_split_key" in new_docs.columns:
+        raise ValueError(
+            "incremental_leakage_split: new_docs already carries a"
+            " '_split_key' column — rename it; the operator stages its"
+            " representative key under that name"
+        )
+    overlap = (
+        new_docs.select(id_col)
+        .join(stored_assignments.select(id_col), on=id_col, how="left_semi")
+        .limit(1)
+        .count()
+    )
+    if overlap:
+        raise ValueError(
+            "incremental_leakage_split: new_docs shares ids with"
+            " stored_assignments — already-assigned documents keep"
+            " their frozen split; feed only genuinely new ids"
+        )
+    comp = dedup_components(
+        pairs,
+        max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
+        require_convergence=True,
+    )
+    # stored members of each component: the inherited split is the
+    # minimum-id stored member's (deterministic under re-runs), the
+    # distinct count is the bridge telemetry
+    stored_in_graph = stored_assignments.join(
+        comp.select(F.col("node").alias(id_col), "comp"), on=id_col
+    )
+    per_comp = stored_in_graph.groupBy("comp").agg(
+        F.expr(f"min_by(split, {id_col})").alias("_inherited"),
+        F.countDistinct("split").alias("_n_linked"),
+    )
+    keyed = (
+        new_docs.join(
+            comp.select(
+                F.col("node").alias(id_col),
+                F.col("comp").alias("_split_key"),
+            ),
+            on=id_col,
+            how="left",
+        )
+        .withColumn("_split_key", F.coalesce("_split_key", F.col(id_col)))
+        .join(
+            per_comp.select(
+                F.col("comp").alias("_split_key"),
+                "_inherited",
+                "_n_linked",
+            ),
+            on="_split_key",
+            how="left",
+        )
+    )
+    return (
+        hash_split(keyed, weights=weights, id_col="_split_key",
+                   salt=salt, buckets=buckets)
+        .select(
+            *new_docs.columns,
+            F.coalesce("_inherited", "split").alias("split"),
+            F.coalesce("_n_linked", F.lit(0))
+            .cast("int")
+            .alias("n_linked_splits"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 256,

@@ -3715,6 +3715,110 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_leakage_incremental",
+    f"""
+    WITH RECURSIVE stored AS (SELECT doc_id, text FROM documents),
+    stored_assign AS (
+      SELECT doc_id,
+             CASE WHEN h < 9800 THEN 'train'
+                  WHEN h < 9900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   (('0x' || substr(md5('split:' || doc_id), 1, 15)))::BIGINT
+                     % 10000 AS h
+            FROM stored)
+    ),
+    newb AS (
+      SELECT doc_id + 200000 AS doc_id, text || ' the end' AS text
+      FROM stored
+      UNION ALL
+      SELECT doc_id + 400000 AS doc_id, reverse(text) AS text FROM stored
+    ),
+    {_sig_ctes("s", "stored")},
+    {_sig_ctes("n", "newb")},
+    mh AS (
+      SELECT DISTINCT least(a.id, b.id) AS id_a,
+                      greatest(a.id, b.id) AS id_b
+      FROM bands_s a JOIN bands_n b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id != b.id
+      WHERE {_sig_match_sql("a", "b")} >= 0.5
+      UNION
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM bands_n a JOIN bands_n b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id < b.id
+      WHERE {_sig_match_sql("a", "b")} >= 0.5
+    ),
+    {_components_closure_sql()},
+    keyed AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS split_key
+      FROM newb d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    per_comp AS (
+      SELECT c.comp,
+             min_by(sa.split, sa.doc_id) AS inherited,
+             count(DISTINCT sa.split) AS n_linked
+      FROM stored_assign sa JOIN comp c ON c.node = sa.doc_id
+      GROUP BY c.comp
+    )
+    SELECT k.doc_id,
+           coalesce(p.inherited,
+                    CASE WHEN k.h < 9800 THEN 'train'
+                         WHEN k.h < 9900 THEN 'val'
+                         ELSE 'test' END) AS split,
+           CAST(coalesce(p.n_linked, 0) AS INT) AS n_linked_splits
+    FROM (SELECT doc_id, split_key,
+                 (('0x' || substr(md5('split:' || split_key), 1, 15)))::BIGINT
+                   % 10000 AS h
+          FROM keyed) k
+    LEFT JOIN per_comp p ON p.comp = k.split_key
+    """,
+    doc="the leakage-safe split's delta twin "
+    "(operators/curate.py:incremental_leakage_split): a new crawl "
+    "batch is split-assigned against FROZEN history — components over "
+    "the delta pair graph (new×new + new×stored via the stored "
+    "signature table, yesterday's text never re-read); a component "
+    "touching one stored split INHERITS it (the no-straddle guarantee "
+    "extends across the batch boundary), a fresh component takes "
+    "exactly the batch operator's hash assignment (empty-history "
+    "parity is tested), and a component touching >=2 stored splits is "
+    "a BRIDGE — history already leaks, so the row carries "
+    "n_linked_splits as alert telemetry instead of a silent repair "
+    "(frozen history cannot be re-split). Fixture: near-dup copies "
+    "inherit their source's split, reversed-text docs land fresh. "
+    "Late-r10 tail debut (family cover: q_dedup_minhash generates the "
+    "pair machinery, q_curate_incremental runs the same "
+    "stored-sig-vs-new delta join — both in-window).",
+)
+def q_leakage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        hash_split,
+        incremental_leakage_split,
+        incremental_minhash_pairs,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stored_assign = hash_split(d).select("doc_id", "split")
+    new = d.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" the end")).alias("text"),
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            F.reverse("text").alias("text"),
+        )
+    )
+    pairs = incremental_minhash_pairs(new, minhash_signatures(d))
+    return incremental_leakage_split(new, stored_assign, pairs).select(
+        "doc_id", "split", "n_linked_splits"
+    )
+
+
+@register(
     "q_pack_sequences",
     """
     SELECT packer,
@@ -6748,6 +6852,9 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # cluster-keyed split = the minhash pair graph (in-window headline)
     # + the identical components closure inside the curation flagship:
     "q_leakage_split": ("q_dedup_minhash", "q_curate_corpus"),
+    # the delta twin rides the same pair machinery plus the same
+    # stored-sig-vs-new join q_curate_incremental runs in-window:
+    "q_leakage_incremental": ("q_dedup_minhash", "q_curate_incremental"),
 }
 
 for _name in _FAMILY_STAND_INS:

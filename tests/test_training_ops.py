@@ -5963,3 +5963,63 @@ def test_leakage_safe_split_rejects_reserved_column(spark):
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="_split_key"):
         leakage_safe_split(docs, pairs)
+
+
+def test_incremental_leakage_split_inherit_bridge_fresh(spark):
+    """The three delta cases: inherit one stored split across the batch
+    boundary; surface a bridge (>=2 stored splits reachable) as
+    telemetry with the min-id stored member's split; assign fresh
+    clusters with the plain hash — and empty history reproduces the
+    batch operator exactly."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        incremental_leakage_split,
+        leakage_safe_split,
+    )
+
+    stored = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train")],
+        "doc_id long, split string",
+    )
+    new = spark.range(100, 110).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [
+            (3, 100),            # inherit: touches only doc 3 (train)
+            (1, 101), (2, 101),  # bridge: train(1) + test(2)
+            (104, 105),          # fresh two-doc cluster
+        ],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["doc_id"]: (r["split"], r["n_linked_splits"])
+        for r in incremental_leakage_split(new, stored, pairs).collect()
+    }
+    assert len(out) == 10
+    assert out[100] == ("train", 1)          # inherited
+    assert out[101] == ("train", 2)          # bridge: min-id stored (1)
+    assert out[104][1] == 0 and out[105][1] == 0
+    assert out[104][0] == out[105][0]        # fresh cluster coherent
+
+    # empty history == the batch operator, byte for byte
+    empty = stored.filter(F.lit(False))
+    fresh_pairs = spark.createDataFrame(
+        [(100, 101), (104, 105)], "id_a long, id_b long"
+    )
+    inc = {
+        r["doc_id"]: r["split"]
+        for r in incremental_leakage_split(
+            new, empty, fresh_pairs
+        ).collect()
+    }
+    batch = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(new, fresh_pairs).collect()
+    }
+    assert inc == batch
+
+    # id overlap between new and stored raises (frozen history)
+    with pytest.raises(ValueError, match="frozen"):
+        incremental_leakage_split(
+            new.unionByName(stored.select("doc_id")), stored, pairs
+        )
