@@ -553,11 +553,36 @@ def leakage_safe_split(
     exhausted ``max_iter`` raises instead of returning (raise
     ``max_iter``; pointer jumping covers diameter ~2^max_iter).
     """
-    if "_split_key" in documents.columns:
+    keyed, _ = _component_keyed(
+        documents, pairs, id_col, max_iter, reliable_checkpoint,
+        "leakage_safe_split",
+    )
+    return hash_split(
+        keyed, weights=weights, id_col="_split_key", salt=salt,
+        buckets=buckets,
+    ).drop("_split_key")
+
+
+def _component_keyed(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int,
+    reliable_checkpoint: bool | None,
+    op_name: str,
+    reserved: tuple[str, ...] = ("_split_key",),
+) -> tuple[DataFrame, DataFrame]:
+    """Shared keying stage of the two leakage-split twins: converged
+    components over ``pairs``, each doc staged under ``_split_key`` =
+    its component representative (own id for singletons). Returns
+    ``(keyed docs, (node, comp) labels)``. One definition keeps the
+    batch and incremental operators' keying identical — the parity
+    their tests promise."""
+    clash = [c for c in reserved if c in docs.columns]
+    if clash:
         raise ValueError(
-            "leakage_safe_split: documents already carries a"
-            " '_split_key' column — rename it; the operator stages its"
-            " representative key under that name"
+            "%s: input already carries %s — rename; the operator"
+            " stages/emits columns under those names" % (op_name, clash)
         )
     comp = dedup_components(
         pairs,
@@ -565,7 +590,7 @@ def leakage_safe_split(
         reliable_checkpoint=reliable_checkpoint,
         require_convergence=True,
     )
-    keyed = documents.join(
+    keyed = docs.join(
         comp.select(
             F.col("node").alias(id_col),
             F.col("comp").alias("_split_key"),
@@ -573,10 +598,7 @@ def leakage_safe_split(
         on=id_col,
         how="left",
     ).withColumn("_split_key", F.coalesce("_split_key", F.col(id_col)))
-    return hash_split(
-        keyed, weights=weights, id_col="_split_key", salt=salt,
-        buckets=buckets,
-    ).drop("_split_key")
+    return keyed, comp
 
 
 def incremental_leakage_split(
@@ -628,12 +650,6 @@ def incremental_leakage_split(
     operator. Yesterday's text is never re-read — pairs come from the
     signature-table delta machinery.
     """
-    if "_split_key" in new_docs.columns:
-        raise ValueError(
-            "incremental_leakage_split: new_docs already carries a"
-            " '_split_key' column — rename it; the operator stages its"
-            " representative key under that name"
-        )
     overlap = (
         new_docs.select(id_col)
         .join(stored_assignments.select(id_col), on=id_col, how="left_semi")
@@ -646,11 +662,13 @@ def incremental_leakage_split(
             " stored_assignments — already-assigned documents keep"
             " their frozen split; feed only genuinely new ids"
         )
-    comp = dedup_components(
-        pairs,
-        max_iter=max_iter,
-        reliable_checkpoint=reliable_checkpoint,
-        require_convergence=True,
+    keyed, comp = _component_keyed(
+        new_docs, pairs, id_col, max_iter, reliable_checkpoint,
+        "incremental_leakage_split",
+        reserved=(
+            "_split_key", "split", "n_linked_splits",
+            "_inherited", "_n_linked",
+        ),
     )
     # stored members of each component: the inherited split is the
     # minimum-id stored member's (deterministic under re-runs), the
@@ -659,28 +677,17 @@ def incremental_leakage_split(
         comp.select(F.col("node").alias(id_col), "comp"), on=id_col
     )
     per_comp = stored_in_graph.groupBy("comp").agg(
-        F.expr(f"min_by(split, {id_col})").alias("_inherited"),
+        F.min_by(F.col("split"), F.col(id_col)).alias("_inherited"),
         F.countDistinct("split").alias("_n_linked"),
     )
-    keyed = (
-        new_docs.join(
-            comp.select(
-                F.col("node").alias(id_col),
-                F.col("comp").alias("_split_key"),
-            ),
-            on=id_col,
-            how="left",
-        )
-        .withColumn("_split_key", F.coalesce("_split_key", F.col(id_col)))
-        .join(
-            per_comp.select(
-                F.col("comp").alias("_split_key"),
-                "_inherited",
-                "_n_linked",
-            ),
-            on="_split_key",
-            how="left",
-        )
+    keyed = keyed.join(
+        per_comp.select(
+            F.col("comp").alias("_split_key"),
+            "_inherited",
+            "_n_linked",
+        ),
+        on="_split_key",
+        how="left",
     )
     return (
         hash_split(keyed, weights=weights, id_col="_split_key",

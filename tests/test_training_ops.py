@@ -6023,3 +6023,21 @@ def test_incremental_leakage_split_inherit_bridge_fresh(spark):
         incremental_leakage_split(
             new.unionByName(stored.select("doc_id")), stored, pairs
         )
+
+
+def test_incremental_leakage_split_rejects_output_columns(spark):
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        incremental_leakage_split,
+    )
+
+    stored = spark.createDataFrame([(1, "train")], "doc_id long, split string")
+    pairs = spark.createDataFrame([(1, 100)], "id_a long, id_b long")
+    docs = spark.range(100, 105).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("split")
+    )
+    # a provisional 'split' column would be silently clobbered AND
+    # duplicated in the output — reject loudly instead
+    with pytest.raises(ValueError, match="split"):
+        incremental_leakage_split(docs, stored, pairs)
