@@ -6041,3 +6041,46 @@ def test_incremental_leakage_split_rejects_output_columns(spark):
     # duplicated in the output — reject loudly instead
     with pytest.raises(ValueError, match="split"):
         incremental_leakage_split(docs, stored, pairs)
+
+
+def test_advanced_state_feeds_incremental_leakage_split(spark):
+    """Loop closure for the split family: the maintained dedup state
+    (advance_corpus_artifacts — pinned stream==batch identical in
+    test_streaming) feeds incremental_minhash_pairs feeds
+    incremental_leakage_split, so a daily crawl is split-assigned
+    against frozen history without re-reading yesterday's text."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        advance_corpus_artifacts,
+        hash_split,
+        incremental_leakage_split,
+        incremental_minhash_pairs,
+    )
+
+    day1 = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "an entirely different second document about rivers")],
+        "doc_id long, text string",
+    )
+    frozen = hash_split(day1).select("doc_id", "split")
+    empty_sigs = spark.createDataFrame([], "id long, sig array<bigint>")
+    empty_fps = spark.createDataFrame([], "fp long, keep_id long")
+    sigs, _fps = advance_corpus_artifacts(day1, empty_sigs, empty_fps)
+
+    day2 = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today"
+               " the end"),
+         (101, "completely unrelated fresh content about volcanoes and"
+               " islands forming")],
+        "doc_id long, text string",
+    )
+    pairs = incremental_minhash_pairs(day2, sigs)
+    assert pairs.filter("id_a = 0 and id_b = 100").count() == 1
+    out = {
+        r["doc_id"]: (r["split"], r["n_linked_splits"])
+        for r in incremental_leakage_split(day2, frozen, pairs).collect()
+    }
+    frozen0 = frozen.filter("doc_id = 0").collect()[0]["split"]
+    assert out[100] == (frozen0, 1)   # inherited across the boundary
+    assert out[101][1] == 0           # fresh
