@@ -3,7 +3,8 @@ columns with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema, partitioning,
 UDF signature, batch shape. Decoding is REAL for every format the stdlib
-can express: WAV (``wave``), FLAC (``operators/flac.py`` — native
+can express: WAV (``wave``; G.711 A-law/µ-law via formula-generated
+companding tables), FLAC (``operators/flac.py`` — native
 RFC 9639: fixed/LPC prediction, Rice partitions, stereo
 decorrelation, CRC + MD5 verification), BMP/binary-PNM (``struct``+numpy), PNG
 (``zlib`` inflate + scanline unfiltering), GIF (87a/89a LZW + interlace),
@@ -2368,18 +2369,125 @@ def _avi_encode_mjpeg(frames, quality: int = 85, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+def _parse_wav_raw(payload: bytes):
+    """Minimal RIFF/WAVE chunk walk for the formats stdlib ``wave``
+    refuses: → (format_tag, n_channels, sample_rate, bits_per_sample,
+    data bytes). Chunks are length-prefixed with word alignment."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav: missing RIFF/WAVE header")
+    pos, end = 12, len(payload)
+    fmt = data = None
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("wav: chunk truncated")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    tag, nch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt)
+    if tag == 0xFFFE and len(fmt) >= 26:
+        tag = struct.unpack_from("<H", fmt, 24)[0]  # extensible subformat
+    return tag, nch, rate, bits, data
+
+
+def _wav_format_tag(payload: bytes):
+    """The fmt chunk's format tag, or None when the container is too
+    broken to say (the stdlib path then reports the corruption)."""
+    try:
+        return _parse_wav_raw(payload)[0]
+    except ValueError:
+        return None
+
+
+def _g711_table(law: str):
+    """The 256-entry G.711 expansion GENERATED from the standard's
+    companding formulas (segment exponent + mantissa; µ-law bias 0x84,
+    A-law alternate-bit inversion 0x55) — never transcribed. Endpoint
+    identities (µ-law 0x80 → +32124, A-law 0xAA → +32256, both ±0
+    codes → 0/±8) are pinned in tests."""
+    import numpy as np
+
+    codes = np.arange(256, dtype=np.int32)
+    if law == "ulaw":
+        u = ~codes & 0xFF
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        return np.where(u & 0x80, -mag, mag).astype(np.int16)
+    if law == "alaw":
+        a = codes ^ 0x55
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        t = np.where(
+            exp == 0,
+            (mant << 4) + 8,
+            ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+        )
+        return np.where(codes & 0x80, t, -t).astype(np.int16)
+    raise ValueError("g711: unknown law %r" % law)
+
+
+def _g711_wav_decode(payload: bytes):
+    """A-law/µ-law WAV → (n_channels, sample_rate, int16 PCM array)."""
+    import numpy as np
+
+    tag, nch, rate, bits, data = _parse_wav_raw(payload)
+    if tag not in (6, 7):
+        raise ValueError("g711: format tag %d is not A-law/µ-law" % tag)
+    if bits != 8:
+        raise ValueError("g711: %d-bit samples (must be 8)" % bits)
+    if rate <= 0 or nch <= 0:
+        raise ValueError("g711: non-positive rate/channels")
+    if len(data) % nch:
+        raise ValueError("wav: data chunk truncated mid-frame")
+    table = _g711_table("alaw" if tag == 6 else "ulaw")
+    return nch, rate, table[np.frombuffer(data, dtype=np.uint8)]
+
+
+def _featurize_g711_wav(payload: bytes) -> tuple[int, list[float]]:
+    """The audio featurize contract over the EXPANDED linear PCM:
+    checksum = crc32 of the decoded int16 little-endian samples (the
+    companded bytes are a wire format, not the audio), same feature
+    vector as PCM WAV/FLAC."""
+    import zlib
+
+    import numpy as np
+
+    nch, rate, samples = _g711_wav_decode(payload)
+    checksum = zlib.crc32(samples.astype("<i2").tobytes()) % 1_000_003
+    mean_abs = (
+        float(np.abs(samples.astype(np.int64)).mean())
+        if samples.size
+        else 0.0
+    )
+    duration = (samples.shape[0] // nch) / rate
+    return checksum, [duration, float(rate), float(nch), mean_abs]
+
+
 def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]]:
     """REAL decoders built from the stdlib, so the mapInPandas plumbing is
     exercised end-to-end by genuine decoding (not the deterministic fake):
 
-    - ``audio/*``: dispatched on the payload magic — WAV parses with
-      ``wave``, FLAC decodes natively (``operators/flac.py``, full
-      RFC 9639: fixed/LPC prediction, Rice partitions, stereo
-      decorrelation, CRC + MD5 verification); feature = [duration_s,
-      framerate, n_channels, mean |amplitude|] over the decoded PCM
-      frames, checksum = crc32 of the interleaved little-endian PCM
-      (a WAV and a FLAC of the same PCM fingerprint identically).
-      Other audio codecs (mp3/ogg/opus/aac) raise → ``decoder_gap``.
+    - ``audio/*``: dispatched on the payload magic — PCM WAV parses
+      with ``wave``, G.711 A-law/µ-law WAV expands through the
+      formula-generated companding tables (``_g711_table``), FLAC
+      decodes natively (``operators/flac.py``, full RFC 9639:
+      fixed/LPC prediction, Rice partitions, stereo decorrelation,
+      CRC + MD5 verification); feature = [duration_s, framerate,
+      n_channels, mean |amplitude|] over the decoded PCM frames,
+      checksum = crc32 of the interleaved little-endian PCM (a WAV
+      and a FLAC of the same PCM fingerprint identically; G.711
+      fingerprints its EXPANDED linear samples — the companded bytes
+      are a wire format). Other audio codecs (mp3/ogg/opus/aac, and
+      table-bound WAV tags like ADPCM) raise → ``decoder_gap``.
     - ``image/*``: BMP (BI_RGB 8/24/32bpp), binary PNM (P5/P6), PNG
       (8-bit non-interlaced, zlib inflate + full unfilter), GIF
       (87a/89a LZW, interlace, palette expansion), baseline JPEG
@@ -2411,6 +2519,22 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             )
 
             return featurize_flac(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            tag = _wav_format_tag(payload)
+            if tag in (6, 7):
+                # G.711 A-law/µ-law: formula-defined companding (no
+                # normative tables — unlike ADPCM, whose step tables
+                # are spec literals and stay a decoder_gap below);
+                # stdlib wave refuses non-PCM, which previously
+                # misfiled these as CORRUPT
+                return _featurize_g711_wav(payload)
+            if tag not in (None, 1, 0xFFFE):
+                raise NotImplementedError(
+                    "compressed WAV decoding (format tag %d — e.g."
+                    " ADPCM/GSM) requires codec tables the engine does"
+                    " not carry; PCM, A-law, and µ-law WAV decode"
+                    " natively." % tag
+                )
         if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
             raise NotImplementedError(
                 "audio codec decoding beyond WAV and FLAC requires a "
@@ -2884,6 +3008,30 @@ def _resize_flac(payload: bytes, target_bytes: int) -> bytes:
     )
 
 
+def _resize_g711(payload: bytes, target_bytes: int) -> bytes:
+    """G.711 WAV resize: expand to linear PCM16, decimate under the
+    byte budget (of the EXPANDED frames — the output format), emit a
+    plain PCM WAV with the duration-preserving rounded rate. The
+    companding is not re-applied: a decimated asset's natural form is
+    linear PCM, and re-companding would stack a second lossy pass."""
+    import io
+    import wave
+
+    nch, rate, samples = _g711_wav_decode(payload)
+    frames = samples.reshape(-1, nch)
+    n_frames = frames.shape[0]
+    frame_size = nch * 2
+    k = max(1, -(-n_frames * frame_size // max(1, target_bytes)))
+    kept = frames[::k]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wout:
+        wout.setnchannels(nch)
+        wout.setsampwidth(2)
+        wout.setframerate(_decimated_rate(rate, n_frames, kept.shape[0]))
+        wout.writeframes(kept.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def resize_assets(
     assets: DataFrame,
     target_bytes: int = 64,
@@ -2927,7 +3075,17 @@ def resize_assets(
                             resized = _resize_flac(b, target_bytes)
                             mtype = "audio/flac"
                         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                            resized = _resize_wav(b, target_bytes)
+                            tag = _wav_format_tag(b)
+                            if tag in (6, 7):
+                                resized = _resize_g711(b, target_bytes)
+                            elif tag not in (None, 1, 0xFFFE):
+                                raise NotImplementedError(
+                                    "compressed WAV resize (format tag"
+                                    " %d) requires codec tables the"
+                                    " engine does not carry" % tag
+                                )
+                            else:
+                                resized = _resize_wav(b, target_bytes)
                             mtype = "audio/wav"
                         else:
                             raise NotImplementedError(

@@ -652,3 +652,130 @@ def test_resize_corrects_media_type_on_magic_dispatch(spark):
     # positively identified by magic and re-encoded -> type corrected,
     # matching the _resize_image PNM precedent
     assert row["decode_ok"] and row["media_type"] == "audio/flac"
+
+
+# ---------------------------------------------------------------------------
+# G.711 A-law / µ-law WAV (companding is formula-defined — no tables)
+# ---------------------------------------------------------------------------
+
+
+def _raw_wav(fmt_tag, data, nch=1, rate=8000, bits=8):
+    import struct
+
+    block = max(1, nch * (bits // 8))
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, nch, rate, rate * block, block, bits
+    )
+    out = b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def test_g711_tables_pin_standard_endpoints():
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _g711_table,
+    )
+
+    ulaw, alaw = _g711_table("ulaw"), _g711_table("alaw")
+    # the canonical G.711 identities every published codec agrees on
+    assert ulaw[0xFF] == 0 and ulaw[0x7F] == 0      # ±zero codes
+    assert ulaw[0x80] == 32124 and ulaw[0x00] == -32124  # max magnitude
+    assert alaw[0xD5] == 8 and alaw[0x55] == -8     # smallest magnitudes
+    assert alaw[0xAA] == 32256 and alaw[0x2A] == -32256
+    # each law is a bijection onto symmetric magnitudes, monotone per
+    # segment: positive µ-law codes 0x80..0xFF decode strictly
+    # decreasing in magnitude
+    pos = ulaw[0x80:0x100].astype(np.int64)
+    assert (np.diff(pos) < 0).all() and (pos >= 0).all()
+    neg = ulaw[0x00:0x80].astype(np.int64)
+    assert (np.diff(neg) > 0).all() and (neg <= 0).all()
+    # A-law: sign bit (post-0x55-inversion invariant) splits the code
+    # space into exact magnitude mirrors
+    assert (alaw[0x80:0x100].astype(np.int64)
+            == -alaw[0x00:0x80].astype(np.int64)).all()
+
+
+def test_g711_compander_round_trip_tolerance():
+    """Encode via nearest-code search against OUR decode table, decode
+    back: the error must stay within each segment's half-step — the
+    defining property of the companding curve."""
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _g711_table,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(-32124, 32124, size=4000).astype(np.int64)
+    for law in ("ulaw", "alaw"):
+        table = _g711_table(law).astype(np.int64)
+        order = np.argsort(table)
+        sorted_vals = table[order]
+        idx = np.clip(
+            np.searchsorted(sorted_vals, x), 1, len(sorted_vals) - 1
+        )
+        pick = np.where(
+            np.abs(sorted_vals[idx] - x) < np.abs(sorted_vals[idx - 1] - x),
+            idx, idx - 1,
+        )
+        decoded = sorted_vals[pick]
+        err = np.abs(decoded - x)
+        # both laws' top segment steps by 8<<7 / 16<<6 = 1024 between
+        # adjacent codes -> nearest-code error is at most the 512
+        # half-step (hit exactly at boundary ties)
+        assert err.max() <= 512, law
+
+
+def test_g711_wav_decode_features_and_resize(spark):
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _g711_table,
+        decode_features,
+        resize_assets,
+    )
+
+    # a µ-law byte stream whose expansion we know exactly
+    codes = bytes([0xFF, 0x80, 0x00, 0xD5, 0x40, 0xC0] * 400)
+    ulaw_wav = _raw_wav(7, codes)
+    alaw_wav = _raw_wav(6, codes)
+    adpcm_wav = _raw_wav(2, b"\x00" * 256, bits=4)
+    assets = spark.createDataFrame(
+        [
+            (1, "audio/wav", ulaw_wav,
+             {"n_bytes": len(ulaw_wav), "source": "t"}),
+            (2, "audio/basic", alaw_wav,  # mislabeled: magic wins
+             {"n_bytes": len(alaw_wav), "source": "t"}),
+            (3, "audio/wav", adpcm_wav,
+             {"n_bytes": len(adpcm_wav), "source": "t"}),
+        ],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    out = {
+        r["asset_id"]: r
+        for r in decode_features(assets, real_decoder=True).collect()
+    }
+    table = _g711_table("ulaw")
+    want = table[np.frombuffer(codes, dtype=np.uint8)]
+    assert out[1]["decode_ok"]
+    assert out[1]["checksum"] == zlib.crc32(
+        want.astype("<i2").tobytes()
+    ) % 1_000_003
+    assert out[1]["feature"][:3] == [2400 / 8000, 8000.0, 1.0]
+    assert out[2]["decode_ok"]  # A-law under a wrong label still decodes
+    # ADPCM needs spec-literal step tables: an honest decoder gap
+    assert not out[3]["decode_ok"] and out[3]["reason"] == "decoder_gap"
+
+    rows = {
+        r["asset_id"]: r
+        for r in resize_assets(
+            assets, target_bytes=1200, real_decoder=True
+        ).collect()
+    }
+    assert rows[1]["decode_ok"] and rows[1]["media_type"] == "audio/wav"
+    import io as _io
+    import wave as _wave
+
+    with _wave.open(_io.BytesIO(bytes(rows[1]["payload"]))) as r:
+        # 2400 frames x 2 bytes = 4800 -> k=4 -> 600 PCM16 frames
+        assert r.getnframes() == 600 and r.getsampwidth() == 2
+        assert abs(r.getnframes() / r.getframerate() - 0.3) < 0.01
+    assert not rows[3]["decode_ok"]  # ADPCM resize: honest dead-letter
