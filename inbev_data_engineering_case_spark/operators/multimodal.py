@@ -2370,41 +2370,44 @@ def _avi_encode_mjpeg(frames, quality: int = 85, fps: int = 10) -> bytes:
 
 
 def _parse_wav_raw(payload: bytes):
-    """Minimal RIFF/WAVE chunk walk for the formats stdlib ``wave``
-    refuses: → (format_tag, n_channels, sample_rate, bits_per_sample,
-    data bytes). Chunks are length-prefixed with word alignment."""
+    """Minimal RIFF/WAVE chunk walk → (format_tag, n_channels,
+    sample_rate, bits_per_sample, data bytes). Chunks are
+    length-prefixed with word alignment. FIRST data chunk wins and the
+    walk STOPS once fmt+data are both in hand — the stdlib ``wave``
+    convention, and it keeps a sloppy trailer chunk (overshooting size
+    field after the audio) from misfiling a decodable file as corrupt.
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves to its subformat tag.
+    Only fmt/data bodies are materialized; other chunks are skipped by
+    offset (no per-chunk byte copy on the hot path)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("wav: missing RIFF/WAVE header")
     pos, end = 12, len(payload)
     fmt = data = None
-    while pos + 8 <= end:
+    while pos + 8 <= end and (fmt is None or data is None):
         cid = payload[pos:pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
-        body = payload[pos + 8:pos + 8 + size]
-        if len(body) < size:
-            raise ValueError("wav: chunk truncated")
-        if cid == b"fmt ":
-            fmt = body
-        elif cid == b"data":
-            data = body
+        if cid == b"fmt " and fmt is None:
+            fmt = payload[pos + 8:pos + 8 + size]
+            if len(fmt) < size:
+                raise ValueError("wav: fmt chunk truncated")
+        elif cid == b"data" and data is None:
+            data = payload[pos + 8:pos + 8 + size]
+            if len(data) < size:
+                raise ValueError("wav: data chunk truncated")
         pos += 8 + size + (size & 1)
     if fmt is None or len(fmt) < 16 or data is None:
         raise ValueError("wav: missing fmt or data chunk")
     tag, nch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt)
     if tag == 0xFFFE and len(fmt) >= 26:
         tag = struct.unpack_from("<H", fmt, 24)[0]  # extensible subformat
+    if nch <= 0 or rate <= 0:
+        raise ValueError("wav: non-positive channels/rate")
     return tag, nch, rate, bits, data
 
 
-def _wav_format_tag(payload: bytes):
-    """The fmt chunk's format tag, or None when the container is too
-    broken to say (the stdlib path then reports the corruption)."""
-    try:
-        return _parse_wav_raw(payload)[0]
-    except ValueError:
-        return None
+_G711_TABLES: dict = {}
 
 
 def _g711_table(law: str):
@@ -2415,14 +2418,16 @@ def _g711_table(law: str):
     codes → 0/±8) are pinned in tests."""
     import numpy as np
 
+    if law in _G711_TABLES:  # built once per worker, not per asset
+        return _G711_TABLES[law]
     codes = np.arange(256, dtype=np.int32)
     if law == "ulaw":
         u = ~codes & 0xFF
         exp = (u >> 4) & 7
         mant = u & 0x0F
         mag = (((mant << 3) + 0x84) << exp) - 0x84
-        return np.where(u & 0x80, -mag, mag).astype(np.int16)
-    if law == "alaw":
+        table = np.where(u & 0x80, -mag, mag).astype(np.int16)
+    elif law == "alaw":
         a = codes ^ 0x55
         exp = (a >> 4) & 7
         mant = a & 0x0F
@@ -2431,44 +2436,89 @@ def _g711_table(law: str):
             (mant << 4) + 8,
             ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
         )
-        return np.where(codes & 0x80, t, -t).astype(np.int16)
-    raise ValueError("g711: unknown law %r" % law)
+        table = np.where(codes & 0x80, t, -t).astype(np.int16)
+    else:
+        raise ValueError("g711: unknown law %r" % law)
+    _G711_TABLES[law] = table
+    return table
 
 
-def _g711_wav_decode(payload: bytes):
-    """A-law/µ-law WAV → (n_channels, sample_rate, int16 PCM array)."""
+def _wav_linear(tag: int, bits: int, data: bytes):
+    """Decode one WAV data chunk to linear samples → ``(samples,
+    canon)``: the sample array plus the canonical little-endian bytes
+    the fingerprint hashes. Integer PCM canonicalizes to SIGNED LE at
+    every width (WAV 8-bit is unsigned, offset 128) so a WAV and a
+    FLAC of the same audio hash identically; G.711 expands through the
+    formula-generated tables and fingerprints the EXPANDED int16 (the
+    companded bytes are a wire format, not the audio); float PCM
+    (tag 3) fingerprints its native [-1, 1] samples. Table-bound tags
+    (ADPCM/GSM/mp3-in-wav) raise ``NotImplementedError`` → the
+    ``decoder_gap`` reason."""
     import numpy as np
 
-    tag, nch, rate, bits, data = _parse_wav_raw(payload)
-    if tag not in (6, 7):
-        raise ValueError("g711: format tag %d is not A-law/µ-law" % tag)
-    if bits != 8:
-        raise ValueError("g711: %d-bit samples (must be 8)" % bits)
-    if rate <= 0 or nch <= 0:
-        raise ValueError("g711: non-positive rate/channels")
-    if len(data) % nch:
-        raise ValueError("wav: data chunk truncated mid-frame")
-    table = _g711_table("alaw" if tag == 6 else "ulaw")
-    return nch, rate, table[np.frombuffer(data, dtype=np.uint8)]
+    if tag in (6, 7):
+        if bits != 8:
+            raise ValueError("g711: %d-bit samples (must be 8)" % bits)
+        table = _g711_table("alaw" if tag == 6 else "ulaw")
+        samples = table[np.frombuffer(data, dtype=np.uint8)]
+        return samples, samples.astype("<i2").tobytes()
+    if tag == 1:
+        if bits == 8:
+            samples = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                - 128
+            )
+            return samples, samples.astype("i1").tobytes()
+        if bits == 16:
+            return np.frombuffer(data, dtype="<i2"), data
+        if bits == 24:
+            b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            u = (
+                b[:, 0].astype(np.int64)
+                | (b[:, 1].astype(np.int64) << 8)
+                | (b[:, 2].astype(np.int64) << 16)
+            )
+            return (u ^ 0x800000) - 0x800000, data
+        if bits == 32:
+            return np.frombuffer(data, dtype="<i4"), data
+        raise ValueError("wav: unsupported PCM bit depth %d" % bits)
+    if tag == 3:  # IEEE float — uncompressed, no tables needed
+        if bits == 32:
+            return np.frombuffer(data, dtype="<f4"), data
+        if bits == 64:
+            return np.frombuffer(data, dtype="<f8"), data
+        raise ValueError("wav: unsupported float bit depth %d" % bits)
+    raise NotImplementedError(
+        "WAV format tag %d requires codec tables the engine does not"
+        " carry (e.g. ADPCM/GSM); integer PCM, IEEE float, and G.711"
+        " A-law/µ-law decode natively." % tag
+    )
 
 
-def _featurize_g711_wav(payload: bytes) -> tuple[int, list[float]]:
-    """The audio featurize contract over the EXPANDED linear PCM:
-    checksum = crc32 of the decoded int16 little-endian samples (the
-    companded bytes are a wire format, not the audio), same feature
-    vector as PCM WAV/FLAC."""
+def _featurize_wav(payload: bytes) -> tuple[int, list[float]]:
+    """One RIFF parse for EVERY WAV flavor (no stdlib ``wave`` on the
+    hot path — it refuses non-PCM entirely and, before Python 3.12,
+    the extensible container too): checksum = crc32 of the canonical
+    linear bytes, features = [duration_s, rate, channels, mean
+    |amplitude|] (float WAV's mean is on its native [-1, 1] scale)."""
     import zlib
 
     import numpy as np
 
-    nch, rate, samples = _g711_wav_decode(payload)
-    checksum = zlib.crc32(samples.astype("<i2").tobytes()) % 1_000_003
-    mean_abs = (
-        float(np.abs(samples.astype(np.int64)).mean())
-        if samples.size
-        else 0.0
-    )
-    duration = (samples.shape[0] // nch) / rate
+    tag, nch, rate, bits, data = _parse_wav_raw(payload)
+    frame_size = max(1, nch * max(1, bits // 8))
+    if len(data) % frame_size:
+        raise ValueError("wav: data chunk truncated mid-frame")
+    samples, canon = _wav_linear(tag, bits, data)
+    checksum = zlib.crc32(canon) % 1_000_003
+    if samples.size:
+        if samples.dtype.kind == "f":
+            mean_abs = float(np.abs(samples).mean())
+        else:
+            mean_abs = float(np.abs(samples.astype(np.int64)).mean())
+    else:
+        mean_abs = 0.0
+    duration = (len(data) // frame_size) / rate
     return checksum, [duration, float(rate), float(nch), mean_abs]
 
 
@@ -2520,83 +2570,18 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
 
             return featurize_flac(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            tag = _wav_format_tag(payload)
-            if tag in (6, 7):
-                # G.711 A-law/µ-law: formula-defined companding (no
-                # normative tables — unlike ADPCM, whose step tables
-                # are spec literals and stay a decoder_gap below);
-                # stdlib wave refuses non-PCM, which previously
-                # misfiled these as CORRUPT
-                return _featurize_g711_wav(payload)
-            if tag not in (None, 1, 0xFFFE):
-                raise NotImplementedError(
-                    "compressed WAV decoding (format tag %d — e.g."
-                    " ADPCM/GSM) requires codec tables the engine does"
-                    " not carry; PCM, A-law, and µ-law WAV decode"
-                    " natively." % tag
-                )
-        if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
-            raise NotImplementedError(
-                "audio codec decoding beyond WAV and FLAC requires a "
-                "codec library the capability probes did not find; WAV "
-                "(stdlib wave) and FLAC (operators/flac.py, full RFC "
-                "9639) decode natively."
-            )
-        import io
-        import wave
-
-        import numpy as np
-
-        with wave.open(io.BytesIO(payload)) as w:
-            nch = w.getnchannels()
-            sampwidth = w.getsampwidth()
-            framerate = w.getframerate()
-            n_frames = w.getnframes()
-            frames = w.readframes(n_frames)
-        if len(frames) != n_frames * nch * sampwidth:
-            # a crawl-truncated data chunk: the header count would
-            # overstate duration while checksum/mean reflect the real
-            # bytes — inconsistent features and broken WAV/FLAC
-            # fingerprint parity (FLAC rejects truncation); reject too
-            raise ValueError(
-                "wav: data chunk truncated (%d frames promised, %d"
-                " bytes present)" % (n_frames, len(frames))
-            )
-        # canonicalize to SIGNED little-endian PCM before
-        # fingerprinting so a WAV and a FLAC of the same audio hash
-        # identically at EVERY bit depth: WAV stores 8-bit unsigned
-        # (offset 128) while 16/24/32-bit are already signed LE
-        if sampwidth == 1 and frames:
-            samples = (
-                np.frombuffer(frames, dtype=np.uint8).astype(np.int16)
-                - 128
-            )
-            canon = samples.astype("i1").tobytes()
-        elif sampwidth == 2 and frames:
-            samples = np.frombuffer(frames, dtype="<i2")
-            canon = frames
-        elif sampwidth == 3 and frames:
-            b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3)
-            u = (
-                b[:, 0].astype(np.int64)
-                | (b[:, 1].astype(np.int64) << 8)
-                | (b[:, 2].astype(np.int64) << 16)
-            )
-            samples = (u ^ 0x800000) - 0x800000
-            canon = frames
-        elif sampwidth == 4 and frames:
-            samples = np.frombuffer(frames, dtype="<i4")
-            canon = frames
-        else:
-            samples, canon = np.zeros(0, dtype=np.int64), frames
-        checksum = zlib.crc32(canon) % 1_000_003
-        mean_abs = (
-            float(np.abs(samples.astype(np.int64)).mean())
-            if samples.size
-            else 0.0
+            # one RIFF parse for every WAV flavor: integer PCM
+            # (extensible container included — stdlib wave rejects it
+            # before 3.12), IEEE float, and G.711 A-law/µ-law via the
+            # formula-generated companding tables; table-bound tags
+            # (ADPCM/GSM) raise NotImplementedError → decoder_gap
+            return _featurize_wav(payload)
+        raise NotImplementedError(
+            "audio codec decoding beyond WAV and FLAC requires a "
+            "codec library the capability probes did not find; WAV "
+            "(integer/float PCM + G.711, _featurize_wav) and FLAC "
+            "(operators/flac.py, full RFC 9639) decode natively."
         )
-        duration = n_frames / framerate if framerate else 0.0
-        return checksum, [duration, float(framerate), float(nch), mean_abs]
     if media_type.partition("/")[0] == "image":
         if payload[:2] == b"BM":
             return _featurize_bmp(payload)
@@ -2943,39 +2928,49 @@ def _decimated_rate(framerate: int, n_frames: int, n_kept: int) -> int:
     return max(1, (n_kept * framerate + n_frames // 2) // n_frames)
 
 
-def _resize_wav(payload: bytes, target_bytes: int) -> bytes:
-    """Real audio downsample: decimate PCM frames by the smallest integer
-    factor that fits ``target_bytes``, writing the frame rate down by the
-    same factor so duration is preserved (to integer-rate rounding under
-    aggressive decimation — ``_decimated_rate``). Stdlib ``wave`` both
-    ways."""
-    import io
-    import wave
+def _assemble_wav(
+    tag: int, nch: int, rate: int, bits: int, frames: bytes
+) -> bytes:
+    """Canonical-layout RIFF/WAVE assembly (fmt + data)."""
+    import struct
 
-    with wave.open(io.BytesIO(payload)) as r:
-        nch, sampwidth = r.getnchannels(), r.getsampwidth()
-        framerate, n_frames = r.getframerate(), r.getnframes()
-        frames = r.readframes(n_frames)
-    frame_size = nch * sampwidth
-    if len(frames) != n_frames * frame_size:
-        raise ValueError(
-            "wav: data chunk truncated (%d frames promised, %d bytes"
-            " present)" % (n_frames, len(frames))
-        )
-    k = max(1, -(-len(frames) // max(target_bytes, frame_size)))
+    block = max(1, nch * (bits // 8))
+    fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * block, block, bits)
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + frames
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _resize_wav(payload: bytes, target_bytes: int) -> bytes:
+    """Real audio downsample for every WAV flavor: decimate frames by
+    the smallest integer factor that fits ``target_bytes`` (of the
+    OUTPUT frames), rate re-derived from the kept-frame count so
+    duration is preserved to integer-rate rounding
+    (``_decimated_rate``). Integer and float PCM keep their format tag
+    and bit depth; G.711 expands to plain PCM16 — re-companding the
+    decimated signal would stack a second lossy pass. Table-bound tags
+    raise ``NotImplementedError`` → honest dead-letter."""
+    tag, nch, rate, bits, data = _parse_wav_raw(payload)
+    if tag in (6, 7):
+        samples, canon = _wav_linear(tag, bits, data)  # NIE for bound tags
+        data, tag, bits = canon, 1, 16
+    elif tag not in (1, 3):
+        _wav_linear(tag, bits, data)  # raises the tag's NIE/ValueError
+    frame_size = max(1, nch * max(1, bits // 8))
+    if len(data) % frame_size:
+        raise ValueError("wav: data chunk truncated mid-frame")
+    n_frames = len(data) // frame_size
+    k = max(1, -(-len(data) // max(target_bytes, frame_size)))
     kept = b"".join(
-        frames[i : i + frame_size]
-        for i in range(0, len(frames), frame_size * k)
+        data[i : i + frame_size]
+        for i in range(0, len(data), frame_size * k)
     )
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as wout:
-        wout.setnchannels(nch)
-        wout.setsampwidth(sampwidth)
-        wout.setframerate(
-            _decimated_rate(framerate, n_frames, len(kept) // frame_size)
-        )
-        wout.writeframes(kept)
-    return buf.getvalue()
+    return _assemble_wav(
+        tag, nch,
+        _decimated_rate(rate, n_frames, len(kept) // frame_size),
+        bits, kept,
+    )
 
 
 def _resize_flac(payload: bytes, target_bytes: int) -> bytes:
@@ -3006,30 +3001,6 @@ def _resize_flac(payload: bytes, target_bytes: int) -> bytes:
         subframe="fixed",
         fixed_order=1,
     )
-
-
-def _resize_g711(payload: bytes, target_bytes: int) -> bytes:
-    """G.711 WAV resize: expand to linear PCM16, decimate under the
-    byte budget (of the EXPANDED frames — the output format), emit a
-    plain PCM WAV with the duration-preserving rounded rate. The
-    companding is not re-applied: a decimated asset's natural form is
-    linear PCM, and re-companding would stack a second lossy pass."""
-    import io
-    import wave
-
-    nch, rate, samples = _g711_wav_decode(payload)
-    frames = samples.reshape(-1, nch)
-    n_frames = frames.shape[0]
-    frame_size = nch * 2
-    k = max(1, -(-n_frames * frame_size // max(1, target_bytes)))
-    kept = frames[::k]
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as wout:
-        wout.setnchannels(nch)
-        wout.setsampwidth(2)
-        wout.setframerate(_decimated_rate(rate, n_frames, kept.shape[0]))
-        wout.writeframes(kept.astype("<i2").tobytes())
-    return buf.getvalue()
 
 
 def resize_assets(
@@ -3075,17 +3046,7 @@ def resize_assets(
                             resized = _resize_flac(b, target_bytes)
                             mtype = "audio/flac"
                         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                            tag = _wav_format_tag(b)
-                            if tag in (6, 7):
-                                resized = _resize_g711(b, target_bytes)
-                            elif tag not in (None, 1, 0xFFFE):
-                                raise NotImplementedError(
-                                    "compressed WAV resize (format tag"
-                                    " %d) requires codec tables the"
-                                    " engine does not carry" % tag
-                                )
-                            else:
-                                resized = _resize_wav(b, target_bytes)
+                            resized = _resize_wav(b, target_bytes)
                             mtype = "audio/wav"
                         else:
                             raise NotImplementedError(

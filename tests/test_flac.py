@@ -779,3 +779,74 @@ def test_g711_wav_decode_features_and_resize(spark):
         assert r.getnframes() == 600 and r.getsampwidth() == 2
         assert abs(r.getnframes() / r.getframerate() - 0.3) < 0.01
     assert not rows[3]["decode_ok"]  # ADPCM resize: honest dead-letter
+
+
+def test_wav_flavors_sloppy_trailer_extensible_float(spark):
+    """The review-batch regressions: a sloppy trailer chunk after the
+    audio must not corrupt-file a decodable WAV (the walk stops once
+    fmt+data are in hand, first data chunk wins — the stdlib
+    convention); WAVE_FORMAT_EXTENSIBLE PCM decodes natively (stdlib
+    wave rejects the container before Python 3.12); IEEE-float WAV
+    decodes as the uncompressed formula-free format it is."""
+    import struct
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _featurize_wav,
+        _resize_wav,
+        decode_features,
+    )
+
+    pcm = _pcm(800)
+    # hand-assembled PCM16 with an overshooting LIST trailer
+    base = _raw_wav(1, pcm.astype("<i2").tobytes(), bits=16)
+    sloppy = base + b"LIST" + struct.pack("<I", 99999) + b"INFO"
+    cs_clean, feats_clean = _featurize_wav(base)
+    cs_sloppy, feats_sloppy = _featurize_wav(sloppy)
+    assert (cs_clean, feats_clean) == (cs_sloppy, feats_sloppy)
+    _resize_wav(sloppy, 400)  # resizes too, not corrupt
+
+    # two data chunks: FIRST wins (stdlib convention)
+    two = base + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    assert _featurize_wav(two) == (cs_clean, feats_clean)
+
+    # extensible container wrapping PCM16
+    block = 2
+    # tag nch rate byterate block bits cbSize(22) validBits mask,
+    # then the SubFormat GUID whose first two LE bytes are tag 1 (PCM)
+    fmt = struct.pack(
+        "<HHIIHHHHIH", 0xFFFE, 1, 8000, 8000 * block, block, 16, 22, 16,
+        0x4, 1,
+    ) + b"\x00" * 14
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack(
+        "<I", len(pcm.astype("<i2").tobytes())
+    ) + pcm.astype("<i2").tobytes()
+    ext = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert _featurize_wav(ext) == (cs_clean, feats_clean)
+
+    # float32 WAV: native [-1, 1] scale
+    f32 = (pcm.astype(np.float32) / 32768.0).tobytes()
+    fwav = _raw_wav(3, f32, bits=32)
+    cs_f, feats_f = _featurize_wav(fwav)
+    assert feats_f[:3] == [0.1, 8000.0, 1.0]
+    assert 0.0 < feats_f[3] < 1.0  # native float scale
+    out = _resize_wav(fwav, 800)  # float stays float, tag 3, 32-bit
+    tag, nch, rate, bits, data = __import__(
+        "inbev_data_engineering_case_spark.operators.multimodal",
+        fromlist=["_parse_wav_raw"],
+    )._parse_wav_raw(out)
+    assert (tag, bits) == (3, 32)
+    assert np.array_equal(
+        np.frombuffer(data, dtype="<f4"),
+        np.frombuffer(f32, dtype="<f4")[::4],
+    )
+
+    # end-to-end: all flavors green through the mapInPandas boundary
+    assets = spark.createDataFrame(
+        [(i + 1, "audio/wav", p, {"n_bytes": len(p), "source": "t"})
+         for i, p in enumerate([sloppy, ext, fwav])],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    rows = decode_features(assets, real_decoder=True).collect()
+    assert all(r["decode_ok"] for r in rows)
