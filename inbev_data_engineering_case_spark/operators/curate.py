@@ -556,6 +556,10 @@ def leakage_safe_split(
     keyed, _ = _component_keyed(
         documents, pairs, id_col, max_iter, reliable_checkpoint,
         "leakage_safe_split",
+        # same symmetry as the incremental twin: a pre-existing
+        # 'split' column would be silently clobbered by hash_split's
+        # withColumn — reject loudly (drop it first to re-split)
+        reserved=("_split_key", "split"),
     )
     return hash_split(
         keyed, weights=weights, id_col="_split_key", salt=salt,

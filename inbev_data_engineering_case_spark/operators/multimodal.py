@@ -3,7 +3,8 @@ columns with typed metadata, processed through Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema, partitioning,
 UDF signature, batch shape. Decoding is REAL for every format the stdlib
-can express: WAV (``wave``; G.711 A-law/µ-law via formula-generated
+can express: WAV (one native RIFF parse — integer/float PCM incl. the
+extensible container, G.711 A-law/µ-law via formula-generated
 companding tables), FLAC (``operators/flac.py`` — native
 RFC 9639: fixed/LPC prediction, Rice partitions, stereo
 decorrelation, CRC + MD5 verification), BMP/binary-PNM (``struct``+numpy), PNG
@@ -2400,7 +2401,10 @@ def _parse_wav_raw(payload: bytes):
     if fmt is None or len(fmt) < 16 or data is None:
         raise ValueError("wav: missing fmt or data chunk")
     tag, nch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", fmt)
-    if tag == 0xFFFE and len(fmt) >= 26:
+    if tag == 0xFFFE:
+        if len(fmt) < 26:
+            # no SubFormat GUID = a truncation, not a codec gap
+            raise ValueError("wav: extensible fmt chunk truncated")
         tag = struct.unpack_from("<H", fmt, 24)[0]  # extensible subformat
     if nch <= 0 or rate <= 0:
         raise ValueError("wav: non-positive channels/rate")
@@ -2484,10 +2488,18 @@ def _wav_linear(tag: int, bits: int, data: bytes):
         raise ValueError("wav: unsupported PCM bit depth %d" % bits)
     if tag == 3:  # IEEE float — uncompressed, no tables needed
         if bits == 32:
-            return np.frombuffer(data, dtype="<f4"), data
-        if bits == 64:
-            return np.frombuffer(data, dtype="<f8"), data
-        raise ValueError("wav: unsupported float bit depth %d" % bits)
+            samples = np.frombuffer(data, dtype="<f4")
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8")
+        else:
+            raise ValueError("wav: unsupported float bit depth %d" % bits)
+        # NaN/Inf are valid IEEE encodings but junk audio: letting
+        # them through poisons the feature column (NaN mean) with
+        # decode_ok=true — the integer/FLAC paths can never emit a
+        # non-finite feature, so neither may this one
+        if samples.size and not np.isfinite(samples).all():
+            raise ValueError("wav: non-finite float samples")
+        return samples, data
     raise NotImplementedError(
         "WAV format tag %d requires codec tables the engine does not"
         " carry (e.g. ADPCM/GSM); integer PCM, IEEE float, and G.711"
@@ -2506,10 +2518,14 @@ def _featurize_wav(payload: bytes) -> tuple[int, list[float]]:
     import numpy as np
 
     tag, nch, rate, bits, data = _parse_wav_raw(payload)
+    # decode BEFORE the frame-alignment check: a table-bound tag must
+    # reason-code as decoder_gap (NotImplementedError) even when its
+    # data length happens not to divide by a frame size that is only
+    # meaningful for the linear formats anyway
+    samples, canon = _wav_linear(tag, bits, data)
     frame_size = max(1, nch * max(1, bits // 8))
     if len(data) % frame_size:
         raise ValueError("wav: data chunk truncated mid-frame")
-    samples, canon = _wav_linear(tag, bits, data)
     checksum = zlib.crc32(canon) % 1_000_003
     if samples.size:
         if samples.dtype.kind == "f":
@@ -2526,9 +2542,12 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
     """REAL decoders built from the stdlib, so the mapInPandas plumbing is
     exercised end-to-end by genuine decoding (not the deterministic fake):
 
-    - ``audio/*``: dispatched on the payload magic — PCM WAV parses
-      with ``wave``, G.711 A-law/µ-law WAV expands through the
-      formula-generated companding tables (``_g711_table``), FLAC
+    - ``audio/*``: dispatched on the payload magic — WAV decodes
+      through one native RIFF parse (``_featurize_wav``; no stdlib
+      ``wave`` on the hot path — it refuses non-PCM and, before
+      Python 3.12, the extensible container): integer PCM at every
+      width, IEEE float, and G.711 A-law/µ-law via the
+      formula-generated companding tables (``_g711_table``); FLAC
       decodes natively (``operators/flac.py``, full RFC 9639:
       fixed/LPC prediction, Rice partitions, stereo decorrelation,
       CRC + MD5 verification); feature = [duration_s, framerate,
@@ -2952,11 +2971,14 @@ def _resize_wav(payload: bytes, target_bytes: int) -> bytes:
     decimated signal would stack a second lossy pass. Table-bound tags
     raise ``NotImplementedError`` → honest dead-letter."""
     tag, nch, rate, bits, data = _parse_wav_raw(payload)
+    # _wav_linear validates EVERY flavor up front (bit depths, bound
+    # tags → NotImplementedError, non-finite floats): without it a
+    # 12-bit PCM or 16-bit float would resize 'successfully' into a
+    # file the pipeline's own decoder rejects — worse, 12-bit would
+    # decimate mid-sample
+    _samples, canon = _wav_linear(tag, bits, data)
     if tag in (6, 7):
-        samples, canon = _wav_linear(tag, bits, data)  # NIE for bound tags
-        data, tag, bits = canon, 1, 16
-    elif tag not in (1, 3):
-        _wav_linear(tag, bits, data)  # raises the tag's NIE/ValueError
+        data, tag, bits = canon, 1, 16  # expand: PCM16 out
     frame_size = max(1, nch * max(1, bits // 8))
     if len(data) % frame_size:
         raise ValueError("wav: data chunk truncated mid-frame")

@@ -850,3 +850,63 @@ def test_wav_flavors_sloppy_trailer_extensible_float(spark):
     )
     rows = decode_features(assets, real_decoder=True).collect()
     assert all(r["decode_ok"] for r in rows)
+
+
+def test_wav_taxonomy_and_resize_validation(spark):
+    """Pass-2 review regressions: the corrupt-vs-decoder_gap taxonomy
+    must hold at the edges, and resize must validate what it emits."""
+    import struct
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _featurize_wav,
+        _resize_wav,
+    )
+
+    # odd-length stereo ADPCM: capability gap, NOT corrupt (the frame
+    # check must not fire before the tag dispatch)
+    adpcm_odd = _raw_wav(2, b"\x00" * 257, nch=2, bits=4)
+    with pytest.raises(NotImplementedError):
+        _featurize_wav(adpcm_odd)
+    with pytest.raises(NotImplementedError):
+        _resize_wav(adpcm_odd, 100)
+
+    # extensible fmt missing its SubFormat GUID: truncation = corrupt,
+    # not 'tag 65534 requires codec tables'
+    fmt16 = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt16
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    with pytest.raises(ValueError, match="extensible"):
+        _featurize_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    # NaN float samples: corrupt, never a NaN feature with decode_ok
+    nanwav = _raw_wav(3, struct.pack("<4f", 0.5, float("nan"), 0.1, 0.2),
+                      bits=32)
+    with pytest.raises(ValueError, match="non-finite"):
+        _featurize_wav(nanwav)
+
+    # unsupported widths must not resize into files the decoder
+    # rejects: 16-bit float and 12-bit PCM dead-letter on BOTH paths
+    f16 = _raw_wav(3, b"\x00" * 8, bits=16)
+    with pytest.raises(ValueError, match="float bit depth"):
+        _resize_wav(f16, 100)
+    p12 = _raw_wav(1, b"\x00" * 12, bits=12)
+    with pytest.raises(ValueError, match="PCM bit depth"):
+        _resize_wav(p12, 100)
+
+
+def test_leakage_safe_split_rejects_existing_split_column(spark):
+    # twin symmetry: the batch operator must reject a pre-existing
+    # 'split' column exactly like its incremental twin, instead of
+    # silently clobbering the caller's assignment
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        leakage_safe_split,
+    )
+
+    docs = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("train").alias("split")
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="split"):
+        leakage_safe_split(docs, pairs)
