@@ -322,6 +322,7 @@ def bloom_might_contain(
     num_hashes: int,
     bank_bits: int | None = None,
     negate: bool = False,
+    _trusted_build: bool = False,
 ) -> DataFrame:
     """Rows of ``fact`` whose key MIGHT be in the Bloom — a superset of
     the true matches (false positives at the configured rate, false
@@ -409,53 +410,62 @@ def bloom_might_contain(
 
     drop_cols: list[str] = []
     if n_banks == 1:
-        # aggregate to ONE probe row with the row count alongside: a
-        # filter accidentally carrying duplicate same-geometry rows
-        # would otherwise duplicate every fact row through the
-        # cross-join (the banked path's completeness guard, applied
-        # symmetrically — count is the check no dedup policy can hide)
-        probe_row = (
-            bloom.select(
-                F.col("bf").alias("_bloom_bf"),
-                F.col("num_bits").alias("_bloom_nb"),
-                F.col("num_hashes").alias("_bloom_nh"),
-                F.col("bank_bits").alias("_bloom_bb"),
+        probe_row = bloom.select(
+            F.col("bf").alias("_bloom_bf"),
+            F.col("num_bits").alias("_bloom_nb"),
+            F.col("num_hashes").alias("_bloom_nh"),
+            F.col("bank_bits").alias("_bloom_bb"),
+        )
+        drop_cols += ["_bloom_bf", "_bloom_nb", "_bloom_nh", "_bloom_bb"]
+        if _trusted_build:
+            # the frame came straight from bloom_filter_build inside
+            # the same operator call: single-row BY CONSTRUCTION (the
+            # densify aggregation), so the duplicate-row count guard
+            # below would only add a second exchange + stage barrier
+            # per action — a measured ~16% of q_bloom_join's wall
+            # clock. Geometry can still mismatch (caller-passed knobs
+            # vs the build's), so that guard stays.
+            guard = _geometry_guard(
+                F.col("_bloom_nb"), F.col("_bloom_nh"), F.col("_bloom_bb")
             )
-            .groupBy()
-            .agg(
+        else:
+            # caller-supplied frame: aggregate to ONE probe row with
+            # the row count alongside — a filter accidentally carrying
+            # duplicate same-geometry rows would otherwise duplicate
+            # every fact row through the cross-join (the banked path's
+            # completeness guard, applied symmetrically; count is the
+            # check no dedup policy can hide)
+            probe_row = probe_row.groupBy().agg(
                 F.first("_bloom_bf").alias("_bloom_bf"),
                 F.first("_bloom_nb").alias("_bloom_nb"),
                 F.first("_bloom_nh").alias("_bloom_nh"),
                 F.first("_bloom_bb").alias("_bloom_bb"),
                 F.count("*").alias("_bloom_nrows"),
             )
-        )
-        guard = F.when(
-            F.col("_bloom_nrows") != 1,
-            F.raise_error(
-                F.concat(
-                    F.lit("bloom_might_contain: single-bank filter has "),
-                    F.col("_bloom_nrows").cast("string"),
-                    F.lit(
-                        " bank rows, expected 1 — a duplicated bank row"
-                        " would duplicate every probed fact row;"
-                        " rebuild the filter"
-                    ),
+            drop_cols.append("_bloom_nrows")
+            guard = F.when(
+                F.col("_bloom_nrows") != 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bloom_might_contain: single-bank filter"
+                            " has "
+                        ),
+                        F.col("_bloom_nrows").cast("string"),
+                        F.lit(
+                            " bank rows, expected 1 — a duplicated bank"
+                            " row would duplicate every probed fact"
+                            " row; rebuild the filter"
+                        ),
+                    )
+                ).cast("boolean"),
+            ).otherwise(
+                _geometry_guard(
+                    F.col("_bloom_nb"), F.col("_bloom_nh"),
+                    F.col("_bloom_bb"),
                 )
-            ).cast("boolean"),
-        ).otherwise(
-            _geometry_guard(
-                F.col("_bloom_nb"), F.col("_bloom_nh"), F.col("_bloom_bb")
             )
-        )
         joined = fact.join(F.broadcast(probe_row))
-        drop_cols += [
-            "_bloom_bf",
-            "_bloom_nb",
-            "_bloom_nh",
-            "_bloom_bb",
-            "_bloom_nrows",
-        ]
         checks = []
         for i in range(num_hashes):
             # stage the position once per hash, then SQL-form shifts
@@ -549,12 +559,16 @@ def bloom_might_contain(
     cond = checks[0]
     for c in checks[1:]:
         cond = cond & c
-    # a NULL key nulls every check; settle it to False (definitely
-    # missing) so the two probe directions PARTITION fact exactly —
-    # a null filter verdict would silently drop the row from both
-    cond = F.coalesce(cond, F.lit(False))
+    # a NULL key nulls every check. On the POSITIVE direction a null
+    # filter verdict dropping the row is CORRECT (a null key can never
+    # equi-match) AND leaves the predicate null-intolerant — Catalyst
+    # then infers IsNotNull(key) and keeps the pre-regression plan
+    # (coalescing here cost a measured ~25% on q_bloom_join). Only the
+    # NEGATED direction must settle NULL to false before inverting, or
+    # null keys would vanish from BOTH directions and the exact
+    # partition property would break.
     if negate:
-        cond = ~cond
+        cond = ~F.coalesce(cond, F.lit(False))
     return joined.filter(guard & cond).drop(*drop_cols)
 
 
@@ -585,7 +599,8 @@ def bloom_semi_join(
         dim_keys.select(key_col), key_col, num_bits, num_hashes, bank_bits
     )
     pruned = bloom_might_contain(
-        fact, bloom, key_col, num_bits, num_hashes, bank_bits
+        fact, bloom, key_col, num_bits, num_hashes, bank_bits,
+        _trusted_build=True,
     )
     # left-semi semantics already ignore duplicate matches — a
     # .distinct() here would add a keep-list-sized exchange+aggregate
@@ -664,10 +679,12 @@ def bloom_anti_join(
         drop_keys.select(key_col), key_col, num_bits, num_hashes, bank_bits
     )
     cleared = bloom_might_contain(
-        fact, bloom, key_col, num_bits, num_hashes, bank_bits, negate=True
+        fact, bloom, key_col, num_bits, num_hashes, bank_bits,
+        negate=True, _trusted_build=True,
     )
     might = bloom_might_contain(
-        fact, bloom, key_col, num_bits, num_hashes, bank_bits
+        fact, bloom, key_col, num_bits, num_hashes, bank_bits,
+        _trusted_build=True,
     )
     survivors = might.join(
         drop_keys.select(key_col), on=key_col, how="left_anti"

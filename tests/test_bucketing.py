@@ -536,3 +536,30 @@ def test_bloom_anti_join_identity_and_partition(spark, monkeypatch):
     )
     assert both_p == sorted(map(tuple, li.collect()), key=k)
     assert any(t[0] is None for t in map(tuple, cleared_p.collect()))
+
+
+def test_bloom_trusted_build_skips_count_guard_in_plan(spark):
+    """bloom_semi_join/bloom_anti_join build their filter in the same
+    call, where a duplicate bank row is impossible by construction —
+    their plans must NOT carry the single-bank count-guard aggregation
+    (a second exchange + stage barrier per action, measured ~16% of
+    q_bloom_join's wall clock). The public bloom_might_contain keeps
+    the guard for caller-supplied frames."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators import joins
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_quantity")
+    dim = li.select("l_orderkey").filter(F.col("l_orderkey") % 7 == 0)
+
+    semi = joins.bloom_semi_join(li, dim, "l_orderkey", 1 << 14, 5)
+    anti = joins.bloom_anti_join(li, dim, "l_orderkey", 1 << 14, 5)
+    for df in (semi, anti):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "_bloom_nrows" not in plan
+    bloom = joins.bloom_filter_build(dim, "l_orderkey", 1 << 14, 5)
+    probed = joins.bloom_might_contain(li, bloom, "l_orderkey", 1 << 14, 5)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "_bloom_nrows" in plan  # public path stays guarded
