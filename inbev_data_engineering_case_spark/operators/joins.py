@@ -211,11 +211,14 @@ def _bloom_shuffle_probe(
     past ``num_hashes`` and raises in the regroup.
     """
     fact_cols = fact.columns
-    # NULL keys hash to NULL positions: they would left-join no bank
-    # row and trip the missing-bank guard — but a null key is simply
-    # DEFINITELY MISSING (it can never equi-match). Route them around
-    # the probe: excluded from the might side, unioned into the
-    # negated side, so the two directions partition fact exactly.
+    # Spark's hash expressions IGNORE null inputs — xxhash64(NULL,
+    # seed) is a real hash — so a NULL key would probe real bit
+    # positions and land on whichever side the filter's density
+    # dictates. But a null key is simply DEFINITELY MISSING (it can
+    # never equi-match), so route it around the probe entirely:
+    # excluded from the might side, unioned into the negated side —
+    # the two directions partition fact exactly (the broadcast path
+    # pins the same semantics with an explicit isNotNull term).
     null_rows = fact.filter(F.col(key_col).isNull())
     fact = fact.filter(F.col(key_col).isNotNull())
     key = F.col(f"_bloom_row.{key_col}")
@@ -359,10 +362,14 @@ def bloom_might_contain(
     DEFINITELY NOT in the set (the direction with no error at all:
     false negatives are impossible, so a cleared row is proof) — from
     the same single broadcast and the same codegen'd lookups. NULL
-    keys are definitely-missing by definition (they hash to no
-    positions and can never equi-match), so they ride the negated
-    side; both directions together partition ``fact`` exactly.
-    ``bloom_anti_join`` is the consumer."""
+    keys are definitely-missing by definition (they can never
+    equi-match) and are PINNED to the negated side by an explicit
+    isNotNull term — necessary because Spark's hash expressions
+    ignore null inputs (xxhash64(NULL, seed) is a real hash), so an
+    unpinned null key would probe real bit positions and land on
+    whichever side the filter's density dictates. Both directions
+    together partition ``fact`` exactly. ``bloom_anti_join`` is the
+    consumer."""
     # underscore-prefix the bloom rows' columns before joining so a
     # fact column named bank/bf/num_bits/... can't collide (ambiguous
     # reference or silent overwrite); the staging columns below share
@@ -559,16 +566,20 @@ def bloom_might_contain(
     cond = checks[0]
     for c in checks[1:]:
         cond = cond & c
-    # a NULL key nulls every check. On the POSITIVE direction a null
-    # filter verdict dropping the row is CORRECT (a null key can never
-    # equi-match) AND leaves the predicate null-intolerant — Catalyst
-    # then infers IsNotNull(key) and keeps the pre-regression plan
-    # (coalescing here cost a measured ~25% on q_bloom_join). Only the
-    # NEGATED direction must settle NULL to false before inverting, or
-    # null keys would vanish from BOTH directions and the exact
-    # partition property would break.
+    # Spark's hash expressions IGNORE null inputs — xxhash64(NULL,
+    # seed) is a real hash, not NULL — so without this pin a NULL key
+    # would probe real bit positions and land on whichever side the
+    # filter's density dictates (measured: a dense filter sent a
+    # null-key row to the might side). The documented semantics are
+    # pinned explicitly instead: a null key can never equi-match, so
+    # it is definitely-missing BY DEFINITION — excluded from the might
+    # side, surfaced by the negated (cleared) side. No NULL-settling
+    # coalesce is needed anywhere: cond itself can never be NULL
+    # (hashes are non-null, element_at indices are in-bounds by the
+    # geometry guard).
+    cond = F.col(key_col).isNotNull() & cond
     if negate:
-        cond = ~F.coalesce(cond, F.lit(False))
+        cond = ~cond
     return joined.filter(guard & cond).drop(*drop_cols)
 
 
@@ -628,8 +639,9 @@ def bloom_anti_join(
     might-match superset (true drops + fp_rate · the rest) enters the
     exact anti join, which removes the true drops and returns the
     false positives. Null keys never match an anti join's right side,
-    and the probe's hash treats them as no-bits-set, so they ride the
-    cleared branch — same rows either way.
+    and the probe PINS them to the cleared branch (an explicit
+    isNotNull term — Spark's hash expressions ignore null inputs, so
+    an unpinned null would probe real bits) — same rows either way.
 
     Why at 100 TB: decontamination and blocklist scrubs anti-join a
     fact-scale corpus against a drop set too big to broadcast raw; a

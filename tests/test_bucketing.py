@@ -511,6 +511,30 @@ def test_bloom_anti_join_identity_and_partition(spark, monkeypatch):
     both = sorted(map(tuple, might.unionByName(cleared).collect()), key=k)
     assert both == sorted(map(tuple, li.collect()), key=k)
 
+    # DENSE filter: Spark's xxhash64 ignores NULL inputs (a null key
+    # hashes to a REAL value), so an unpinned null would probe real
+    # bit positions and — in a saturated filter — test positive,
+    # landing on the might side. The explicit isNotNull pin must keep
+    # BOTH null rows on the cleared side at any density, and the anti
+    # identity must hold
+    dense = joins.bloom_filter_build(drop, "l_orderkey", 64, 3)
+    might_d = joins.bloom_might_contain(li, dense, "l_orderkey", 64, 3)
+    cleared_d = joins.bloom_might_contain(
+        li, dense, "l_orderkey", 64, 3, negate=True
+    )
+    assert not any(r["l_orderkey"] is None for r in might_d.collect())
+    assert (
+        sum(1 for r in cleared_d.collect() if r["l_orderkey"] is None) == 2
+    )
+    got_d = sorted(
+        map(
+            tuple,
+            joins.bloom_anti_join(li, drop, "l_orderkey", 64, 3).collect(),
+        ),
+        key=k,
+    )
+    assert got_d == want
+
     # past the broadcast ceiling the anti join routes to the PLAIN
     # left-anti (a twice-run shuffle probe would out-cost the join it
     # prefilters): identity must hold and the plan must contain no
