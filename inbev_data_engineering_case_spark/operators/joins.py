@@ -621,6 +621,21 @@ def bloom_semi_join(
     )
 
 
+def _plan_is_deterministic(df: DataFrame) -> bool:
+    """True when the analyzed plan reports every expression deterministic
+    (the JVM ``QueryPlan.deterministic`` walk). Catches ``rand()``/
+    ``randn()``-derived lineage; CANNOT catch determinism hazards that
+    live outside expressions — ``limit`` over unordered input, or
+    shuffle recomputation after executor loss — so a True here is
+    necessary, not sufficient (callers with those inputs should pass
+    ``pin_lineage=True``). Fails open (True) if the private JVM API is
+    unavailable, preserving pre-guard behavior."""
+    try:
+        return bool(df._jdf.queryExecution().analyzed().deterministic())
+    except Exception:  # pragma: no cover - JVM API drift
+        return True
+
+
 def bloom_anti_join(
     fact: DataFrame,
     drop_keys: DataFrame,
@@ -628,6 +643,7 @@ def bloom_anti_join(
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
     bank_bits: int | None = None,
+    pin_lineage: bool | str = "auto",
 ) -> DataFrame:
     """EXACT left-anti join with a Bloom pre-filter — result identical
     to ``fact.join(drop_keys, key, "left_anti")`` (identity-tested).
@@ -660,10 +676,20 @@ def bloom_anti_join(
     input, a ``rand()``-derived filter, shuffle recomputation after
     executor loss) can hand each branch a different row set — a row
     then lands in both branches (duplicated) or neither (silently
-    dropped): wrong rows, not an error. Persist or localCheckpoint
-    such a ``fact`` FIRST; for deterministic lineage the double
-    evaluation is just the scan running twice with each direction's
-    filter pushed down, and persisting is only a cost call.
+    dropped): wrong rows, not an error.
+
+    ``pin_lineage`` enforces that requirement instead of trusting the
+    docstring: ``"auto"`` (default) inspects the analyzed plan and
+    lazily ``localCheckpoint``\\ s ``fact`` when any expression is
+    nondeterministic (a ``rand()``-derived filter, for example) — both
+    branches then read the one materialized row set, and an executor
+    loss fails the job loudly instead of silently recomputing
+    different rows. ``True`` always pins (the right call for hazards
+    the plan walk cannot see: ``limit`` over unordered input, inputs
+    that may recompute after executor loss); ``False`` asserts the
+    caller already persisted or knows the lineage deterministic — the
+    double evaluation is then just the scan running twice with each
+    direction's filter pushed down.
 
     Past the broadcast probe ceiling (``num_bits > 2**33``) this
     operator routes to the PLAIN left-anti join instead: the
@@ -687,6 +713,18 @@ def bloom_anti_join(
         return fact.join(
             drop_keys.select(key_col), on=key_col, how="left_anti"
         )
+    if pin_lineage is True or (
+        pin_lineage == "auto" and not _plan_is_deterministic(fact)
+    ):
+        if pin_lineage == "auto":
+            _log.warning(
+                "bloom_anti_join: fact has nondeterministic lineage —"
+                " pinning with a lazy localCheckpoint so the cleared and"
+                " might-match branches read the same rows (pass a"
+                " persisted input or pin_lineage=False to manage this"
+                " yourself)"
+            )
+        fact = fact.localCheckpoint(eager=False)
     bloom = bloom_filter_build(
         drop_keys.select(key_col), key_col, num_bits, num_hashes, bank_bits
     )

@@ -2272,6 +2272,41 @@ def _parse_avi_mjpeg(payload: bytes, require_mjpeg: bool = True):
     )
 
 
+def _jpeg_sof_dimensions(frame: bytes) -> tuple[int, int]:
+    """Header-only (height, width) of a JPEG bitstream: marker walk to
+    the first SOFn, no entropy decode. A DNL-deferred height (SOF
+    height 0) is recovered from the DNL segment — unambiguous to scan
+    for because 0xFF inside entropy-coded data is always stuffed
+    (0xFF00) or a restart marker (0xFFD0-D7), never 0xFFDC. The cheap
+    probe ``video_metadata`` uses when a capture muxer wrote avih
+    canvas dims of 0 (``_parse_avi_mjpeg`` documents them as
+    advisory), so the metadata surface agrees with the decode surface
+    (``_featurize_avi_mjpeg``), which always trusts SOF."""
+    import struct
+
+    if frame[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG bitstream (no SOI)")
+    pos = 2
+    while pos + 4 <= len(frame):
+        if frame[pos] != 0xFF:
+            raise ValueError("JPEG marker walk desynchronized")
+        marker = frame[pos + 1]
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: bare
+            pos += 2
+            continue
+        size = struct.unpack_from(">H", frame, pos + 2)[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack_from(">HH", frame, pos + 5)
+            if h == 0:  # DNL-deferred: the real height follows the scan
+                at = frame.find(b"\xff\xdc", pos)
+                if at < 0 or at + 6 > len(frame):
+                    raise ValueError("SOF height 0 and no DNL segment")
+                h = struct.unpack_from(">H", frame, at + 4)[0]
+            return h, w
+        pos += 2 + size
+    raise ValueError("no SOF marker before end of data")
+
+
 def _featurize_avi_mjpeg(payload: bytes) -> tuple[int, list[float]]:
     """Real COMPRESSED-video featurization on a bare cluster: demux
     the Motion-JPEG AVI, decode every frame through the native JPEG
@@ -2301,10 +2336,16 @@ def _featurize_avi_mjpeg(payload: bytes) -> tuple[int, list[float]]:
                 f"({px.shape[1]}x{px.shape[0]} vs {width}x{height})"
             )
         crc = zlib.crc32(px.tobytes(), crc)
-        # luma per BT.601 for color frames; the plane itself for gray
+        # luma per BT.601 for color frames; the plane itself for gray.
+        # A 4-channel frame (Adobe CMYK/YCCK MJPEG) is stored-inverted
+        # ink, not RGB — composite it first or the BT.601 weights land
+        # on C/M/Y planes and silently skew the feature. The CRC stays
+        # over the decoded stored samples (the decoder contract).
         if px.shape[2] == 1:
             luma = px[:, :, 0].astype(np.float64)
         else:
+            if px.shape[2] == 4:
+                px = _jpeg_cmyk_to_rgb(px)
             p = px.astype(np.float64)
             luma = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
         total += float(luma.sum())
@@ -3489,6 +3530,18 @@ def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:
                         w, h, fps, frames, n = _parse_avi_mjpeg(
                             payload, require_mjpeg=False
                         )
+                        if (not w or not h) and frames:
+                            # avih canvas dims are advisory (capture
+                            # muxers write 0/stale); recover real dims
+                            # from the first frame's SOF header — the
+                            # authority _featurize_avi_mjpeg uses — so
+                            # the two surfaces agree. Non-JPEG frames
+                            # (non-MJPG codecs) fail the SOI check and
+                            # keep the advisory values.
+                            try:
+                                h, w = _jpeg_sof_dimensions(frames[0])
+                            except ValueError:
+                                pass
                         d = (
                             int(len(frames) * 1000 / fps) if fps else None
                         )

@@ -6830,31 +6830,51 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_stream_drift replays this exact computation; q_curation_drift
     # pins the per-day drift-report family:
     "q_dist_drift": ("q_stream_drift", "q_curation_drift"),
-    # LATE-r10 DEBUT (not a demotion): the delta embedding near-dup
-    # consuming normalized (vectors, buckets) state natively — oracle
-    # is q_embedding_incremental's SQL unchanged (the deferred vector
-    # join cannot change pair decisions; parity-tested incl. hot
-    # buckets at n_probes>1); r11 promotion queue. Covered in-window
-    # by q_embedding_incremental (identical delta machinery on
-    # denormalized state) and q_dedup_embedding (full-batch twin):
-    "q_embedding_incr_norm": (
-        "q_embedding_incremental",
+    # (the four LATE-r10 DEBUTS that closed this dict —
+    # q_embedding_incr_norm q_bloom_anti q_leakage_split
+    # q_leakage_incremental — were all PROMOTED in r11 as queued: each
+    # returns to its registration slot, q_bloom_anti beside
+    # q_bloom_join, q_embedding_incr_norm beside q_dedup_embedding,
+    # and the leakage pair beside the curation family)
+    #
+    # rotated OUT in r11 to seat the four promotions; every demotion
+    # below is driver-green in at least r9+r10 (q_containment since
+    # r8), and names in-window same-family cover. Three of the four
+    # (q_simhash_incremental, q_containment, q_containment_incremental)
+    # were referenced by no stand-in chain; q_embedding_incremental was
+    # referenced only by the now-promoted q_embedding_incr_norm.
+    #
+    # delta embedding near-dup on denormalized state: the promoted
+    # normalized-state twin runs the IDENTICAL delta machinery
+    # in-window and its oracle IS this entry's SQL unchanged (the
+    # deferred vector join cannot change pair decisions —
+    # parity-tested incl. hot buckets at n_probes>1); the full-batch
+    # twin pins the sign-LSH bucket machinery:
+    "q_embedding_incremental": (
+        "q_embedding_incr_norm",
         "q_dedup_embedding",
     ),
-    # LATE-r10 DEBUT (not a demotion): the Bloom-prefiltered anti
-    # join — oracle is the plain NOT IN SQL unchanged (the prefilter
-    # is exact by construction: cleared rows are proof of absence,
-    # false positives die in the exact anti join); r11 promotion
-    # queue. Covered in-window by q_bloom_join (the identical
-    # prefilter machinery, semi direction) and q_curate_corpus
-    # (left-anti drop-joins):
-    "q_bloom_anti": ("q_bloom_join", "q_curate_corpus"),
-    # cluster-keyed split = the minhash pair graph (in-window headline)
-    # + the identical components closure inside the curation flagship:
-    "q_leakage_split": ("q_dedup_minhash", "q_curate_corpus"),
-    # the delta twin rides the same pair machinery plus the same
-    # stored-sig-vs-new join q_curate_incremental runs in-window:
-    "q_leakage_incremental": ("q_dedup_minhash", "q_curate_incremental"),
+    # delta simhash near-dup: q_dedup_minhash pins the banded
+    # similarity family in-window, and the stored-state delta
+    # discipline (new-only hashing against a committed artifact
+    # table) is exactly what q_embedding_incr_norm and
+    # q_curate_incremental run in-window:
+    "q_simhash_incremental": (
+        "q_dedup_minhash",
+        "q_embedding_incr_norm",
+    ),
+    # asymmetric containment: q_containment_fast runs the SAME
+    # gram-keyed, df-capped candidate machinery in-window (the
+    # portable-hash toggle is the only difference; identity-tested
+    # against this entry's composition):
+    "q_containment": ("q_containment_fast",),
+    # containment delta twin: the gram-keyed machinery stays in-window
+    # via q_containment_fast, the frozen-history delta discipline via
+    # q_curate_incremental:
+    "q_containment_incremental": (
+        "q_containment_fast",
+        "q_curate_incremental",
+    ),
 }
 
 for _name in _FAMILY_STAND_INS:

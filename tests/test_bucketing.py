@@ -587,3 +587,71 @@ def test_bloom_trusted_build_skips_count_guard_in_plan(spark):
     probed = joins.bloom_might_contain(li, bloom, "l_orderkey", 1 << 14, 5)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "_bloom_nrows" in plan  # public path stays guarded
+
+
+def test_bloom_anti_join_pin_lineage_guard(spark, monkeypatch):
+    """bloom_anti_join evaluates fact TWICE (cleared + might branches);
+    nondeterministic lineage could hand each branch different rows —
+    the pin_lineage guard must localCheckpoint such a fact ('auto'
+    detects rand()-derived plans; True always pins; False never), and
+    the pinned path must still produce the exact anti-join result."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators import joins
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_quantity")
+    drop = li.select("l_orderkey").filter(F.col("l_orderkey") % 5 == 0)
+
+    # the detector itself: deterministic scan vs rand()-derived filter
+    assert joins._plan_is_deterministic(li)
+    nondet = li.filter(F.rand(seed=7) < 2.0)  # always-true, but flagged
+    assert not joins._plan_is_deterministic(nondet)
+
+    pinned = []
+    # patch the RUNTIME class (pyspark.sql.classic.dataframe.DataFrame
+    # here) — the pyspark.sql.DataFrame facade dispatches to it, so
+    # patching the base would never intercept the call
+    cls = type(li)
+    real = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        pinned.append(eager)
+        return real(self, eager=eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
+
+    # auto + deterministic fact: no pin (pre-guard plan, zero cost)
+    joins.bloom_anti_join(li, drop, "l_orderkey", 1 << 14, 5)
+    assert pinned == []
+    # auto + nondeterministic fact: lazily pinned
+    joins.bloom_anti_join(nondet, drop, "l_orderkey", 1 << 14, 5)
+    assert pinned == [False]
+    # explicit True: always pinned; False: caller's responsibility
+    joins.bloom_anti_join(li, drop, "l_orderkey", 1 << 14, 5,
+                          pin_lineage=True)
+    assert pinned == [False, False]
+    joins.bloom_anti_join(nondet, drop, "l_orderkey", 1 << 14, 5,
+                          pin_lineage=False)
+    assert pinned == [False, False]
+    monkeypatch.setattr(cls, "localCheckpoint", real)
+
+    # the pinned path end-to-end: exact left-anti identity holds
+    def key(t):
+        return tuple((x is None, 0 if x is None else x) for x in t)
+
+    want = sorted(
+        map(tuple, li.join(drop, "l_orderkey", "left_anti").collect()),
+        key=key,
+    )
+    got = sorted(
+        map(
+            tuple,
+            joins.bloom_anti_join(
+                li, drop, "l_orderkey", 1 << 14, 5, pin_lineage=True
+            ).collect(),
+        ),
+        key=key,
+    )
+    assert got == want

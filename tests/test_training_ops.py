@@ -5696,6 +5696,91 @@ def test_avi_mjpeg_native_video_decode():
     assert feats0 == feats and checksum0 == checksum
 
 
+def test_avi_mjpeg_cmyk_frame_luma_composites():
+    """A 4-channel (Adobe CMYK) MJPEG frame is stored-inverted ink —
+    the featurizer must composite through _jpeg_cmyk_to_rgb before the
+    BT.601 luma, not weight the C/M/Y planes as if they were RGB."""
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators import multimodal
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _avi_encode_mjpeg,
+        _featurize_avi_mjpeg,
+        _jpeg_cmyk_to_rgb,
+        _jpeg_decode,
+        _jpeg_encode_cmyk,
+    )
+
+    # K=128 makes composite != stored C/M/Y planes, so the two luma
+    # formulas disagree by a wide margin
+    cmyk = np.zeros((16, 16, 4), np.uint8)
+    cmyk[..., 0], cmyk[..., 1], cmyk[..., 2], cmyk[..., 3] = (
+        200, 100, 50, 128,
+    )
+    frame = _jpeg_encode_cmyk(cmyk, quality=95)
+
+    orig = multimodal._jpeg_encode_baseline
+    multimodal._jpeg_encode_baseline = lambda f, quality=85: frame
+    try:
+        payload = _avi_encode_mjpeg([cmyk[..., :3]], quality=95, fps=4)
+    finally:
+        multimodal._jpeg_encode_baseline = orig
+
+    decoded = _jpeg_decode(frame)
+    assert decoded.shape[2] == 4
+    rgb = _jpeg_cmyk_to_rgb(decoded).astype(np.float64)
+    want = float(
+        (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
+        .mean()
+    )
+    raw = decoded.astype(np.float64)
+    wrong = float(
+        (0.299 * raw[..., 0] + 0.587 * raw[..., 1] + 0.114 * raw[..., 2])
+        .mean()
+    )
+    assert abs(want - wrong) > 30  # the bug would be a silent skew
+
+    _, feats = _featurize_avi_mjpeg(payload)
+    assert feats[:3] == [16.0, 16.0, 1.0]
+    assert abs(feats[3] - want) < 1e-9
+
+
+def test_video_metadata_avi_recovers_dims_from_sof(spark):
+    """video_metadata's AVI branch must not report the advisory avih
+    canvas dims when a capture muxer wrote 0s — the first frame's SOF
+    header (a cheap marker walk, no entropy decode) is the authority
+    the featurize surface already uses, so both report the same
+    resolution."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _avi_encode_mjpeg,
+        _jpeg_sof_dimensions,
+        video_metadata,
+    )
+
+    f0 = _jpeg_gradient(24, 32)
+    payload = _avi_encode_mjpeg([f0, np.roll(f0, 3, 1)], quality=90, fps=5)
+    zeroed = bytearray(payload)
+    struct.pack_into("<II", zeroed, payload.index(b"avih") + 8 + 32, 0, 0)
+
+    # the probe itself: header-only dims, garbage rejected loudly
+    frames_at = payload.index(b"\xff\xd8")
+    assert _jpeg_sof_dimensions(payload[frames_at:]) == (24, 32)
+    with pytest.raises(ValueError, match="SOI"):
+        _jpeg_sof_dimensions(b"\x00\x01\x02\x03")
+
+    df = spark.createDataFrame(
+        [(1, "video", bytes(zeroed))],
+        "asset_id long, media_type string, payload binary",
+    )
+    row = video_metadata(df).collect()[0]
+    assert row["meta_ok"] and (row["width"], row["height"]) == (32, 24)
+
+
 def test_avi_mjpeg_through_spark_featurize_and_frame_sample(spark):
     """End to end through the Arrow operators: an MJPEG AVI asset
     lands decode_ok through decode_features (video family), and
