@@ -40,25 +40,72 @@ from inbev_data_engineering_case_spark.operators.textops import (
 )
 
 
+def _resolve_bloom_bits(
+    left: DataFrame,
+    keys: DataFrame,
+    bloom_prefilter_bits: int | str | None,
+) -> int | None:
+    """``"auto"`` → a size-gated bit count (or None when the plain
+    join wins: keys broadcastable, or fact under the amortization
+    floor — ``joins.auto_bloom_bits``); int/None pass through."""
+    if bloom_prefilter_bits != "auto":
+        return bloom_prefilter_bits
+    from inbev_data_engineering_case_spark.operators.joins import (
+        auto_bloom_bits,
+    )
+
+    return auto_bloom_bits(left, keys)
+
+
 def _keep_semi(
     left: DataFrame,
     keep: DataFrame,
     id_col: str,
-    bloom_prefilter_bits: int | None,
+    bloom_prefilter_bits: int | str | None,
 ) -> DataFrame:
     """The pipeline's keep-join in one place: a plain left-semi, or the
     Bloom-prefiltered exact form when ``bloom_prefilter_bits`` is set
     (same rows either way — the prefilter only slims the corpus-side
-    shuffle when the keep list can't broadcast)."""
-    if bloom_prefilter_bits is None:
+    shuffle when the keep list can't broadcast). ``"auto"`` gates on
+    plan-stats selectivity per join (``_resolve_bloom_bits``)."""
+    bits = _resolve_bloom_bits(left, keep, bloom_prefilter_bits)
+    if bits is None:
         return left.join(keep, on=id_col, how="left_semi")
     from inbev_data_engineering_case_spark.operators.joins import (
         bloom_semi_join,
     )
 
-    return bloom_semi_join(
-        left, keep, id_col, num_bits=bloom_prefilter_bits
+    return bloom_semi_join(left, keep, id_col, num_bits=bits)
+
+
+def _drop_anti(
+    left: DataFrame,
+    drop: DataFrame,
+    id_col: str,
+    bloom_prefilter_bits: int | str | None,
+) -> DataFrame:
+    """The pipeline's drop-join twin of ``_keep_semi``: a plain
+    left-anti, or ``joins.bloom_anti_join`` when the prefilter is
+    engaged — rows the bitmap CLEARS (provably not in the drop list)
+    bypass the exact join entirely, so at scale the anti-join shuffle
+    carries only true drops + fp·rest instead of every kept row.
+    Result identical either way (false positives die in the exact
+    anti join, false negatives cannot exist).
+
+    The anti form evaluates ``left`` twice (cleared + might
+    branches); every pipeline call site feeds a ``_materialize``\\ d
+    frame, and ``bloom_anti_join``'s ``pin_lineage="auto"`` guard
+    additionally pins any nondeterministic lineage it is handed — the
+    dual-consumer determinism requirement documented at its
+    definition."""
+    bits = _resolve_bloom_bits(left, drop, bloom_prefilter_bits)
+    if bits is None:
+        return left.join(drop, on=id_col, how="left_anti")
+    from inbev_data_engineering_case_spark.operators.joins import (
+        bloom_anti_join,
     )
+
+    return bloom_anti_join(left, drop, id_col, num_bits=bits)
 
 
 def curate_corpus(
@@ -79,12 +126,29 @@ def curate_corpus(
     max_docs_per_source: int | None = None,
     source_col: str = "source",
     cap_presalt: int | None = None,
-    bloom_prefilter_bits: int | None = None,
+    bloom_prefilter_bits: int | str | None = None,
+    split_weights: dict[str, float] | None = None,
+    split_salt: str = "split",
+    split_buckets: int = 10_000,
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
     metadata (lang, quality). Survivor policy is deterministic end to end:
     exact dedup keeps min id per fingerprint; near-dup clusters keep the
     component id (= min doc id in the cluster).
+
+    ``split_weights`` (default None = off) appends a leakage-safe
+    train/val/test ``split`` column computed from the SAME connected-
+    components pass the near-dedup drop list came from — one components
+    iteration per pipeline, where calling ``leakage_safe_split``
+    afterwards would run a second one over the same pair graph. Each
+    kept document is keyed by its component representative (its own id
+    when it has no near-dup) and split by the identical deterministic
+    ``hash_split`` expression, so the assignment is row-identical to
+    the standalone ``leakage_safe_split(kept, pairs)`` (parity-tested).
+    Requesting the split upgrades the components run to
+    ``require_convergence=True`` (the split operator's contract — a
+    non-converged labeling could hand one cluster two representatives,
+    the straddle the operator exists to prevent).
 
     Passing an eval/benchmark set adds a decontamination stage between the
     filters and the dedups: documents sharing any ``decontaminate_ngram``
@@ -129,15 +193,26 @@ def curate_corpus(
 
     ``bloom_prefilter_bits`` (default None = off) routes the three
     id-keyed keep-joins (LM keep list, exact-dedup survivors, cap
-    winners) through ``joins.bloom_semi_join``: the corpus side probes
-    a compact bitmap before the exact semi join, so when the keep list
-    is too big to broadcast, the corpus-side shuffle carries only
-    (true keeps + fp·rest) rows instead of everything. The kept set is
-    hash-identical to the plain pipeline at ANY bit count
-    (identity-tested) — false positives die in the exact join, false
-    negatives cannot exist — so sizing (``≈ 10·|keep list|`` for ~1%
-    fp) affects throughput only. Builds past 2^23 bits bank
-    automatically (``joins.bloom_filter_build``)."""
+    winners) through ``joins.bloom_semi_join`` AND the near-dedup
+    drop-join through ``joins.bloom_anti_join``: the corpus side
+    probes a compact bitmap before the exact join, so when the
+    keep/drop list is too big to broadcast, the corpus-side shuffle
+    carries only (true matches + fp·rest) rows instead of everything.
+    The kept set is hash-identical to the plain pipeline at ANY bit
+    count (identity-tested) — false positives die in the exact join,
+    false negatives cannot exist — so sizing (``≈ 10·|key list|`` for
+    ~1% fp) affects throughput only. Builds past 2^23 bits bank
+    automatically (``joins.bloom_filter_build``).
+
+    ``bloom_prefilter_bits="auto"`` gates each join on plan-stats
+    selectivity (``joins.auto_bloom_bits``): the prefilter engages
+    only when the key list exceeds the broadcast threshold AND the
+    corpus side clears the ~1 GiB amortization floor, with bits sized
+    from the estimated key count. Below the crossover — e.g. the
+    whole sf0.1 bench — "auto" resolves to the plain plan, so small
+    runs never pay the bitmap build the r10 bench measured at 13%;
+    at the 100 TB design point both gates flip on. ``"auto"`` is the
+    recommended production setting."""
     if strip_html:
         from inbev_data_engineering_case_spark.operators.textops import (
             html_to_text,
@@ -215,9 +290,10 @@ def curate_corpus(
     # materialize_mode selects the sharing mechanism (local blocks /
     # reliable checkpoint / parquet scratch table).
     eligible = _materialize(eligible, materialize_mode)
-    _, final = _dedup_chain(
+    _, final, clusters = _dedup_chain(
         eligible, text_col, id_col, near_dup_threshold, materialize_mode,
         bloom_prefilter_bits=bloom_prefilter_bits,
+        require_convergence=split_weights is not None,
     )
     if max_docs_per_source is not None:
         from inbev_data_engineering_case_spark.operators.sample import (
@@ -239,6 +315,26 @@ def curate_corpus(
             quality_col="quality",
         ).select(id_col)
         final = _keep_semi(final, kept, id_col, bloom_prefilter_bits)
+    if split_weights is not None:
+        # key by the component representative from the pass above —
+        # structurally leakage_safe_split's keying, minus its second
+        # components run (clusters' lineage is already materialized by
+        # the iteration loop). No clobber guard needed here: the
+        # scoring projection already reduced the frame to
+        # (id, text, lang, quality[, source]), so no input 'split'
+        # column can reach this point.
+        keyed = final.join(
+            clusters.select(
+                F.col("node").alias(id_col),
+                F.col("comp").alias("_split_key"),
+            ),
+            on=id_col,
+            how="left",
+        ).withColumn("_split_key", F.coalesce("_split_key", F.col(id_col)))
+        final = hash_split(
+            keyed, weights=split_weights, id_col="_split_key",
+            salt=split_salt, buckets=split_buckets,
+        ).drop("_split_key")
     return final
 
 
@@ -248,14 +344,18 @@ def _dedup_chain(
     id_col: str,
     near_dup_threshold: float,
     materialize_mode: str,
-    bloom_prefilter_bits: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    bloom_prefilter_bits: int | str | None = None,
+    require_convergence: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The shared dedup tail of the curation pipeline: exact fingerprint
     dedup (min-id survivor) then MinHash near-dedup via components.
-    Returns ``(after_exact, final)`` — ONE implementation consumed by
-    both ``curate_corpus`` and ``curation_report``, so the report's
-    funnel counts are structurally the pipeline's own cardinalities,
-    not a hand-synchronized copy."""
+    Returns ``(after_exact, final, clusters)`` — ONE implementation
+    consumed by both ``curate_corpus`` and ``curation_report``, so the
+    report's funnel counts are structurally the pipeline's own
+    cardinalities, not a hand-synchronized copy; ``clusters`` is the
+    (node, comp) labeling the drop list came from, exposed so the
+    split stage can key off the SAME components pass instead of
+    re-running the iteration (``curate_corpus`` ``split_weights``)."""
     # exact dedup: survivors only (min id per fingerprint)
     exact_keep = exact_dedup(eligible, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
@@ -270,11 +370,17 @@ def _dedup_chain(
         after_exact, text_col, id_col, threshold=near_dup_threshold,
         materialize_mode=materialize_mode,
     )
-    clusters = dedup_components(pairs)  # (node, comp)
+    clusters = dedup_components(  # (node, comp)
+        pairs, require_convergence=require_convergence
+    )
     drop = clusters.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)
     )
-    return after_exact, after_exact.join(drop, on=id_col, how="left_anti")
+    # the drop side of the prefilter family: after_exact is
+    # _materialize'd above, satisfying bloom_anti_join's dual-consumer
+    # determinism requirement
+    final = _drop_anti(after_exact, drop, id_col, bloom_prefilter_bits)
+    return after_exact, final, clusters
 
 
 def curate_incremental(
@@ -288,6 +394,7 @@ def curate_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize_mode: str = "local",
+    bloom_prefilter_bits: int | str | None = None,
 ) -> DataFrame:
     """The composed daily-crawl pipeline: diff a new snapshot against the
     previous one and curate ONLY the delta against the stored corpus
@@ -324,7 +431,10 @@ def curate_incremental(
     kept corpus; ``stored_fps`` any table with the kept corpus's ``fp``
     fingerprint column (``exact_dedup`` output works as-is). An updated
     doc re-enters curation under its (unchanged) id; the self-pair guard
-    keeps it from matching its own stale stored signature. Advance the
+    keeps it from matching its own stale stored signature.
+    ``bloom_prefilter_bits`` (int | "auto" | None) engages the same
+    drop-join prefilter as the batch pipeline on the final near-dup
+    drop join (see ``curate_corpus``). Advance the
     stored artifact tables after each run with
     ``advance_corpus_artifacts`` — mode ``"append"`` keeps an updated
     doc's old rows (append-only emission semantics, the default) and
@@ -384,7 +494,9 @@ def curate_incremental(
     drop = clusters.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)
     )
-    return eligible.join(drop, on=id_col, how="left_anti")
+    # same prefilter family as the batch pipeline's drop join;
+    # `eligible` is _materialize'd above (dual-consumer requirement)
+    return _drop_anti(eligible, drop, id_col, bloom_prefilter_bits)
 
 
 def advance_corpus_artifacts(
@@ -934,7 +1046,7 @@ def curation_report(
     )
 
     eligible = _materialize(scored.filter(quality_ok), materialize_mode)
-    after_exact, final = _dedup_chain(
+    after_exact, final, _ = _dedup_chain(
         eligible, text_col, id_col, near_dup_threshold, materialize_mode
     )
     n_exact = after_exact.count()

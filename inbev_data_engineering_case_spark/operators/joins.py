@@ -621,6 +621,82 @@ def bloom_semi_join(
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df`` (optimized-plan stats).
+    File-source scans report real (column-pruned) file bytes;
+    ``localCheckpoint`` frames keep their origin stats — measured at
+    sf0.1: a parquet documents scan 254 KB, its keep-list aggregate
+    113 KB — so the estimate is usable for broadcastability decisions
+    without running a job. Falls back to "huge" when the private JVM
+    API is unavailable (conservative: huge keys disable no prefilter
+    gate by themselves, huge facts enable it only past the broadcast
+    gate)."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes())
+        )
+    except Exception:  # pragma: no cover - JVM API drift
+        return 1 << 62
+
+
+def auto_bloom_bits(
+    fact: DataFrame,
+    keys: DataFrame,
+    bits_per_key: int = 10,
+    min_fact_bytes: int = 1 << 30,
+) -> int | None:
+    """Size-aware default for the Bloom pre-filter family: a bit count
+    when the prefilter should pay, ``None`` when the plain join is the
+    better plan. Pure plan introspection — no job runs.
+
+    The crossover logic (measured at sf0.1, where a forced prefilter
+    cost `q_curate_bloom` 13% over its plain twin — the r10 watch
+    item this gate closes):
+
+    - ``keys`` under ``spark.sql.autoBroadcastJoinThreshold`` → None.
+      Catalyst broadcasts the exact semi/anti join outright, the fact
+      side never shuffles, and a bitmap build would be pure overhead.
+    - ``fact`` under ``min_fact_bytes`` (default 1 GiB) → None. The
+      bitmap build + probe is a fixed cost that only amortizes
+      against a fact-sized shuffle; below ~1 GiB the shuffle it
+      trims is already cheap.
+    - otherwise → ``bits_per_key``×(estimated key rows) rounded up to
+      a power of two, clamped to [2^20, probe ceiling]. 10 bits/key
+      at 5 hashes ≈ 1% false positives; the row estimate comes from
+      plan stats (rowCount when the optimizer knows it, else
+      sizeInBytes/16 — id-keyed frames are ~8-16 bytes/row). Sizing
+      affects throughput only, never correctness: oversizing wastes
+      broadcast bytes, undersizing raises the fp rate, and the exact
+      join downstream keeps the result identical either way.
+
+    At 100 TB the gates flip exactly as intended: the corpus scan's
+    file stats clear ``min_fact_bytes`` by orders of magnitude, and a
+    keep/drop list that exceeds the broadcast threshold is precisely
+    the case the prefilter exists for."""
+    keys_bytes = _plan_size_bytes(keys)
+    try:
+        broadcast_thr = int(
+            fact.sparkSession._jsparkSession.sessionState().conf()
+            .autoBroadcastJoinThreshold()
+        )
+    except Exception:  # pragma: no cover - JVM API drift
+        broadcast_thr = 10 << 20
+    if broadcast_thr > 0 and keys_bytes <= broadcast_thr:
+        return None
+    if _plan_size_bytes(fact) < min_fact_bytes:
+        return None
+    try:
+        rc = keys._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        est_rows = int(str(rc.get())) if rc.isDefined() else None
+    except Exception:  # pragma: no cover - JVM API drift
+        est_rows = None
+    if est_rows is None:
+        est_rows = max(1, keys_bytes // 16)
+    bits = 1 << max(20, (bits_per_key * est_rows - 1).bit_length())
+    return min(bits, _PROBE_MAX_BITS)
+
+
 def _plan_is_deterministic(df: DataFrame) -> bool:
     """True when the analyzed plan reports every expression deterministic
     (the JVM ``QueryPlan.deterministic`` walk). Catches ``rand()``/

@@ -3259,6 +3259,7 @@ def _curate_oracle(
     min_quality: float = 0.3,
     threshold: float = 0.5,
     cap_per_source: int | None = None,
+    split: bool = False,
 ) -> str:
     langs = ", ".join(f"'{lang}'" for lang in languages)
     # capping plumbs the source column through every stage and wraps
@@ -3286,10 +3287,31 @@ def _curate_oracle(
     ) WHERE _r <= {cap_per_source}
     """
         if cap_per_source is not None
-        else """
+        else (
+            # kept docs keyed by coalesce(comp, own id) — the same
+            # keying leakage_safe_split's oracle replays — then the
+            # q_train_split hash CASE (default 98/1/1 weights)
+            """
+    SELECT doc_id, text, lang, quality,
+           CASE WHEN h < 9800 THEN 'train'
+                WHEN h < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT s.doc_id, s.text, s.lang, s.quality,
+             (('0x' || substr(md5(
+                 'split:' || coalesce(c.comp, s.doc_id)), 1, 15)))::BIGINT
+               % 10000 AS h
+      FROM (SELECT * FROM survivors
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) s
+      LEFT JOIN comp c ON c.node = s.doc_id
+    )
+    """
+            if split
+            else """
     SELECT doc_id, text, lang, quality FROM survivors
     WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
     """
+        )
     )
     return f"""
     WITH RECURSIVE corpus AS (SELECT * FROM {corpus_sql} AS c0),
@@ -3378,20 +3400,26 @@ def q_curate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_curate_bloom",
     _curate_oracle(),
     headline=True,  # benched beside its unprefiltered twin
-    doc="the curation composition with the Bloom keep-join prefilter "
-    "engaged (curate_corpus bloom_prefilter_bits=1<<16): all three "
-    "id-keyed keep-joins (exact-dedup survivors here; LM/cap when "
-    "enabled) probe a compact bitmap before the exact semi join, so "
-    "at scale the corpus-side shuffle carries true keeps + fp·rest "
-    "instead of everything (measured 89% of shuffle rows pruned at a "
-    "10.9%-selective keep list). The kept set is HASH-IDENTICAL to "
-    "the plain pipeline — false positives die in the exact join, "
-    "false negatives cannot exist — so the oracle is q_curate_corpus' "
-    "oracle UNCHANGED: the driver independently verifies the "
-    "prefilter's exactness end to end. Late-r9 tail debut (family "
-    "cover: q_curate_corpus is the identical composition minus the "
-    "prefilter, q_bloom_join the identical prefiltered-semi-join "
-    "operator — both in-window).",
+    doc="the curation composition with the Bloom prefilter in its "
+    "production setting (curate_corpus bloom_prefilter_bits='auto'): "
+    "the id-keyed keep-joins AND the near-dedup drop-join route "
+    "through joins.auto_bloom_bits, which engages the bitmap only "
+    "when the key list exceeds the broadcast threshold and the corpus "
+    "side clears the ~1 GiB amortization floor — so at bench scale "
+    "(sf0.1) this resolves to the plain plan (the r10 watch item: a "
+    "forced prefilter cost 13% below the crossover), while at the "
+    "100 TB design point both gates flip on and the corpus-side "
+    "shuffle carries true matches + fp·rest instead of everything "
+    "(measured 89% of shuffle rows pruned at a 10.9%-selective keep "
+    "list, tools/bloom_probe.py). The kept set is HASH-IDENTICAL to "
+    "the plain pipeline at ANY resolved bit count — false positives "
+    "die in the exact join, false negatives cannot exist "
+    "(identity-tested with forced bits incl. the anti direction) — "
+    "so the oracle is q_curate_corpus' oracle UNCHANGED: the driver "
+    "independently verifies the gate's exactness end to end. Late-r9 "
+    "tail debut (family cover: q_curate_corpus is the identical "
+    "composition minus the prefilter, q_bloom_join/q_bloom_anti the "
+    "prefiltered join operators — all in-window).",
 )
 def q_curate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inbev_data_engineering_case_spark.operators.curate import (
@@ -3399,7 +3427,36 @@ def q_curate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return curate_corpus(
-        _corpus_near(spark, sf_dir), bloom_prefilter_bits=1 << 16
+        _corpus_near(spark, sf_dir), bloom_prefilter_bits="auto"
+    )
+
+
+@register(
+    "q_curate_split",
+    _curate_oracle(split=True),
+    doc="the curation composition emitting the leakage-safe "
+    "train/val/test split from its OWN components pass "
+    "(curate_corpus split_weights=...): each kept document is keyed "
+    "by its near-dup cluster representative from the SAME connected-"
+    "components run the drop list came from — one iteration per "
+    "pipeline, where chaining standalone leakage_safe_split "
+    "afterwards would pay a second — then split by the deterministic "
+    "hash_split expression (row-identical to the standalone chain, "
+    "parity-tested; requesting the split upgrades the components run "
+    "to require_convergence=True, the split operator's contract). "
+    "Oracle replays the full curation SQL plus the comp-keyed hash "
+    "CASE. Late-r11 tail debut (family cover: q_curate_corpus is the "
+    "identical composition minus the split column, q_leakage_split "
+    "the identical keying+hash machinery — both in-window).",
+)
+def q_curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    return curate_corpus(
+        _corpus_near(spark, sf_dir),
+        split_weights={"train": 0.98, "val": 0.01, "test": 0.01},
     )
 
 
@@ -6875,6 +6932,13 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
         "q_containment_fast",
         "q_curate_incremental",
     ),
+    # LATE-r11 DEBUT (not a demotion): the curation pipeline emitting
+    # the leakage-safe split from its own components pass — oracle is
+    # the curation SQL plus the comp-keyed hash CASE; r12 promotion
+    # queue. Covered in-window by q_curate_corpus (the identical
+    # composition minus the split column) and q_leakage_split (the
+    # identical keying + hash machinery):
+    "q_curate_split": ("q_curate_corpus", "q_leakage_split"),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -4983,10 +4983,14 @@ def test_curate_capped_mode_identity_with_standalone_cap(spark):
 def test_curate_corpus_bloom_prefilter_identity(spark):
     """bloom_prefilter_bits routes the three id-keyed keep-joins (LM
     keep list, exact-dedup survivors, cap winners) through the
-    Bloom-prefiltered exact semi join — the kept rows must be
+    Bloom-prefiltered exact semi join AND the near-dedup drop-join
+    through the prefiltered anti join — the kept rows must be
     HASH-IDENTICAL to the plain pipeline at any bit count, including a
     deliberately tiny (high-fp) filter: false positives die in the
-    exact join, false negatives cannot exist."""
+    exact join, false negatives cannot exist. 'auto' (the production
+    setting) must also match — and at this scale must resolve to the
+    PLAIN plan (keys broadcastable, fact under the amortization
+    floor), so small runs never pay the bitmap build."""
     from inbev_data_engineering_case_spark.operators.curate import (
         curate_corpus,
     )
@@ -4995,19 +4999,179 @@ def test_curate_corpus_bloom_prefilter_identity(spark):
         "/root/testdata/sf0.001/documents.parquet"
     ).select("doc_id", "text", "source")
 
-    def snapshot(bits):
-        kept = curate_corpus(
+    def frame(bits):
+        return curate_corpus(
             docs,
             min_avg_logprob=-12.0,  # exercises the LM keep-join too
             max_docs_per_source=3,  # and the cap winners join
             bloom_prefilter_bits=bits,
         )
-        return sorted(tuple(r) for r in kept.collect())
+
+    def snapshot(bits):
+        return sorted(tuple(r) for r in frame(bits).collect())
 
     plain = snapshot(None)
     assert plain  # the fixture must keep something for this to mean much
-    assert snapshot(1 << 16) == plain
+    forced = frame(1 << 16)
+    # forced bits engage the prefilter on keep AND drop joins
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    assert "_bloom_" in plan
+    assert sorted(tuple(r) for r in forced.collect()) == plain
     assert snapshot(64) == plain  # ~everything passes the filter: still exact
+
+    auto = frame("auto")
+    assert sorted(tuple(r) for r in auto.collect()) == plain
+    # below the crossover the gate must resolve to the plain plan
+    auto_plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "_bloom_" not in auto_plan
+
+
+def test_curate_corpus_split_from_same_components_pass(spark):
+    """curate_corpus(split_weights=...) emits the leakage-safe split
+    column from the SAME connected-components pass the drop list came
+    from: row-identical to the standalone leakage_safe_split over the
+    kept corpus + the pipeline's own pair table, with exactly ONE
+    dedup_components invocation in the composed run (the standalone
+    chain pays a second)."""
+    from inbev_data_engineering_case_spark.operators import (
+        curate as curate_mod,
+    )
+    from inbev_data_engineering_case_spark.operators.curate import (
+        _dedup_chain,
+        curate_corpus,
+        leakage_safe_split,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from inbev_data_engineering_case_spark.operators.textops import (
+        score_documents,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # append near-dup variants so clusters actually exist
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat("text", F.lit(" the end")).alias("text"),
+        )
+    )
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    calls = []
+    real = curate_mod.dedup_components
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    curate_mod.dedup_components = counting
+    try:
+        composed = curate_corpus(corpus, split_weights=weights)
+        rows = sorted(tuple(r) for r in composed.collect())
+    finally:
+        curate_mod.dedup_components = real
+    assert calls == [1]  # ONE components pass for drop list AND split
+    assert {r[-1] for r in rows} <= set(weights)
+    assert len({r[-1] for r in rows}) > 1  # a real partition, not 1 split
+
+    # standalone parity: the same kept corpus + the pipeline's own
+    # pair table through leakage_safe_split must assign identically
+    scored = score_documents(corpus, "text", "doc_id")
+    eligible = scored.filter(
+        F.col("lang").isin("en") & (F.col("quality") >= 0.3)
+    ).localCheckpoint()
+    after_exact, final, _ = _dedup_chain(
+        eligible, "text", "doc_id", 0.5, "local"
+    )
+    pairs = minhash_dedup_pairs(after_exact, "text", "doc_id", threshold=0.5)
+    standalone = leakage_safe_split(final, pairs, weights=weights)
+    want = sorted(tuple(r) for r in standalone.collect())
+    assert rows == want
+
+
+def test_auto_bloom_bits_gates(spark):
+    """auto_bloom_bits: None when keys broadcast or the fact is under
+    the amortization floor; a clamped power-of-two sized from the key
+    estimate when both gates clear. Pure plan introspection — and the
+    enabled path keeps join identity."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators import joins
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_quantity")
+    keys = li.select("l_orderkey").filter(F.col("l_orderkey") % 5 == 0)
+
+    # tiny keys: broadcastable -> plain join regardless of fact size
+    assert joins.auto_bloom_bits(li, keys) is None
+    assert joins.auto_bloom_bits(li, keys, min_fact_bytes=0) is None
+
+    # force both gates open: keys "too big" (threshold 0 disables the
+    # broadcast gate) and no fact floor -> a sized, clamped bit count
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bits = joins.auto_bloom_bits(li, keys, min_fact_bytes=0)
+        assert bits is not None and bits & (bits - 1) == 0
+        assert 1 << 20 <= bits <= joins._PROBE_MAX_BITS
+        # identity on the enabled path (both directions)
+        want_semi = sorted(
+            r[0] for r in li.join(keys, "l_orderkey", "left_semi")
+            .select("l_orderkey").collect()
+        )
+        got_semi = sorted(
+            r[0] for r in joins.bloom_semi_join(
+                li, keys, "l_orderkey", num_bits=bits
+            ).select("l_orderkey").collect()
+        )
+        assert got_semi == want_semi
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_curate_incremental_bloom_drop_identity(spark):
+    """curate_incremental's final near-dup drop join accepts the same
+    prefilter family: forced bits must be row-identical to the plain
+    pipeline (the q_curate_bloom discipline, delta form)."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_incremental,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        exact_dedup,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 200)
+    new = old.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat("text", F.lit(" tail")).alias("text"),
+        )
+    )
+    sigs = minhash_signatures(old, "text", "doc_id")
+    fps = exact_dedup(old, "text", "doc_id")
+
+    def run(bits):
+        return sorted(
+            tuple(r)
+            for r in curate_incremental(
+                old, new, sigs, fps, bloom_prefilter_bits=bits
+            ).collect()
+        )
+
+    plain = run(None)
+    assert plain
+    assert run(1 << 16) == plain
+    assert run("auto") == plain
 
 
 def test_containment_portable_false_same_pairs(spark):
