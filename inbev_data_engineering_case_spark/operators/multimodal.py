@@ -2156,6 +2156,47 @@ def _parse_y4m(payload: bytes):
     return width, height, frames
 
 
+def _featurize_heif(payload: bytes) -> tuple[int, list[float]]:
+    """AVIF/HEIC still image through the system libheif (capability
+    probe — the libwebp discipline): real AV1/HEVC intra decode via the
+    dav1d/aom/libde265 plugins, feature contract identical to the
+    other image featurizers ([w, h, bits, mean pixel], crc32 checksum
+    over the decoded RGB raster). Raises NotImplementedError when
+    libheif or the payload's codec plugin is absent (decoder_gap) —
+    the brand names which plugin — and ValueError for a bitstream
+    libheif itself rejects (corrupt)."""
+    import zlib
+
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators import libheif
+
+    if not libheif.available():
+        raise NotImplementedError(
+            "AVIF/HEIC decoding requires the system libheif "
+            "(capability probe libheif.available found none)"
+        )
+    brand = payload[8:12]
+    needed = (
+        (libheif.COMPRESSION_AV1, "AV1 (dav1d/aom)")
+        if brand in (b"avif", b"avis")
+        else (libheif.COMPRESSION_HEVC, "HEVC (libde265)")
+        if brand in (b"heic", b"heix", b"heim", b"heis", b"hevc", b"hevx")
+        else None  # mif1/msf1: codec-agnostic brand — attempt decides
+    )
+    if needed is not None and not libheif.have_decoder(needed[0]):
+        raise NotImplementedError(
+            f"libheif has no {needed[1]} decoder plugin for "
+            f"{brand.decode('ascii', 'replace')} (capability probe "
+            "libheif.have_decoder)"
+        )
+    pixels = libheif.decode_rgb(payload)
+    h, w, c = pixels.shape
+    checksum = zlib.crc32(pixels.tobytes()) % 1_000_003
+    mean_px = float(pixels.astype(np.float64).mean()) if pixels.size else 0.0
+    return checksum, [float(w), float(h), float(8 * c), mean_px]
+
+
 def _featurize_y4m(payload: bytes) -> tuple[int, list[float]]:
     """Real (uncompressed) video featurization: demux, then
     [width, height, n_frames, mean luma] with the mean taken over each
@@ -2604,7 +2645,8 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
       (huffman sequential DCT, ``_jpeg_decode``), and lossless WebP
       (``webp.vp8l_decode``, full VP8L) decode for real — dispatched
       on the payload magic so mislabeled subtypes still decode; lossy
-      WebP decodes via the system libwebp when its probe resolves.
+      WebP decodes via the system libwebp when its probe resolves,
+      AVIF/HEIC via the system libheif (dav1d/aom/libde265 plugins).
       Remaining codec-bound formats (arithmetic/lossless JPEG)
       need PIL and raise; animated WebP yields frame 1 (the GIF
       discipline).
@@ -2667,6 +2709,20 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
                     # lossy animation first frame → decoder_gap
                     raise
                 # PIL available: fall through to it
+        else:
+            from inbev_data_engineering_case_spark.operators.libheif import (
+                is_heif,
+            )
+
+            if is_heif(payload):
+                # AVIF/HEIC through the system libheif (dav1d/aom/
+                # libde265 plugins); absent lib or plugin →
+                # decoder_gap unless PIL can take it
+                try:
+                    return _featurize_heif(payload)
+                except NotImplementedError:
+                    if _optional_pil() is None:
+                        raise
         if _optional_pil() is not None:
             import numpy as np
 
@@ -2687,7 +2743,8 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
         raise NotImplementedError(
             "codec-bound image decoding requires a codec library the "
             "capability probes did not find (_optional_pil; lossy WebP "
-            "also tries the system libwebp via libwebp.available); "
+            "also tries the system libwebp via libwebp.available, "
+            "AVIF/HEIC the system libheif via libheif.available); "
             "BMP, binary PNM, PNG, GIF, baseline JPEG, and lossless "
             "WebP (VP8L) decode natively — see _featurize_bmp/"
             "_featurize_pnm/_featurize_png/_featurize_gif/"
@@ -2933,6 +2990,18 @@ def _decode_image_pixels(payload: bytes):
         except NotImplementedError:
             if _optional_pil() is None:
                 raise  # lossy VP8 stays the capability gap
+    else:
+        from inbev_data_engineering_case_spark.operators.libheif import (
+            decode_rgb,
+            is_heif,
+        )
+
+        if is_heif(payload):
+            try:  # AVIF/HEIC via the system libheif
+                return np.ascontiguousarray(decode_rgb(payload))
+            except NotImplementedError:
+                if _optional_pil() is None:
+                    raise
     if _optional_pil() is not None:
         return _pil_decode_pixels(payload)
     if payload[:2] == b"\xff\xd8":
@@ -2943,8 +3012,9 @@ def _decode_image_pixels(payload: bytes):
     raise NotImplementedError(
         "codec-bound image resizing requires a codec library the "
         "capability probes did not find; BMP, binary PNM, PNG, GIF, "
-        "baseline/progressive/CMYK JPEG, and WebP (VP8L natively, "
-        "VP8 via the system libwebp) resize natively."
+        "baseline/progressive/CMYK JPEG, WebP (VP8L natively, "
+        "VP8 via the system libwebp), and AVIF/HEIC (via the system "
+        "libheif) resize natively."
     )
 
 

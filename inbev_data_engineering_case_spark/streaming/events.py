@@ -1092,10 +1092,98 @@ def read_corpus_artifacts(
     if not os.path.isdir(gram_dir):
         raise FileNotFoundError(
             f"no gram table in snapshot {snap} — the maintaining stream "
-            "ran with gram_n=None; re-run it with gram_n set to also "
-            "maintain the containment state"
+            "ran with gram_n=None; backfill once with "
+            "backfill_gram_table(corpus, state_dir), then re-run the "
+            "stream with gram_n set to keep maintaining it"
         )
     return (*out, spark.read.parquet(gram_dir))
+
+
+def backfill_gram_table(
+    corpus: DataFrame,
+    state_dir: str,
+    gram_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_portable: bool = True,
+) -> str:
+    """One-time gram-table backfill for a corpus-artifact lineage that
+    was maintained WITHOUT ``gram_n``: builds ``build_gram_table``
+    output over the full stored corpus's text and commits it as the
+    ``grams`` table of a NEW snapshot generation alongside the parent's
+    sigs/fps — atomically, through the same optimistic
+    ``commit_snapshot`` the stream uses, so a concurrently-advancing
+    stream loses the race loudly (``SnapshotConflictError``) instead of
+    interleaving. After the backfill, restart the stream with
+    ``gram_n`` set (and the SAME ``gram_portable``) and it advances the
+    grams incrementally from there.
+
+    ``corpus`` must carry the text of every stored document — the
+    whole reason the stream refuses to seed grams mid-lineage is that
+    a partial table makes containment pairs against pre-upgrade docs
+    silently vanish, so this guard is load-bearing: any stored sig id
+    missing from ``corpus`` raises. (Append-mode lineages keep an
+    UPDATED doc's old-text sig rows; old text that no longer exists
+    anywhere cannot be re-grammed — the same append-only memory caveat
+    ``advance_corpus_artifacts`` documents. The guard keys on ids.)
+
+    Returns the committed snapshot path. One corpus scan + one
+    pair of parent-table rewrites — a one-time cost, never part of the
+    steady-state loop."""
+    from inbev_data_engineering_case_spark.layers import (
+        commit_snapshot,
+        latest_snapshot,
+        next_run_after,
+        run_id_of,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_gram_table,
+    )
+
+    spark = corpus.sparkSession
+    snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
+    if os.path.isdir(os.path.join(snap, "grams")):
+        raise ValueError(
+            f"snapshot {snap} already carries a grams table — nothing"
+            " to backfill; run the stream with gram_n set to keep"
+            " maintaining it"
+        )
+    sigs = spark.read.parquet(os.path.join(snap, "sigs"))
+    fps = spark.read.parquet(os.path.join(snap, "fps"))
+    missing = (
+        sigs.select(F.col("id"))
+        .distinct()
+        .join(
+            corpus.select(F.col(id_col).cast("long").alias("id")),
+            on="id",
+            how="left_anti",
+        )
+        .count()
+    )
+    if missing:
+        raise ValueError(
+            f"backfill_gram_table: {missing} stored document id(s) are"
+            " missing from the supplied corpus — a partial gram table"
+            " would silently drop containment pairs against those"
+            " docs; pass the FULL stored corpus text"
+        )
+    grams = build_gram_table(
+        corpus, gram_n, id_col, text_col, gram_portable
+    ).dropDuplicates([id_col, "gram_h"])
+    parent = run_id_of(snap, CORPUS_ARTIFACT_PREFIX)
+
+    def write_all(staging: str) -> None:
+        sigs.write.parquet(os.path.join(staging, "sigs"))
+        fps.write.parquet(os.path.join(staging, "fps"))
+        grams.write.parquet(os.path.join(staging, "grams"))
+
+    return commit_snapshot(
+        state_dir,
+        next_run_after(parent),
+        write_all,
+        expected_parent=parent,
+        prefix=CORPUS_ARTIFACT_PREFIX,
+    )
 
 
 def run_stream_artifact_update(
@@ -1208,11 +1296,11 @@ def run_stream_artifact_update(
                         f" the parent snapshot {parent_snap} has no"
                         " grams table — enabling gram maintenance on"
                         " an existing stream needs a one-time"
-                        " backfill: build_gram_table over the FULL"
-                        " stored corpus, commit it alongside the"
-                        " stored sigs/fps as 'grams' in one snapshot,"
-                        " then restart the stream (or start a fresh"
-                        " state_dir)"
+                        " backfill: run backfill_gram_table(corpus,"
+                        " state_dir) over the FULL stored corpus (it"
+                        " commits the grams alongside the stored"
+                        " sigs/fps in one snapshot), then restart the"
+                        " stream (or start a fresh state_dir)"
                     )
                 stored_grams = spark.read.parquet(grams_dir)
             parent = run_id_of(parent_snap, CORPUS_ARTIFACT_PREFIX)

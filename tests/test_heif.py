@@ -1,0 +1,163 @@
+"""AVIF/HEIC decode tests: the system-libheif binding (the libwebp
+capability-probe discipline applied to the HEIF family) — genuine
+AV1 and HEVC round-trips through the container's dav1d/aom/libde265
+plugins, the ftyp brand sniffer, Spark-side routing through
+decode_features / resize_assets with reason-coded dead-letters when
+the library or a codec plugin is absent, and the bomb guard."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from inbev_data_engineering_case_spark.operators import libheif as LH
+
+AVIF_OK = LH.have_decoder(LH.COMPRESSION_AV1) and LH.have_encoder(
+    LH.COMPRESSION_AV1
+)
+HEIC_OK = LH.have_decoder(LH.COMPRESSION_HEVC) and LH.have_encoder(
+    LH.COMPRESSION_HEVC
+)
+
+
+def _gradient(h, w):
+    """Smooth raster — lossy codecs reproduce it within a tight bound,
+    so round-trips assert real decode, not accidental pass-through."""
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 4) % 256, (y * 5) % 256, ((x + y) * 3) % 256], axis=-1
+    ).astype(np.uint8)
+
+
+def test_is_heif_brand_sniffer():
+    assert LH.is_heif(b"\x00\x00\x00\x18ftypavif" + b"\x00" * 12)
+    assert LH.is_heif(b"\x00\x00\x00\x18ftypheic" + b"\x00" * 12)
+    # compatible-brand carry: major isom, avif in the compat list
+    assert LH.is_heif(
+        b"\x00\x00\x00\x1cftypisom\x00\x00\x00\x00isomavif" + b"\x00" * 4
+    )
+    assert not LH.is_heif(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
+    assert not LH.is_heif(b"\x00\x00\x00\x18ftypisom----avc1")
+    assert not LH.is_heif(b"")
+
+
+@pytest.mark.skipif(not AVIF_OK, reason="libheif AV1 plugins absent")
+def test_avif_roundtrip_real_av1():
+    img = _gradient(48, 64)
+    payload = LH.encode(img, LH.COMPRESSION_AV1, quality=90)
+    assert payload[4:8] == b"ftyp" and LH.is_heif(payload)
+    out = LH.decode_rgb(payload)
+    assert out.shape == (48, 64, 3)
+    err = float(np.abs(out.astype(int) - img.astype(int)).mean())
+    assert err < 6.0  # real lossy decode, not garbage
+
+
+@pytest.mark.skipif(not HEIC_OK, reason="libheif HEVC plugins absent")
+def test_heic_roundtrip_real_hevc():
+    img = _gradient(32, 40)
+    payload = LH.encode(img, LH.COMPRESSION_HEVC, quality=90)
+    assert LH.is_heif(payload)
+    out = LH.decode_rgb(payload)
+    assert out.shape == (32, 40, 3)
+    err = float(np.abs(out.astype(int) - img.astype(int)).mean())
+    assert err < 6.0
+
+
+@pytest.mark.skipif(not LH.available(), reason="libheif absent")
+def test_heif_garbage_is_corrupt_not_gap():
+    with pytest.raises(ValueError):
+        LH.decode_rgb(b"\x00\x00\x00\x18ftypavif" + b"junk" * 16)
+
+
+def test_heif_unavailable_is_capability_gap(monkeypatch):
+    """With the library gone, the contract is NotImplementedError —
+    the reason-coded decoder_gap, never a crash or a silent wrong."""
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _featurize_heif,
+    )
+
+    monkeypatch.setattr(LH, "available", lambda: False)
+    with pytest.raises(NotImplementedError, match="libheif"):
+        _featurize_heif(b"\x00\x00\x00\x18ftypavif" + b"\x00" * 12)
+
+
+@pytest.mark.skipif(not LH.available(), reason="libheif absent")
+def test_heif_missing_plugin_is_decoder_gap(monkeypatch):
+    """Library present but the brand's codec plugin absent: the brand
+    names the plugin in the decoder_gap message."""
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _featurize_heif,
+    )
+
+    monkeypatch.setattr(LH, "have_decoder", lambda fmt: False)
+    with pytest.raises(NotImplementedError, match="dav1d"):
+        _featurize_heif(b"\x00\x00\x00\x18ftypavif" + b"\x00" * 12)
+    with pytest.raises(NotImplementedError, match="libde265"):
+        _featurize_heif(b"\x00\x00\x00\x18ftypheic" + b"\x00" * 12)
+
+
+@pytest.mark.skipif(not AVIF_OK or not HEIC_OK,
+                    reason="libheif plugins absent")
+def test_heif_through_spark_featurize_and_resize(spark):
+    """End to end through the Arrow operators: AVIF and HEIC assets
+    featurize (decoded-RGB checksum + [w, h, 24, mean]) and resize
+    (decode -> downsample -> PNM) through the same mapInPandas
+    plumbing as every other image format; a corrupt HEIF dead-letters
+    as corrupt, and with the library monkeypatched away the row is a
+    reason-coded decoder_gap."""
+    from inbev_data_engineering_case_spark.operators import multimodal
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        decode_features,
+        decode_reason_report,
+        resize_assets,
+    )
+
+    img = _gradient(40, 56)
+    avif = LH.encode(img, LH.COMPRESSION_AV1, quality=90)
+    heic = LH.encode(img, LH.COMPRESSION_HEVC, quality=90)
+    corrupt = b"\x00\x00\x00\x18ftypavif" + b"zz" * 40
+    assets = spark.createDataFrame(
+        [
+            (1, "image/avif", avif, {"n_bytes": len(avif), "source": "t"}),
+            (2, "image/heic", heic, {"n_bytes": len(heic), "source": "t"}),
+            (3, "image/avif", corrupt,
+             {"n_bytes": len(corrupt), "source": "t"}),
+        ],
+        "asset_id long, media_type string, payload binary, "
+        "meta struct<n_bytes:long, source:string>",
+    )
+    feats = decode_features(assets, real_decoder=True)
+    rows = {r["asset_id"]: r for r in feats.collect()}
+    assert rows[1]["decode_ok"] and rows[1]["feature"][:3] == [
+        56.0, 40.0, 24.0,
+    ]
+    assert rows[2]["decode_ok"] and rows[2]["feature"][:3] == [
+        56.0, 40.0, 24.0,
+    ]
+    # the decoded rasters differ (different codecs) but both sit near
+    # the source mean — a real decode signal
+    src_mean = float(img.astype(np.float64).mean())
+    assert abs(rows[1]["feature"][3] - src_mean) < 4.0
+    assert abs(rows[2]["feature"][3] - src_mean) < 4.0
+    assert rows[3]["reason"] == "corrupt"
+
+    report = {
+        (r["media_type"], r["reason"]): r
+        for r in decode_reason_report(feats).collect()
+    }
+    assert report[("image/avif", "ok")]["n_assets"] == 1
+    assert report[("image/avif", "corrupt")]["n_assets"] == 1
+    assert report[("image/heic", "ok")]["n_assets"] == 1
+
+    resized = {
+        r["asset_id"]: r
+        for r in resize_assets(
+            assets.filter("asset_id < 3"), target_bytes=1000,
+            real_decoder=True,
+        ).collect()
+    }
+    assert resized[1]["decode_ok"] and resized[2]["decode_ok"]
+    assert resized[1]["media_type"] == "image/x-portable-pixmap"
+    assert len(resized[1]["payload"]) <= 1100  # header slack
+    # avoid "multimodal" unused when the skip guards trim the suite
+    assert multimodal is not None

@@ -1378,11 +1378,91 @@ def test_stream_artifact_update_gram_upgrade_requires_backfill(
 
     # generation 1: no gram maintenance — snapshot has sigs/fps only
     run_stream_artifact_update(stream(), state, str(tmp_path / "ckpt"))
-    # flipping gram_n on against that state must refuse loudly
-    with pytest.raises(Exception, match="backfill"):
+    # flipping gram_n on against that state must refuse loudly,
+    # naming the backfill utility
+    with pytest.raises(Exception, match="backfill_gram_table"):
         run_stream_artifact_update(
             stream(), state, str(tmp_path / "ckpt2"), gram_n=4
         )
+
+
+def test_backfill_gram_table_closes_the_upgrade_path(spark, tmp_path):
+    """backfill_gram_table: the one-time upgrade the gram trap points
+    to — grams over the FULL stored corpus commit atomically alongside
+    the parent's sigs/fps as a new generation; a partial corpus raises
+    (the silent-missing-pairs hazard the trap exists for); an
+    already-grammed lineage raises; and the stream then resumes WITH
+    gram_n, advancing the backfilled table incrementally."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        build_gram_table,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        backfill_gram_table,
+        read_corpus_artifacts,
+        run_stream_artifact_update,
+    )
+
+    state = str(tmp_path / "artifacts")
+    src = str(tmp_path / "doc_feed")
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 20)
+        .localCheckpoint(eager=True)
+    )
+    docs.coalesce(1).write.parquet(src)
+
+    def stream(path=src):
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    # gram-less lineage
+    run_stream_artifact_update(stream(), state, str(tmp_path / "ckpt"))
+
+    # partial corpus: refuse — a partial gram table would silently
+    # drop containment pairs against the missing docs
+    with pytest.raises(ValueError, match="missing"):
+        backfill_gram_table(docs.filter(F.col("doc_id") < 5), state,
+                            gram_n=4)
+
+    snap = backfill_gram_table(docs, state, gram_n=4)
+    assert "corpusart" in snap
+    sigs, fps, grams = read_corpus_artifacts(spark, state, with_grams=True)
+    want = sorted(
+        map(tuple, build_gram_table(docs, 4, "doc_id", "text").collect())
+    )
+    assert sorted(map(tuple, grams.collect())) == want
+
+    # idempotence guard: a second backfill has nothing to do
+    with pytest.raises(ValueError, match="already"):
+        backfill_gram_table(docs, state, gram_n=4)
+
+    # the stream now resumes WITH gram_n and advances the grams
+    more = docs.select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        F.concat("text", F.lit(" anew")).alias("text"),
+    ).localCheckpoint(eager=True)
+    src2 = str(tmp_path / "doc_feed2")
+    more.coalesce(1).write.parquet(src2)
+    run_stream_artifact_update(
+        stream(src2), state, str(tmp_path / "ckpt3"), gram_n=4
+    )
+    _, _, grams2 = read_corpus_artifacts(spark, state, with_grams=True)
+    want2 = sorted(
+        map(
+            tuple,
+            build_gram_table(
+                docs.unionByName(more), 4, "doc_id", "text"
+            ).collect(),
+        )
+    )
+    assert sorted(map(tuple, grams2.collect())) == want2
 
 
 def test_stream_embedding_update_maintains_normalized_state(
