@@ -1,0 +1,236 @@
+"""Hashed bag-of-words document classifier — the fastText-style
+quality/domain filter every large-scale curation pipeline runs
+(RefinedWeb's and FineWeb's quality classifiers are exactly this
+shape: a linear model over hashed token features, applied to every
+document as a pure scan).
+
+The MODEL IS A TABLE — the repo-wide discipline (``relevance.py``'s
+bigram LM, the BM25 index): training emits a (bucket, weight_micro)
+DataFrame you persist like any other artifact, scoring joins it back
+broadcast. Nothing ever trains or predicts driver-side.
+
+Training is one aggregation pass (multinomial Naive Bayes log-odds
+with add-alpha smoothing over the hashed bucket space) rather than an
+iterative gradient loop: at 100 TB an SGD epoch is a full corpus scan
+per step, while the NB statistics are ONE scan + one bucket-sized
+shuffle, and for high-bias text filtering (keep/drop, source-ID,
+lang-ID) NB log-odds is the standard cheap baseline the fastText
+models approximate. Weights are quantized to integer MICRO-units
+(``round(ln(ratio) * 1e6)`` — the ``relevance.py`` discipline) so
+document scores are exact integer sums: order-independent, identical
+under AQE/retries, and oracle-replayable bit for bit.
+
+Scale shape:
+- training: explode to (bucket, label) token occurrences →
+  ``groupBy(bucket)`` conditional counts (map-side partial agg makes
+  the exchange bucket-sized, ≤ ``n_buckets`` rows) → weights.
+- scoring: explode tokens → broadcast-join the weights table (≤
+  ``n_buckets + 3`` rows — MBs at the default 2^18) → per-doc integer
+  sum. Explode preserves row locality, so the per-doc hash-agg
+  collapses map-side; the only exchange carries one row per document.
+
+Reference parity: the reference repo (Leo200467/
+Inbev-Data-Engineering-Case) has no classifier machinery; this is the
+curation/text-analysis extension family (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from inbev_data_engineering_case_spark.functions import (
+    portable_hash64,
+    tokens,
+)
+
+# special model rows (real buckets are 60-bit non-negative hashes):
+BIAS_BUCKET = -1  # class-prior log-odds, micro-units
+DEFAULT_BUCKET = -2  # weight of any bucket unseen in training
+META_BUCKET = -3  # weight_micro carries n_buckets (scoring guard)
+
+DEFAULT_N_BUCKETS = 1 << 18
+
+
+def _doc_buckets(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, bucket) per token OCCURRENCE: lowercase whitespace tokens
+    through the portable 60-bit hash into ``n_buckets`` (the hashing
+    trick — model size is capped regardless of vocabulary, collisions
+    are part of the model for BOTH training and scoring, so they cost
+    a little accuracy and zero correctness)."""
+    return (
+        docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra],
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_tok"),
+        )
+        # split of an EMPTY trimmed text yields one "" token — drop it
+        # (zero-token docs score bias-only downstream)
+        .filter(F.col("_tok") != "")
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in extra],
+            (portable_hash64(F.col("_tok")) % n_buckets).alias("bucket"),
+        )
+    )
+
+
+def train_bow_classifier(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train the hashed-BOW log-odds model → the model TABLE
+    ``(bucket bigint, weight_micro bigint)``.
+
+    ``label_col`` is boolean-ish (cast to boolean): true = the
+    positive class (keep / high-quality / in-domain). Per-bucket
+    weight is the smoothed multinomial log-likelihood ratio
+
+        ln((c_pos + α) / (T_pos + α·B)) − ln((c_neg + α) / (T_neg + α·B))
+
+    with ``c`` = token occurrences of the bucket in the class, ``T`` =
+    total occurrences in the class, ``B = n_buckets``; the class-prior
+    log-odds rides as the ``BIAS_BUCKET`` row, the (non-zero!) weight
+    of a bucket never seen in training as the ``DEFAULT_BUCKET`` row,
+    and ``n_buckets`` itself as the ``META_BUCKET`` row so scoring can
+    refuse a mismatched hash space instead of silently mis-bucketing.
+    All weights in integer micro-units.
+
+    Raises when either class is empty — a one-class "model" would
+    assign ±∞ priors."""
+    lbl = F.col(label_col).cast("boolean")
+    occ = _doc_buckets(
+        labeled.select(
+            F.col(id_col), F.col(text_col), lbl.alias("_y")
+        ),
+        text_col, id_col, n_buckets, extra=("_y",),
+    )
+    # ONE corpus scan: the bucket-conditional counts are the only
+    # corpus-sized pass; they materialize bucket-sized (≤ n_buckets
+    # rows) so the class totals and the weights both read the cached
+    # table, never the corpus again
+    counts = occ.groupBy("bucket").agg(
+        F.count(F.when(F.col("_y"), 1)).alias("_cp"),
+        F.count(F.when(~F.col("_y"), 1)).alias("_cn"),
+    ).localCheckpoint(eager=True)
+    tot = counts.agg(
+        F.coalesce(F.sum("_cp"), F.lit(0)).alias("_tp"),
+        F.coalesce(F.sum("_cn"), F.lit(0)).alias("_tn"),
+    ).first()
+    # doc-level priors: a tiny count-only aggregate
+    r = labeled.select(lbl.alias("_y")).agg(
+        F.count(F.when(F.col("_y"), 1)).alias("_np"),
+        F.count(F.when(~F.col("_y"), 1)).alias("_nn"),
+    ).first()
+    if not r["_np"] or not r["_nn"]:
+        raise ValueError(
+            "train_bow_classifier: both classes must be non-empty "
+            f"(got {r['_np']} positive / {r['_nn']} negative docs)"
+        )
+    tp, tn = float(tot["_tp"]), float(tot["_tn"])
+    b = float(n_buckets)
+    micro = 1_000_000
+
+    def lodds(cp, cn):
+        return F.round(
+            (
+                F.log((cp + alpha) / F.lit(tp + alpha * b))
+                - F.log((cn + alpha) / F.lit(tn + alpha * b))
+            )
+            * micro
+        ).cast("bigint")
+
+    import math
+
+    weights = counts.select(
+        "bucket", lodds(F.col("_cp"), F.col("_cn")).alias("weight_micro")
+    )
+    spark = labeled.sparkSession
+    bias = round(
+        (math.log(r["_np"]) - math.log(r["_nn"])) * micro
+    )
+    default = round(
+        (
+            math.log(alpha / (tp + alpha * b))
+            - math.log(alpha / (tn + alpha * b))
+        )
+        * micro
+    )
+    specials = spark.createDataFrame(
+        [
+            (BIAS_BUCKET, int(bias)),
+            (DEFAULT_BUCKET, int(default)),
+            (META_BUCKET, int(n_buckets)),
+        ],
+        "bucket bigint, weight_micro bigint",
+    )
+    return weights.unionByName(specials)
+
+
+def score_bow_classifier(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against a ``train_bow_classifier`` model →
+    ``(id_col, n_tokens bigint, score_micro bigint)`` with
+    ``score_micro = bias + Σ weight(bucket(token))`` (unseen buckets
+    take the model's DEFAULT row). Positive score = positive class.
+    Exact integer arithmetic end to end, so re-runs, AQE re-plans, and
+    the SQL oracle agree bit for bit.
+
+    The model's META row pins the hash-space size; scoring reads the
+    three special rows (a 3-row collect — the model-metadata
+    discipline of ``quality.py``'s drift bounds) and broadcasts the
+    rest."""
+    specials = {
+        row["bucket"]: row["weight_micro"]
+        for row in model.filter(F.col("bucket") < 0).collect()
+    }
+    if set(specials) != {BIAS_BUCKET, DEFAULT_BUCKET, META_BUCKET}:
+        raise ValueError(
+            "score_bow_classifier: model is missing its special rows "
+            "(bias/default/meta) — not a train_bow_classifier table?"
+        )
+    n_buckets = int(specials[META_BUCKET])
+    occ = _doc_buckets(docs, text_col, id_col, n_buckets)
+    scored = (
+        occ.join(
+            F.broadcast(model.filter(F.col("bucket") >= 0)),
+            on="bucket",
+            how="left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.coalesce(
+                    F.col("weight_micro"),
+                    F.lit(int(specials[DEFAULT_BUCKET])),
+                )
+            ).alias("_sum"),
+        )
+    )
+    # zero-token docs never exploded a row: they score bias alone
+    return (
+        docs.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+            (
+                F.coalesce("_sum", F.lit(0))
+                + F.lit(int(specials[BIAS_BUCKET]))
+            ).cast("bigint").alias("score_micro"),
+        )
+    )

@@ -1577,6 +1577,96 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOW_B = 1 << 16  # q_bow_classifier hash space
+_BOW_HASH_TOK = "(('0x' || substr(md5(tok), 1, 15)))::BIGINT"
+
+
+@register(
+    "q_bow_classifier",
+    f"""
+    WITH labeled AS (
+      SELECT doc_id, text, (lang = 'en') AS y FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, y, {_BOW_HASH_TOK} % {_BOW_B} AS bucket
+      FROM (SELECT doc_id, y, unnest({_SQL_TOKENS}) AS tok FROM labeled)
+      WHERE tok != ''
+    ),
+    counts AS (
+      SELECT bucket,
+             count(*) FILTER (WHERE y) AS cp,
+             count(*) FILTER (WHERE NOT y) AS cn
+      FROM occ GROUP BY bucket
+    ),
+    tot AS (
+      SELECT coalesce(sum(cp), 0) AS tp, coalesce(sum(cn), 0) AS tn
+      FROM counts
+    ),
+    pri AS (
+      SELECT count(*) FILTER (WHERE y) AS np,
+             count(*) FILTER (WHERE NOT y) AS nn
+      FROM labeled
+    ),
+    weights AS (
+      SELECT bucket,
+             CAST(round((ln((cp + 1.0) / (tp + 1.0 * {_BOW_B}))
+                       - ln((cn + 1.0) / (tn + 1.0 * {_BOW_B})))
+                  * 1000000) AS BIGINT) AS w
+      FROM counts, tot
+    ),
+    consts AS (
+      SELECT CAST(round((ln(np::DOUBLE) - ln(nn::DOUBLE)) * 1000000)
+                  AS BIGINT) AS bias,
+             CAST(round((ln(1.0 / (tp + 1.0 * {_BOW_B}))
+                       - ln(1.0 / (tn + 1.0 * {_BOW_B})))
+                  * 1000000) AS BIGINT) AS dflt
+      FROM pri, tot
+    ),
+    per_doc AS (
+      SELECT o.doc_id, count(*) AS n_tokens,
+             sum(coalesce(w.w, (SELECT dflt FROM consts))) AS s
+      FROM occ o LEFT JOIN weights w USING (bucket)
+      GROUP BY o.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.s, 0) + (SELECT bias FROM consts) AS BIGINT)
+             AS score_micro
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="hashed bag-of-words document classifier "
+    "(operators/classify.py): the fastText-style quality/domain "
+    "filter as a MODEL-AS-TABLE pair — train_bow_classifier runs one "
+    "corpus scan of multinomial NB log-odds over a 2^16-bucket hashed "
+    "token space (weights quantized to integer micro-units, the "
+    "relevance.py ln-1e6 discipline, so document scores are exact "
+    "order-independent integer sums), score_bow_classifier "
+    "broadcast-joins the weights back and emits (doc_id, n_tokens, "
+    "score_micro). Unseen buckets take the model's explicit DEFAULT "
+    "row, the class prior rides the BIAS row, and a META row pins the "
+    "hash-space size so a mismatched model refuses instead of "
+    "silently mis-bucketing. Fixture trains lang='en' vs rest on the "
+    "documents table and scores every document; oracle replays "
+    "train+score end to end in SQL. Late-r11 tail debut (family "
+    "cover: q_quality_score pins the in-window text-scoring family, "
+    "q_pmi_collocations the identical ln-micro log-ratio discipline).",
+)
+def q_bow_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.classify import (
+        score_bow_classifier,
+        train_bow_classifier,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bow_classifier(
+        docs.select(
+            "doc_id", "text", (F.col("lang") == "en").alias("label")
+        ),
+        n_buckets=_BOW_B,
+    )
+    return score_bow_classifier(docs.select("doc_id", "text"), model)
+
+
 def _lang_case_sql() -> str:
     """DuckDB twin of textops.lang_id as a bare CASE expression over a
     column named `text` — shared by q_lang_id and the curation oracle."""
@@ -6939,6 +7029,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # composition minus the split column) and q_leakage_split (the
     # identical keying + hash machinery):
     "q_curate_split": ("q_curate_corpus", "q_leakage_split"),
+    # LATE-r11 DEBUT (not a demotion): the hashed-BOW classifier
+    # (train + score, model-as-table) — oracle replays both stages in
+    # SQL; r12 promotion queue. Covered in-window by q_quality_score
+    # (text-scoring family) and q_pmi_collocations (the identical
+    # ln-micro log-ratio + token-pair aggregation discipline):
+    "q_bow_classifier": ("q_quality_score", "q_pmi_collocations"),
 }
 
 for _name in _FAMILY_STAND_INS:

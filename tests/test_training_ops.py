@@ -5026,6 +5026,61 @@ def test_curate_corpus_bloom_prefilter_identity(spark):
     assert "_bloom_" not in auto_plan
 
 
+def test_bow_classifier_learns_and_guards(spark):
+    """Hashed-BOW classifier: on linearly separable text the model
+    separates train docs perfectly AND generalizes to held-out docs of
+    the same distributions; zero-token docs score bias-only; one-class
+    training raises; a model without its special rows is refused."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.classify import (
+        BIAS_BUCKET,
+        score_bow_classifier,
+        train_bow_classifier,
+    )
+
+    good = ["clear prose sentence with informative words here"]
+    spam = ["buy buy cheap cheap click click now now win win"]
+    rows = []
+    for i in range(40):
+        rows.append((i, f"{good[0]} variant{i % 7}", True))
+        rows.append((100 + i, f"{spam[0]} variant{i % 7}", False))
+    train = spark.createDataFrame(
+        rows[: 60], "doc_id long, text string, label boolean"
+    )
+    heldout = spark.createDataFrame(
+        rows[60:], "doc_id long, text string, label boolean"
+    )
+    model = train_bow_classifier(train, n_buckets=1 << 12)
+    scored = score_bow_classifier(
+        heldout.select("doc_id", "text"), model
+    ).join(heldout.select("doc_id", "label"), "doc_id")
+    got = scored.collect()
+    assert got and all(
+        (r["score_micro"] > 0) == r["label"] for r in got
+    )
+
+    # zero-token doc: bias-only score, n_tokens 0
+    empty = spark.createDataFrame(
+        [(999, "   ")], "doc_id long, text string"
+    )
+    bias = model.filter(F.col("bucket") == BIAS_BUCKET).first()[
+        "weight_micro"
+    ]
+    row = score_bow_classifier(empty, model).first()
+    assert row["n_tokens"] == 0 and row["score_micro"] == bias
+
+    # one-class training refuses
+    with pytest.raises(ValueError, match="non-empty"):
+        train_bow_classifier(train.filter("label"))
+
+    # a weights table without the special rows is not a model
+    with pytest.raises(ValueError, match="special rows"):
+        score_bow_classifier(
+            empty, model.filter(F.col("bucket") >= 0)
+        )
+
+
 def test_curate_corpus_split_from_same_components_pass(spark):
     """curate_corpus(split_weights=...) emits the leakage-safe split
     column from the SAME connected-components pass the drop list came
