@@ -78,6 +78,142 @@ def _doc_buckets(
     )
 
 
+def train_bow_counts(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """The classifier's SUFFICIENT STATISTICS as a table —
+    ``(bucket bigint, cp bigint, cn bigint)``: per-bucket token
+    occurrences by class for real buckets, doc-count priors on the
+    ``BIAS_BUCKET`` row, ``n_buckets`` on the ``META_BUCKET`` row
+    (``cp`` carries it). Counts are ADDITIVE, which is the whole
+    point of persisting them instead of (or beside) the weights:
+    tomorrow's labeled delta trains on the delta alone and
+    ``merge_bow_counts`` folds it into the stored statistics —
+    ``bow_weights_from_counts`` over the merged table is BYTE-
+    IDENTICAL to retraining on the full union (parity-tested), with
+    the historical corpus never re-read or re-tokenized. The same
+    incremental-artifact discipline as the minhash signature and
+    containment gram tables."""
+    lbl = F.col(label_col).cast("boolean")
+    occ = _doc_buckets(
+        labeled.select(
+            F.col(id_col), F.col(text_col), lbl.alias("_y")
+        ),
+        text_col, id_col, n_buckets, extra=("_y",),
+    )
+    counts = occ.groupBy("bucket").agg(
+        F.count(F.when(F.col("_y"), 1)).alias("cp"),
+        F.count(F.when(~F.col("_y"), 1)).alias("cn"),
+    )
+    pri = labeled.select(lbl.alias("_y")).agg(
+        F.count(F.when(F.col("_y"), 1)).alias("cp"),
+        F.count(F.when(~F.col("_y"), 1)).alias("cn"),
+    ).select(F.lit(BIAS_BUCKET).cast("bigint").alias("bucket"), "cp", "cn")
+    meta = labeled.sparkSession.createDataFrame(
+        [(META_BUCKET, int(n_buckets), 0)],
+        "bucket bigint, cp bigint, cn bigint",
+    )
+    return counts.unionByName(pri).unionByName(meta)
+
+
+def merge_bow_counts(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta's statistics into the stored table: real buckets
+    and the prior row SUM; the META rows must agree (a delta hashed
+    into a different bucket space would silently mis-merge — the sum
+    of two different sizes can never equal either, so the weights
+    builder's meta check catches it loudly; callers advancing stored
+    artifacts should still compare before committing). Pure
+    bucket-keyed aggregation — the exchange is model-sized."""
+    both = stored.unionByName(delta)
+    meta = both.filter(F.col("bucket") == META_BUCKET).select(
+        F.col("bucket"), F.col("cp"), F.col("cn")
+    ).distinct()
+    summed = (
+        both.filter(F.col("bucket") != META_BUCKET)
+        .groupBy("bucket")
+        .agg(F.sum("cp").alias("cp"), F.sum("cn").alias("cn"))
+    )
+    return summed.unionByName(meta)
+
+
+def bow_weights_from_counts(
+    counts: DataFrame, alpha: float = 1.0
+) -> DataFrame:
+    """Derive the scoring model table (``train_bow_classifier``
+    output shape) from a counts table — the cheap step of the
+    incremental loop: counts advance daily, weights re-derive in one
+    model-sized pass (no corpus scan ever). Raises on a one-class
+    table or a missing/ambiguous META row (two different hash-space
+    sizes merged)."""
+    import math
+
+    cached = counts.localCheckpoint(eager=True)
+    specials = {
+        r["bucket"]: r
+        for r in cached.filter(F.col("bucket") < 0).collect()
+    }
+    metas = cached.filter(F.col("bucket") == META_BUCKET).count()
+    if META_BUCKET not in specials or metas != 1:
+        raise ValueError(
+            "bow_weights_from_counts: counts table needs exactly one"
+            f" META row (found {metas}) — merging two different"
+            " n_buckets spaces corrupts the model"
+        )
+    if BIAS_BUCKET not in specials:
+        raise ValueError(
+            "bow_weights_from_counts: counts table has no prior row"
+        )
+    np_, nn_ = (
+        int(specials[BIAS_BUCKET]["cp"]),
+        int(specials[BIAS_BUCKET]["cn"]),
+    )
+    if not np_ or not nn_:
+        raise ValueError(
+            "bow_weights_from_counts: both classes must be non-empty "
+            f"(got {np_} positive / {nn_} negative docs)"
+        )
+    n_buckets = int(specials[META_BUCKET]["cp"])
+    real = cached.filter(F.col("bucket") >= 0)
+    tot = real.agg(
+        F.coalesce(F.sum("cp"), F.lit(0)).alias("_tp"),
+        F.coalesce(F.sum("cn"), F.lit(0)).alias("_tn"),
+    ).first()
+    tp, tn = float(tot["_tp"]), float(tot["_tn"])
+    b = float(n_buckets)
+    micro = 1_000_000
+    weights = real.select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("cp") + alpha) / F.lit(tp + alpha * b))
+                - F.log((F.col("cn") + alpha) / F.lit(tn + alpha * b))
+            )
+            * micro
+        ).cast("bigint").alias("weight_micro"),
+    )
+    bias = round((math.log(np_) - math.log(nn_)) * micro)
+    default = round(
+        (
+            math.log(alpha / (tp + alpha * b))
+            - math.log(alpha / (tn + alpha * b))
+        )
+        * micro
+    )
+    specials_df = counts.sparkSession.createDataFrame(
+        [
+            (BIAS_BUCKET, int(bias)),
+            (DEFAULT_BUCKET, int(default)),
+            (META_BUCKET, int(n_buckets)),
+        ],
+        "bucket bigint, weight_micro bigint",
+    )
+    return weights.unionByName(specials_df)
+
+
 def train_bow_classifier(
     labeled: DataFrame,
     label_col: str = "label",
@@ -104,74 +240,19 @@ def train_bow_classifier(
     All weights in integer micro-units.
 
     Raises when either class is empty — a one-class "model" would
-    assign ±∞ priors."""
-    lbl = F.col(label_col).cast("boolean")
-    occ = _doc_buckets(
-        labeled.select(
-            F.col(id_col), F.col(text_col), lbl.alias("_y")
+    assign ±∞ priors.
+
+    Structurally ``bow_weights_from_counts(train_bow_counts(...))`` —
+    one implementation, so the incremental loop (persist counts,
+    ``merge_bow_counts`` a delta, re-derive weights) is byte-identical
+    to retraining by construction. The counts materialize bucket-sized
+    inside the weights builder, so training is ONE corpus scan."""
+    return bow_weights_from_counts(
+        train_bow_counts(
+            labeled, label_col, text_col, id_col, n_buckets
         ),
-        text_col, id_col, n_buckets, extra=("_y",),
+        alpha=alpha,
     )
-    # ONE corpus scan: the bucket-conditional counts are the only
-    # corpus-sized pass; they materialize bucket-sized (≤ n_buckets
-    # rows) so the class totals and the weights both read the cached
-    # table, never the corpus again
-    counts = occ.groupBy("bucket").agg(
-        F.count(F.when(F.col("_y"), 1)).alias("_cp"),
-        F.count(F.when(~F.col("_y"), 1)).alias("_cn"),
-    ).localCheckpoint(eager=True)
-    tot = counts.agg(
-        F.coalesce(F.sum("_cp"), F.lit(0)).alias("_tp"),
-        F.coalesce(F.sum("_cn"), F.lit(0)).alias("_tn"),
-    ).first()
-    # doc-level priors: a tiny count-only aggregate
-    r = labeled.select(lbl.alias("_y")).agg(
-        F.count(F.when(F.col("_y"), 1)).alias("_np"),
-        F.count(F.when(~F.col("_y"), 1)).alias("_nn"),
-    ).first()
-    if not r["_np"] or not r["_nn"]:
-        raise ValueError(
-            "train_bow_classifier: both classes must be non-empty "
-            f"(got {r['_np']} positive / {r['_nn']} negative docs)"
-        )
-    tp, tn = float(tot["_tp"]), float(tot["_tn"])
-    b = float(n_buckets)
-    micro = 1_000_000
-
-    def lodds(cp, cn):
-        return F.round(
-            (
-                F.log((cp + alpha) / F.lit(tp + alpha * b))
-                - F.log((cn + alpha) / F.lit(tn + alpha * b))
-            )
-            * micro
-        ).cast("bigint")
-
-    import math
-
-    weights = counts.select(
-        "bucket", lodds(F.col("_cp"), F.col("_cn")).alias("weight_micro")
-    )
-    spark = labeled.sparkSession
-    bias = round(
-        (math.log(r["_np"]) - math.log(r["_nn"])) * micro
-    )
-    default = round(
-        (
-            math.log(alpha / (tp + alpha * b))
-            - math.log(alpha / (tn + alpha * b))
-        )
-        * micro
-    )
-    specials = spark.createDataFrame(
-        [
-            (BIAS_BUCKET, int(bias)),
-            (DEFAULT_BUCKET, int(default)),
-            (META_BUCKET, int(n_buckets)),
-        ],
-        "bucket bigint, weight_micro bigint",
-    )
-    return weights.unionByName(specials)
 
 
 def score_bow_classifier(

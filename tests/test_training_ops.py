@@ -5081,6 +5081,49 @@ def test_bow_classifier_learns_and_guards(spark):
         )
 
 
+def test_bow_classifier_incremental_counts_parity(spark):
+    """The classifier's sufficient statistics are ADDITIVE: training
+    counts on a delta alone and merging into stored counts derives a
+    model BYTE-IDENTICAL to retraining on the full union — the
+    incremental-artifact discipline (signature/gram tables) applied to
+    the model, history never re-tokenized. Merging two different
+    hash-space sizes is refused via the META row."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.classify import (
+        bow_weights_from_counts,
+        merge_bow_counts,
+        train_bow_classifier,
+        train_bow_counts,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id", "text", (F.col("lang") == "en").alias("label")
+    )
+    day1 = docs.filter(F.col("doc_id") % 3 != 0)
+    day2 = docs.filter(F.col("doc_id") % 3 == 0)
+
+    full = train_bow_classifier(day1.unionByName(day2), n_buckets=1 << 12)
+    merged = merge_bow_counts(
+        train_bow_counts(day1, n_buckets=1 << 12),
+        train_bow_counts(day2, n_buckets=1 << 12),
+    )
+    inc = bow_weights_from_counts(merged)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # mismatched hash spaces: the META rows disagree -> loud refusal
+    bad = merge_bow_counts(
+        train_bow_counts(day1, n_buckets=1 << 12),
+        train_bow_counts(day2, n_buckets=1 << 13),
+    )
+    with pytest.raises(ValueError, match="META"):
+        bow_weights_from_counts(bad)
+
+
 def test_curate_corpus_split_from_same_components_pass(spark):
     """curate_corpus(split_weights=...) emits the leakage-safe split
     column from the SAME connected-components pass the drop list came
