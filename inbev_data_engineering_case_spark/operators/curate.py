@@ -130,6 +130,8 @@ def curate_corpus(
     split_weights: dict[str, float] | None = None,
     split_salt: str = "split",
     split_buckets: int = 10_000,
+    classifier_model: DataFrame | None = None,
+    min_score_micro: int = 0,
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
     metadata (lang, quality). Survivor policy is deterministic end to end:
@@ -204,6 +206,17 @@ def curate_corpus(
     ~1% fp) affects throughput only. Builds past 2^23 bits bank
     automatically (``joins.bloom_filter_build``).
 
+    ``classifier_model`` (default None = off) adds a model-based
+    quality gate at the LM filter's spot: every eligible document is
+    scored against the trained hashed-BOW model
+    (``classify.score_bow_classifier`` — a ``train_bow_classifier``/
+    ``bow_weights_from_counts`` table) and kept iff ``score_micro >=
+    min_score_micro``. Scores are exact integers, so the threshold is
+    deterministic across engines and re-runs. This is the
+    RefinedWeb/FineWeb-style learned filter composed where the
+    heuristics end and before any dedup work is spent on documents
+    the model would drop.
+
     ``bloom_prefilter_bits="auto"`` gates each join on plan-stats
     selectivity (``joins.auto_bloom_bits``): the prefilter engages
     only when the key list exceeds the broadcast threshold AND the
@@ -265,6 +278,32 @@ def curate_corpus(
             benchmark_embeddings,
             threshold=semantic_threshold,
             doc_id_col=id_col,
+        )
+    if classifier_model is not None:
+        from inbev_data_engineering_case_spark.operators.classify import (
+            score_bow_classifier,
+        )
+
+        # model-based quality gate at the same spot as the LM filter
+        # (after the cheap predicates, before the dedup chain): score
+        # against the TRAINED hashed-BOW model (``classify.py`` —
+        # weights broadcast, exact integer scores) and keep documents
+        # at or above ``min_score_micro``. Scoring + the keep-join
+        # read `eligible` twice — materialize first, the LM stage's
+        # discipline.
+        eligible = _materialize(eligible, materialize_mode)
+        keep_clf = (
+            score_bow_classifier(
+                eligible.select(id_col, text_col),
+                classifier_model,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .filter(F.col("score_micro") >= min_score_micro)
+            .select(id_col)
+        )
+        eligible = _keep_semi(
+            eligible, keep_clf, id_col, bloom_prefilter_bits
         )
     if min_avg_logprob is not None:
         from inbev_data_engineering_case_spark.operators.relevance import (

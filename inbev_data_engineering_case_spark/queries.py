@@ -1580,11 +1580,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BOW_B = 1 << 16  # q_bow_classifier hash space
 _BOW_HASH_TOK = "(('0x' || substr(md5(tok), 1, 15)))::BIGINT"
 
-
-@register(
-    "q_bow_classifier",
-    f"""
-    WITH labeled AS (
+# the classifier's train-side CTE block (labeled … consts), shared by
+# the standalone entry and the curation composition — training always
+# reads the plain documents table (lang = 'en' labels)
+_BOW_CLF_CTES = f"""labeled AS (
       SELECT doc_id, text, (lang = 'en') AS y FROM documents
     ),
     occ AS (
@@ -1621,18 +1620,40 @@ _BOW_HASH_TOK = "(('0x' || substr(md5(tok), 1, 15)))::BIGINT"
                        - ln(1.0 / (tn + 1.0 * {_BOW_B})))
                   * 1000000) AS BIGINT) AS dflt
       FROM pri, tot
+    )"""
+
+
+def _bow_score_sql(docs_cte: str, out_cte: str) -> str:
+    """CTE text scoring every ``docs_cte`` row (doc_id, text) against
+    the trained weights — emits ``out_cte`` (doc_id, n_tokens,
+    score_micro), zero-token docs bias-only."""
+    return f"""{out_cte}_occ AS (
+      SELECT doc_id, {_BOW_HASH_TOK} % {_BOW_B} AS bucket
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok
+            FROM {docs_cte})
+      WHERE tok != ''
     ),
-    per_doc AS (
+    {out_cte}_agg AS (
       SELECT o.doc_id, count(*) AS n_tokens,
              sum(coalesce(w.w, (SELECT dflt FROM consts))) AS s
-      FROM occ o LEFT JOIN weights w USING (bucket)
+      FROM {out_cte}_occ o LEFT JOIN weights w USING (bucket)
       GROUP BY o.doc_id
-    )
-    SELECT d.doc_id,
-           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
-           CAST(coalesce(p.s, 0) + (SELECT bias FROM consts) AS BIGINT)
-             AS score_micro
-    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ),
+    {out_cte} AS (
+      SELECT d.doc_id,
+             CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(p.s, 0) + (SELECT bias FROM consts)
+                  AS BIGINT) AS score_micro
+      FROM {docs_cte} d LEFT JOIN {out_cte}_agg p USING (doc_id)
+    )"""
+
+
+@register(
+    "q_bow_classifier",
+    f"""
+    WITH {_BOW_CLF_CTES},
+    {_bow_score_sql("documents", "scores")}
+    SELECT doc_id, n_tokens, score_micro FROM scores
     """,
     doc="hashed bag-of-words document classifier "
     "(operators/classify.py): the fastText-style quality/domain "
@@ -3350,6 +3371,7 @@ def _curate_oracle(
     threshold: float = 0.5,
     cap_per_source: int | None = None,
     split: bool = False,
+    clf_threshold: int | None = None,
 ) -> str:
     langs = ", ".join(f"'{lang}'" for lang in languages)
     # capping plumbs the source column through every stage and wraps
@@ -3403,18 +3425,36 @@ def _curate_oracle(
     """
         )
     )
+    if clf_threshold is None:
+        clf_block = ""
+        eligible_sql = f"""
+    eligible AS (
+      SELECT * FROM scored
+      WHERE lang IN ({langs}) AND quality >= CAST({min_quality} AS DOUBLE)
+    ),"""
+    else:
+        # classifier gate at the LM-filter spot: score the plain
+        # eligibles against the documents-trained model, keep at or
+        # above the integer threshold (exact across engines)
+        clf_block = f"{_BOW_CLF_CTES},\n    "
+        eligible_sql = f"""
+    eligible0 AS (
+      SELECT * FROM scored
+      WHERE lang IN ({langs}) AND quality >= CAST({min_quality} AS DOUBLE)
+    ),
+    {_bow_score_sql("eligible0", "clf")},
+    eligible AS (
+      SELECT e.* FROM eligible0 e JOIN clf s USING (doc_id)
+      WHERE s.score_micro >= {clf_threshold}
+    ),"""
     return f"""
-    WITH RECURSIVE corpus AS (SELECT * FROM {corpus_sql} AS c0),
+    WITH RECURSIVE {clf_block}corpus AS (SELECT * FROM {corpus_sql} AS c0),
     scored AS (
       SELECT doc_id, text{src},
              {_lang_case_sql()} AS lang,
              {_SQL_QUALITY} AS quality
       FROM corpus
-    ),
-    eligible AS (
-      SELECT * FROM scored
-      WHERE lang IN ({langs}) AND quality >= CAST({min_quality} AS DOUBLE)
-    ),
+    ),{eligible_sql}
     fps AS (SELECT doc_id, {_SQL_FP} AS fp FROM eligible),
     exact_keep AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY fp),
     survivors AS (
@@ -3547,6 +3587,46 @@ def q_curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(
         _corpus_near(spark, sf_dir),
         split_weights={"train": 0.98, "val": 0.01, "test": 0.01},
+    )
+
+
+@register(
+    "q_curate_classifier",
+    _curate_oracle(clf_threshold=-7_500_000),
+    doc="the curation composition with the LEARNED quality gate "
+    "(curate_corpus classifier_model=..., min_score_micro=...): a "
+    "hashed-BOW model trained on the documents table "
+    "(classify.train_bow_classifier, lang='en' vs rest) scores every "
+    "lang/quality-eligible document at the LM-filter spot, and only "
+    "documents at or above the integer micro-unit threshold continue "
+    "into the dedup chain — the RefinedWeb/FineWeb-style learned "
+    "filter composed where the heuristics end, before any dedup work "
+    "is spent on documents the model would drop. Scores are exact "
+    "integer sums, so the threshold decision is deterministic across "
+    "engines; the oracle replays train + score + threshold + the full "
+    "curation SQL end to end. Late-r11 tail debut (family cover: "
+    "q_curate_corpus is the identical composition minus the gate, "
+    "q_quality_score the in-window text-scoring family).",
+)
+def q_curate_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.classify import (
+        train_bow_classifier,
+    )
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bow_classifier(
+        docs.select(
+            "doc_id", "text", (F.col("lang") == "en").alias("label")
+        ),
+        n_buckets=_BOW_B,
+    )
+    return curate_corpus(
+        _corpus_near(spark, sf_dir),
+        classifier_model=model,
+        min_score_micro=-7_500_000,
     )
 
 
@@ -7035,6 +7115,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # (text-scoring family) and q_pmi_collocations (the identical
     # ln-micro log-ratio + token-pair aggregation discipline):
     "q_bow_classifier": ("q_quality_score", "q_pmi_collocations"),
+    # LATE-r11 DEBUT (not a demotion): the curation pipeline with the
+    # learned quality gate composed at the LM-filter spot — oracle
+    # replays train + score + threshold + full curation; r12 queue.
+    # Covered in-window by q_curate_corpus (identical composition
+    # minus the gate) and q_quality_score (text-scoring family):
+    "q_curate_classifier": ("q_curate_corpus", "q_quality_score"),
 }
 
 for _name in _FAMILY_STAND_INS:
