@@ -434,6 +434,8 @@ def curate_incremental(
     id_col: str = "doc_id",
     materialize_mode: str = "local",
     bloom_prefilter_bits: int | str | None = None,
+    classifier_model: DataFrame | None = None,
+    min_score_micro: int = 0,
 ) -> DataFrame:
     """The composed daily-crawl pipeline: diff a new snapshot against the
     previous one and curate ONLY the delta against the stored corpus
@@ -473,7 +475,14 @@ def curate_incremental(
     keeps it from matching its own stale stored signature.
     ``bloom_prefilter_bits`` (int | "auto" | None) engages the same
     drop-join prefilter as the batch pipeline on the final near-dup
-    drop join (see ``curate_corpus``). Advance the
+    drop join (see ``curate_corpus``). ``classifier_model`` /
+    ``min_score_micro`` apply the batch pipeline's learned quality
+    gate to the DELTA: the stored model (typically advanced through
+    ``classify.merge_bow_counts`` on labeled batches) scores only the
+    delta's eligible documents — history is neither re-scored nor
+    re-read, and score exactness (integer micro-units) makes the
+    threshold decision identical to what the batch pipeline would
+    take on the same text. Advance the
     stored artifact tables after each run with
     ``advance_corpus_artifacts`` — mode ``"append"`` keeps an updated
     doc's old rows (append-only emission semantics, the default) and
@@ -501,6 +510,25 @@ def curate_incremental(
         ),
         materialize_mode,
     )
+    if classifier_model is not None:
+        from inbev_data_engineering_case_spark.operators.classify import (
+            score_bow_classifier,
+        )
+
+        keep_clf = (
+            score_bow_classifier(
+                eligible.select(id_col, text_col),
+                classifier_model,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .filter(F.col("score_micro") >= min_score_micro)
+            .select(id_col)
+        )
+        eligible = _materialize(
+            _keep_semi(eligible, keep_clf, id_col, bloom_prefilter_bits),
+            materialize_mode,
+        )
 
     # exact dedup: against the stored corpus (anti-join on the 8-byte
     # fingerprint — the fp table is tiny next to the corpus text and

@@ -5081,6 +5081,69 @@ def test_bow_classifier_learns_and_guards(spark):
         )
 
 
+def test_curate_incremental_classifier_gate(spark):
+    """curate_incremental's learned quality gate scores only the
+    DELTA's eligible docs against the stored model: the gated kept
+    set is a subset of the ungated one, every gated survivor clears
+    the threshold, and the gate demonstrably bites."""
+    from inbev_data_engineering_case_spark.operators.classify import (
+        score_bow_classifier,
+        train_bow_classifier,
+    )
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_incremental,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        exact_dedup,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    model = train_bow_classifier(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", (F.col("lang") == "en").alias("label")),
+        n_buckets=1 << 14,
+    )
+    old = docs.filter(F.col("doc_id") < 100)
+    new = old.unionByName(
+        docs.filter(F.col("doc_id") >= 100).select(
+            (F.col("doc_id") + 700000).alias("doc_id"), "text"
+        )
+    )
+    sigs = minhash_signatures(old, "text", "doc_id")
+    fps = exact_dedup(old, "text", "doc_id")
+    thresh = -8_000_000
+
+    plain = {
+        r["doc_id"]
+        for r in curate_incremental(old, new, sigs, fps).collect()
+    }
+    gated = {
+        r["doc_id"]
+        for r in curate_incremental(
+            old, new, sigs, fps,
+            classifier_model=model, min_score_micro=thresh,
+        ).collect()
+    }
+    assert gated and gated < plain  # bites, and strictly a subset
+    kept_scores = {
+        r["doc_id"]: r["score_micro"]
+        for r in score_bow_classifier(
+            new.join(
+                spark.createDataFrame(
+                    [(i,) for i in gated], "doc_id long"
+                ),
+                "doc_id",
+                "left_semi",
+            ),
+            model,
+        ).collect()
+    }
+    assert all(s >= thresh for s in kept_scores.values())
+
+
 def test_bow_classifier_incremental_counts_parity(spark):
     """The classifier's sufficient statistics are ADDITIVE: training
     counts on a delta alone and merging into stored counts derives a
