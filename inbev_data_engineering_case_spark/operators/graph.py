@@ -230,3 +230,89 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("r").alias("rank_ppm"))
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
+    """Level-synchronous multi-source BFS → ``(node, dist)`` for every
+    node within ``max_hops`` of ANY seed (``dist`` = hops to the
+    nearest seed; seeds themselves at 0, whether or not they appear in
+    the edge list).
+
+    The curation use case this exists for: the CONTAMINATION HALO —
+    seeds are documents known to overlap an eval set, edges are a
+    near-dup pair graph, and the result flags documents within k
+    near-dup hops of a contaminated document (a paraphrase of a
+    paraphrase), the transitive guard a direct n-gram/semantic flag
+    misses. Equally: crawl-frontier distance from trusted domains,
+    blast-radius of a poisoned-source takedown.
+
+    Scale shape: classic frontier iteration — each round is ONE
+    frontier×edges equi-join (shuffle sized by the frontier's
+    adjacency, not the graph) plus an anti-join against the visited
+    set (node-sized); the visited table is the only state that grows,
+    and lineage is truncated per round (``dedup._truncate_lineage`` —
+    executor-local by default, reliable checkpoint when a checkpoint
+    dir is set, the components loop's discipline). Rounds are bounded
+    by ``max_hops`` with early exit on an empty frontier (one
+    ``take(1)`` driver action per round, the same per-round action
+    budget as the components loop's convergence aggregate). BFS level
+    order IS minimal distance, so no min-relaxation pass is needed —
+    a node is visited exactly once, at its first (= shortest) level.
+
+    ``directed=False`` (default) symmetrizes the edge list once up
+    front — pair graphs (id_a < id_b canonical) are undirected.
+    """
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _truncate_lineage,
+    )
+
+    if max_hops < 0:
+        raise ValueError("multi_source_bfs: max_hops must be >= 0")
+    if reliable_checkpoint is None:
+        sc = edges.sparkSession.sparkContext
+        reliable_checkpoint = sc.getCheckpointDir() is not None
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if not directed:
+        sym = sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    # parallel edges would multiply frontier join output rows for zero
+    # information; dedup once so every round joins a clean adjacency
+    sym = _truncate_lineage(sym.distinct(), reliable_checkpoint)
+
+    seed_col = seeds.columns[0]
+    dist = _truncate_lineage(
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0)),
+        reliable_checkpoint,
+    )
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = _truncate_lineage(
+            reached.join(dist.select("node"), on="node", how="left_anti")
+            .withColumn("dist", F.lit(hop)),
+            reliable_checkpoint,
+        )
+        if not new.take(1):
+            break
+        dist = _truncate_lineage(
+            dist.unionByName(new), reliable_checkpoint
+        )
+        frontier = new.select("node")
+    return dist

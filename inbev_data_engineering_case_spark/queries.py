@@ -3591,6 +3591,70 @@ def q_curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_contamination_halo",
+    f"""
+    WITH RECURSIVE mh AS ({_minhash_oracle()}),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM mh
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM mh
+    ),
+    seeds AS (
+      SELECT doc_id AS node FROM {_SQL_CORPUS_NEAR} AS c
+      WHERE doc_id % 40 = 0 AND doc_id < 200000
+    ),
+    bfs(node, dist) AS (
+      SELECT node, 0 FROM seeds
+      UNION ALL
+      SELECT s.dst, b.dist + 1
+      FROM bfs b JOIN sym s ON s.src = b.node
+      WHERE b.dist < 2
+    )
+    SELECT node AS doc_id, CAST(min(dist) AS INT) AS dist
+    FROM bfs GROUP BY node
+    """,
+    doc="contamination halo via multi-source BFS "
+    "(operators/graph.py:multi_source_bfs): documents within 2 "
+    "near-dup hops of a KNOWN eval document (fixture: the doc_id%40 "
+    "originals are the eval set; their suffix-modified near-dup "
+    "copies land at dist 1 by construction) — the transitive "
+    "decontamination guard a direct n-gram/semantic flag misses (a "
+    "paraphrase of a paraphrase). Level-synchronous frontier BFS: "
+    "each round one frontier-adjacency equi-join + a node-sized "
+    "anti-join against the visited set, lineage truncated per round, "
+    "early exit on an empty frontier; BFS level order IS minimal "
+    "distance, so a node is visited exactly once. Oracle replays the "
+    "pair graph + a bounded recursive-CTE BFS with min(dist). "
+    "Late-r11 tail debut (family cover: q_pagerank_teleport pins the "
+    "in-window iterative-graph family, q_dedup_minhash the identical "
+    "pair-graph generation).",
+)
+def q_contamination_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from inbev_data_engineering_case_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = minhash_dedup_pairs(corpus)
+    seeds = corpus.filter(
+        (F.col("doc_id") % 40 == 0) & (F.col("doc_id") < 200000)
+    ).select("doc_id")
+    return multi_source_bfs(
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+        seeds,
+        max_hops=2,
+    ).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+@register(
     "q_curate_classifier",
     _curate_oracle(clf_threshold=-7_500_000),
     doc="the curation composition with the LEARNED quality gate "
@@ -7121,6 +7185,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # Covered in-window by q_curate_corpus (identical composition
     # minus the gate) and q_quality_score (text-scoring family):
     "q_curate_classifier": ("q_curate_corpus", "q_quality_score"),
+    # LATE-r11 DEBUT (not a demotion): multi-source BFS contamination
+    # halo — oracle replays the pair graph + a bounded recursive-CTE
+    # BFS with min(dist); r12 queue. Covered in-window by
+    # q_pagerank_teleport (iterative-graph family) and q_dedup_minhash
+    # (the identical pair-graph generation):
+    "q_contamination_halo": ("q_pagerank_teleport", "q_dedup_minhash"),
 }
 
 for _name in _FAMILY_STAND_INS:

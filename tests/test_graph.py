@@ -190,3 +190,73 @@ def test_pagerank_invariants_on_generated_graphs(spark):
         base = (1_000_000 - 850_000) // n_nodes
         assert all(r >= base for r in ranks.values())
         assert sum(ranks.values()) <= 1_000_000
+
+
+def test_multi_source_bfs_hand_graph(spark):
+    """Path graph 1-2-3-4-5 plus isolated seed 9: distances are
+    minimal hops to the NEAREST seed, seeds report 0 whether or not
+    they touch an edge, max_hops bounds the halo, and a node is never
+    revisited at a longer distance (two seeds, overlapping halos)."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "node long")
+
+    got = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(edges, seeds, max_hops=2).collect()
+    }
+    assert got == {1: 0, 9: 0, 2: 1, 3: 2}
+
+    # unbounded enough: the whole path resolves; 5 is 4 hops out
+    got4 = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(edges, seeds, max_hops=10).collect()
+    }
+    assert got4 == {1: 0, 9: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    # overlapping halos take the MIN: seeds at both path ends
+    both = spark.createDataFrame([(1,), (5,)], "node long")
+    got_min = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(edges, both, max_hops=10).collect()
+    }
+    assert got_min == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+    # max_hops=0: seeds only
+    got0 = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(edges, seeds, max_hops=0).collect()
+    }
+    assert got0 == {1: 0, 9: 0}
+
+    # directed: 1->2->3 reaches forward only
+    dgot = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(
+            edges, spark.createDataFrame([(3,)], "n long"),
+            max_hops=5, directed=True,
+        ).collect()
+    }
+    assert dgot == {3: 0, 4: 1, 5: 2}
+
+    # duplicate / parallel edges change nothing
+    dup = edges.unionByName(edges).unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    got_dup = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(dup, seeds, max_hops=2).collect()
+    }
+    assert got_dup == got
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hops"):
+        multi_source_bfs(edges, seeds, max_hops=-1)
