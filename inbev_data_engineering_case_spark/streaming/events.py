@@ -1533,3 +1533,180 @@ def run_stream_embedding_update(
             f"{timeout}s"
         )
     return query_metrics(q)
+
+
+CLASSIFIER_ARTIFACT_PREFIX = "clfart"
+
+
+def read_classifier_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The classifier's additive count statistics
+    (``classify.train_bow_counts`` shape) from the latest committed
+    classifier-artifact snapshot — feed to
+    ``classify.bow_weights_from_counts`` to derive the scoring model
+    in one model-sized pass. Raises ``FileNotFoundError`` when no
+    snapshot has ever committed."""
+    from inbev_data_engineering_case_spark.layers import latest_snapshot
+
+    snap = latest_snapshot(state_dir, CLASSIFIER_ARTIFACT_PREFIX)
+    return spark.read.parquet(os.path.join(snap, "counts"))
+
+
+def run_stream_classifier_update(
+    labeled_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    timeout: int = 300,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+    keep_snapshots: int | None = None,
+) -> dict[str, int]:
+    """Streaming maintenance of the hashed-BOW classifier's COUNT
+    STATISTICS: each micro-batch of labeled documents trains
+    ``classify.train_bow_counts`` on the batch alone and
+    ``merge_bow_counts``-folds it into the stored table, publishing
+    one atomic ``commit_snapshot`` generation per batch — so the
+    scoring model re-derives from the latest snapshot at any time
+    (``bow_weights_from_counts``, model-sized) while historical text
+    is never re-tokenized. The last signature-backed artifact family
+    to go stream-maintained, joining minhash sigs, fingerprints,
+    containment grams, and the embedding pair.
+
+    Replay discipline DIFFERS from the other artifact streams and is
+    the reason for the meta table: counts are ADDITIVE, so a replayed
+    batch (crash between snapshot commit and checkpoint write) cannot
+    be made idempotent by row-level dedup — re-merging would
+    double-count every token. Each snapshot therefore records the
+    ``batch_id`` that produced it — together with the CHECKPOINT
+    path, which is thereby part of the state's lineage — in a 1-row
+    ``meta`` table. A batch at or below the recorded id under the
+    SAME checkpoint is SKIPPED (its counts are already folded in); a
+    DIFFERENT checkpoint against existing state RAISES, because a
+    fresh checkpoint restarts batch ids at 0 and the skip guard would
+    otherwise silently drop genuinely new batches (the other artifact
+    streams tolerate checkpoint swaps only because their states dedup
+    on natural keys, which additive counts cannot). Keep one
+    checkpoint for the life of the ``state_dir``; ``availableNow``
+    re-runs through it pick up exactly the new files. Duplicate ids
+    within a batch collapse first; NULL-text/label rows drop per
+    batch (poison-pill rationale).
+
+    Geometry refusal before commit (the embedding stream's
+    discipline): ``n_buckets`` defaults to the stored META row's value
+    when state exists (``classify.DEFAULT_N_BUCKETS`` on the first
+    generation); passing a different explicit value raises — a silent
+    mismatch would hash every future token into the wrong space.
+
+    One-class batches are fine at the counts level (the priors row
+    simply accumulates one side); ``bow_weights_from_counts`` raises
+    only if the TOTAL history is still one-class. Returns
+    ``query_metrics``."""
+    from inbev_data_engineering_case_spark.layers import (
+        commit_snapshot,
+        latest_snapshot,
+        next_run_after,
+        prune_snapshots,
+        run_id_of,
+    )
+    from inbev_data_engineering_case_spark.operators.classify import (
+        DEFAULT_N_BUCKETS,
+        META_BUCKET,
+        merge_bow_counts,
+        train_bow_counts,
+    )
+
+    spark = labeled_stream.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (
+            batch_df.select(id_col, text_col, label_col)
+            .filter(
+                F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+            )
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)  # file-source batches re-scan
+        )
+        if not batch.take(1):
+            return
+        ckpt_key = os.path.abspath(checkpoint)
+        try:
+            parent_snap = latest_snapshot(
+                state_dir, CLASSIFIER_ARTIFACT_PREFIX
+            )
+            stored = spark.read.parquet(
+                os.path.join(parent_snap, "counts")
+            )
+            meta_row = spark.read.parquet(
+                os.path.join(parent_snap, "meta")
+            ).first()
+            if meta_row["checkpoint"] != ckpt_key:
+                raise ValueError(
+                    "run_stream_classifier_update: stored counts were"
+                    f" maintained under checkpoint"
+                    f" {meta_row['checkpoint']!r} but this stream runs"
+                    f" under {ckpt_key!r} — batch ids from a fresh"
+                    " checkpoint restart at 0, so the replay guard"
+                    " would silently skip new batches; keep the"
+                    " original checkpoint (availableNow re-runs pick"
+                    " up new files) or start a fresh state_dir"
+                )
+            if batch_id <= meta_row["batch_id"]:
+                return  # replayed batch: its counts are already folded in
+            parent = run_id_of(parent_snap, CLASSIFIER_ARTIFACT_PREFIX)
+            stored_b = stored.filter(
+                F.col("bucket") == META_BUCKET
+            ).first()["cp"]
+            if n_buckets is not None and n_buckets != stored_b:
+                raise ValueError(
+                    "run_stream_classifier_update: stored counts were"
+                    f" hashed into n_buckets={stored_b} but this stream"
+                    f" is configured n_buckets={n_buckets} — a silent"
+                    " mismatch would hash every future token into the"
+                    " wrong space; match the geometry or start a fresh"
+                    " state_dir"
+                )
+            buckets = int(stored_b)
+        except FileNotFoundError:  # first generation ever
+            stored, parent = None, None
+            buckets = n_buckets or DEFAULT_N_BUCKETS
+        delta = train_bow_counts(
+            batch, label_col, text_col, id_col, n_buckets=buckets
+        )
+        counts = (
+            merge_bow_counts(stored, delta) if stored is not None else delta
+        )
+        meta = spark.createDataFrame(
+            [(int(batch_id), ckpt_key)],
+            "batch_id bigint, checkpoint string",
+        )
+
+        def write_all(staging: str) -> None:
+            counts.write.parquet(os.path.join(staging, "counts"))
+            meta.write.parquet(os.path.join(staging, "meta"))
+
+        commit_snapshot(
+            state_dir,
+            next_run_after(parent),
+            write_all,
+            expected_parent=parent,
+            prefix=CLASSIFIER_ARTIFACT_PREFIX,
+        )
+        if keep_snapshots:
+            prune_snapshots(
+                state_dir, CLASSIFIER_ARTIFACT_PREFIX, keep_snapshots
+            )
+
+    q = (
+        labeled_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"classifier-artifact stream to {state_dir} did not drain in "
+            f"{timeout}s"
+        )
+    return query_metrics(q)

@@ -1562,3 +1562,103 @@ def test_stream_embedding_update_maintains_normalized_state(
             stream(), state, str(tmp_path / "ckpt3"),
             num_planes=8, n_probes=2,
         )
+
+
+def test_stream_classifier_counts_maintenance(spark, tmp_path):
+    """Streaming maintenance of the classifier's additive count
+    statistics: a two-batch drain equals train_bow_counts over every
+    streamed doc (counts are additive — merge parity is exact), the
+    derived weights equal the batch-trained model byte for byte, a
+    FRESH checkpoint against existing state raises (batch ids restart
+    at 0 — the replay guard would silently skip new batches), and a
+    mismatched n_buckets raises before anything commits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.classify import (
+        bow_weights_from_counts,
+        train_bow_classifier,
+        train_bow_counts,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_classifier_counts,
+        run_stream_classifier_update,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", (F.col("lang") == "en").alias("label"))
+        .filter(F.col("doc_id") < 120)
+        .localCheckpoint(eager=True)
+    )
+    d1 = docs.filter(F.col("doc_id") < 60)
+    d2 = docs.filter(F.col("doc_id") >= 60)
+    state = str(tmp_path / "clf_state")
+    src = str(tmp_path / "clf_feed")
+    ckpt = str(tmp_path / "clf_ckpt")
+    d1.coalesce(1).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    run_stream_classifier_update(
+        stream(), state, ckpt, n_buckets=1 << 12
+    )
+    got1 = sorted(
+        map(tuple, read_classifier_counts(spark, state).collect())
+    )
+    want1 = sorted(
+        map(tuple, train_bow_counts(d1, n_buckets=1 << 12).collect())
+    )
+    assert got1 == want1
+
+    # second batch through the SAME checkpoint: counts over the union
+    d2.coalesce(1).write.mode("append").parquet(src)
+    run_stream_classifier_update(
+        stream(), state, ckpt, n_buckets=1 << 12
+    )
+    got2 = sorted(
+        map(tuple, read_classifier_counts(spark, state).collect())
+    )
+    want2 = sorted(
+        map(tuple, train_bow_counts(docs, n_buckets=1 << 12).collect())
+    )
+    assert got2 == want2
+
+    # weights from streamed counts == the batch-trained model
+    inc_model = sorted(
+        map(
+            tuple,
+            bow_weights_from_counts(
+                read_classifier_counts(spark, state)
+            ).collect(),
+        )
+    )
+    batch_model = sorted(
+        map(
+            tuple,
+            train_bow_classifier(docs, n_buckets=1 << 12).collect(),
+        )
+    )
+    assert inc_model == batch_model
+
+    # fresh checkpoint against existing state: loud refusal, not a
+    # silent skip of new batches
+    with pytest.raises(Exception, match="checkpoint"):
+        run_stream_classifier_update(
+            stream(), state, str(tmp_path / "clf_ckpt_fresh"),
+            n_buckets=1 << 12,
+        )
+
+    # geometry mismatch on resume: loud refusal before commit
+    d1.limit(5).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text", "label"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="n_buckets"):
+        run_stream_classifier_update(
+            stream(), state, ckpt, n_buckets=1 << 13
+        )
