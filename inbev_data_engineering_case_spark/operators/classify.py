@@ -152,12 +152,10 @@ def bow_weights_from_counts(
     import math
 
     cached = counts.localCheckpoint(eager=True)
-    specials = {
-        r["bucket"]: r
-        for r in cached.filter(F.col("bucket") < 0).collect()
-    }
-    metas = cached.filter(F.col("bucket") == META_BUCKET).count()
-    if META_BUCKET not in specials or metas != 1:
+    special_rows = cached.filter(F.col("bucket") < 0).collect()
+    metas = sum(1 for r in special_rows if r["bucket"] == META_BUCKET)
+    specials = {r["bucket"]: r for r in special_rows}
+    if metas != 1:
         raise ValueError(
             "bow_weights_from_counts: counts table needs exactly one"
             f" META row (found {metas}) — merging two different"

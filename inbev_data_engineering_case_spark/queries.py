@@ -1655,6 +1655,7 @@ def _bow_score_sql(docs_cte: str, out_cte: str) -> str:
     {_bow_score_sql("documents", "scores")}
     SELECT doc_id, n_tokens, score_micro FROM scores
     """,
+    headline=True,  # train + score timed together (one-pass training)
     doc="hashed bag-of-words document classifier "
     "(operators/classify.py): the fastText-style quality/domain "
     "filter as a MODEL-AS-TABLE pair — train_bow_classifier runs one "
@@ -3613,6 +3614,7 @@ def q_curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node AS doc_id, CAST(min(dist) AS INT) AS dist
     FROM bfs GROUP BY node
     """,
+    headline=True,  # the new iterative-graph family's perf line
     doc="contamination halo via multi-source BFS "
     "(operators/graph.py:multi_source_bfs): documents within 2 "
     "near-dup hops of a KNOWN eval document (fixture: the doc_id%40 "
