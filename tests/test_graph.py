@@ -260,3 +260,61 @@ def test_multi_source_bfs_hand_graph(spark):
 
     with pytest.raises(ValueError, match="max_hops"):
         multi_source_bfs(edges, seeds, max_hops=-1)
+
+
+def test_multi_source_bfs_matches_python_reference_on_random_graphs(
+    spark,
+):
+    """Deterministic random graphs vs an in-memory reference BFS: the
+    distributed frontier iteration must agree exactly on the (node ->
+    min hops to nearest seed) map, undirected and directed, at several
+    hop bounds."""
+    import random
+    from collections import deque
+
+    from inbev_data_engineering_case_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    def ref_bfs(edge_list, seed_set, max_hops, directed):
+        adj = {}
+        for s, d in edge_list:
+            adj.setdefault(s, set()).add(d)
+            if not directed:
+                adj.setdefault(d, set()).add(s)
+        dist = {s: 0 for s in seed_set}
+        q = deque(seed_set)
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    rng = random.Random(0xBF5)
+    for trial, (n, m, n_seeds) in enumerate(
+        [(12, 18, 2), (30, 45, 3), (60, 60, 4), (25, 100, 1)]
+    ):
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edge_list = [(s, d) for s, d in edge_list if s != d]
+        seed_set = set(rng.sample(range(n), n_seeds))
+        edges = spark.createDataFrame(edge_list, "src long, dst long")
+        seeds = spark.createDataFrame(
+            [(s,) for s in sorted(seed_set)], "node long"
+        )
+        for directed in (False, True):
+            for max_hops in (0, 1, 3):
+                got = {
+                    r["node"]: r["dist"]
+                    for r in multi_source_bfs(
+                        edges, seeds, max_hops=max_hops,
+                        directed=directed,
+                    ).collect()
+                }
+                want = ref_bfs(edge_list, seed_set, max_hops, directed)
+                assert got == want, (trial, directed, max_hops)
