@@ -621,23 +621,24 @@ def bloom_semi_join(
     )
 
 
-def _plan_size_bytes(df: DataFrame) -> int:
+def _plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's size estimate for ``df`` (optimized-plan stats).
     File-source scans report real (column-pruned) file bytes;
     ``localCheckpoint`` frames keep their origin stats — measured at
     sf0.1: a parquet documents scan 254 KB, its keep-list aggregate
     113 KB — so the estimate is usable for broadcastability decisions
-    without running a job. Falls back to "huge" when the private JVM
-    API is unavailable (conservative: huge keys disable no prefilter
-    gate by themselves, huge facts enable it only past the broadcast
-    gate)."""
+    without running a job. Returns None when the private JVM API is
+    unavailable (Spark Connect, py4j drift): the caller must treat
+    unknown as "don't optimize", never as "huge" — a huge-keys guess
+    would force-enable the prefilter at its maximum size, the exact
+    small-scale regression the auto gate exists to prevent."""
     try:
         return int(
             str(df._jdf.queryExecution().optimizedPlan().stats()
                 .sizeInBytes())
         )
     except Exception:  # pragma: no cover - JVM API drift
-        return 1 << 62
+        return None
 
 
 def auto_bloom_bits(
@@ -675,6 +676,13 @@ def auto_bloom_bits(
     keep/drop list that exceeds the broadcast threshold is precisely
     the case the prefilter exists for."""
     keys_bytes = _plan_size_bytes(keys)
+    fact_bytes = _plan_size_bytes(fact)
+    if keys_bytes is None or fact_bytes is None:
+        # unreadable plan stats: the gate cannot reason, so it must
+        # not optimize — the plain join is always correct, while a
+        # blind prefilter at a guessed size re-creates the regression
+        # this gate closes
+        return None
     try:
         broadcast_thr = int(
             fact.sparkSession._jsparkSession.sessionState().conf()
@@ -684,7 +692,7 @@ def auto_bloom_bits(
         broadcast_thr = 10 << 20
     if broadcast_thr > 0 and keys_bytes <= broadcast_thr:
         return None
-    if _plan_size_bytes(fact) < min_fact_bytes:
+    if fact_bytes < min_fact_bytes:
         return None
     try:
         rc = keys._jdf.queryExecution().optimizedPlan().stats().rowCount()

@@ -211,15 +211,27 @@ def have_encoder(compression: int) -> bool:
     return bool(lib and lib.heif_have_encoder_for_format(compression))
 
 
+# enum heif_error_code (heif.h, ABI-frozen since 1.0): the one value
+# the capability contract keys on — 4 = heif_error_Unsupported_feature,
+# which is how a missing/incapable codec plugin surfaces at decode
+# time. Everything else about a payload we already brand-sniffed as
+# HEIF is data trouble (invalid input, truncation), i.e. corrupt.
+_ERR_UNSUPPORTED_FEATURE = 4
+
+
 def _check(err: _HeifError, what: str) -> None:
     if err.code != 0:
         msg = (err.message or b"?").decode("utf-8", "replace")
-        # code 1 == heif_error_Input_does_not_exist / usage;
-        # decode-plugin absence surfaces as unsupported codec — keep
-        # the capability contract: missing plugin is a decoder_gap,
-        # anything else about THIS payload is corrupt data
-        if "unsupported" in msg.lower() and "codec" in msg.lower():
-            raise NotImplementedError(f"libheif {what}: {msg}")
+        # classify by the ABI-stable CODE, not the English message
+        # (wording varies across versions/builds); keep the string
+        # probe only as a belt-and-braces widener for plugin wrappers
+        # that misreport their code
+        if err.code == _ERR_UNSUPPORTED_FEATURE or (
+            "unsupported" in msg.lower() and "codec" in msg.lower()
+        ):
+            raise NotImplementedError(
+                f"libheif {what}: {msg} (code {err.code})"
+            )
         raise ValueError(f"libheif {what}: {msg} (code {err.code})")
 
 

@@ -2156,6 +2156,22 @@ def _parse_y4m(payload: bytes):
     return width, height, frames
 
 
+def _featurize_via_pil(payload: bytes) -> tuple[int, list[float]]:
+    """The PIL fallback featurizer — one definition for the general
+    codec-capability path and the HEIF branch's pillow-heif attempt."""
+    import zlib
+
+    import numpy as np
+
+    pixels = _pil_decode_pixels(payload)
+    h, w, c = pixels.shape
+    checksum = zlib.crc32(pixels.tobytes()) % 1_000_003
+    mean_px = (
+        float(pixels.astype(np.float64).mean()) if pixels.size else 0.0
+    )
+    return checksum, [float(w), float(h), float(8 * c), mean_px]
+
+
 def _featurize_heif(payload: bytes) -> tuple[int, list[float]]:
     """AVIF/HEIC still image through the system libheif (capability
     probe — the libwebp discipline): real AV1/HEVC intra decode via the
@@ -2327,7 +2343,7 @@ def _jpeg_sof_dimensions(frame: bytes) -> tuple[int, int]:
 
     if frame[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG bitstream (no SOI)")
-    pos = 2
+    pos, h, w = 2, None, None
     while pos + 4 <= len(frame):
         if frame[pos] != 0xFF:
             raise ValueError("JPEG marker walk desynchronized")
@@ -2338,12 +2354,21 @@ def _jpeg_sof_dimensions(frame: bytes) -> tuple[int, int]:
         size = struct.unpack_from(">H", frame, pos + 2)[0]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             h, w = struct.unpack_from(">HH", frame, pos + 5)
-            if h == 0:  # DNL-deferred: the real height follows the scan
-                at = frame.find(b"\xff\xdc", pos)
-                if at < 0 or at + 6 > len(frame):
-                    raise ValueError("SOF height 0 and no DNL segment")
-                h = struct.unpack_from(">H", frame, at + 4)[0]
-            return h, w
+            if h:
+                return h, w
+            # DNL-deferred height: keep walking to SOS — the raw FF DC
+            # byte-search is only unambiguous INSIDE entropy-coded data
+            # (0xFF there is always stuffed or a restart marker); a
+            # DHT/DQT/APPn payload between SOF and SOS may contain the
+            # pair by coincidence, so it must be stepped over, not
+            # scanned
+        elif marker == 0xDA:  # SOS: entropy data follows its header
+            if w is None:
+                raise ValueError("SOS before any SOF marker")
+            at = frame.find(b"\xff\xdc", pos + 2 + size)
+            if at < 0 or at + 6 > len(frame):
+                raise ValueError("SOF height 0 and no DNL segment")
+            return struct.unpack_from(">H", frame, at + 4)[0], w
         pos += 2 + size
     raise ValueError("no SOF marker before end of data")
 
@@ -2717,24 +2742,21 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             if is_heif(payload):
                 # AVIF/HEIC through the system libheif (dav1d/aom/
                 # libde265 plugins); absent lib or plugin →
-                # decoder_gap unless PIL can take it
+                # decoder_gap unless PIL can take it (pillow-heif).
+                # Stock Pillow CANNOT decode HEIF — if it fails too,
+                # the CAPABILITY gap is the true reason, not corrupt
+                # data (the G.711 misfiling lesson)
                 try:
                     return _featurize_heif(payload)
-                except NotImplementedError:
+                except NotImplementedError as gap:
                     if _optional_pil() is None:
                         raise
+                    try:
+                        return _featurize_via_pil(payload)
+                    except Exception:
+                        raise gap from None
         if _optional_pil() is not None:
-            import numpy as np
-
-            pixels = _pil_decode_pixels(payload)
-            h, w, c = pixels.shape
-            checksum = zlib.crc32(pixels.tobytes()) % 1_000_003
-            mean_px = (
-                float(pixels.astype(np.float64).mean())
-                if pixels.size
-                else 0.0
-            )
-            return checksum, [float(w), float(h), float(8 * c), mean_px]
+            return _featurize_via_pil(payload)
         if payload[:2] == b"\xff\xd8":
             # no PIL: baseline/extended-sequential/progressive/CMYK
             # JPEG decodes natively; arithmetic/12-bit/lossless
@@ -2999,9 +3021,16 @@ def _decode_image_pixels(payload: bytes):
         if is_heif(payload):
             try:  # AVIF/HEIC via the system libheif
                 return np.ascontiguousarray(decode_rgb(payload))
-            except NotImplementedError:
+            except NotImplementedError as gap:
                 if _optional_pil() is None:
                     raise
+                # stock Pillow cannot decode HEIF; if it also fails,
+                # the capability gap is the true reason (decoder_gap,
+                # not corrupt)
+                try:
+                    return _pil_decode_pixels(payload)
+                except Exception:
+                    raise gap from None
     if _optional_pil() is not None:
         return _pil_decode_pixels(payload)
     if payload[:2] == b"\xff\xd8":

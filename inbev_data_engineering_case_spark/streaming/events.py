@@ -1303,6 +1303,28 @@ def run_stream_artifact_update(
                         " stream (or start a fresh state_dir)"
                     )
                 stored_grams = spark.read.parquet(grams_dir)
+                # geometry refusal before commit (the embedding/
+                # classifier streams' discipline): build_gram_table
+                # rides (n, portable) as state columns, and a resume
+                # with different geometry would union mixed-space
+                # rows — old-geometry docs then silently match
+                # nothing in future containment joins
+                ghead = stored_grams.select("n", "portable").first()
+                if ghead is not None and (
+                    ghead["n"] != gram_n
+                    or ghead["portable"] != gram_portable
+                ):
+                    raise ValueError(
+                        "run_stream_artifact_update: stored gram table"
+                        f" was built with n={ghead['n']},"
+                        f" portable={ghead['portable']} but this stream"
+                        f" is configured gram_n={gram_n},"
+                        f" gram_portable={gram_portable} — a silent"
+                        " mismatch would leave historical docs"
+                        " unmatched in every future containment join;"
+                        " match the geometry or rebuild via"
+                        " backfill_gram_table on a fresh state_dir"
+                    )
             parent = run_id_of(parent_snap, CORPUS_ARTIFACT_PREFIX)
         except FileNotFoundError:  # first generation ever
             stored_sigs = spark.createDataFrame(

@@ -81,6 +81,32 @@ def test_heif_unavailable_is_capability_gap(monkeypatch):
         _featurize_heif(b"\x00\x00\x00\x18ftypavif" + b"\x00" * 12)
 
 
+@pytest.mark.skipif(not AVIF_OK, reason="libheif AV1 plugins absent")
+def test_heif_gap_not_misfiled_as_corrupt_when_pil_flails(monkeypatch):
+    """With libheif gone and a PIL that CANNOT decode HEIF (stock
+    Pillow), the featurize and resize dispatches must surface the
+    capability NotImplementedError — not PIL's failure, which the
+    dead-letter router would misfile as 'corrupt' (the G.711
+    misfiling class)."""
+    from inbev_data_engineering_case_spark.operators import multimodal
+
+    payload = LH.encode(_gradient(8, 8), LH.COMPRESSION_AV1, quality=90)
+
+    class _FakePil:
+        pass
+
+    def boom(_payload):
+        raise ValueError("cannot identify image file")
+
+    monkeypatch.setattr(LH, "_lib", lambda: None)  # available() + decode
+    monkeypatch.setattr(multimodal, "_optional_pil", lambda: _FakePil())
+    monkeypatch.setattr(multimodal, "_pil_decode_pixels", boom)
+    with pytest.raises(NotImplementedError, match="libheif"):
+        multimodal._stdlib_featurize("image/avif", payload)
+    with pytest.raises(NotImplementedError, match="libheif"):
+        multimodal._decode_image_pixels(payload)
+
+
 @pytest.mark.skipif(not LH.available(), reason="libheif absent")
 def test_heif_missing_plugin_is_decoder_gap(monkeypatch):
     """Library present but the brand's codec plugin absent: the brand

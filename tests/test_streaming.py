@@ -1443,13 +1443,26 @@ def test_backfill_gram_table_closes_the_upgrade_path(spark, tmp_path):
     with pytest.raises(ValueError, match="already"):
         backfill_gram_table(docs, state, gram_n=4)
 
-    # the stream now resumes WITH gram_n and advances the grams
+    # resuming with DIFFERENT gram geometry is refused before commit —
+    # a silent mismatch would leave historical docs unmatched in every
+    # future containment join
     more = docs.select(
         (F.col("doc_id") + 100).alias("doc_id"),
         F.concat("text", F.lit(" anew")).alias("text"),
     ).localCheckpoint(eager=True)
     src2 = str(tmp_path / "doc_feed2")
     more.coalesce(1).write.parquet(src2)
+    with pytest.raises(Exception, match="geometry"):
+        run_stream_artifact_update(
+            stream(src2), state, str(tmp_path / "ckpt_badgeom"), gram_n=5
+        )
+    with pytest.raises(Exception, match="geometry"):
+        run_stream_artifact_update(
+            stream(src2), state, str(tmp_path / "ckpt_badgeom2"),
+            gram_n=4, gram_portable=False,
+        )
+
+    # the stream now resumes WITH gram_n and advances the grams
     run_stream_artifact_update(
         stream(src2), state, str(tmp_path / "ckpt3"), gram_n=4
     )

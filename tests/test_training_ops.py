@@ -5271,6 +5271,15 @@ def test_auto_bloom_bits_gates(spark):
     assert joins.auto_bloom_bits(li, keys) is None
     assert joins.auto_bloom_bits(li, keys, min_fact_bytes=0) is None
 
+    # unreadable plan stats (Spark Connect / JVM API drift): the gate
+    # must fall back to the PLAIN join, never to a max-size prefilter
+    real_size = joins._plan_size_bytes
+    joins._plan_size_bytes = lambda df: None
+    try:
+        assert joins.auto_bloom_bits(li, keys, min_fact_bytes=0) is None
+    finally:
+        joins._plan_size_bytes = real_size
+
     # force both gates open: keys "too big" (threshold 0 disables the
     # broadcast gate) and no fact floor -> a sized, clamped bit count
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -6097,6 +6106,22 @@ def test_video_metadata_avi_recovers_dims_from_sof(spark):
     assert _jpeg_sof_dimensions(payload[frames_at:]) == (24, 32)
     with pytest.raises(ValueError, match="SOI"):
         _jpeg_sof_dimensions(b"\x00\x01\x02\x03")
+
+    # DNL-deferred height with an FF DC byte pair INSIDE a COM segment
+    # payload between SOF and SOS: the probe must step over marker
+    # segments and only byte-search the post-SOS entropy region (where
+    # 0xFF is always stuffed or a restart marker)
+    com = b"\xff\xfe" + struct.pack(">H", 6) + b"\xff\xdc\x99\x99"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 0, 32, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes(
+        [1, 1, 0x00, 0, 63, 0]
+    )
+    entropy = b"\x12\x34\x56\x78"
+    dnl = b"\xff\xdc" + struct.pack(">HH", 4, 24)
+    fake = b"\xff\xd8" + com + sof0 + sos + entropy + dnl + b"\xff\xd9"
+    assert _jpeg_sof_dimensions(fake) == (24, 32)
 
     df = spark.createDataFrame(
         [(1, "video", bytes(zeroed))],
