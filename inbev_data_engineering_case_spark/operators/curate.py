@@ -130,6 +130,7 @@ def curate_corpus(
     split_weights: dict[str, float] | None = None,
     split_salt: str = "split",
     split_buckets: int = 10_000,
+    split_threshold: float | None = None,
     classifier_model: DataFrame | None = None,
     min_score_micro: int = 0,
 ) -> DataFrame:
@@ -139,18 +140,27 @@ def curate_corpus(
     component id (= min doc id in the cluster).
 
     ``split_weights`` (default None = off) appends a leakage-safe
-    train/val/test ``split`` column computed from the SAME connected-
-    components pass the near-dedup drop list came from — one components
-    iteration per pipeline, where calling ``leakage_safe_split``
-    afterwards would run a second one over the same pair graph. Each
-    kept document is keyed by its component representative (its own id
-    when it has no near-dup) and split by the identical deterministic
-    ``hash_split`` expression, so the assignment is row-identical to
-    the standalone ``leakage_safe_split(kept, pairs)`` (parity-tested).
-    Requesting the split upgrades the components run to
-    ``require_convergence=True`` (the split operator's contract — a
-    non-converged labeling could hand one cluster two representatives,
-    the straddle the operator exists to prevent).
+    train/val/test ``split`` column. With ``split_threshold=None`` the
+    guarantee comes FREE: near-dedup already collapsed every cluster
+    to exactly one survivor (the components run is upgraded to
+    ``require_convergence=True``, so minimal labels make "one rep per
+    cluster" a guarantee, not a hope), which means every kept document
+    IS its own cluster representative and the cluster-keyed assignment
+    provably equals the plain deterministic ``hash_split`` keyed by
+    id — the pipeline keys directly and skips the no-op join, while
+    staying row-identical to standalone ``leakage_safe_split(kept,
+    pairs)`` (parity-tested).
+
+    ``split_threshold`` (must be ≤ ``near_dup_threshold``) is where
+    the composed split earns its keep: pairs are generated ONCE at
+    the looser threshold (banding is threshold-independent, so the
+    signature/banding pass is shared), the dedup drop list uses the
+    ``near_dup_threshold`` subset, and the split keys by the
+    components of the FULL loose graph — documents similar enough to
+    leak (est_jaccard in [split_threshold, near_dup_threshold)) but
+    not similar enough to dedup are then guaranteed one split, the
+    case a post-dedup split cannot see. One extra pair-node-sized
+    components run; the corpus is never re-hashed.
 
     Passing an eval/benchmark set adds a decontamination stage between the
     filters and the dedups: documents sharing any ``decontaminate_ngram``
@@ -328,11 +338,27 @@ def curate_corpus(
     # scoring (+ decontamination) — three 100 TB passes instead of one.
     # materialize_mode selects the sharing mechanism (local blocks /
     # reliable checkpoint / parquet scratch table).
+    if split_threshold is not None:
+        if split_weights is None:
+            raise ValueError(
+                "curate_corpus: split_threshold without split_weights"
+                " has no effect — pass split_weights to emit the split"
+            )
+        if split_threshold > near_dup_threshold:
+            raise ValueError(
+                "curate_corpus: split_threshold"
+                f" ({split_threshold}) must not exceed"
+                f" near_dup_threshold ({near_dup_threshold}) — the"
+                " loose split graph must CONTAIN the dedup graph"
+            )
     eligible = _materialize(eligible, materialize_mode)
-    _, final, clusters = _dedup_chain(
+    _, final, split_clusters = _dedup_chain(
         eligible, text_col, id_col, near_dup_threshold, materialize_mode,
         bloom_prefilter_bits=bloom_prefilter_bits,
         require_convergence=split_weights is not None,
+        split_threshold=(
+            split_threshold if split_weights is not None else None
+        ),
     )
     if max_docs_per_source is not None:
         from inbev_data_engineering_case_spark.operators.sample import (
@@ -355,25 +381,41 @@ def curate_corpus(
         ).select(id_col)
         final = _keep_semi(final, kept, id_col, bloom_prefilter_bits)
     if split_weights is not None:
-        # key by the component representative from the pass above —
-        # structurally leakage_safe_split's keying, minus its second
-        # components run (clusters' lineage is already materialized by
-        # the iteration loop). No clobber guard needed here: the
-        # scoring projection already reduced the frame to
-        # (id, text, lang, quality[, source]), so no input 'split'
-        # column can reach this point.
-        keyed = final.join(
-            clusters.select(
-                F.col("node").alias(id_col),
-                F.col("comp").alias("_split_key"),
-            ),
-            on=id_col,
-            how="left",
-        ).withColumn("_split_key", F.coalesce("_split_key", F.col(id_col)))
-        final = hash_split(
-            keyed, weights=split_weights, id_col="_split_key",
-            salt=split_salt, buckets=split_buckets,
-        ).drop("_split_key")
+        # No clobber guard needed here: the scoring projection already
+        # reduced the frame to (id, text, lang, quality[, source]), so
+        # no input 'split' column can reach this point.
+        if split_threshold is None:
+            # PROVABLE identity, so no join: near-dedup (with observed
+            # convergence) kept exactly the minimal representative of
+            # every cluster, so each surviving row's component key IS
+            # its own id — coalesce(comp, id) == id for every kept
+            # row, and the cluster-keyed assignment equals the plain
+            # hash split keyed by id (parity-tested against standalone
+            # leakage_safe_split). Keying directly drops a dead
+            # id-keyed join from the plan.
+            final = hash_split(
+                final, weights=split_weights, id_col=id_col,
+                salt=split_salt, buckets=split_buckets,
+            )
+        else:
+            # loose-graph keying: kept documents may genuinely share a
+            # component below the dedup threshold — the non-vacuous
+            # case — so the representative attaches through the
+            # (pair-node-sized) loose components table
+            keyed = final.join(
+                split_clusters.select(
+                    F.col("node").alias(id_col),
+                    F.col("comp").alias("_split_key"),
+                ),
+                on=id_col,
+                how="left",
+            ).withColumn(
+                "_split_key", F.coalesce("_split_key", F.col(id_col))
+            )
+            final = hash_split(
+                keyed, weights=split_weights, id_col="_split_key",
+                salt=split_salt, buckets=split_buckets,
+            ).drop("_split_key")
     return final
 
 
@@ -385,16 +427,24 @@ def _dedup_chain(
     materialize_mode: str,
     bloom_prefilter_bits: int | str | None = None,
     require_convergence: bool = False,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    split_threshold: float | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """The shared dedup tail of the curation pipeline: exact fingerprint
     dedup (min-id survivor) then MinHash near-dedup via components.
-    Returns ``(after_exact, final, clusters)`` — ONE implementation
-    consumed by both ``curate_corpus`` and ``curation_report``, so the
-    report's funnel counts are structurally the pipeline's own
-    cardinalities, not a hand-synchronized copy; ``clusters`` is the
-    (node, comp) labeling the drop list came from, exposed so the
-    split stage can key off the SAME components pass instead of
-    re-running the iteration (``curate_corpus`` ``split_weights``)."""
+    Returns ``(after_exact, final, split_clusters)`` — ONE
+    implementation consumed by both ``curate_corpus`` and
+    ``curation_report``, so the report's funnel counts are structurally
+    the pipeline's own cardinalities, not a hand-synchronized copy.
+
+    ``split_threshold`` (None = off) additionally labels the LOOSER
+    similarity graph for the leakage-safe split: pairs are generated
+    ONCE at ``split_threshold`` (banding is threshold-independent —
+    the expensive signature/banding pass is shared), the dedup drop
+    list derives from the subset at ``near_dup_threshold``, and
+    ``split_clusters`` carries the components of the full loose graph
+    — the keying that makes the composed split non-vacuous (documents
+    similar enough to leak but not enough to dedup stay in one
+    split). None when not requested."""
     # exact dedup: survivors only (min id per fingerprint)
     exact_keep = exact_dedup(eligible, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
@@ -405,12 +455,28 @@ def _dedup_chain(
     )
 
     # near-dedup: drop every cluster member except the component id
+    pair_thresh = (
+        near_dup_threshold if split_threshold is None else split_threshold
+    )
     pairs = minhash_dedup_pairs(
-        after_exact, text_col, id_col, threshold=near_dup_threshold,
+        after_exact, text_col, id_col, threshold=pair_thresh,
         materialize_mode=materialize_mode,
     )
+    if split_threshold is None:
+        split_clusters = None
+        dedup_pairs = pairs
+    else:
+        # two consumers (dedup subset + loose split graph): pair rows
+        # are 24 bytes, materialize once
+        pairs = _materialize(pairs, materialize_mode)
+        dedup_pairs = pairs.filter(
+            F.col("est_jaccard") >= near_dup_threshold
+        )
+        split_clusters = dedup_components(
+            pairs, require_convergence=True
+        )
     clusters = dedup_components(  # (node, comp)
-        pairs, require_convergence=require_convergence
+        dedup_pairs, require_convergence=require_convergence
     )
     drop = clusters.filter(F.col("node") != F.col("comp")).select(
         F.col("node").alias(id_col)
@@ -419,7 +485,7 @@ def _dedup_chain(
     # _materialize'd above, satisfying bloom_anti_join's dual-consumer
     # determinism requirement
     final = _drop_anti(after_exact, drop, id_col, bloom_prefilter_bits)
-    return after_exact, final, clusters
+    return after_exact, final, split_clusters
 
 
 def curate_incremental(

@@ -2229,25 +2229,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(_corpus_near(spark, sf_dir))
 
 
-def _components_closure_sql(pairs_cte: str = "mh") -> str:
+def _components_closure_sql(pairs_cte: str = "mh", suffix: str = "") -> str:
     """The edges/reach/comp CTE block — recursive reachability closure
     with comp = min reachable node over a pair CTE carrying
     (id_a, id_b) — the oracle twin of ``dedup.dedup_components``. One
     definition serves every oracle that clusters a pair graph
     (components, curation, leakage-safe split); a closure fix lands
-    everywhere at once."""
+    everywhere at once. ``suffix`` renames the emitted CTEs
+    (edges/reach/comp → edges_s/…) so one oracle can close TWO pair
+    graphs (the curation split's loose graph beside the dedup graph)."""
+    e, r, c = f"edges{suffix}", f"reach{suffix}", f"comp{suffix}"
     return f"""
-    edges AS (
+    {e} AS (
       SELECT id_a AS src, id_b AS dst FROM {pairs_cte}
       UNION
       SELECT id_b AS src, id_a AS dst FROM {pairs_cte}
     ),
-    reach(node, r) AS (
-      SELECT src, src FROM edges
+    {r}(node, r) AS (
+      SELECT src, src FROM {e}
       UNION
-      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node
+      SELECT e.dst, r.r FROM {r} r JOIN {e} e ON e.src = r.node
     ),
-    comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+    {c} AS (SELECT node, min(r) AS comp FROM {r} GROUP BY node)
     """
 
 
@@ -3373,6 +3376,7 @@ def _curate_oracle(
     cap_per_source: int | None = None,
     split: bool = False,
     clf_threshold: int | None = None,
+    split_threshold: float | None = None,
 ) -> str:
     langs = ", ".join(f"'{lang}'" for lang in languages)
     # capping plumbs the source column through every stage and wraps
@@ -3401,10 +3405,12 @@ def _curate_oracle(
     """
         if cap_per_source is not None
         else (
-            # kept docs keyed by coalesce(comp, own id) — the same
-            # keying leakage_safe_split's oracle replays — then the
+            # kept docs keyed by coalesce(comp, own id) over the SPLIT
+            # graph (the loose comp_s closure when split_threshold is
+            # set, else the dedup closure — where the key provably
+            # equals the own id for every kept row), then the
             # q_train_split hash CASE (default 98/1/1 weights)
-            """
+            f"""
     SELECT doc_id, text, lang, quality,
            CASE WHEN h < 9800 THEN 'train'
                 WHEN h < 9900 THEN 'val'
@@ -3416,7 +3422,8 @@ def _curate_oracle(
                % 10000 AS h
       FROM (SELECT * FROM survivors
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) s
-      LEFT JOIN comp c ON c.node = s.doc_id
+      LEFT JOIN {"comp_s" if split_threshold is not None else "comp"} c
+        ON c.node = s.doc_id
     )
     """
             if split
@@ -3425,6 +3432,19 @@ def _curate_oracle(
     WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
     """
         )
+    )
+    split_block = (
+        ""
+        if split_threshold is None
+        else f"""
+    mh_s AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands_cu a JOIN bands_cu b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id < b.id
+      WHERE {_sig_match_sql("a", "b")} >= {split_threshold}
+    ),
+    {_components_closure_sql("mh_s", "_s")},"""
     )
     if clf_threshold is None:
         clf_block = ""
@@ -3469,7 +3489,7 @@ def _curate_oracle(
            AND a.id < b.id
       WHERE {_sig_match_sql("a", "b")} >= {threshold}
     ),
-    {_components_closure_sql()},
+    {_components_closure_sql()},{split_block}
     dropped AS (SELECT node AS doc_id FROM comp WHERE node != comp)
     {final_select}
     """
@@ -3564,21 +3584,26 @@ def q_curate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_curate_split",
-    _curate_oracle(split=True),
+    _curate_oracle(split=True, split_threshold=0.25),
     doc="the curation composition emitting the leakage-safe "
-    "train/val/test split from its OWN components pass "
-    "(curate_corpus split_weights=...): each kept document is keyed "
-    "by its near-dup cluster representative from the SAME connected-"
-    "components run the drop list came from — one iteration per "
-    "pipeline, where chaining standalone leakage_safe_split "
-    "afterwards would pay a second — then split by the deterministic "
-    "hash_split expression (row-identical to the standalone chain, "
-    "parity-tested; requesting the split upgrades the components run "
-    "to require_convergence=True, the split operator's contract). "
-    "Oracle replays the full curation SQL plus the comp-keyed hash "
-    "CASE. Late-r11 tail debut (family cover: q_curate_corpus is the "
-    "identical composition minus the split column, q_leakage_split "
-    "the identical keying+hash machinery — both in-window).",
+    "train/val/test split from its OWN pair-generation pass "
+    "(curate_corpus split_weights=..., split_threshold=0.25): pairs "
+    "generate ONCE at the looser split threshold (banding is "
+    "threshold-independent, so the signature/banding pass is shared "
+    "with dedup), the drop list uses the >=0.5 subset, and each kept "
+    "document is keyed by its component in the FULL loose graph — so "
+    "documents similar enough to LEAK (est_jaccard in [0.25, 0.5)) "
+    "but not similar enough to dedup are guaranteed one split, the "
+    "case a post-dedup split cannot see (and the case that makes "
+    "this non-vacuous: at split_threshold=None every survivor is "
+    "provably its own representative and the pipeline keys directly "
+    "by id, join-free). Both components runs require observed "
+    "convergence. Oracle replays the full curation SQL plus a second "
+    "loose pair CTE + renamed recursive closure + the comp_s-keyed "
+    "hash CASE. Late-r11 tail debut (family cover: q_curate_corpus "
+    "is the identical composition minus the split column, "
+    "q_leakage_split the identical keying+hash machinery — both "
+    "in-window).",
 )
 def q_curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inbev_data_engineering_case_spark.operators.curate import (
@@ -3588,6 +3613,7 @@ def q_curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(
         _corpus_near(spark, sf_dir),
         split_weights={"train": 0.98, "val": 0.01, "test": 0.01},
+        split_threshold=0.25,
     )
 
 

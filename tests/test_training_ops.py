@@ -5253,6 +5253,113 @@ def test_curate_corpus_split_from_same_components_pass(spark):
     assert rows == want
 
 
+def test_curate_split_loose_threshold_guards_subdedup_leaks(spark):
+    """split_threshold < near_dup_threshold: pairs generate once at
+    the looser threshold, dedup uses the tight subset, and kept
+    documents similar enough to LEAK but not to dedup (est_jaccard in
+    [split_t, dedup_t)) are guaranteed ONE split — demonstrably
+    load-bearing: the plain per-id hash split straddles such a pair
+    under some salt while the loose keying never does, at any salt.
+    Parity with standalone leakage_safe_split over the loose pair
+    graph; invalid thresholds refused."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+        hash_split,
+        leakage_safe_split,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat("text", F.lit(" the end")).alias("text"),
+        )
+    )
+    weights = {"train": 0.5, "test": 0.5}
+
+    kept_plain = curate_corpus(corpus)
+    # the pipeline's loose graph spans its post-exact-dedup ELIGIBLE
+    # frame (lang/quality-filtered, exact-deduped) — replicate that
+    # frame so the standalone comparison closes the same graph
+    from inbev_data_engineering_case_spark.operators.curate import (
+        _dedup_chain,
+    )
+    from inbev_data_engineering_case_spark.operators.textops import (
+        score_documents,
+    )
+
+    eligible = (
+        score_documents(corpus, "text", "doc_id")
+        .filter(F.col("lang").isin("en") & (F.col("quality") >= 0.3))
+        .localCheckpoint()
+    )
+    after_exact, _, _ = _dedup_chain(
+        eligible, "text", "doc_id", 0.5, "local"
+    )
+    pairs_loose = minhash_dedup_pairs(after_exact, threshold=0.25)
+    kept_ids = {r["doc_id"] for r in kept_plain.select("doc_id").collect()}
+    kk_loose = [
+        (p["id_a"], p["id_b"])
+        for p in pairs_loose.filter(
+            F.col("est_jaccard") < 0.5
+        ).collect()
+        if p["id_a"] in kept_ids and p["id_b"] in kept_ids
+    ]
+    assert kk_loose  # the sub-dedup leak case exists in this fixture
+
+    # find a salt where the PLAIN per-id split straddles a loose pair
+    # (guaranteed findable: keys differ, 50/50 weights), then show the
+    # loose keying never straddles under that same salt
+    straddle_salt = None
+    plain_assign = {}
+    for cand in ("s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7"):
+        assign = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(
+                kept_plain.select("doc_id"), weights=weights,
+                id_col="doc_id", salt=cand,
+            ).collect()
+        }
+        if any(assign[a] != assign[b] for a, b in kk_loose):
+            straddle_salt, plain_assign = cand, assign
+            break
+    assert straddle_salt is not None
+
+    composed = curate_corpus(
+        corpus, split_weights=weights, split_salt=straddle_salt,
+        split_threshold=0.25,
+    )
+    got = {r["doc_id"]: r["split"] for r in composed.collect()}
+    assert set(got) == kept_ids  # same kept set; split never drops rows
+    assert all(got[a] == got[b] for a, b in kk_loose)  # no straddle
+    assert plain_assign != got  # and it genuinely changed assignments
+
+    # parity: standalone leakage_safe_split over the SAME loose graph
+    want = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            kept_plain, pairs_loose, weights=weights,
+            salt=straddle_salt,
+        ).collect()
+    }
+    assert got == want
+
+    # guards
+    with pytest.raises(ValueError, match="split_weights"):
+        curate_corpus(corpus, split_threshold=0.25).collect()
+    with pytest.raises(ValueError, match="near_dup_threshold"):
+        curate_corpus(
+            corpus, split_weights=weights, split_threshold=0.9
+        ).collect()
+
+
 def test_auto_bloom_bits_gates(spark):
     """auto_bloom_bits: None when keys broadcast or the fact is under
     the amortization floor; a clamped power-of-two sized from the key
