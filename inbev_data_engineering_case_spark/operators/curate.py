@@ -356,9 +356,9 @@ def curate_corpus(
         eligible, text_col, id_col, near_dup_threshold, materialize_mode,
         bloom_prefilter_bits=bloom_prefilter_bits,
         require_convergence=split_weights is not None,
-        split_threshold=(
-            split_threshold if split_weights is not None else None
-        ),
+        # the validation above already rejected split_threshold
+        # without split_weights, so this forwards verbatim
+        split_threshold=split_threshold,
     )
     if max_docs_per_source is not None:
         from inbev_data_engineering_case_spark.operators.sample import (

@@ -675,13 +675,15 @@ def auto_bloom_bits(
     file stats clear ``min_fact_bytes`` by orders of magnitude, and a
     keep/drop list that exceeds the broadcast threshold is precisely
     the case the prefilter exists for."""
+    # unreadable plan stats anywhere: the gate cannot reason, so it
+    # must not optimize — the plain join is always correct, while a
+    # blind prefilter at a guessed size re-creates the regression this
+    # gate closes. The fact side's estimate is only computed AFTER the
+    # broadcast gate: in the common small-scale case (keys broadcast)
+    # the potentially expensive optimization of the full fact plan
+    # never runs.
     keys_bytes = _plan_size_bytes(keys)
-    fact_bytes = _plan_size_bytes(fact)
-    if keys_bytes is None or fact_bytes is None:
-        # unreadable plan stats: the gate cannot reason, so it must
-        # not optimize — the plain join is always correct, while a
-        # blind prefilter at a guessed size re-creates the regression
-        # this gate closes
+    if keys_bytes is None:
         return None
     try:
         broadcast_thr = int(
@@ -692,7 +694,8 @@ def auto_bloom_bits(
         broadcast_thr = 10 << 20
     if broadcast_thr > 0 and keys_bytes <= broadcast_thr:
         return None
-    if fact_bytes < min_fact_bytes:
+    fact_bytes = _plan_size_bytes(fact)
+    if fact_bytes is None or fact_bytes < min_fact_bytes:
         return None
     try:
         rc = keys._jdf.queryExecution().optimizedPlan().stats().rowCount()

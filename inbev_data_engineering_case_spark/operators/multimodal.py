@@ -2343,7 +2343,7 @@ def _jpeg_sof_dimensions(frame: bytes) -> tuple[int, int]:
 
     if frame[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG bitstream (no SOI)")
-    pos, h, w = 2, None, None
+    pos, w = 2, None  # only w carries SOF state to the SOS branch
     while pos + 4 <= len(frame):
         if frame[pos] != 0xFF:
             raise ValueError("JPEG marker walk desynchronized")

@@ -1601,7 +1601,8 @@ def run_stream_classifier_update(
     be made idempotent by row-level dedup — re-merging would
     double-count every token. Each snapshot therefore records the
     ``batch_id`` that produced it — together with the CHECKPOINT
-    path, which is thereby part of the state's lineage — in a 1-row
+    string (as passed, verbatim — keep one stable spelling across
+    runs), which is thereby part of the state's lineage — in a 1-row
     ``meta`` table. A batch at or below the recorded id under the
     SAME checkpoint is SKIPPED (its counts are already folded in); a
     DIFFERENT checkpoint against existing state RAISES, because a
@@ -1651,7 +1652,12 @@ def run_stream_classifier_update(
         )
         if not batch.take(1):
             return
-        ckpt_key = os.path.abspath(checkpoint)
+        # the RAW checkpoint string is the lineage key: abspath would
+        # make it cwd-dependent for relative paths and mangle URI
+        # checkpoints (s3a://...), spuriously refusing valid resumes.
+        # Pass the same spelling across runs — the refusal message
+        # shows both strings when they differ.
+        ckpt_key = checkpoint
         try:
             parent_snap = latest_snapshot(
                 state_dir, CLASSIFIER_ARTIFACT_PREFIX
