@@ -3683,6 +3683,77 @@ def q_contamination_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_classifier",
+    f"""
+    WITH {_BOW_CLF_CTES}
+    SELECT bucket, cp, cn FROM counts
+    UNION ALL
+    SELECT -1 AS bucket, np AS cp, nn AS cn FROM pri
+    UNION ALL
+    SELECT -3 AS bucket, {_BOW_B} AS cp, 0 AS cn
+    """,
+    doc="stream-maintained classifier count statistics "
+    "(streaming/events.py:run_stream_classifier_update): the labeled "
+    "documents table drains as a file-source stream, each micro-batch "
+    "training counts on the batch alone and merge_bow_counts-folding "
+    "them into the stored table under one atomic snapshot generation "
+    "— counts are ADDITIVE, so the drained state must equal "
+    "train_bow_counts over every streamed document exactly, which is "
+    "what the oracle replays in SQL (per-bucket class occurrence "
+    "counts + the prior and meta special rows). Fresh state/checkpoint "
+    "per invocation; the result frame materializes before the scratch "
+    "dirs are removed. The replayed-batch and fresh-checkpoint guards "
+    "are pytest-pinned (additive state cannot row-dedup a replay — "
+    "the snapshot records its producing (batch_id, checkpoint)). "
+    "Late-r11 tail debut (family cover: q_stream_cms pins the "
+    "in-window streamed-mergeable-partials contract, q_quality_score "
+    "the text-scoring family).",
+)
+def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_classifier_counts,
+        run_stream_classifier_update,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="q_stream_classifier_")
+    # the file-stream source only monitors DIRECTORIES; the table is a
+    # single read-only parquet file — stage a symlink dir for it, the
+    # read_events_stream discipline
+    src_dir = os.path.join(scratch, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        .parquet(src_dir)
+        .select(
+            "doc_id", "text", (F.col("lang") == "en").alias("label")
+        )
+    )
+    try:
+        run_stream_classifier_update(
+            stream,
+            os.path.join(scratch, "state"),
+            os.path.join(scratch, "ckpt"),
+            n_buckets=_BOW_B,
+        )
+        return read_classifier_counts(
+            spark, os.path.join(scratch, "state")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
     "q_curate_classifier",
     _curate_oracle(clf_threshold=-7_500_000),
     doc="the curation composition with the LEARNED quality gate "
@@ -7219,6 +7290,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_pagerank_teleport (iterative-graph family) and q_dedup_minhash
     # (the identical pair-graph generation):
     "q_contamination_halo": ("q_pagerank_teleport", "q_dedup_minhash"),
+    # LATE-r11 DEBUT (not a demotion): the classifier count stream —
+    # oracle replays train_bow_counts over every streamed doc
+    # (additive-state parity); r12 queue. Covered in-window by
+    # q_stream_cms (streamed-mergeable-partials contract) and
+    # q_quality_score (text-scoring family):
+    "q_stream_classifier": ("q_stream_cms", "q_quality_score"),
 }
 
 for _name in _FAMILY_STAND_INS:
