@@ -68,33 +68,57 @@ def _loadavg() -> list[float] | None:
 def _prior_floor_artifact() -> (
     tuple[str, dict[str, float], dict[str, float]] | None
 ):
-    """Newest BENCH_r*.json beside this script ->
-    (basename, query mins, query medians)."""
+    """Newest USABLE BENCH_r*.json beside this script ->
+    (basename, query mins, query medians).
+
+    Newest-first with fallback: the round driver records only a
+    2000-byte stdout tail, so a JSON line that outgrew it leaves
+    ``parsed: None`` and a FRONT-truncated tail (the BENCH_r11.json
+    shape) — no per-query numbers. Such an artifact must not silently
+    zero the drift and round-over-round comparisons; recover the line
+    from the tail when it survived whole, else skip to the next round
+    back. (The emit side now also guards the line under the tail
+    budget, so this is the belt for historical artifacts.)"""
     import glob
     import re
 
-    best_n, best = -1, None
+    numbered = []
     for path in glob.glob(os.path.join(_REPO_DIR, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m and int(m.group(1)) > best_n:
-            best_n, best = int(m.group(1)), path
-    if best is None:
-        return None
-    try:
-        with open(best) as f:
-            prior = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return None
-    # the round driver wraps this script's JSON line under "parsed"
-    if isinstance(prior.get("parsed"), dict):
-        prior = prior["parsed"]
-    floors = prior.get("query_mins") or prior.get("queries") or {}
-    medians = prior.get("queries") or {}
-    return (
-        os.path.basename(best),
-        {k: float(v) for k, v in floors.items() if v},
-        {k: float(v) for k, v in medians.items() if v},
-    )
+        if m:
+            numbered.append((int(m.group(1)), path))
+    for _, path in sorted(numbered, reverse=True):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the round driver wraps this script's JSON line under "parsed"
+        if isinstance(prior.get("parsed"), dict):
+            prior = prior["parsed"]
+        elif "parsed" in prior:
+            tail = str(prior.get("tail") or "")
+            at = tail.find('{"metric"')
+            if at < 0:
+                continue  # line truncated at the front: unusable
+            try:
+                prior = json.loads(tail[at:])
+            except ValueError:
+                continue
+        mins = prior.get("query_mins")
+        if mins is None and isinstance(prior.get("query_mins_v"), list):
+            # size-guard shape: mins as a parallel array aligned with
+            # "queries" insertion order (see the emit-side ladder)
+            mins = dict(zip(prior.get("queries") or {}, prior["query_mins_v"]))
+        floors = mins or prior.get("queries") or {}
+        medians = prior.get("queries") or {}
+        if floors or medians:
+            return (
+                os.path.basename(path),
+                {k: float(v) for k, v in floors.items() if v},
+                {k: float(v) for k, v in medians.items() if v},
+            )
+    return None
 
 
 def _round_over_round(
@@ -111,6 +135,11 @@ def _round_over_round(
     if prior is None:
         return None
     floor_name, _, prior_medians = prior
+    if not prior_medians:
+        # a mins-only prior artifact has no median per line; reporting
+        # every line as "new" with shared_total=0 would read as a real
+        # round-over-round signal, so skip the block honestly instead
+        return None
     shared = [q for q in timings if q in prior_medians]
     new = [q for q in timings if q not in prior_medians]
     return {
@@ -309,48 +338,70 @@ def main() -> None:
     load_after = _loadavg()
     drift = _adjudicate_drift(mins, sf_dir)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # per-query minimum of the timed runs: the machine-drift
-                # discriminator (a real code regression moves the MIN; a
-                # contended/hot machine moves the median while the min
-                # holds — the r4 q_join_orders / r5 q_curate_corpus
-                # lesson, made diagnosable from the recorded JSON alone)
-                "query_mins": mins,
-                # one-time index build seconds paid in the UNTIMED
-                # warm-up of each q_*_indexed entry (build + first
-                # probe + codegen): the headline number for those
-                # queries prices the probe of the committed snapshot,
-                # and this field keeps the build cost visible in the
-                # same artifact
-                "index_build_costs": index_build_costs,
-                "sf": sf,
-                "runs_per_query": RUNS_PER_QUERY,
-                # round-over-round comparability: this run's medians
-                # summed over the lines the newest committed artifact
-                # also timed, beside that artifact's sum over the SAME
-                # lines, plus the strictly-new lines' costs — so the
-                # growing headline set never hides a shared-line
-                # regression behind the raw total
-                "round_over_round": _round_over_round(timings),
-                # machine state + automated drift adjudication: load
-                # averages bracket the run; when any MIN exceeds
-                # DRIFT_RATIO x its floor in the newest committed
-                # BENCH_r*.json, `drift.ab` carries the commit-pinned
-                # vs HEAD re-timings (fresh subprocess each) so
-                # code-regression vs hot-machine is decidable from
-                # this artifact alone
-                "loadavg_before": load_before,
-                "loadavg_after": load_after,
-                "drift": drift,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # per-query minimum of the timed runs: the machine-drift
+        # discriminator (a real code regression moves the MIN; a
+        # contended/hot machine moves the median while the min
+        # holds — the r4 q_join_orders / r5 q_curate_corpus
+        # lesson, made diagnosable from the recorded JSON alone)
+        "query_mins": mins,
+        # one-time index build seconds paid in the UNTIMED
+        # warm-up of each q_*_indexed entry (build + first
+        # probe + codegen): the headline number for those
+        # queries prices the probe of the committed snapshot,
+        # and this field keeps the build cost visible in the
+        # same artifact
+        "index_build_costs": index_build_costs,
+        "sf": sf,
+        "runs_per_query": RUNS_PER_QUERY,
+        # round-over-round comparability: this run's medians
+        # summed over the lines the newest committed artifact
+        # also timed, beside that artifact's sum over the SAME
+        # lines, plus the strictly-new lines' costs — so the
+        # growing headline set never hides a shared-line
+        # regression behind the raw total
+        "round_over_round": _round_over_round(timings),
+        # machine state + automated drift adjudication: load
+        # averages bracket the run; when any MIN exceeds
+        # DRIFT_RATIO x its floor in the newest committed
+        # BENCH_r*.json, `drift.ab` carries the commit-pinned
+        # vs HEAD re-timings (fresh subprocess each) so
+        # code-regression vs hot-machine is decidable from
+        # this artifact alone
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
+        "drift": drift,
+    }
+    print(_bounded_line(payload))
+
+
+def _bounded_line(payload: dict, budget: int = 1950) -> str:
+    """The ONE JSON line, kept under the round driver's 2000-byte
+    stdout tail — an oversized line records as ``parsed: None`` with a
+    front-truncated tail (the BENCH_r11.json lesson), silently losing
+    the whole artifact. Compact separators first; past the budget the
+    mins dict folds into ``query_mins_v``, a parallel array aligned
+    with ``queries`` insertion order (same information, ~40% fewer
+    bytes — ``_prior_floor_artifact`` reads both shapes); past that,
+    ``round_over_round.new_lines`` degrades to sorted names only."""
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > budget and "query_mins" in payload:
+        payload["query_mins_v"] = [
+            payload["query_mins"].get(q) for q in payload["queries"]
+        ]
+        del payload["query_mins"]
+        line = json.dumps(payload, separators=(",", ":"))
+    rr = payload.get("round_over_round")
+    if len(line) > budget and isinstance(rr, dict) and isinstance(
+        rr.get("new_lines"), dict
+    ):
+        rr["new_lines"] = sorted(rr["new_lines"])
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

@@ -49,6 +49,11 @@ def _resolve_bloom_bits(
     join wins: keys broadcastable, or fact under the amortization
     floor — ``joins.auto_bloom_bits``); int/None pass through."""
     if bloom_prefilter_bits != "auto":
+        if isinstance(bloom_prefilter_bits, str):
+            raise ValueError(
+                "bloom_prefilter_bits must be an int, None, or the"
+                f" literal string 'auto'; got {bloom_prefilter_bits!r}"
+            )
         return bloom_prefilter_bits
     from inbev_data_engineering_case_spark.operators.joins import (
         auto_bloom_bits,
@@ -352,7 +357,7 @@ def curate_corpus(
                 " loose split graph must CONTAIN the dedup graph"
             )
     eligible = _materialize(eligible, materialize_mode)
-    _, final, split_clusters = _dedup_chain(
+    _, final, split_clusters, _dedup_pairs = _dedup_chain(
         eligible, text_col, id_col, near_dup_threshold, materialize_mode,
         bloom_prefilter_bits=bloom_prefilter_bits,
         require_convergence=split_weights is not None,
@@ -428,7 +433,8 @@ def _dedup_chain(
     bloom_prefilter_bits: int | str | None = None,
     require_convergence: bool = False,
     split_threshold: float | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    materialize_pairs: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame | None, DataFrame]:
     """The shared dedup tail of the curation pipeline: exact fingerprint
     dedup (min-id survivor) then MinHash near-dedup via components.
     Returns ``(after_exact, final, split_clusters)`` — ONE
@@ -444,7 +450,13 @@ def _dedup_chain(
     ``split_clusters`` carries the components of the full loose graph
     — the keying that makes the composed split non-vacuous (documents
     similar enough to leak but not enough to dedup stay in one
-    split). None when not requested."""
+    split). None when not requested.
+
+    The returned fourth element is the dedup-threshold pair graph
+    itself — the halo composition's edge list. ``materialize_pairs``
+    forces the one-materialization discipline when a second consumer
+    (the halo BFS) will read it and ``split_threshold`` didn't already
+    trigger it."""
     # exact dedup: survivors only (min id per fingerprint)
     exact_keep = exact_dedup(eligible, text_col, id_col).select(
         F.col("keep_id").alias(id_col)
@@ -464,6 +476,11 @@ def _dedup_chain(
     )
     if split_threshold is None:
         split_clusters = None
+        if materialize_pairs:
+            # a second consumer (the halo BFS) will read the pair
+            # graph beside the components run — 24-byte rows,
+            # materialize once (the split branch's discipline)
+            pairs = _materialize(pairs, materialize_mode)
         dedup_pairs = pairs
     else:
         # two consumers (dedup subset + loose split graph): pair rows
@@ -485,7 +502,7 @@ def _dedup_chain(
     # _materialize'd above, satisfying bloom_anti_join's dual-consumer
     # determinism requirement
     final = _drop_anti(after_exact, drop, id_col, bloom_prefilter_bits)
-    return after_exact, final, split_clusters
+    return after_exact, final, split_clusters, dedup_pairs
 
 
 def curate_incremental(
@@ -1179,7 +1196,7 @@ def curation_report(
     )
 
     eligible = _materialize(scored.filter(quality_ok), materialize_mode)
-    after_exact, final, _ = _dedup_chain(
+    after_exact, final, _, _ = _dedup_chain(
         eligible, text_col, id_col, near_dup_threshold, materialize_mode
     )
     n_exact = after_exact.count()

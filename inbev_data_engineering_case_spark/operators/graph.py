@@ -316,3 +316,138 @@ def multi_source_bfs(
         )
         frontier = new.select("node")
     return dist
+
+
+def multi_source_bfs_incremental(
+    all_edges: DataFrame,
+    new_edges: DataFrame,
+    stored_dist: DataFrame,
+    new_seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
+    """Delta maintenance of a ``multi_source_bfs`` result → the full
+    updated ``(node, dist)`` table, row-identical to re-running the
+    batch BFS over the union graph + union seeds (parity-tested).
+
+    The delta-crawl story (the ``dedup.py:1150`` normalized-state
+    discipline, applied to the halo): yesterday's run stored
+    ``(node, dist)`` over pair graph G with seed set S, both bounded at
+    ``max_hops``. A new crawl contributes ``new_edges`` (near-dup pairs
+    involving at least one new document — a delta pair pass can emit no
+    old-old edge, since old-old pairs were already present) and
+    ``new_seeds`` (newly flagged documents at distance 0). Distances
+    can only DECREASE, and every improvement propagates from a new
+    seed or across a new edge — so instead of re-walking every seed's
+    neighborhood, relaxation starts from the change set alone:
+
+    - ``dist₀`` = stored ∪ (new seeds at 0), min per node;
+    - initial frontier = the new seeds plus every new-edge endpoint
+      that already has a distance (its known distance may now travel
+      across the new edge);
+    - each round: frontier×``all_edges`` equi-join → candidate
+      ``dist+1`` → keep strict improvements ≤ ``max_hops`` → merge
+      (min) into the dist table; the improved set IS the next
+      frontier. Early exit on no improvements (one ``take(1)`` per
+      round, the batch loop's action budget).
+
+    An improvement chain lengthens distance by 1 per hop and distances
+    live in [0, max_hops], so ``max_hops`` rounds always suffice —
+    same bound as the batch walk, but the frontier is change-sized
+    (typically the delta's neighborhood), not seed-neighborhood-sized.
+    ``all_edges`` is the STORED pair artifact plus the delta — state
+    that already exists; it is joined per round against the (small)
+    frontier, never re-derived.
+
+    Unlike the batch BFS, a frontier row carries its current ``dist``
+    (improvements re-visit nodes, so level order alone no longer
+    encodes distance — this is unit-weight min-relaxation, the
+    textbook incremental-BFS shape)."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _truncate_lineage,
+    )
+
+    if max_hops < 0:
+        raise ValueError(
+            "multi_source_bfs_incremental: max_hops must be >= 0"
+        )
+    if reliable_checkpoint is None:
+        sc = all_edges.sparkSession.sparkContext
+        reliable_checkpoint = sc.getCheckpointDir() is not None
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        if not directed:
+            e = e.unionByName(
+                e.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+        return e.distinct()
+
+    sym = _truncate_lineage(_sym(all_edges), reliable_checkpoint)
+    seed_col = new_seeds.columns[0]
+    seeds0 = (
+        new_seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    stored = stored_dist.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+    # dist₀: stored ∪ new seeds, min per node (a re-flagged old node
+    # takes 0). One node-sized aggregation.
+    dist = _truncate_lineage(
+        stored.unionByName(seeds0)
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist")),
+        reliable_checkpoint,
+    )
+    # change frontier: new seeds + new-edge endpoints that already
+    # carry a distance (their dist may now propagate across the delta)
+    touched = (
+        _sym(new_edges)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .join(dist, on="node")
+    )
+    frontier = _truncate_lineage(
+        seeds0.unionByName(touched)
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist")),
+        reliable_checkpoint,
+    )
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + 1).alias("_cand"),
+            )
+            .filter(F.col("_cand") <= max_hops)
+            .groupBy("node")
+            .agg(F.min("_cand").alias("_cand"))
+        )
+        improved = _truncate_lineage(
+            cand.join(dist, on="node", how="left")
+            .filter(
+                F.col("dist").isNull() | (F.col("_cand") < F.col("dist"))
+            )
+            .select("node", F.col("_cand").alias("dist")),
+            reliable_checkpoint,
+        )
+        if not improved.take(1):
+            break
+        dist = _truncate_lineage(
+            dist.join(improved.select("node"), on="node", how="left_anti")
+            .unionByName(improved),
+            reliable_checkpoint,
+        )
+        frontier = improved
+    return dist

@@ -2347,6 +2347,13 @@ def _jpeg_sof_dimensions(frame: bytes) -> tuple[int, int]:
     while pos + 4 <= len(frame):
         if frame[pos] != 0xFF:
             raise ValueError("JPEG marker walk desynchronized")
+        # ISO/IEC 10918-1 B.1.1.2: any marker may be preceded by 0xFF
+        # fill bytes — step over the run so the marker byte is never a
+        # fill byte misread as a marker
+        while pos + 4 <= len(frame) and frame[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(frame):
+            break
         marker = frame[pos + 1]
         if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: bare
             pos += 2

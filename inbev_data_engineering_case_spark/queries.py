@@ -7026,14 +7026,18 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # composition from the materialized model (identity-tested):
     "q_ann_pq": ("q_ann_indexed",),
     "q_html_strip": ("q_curate_corpus",),  # curate composes strip_html
-    "q_url_normalize": ("q_clean_text", "q_pii_scrub"),  # rewrite chains
+    # rewired r12 (q_pii_scrub demoted): the sequential rewrite-chain
+    # machinery stays in-window via q_clean_text:
+    "q_url_normalize": ("q_clean_text",),  # rewrite chains
     "q_scd2_history": ("q_curate_incremental", "q_pit_join"),
     "q_count_distinct": ("q_distinct",),  # distinct-agg family
     "q_cube": ("q_grouping_sets",),  # Expand family
     "q_map_lookup": ("q_array_functions",),
     "q_session_window": ("q_stream_sessionize",),  # sessionization family
     "q_join_orders": ("q_join_star",),  # broadcast-dim join family
-    "q_ann_projected": ("q_random_projection", "q_ann_ivf_trained"),
+    # rewired r12 (q_random_projection demoted): the sign-LSH
+    # projection machinery stays in-window via q_dedup_embedding:
+    "q_ann_projected": ("q_ann_ivf_trained", "q_dedup_embedding"),
     "q_multimodal_features": ("q_frame_sample",),  # same decode machinery
     "q_repetition": ("q_quality_score",),  # text-scoring family
     # rotated OUT mid-r6 to debut q_curation_drift (new entries must
@@ -7219,7 +7223,9 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # twin's SQL unchanged (lossless partial merge), so the in-window
     # q_stream_drift replays this exact computation; q_curation_drift
     # pins the per-day drift-report family:
-    "q_dist_drift": ("q_stream_drift", "q_curation_drift"),
+    # rewired r12 (q_stream_drift demoted): the per-day drift-report
+    # family keeps the ECDF computation in-window:
+    "q_dist_drift": ("q_curation_drift",),
     # (the four LATE-r10 DEBUTS that closed this dict —
     # q_embedding_incr_norm q_bloom_anti q_leakage_split
     # q_leakage_incremental — were all PROMOTED in r11 as queued: each
@@ -7265,37 +7271,38 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
         "q_containment_fast",
         "q_curate_incremental",
     ),
-    # LATE-r11 DEBUT (not a demotion): the curation pipeline emitting
-    # the leakage-safe split from its own components pass — oracle is
-    # the curation SQL plus the comp-keyed hash CASE; r12 promotion
-    # queue. Covered in-window by q_curate_corpus (the identical
-    # composition minus the split column) and q_leakage_split (the
-    # identical keying + hash machinery):
-    "q_curate_split": ("q_curate_corpus", "q_leakage_split"),
-    # LATE-r11 DEBUT (not a demotion): the hashed-BOW classifier
-    # (train + score, model-as-table) — oracle replays both stages in
-    # SQL; r12 promotion queue. Covered in-window by q_quality_score
-    # (text-scoring family) and q_pmi_collocations (the identical
-    # ln-micro log-ratio + token-pair aggregation discipline):
-    "q_bow_classifier": ("q_quality_score", "q_pmi_collocations"),
-    # LATE-r11 DEBUT (not a demotion): the curation pipeline with the
-    # learned quality gate composed at the LM-filter spot — oracle
-    # replays train + score + threshold + full curation; r12 queue.
-    # Covered in-window by q_curate_corpus (identical composition
-    # minus the gate) and q_quality_score (text-scoring family):
-    "q_curate_classifier": ("q_curate_corpus", "q_quality_score"),
-    # LATE-r11 DEBUT (not a demotion): multi-source BFS contamination
-    # halo — oracle replays the pair graph + a bounded recursive-CTE
-    # BFS with min(dist); r12 queue. Covered in-window by
-    # q_pagerank_teleport (iterative-graph family) and q_dedup_minhash
-    # (the identical pair-graph generation):
-    "q_contamination_halo": ("q_pagerank_teleport", "q_dedup_minhash"),
-    # LATE-r11 DEBUT (not a demotion): the classifier count stream —
-    # oracle replays train_bow_counts over every streamed doc
-    # (additive-state parity); r12 queue. Covered in-window by
-    # q_stream_cms (streamed-mergeable-partials contract) and
-    # q_quality_score (text-scoring family):
-    "q_stream_classifier": ("q_stream_cms", "q_quality_score"),
+    # (the five LATE-r11 DEBUTS that closed this dict — q_curate_split
+    # q_bow_classifier q_curate_classifier q_contamination_halo
+    # q_stream_classifier — were all PROMOTED in r12 as queued: each
+    # returns to its registration slot beside its operator family)
+    #
+    # rotated OUT in r12 to seat the five promotions; every demotion
+    # below has >=2 lifetime driver-green rows, and names in-window
+    # same-family cover (chains referencing a demoted entry rewired
+    # above in place):
+    # banked Bloom semi join: the promoted anti dual runs the SAME
+    # banked bitmap build + exact-join backstop machinery in-window
+    # (one shared _bloom_build; the join type is the only difference),
+    # and the curation pipeline composes both directions:
+    "q_bloom_join": ("q_bloom_anti", "q_curate_corpus"),
+    # Bloom-prefiltered curation: q_curate_corpus is the IDENTICAL
+    # composition (the prefilter is a plan-stats-gated no-op at driver
+    # scale — identity-tested at any bit count), and q_bloom_anti pins
+    # the prefiltered drop-join machinery in-window:
+    "q_curate_bloom": ("q_curate_corpus", "q_bloom_anti"),
+    # streaming ECDF drift: the batch drift computation stays
+    # in-window via q_curation_drift (per-day drift-report family) and
+    # the streamed-mergeable-partials contract via q_stream_cms (the
+    # same lossless partial-merge discipline, exactly replayed):
+    "q_stream_drift": ("q_curation_drift", "q_stream_cms"),
+    # PII scrubbing: the regex rewrite-chain machinery runs in-window
+    # inside q_clean_text (same sequential-rewrite family), and
+    # q_quality_score pins the text-scoring surface it feeds:
+    "q_pii_scrub": ("q_clean_text", "q_quality_score"),
+    # random-projection sketch: q_dedup_embedding runs the identical
+    # sign-LSH hyperplane projection machinery in-window, and the
+    # trained-IVF entry pins the reduced-space candidate-join shape:
+    "q_random_projection": ("q_dedup_embedding", "q_ann_ivf_trained"),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -1679,9 +1679,10 @@ def run_stream_classifier_update(
                     " original checkpoint (availableNow re-runs pick"
                     " up new files) or start a fresh state_dir"
                 )
-            if batch_id <= meta_row["batch_id"]:
-                return  # replayed batch: its counts are already folded in
-            parent = run_id_of(parent_snap, CLASSIFIER_ARTIFACT_PREFIX)
+            # geometry check BEFORE the replay-skip: a stream restarted
+            # with a mismatched explicit n_buckets must raise on its
+            # very first (possibly replayed) batch, not only once a
+            # genuinely new batch arrives
             stored_b = stored.filter(
                 F.col("bucket") == META_BUCKET
             ).first()["cp"]
@@ -1694,6 +1695,9 @@ def run_stream_classifier_update(
                     " wrong space; match the geometry or start a fresh"
                     " state_dir"
                 )
+            if batch_id <= meta_row["batch_id"]:
+                return  # replayed batch: its counts are already folded in
+            parent = run_id_of(parent_snap, CLASSIFIER_ARTIFACT_PREFIX)
             buckets = int(stored_b)
         except FileNotFoundError:  # first generation ever
             stored, parent = None, None

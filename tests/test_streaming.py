@@ -1675,3 +1675,53 @@ def test_stream_classifier_counts_maintenance(spark, tmp_path):
         run_stream_classifier_update(
             stream(), state, ckpt, n_buckets=1 << 13
         )
+
+    # geometry mismatch must surface even when every batch is a
+    # REPLAY (checkpoint committed offsets, state already folded): the
+    # check runs before the batch-id skip, so the misconfiguration
+    # raises on restart rather than lying dormant until new data
+    import os
+    import time
+
+    def wait_queries_drained():
+        # a query that terminated WITH an exception releases its
+        # checkpoint lock asynchronously; starting the next run over
+        # the same checkpoint too early trips Spark's concurrent-use
+        # guard
+        for _ in range(100):
+            if not spark.streams.active:
+                return
+            time.sleep(0.1)
+
+    wait_queries_drained()
+    run_stream_classifier_update(  # drain the pending batch cleanly
+        stream(), state, ckpt, n_buckets=1 << 12
+    )
+    commits = sorted(
+        f
+        for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    # force a replay: remove the newest commit marker AND its checksum
+    # sidecar (an orphaned .crc makes Spark's checksum filesystem treat
+    # the next commit write as a concurrent query)
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(Exception, match="n_buckets"):
+        run_stream_classifier_update(
+            stream(), state, ckpt, n_buckets=1 << 13
+        )
+    # and a correct-geometry run over the same replay is a no-op skip
+    wait_queries_drained()
+    before = sorted(
+        map(tuple, read_classifier_counts(spark, state).collect())
+    )
+    run_stream_classifier_update(
+        stream(), state, ckpt, n_buckets=1 << 12
+    )
+    after = sorted(
+        map(tuple, read_classifier_counts(spark, state).collect())
+    )
+    assert after == before

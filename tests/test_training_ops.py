@@ -5025,6 +5025,13 @@ def test_curate_corpus_bloom_prefilter_identity(spark):
     auto_plan = auto._jdf.queryExecution().executedPlan().toString()
     assert "_bloom_" not in auto_plan
 
+    # any string that is not exactly 'auto' is a config error raised
+    # at plan time, not a confusing type failure downstream
+    import pytest
+
+    with pytest.raises(ValueError, match="'Auto'"):
+        frame("Auto")
+
 
 def test_bow_classifier_learns_and_guards(spark):
     """Hashed-BOW classifier: on linearly separable text the model
@@ -6229,6 +6236,12 @@ def test_video_metadata_avi_recovers_dims_from_sof(spark):
     dnl = b"\xff\xdc" + struct.pack(">HH", 4, 24)
     fake = b"\xff\xd8" + com + sof0 + sos + entropy + dnl + b"\xff\xd9"
     assert _jpeg_sof_dimensions(fake) == (24, 32)
+
+    # ISO/IEC 10918-1 B.1.1.2: markers may be padded with 0xFF fill
+    # bytes — a run before SOF must be stepped over, not parsed as a
+    # marker whose "length" bytes desynchronize the walk
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + sof0[1:] + sos + entropy
+    assert _jpeg_sof_dimensions(padded + dnl) == (24, 32)
 
     df = spark.createDataFrame(
         [(1, "video", bytes(zeroed))],
