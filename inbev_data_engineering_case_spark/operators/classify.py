@@ -313,3 +313,74 @@ def score_bow_classifier(
             ).cast("bigint").alias("score_micro"),
         )
     )
+
+
+def evaluate_bow_classifier(
+    scored: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    score_col: str = "score_micro",
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Measure a scored classifier against held-out labels → ONE row:
+    ``(tp, fp, tn, fn, accuracy_ppm, precision_ppm, recall_ppm,
+    f1_ppm)``. Prediction is ``score >= threshold_micro`` (the
+    curation gate's own predicate, so the error rates measured here
+    are the error rates the pipeline will actually run at).
+
+    A curation pipeline that gates on a learned filter must know its
+    error rate before trusting it at 100 TB — the RefinedWeb/FineWeb
+    quality classifiers all publish exactly these numbers. HOLDOUT
+    PROTOCOL: the labels must come from documents the model never
+    trained on, and near-duplicates of training documents leak — use
+    ``curate.leakage_safe_split`` (or ``curate_corpus``'s composed
+    ``split_weights``) as the train/holdout provider so no near-dup
+    cluster straddles the evaluation (train on ``split='train'``
+    labels, evaluate on ``split='test'``).
+
+    Scale shape: one id-equi-join (broadcast when the labeled holdout
+    is small, which it always is relative to the corpus) + one global
+    conditional aggregation — partial map-side, a 4-counter exchange.
+    Derived rates are exact int64 ppm (``div`` floor, NULL on an empty
+    denominator), so the report is bit-stable across engines, AQE
+    re-plans, and retries; F1 uses the single-division
+    ``2·tp·1e6 div (2·tp + fp + fn)`` form so no intermediate
+    rounding compounds."""
+    pred = F.col(score_col) >= int(threshold_micro)
+    y = F.col("_y")
+    joined = scored.join(
+        labels.select(
+            F.col(id_col),
+            F.col(label_col).cast("boolean").alias("_y"),
+        ),
+        on=id_col,
+    )
+    counts = joined.agg(
+        F.count(F.when(pred & y, 1)).alias("tp"),
+        F.count(F.when(pred & ~y, 1)).alias("fp"),
+        F.count(F.when(~pred & ~y, 1)).alias("tn"),
+        F.count(F.when(~pred & y, 1)).alias("fn"),
+    )
+    return counts.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp + tn + fn > 0 THEN"
+            " ((tp + tn) * 1000000) div (tp + fp + tn + fn) END"
+        ).alias("accuracy_ppm"),
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN"
+            " (tp * 1000000) div (tp + fp) END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN"
+            " (tp * 1000000) div (tp + fn) END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn > 0 THEN"
+            " (2 * tp * 1000000) div (2 * tp + fp + fn) END"
+        ).alias("f1_ppm"),
+    )

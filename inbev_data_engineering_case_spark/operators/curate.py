@@ -138,6 +138,7 @@ def curate_corpus(
     split_threshold: float | None = None,
     classifier_model: DataFrame | None = None,
     min_score_micro: int = 0,
+    halo_hops: int | None = None,
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
     metadata (lang, quality). Survivor policy is deterministic end to end:
@@ -232,6 +233,25 @@ def curate_corpus(
     heuristics end and before any dedup work is spent on documents
     the model would drop.
 
+    ``halo_hops`` (default None = off; requires ``benchmark``) upgrades
+    the decontamination stage to the TRANSITIVE contamination-halo
+    guard: the direct n-gram flags are computed at the same spot but
+    the drop is deferred — flagged documents stay in the corpus through
+    the dedup chain so they appear as nodes in the pipeline's OWN
+    near-dup pair graph, then a multi-source BFS seeds from the flags
+    and every kept document within ``halo_hops`` near-dup hops of one
+    is dropped alongside them (a paraphrase of a contaminated document
+    shares no 8-gram with the benchmark but sits one pair-edge away
+    from a document that does). EXACTLY ONE pairs computation: the BFS
+    walks the same (materialized) pair table the dedup components run
+    consumes — the ``split_threshold`` reuse discipline. Use
+    ``halo_hops >= 1``: at 0 the drop set is the direct flags alone,
+    but near-dup twins a flagged document shadowed in dedup are
+    dropped with their representative (they are 1-hop contaminated by
+    construction — the halo at >= 1 makes that principled). Equals the
+    standalone ``decontaminate(halo_hops=..., pair_edges=...)`` chain
+    over the same graph (parity-tested).
+
     ``bloom_prefilter_bits="auto"`` gates each join on plan-stats
     selectivity (``joins.auto_bloom_bits``): the prefilter engages
     only when the key list exceeds the broadcast threshold AND the
@@ -262,15 +282,39 @@ def curate_corpus(
     eligible = scored.filter(
         F.col("lang").isin(*languages) & (F.col("quality") >= min_quality)
     )
+    if halo_hops is not None and benchmark is None:
+        raise ValueError(
+            "curate_corpus: halo_hops requires benchmark (the halo"
+            " seeds are the direct n-gram contamination flags)"
+        )
+    halo_seeds = None
+    pre_materialized = False
     if benchmark is not None:
         from inbev_data_engineering_case_spark.operators.decontaminate import (
+            contamination_report,
             decontaminate,
         )
 
-        eligible = decontaminate(
-            eligible, benchmark, n=decontaminate_ngram,
-            id_col=id_col, text_col=text_col,
-        )
+        if halo_hops is None:
+            eligible = decontaminate(
+                eligible, benchmark, n=decontaminate_ngram,
+                id_col=id_col, text_col=text_col,
+            )
+        else:
+            # halo mode: flags are computed HERE (on the same
+            # lang/quality-eligible corpus the plain stage would drop
+            # from — a contaminated document later removed by the
+            # LM/classifier filters still seeds its halo) but the drop
+            # is deferred past the dedup chain, so flagged documents
+            # appear as nodes in the pipeline's own pair graph. The
+            # report is a second consumer of `eligible` — materialize
+            # first (the classifier/LM stages' discipline).
+            eligible = _materialize(eligible, materialize_mode)
+            pre_materialized = True
+            halo_seeds = contamination_report(
+                eligible, benchmark, n=decontaminate_ngram,
+                id_col=id_col, text_col=text_col,
+            ).select(id_col)
     if benchmark_embeddings is not None:
         # semantic complement of the n-gram stage: drop docs whose
         # embedding sits within cosine `semantic_threshold` of an eval
@@ -320,6 +364,7 @@ def curate_corpus(
         eligible = _keep_semi(
             eligible, keep_clf, id_col, bloom_prefilter_bits
         )
+        pre_materialized = False
     if min_avg_logprob is not None:
         from inbev_data_engineering_case_spark.operators.relevance import (
             bigram_lm_scores,
@@ -337,6 +382,7 @@ def curate_corpus(
         eligible = _keep_semi(
             eligible, keep_lm, id_col, bloom_prefilter_bits
         )
+        pre_materialized = False
     # Three downstream consumers read `eligible` (exact-dedup keep list,
     # near-dedup signatures, final keep anti-join): without materializing
     # it once, each consumer re-runs the full corpus scan + lang/quality
@@ -356,15 +402,36 @@ def curate_corpus(
                 f" near_dup_threshold ({near_dup_threshold}) — the"
                 " loose split graph must CONTAIN the dedup graph"
             )
-    eligible = _materialize(eligible, materialize_mode)
-    _, final, split_clusters, _dedup_pairs = _dedup_chain(
+    if not pre_materialized:  # the halo stage may have done it already
+        eligible = _materialize(eligible, materialize_mode)
+    _, final, split_clusters, dedup_pairs = _dedup_chain(
         eligible, text_col, id_col, near_dup_threshold, materialize_mode,
         bloom_prefilter_bits=bloom_prefilter_bits,
         require_convergence=split_weights is not None,
         # the validation above already rejected split_threshold
         # without split_weights, so this forwards verbatim
         split_threshold=split_threshold,
+        materialize_pairs=halo_seeds is not None,
     )
+    if halo_seeds is not None:
+        from inbev_data_engineering_case_spark.operators.graph import (
+            multi_source_bfs,
+        )
+
+        # the deferred decontamination drop, halo-extended: BFS from
+        # the direct flags over the pipeline's OWN dedup-threshold pair
+        # graph (materialized once above — the components run and this
+        # walk read the same table), then drop every node within
+        # halo_hops. Runs BEFORE the cap so contaminated documents
+        # never consume quota slots (the plain stage's ordering).
+        halo_nodes = multi_source_bfs(
+            dedup_pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            ),
+            halo_seeds,
+            max_hops=halo_hops,
+        ).select(F.col("node").alias(id_col))
+        final = _drop_anti(final, halo_nodes, id_col, bloom_prefilter_bits)
     if max_docs_per_source is not None:
         from inbev_data_engineering_case_spark.operators.sample import (
             cap_per_source,

@@ -1583,8 +1583,16 @@ _BOW_HASH_TOK = "(('0x' || substr(md5(tok), 1, 15)))::BIGINT"
 # the classifier's train-side CTE block (labeled … consts), shared by
 # the standalone entry and the curation composition — training always
 # reads the plain documents table (lang = 'en' labels)
-_BOW_CLF_CTES = f"""labeled AS (
-      SELECT doc_id, text, (lang = 'en') AS y FROM documents
+def _bow_clf_ctes(
+    labeled_src: str = "SELECT doc_id, text, (lang = 'en') AS y"
+    " FROM documents",
+) -> str:
+    """The classifier-training CTE chain (labeled → occ → counts →
+    tot/pri → weights/consts) over a parametrized labeled source —
+    the default trains on every document (q_bow_classifier's
+    fixture); q_classifier_eval trains on the train split only."""
+    return f"""labeled AS (
+      {labeled_src}
     ),
     occ AS (
       SELECT doc_id, y, {_BOW_HASH_TOK} % {_BOW_B} AS bucket
@@ -1621,6 +1629,9 @@ _BOW_CLF_CTES = f"""labeled AS (
                   * 1000000) AS BIGINT) AS dflt
       FROM pri, tot
     )"""
+
+
+_BOW_CLF_CTES = _bow_clf_ctes()
 
 
 def _bow_score_sql(docs_cte: str, out_cte: str) -> str:
@@ -1687,6 +1698,95 @@ def q_bow_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=_BOW_B,
     )
     return score_bow_classifier(docs.select("doc_id", "text"), model)
+
+
+# q_classifier_eval's deterministic holdout: the hash_split bucket
+# expression (portable md5 hash, salt 'evalsplit', 10k buckets) — train
+# on < 7000, evaluate on the rest, so no document ever scores itself
+# into its own training statistics.
+_EVAL_SPLIT_H = (
+    "(('0x' || substr(md5('evalsplit:' || doc_id), 1, 15)))::BIGINT"
+    " % 10000"
+)
+
+
+@register(
+    "q_classifier_eval",
+    f"""
+    WITH {_bow_clf_ctes(
+        "SELECT doc_id, text, (lang = 'en') AS y FROM documents"
+        f" WHERE {_EVAL_SPLIT_H} < 7000"
+    )},
+    {_bow_score_sql(
+        f"(SELECT doc_id, text FROM documents"
+        f" WHERE {_EVAL_SPLIT_H} >= 7000)",
+        "sc",
+    )},
+    outcomes AS (
+      SELECT (s.score_micro >= 0) AS p, (d.lang = 'en') AS y
+      FROM sc s JOIN documents d USING (doc_id)
+    ),
+    c AS (
+      SELECT count(*) FILTER (WHERE p AND y) AS tp,
+             count(*) FILTER (WHERE p AND NOT y) AS fp,
+             count(*) FILTER (WHERE NOT p AND NOT y) AS tn,
+             count(*) FILTER (WHERE NOT p AND y) AS fn
+      FROM outcomes
+    )
+    SELECT tp, fp, tn, fn,
+           CASE WHEN tp + fp + tn + fn > 0
+                THEN ((tp + tn) * 1000000) // (tp + fp + tn + fn)
+           END AS accuracy_ppm,
+           CASE WHEN tp + fp > 0
+                THEN (tp * 1000000) // (tp + fp) END AS precision_ppm,
+           CASE WHEN tp + fn > 0
+                THEN (tp * 1000000) // (tp + fn) END AS recall_ppm,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN (2 * tp * 1000000) // (2 * tp + fp + fn)
+           END AS f1_ppm
+    FROM c
+    """,
+    doc="classifier evaluation surface "
+    "(operators/classify.py:evaluate_bow_classifier): exact confusion "
+    "counts + int64-ppm accuracy/precision/recall/F1 at the curation "
+    "gate's own score>=threshold predicate, measured under the "
+    "documented holdout protocol — a deterministic hash split "
+    "(train<7000, eval>=7000 of 10k md5 buckets, the hash_split "
+    "machinery) trains the model on the train partition only and "
+    "evaluates on labels it never saw; near-dup-safe holdouts come "
+    "from curate.leakage_safe_split, the documented provider. One "
+    "id-equi-join + one 4-counter conditional aggregation; rates are "
+    "exact integer div (NULL on empty denominators), bit-stable "
+    "across engines. Oracle replays split+train+score+confusion in "
+    "SQL. R12 debut (family cover: q_bow_classifier is the identical "
+    "train+score machinery, q_quality_score the text-scoring "
+    "family).",
+)
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.classify import (
+        evaluate_bow_classifier,
+        score_bow_classifier,
+        train_bow_classifier,
+    )
+    from inbev_data_engineering_case_spark.operators.curate import (
+        hash_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs.select(
+            "doc_id", "text", (F.col("lang") == "en").alias("label")
+        ),
+        weights={"train": 0.7, "test": 0.3},
+        salt="evalsplit",
+    )
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    model = train_bow_classifier(train, n_buckets=_BOW_B)
+    return evaluate_bow_classifier(
+        score_bow_classifier(test.select("doc_id", "text"), model),
+        test.select("doc_id", "label"),
+    )
 
 
 def _lang_case_sql() -> str:
@@ -3369,6 +3469,13 @@ def _sig_match_sql(a: str, b: str, num_hashes: int = 8) -> str:
     )
 
 
+# the q_curate_halo benchmark: a 9-word sentinel planted as the suffix
+# of every 40th document's near-dup copy, so the DIRECT n-gram flag
+# lands on the copy while the clean original survives dedup as the
+# cluster representative — the doc only the transitive halo drops
+_HALO_SENTINEL = "copied verbatim from the held out eval benchmark set"
+
+
 def _curate_oracle(
     languages: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
@@ -3377,6 +3484,7 @@ def _curate_oracle(
     split: bool = False,
     clf_threshold: int | None = None,
     split_threshold: float | None = None,
+    halo_hops: int | None = None,
 ) -> str:
     langs = ", ".join(f"'{lang}'" for lang in languages)
     # capping plumbs the source column through every stage and wraps
@@ -3390,7 +3498,23 @@ def _curate_oracle(
      FROM documents)
     """
         if cap_per_source is not None
-        else _SQL_CORPUS_NEAR
+        else (
+            # halo fixture: copies of every 40th doc carry the
+            # benchmark sentinel (direct flag lands on the HIGHER id
+            # of the near-dup cluster, so dedup keeps the clean
+            # original — the rep only the halo can drop)
+            f"""
+    (SELECT doc_id, text FROM documents
+     UNION ALL
+     SELECT doc_id + 200000 AS doc_id,
+            text || CASE WHEN doc_id % 40 = 0
+                         THEN ' {_HALO_SENTINEL}'
+                         ELSE ' the end' END AS text
+     FROM documents)
+    """
+            if halo_hops is not None
+            else _SQL_CORPUS_NEAR
+        )
     )
     src = ", source" if cap_per_source is not None else ""
     final_select = (
@@ -3427,11 +3551,54 @@ def _curate_oracle(
     )
     """
             if split
-            else """
+            else (
+                """
+    SELECT doc_id, text, lang, quality FROM survivors
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+      AND doc_id NOT IN (SELECT node FROM halo_n)
+    """
+                if halo_hops is not None
+                else """
     SELECT doc_id, text, lang, quality FROM survivors
     WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
     """
+            )
         )
+    )
+    word_split = (
+        "regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')"
+    )
+    halo_block = (
+        ""
+        if halo_hops is None
+        else f"""
+    bgrams AS (
+      SELECT DISTINCT (('0x' || substr(md5(g), 1, 15)))::BIGINT AS gram_h
+      FROM (SELECT unnest({_SQL_DECON_GRAMS}) AS g
+            FROM (SELECT regexp_split_to_array(
+                    trim(lower('{_HALO_SENTINEL}')),
+                    '[ \\t\\n\\x0b\\f\\r]+') AS w))
+    ),
+    direct AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(list_distinct({_SQL_DECON_GRAMS})) AS g
+            FROM (SELECT doc_id, {word_split} AS w FROM eligible))
+      JOIN bgrams
+        ON (('0x' || substr(md5(g), 1, 15)))::BIGINT = gram_h
+    ),
+    symh AS (
+      SELECT id_a AS src, id_b AS dst FROM mh
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM mh
+    ),
+    halo(node, dist) AS (
+      SELECT doc_id, 0 FROM direct
+      UNION ALL
+      SELECT s.dst, h.dist + 1
+      FROM halo h JOIN symh s ON s.src = h.node
+      WHERE h.dist < {halo_hops}
+    ),
+    halo_n AS (SELECT DISTINCT node FROM halo),"""
     )
     split_block = (
         ""
@@ -3489,7 +3656,7 @@ def _curate_oracle(
            AND a.id < b.id
       WHERE {_sig_match_sql("a", "b")} >= {threshold}
     ),
-    {_components_closure_sql()},{split_block}
+    {_components_closure_sql()},{split_block}{halo_block}
     dropped AS (SELECT node AS doc_id FROM comp WHERE node != comp)
     {final_select}
     """
@@ -3683,6 +3850,93 @@ def q_contamination_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_halo_incremental",
+    f"""
+    WITH RECURSIVE mh AS ({_minhash_oracle()}),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM mh
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM mh
+    ),
+    seeds AS (
+      SELECT doc_id AS node FROM {_SQL_CORPUS_NEAR} AS c
+      WHERE doc_id % 40 = 0 AND doc_id < 200000
+    ),
+    bfs(node, dist) AS (
+      SELECT node, 0 FROM seeds
+      UNION ALL
+      SELECT s.dst, b.dist + 1
+      FROM bfs b JOIN sym s ON s.src = b.node
+      WHERE b.dist < 2
+    )
+    SELECT node AS doc_id, CAST(min(dist) AS INT) AS dist
+    FROM bfs GROUP BY node
+    """,
+    doc="incremental contamination halo "
+    "(operators/graph.py:multi_source_bfs_incremental): a delta crawl "
+    "(every doc_id%3==0 node is 'new') folds its new pair edges and "
+    "newly flagged seeds into yesterday's stored (node, dist) table "
+    "by unit-weight min-relaxation from the CHANGE frontier — the new "
+    "seeds plus every new-edge endpoint with a known distance — "
+    "instead of re-walking every seed's neighborhood. Distances only "
+    "decrease, every improvement propagates from the change set, and "
+    "an improvement chain is at most max_hops long, so max_hops "
+    "rounds of frontier-adjacency joins suffice; the frontier is "
+    "delta-neighborhood-sized. The stored state is computed as the "
+    "batch BFS over the old-only subgraph (the pair-restriction "
+    "property: pairs of old docs are exactly the full pair set with "
+    "both endpoints old), and the maintained result must equal the "
+    "batch BFS over the union — which is what the oracle replays "
+    "(the full recursive-CTE walk; the ENTIRE updated table is "
+    "compared, a stronger check than a new-only filter). Parity also "
+    "pytest-pinned on random graphs incl. old-old delta edges and "
+    "re-flagged old seeds. R12 debut (family cover: "
+    "q_contamination_halo is the identical batch walk, "
+    "q_curate_incremental pins the stored-state delta discipline).",
+)
+def q_halo_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from inbev_data_engineering_case_spark.operators.graph import (
+        multi_source_bfs,
+        multi_source_bfs_incremental,
+    )
+
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = minhash_dedup_pairs(corpus).localCheckpoint(
+        eager=True  # three consumers: old subset, delta subset, union
+    )
+    old_a = F.col("id_a") % 3 != 0
+    old_b = F.col("id_b") % 3 != 0
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    old_edges = pairs.filter(old_a & old_b).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    new_edges = pairs.filter(~(old_a & old_b)).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    seeds = corpus.filter(
+        (F.col("doc_id") % 40 == 0) & (F.col("doc_id") < 200000)
+    ).select("doc_id")
+    stored = multi_source_bfs(
+        old_edges, seeds.filter(F.col("doc_id") % 3 != 0), max_hops=2
+    )
+    return multi_source_bfs_incremental(
+        edges,
+        new_edges,
+        stored,
+        seeds.filter(F.col("doc_id") % 3 == 0),
+        max_hops=2,
+    ).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+@register(
     "q_stream_classifier",
     f"""
     WITH {_BOW_CLF_CTES}
@@ -3791,6 +4045,50 @@ def q_curate_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         classifier_model=model,
         min_score_micro=-7_500_000,
     )
+
+
+@register(
+    "q_curate_halo",
+    _curate_oracle(halo_hops=2),
+    doc="curation with the TRANSITIVE contamination-halo guard "
+    "(curate_corpus halo_hops=2, operators/curate.py + "
+    "decontaminate.py:decontaminate): the direct n-gram flags are "
+    "computed at the decontamination spot but the drop is deferred "
+    "past the dedup chain, so flagged documents appear as nodes in "
+    "the pipeline's OWN near-dup pair graph; a multi-source BFS then "
+    "seeds from the flags and every kept document within 2 near-dup "
+    "hops is dropped alongside them. EXACTLY ONE pairs computation "
+    "(the BFS walks the same materialized pair table the components "
+    "run consumes — parity- and count-tested). The fixture makes the "
+    "halo load-bearing: the benchmark sentinel rides the HIGHER-id "
+    "near-dup copy, so dedup keeps the clean original as cluster rep "
+    "and plain decontamination would keep a contaminated-by-"
+    "association document the halo drops. Oracle replays the full "
+    "curation SQL + the direct-flag gram join + a bounded recursive-"
+    "CTE BFS over the pair graph. R12 debut (family cover: "
+    "q_curate_corpus is the identical composition minus the halo, "
+    "q_contamination_halo the identical BFS machinery).",
+)
+def q_curate_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(
+                "text",
+                F.when(
+                    F.col("doc_id") % 40 == 0,
+                    F.lit(" " + _HALO_SENTINEL),
+                ).otherwise(F.lit(" the end")),
+            ).alias("text"),
+        )
+    )
+    bench = spark.createDataFrame([(_HALO_SENTINEL,)], "text string")
+    return curate_corpus(corpus, benchmark=bench, halo_hops=2)
 
 
 def _incremental_oracle(threshold: float = 0.5) -> str:
@@ -6957,7 +7255,9 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # CORRECTNESS_r04 and names its in-window family cover)
     "q_having": ("q_correlated_subquery",),
     "q_asof_join": ("q_pit_join",),  # temporal band-join family
-    "q_token_stats": ("q_tfidf_topk", "q_quality_score"),  # token statistics
+    # rewired r12 (q_tfidf_topk demoted): the tokenize/score machinery
+    # stays in-window via BM25 + the quality scorer:
+    "q_token_stats": ("q_quality_score", "q_bm25_search"),
     "q_stratified_sample": ("q_mixture_sample",),
     "q_snapshot_diff": ("q_curate_incremental",),  # CDC family (composes it)
     # q_zorder_key (data-layout family, new mid-r5) took this slot:
@@ -7017,8 +7317,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # in-window same-family cover:
     "q_fuzzy_match": ("q_dedup_minhash",),  # blocked-similarity-join family
     "q_histogram": ("q_skew_report",),  # distribution-profiling family
-    "q_resample_ffill": ("q_anomaly_zscore",),  # per-key time-series pass
-    "q_bpe_train": ("q_tfidf_topk", "q_chunk_documents"),  # token pipeline
+    # rewired r12 (q_anomaly_zscore demoted): the per-key ordered
+    # time-series pass stays in-window via the CUSUM detector and the
+    # per-user gap machinery:
+    "q_resample_ffill": ("q_cusum_changepoint", "q_event_gaps"),
+    # rewired r12 (q_tfidf_topk demoted):
+    "q_bpe_train": ("q_bm25_search", "q_chunk_documents"),  # token pipeline
     # IVF-PQ composes plain PQ; the probe-all == plain-PQ identity test
     # pins the shared ADC machinery:
     # rewired r7 (q_ann_ivf_pq demoted): the shared ADC machinery is
@@ -7100,7 +7404,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # relevance scoring: the tokenize/score/rank machinery stays
     # in-window via TF-IDF and BM25 (the LM's micro-unit logprob
     # discipline is the same one BM25's scoring pins):
-    "q_lm_perplexity": ("q_tfidf_topk", "q_bm25_search"),
+    "q_lm_perplexity": ("q_bm25_search",),  # rewired r12 (tfidf demoted)
     # gram profiling: q_dedup_spans runs the identical
     # distinct-gram/fingerprint/broadcast-hot-set machinery in-window
     # AND exercises the removal join the profiler only reports on:
@@ -7218,7 +7522,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # curate_corpus's final stage (the presalt two-phase bound runs
     # in-window verbatim), and mixture sampling pins the
     # hash-deterministic membership family:
-    "q_source_cap": ("q_curate_capped", "q_mixture_sample"),
+    # rewired r12 (q_curate_capped demoted): the curation composition
+    # stays in-window via q_curate_corpus, the hash-deterministic
+    # membership family via mixture sampling:
+    "q_source_cap": ("q_curate_corpus", "q_mixture_sample"),
     # two-sample ECDF drift: the streaming form's oracle IS the batch
     # twin's SQL unchanged (lossless partial merge), so the in-window
     # q_stream_drift replays this exact computation; q_curation_drift
@@ -7303,6 +7610,24 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # sign-LSH hyperplane projection machinery in-window, and the
     # trained-IVF entry pins the reduced-space candidate-join shape:
     "q_random_projection": ("q_dedup_embedding", "q_ann_ivf_trained"),
+    # rotated OUT mid-r12 to seat the three NEW r12 families
+    # (q_classifier_eval, q_curate_halo, q_halo_incremental — new
+    # entries must debut in the window); each demotion below has >=2
+    # lifetime driver-green rows and names in-window same-family
+    # cover (referencing chains rewired above in place):
+    # per-key z-score detector: the CUSUM changepoint entry runs the
+    # same per-key ordered statistics pass in-window, and q_event_gaps
+    # the same per-user lag machinery:
+    "q_anomaly_zscore": ("q_cusum_changepoint", "q_event_gaps"),
+    # capped curation: q_curate_corpus is the identical composition
+    # minus the final cap stage (the cap itself stays pytest
+    # identity-tested vs standalone cap_per_source), and mixture
+    # sampling pins the hash-deterministic membership family:
+    "q_curate_capped": ("q_curate_corpus", "q_mixture_sample"),
+    # TF-IDF top-k: BM25 runs the identical tokenize → df → score →
+    # per-query rank machinery in-window (same index CTEs, same
+    # micro-unit scoring discipline):
+    "q_tfidf_topk": ("q_bm25_search",),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -318,3 +318,102 @@ def test_multi_source_bfs_matches_python_reference_on_random_graphs(
                 }
                 want = ref_bfs(edge_list, seed_set, max_hops, directed)
                 assert got == want, (trial, directed, max_hops)
+
+
+def test_multi_source_bfs_incremental_matches_batch(spark):
+    """Delta maintenance parity: starting from a stored batch-BFS
+    result, folding in new edges + new seeds via min-relaxation from
+    the change frontier must equal re-running the batch BFS over the
+    union graph + union seeds — on random graphs/deltas (including
+    old-old delta edges, which the frontier handles even though a real
+    delta pair pass cannot emit them), with re-flagged old nodes, and
+    for the empty delta (no work, unchanged result)."""
+    import random
+
+    from inbev_data_engineering_case_spark.operators.graph import (
+        multi_source_bfs,
+        multi_source_bfs_incremental,
+    )
+
+    def df_edges(pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    rng = random.Random(0x1BF5)
+    for trial, (n_old, m_old, n_new, m_new) in enumerate(
+        [(20, 30, 6, 10), (40, 50, 10, 25), (15, 15, 1, 2)]
+    ):
+        old_nodes = range(n_old)
+        base = list(
+            {
+                (rng.randrange(n_old), rng.randrange(n_old))
+                for _ in range(m_old)
+            }
+        )
+        base = [(s, d) for s, d in base if s != d]
+        old_seeds = sorted(rng.sample(range(n_old), 3))
+        # delta: new nodes n_old..n_old+n_new-1; edges mix
+        # new-involving and old-old
+        all_n = n_old + n_new
+        delta = list(
+            {
+                (rng.randrange(all_n), rng.randrange(all_n))
+                for _ in range(m_new)
+            }
+        )
+        delta = [
+            (s, d) for s, d in delta if s != d and (s, d) not in set(base)
+        ]
+        # one new seed among new nodes + one RE-FLAGGED old node
+        new_seeds = sorted(
+            {n_old + rng.randrange(n_new), rng.randrange(n_old)}
+        )
+        for max_hops in (0, 2, 4):
+            stored = multi_source_bfs(
+                df_edges(base),
+                spark.createDataFrame(
+                    [(s,) for s in old_seeds], "node long"
+                ),
+                max_hops=max_hops,
+            ).localCheckpoint(eager=True)
+            got = {
+                r["node"]: r["dist"]
+                for r in multi_source_bfs_incremental(
+                    df_edges(base + delta),
+                    df_edges(delta),
+                    stored,
+                    spark.createDataFrame(
+                        [(s,) for s in new_seeds], "node long"
+                    ),
+                    max_hops=max_hops,
+                ).collect()
+            }
+            want = {
+                r["node"]: r["dist"]
+                for r in multi_source_bfs(
+                    df_edges(base + delta),
+                    spark.createDataFrame(
+                        [(s,) for s in sorted(set(old_seeds) | set(new_seeds))],
+                        "node long",
+                    ),
+                    max_hops=max_hops,
+                ).collect()
+            }
+            assert got == want, (trial, max_hops)
+
+    # empty delta: the stored table comes back unchanged
+    base_df = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    seeds_df = spark.createDataFrame([(1,)], "node long")
+    stored = multi_source_bfs(base_df, seeds_df, max_hops=2)
+    unchanged = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs_incremental(
+            base_df,
+            base_df.limit(0),
+            stored,
+            seeds_df.limit(0),
+            max_hops=2,
+        ).collect()
+    }
+    assert unchanged == {1: 0, 2: 1, 3: 2}

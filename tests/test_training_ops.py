@@ -5251,7 +5251,7 @@ def test_curate_corpus_split_from_same_components_pass(spark):
     eligible = scored.filter(
         F.col("lang").isin("en") & (F.col("quality") >= 0.3)
     ).localCheckpoint()
-    after_exact, final, _ = _dedup_chain(
+    after_exact, final, _, _ = _dedup_chain(
         eligible, "text", "doc_id", 0.5, "local"
     )
     pairs = minhash_dedup_pairs(after_exact, "text", "doc_id", threshold=0.5)
@@ -5307,7 +5307,7 @@ def test_curate_split_loose_threshold_guards_subdedup_leaks(spark):
         .filter(F.col("lang").isin("en") & (F.col("quality") >= 0.3))
         .localCheckpoint()
     )
-    after_exact, _, _ = _dedup_chain(
+    after_exact, _, _, _ = _dedup_chain(
         eligible, "text", "doc_id", 0.5, "local"
     )
     pairs_loose = minhash_dedup_pairs(after_exact, threshold=0.25)
@@ -6639,3 +6639,248 @@ def test_advanced_state_feeds_incremental_leakage_split(spark):
     frozen0 = frozen.filter("doc_id = 0").collect()[0]["split"]
     assert out[100] == (frozen0, 1)   # inherited across the boundary
     assert out[101][1] == 0           # fresh
+
+
+def test_evaluate_bow_classifier_confusion_and_holdout(spark):
+    """Classifier evaluation surface: exact confusion counts + int-ppm
+    derived metrics on a crafted frame (including NULL rates on empty
+    denominators and a moved threshold), then the documented holdout
+    protocol end to end — leakage_safe-split train/test partitions,
+    model trained on the train labels only, evaluated on the held-out
+    test labels of linearly separable text."""
+    from inbev_data_engineering_case_spark.operators.classify import (
+        evaluate_bow_classifier,
+        score_bow_classifier,
+        train_bow_classifier,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, 50), (2, 10), (3, -5), (4, -50), (5, 0), (6, -1)],
+        "doc_id long, score_micro bigint",
+    )
+    labels = spark.createDataFrame(
+        [(1, True), (2, False), (3, True), (4, False), (5, True),
+         (6, False)],
+        "doc_id long, label boolean",
+    )
+    row = evaluate_bow_classifier(scored, labels).first()
+    # pred = score >= 0: {1,2,5} predicted positive
+    assert (row["tp"], row["fp"], row["tn"], row["fn"]) == (2, 1, 2, 1)
+    assert row["accuracy_ppm"] == (4 * 1_000_000) // 6
+    assert row["precision_ppm"] == (2 * 1_000_000) // 3
+    assert row["recall_ppm"] == (2 * 1_000_000) // 3
+    assert row["f1_ppm"] == (4 * 1_000_000) // 6  # 2tp/(2tp+fp+fn)
+
+    # moved threshold: >= 20 keeps only doc 1
+    strict = evaluate_bow_classifier(
+        scored, labels, threshold_micro=20
+    ).first()
+    assert (strict["tp"], strict["fp"], strict["tn"], strict["fn"]) == (
+        1, 0, 3, 2,
+    )
+    assert strict["precision_ppm"] == 1_000_000
+
+    # empty-denominator rates are NULL, not a crash or a fake 0
+    no_pos = evaluate_bow_classifier(
+        scored.filter("doc_id IN (4, 6)"),
+        labels,
+        threshold_micro=10_000_000,
+    ).first()
+    assert no_pos["tp"] == 0 and no_pos["precision_ppm"] is None
+    assert no_pos["recall_ppm"] is None and no_pos["f1_ppm"] is None
+
+    # holdout protocol: split -> train on 'train' labels only ->
+    # evaluate on the held-out 'test' labels (separable text)
+    from inbev_data_engineering_case_spark.operators.curate import (
+        hash_split,
+    )
+
+    good = "clear prose sentence with informative words here"
+    spam = "buy buy cheap cheap click click now now win win"
+    rows = [
+        (i, (good if i % 2 == 0 else spam) + f" v{i}", i % 2 == 0)
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label boolean"
+    )
+    split = hash_split(
+        docs, weights={"train": 0.7, "test": 0.3}, id_col="doc_id"
+    )
+    train = split.filter("split = 'train'")
+    test = split.filter("split = 'test'")
+    assert train.count() and test.count()
+    model = train_bow_classifier(train, n_buckets=1 << 12)
+    held = evaluate_bow_classifier(
+        score_bow_classifier(test.select("doc_id", "text"), model),
+        test.select("doc_id", "label"),
+    ).first()
+    assert held["tp"] + held["fn"] > 0 and held["fp"] + held["tn"] > 0
+    assert held["accuracy_ppm"] == 1_000_000  # separable by design
+
+
+_HALO_SENTINEL = "copied verbatim from the held out eval benchmark set"
+
+
+def _halo_corpus(spark):
+    """documents + near-dup copies; copies of every 40th doc carry the
+    benchmark sentinel (direct n-gram flag), the rest ' the end'. The
+    flagged copy is the HIGHER id of its near-dup cluster, so dedup
+    keeps the clean original — the contaminated-by-association
+    representative only the halo can drop."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    return docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(
+                "text",
+                F.when(
+                    F.col("doc_id") % 40 == 0, F.lit(" " + _HALO_SENTINEL)
+                ).otherwise(F.lit(" the end")),
+            ).alias("text"),
+        )
+    )
+
+
+def test_curate_corpus_halo_composed_parity(spark):
+    """curate_corpus(benchmark=..., halo_hops=k) drops kept documents
+    within k near-dup hops of a directly contaminated one, walking the
+    pipeline's OWN pair graph (exactly ONE minhash pair computation in
+    the composed run), and equals the standalone
+    seed -> BFS -> flag chain over the same graph. The load-bearing
+    case: a flagged copy's clean ORIGINAL survives dedup as the
+    cluster rep and plain decontamination keeps it — the halo drops
+    it."""
+    from inbev_data_engineering_case_spark.operators import (
+        curate as curate_mod,
+    )
+    from inbev_data_engineering_case_spark.operators.curate import (
+        _dedup_chain,
+        curate_corpus,
+    )
+    from inbev_data_engineering_case_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from inbev_data_engineering_case_spark.operators.graph import (
+        multi_source_bfs,
+    )
+    from inbev_data_engineering_case_spark.operators.textops import (
+        score_documents,
+    )
+
+    corpus = _halo_corpus(spark)
+    bench = spark.createDataFrame([(_HALO_SENTINEL,)], "text string")
+
+    calls = []
+    real = curate_mod.minhash_dedup_pairs
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    curate_mod.minhash_dedup_pairs = counting
+    try:
+        composed = curate_corpus(corpus, benchmark=bench, halo_hops=2)
+        got = sorted(tuple(r) for r in composed.collect())
+    finally:
+        curate_mod.minhash_dedup_pairs = real
+    assert calls == [1]  # ONE pairs computation for dedup AND halo
+
+    got_ids = {r[0] for r in got}
+    assert got_ids  # something survives
+    # the clean originals of flagged copies are gone (the halo's work)
+    plain = curate_corpus(corpus, benchmark=bench)
+    plain_ids = {r["doc_id"] for r in plain.select("doc_id").collect()}
+    halo_only = plain_ids - got_ids
+    assert any(i % 40 == 0 and i < 200000 for i in halo_only), (
+        "fixture must exercise the rep-contamination case"
+    )
+    assert got_ids <= plain_ids  # the halo only ever drops MORE
+
+    # standalone parity: same eligible frame, direct flags, pair graph,
+    # BFS, drop — chained from the public operators
+    eligible = (
+        score_documents(corpus, "text", "doc_id")
+        .filter(F.col("lang").isin("en") & (F.col("quality") >= 0.3))
+        .localCheckpoint()
+    )
+    direct = contamination_report(eligible, bench, n=8).select("doc_id")
+    _, final_nb, _, pairs = _dedup_chain(
+        eligible, "text", "doc_id", 0.5, "local"
+    )
+    halo_nodes = multi_source_bfs(
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+        direct,
+        max_hops=2,
+    ).select(F.col("node").alias("doc_id"))
+    want = sorted(
+        tuple(r)
+        for r in final_nb.join(
+            halo_nodes, on="doc_id", how="left_anti"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_decontaminate_halo_standalone(spark):
+    """decontaminate(halo_hops=k, pair_edges=...): the drop set extends
+    transitively over the supplied pair graph; halo_hops without
+    pair_edges is refused; halo_hops=0 equals the plain direct drop."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.decontaminate import (
+        decontaminate,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " contaminated tail one two three four five six"),
+            (2, base + " paraphrased tail one two three four five six"),
+            (3, base + " another body entirely different words here now"),
+            (4, "totally unrelated text with none of those words at all"),
+        ],
+        "doc_id long, text string",
+    )
+    # benchmark shares an 8-gram ONLY with doc 1
+    bench = spark.createDataFrame(
+        [("contaminated tail one two three four five six",)],
+        "text string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+
+    plain = {r["doc_id"] for r in decontaminate(docs, bench).collect()}
+    assert plain == {2, 3, 4}
+
+    hop0 = {
+        r["doc_id"]
+        for r in decontaminate(
+            docs, bench, halo_hops=0, pair_edges=edges
+        ).collect()
+    }
+    assert hop0 == plain
+
+    hop1 = {
+        r["doc_id"]
+        for r in decontaminate(
+            docs, bench, halo_hops=1, pair_edges=edges
+        ).collect()
+    }
+    assert hop1 == {3, 4}
+
+    hop2 = {
+        r["doc_id"]
+        for r in decontaminate(
+            docs, bench, halo_hops=2, pair_edges=edges
+        ).collect()
+    }
+    assert hop2 == {4}
+
+    with pytest.raises(ValueError, match="pair_edges"):
+        decontaminate(docs, bench, halo_hops=1)
