@@ -2797,13 +2797,25 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
                 # behavior) — without one, corrupt stands
                 if _optional_ffmpeg() is None:
                     raise
+        if len(payload) >= 12 and payload[4:8] == b"ftyp":
+            try:
+                # AV1-in-MP4: first sync sample re-boxed as a one-item
+                # AVIF through the libheif dav1d/aom plugin (the
+                # first-frame discipline); no av01 track or no plugin
+                # → decoder_gap unless ffmpeg can take the container
+                return _featurize_mp4_av1(payload)
+            except NotImplementedError:
+                if _optional_ffmpeg() is None:
+                    raise
         if _optional_ffmpeg() is not None:
             return _featurize_y4m(_ffmpeg_to_y4m(payload))
         raise NotImplementedError(
             "compressed video decoding requires ffmpeg (capability probe "
             "_optional_ffmpeg found none on PATH) or pyav; uncompressed "
-            "YUV4MPEG2 demuxes natively (_featurize_y4m/_parse_y4m) and "
-            "Motion-JPEG AVI decodes natively (_featurize_avi_mjpeg)."
+            "YUV4MPEG2 demuxes natively (_featurize_y4m/_parse_y4m), "
+            "Motion-JPEG AVI decodes natively (_featurize_avi_mjpeg), "
+            "and AV1-in-MP4 decodes its first sync sample through the "
+            "system libheif (_featurize_mp4_av1)."
         )
     checksum = zlib.crc32(payload) % 1_000_003
     n = len(payload)
@@ -3603,6 +3615,241 @@ def _parse_mp4_metadata(payload: bytes) -> tuple[int, int, int, int]:
     if duration_ms is None:
         raise ValueError("moov has no mvhd")
     return width, height, duration_ms, n_tracks
+
+
+def _mp4_av1_keyframe(payload: bytes) -> tuple[bytes, int, int, bytes]:
+    """Demux the first SYNC sample of an AV1 (``av01``) video track out
+    of an ISO BMFF container → ``(av1C box bytes, width, height, sample
+    bytes)``.
+
+    Pure header walk over the existing ``_iter_boxes`` machinery: the
+    ``stsd`` VisualSampleEntry carries the coded dimensions and the
+    ``av1C`` configuration box (copied VERBATIM — it is the decoder's
+    sequence-header source), ``stss`` names the first sync sample
+    (absent table = every sample is sync, take 1), and the
+    ``stsc``/``stsz``/``stco``(``co64``) tables resolve that sample's
+    absolute byte range. No bitstream parsing — the OBUs hand off to
+    the AV1 decoder untouched. Raises NotImplementedError when no
+    ``av01`` track exists (a different codec's MP4 — the honest
+    decoder_gap reason) and ValueError for malformed sample tables."""
+    import struct
+
+    def children(rng):
+        return list(_iter_boxes(payload, *rng))
+
+    moov = next(
+        (
+            (b, e)
+            for t, b, e in _iter_boxes(payload, 0, len(payload))
+            if t == b"moov"
+        ),
+        None,
+    )
+    if moov is None:
+        raise ValueError("no moov box")
+    for t_trak, b_trak, e_trak in _iter_boxes(payload, *moov):
+        if t_trak != b"trak":
+            continue
+        stbl = None
+        walk = (b_trak, e_trak)
+        for want in (b"mdia", b"minf", b"stbl"):
+            nxt = next(
+                (
+                    (b, e)
+                    for t, b, e in _iter_boxes(payload, *walk)
+                    if t == want
+                ),
+                None,
+            )
+            if nxt is None:
+                break
+            walk = nxt
+        else:
+            stbl = walk
+        if stbl is None:
+            continue
+        boxes = {t: (b, e) for t, b, e in children(stbl)}
+        if b"stsd" not in boxes:
+            continue
+        sb, se = boxes[b"stsd"]
+        entry = next(
+            (
+                (b, e)
+                for t, b, e in _iter_boxes(payload, sb + 8, se)
+                if t == b"av01"
+            ),
+            None,
+        )
+        if entry is None:
+            continue
+        eb, ee = entry
+        if ee - eb < 78:
+            raise ValueError("av01 sample entry truncated")
+        width, height = struct.unpack_from(">HH", payload, eb + 24)
+        av1c = next(
+            (
+                payload[b - 8 : e]
+                for t, b, e in _iter_boxes(payload, eb + 78, ee)
+                if t == b"av1C"
+            ),
+            None,
+        )
+        if av1c is None:
+            raise ValueError("av01 sample entry has no av1C box")
+
+        def full(name, min_len):
+            if name not in boxes:
+                raise ValueError(f"av01 stbl has no {name.decode()} box")
+            b, e = boxes[name]
+            if e - b < min_len:
+                raise ValueError(f"{name.decode()} truncated")
+            return b, e
+
+        # first sync sample (1-based); no stss table = all sync
+        sync = 1
+        if b"stss" in boxes:
+            b, e = full(b"stss", 8)
+            if struct.unpack_from(">I", payload, b + 4)[0] >= 1:
+                sync = struct.unpack_from(">I", payload, b + 8)[0]
+        b, _ = full(b"stsz", 12)
+        fixed_size, n_samples = struct.unpack_from(">II", payload, b + 4)
+        if sync < 1 or sync > n_samples:
+            raise ValueError("sync sample out of range")
+
+        def sample_size(i):  # 1-based
+            if fixed_size:
+                return fixed_size
+            return struct.unpack_from(">I", payload, b + 12 + 4 * (i - 1))[0]
+
+        cb, ce = full(b"stsc", 8)
+        n_runs = struct.unpack_from(">I", payload, cb + 4)[0]
+        runs = [
+            struct.unpack_from(">III", payload, cb + 8 + 12 * i)
+            for i in range(n_runs)
+        ]
+        if b"stco" in boxes:
+            ob, _ = full(b"stco", 8)
+            n_chunks = struct.unpack_from(">I", payload, ob + 4)[0]
+
+            def chunk_offset(c):  # 1-based
+                return struct.unpack_from(">I", payload, ob + 8 + 4 * (c - 1))[0]
+
+        else:
+            ob, _ = full(b"co64", 8)
+            n_chunks = struct.unpack_from(">I", payload, ob + 4)[0]
+
+            def chunk_offset(c):
+                return struct.unpack_from(">Q", payload, ob + 8 + 8 * (c - 1))[0]
+
+        # walk the stsc runs to the chunk holding sample `sync`
+        seen = 0  # samples before the current chunk
+        for i, (first_chunk, per_chunk, _sdi) in enumerate(runs):
+            last_chunk = (
+                runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+            )
+            run_total = (last_chunk - first_chunk + 1) * per_chunk
+            if sync <= seen + run_total:
+                idx_in_run = sync - seen - 1
+                chunk = first_chunk + idx_in_run // per_chunk
+                first_in_chunk = (
+                    seen + (chunk - first_chunk) * per_chunk + 1
+                )
+                off = chunk_offset(chunk)
+                for s in range(first_in_chunk, sync):
+                    off += sample_size(s)
+                size = sample_size(sync)
+                if off + size > len(payload):
+                    raise ValueError("av01 sample overruns the file")
+                return av1c, width, height, payload[off : off + size]
+            seen += run_total
+        raise ValueError("stsc runs do not cover the sync sample")
+    raise NotImplementedError(
+        "MP4 container has no AV1 (av01) video track — other MP4 "
+        "codecs (h264/h265/vp9) need ffmpeg/pyav (capability probe "
+        "_optional_ffmpeg)"
+    )
+
+
+def _avif_from_av1_sample(
+    av1c: bytes, width: int, height: int, sample: bytes
+) -> bytes:
+    """Wrap one AV1 keyframe (OBUs + its verbatim ``av1C`` config box)
+    as a minimal single-item AVIF so the existing libheif path decodes
+    it — container re-boxing only, zero bitstream work. Emits
+    ftyp(avif) + meta(hdlr/pitm/iloc/iinf/iprp) + mdat; the ``iloc``
+    extent points at the mdat body (lengths are fixed-width, so the
+    meta is built once with a placeholder offset and once patched)."""
+    import struct
+
+    def box(t: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    ftyp = box(b"ftyp", b"avif" + b"\x00" * 4 + b"avifmif1miaf")
+    hdlr = box(
+        b"hdlr", b"\x00" * 8 + b"pict" + b"\x00" * 12 + b"\x00"
+    )
+    pitm = box(b"pitm", b"\x00" * 4 + struct.pack(">H", 1))
+    iinf = box(
+        b"iinf",
+        b"\x00" * 4
+        + struct.pack(">H", 1)
+        + box(
+            b"infe",
+            b"\x02"  # version 2
+            + b"\x00" * 3
+            + struct.pack(">HH", 1, 0)
+            + b"av01"
+            + b"\x00",
+        ),
+    )
+    ispe = box(
+        b"ispe", b"\x00" * 4 + struct.pack(">II", width, height)
+    )
+    pixi = box(b"pixi", b"\x00" * 4 + bytes([3, 8, 8, 8]))
+    iprp = box(
+        b"iprp",
+        box(b"ipco", av1c + ispe + pixi)
+        + box(
+            b"ipma",
+            b"\x00" * 4
+            + struct.pack(">I", 1)
+            + struct.pack(">H", 1)
+            # av1C essential, then ispe, pixi (1-based ipco indices)
+            + bytes([3, 0x81, 0x02, 0x03]),
+        ),
+    )
+
+    def iloc(offset: int) -> bytes:
+        return box(
+            b"iloc",
+            b"\x00" * 4
+            + bytes([0x44, 0x00])  # 4-byte offsets/lengths, no base
+            + struct.pack(">H", 1)
+            + struct.pack(">HH", 1, 0)
+            + struct.pack(">H", 1)
+            + struct.pack(">II", offset, len(sample)),
+        )
+
+    def assemble(offset: int) -> bytes:
+        meta = box(
+            b"meta",
+            b"\x00" * 4 + hdlr + pitm + iloc(offset) + iinf + iprp,
+        )
+        return ftyp + meta + box(b"mdat", sample), len(ftyp) + len(meta) + 8
+
+    _, mdat_body = assemble(0)
+    out, check = assemble(mdat_body)
+    assert check == mdat_body  # fixed-width offset: sizes stable
+    return out
+
+
+def _featurize_mp4_av1(payload: bytes) -> tuple[int, list[float]]:
+    """AV1-in-MP4 video content: demux the first sync sample
+    (``_mp4_av1_keyframe``), re-box it as a one-item AVIF, and decode
+    through the system libheif's dav1d/aom plugin — the GIF/animated-
+    WebP first-frame discipline applied to video. Same feature
+    contract as the image featurizers."""
+    return _featurize_heif(_avif_from_av1_sample(*_mp4_av1_keyframe(payload)))
 
 
 def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:

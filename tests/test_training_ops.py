@@ -6884,3 +6884,62 @@ def test_decontaminate_halo_standalone(spark):
 
     with pytest.raises(ValueError, match="pair_edges"):
         decontaminate(docs, bench, halo_hops=1)
+
+
+def test_classifier_score_drift_recipe(spark):
+    """The classifier-score drift monitor is a COMPOSITION, not a new
+    operator: score_bow_classifier's (doc_id, score_micro) output
+    feeds quality.distribution_drift directly — a reference window's
+    scores vs today's. An unchanged corpus mix stays inside the alarm
+    band; a shifted mix (the model drifting out of calibration, or
+    the corpus drifting under the model) blows the KS gap out. The
+    DEPLOYMENT runbook documents this recipe beside the stream-drift
+    monitor."""
+    from inbev_data_engineering_case_spark.operators.classify import (
+        score_bow_classifier,
+        train_bow_classifier,
+    )
+    from inbev_data_engineering_case_spark.operators.quality import (
+        distribution_drift,
+    )
+
+    good = "clear prose sentence with informative words here"
+    spam = "buy buy cheap cheap click click now now win win"
+
+    def corpus(start, n, spam_mod):
+        # deterministic mix: every spam_mod-th doc is spam; suffix
+        # varies tokens so scores are not all identical
+        rows = [
+            (
+                i,
+                (spam if i % spam_mod == 0 else good) + f" v{i % 7}",
+            )
+            for i in range(start, start + n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    labeled = spark.createDataFrame(
+        [(i, good + f" v{i % 7}", True) for i in range(200)]
+        + [(i + 200, spam + f" v{i % 7}", False) for i in range(200)],
+        "doc_id long, text string, label boolean",
+    )
+    model = train_bow_classifier(labeled, n_buckets=1 << 12)
+
+    def scores(df):
+        return score_bow_classifier(df, model).select("score_micro")
+
+    ref = scores(corpus(1000, 400, 5))  # 20% spam reference window
+    same = scores(corpus(5000, 400, 5))  # same mix, later window
+    shifted = scores(corpus(9000, 400, 2))  # 50% spam: corpus drifted
+
+    def max_gap(cur):
+        return (
+            distribution_drift(ref, cur, "score_micro", n_cuts=9)
+            .agg(F.max("gap_ppm").alias("g"))
+            .first()["g"]
+        )
+
+    stable, drifted = max_gap(same), max_gap(shifted)
+    assert stable < 100_000  # unchanged mix: inside the band
+    assert drifted > 250_000  # mix shift: unmistakable KS gap
+    assert drifted > 2 * stable
