@@ -2807,6 +2807,13 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             except NotImplementedError:
                 if _optional_ffmpeg() is None:
                     raise
+        if payload[:4] == b"\x1aE\xdf\xa3":
+            try:
+                # AV1-in-WebM: EBML demux, same re-box path
+                return _featurize_webm_av1(payload)
+            except NotImplementedError:
+                if _optional_ffmpeg() is None:
+                    raise
         if _optional_ffmpeg() is not None:
             return _featurize_y4m(_ffmpeg_to_y4m(payload))
         raise NotImplementedError(
@@ -2814,8 +2821,9 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             "_optional_ffmpeg found none on PATH) or pyav; uncompressed "
             "YUV4MPEG2 demuxes natively (_featurize_y4m/_parse_y4m), "
             "Motion-JPEG AVI decodes natively (_featurize_avi_mjpeg), "
-            "and AV1-in-MP4 decodes its first sync sample through the "
-            "system libheif (_featurize_mp4_av1)."
+            "and AV1 in MP4 or WebM decodes its first sync sample "
+            "through the system libheif (_featurize_mp4_av1 / "
+            "_featurize_webm_av1)."
         )
     checksum = zlib.crc32(payload) % 1_000_003
     n = len(payload)
@@ -3850,6 +3858,177 @@ def _featurize_mp4_av1(payload: bytes) -> tuple[int, list[float]]:
     WebP first-frame discipline applied to video. Same feature
     contract as the image featurizers."""
     return _featurize_heif(_avif_from_av1_sample(*_mp4_av1_keyframe(payload)))
+
+
+def _ebml_read_vint(buf: bytes, pos: int, keep_marker: bool):
+    """(value, next_pos) of an EBML variable-length integer at ``pos``.
+    ``keep_marker=True`` returns the raw bytes-with-marker as an int
+    (element IDs compare that way); False strips the length-marker bit
+    (sizes, block track numbers). An all-ones data field with the
+    marker stripped is the reserved 'unknown size' → None."""
+    if pos >= len(buf):
+        raise ValueError("EBML varint at end of buffer")
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("EBML varint with >8-octet length")
+    n = 1
+    while not first & (0x100 >> n):
+        n += 1
+    if pos + n > len(buf):
+        raise ValueError("EBML varint truncated")
+    raw = int.from_bytes(buf[pos : pos + n], "big")
+    if keep_marker:
+        return raw, pos + n
+    val = raw & ((1 << (7 * n)) - 1)
+    if val == (1 << (7 * n)) - 1:
+        return None, pos + n  # reserved: unknown size
+    return val, pos + n
+
+
+def _ebml_iter(buf: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) over an EBML master
+    element's children; an unknown-size child extends to ``end`` (the
+    streaming-Segment convention) and terminates the iteration."""
+    pos = start
+    while pos < end:
+        eid, p = _ebml_read_vint(buf, pos, keep_marker=True)
+        size, p = _ebml_read_vint(buf, p, keep_marker=False)
+        body_end = end if size is None else p + size
+        if body_end > end:
+            raise ValueError("EBML element overruns its container")
+        yield eid, p, body_end
+        pos = body_end
+
+
+# Matroska/WebM element IDs (with marker bits, the on-disk form)
+_MKV_SEGMENT = 0x18538067
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_TRACK_NUMBER = 0xD7
+_MKV_CODEC_ID = 0x86
+_MKV_CODEC_PRIVATE = 0x63A2
+_MKV_VIDEO = 0xE0
+_MKV_PIXEL_WIDTH = 0xB0
+_MKV_PIXEL_HEIGHT = 0xBA
+_MKV_CLUSTER = 0x1F43B675
+_MKV_SIMPLE_BLOCK = 0xA3
+_MKV_BLOCK_GROUP = 0xA0
+_MKV_BLOCK = 0xA1
+_MKV_REFERENCE_BLOCK = 0xFB
+
+
+def _webm_av1_keyframe(payload: bytes) -> tuple[bytes, int, int, bytes]:
+    """Demux the first keyframe of an AV1 (``V_AV1``) track out of a
+    WebM/Matroska container → ``(av1C box bytes, width, height, frame
+    bytes)`` — the EBML twin of ``_mp4_av1_keyframe``.
+
+    Matroska's ``CodecPrivate`` for AV1 IS the
+    AV1CodecConfigurationRecord (the ``av1C`` box body), so the config
+    hands to the AVIF re-boxer with just a box header prepended. The
+    keyframe comes from the first Cluster's first keyframe-flagged
+    ``SimpleBlock`` of that track (or a ``BlockGroup`` whose Block has
+    no ``ReferenceBlock`` sibling). Laced blocks are refused with the
+    honest reason code (video muxers do not lace; implementing the
+    three lacing schemes for a case that does not occur would be dead
+    code). Raises NotImplementedError when no ``V_AV1`` track exists
+    (h264/vp8/vp9 WebM — a different codec gap)."""
+    if payload[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML/WebM stream")
+    segment = None
+    for eid, b, e in _ebml_iter(payload, 0, len(payload)):
+        if eid == _MKV_SEGMENT:
+            segment = (b, e)
+            break
+    if segment is None:
+        raise ValueError("EBML stream has no Segment element")
+    track_num = None
+    av1c = width = height = None
+    for eid, b, e in _ebml_iter(payload, *segment):
+        if eid == _MKV_TRACKS and track_num is None:
+            for tid, tb, te in _ebml_iter(payload, b, e):
+                if tid != _MKV_TRACK_ENTRY:
+                    continue
+                num = codec = private = None
+                w = h = 0
+                for fid, fb, fe in _ebml_iter(payload, tb, te):
+                    if fid == _MKV_TRACK_NUMBER:
+                        num = int.from_bytes(payload[fb:fe], "big")
+                    elif fid == _MKV_CODEC_ID:
+                        codec = payload[fb:fe].rstrip(b"\x00")
+                    elif fid == _MKV_CODEC_PRIVATE:
+                        private = payload[fb:fe]
+                    elif fid == _MKV_VIDEO:
+                        for vid, vb, ve in _ebml_iter(payload, fb, fe):
+                            if vid == _MKV_PIXEL_WIDTH:
+                                w = int.from_bytes(payload[vb:ve], "big")
+                            elif vid == _MKV_PIXEL_HEIGHT:
+                                h = int.from_bytes(payload[vb:ve], "big")
+                if codec == b"V_AV1" and num is not None:
+                    if private is None:
+                        raise ValueError(
+                            "V_AV1 track has no CodecPrivate (av1C)"
+                        )
+                    if not (w and h):
+                        raise ValueError("V_AV1 track has no pixel dims")
+                    track_num, width, height = num, w, h
+                    av1c = (
+                        (8 + len(private)).to_bytes(4, "big")
+                        + b"av1C"
+                        + private
+                    )
+                    break
+        elif eid == _MKV_CLUSTER and track_num is not None:
+            for cid, cb, ce in _ebml_iter(payload, b, e):
+                frame = None
+                if cid == _MKV_SIMPLE_BLOCK:
+                    tn, p = _ebml_read_vint(payload, cb, keep_marker=False)
+                    if tn != track_num:
+                        continue
+                    flags = payload[p + 2]
+                    if not flags & 0x80:  # not a keyframe
+                        continue
+                    frame = (p + 3, ce, flags)
+                elif cid == _MKV_BLOCK_GROUP:
+                    block, has_ref = None, False
+                    for gid, gb, ge in _ebml_iter(payload, cb, ce):
+                        if gid == _MKV_BLOCK:
+                            block = (gb, ge)
+                        elif gid == _MKV_REFERENCE_BLOCK:
+                            has_ref = True
+                    if block is None or has_ref:
+                        continue  # keyframes reference nothing
+                    tn, p = _ebml_read_vint(
+                        payload, block[0], keep_marker=False
+                    )
+                    if tn != track_num:
+                        continue
+                    frame = (p + 3, block[1], payload[p + 2])
+                if frame is None:
+                    continue
+                fstart, fend, flags = frame
+                if flags & 0x06:
+                    raise NotImplementedError(
+                        "laced Matroska block on the AV1 track — "
+                        "lacing is an audio-muxing feature; no "
+                        "video muxer emits it (reason-coded, not "
+                        "implemented as dead code)"
+                    )
+                return av1c, width, height, payload[fstart:fend]
+    if track_num is None:
+        raise NotImplementedError(
+            "WebM container has no AV1 (V_AV1) video track — other "
+            "WebM codecs (vp8/vp9/h264) need ffmpeg/libvpx "
+            "(capability probe _optional_ffmpeg)"
+        )
+    raise ValueError("V_AV1 track has no keyframe block in any Cluster")
+
+
+def _featurize_webm_av1(payload: bytes) -> tuple[int, list[float]]:
+    """AV1-in-WebM video content: first keyframe through the same
+    AVIF re-box + libheif dav1d path as ``_featurize_mp4_av1``."""
+    return _featurize_heif(
+        _avif_from_av1_sample(*_webm_av1_keyframe(payload))
+    )
 
 
 def video_metadata(assets: DataFrame, strict: bool = False) -> DataFrame:

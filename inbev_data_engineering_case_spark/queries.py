@@ -4050,6 +4050,8 @@ def q_curate_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_curate_halo",
     _curate_oracle(halo_hops=2),
+    headline=True,  # the composed halo guard's perf line (curation +
+    # deferred decon + BFS walk over the shared pair table)
     doc="curation with the TRANSITIVE contamination-halo guard "
     "(curate_corpus halo_hops=2, operators/curate.py + "
     "decontaminate.py:decontaminate): the direct n-gram flags are "

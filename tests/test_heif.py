@@ -400,3 +400,84 @@ def test_mp4_without_av1_track_stays_reason_coded():
     fake = fake.replace(b"av01", b"avc1")
     with pytest.raises(NotImplementedError, match="av01"):
         _mp4_av1_keyframe(fake)
+
+
+def _mux_av1_webm(codec_private, w, h, frame, group=False):
+    """Test-side minimal AV1-in-WebM muxer: EBML header + Segment
+    containing Tracks(V_AV1 + CodecPrivate + Video dims) and one
+    Cluster with a keyframe SimpleBlock (or, with ``group=True``, a
+    BlockGroup keyframe — Block with no ReferenceBlock)."""
+
+    def vsize(n):
+        return bytes([0x01]) + n.to_bytes(7, "big")  # 8-octet form
+
+    def el(eid, body):
+        return eid + vsize(len(body)) + body
+
+    def uint(v):
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    header = el(
+        b"\x1aE\xdf\xa3",
+        el(b"\x42\x82", b"webm")  # DocType
+        + el(b"\x42\x87", uint(4))  # DocTypeVersion
+        + el(b"\x42\x85", uint(2)),  # DocTypeReadVersion
+    )
+    video = el(b"\xe0", el(b"\xb0", uint(w)) + el(b"\xba", uint(h)))
+    track = el(
+        b"\xae",
+        el(b"\xd7", uint(1))  # TrackNumber
+        + el(b"\x83", uint(1))  # TrackType: video
+        + el(b"\x86", b"V_AV1")  # CodecID
+        + el(b"\x63\xa2", codec_private)
+        + video,
+    )
+    tracks = el(b"\x16\x54\xae\x6b", track)
+    if group:
+        # BlockGroup keyframe: Block + no ReferenceBlock sibling
+        sblock = el(b"\xa0", el(b"\xa1", b"\x81\x00\x00\x00" + frame))
+    else:
+        # SimpleBlock: track 1 (vint 0x81), timestamp 0, keyframe flag
+        sblock = el(b"\xa3", b"\x81\x00\x00\x80" + frame)
+    cluster = el(b"\x1f\x43\xb6\x75", el(b"\xe7", uint(0)) + sblock)
+    return header + el(b"\x18\x53\x80\x67", tracks + cluster)
+
+
+@pytest.mark.skipif(not AVIF_OK, reason="libheif AV1 plugins absent")
+def test_av1_in_webm_decodes_via_libheif_reboxing():
+    """AV1-in-WebM: CodecPrivate IS the av1C record, the first
+    keyframe SimpleBlock demuxes byte-identically, and the features
+    match the source AVIF through the same re-box path. A laced block
+    and a BlockGroup keyframe (no ReferenceBlock) both behave; a
+    VP9-only WebM stays reason-coded."""
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _featurize_heif,
+        _featurize_webm_av1,
+        _webm_av1_keyframe,
+    )
+
+    img = _gradient(40, 56)
+    avif = LH.encode(img, LH.COMPRESSION_AV1, quality=90)
+    av1c, w, h, item = _avif_primary_item(avif)
+    webm = _mux_av1_webm(av1c[8:], w, h, item)  # private = box BODY
+
+    got_av1c, gw, gh, frame = _webm_av1_keyframe(webm)
+    assert (got_av1c, gw, gh) == (av1c, 56, 40)
+    assert frame == item
+    assert _featurize_webm_av1(webm) == _featurize_heif(avif)
+
+    # BlockGroup keyframe form: Block + no ReferenceBlock
+    group_webm = _mux_av1_webm(av1c[8:], w, h, item, group=True)
+    assert _webm_av1_keyframe(group_webm)[3] == item
+
+    # laced block: honest reason code, not garbage
+    laced = webm.replace(
+        b"\x81\x00\x00\x80" + item[:4], b"\x81\x00\x00\x86" + item[:4]
+    )
+    with pytest.raises(NotImplementedError, match="laced"):
+        _webm_av1_keyframe(laced)
+
+    # VP9 WebM: different codec, reason-coded gap
+    vp9 = _mux_av1_webm(b"", w, h, item).replace(b"V_AV1", b"V_VP9")
+    with pytest.raises(NotImplementedError, match="V_AV1"):
+        _webm_av1_keyframe(vp9)
