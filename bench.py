@@ -102,7 +102,9 @@ def _prior_floor_artifact() -> (
             if at < 0:
                 continue  # line truncated at the front: unusable
             try:
-                prior = json.loads(tail[at:])
+                # raw_decode: trailing stdout after the JSON line
+                # (Spark shutdown noise) must not lose the artifact
+                prior = json.JSONDecoder().raw_decode(tail[at:])[0]
             except ValueError:
                 continue
         mins = prior.get("query_mins")
@@ -400,6 +402,15 @@ def _bounded_line(payload: dict, budget: int = 1950) -> str:
         rr.get("new_lines"), dict
     ):
         rr["new_lines"] = sorted(rr["new_lines"])
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > budget and "query_mins_v" in payload:
+        # final rung — floors for THIS round are sacrificed so the
+        # artifact itself survives (the next round's comparisons fall
+        # back to this round's medians, which _prior_floor_artifact
+        # already does for floor-less artifacts); the note names the
+        # loss instead of hiding it
+        del payload["query_mins_v"]
+        payload["query_mins_note"] = "dropped: line budget"
         line = json.dumps(payload, separators=(",", ":"))
     return line
 

@@ -346,16 +346,45 @@ def evaluate_bow_classifier(
     denominator), so the report is bit-stable across engines, AQE
     re-plans, and retries; F1 uses the single-division
     ``2·tp·1e6 div (2·tp + fp + fn)`` form so no intermediate
-    rounding compounds."""
-    pred = F.col(score_col) >= int(threshold_micro)
-    y = F.col("_y")
-    joined = scored.join(
-        labels.select(
-            F.col(id_col),
-            F.col(label_col).cast("boolean").alias("_y"),
-        ),
-        on=id_col,
+    rounding compounds.
+
+    Population integrity is enforced declaratively (the ``pagerank``
+    weight-validation discipline): a label that casts to NULL boolean
+    (e.g. a 'yes'/'no' string column) or a labeled id with no scored
+    row would otherwise fall out of all four counters and silently
+    shrink the metric denominators — both raise instead."""
+    y_raw = F.col(label_col).cast("boolean")
+    y = F.when(
+        y_raw.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "evaluate_bow_classifier: label casts to NULL"
+                    " boolean for id "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — clean the label column or drop the row"),
+            )
+        ).cast("boolean"),
+    ).otherwise(y_raw)
+    score = F.when(
+        F.col(score_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "evaluate_bow_classifier: labeled id with no"
+                    " scored row: "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — score the full holdout before evaluating"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col(score_col))
+    pred = score >= int(threshold_micro)
+    joined = labels.select(F.col(id_col), y.alias("_y")).join(
+        scored, on=id_col, how="left"
     )
+    y = F.col("_y")
     counts = joined.agg(
         F.count(F.when(pred & y, 1)).alias("tp"),
         F.count(F.when(pred & ~y, 1)).alias("fp"),

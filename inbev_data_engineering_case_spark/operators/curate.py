@@ -338,6 +338,7 @@ def curate_corpus(
             threshold=semantic_threshold,
             doc_id_col=id_col,
         )
+        pre_materialized = False  # reassigned: new plan on top
     if classifier_model is not None:
         from inbev_data_engineering_case_spark.operators.classify import (
             score_bow_classifier,

@@ -2807,11 +2807,21 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             except NotImplementedError:
                 if _optional_ffmpeg() is None:
                     raise
+            except ValueError:
+                # the strict native demuxer rejected it (e.g. a
+                # fragmented MP4 keeps samples in moof, not stco); a
+                # more tolerant ffmpeg may still decode — the AVI
+                # branch's discipline. Without one, corrupt stands.
+                if _optional_ffmpeg() is None:
+                    raise
         if payload[:4] == b"\x1aE\xdf\xa3":
             try:
                 # AV1-in-WebM: EBML demux, same re-box path
                 return _featurize_webm_av1(payload)
             except NotImplementedError:
+                if _optional_ffmpeg() is None:
+                    raise
+            except ValueError:
                 if _optional_ffmpeg() is None:
                     raise
         if _optional_ffmpeg() is not None:
@@ -3713,40 +3723,57 @@ def _mp4_av1_keyframe(payload: bytes) -> tuple[bytes, int, int, bytes]:
                 raise ValueError(f"{name.decode()} truncated")
             return b, e
 
-        # first sync sample (1-based); no stss table = all sync
+        # first sync sample (1-based); no stss table = all sync. Every
+        # table read below is bounded to its declaring box — a lying
+        # entry_count must raise, never read an adjacent box's bytes
+        # as sample data (silent wrong features)
         sync = 1
         if b"stss" in boxes:
             b, e = full(b"stss", 8)
             if struct.unpack_from(">I", payload, b + 4)[0] >= 1:
+                if b + 12 > e:
+                    raise ValueError("stss table truncated")
                 sync = struct.unpack_from(">I", payload, b + 8)[0]
-        b, _ = full(b"stsz", 12)
+        b, e_stsz = full(b"stsz", 12)
         fixed_size, n_samples = struct.unpack_from(">II", payload, b + 4)
         if sync < 1 or sync > n_samples:
             raise ValueError("sync sample out of range")
+        if not fixed_size and b + 12 + 4 * n_samples > e_stsz:
+            raise ValueError("stsz table truncated")
 
-        def sample_size(i):  # 1-based
+        def sample_size(i):  # 1-based; i <= n_samples checked above
             if fixed_size:
                 return fixed_size
             return struct.unpack_from(">I", payload, b + 12 + 4 * (i - 1))[0]
 
         cb, ce = full(b"stsc", 8)
         n_runs = struct.unpack_from(">I", payload, cb + 4)[0]
+        if cb + 8 + 12 * n_runs > ce:
+            raise ValueError("stsc table truncated")
         runs = [
             struct.unpack_from(">III", payload, cb + 8 + 12 * i)
             for i in range(n_runs)
         ]
         if b"stco" in boxes:
-            ob, _ = full(b"stco", 8)
+            ob, oe = full(b"stco", 8)
             n_chunks = struct.unpack_from(">I", payload, ob + 4)[0]
+            if ob + 8 + 4 * n_chunks > oe:
+                raise ValueError("stco table truncated")
 
             def chunk_offset(c):  # 1-based
+                if not 1 <= c <= n_chunks:
+                    raise ValueError("stsc names a chunk past stco")
                 return struct.unpack_from(">I", payload, ob + 8 + 4 * (c - 1))[0]
 
         else:
-            ob, _ = full(b"co64", 8)
+            ob, oe = full(b"co64", 8)
             n_chunks = struct.unpack_from(">I", payload, ob + 4)[0]
+            if ob + 8 + 8 * n_chunks > oe:
+                raise ValueError("co64 table truncated")
 
             def chunk_offset(c):
+                if not 1 <= c <= n_chunks:
+                    raise ValueError("stsc names a chunk past co64")
                 return struct.unpack_from(">Q", payload, ob + 8 + 8 * (c - 1))[0]
 
         # walk the stsc runs to the chunk holding sample `sync`

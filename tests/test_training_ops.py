@@ -6683,11 +6683,26 @@ def test_evaluate_bow_classifier_confusion_and_holdout(spark):
     # empty-denominator rates are NULL, not a crash or a fake 0
     no_pos = evaluate_bow_classifier(
         scored.filter("doc_id IN (4, 6)"),
-        labels,
+        labels.filter("doc_id IN (4, 6)"),
         threshold_micro=10_000_000,
     ).first()
     assert no_pos["tp"] == 0 and no_pos["precision_ppm"] is None
     assert no_pos["recall_ppm"] is None and no_pos["f1_ppm"] is None
+
+    # population integrity: a labeled id with NO scored row, or a
+    # label that casts to NULL boolean, raises instead of silently
+    # shrinking the metric denominators
+    import pytest
+
+    with pytest.raises(Exception, match="no scored row"):
+        evaluate_bow_classifier(
+            scored.filter("doc_id IN (4, 6)"), labels
+        ).first()
+    null_labels = spark.createDataFrame(
+        [(1, None)], "doc_id long, label boolean"
+    )
+    with pytest.raises(Exception, match="NULL boolean"):
+        evaluate_bow_classifier(scored, null_labels).first()
 
     # holdout protocol: split -> train on 'train' labels only ->
     # evaluate on the held-out 'test' labels (separable text)
