@@ -315,6 +315,50 @@ def score_bow_classifier(
     )
 
 
+def _guarded_eval_frame(
+    scored: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """The evaluation population as ``(id_col, _y boolean, _score
+    bigint)`` with the integrity guards in the plan: a label casting
+    to NULL boolean raises, and so does a labeled id with no scored
+    row (left join from labels) — silent shrinkage of the metric
+    denominators is the failure mode both guards exist for."""
+    y_raw = F.col(label_col).cast("boolean")
+    y = F.when(
+        y_raw.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "classifier evaluation: label casts to NULL"
+                    " boolean for id "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — clean the label column or drop the row"),
+            )
+        ).cast("boolean"),
+    ).otherwise(y_raw)
+    score = F.when(
+        F.col(score_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "classifier evaluation: labeled id with no"
+                    " scored row: "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — score the full holdout before evaluating"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col(score_col))
+    return labels.select(F.col(id_col), y.alias("_y")).join(
+        scored, on=id_col, how="left"
+    ).select(F.col(id_col), "_y", score.alias("_score"))
+
+
 def evaluate_bow_classifier(
     scored: DataFrame,
     labels: DataFrame,
@@ -353,37 +397,10 @@ def evaluate_bow_classifier(
     (e.g. a 'yes'/'no' string column) or a labeled id with no scored
     row would otherwise fall out of all four counters and silently
     shrink the metric denominators — both raise instead."""
-    y_raw = F.col(label_col).cast("boolean")
-    y = F.when(
-        y_raw.isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "evaluate_bow_classifier: label casts to NULL"
-                    " boolean for id "
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(" — clean the label column or drop the row"),
-            )
-        ).cast("boolean"),
-    ).otherwise(y_raw)
-    score = F.when(
-        F.col(score_col).isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "evaluate_bow_classifier: labeled id with no"
-                    " scored row: "
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(" — score the full holdout before evaluating"),
-            )
-        ).cast("bigint"),
-    ).otherwise(F.col(score_col))
-    pred = score >= int(threshold_micro)
-    joined = labels.select(F.col(id_col), y.alias("_y")).join(
-        scored, on=id_col, how="left"
+    joined = _guarded_eval_frame(
+        scored, labels, id_col, label_col, score_col
     )
+    pred = F.col("_score") >= int(threshold_micro)
     y = F.col("_y")
     counts = joined.agg(
         F.count(F.when(pred & y, 1)).alias("tp"),
@@ -413,3 +430,100 @@ def evaluate_bow_classifier(
             " (2 * tp * 1000000) div (2 * tp + fp + fn) END"
         ).alias("f1_ppm"),
     )
+
+
+def classifier_threshold_sweep(
+    scored: DataFrame,
+    labels: DataFrame,
+    n_cuts: int = 15,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    score_col: str = "score_micro",
+    approx: bool = False,
+    materialize_mode: str = "local",
+) -> DataFrame:
+    """The precision/recall CURVE ``evaluate_bow_classifier`` samples
+    at one point: one row per candidate threshold — ``(cut_idx,
+    threshold, tp, fp, tn, fn, precision_ppm, recall_ppm, f1_ppm)`` —
+    so choosing ``min_score_micro`` for the curation gate is a read
+    off this table instead of N evaluation reruns.
+
+    Thresholds are the holdout score distribution's ``n_cuts``
+    quantiles (the ``quality.distribution_drift`` probe-point
+    discipline — equally spaced probability mass, so the curve is
+    dense exactly where the scores are): exact ``percentile`` for
+    oracle parity, the mergeable GK sketch with ``approx=True`` at
+    scale. ONE pass computes all cuts — the bounds ride a broadcast
+    1-row aggregate (pinned via ``dedup._materialize``; two consumers)
+    into a single conditional aggregation with ``2·n_cuts + 2``
+    counters, then the per-cut rows unfold from an in-row array. Same
+    integrity guards and exact-int-ppm discipline as the point
+    evaluator; rates are NULL on empty denominators (a one-class
+    holdout still sweeps)."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _materialize,
+    )
+
+    if n_cuts < 1:
+        raise ValueError("classifier_threshold_sweep: n_cuts must be >= 1")
+    joined = _guarded_eval_frame(
+        scored, labels, id_col, label_col, score_col
+    )
+    qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
+    fn = "approx_percentile" if approx else "percentile"
+    arr = ", ".join(repr(q) for q in qs)
+    bounds = _materialize(
+        joined.agg(F.expr(f"{fn}(_score, array({arr}))").alias("_bs"))
+        .select(
+            *[
+                F.element_at(F.col("_bs"), i + 1).alias(f"_t{i}")
+                for i in range(n_cuts)
+            ]
+        ),
+        materialize_mode,
+    )
+    y = F.col("_y")
+    one = joined.join(F.broadcast(bounds)).agg(
+        F.count(F.when(y, 1)).alias("_pos"),
+        F.count(F.when(~y, 1)).alias("_neg"),
+        *[
+            agg
+            for i in range(n_cuts)
+            for agg in (
+                F.count(
+                    F.when((F.col("_score") >= F.col(f"_t{i}")) & y, 1)
+                ).alias(f"_tp{i}"),
+                F.count(
+                    F.when((F.col("_score") >= F.col(f"_t{i}")) & ~y, 1)
+                ).alias(f"_fp{i}"),
+            )
+        ],
+        *[F.first(f"_t{i}").alias(f"_t{i}") for i in range(n_cuts)],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("int").alias("cut_idx"),
+                F.col(f"_t{i}").cast("double").alias("threshold"),
+                F.col(f"_tp{i}").alias("tp"),
+                F.col(f"_fp{i}").alias("fp"),
+                F.expr(f"_neg - _fp{i}").alias("tn"),
+                F.expr(f"_pos - _tp{i}").alias("fn"),
+                F.expr(
+                    f"CASE WHEN _tp{i} + _fp{i} > 0 THEN"
+                    f" (_tp{i} * 1000000) div (_tp{i} + _fp{i}) END"
+                ).alias("precision_ppm"),
+                F.expr(
+                    f"CASE WHEN _pos > 0 THEN"
+                    f" (_tp{i} * 1000000) div _pos END"
+                ).alias("recall_ppm"),
+                F.expr(
+                    f"CASE WHEN _tp{i} + _fp{i} + _pos > 0 THEN"
+                    f" (2 * _tp{i} * 1000000)"
+                    f" div (_tp{i} + _fp{i} + _pos) END"
+                ).alias("f1_ppm"),
+            )
+            for i in range(n_cuts)
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

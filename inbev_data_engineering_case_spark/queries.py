@@ -1789,6 +1789,106 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_sweep_oracle(n_cuts: int = 9) -> str:
+    qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
+    b_cols = ", ".join(
+        f"quantile_cont(sc_v, {q!r}) AS _t{i}" for i, q in enumerate(qs)
+    )
+    cut_counts = ", ".join(
+        f"count(*) FILTER (WHERE sc_v >= _t{i} AND y) AS tp{i},"
+        f" count(*) FILTER (WHERE sc_v >= _t{i} AND NOT y) AS fp{i}"
+        for i in range(n_cuts)
+    )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INT) AS cut_idx,"
+        f" _t{i} AS threshold, tp{i} AS tp, fp{i} AS fp,"
+        f" neg - fp{i} AS tn, pos - tp{i} AS fn,"
+        f" CASE WHEN tp{i} + fp{i} > 0"
+        f" THEN (tp{i} * 1000000) // (tp{i} + fp{i})"
+        f" END AS precision_ppm,"
+        f" CASE WHEN pos > 0 THEN (tp{i} * 1000000) // pos"
+        f" END AS recall_ppm,"
+        f" CASE WHEN tp{i} + fp{i} + pos > 0"
+        f" THEN (2 * tp{i} * 1000000) // (tp{i} + fp{i} + pos)"
+        f" END AS f1_ppm"
+        f" FROM c CROSS JOIN bounds"
+        for i in range(n_cuts)
+    )
+    return f"""
+    WITH {_bow_clf_ctes(
+        "SELECT doc_id, text, (lang = 'en') AS y FROM documents"
+        f" WHERE {_EVAL_SPLIT_H} < 7000"
+    )},
+    {_bow_score_sql(
+        f"(SELECT doc_id, text FROM documents"
+        f" WHERE {_EVAL_SPLIT_H} >= 7000)",
+        "sc",
+    )},
+    j AS (
+      SELECT s.score_micro AS sc_v, (d.lang = 'en') AS y
+      FROM sc s JOIN documents d USING (doc_id)
+    ),
+    bounds AS (SELECT {b_cols} FROM j),
+    c AS (
+      SELECT count(*) FILTER (WHERE y) AS pos,
+             count(*) FILTER (WHERE NOT y) AS neg,
+             {cut_counts}
+      FROM j CROSS JOIN bounds
+    )
+    {selects}
+    """
+
+
+@register(
+    "q_classifier_sweep",
+    _clf_sweep_oracle(),
+    doc="classifier threshold sweep "
+    "(operators/classify.py:classifier_threshold_sweep): the full "
+    "precision/recall curve q_classifier_eval samples at one point — "
+    "one row per candidate threshold, thresholds = the holdout score "
+    "distribution's 9 quantiles (the distribution_drift probe-point "
+    "discipline: exact percentile for oracle parity, GK sketch via "
+    "approx=True at scale), so choosing the curation gate's "
+    "min_score_micro is a read off this table instead of N eval "
+    "reruns. ONE conditional-aggregation pass computes every cut "
+    "(2*n_cuts+2 counters against a broadcast 1-row bounds "
+    "aggregate); per-cut rows unfold from an in-row array; exact "
+    "int64-ppm rates, NULL on empty denominators; same declarative "
+    "population-integrity guards as the point evaluator. Oracle "
+    "replays split+train+score+quantiles+confusion-per-cut in SQL. "
+    "Late-r12 tail debut, r13 promotion queue (family cover: "
+    "q_classifier_eval is the identical guarded-join + confusion "
+    "machinery, q_approx_percentiles pins the percentile probe "
+    "family).",
+)
+def q_classifier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.classify import (
+        classifier_threshold_sweep,
+        score_bow_classifier,
+        train_bow_classifier,
+    )
+    from inbev_data_engineering_case_spark.operators.curate import (
+        hash_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs.select(
+            "doc_id", "text", (F.col("lang") == "en").alias("label")
+        ),
+        weights={"train": 0.7, "test": 0.3},
+        salt="evalsplit",
+    )
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    model = train_bow_classifier(train, n_buckets=_BOW_B)
+    return classifier_threshold_sweep(
+        score_bow_classifier(test.select("doc_id", "text"), model),
+        test.select("doc_id", "label"),
+        n_cuts=9,
+    )
+
+
 def _lang_case_sql() -> str:
     """DuckDB twin of textops.lang_id as a bare CASE expression over a
     column named `text` — shared by q_lang_id and the curation oracle."""
@@ -7630,6 +7730,13 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # per-query rank machinery in-window (same index CTEs, same
     # micro-unit scoring discipline):
     "q_tfidf_topk": ("q_bm25_search",),
+    # LATE-r12 DEBUT (not a demotion): the PR-curve threshold sweep —
+    # oracle replays split+train+score+quantile-cuts+confusion-per-cut
+    # in SQL; r13 promotion queue. Covered in-window by
+    # q_classifier_eval (the identical guarded-join + confusion
+    # machinery at one threshold) and q_approx_percentiles (the
+    # percentile probe-point family):
+    "q_classifier_sweep": ("q_classifier_eval", "q_approx_percentiles"),
 }
 
 for _name in _FAMILY_STAND_INS:

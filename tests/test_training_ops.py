@@ -6958,3 +6958,74 @@ def test_classifier_score_drift_recipe(spark):
     assert stable < 100_000  # unchanged mix: inside the band
     assert drifted > 250_000  # mix shift: unmistakable KS gap
     assert drifted > 2 * stable
+
+
+def test_classifier_threshold_sweep_matches_reference(spark):
+    """The PR-curve sweep equals a per-threshold python reference at
+    every quantile cut (thresholds ARE the score quantiles), recall is
+    monotone nonincreasing in the threshold, each row agrees with
+    evaluate_bow_classifier at that exact threshold, and n_cuts < 1 is
+    refused."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.classify import (
+        classifier_threshold_sweep,
+        evaluate_bow_classifier,
+    )
+
+    data = [
+        (i, s, lab)
+        for i, (s, lab) in enumerate(
+            [(-90, False), (-50, False), (-10, True), (-10, False),
+             (0, True), (20, True), (35, False), (60, True),
+             (80, True), (95, True)]
+        )
+    ]
+    scored = spark.createDataFrame(
+        [(i, s) for i, s, _ in data], "doc_id long, score_micro bigint"
+    )
+    labels = spark.createDataFrame(
+        [(i, y) for i, _, y in data], "doc_id long, label boolean"
+    )
+    n_cuts = 5
+    rows = (
+        classifier_threshold_sweep(scored, labels, n_cuts=n_cuts)
+        .orderBy("cut_idx")
+        .collect()
+    )
+    assert len(rows) == n_cuts
+
+    scores = sorted(s for _, s, _ in data)
+
+    def pct(q):  # Spark/DuckDB linear-interpolation percentile
+        pos = q * (len(scores) - 1)
+        lo, frac = int(pos), pos - int(pos)
+        hi = min(lo + 1, len(scores) - 1)
+        return scores[lo] + frac * (scores[hi] - scores[lo])
+
+    recalls = []
+    for k, r in enumerate(rows, start=1):
+        t = pct(k / (n_cuts + 1))
+        assert abs(r["threshold"] - t) < 1e-9
+        tp = sum(1 for _, s, y in data if y and s >= t)
+        fp = sum(1 for _, s, y in data if not y and s >= t)
+        pos = sum(1 for _, _, y in data if y)
+        neg = len(data) - pos
+        assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (
+            tp, fp, neg - fp, pos - tp,
+        )
+        assert r["recall_ppm"] == tp * 1_000_000 // pos
+        if tp + fp:
+            assert r["precision_ppm"] == tp * 1_000_000 // (tp + fp)
+        recalls.append(r["recall_ppm"])
+        # row-for-row agreement with the point evaluator at this cut
+        # (integer threshold: these cuts all land on whole micros)
+        if t == int(t):
+            pt = evaluate_bow_classifier(
+                scored, labels, threshold_micro=int(t)
+            ).first()
+            assert (pt["tp"], pt["fp"]) == (tp, fp)
+    assert recalls == sorted(recalls, reverse=True)
+
+    with pytest.raises(ValueError, match="n_cuts"):
+        classifier_threshold_sweep(scored, labels, n_cuts=0)
