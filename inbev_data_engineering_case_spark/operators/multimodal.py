@@ -2807,13 +2807,21 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             except NotImplementedError:
                 if _optional_ffmpeg() is None:
                     raise
-            except ValueError:
-                # the strict native demuxer rejected it (e.g. a
-                # fragmented MP4 keeps samples in moof, not stco); a
-                # more tolerant ffmpeg may still decode — the AVI
-                # branch's discipline. Without one, corrupt stands.
+            except ValueError as exc:
+                # the strict native demuxer rejected it; unlike the
+                # AVI branch (whose native decoder is COMPLETE for
+                # MJPEG, so its ValueError means truly malformed),
+                # this path is PARTIAL — a fragmented MP4 keeps
+                # samples in moof and raises here while being a
+                # perfectly valid file. With ffmpeg, fall through;
+                # without, the honest verdict is capability gap, not
+                # corrupt (the G.711 misfiling lesson)
                 if _optional_ffmpeg() is None:
-                    raise
+                    raise NotImplementedError(
+                        f"MP4 native demux covers flat AV1 tracks only"
+                        f" ({exc}); other layouts/codecs need ffmpeg"
+                        " (capability probe _optional_ffmpeg)"
+                    ) from exc
         if payload[:4] == b"\x1aE\xdf\xa3":
             try:
                 # AV1-in-WebM: EBML demux, same re-box path
@@ -2821,9 +2829,14 @@ def _stdlib_featurize(media_type: str, payload: bytes) -> tuple[int, list[float]
             except NotImplementedError:
                 if _optional_ffmpeg() is None:
                     raise
-            except ValueError:
+            except ValueError as exc:
+                # same partial-parser honesty as the MP4 branch
                 if _optional_ffmpeg() is None:
-                    raise
+                    raise NotImplementedError(
+                        f"WebM native demux covers simple AV1 layouts"
+                        f" only ({exc}); other layouts/codecs need"
+                        " ffmpeg (capability probe _optional_ffmpeg)"
+                    ) from exc
         if _optional_ffmpeg() is not None:
             return _featurize_y4m(_ffmpeg_to_y4m(payload))
         raise NotImplementedError(
