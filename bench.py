@@ -404,14 +404,28 @@ def _bounded_line(payload: dict, budget: int = 1950) -> str:
         rr["new_lines"] = sorted(rr["new_lines"])
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > budget and "query_mins_v" in payload:
-        # final rung — floors for THIS round are sacrificed so the
-        # artifact itself survives (the next round's comparisons fall
-        # back to this round's medians, which _prior_floor_artifact
-        # already does for floor-less artifacts); the note names the
-        # loss instead of hiding it
+        # floors for THIS round are sacrificed so the artifact itself
+        # survives (the next round's comparisons fall back to this
+        # round's medians, which _prior_floor_artifact already does
+        # for floor-less artifacts); the note names the loss
         del payload["query_mins_v"]
         payload["query_mins_note"] = "dropped: line budget"
         line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > budget and "round_over_round" in payload:
+        del payload["round_over_round"]
+        payload["rr_note"] = "dropped: line budget"
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > budget:
+        # ladder exhausted: the spec-required fields alone are over
+        # the driver's tail — the artifact WILL record parsed:null.
+        # Say so loudly at the moment it happens instead of letting
+        # the next round discover a silently vacuous comparison.
+        print(
+            f"WARNING: bench JSON line is {len(line)} bytes, past the"
+            f" {budget}-byte driver tail budget even after every"
+            " degradation rung — shrink the headline set",
+            file=sys.stderr,
+        )
     return line
 
 

@@ -324,9 +324,17 @@ def _guarded_eval_frame(
 ) -> DataFrame:
     """The evaluation population as ``(id_col, _y boolean, _score
     bigint)`` with the integrity guards in the plan: a label casting
-    to NULL boolean raises, and so does a labeled id with no scored
-    row (left join from labels) — silent shrinkage of the metric
-    denominators is the failure mode both guards exist for."""
+    to NULL boolean raises; a labeled id with no scored row raises
+    (left join from labels, join-miss detected via a presence marker
+    so it is never confused with a present-but-NULL score, which
+    raises its own message); a duplicated scored id raises (the join
+    would fan the label out and silently inflate every counter).
+    Silent corruption of the metric denominators is the failure mode
+    all four guards exist for. The duplicate check is one window
+    count over the holdout-sized frame — the evaluation population is
+    small by contract, so the exchange is noise."""
+    from pyspark.sql import Window
+
     y_raw = F.col(label_col).cast("boolean")
     y = F.when(
         y_raw.isNull(),
@@ -342,7 +350,7 @@ def _guarded_eval_frame(
         ).cast("boolean"),
     ).otherwise(y_raw)
     score = F.when(
-        F.col(score_col).isNull(),
+        F.col("_present").isNull(),
         F.raise_error(
             F.concat(
                 F.lit(
@@ -353,10 +361,44 @@ def _guarded_eval_frame(
                 F.lit(" — score the full holdout before evaluating"),
             )
         ).cast("bigint"),
+    ).when(
+        F.col(score_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "classifier evaluation: scored row carries a NULL"
+                    " score for id "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — fix the scoring pass, the row IS present"),
+            )
+        ).cast("bigint"),
+    ).when(
+        F.count("*").over(Window.partitionBy(id_col)) > 1,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "classifier evaluation: duplicated id in the"
+                    " evaluation population: "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    " — a duplicated scored or label row fans the"
+                    " join out and inflates every counter; dedupe"
+                    " the inputs first"
+                ),
+            )
+        ).cast("bigint"),
     ).otherwise(F.col(score_col))
-    return labels.select(F.col(id_col), y.alias("_y")).join(
-        scored, on=id_col, how="left"
-    ).select(F.col(id_col), "_y", score.alias("_score"))
+    return (
+        labels.select(F.col(id_col), y.alias("_y"))
+        .join(
+            scored.withColumn("_present", F.lit(True)),
+            on=id_col,
+            how="left",
+        )
+        .select(F.col(id_col), "_y", score.alias("_score"))
+    )
 
 
 def evaluate_bow_classifier(
@@ -453,10 +495,13 @@ def classifier_threshold_sweep(
     discipline — equally spaced probability mass, so the curve is
     dense exactly where the scores are): exact ``percentile`` for
     oracle parity, the mergeable GK sketch with ``approx=True`` at
-    scale. ONE pass computes all cuts — the bounds ride a broadcast
-    1-row aggregate (pinned via ``dedup._materialize``; two consumers)
-    into a single conditional aggregation with ``2·n_cuts + 2``
-    counters, then the per-cut rows unfold from an in-row array. Same
+    scale. ONE pass computes all cuts — a single conditional
+    aggregation with ``2·n_cuts + 2`` counters against the broadcast
+    1-row bounds aggregate, then the per-cut rows unfold from an
+    in-row array. The evaluation frame has TWO consumers (the bounds
+    pass and the counting pass) and carries the whole upstream
+    scoring plan, so it is pinned via ``dedup._materialize`` — the
+    curate.py 'read it twice → materialize first' discipline. Same
     integrity guards and exact-int-ppm discipline as the point
     evaluator; rates are NULL on empty denominators (a one-class
     holdout still sweeps)."""
@@ -466,21 +511,20 @@ def classifier_threshold_sweep(
 
     if n_cuts < 1:
         raise ValueError("classifier_threshold_sweep: n_cuts must be >= 1")
-    joined = _guarded_eval_frame(
-        scored, labels, id_col, label_col, score_col
+    joined = _materialize(
+        _guarded_eval_frame(scored, labels, id_col, label_col, score_col),
+        materialize_mode,
     )
     qs = [i / (n_cuts + 1) for i in range(1, n_cuts + 1)]
     fn = "approx_percentile" if approx else "percentile"
     arr = ", ".join(repr(q) for q in qs)
-    bounds = _materialize(
-        joined.agg(F.expr(f"{fn}(_score, array({arr}))").alias("_bs"))
-        .select(
-            *[
-                F.element_at(F.col("_bs"), i + 1).alias(f"_t{i}")
-                for i in range(n_cuts)
-            ]
-        ),
-        materialize_mode,
+    bounds = joined.agg(
+        F.expr(f"{fn}(_score, array({arr}))").alias("_bs")
+    ).select(
+        *[
+            F.element_at(F.col("_bs"), i + 1).alias(f"_t{i}")
+            for i in range(n_cuts)
+        ]
     )
     y = F.col("_y")
     one = joined.join(F.broadcast(bounds)).agg(

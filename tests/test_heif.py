@@ -481,3 +481,64 @@ def test_av1_in_webm_decodes_via_libheif_reboxing():
     vp9 = _mux_av1_webm(b"", w, h, item).replace(b"V_AV1", b"V_VP9")
     with pytest.raises(NotImplementedError, match="V_AV1"):
         _webm_av1_keyframe(vp9)
+
+
+@pytest.mark.skipif(not AVIF_OK, reason="libheif AV1 plugins absent")
+def test_mp4_webm_truncated_tables_and_gap_reclassification(monkeypatch):
+    """Lying sample tables raise ValueError (bounds checks — never a
+    silent read of adjacent boxes' bytes), and through the featurize
+    router WITHOUT ffmpeg the partial-demuxer verdict is the
+    capability gap naming ffmpeg, not corrupt — for MP4 and WebM
+    both."""
+    import struct
+
+    from inbev_data_engineering_case_spark.operators import multimodal
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        _mp4_av1_keyframe,
+        _stdlib_featurize,
+        _webm_av1_keyframe,
+    )
+
+    img = _gradient(16, 24)
+    avif = LH.encode(img, LH.COMPRESSION_AV1, quality=90)
+    av1c, w, h, item = _avif_primary_item(avif)
+    mp4 = _mux_av1_mp4(av1c, w, h, item)
+
+    def lie(tag, delta, value):
+        buf = bytearray(mp4)
+        struct.pack_into(">I", buf, mp4.index(tag) + delta, value)
+        return bytes(buf)
+
+    # entry_count/sample_count inflated past the declaring box
+    with pytest.raises(ValueError, match="stsz table truncated"):
+        _mp4_av1_keyframe(lie(b"stsz", 12, 9999))
+    with pytest.raises(ValueError, match="stsc table truncated"):
+        _mp4_av1_keyframe(lie(b"stsc", 8, 9999))
+    with pytest.raises(ValueError, match="stco table truncated"):
+        _mp4_av1_keyframe(lie(b"stco", 8, 9999))
+    # an stsc whose runs cannot cover the sync sample (first_chunk
+    # past the single stco chunk) raises instead of reading garbage
+    with pytest.raises(ValueError, match="stsc"):
+        _mp4_av1_keyframe(
+            mp4.replace(
+                struct.pack(">IIII", 1, 1, 1, 1),
+                struct.pack(">IIII", 1, 7, 1, 1),
+            )
+        )
+
+    # keyframe-less WebM cluster: ValueError from the demuxer
+    webm = _mux_av1_webm(av1c[8:], w, h, item)
+    no_key = webm.replace(
+        b"\x81\x00\x00\x80" + item[:4], b"\x81\x00\x00\x00" + item[:4]
+    )
+    with pytest.raises(ValueError, match="keyframe"):
+        _webm_av1_keyframe(no_key)
+
+    # through the router with NO ffmpeg: the partial-demuxer verdict
+    # is decoder_gap naming ffmpeg (a fragmented MP4 or keyframe-less
+    # first cluster can be a VALID file), never corrupt
+    monkeypatch.setattr(multimodal, "_optional_ffmpeg", lambda: None)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        _stdlib_featurize("video/mp4", lie(b"stsz", 12, 9999))
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        _stdlib_featurize("video/webm", no_key)
