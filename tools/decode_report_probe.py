@@ -120,6 +120,29 @@ def build_assets():
         assets.append(
             ("image/heic", libheif.encode(g, libheif.COMPRESSION_HEVC, 85))
         )
+    if libheif.have_encoder(libheif.COMPRESSION_AV1) and libheif.have_decoder(
+        libheif.COMPRESSION_AV1
+    ):
+        # AV1-in-MP4 / AV1-in-WebM (closed r12): the test fixtures'
+        # un-boxer + minimal muxers build real container payloads from
+        # a libheif-encoded AVIF's primary item
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tests",
+            ),
+        )
+        from test_heif import (  # noqa: E402
+            _avif_primary_item,
+            _mux_av1_mp4,
+            _mux_av1_webm,
+        )
+
+        avif = libheif.encode(g, libheif.COMPRESSION_AV1, 85)
+        av1c, w, h, item = _avif_primary_item(avif)
+        assets.append(("video/mp4", _mux_av1_mp4(av1c, w, h, item)))
+        assets.append(("video/webm", _mux_av1_webm(av1c[8:], w, h, item)))
     return assets
 
 
@@ -156,8 +179,9 @@ def main() -> None:
     oks = sum(r["n_assets"] for r in report if r["reason"] == "ok")
     print(
         f"\ndecoded ok: {oks}/{len(assets)}; decoder_gap: {gaps}"
-        " (arithmetic JPEG, ADPCM, mp3, non-MJPEG AVI, mp4 content —"
-        " scoped in COVERAGE.md r11 notes)"
+        " (arithmetic JPEG, ADPCM, mp3, non-MJPEG AVI, non-AV1"
+        " mp4/webm content — scoped in COVERAGE.md r11/r12 notes;"
+        " AV1-in-MP4/WebM closed r12)"
     )
     spark.stop()
 
