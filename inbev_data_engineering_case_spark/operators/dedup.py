@@ -761,6 +761,95 @@ def dedup_components(
     return labels
 
 
+def dedup_components_incremental(
+    stored_labels: DataFrame,
+    new_pairs: DataFrame,
+    max_iter: int = 25,
+    reliable_checkpoint: bool | None = None,
+) -> DataFrame:
+    """Delta maintenance of a ``dedup_components`` labeling → the full
+    updated ``(node, comp)`` table, row-identical to re-running the
+    batch closure over the union graph (parity-tested on random
+    graphs).
+
+    The delta-crawl hole this closes: the signature/gram/split/halo
+    state all advance delta-sized, but a new crawl's pair edges can
+    MERGE existing near-dup clusters, and recomputing components from
+    scratch walks the FULL pair graph (the one 100 TB-sized closure in
+    the pipeline). Instead, contract every stored component to its
+    label and run the closure on the CONTRACTED delta graph alone:
+
+    - map each new edge's endpoints through the stored labels
+      (identity for nodes the store has never seen — a new node's
+      "label" is its own id);
+    - run the batch components (with observed convergence — this
+      meta-graph is delta-sized, so the strict setting is cheap) on
+      those mapped edges: its labels say which STORED components and
+      new nodes merge, and into which minimum;
+    - relabel: stored rows join the (delta-sized, broadcastable)
+      meta mapping on their comp; unmapped rows keep their label.
+      New nodes take their meta label directly (every new node
+      appears in the meta graph — its edges put it there).
+
+    Correct because a stored label IS the minimum node id of its
+    component (the ``dedup_components`` contract — which is why
+    ``stored_labels`` MUST come from a CONVERGED run;
+    ``require_convergence=True`` is the provider's setting): the
+    minimum over a merged super-component equals the minimum over its
+    members' stored minima and the new node ids, which is exactly
+    what the meta closure computes. Nodes the delta never touches
+    keep their labels untouched.
+
+    Scale shape: one label join on the delta edges, one closure over
+    a delta-sized graph, one broadcast relabel join against the
+    node-sized store — no full-graph work anywhere. Same output
+    contract as ``dedup_components``: one row per node that appears
+    in (stored ∪ delta)."""
+    lab_a = stored_labels.select(
+        F.col("node").alias("_na"), F.col("comp").alias("_ca")
+    )
+    lab_b = stored_labels.select(
+        F.col("node").alias("_nb"), F.col("comp").alias("_cb")
+    )
+    e = new_pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    mapped = (
+        e.join(lab_a, e["id_a"] == lab_a["_na"], "left")
+        .join(lab_b, e["id_b"] == lab_b["_nb"], "left")
+        .select(
+            F.coalesce("_ca", "id_a").alias("id_a"),
+            F.coalesce("_cb", "id_b").alias("id_b"),
+        )
+    )
+    # the meta closure is delta-sized: strict convergence costs nothing
+    meta = dedup_components(
+        mapped,
+        max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
+        require_convergence=True,
+    ).localCheckpoint(eager=True)  # two consumers: relabel + new nodes
+    remap = F.broadcast(
+        meta.select(F.col("node").alias("_mn"), F.col("comp").alias("_mc"))
+    )
+    updated_old = (
+        stored_labels.join(
+            remap, stored_labels["comp"] == F.col("_mn"), "left"
+        ).select("node", F.coalesce("_mc", "comp").alias("comp"))
+    )
+    new_nodes = (
+        e.select(F.col("id_a").alias("node"))
+        .unionByName(e.select(F.col("id_b").alias("node")))
+        .distinct()
+        .join(stored_labels.select("node"), on="node", how="left_anti")
+    )
+    new_labeled = new_nodes.join(remap, new_nodes["node"] == F.col("_mn")).select(
+        "node", F.col("_mc").alias("comp")
+    )
+    return updated_old.unionByName(new_labeled)
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

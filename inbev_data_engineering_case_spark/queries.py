@@ -2476,6 +2476,60 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_components_incremental",
+    f"""
+    WITH RECURSIVE mh AS ({_minhash_oracle()}),
+    {_components_closure_sql()}
+    SELECT node, comp FROM comp
+    """,
+    doc="incremental connected components "
+    "(operators/dedup.py:dedup_components_incremental): a delta "
+    "crawl's new pair edges (every doc_id%3==0 node is 'new') fold "
+    "into yesterday's stored (node, comp) labeling by CONTRACTING "
+    "each stored component to its label and closing only the "
+    "delta-sized contracted graph — one label join on the delta "
+    "edges, one strict-convergence closure over the contracted "
+    "graph, one broadcast relabel of the node-sized store; the full "
+    "pair graph is never re-walked (the one 100 TB-sized closure in "
+    "the pipeline now advances delta-sized like the "
+    "signature/gram/split/halo state). Correct because a stored "
+    "label IS its component's minimum node id, so the contracted "
+    "closure's minima are the union graph's minima — the maintained "
+    "table must equal the batch closure over the union, which is "
+    "what the oracle replays (the full recursive-CTE reachability "
+    "closure; the ENTIRE updated labeling is compared). Parity also "
+    "pytest-pinned on random graphs incl. cluster merges through "
+    "new-edge chains and new nodes that become an old component's "
+    "minimum. Late-r12 tail debut, r13 promotion queue (family "
+    "cover: q_curate_corpus composes the batch components run "
+    "in-window, q_leakage_incremental pins the frozen-history delta "
+    "discipline).",
+)
+def q_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components,
+        dedup_components_incremental,
+        minhash_dedup_pairs,
+    )
+
+    corpus = _corpus_near(spark, sf_dir)
+    pairs = minhash_dedup_pairs(corpus).localCheckpoint(
+        eager=True  # two consumers: the old-only subset and the delta
+    )
+    old_a = F.col("id_a") % 3 != 0
+    old_b = F.col("id_b") % 3 != 0
+    stored = dedup_components(
+        pairs.filter(old_a & old_b), require_convergence=True
+    )
+    return dedup_components_incremental(
+        stored, pairs.filter(~(old_a & old_b))
+    ).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("comp").cast("bigint").alias("comp"),
+    )
+
+
+@register(
     "q_ngram_jaccard",
     f"""
     WITH corpus AS (SELECT * FROM {_SQL_CORPUS_NEAR} AS c),
@@ -7737,6 +7791,16 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # machinery at one threshold) and q_approx_percentiles (the
     # percentile probe-point family):
     "q_classifier_sweep": ("q_classifier_eval", "q_approx_percentiles"),
+    # LATE-r12 DEBUT (not a demotion): incremental connected
+    # components — oracle replays the batch recursive-CTE closure over
+    # the union pair graph (the maintained labeling must equal it
+    # exactly); r13 promotion queue. Covered in-window by
+    # q_curate_corpus (composes the batch components run) and
+    # q_leakage_incremental (the frozen-history delta discipline):
+    "q_components_incremental": (
+        "q_curate_corpus",
+        "q_leakage_incremental",
+    ),
 }
 
 for _name in _FAMILY_STAND_INS:

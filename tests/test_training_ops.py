@@ -7029,3 +7029,84 @@ def test_classifier_threshold_sweep_matches_reference(spark):
 
     with pytest.raises(ValueError, match="n_cuts"):
         classifier_threshold_sweep(scored, labels, n_cuts=0)
+
+
+def test_dedup_components_incremental_matches_batch(spark):
+    """Delta maintenance of a components labeling: contracting stored
+    components and closing only the delta graph must equal the batch
+    closure over the union — on random graphs/deltas (cluster merges
+    through chains of new edges, new nodes that become the new minimum
+    of an old component, old-old delta edges) and for the empty delta
+    (labels unchanged)."""
+    import random
+
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components,
+        dedup_components_incremental,
+    )
+
+    def pairs_df(edges):
+        return spark.createDataFrame(edges, "id_a long, id_b long")
+
+    rng = random.Random(0xCC12)
+    for trial, (n_old, m_old, n_new, m_new) in enumerate(
+        [(24, 20, 8, 10), (50, 40, 12, 20), (16, 6, 30, 25)]
+    ):
+        base = list(
+            {
+                (rng.randrange(n_old), rng.randrange(n_old))
+                for _ in range(m_old)
+            }
+        )
+        base = [(a, b) for a, b in base if a != b]
+        all_n = n_old + n_new
+        # new nodes get ids ABOVE and BELOW the old range (negative
+        # ids), so a new node can become an old component's minimum
+        def nid(k):
+            return -(k + 1) if k % 3 == 0 else n_old + k
+
+        delta = list(
+            {
+                (rng.randrange(all_n), rng.randrange(all_n))
+                for _ in range(m_new)
+            }
+        )
+        delta = [
+            (a if a < n_old else nid(a - n_old),
+             b if b < n_old else nid(b - n_old))
+            for a, b in delta
+        ]
+        delta = [
+            (a, b)
+            for a, b in delta
+            if a != b and (a, b) not in set(base)
+        ]
+        stored = dedup_components(
+            pairs_df(base), require_convergence=True
+        ).localCheckpoint(eager=True)
+        got = {
+            (r["node"], r["comp"])
+            for r in dedup_components_incremental(
+                stored, pairs_df(delta)
+            ).collect()
+        }
+        want = {
+            (r["node"], r["comp"])
+            for r in dedup_components(
+                pairs_df(base + delta), require_convergence=True
+            ).collect()
+        }
+        assert got == want, trial
+
+    # empty delta: the stored labeling comes back unchanged
+    base_df = pairs_df([(1, 2), (2, 3), (7, 9)])
+    stored = dedup_components(base_df, require_convergence=True)
+    unchanged = {
+        (r["node"], r["comp"])
+        for r in dedup_components_incremental(
+            stored, base_df.limit(0)
+        ).collect()
+    }
+    assert unchanged == {
+        (r["node"], r["comp"]) for r in stored.collect()
+    }
