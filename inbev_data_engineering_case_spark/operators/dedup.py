@@ -805,15 +805,24 @@ def dedup_components_incremental(
     node-sized store — no full-graph work anywhere. Same output
     contract as ``dedup_components``: one row per node that appears
     in (stored ∪ delta)."""
+    if reliable_checkpoint is None:
+        sc = new_pairs.sparkSession.sparkContext
+        reliable_checkpoint = sc.getCheckpointDir() is not None
     lab_a = stored_labels.select(
         F.col("node").alias("_na"), F.col("comp").alias("_ca")
     )
     lab_b = stored_labels.select(
         F.col("node").alias("_nb"), F.col("comp").alias("_cb")
     )
-    e = new_pairs.select(
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
+    # the delta edges feed four plan sites (two label joins, both
+    # new-node projections): truncate once so a caller handing raw
+    # pair-generation lineage (an LSH band self-join) never re-runs it
+    e = _truncate_lineage(
+        new_pairs.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        ),
+        reliable_checkpoint,
     )
     mapped = (
         e.join(lab_a, e["id_a"] == lab_a["_na"], "left")
@@ -823,13 +832,16 @@ def dedup_components_incremental(
             F.coalesce("_cb", "id_b").alias("id_b"),
         )
     )
-    # the meta closure is delta-sized: strict convergence costs nothing
+    # the meta closure is delta-sized: strict convergence costs
+    # nothing. Its result is already materialized (every components
+    # round ends in _truncate_lineage, honoring reliable_checkpoint),
+    # so both consumers below read it without extra pinning.
     meta = dedup_components(
         mapped,
         max_iter=max_iter,
         reliable_checkpoint=reliable_checkpoint,
         require_convergence=True,
-    ).localCheckpoint(eager=True)  # two consumers: relabel + new nodes
+    )
     remap = F.broadcast(
         meta.select(F.col("node").alias("_mn"), F.col("comp").alias("_mc"))
     )
