@@ -389,7 +389,10 @@ def _bounded_line(payload: dict, budget: int = 1950) -> str:
     mins dict folds into ``query_mins_v``, a parallel array aligned
     with ``queries`` insertion order (same information, ~40% fewer
     bytes — ``_prior_floor_artifact`` reads both shapes); past that,
-    ``round_over_round.new_lines`` degrades to sorted names only."""
+    ``round_over_round.new_lines`` degrades to sorted names only; past
+    that, ``drift.ab``'s raw re-timing dicts fold to one
+    head/pinned ratio per query (the verdict survives, the samples
+    go) before any comparison field is dropped."""
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > budget and "query_mins" in payload:
         payload["query_mins_v"] = [
@@ -402,6 +405,31 @@ def _bounded_line(payload: dict, budget: int = 1950) -> str:
         rr.get("new_lines"), dict
     ):
         rr["new_lines"] = sorted(rr["new_lines"])
+        line = json.dumps(payload, separators=(",", ":"))
+    drift = payload.get("drift")
+    if (
+        len(line) > budget
+        and isinstance(drift, dict)
+        and isinstance(drift.get("ab"), dict)
+    ):
+        # the bulkiest optional field: drift.ab carries full pinned +
+        # HEAD re-timing dicts per elevated query. Fold them into one
+        # head/pinned ratio per query — the adjudication verdict
+        # (~1.0x = hot machine, >>1x = code regression) survives while
+        # the raw samples go, and the comparison fields
+        # (query_mins/round_over_round) are only sacrificed after this
+        ab = drift["ab"]
+        pinned = ab.get("pinned_mins") or {}
+        head = ab.get("head_mins") or {}
+        drift["ab"] = {
+            "pinned_commit": ab.get("pinned_commit"),
+            "head_over_pinned": {
+                q: round(head[q] / pinned[q], 3)
+                for q in head
+                if pinned.get(q)
+            },
+            "note": "raw re-timings dropped: line budget",
+        }
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > budget and "query_mins_v" in payload:
         # floors for THIS round are sacrificed so the artifact itself

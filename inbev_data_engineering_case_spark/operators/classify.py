@@ -349,7 +349,27 @@ def _guarded_eval_frame(
             )
         ).cast("boolean"),
     ).otherwise(y_raw)
+    # the duplicate guard comes FIRST: a duplicated labeled id whose
+    # scored row is also missing or NULL must be named as the fan-out
+    # defect (the root cause to clean up), not misdirected to a
+    # per-row score diagnostic
     score = F.when(
+        F.count("*").over(Window.partitionBy(id_col)) > 1,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "classifier evaluation: duplicated id in the"
+                    " evaluation population: "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    " — a duplicated scored or label row fans the"
+                    " join out and inflates every counter; dedupe"
+                    " the inputs first"
+                ),
+            )
+        ).cast("bigint"),
+    ).when(
         F.col("_present").isNull(),
         F.raise_error(
             F.concat(
@@ -371,22 +391,6 @@ def _guarded_eval_frame(
                 ),
                 F.col(id_col).cast("string"),
                 F.lit(" — fix the scoring pass, the row IS present"),
-            )
-        ).cast("bigint"),
-    ).when(
-        F.count("*").over(Window.partitionBy(id_col)) > 1,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "classifier evaluation: duplicated id in the"
-                    " evaluation population: "
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(
-                    " — a duplicated scored or label row fans the"
-                    " join out and inflates every counter; dedupe"
-                    " the inputs first"
-                ),
             )
         ).cast("bigint"),
     ).otherwise(F.col(score_col))

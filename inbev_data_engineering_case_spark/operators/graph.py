@@ -360,7 +360,11 @@ def multi_source_bfs_incremental(
     (typically the delta's neighborhood), not seed-neighborhood-sized.
     ``all_edges`` is the STORED pair artifact plus the delta — state
     that already exists; it is joined per round against the (small)
-    frontier, never re-derived.
+    frontier, never re-derived. The superset contract is
+    SELF-ENFORCING: ``new_edges`` is unioned into the relaxation edge
+    set (one cheap union before the distinct), so a caller that passes
+    yesterday's stored pair artifact alone as ``all_edges`` still gets
+    correct distances instead of silently stale ones.
 
     Unlike the batch BFS, a frontier row carries its current ``dist``
     (improvements re-visit nodes, so level order alone no longer
@@ -390,7 +394,13 @@ def multi_source_bfs_incremental(
             )
         return e.distinct()
 
-    sym = _truncate_lineage(_sym(all_edges), reliable_checkpoint)
+    # union the delta in before dedup: makes the "all_edges ⊇
+    # new_edges" contract self-enforcing (a caller passing only the
+    # stored artifact would otherwise get silently stale distances)
+    sym = _truncate_lineage(
+        _sym(all_edges).unionByName(_sym(new_edges)).distinct(),
+        reliable_checkpoint,
+    )
     seed_col = new_seeds.columns[0]
     seeds0 = (
         new_seeds.select(F.col(seed_col).cast("long").alias("node"))

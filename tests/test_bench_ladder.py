@@ -1,0 +1,110 @@
+"""bench.py's one-JSON-line size ladder: the artifact must survive the
+round driver's 2000-byte stdout tail, and the rungs must sacrifice the
+bulkiest optional field (drift.ab's raw re-timings) BEFORE the
+comparison fields the next round depends on (query mins,
+round_over_round) — the BENCH_r11 parsed:null lesson plus its r12
+ADVICE follow-up."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _bounded_line  # noqa: E402
+
+
+def _payload(n_queries: int, with_ab: bool) -> dict:
+    queries = {f"q_very_long_headline_name_{i:03d}": 1.234 for i in range(n_queries)}
+    mins = {q: 1.111 for q in queries}
+    drift: dict = {
+        "floor_artifact": "BENCH_r12.json",
+        "ratio_threshold": 1.25,
+        "elevated": {},
+    }
+    if with_ab:
+        names = list(queries)[:6]
+        drift["elevated"] = {
+            q: {"min": 2.5, "floor": 1.1, "ratio": 2.273} for q in names
+        }
+        drift["ab"] = {
+            "pinned_commit": "f" * 40,
+            "pinned_mins": {q: 2.401 for q in names},
+            "head_mins": {q: 2.489 for q in names},
+        }
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "query_mins": mins,
+        "index_build_costs": {},
+        "sf": 0.1,
+        "runs_per_query": 5,
+        "round_over_round": {
+            "floor_artifact": "BENCH_r12.json",
+            "shared_total": 40.0,
+            "prior_shared_total": 41.0,
+            "new_lines": {"q_new_line_this_round": 9.79},
+            "retired_lines": [],
+        },
+        "loadavg_before": [0.5, 0.6, 0.7],
+        "loadavg_after": [8.0, 4.0, 2.0],
+        "drift": drift,
+    }
+
+
+def test_small_payload_passes_through_unchanged():
+    payload = _payload(4, with_ab=False)
+    line = _bounded_line(dict(payload))
+    parsed = json.loads(line)
+    assert parsed["query_mins"] == payload["query_mins"]
+    assert parsed["drift"]["elevated"] == {}
+
+
+def test_ab_re_timings_fold_before_comparison_fields_drop():
+    """A drift block carrying per-query A/B re-timing dicts is the
+    bulkiest optional field: past the budget it must fold to one
+    head/pinned ratio per query while query mins (as query_mins_v) and
+    round_over_round SURVIVE."""
+    # pick the budget to land exactly on the ab rung: just under the
+    # line's size AFTER the two lossless-ish rungs (mins->parallel
+    # array, new_lines->names) but with the raw ab dicts still present
+    probe = _payload(30, with_ab=True)
+    probe["query_mins_v"] = [
+        probe["query_mins"][q] for q in probe["queries"]
+    ]
+    del probe["query_mins"]
+    probe["round_over_round"]["new_lines"] = sorted(
+        probe["round_over_round"]["new_lines"]
+    )
+    budget = len(json.dumps(probe, separators=(",", ":"))) - 1
+
+    payload = _payload(30, with_ab=True)
+    line = _bounded_line(payload, budget=budget)
+    assert len(line) <= budget
+    parsed = json.loads(line)
+    ab = parsed["drift"]["ab"]
+    assert "pinned_mins" not in ab and "head_mins" not in ab
+    assert ab["pinned_commit"] == "f" * 40
+    ratios = ab["head_over_pinned"]
+    assert len(ratios) == 6
+    assert all(abs(r - round(2.489 / 2.401, 3)) < 1e-9 for r in ratios.values())
+    # the verdict survives AND the comparison fields were not sacrificed
+    assert "query_mins_v" in parsed or "query_mins" in parsed
+    assert isinstance(parsed.get("round_over_round"), dict)
+    # elevation list (min/floor/ratio per query) is still present
+    assert len(parsed["drift"]["elevated"]) == 6
+
+
+def test_ladder_still_reaches_mins_drop_when_ab_fold_is_not_enough():
+    """With an enormous headline set the later rungs still fire, in
+    order: after the ab fold, mins drop before round_over_round."""
+    payload = _payload(120, with_ab=True)
+    line = _bounded_line(payload, budget=1950)
+    parsed = json.loads(line)
+    assert "query_mins" not in parsed and "query_mins_v" not in parsed
+    assert parsed["query_mins_note"] == "dropped: line budget"
+    ab = parsed["drift"]["ab"]
+    assert "pinned_mins" not in ab  # the ab rung fired first

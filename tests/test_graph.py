@@ -417,3 +417,42 @@ def test_multi_source_bfs_incremental_matches_batch(spark):
         ).collect()
     }
     assert unchanged == {1: 0, 2: 1, 3: 2}
+
+
+def test_multi_source_bfs_incremental_superset_contract_self_enforcing(
+    spark,
+):
+    """The documented contract is ``all_edges ⊇ new_edges``, but the
+    plausible caller mistake — passing yesterday's stored pair
+    artifact ALONE as ``all_edges`` — must not silently return stale
+    distances: the operator unions the delta into its relaxation edge
+    set, so the result still equals the batch walk over the union
+    graph (r12 ADVICE item)."""
+    from inbev_data_engineering_case_spark.operators.graph import (
+        multi_source_bfs,
+        multi_source_bfs_incremental,
+    )
+
+    base = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    # the delta attaches node 4 to the seed side: it MUST get dist 1
+    delta = spark.createDataFrame([(1, 4), (4, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    stored = multi_source_bfs(base, seeds, max_hops=3)
+
+    got = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs_incremental(
+            base,  # caller mistake: stored artifact only, delta missing
+            delta,
+            stored,
+            seeds.limit(0),
+            max_hops=3,
+        ).collect()
+    }
+    want = {
+        r["node"]: r["dist"]
+        for r in multi_source_bfs(
+            base.unionByName(delta), seeds, max_hops=3
+        ).collect()
+    }
+    assert got == want == {1: 0, 2: 1, 3: 2, 4: 1, 5: 2}

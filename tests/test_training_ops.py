@@ -6734,6 +6734,41 @@ def test_evaluate_bow_classifier_confusion_and_holdout(spark):
     assert held["accuracy_ppm"] == 1_000_000  # separable by design
 
 
+def test_evaluate_bow_classifier_duplicate_guard_wins_when_defects_stack(
+    spark,
+):
+    """Guard precedence (r12 ADVICE): a duplicated labeled id whose
+    scored row is ALSO missing (or NULL) must be named as the fan-out
+    defect — the root cause to clean up — not misdirected to the
+    per-row 'no scored row' / 'NULL score' diagnostic."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.classify import (
+        evaluate_bow_classifier,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, 50)], "doc_id long, score_micro bigint"
+    )
+    # id 7 is duplicated in the labels AND has no scored row
+    dup_missing = spark.createDataFrame(
+        [(1, True), (7, True), (7, False)],
+        "doc_id long, label boolean",
+    )
+    with pytest.raises(Exception, match="duplicated id"):
+        evaluate_bow_classifier(scored, dup_missing).first()
+
+    # duplicated SCORED id carrying a NULL score: same precedence
+    dup_null = spark.createDataFrame(
+        [(1, None), (1, None)], "doc_id long, score_micro bigint"
+    )
+    labels = spark.createDataFrame(
+        [(1, True)], "doc_id long, label boolean"
+    )
+    with pytest.raises(Exception, match="duplicated id"):
+        evaluate_bow_classifier(dup_null, labels).first()
+
+
 _HALO_SENTINEL = "copied verbatim from the held out eval benchmark set"
 
 

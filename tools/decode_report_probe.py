@@ -116,28 +116,19 @@ def build_assets():
         avif = libheif.encode(g, libheif.COMPRESSION_AV1, 85)
         assets.append(("image/avif", avif))
         if libheif.have_decoder(libheif.COMPRESSION_AV1):
-            # AV1-in-MP4 / AV1-in-WebM (closed r12): the test
-            # fixtures' un-boxer + minimal muxers build real container
+            # AV1-in-MP4 / AV1-in-WebM (closed r12): the shared
+            # fixture un-boxer + minimal muxers build real container
             # payloads from the SAME encoded AVIF's primary item
-            sys.path.insert(
-                0,
-                os.path.join(
-                    os.path.dirname(
-                        os.path.dirname(os.path.abspath(__file__))
-                    ),
-                    "tests",
-                ),
-            )
-            from test_heif import (  # noqa: E402
-                _avif_primary_item,
-                _mux_av1_mp4,
-                _mux_av1_webm,
+            from inbev_data_engineering_case_spark.av1_fixtures import (
+                avif_primary_item,
+                mux_av1_mp4,
+                mux_av1_webm,
             )
 
-            av1c, w, h, item = _avif_primary_item(avif)
-            assets.append(("video/mp4", _mux_av1_mp4(av1c, w, h, item)))
+            av1c, w, h, item = avif_primary_item(avif)
+            assets.append(("video/mp4", mux_av1_mp4(av1c, w, h, item)))
             assets.append(
-                ("video/webm", _mux_av1_webm(av1c[8:], w, h, item))
+                ("video/webm", mux_av1_webm(av1c[8:], w, h, item))
             )
     if libheif.have_encoder(libheif.COMPRESSION_HEVC):
         assets.append(
