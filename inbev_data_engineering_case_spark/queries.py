@@ -7580,9 +7580,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # sessionizer (same worker discipline, NaT guards included):
     "q_stream_gaps": ("q_event_gaps", "q_stream_sessionize"),
     "q_stream_cusum": ("q_cusum_changepoint", "q_stream_sessionize"),
-    # adjacent-pair mining: PMI forms the identical in-row pairs
-    # in-window; the per-user lag machinery is attribution's:
-    "q_markov_transitions": ("q_pmi_collocations", "q_attribution"),
+    # adjacent-pair mining: the per-user lag/conditional-join pair
+    # machinery is attribution's (rewired r13 when q_pmi_collocations
+    # itself rotated out):
+    "q_markov_transitions": ("q_attribution",),
     # embedding decontamination: the sign-LSH bucket machinery is
     # in-window via q_dedup_embedding, the left-anti removal via
     # q_curate_corpus's drop-joins:
@@ -7784,23 +7785,26 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # per-query rank machinery in-window (same index CTEs, same
     # micro-unit scoring discipline):
     "q_tfidf_topk": ("q_bm25_search",),
-    # LATE-r12 DEBUT (not a demotion): the PR-curve threshold sweep —
-    # oracle replays split+train+score+quantile-cuts+confusion-per-cut
-    # in SQL; r13 promotion queue. Covered in-window by
-    # q_classifier_eval (the identical guarded-join + confusion
-    # machinery at one threshold) and q_approx_percentiles (the
-    # percentile probe-point family):
-    "q_classifier_sweep": ("q_classifier_eval", "q_approx_percentiles"),
-    # LATE-r12 DEBUT (not a demotion): incremental connected
-    # components — oracle replays the batch recursive-CTE closure over
-    # the union pair graph (the maintained labeling must equal it
-    # exactly); r13 promotion queue. Covered in-window by
-    # q_curate_corpus (composes the batch components run) and
-    # q_leakage_incremental (the frozen-history delta discipline):
-    "q_components_incremental": (
-        "q_curate_corpus",
-        "q_leakage_incremental",
-    ),
+    # (the two LATE-r12 DEBUTS that closed this dict —
+    # q_classifier_sweep and q_components_incremental — were PROMOTED
+    # in r13 as queued: each returns to its registration slot beside
+    # its operator family)
+    #
+    # rotated OUT in r13 to seat the two promotions; both demotions
+    # below have >=2 lifetime driver-green rows (r11+r12 for the
+    # split, r06-r12 for PMI) and name in-window same-family cover
+    # (the one chain referencing PMI rewired above in place):
+    # leakage-safe split: q_curate_split COMPOSES leakage_safe_split
+    # as curate_corpus's split stage (cluster-representative keying
+    # runs in-window verbatim), and the delta twin
+    # q_leakage_incremental inherits/bridges against the same frozen
+    # history — the split family's entire machinery stays in-window:
+    "q_leakage_split": ("q_curate_split", "q_leakage_incremental"),
+    # PMI collocations: the tokenize → in-row adjacent-pair →
+    # integer micro-unit log-score machinery stays in-window via BM25
+    # (same tokenizer + micro-unit scoring discipline) and the
+    # conditional pair joins via attribution:
+    "q_pmi_collocations": ("q_bm25_search", "q_attribution"),
 }
 
 for _name in _FAMILY_STAND_INS:
