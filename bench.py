@@ -349,8 +349,13 @@ def main() -> None:
         # discriminator (a real code regression moves the MIN; a
         # contended/hot machine moves the median while the min
         # holds — the r4 q_join_orders / r5 q_curate_corpus
-        # lesson, made diagnosable from the recorded JSON alone)
-        "query_mins": mins,
+        # lesson, made diagnosable from the recorded JSON alone).
+        # Emitted as the parallel-array shape (aligned with
+        # "queries" insertion order) from the start: same
+        # information as the dict, ~500 fewer bytes against the
+        # round driver's 2000-byte stdout tail, and
+        # _prior_floor_artifact reads both shapes
+        "query_mins_v": [mins.get(q) for q in timings],
         # one-time index build seconds paid in the UNTIMED
         # warm-up of each q_*_indexed entry (build + first
         # probe + codegen): the headline number for those

@@ -940,7 +940,9 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e ASOF LEFT JOIN r
       ON e.user_id = r.key AND CAST(e.ts AS TIMESTAMP) >= r.rts
     """,
-    headline=True,
+    # headline retired r13: q_pit_join times the same validity-
+    # interval band-join machinery (its floor continues the series);
+    # the oracle gate still runs this entry every round
     doc="backward as-of join: each event picks up the latest order of the "
     "same customer at or before its timestamp. Union-merge implementation — "
     "one shuffle on the key, zero row explosion (operators/asof.py); the "
@@ -2793,7 +2795,9 @@ def _ann_ivf_oracle(
 @register(
     "q_ann_ivf",
     _ann_ivf_oracle(),
-    headline=True,
+    # headline retired r13: subsumed by q_ann_ivf_pq (same trainer +
+    # cell-local probe, plus ADC) and q_ann_indexed (materialized
+    # probe of the identical composition); oracle gate unchanged
     doc="IVF-style ANN (the FAISS-shaped scale path): corpus partitioned "
     "into inverted lists by nearest centroid, queries probe their 2 closest "
     "cells, scoring is cell-local. Deterministic centroids (first 16 "
@@ -5086,7 +5090,10 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_ann_pq",
     _pq_oracle(),
-    headline=True,
+    # headline retired r13: q_ann_ivf_pq composes this exact PQ/ADC
+    # machinery (probe-all == plain-PQ identity-tested) and
+    # q_ann_indexed prices the materialized probe; oracle gate
+    # unchanged
     doc="product-quantization ANN (PQ/ADC, the memory-scale path — "
     "Jégou et al. 2011): hash-sampled per-subspace codebooks (m=4, "
     "k=16), corpus quantized to 4 one-byte codes (64x smaller than the "
