@@ -575,3 +575,533 @@ def classifier_threshold_sweep(
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Multi-class (domain/topic) classifier — the routing counterpart of the
+# binary keep/drop gate above. Real corpus pipelines tag every document
+# with a DOMAIN (FineWeb-Edu-style educational-value routing, source/
+# topic tags feeding per-domain mixture weights); the NB log-odds table
+# generalizes to per-class log-probability rows with a `class` column
+# beside `bucket`, and prediction is an argmax over per-doc per-class
+# integer sums. Same disciplines as the binary model: the MODEL IS A
+# TABLE, counts are the additive incremental artifact, weights are
+# integer micro-units so every score is an exact order-free sum.
+# ---------------------------------------------------------------------------
+
+
+def multiclass_bow_counts(
+    labeled: DataFrame,
+    class_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> DataFrame:
+    """The multi-class sufficient statistics as a table —
+    ``(class string, bucket bigint, c bigint)``: per-(class, bucket)
+    token occurrences for real buckets (sparse — a bucket a class
+    never saw has no row, which is exactly the α-smoothed DEFAULT the
+    scorer substitutes), per-class document counts on the
+    ``BIAS_BUCKET`` rows, and ``n_buckets`` on the single
+    ``META_BUCKET`` row (``class`` NULL — the one place NULL is legal;
+    a NULL class LABEL raises in-plan instead of silently training a
+    ghost class). Counts are ADDITIVE: ``merge_multiclass_bow_counts``
+    folds a labeled delta in and the derived weights equal full
+    retraining byte for byte (the ``train_bow_counts`` discipline)."""
+    cls_raw = F.col(class_col).cast("string")
+    cls = F.when(
+        cls_raw.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "multiclass_bow_counts: class label casts to NULL"
+                    " for id "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — clean the label column or drop the row"),
+            )
+        ),
+    ).otherwise(cls_raw)
+    base = labeled.select(
+        F.col(id_col), F.col(text_col), cls.alias("_cls")
+    )
+    occ = _doc_buckets(base, text_col, id_col, n_buckets, extra=("_cls",))
+    counts = occ.groupBy("_cls", "bucket").agg(F.count("*").alias("c"))
+    pri = base.groupBy("_cls").agg(F.count("*").alias("c")).select(
+        "_cls", F.lit(BIAS_BUCKET).cast("bigint").alias("bucket"), "c"
+    )
+    meta = labeled.sparkSession.createDataFrame(
+        [(None, META_BUCKET, int(n_buckets))],
+        "_cls string, bucket bigint, c bigint",
+    )
+    return (
+        counts.select("_cls", "bucket", "c")
+        .unionByName(pri.select("_cls", "bucket", "c"))
+        .unionByName(meta)
+        .withColumnRenamed("_cls", "class")
+    )
+
+
+def merge_multiclass_bow_counts(
+    stored: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """Fold a labeled delta's statistics into the stored multi-class
+    counts: real buckets and the per-class prior rows SUM; the META
+    rows must agree (two hash-space sizes can never sum to either, so
+    the weights builder's single-META check catches a mis-merge
+    loudly). Pure (class, bucket)-keyed aggregation — the exchange is
+    model-sized."""
+    both = stored.unionByName(delta)
+    meta = (
+        both.filter(F.col("bucket") == META_BUCKET)
+        .select("class", "bucket", "c")
+        .distinct()
+    )
+    summed = (
+        both.filter(F.col("bucket") != META_BUCKET)
+        .groupBy("class", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    return summed.unionByName(meta)
+
+
+def multiclass_bow_weights_from_counts(
+    counts: DataFrame, alpha: float = 1.0
+) -> DataFrame:
+    """Derive the multi-class scoring model
+    ``(class string, bucket bigint, weight_micro bigint)`` from a
+    counts table. Per real (class, bucket):
+    ``round(ln((c + α) / (T_class + α·B)) · 1e6)`` — the smoothed
+    multinomial log-likelihood; per class a ``BIAS_BUCKET`` row
+    carries ``round(ln(n_docs_class) · 1e6)`` (the prior up to the
+    class-independent ``ln(N)``, which cancels in the argmax) and a
+    ``DEFAULT_BUCKET`` row the unseen-bucket weight
+    ``round(ln(α / (T_class + α·B)) · 1e6)``; the single
+    ``META_BUCKET`` row (NULL class) pins ``n_buckets``.
+
+    Raises on a missing/ambiguous META row, on NULL-class real/prior
+    rows (a corrupted table), and on fewer than two classes. The only
+    driver-side reads are the one-row META collect and two count
+    aggregates (model-metadata-sized, the ``score_bow_classifier``
+    discipline); totals and priors stay plan-side as broadcast
+    class-cardinality aggregates."""
+    cached = counts.localCheckpoint(eager=True)
+    metas = cached.filter(F.col("bucket") == META_BUCKET).collect()
+    if len(metas) != 1:
+        raise ValueError(
+            "multiclass_bow_weights_from_counts: counts table needs"
+            f" exactly one META row (found {len(metas)}) — merging two"
+            " different n_buckets spaces corrupts the model"
+        )
+    n_buckets = int(metas[0]["c"])
+    bad = (
+        cached.filter(
+            F.col("class").isNull() & (F.col("bucket") != META_BUCKET)
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            "multiclass_bow_weights_from_counts: NULL class on a"
+            " non-META row — not a multiclass_bow_counts table?"
+        )
+    pri = cached.filter(F.col("bucket") == BIAS_BUCKET)
+    n_classes = pri.count()
+    if n_classes < 2:
+        raise ValueError(
+            "multiclass_bow_weights_from_counts: need >= 2 classes"
+            f" (found {n_classes} prior rows)"
+        )
+    real = cached.filter(F.col("bucket") >= 0)
+    tot = real.groupBy("class").agg(F.sum("c").alias("_t"))
+    b = float(n_buckets)
+    micro = 1_000_000
+    weights = real.join(tot, on="class").select(
+        "class",
+        "bucket",
+        F.round(
+            F.log((F.col("c") + alpha) / (F.col("_t") + alpha * b))
+            * micro
+        ).cast("bigint").alias("weight_micro"),
+    )
+    # class list comes from the PRIOR rows (a class whose every
+    # training doc was zero-token has no real rows but still needs its
+    # bias/default) — totals coalesce to 0 for it
+    consts_base = pri.select("class").join(tot, on="class", how="left")
+    bias_rows = pri.select(
+        "class",
+        F.lit(BIAS_BUCKET).cast("bigint").alias("bucket"),
+        F.round(F.log(F.col("c").cast("double")) * micro)
+        .cast("bigint")
+        .alias("weight_micro"),
+    )
+    default_rows = consts_base.select(
+        "class",
+        F.lit(DEFAULT_BUCKET).cast("bigint").alias("bucket"),
+        F.round(
+            F.log(
+                F.lit(alpha)
+                / (F.coalesce(F.col("_t"), F.lit(0)) + alpha * b)
+            )
+            * micro
+        ).cast("bigint").alias("weight_micro"),
+    )
+    meta_row = counts.sparkSession.createDataFrame(
+        [(None, META_BUCKET, int(n_buckets))],
+        "class string, bucket bigint, weight_micro bigint",
+    )
+    return (
+        weights.unionByName(bias_rows)
+        .unionByName(default_rows)
+        .unionByName(meta_row)
+    )
+
+
+def train_bow_multiclass(
+    labeled: DataFrame,
+    class_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train the multi-class hashed-BOW model → the model TABLE
+    ``(class string, bucket bigint, weight_micro bigint)``. One corpus
+    scan (the counts materialize class×bucket-sized inside the weights
+    builder); structurally
+    ``multiclass_bow_weights_from_counts(multiclass_bow_counts(...))``
+    so the incremental loop (persist counts, merge a delta, re-derive)
+    is byte-identical to retraining by construction."""
+    return multiclass_bow_weights_from_counts(
+        multiclass_bow_counts(
+            labeled, class_col, text_col, id_col, n_buckets
+        ),
+        alpha=alpha,
+    )
+
+
+def score_bow_multiclass(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against a ``train_bow_multiclass`` model
+    and pick the argmax class → ``(id_col, n_tokens bigint,
+    pred_class string, score_micro bigint)`` with
+    ``score_micro = bias_c + Σ_tokens weight_c(bucket)`` for the
+    winning class (unseen buckets take the class's DEFAULT row). Exact
+    integer arithmetic; ties break to the lexicographically smallest
+    class, so prediction is deterministic and oracle-replayable.
+
+    Scale shape — NO per-class row explosion of the corpus: token
+    occurrences collapse to per-(doc, bucket) counts map-side, the
+    bucket-keyed broadcast join against the model emits only MATCHED
+    (doc, class) partials, and the K-class argmax runs IN-ROW against
+    a broadcast one-row array of per-class (bias, default) constants —
+    a class the document matched no bucket of still competes as
+    ``bias + n_tokens·default``. The exchanges carry one row per
+    (doc, matched class) and finally one per doc; K never multiplies
+    the corpus. The only collect is the one-row META read (hash-space
+    guard, the binary scorer's discipline)."""
+    metas = model.filter(F.col("bucket") == META_BUCKET).collect()
+    if len(metas) != 1:
+        raise ValueError(
+            "score_bow_multiclass: model needs exactly one META row"
+            f" (found {len(metas)}) — not a train_bow_multiclass"
+            " table?"
+        )
+    n_buckets = int(metas[0]["weight_micro"])
+    consts = (
+        model.filter(
+            F.col("bucket").isin(BIAS_BUCKET, DEFAULT_BUCKET)
+            & F.col("class").isNotNull()
+        )
+        .groupBy("class")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("bucket") == BIAS_BUCKET, F.col("weight_micro")
+                )
+            ).alias("bias"),
+            F.max(
+                F.when(
+                    F.col("bucket") == DEFAULT_BUCKET,
+                    F.col("weight_micro"),
+                )
+            ).alias("dflt"),
+        )
+        .select(
+            "class",
+            F.when(
+                F.col("bias").isNull() | F.col("dflt").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "score_bow_multiclass: class missing its"
+                            " bias/default row: "
+                        ),
+                        F.col("class"),
+                    )
+                ).cast("bigint"),
+            ).otherwise(F.col("bias")).alias("bias"),
+            F.col("dflt"),
+        )
+    )
+    carr = consts.agg(
+        F.array_sort(
+            F.collect_list(F.struct("class", "bias", "dflt"))
+        ).alias("_classes")
+    )
+    occ_n = (
+        _doc_buckets(docs, text_col, id_col, n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("_n"))
+    )
+    tok_tot = occ_n.groupBy(id_col).agg(F.sum("_n").alias("_ntok"))
+    matched = (
+        occ_n.join(
+            F.broadcast(model.filter(F.col("bucket") >= 0)),
+            on="bucket",
+        )
+        .groupBy(id_col, "class")
+        .agg(
+            F.sum(F.col("_n") * F.col("weight_micro")).alias("_ms"),
+            F.sum("_n").alias("_mn"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("class", F.struct("_ms", "_mn")))
+            ).alias("_m")
+        )
+    )
+    assembled = (
+        docs.select(id_col)
+        .join(tok_tot, on=id_col, how="left")
+        .join(matched, on=id_col, how="left")
+        .join(F.broadcast(carr))
+        .select(
+            F.col(id_col),
+            F.coalesce("_ntok", F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+            F.expr(
+                """
+                array_min(transform(_classes, c -> struct(
+                  -(c.bias
+                    + coalesce(try_element_at(_m, c.class)._ms, 0L)
+                    + (coalesce(_ntok, 0L)
+                       - coalesce(try_element_at(_m, c.class)._mn, 0L))
+                      * c.dflt) AS neg_score,
+                  c.class AS class)))
+                """
+            ).alias("_best"),
+        )
+    )
+    return assembled.select(
+        id_col,
+        "n_tokens",
+        F.col("_best.class").alias("pred_class"),
+        (-F.col("_best.neg_score")).cast("bigint").alias("score_micro"),
+    )
+
+
+def evaluate_multiclass_classifier(
+    pred: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    pred_col: str = "pred_class",
+) -> DataFrame:
+    """Per-class one-vs-rest confusion of a multi-class prediction
+    against held-out labels → one row per class (union of true and
+    predicted classes): ``(class, support, tp, fp, fn, tn,
+    precision_ppm, recall_ppm, f1_ppm)``. Rates are exact int64 ppm,
+    NULL on empty denominators (a class that was never predicted still
+    reports its recall).
+
+    Same population-integrity guards as the binary evaluator, in the
+    plan: NULL label class raises, a labeled id with no prediction row
+    raises (presence-marker join-miss detection), a present-but-NULL
+    predicted class raises, and a duplicated id raises FIRST (the
+    fan-out defect outranks per-row diagnostics). The confusion
+    reduces to a (K×K)-sized pair table before any per-class
+    arithmetic — one conditional aggregation over the holdout, then
+    class-cardinality work only."""
+    from pyspark.sql import Window
+
+    y_raw = F.col(label_col).cast("string")
+    y = F.when(
+        y_raw.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "multiclass evaluation: label casts to NULL for"
+                    " id "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — clean the label column or drop the row"),
+            )
+        ),
+    ).otherwise(y_raw)
+    p = F.when(
+        F.count("*").over(Window.partitionBy(id_col)) > 1,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "multiclass evaluation: duplicated id in the"
+                    " evaluation population: "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    " — a duplicated prediction or label row fans the"
+                    " join out and inflates every counter; dedupe the"
+                    " inputs first"
+                ),
+            )
+        ),
+    ).when(
+        F.col("_present").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "multiclass evaluation: labeled id with no"
+                    " prediction row: "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — score the full holdout before evaluating"),
+            )
+        ),
+    ).when(
+        F.col(pred_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "multiclass evaluation: prediction row carries a"
+                    " NULL class for id "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — fix the scoring pass, the row IS present"),
+            )
+        ),
+    ).otherwise(F.col(pred_col).cast("string"))
+    joined = (
+        labels.select(F.col(id_col), y.alias("_y"))
+        .join(
+            pred.withColumn("_present", F.lit(True)),
+            on=id_col,
+            how="left",
+        )
+        .select("_y", p.alias("_p"))
+    )
+    pairs = joined.groupBy("_y", "_p").agg(F.count("*").alias("_n"))
+    classes = (
+        pairs.select(F.col("_y").alias("class"))
+        .unionByName(pairs.select(F.col("_p").alias("class")))
+        .distinct()
+    )
+    per = (
+        classes.join(F.broadcast(pairs))
+        .groupBy("class")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("_y") == F.col("class"))
+                        & (F.col("_p") == F.col("class")),
+                        F.col("_n"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("tp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("_p") == F.col("class"))
+                        & (F.col("_y") != F.col("class")),
+                        F.col("_n"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("fp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("_y") == F.col("class"))
+                        & (F.col("_p") != F.col("class")),
+                        F.col("_n"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("fn"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("_y") != F.col("class"))
+                        & (F.col("_p") != F.col("class")),
+                        F.col("_n"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("tn"),
+        )
+    )
+    return per.select(
+        "class",
+        (F.col("tp") + F.col("fn")).cast("bigint").alias("support"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN"
+            " (tp * 1000000) div (tp + fp) END"
+        ).cast("bigint").alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN"
+            " (tp * 1000000) div (tp + fn) END"
+        ).cast("bigint").alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn > 0 THEN"
+            " (2 * tp * 1000000) div (2 * tp + fp + fn) END"
+        ).cast("bigint").alias("f1_ppm"),
+    )
+
+
+def mixture_sample_by_class(
+    docs: DataFrame,
+    model: DataFrame,
+    target_ppm: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """The classifier-routed data-mixing hook: tag every document with
+    its predicted class (``score_bow_multiclass`` argmax) and resample
+    to the target per-class mixture with ``sample.mixture_sample`` —
+    the FineWeb-Edu-style 'route by learned domain, then fix the
+    output composition' step, as ONE composition so the stratum column
+    and the mixture predicate can never disagree.
+
+    Returns the kept rows of ``docs`` with the ``pred_class`` stratum
+    column attached (callers can drop it). Scale shape: the scoring
+    pass's per-doc argmax output joins back to the corpus on the id
+    (one equi-join — co-partitioned with the scorer's final exchange),
+    and the mixture itself is a broadcast rate table + pure hash
+    predicate (no corpus shuffle)."""
+    from inbev_data_engineering_case_spark.operators.sample import (
+        mixture_sample,
+    )
+
+    pred = score_bow_multiclass(docs, model, text_col, id_col).select(
+        F.col(id_col), F.col("pred_class")
+    )
+    return mixture_sample(
+        docs.join(pred, on=id_col),
+        "pred_class",
+        target_ppm,
+        id_col=id_col,
+        salt=salt,
+    )

@@ -1891,6 +1891,282 @@ def q_classifier_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mc_ctes(
+    labeled_src: str = "SELECT doc_id, text, lang AS cls FROM documents",
+    score_src: str = "documents",
+) -> str:
+    """The multi-class classifier CTE chain (mlab → counts → weights/
+    consts → score → argmax ``mbest``) over parametrized labeled and
+    scoring sources — the ``_bow_clf_ctes`` discipline: the default
+    trains on every document and tags every document
+    (q_bow_multiclass's fixture); q_multiclass_eval trains on the
+    train split only and scores the holdout."""
+    return f"""mlab AS (
+      {labeled_src}
+    ),
+    mocc AS (
+      SELECT cls, {_BOW_HASH_TOK} % {_BOW_B} AS bucket
+      FROM (SELECT cls, unnest({_SQL_TOKENS}) AS tok FROM mlab)
+      WHERE tok != ''
+    ),
+    mcnt AS (SELECT cls, bucket, count(*) AS c FROM mocc GROUP BY 1, 2),
+    mtot AS (SELECT cls, sum(c) AS t FROM mcnt GROUP BY 1),
+    mpri AS (SELECT cls, count(*) AS nd FROM mlab GROUP BY 1),
+    mw AS (
+      SELECT cls, bucket,
+             CAST(round(ln((c + 1.0) / (t + 1.0 * {_BOW_B}))
+                  * 1000000) AS BIGINT) AS w
+      FROM mcnt JOIN mtot USING (cls)
+    ),
+    mconsts AS (
+      SELECT p.cls,
+             CAST(round(ln(p.nd::DOUBLE) * 1000000) AS BIGINT) AS bias,
+             CAST(round(ln(1.0 / (coalesce(t.t, 0) + 1.0 * {_BOW_B}))
+                  * 1000000) AS BIGINT) AS dflt
+      FROM mpri p LEFT JOIN mtot t USING (cls)
+    ),
+    socc AS (
+      SELECT doc_id, {_BOW_HASH_TOK} % {_BOW_B} AS bucket
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok
+            FROM {score_src})
+      WHERE tok != ''
+    ),
+    son AS (SELECT doc_id, bucket, count(*) AS n FROM socc GROUP BY 1, 2),
+    snt AS (SELECT doc_id, sum(n) AS nt FROM son GROUP BY 1),
+    sm AS (
+      SELECT o.doc_id, w.cls, sum(o.n * w.w) AS ms, sum(o.n) AS mn
+      FROM son o JOIN mw w USING (bucket) GROUP BY 1, 2
+    ),
+    msc AS (
+      SELECT d.doc_id, c.cls,
+             CAST(coalesce(nt.nt, 0) AS BIGINT) AS n_tokens,
+             CAST(c.bias + coalesce(m.ms, 0)
+                  + (coalesce(nt.nt, 0) - coalesce(m.mn, 0)) * c.dflt
+                  AS BIGINT) AS s
+      FROM (SELECT doc_id FROM {score_src}) d
+      CROSS JOIN mconsts c
+      LEFT JOIN snt nt USING (doc_id)
+      LEFT JOIN sm m ON m.doc_id = d.doc_id AND m.cls = c.cls
+    ),
+    mbest AS (
+      SELECT doc_id, n_tokens, cls, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, cls ASC) AS rn
+      FROM msc
+    )"""
+
+
+_MC_CTES = _mc_ctes()
+
+
+@register(
+    "q_bow_multiclass",
+    f"""
+    WITH {_MC_CTES}
+    SELECT doc_id, n_tokens, cls AS pred_class, s AS score_micro
+    FROM mbest WHERE rn = 1
+    """,
+    headline=True,  # train + score + argmax timed together
+    doc="multi-class hashed-BOW domain classifier "
+    "(operators/classify.py:train_bow_multiclass / "
+    "score_bow_multiclass): the FineWeb-Edu-style routing tagger — "
+    "the binary NB log-odds table generalized to per-class "
+    "log-probability rows (class column beside bucket, integer "
+    "micro-unit weights, per-class BIAS = ln(n_docs_class) and "
+    "DEFAULT = unseen-bucket mass, one META row pinning the hash "
+    "space), prediction the deterministic argmax over per-doc "
+    "per-class exact integer sums (ties break to the smallest class "
+    "name). Scale shape: NO per-class corpus explosion — token "
+    "occurrences collapse to per-(doc,bucket) counts map-side, the "
+    "broadcast model join emits only MATCHED (doc,class) partials, "
+    "and the K-class argmax runs IN-ROW against a broadcast one-row "
+    "constants array. Fixture trains lang as the class on the "
+    "documents table and tags every document; oracle replays "
+    "train+score+argmax end to end in SQL (row_number tie-break). "
+    "r13 window debut.",
+)
+def q_bow_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.classify import (
+        score_bow_multiclass,
+        train_bow_multiclass,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bow_multiclass(
+        docs.select("doc_id", "text", F.col("lang").alias("label")),
+        n_buckets=_BOW_B,
+    )
+    return score_bow_multiclass(docs.select("doc_id", "text"), model)
+
+
+@register(
+    "q_multiclass_eval",
+    f"""
+    WITH {_mc_ctes(
+        "SELECT doc_id, text, lang AS cls FROM documents"
+        f" WHERE {_EVAL_SPLIT_H} < 7000",
+        f"(SELECT doc_id, text FROM documents"
+        f" WHERE {_EVAL_SPLIT_H} >= 7000)",
+    )},
+    pairs AS (
+      SELECT d.lang AS y, b.cls AS p, count(*) AS n
+      FROM mbest b JOIN documents d USING (doc_id)
+      WHERE b.rn = 1 GROUP BY 1, 2
+    ),
+    cl AS (SELECT y AS class FROM pairs UNION SELECT p FROM pairs),
+    per AS (
+      SELECT cl.class,
+             coalesce(sum(n) FILTER (
+               WHERE y = cl.class AND p = cl.class), 0) AS tp,
+             coalesce(sum(n) FILTER (
+               WHERE p = cl.class AND y <> cl.class), 0) AS fp,
+             coalesce(sum(n) FILTER (
+               WHERE y = cl.class AND p <> cl.class), 0) AS fn,
+             coalesce(sum(n) FILTER (
+               WHERE y <> cl.class AND p <> cl.class), 0) AS tn
+      FROM cl CROSS JOIN pairs GROUP BY 1
+    )
+    SELECT class,
+           CAST(tp + fn AS BIGINT) AS support,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(CASE WHEN tp + fp > 0
+                THEN (tp * 1000000) // (tp + fp) END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN tp + fn > 0
+                THEN (tp * 1000000) // (tp + fn) END AS BIGINT)
+             AS recall_ppm,
+           CAST(CASE WHEN 2 * tp + fp + fn > 0
+                THEN (2 * tp * 1000000) // (2 * tp + fp + fn)
+                END AS BIGINT) AS f1_ppm
+    FROM per
+    """,
+    doc="multi-class evaluation surface "
+    "(operators/classify.py:evaluate_multiclass_classifier): per-class "
+    "one-vs-rest confusion (support/tp/fp/fn/tn + exact int64-ppm "
+    "precision/recall/F1, NULL on empty denominators) of the argmax "
+    "tagger under the holdout protocol — the same deterministic hash "
+    "split as q_classifier_eval trains the lang-class model on the "
+    "train partition only and evaluates on held-out labels. The "
+    "confusion reduces to a K x K pair table before any per-class "
+    "arithmetic; the same four population-integrity guards as the "
+    "binary evaluator raise in-plan (duplicate id first). Oracle "
+    "replays split+train+score+argmax+confusion end to end in SQL. "
+    "Late-r13 tail debut, r14 promotion queue (family cover: "
+    "q_classifier_eval pins the guarded-join confusion machinery "
+    "in-window, q_bow_multiclass the multiclass train/score/argmax).",
+)
+def q_multiclass_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.classify import (
+        evaluate_multiclass_classifier,
+        score_bow_multiclass,
+        train_bow_multiclass,
+    )
+    from inbev_data_engineering_case_spark.operators.curate import (
+        hash_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(
+        docs.select("doc_id", "text", F.col("lang").alias("label")),
+        weights={"train": 0.7, "test": 0.3},
+        salt="evalsplit",
+    )
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    model = train_bow_multiclass(train, n_buckets=_BOW_B)
+    return evaluate_multiclass_classifier(
+        score_bow_multiclass(test.select("doc_id", "text"), model),
+        test.select("doc_id", "label"),
+    )
+
+
+_MIX_CLS_PPM = {
+    "de": 200_000,
+    "en": 300_000,
+    "es": 200_000,
+    "fr": 150_000,
+    "zh": 150_000,
+}
+_MIX_CLS_SALT = 13
+
+
+def _mixture_by_class_oracle() -> str:
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64_sql,
+    )
+
+    values = ", ".join(
+        f"('{s}', {p})" for s, p in sorted(_MIX_CLS_PPM.items())
+    )
+    h = portable_hash64_sql("doc_id", seed=_MIX_CLS_SALT)
+    return f"""
+    WITH {_mc_ctes()},
+    pred AS (
+      SELECT doc_id, cls AS pred_class FROM mbest WHERE rn = 1
+    ),
+    w(pred_class, target_ppm) AS (VALUES {values}),
+    counts AS (
+      SELECT pred_class, count(*)::BIGINT AS n_rows
+      FROM pred GROUP BY 1
+    ),
+    j AS (
+      SELECT counts.pred_class AS pred_class, n_rows, target_ppm
+      FROM counts JOIN w ON counts.pred_class = w.pred_class
+    ),
+    b AS (
+      SELECT min((n_rows * 1000000) // target_ppm) AS _budget FROM j
+    ),
+    rates AS (
+      SELECT pred_class,
+             least(1000000,
+                   (((target_ppm * _budget) // 1000000) * 1000000)
+                     // n_rows) AS rate_ppm
+      FROM j CROSS JOIN b
+    )
+    SELECT p.doc_id, p.pred_class
+    FROM pred p JOIN rates r ON p.pred_class = r.pred_class
+    WHERE ({h}) % 1000000 < r.rate_ppm
+    """
+
+
+@register(
+    "q_mixture_by_class",
+    _mixture_by_class_oracle(),
+    doc="classifier-routed data mixing "
+    "(operators/classify.py:mixture_sample_by_class): tag every "
+    "document with the multiclass argmax class and resample to a "
+    "target per-class composition — the FineWeb-Edu-style 'route by "
+    "learned domain, then fix the output mixture' step as ONE "
+    "composition (score_bow_multiclass -> sample.mixture_sample on "
+    "the pred_class stratum). Rates are pure int64 arithmetic, "
+    "membership the deterministic id-hash Bernoulli predicate, so "
+    "the kept subset is a pure function of (ids, model, weights, "
+    "salt); the corpus never shuffles for the mix itself. Oracle "
+    "replays train+score+argmax+rates+membership end to end in SQL. "
+    "Late-r13 tail debut, r14 promotion queue (family cover: "
+    "q_bow_multiclass pins the tagger in-window, q_mixture_sample "
+    "the int64 rate/membership machinery).",
+)
+def q_mixture_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.classify import (
+        mixture_sample_by_class,
+        train_bow_multiclass,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bow_multiclass(
+        docs.select("doc_id", "text", F.col("lang").alias("label")),
+        n_buckets=_BOW_B,
+    )
+    return mixture_sample_by_class(
+        docs.select("doc_id", "text"),
+        model,
+        _MIX_CLS_PPM,
+        salt=_MIX_CLS_SALT,
+    ).select("doc_id", "pred_class")
+
+
 def _lang_case_sql() -> str:
     """DuckDB twin of textops.lang_id as a bare CASE expression over a
     column named `text` — shared by q_lang_id and the curation oracle."""
@@ -7518,11 +7794,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # sketch maintainer appends bit-identical partials to the rollup's
     # (its oracle asserts the merge identity the rollup family pins):
     "q_event_funnel": ("q_attribution",),  # same conditional-join machinery
-    # rewired r7 (q_stream_sketch demoted): the mergeable-partials
-    # family is pinned in-window by the CMS twins, whose lossless
-    # range-merge is EXACTLY replayed (strictly stronger than the
-    # HLL property oracle):
-    "q_sketch_rollup": ("q_cms_freq", "q_stream_cms"),
+    # rewired r7 (q_stream_sketch demoted), r13 (q_stream_cms
+    # demoted): the mergeable-partials family is pinned in-window by
+    # q_cms_freq, whose lossless range-merge is EXACTLY replayed
+    # (strictly stronger than the HLL property oracle):
+    "q_sketch_rollup": ("q_cms_freq",),
     # rotated OUT mid-r6 to debut q_bm25_search and q_heavy_hitters;
     # both r5-green: cosine's brute-force scoring is composed inside the
     # in-window IVF entries (probe-all identity), and gram-set Jaccard
@@ -7613,12 +7889,15 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # materialized model through the shared _ivf_pq_probe tail
     # (identity-tested), so the composition stays in-window:
     "q_ann_ivf_pq": ("q_ann_indexed",),
-    # mergeable sketch partials: the CMS twins pin the
+    # mergeable sketch partials: q_cms_freq pins the
     # partial-maintenance + lossless-merge contract in-window with an
-    # EXACT replay (strictly stronger than HLL's property oracle);
-    # HLL-specific merge identity stays pytest- and tail-oracle-pinned
-    # (q_sketch_rollup, test_streaming bit-identity):
-    "q_stream_sketch": ("q_stream_cms", "q_cms_freq"),
+    # EXACT replay (strictly stronger than HLL's property oracle), and
+    # the streamed-artifact maintenance loop with batch bit-parity is
+    # q_stream_classifier's (rewired r13 when q_stream_cms rotated
+    # out); HLL-specific merge identity stays pytest- and
+    # tail-oracle-pinned (q_sketch_rollup, test_streaming
+    # bit-identity):
+    "q_stream_sketch": ("q_cms_freq", "q_stream_classifier"),
     # (the three LATE-r7 DEBUTS that closed this dict — q_containment
     # q_dist_drift q_source_cap — were PROMOTED in r8 as queued)
     #
@@ -7763,9 +8042,9 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     "q_curate_bloom": ("q_curate_corpus", "q_bloom_anti"),
     # streaming ECDF drift: the batch drift computation stays
     # in-window via q_curation_drift (per-day drift-report family) and
-    # the streamed-mergeable-partials contract via q_stream_cms (the
-    # same lossless partial-merge discipline, exactly replayed):
-    "q_stream_drift": ("q_curation_drift", "q_stream_cms"),
+    # the lossless mergeable-partials contract via q_cms_freq (exactly
+    # replayed; rewired r13 when q_stream_cms rotated out):
+    "q_stream_drift": ("q_curation_drift", "q_cms_freq"),
     # PII scrubbing: the regex rewrite-chain machinery runs in-window
     # inside q_clean_text (same sequential-rewrite family), and
     # q_quality_score pins the text-scoring surface it feeds:
@@ -7812,6 +8091,28 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # (same tokenizer + micro-unit scoring discipline) and the
     # conditional pair joins via attribution:
     "q_pmi_collocations": ("q_bm25_search", "q_attribution"),
+    # rotated OUT mid-r13 to seat the NEW q_bow_multiclass family
+    # (new entries must debut in the window); six lifetime rows
+    # (r07-r12): the streamed CMS's oracle asserts the same lossless
+    # bucket-range merge q_cms_freq replays EXACTLY in-window, and the
+    # maintain-an-artifact-by-stream-with-batch-bit-parity discipline
+    # is q_stream_classifier's in-window (four other streaming entries
+    # also remain in the window); the two chains that referenced this
+    # entry (q_sketch_rollup, q_stream_sketch) rewired above in place:
+    "q_stream_cms": ("q_cms_freq", "q_stream_classifier"),
+    # LATE-r13 DEBUT (not a demotion): per-class one-vs-rest confusion
+    # of the multiclass argmax tagger under the holdout protocol —
+    # oracle replays split+train+score+argmax+confusion in SQL; r14
+    # promotion queue. Covered in-window by q_classifier_eval (the
+    # identical guarded-join confusion machinery) and q_bow_multiclass
+    # (the multiclass train/score/argmax itself):
+    "q_multiclass_eval": ("q_classifier_eval", "q_bow_multiclass"),
+    # LATE-r13 DEBUT (not a demotion): classifier-routed data mixing —
+    # oracle replays train+score+argmax+rates+membership in SQL; r14
+    # promotion queue. Covered in-window by q_bow_multiclass (the
+    # tagger) and q_mixture_sample (the int64 rate + hash-Bernoulli
+    # membership machinery, identically composed):
+    "q_mixture_by_class": ("q_bow_multiclass", "q_mixture_sample"),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -7145,3 +7145,356 @@ def test_dedup_components_incremental_matches_batch(spark):
     assert unchanged == {
         (r["node"], r["comp"]) for r in stored.collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# multi-class hashed-BOW classifier (classify.py multiclass family)
+# ---------------------------------------------------------------------------
+
+
+def _mc_python_reference(rows, n_buckets, alpha=1.0):
+    """Plain-Python NB reference: same hash, same smoothing, same
+    micro-unit rounding, argmax ties to the smallest class."""
+    import hashlib
+    import math
+
+    def h64(t):
+        # the portable 60-bit hash (functions.portable_hash64) in pure
+        # Python: first 15 hex chars of md5
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    def buckets(text):
+        return [
+            h64(t) % n_buckets
+            for t in text.lower().split()
+            if t != ""
+        ]
+
+    cnt: dict = {}
+    pri: dict = {}
+    for _id, text, cls in rows:
+        pri[cls] = pri.get(cls, 0) + 1
+        for b in buckets(text):
+            cnt[(cls, b)] = cnt.get((cls, b), 0) + 1
+    tot = {}
+    for (cls, _b), c in cnt.items():
+        tot[cls] = tot.get(cls, 0) + c
+    micro = 1_000_000
+
+    def r(x):
+        # Spark's round(double) goes through BigDecimal.valueOf =
+        # shortest-repr string, then HALF_UP — mirror exactly
+        import decimal
+
+        return int(
+            decimal.Decimal(repr(x * micro)).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    w = {
+        (cls, b): r(
+            math.log((c + alpha) / (tot[cls] + alpha * n_buckets))
+        )
+        for (cls, b), c in cnt.items()
+    }
+    bias = {cls: r(math.log(n)) for cls, n in pri.items()}
+    dflt = {
+        cls: r(
+            math.log(alpha / (tot.get(cls, 0) + alpha * n_buckets))
+        )
+        for cls in pri
+    }
+    out = {}
+    for _id, text, _cls in rows:
+        bs = buckets(text)
+        best = None
+        for cls in sorted(pri):
+            s = bias[cls] + sum(
+                w.get((cls, b), dflt[cls]) for b in bs
+            )
+            if best is None or s > best[1]:
+                best = (cls, s)
+        out[_id] = (len(bs), best[0], best[1])
+    return out
+
+
+def test_multiclass_bow_matches_python_reference(spark):
+    """train + score + argmax against an exact plain-Python NB
+    reference (same portable hash, same smoothing, same micro-unit
+    rounding, ties to the smallest class name) — including a
+    zero-token doc (bias-only argmax) and a class whose tokens never
+    overlap the others."""
+    from inbev_data_engineering_case_spark.operators.classify import (
+        score_bow_multiclass,
+        train_bow_multiclass,
+    )
+
+    rows = [
+        (1, "alpha beta beta alpha", "web"),
+        (2, "alpha alpha gamma", "web"),
+        (3, "def return yield import", "code"),
+        (4, "import numpy def lambda", "code"),
+        (5, "theorem lemma proof", "math"),
+        (6, "proof proof theorem alpha", "math"),
+        (7, "", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label string"
+    )
+    model = train_bow_multiclass(docs, n_buckets=128)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["pred_class"], r["score_micro"])
+        for r in score_bow_multiclass(
+            docs.select("doc_id", "text"), model
+        ).collect()
+    }
+    want = _mc_python_reference(rows, 128)
+    assert got == want
+
+
+def test_multiclass_counts_merge_parity_and_guards(spark):
+    """The incremental-artifact loop: training on the union equals
+    merging a labeled delta's counts into the stored table and
+    re-deriving — byte-identical weights. Guards: NULL class label
+    raises in-plan; <2 classes raises; a double-META merge raises."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.classify import (
+        merge_multiclass_bow_counts,
+        multiclass_bow_counts,
+        multiclass_bow_weights_from_counts,
+        train_bow_multiclass,
+    )
+
+    day1 = [(1, "alpha beta", "a"), (2, "gamma gamma", "b")]
+    day2 = [(3, "alpha alpha delta", "a"), (4, "epsilon", "c")]
+    df1 = spark.createDataFrame(
+        day1, "doc_id long, text string, label string"
+    )
+    df2 = spark.createDataFrame(
+        day2, "doc_id long, text string, label string"
+    )
+    both = df1.unionByName(df2)
+
+    merged = merge_multiclass_bow_counts(
+        multiclass_bow_counts(df1, n_buckets=64),
+        multiclass_bow_counts(df2, n_buckets=64),
+    )
+    inc = {
+        (r["class"], r["bucket"]): r["weight_micro"]
+        for r in multiclass_bow_weights_from_counts(merged).collect()
+    }
+    full = {
+        (r["class"], r["bucket"]): r["weight_micro"]
+        for r in train_bow_multiclass(both, n_buckets=64).collect()
+    }
+    assert inc == full
+
+    # NULL class label raises in-plan
+    bad = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", None)],
+        "doc_id long, text string, label string",
+    )
+    with pytest.raises(Exception, match="NULL"):
+        multiclass_bow_counts(bad, n_buckets=64).collect()
+
+    # one-class table raises at derive time
+    one = spark.createDataFrame(
+        [(1, "x", "a")], "doc_id long, text string, label string"
+    )
+    with pytest.raises(ValueError, match=">= 2 classes"):
+        multiclass_bow_weights_from_counts(
+            multiclass_bow_counts(one, n_buckets=64)
+        )
+
+    # merging two hash spaces leaves two META rows -> derive refuses
+    with pytest.raises(ValueError, match="exactly one META"):
+        multiclass_bow_weights_from_counts(
+            merge_multiclass_bow_counts(
+                multiclass_bow_counts(df1, n_buckets=64),
+                multiclass_bow_counts(df2, n_buckets=128),
+            )
+        )
+
+
+def test_multiclass_eval_confusion_and_guards(spark):
+    """Per-class one-vs-rest confusion on a hand frame (including a
+    class that is only ever PREDICTED — zero support, NULL recall),
+    plus the population-integrity guards with the duplicate guard
+    outranking the per-row ones."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.classify import (
+        evaluate_multiclass_classifier,
+    )
+
+    pred = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "a")],
+        "doc_id long, pred_class string",
+    )
+    labels = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "a"), (5, "a")],
+        "doc_id long, label string",
+    )
+    got = {
+        r["class"]: r.asDict()
+        for r in evaluate_multiclass_classifier(pred, labels).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    a = got["a"]
+    assert (a["tp"], a["fp"], a["fn"], a["tn"]) == (2, 1, 1, 1)
+    assert a["support"] == 3
+    assert a["precision_ppm"] == (2 * 1_000_000) // 3
+    assert a["recall_ppm"] == (2 * 1_000_000) // 3
+    c = got["c"]  # predicted once, never true
+    assert (c["tp"], c["fp"], c["fn"], c["support"]) == (0, 1, 0, 0)
+    assert c["precision_ppm"] == 0 and c["recall_ppm"] is None
+    b = got["b"]
+    assert (b["tp"], b["fp"], b["fn"]) == (1, 0, 1)
+
+    # guards: labeled id with no prediction row
+    with pytest.raises(Exception, match="no prediction row"):
+        evaluate_multiclass_classifier(
+            pred.filter("doc_id != 3"), labels
+        ).collect()
+    # NULL label
+    with pytest.raises(Exception, match="NULL for"):
+        evaluate_multiclass_classifier(
+            pred,
+            spark.createDataFrame(
+                [(1, None)], "doc_id long, label string"
+            ),
+        ).collect()
+    # NULL predicted class (row present)
+    with pytest.raises(Exception, match="NULL class"):
+        evaluate_multiclass_classifier(
+            spark.createDataFrame(
+                [(1, None)], "doc_id long, pred_class string"
+            ),
+            labels.filter("doc_id = 1"),
+        ).collect()
+    # duplicated id outranks the per-row diagnostics even when the
+    # duplicated id ALSO has no prediction row
+    with pytest.raises(Exception, match="duplicated id"):
+        evaluate_multiclass_classifier(
+            pred.filter("doc_id = 1"),
+            spark.createDataFrame(
+                [(1, "a"), (9, "a"), (9, "b")],
+                "doc_id long, label string",
+            ),
+        ).collect()
+
+
+def test_multiclass_separable_holdout_and_score_guards(spark):
+    """End-to-end on linearly separable per-class vocabularies under
+    the hash-split holdout protocol: held-out accuracy 100% for every
+    class. Score-side guards: a model missing its META row refuses,
+    and a class missing its bias/default rows raises in-plan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.classify import (
+        META_BUCKET,
+        evaluate_multiclass_classifier,
+        score_bow_multiclass,
+        train_bow_multiclass,
+    )
+    from inbev_data_engineering_case_spark.operators.curate import (
+        hash_split,
+    )
+
+    vocab = {
+        "web": "news article page link site story",
+        "code": "def class import return lambda yield",
+        "math": "theorem lemma proof integral matrix",
+    }
+    rows = [
+        (i, vocab[cls] + f" v{i}", cls)
+        for i, cls in enumerate(
+            [c for c in vocab for _ in range(60)]
+        )
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label string"
+    )
+    split = hash_split(
+        docs, weights={"train": 0.7, "test": 0.3}, id_col="doc_id"
+    )
+    train = split.filter("split = 'train'")
+    test = split.filter("split = 'test'")
+    model = train_bow_multiclass(train, n_buckets=1 << 12)
+    ev = evaluate_multiclass_classifier(
+        score_bow_multiclass(test.select("doc_id", "text"), model),
+        test.select("doc_id", "label"),
+    ).collect()
+    assert {r["class"] for r in ev} == set(vocab)
+    for r in ev:
+        assert r["support"] > 0
+        assert r["precision_ppm"] == 1_000_000, r
+        assert r["recall_ppm"] == 1_000_000, r
+
+    # META missing -> refuses
+    with pytest.raises(ValueError, match="META"):
+        score_bow_multiclass(
+            docs.select("doc_id", "text"),
+            model.filter(F.col("bucket") != META_BUCKET),
+        )
+    # a class stripped of its bias row raises in-plan
+    broken = model.filter(
+        ~((F.col("class") == "web") & (F.col("bucket") == -1))
+    )
+    with pytest.raises(Exception, match="bias/default"):
+        score_bow_multiclass(
+            docs.select("doc_id", "text"), broken
+        ).collect()
+
+
+def test_mixture_sample_by_class_composition(spark):
+    """The classifier-routed mixing hook equals mixture_sample over
+    the argmax-tagged corpus (same strata, same rates, same hash
+    membership) — the composition can never disagree with its
+    parts."""
+    from inbev_data_engineering_case_spark.operators.classify import (
+        mixture_sample_by_class,
+        score_bow_multiclass,
+        train_bow_multiclass,
+    )
+    from inbev_data_engineering_case_spark.operators.sample import (
+        mixture_sample,
+    )
+
+    vocab = {
+        "web": "news article page link",
+        "code": "def import return lambda",
+    }
+    rows = [
+        (i, vocab["web" if i % 3 else "code"] + f" v{i}",
+         "web" if i % 3 else "code")
+        for i in range(90)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label string"
+    )
+    model = train_bow_multiclass(docs, n_buckets=1 << 12)
+    target = {"web": 300_000, "code": 700_000}
+
+    got = {
+        r["doc_id"]
+        for r in mixture_sample_by_class(
+            docs.select("doc_id", "text"), model, target, salt=7
+        ).collect()
+    }
+    tagged = docs.select("doc_id", "text").join(
+        score_bow_multiclass(
+            docs.select("doc_id", "text"), model
+        ).select("doc_id", "pred_class"),
+        on="doc_id",
+    )
+    want = {
+        r["doc_id"]
+        for r in mixture_sample(
+            tagged, "pred_class", target, salt=7
+        ).collect()
+    }
+    assert got == want and got
