@@ -31,6 +31,7 @@ from inbev_data_engineering_case_spark.operators.dedup import (
     _ensure_parallelism,
     _materialize,
     dedup_components,
+    dedup_components_incremental,
     exact_dedup,
     minhash_dedup_pairs,
     minhash_signatures,
@@ -587,6 +588,8 @@ def curate_incremental(
     bloom_prefilter_bits: int | str | None = None,
     classifier_model: DataFrame | None = None,
     min_score_micro: int = 0,
+    stored_components: DataFrame | None = None,
+    artifacts_out: dict | None = None,
 ) -> DataFrame:
     """The composed daily-crawl pipeline: diff a new snapshot against the
     previous one and curate ONLY the delta against the stored corpus
@@ -638,7 +641,28 @@ def curate_incremental(
     ``advance_corpus_artifacts`` — mode ``"append"`` keeps an updated
     doc's old rows (append-only emission semantics, the default) and
     ``"replace"`` sheds them (current-state semantics); see its
-    docstring for when each is right."""
+    docstring for when each is right.
+
+    ``stored_components`` (default None) plugs the maintained
+    ``(node, comp)`` label artifact into the near-dedup stage: the
+    cluster representatives come from
+    ``dedup.dedup_components_incremental`` — the delta pairs contract
+    through the stored labels and the closure runs on the delta-sized
+    meta-graph — instead of a from-scratch ``dedup_components`` over
+    the delta pair graph. Keep decisions are identical under the
+    artifact loop's own provider (labels over the curation pipeline's
+    pair graph, where every kept document is its cluster's minimal
+    representative — parity-tested), but the closure's iteration
+    count is bounded by the DELTA's structure alone, and the loop
+    gets a maintained global labeling to advance instead of a
+    per-day throwaway.
+
+    ``artifacts_out`` (default None) — pass a dict and the run
+    deposits ``artifacts_out["pairs"]``: today's (materialized) delta
+    pair table, exactly what ``advance_corpus_artifacts``'s
+    ``delta_pairs`` and ``advance_halo_artifacts``'s ``new_pairs``
+    consume — the banding pass is computed once and shared between
+    the keep decision and the artifact advance."""
     from inbev_data_engineering_case_spark.layers import snapshot_diff
     from inbev_data_engineering_case_spark.operators.textops import (
         fingerprint,
@@ -708,10 +732,35 @@ def curate_incremental(
         threshold=near_dup_threshold,
         materialize_mode=materialize_mode,
     )
-    clusters = dedup_components(pairs)
-    drop = clusters.filter(F.col("node") != F.col("comp")).select(
-        F.col("node").alias(id_col)
-    )
+    if artifacts_out is not None:
+        # a second consumer (the artifact advance) will read the pair
+        # table beside the drop decision — 24-byte rows, materialize
+        # once (the _dedup_chain discipline)
+        pairs = _materialize(pairs, materialize_mode)
+        artifacts_out["pairs"] = pairs
+    if stored_components is None:
+        clusters = dedup_components(pairs)
+        drop = clusters.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        # contract the delta through the maintained labels: the
+        # closure runs on the delta-sized meta-graph, and only DELTA
+        # nodes are drop candidates (stored docs keep their
+        # append-only emission — the updated labels cover them, the
+        # drop never does)
+        clusters = dedup_components_incremental(
+            stored_components.select("node", "comp"), pairs
+        )
+        drop = (
+            clusters.filter(F.col("node") != F.col("comp"))
+            .join(
+                eligible.select(F.col(id_col).alias("node")),
+                on="node",
+                how="left_semi",
+            )
+            .select(F.col("node").alias(id_col))
+        )
     # same prefilter family as the batch pipeline's drop join;
     # `eligible` is _materialize'd above (dual-consumer requirement)
     return _drop_anti(eligible, drop, id_col, bloom_prefilter_bits)
@@ -727,7 +776,9 @@ def advance_corpus_artifacts(
     shingle_words: int = DEFAULT_SHINGLE_WORDS,
     mode: str = "append",
     delta_ids: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    stored_components: DataFrame | None = None,
+    delta_pairs: DataFrame | None = None,
+) -> tuple[DataFrame, ...]:
     """The post-run step of the daily-crawl loop: advance the stored
     artifact tables by the newly-kept delta, so tomorrow's
     ``curate_incremental`` dedups against today's corpus without ever
@@ -758,6 +809,24 @@ def advance_corpus_artifacts(
     whole incremental design exists for: historical text is hashed
     exactly once, on the day it arrives.
 
+    ``stored_components`` + ``delta_pairs`` (both or neither) add the
+    CONNECTED-COMPONENTS LABEL table to the advanced set: the return
+    grows to ``(signatures, fingerprints, components)`` with the labels
+    maintained by ``dedup.dedup_components_incremental`` — the stored
+    ``(node, comp)`` table contracts today's pair delta, the closure
+    runs on the delta-sized meta-graph only, and the result is
+    row-identical to re-closing the union pair graph from scratch
+    (the operator's parity contract). ``delta_pairs`` is today's pair
+    table — ``curate_incremental(..., artifacts_out=...)`` hands it
+    out so the banding pass is never repeated; bootstrap
+    ``stored_components`` from a CONVERGED ``dedup_components`` run
+    over the day-0 batch pair graph (``require_convergence=True`` —
+    the incremental operator's provider contract). The label table is
+    append-only GRAPH MEMORY regardless of ``mode``: un-knowing an
+    edge would take a full re-closure, and like the append-mode sigs
+    the labels remember everything ever seen in the pair graph — so
+    ``"replace"`` sheds sig/fp rows but never label rows.
+
     Concurrent writers: this function is a pure transformation; the
     WRITE of its outputs back to the artifact tables is where two
     overlapping runs (a retry racing its original) could interleave and
@@ -771,6 +840,12 @@ def advance_corpus_artifacts(
 
     if mode not in ("append", "replace"):
         raise ValueError(f"mode must be 'append' or 'replace'; got {mode!r}")
+    if (stored_components is None) != (delta_pairs is None):
+        raise ValueError(
+            "advance_corpus_artifacts: stored_components and"
+            " delta_pairs come together — the labels advance by"
+            " contracting today's pair delta (pass both or neither)"
+        )
 
     old_sigs = stored_sigs.select("id", "sig")
     if "keep_id" in stored_fps.columns:
@@ -803,7 +878,75 @@ def advance_corpus_artifacts(
             F.col(id_col).cast("long").alias("keep_id"),
         )
     ).dropDuplicates(["fp", "keep_id"])
+    if stored_components is not None:
+        comps = dedup_components_incremental(
+            stored_components.select("node", "comp"), delta_pairs
+        )
+        return sigs, fps, comps
     return sigs, fps
+
+
+def advance_halo_artifacts(
+    stored_pairs: DataFrame,
+    stored_dist: DataFrame,
+    new_pairs: DataFrame,
+    new_seeds: DataFrame,
+    max_hops: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """The contamination halo's post-run step of the daily-crawl loop:
+    advance the stored halo state by a crawl's delta, so the next
+    day's contamination guard is a table read plus change-sized work —
+    never a from-scratch BFS over the full pair graph.
+
+    The halo state is a PAIR of tables (persist both, one atomic
+    generation — the sigs/fps discipline):
+
+    - ``stored_pairs`` — the near-dup pair graph over everything ever
+      curated, ``(id_a, id_b)`` canonical (``id_a < id_b``): the edge
+      set distances relax over. Advanced as ``stored ∪ new_pairs``
+      (distinct; 16-byte rows, the cheapest artifact in the set).
+    - ``stored_dist`` — ``(node, dist)``: every document within
+      ``max_hops`` near-dup hops of any contamination flag ever
+      raised, with its hop distance. Advanced by
+      ``graph.multi_source_bfs_incremental``: unit-weight
+      min-relaxation from the change set alone (the new seeds plus
+      new-edge endpoints that already carry a distance), row-identical
+      to re-running the batch BFS over the union graph + union seeds
+      (the operator's parity contract).
+
+    ``new_pairs`` is today's delta pair table —
+    ``curate_incremental(..., artifacts_out=...)`` hands it out, so
+    the banding pass is shared with the keep decision. ``new_seeds``
+    is today's newly flagged documents (first column; typically
+    ``decontaminate.contamination_report`` over the delta against the
+    current benchmark — a benchmark UPDATE instead re-flags
+    historically: re-run the report over the stored corpus and feed
+    the new flags here; distances only ever tighten). Like the
+    components labels, halo state is append-only graph memory: flags
+    and distances remember everything ever emitted, which is exactly
+    the guard's job (an emitted document's contamination never
+    un-happens).
+
+    Consume the advanced state by dropping (or quarantining) kept
+    documents whose id appears in the dist table — the composed
+    ``curate_corpus(halo_hops=k)`` drop stage, fed from storage."""
+    from inbev_data_engineering_case_spark.operators.graph import (
+        multi_source_bfs_incremental,
+    )
+
+    edges_old = stored_pairs.select("id_a", "id_b")
+    edges_new = new_pairs.select("id_a", "id_b")
+    pairs = edges_old.unionByName(edges_new).distinct()
+    dist = multi_source_bfs_incremental(
+        edges_old,
+        edges_new,
+        stored_dist.select("node", "dist"),
+        new_seeds,
+        max_hops=max_hops,
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    return pairs, dist
 
 
 def hash_split(

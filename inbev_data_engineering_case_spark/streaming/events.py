@@ -1067,18 +1067,23 @@ CORPUS_ARTIFACT_PREFIX = "corpusart"
 
 
 def read_corpus_artifacts(
-    spark: SparkSession, state_dir: str, with_grams: bool = False
+    spark: SparkSession,
+    state_dir: str,
+    with_grams: bool = False,
+    with_components: bool = False,
 ):
     """``(signatures, fingerprints)`` — plus the containment gram
-    table when ``with_grams=True`` — from the latest committed
-    corpus-artifact snapshot (the set ``run_stream_artifact_update``
-    maintains): signatures as ``(id, sig)``, fingerprints as
-    ``(fp, keep_id)``, grams as ``build_gram_table`` output — exactly
-    the stored-state inputs ``curate_incremental``,
+    table when ``with_grams=True``, plus the connected-components
+    label table when ``with_components=True`` (in that order) — from
+    the latest committed corpus-artifact snapshot (the set
+    ``run_stream_artifact_update`` maintains): signatures as
+    ``(id, sig)``, fingerprints as ``(fp, keep_id)``, grams as
+    ``build_gram_table`` output, components as ``(node, comp)`` —
+    exactly the stored-state inputs ``curate_incremental``,
     ``advance_corpus_artifacts``, and ``incremental_containment_pairs``
     consume. Raises ``FileNotFoundError`` when no snapshot has ever
-    committed, and a clear error when grams are requested from a
-    stream that was not maintaining them (``gram_n=None``)."""
+    committed, and a clear error when grams/components are requested
+    from a stream that was not maintaining them."""
     from inbev_data_engineering_case_spark.layers import latest_snapshot
 
     snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
@@ -1086,17 +1091,28 @@ def read_corpus_artifacts(
         spark.read.parquet(os.path.join(snap, "sigs")),
         spark.read.parquet(os.path.join(snap, "fps")),
     )
-    if not with_grams:
-        return out
-    gram_dir = os.path.join(snap, "grams")
-    if not os.path.isdir(gram_dir):
-        raise FileNotFoundError(
-            f"no gram table in snapshot {snap} — the maintaining stream "
-            "ran with gram_n=None; backfill once with "
-            "backfill_gram_table(corpus, state_dir), then re-run the "
-            "stream with gram_n set to keep maintaining it"
-        )
-    return (*out, spark.read.parquet(gram_dir))
+    if with_grams:
+        gram_dir = os.path.join(snap, "grams")
+        if not os.path.isdir(gram_dir):
+            raise FileNotFoundError(
+                f"no gram table in snapshot {snap} — the maintaining "
+                "stream ran with gram_n=None; backfill once with "
+                "backfill_gram_table(corpus, state_dir), then re-run "
+                "the stream with gram_n set to keep maintaining it"
+            )
+        out = (*out, spark.read.parquet(gram_dir))
+    if with_components:
+        comps_dir = os.path.join(snap, "comps")
+        if not os.path.isdir(comps_dir):
+            raise FileNotFoundError(
+                f"no comps table in snapshot {snap} — the maintaining "
+                "stream ran with components=False; backfill once with "
+                "backfill_components_table(corpus, state_dir), then "
+                "re-run the stream with components=True to keep "
+                "maintaining it"
+            )
+        out = (*out, spark.read.parquet(comps_dir))
+    return out
 
 
 def backfill_gram_table(
@@ -1186,6 +1202,109 @@ def backfill_gram_table(
     )
 
 
+def backfill_components_table(
+    corpus: DataFrame,
+    state_dir: str,
+    near_dup_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int | None = None,
+    shingle_words: int | None = None,
+) -> str:
+    """One-time connected-components backfill for a corpus-artifact
+    lineage that was maintained WITHOUT ``components=True``: computes
+    the near-dup pair graph over the full stored corpus
+    (``dedup.minhash_dedup_pairs`` at ``near_dup_threshold``) and the
+    CONVERGED label closure, committing it as the ``comps`` table of a
+    NEW snapshot generation alongside the parent's sigs/fps (and
+    grams, when present) — atomically, through the same optimistic
+    ``commit_snapshot`` the stream uses. After the backfill, restart
+    the stream with ``components=True`` (and the same banding
+    geometry) and it advances the labels incrementally from there.
+
+    Convergence matters here: a stored label must BE the minimum node
+    id of its component — that is what makes
+    ``dedup_components_incremental``'s contraction correct — so this
+    runs ``require_convergence=True``. The same full-corpus-coverage
+    guard as the gram backfill applies: any stored sig id missing from
+    ``corpus`` raises (a label table that missed history's edges would
+    silently mislabel every future merge through a historical
+    cluster).
+
+    Returns the committed snapshot path. One corpus banding pass +
+    one closure — a one-time cost, never part of the steady-state
+    loop."""
+    from inbev_data_engineering_case_spark.layers import (
+        commit_snapshot,
+        latest_snapshot,
+        next_run_after,
+        run_id_of,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components,
+        minhash_dedup_pairs,
+    )
+
+    spark = corpus.sparkSession
+    snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
+    if os.path.isdir(os.path.join(snap, "comps")):
+        raise ValueError(
+            f"snapshot {snap} already carries a comps table — nothing"
+            " to backfill; run the stream with components=True to keep"
+            " maintaining it"
+        )
+    sigs = spark.read.parquet(os.path.join(snap, "sigs"))
+    fps = spark.read.parquet(os.path.join(snap, "fps"))
+    grams = None
+    if os.path.isdir(os.path.join(snap, "grams")):
+        grams = spark.read.parquet(os.path.join(snap, "grams"))
+    missing = (
+        sigs.select(F.col("id"))
+        .distinct()
+        .join(
+            corpus.select(F.col(id_col).cast("long").alias("id")),
+            on="id",
+            how="left_anti",
+        )
+        .count()
+    )
+    if missing:
+        raise ValueError(
+            f"backfill_components_table: {missing} stored document"
+            " id(s) are missing from the supplied corpus — a label"
+            " table that missed history's edges would silently"
+            " mislabel future merges; pass the FULL stored corpus text"
+        )
+    pair_kw = {}
+    if num_hashes is not None:
+        pair_kw["num_hashes"] = num_hashes
+    if shingle_words is not None:
+        pair_kw["shingle_words"] = shingle_words
+    comps = dedup_components(
+        minhash_dedup_pairs(
+            corpus, text_col, id_col,
+            threshold=near_dup_threshold, **pair_kw,
+        ),
+        require_convergence=True,
+    )
+    parent = run_id_of(snap, CORPUS_ARTIFACT_PREFIX)
+
+    def write_all(staging: str) -> None:
+        sigs.write.parquet(os.path.join(staging, "sigs"))
+        fps.write.parquet(os.path.join(staging, "fps"))
+        if grams is not None:
+            grams.write.parquet(os.path.join(staging, "grams"))
+        comps.write.parquet(os.path.join(staging, "comps"))
+
+    return commit_snapshot(
+        state_dir,
+        next_run_after(parent),
+        write_all,
+        expected_parent=parent,
+        prefix=CORPUS_ARTIFACT_PREFIX,
+    )
+
+
 def run_stream_artifact_update(
     docs_stream: DataFrame,
     state_dir: str,
@@ -1199,6 +1318,8 @@ def run_stream_artifact_update(
     keep_snapshots: int | None = None,
     gram_n: int | None = None,
     gram_portable: bool = True,
+    components: bool = False,
+    near_dup_threshold: float = 0.5,
 ) -> dict[str, int]:
     """Streaming maintenance of the DEDUP STATE the daily-crawl loop
     reads: each micro-batch of kept documents advances the stored
@@ -1241,6 +1362,26 @@ def run_stream_artifact_update(
     stale gram rows anti-join out first. ``gram_portable`` follows
     ``build_gram_table``'s hash-kind contract and rides the state.
 
+    ``components=True`` additionally maintains the connected-
+    components LABEL table (``(node, comp)`` — the near-dup cluster
+    membership of everything ever emitted) in the same atomic
+    snapshot: each batch's pair delta
+    (``curate.incremental_minhash_pairs`` against the parent sigs at
+    ``near_dup_threshold``) contracts through the stored labels via
+    ``dedup.dedup_components_incremental`` — the closure runs on the
+    batch-sized meta-graph, never the full pair graph, and the result
+    is row-identical to re-closing the union graph (the operator's
+    parity contract). Replay idempotence is structural: a re-applied
+    batch's pairs are already reflected in the labels, so the
+    contraction maps every edge endpoint into its own component and
+    the relabel is a no-op. Like the gram table, enabling components
+    on an existing lineage requires a one-time
+    ``backfill_components_table`` (a label table that missed
+    history's edges would silently mislabel every future merge
+    through a historical cluster). The label table is append-only
+    graph memory regardless of ``mode`` — un-knowing an edge would
+    take a full re-closure, so ``'replace'`` never sheds label rows.
+
     Returns ``query_metrics``.
     """
     from inbev_data_engineering_case_spark.layers import (
@@ -1274,6 +1415,7 @@ def run_stream_artifact_update(
         if not batch.take(1):
             return
         stored_grams = None
+        stored_comps = None
         try:
             parent_snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
             stored_sigs = spark.read.parquet(
@@ -1325,12 +1467,37 @@ def run_stream_artifact_update(
                         " match the geometry or rebuild via"
                         " backfill_gram_table on a fresh state_dir"
                     )
+            if components:
+                comps_dir = os.path.join(parent_snap, "comps")
+                if not os.path.isdir(comps_dir):
+                    # same reasoning as the gram guard: a label table
+                    # seeded mid-lineage misses every historical edge,
+                    # so a future batch merging through a historical
+                    # cluster would silently take the wrong label —
+                    # require the explicit one-time backfill instead
+                    raise ValueError(
+                        "run_stream_artifact_update: components=True"
+                        f" but the parent snapshot {parent_snap} has"
+                        " no comps table — enabling label maintenance"
+                        " on an existing stream needs a one-time"
+                        " backfill: run backfill_components_table("
+                        "corpus, state_dir) over the FULL stored"
+                        " corpus (it commits the labels alongside the"
+                        " stored sigs/fps in one snapshot), then"
+                        " restart the stream (or start a fresh"
+                        " state_dir)"
+                    )
+                stored_comps = spark.read.parquet(comps_dir)
             parent = run_id_of(parent_snap, CORPUS_ARTIFACT_PREFIX)
         except FileNotFoundError:  # first generation ever
             stored_sigs = spark.createDataFrame(
                 [], "id long, sig array<bigint>"
             )
             stored_fps = spark.createDataFrame([], "fp long, keep_id long")
+            if components:
+                stored_comps = spark.createDataFrame(
+                    [], "node long, comp long"
+                )
             parent = None
         sigs, fps = advance_corpus_artifacts(
             batch, stored_sigs, stored_fps,
@@ -1355,12 +1522,37 @@ def run_stream_artifact_update(
                     )
                 grams = old.unionByName(new_grams)
             grams = grams.dropDuplicates([id_col, "gram_h"])
+        comps = None
+        if components:
+            from inbev_data_engineering_case_spark.operators.curate import (
+                incremental_minhash_pairs,
+            )
+            from inbev_data_engineering_case_spark.operators.dedup import (
+                dedup_components_incremental,
+            )
+
+            # the batch's pair delta against the PARENT sigs (the
+            # batch's own sigs are not in them yet; on a replay they
+            # are, and the self-pair guard + distinct make the pair
+            # set identical either way — the idempotence argument in
+            # the docstring)
+            pairs = incremental_minhash_pairs(
+                batch,
+                stored_sigs,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=near_dup_threshold,
+                **adv_kw,
+            )
+            comps = dedup_components_incremental(stored_comps, pairs)
 
         def write_pair(staging: str) -> None:
             sigs.write.parquet(os.path.join(staging, "sigs"))
             fps.write.parquet(os.path.join(staging, "fps"))
             if grams is not None:
                 grams.write.parquet(os.path.join(staging, "grams"))
+            if comps is not None:
+                comps.write.parquet(os.path.join(staging, "comps"))
 
         commit_snapshot(
             state_dir,

@@ -1725,3 +1725,174 @@ def test_stream_classifier_counts_maintenance(spark, tmp_path):
         map(tuple, read_classifier_counts(spark, state).collect())
     )
     assert after == before
+
+
+def test_stream_artifact_update_maintains_components_labels(
+    spark, tmp_path
+):
+    """components=True: the connected-components label table advances
+    from the document stream in the SAME atomic snapshot as sigs/fps —
+    two micro-batches (the second near-duping the first's doc), the
+    drained labels equal the converged batch closure over the union
+    pair graph, and a full replay from a fresh checkpoint changes
+    nothing (the contraction of already-reflected edges is a no-op)."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components,
+        minhash_dedup_pairs,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_corpus_artifacts,
+        run_stream_artifact_update,
+    )
+
+    state = str(tmp_path / "artifacts")
+    src = str(tmp_path / "doc_feed")
+    t1 = (
+        "the quick brown fox jumps over the lazy dog near the barn "
+        "while the farmer watches from the porch in the evening"
+    )
+    batch1 = spark.createDataFrame(
+        [(1, t1),
+         (3, "an entirely different second document about rivers and "
+             "the bridges that the engineers built across the valley")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        # 11 near-dups 1 (cross-batch pair edge); 13 fresh
+        [(11, t1 + " tonight"),
+         (13, "a third unrelated page on the orchards and the apples "
+              "that the children gather in the baskets every autumn")],
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    run_stream_artifact_update(
+        stream(), state, str(tmp_path / "ckpt"), components=True
+    )
+    sigs, fps, comps = read_corpus_artifacts(
+        spark, state, with_components=True
+    )
+    got = {(r["node"], r["comp"]) for r in comps.collect()}
+    want = {
+        (r["node"], r["comp"])
+        for r in dedup_components(
+            minhash_dedup_pairs(batch1.unionByName(batch2)),
+            require_convergence=True,
+        ).collect()
+    }
+    assert got == want
+    assert (1, 1) in got and (11, 1) in got  # the cross-batch cluster
+
+    # every generation carries the labels beside sigs/fps
+    import os as _os
+
+    gens = sorted(
+        d for d in _os.listdir(state) if d.startswith("corpusart_")
+    )
+    assert len(gens) == 2
+    for g in gens:
+        assert _os.path.isdir(_os.path.join(state, g, "comps"))
+
+    # full replay: idempotent (re-applied pairs relabel nothing)
+    run_stream_artifact_update(
+        stream(), state, str(tmp_path / "ckpt2"), components=True
+    )
+    _, _, comps_r = read_corpus_artifacts(
+        spark, state, with_components=True
+    )
+    assert {(r["node"], r["comp"]) for r in comps_r.collect()} == want
+
+
+def test_stream_components_upgrade_requires_backfill_and_closes(
+    spark, tmp_path
+):
+    """Enabling components=True on an existing label-less lineage must
+    raise naming backfill_components_table; the backfill commits the
+    converged full-corpus closure beside the parent's sigs/fps (a
+    partial corpus raises; an already-labeled lineage raises); and the
+    stream then resumes WITH components=True, advancing the
+    backfilled labels incrementally."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components,
+        minhash_dedup_pairs,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        backfill_components_table,
+        read_corpus_artifacts,
+        run_stream_artifact_update,
+    )
+
+    state = str(tmp_path / "artifacts")
+    src = str(tmp_path / "doc_feed")
+    t1 = (
+        "the quick brown fox jumps over the lazy dog near the barn "
+        "while the farmer watches from the porch in the evening"
+    )
+    batch1 = spark.createDataFrame(
+        [(1, t1), (2, t1 + " quietly")],
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # generation 1: labels off
+    run_stream_artifact_update(stream(), state, str(tmp_path / "c1"))
+    with pytest.raises(Exception, match="backfill_components_table"):
+        run_stream_artifact_update(
+            stream(), state, str(tmp_path / "c2"), components=True
+        )
+
+    # reader refuses too
+    with pytest.raises(FileNotFoundError, match="comps"):
+        read_corpus_artifacts(spark, state, with_components=True)
+
+    # partial corpus raises; the full one commits
+    with pytest.raises(ValueError, match="FULL stored corpus"):
+        backfill_components_table(batch1.filter("doc_id = 1"), state)
+    backfill_components_table(batch1, state)
+    with pytest.raises(ValueError, match="already carries"):
+        backfill_components_table(batch1, state)
+    _, _, comps0 = read_corpus_artifacts(
+        spark, state, with_components=True
+    )
+    assert {(r["node"], r["comp"]) for r in comps0.collect()} == {
+        (1, 1), (2, 1),
+    }
+
+    # resume with components=True: a new batch near-duping doc 1 joins
+    # cluster 1 through the backfilled labels
+    batch2 = spark.createDataFrame(
+        [(9, t1 + " again")], "doc_id long, text string"
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    run_stream_artifact_update(
+        stream(), state, str(tmp_path / "c3"), components=True
+    )
+    _, _, comps1 = read_corpus_artifacts(
+        spark, state, with_components=True
+    )
+    got = {(r["node"], r["comp"]) for r in comps1.collect()}
+    want = {
+        (r["node"], r["comp"])
+        for r in dedup_components(
+            minhash_dedup_pairs(batch1.unionByName(batch2)),
+            require_convergence=True,
+        ).collect()
+    }
+    assert got == want and (9, 1) in got
