@@ -1377,6 +1377,9 @@ def curation_report(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize_mode: str = "local",
+    benchmark: DataFrame | None = None,
+    decontaminate_ngram: int = 8,
+    halo_hops: int | None = None,
 ) -> DataFrame:
     """Pipeline observability for ``curate_corpus``: one row per stage
     with the surviving document count — ``(stage_idx, stage,
@@ -1385,16 +1388,37 @@ def curation_report(
     (a lang-ID regression, an exploding near-dup cluster) shows up as a
     step change here long before anyone inspects the corpus itself.
 
-    Shares the engine's own stages (``score_documents`` and the
-    ``_dedup_chain`` helper ``curate_corpus`` itself calls) with
+    ``benchmark`` adds the decontamination stage the composed pipeline
+    runs, in its own position: without ``halo_hops`` a
+    ``decontaminate`` row between quality and exact_dedup (the direct
+    n-gram drop's spot); with ``halo_hops`` the drop defers past the
+    dedup chain exactly as in ``curate_corpus`` — flagged documents
+    stay in the pair graph — and a final ``halo`` row counts the
+    survivors of the transitive drop. Without it, a ``halo_hops`` run's
+    contamination drop would be INVISIBLE to the day-over-day
+    ``curation_drift`` alarm: a benchmark update that suddenly halos
+    10% of the corpus must trip the stage z-score, so the stage must
+    be a funnel row. Stage indices are positional (names are the
+    drift alarm's key), and ``halo_hops`` requires ``benchmark`` —
+    same validation as the pipeline.
+
+    Shares the engine's own stages (``score_documents``,
+    ``decontaminate``/``contamination_report``, the ``_dedup_chain``
+    helper, and the BFS halo walk ``curate_corpus`` itself runs) with
     identical parameters, so its counts are STRUCTURALLY the
     cardinalities of ``curate_corpus``'s intermediate frames — the
-    final row always equals ``curate_corpus(...).count()``. The scored
-    corpus materializes once (same ``materialize_mode`` contract) and
-    the three filter-stage counts come from ONE conditional aggregation
-    over it; invoked standalone it costs roughly one curation run (it
-    IS the pipeline, instrumented).
+    final row always equals ``curate_corpus(...)`` with the same
+    arguments ``.count()``. The scored corpus materializes once (same
+    ``materialize_mode`` contract) and the three filter-stage counts
+    come from ONE conditional aggregation over it; invoked standalone
+    it costs roughly one curation run (it IS the pipeline,
+    instrumented).
     """
+    if halo_hops is not None and benchmark is None:
+        raise ValueError(
+            "curation_report: halo_hops requires benchmark (the halo"
+            " seeds are the direct n-gram contamination flags)"
+        )
     scored = _materialize(
         score_documents(documents, text_col, id_col), materialize_mode
     )
@@ -1407,21 +1431,61 @@ def curation_report(
     )
 
     eligible = _materialize(scored.filter(quality_ok), materialize_mode)
-    after_exact, final, _, _ = _dedup_chain(
-        eligible, text_col, id_col, near_dup_threshold, materialize_mode
-    )
-    n_exact = after_exact.count()
-    n_final = final.count()
     r = head.first()
+    stages: list[tuple[str, int]] = [
+        ("input", r["_input"]),
+        ("lang", r["_lang"]),
+        ("quality", r["_quality"]),
+    ]
+    halo_seeds = None
+    if benchmark is not None:
+        from inbev_data_engineering_case_spark.operators.decontaminate import (
+            contamination_report,
+            decontaminate,
+        )
+
+        if halo_hops is None:
+            # the plain pipeline drops directly at this spot
+            eligible = _materialize(
+                decontaminate(
+                    eligible, benchmark, n=decontaminate_ngram,
+                    id_col=id_col, text_col=text_col,
+                ),
+                materialize_mode,
+            )
+            stages.append(("decontaminate", eligible.count()))
+        else:
+            # halo mode: flags here, drop deferred past the dedup
+            # chain (the curate_corpus ordering), so no funnel row
+            # until the halo stage itself
+            halo_seeds = contamination_report(
+                eligible, benchmark, n=decontaminate_ngram,
+                id_col=id_col, text_col=text_col,
+            ).select(id_col)
+    after_exact, final, _, dedup_pairs = _dedup_chain(
+        eligible, text_col, id_col, near_dup_threshold, materialize_mode,
+        materialize_pairs=halo_seeds is not None,
+    )
+    stages.append(("exact_dedup", after_exact.count()))
+    stages.append(("near_dedup", final.count()))
+    if halo_seeds is not None:
+        from inbev_data_engineering_case_spark.operators.graph import (
+            multi_source_bfs,
+        )
+
+        halo_nodes = multi_source_bfs(
+            dedup_pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            ),
+            halo_seeds,
+            max_hops=halo_hops,
+        ).select(F.col("node").alias(id_col))
+        stages.append(
+            ("halo", _drop_anti(final, halo_nodes, id_col, None).count())
+        )
     spark = documents.sparkSession
     return spark.createDataFrame(
-        [
-            (1, "input", r["_input"]),
-            (2, "lang", r["_lang"]),
-            (3, "quality", r["_quality"]),
-            (4, "exact_dedup", n_exact),
-            (5, "near_dedup", n_final),
-        ],
+        [(i + 1, name, n) for i, (name, n) in enumerate(stages)],
         "stage_idx int, stage string, survivors bigint",
     )
 

@@ -5762,10 +5762,70 @@ def _curation_report_oracle(
     languages: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
     threshold: float = 0.5,
+    halo_hops: int | None = None,
 ) -> str:
     langs = ", ".join(f"'{lang}'" for lang in languages)
+    corpus_sql = (
+        # the q_curate_halo fixture: sentinel rides the HIGHER-id
+        # near-dup copy, so dedup keeps the clean original and only
+        # the halo stage can drop it
+        f"""
+    (SELECT doc_id, text FROM documents
+     UNION ALL
+     SELECT doc_id + 200000 AS doc_id,
+            text || CASE WHEN doc_id % 40 = 0
+                         THEN ' {_HALO_SENTINEL}'
+                         ELSE ' the end' END AS text
+     FROM documents)
+    """
+        if halo_hops is not None
+        else _SQL_CORPUS_NEAR
+    )
+    word_split = (
+        "regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\x0b\\f\\r]+')"
+    )
+    halo_block = (
+        ""
+        if halo_hops is None
+        else f"""
+    bgrams AS (
+      SELECT DISTINCT (('0x' || substr(md5(g), 1, 15)))::BIGINT AS gram_h
+      FROM (SELECT unnest({_SQL_DECON_GRAMS}) AS g
+            FROM (SELECT regexp_split_to_array(
+                    trim(lower('{_HALO_SENTINEL}')),
+                    '[ \\t\\n\\x0b\\f\\r]+') AS w))
+    ),
+    direct AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(list_distinct({_SQL_DECON_GRAMS})) AS g
+            FROM (SELECT doc_id, {word_split} AS w FROM eligible))
+      JOIN bgrams
+        ON (('0x' || substr(md5(g), 1, 15)))::BIGINT = gram_h
+    ),
+    symh AS (
+      SELECT id_a AS src, id_b AS dst FROM mh
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM mh
+    ),
+    halo(node, dist) AS (
+      SELECT doc_id, 0 FROM direct
+      UNION ALL
+      SELECT s.dst, h.dist + 1
+      FROM halo h JOIN symh s ON s.src = h.node
+      WHERE h.dist < {halo_hops}
+    ),
+    halo_n AS (SELECT DISTINCT node FROM halo),
+    n6 AS (SELECT count(*) AS n FROM survivors
+           WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+             AND doc_id NOT IN (SELECT node FROM halo_n)),"""
+    )
+    halo_select = (
+        ""
+        if halo_hops is None
+        else "\n    UNION ALL SELECT 6, 'halo', CAST(n AS BIGINT) FROM n6"
+    )
     return f"""
-    WITH RECURSIVE corpus AS (SELECT * FROM {_SQL_CORPUS_NEAR} AS c0),
+    WITH RECURSIVE corpus AS (SELECT * FROM {corpus_sql} AS c0),
     scored AS (
       SELECT doc_id, text,
              {_lang_case_sql()} AS lang,
@@ -5798,7 +5858,7 @@ def _curation_report_oracle(
       WHERE {_sig_match_sql("a", "b")} >= {threshold}
     ),
     {_components_closure_sql()},
-    dropped AS (SELECT node AS doc_id FROM comp WHERE node != comp),
+    dropped AS (SELECT node AS doc_id FROM comp WHERE node != comp),{halo_block}
     n4 AS (SELECT count(*) AS n FROM survivors),
     n5 AS (SELECT count(*) AS n FROM survivors
            WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
@@ -5807,7 +5867,7 @@ def _curation_report_oracle(
     UNION ALL SELECT 2, 'lang', CAST(n_lang AS BIGINT) FROM head
     UNION ALL SELECT 3, 'quality', CAST(n_quality AS BIGINT) FROM head
     UNION ALL SELECT 4, 'exact_dedup', CAST(n AS BIGINT) FROM n4
-    UNION ALL SELECT 5, 'near_dedup', CAST(n AS BIGINT) FROM n5
+    UNION ALL SELECT 5, 'near_dedup', CAST(n AS BIGINT) FROM n5{halo_select}
     """
 
 
@@ -5833,6 +5893,48 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return curation_report(_corpus_near(spark, sf_dir))
+
+
+@register(
+    "q_curation_report_halo",
+    _curation_report_oracle(halo_hops=2),
+    doc="the curation funnel with the contamination-halo stage "
+    "(curate.curation_report benchmark=..., halo_hops=2): the direct "
+    "n-gram flags are computed at the decontamination spot but the "
+    "drop defers past the dedup chain exactly as in curate_corpus "
+    "(flagged documents stay in the pair graph), and a final 'halo' "
+    "funnel row counts the survivors of the transitive BFS drop — "
+    "without it, a benchmark update that suddenly halos a chunk of "
+    "the corpus would be INVISIBLE to the day-over-day "
+    "curation_drift alarm (r12 VERDICT ask). Same q_curate_halo "
+    "fixture (the sentinel rides the HIGHER-id near-dup copy, so "
+    "only the halo can drop the clean cluster representative); "
+    "oracle replays the funnel + direct-flag gram join + bounded "
+    "recursive-CTE BFS in SQL. Late-r13 tail debut, r14 promotion "
+    "queue (family cover: q_curation_drift pins the stage-funnel "
+    "machinery in-window, q_curate_halo the identical deferred-drop "
+    "halo composition).",
+)
+def q_curation_report_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curation_report,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(
+                "text",
+                F.when(
+                    F.col("doc_id") % 40 == 0,
+                    F.lit(" " + _HALO_SENTINEL),
+                ).otherwise(F.lit(" the end")),
+            ).alias("text"),
+        )
+    )
+    bench = spark.createDataFrame([(_HALO_SENTINEL,)], "text string")
+    return curation_report(corpus, benchmark=bench, halo_hops=2)
 
 
 @register(
@@ -8113,6 +8215,13 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # tagger) and q_mixture_sample (the int64 rate + hash-Bernoulli
     # membership machinery, identically composed):
     "q_mixture_by_class": ("q_bow_multiclass", "q_mixture_sample"),
+    # LATE-r13 DEBUT (not a demotion): the curation funnel with the
+    # halo stage — oracle replays funnel+flags+BFS in SQL; r14
+    # promotion queue. Covered in-window by q_curation_drift (the
+    # stage-funnel/drift family; q_curation_report is its named
+    # stand-in chain) and q_curate_halo (the identical deferred-drop
+    # halo composition, directly driver-green in r12):
+    "q_curation_report_halo": ("q_curation_drift", "q_curate_halo"),
 }
 
 for _name in _FAMILY_STAND_INS:

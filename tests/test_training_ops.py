@@ -3937,6 +3937,97 @@ def test_curation_report_matches_pipeline_cardinalities(spark):
     assert report["near_dedup"] == curate_corpus(docs).count()
 
 
+def test_curation_report_surfaces_decontamination_and_halo(spark):
+    """The decontamination stages are funnel rows (r12 VERDICT ask —
+    a halo run's contamination drop must be visible to the
+    day-over-day alarm): with a benchmark, a 'decontaminate' row lands
+    at the direct drop's spot and the final row equals
+    curate_corpus(benchmark=...); with halo_hops, the drop defers past
+    the dedup chain (no mid-funnel row) and a final 'halo' row equals
+    curate_corpus(benchmark=..., halo_hops=...) — including the
+    contaminated-by-association representative only the halo drops.
+    halo_hops without benchmark raises, same as the pipeline. A
+    collapse in the halo stage trips curation_drift like any other
+    stage (the alarm keys on stage names, so the new row is armed for
+    free)."""
+    import datetime
+
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+        curation_drift,
+        curation_report,
+    )
+
+    bench_text = (
+        "this exact benchmark passage with its very specific wording "
+        "must never appear inside any document of the training corpus"
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    docs = spark.createDataFrame(
+        [
+            # 1 and 2 directly flagged (verbatim + tail paraphrase)
+            (1, bench_text),
+            (2, bench_text + " with a small harmless tail added"),
+            (3, "an entirely clean document about the weather and the "
+                "mountains where the hikers rest by the little stream"),
+            # 5 clean, kept as cluster rep; 6 contaminated near-dup of
+            # 5 (higher id, dropped by dedup) — plain decontamination
+            # never drops 5, only the halo does (1 hop via the pair)
+            (5, "a long and ordinary english report on the harvest and "
+                "the carts that the farmers drive to the market today"),
+            (6, "a long and ordinary english report on the harvest and "
+                "the carts that the farmers drive to the market today "
+                + bench_text),
+        ],
+        "doc_id long, text string",
+    )
+
+    with pytest.raises(ValueError, match="requires benchmark"):
+        curation_report(docs, halo_hops=2)
+
+    plain = {
+        r["stage"]: r["survivors"]
+        for r in curation_report(docs, min_quality=0.0, benchmark=bench).collect()
+    }
+    assert "decontaminate" in plain and "halo" not in plain
+    assert plain["decontaminate"] == 2  # docs 1, 2, 6 directly flagged
+    assert plain["near_dedup"] == curate_corpus(
+        docs, min_quality=0.0, benchmark=bench
+    ).count()
+
+    halo = {
+        r["stage"]: r["survivors"]
+        for r in curation_report(
+            docs, min_quality=0.0, benchmark=bench, halo_hops=2
+        ).collect()
+    }
+    assert "decontaminate" not in halo  # the drop is deferred
+    want_kept = curate_corpus(
+        docs, min_quality=0.0, benchmark=bench, halo_hops=2
+    )
+    assert halo["halo"] == want_kept.count() == 1
+    assert {r["doc_id"] for r in want_kept.collect()} == {3}
+    # positional indices stay contiguous in both shapes
+    for rep in (plain, halo):
+        assert len(rep) == 6
+    # the halo row arms the drift alarm: a stable halo series with a
+    # day-15 collapse flags exactly that (stage, day)
+    d0 = datetime.date(2024, 3, 1)
+    rows = []
+    for i in range(15):
+        rows.append((d0 + datetime.timedelta(days=i), "halo", 900 + i % 2))
+    rows.append((d0 + datetime.timedelta(days=15), "halo", 90))
+    out = curation_drift(
+        spark.createDataFrame(rows, "day date, stage string, survivors long"),
+        window_days=12,
+    ).collect()
+    flagged = [r for r in out if r["is_drift"]]
+    assert len(flagged) == 1 and flagged[0]["stage"] == "halo"
+    assert flagged[0]["day"] == d0 + datetime.timedelta(days=15)
+
+
 def test_curation_drift_flags_injected_collapse(spark):
     """Known-answer drift alarm: 15 days of stable per-stage funnel
     counts with small jitter, then day 15's quality stage collapses —
