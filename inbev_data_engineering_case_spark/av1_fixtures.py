@@ -184,104 +184,6 @@ def mux_av1_mp4(av1c, w, h, sample):
     return ftyp + mdat + box(b"moov", mvhd + box(b"trak", tkhd + mdia))
 
 
-def mux_av1_mp4(av1c, w, h, sample):
-    """Fixture-side minimal AV1-in-MP4 muxer: ftyp + mdat + moov with one
-    video track whose stbl tables (stsd/av01+av1C, stts, stss, stsc,
-    stsz, stco) describe the single keyframe sample."""
-    import struct
-
-    def box(t, body):
-        return struct.pack(">I", 8 + len(body)) + t + body
-
-    def fullbox(t, ver, flags, body):
-        return box(t, bytes([ver]) + flags.to_bytes(3, "big") + body)
-
-    matrix = struct.pack(
-        ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
-    )
-    ftyp = box(b"ftyp", b"isom" + b"\x00" * 4 + b"isomav01mp41")
-    mdat = box(b"mdat", sample)
-    off = len(ftyp) + 8  # absolute offset of the sample in the file
-    av01 = box(
-        b"av01",
-        b"\x00" * 6
-        + struct.pack(">H", 1)  # data_reference_index
-        + b"\x00" * 16
-        + struct.pack(">HH", w, h)
-        + struct.pack(">II", 0x00480000, 0x00480000)
-        + b"\x00" * 4
-        + struct.pack(">H", 1)  # frame_count
-        + b"\x00" * 32
-        + struct.pack(">Hh", 24, -1)
-        + av1c,
-    )
-    stbl = box(
-        b"stbl",
-        fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + av01)
-        + fullbox(b"stts", 0, 0, struct.pack(">III", 1, 1, 1000))
-        + fullbox(b"stss", 0, 0, struct.pack(">II", 1, 1))
-        + fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
-        + fullbox(b"stsz", 0, 0, struct.pack(">III", 0, 1, len(sample)))
-        + fullbox(b"stco", 0, 0, struct.pack(">II", 1, off)),
-    )
-    minf = box(
-        b"minf",
-        fullbox(b"vmhd", 0, 1, b"\x00" * 8)
-        + box(
-            b"dinf",
-            fullbox(
-                b"dref",
-                0,
-                0,
-                struct.pack(">I", 1) + fullbox(b"url ", 0, 1, b""),
-            ),
-        )
-        + stbl,
-    )
-    mdia = box(
-        b"mdia",
-        fullbox(
-            b"mdhd",
-            0,
-            0,
-            struct.pack(">IIII", 0, 0, 1000, 1000)
-            + struct.pack(">HH", 0x55C4, 0),
-        )
-        + fullbox(
-            b"hdlr",
-            0,
-            0,
-            b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
-        )
-        + minf,
-    )
-    tkhd = fullbox(
-        b"tkhd",
-        0,
-        7,
-        struct.pack(">III", 0, 0, 1)
-        + b"\x00" * 4
-        + struct.pack(">I", 1000)
-        + b"\x00" * 8
-        + struct.pack(">hhhh", 0, 0, 0, 0)
-        + matrix
-        + struct.pack(">II", w << 16, h << 16),
-    )
-    mvhd = fullbox(
-        b"mvhd",
-        0,
-        0,
-        struct.pack(">IIII", 0, 0, 1000, 1000)
-        + struct.pack(">I", 0x00010000)
-        + struct.pack(">H", 0x0100)
-        + b"\x00" * 10
-        + matrix
-        + b"\x00" * 24
-        + struct.pack(">I", 2),
-    )
-    return ftyp + mdat + box(b"moov", mvhd + box(b"trak", tkhd + mdia))
-
-
 def mux_av1_webm(codec_private, w, h, frame, group=False):
     """Fixture-side minimal AV1-in-WebM muxer: EBML header + Segment
     containing Tracks(V_AV1 + CodecPrivate + Video dims) and one

@@ -650,12 +650,21 @@ def curate_incremental(
     through the stored labels and the closure runs on the delta-sized
     meta-graph — instead of a from-scratch ``dedup_components`` over
     the delta pair graph. Keep decisions are identical under the
-    artifact loop's own provider (labels over the curation pipeline's
-    pair graph, where every kept document is its cluster's minimal
-    representative — parity-tested), but the closure's iteration
-    count is bounded by the DELTA's structure alone, and the loop
-    gets a maintained global labeling to advance instead of a
-    per-day throwaway.
+    SAME id discipline the batch-parity note above states (stored ids
+    precede delta ids): any delta doc linked to a stored node loses
+    the min to that node's id in the plain path and to its (never
+    larger) label in the contracted path — dropped either way — and a
+    stored-free component sees identical graphs. Parity-tested,
+    including a dropped bridge doc merging two kept clusters (after
+    which a kept doc's label is no longer its own id — the labels
+    REMEMBER the merge). When ids are NOT ascending the two paths can
+    genuinely differ, and the contracted one is the safer: a delta
+    doc whose id undercuts an emitted near-dup cluster's members is
+    dropped here (it duplicates emitted content) where the plain
+    per-day closure would crown it a "new" representative and re-emit
+    it. Beyond semantics, the closure's iteration count is bounded by
+    the DELTA's structure alone, and the loop gets a maintained
+    global labeling to advance instead of a per-day throwaway.
 
     ``artifacts_out`` (default None) — pass a dict and the run
     deposits ``artifacts_out["pairs"]``: today's (materialized) delta

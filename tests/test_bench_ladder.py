@@ -8,11 +8,8 @@ ADVICE follow-up."""
 from __future__ import annotations
 
 import json
-import sys
 
-sys.path.insert(0, "/root/repo")
-
-from bench import _bounded_line  # noqa: E402
+from bench import _bounded_line  # conftest puts the repo root on sys.path
 
 
 def _payload(n_queries: int, with_ab: bool) -> dict:

@@ -463,3 +463,58 @@ def test_halo_artifact_loop_closure(spark):
     # and day-2's fresh flag is in at dist 0; clean docs stay out
     assert {1, 2, 11, 21} <= halo_nodes
     assert 3 not in halo_nodes and 13 not in halo_nodes
+
+
+def test_curate_incremental_contracted_labels_remember_merges(spark):
+    """The stored-labels path after a BRIDGE MERGE (a dropped delta
+    doc once fused two kept clusters, so a kept doc's label is no
+    longer its own id): under the loop's id discipline (stored ids
+    precede delta ids) keep decisions still equal the plain path —
+    and when a caller violates that discipline, the divergence runs
+    in the SAFE direction: the contracted path drops a delta doc that
+    near-dups an already-emitted representative where the plain
+    per-day closure would crown it a 'new' cluster min and re-emit
+    it."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_incremental,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        exact_dedup,
+        minhash_signatures,
+    )
+
+    tb = ("a long and ordinary english report on the harvest and the "
+          "carts that the farmers drive along the road to the market")
+    stored_docs = _docs(spark, [
+        (10, "the quick brown fox jumps over the lazy dog while the "
+             "farmer watches from the porch in the late evening sun"),
+        (50, tb),
+    ])
+    sigs = minhash_signatures(stored_docs)
+    fps = exact_dedup(stored_docs)
+    # the remembered merge: a (dropped) bridge doc 60 once linked the
+    # clusters of kept docs 10 and 50, so 50's label is 10
+    labels = spark.createDataFrame(
+        [(10, 10), (50, 10), (60, 10)], "node long, comp long"
+    )
+
+    def run(delta_id, stored_components=None):
+        new = stored_docs.unionByName(
+            _docs(spark, [(delta_id, tb + " with a tail")])
+        )
+        return sorted(
+            r["doc_id"]
+            for r in curate_incremental(
+                stored_docs, new, sigs, fps, min_quality=0.0,
+                stored_components=stored_components,
+            ).collect()
+        )
+
+    # ascending delta id (the loop's discipline): dropped both ways
+    assert run(70) == run(70, labels) == []
+
+    # id-discipline violation (delta id 30 undercuts stored 50): the
+    # plain path re-emits the near-dup as a "new" min; the contracted
+    # path remembers 50's cluster and drops it
+    assert run(30) == [30]
+    assert run(30, labels) == []
