@@ -321,79 +321,70 @@ def _guarded_eval_frame(
     id_col: str,
     label_col: str,
     score_col: str,
+    op: str = "classifier evaluation",
+    label_cast: str = "boolean",
+    label_null_phrase: str = "label casts to NULL boolean",
+    value_cast: str = "bigint",
+    row_noun: str = "scored",
+    missing_phrase: str = "labeled id with no scored row",
+    null_phrase: str = "scored row carries a NULL score",
+    out_value: str = "_score",
 ) -> DataFrame:
-    """The evaluation population as ``(id_col, _y boolean, _score
-    bigint)`` with the integrity guards in the plan: a label casting
-    to NULL boolean raises; a labeled id with no scored row raises
-    (left join from labels, join-miss detected via a presence marker
-    so it is never confused with a present-but-NULL score, which
-    raises its own message); a duplicated scored id raises (the join
-    would fan the label out and silently inflate every counter).
-    Silent corruption of the metric denominators is the failure mode
-    all four guards exist for. The duplicate check is one window
-    count over the holdout-sized frame — the evaluation population is
-    small by contract, so the exchange is noise."""
+    """The evaluation population as ``(id_col, _y, <out_value>)`` with
+    the integrity guards in the plan: a label casting to NULL raises;
+    a labeled id with no value row raises (left join from labels,
+    join-miss detected via a presence marker so it is never confused
+    with a present-but-NULL value, which raises its own message); a
+    duplicated id raises (the join would fan the label out and
+    silently inflate every counter). Silent corruption of the metric
+    denominators is the failure mode all four guards exist for, and
+    the guard PRECEDENCE is defined here ONCE for every evaluator
+    (binary and multiclass): the duplicate guard comes FIRST — a
+    duplicated labeled id whose value row is also missing or NULL
+    must be named as the fan-out defect (the root cause to clean up),
+    not misdirected to a per-row diagnostic. The duplicate check is
+    one window count over the holdout-sized frame — the evaluation
+    population is small by contract, so the exchange is noise."""
     from pyspark.sql import Window
 
-    y_raw = F.col(label_col).cast("boolean")
+    def err(prefix: str, suffix: str):
+        return F.raise_error(
+            F.concat(
+                F.lit(f"{op}: {prefix}"),
+                F.col(id_col).cast("string"),
+                F.lit(suffix),
+            )
+        )
+
+    y_raw = F.col(label_col).cast(label_cast)
     y = F.when(
         y_raw.isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "classifier evaluation: label casts to NULL"
-                    " boolean for id "
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(" — clean the label column or drop the row"),
-            )
-        ).cast("boolean"),
+        err(
+            f"{label_null_phrase} for id ",
+            " — clean the label column or drop the row",
+        ).cast(label_cast),
     ).otherwise(y_raw)
-    # the duplicate guard comes FIRST: a duplicated labeled id whose
-    # scored row is also missing or NULL must be named as the fan-out
-    # defect (the root cause to clean up), not misdirected to a
-    # per-row score diagnostic
-    score = F.when(
+    value = F.when(
         F.count("*").over(Window.partitionBy(id_col)) > 1,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "classifier evaluation: duplicated id in the"
-                    " evaluation population: "
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(
-                    " — a duplicated scored or label row fans the"
-                    " join out and inflates every counter; dedupe"
-                    " the inputs first"
-                ),
-            )
-        ).cast("bigint"),
+        err(
+            "duplicated id in the evaluation population: ",
+            f" — a duplicated {row_noun} or label row fans the"
+            " join out and inflates every counter; dedupe"
+            " the inputs first",
+        ).cast(value_cast),
     ).when(
         F.col("_present").isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "classifier evaluation: labeled id with no"
-                    " scored row: "
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(" — score the full holdout before evaluating"),
-            )
-        ).cast("bigint"),
+        err(
+            f"{missing_phrase}: ",
+            " — score the full holdout before evaluating",
+        ).cast(value_cast),
     ).when(
         F.col(score_col).isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "classifier evaluation: scored row carries a NULL"
-                    " score for id "
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(" — fix the scoring pass, the row IS present"),
-            )
-        ).cast("bigint"),
-    ).otherwise(F.col(score_col))
+        err(
+            f"{null_phrase} for id ",
+            " — fix the scoring pass, the row IS present",
+        ).cast(value_cast),
+    ).otherwise(F.col(score_col).cast(value_cast))
     return (
         labels.select(F.col(id_col), y.alias("_y"))
         .join(
@@ -401,7 +392,7 @@ def _guarded_eval_frame(
             on=id_col,
             how="left",
         )
-        .select(F.col(id_col), "_y", score.alias("_score"))
+        .select(F.col(id_col), "_y", value.alias(out_value))
     )
 
 
@@ -922,80 +913,30 @@ def evaluate_multiclass_classifier(
     NULL on empty denominators (a class that was never predicted still
     reports its recall).
 
-    Same population-integrity guards as the binary evaluator, in the
-    plan: NULL label class raises, a labeled id with no prediction row
-    raises (presence-marker join-miss detection), a present-but-NULL
-    predicted class raises, and a duplicated id raises FIRST (the
-    fan-out defect outranks per-row diagnostics). The confusion
-    reduces to a (K×K)-sized pair table before any per-class
-    arithmetic — one conditional aggregation over the holdout, then
-    class-cardinality work only."""
-    from pyspark.sql import Window
-
-    y_raw = F.col(label_col).cast("string")
-    y = F.when(
-        y_raw.isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "multiclass evaluation: label casts to NULL for"
-                    " id "
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(" — clean the label column or drop the row"),
-            )
-        ),
-    ).otherwise(y_raw)
-    p = F.when(
-        F.count("*").over(Window.partitionBy(id_col)) > 1,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "multiclass evaluation: duplicated id in the"
-                    " evaluation population: "
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(
-                    " — a duplicated prediction or label row fans the"
-                    " join out and inflates every counter; dedupe the"
-                    " inputs first"
-                ),
-            )
-        ),
-    ).when(
-        F.col("_present").isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "multiclass evaluation: labeled id with no"
-                    " prediction row: "
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(" — score the full holdout before evaluating"),
-            )
-        ),
-    ).when(
-        F.col(pred_col).isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "multiclass evaluation: prediction row carries a"
-                    " NULL class for id "
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(" — fix the scoring pass, the row IS present"),
-            )
-        ),
-    ).otherwise(F.col(pred_col).cast("string"))
-    joined = (
-        labels.select(F.col(id_col), y.alias("_y"))
-        .join(
-            pred.withColumn("_present", F.lit(True)),
-            on=id_col,
-            how="left",
-        )
-        .select("_y", p.alias("_p"))
-    )
+    Same population-integrity guards as the binary evaluator — the
+    SHARED ``_guarded_eval_frame`` machinery, so the guard precedence
+    (duplicated id FIRST: the fan-out defect outranks per-row
+    diagnostics) is defined once for both evaluators: NULL label class
+    raises, a labeled id with no prediction row raises
+    (presence-marker join-miss detection), and a present-but-NULL
+    predicted class raises. The confusion reduces to a (K×K)-sized
+    pair table before any per-class arithmetic — one conditional
+    aggregation over the holdout, then class-cardinality work only."""
+    joined = _guarded_eval_frame(
+        pred,
+        labels,
+        id_col,
+        label_col,
+        pred_col,
+        op="multiclass evaluation",
+        label_cast="string",
+        label_null_phrase="label casts to NULL",
+        value_cast="string",
+        row_noun="prediction",
+        missing_phrase="labeled id with no prediction row",
+        null_phrase="prediction row carries a NULL class",
+        out_value="_p",
+    ).select("_y", "_p")
     pairs = joined.groupBy("_y", "_p").agg(F.count("*").alias("_n"))
     classes = (
         pairs.select(F.col("_y").alias("class"))

@@ -787,6 +787,7 @@ def advance_corpus_artifacts(
     delta_ids: DataFrame | None = None,
     stored_components: DataFrame | None = None,
     delta_pairs: DataFrame | None = None,
+    kept_sigs: DataFrame | None = None,
 ) -> tuple[DataFrame, ...]:
     """The post-run step of the daily-crawl loop: advance the stored
     artifact tables by the newly-kept delta, so tomorrow's
@@ -876,8 +877,15 @@ def advance_corpus_artifacts(
             how="left_anti",
         )
 
+    # kept_sigs: the delta's signatures precomputed by a caller that
+    # also needs them for the pair delta (the stream's components
+    # branch) — the shingle+hash pass is paid once, not twice. Must be
+    # minhash_signatures output over exactly kept_delta with the same
+    # geometry.
     sigs = old_sigs.unionByName(
-        minhash_signatures(
+        kept_sigs
+        if kept_sigs is not None
+        else minhash_signatures(
             kept_delta, text_col, id_col, num_hashes, shingle_words
         )
     )
@@ -913,7 +921,10 @@ def advance_halo_artifacts(
     - ``stored_pairs`` — the near-dup pair graph over everything ever
       curated, ``(id_a, id_b)`` canonical (``id_a < id_b``): the edge
       set distances relax over. Advanced as ``stored ∪ new_pairs``
-      (distinct; 16-byte rows, the cheapest artifact in the set).
+      with the delta deduped internally — a delta pair pass emits
+      only pairs touching a new document, so the union is disjoint
+      and the advance is a pure append (16-byte rows, the cheapest
+      artifact in the set; the stored side is never re-shuffled).
     - ``stored_dist`` — ``(node, dist)``: every document within
       ``max_hops`` near-dup hops of any contamination flag ever
       raised, with its hop distance. Advanced by
@@ -945,7 +956,15 @@ def advance_halo_artifacts(
 
     edges_old = stored_pairs.select("id_a", "id_b")
     edges_new = new_pairs.select("id_a", "id_b")
-    pairs = edges_old.unionByName(edges_new).distinct()
+    # a delta pair pass emits only pairs touching a NEW document (the
+    # invariant the incremental BFS documents too), so the delta is
+    # DISJOINT from the stored graph: dedup the delta internally
+    # (delta-sized) and append — the stored artifact is never
+    # re-shuffled, and at the storage layer this advance is a pure
+    # partition append. Replay idempotence belongs to the snapshot
+    # layer (commit against expected_parent), not a full-table
+    # distinct here.
+    pairs = edges_old.unionByName(edges_new.distinct())
     dist = multi_source_bfs_incremental(
         edges_old,
         edges_new,
@@ -1301,6 +1320,7 @@ def incremental_minhash_pairs(
     shingle_words: int = DEFAULT_SHINGLE_WORDS,
     threshold: float = 0.5,
     materialize_mode: str = "local",
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against itself AND against an existing
     corpus represented only by its stored signature table (id, sig) —
@@ -1313,17 +1333,24 @@ def incremental_minhash_pairs(
     yields no (x, x) self-pair: the stored-vs-new join filters id equality.
     Banding matches ``minhash_dedup_pairs``; the candidate join shuffles on
     band keys, and when ``stored_sigs`` reads from a table bucketed by id
-    the signature fetch itself was already exchange-free."""
-    # parallelism guard like minhash_dedup_pairs: a small delta arriving
-    # as 1-2 scan splits would pin the compute-bound shingle+hash stage
-    # to 1-2 cores
-    new_sigs = _materialize(
-        minhash_signatures(
+    the signature fetch itself was already exchange-free.
+
+    ``new_sigs`` (default None) supplies the new batch's signatures
+    precomputed — when a caller already hashed the batch for the sig
+    artifact advance (``run_stream_artifact_update``'s components
+    branch), the compute-bound shingle+hash pass is not paid twice.
+    Must be ``minhash_signatures`` output over exactly ``new_docs``
+    with the SAME (num_hashes, shingle_words) geometry as
+    ``stored_sigs``."""
+    if new_sigs is None:
+        # parallelism guard like minhash_dedup_pairs: a small delta
+        # arriving as 1-2 scan splits would pin the compute-bound
+        # shingle+hash stage to 1-2 cores
+        new_sigs = minhash_signatures(
             _ensure_parallelism(new_docs), text_col, id_col,
             num_hashes, shingle_words,
-        ),
-        materialize_mode,
-    )
+        )
+    new_sigs = _materialize(new_sigs, materialize_mode)
 
     def banded(sigs: DataFrame) -> DataFrame:
         return sigs.select(

@@ -382,23 +382,29 @@ def multi_source_bfs_incremental(
         sc = all_edges.sparkSession.sparkContext
         reliable_checkpoint = sc.getCheckpointDir() is not None
 
-    def _sym(edges: DataFrame) -> DataFrame:
-        e = edges.select(
+    def _raw(edges: DataFrame) -> DataFrame:
+        return edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )
+
+    def _symmetrize(e: DataFrame) -> DataFrame:
         if not directed:
             e = e.unionByName(
                 e.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst")
                 )
             )
-        return e.distinct()
+        return e
 
     # union the delta in before dedup: makes the "all_edges ⊇
     # new_edges" contract self-enforcing (a caller passing only the
-    # stored artifact would otherwise get silently stale distances)
+    # stored artifact would otherwise get silently stale distances).
+    # ONE distinct over the raw union — the stored edge set (the big
+    # side) is shuffled exactly once, not once per symmetrized input
     sym = _truncate_lineage(
-        _sym(all_edges).unionByName(_sym(new_edges)).distinct(),
+        _symmetrize(
+            _raw(all_edges).unionByName(_raw(new_edges))
+        ).distinct(),
         reliable_checkpoint,
     )
     seed_col = new_seeds.columns[0]
@@ -422,7 +428,7 @@ def multi_source_bfs_incremental(
     # change frontier: new seeds + new-edge endpoints that already
     # carry a distance (their dist may now propagate across the delta)
     touched = (
-        _sym(new_edges)
+        _symmetrize(_raw(new_edges))
         .select(F.col("src").alias("node"))
         .distinct()
         .join(dist, on="node")

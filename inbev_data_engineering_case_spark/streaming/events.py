@@ -1499,9 +1499,21 @@ def run_stream_artifact_update(
                     [], "node long, comp long"
                 )
             parent = None
+        batch_sigs = None
+        if components:
+            # the batch is hashed ONCE: these signatures feed both the
+            # sig-artifact advance and the pair delta below
+            from inbev_data_engineering_case_spark.operators.dedup import (
+                minhash_signatures,
+            )
+
+            batch_sigs = minhash_signatures(
+                batch, text_col, id_col, **adv_kw
+            ).localCheckpoint(eager=True)
         sigs, fps = advance_corpus_artifacts(
             batch, stored_sigs, stored_fps,
-            text_col=text_col, id_col=id_col, mode=mode, **adv_kw,
+            text_col=text_col, id_col=id_col, mode=mode,
+            kept_sigs=batch_sigs, **adv_kw,
         )
         # replay safety for append mode: an identical re-applied batch
         # contributes only rows that already exist — drop them here
@@ -1535,13 +1547,15 @@ def run_stream_artifact_update(
             # batch's own sigs are not in them yet; on a replay they
             # are, and the self-pair guard + distinct make the pair
             # set identical either way — the idempotence argument in
-            # the docstring)
+            # the docstring). new_sigs reuses the one hashing pass
+            # already paid for the sig advance above.
             pairs = incremental_minhash_pairs(
                 batch,
                 stored_sigs,
                 text_col=text_col,
                 id_col=id_col,
                 threshold=near_dup_threshold,
+                new_sigs=batch_sigs,
                 **adv_kw,
             )
             comps = dedup_components_incremental(stored_comps, pairs)
