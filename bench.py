@@ -396,8 +396,10 @@ def _bounded_line(payload: dict, budget: int = 1950) -> str:
     bytes — ``_prior_floor_artifact`` reads both shapes); past that,
     ``round_over_round.new_lines`` degrades to sorted names only; past
     that, ``drift.ab``'s raw re-timing dicts fold to one
-    head/pinned ratio per query (the verdict survives, the samples
-    go) before any comparison field is dropped."""
+    head/pinned ratio per query and ``drift.elevated``'s min/floor
+    dicts to the ratio alone (the verdicts survive; mins live in
+    query_mins_v and floors in the named artifact) before any
+    comparison field is dropped."""
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > budget and "query_mins" in payload:
         payload["query_mins_v"] = [
@@ -435,6 +437,24 @@ def _bounded_line(payload: dict, budget: int = 1950) -> str:
             },
             "note": "raw re-timings dropped: line budget",
         }
+        line = json.dumps(payload, separators=(",", ":"))
+    if (
+        len(line) > budget
+        and isinstance(drift, dict)
+        and isinstance(drift.get("elevated"), dict)
+        and any(
+            isinstance(v, dict) for v in drift["elevated"].values()
+        )
+    ):
+        # a hot machine can elevate a dozen lines at once, and each
+        # elevated entry carries min/floor/ratio (~85 bytes). Keep the
+        # ratio alone — the min is in query_mins_v and the floor in the
+        # named floor artifact, so nothing is lost, only denormalized
+        drift["elevated"] = {
+            q: (v.get("ratio") if isinstance(v, dict) else v)
+            for q, v in drift["elevated"].items()
+        }
+        drift["elevated_note"] = "ratios only: line budget"
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > budget and "query_mins_v" in payload:
         # floors for THIS round are sacrificed so the artifact itself

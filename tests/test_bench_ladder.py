@@ -105,3 +105,52 @@ def test_ladder_still_reaches_mins_drop_when_ab_fold_is_not_enough():
     assert parsed["query_mins_note"] == "dropped: line budget"
     ab = parsed["drift"]["ab"]
     assert "pinned_mins" not in ab  # the ab rung fired first
+
+
+def test_elevated_block_folds_to_ratios_on_a_hot_machine():
+    """A hot machine can elevate a dozen lines at once (the r13
+    end-of-round run: 14 elevations exhausted the pre-rung ladder at
+    2376 bytes). The elevated block must fold to ratios-only — mins
+    live in query_mins_v, floors in the named artifact — and the line
+    must fit with the comparison fields intact."""
+    payload = _payload(28, with_ab=True)
+    # widen the elevation list to a hot-machine shape
+    payload["drift"]["elevated"] = {
+        q: {"min": 2.5, "floor": 1.7, "ratio": 1.47}
+        for q in list(payload["queries"])[:14]
+    }
+    payload["drift"]["ab"] = {
+        "pinned_commit": "f" * 40,
+        "pinned_mins": {q: 2.4 for q in list(payload["queries"])[:14]},
+        "head_mins": {q: 2.45 for q in list(payload["queries"])[:14]},
+    }
+    # land the budget exactly on the elevated rung: just under the
+    # line's size after every EARLIER rung (mins->array, new_lines
+    # names, ab fold) has fired
+    import copy
+
+    probe = copy.deepcopy(payload)
+    probe["query_mins_v"] = [probe["query_mins"][q] for q in probe["queries"]]
+    del probe["query_mins"]
+    probe["round_over_round"]["new_lines"] = sorted(
+        probe["round_over_round"]["new_lines"]
+    )
+    ab = probe["drift"]["ab"]
+    probe["drift"]["ab"] = {
+        "pinned_commit": ab["pinned_commit"],
+        "head_over_pinned": {
+            q: round(ab["head_mins"][q] / ab["pinned_mins"][q], 3)
+            for q in ab["head_mins"]
+        },
+        "note": "raw re-timings dropped: line budget",
+    }
+    budget = len(json.dumps(probe, separators=(",", ":"))) - 1
+
+    line = _bounded_line(payload, budget=budget)
+    assert len(line) <= budget
+    parsed = json.loads(line)
+    elevated = parsed["drift"]["elevated"]
+    assert all(isinstance(v, float) for v in elevated.values())
+    assert len(elevated) == 14
+    assert parsed["drift"]["elevated_note"] == "ratios only: line budget"
+    assert "query_mins_v" in parsed or "query_mins" in parsed
