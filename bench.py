@@ -456,6 +456,60 @@ def _bounded_line(payload: dict, budget: int = 1950) -> str:
         }
         drift["elevated_note"] = "ratios only: line budget"
         line = json.dumps(payload, separators=(",", ":"))
+    if (
+        len(line) > budget
+        and isinstance(drift, dict)
+        and (drift.get("elevated") or drift.get("ab") is not None)
+    ):
+        # final drift rung: aggregate verdicts only. A machine hot
+        # enough to elevate 15+ lines keeps ~30 bytes per query even
+        # after both folds, starving the COMPARISON fields the next
+        # round needs — so per-query diagnostics go before mins or
+        # round_over_round do. The adjudication headline survives:
+        # how many lines elevated, the worst and median elevation,
+        # and the worst/median head-over-pinned (~1.0 = hot machine,
+        # >>1 = code regression).
+        def _summ(vals: list) -> dict:
+            vals = sorted(round(v, 3) for v in vals if v is not None)
+            if not vals:
+                return {"n": 0}
+            return {
+                "n": len(vals),
+                "max": vals[-1],
+                "median": vals[len(vals) // 2],
+            }
+
+        elev = drift.get("elevated") or {}
+        summarized: dict[str, object] = {
+            "floor_artifact": drift.get("floor_artifact"),
+            "ratio_threshold": drift.get("ratio_threshold"),
+            "elevated": _summ(
+                [
+                    (v.get("ratio") if isinstance(v, dict) else v)
+                    for v in elev.values()
+                ]
+            ),
+            "note": "summarized: line budget",
+        }
+        ab = drift.get("ab")
+        if isinstance(ab, dict):
+            hop = ab.get("head_over_pinned")
+            if not isinstance(hop, dict):
+                pinned = ab.get("pinned_mins") or {}
+                head = ab.get("head_mins") or {}
+                hop = {
+                    q: round(head[q] / pinned[q], 3)
+                    for q in head
+                    if pinned.get(q)
+                }
+            summarized["ab"] = {
+                "pinned_commit": ab.get("pinned_commit"),
+                "head_over_pinned": _summ(list(hop.values())),
+            }
+        elif ab is not None:  # "disabled (...)" / "skipped (...)" strings
+            summarized["ab"] = ab
+        payload["drift"] = summarized
+        line = json.dumps(payload, separators=(",", ":"))
     if len(line) > budget and "query_mins_v" in payload:
         # floors for THIS round are sacrificed so the artifact itself
         # survives (the next round's comparisons fall back to this

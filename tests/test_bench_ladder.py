@@ -154,3 +154,59 @@ def test_elevated_block_folds_to_ratios_on_a_hot_machine():
     assert len(elevated) == 14
     assert parsed["drift"]["elevated_note"] == "ratios only: line budget"
     assert "query_mins_v" in parsed or "query_mins" in parsed
+
+
+def test_drift_summarizes_before_comparison_fields_drop():
+    """The r13 end-of-round shape: 18 lines elevated, both folds fired,
+    and the old ladder then sacrificed query mins AND round_over_round
+    while the folded drift still held ~1 KB. The summarization rung
+    must fire first — per-query diagnostics reduce to aggregate
+    verdicts (n/max/median elevation, n/max/median head-over-pinned)
+    and the comparison fields SURVIVE."""
+    payload = _payload(28, with_ab=True)
+    names = list(payload["queries"])[:18]
+    payload["drift"]["elevated"] = {
+        q: {"min": 2.5, "floor": 1.7, "ratio": 1.4 + i / 100}
+        for i, q in enumerate(names)
+    }
+    payload["drift"]["ab"] = {
+        "pinned_commit": "f" * 40,
+        "pinned_mins": {q: 2.4 for q in names},
+        "head_mins": {q: 2.45 for q in names},
+    }
+    # the budget exactly fits the fully-summarized line WITH the
+    # comparison fields intact — so reaching it proves the ladder
+    # stopped at the summarize rung instead of dropping mins/rr
+    import copy
+
+    probe = copy.deepcopy(payload)
+    probe["query_mins_v"] = [probe["query_mins"][q] for q in probe["queries"]]
+    del probe["query_mins"]
+    probe["round_over_round"]["new_lines"] = sorted(
+        probe["round_over_round"]["new_lines"]
+    )
+    probe["drift"] = {
+        "floor_artifact": "BENCH_r12.json",
+        "ratio_threshold": 1.25,
+        "elevated": {"n": 18, "max": 1.57, "median": 1.49},
+        "note": "summarized: line budget",
+        "ab": {
+            "pinned_commit": "f" * 40,
+            "head_over_pinned": {"n": 18, "max": 1.021, "median": 1.021},
+        },
+    }
+    budget = len(json.dumps(probe, separators=(",", ":")))
+
+    line = _bounded_line(payload, budget=budget)
+    assert len(line) <= budget
+    parsed = json.loads(line)
+    drift = parsed["drift"]
+    assert drift["note"] == "summarized: line budget"
+    assert drift["elevated"]["n"] == 18
+    assert abs(drift["elevated"]["max"] - 1.57) < 1e-9
+    hop = drift["ab"]["head_over_pinned"]
+    assert hop["n"] == 18 and abs(hop["max"] - round(2.45 / 2.4, 3)) < 1e-9
+    assert drift["ab"]["pinned_commit"] == "f" * 40
+    # the whole point: comparison fields outlive the diagnostics
+    assert "query_mins_v" in parsed or "query_mins" in parsed
+    assert isinstance(parsed.get("round_over_round"), dict)
