@@ -18,7 +18,7 @@ corpus once per epoch" step, priced accordingly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from inbev_data_engineering_case_spark.functions import portable_hash64
@@ -87,6 +87,122 @@ def top_fraction_by_score(
         df.join(F.broadcast(thr), F.col(score_col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def select_within_budget(
+    df: DataFrame,
+    budget: int,
+    cost_col: str = "n_tokens",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budgeted data selection — the FineWeb-style "take the best
+    documents until the token budget is spent" step: the kept set is
+    the maximal PREFIX of the (quality DESC, id ASC) total order whose
+    summed ``cost_col`` stays ≤ ``budget``. ``top_fraction_by_score``
+    targets a row fraction; training runs target a TOKEN budget, and
+    the two differ whenever cost correlates with quality (it does:
+    long documents score differently from short ones).
+
+    Deterministic end to end: quality quantizes to integer micro-units
+    (``round(q·1e6)`` — the repo-wide ln-1e6 discipline, so the
+    boundary is engine-stable), ties inside a quality level break by
+    ascending id, and the decision is a pure function of the data — a
+    retry, AQE re-plan, or oracle replay selects the same rows.
+
+    Scale shape — NO global sort of the corpus (the naive "ORDER BY
+    quality DESC then running sum" is a full range-partition sort
+    plus a serial prefix scan):
+
+    1. one partial-aggregated exchange builds the QUALITY-LEVEL
+       HISTOGRAM ``(level, total cost)`` — level cardinality, not
+       corpus cardinality;
+    2. a window cumsum over that tiny table (single-partition by
+       design — it is level-sized) finds the fully-kept levels and the
+       one BOUNDARY level with its remaining budget;
+    3. fully-kept levels come back as a broadcast semi-join (a pure
+       scan predicate on the corpus); only the boundary level's
+       documents — one quality level, vanishingly small under
+       continuous scores — pay an ordered running sum, partitioned to
+       that level alone.
+
+    Degenerate caveat, stated honestly: a corpus where a large mass of
+    documents shares ONE exact micro-quality level pushes that level's
+    membership through the single boundary window. Quality scores are
+    continuous expressions here, so levels are tiny in practice; a
+    constant-scored corpus should be selected by hash instead
+    (``sample_predicate``).
+
+    Costs must be non-negative and non-NULL — a NULL or negative cost
+    would silently corrupt every cumulative sum after it, so both
+    raise in-plan (the ``pagerank`` weight-validation discipline). A
+    NULL quality raises too (it has no position in the order).
+    ``budget <= 0`` returns the empty selection."""
+    reserved = ("_mq", "_mass", "_cum", "_remaining", "_rcum")
+    clash = [c for c in reserved if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"select_within_budget: input already carries {clash} — "
+            "rename; the operator stages columns under those names"
+        )
+    budget = int(budget)
+    cost = F.when(
+        F.col(cost_col).isNull() | (F.col(cost_col) < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "select_within_budget: NULL or negative cost for"
+                    " id "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — every cumulative sum after it would corrupt"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col(cost_col).cast("bigint"))
+    mq = F.when(
+        F.col(quality_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("select_within_budget: NULL quality for id "),
+                F.col(id_col).cast("string"),
+                F.lit(" — it has no position in the selection order"),
+            )
+        ).cast("bigint"),
+    ).otherwise(
+        F.round(F.col(quality_col) * 1_000_000).cast("bigint")
+    )
+    base = df.withColumn("_mq", mq).withColumn("_cost", cost)
+    levels = base.groupBy("_mq").agg(F.sum("_cost").alias("_mass"))
+    # level-sized table: the unpartitioned window is the point, not an
+    # accident — it never sees corpus-cardinality rows
+    wl = (
+        Window.orderBy(F.col("_mq").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lv = levels.select(
+        "_mq", "_mass", F.sum("_mass").over(wl).alias("_cum")
+    )
+    full = lv.filter(F.col("_cum") <= budget).select("_mq")
+    boundary = (
+        lv.filter(F.col("_cum") > budget)
+        .orderBy(F.col("_mq").desc())
+        .limit(1)
+        .select(
+            "_mq",
+            (F.lit(budget) - (F.col("_cum") - F.col("_mass"))).alias(
+                "_remaining"
+            ),
+        )
+    )
+    kept_full = base.join(F.broadcast(full), on="_mq", how="left_semi")
+    wb = Window.partitionBy("_mq").orderBy(F.col(id_col).asc())
+    kept_boundary = (
+        base.join(F.broadcast(boundary), on="_mq")
+        .withColumn("_rcum", F.sum("_cost").over(wb))
+        .filter(F.col("_rcum") <= F.col("_remaining"))
+        .drop("_remaining", "_rcum")
+    )
+    return kept_full.unionByName(kept_boundary).drop("_mq", "_cost")
 
 
 MIXTURE_PPM = 1_000_000

@@ -5938,6 +5938,71 @@ def q_curation_report_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_token_budget",
+    f"""
+    WITH base AS (
+      SELECT doc_id, length(text) AS cost, {_SQL_QUALITY} AS quality,
+             CAST(round(({_SQL_QUALITY}) * 1000000) AS BIGINT) AS mq
+      FROM documents
+    ),
+    b AS (SELECT (sum(cost) * 3) // 10 AS budget FROM base),
+    ordered AS (
+      SELECT doc_id, cost, quality,
+             sum(cost) OVER (ORDER BY mq DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base
+    )
+    SELECT doc_id, CAST(cost AS BIGINT) AS cost, quality
+    FROM ordered, b WHERE cum <= budget
+    """,
+    doc="budgeted data selection "
+    "(operators/sample.py:select_within_budget): the FineWeb-style "
+    "'take the best documents until the token budget is spent' step — "
+    "the kept set is the maximal (quality DESC, id ASC) prefix whose "
+    "summed cost fits the budget (here: 30% of the corpus's total "
+    "character mass, derived identically on both sides). "
+    "top_fraction_by_score targets a ROW fraction; training runs "
+    "target a TOKEN budget, and the two differ whenever cost "
+    "correlates with quality. NO global corpus sort: a quality-level "
+    "histogram (one partial-aggregated exchange) + a level-sized "
+    "window cumsum find the fully-kept levels and the boundary "
+    "level's remaining budget; fully-kept levels return as a "
+    "broadcast semi-join (pure scan predicate) and only the single "
+    "boundary level pays an ordered running sum — plan-locked: no "
+    "RangePartitioning exchange anywhere. Quality quantizes to "
+    "integer micro-units so the boundary is engine-stable; NULL/"
+    "negative costs and NULL quality raise in-plan. Oracle replays "
+    "the selection as the equivalent full window-cumsum prefix in "
+    "SQL (equivalence is the operator's correctness argument, "
+    "parity-tested against a brute-force reference). Late-r13 tail "
+    "debut, r14 promotion queue (family cover: q_quality_score pins "
+    "the in-window scoring surface, q_mixture_sample the "
+    "deterministic hash/int64 selection family).",
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.sample import (
+        select_within_budget,
+    )
+    from inbev_data_engineering_case_spark.operators.textops import (
+        quality_score,
+    )
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("cost"),
+        quality_score("text").alias("quality"),
+    )
+    # the budget is config: 30% of the corpus's total character mass,
+    # derived by a one-row aggregate (the quality.py bounds-collect
+    # discipline) so the fixture scales with the table
+    total = base.agg(F.sum("cost").alias("_t")).first()["_t"]
+    return select_within_budget(
+        base, int(total) * 3 // 10, cost_col="cost",
+        quality_col="quality",
+    )
+
+
+@register(
     "q_weighted_sample",
     """
     WITH keyed AS (
@@ -8222,6 +8287,14 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # stand-in chain) and q_curate_halo (the identical deferred-drop
     # halo composition, directly driver-green in r12):
     "q_curation_report_halo": ("q_curation_drift", "q_curate_halo"),
+    # LATE-r13 DEBUT (not a demotion): budgeted data selection — the
+    # maximal quality-ordered prefix under a token/cost budget, built
+    # WITHOUT a global corpus sort; oracle replays the equivalent
+    # window-cumsum prefix in SQL; r14 promotion queue. Covered
+    # in-window by q_quality_score (the scoring surface the selection
+    # orders by) and q_mixture_sample (the deterministic int64
+    # selection family):
+    "q_token_budget": ("q_quality_score", "q_mixture_sample"),
 }
 
 for _name in _FAMILY_STAND_INS:

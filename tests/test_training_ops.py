@@ -7589,3 +7589,116 @@ def test_mixture_sample_by_class_composition(spark):
         ).collect()
     }
     assert got == want and got
+
+
+def test_select_within_budget_prefix_semantics_and_guards(spark):
+    """Budgeted data selection: the kept set is the maximal
+    (quality DESC, id ASC) prefix whose summed cost fits the budget —
+    hand-checked boundaries (mid-level split, exact fit, zero budget,
+    budget over total), random-input parity against a brute-force
+    Python reference, in-plan guards for NULL/negative cost and NULL
+    quality, and the reserved-column clash."""
+    import random
+
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.sample import (
+        select_within_budget,
+    )
+
+    rows = [
+        (1, 10, 0.9), (2, 10, 0.9), (3, 10, 0.9),
+        (4, 15, 0.8),
+        (5, 100, 0.7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, quality double"
+    )
+    expect = {
+        0: [], 5: [], 10: [1], 25: [1, 2], 30: [1, 2, 3],
+        44: [1, 2, 3], 45: [1, 2, 3, 4], 135: [1, 2, 3, 4],
+        200: [1, 2, 3, 4, 5],
+    }
+    for b, want in expect.items():
+        got = sorted(
+            r["doc_id"]
+            for r in select_within_budget(df, b).collect()
+        )
+        assert got == want, (b, got)
+    # output schema is the input's, staging columns dropped
+    assert select_within_budget(df, 30).columns == [
+        "doc_id", "n_tokens", "quality",
+    ]
+
+    def reference(rows, budget):
+        order = sorted(
+            rows, key=lambda r: (-round(r[2] * 1_000_000), r[0])
+        )
+        kept, cum = [], 0
+        for rid, cost, _q in order:
+            cum += cost
+            if cum > budget:
+                break
+            kept.append(rid)
+        return sorted(kept)
+
+    rng = random.Random(0xB0D6)
+    for trial in range(4):
+        rws = [
+            (i, rng.randrange(0, 40), rng.choice([0.3, 0.55, 0.8]))
+            for i in range(60)
+        ]
+        rdf = spark.createDataFrame(
+            rws, "doc_id long, n_tokens long, quality double"
+        )
+        total = sum(r[1] for r in rws)
+        for b in (0, total // 7, total // 3, total - 1, total + 5):
+            got = sorted(
+                r["doc_id"]
+                for r in select_within_budget(rdf, b).collect()
+            )
+            assert got == reference(rws, b), (trial, b)
+
+    with pytest.raises(Exception, match="NULL or negative cost"):
+        select_within_budget(
+            spark.createDataFrame(
+                [(1, -5, 0.5)], "doc_id long, n_tokens long, quality double"
+            ),
+            100,
+        ).collect()
+    with pytest.raises(Exception, match="NULL quality"):
+        select_within_budget(
+            spark.createDataFrame(
+                [(1, 5, None)], "doc_id long, n_tokens long, quality double"
+            ),
+            100,
+        ).collect()
+    with pytest.raises(ValueError, match="_mq"):
+        select_within_budget(df.withColumn("_mq", df.doc_id), 100)
+
+
+def test_select_within_budget_never_sorts_the_corpus(spark):
+    """The scale contract: the corpus side is a scan + broadcast
+    semi-join — the only Sort nodes in the plan sit under window/limit
+    operators over the LEVEL histogram or the single boundary level,
+    never a corpus-wide range-partition sort (no RangePartitioning
+    exchange anywhere)."""
+    from inbev_data_engineering_case_spark.operators.sample import (
+        select_within_budget,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id",
+        F.length("text").alias("n_tokens"),
+        (F.col("n_chars") / 1000.0).alias("quality"),
+    )
+    plan = (
+        select_within_budget(docs, 50_000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert "BatchEvalPython" not in plan
