@@ -677,33 +677,46 @@ def multiclass_bow_weights_from_counts(
     discipline); totals and priors stay plan-side as broadcast
     class-cardinality aggregates."""
     cached = counts.localCheckpoint(eager=True)
-    metas = cached.filter(F.col("bucket") == META_BUCKET).collect()
-    if len(metas) != 1:
+    # ONE validation job over the cached counts (it is read again by
+    # the weight/total/prior projections below, so every extra action
+    # here is a full re-scan): META cardinality + value, class count,
+    # and the NULL-class corruption probe in a single aggregate
+    head = cached.agg(
+        F.count(
+            F.when(F.col("bucket") == META_BUCKET, 1)
+        ).alias("n_meta"),
+        F.max(
+            F.when(F.col("bucket") == META_BUCKET, F.col("c"))
+        ).alias("n_buckets"),
+        F.count(
+            F.when(F.col("bucket") == BIAS_BUCKET, 1)
+        ).alias("n_classes"),
+        F.count(
+            F.when(
+                F.col("class").isNull()
+                & (F.col("bucket") != META_BUCKET),
+                1,
+            )
+        ).alias("n_bad"),
+    ).first()
+    if head["n_meta"] != 1:
         raise ValueError(
             "multiclass_bow_weights_from_counts: counts table needs"
-            f" exactly one META row (found {len(metas)}) — merging two"
-            " different n_buckets spaces corrupts the model"
+            f" exactly one META row (found {head['n_meta']}) — merging"
+            " two different n_buckets spaces corrupts the model"
         )
-    n_buckets = int(metas[0]["c"])
-    bad = (
-        cached.filter(
-            F.col("class").isNull() & (F.col("bucket") != META_BUCKET)
-        )
-        .limit(1)
-        .count()
-    )
-    if bad:
+    n_buckets = int(head["n_buckets"])
+    if head["n_bad"]:
         raise ValueError(
             "multiclass_bow_weights_from_counts: NULL class on a"
             " non-META row — not a multiclass_bow_counts table?"
         )
-    pri = cached.filter(F.col("bucket") == BIAS_BUCKET)
-    n_classes = pri.count()
-    if n_classes < 2:
+    if head["n_classes"] < 2:
         raise ValueError(
             "multiclass_bow_weights_from_counts: need >= 2 classes"
-            f" (found {n_classes} prior rows)"
+            f" (found {head['n_classes']} prior rows)"
         )
+    pri = cached.filter(F.col("bucket") == BIAS_BUCKET)
     real = cached.filter(F.col("bucket") >= 0)
     tot = real.groupBy("class").agg(F.sum("c").alias("_t"))
     b = float(n_buckets)

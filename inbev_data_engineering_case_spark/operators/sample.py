@@ -212,6 +212,7 @@ def mixture_rates(
     df: DataFrame,
     strata_col: str,
     target_ppm: dict[str, int],
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-stratum keep rates that resample the corpus to a target mixture
     — the data-mixing step of an LLM pipeline ("30% web, 30% code, …"):
@@ -234,16 +235,58 @@ def mixture_rates(
     the weights are a literal in-memory table; the budget is a broadcast
     1-row aggregate. Strata absent from ``target_ppm`` get no row
     (rate 0 — dropped by the inner join, i.e. excluded from the mix).
+
+    ``weight_col`` (default None = mix by ROW counts) switches the
+    composition to per-row weights — the mixture labs actually target
+    is a TOKEN mixture ("30% web tokens"), and rows and tokens differ
+    whenever document length correlates with the stratum (code files
+    vs tweets). The per-stratum mass becomes ``sum(weight_col)`` (the
+    output column is named ``n_units`` instead of ``n_rows``), the
+    budget/rate arithmetic is unchanged int64, and membership stays
+    the per-row id hash — so the kept SET is still exact and
+    deterministic while the achieved token share is the expected
+    value of the hash draw (weights are independent of the id hash;
+    the deviation is the usual Bernoulli concentration, negligible at
+    corpus scale). Overflow is GUARDED, not assumed: a stratum mass
+    past ``(2^63-1) div 1e6`` ≈ 9.2e12 units raises in-plan instead
+    of silently wrapping — at 100 TB weight in coarser units
+    (kilo-tokens) to stay under the bound. NULL or negative weights
+    raise in-plan (they would corrupt every mass after them).
     """
-    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_rows"))
+    if weight_col is None:
+        mass_col, mass = "n_rows", F.count("*")
+    else:
+        max_mass = (2**63 - 1) // MIXTURE_PPM
+        w = F.when(
+            F.col(weight_col).isNull() | (F.col(weight_col) < 0),
+            F.raise_error(
+                F.lit(
+                    "mixture_rates: NULL or negative weight in"
+                    f" {weight_col} — every stratum mass after it"
+                    " would corrupt"
+                )
+            ).cast("bigint"),
+        ).otherwise(F.col(weight_col).cast("bigint"))
+        mass_col = "n_units"
+        mass = F.when(
+            F.sum(w) > max_mass,
+            F.raise_error(
+                F.lit(
+                    "mixture_rates: stratum mass exceeds the exact"
+                    f" int64 bound ({max_mass} units) — weight in"
+                    " coarser units (e.g. kilo-tokens)"
+                )
+            ).cast("bigint"),
+        ).otherwise(F.sum(w))
+    counts = df.groupBy(strata_col).agg(mass.alias(mass_col))
     weights = df.sparkSession.createDataFrame(
         sorted(target_ppm.items()), [strata_col, "target_ppm"]
     )
     joined = counts.join(F.broadcast(weights), strata_col)
     budget = joined.agg(
-        F.min(F.expr(f"(n_rows * {MIXTURE_PPM}) div target_ppm")).alias(
-            "_budget"
-        )
+        F.min(
+            F.expr(f"({mass_col} * {MIXTURE_PPM}) div target_ppm")
+        ).alias("_budget")
     )
     return (
         joined.join(F.broadcast(budget))
@@ -253,11 +296,11 @@ def mixture_rates(
                 F.lit(MIXTURE_PPM),
                 F.expr(
                     f"(((target_ppm * _budget) div {MIXTURE_PPM})"
-                    f" * {MIXTURE_PPM}) div n_rows"
+                    f" * {MIXTURE_PPM}) div {mass_col}"
                 ),
             ),
         )
-        .select(strata_col, "n_rows", "target_ppm", "rate_ppm")
+        .select(strata_col, mass_col, "target_ppm", "rate_ppm")
     )
 
 
@@ -267,14 +310,17 @@ def mixture_sample(
     target_ppm: dict[str, int],
     id_col: str = "doc_id",
     salt: int = 0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The corpus resampled to the target mixture: broadcast the (tiny)
     per-stratum rate table onto the corpus and keep rows whose
     deterministic id-hash bucket falls under the stratum's rate — the same
     hash-Bernoulli membership as ``sample_predicate``, so the subset is a
     pure function of (ids, weights, salt): stable across retries, AQE
-    re-plans, and cluster sizes. The corpus itself never shuffles."""
-    rates = mixture_rates(df, strata_col, target_ppm)
+    re-plans, and cluster sizes. The corpus itself never shuffles.
+    ``weight_col`` switches the targeted composition from rows to
+    per-row units (tokens/chars) — see ``mixture_rates``."""
+    rates = mixture_rates(df, strata_col, target_ppm, weight_col)
     bucket = portable_hash64(id_col, seed=salt) % SAMPLE_BUCKETS
     return (
         df.join(F.broadcast(rates.select(strata_col, "rate_ppm")), strata_col)

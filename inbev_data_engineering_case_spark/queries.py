@@ -2405,6 +2405,98 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mixture_tokens_oracle() -> str:
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64_sql,
+    )
+
+    values = ", ".join(
+        f"('{s}', {p})" for s, p in sorted(_MIX_PPM.items())
+    )
+    h = portable_hash64_sql("doc_id", seed=_MIX_SALT)
+    return f"""
+    WITH w(source, target_ppm) AS (VALUES {values}),
+    counts AS (
+      SELECT source, sum(length(text))::BIGINT AS n_units
+      FROM documents GROUP BY 1
+    ),
+    j AS (
+      SELECT counts.source AS source, n_units, target_ppm
+      FROM counts JOIN w ON counts.source = w.source
+    ),
+    b AS (
+      SELECT min((n_units * 1000000) // target_ppm) AS _budget FROM j
+    ),
+    rates AS (
+      SELECT source, n_units, target_ppm,
+             least(1000000,
+                   (((target_ppm * _budget) // 1000000) * 1000000)
+                     // n_units) AS rate_ppm
+      FROM j CROSS JOIN b
+    ),
+    kept AS (
+      SELECT d.source AS source,
+             sum(length(d.text))::BIGINT AS kept_units
+      FROM documents d JOIN rates ON d.source = rates.source
+      WHERE ({h}) % 1000000 < rate_ppm
+      GROUP BY 1
+    )
+    SELECT rates.source AS source, n_units,
+           target_ppm::BIGINT AS target_ppm, rate_ppm::BIGINT AS rate_ppm,
+           coalesce(kept_units, 0)::BIGINT AS kept_units
+    FROM rates LEFT JOIN kept ON rates.source = kept.source
+    """
+
+
+@register(
+    "q_mixture_tokens",
+    _mixture_tokens_oracle(),
+    doc="TOKEN-weighted corpus mixing "
+    "(operators/sample.py:mixture_rates/mixture_sample weight_col=): "
+    "the mixture labs actually target is a token mixture, and rows "
+    "and tokens diverge whenever document length correlates with the "
+    "stratum (code files vs tweets). The per-stratum mass is "
+    "sum(weight) — here character mass as the token proxy — the "
+    "budget/rate arithmetic is the same exact int64 (an over-bound "
+    "stratum mass raises in-plan instead of wrapping; weight in "
+    "coarser units at 100 TB), and membership stays the per-row id "
+    "hash, so the kept SET is exact and deterministic while the "
+    "achieved token share is the hash draw's expected value. Report "
+    "mirrors q_mixture_sample's: rates joined with achieved kept "
+    "units. Oracle replays mass + budget + rate + membership + kept "
+    "mass end to end in SQL. Late-r13 tail debut, r14 promotion "
+    "queue (family cover: q_mixture_sample runs the identical rate/"
+    "membership machinery in-window on row counts).",
+)
+def q_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.sample import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_w", F.length("text").cast("bigint")
+    )
+    rates = mixture_rates(docs, "source", _MIX_PPM, weight_col="_w")
+    kept = (
+        mixture_sample(
+            docs, "source", _MIX_PPM, salt=_MIX_SALT, weight_col="_w"
+        )
+        .groupBy("source")
+        .agg(F.sum("_w").alias("_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .withColumn(
+            "kept_units",
+            F.coalesce(F.col("_kept"), F.lit(0)).cast("bigint"),
+        )
+        .select(
+            "source", "n_units", "target_ppm", "rate_ppm", "kept_units"
+        )
+    )
+
+
 # Deterministic decontamination fixture: every 40th document is the
 # "benchmark"; the corpus is everything else plus a planted verbatim copy
 # of each benchmark doc (id+300000, prefixed so the copy isn't an exact
@@ -8295,6 +8387,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # orders by) and q_mixture_sample (the deterministic int64
     # selection family):
     "q_token_budget": ("q_quality_score", "q_mixture_sample"),
+    # LATE-r13 DEBUT (not a demotion): token-weighted corpus mixing —
+    # oracle replays mass+budget+rate+membership+kept-mass in SQL; r14
+    # promotion queue. Covered in-window by q_mixture_sample (the
+    # identical int64 rate + hash-Bernoulli membership machinery on
+    # row counts):
+    "q_mixture_tokens": ("q_mixture_sample",),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -7702,3 +7702,71 @@ def test_select_within_budget_never_sorts_the_corpus(spark):
     )
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
     assert "BatchEvalPython" not in plan
+
+
+def test_mixture_rates_weighted_by_units(spark):
+    """Token-weighted mixing: the per-stratum mass is sum(weight_col)
+    (column named n_units), the budget/rate arithmetic is the same
+    exact int64, membership stays the id hash, and the guards raise on
+    NULL/negative weights and on a stratum mass past the exact-int64
+    bound. Hand-checked rates, plus row-vs-unit divergence when length
+    correlates with the stratum."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.sample import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    # long "code" docs vs short "web" docs: equal ROW counts, 4x the
+    # unit mass on code
+    rows = [(i, "code" if i % 2 else "web", 400 if i % 2 else 100)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    target = {"code": 500_000, "web": 500_000}
+
+    by_rows = {
+        r["src"]: r["rate_ppm"]
+        for r in mixture_rates(df, "src", target).collect()
+    }
+    assert by_rows == {"code": 1_000_000, "web": 1_000_000}
+
+    by_units = {
+        r["src"]: r
+        for r in mixture_rates(df, "src", target, weight_col="w").collect()
+    }
+    # masses: code 8000, web 2000; budget = min(8000*1e6/5e5,
+    # 2000*1e6/5e5) = 4000; kept_s = 2000 -> code rate 250000, web 1e6
+    assert by_units["code"]["n_units"] == 8000
+    assert by_units["web"]["n_units"] == 2000
+    assert by_units["code"]["rate_ppm"] == 250_000
+    assert by_units["web"]["rate_ppm"] == 1_000_000
+
+    # the sampler composes: kept set = hash membership under the
+    # weighted rates (web kept whole, code down to ~a quarter)
+    kept = mixture_sample(df, "src", target, weight_col="w")
+    kept_by = {
+        r["src"]: r["n"]
+        for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept_by["web"] == 20 and 0 < kept_by["code"] < 20
+
+    with pytest.raises(Exception, match="NULL or negative weight"):
+        mixture_rates(
+            spark.createDataFrame(
+                [(1, "a", -3)], "doc_id long, src string, w long"
+            ),
+            "src",
+            {"a": 1_000_000},
+            weight_col="w",
+        ).collect()
+    with pytest.raises(Exception, match="exact int64 bound"):
+        mixture_rates(
+            spark.createDataFrame(
+                [(1, "a", (2**63 - 1) // 1_000_000 + 1)],
+                "doc_id long, src string, w long",
+            ),
+            "src",
+            {"a": 1_000_000},
+            weight_col="w",
+        ).collect()
