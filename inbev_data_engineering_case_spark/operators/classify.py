@@ -329,6 +329,7 @@ def _guarded_eval_frame(
     missing_phrase: str = "labeled id with no scored row",
     null_phrase: str = "scored row carries a NULL score",
     out_value: str = "_score",
+    cast_value: bool = False,
 ) -> DataFrame:
     """The evaluation population as ``(id_col, _y, <out_value>)`` with
     the integrity guards in the plan: a label casting to NULL raises;
@@ -384,7 +385,16 @@ def _guarded_eval_frame(
             f"{null_phrase} for id ",
             " — fix the scoring pass, the row IS present",
         ).cast(value_cast),
-    ).otherwise(F.col(score_col).cast(value_cast))
+    ).otherwise(
+        # value_cast types the raise branches only; the VALUE passes
+        # through uncast by default — a caller handing a double score
+        # column must not have it silently truncated to bigint before
+        # thresholding (cast_value=True restores an explicit cast for
+        # callers that want string normalization, e.g. multiclass)
+        F.col(score_col).cast(value_cast)
+        if cast_value
+        else F.col(score_col)
+    )
     return (
         labels.select(F.col(id_col), y.alias("_y"))
         .join(
@@ -949,6 +959,7 @@ def evaluate_multiclass_classifier(
         missing_phrase="labeled id with no prediction row",
         null_phrase="prediction row carries a NULL class",
         out_value="_p",
+        cast_value=True,  # class labels normalize to string
     ).select("_y", "_p")
     pairs = joined.groupBy("_y", "_p").agg(F.count("*").alias("_n"))
     classes = (

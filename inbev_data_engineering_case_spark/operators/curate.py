@@ -921,10 +921,9 @@ def advance_halo_artifacts(
     - ``stored_pairs`` — the near-dup pair graph over everything ever
       curated, ``(id_a, id_b)`` canonical (``id_a < id_b``): the edge
       set distances relax over. Advanced as ``stored ∪ new_pairs``
-      with the delta deduped internally — a delta pair pass emits
-      only pairs touching a new document, so the union is disjoint
-      and the advance is a pure append (16-byte rows, the cheapest
-      artifact in the set; the stored side is never re-shuffled).
+      (distinct — a re-crawled id can re-emit an edge the store
+      already has, so the artifact stays distinct-by-construction;
+      16-byte rows, the cheapest dedup exchange in the set).
     - ``stored_dist`` — ``(node, dist)``: every document within
       ``max_hops`` near-dup hops of any contamination flag ever
       raised, with its hop distance. Advanced by
@@ -956,15 +955,16 @@ def advance_halo_artifacts(
 
     edges_old = stored_pairs.select("id_a", "id_b")
     edges_new = new_pairs.select("id_a", "id_b")
-    # a delta pair pass emits only pairs touching a NEW document (the
-    # invariant the incremental BFS documents too), so the delta is
-    # DISJOINT from the stored graph: dedup the delta internally
-    # (delta-sized) and append — the stored artifact is never
-    # re-shuffled, and at the storage layer this advance is a pure
-    # partition append. Replay idempotence belongs to the snapshot
-    # layer (commit against expected_parent), not a full-table
-    # distinct here.
-    pairs = edges_old.unionByName(edges_new.distinct())
+    # "delta pairs touch a new document" does NOT make them disjoint
+    # from the stored graph: a RE-CRAWLED id (same id, edited text)
+    # rides the new batch and can re-emit an edge the store already
+    # has — a naive append would then grow the artifact with
+    # duplicates forever. One distinct over the union keeps the
+    # artifact distinct-by-construction; this is the same
+    # stored-sized dedup exchange the sig/fp advances already pay
+    # (dropDuplicates), and any exact already-stored check costs a
+    # stored-sized pass regardless of phrasing.
+    pairs = edges_old.unionByName(edges_new).distinct()
     dist = multi_source_bfs_incremental(
         edges_old,
         edges_new,
@@ -1341,16 +1341,20 @@ def incremental_minhash_pairs(
     branch), the compute-bound shingle+hash pass is not paid twice.
     Must be ``minhash_signatures`` output over exactly ``new_docs``
     with the SAME (num_hashes, shingle_words) geometry as
-    ``stored_sigs``."""
+    ``stored_sigs``, and the CALLER owns its materialization (it
+    feeds both banding branches — pass it pinned, e.g.
+    localCheckpointed, or its lineage re-runs per branch)."""
     if new_sigs is None:
         # parallelism guard like minhash_dedup_pairs: a small delta
         # arriving as 1-2 scan splits would pin the compute-bound
         # shingle+hash stage to 1-2 cores
-        new_sigs = minhash_signatures(
-            _ensure_parallelism(new_docs), text_col, id_col,
-            num_hashes, shingle_words,
+        new_sigs = _materialize(
+            minhash_signatures(
+                _ensure_parallelism(new_docs), text_col, id_col,
+                num_hashes, shingle_words,
+            ),
+            materialize_mode,
         )
-    new_sigs = _materialize(new_sigs, materialize_mode)
 
     def banded(sigs: DataFrame) -> DataFrame:
         return sigs.select(

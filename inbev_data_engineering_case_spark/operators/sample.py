@@ -138,7 +138,7 @@ def select_within_budget(
     raise in-plan (the ``pagerank`` weight-validation discipline). A
     NULL quality raises too (it has no position in the order).
     ``budget <= 0`` returns the empty selection."""
-    reserved = ("_mq", "_mass", "_cum", "_remaining", "_rcum")
+    reserved = ("_mq", "_cost", "_mass", "_cum", "_remaining", "_rcum")
     clash = [c for c in reserved if c in df.columns]
     if clash:
         raise ValueError(
@@ -256,7 +256,6 @@ def mixture_rates(
     if weight_col is None:
         mass_col, mass = "n_rows", F.count("*")
     else:
-        max_mass = (2**63 - 1) // MIXTURE_PPM
         w = F.when(
             F.col(weight_col).isNull() | (F.col(weight_col) < 0),
             F.raise_error(
@@ -268,21 +267,50 @@ def mixture_rates(
             ).cast("bigint"),
         ).otherwise(F.col(weight_col).cast("bigint"))
         mass_col = "n_units"
-        mass = F.when(
-            F.sum(w) > max_mass,
-            F.raise_error(
-                F.lit(
-                    "mixture_rates: stratum mass exceeds the exact"
-                    f" int64 bound ({max_mass} units) — weight in"
-                    " coarser units (e.g. kilo-tokens)"
-                )
-            ).cast("bigint"),
-        ).otherwise(F.sum(w))
+        mass = F.sum(w)
     counts = df.groupBy(strata_col).agg(mass.alias(mass_col))
     weights = df.sparkSession.createDataFrame(
         sorted(target_ppm.items()), [strata_col, "target_ppm"]
     )
     joined = counts.join(F.broadcast(weights), strata_col)
+    if weight_col is not None:
+        # guards belong AFTER the target join: a zero- or over-bound
+        # stratum outside target_ppm is dropped by the join and must
+        # not raise. In-target, a zero mass would silently zero the
+        # global budget (emptying the whole mixture) and an over-bound
+        # mass would wrap the budget arithmetic — both raise instead
+        max_mass = (2**63 - 1) // MIXTURE_PPM
+        joined = joined.select(
+            strata_col,
+            F.when(
+                F.col(mass_col) == 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "mixture_rates: stratum with ZERO total"
+                            " weight: "
+                        ),
+                        F.col(strata_col).cast("string"),
+                        F.lit(
+                            " — it would silently zero the global"
+                            " budget and empty the whole mixture;"
+                            " drop it from target_ppm or weight it"
+                            " out upstream"
+                        ),
+                    )
+                ).cast("bigint"),
+            ).when(
+                F.col(mass_col) > max_mass,
+                F.raise_error(
+                    F.lit(
+                        "mixture_rates: stratum mass exceeds the"
+                        f" exact int64 bound ({max_mass} units) —"
+                        " weight in coarser units (e.g. kilo-tokens)"
+                    )
+                ).cast("bigint"),
+            ).otherwise(F.col(mass_col)).alias(mass_col),
+            "target_ppm",
+        )
     budget = joined.agg(
         F.min(
             F.expr(f"({mass_col} * {MIXTURE_PPM}) div target_ppm")

@@ -1502,13 +1502,17 @@ def run_stream_artifact_update(
         batch_sigs = None
         if components:
             # the batch is hashed ONCE: these signatures feed both the
-            # sig-artifact advance and the pair delta below
+            # sig-artifact advance and the pair delta below. The
+            # parallelism guard matters here exactly as in the pairs
+            # path it replaces — a 1-2-split micro-batch would pin the
+            # compute-bound shingle+hash stage to 1-2 cores
             from inbev_data_engineering_case_spark.operators.dedup import (
+                _ensure_parallelism,
                 minhash_signatures,
             )
 
             batch_sigs = minhash_signatures(
-                batch, text_col, id_col, **adv_kw
+                _ensure_parallelism(batch), text_col, id_col, **adv_kw
             ).localCheckpoint(eager=True)
         sigs, fps = advance_corpus_artifacts(
             batch, stored_sigs, stored_fps,

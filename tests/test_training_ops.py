@@ -6860,6 +6860,25 @@ def test_evaluate_bow_classifier_duplicate_guard_wins_when_defects_stack(
         evaluate_bow_classifier(dup_null, labels).first()
 
 
+def test_evaluate_bow_classifier_does_not_truncate_double_scores(spark):
+    """The guarded frame passes the score through UNCAST: a double
+    score of -0.4 against threshold 0 is a negative prediction —
+    casting to bigint first would truncate it to 0 and silently flip
+    it positive (third r13 review pass)."""
+    from inbev_data_engineering_case_spark.operators.classify import (
+        evaluate_bow_classifier,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, -0.4), (2, 0.6)], "doc_id long, score_micro double"
+    )
+    labels = spark.createDataFrame(
+        [(1, False), (2, True)], "doc_id long, label boolean"
+    )
+    row = evaluate_bow_classifier(scored, labels).first()
+    assert (row["tp"], row["fp"], row["tn"], row["fn"]) == (1, 0, 1, 0)
+
+
 _HALO_SENTINEL = "copied verbatim from the held out eval benchmark set"
 
 
@@ -7675,6 +7694,8 @@ def test_select_within_budget_prefix_semantics_and_guards(spark):
         ).collect()
     with pytest.raises(ValueError, match="_mq"):
         select_within_budget(df.withColumn("_mq", df.doc_id), 100)
+    with pytest.raises(ValueError, match="_cost"):
+        select_within_budget(df.withColumn("_cost", df.doc_id), 100)
 
 
 def test_select_within_budget_never_sorts_the_corpus(spark):
@@ -7770,3 +7791,20 @@ def test_mixture_rates_weighted_by_units(spark):
             {"a": 1_000_000},
             weight_col="w",
         ).collect()
+    # an in-target zero-mass stratum would zero the global budget and
+    # silently empty the whole mixture — it raises instead; the same
+    # stratum OUTSIDE the target is simply dropped by the join
+    zero = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 10)], "doc_id long, src string, w long"
+    )
+    with pytest.raises(Exception, match="ZERO total weight"):
+        mixture_rates(
+            zero, "src", {"a": 500_000, "b": 500_000}, weight_col="w"
+        ).collect()
+    ok = {
+        r["src"]: r["rate_ppm"]
+        for r in mixture_rates(
+            zero, "src", {"b": 1_000_000}, weight_col="w"
+        ).collect()
+    }
+    assert ok == {"b": 1_000_000}
