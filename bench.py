@@ -401,6 +401,10 @@ def _bounded_line(payload: dict, budget: int = 1950) -> str:
     query_mins_v and floors in the named artifact) before any
     comparison field is dropped."""
     line = json.dumps(payload, separators=(",", ":"))
+    # LEGACY-ONLY rung: main() emits query_mins_v directly and never
+    # sets the dict-shaped query_mins, so this first fold can only fire
+    # on pre-r13 payloads replayed through _bounded_line (kept because
+    # _prior_floor_artifact still reads both shapes)
     if len(line) > budget and "query_mins" in payload:
         payload["query_mins_v"] = [
             payload["query_mins"].get(q) for q in payload["queries"]
@@ -473,10 +477,13 @@ def _bounded_line(payload: dict, budget: int = 1950) -> str:
             vals = sorted(round(v, 3) for v in vals if v is not None)
             if not vals:
                 return {"n": 0}
+            # statistics.median (mean of the two middle samples on even
+            # counts) — the same convention median_and_min uses, so the
+            # summarized 'median' is not biased high on even-length lists
             return {
                 "n": len(vals),
                 "max": vals[-1],
-                "median": vals[len(vals) // 2],
+                "median": round(statistics.median(vals), 3),
             }
 
         elev = drift.get("elevated") or {}

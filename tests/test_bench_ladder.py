@@ -188,7 +188,7 @@ def test_drift_summarizes_before_comparison_fields_drop():
     probe["drift"] = {
         "floor_artifact": "BENCH_r12.json",
         "ratio_threshold": 1.25,
-        "elevated": {"n": 18, "max": 1.57, "median": 1.49},
+        "elevated": {"n": 18, "max": 1.57, "median": 1.485},
         "note": "summarized: line budget",
         "ab": {
             "pinned_commit": "f" * 40,
@@ -204,6 +204,9 @@ def test_drift_summarizes_before_comparison_fields_drop():
     assert drift["note"] == "summarized: line budget"
     assert drift["elevated"]["n"] == 18
     assert abs(drift["elevated"]["max"] - 1.57) < 1e-9
+    # statistics.median convention: even counts average the two middle
+    # samples (1.48, 1.49) instead of reporting the upper one
+    assert abs(drift["elevated"]["median"] - 1.485) < 1e-9
     hop = drift["ab"]["head_over_pinned"]
     assert hop["n"] == 18 and abs(hop["max"] - round(2.45 / 2.4, 3)) < 1e-9
     assert drift["ab"]["pinned_commit"] == "f" * 40
