@@ -140,6 +140,7 @@ def curate_corpus(
     classifier_model: DataFrame | None = None,
     min_score_micro: int = 0,
     halo_hops: int | None = None,
+    token_budget: int | None = None,
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
     metadata (lang, quality). Survivor policy is deterministic end to end:
@@ -252,6 +253,22 @@ def curate_corpus(
     construction — the halo at >= 1 makes that principled). Equals the
     standalone ``decontaminate(halo_hops=..., pair_edges=...)`` chain
     over the same graph (parity-tested).
+
+    ``token_budget`` (default None = off) caps the curated corpus's
+    total CHARACTER MASS (the repo's token proxy) as the stage after
+    the per-source cap: the kept set is the maximal quality-ordered
+    prefix of the survivors within the budget
+    (``sample.select_within_budget`` — quality DESC, id ASC, exact
+    integer boundary, no global sort), so curation emits a budgeted
+    corpus in the same pass. Ordered after the cap BY DESIGN (quota
+    first, then spend — a budget applied before the cap could spend
+    on documents the cap then drops) and before the split (select,
+    then split — the standard ordering, and the split's provable
+    identity survives filtering to a subset of survivors). Reuses the
+    pipeline's one-pass quality score; identical to standalone
+    ``select_within_budget`` over the unbudgeted output
+    (parity-tested). Per-stratum spends are the standalone
+    composition's job (``sample.select_mixture_within_budget``).
 
     ``bloom_prefilter_bits="auto"`` gates each join on plan-stats
     selectivity (``joins.auto_bloom_bits``): the prefilter engages
@@ -454,6 +471,23 @@ def curate_corpus(
             quality_col="quality",
         ).select(id_col)
         final = _keep_semi(final, kept, id_col, bloom_prefilter_bits)
+    if token_budget is not None:
+        from inbev_data_engineering_case_spark.operators.sample import (
+            select_within_budget,
+        )
+
+        # budget stage: quota first (above), then spend; the cost is
+        # the surviving text's character mass, computed in-row on the
+        # already-materialized survivors — never a second corpus scan
+        final = select_within_budget(
+            final.withColumn(
+                "_tb_cost", F.length(text_col).cast("bigint")
+            ),
+            token_budget,
+            cost_col="_tb_cost",
+            quality_col="quality",
+            id_col=id_col,
+        ).drop("_tb_cost")
     if split_weights is not None:
         # No clobber guard needed here: the scoring projection already
         # reduced the frame to (id, text, lang, quality[, source]), so

@@ -89,6 +89,57 @@ def top_fraction_by_score(
     )
 
 
+# staging columns shared by the budgeted-selection family; the guard
+# refuses inputs that already carry one (the operators stage under
+# these names)
+_BUDGET_RESERVED = (
+    "_mq", "_cost", "_mass", "_cum", "_remaining", "_rcum", "_blim", "_rn"
+)
+
+
+def _budget_staging_guard(df: DataFrame, fn_name: str) -> None:
+    clash = [c for c in _BUDGET_RESERVED if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{fn_name}: input already carries {clash} — "
+            "rename; the operator stages columns under those names"
+        )
+
+
+def _guarded_cost(fn_name: str, cost_col: str, id_col: str) -> Column:
+    """Costs must be non-negative and non-NULL — a NULL or negative
+    cost would silently corrupt every cumulative sum after it, so both
+    raise in-plan (the ``pagerank`` weight-validation discipline)."""
+    return F.when(
+        F.col(cost_col).isNull() | (F.col(cost_col) < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{fn_name}: NULL or negative cost for id "),
+                F.col(id_col).cast("string"),
+                F.lit(" — every cumulative sum after it would corrupt"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col(cost_col).cast("bigint"))
+
+
+def _guarded_micro_quality(
+    fn_name: str, quality_col: str, id_col: str
+) -> Column:
+    """Quality quantized to integer micro-units (the repo-wide ln-1e6
+    discipline — engine-stable boundaries); NULL raises in-plan (a
+    NULL has no position in the selection order)."""
+    return F.when(
+        F.col(quality_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{fn_name}: NULL quality for id "),
+                F.col(id_col).cast("string"),
+                F.lit(" — it has no position in the selection order"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.round(F.col(quality_col) * 1_000_000).cast("bigint"))
+
+
 def select_within_budget(
     df: DataFrame,
     budget: int,
@@ -137,41 +188,16 @@ def select_within_budget(
     would silently corrupt every cumulative sum after it, so both
     raise in-plan (the ``pagerank`` weight-validation discipline). A
     NULL quality raises too (it has no position in the order).
-    ``budget <= 0`` returns the empty selection."""
-    reserved = ("_mq", "_cost", "_mass", "_cum", "_remaining", "_rcum")
-    clash = [c for c in reserved if c in df.columns]
-    if clash:
-        raise ValueError(
-            f"select_within_budget: input already carries {clash} — "
-            "rename; the operator stages columns under those names"
-        )
+    ``budget <= 0`` returns the empty selection (short-circuited
+    explicitly: without it, top-quality levels whose docs all cost 0
+    would satisfy ``cum <= 0`` and leak through at budget 0)."""
+    _budget_staging_guard(df, "select_within_budget")
     budget = int(budget)
-    cost = F.when(
-        F.col(cost_col).isNull() | (F.col(cost_col) < 0),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "select_within_budget: NULL or negative cost for"
-                    " id "
-                ),
-                F.col(id_col).cast("string"),
-                F.lit(" — every cumulative sum after it would corrupt"),
-            )
-        ).cast("bigint"),
-    ).otherwise(F.col(cost_col).cast("bigint"))
-    mq = F.when(
-        F.col(quality_col).isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit("select_within_budget: NULL quality for id "),
-                F.col(id_col).cast("string"),
-                F.lit(" — it has no position in the selection order"),
-            )
-        ).cast("bigint"),
-    ).otherwise(
-        F.round(F.col(quality_col) * 1_000_000).cast("bigint")
-    )
-    base = df.withColumn("_mq", mq).withColumn("_cost", cost)
+    if budget <= 0:
+        return df.filter(F.lit(False))
+    base = df.withColumn(
+        "_mq", _guarded_micro_quality("select_within_budget", quality_col, id_col)
+    ).withColumn("_cost", _guarded_cost("select_within_budget", cost_col, id_col))
     levels = base.groupBy("_mq").agg(F.sum("_cost").alias("_mass"))
     # level-sized table: the unpartitioned window is the point, not an
     # accident — it never sees corpus-cardinality rows
@@ -203,6 +229,119 @@ def select_within_budget(
         .drop("_remaining", "_rcum")
     )
     return kept_full.unionByName(kept_boundary).drop("_mq", "_cost")
+
+
+def select_within_budget_by_stratum(
+    df: DataFrame,
+    strata_col: str,
+    budgets: DataFrame | dict[str, int],
+    cost_col: str = "n_tokens",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``select_within_budget`` spent PER STRATUM — the shape real
+    training pipelines budget in ("30B tokens of code, 10B of forums,
+    best-first within each"): for every stratum, the kept set is the
+    maximal (quality DESC, id ASC) prefix of THAT stratum whose summed
+    ``cost_col`` stays within the stratum's budget. Strata without a
+    budget row are excluded (the ``mixture_rates`` inner-join
+    convention); a budget ≤ 0 selects nothing from its stratum (the
+    scalar form's short-circuit, here a filter on the tiny budget
+    table).
+
+    ``budgets`` is a dict ``{stratum: budget}`` or a 2-column
+    DataFrame ``(strata_col, budget)`` — config- or mixture-derived
+    (``mixture_budgets``), always stratum-cardinality-sized, so it
+    broadcasts.
+
+    Scale shape — the scalar form's histogram plan, partitioned by
+    stratum, still with NO global sort (plan-locked alongside the
+    scalar form: no RangePartitioning exchange anywhere):
+
+    1. one partial-aggregated exchange builds the per-(stratum,
+       quality-level) histogram;
+    2. the cumsum window partitions BY STRATUM (hash exchange + local
+       sort over the level-sized table — never a range exchange);
+    3. fully-kept levels return as one broadcast semi-join on
+       (stratum, level); each stratum's single boundary level pays an
+       ordered running sum partitioned to that (stratum, level) alone.
+
+    Same in-plan guards as the scalar form: NULL/negative costs and
+    NULL quality raise; inputs carrying a staging column name are
+    refused. Identity contract (parity-tested): equals running
+    ``select_within_budget(df.filter(stratum = s), budget_s)`` per
+    stratum and unioning."""
+    _budget_staging_guard(df, "select_within_budget_by_stratum")
+    spark = df.sparkSession
+    if isinstance(budgets, dict):
+        budgets = spark.createDataFrame(
+            sorted(budgets.items()), [strata_col, "_blim"]
+        )
+    else:
+        bcols = budgets.columns
+        if len(bcols) != 2 or strata_col not in bcols:
+            raise ValueError(
+                "select_within_budget_by_stratum: budgets must be"
+                f" ({strata_col}, <budget>) — got {bcols}"
+            )
+        (bud_col,) = [c for c in bcols if c != strata_col]
+        budgets = budgets.select(
+            strata_col, F.col(bud_col).cast("bigint").alias("_blim")
+        )
+    budgets = budgets.filter(F.col("_blim") > 0)
+    base = df.withColumn(
+        "_mq",
+        _guarded_micro_quality(
+            "select_within_budget_by_stratum", quality_col, id_col
+        ),
+    ).withColumn(
+        "_cost",
+        _guarded_cost("select_within_budget_by_stratum", cost_col, id_col),
+    )
+    levels = base.groupBy(strata_col, "_mq").agg(
+        F.sum("_cost").alias("_mass")
+    )
+    wl = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col("_mq").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lv = levels.select(
+        strata_col, "_mq", "_mass", F.sum("_mass").over(wl).alias("_cum")
+    ).join(F.broadcast(budgets), strata_col)
+    full = lv.filter(F.col("_cum") <= F.col("_blim")).select(
+        strata_col, "_mq"
+    )
+    boundary = (
+        lv.filter(F.col("_cum") > F.col("_blim"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(strata_col).orderBy(F.col("_mq").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            strata_col,
+            "_mq",
+            (F.col("_blim") - (F.col("_cum") - F.col("_mass"))).alias(
+                "_remaining"
+            ),
+        )
+    )
+    kept_full = base.join(
+        F.broadcast(full), on=[strata_col, "_mq"], how="left_semi"
+    )
+    wb = Window.partitionBy(strata_col, "_mq").orderBy(F.col(id_col).asc())
+    kept_boundary = (
+        base.join(F.broadcast(boundary), on=[strata_col, "_mq"])
+        .withColumn("_rcum", F.sum("_cost").over(wb))
+        .filter(F.col("_rcum") <= F.col("_remaining"))
+        .drop("_remaining", "_rcum")
+    )
+    # the key-list joins moved strata_col to the front — restore the
+    # input's column order (the scalar form's output contract)
+    return kept_full.unionByName(kept_boundary).select(df.columns)
 
 
 MIXTURE_PPM = 1_000_000
@@ -253,6 +392,33 @@ def mixture_rates(
     (kilo-tokens) to stay under the bound. NULL or negative weights
     raise in-plan (they would corrupt every mass after them).
     """
+    joined, mass_col = _mixture_joined(df, strata_col, target_ppm, weight_col)
+    budget = _mixture_global_budget(joined, mass_col)
+    return (
+        joined.join(F.broadcast(budget))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(MIXTURE_PPM),
+                F.expr(
+                    f"(((target_ppm * _budget) div {MIXTURE_PPM})"
+                    f" * {MIXTURE_PPM}) div {mass_col}"
+                ),
+            ),
+        )
+        .select(strata_col, mass_col, "target_ppm", "rate_ppm")
+    )
+
+
+def _mixture_joined(
+    df: DataFrame,
+    strata_col: str,
+    target_ppm: dict[str, int],
+    weight_col: str | None,
+) -> tuple[DataFrame, str]:
+    """The mixture family's shared mass table: per-stratum masses (row
+    counts, or guarded int64 ``weight_col`` sums) inner-joined with the
+    broadcast target weights. Returns ``(joined, mass_col)``."""
     if weight_col is None:
         mass_col, mass = "n_rows", F.count("*")
     else:
@@ -311,24 +477,90 @@ def mixture_rates(
             ).otherwise(F.col(mass_col)).alias(mass_col),
             "target_ppm",
         )
-    budget = joined.agg(
+    return joined, mass_col
+
+
+def _mixture_global_budget(joined: DataFrame, mass_col: str) -> DataFrame:
+    """The 1-row broadcast global budget: the scarcest stratum bounds
+    the achievable output, ``min_s floor(mass_s * 1e6 / w_s)`` — pure
+    int64 ``div``."""
+    return joined.agg(
         F.min(
             F.expr(f"({mass_col} * {MIXTURE_PPM}) div target_ppm")
         ).alias("_budget")
     )
+
+
+def mixture_budgets(
+    df: DataFrame,
+    strata_col: str,
+    target_ppm: dict[str, int],
+    cost_col: str,
+) -> DataFrame:
+    """Per-stratum COST budgets from the mixture arithmetic —
+    ``(strata_col, n_units, target_ppm, budget_units)`` where
+    ``budget_units = (w_s * budget) div 1e6`` and ``budget`` is the
+    scarcest-stratum global bound, all exact int64 (``mixture_rates``'
+    discipline, same shared mass/guard computation).
+
+    This is the bridge between mixing and budgeted selection: where
+    ``mixture_rates`` converts the target composition into a
+    hash-Bernoulli KEEP RATE (a random subset hitting the mass in
+    expectation), ``mixture_budgets`` converts it into a hard
+    per-stratum SPEND for ``select_within_budget_by_stratum`` — the
+    best documents of each stratum up to exactly its share. By the
+    floor arithmetic ``budget_units ≤ mass_s`` always holds (a budget
+    can never exceed its stratum), and every step is engine-portable
+    integer division, so the budgets — and the selection boundary they
+    induce — replay bit-identically in the oracle.
+
+    Same plan shape as ``mixture_rates``: one partial-aggregated
+    exchange for the masses, a broadcast 1-row budget, a broadcast
+    result. Same guards: zero or over-bound stratum masses raise
+    in-plan; strata absent from ``target_ppm`` get no row."""
+    joined, mass_col = _mixture_joined(df, strata_col, target_ppm, cost_col)
+    budget = _mixture_global_budget(joined, mass_col)
     return (
         joined.join(F.broadcast(budget))
         .withColumn(
-            "rate_ppm",
-            F.least(
-                F.lit(MIXTURE_PPM),
-                F.expr(
-                    f"(((target_ppm * _budget) div {MIXTURE_PPM})"
-                    f" * {MIXTURE_PPM}) div {mass_col}"
-                ),
-            ),
+            "budget_units",
+            F.expr(f"(target_ppm * _budget) div {MIXTURE_PPM}"),
         )
-        .select(strata_col, mass_col, "target_ppm", "rate_ppm")
+        .select(strata_col, mass_col, "target_ppm", "budget_units")
+    )
+
+
+def select_mixture_within_budget(
+    df: DataFrame,
+    strata_col: str,
+    target_ppm: dict[str, int],
+    cost_col: str = "n_tokens",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Budgeted data selection AT the target mixture — the composed
+    "curate, then spend a per-stratum token budget on the survivors"
+    pass: derive each stratum's exact int64 spend from the mixture
+    arithmetic (``mixture_budgets``) and keep the best-quality prefix
+    of each stratum within it (``select_within_budget_by_stratum``).
+
+    Contrast with ``mixture_sample(weight_col=)``: the sampled mixture
+    keeps a hash-random subset (composition exact in expectation,
+    quality-blind); this keeps the BEST documents of each stratum
+    (composition exact up to one boundary document per stratum,
+    quality-first) — the FineWeb-style final selection. Deterministic
+    end to end and oracle-replayable; the corpus never globally sorts
+    (both constituent plans are RangePartitioning-free)."""
+    budgets = mixture_budgets(df, strata_col, target_ppm, cost_col).select(
+        strata_col, "budget_units"
+    )
+    return select_within_budget_by_stratum(
+        df,
+        strata_col,
+        budgets,
+        cost_col=cost_col,
+        quality_col=quality_col,
+        id_col=id_col,
     )
 
 

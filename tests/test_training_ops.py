@@ -5071,6 +5071,87 @@ def test_curate_capped_mode_identity_with_standalone_cap(spark):
     assert per_src and all(r["count"] <= 3 for r in per_src)
 
 
+def test_curate_token_budget_identity_with_standalone_selection(spark):
+    """curate_corpus(token_budget=) composes select_within_budget as
+    the stage after the per-source cap: the composed kept set must be
+    IDENTICAL to running standalone select_within_budget (character
+    cost, pipeline quality) over the unbudgeted curation output, the
+    budget must bind (strictly fewer survivors than unbudgeted, total
+    kept mass within budget), it must stack with the cap (quota first,
+    then spend), and the split assigns on the budgeted set."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+    from inbev_data_engineering_case_spark.operators.sample import (
+        select_within_budget,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "source")
+
+    unbudgeted = curate_corpus(docs)
+    total = unbudgeted.agg(
+        F.sum(F.length("text")).alias("t")
+    ).first()["t"]
+    budget = int(total) // 2
+
+    composed = curate_corpus(docs, token_budget=budget)
+    assert composed.columns == unbudgeted.columns
+    composed_rows = composed.collect()
+    composed_ids = sorted(r["doc_id"] for r in composed_rows)
+    standalone_ids = sorted(
+        r["doc_id"]
+        for r in select_within_budget(
+            unbudgeted.withColumn(
+                "_tb_cost", F.length("text").cast("bigint")
+            ),
+            budget,
+            cost_col="_tb_cost",
+            quality_col="quality",
+        ).collect()
+    )
+    assert composed_ids == standalone_ids and composed_ids
+    # the budget binds and is respected
+    assert len(composed_ids) < unbudgeted.count()
+    assert sum(len(r["text"]) for r in composed_rows) <= budget
+
+    # stacks with the cap: quota first, then spend — the budgeted
+    # capped set is the standalone selection over the capped output
+    capped = curate_corpus(docs, max_docs_per_source=3)
+    both = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, max_docs_per_source=3, token_budget=budget
+        ).collect()
+    )
+    want_both = sorted(
+        r["doc_id"]
+        for r in select_within_budget(
+            capped.withColumn(
+                "_tb_cost", F.length("text").cast("bigint")
+            ),
+            budget,
+            cost_col="_tb_cost",
+            quality_col="quality",
+        ).collect()
+    )
+    assert both == want_both
+    # the cap's quota still holds inside the composed run
+    assert set(both) <= {r["doc_id"] for r in capped.collect()}
+
+    # split composes after the budget: same kept ids, split column on
+    split_out = curate_corpus(
+        docs,
+        token_budget=budget,
+        split_weights={"train": 0.9, "val": 0.1},
+    )
+    assert "split" in split_out.columns
+    assert (
+        sorted(r["doc_id"] for r in split_out.collect()) == composed_ids
+    )
+
+
 def test_curate_corpus_bloom_prefilter_identity(spark):
     """bloom_prefilter_bits routes the three id-keyed keep-joins (LM
     keep list, exact-dedup survivors, cap winners) through the
@@ -7720,6 +7801,163 @@ def test_select_within_budget_never_sorts_the_corpus(spark):
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
+    )
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert "BatchEvalPython" not in plan
+
+
+def test_select_within_budget_by_stratum_parity_and_guards(spark):
+    """Per-stratum budgeted selection: equals the scalar form applied
+    per stratum and unioned (the identity contract), dict and
+    DataFrame budget shapes agree, unbudgeted strata are excluded,
+    zero-budget strata select nothing, and a malformed budget frame or
+    staged-column clash is refused."""
+    import random
+
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.sample import (
+        select_within_budget,
+        select_within_budget_by_stratum,
+    )
+
+    rng = random.Random(0x57A7)
+    rows = [
+        (
+            i,
+            rng.choice(["a", "b", "c", "d"]),
+            rng.randrange(0, 40),
+            rng.choice([0.3, 0.55, 0.8]),
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, src string, n_tokens long, quality double"
+    )
+    # d has no budget (excluded); c's zero budget selects nothing —
+    # including its zero-cost docs (the scalar short-circuit's case)
+    budgets = {"a": 150, "b": 1, "c": 0}
+    got = sorted(
+        r["doc_id"]
+        for r in select_within_budget_by_stratum(
+            df, "src", budgets
+        ).collect()
+    )
+    want: list[int] = []
+    for s, b in budgets.items():
+        want += [
+            r["doc_id"]
+            for r in select_within_budget(
+                df.filter(F.col("src") == s), b
+            ).collect()
+        ]
+    assert got == sorted(want)
+    # the DataFrame budget shape selects identically, budget column
+    # name free; output schema is the input's, staging columns dropped
+    bdf = spark.createDataFrame(
+        sorted(budgets.items()), "src string, spend long"
+    )
+    sel = select_within_budget_by_stratum(df, "src", bdf)
+    assert sorted(r["doc_id"] for r in sel.collect()) == got
+    assert sel.columns == ["doc_id", "src", "n_tokens", "quality"]
+    with pytest.raises(ValueError, match="budgets must be"):
+        select_within_budget_by_stratum(
+            df, "src", bdf.withColumn("extra", F.lit(1))
+        )
+    with pytest.raises(ValueError, match="_mq"):
+        select_within_budget_by_stratum(
+            df.withColumn("_mq", df.doc_id), "src", budgets
+        )
+
+
+def test_mixture_budgets_arithmetic_and_guards(spark):
+    """mixture_budgets: budget_units = (w_s · scarcest-budget) div 1e6
+    hand-checked, never exceeds the stratum's own mass (the floor
+    bound), strata outside target_ppm get no row, and the shared
+    mixture guards raise on a zero-mass stratum."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.sample import (
+        mixture_budgets,
+    )
+
+    rows = [("a", 100)] * 10 + [("b", 100)] * 5 + [("x", 100)] * 3
+    df = spark.createDataFrame(
+        [(i, s, c) for i, (s, c) in enumerate(rows)],
+        "doc_id long, src string, cost long",
+    )
+    # masses: a=1000, b=500; budget = min(1000e6//5e5, 500e6//5e5) =
+    # 1000 (b is scarcest); budget_units = 5e5*1000 div 1e6 = 500 each
+    out = {
+        r["src"]: r.asDict()
+        for r in mixture_budgets(
+            df, "src", {"a": 500_000, "b": 500_000}, "cost"
+        ).collect()
+    }
+    assert set(out) == {"a", "b"}  # x: no target row
+    assert out["a"]["budget_units"] == 500
+    assert out["b"]["budget_units"] == 500
+    assert all(v["budget_units"] <= v["n_units"] for v in out.values())
+    # asymmetric 3:1 targets, A now the scarce side: budget =
+    # min(1000e6 div 75e4, 500e6 div 25e4) = min(1333, 2000) = 1333;
+    # a: 75e4·1333 div 1e6 = 999 ≤ 1000; b: 25e4·1333 div 1e6 = 333
+    out2 = {
+        r["src"]: r["budget_units"]
+        for r in mixture_budgets(
+            df, "src", {"a": 750_000, "b": 250_000}, "cost"
+        ).collect()
+    }
+    assert out2 == {"a": 999, "b": 333}
+    with pytest.raises(Exception, match="ZERO total weight"):
+        mixture_budgets(
+            df.withColumn(
+                "cost",
+                F.when(F.col("src") == "b", F.lit(0)).otherwise(
+                    F.col("cost")
+                ),
+            ),
+            "src",
+            {"a": 500_000, "b": 500_000},
+            "cost",
+        ).collect()
+
+
+def test_select_mixture_within_budget_composition_and_plan(spark):
+    """The composed mixture-budget selection equals deriving the
+    budgets and selecting per stratum explicitly, and its executed
+    plan keeps the family's scale locks: no RangePartitioning exchange
+    (the corpus never globally sorts) and no Python in the plan."""
+    from inbev_data_engineering_case_spark.operators.sample import (
+        mixture_budgets,
+        select_mixture_within_budget,
+        select_within_budget_by_stratum,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("cost"),
+        (F.col("n_chars") / 1000.0).alias("quality"),
+    )
+    target = {"src1": 400_000, "src2": 400_000, "src3": 200_000}
+    composed = select_mixture_within_budget(
+        docs, "source", target, cost_col="cost"
+    )
+    explicit = select_within_budget_by_stratum(
+        docs,
+        "source",
+        mixture_budgets(docs, "source", target, "cost").select(
+            "source", "budget_units"
+        ),
+        cost_col="cost",
+    )
+    got = sorted(r["doc_id"] for r in composed.collect())
+    assert got == sorted(r["doc_id"] for r in explicit.collect())
+    assert got  # non-vacuous fixture
+    plan = (
+        composed._jdf.queryExecution().executedPlan().toString()
     )
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
     assert "BatchEvalPython" not in plan
