@@ -1275,8 +1275,34 @@ def backfill_components_table(
             " table that missed history's edges would silently"
             " mislabel future merges; pass the FULL stored corpus text"
         )
+    # geometry guard (the gram/classifier streams' discipline): the
+    # labels committed here seed the stream's INCREMENTAL maintenance,
+    # which bands deltas against the STORED sigs — a backfill whose
+    # pair graph was computed with a different num_hashes would commit
+    # labels the stream can never reproduce, silently breaking the
+    # from-scratch parity contract. The stored sig rows record their
+    # own geometry (size(sig)), so derive it when the caller is silent
+    # and refuse an explicit mismatch. shingle_words is NOT recorded
+    # in the sig values and stays the caller's contract to match.
+    shead = sigs.select(F.size("sig").alias("_n")).first()
+    stored_hashes = None if shead is None else int(shead["_n"])
+    if (
+        stored_hashes is not None
+        and num_hashes is not None
+        and num_hashes != stored_hashes
+    ):
+        raise ValueError(
+            "backfill_components_table: stored sigs carry"
+            f" num_hashes={stored_hashes} but this backfill is"
+            f" configured num_hashes={num_hashes} — labels from a"
+            " different pair graph than the one the stream maintains"
+            " would break the from-scratch parity contract; match the"
+            " geometry (or omit num_hashes to derive it)"
+        )
     pair_kw = {}
-    if num_hashes is not None:
+    if stored_hashes is not None:
+        pair_kw["num_hashes"] = stored_hashes
+    elif num_hashes is not None:
         pair_kw["num_hashes"] = num_hashes
     if shingle_words is not None:
         pair_kw["shingle_words"] = shingle_words
@@ -1835,6 +1861,56 @@ def run_stream_classifier_update(
     simply accumulates one side); ``bow_weights_from_counts`` raises
     only if the TOTAL history is still one-class. Returns
     ``query_metrics``."""
+    from inbev_data_engineering_case_spark.operators.classify import (
+        merge_bow_counts,
+        train_bow_counts,
+    )
+
+    def train(batch: DataFrame, buckets: int) -> DataFrame:
+        return train_bow_counts(
+            batch, label_col, text_col, id_col, n_buckets=buckets
+        )
+
+    return _run_stream_counts_update(
+        labeled_stream,
+        state_dir,
+        checkpoint,
+        timeout=timeout,
+        fn_name="run_stream_classifier_update",
+        prefix=CLASSIFIER_ARTIFACT_PREFIX,
+        select_cols=(id_col, text_col, label_col),
+        id_col=id_col,
+        train=train,
+        merge=merge_bow_counts,
+        meta_count_col="cp",
+        n_buckets=n_buckets,
+        keep_snapshots=keep_snapshots,
+    )
+
+
+def _run_stream_counts_update(
+    labeled_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    timeout: int,
+    fn_name: str,
+    prefix: str,
+    select_cols: tuple[str, ...],
+    id_col: str,
+    train,
+    merge,
+    meta_count_col: str,
+    n_buckets: int | None,
+    keep_snapshots: int | None,
+) -> dict[str, int]:
+    """The additive-count artifact streams' ONE guard chain + commit
+    loop (binary and multiclass twins delegate here, so checkpoint
+    lineage, replay skip, geometry refusal, and snapshot discipline
+    are defined once): per batch — null-filter + per-batch id dedup →
+    checkpoint-lineage refusal → geometry refusal (the stored META
+    row's ``meta_count_col`` carries n_buckets) → replay skip →
+    train-on-batch → additive merge → one atomic snapshot with the
+    ``(batch_id, checkpoint)`` meta row."""
     from inbev_data_engineering_case_spark.layers import (
         commit_snapshot,
         latest_snapshot,
@@ -1845,18 +1921,18 @@ def run_stream_classifier_update(
     from inbev_data_engineering_case_spark.operators.classify import (
         DEFAULT_N_BUCKETS,
         META_BUCKET,
-        merge_bow_counts,
-        train_bow_counts,
     )
 
     spark = labeled_stream.sparkSession
+    null_guard = None
+    for c in select_cols[1:]:  # id nulls are legal to the hash; text/label not
+        cond = F.col(c).isNotNull()
+        null_guard = cond if null_guard is None else (null_guard & cond)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = (
-            batch_df.select(id_col, text_col, label_col)
-            .filter(
-                F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
-            )
+            batch_df.select(*select_cols)
+            .filter(null_guard)
             .dropDuplicates([id_col])
             .localCheckpoint(eager=True)  # file-source batches re-scan
         )
@@ -1869,9 +1945,7 @@ def run_stream_classifier_update(
         # shows both strings when they differ.
         ckpt_key = checkpoint
         try:
-            parent_snap = latest_snapshot(
-                state_dir, CLASSIFIER_ARTIFACT_PREFIX
-            )
+            parent_snap = latest_snapshot(state_dir, prefix)
             stored = spark.read.parquet(
                 os.path.join(parent_snap, "counts")
             )
@@ -1880,7 +1954,7 @@ def run_stream_classifier_update(
             ).first()
             if meta_row["checkpoint"] != ckpt_key:
                 raise ValueError(
-                    "run_stream_classifier_update: stored counts were"
+                    f"{fn_name}: stored counts were"
                     f" maintained under checkpoint"
                     f" {meta_row['checkpoint']!r} but this stream runs"
                     f" under {ckpt_key!r} — batch ids from a fresh"
@@ -1895,10 +1969,10 @@ def run_stream_classifier_update(
             # genuinely new batch arrives
             stored_b = stored.filter(
                 F.col("bucket") == META_BUCKET
-            ).first()["cp"]
+            ).first()[meta_count_col]
             if n_buckets is not None and n_buckets != stored_b:
                 raise ValueError(
-                    "run_stream_classifier_update: stored counts were"
+                    f"{fn_name}: stored counts were"
                     f" hashed into n_buckets={stored_b} but this stream"
                     f" is configured n_buckets={n_buckets} — a silent"
                     " mismatch would hash every future token into the"
@@ -1907,17 +1981,13 @@ def run_stream_classifier_update(
                 )
             if batch_id <= meta_row["batch_id"]:
                 return  # replayed batch: its counts are already folded in
-            parent = run_id_of(parent_snap, CLASSIFIER_ARTIFACT_PREFIX)
+            parent = run_id_of(parent_snap, prefix)
             buckets = int(stored_b)
         except FileNotFoundError:  # first generation ever
             stored, parent = None, None
             buckets = n_buckets or DEFAULT_N_BUCKETS
-        delta = train_bow_counts(
-            batch, label_col, text_col, id_col, n_buckets=buckets
-        )
-        counts = (
-            merge_bow_counts(stored, delta) if stored is not None else delta
-        )
+        delta = train(batch, buckets)
+        counts = merge(stored, delta) if stored is not None else delta
         meta = spark.createDataFrame(
             [(int(batch_id), ckpt_key)],
             "batch_id bigint, checkpoint string",
@@ -1932,12 +2002,10 @@ def run_stream_classifier_update(
             next_run_after(parent),
             write_all,
             expected_parent=parent,
-            prefix=CLASSIFIER_ARTIFACT_PREFIX,
+            prefix=prefix,
         )
         if keep_snapshots:
-            prune_snapshots(
-                state_dir, CLASSIFIER_ARTIFACT_PREFIX, keep_snapshots
-            )
+            prune_snapshots(state_dir, prefix, keep_snapshots)
 
     q = (
         labeled_stream.writeStream.foreachBatch(apply_batch)
@@ -1948,7 +2016,88 @@ def run_stream_classifier_update(
     if not q.awaitTermination(timeout):
         q.stop()
         raise TimeoutError(
-            f"classifier-artifact stream to {state_dir} did not drain in "
-            f"{timeout}s"
+            f"counts-artifact stream ({prefix}) to {state_dir} did not"
+            f" drain in {timeout}s"
         )
     return query_metrics(q)
+
+
+MULTICLASS_ARTIFACT_PREFIX = "mclfart"
+
+
+def read_multiclass_counts(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The multi-class classifier's additive count statistics
+    (``classify.multiclass_bow_counts`` shape) from the latest
+    committed snapshot — feed to
+    ``classify.multiclass_bow_weights_from_counts`` to derive the
+    K-class scoring model in one model-sized pass. Raises
+    ``FileNotFoundError`` when no snapshot has ever committed."""
+    from inbev_data_engineering_case_spark.layers import latest_snapshot
+
+    snap = latest_snapshot(state_dir, MULTICLASS_ARTIFACT_PREFIX)
+    return spark.read.parquet(os.path.join(snap, "counts"))
+
+
+def run_stream_multiclass_update(
+    labeled_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    timeout: int = 300,
+    class_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+    keep_snapshots: int | None = None,
+) -> dict[str, int]:
+    """Streaming maintenance of the MULTI-CLASS classifier's count
+    statistics — the binary twin's discipline applied to the
+    per-(class, bucket) table (``classify.multiclass_bow_counts`` /
+    ``merge_multiclass_bow_counts``), so a daily-loop K-class tagger
+    advances from each labeled micro-batch instead of retraining from
+    scratch (the r13 VERDICT gap): each batch trains its own delta
+    and folds it into the stored counts under one atomic snapshot
+    generation; ``multiclass_bow_weights_from_counts`` re-derives the
+    argmax model from the latest snapshot at any time, byte-identical
+    to full retraining over every streamed document (the additive
+    contract, parity-tested).
+
+    Shares the binary twin's ENTIRE guard chain
+    (``_run_stream_counts_update`` — defined once): additive counts
+    cannot row-dedup a replay, so each snapshot records its producing
+    ``(batch_id, checkpoint)`` and a batch at or below the recorded id
+    under the SAME checkpoint is skipped, while a different checkpoint
+    against existing state raises; the stored META row (NULL class,
+    ``c`` = n_buckets) pins the hash geometry and an explicit mismatch
+    raises before any commit; NULL-text/label rows drop per batch and
+    duplicate ids within a batch collapse first. New classes simply
+    appear as new (class, bucket) rows in the fold — K is data, not
+    geometry. One-class history is fine at the counts level;
+    ``multiclass_bow_weights_from_counts`` raises on fewer than two
+    classes at derive time. Returns ``query_metrics``."""
+    from inbev_data_engineering_case_spark.operators.classify import (
+        merge_multiclass_bow_counts,
+        multiclass_bow_counts,
+    )
+
+    def train(batch: DataFrame, buckets: int) -> DataFrame:
+        return multiclass_bow_counts(
+            batch, class_col, text_col, id_col, n_buckets=buckets
+        )
+
+    return _run_stream_counts_update(
+        labeled_stream,
+        state_dir,
+        checkpoint,
+        timeout=timeout,
+        fn_name="run_stream_multiclass_update",
+        prefix=MULTICLASS_ARTIFACT_PREFIX,
+        select_cols=(id_col, text_col, class_col),
+        id_col=id_col,
+        train=train,
+        merge=merge_multiclass_bow_counts,
+        meta_count_col="c",
+        n_buckets=n_buckets,
+        keep_snapshots=keep_snapshots,
+    )

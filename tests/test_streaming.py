@@ -1727,6 +1727,131 @@ def test_stream_classifier_counts_maintenance(spark, tmp_path):
     assert after == before
 
 
+def test_stream_multiclass_counts_maintenance(spark, tmp_path):
+    """Streaming maintenance of the MULTI-CLASS count statistics
+    (shares the binary twin's guard chain — _run_stream_counts_update
+    is defined once, so the replay-deletion machinery is pinned by the
+    binary test): a two-batch drain equals multiclass_bow_counts over
+    every streamed doc, the derived model equals train_bow_multiclass
+    byte for byte, a class UNSEEN in batch one simply appears as new
+    (class, bucket) rows in the fold (K is data, not geometry), a
+    fresh checkpoint against existing state raises, and a mismatched
+    n_buckets raises before anything commits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.operators.classify import (
+        multiclass_bow_counts,
+        multiclass_bow_weights_from_counts,
+        train_bow_multiclass,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_multiclass_counts,
+        run_stream_multiclass_update,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", F.col("lang").alias("label"))
+        .filter(F.col("doc_id") < 120)
+        .localCheckpoint(eager=True)
+    )
+    # batch 1 sees only two classes; the rest debut in batch 2
+    langs = sorted(
+        r["label"] for r in docs.select("label").distinct().collect()
+    )
+    assert len(langs) >= 3, "fixture needs 3+ classes"
+    first_two = langs[:2]
+    d1 = docs.filter(
+        (F.col("doc_id") < 60) & F.col("label").isin(*first_two)
+    )
+    d2 = docs.join(d1.select("doc_id"), "doc_id", "left_anti")
+    state = str(tmp_path / "mclf_state")
+    src = str(tmp_path / "mclf_feed")
+    ckpt = str(tmp_path / "mclf_ckpt")
+    d1.coalesce(1).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # META rows carry a NULL class — sort None-safely
+    def key(t):
+        return (t[0] is None, t[0] or "") + tuple(t[1:])
+
+    run_stream_multiclass_update(stream(), state, ckpt, n_buckets=1 << 12)
+    got1 = sorted(
+        map(tuple, read_multiclass_counts(spark, state).collect()), key=key
+    )
+    want1 = sorted(
+        map(tuple, multiclass_bow_counts(d1, n_buckets=1 << 12).collect()),
+        key=key,
+    )
+    assert got1 == want1
+
+    # second batch through the SAME checkpoint: counts over the union,
+    # the new classes' rows folded in additively
+    d2.coalesce(1).write.mode("append").parquet(src)
+    run_stream_multiclass_update(stream(), state, ckpt, n_buckets=1 << 12)
+    stored = read_multiclass_counts(spark, state)
+    got2 = sorted(map(tuple, stored.collect()), key=key)
+    want2 = sorted(
+        map(
+            tuple, multiclass_bow_counts(docs, n_buckets=1 << 12).collect()
+        ),
+        key=key,
+    )
+    assert got2 == want2
+    streamed_classes = {
+        r["class"]
+        for r in stored.filter(F.col("class").isNotNull())
+        .select("class")
+        .distinct()
+        .collect()
+    }
+    assert streamed_classes == set(langs)  # late classes present
+
+    # model from streamed counts == full retrain, byte for byte
+    inc_model = sorted(
+        map(
+            tuple,
+            multiclass_bow_weights_from_counts(stored).collect(),
+        ),
+        key=key,
+    )
+    batch_model = sorted(
+        map(tuple, train_bow_multiclass(docs, n_buckets=1 << 12).collect()),
+        key=key,
+    )
+    assert inc_model == batch_model
+
+    # fresh checkpoint against existing state: loud refusal
+    with pytest.raises(Exception, match="checkpoint"):
+        run_stream_multiclass_update(
+            stream(), state, str(tmp_path / "mclf_ckpt_fresh"),
+            n_buckets=1 << 12,
+        )
+
+    # geometry mismatch on resume: loud refusal before commit (the
+    # multiclass META row records n_buckets in its c column)
+    import time
+
+    for _ in range(100):
+        if not spark.streams.active:
+            break
+        time.sleep(0.1)
+    d1.limit(5).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text", "label"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="n_buckets"):
+        run_stream_multiclass_update(
+            stream(), state, ckpt, n_buckets=1 << 13
+        )
+
+
 def test_stream_artifact_update_maintains_components_labels(
     spark, tmp_path
 ):
