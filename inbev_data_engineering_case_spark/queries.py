@@ -2052,7 +2052,7 @@ def q_bow_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic; the same four population-integrity guards as the "
     "binary evaluator raise in-plan (duplicate id first). Oracle "
     "replays split+train+score+argmax+confusion end to end in SQL. "
-    "Late-r13 tail debut, r14 promotion queue (family cover: "
+    "Late-r13 tail debut, promoted to the window in r14 (family cover: "
     "q_classifier_eval pins the guarded-join confusion machinery "
     "in-window, q_bow_multiclass the multiclass train/score/argmax).",
 )
@@ -2144,7 +2144,7 @@ def _mixture_by_class_oracle() -> str:
     "the kept subset is a pure function of (ids, model, weights, "
     "salt); the corpus never shuffles for the mix itself. Oracle "
     "replays train+score+argmax+rates+membership end to end in SQL. "
-    "Late-r13 tail debut, r14 promotion queue (family cover: "
+    "Late-r13 tail debut, promoted to the window in r14 (family cover: "
     "q_bow_multiclass pins the tagger in-window, q_mixture_sample "
     "the int64 rate/membership machinery).",
 )
@@ -2464,8 +2464,8 @@ def _mixture_tokens_oracle() -> str:
     "achieved token share is the hash draw's expected value. Report "
     "mirrors q_mixture_sample's: rates joined with achieved kept "
     "units. Oracle replays mass + budget + rate + membership + kept "
-    "mass end to end in SQL. Late-r13 tail debut, r14 promotion "
-    "queue (family cover: q_mixture_sample runs the identical rate/"
+    "mass end to end in SQL. Late-r13 tail debut, promoted to the "
+    "window in r14 (family cover: q_mixture_sample runs the identical rate/"
     "membership machinery in-window on row counts).",
 )
 def q_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2495,6 +2495,88 @@ def q_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_units", "target_ppm", "rate_ppm", "kept_units"
         )
     )
+
+
+def _stratum_budget_oracle() -> str:
+    values = ", ".join(
+        f"('{s}', {p})" for s, p in sorted(_MIX_PPM.items())
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, length(text) AS cost, {_SQL_QUALITY} AS quality,
+             CAST(round(({_SQL_QUALITY}) * 1000000) AS BIGINT) AS mq
+      FROM documents
+    ),
+    w(source, target_ppm) AS (VALUES {values}),
+    masses AS (
+      SELECT source, sum(cost)::BIGINT AS n_units FROM base GROUP BY 1
+    ),
+    j AS (
+      SELECT masses.source AS source, n_units, target_ppm
+      FROM masses JOIN w ON masses.source = w.source
+    ),
+    b AS (
+      SELECT min((n_units * 1000000) // target_ppm) AS _budget FROM j
+    ),
+    budgets AS (
+      SELECT source, (target_ppm * _budget) // 1000000 AS budget_units
+      FROM j CROSS JOIN b
+    ),
+    ordered AS (
+      SELECT doc_id, base.source AS source, cost, quality, budget_units,
+             sum(cost) OVER (PARTITION BY base.source
+                             ORDER BY mq DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM base JOIN budgets ON base.source = budgets.source
+    )
+    SELECT doc_id, source, CAST(cost AS BIGINT) AS cost, quality
+    FROM ordered WHERE cum <= budget_units
+    """
+
+
+@register(
+    "q_stratum_budget",
+    _stratum_budget_oracle(),
+    headline=True,
+    doc="PER-STRATUM budgeted selection at the target mixture "
+    "(operators/sample.py:select_mixture_within_budget = "
+    "mixture_budgets ∘ select_within_budget_by_stratum) — the composed "
+    "'curate, then spend each stratum's token share on the best "
+    "survivors' pass the r13 VERDICT asked for: each source's exact "
+    "int64 spend derives from the mixture arithmetic (budget_units = "
+    "(w_s·budget) div 1e6, scarcest-stratum bound — q_mixture_tokens' "
+    "discipline), and the kept set is each stratum's maximal (quality "
+    "DESC, id ASC) prefix within that spend. Where mixture_sample "
+    "keeps a hash-random subset (quality-blind, exact in "
+    "expectation), this keeps the BEST documents at the same "
+    "composition (exact up to one boundary doc per stratum). Plan: "
+    "the scalar q_token_budget histogram partitioned by stratum — one "
+    "partial-aggregated (source, quality-level) exchange, a "
+    "stratum-partitioned level cumsum (hash exchange, never range), "
+    "broadcast level semi-join, per-stratum boundary running sum — "
+    "plan-locked RangePartitioning-free alongside the scalar form. "
+    "Oracle replays masses → global budget → per-stratum spends → the "
+    "equivalent full per-stratum window-cumsum prefix in SQL. R14 "
+    "debut (parity-tested against per-stratum scalar "
+    "select_within_budget union).",
+)
+def q_stratum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.sample import (
+        select_mixture_within_budget,
+    )
+    from inbev_data_engineering_case_spark.operators.textops import (
+        quality_score,
+    )
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("cost"),
+        quality_score("text").alias("quality"),
+    )
+    return select_mixture_within_budget(
+        base, "source", _MIX_PPM, cost_col="cost", quality_col="quality"
+    ).select("doc_id", "source", "cost", "quality")
 
 
 # Deterministic decontamination fixture: every 40th document is the
@@ -4534,6 +4616,85 @@ def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_multiclass",
+    f"""
+    WITH mlab AS (SELECT doc_id, text, lang AS cls FROM documents),
+    mocc AS (
+      SELECT cls, {_BOW_HASH_TOK} % {_BOW_B} AS bucket
+      FROM (SELECT cls, unnest({_SQL_TOKENS}) AS tok FROM mlab)
+      WHERE tok != ''
+    ),
+    mcnt AS (SELECT cls, bucket, count(*) AS c FROM mocc GROUP BY 1, 2)
+    SELECT cls AS class, bucket, c FROM mcnt
+    UNION ALL
+    SELECT cls AS class, CAST(-1 AS BIGINT) AS bucket,
+           count(*) AS c
+    FROM mlab GROUP BY 1
+    UNION ALL
+    SELECT NULL AS class, CAST(-3 AS BIGINT) AS bucket,
+           CAST({_BOW_B} AS BIGINT) AS c
+    """,
+    doc="stream-maintained MULTI-CLASS classifier count statistics "
+    "(streaming/events.py:run_stream_multiclass_update): the "
+    "lang-labeled documents table drains as a file-source stream, "
+    "each micro-batch training classify.multiclass_bow_counts on the "
+    "batch alone and merge_multiclass_bow_counts-folding it into the "
+    "stored per-(class, bucket) table under one atomic snapshot "
+    "generation — the r13 VERDICT's missing stream twin, so a "
+    "daily-loop K-class tagger advances instead of retraining from "
+    "scratch. Counts are ADDITIVE, so the drained state must equal "
+    "multiclass_bow_counts over every streamed document exactly — "
+    "what the oracle replays in SQL (per-(class, bucket) token "
+    "occurrences + per-class prior rows at bucket -1 + the NULL-class "
+    "META row pinning n_buckets). The binary twin's entire guard "
+    "chain is shared (_run_stream_counts_update, defined once): "
+    "(batch_id, checkpoint) replay skip, fresh-checkpoint refusal, "
+    "META-geometry refusal before commit. Fresh state/checkpoint per "
+    "invocation; results materialize before the scratch dirs are "
+    "removed. R14 debut (family cover: q_stream_classifier runs the "
+    "identical shared loop in-window, q_bow_multiclass the count/"
+    "model machinery).",
+)
+def q_stream_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from inbev_data_engineering_case_spark.streaming.events import (
+        read_multiclass_counts,
+        run_stream_multiclass_update,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="q_stream_multiclass_")
+    src_dir = os.path.join(scratch, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        .parquet(src_dir)
+        .select("doc_id", "text", F.col("lang").alias("label"))
+    )
+    try:
+        run_stream_multiclass_update(
+            stream,
+            os.path.join(scratch, "state"),
+            os.path.join(scratch, "ckpt"),
+            n_buckets=_BOW_B,
+        )
+        return read_multiclass_counts(
+            spark, os.path.join(scratch, "state")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
     "q_curate_classifier",
     _curate_oracle(clf_threshold=-7_500_000),
     doc="the curation composition with the LEARNED quality gate "
@@ -6002,8 +6163,8 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixture (the sentinel rides the HIGHER-id near-dup copy, so "
     "only the halo can drop the clean cluster representative); "
     "oracle replays the funnel + direct-flag gram join + bounded "
-    "recursive-CTE BFS in SQL. Late-r13 tail debut, r14 promotion "
-    "queue (family cover: q_curation_drift pins the stage-funnel "
+    "recursive-CTE BFS in SQL. Late-r13 tail debut, promoted to the "
+    "window in r14 (family cover: q_curation_drift pins the stage-funnel "
     "machinery in-window, q_curate_halo the identical deferred-drop "
     "halo composition).",
 )
@@ -6067,7 +6228,7 @@ def q_curation_report_halo(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the selection as the equivalent full window-cumsum prefix in "
     "SQL (equivalence is the operator's correctness argument, "
     "parity-tested against a brute-force reference). Late-r13 tail "
-    "debut, r14 promotion queue (family cover: q_quality_score pins "
+    "debut, promoted to the window in r14 (family cover: q_quality_score pins "
     "the in-window scoring surface, q_mixture_sample the "
     "deterministic hash/int64 selection family).",
 )
@@ -8249,24 +8410,23 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # were referenced by no stand-in chain; q_embedding_incremental was
     # referenced only by the now-promoted q_embedding_incr_norm.
     #
-    # delta embedding near-dup on denormalized state: the promoted
-    # normalized-state twin runs the IDENTICAL delta machinery
-    # in-window and its oracle IS this entry's SQL unchanged (the
-    # deferred vector join cannot change pair decisions —
-    # parity-tested incl. hot buckets at n_probes>1); the full-batch
-    # twin pins the sign-LSH bucket machinery:
+    # delta embedding near-dup on denormalized state: the full-batch
+    # twin pins the identical sign-LSH bucket machinery in-window, and
+    # the stored-state delta discipline via q_curate_incremental
+    # (rewired r14 when q_embedding_incr_norm itself rotated out; the
+    # deferred-vector-join parity incl. hot buckets stays
+    # pytest-pinned):
     "q_embedding_incremental": (
-        "q_embedding_incr_norm",
         "q_dedup_embedding",
+        "q_curate_incremental",
     ),
     # delta simhash near-dup: q_dedup_minhash pins the banded
     # similarity family in-window, and the stored-state delta
     # discipline (new-only hashing against a committed artifact
-    # table) is exactly what q_embedding_incr_norm and
-    # q_curate_incremental run in-window:
+    # table) is q_curate_incremental's in-window (rewired r14):
     "q_simhash_incremental": (
         "q_dedup_minhash",
-        "q_embedding_incr_norm",
+        "q_curate_incremental",
     ),
     # asymmetric containment: q_containment_fast runs the SAME
     # gram-keyed, df-capped candidate machinery in-window (the
@@ -8339,12 +8499,13 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # below have >=2 lifetime driver-green rows (r11+r12 for the
     # split, r06-r12 for PMI) and name in-window same-family cover
     # (the one chain referencing PMI rewired above in place):
-    # leakage-safe split: q_curate_split COMPOSES leakage_safe_split
-    # as curate_corpus's split stage (cluster-representative keying
-    # runs in-window verbatim), and the delta twin
-    # q_leakage_incremental inherits/bridges against the same frozen
-    # history — the split family's entire machinery stays in-window:
-    "q_leakage_split": ("q_curate_split", "q_leakage_incremental"),
+    # leakage-safe split: the delta twin q_leakage_incremental
+    # inherits/bridges against the same frozen cluster-keyed history
+    # in-window, and q_curate_corpus runs the curation composition the
+    # split stage rides (rewired r14 when q_curate_split itself
+    # rotated out; the composed-vs-standalone split parity stays
+    # pytest-pinned):
+    "q_leakage_split": ("q_leakage_incremental", "q_curate_corpus"),
     # PMI collocations: the tokenize → in-row adjacent-pair →
     # integer micro-unit log-score machinery stays in-window via BM25
     # (same tokenizer + micro-unit scoring discipline) and the
@@ -8359,40 +8520,64 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # also remain in the window); the two chains that referenced this
     # entry (q_sketch_rollup, q_stream_sketch) rewired above in place:
     "q_stream_cms": ("q_cms_freq", "q_stream_classifier"),
-    # LATE-r13 DEBUT (not a demotion): per-class one-vs-rest confusion
-    # of the multiclass argmax tagger under the holdout protocol —
-    # oracle replays split+train+score+argmax+confusion in SQL; r14
-    # promotion queue. Covered in-window by q_classifier_eval (the
-    # identical guarded-join confusion machinery) and q_bow_multiclass
-    # (the multiclass train/score/argmax itself):
-    "q_multiclass_eval": ("q_classifier_eval", "q_bow_multiclass"),
-    # LATE-r13 DEBUT (not a demotion): classifier-routed data mixing —
-    # oracle replays train+score+argmax+rates+membership in SQL; r14
-    # promotion queue. Covered in-window by q_bow_multiclass (the
-    # tagger) and q_mixture_sample (the int64 rate + hash-Bernoulli
-    # membership machinery, identically composed):
-    "q_mixture_by_class": ("q_bow_multiclass", "q_mixture_sample"),
-    # LATE-r13 DEBUT (not a demotion): the curation funnel with the
-    # halo stage — oracle replays funnel+flags+BFS in SQL; r14
-    # promotion queue. Covered in-window by q_curation_drift (the
-    # stage-funnel/drift family; q_curation_report is its named
-    # stand-in chain) and q_curate_halo (the identical deferred-drop
-    # halo composition, directly driver-green in r12):
-    "q_curation_report_halo": ("q_curation_drift", "q_curate_halo"),
-    # LATE-r13 DEBUT (not a demotion): budgeted data selection — the
-    # maximal quality-ordered prefix under a token/cost budget, built
-    # WITHOUT a global corpus sort; oracle replays the equivalent
-    # window-cumsum prefix in SQL; r14 promotion queue. Covered
-    # in-window by q_quality_score (the scoring surface the selection
-    # orders by) and q_mixture_sample (the deterministic int64
-    # selection family):
-    "q_token_budget": ("q_quality_score", "q_mixture_sample"),
-    # LATE-r13 DEBUT (not a demotion): token-weighted corpus mixing —
-    # oracle replays mass+budget+rate+membership+kept-mass in SQL; r14
-    # promotion queue. Covered in-window by q_mixture_sample (the
-    # identical int64 rate + hash-Bernoulli membership machinery on
-    # row counts):
-    "q_mixture_tokens": ("q_mixture_sample",),
+    # (the five LATE-r13 DEBUTS that closed this dict —
+    # q_multiclass_eval q_mixture_by_class q_curation_report_halo
+    # q_token_budget q_mixture_tokens — were all PROMOTED in r14 as
+    # queued: each returns to its registration slot beside its
+    # operator family)
+    #
+    # rotated OUT in r14 to seat the five promotions; every demotion
+    # below has exactly the required >=2 lifetime driver-green rows
+    # (r12+r13 each) and names in-window same-family cover (the one
+    # chain that referenced a demotee — q_multiclass_eval's, which
+    # named q_classifier_eval — is itself promoted, so nothing
+    # rewires):
+    # binary NB classifier: the multiclass entry generalizes the
+    # IDENTICAL hash-bucketed count / broadcast-model / micro-unit
+    # machinery in-window (binary is its K=2 path; same
+    # train_bow_counts geometry), and the stream twin maintains the
+    # binary count table itself with retrain bit-parity:
+    "q_bow_classifier": ("q_bow_multiclass", "q_stream_classifier"),
+    # classifier confusion/eval: the promoted multiclass eval reuses
+    # _guarded_eval_frame VERBATIM (guard precedence defined once,
+    # classify.py:318) for its per-class one-vs-rest confusion, and
+    # the sweep composes the same eval across thresholds in-window:
+    "q_classifier_eval": ("q_multiclass_eval", "q_classifier_sweep"),
+    # contamination halo walk: q_curate_halo composes the identical
+    # deferred-drop BFS end to end in-window, and the promoted funnel
+    # entry surfaces the same walk's drops per stage:
+    "q_contamination_halo": ("q_curate_halo", "q_curation_report_halo"),
+    # incremental halo: the batch halo composition stays in-window via
+    # q_curate_halo, the stored-state delta discipline (frozen history
+    # + delta-sized relaxation) via q_curate_incremental:
+    "q_halo_incremental": ("q_curate_halo", "q_curate_incremental"),
+    # classifier-gated curation: q_curate_corpus is the identical
+    # curation composition in-window (the gate is one stage), and the
+    # learned-gate machinery (train/score/broadcast model) is pinned
+    # by the multiclass entry:
+    "q_curate_classifier": ("q_curate_corpus", "q_bow_multiclass"),
+    # rotated OUT mid-r14 to seat the NEW q_stratum_budget family (new
+    # entries must debut in the window); three lifetime rows
+    # (r11-r13): the full-batch embedding twin runs the identical
+    # sign-LSH bucket machinery in-window, the stored-state delta
+    # discipline (new-only hashing against a committed artifact) is
+    # q_curate_incremental's, and the normalized-vs-denormalized
+    # deferred-join parity stays pytest-pinned; the two chains that
+    # referenced this entry (q_embedding_incremental,
+    # q_simhash_incremental) rewired above in place:
+    "q_embedding_incr_norm": (
+        "q_dedup_embedding",
+        "q_curate_incremental",
+    ),
+    # rotated OUT mid-r14 to seat the NEW q_stream_multiclass family
+    # (new entries must debut in the window); three lifetime rows
+    # (r11-r13): the curation composition the split stage rides stays
+    # in-window via q_curate_corpus, and the cluster-keyed frozen-
+    # history discipline via q_leakage_incremental (which inherits/
+    # bridges against the same history); the composed-vs-standalone
+    # split parity stays pytest-pinned; the one chain that referenced
+    # this entry (q_leakage_split) rewired above in place:
+    "q_curate_split": ("q_curate_corpus", "q_leakage_incremental"),
 }
 
 for _name in _FAMILY_STAND_INS:
