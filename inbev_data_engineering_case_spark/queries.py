@@ -4936,8 +4936,19 @@ def q_curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return curate_incremental(
+        d, _daily_new_snapshot(d), minhash_signatures(d), exact_dedup(d)
+    )
+
+
+def _daily_new_snapshot(d: DataFrame) -> DataFrame:
+    """The daily-crawl fixture's day-1 snapshot over the stored corpus
+    ``d``: updates under modified ids (%13), exact re-uploads (%17 at
+    +300000), near-dup re-posts (%7 at +400000), deletes (%101) —
+    shared by q_curate_incremental and q_daily_loop (the oracle twins
+    construct it as the ``newb`` CTE)."""
     key = F.col("doc_id")
-    new = (
+    return (
         d.filter(key % 101 != 0)
         .withColumn(
             "text",
@@ -4957,8 +4968,229 @@ def q_curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return curate_incremental(
-        d, new, minhash_signatures(d), exact_dedup(d)
+
+
+def _daily_loop_oracle(
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.3,
+    threshold: float = 0.5,
+) -> str:
+    langs = ", ".join(f"'{lang}'" for lang in languages)
+    match = _sig_match_sql("a", "b")
+    return f"""
+    WITH RECURSIVE newb AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || '{_REVISED_SUFFIX}'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 101 != 0
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id, text
+      FROM documents WHERE doc_id % 17 = 0
+      UNION ALL
+      SELECT doc_id + 400000 AS doc_id, text || ' the end' AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    delta AS (
+      SELECT n.doc_id, n.text
+      FROM newb n LEFT JOIN documents o ON n.doc_id = o.doc_id
+      WHERE o.doc_id IS NULL OR o.text != n.text
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             {_lang_case_sql()} AS lang,
+             {_SQL_QUALITY} AS quality
+      FROM delta
+    ),
+    eligible AS (
+      SELECT * FROM scored
+      WHERE lang IN ({langs}) AND quality >= CAST({min_quality} AS DOUBLE)
+    ),
+    stored_fp AS (SELECT DISTINCT {_SQL_FP} AS fp FROM documents),
+    fps AS (SELECT doc_id, {_SQL_FP} AS fp FROM eligible),
+    fresh AS (
+      SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM stored_fp)
+    ),
+    exact_keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp),
+    survivors AS (
+      SELECT e.* FROM eligible e JOIN exact_keep k USING (doc_id)
+    ),
+    {_sig_ctes("s", "(SELECT doc_id, text FROM documents)")},
+    {_sig_ctes("n", "(SELECT doc_id, text FROM survivors)")},
+    mh0 AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands_s a JOIN bands_s b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id < b.id
+      WHERE {match} >= {threshold}
+    ),
+    mh_d AS (
+      SELECT DISTINCT least(a.id, b.id) AS id_a,
+                      greatest(a.id, b.id) AS id_b
+      FROM bands_s a JOIN bands_n b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id != b.id
+      WHERE {match} >= {threshold}
+      UNION
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM bands_n a JOIN bands_n b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.id < b.id
+      WHERE {match} >= {threshold}
+    ),
+    mh_u AS (
+      -- explicit DISTINCT: inside a WITH RECURSIVE block this DuckDB
+      -- treats CTE-body UNION as UNION ALL (probed), and the pair
+      -- artifact surfaces raw in the result (every other oracle's
+      -- UNION feeds set-semantics consumers where the quirk is moot)
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT id_a, id_b FROM mh0
+        UNION ALL
+        SELECT id_a, id_b FROM mh_d
+      )
+    ),
+    {_components_closure_sql("mh_u")},
+    kept AS (
+      SELECT s.doc_id, s.quality FROM survivors s
+      WHERE s.doc_id NOT IN
+        (SELECT node FROM comp WHERE node != comp)
+    ),
+    seeds AS (
+      SELECT doc_id AS node FROM documents WHERE doc_id % 40 = 0
+      UNION
+      SELECT doc_id AS node FROM newb WHERE doc_id % 40 = 0
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_u
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM mh_u
+    ),
+    bfs(node, dist) AS (
+      SELECT node, 0 FROM seeds
+      UNION ALL
+      SELECT s.dst, b.dist + 1
+      FROM bfs b JOIN sym s ON s.src = b.node
+      WHERE b.dist < 2
+    ),
+    halo AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node)
+    SELECT 'kept' AS part, doc_id AS a,
+           CAST(round(quality * 1000000) AS BIGINT) AS b
+    FROM kept
+    UNION ALL
+    SELECT 'comp' AS part, node AS a, comp AS b FROM comp
+    UNION ALL
+    SELECT 'halo' AS part, node AS a, CAST(dist AS BIGINT) AS b FROM halo
+    UNION ALL
+    SELECT 'pair' AS part, id_a AS a, id_b AS b FROM mh_u
+    """
+
+
+@register(
+    "q_daily_loop",
+    _daily_loop_oracle(),
+    doc="the daily artifact loop rehearsed END TO END as one replayable "
+    "unit (the r13 VERDICT ask — each piece was parity-tested, no "
+    "single oracle entry exercised the composition): day 0 builds the "
+    "stored state over the corpus (minhash sigs, fingerprints, a "
+    "CONVERGED components labeling, the halo pair/dist tables from "
+    "the %40 contamination flags); day 1's snapshot (the "
+    "q_curate_incremental fixture) flows through curate_incremental "
+    "with stored_components= (the contracted delta closure decides "
+    "the near-dup drops) and artifacts_out= (the delta pair table is "
+    "banded ONCE and shared); then advance_corpus_artifacts advances "
+    "the components labels and advance_halo_artifacts the halo "
+    "pair/dist state, with day 1's %40 flags as new seeds. The result "
+    "is a part-tagged union pinning all four moving pieces: the kept "
+    "delta (with micro-unit quality), the ENTIRE advanced components "
+    "labeling, the advanced halo distance table, and the advanced "
+    "pair artifact. The oracle replays each advance as its batch "
+    "parity twin over the union — the incremental operators' "
+    "correctness contracts (contracted closure == union re-closure; "
+    "incremental BFS == union-graph BFS from union seeds; pair "
+    "advance == distinct union) — composed in one SQL statement. "
+    "R14 debut (family cover: q_curate_incremental composes the "
+    "curation delta machinery in-window, q_components_incremental "
+    "and q_curate_halo the closure/halo pieces).",
+)
+def q_daily_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        advance_corpus_artifacts,
+        advance_halo_artifacts,
+        curate_incremental,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components,
+        exact_dedup,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+    from inbev_data_engineering_case_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # day-0 stored state; the pair table feeds three consumers (the
+    # converged labeling, the day-0 halo walk, the halo pair advance)
+    # — materialize once (the _dedup_chain discipline)
+    sigs0 = minhash_signatures(d)
+    fps0 = exact_dedup(d)
+    pairs0 = minhash_dedup_pairs(d).localCheckpoint(eager=True)
+    comps0 = dedup_components(
+        pairs0, require_convergence=True
+    ).localCheckpoint(eager=True)  # consumers: curation + advance
+    seeds0 = d.filter(F.col("doc_id") % 40 == 0).select("doc_id")
+    dist0 = multi_source_bfs(
+        pairs0.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+        seeds0,
+        max_hops=2,
+    )
+    # day 1: incremental curation against the stored artifacts; the
+    # delta pair table is banded once and handed out for the advances
+    new = _daily_new_snapshot(d)
+    out: dict = {}
+    kept = curate_incremental(
+        d, new, sigs0, fps0,
+        stored_components=comps0, artifacts_out=out,
+    )
+    _, _, comps1 = advance_corpus_artifacts(
+        kept, sigs0, fps0,
+        stored_components=comps0, delta_pairs=out["pairs"],
+    )
+    seeds1 = new.filter(F.col("doc_id") % 40 == 0).select("doc_id")
+    pairs1, dist1 = advance_halo_artifacts(
+        pairs0, dist0, out["pairs"], seeds1, max_hops=2
+    )
+    part = lambda s: F.lit(s).alias("part")  # noqa: E731
+    return (
+        kept.select(
+            part("kept"),
+            F.col("doc_id").cast("bigint").alias("a"),
+            F.round(F.col("quality") * 1_000_000)
+            .cast("bigint")
+            .alias("b"),
+        )
+        .unionByName(
+            comps1.select(
+                part("comp"),
+                F.col("node").cast("bigint").alias("a"),
+                F.col("comp").cast("bigint").alias("b"),
+            )
+        )
+        .unionByName(
+            dist1.select(
+                part("halo"),
+                F.col("node").cast("bigint").alias("a"),
+                F.col("dist").cast("bigint").alias("b"),
+            )
+        )
+        .unionByName(
+            pairs1.select(
+                part("pair"),
+                F.col("id_a").cast("bigint").alias("a"),
+                F.col("id_b").cast("bigint").alias("b"),
+            )
+        )
     )
 
 
@@ -8135,10 +8367,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # n-gram hygiene stays covered by q_boilerplate, which runs the
     # identical gram/hash/broadcast machinery (still bench-timed as a
     # headline query from the tail):
-    # rewired r7 (q_boilerplate demoted): the broadcast-gram
-    # hygiene machinery runs in-window inside q_dedup_spans (gram
-    # fingerprints + broadcast hot set + left-anti removal):
-    "q_decontaminate": ("q_dedup_spans",),
+    # rewired r7 (q_boilerplate demoted), r14 (q_dedup_spans demoted):
+    # the gram-flag + removal-join composition runs in-window inside
+    # q_curate_halo (deferred decontamination end to end) and the
+    # gram-keyed candidate machinery inside q_containment_fast:
+    "q_decontaminate": ("q_curate_halo", "q_containment_fast"),
     # rotated OUT in r5 (each r4-driver-green; the promoted same-family
     # twin that took the slot is its first stand-in)
     "q_filter_predicate": ("q_project",),  # scan+predicate family
@@ -8264,10 +8497,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # in-window via TF-IDF and BM25 (the LM's micro-unit logprob
     # discipline is the same one BM25's scoring pins):
     "q_lm_perplexity": ("q_bm25_search",),  # rewired r12 (tfidf demoted)
-    # gram profiling: q_dedup_spans runs the identical
-    # distinct-gram/fingerprint/broadcast-hot-set machinery in-window
-    # AND exercises the removal join the profiler only reports on:
-    "q_boilerplate": ("q_dedup_spans", "q_dedup_minhash"),
+    # gram profiling (rewired r14 when q_dedup_spans rotated out): the
+    # gram-keyed df-capped machinery stays in-window via
+    # q_containment_fast, the banded similarity family via minhash:
+    "q_boilerplate": ("q_containment_fast", "q_dedup_minhash"),
     # funnel family: attribution runs the same user-keyed
     # conditional-join machinery and exact-ppm shares in-window:
     "q_cohort_retention": ("q_attribution",),
@@ -8548,9 +8781,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # entry surfaces the same walk's drops per stage:
     "q_contamination_halo": ("q_curate_halo", "q_curation_report_halo"),
     # incremental halo: the batch halo composition stays in-window via
-    # q_curate_halo, the stored-state delta discipline (frozen history
-    # + delta-sized relaxation) via q_curate_incremental:
-    "q_halo_incremental": ("q_curate_halo", "q_curate_incremental"),
+    # q_curate_halo, and q_daily_loop COMPOSES the identical
+    # incremental BFS advance (advance_halo_artifacts →
+    # multi_source_bfs_incremental) with its union-parity oracle:
+    "q_halo_incremental": ("q_curate_halo", "q_daily_loop"),
     # classifier-gated curation: q_curate_corpus is the identical
     # curation composition in-window (the gate is one stage), and the
     # learned-gate machinery (train/score/broadcast model) is pinned
@@ -8578,6 +8812,15 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # split parity stays pytest-pinned; the one chain that referenced
     # this entry (q_leakage_split) rewired above in place:
     "q_curate_split": ("q_curate_corpus", "q_leakage_incremental"),
+    # rotated OUT mid-r14 to seat the NEW q_daily_loop family (new
+    # entries must debut in the window); seven lifetime rows (r07-r13):
+    # the span fingerprints are formed in-row (transform+slice) and
+    # the hot-set machinery they feed stays in-window — the gram-keyed
+    # df-capped candidate join via q_containment_fast, the banded
+    # similarity family via q_dedup_minhash; the two chains that
+    # referenced this entry (q_boilerplate, q_decontaminate) rewired
+    # above in place:
+    "q_dedup_spans": ("q_containment_fast", "q_dedup_minhash"),
 }
 
 for _name in _FAMILY_STAND_INS:

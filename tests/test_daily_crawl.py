@@ -518,3 +518,177 @@ def test_curate_incremental_contracted_labels_remember_merges(spark):
     # path remembers 50's cluster and drops it
     assert run(30) == [30]
     assert run(30, labels) == []
+
+
+def test_daily_loop_full_artifact_set_chained(spark):
+    """The WHOLE daily artifact set advanced as one unit, chained two
+    days (the r13 VERDICT ask — components and halo each had a chained
+    test, but no single loop advanced sigs, fps, labels, AND halo
+    state from ONE shared delta pair table the way q_daily_loop and a
+    production day do): bootstrap every artifact over the full day-0
+    corpus (the q_daily_loop convention), then per day —
+    curate_incremental(stored_components=, artifacts_out=) makes the
+    keep decision and hands out the banded-once pair delta;
+    advance_corpus_artifacts advances sigs/fps/labels from it;
+    advance_halo_artifacts advances the halo pair/dist state from the
+    SAME pair table plus the day's contamination flags. After every
+    day: keep decisions match the plain (uncontracted) path, labels
+    match the converged union re-closure, halo state matches the
+    from-scratch BFS over union pairs + union seeds, the pair artifact
+    is the distinct union, and the sig table holds exactly day-0 ∪
+    every kept delta."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        advance_corpus_artifacts,
+        advance_halo_artifacts,
+        curate_incremental,
+    )
+    from inbev_data_engineering_case_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components,
+        exact_dedup,
+        minhash_dedup_pairs,
+        minhash_signatures,
+    )
+    from inbev_data_engineering_case_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    bench_text = (
+        "this exact benchmark passage with its very specific wording "
+        "must never appear inside any document of the training corpus"
+    )
+    bench = _docs(spark, [(900, bench_text)])
+    max_hops = 2
+
+    # day 0 corpus: 1 contaminated, 2 its flagged near-dup (pair edge
+    # (1,2) in the graph), 3 and 5 clean and distinct
+    day0 = _docs(spark, [
+        (1, bench_text),
+        (2, bench_text + " with a small harmless tail added"),
+        (3, "a completely different tale about the river and the old "
+            "boat that the fisherman kept near the house"),
+        (5, "yet another independent document where the cats sleep on "
+            "the warm stones by the garden wall all day"),
+    ])
+
+    sigs = minhash_signatures(day0.select("doc_id", "text"))
+    fps = exact_dedup(day0.select("doc_id", "text"))
+    day0_pairs = minhash_dedup_pairs(day0).select("id_a", "id_b")
+    comps = dedup_components(
+        day0_pairs, require_convergence=True
+    ).localCheckpoint(eager=True)
+    seeds0 = contamination_report(day0, bench).select("doc_id")
+    assert {r["doc_id"] for r in seeds0.collect()} == {1, 2}
+    halo_pairs = day0_pairs
+    dist = multi_source_bfs(
+        halo_pairs, seeds0, max_hops=max_hops,
+        src_col="id_a", dst_col="id_b",
+    ).localCheckpoint(eager=True)
+
+    pairs_seen = [day0_pairs]
+    seeds_seen = [seeds0]
+    kept_delta_ids: set[int] = set()
+    snap_prev = day0
+    for day, delta_rows in enumerate(
+        [
+            # day 1: 11 re-quotes the benchmark (new direct flag);
+            # 13 near-dups stored doc 3 (dropped); 15 fresh and clean
+            [(11, "prefix words then " + bench_text + " and suffix"),
+             (13, "a completely different tale about the river and "
+                  "the old boat that the fisherman kept near the "
+                  "house again"),
+             (15, "a brand new page about the markets and the traders "
+                  "who walk the long road to the city every morning")],
+            # day 2: 21 near-dups day-1's KEPT 15 (the drop needs
+            # day-1's ADVANCED sigs); 23 near-dups the flagged doc 2
+            [(21, "a brand new page about the markets and the traders "
+                  "who walk the long road to the city every morning "
+                  "again"),
+             (23, bench_text + " with a small harmless tail added "
+                  "twice")],
+        ],
+        start=1,
+    ):
+        delta = _docs(spark, delta_rows)
+        snap_new = snap_prev.unionByName(delta)
+        out: dict = {}
+        kept_plain = curate_incremental(
+            snap_prev, snap_new, sigs, fps, min_quality=0.0
+        )
+        kept = curate_incremental(
+            snap_prev, snap_new, sigs, fps, min_quality=0.0,
+            stored_components=comps, artifacts_out=out,
+        )
+        got_ids = sorted(r["doc_id"] for r in kept.collect())
+        assert got_ids == sorted(
+            r["doc_id"] for r in kept_plain.collect()
+        ), f"day {day}: keep-decision parity"
+
+        # ONE pair table feeds both advances (the shared-banding
+        # discipline q_daily_loop composes)
+        pairs_seen.append(out["pairs"].select("id_a", "id_b"))
+        sigs, fps, comps = advance_corpus_artifacts(
+            kept.select("doc_id", "text"), sigs, fps,
+            stored_components=comps, delta_pairs=out["pairs"],
+        )
+        sigs = sigs.localCheckpoint(eager=True)
+        comps = comps.localCheckpoint(eager=True)
+        new_seeds = contamination_report(delta, bench).select("doc_id")
+        seeds_seen.append(new_seeds)
+        halo_pairs, dist = advance_halo_artifacts(
+            halo_pairs, dist, out["pairs"], new_seeds,
+            max_hops=max_hops,
+        )
+        halo_pairs = halo_pairs.localCheckpoint(eager=True)
+        dist = dist.localCheckpoint(eager=True)
+        kept_delta_ids |= set(got_ids)
+        snap_prev = snap_new
+
+        # labels == converged re-closure over every pair table seen
+        allp = pairs_seen[0]
+        for p in pairs_seen[1:]:
+            allp = allp.unionByName(p)
+        want_labels = {
+            (r["node"], r["comp"])
+            for r in dedup_components(
+                allp, require_convergence=True
+            ).collect()
+        }
+        got_labels = {(r["node"], r["comp"]) for r in comps.collect()}
+        assert got_labels == want_labels, f"day {day}: label parity"
+
+        # halo state == from-scratch BFS over union pairs + seeds
+        alls = seeds_seen[0]
+        for s in seeds_seen[1:]:
+            alls = alls.unionByName(s)
+        want_dist = {
+            (r["node"], r["dist"])
+            for r in multi_source_bfs(
+                allp.distinct(), alls.distinct(), max_hops=max_hops,
+                src_col="id_a", dst_col="id_b",
+            ).collect()
+        }
+        assert {
+            (r["node"], r["dist"]) for r in dist.collect()
+        } == want_dist, f"day {day}: halo parity"
+        assert {
+            (r["id_a"], r["id_b"]) for r in halo_pairs.collect()
+        } == {
+            (r["id_a"], r["id_b"]) for r in allp.collect()
+        }, f"day {day}: pair artifact"
+
+        # the sig table holds exactly day-0 ∪ every kept delta
+        assert {
+            r["id"] for r in sigs.select("id").collect()
+        } == {1, 2, 3, 5} | kept_delta_ids, f"day {day}: sig coverage"
+
+    # the composed outcomes the loop exists for: near-dups of stored
+    # docs were dropped — 21 against a doc kept only on DAY 1 (needs
+    # day-1's advanced sigs) — while the flags reached the halo state
+    assert 13 not in kept_delta_ids and 21 not in kept_delta_ids
+    assert 15 in kept_delta_ids
+    halo_nodes = {r["node"] for r in dist.collect()}
+    assert {1, 2, 11, 23} <= halo_nodes
+    assert 3 not in halo_nodes and 15 not in halo_nodes
