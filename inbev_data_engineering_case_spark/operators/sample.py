@@ -18,7 +18,7 @@ corpus once per epoch" step, priced accordingly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from inbev_data_engineering_case_spark.functions import portable_hash64
@@ -91,14 +91,19 @@ def top_fraction_by_score(
 
 # staging columns shared by the budgeted-selection family; the guard
 # refuses inputs that already carry one (the operators stage under
-# these names)
+# these names). The by-stratum forms stage two more (_blim, _rn) —
+# declared per function so the scalar form's accepted inputs don't
+# silently narrow.
 _BUDGET_RESERVED = (
-    "_mq", "_cost", "_mass", "_cum", "_remaining", "_rcum", "_blim", "_rn"
+    "_mq", "_cost", "_mass", "_cum", "_remaining", "_rcum",
 )
+_STRATUM_RESERVED = _BUDGET_RESERVED + ("_blim", "_rn")
 
 
-def _budget_staging_guard(df: DataFrame, fn_name: str) -> None:
-    clash = [c for c in _BUDGET_RESERVED if c in df.columns]
+def _budget_staging_guard(
+    df: DataFrame, fn_name: str, reserved: tuple[str, ...] = _BUDGET_RESERVED
+) -> None:
+    clash = [c for c in reserved if c in df.columns]
     if clash:
         raise ValueError(
             f"{fn_name}: input already carries {clash} — "
@@ -271,7 +276,8 @@ def select_within_budget_by_stratum(
     refused. Identity contract (parity-tested): equals running
     ``select_within_budget(df.filter(stratum = s), budget_s)`` per
     stratum and unioning."""
-    _budget_staging_guard(df, "select_within_budget_by_stratum")
+    fn = "select_within_budget_by_stratum"
+    _budget_staging_guard(df, fn, _STRATUM_RESERVED)
     spark = df.sparkSession
     if isinstance(budgets, dict):
         budgets = spark.createDataFrame(
@@ -281,26 +287,54 @@ def select_within_budget_by_stratum(
         bcols = budgets.columns
         if len(bcols) != 2 or strata_col not in bcols:
             raise ValueError(
-                "select_within_budget_by_stratum: budgets must be"
+                f"{fn}: budgets must be"
                 f" ({strata_col}, <budget>) — got {bcols}"
             )
         (bud_col,) = [c for c in bcols if c != strata_col]
+        # a NULL budget raises (the family's NULL discipline) — a cast
+        # that nulled it out would silently exclude the whole stratum
         budgets = budgets.select(
-            strata_col, F.col(bud_col).cast("bigint").alias("_blim")
+            strata_col,
+            F.when(
+                F.col(bud_col).isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{fn}: NULL budget for stratum "),
+                        F.col(strata_col).cast("string"),
+                        F.lit(
+                            " — it would silently exclude the whole"
+                            " stratum; drop the row or fix the budget"
+                        ),
+                    )
+                ).cast("bigint"),
+            )
+            .otherwise(F.col(bud_col).cast("bigint"))
+            .alias("_blim"),
         )
     budgets = budgets.filter(F.col("_blim") > 0)
     base = df.withColumn(
-        "_mq",
-        _guarded_micro_quality(
-            "select_within_budget_by_stratum", quality_col, id_col
-        ),
-    ).withColumn(
-        "_cost",
-        _guarded_cost("select_within_budget_by_stratum", cost_col, id_col),
-    )
+        "_mq", _guarded_micro_quality(fn, quality_col, id_col)
+    ).withColumn("_cost", _guarded_cost(fn, cost_col, id_col))
     levels = base.groupBy(strata_col, "_mq").agg(
         F.sum("_cost").alias("_mass")
     )
+    return _stratum_prefix_from_levels(
+        base, levels, budgets, strata_col, id_col, df.columns
+    )
+
+
+def _stratum_prefix_from_levels(
+    base: DataFrame,
+    levels: DataFrame,
+    budgets: DataFrame,
+    strata_col: str,
+    id_col: str,
+    out_cols: list[str],
+) -> DataFrame:
+    """The by-stratum selection core over a prepared ``base`` (staged
+    ``_mq``/``_cost``), its ``(strata, _mq, _mass)`` level histogram,
+    and a ``(strata, _blim)`` budget table — shared by the explicit
+    by-stratum form and the one-histogram mixture composition."""
     wl = (
         Window.partitionBy(strata_col)
         .orderBy(F.col("_mq").desc())
@@ -341,7 +375,7 @@ def select_within_budget_by_stratum(
     )
     # the key-list joins moved strata_col to the front — restore the
     # input's column order (the scalar form's output contract)
-    return kept_full.unionByName(kept_boundary).select(df.columns)
+    return kept_full.unionByName(kept_boundary).select(out_cols)
 
 
 MIXTURE_PPM = 1_000_000
@@ -415,6 +449,7 @@ def _mixture_joined(
     strata_col: str,
     target_ppm: dict[str, int],
     weight_col: str | None,
+    fn_name: str = "mixture_rates",
 ) -> tuple[DataFrame, str]:
     """The mixture family's shared mass table: per-stratum masses (row
     counts, or guarded int64 ``weight_col`` sums) inner-joined with the
@@ -426,7 +461,7 @@ def _mixture_joined(
             F.col(weight_col).isNull() | (F.col(weight_col) < 0),
             F.raise_error(
                 F.lit(
-                    "mixture_rates: NULL or negative weight in"
+                    f"{fn_name}: NULL or negative weight in"
                     f" {weight_col} — every stratum mass after it"
                     " would corrupt"
                 )
@@ -435,11 +470,34 @@ def _mixture_joined(
         mass_col = "n_units"
         mass = F.sum(w)
     counts = df.groupBy(strata_col).agg(mass.alias(mass_col))
-    weights = df.sparkSession.createDataFrame(
+    joined = _mixture_guarded_join(
+        counts,
+        df.sparkSession,
+        strata_col,
+        mass_col,
+        target_ppm,
+        guard=weight_col is not None,
+        fn_name=fn_name,
+    )
+    return joined, mass_col
+
+
+def _mixture_guarded_join(
+    masses: DataFrame,
+    spark: SparkSession,
+    strata_col: str,
+    mass_col: str,
+    target_ppm: dict[str, int],
+    guard: bool,
+    fn_name: str,
+) -> DataFrame:
+    """Join a per-stratum mass table with the broadcast target weights,
+    optionally installing the unit-mass guards."""
+    weights = spark.createDataFrame(
         sorted(target_ppm.items()), [strata_col, "target_ppm"]
     )
-    joined = counts.join(F.broadcast(weights), strata_col)
-    if weight_col is not None:
+    joined = masses.join(F.broadcast(weights), strata_col)
+    if guard:
         # guards belong AFTER the target join: a zero- or over-bound
         # stratum outside target_ppm is dropped by the join and must
         # not raise. In-target, a zero mass would silently zero the
@@ -453,7 +511,7 @@ def _mixture_joined(
                 F.raise_error(
                     F.concat(
                         F.lit(
-                            "mixture_rates: stratum with ZERO total"
+                            f"{fn_name}: stratum with ZERO total"
                             " weight: "
                         ),
                         F.col(strata_col).cast("string"),
@@ -469,7 +527,7 @@ def _mixture_joined(
                 F.col(mass_col) > max_mass,
                 F.raise_error(
                     F.lit(
-                        "mixture_rates: stratum mass exceeds the"
+                        f"{fn_name}: stratum mass exceeds the"
                         f" exact int64 bound ({max_mass} units) —"
                         " weight in coarser units (e.g. kilo-tokens)"
                     )
@@ -477,7 +535,7 @@ def _mixture_joined(
             ).otherwise(F.col(mass_col)).alias(mass_col),
             "target_ppm",
         )
-    return joined, mass_col
+    return joined
 
 
 def _mixture_global_budget(joined: DataFrame, mass_col: str) -> DataFrame:
@@ -518,7 +576,18 @@ def mixture_budgets(
     exchange for the masses, a broadcast 1-row budget, a broadcast
     result. Same guards: zero or over-bound stratum masses raise
     in-plan; strata absent from ``target_ppm`` get no row."""
-    joined, mass_col = _mixture_joined(df, strata_col, target_ppm, cost_col)
+    joined, mass_col = _mixture_joined(
+        df, strata_col, target_ppm, cost_col, fn_name="mixture_budgets"
+    )
+    return _budget_units_from_joined(joined, strata_col, mass_col)
+
+
+def _budget_units_from_joined(
+    joined: DataFrame, strata_col: str, mass_col: str
+) -> DataFrame:
+    """Derive per-stratum spends from a guarded mass⋈target table:
+    the broadcast 1-row scarcest-stratum budget, then
+    ``budget_units = (target_ppm · budget) div 1e6`` per stratum."""
     budget = _mixture_global_budget(joined, mass_col)
     return (
         joined.join(F.broadcast(budget))
@@ -550,17 +619,48 @@ def select_mixture_within_budget(
     (composition exact up to one boundary document per stratum,
     quality-first) — the FineWeb-style final selection. Deterministic
     end to end and oracle-replayable; the corpus never globally sorts
-    (both constituent plans are RangePartitioning-free)."""
-    budgets = mixture_budgets(df, strata_col, target_ppm, cost_col).select(
-        strata_col, "budget_units"
+    (RangePartitioning-free, plan-locked).
+
+    The budgets derive from the level histogram's per-stratum sums
+    (exact int64 either way — identity with the explicit
+    ``mixture_budgets`` → ``select_within_budget_by_stratum`` chain is
+    parity-tested), so the budget arithmetic shares the selection's
+    own aggregation shape instead of adding an independently-guarded
+    corpus aggregation. Measured caveat, stated honestly: Spark does
+    NOT reuse the histogram exchange across its consumers here (the
+    executed plan re-reads the source per reference, 8 scans either
+    way at sf0.001 — the same multi-reference shape the scalar form
+    and the whole family already have), so the practical contract is
+    the family's usual one: feed an already-materialized table (a
+    curation output, a parquet read) where each re-reference is a
+    pushdown scan, not a recomputed lineage."""
+    fn = "select_mixture_within_budget"
+    _budget_staging_guard(df, fn, _STRATUM_RESERVED)
+    base = df.withColumn(
+        "_mq", _guarded_micro_quality(fn, quality_col, id_col)
+    ).withColumn("_cost", _guarded_cost(fn, cost_col, id_col))
+    levels = base.groupBy(strata_col, "_mq").agg(
+        F.sum("_cost").alias("_mass")
     )
-    return select_within_budget_by_stratum(
-        df,
+    masses = levels.groupBy(strata_col).agg(
+        F.sum("_mass").alias("n_units")
+    )
+    joined = _mixture_guarded_join(
+        masses,
+        df.sparkSession,
         strata_col,
-        budgets,
-        cost_col=cost_col,
-        quality_col=quality_col,
-        id_col=id_col,
+        "n_units",
+        target_ppm,
+        guard=True,
+        fn_name=fn,
+    )
+    budgets = (
+        _budget_units_from_joined(joined, strata_col, "n_units")
+        .select(strata_col, F.col("budget_units").alias("_blim"))
+        .filter(F.col("_blim") > 0)
+    )
+    return _stratum_prefix_from_levels(
+        base, levels, budgets, strata_col, id_col, df.columns
     )
 
 

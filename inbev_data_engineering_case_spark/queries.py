@@ -8804,8 +8804,8 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
         "q_curate_incremental",
     ),
     # rotated OUT mid-r14 to seat the NEW q_stream_multiclass family
-    # (new entries must debut in the window); three lifetime rows
-    # (r11-r13): the curation composition the split stage rides stays
+    # (new entries must debut in the window); two lifetime rows
+    # (r12+r13): the curation composition the split stage rides stays
     # in-window via q_curate_corpus, and the cluster-keyed frozen-
     # history discipline via q_leakage_incremental (which inherits/
     # bridges against the same history); the composed-vs-standalone

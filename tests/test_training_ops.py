@@ -7868,6 +7868,21 @@ def test_select_within_budget_by_stratum_parity_and_guards(spark):
         select_within_budget_by_stratum(
             df.withColumn("_mq", df.doc_id), "src", budgets
         )
+    # a NULL budget raises (the family's NULL discipline) instead of
+    # silently excluding the stratum
+    null_bdf = spark.createDataFrame(
+        [("a", 150), ("b", None)], "src string, spend long"
+    )
+    with pytest.raises(Exception, match="NULL budget"):
+        select_within_budget_by_stratum(df, "src", null_bdf).collect()
+    # the scalar form does NOT reserve the by-stratum staging names
+    from inbev_data_engineering_case_spark.operators.sample import (
+        select_within_budget as _scalar,
+    )
+
+    assert (
+        _scalar(df.withColumn("_rn", df.doc_id), 30).columns[-1] == "_rn"
+    )
 
 
 def test_mixture_budgets_arithmetic_and_guards(spark):
