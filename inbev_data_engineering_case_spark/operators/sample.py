@@ -280,6 +280,18 @@ def select_within_budget_by_stratum(
     _budget_staging_guard(df, fn, _STRATUM_RESERVED)
     spark = df.sparkSession
     if isinstance(budgets, dict):
+        # the dict shape honors the same NULL discipline as the frame
+        # shape — a None value would otherwise silently exclude its
+        # stratum through the > 0 filter below
+        null_strata = sorted(
+            str(s) for s, b in budgets.items() if b is None
+        )
+        if null_strata:
+            raise ValueError(
+                f"{fn}: NULL budget for strata {null_strata} — it"
+                " would silently exclude them; drop the keys or fix"
+                " the budgets"
+            )
         budgets = spark.createDataFrame(
             sorted(budgets.items()), [strata_col, "_blim"]
         )
@@ -291,12 +303,15 @@ def select_within_budget_by_stratum(
                 f" ({strata_col}, <budget>) — got {bcols}"
             )
         (bud_col,) = [c for c in bcols if c != strata_col]
-        # a NULL budget raises (the family's NULL discipline) — a cast
-        # that nulled it out would silently exclude the whole stratum
+        # a NULL budget raises (the family's NULL discipline) — the
+        # guard checks the CAST result, so a value that casts to NULL
+        # under non-ANSI semantics is caught too (under the repo's
+        # ANSI sessions a malformed cast throws on its own)
+        blim = F.col(bud_col).cast("bigint")
         budgets = budgets.select(
             strata_col,
             F.when(
-                F.col(bud_col).isNull(),
+                blim.isNull(),
                 F.raise_error(
                     F.concat(
                         F.lit(f"{fn}: NULL budget for stratum "),
@@ -308,7 +323,27 @@ def select_within_budget_by_stratum(
                     )
                 ).cast("bigint"),
             )
-            .otherwise(F.col(bud_col).cast("bigint"))
+            .otherwise(blim)
+            .alias("_blim"),
+        )
+        # duplicate stratum rows would duplicate boundary-level output
+        # through the inner join — refuse them in-plan (the budget
+        # table is stratum-cardinality-sized; the window is trivial)
+        wdup = Window.partitionBy(strata_col)
+        budgets = budgets.select(
+            strata_col,
+            F.when(
+                F.count("*").over(wdup) > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{fn}: duplicate budget rows for"
+                              " stratum "),
+                        F.col(strata_col).cast("string"),
+                        F.lit(" — one budget per stratum"),
+                    )
+                ).cast("bigint"),
+            )
+            .otherwise(F.col("_blim"))
             .alias("_blim"),
         )
     budgets = budgets.filter(F.col("_blim") > 0)

@@ -2519,8 +2519,12 @@ def _stratum_budget_oracle() -> str:
       SELECT min((n_units * 1000000) // target_ppm) AS _budget FROM j
     ),
     budgets AS (
+      -- the operator short-circuits budgets <= 0 (a zero-budget
+      -- stratum selects NOTHING, including its zero-cost docs);
+      -- mirror it so a floor-derived zero spend can never diverge
       SELECT source, (target_ppm * _budget) // 1000000 AS budget_units
       FROM j CROSS JOIN b
+      WHERE (target_ppm * _budget) // 1000000 > 0
     ),
     ordered AS (
       SELECT doc_id, base.source AS source, cost, quality, budget_units,
@@ -4544,6 +4548,33 @@ def q_halo_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _documents_file_stream(spark: SparkSession, sf_dir: str, prefix: str):
+    """Stage the read-only documents parquet behind a symlink dir (the
+    file-stream source only monitors DIRECTORIES — the
+    read_events_stream discipline) and open it as a typed file stream.
+    Returns ``(scratch_dir, stream)``; the caller owns the scratch dir
+    (remove it after the result frame materializes). Shared by the
+    classifier/multiclass count-stream entries, which differ only in
+    their label projection."""
+    import os
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix=prefix)
+    src_dir = os.path.join(scratch, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).parquet(src_dir)
+    return scratch, stream
+
+
+
+
 @register(
     "q_stream_classifier",
     f"""
@@ -4574,32 +4605,17 @@ def q_halo_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from inbev_data_engineering_case_spark.streaming.events import (
         read_classifier_counts,
         run_stream_classifier_update,
     )
 
-    scratch = tempfile.mkdtemp(prefix="q_stream_classifier_")
-    # the file-stream source only monitors DIRECTORIES; the table is a
-    # single read-only parquet file — stage a symlink dir for it, the
-    # read_events_stream discipline
-    src_dir = os.path.join(scratch, "src")
-    os.makedirs(src_dir)
-    os.symlink(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(src_dir, "documents.parquet"),
+    scratch, raw = _documents_file_stream(
+        spark, sf_dir, "q_stream_classifier_"
     )
-    stream = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string,"
-            " n_chars long"
-        )
-        .parquet(src_dir)
-        .select(
-            "doc_id", "text", (F.col("lang") == "en").alias("label")
-        )
+    stream = raw.select(
+        "doc_id", "text", (F.col("lang") == "en").alias("label")
     )
     try:
         run_stream_classifier_update(
@@ -4658,28 +4674,16 @@ def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
 
     from inbev_data_engineering_case_spark.streaming.events import (
         read_multiclass_counts,
         run_stream_multiclass_update,
     )
 
-    scratch = tempfile.mkdtemp(prefix="q_stream_multiclass_")
-    src_dir = os.path.join(scratch, "src")
-    os.makedirs(src_dir)
-    os.symlink(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(src_dir, "documents.parquet"),
+    scratch, raw = _documents_file_stream(
+        spark, sf_dir, "q_stream_multiclass_"
     )
-    stream = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string,"
-            " n_chars long"
-        )
-        .parquet(src_dir)
-        .select("doc_id", "text", F.col("lang").alias("label"))
-    )
+    stream = raw.select("doc_id", "text", F.col("lang").alias("label"))
     try:
         run_stream_multiclass_update(
             stream,

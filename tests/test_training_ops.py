@@ -7875,6 +7875,15 @@ def test_select_within_budget_by_stratum_parity_and_guards(spark):
     )
     with pytest.raises(Exception, match="NULL budget"):
         select_within_budget_by_stratum(df, "src", null_bdf).collect()
+    # the dict shape honors the same NULL discipline (driver-side)
+    with pytest.raises(ValueError, match="NULL budget"):
+        select_within_budget_by_stratum(df, "src", {"a": 150, "b": None})
+    # duplicate stratum rows would duplicate boundary output — refused
+    dup_bdf = spark.createDataFrame(
+        [("a", 150), ("a", 10)], "src string, spend long"
+    )
+    with pytest.raises(Exception, match="duplicate budget"):
+        select_within_budget_by_stratum(df, "src", dup_bdf).collect()
     # the scalar form does NOT reserve the by-stratum staging names
     from inbev_data_engineering_case_spark.operators.sample import (
         select_within_budget as _scalar,
