@@ -1071,19 +1071,23 @@ def read_corpus_artifacts(
     state_dir: str,
     with_grams: bool = False,
     with_components: bool = False,
+    with_halo: bool = False,
 ):
     """``(signatures, fingerprints)`` — plus the containment gram
     table when ``with_grams=True``, plus the connected-components
-    label table when ``with_components=True`` (in that order) — from
-    the latest committed corpus-artifact snapshot (the set
+    label table when ``with_components=True``, plus the halo state
+    pair ``(hpairs, hdist)`` when ``with_halo=True`` (in that order)
+    — from the latest committed corpus-artifact snapshot (the set
     ``run_stream_artifact_update`` maintains): signatures as
     ``(id, sig)``, fingerprints as ``(fp, keep_id)``, grams as
-    ``build_gram_table`` output, components as ``(node, comp)`` —
-    exactly the stored-state inputs ``curate_incremental``,
-    ``advance_corpus_artifacts``, and ``incremental_containment_pairs``
-    consume. Raises ``FileNotFoundError`` when no snapshot has ever
-    committed, and a clear error when grams/components are requested
-    from a stream that was not maintaining them."""
+    ``build_gram_table`` output, components as ``(node, comp)``, halo
+    as the ``(id_a, id_b)`` edge artifact + ``(node, dist)`` distance
+    table — exactly the stored-state inputs ``curate_incremental``,
+    ``advance_corpus_artifacts``, ``incremental_containment_pairs``,
+    and ``advance_halo_artifacts`` consume. Raises
+    ``FileNotFoundError`` when no snapshot has ever committed, and a
+    clear error when grams/components/halo are requested from a
+    stream that was not maintaining them."""
     from inbev_data_engineering_case_spark.layers import latest_snapshot
 
     snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
@@ -1112,6 +1116,21 @@ def read_corpus_artifacts(
                 "maintaining it"
             )
         out = (*out, spark.read.parquet(comps_dir))
+    if with_halo:
+        hdist_dir = os.path.join(snap, "hdist")
+        if not os.path.isdir(hdist_dir):
+            raise FileNotFoundError(
+                f"no halo tables in snapshot {snap} — the maintaining "
+                "stream ran without halo_benchmark; backfill once "
+                "with backfill_halo_tables(corpus, state_dir, "
+                "benchmark), then re-run the stream with "
+                "halo_benchmark set to keep maintaining them"
+            )
+        out = (
+            *out,
+            spark.read.parquet(os.path.join(snap, "hpairs")),
+            spark.read.parquet(hdist_dir),
+        )
     return out
 
 
@@ -1331,6 +1350,139 @@ def backfill_components_table(
     )
 
 
+def backfill_halo_tables(
+    corpus: DataFrame,
+    state_dir: str,
+    benchmark: DataFrame,
+    max_hops: int = 2,
+    ngram: int = 8,
+    near_dup_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int | None = None,
+    shingle_words: int | None = None,
+) -> str:
+    """One-time contamination-halo backfill for a corpus-artifact
+    lineage that was maintained WITHOUT ``halo_benchmark``: computes
+    the near-dup pair graph over the full stored corpus, flags it
+    against ``benchmark`` (``decontaminate.contamination_report`` at
+    ``ngram``), walks the batch multi-source BFS to ``max_hops``, and
+    commits ``hpairs``/``hdist``/``hmeta`` as a NEW snapshot
+    generation alongside the parent's tables — atomically, through
+    the same optimistic ``commit_snapshot`` the stream uses. After
+    the backfill, restart the stream with ``halo_benchmark`` (and the
+    same ``halo_hops``/``halo_ngram``) and it advances the state
+    change-sized from there.
+
+    Same guards as the components backfill: the full-corpus-coverage
+    check (any stored sig id missing from ``corpus`` raises — halo
+    state that missed history's edges would silently under-reach),
+    the stored-sig geometry derivation (``num_hashes`` defaults to
+    ``size(sig)`` and an explicit mismatch raises), and the
+    already-present refusal. Returns the committed snapshot path."""
+    from inbev_data_engineering_case_spark.layers import (
+        commit_snapshot,
+        latest_snapshot,
+        next_run_after,
+        run_id_of,
+    )
+    from inbev_data_engineering_case_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from inbev_data_engineering_case_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    spark = corpus.sparkSession
+    snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
+    if os.path.isdir(os.path.join(snap, "hdist")):
+        raise ValueError(
+            f"snapshot {snap} already carries halo tables — nothing"
+            " to backfill; run the stream with halo_benchmark to keep"
+            " maintaining them"
+        )
+    sigs = spark.read.parquet(os.path.join(snap, "sigs"))
+    fps = spark.read.parquet(os.path.join(snap, "fps"))
+    extra = {}
+    for name in ("grams", "comps"):
+        if os.path.isdir(os.path.join(snap, name)):
+            extra[name] = spark.read.parquet(os.path.join(snap, name))
+    missing = (
+        sigs.select(F.col("id"))
+        .distinct()
+        .join(
+            corpus.select(F.col(id_col).cast("long").alias("id")),
+            on="id",
+            how="left_anti",
+        )
+        .count()
+    )
+    if missing:
+        raise ValueError(
+            f"backfill_halo_tables: {missing} stored document id(s)"
+            " are missing from the supplied corpus — halo state that"
+            " missed history's edges would silently under-reach; pass"
+            " the FULL stored corpus text"
+        )
+    shead = sigs.select(F.size("sig").alias("_n")).first()
+    stored_hashes = None if shead is None else int(shead["_n"])
+    if (
+        stored_hashes is not None
+        and num_hashes is not None
+        and num_hashes != stored_hashes
+    ):
+        raise ValueError(
+            "backfill_halo_tables: stored sigs carry"
+            f" num_hashes={stored_hashes} but this backfill is"
+            f" configured num_hashes={num_hashes} — a pair graph from"
+            " a different geometry than the one the stream maintains"
+            " would break the union-parity contract; match the"
+            " geometry (or omit num_hashes to derive it)"
+        )
+    pair_kw = {}
+    if stored_hashes is not None:
+        pair_kw["num_hashes"] = stored_hashes
+    elif num_hashes is not None:
+        pair_kw["num_hashes"] = num_hashes
+    if shingle_words is not None:
+        pair_kw["shingle_words"] = shingle_words
+    hpairs = minhash_dedup_pairs(
+        corpus, text_col, id_col,
+        threshold=near_dup_threshold, **pair_kw,
+    ).select("id_a", "id_b")
+    seeds = contamination_report(
+        corpus, benchmark, n=ngram, id_col=id_col, text_col=text_col
+    ).select(id_col)
+    hdist = multi_source_bfs(
+        hpairs, seeds, max_hops=max_hops,
+        src_col="id_a", dst_col="id_b",
+    )
+    hmeta = spark.createDataFrame(
+        [(int(max_hops), int(ngram))], "max_hops int, ngram int"
+    )
+    parent = run_id_of(snap, CORPUS_ARTIFACT_PREFIX)
+
+    def write_all(staging: str) -> None:
+        sigs.write.parquet(os.path.join(staging, "sigs"))
+        fps.write.parquet(os.path.join(staging, "fps"))
+        for name, table in extra.items():
+            table.write.parquet(os.path.join(staging, name))
+        hpairs.write.parquet(os.path.join(staging, "hpairs"))
+        hdist.write.parquet(os.path.join(staging, "hdist"))
+        hmeta.write.parquet(os.path.join(staging, "hmeta"))
+
+    return commit_snapshot(
+        state_dir,
+        next_run_after(parent),
+        write_all,
+        expected_parent=parent,
+        prefix=CORPUS_ARTIFACT_PREFIX,
+    )
+
+
 def run_stream_artifact_update(
     docs_stream: DataFrame,
     state_dir: str,
@@ -1346,6 +1498,9 @@ def run_stream_artifact_update(
     gram_portable: bool = True,
     components: bool = False,
     near_dup_threshold: float = 0.5,
+    halo_benchmark: DataFrame | None = None,
+    halo_hops: int = 2,
+    halo_ngram: int = 8,
 ) -> dict[str, int]:
     """Streaming maintenance of the DEDUP STATE the daily-crawl loop
     reads: each micro-batch of kept documents advances the stored
@@ -1408,6 +1563,33 @@ def run_stream_artifact_update(
     graph memory regardless of ``mode`` — un-knowing an edge would
     take a full re-closure, so ``'replace'`` never sheds label rows.
 
+    ``halo_benchmark`` (default None = off) additionally maintains
+    the CONTAMINATION-HALO state pair in the same atomic snapshot —
+    the last daily artifact that only had a batch advance: per batch,
+    the day's direct flags (``decontaminate.contamination_report``
+    over the batch against the broadcast benchmark at ``halo_ngram``)
+    and the SAME pair delta the components branch bands (one hashing
+    pass when both are on) feed ``curate.advance_halo_artifacts`` —
+    the stored ``hpairs`` edge artifact grows by a distinct union and
+    the stored ``hdist`` distance table relaxes change-sized
+    (``graph.multi_source_bfs_incremental``), row-identical to the
+    from-scratch BFS over the union graph + union seeds (the
+    operator's parity contract; chained-parity-tested). A 1-row
+    ``hmeta`` table rides the state with ``(max_hops, ngram)`` and a
+    resume with different values RAISES before commit (a dist table
+    mixes reaches silently otherwise — the gram-geometry discipline).
+    Enabling the halo on an existing lineage requires the one-time
+    ``backfill_halo_tables`` (state seeded mid-lineage would miss
+    every historical edge and flag). Replay idempotence is
+    structural: a re-applied batch's edges are already in the
+    distinct union and its flags already hold their minimal
+    distances, so the relaxation is a no-op. Like the labels, halo
+    state is append-only graph memory regardless of ``mode`` (an
+    emitted document's contamination never un-happens). Halo state is
+    externally pinned by q_daily_loop, which composes the identical
+    ``advance_halo_artifacts`` with a union-parity oracle in the
+    driver window.
+
     Returns ``query_metrics``.
     """
     from inbev_data_engineering_case_spark.layers import (
@@ -1442,6 +1624,8 @@ def run_stream_artifact_update(
             return
         stored_grams = None
         stored_comps = None
+        stored_hpairs = None
+        stored_hdist = None
         try:
             parent_snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
             stored_sigs = spark.read.parquet(
@@ -1514,6 +1698,46 @@ def run_stream_artifact_update(
                         " state_dir)"
                     )
                 stored_comps = spark.read.parquet(comps_dir)
+            if halo_benchmark is not None:
+                hdist_dir = os.path.join(parent_snap, "hdist")
+                if not os.path.isdir(hdist_dir):
+                    # same reasoning as the gram/comps guards: halo
+                    # state seeded mid-lineage misses every historical
+                    # edge and flag — a later near-dup of an old
+                    # contaminated doc would silently stay out of the
+                    # dist table. Require the explicit backfill.
+                    raise ValueError(
+                        "run_stream_artifact_update: halo_benchmark is"
+                        f" set but the parent snapshot {parent_snap}"
+                        " has no halo tables — enabling halo"
+                        " maintenance on an existing stream needs a"
+                        " one-time backfill: run backfill_halo_tables("
+                        "corpus, state_dir, benchmark) over the FULL"
+                        " stored corpus, then restart the stream (or"
+                        " start a fresh state_dir)"
+                    )
+                stored_hpairs = spark.read.parquet(
+                    os.path.join(parent_snap, "hpairs")
+                )
+                stored_hdist = spark.read.parquet(hdist_dir)
+                hmeta_row = spark.read.parquet(
+                    os.path.join(parent_snap, "hmeta")
+                ).first()
+                if (
+                    hmeta_row["max_hops"] != halo_hops
+                    or hmeta_row["ngram"] != halo_ngram
+                ):
+                    raise ValueError(
+                        "run_stream_artifact_update: stored halo state"
+                        f" was walked with max_hops="
+                        f"{hmeta_row['max_hops']},"
+                        f" ngram={hmeta_row['ngram']} but this stream"
+                        f" is configured halo_hops={halo_hops},"
+                        f" halo_ngram={halo_ngram} — a silent mismatch"
+                        " would mix reaches in the dist table; match"
+                        " the geometry or rebuild via"
+                        " backfill_halo_tables on a fresh state_dir"
+                    )
             parent = run_id_of(parent_snap, CORPUS_ARTIFACT_PREFIX)
         except FileNotFoundError:  # first generation ever
             stored_sigs = spark.createDataFrame(
@@ -1524,9 +1748,16 @@ def run_stream_artifact_update(
                 stored_comps = spark.createDataFrame(
                     [], "node long, comp long"
                 )
+            if halo_benchmark is not None:
+                stored_hpairs = spark.createDataFrame(
+                    [], "id_a long, id_b long"
+                )
+                stored_hdist = spark.createDataFrame(
+                    [], "node long, dist int"
+                )
             parent = None
         batch_sigs = None
-        if components:
+        if components or halo_benchmark is not None:
             # the batch is hashed ONCE: these signatures feed both the
             # sig-artifact advance and the pair delta below. The
             # parallelism guard matters here exactly as in the pairs
@@ -1565,12 +1796,10 @@ def run_stream_artifact_update(
                 grams = old.unionByName(new_grams)
             grams = grams.dropDuplicates([id_col, "gram_h"])
         comps = None
-        if components:
+        pairs = None
+        if components or halo_benchmark is not None:
             from inbev_data_engineering_case_spark.operators.curate import (
                 incremental_minhash_pairs,
-            )
-            from inbev_data_engineering_case_spark.operators.dedup import (
-                dedup_components_incremental,
             )
 
             # the batch's pair delta against the PARENT sigs (the
@@ -1578,7 +1807,8 @@ def run_stream_artifact_update(
             # are, and the self-pair guard + distinct make the pair
             # set identical either way — the idempotence argument in
             # the docstring). new_sigs reuses the one hashing pass
-            # already paid for the sig advance above.
+            # already paid for the sig advance above; the label
+            # contraction and the halo advance consume the SAME delta.
             pairs = incremental_minhash_pairs(
                 batch,
                 stored_sigs,
@@ -1588,7 +1818,43 @@ def run_stream_artifact_update(
                 new_sigs=batch_sigs,
                 **adv_kw,
             )
+            if components and halo_benchmark is not None:
+                # two iterative consumers (the closure and the BFS
+                # relaxation) — materialize the delta-sized table once
+                pairs = pairs.localCheckpoint(eager=True)
+        if components:
+            from inbev_data_engineering_case_spark.operators.dedup import (
+                dedup_components_incremental,
+            )
+
             comps = dedup_components_incremental(stored_comps, pairs)
+        hpairs = hdist = hmeta = None
+        if halo_benchmark is not None:
+            from inbev_data_engineering_case_spark.operators.curate import (
+                advance_halo_artifacts,
+            )
+            from inbev_data_engineering_case_spark.operators.decontaminate import (  # noqa: E501
+                contamination_report,
+            )
+
+            new_seeds = contamination_report(
+                batch,
+                halo_benchmark,
+                n=halo_ngram,
+                id_col=id_col,
+                text_col=text_col,
+            ).select(id_col)
+            hpairs, hdist = advance_halo_artifacts(
+                stored_hpairs,
+                stored_hdist,
+                pairs,
+                new_seeds,
+                max_hops=halo_hops,
+            )
+            hmeta = spark.createDataFrame(
+                [(int(halo_hops), int(halo_ngram))],
+                "max_hops int, ngram int",
+            )
 
         def write_pair(staging: str) -> None:
             sigs.write.parquet(os.path.join(staging, "sigs"))
@@ -1597,6 +1863,10 @@ def run_stream_artifact_update(
                 grams.write.parquet(os.path.join(staging, "grams"))
             if comps is not None:
                 comps.write.parquet(os.path.join(staging, "comps"))
+            if hdist is not None:
+                hpairs.write.parquet(os.path.join(staging, "hpairs"))
+                hdist.write.parquet(os.path.join(staging, "hdist"))
+                hmeta.write.parquet(os.path.join(staging, "hmeta"))
 
         commit_snapshot(
             state_dir,

@@ -2021,3 +2021,160 @@ def test_stream_components_upgrade_requires_backfill_and_closes(
         ).collect()
     }
     assert got == want and (9, 1) in got
+
+
+def test_stream_artifact_update_maintains_halo_state(spark, tmp_path):
+    """halo_benchmark=: the contamination-halo state pair advances
+    from the document stream in the SAME atomic snapshot as
+    sigs/fps/comps, from the SAME pair delta the label contraction
+    consumes — two micro-batches (a flagged doc + its near-dup, then
+    a 2-hop paraphrase and a fresh re-quote), the drained state
+    equals the from-scratch pair graph + BFS over the union corpus,
+    a geometry mismatch on resume raises, enabling halo on an
+    existing lineage demands backfill_halo_tables, and the backfilled
+    lineage advances change-sized from there."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.decontaminate import (
+        contamination_report,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from inbev_data_engineering_case_spark.operators.graph import (
+        multi_source_bfs,
+    )
+    from inbev_data_engineering_case_spark.streaming.events import (
+        backfill_halo_tables,
+        read_corpus_artifacts,
+        run_stream_artifact_update,
+    )
+
+    bench_text = (
+        "this exact benchmark passage with its very specific wording "
+        "must never appear inside any document of the training corpus"
+    )
+    bench = spark.createDataFrame([(900, bench_text)],
+                                  "doc_id long, text string")
+    batch1 = spark.createDataFrame(
+        [(1, bench_text),
+         (2, bench_text + " with a small harmless tail added"),
+         (3, "an entirely different second document about rivers and "
+             "the bridges that the engineers built across the valley")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        # 11 near-dups 2 (2-hop chain via the flagged near-dup);
+        # 13 fresh and clean
+        [(11, bench_text + " with a small harmless tail added twice"),
+         (13, "a third unrelated page on the orchards and the apples "
+              "that the children gather in the baskets every autumn")],
+        "doc_id long, text string",
+    )
+    union = batch1.unionByName(batch2)
+
+    def want_state():
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_dedup_pairs(union).collect()
+        }
+        dist = {
+            (r["node"], r["dist"])
+            for r in multi_source_bfs(
+                minhash_dedup_pairs(union).select("id_a", "id_b"),
+                contamination_report(union, bench).select("doc_id"),
+                max_hops=2,
+                src_col="id_a",
+                dst_col="id_b",
+            ).collect()
+        }
+        return pairs, dist
+
+    # ---- fresh lineage: halo + components from generation one, the
+    # shared-pair-delta path
+    state = str(tmp_path / "artifacts")
+    src = str(tmp_path / "doc_feed")
+    batch1.coalesce(1).write.parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    run_stream_artifact_update(
+        stream(), state, str(tmp_path / "ckpt"),
+        components=True, halo_benchmark=bench,
+    )
+    _, _, comps, hpairs, hdist = read_corpus_artifacts(
+        spark, state, with_components=True, with_halo=True
+    )
+    want_pairs, want_dist = want_state()
+    assert {
+        (r["id_a"], r["id_b"]) for r in hpairs.collect()
+    } == want_pairs
+    got_dist = {(r["node"], r["dist"]) for r in hdist.collect()}
+    assert got_dist == want_dist
+    # the 2-hop chain reached 11 through the flagged near-dup; clean
+    # docs stay out
+    nodes = {n for n, _ in got_dist}
+    assert {1, 2, 11} <= nodes and 3 not in nodes and 13 not in nodes
+
+    # geometry mismatch on resume: loud refusal before commit
+    batch2.limit(1).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="halo_hops"):
+        run_stream_artifact_update(
+            stream(), state, str(tmp_path / "ckpt"),
+            components=True, halo_benchmark=bench, halo_hops=3,
+        )
+
+    # ---- existing halo-less lineage: enabling demands the backfill
+    import time
+
+    for _ in range(100):
+        if not spark.streams.active:
+            break
+        time.sleep(0.1)
+    state2 = str(tmp_path / "artifacts2")
+    src2 = str(tmp_path / "doc_feed2")
+    batch1.coalesce(1).write.parquet(src2)
+
+    def stream2():
+        return (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src2)
+        )
+
+    run_stream_artifact_update(stream2(), state2, str(tmp_path / "c2"))
+    # a fresh checkpoint replays batch1 — the upgrade guard must fire
+    # on the very first (replayed) batch, before anything commits
+    with pytest.raises(Exception, match="backfill_halo_tables"):
+        run_stream_artifact_update(
+            stream2(), state2, str(tmp_path / "c2_fresh"),
+            halo_benchmark=bench,
+        )
+    # partial corpus refused; full corpus commits beside sigs/fps
+    with pytest.raises(ValueError, match="FULL stored corpus"):
+        backfill_halo_tables(batch1.limit(1), state2, bench)
+    backfill_halo_tables(batch1, state2, bench)
+    with pytest.raises(ValueError, match="already carries halo"):
+        backfill_halo_tables(batch1, state2, bench)
+    # the stream resumes with halo on, advancing change-sized
+    batch2.coalesce(1).write.mode("append").parquet(src2)
+    run_stream_artifact_update(
+        stream2(), state2, str(tmp_path / "c2"), halo_benchmark=bench
+    )
+    _, _, hpairs2, hdist2 = read_corpus_artifacts(
+        spark, state2, with_halo=True
+    )
+    assert {
+        (r["id_a"], r["id_b"]) for r in hpairs2.collect()
+    } == want_pairs
+    assert {
+        (r["node"], r["dist"]) for r in hdist2.collect()
+    } == want_dist
