@@ -140,7 +140,7 @@ def curate_corpus(
     classifier_model: DataFrame | None = None,
     min_score_micro: int = 0,
     halo_hops: int | None = None,
-    token_budget: int | None = None,
+    token_budget: int | dict[str, int] | None = None,
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
     metadata (lang, quality). Survivor policy is deterministic end to end:
@@ -267,8 +267,15 @@ def curate_corpus(
     identity survives filtering to a subset of survivors). Reuses the
     pipeline's one-pass quality score; identical to standalone
     ``select_within_budget`` over the unbudgeted output
-    (parity-tested). Per-stratum spends are the standalone
-    composition's job (``sample.select_mixture_within_budget``).
+    (parity-tested). A DICT spends PER STRATUM instead — ``{"code":
+    30_000_000_000, "forums": 10_000_000_000}`` keyed by
+    ``source_col`` (carried through the scoring projection and the
+    output, the cap stage's discipline; strata without a budget are
+    excluded, the ``select_within_budget_by_stratum`` contract) —
+    identical to the standalone by-stratum selection over the
+    unbudgeted output (parity-tested). Deriving the dict FROM a
+    target mixture is ``sample.mixture_budgets``' job; the composed
+    single-pass form stays ``sample.select_mixture_within_budget``.
 
     ``bloom_prefilter_bits="auto"`` gates each join on plan-stats
     selectivity (``joins.auto_bloom_bits``): the prefilter engages
@@ -287,15 +294,16 @@ def curate_corpus(
         documents = documents.withColumn(text_col, html_to_text(text_col))
     # score_documents: one tokenization pass for lang + quality (the
     # standalone expressions would re-split the text per reference);
-    # the cap stage needs the source column, carried as a pure
-    # projection passthrough
+    # the cap and per-stratum budget stages need the source column,
+    # carried as a pure projection passthrough
+    needs_source = max_docs_per_source is not None or isinstance(
+        token_budget, dict
+    )
     scored = score_documents(
         documents,
         text_col,
         id_col,
-        extra_cols=(
-            (source_col,) if max_docs_per_source is not None else ()
-        ),
+        extra_cols=((source_col,) if needs_source else ()),
     )
     eligible = scored.filter(
         F.col("lang").isin(*languages) & (F.col("quality") >= min_quality)
@@ -474,20 +482,35 @@ def curate_corpus(
     if token_budget is not None:
         from inbev_data_engineering_case_spark.operators.sample import (
             select_within_budget,
+            select_within_budget_by_stratum,
         )
 
         # budget stage: quota first (above), then spend; the cost is
         # the surviving text's character mass, computed in-row on the
-        # already-materialized survivors — never a second corpus scan
-        final = select_within_budget(
-            final.withColumn(
-                "_tb_cost", F.length(text_col).cast("bigint")
-            ),
-            token_budget,
-            cost_col="_tb_cost",
-            quality_col="quality",
-            id_col=id_col,
-        ).drop("_tb_cost")
+        # already-materialized survivors — never a second corpus scan.
+        # A dict spends PER STRATUM ("30B of code, 10B of forums" —
+        # keyed by source_col, carried through the scoring projection
+        # for it); an int is the global spend.
+        costed = final.withColumn(
+            "_tb_cost", F.length(text_col).cast("bigint")
+        )
+        if isinstance(token_budget, dict):
+            final = select_within_budget_by_stratum(
+                costed,
+                source_col,
+                token_budget,
+                cost_col="_tb_cost",
+                quality_col="quality",
+                id_col=id_col,
+            ).drop("_tb_cost")
+        else:
+            final = select_within_budget(
+                costed,
+                token_budget,
+                cost_col="_tb_cost",
+                quality_col="quality",
+                id_col=id_col,
+            ).drop("_tb_cost")
     if split_weights is not None:
         # No clobber guard needed here: the scoring projection already
         # reduced the frame to (id, text, lang, quality[, source]), so

@@ -5151,6 +5151,37 @@ def test_curate_token_budget_identity_with_standalone_selection(spark):
         sorted(r["doc_id"] for r in split_out.collect()) == composed_ids
     )
 
+    # the DICT form spends per stratum, keyed by source (carried
+    # through the scoring projection like the cap stage's): identical
+    # to the standalone by-stratum selection over the unbudgeted
+    # sourced output, and unbudgeted sources are excluded
+    from inbev_data_engineering_case_spark.operators.sample import (
+        select_within_budget_by_stratum,
+    )
+
+    srcs = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    per_src = {srcs[0]: budget // 4, srcs[1]: budget // 8}
+    strat_out = curate_corpus(docs, token_budget=per_src)
+    assert "source" in strat_out.columns
+    sourced = curate_corpus(docs, max_docs_per_source=10**9)  # carry source
+    want_strat = sorted(
+        r["doc_id"]
+        for r in select_within_budget_by_stratum(
+            sourced.withColumn(
+                "_tb_cost", F.length("text").cast("bigint")
+            ),
+            "source",
+            per_src,
+            cost_col="_tb_cost",
+            quality_col="quality",
+        ).collect()
+    )
+    got_strat = sorted(r["doc_id"] for r in strat_out.collect())
+    assert got_strat == want_strat and got_strat
+    assert {r["source"] for r in strat_out.collect()} <= set(per_src)
+
 
 def test_curate_corpus_bloom_prefilter_identity(spark):
     """bloom_prefilter_bits routes the three id-keyed keep-joins (LM
