@@ -280,6 +280,13 @@ def select_within_budget_by_stratum(
     _budget_staging_guard(df, fn, _STRATUM_RESERVED)
     spark = df.sparkSession
     if isinstance(budgets, dict):
+        if not budgets:
+            # loud, near the mistake — createDataFrame([]) would throw
+            # an obscure schema-inference error instead
+            raise ValueError(
+                f"{fn}: empty budgets — every stratum would be"
+                " excluded; pass at least one (stratum, budget)"
+            )
         # the dict shape honors the same NULL discipline as the frame
         # shape — a None value would otherwise silently exclude its
         # stratum through the > 0 filter below

@@ -1134,6 +1134,118 @@ def read_corpus_artifacts(
     return out
 
 
+def _backfill_open(
+    corpus: DataFrame,
+    state_dir: str,
+    fn_name: str,
+    marker: str,
+    marker_what: str,
+    resume_hint: str,
+    id_col: str,
+    coverage_consequence: str,
+) -> tuple[str, dict[str, DataFrame]]:
+    """The one-time backfills' shared scaffold (grams / components /
+    halo — one definition, so a guard fix lands in all three): resolve
+    the latest snapshot, refuse if it already carries ``marker``, read
+    EVERY parent table so the new generation carries the whole set
+    forward (a backfill that rewrote only sigs/fps would silently shed
+    a sibling artifact), and enforce the full-corpus-coverage guard on
+    the stored sig ids. Returns ``(snap, tables)``."""
+    from inbev_data_engineering_case_spark.layers import latest_snapshot
+
+    spark = corpus.sparkSession
+    snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
+    if os.path.isdir(os.path.join(snap, marker)):
+        raise ValueError(
+            f"snapshot {snap} already carries {marker_what} — nothing"
+            f" to backfill; {resume_hint}"
+        )
+    tables = {
+        name: spark.read.parquet(os.path.join(snap, name))
+        for name in sorted(os.listdir(snap))
+        if os.path.isdir(os.path.join(snap, name))
+    }
+    missing = (
+        tables["sigs"]
+        .select(F.col("id"))
+        .distinct()
+        .join(
+            corpus.select(F.col(id_col).cast("long").alias("id")),
+            on="id",
+            how="left_anti",
+        )
+        .count()
+    )
+    if missing:
+        raise ValueError(
+            f"{fn_name}: {missing} stored document id(s) are"
+            f" missing from the supplied corpus — {coverage_consequence};"
+            " pass the FULL stored corpus text"
+        )
+    return snap, tables
+
+
+def _stored_sig_pair_kw(
+    sigs: DataFrame,
+    fn_name: str,
+    num_hashes: int | None,
+    shingle_words: int | None,
+) -> dict:
+    """Derive the pair-graph hash geometry from the stored sig rows
+    (``size(sig)``) and refuse an explicit mismatch — a pair graph
+    from a different geometry than the one the stream maintains would
+    break the union-parity contract. ``shingle_words`` is NOT recorded
+    in the sig values and stays the caller's contract to match."""
+    shead = sigs.select(F.size("sig").alias("_n")).first()
+    stored_hashes = None if shead is None else int(shead["_n"])
+    if (
+        stored_hashes is not None
+        and num_hashes is not None
+        and num_hashes != stored_hashes
+    ):
+        raise ValueError(
+            f"{fn_name}: stored sigs carry"
+            f" num_hashes={stored_hashes} but this backfill is"
+            f" configured num_hashes={num_hashes} — match the"
+            " geometry (or omit num_hashes to derive it)"
+        )
+    pair_kw = {}
+    if stored_hashes is not None:
+        pair_kw["num_hashes"] = stored_hashes
+    elif num_hashes is not None:
+        pair_kw["num_hashes"] = num_hashes
+    if shingle_words is not None:
+        pair_kw["shingle_words"] = shingle_words
+    return pair_kw
+
+
+def _backfill_commit(
+    state_dir: str, snap: str, tables: dict[str, DataFrame]
+) -> str:
+    """Commit the carried-forward parent tables plus the backfilled
+    ones as one new snapshot generation, against the parent actually
+    read (the optimistic-concurrency discipline)."""
+    from inbev_data_engineering_case_spark.layers import (
+        commit_snapshot,
+        next_run_after,
+        run_id_of,
+    )
+
+    parent = run_id_of(snap, CORPUS_ARTIFACT_PREFIX)
+
+    def write_all(staging: str) -> None:
+        for name, table in tables.items():
+            table.write.parquet(os.path.join(staging, name))
+
+    return commit_snapshot(
+        state_dir,
+        next_run_after(parent),
+        write_all,
+        expected_parent=parent,
+        prefix=CORPUS_ARTIFACT_PREFIX,
+    )
+
+
 def backfill_gram_table(
     corpus: DataFrame,
     state_dir: str,
@@ -1165,60 +1277,26 @@ def backfill_gram_table(
     Returns the committed snapshot path. One corpus scan + one
     pair of parent-table rewrites — a one-time cost, never part of the
     steady-state loop."""
-    from inbev_data_engineering_case_spark.layers import (
-        commit_snapshot,
-        latest_snapshot,
-        next_run_after,
-        run_id_of,
-    )
     from inbev_data_engineering_case_spark.operators.dedup import (
         build_gram_table,
     )
 
-    spark = corpus.sparkSession
-    snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
-    if os.path.isdir(os.path.join(snap, "grams")):
-        raise ValueError(
-            f"snapshot {snap} already carries a grams table — nothing"
-            " to backfill; run the stream with gram_n set to keep"
-            " maintaining it"
-        )
-    sigs = spark.read.parquet(os.path.join(snap, "sigs"))
-    fps = spark.read.parquet(os.path.join(snap, "fps"))
-    missing = (
-        sigs.select(F.col("id"))
-        .distinct()
-        .join(
-            corpus.select(F.col(id_col).cast("long").alias("id")),
-            on="id",
-            how="left_anti",
-        )
-        .count()
+    snap, tables = _backfill_open(
+        corpus,
+        state_dir,
+        "backfill_gram_table",
+        marker="grams",
+        marker_what="a grams table",
+        resume_hint="run the stream with gram_n set to keep"
+        " maintaining it",
+        id_col=id_col,
+        coverage_consequence="a partial gram table would silently drop"
+        " containment pairs against those docs",
     )
-    if missing:
-        raise ValueError(
-            f"backfill_gram_table: {missing} stored document id(s) are"
-            " missing from the supplied corpus — a partial gram table"
-            " would silently drop containment pairs against those"
-            " docs; pass the FULL stored corpus text"
-        )
-    grams = build_gram_table(
+    tables["grams"] = build_gram_table(
         corpus, gram_n, id_col, text_col, gram_portable
     ).dropDuplicates([id_col, "gram_h"])
-    parent = run_id_of(snap, CORPUS_ARTIFACT_PREFIX)
-
-    def write_all(staging: str) -> None:
-        sigs.write.parquet(os.path.join(staging, "sigs"))
-        fps.write.parquet(os.path.join(staging, "fps"))
-        grams.write.parquet(os.path.join(staging, "grams"))
-
-    return commit_snapshot(
-        state_dir,
-        next_run_after(parent),
-        write_all,
-        expected_parent=parent,
-        prefix=CORPUS_ARTIFACT_PREFIX,
-    )
+    return _backfill_commit(state_dir, snap, tables)
 
 
 def backfill_components_table(
@@ -1253,101 +1331,35 @@ def backfill_components_table(
     Returns the committed snapshot path. One corpus banding pass +
     one closure — a one-time cost, never part of the steady-state
     loop."""
-    from inbev_data_engineering_case_spark.layers import (
-        commit_snapshot,
-        latest_snapshot,
-        next_run_after,
-        run_id_of,
-    )
     from inbev_data_engineering_case_spark.operators.dedup import (
         dedup_components,
         minhash_dedup_pairs,
     )
 
-    spark = corpus.sparkSession
-    snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
-    if os.path.isdir(os.path.join(snap, "comps")):
-        raise ValueError(
-            f"snapshot {snap} already carries a comps table — nothing"
-            " to backfill; run the stream with components=True to keep"
-            " maintaining it"
-        )
-    sigs = spark.read.parquet(os.path.join(snap, "sigs"))
-    fps = spark.read.parquet(os.path.join(snap, "fps"))
-    grams = None
-    if os.path.isdir(os.path.join(snap, "grams")):
-        grams = spark.read.parquet(os.path.join(snap, "grams"))
-    missing = (
-        sigs.select(F.col("id"))
-        .distinct()
-        .join(
-            corpus.select(F.col(id_col).cast("long").alias("id")),
-            on="id",
-            how="left_anti",
-        )
-        .count()
+    snap, tables = _backfill_open(
+        corpus,
+        state_dir,
+        "backfill_components_table",
+        marker="comps",
+        marker_what="a comps table",
+        resume_hint="run the stream with components=True to keep"
+        " maintaining it",
+        id_col=id_col,
+        coverage_consequence="a label table that missed history's"
+        " edges would silently mislabel future merges",
     )
-    if missing:
-        raise ValueError(
-            f"backfill_components_table: {missing} stored document"
-            " id(s) are missing from the supplied corpus — a label"
-            " table that missed history's edges would silently"
-            " mislabel future merges; pass the FULL stored corpus text"
-        )
-    # geometry guard (the gram/classifier streams' discipline): the
-    # labels committed here seed the stream's INCREMENTAL maintenance,
-    # which bands deltas against the STORED sigs — a backfill whose
-    # pair graph was computed with a different num_hashes would commit
-    # labels the stream can never reproduce, silently breaking the
-    # from-scratch parity contract. The stored sig rows record their
-    # own geometry (size(sig)), so derive it when the caller is silent
-    # and refuse an explicit mismatch. shingle_words is NOT recorded
-    # in the sig values and stays the caller's contract to match.
-    shead = sigs.select(F.size("sig").alias("_n")).first()
-    stored_hashes = None if shead is None else int(shead["_n"])
-    if (
-        stored_hashes is not None
-        and num_hashes is not None
-        and num_hashes != stored_hashes
-    ):
-        raise ValueError(
-            "backfill_components_table: stored sigs carry"
-            f" num_hashes={stored_hashes} but this backfill is"
-            f" configured num_hashes={num_hashes} — labels from a"
-            " different pair graph than the one the stream maintains"
-            " would break the from-scratch parity contract; match the"
-            " geometry (or omit num_hashes to derive it)"
-        )
-    pair_kw = {}
-    if stored_hashes is not None:
-        pair_kw["num_hashes"] = stored_hashes
-    elif num_hashes is not None:
-        pair_kw["num_hashes"] = num_hashes
-    if shingle_words is not None:
-        pair_kw["shingle_words"] = shingle_words
-    comps = dedup_components(
+    pair_kw = _stored_sig_pair_kw(
+        tables["sigs"], "backfill_components_table",
+        num_hashes, shingle_words,
+    )
+    tables["comps"] = dedup_components(
         minhash_dedup_pairs(
             corpus, text_col, id_col,
             threshold=near_dup_threshold, **pair_kw,
         ),
         require_convergence=True,
     )
-    parent = run_id_of(snap, CORPUS_ARTIFACT_PREFIX)
-
-    def write_all(staging: str) -> None:
-        sigs.write.parquet(os.path.join(staging, "sigs"))
-        fps.write.parquet(os.path.join(staging, "fps"))
-        if grams is not None:
-            grams.write.parquet(os.path.join(staging, "grams"))
-        comps.write.parquet(os.path.join(staging, "comps"))
-
-    return commit_snapshot(
-        state_dir,
-        next_run_after(parent),
-        write_all,
-        expected_parent=parent,
-        prefix=CORPUS_ARTIFACT_PREFIX,
-    )
+    return _backfill_commit(state_dir, snap, tables)
 
 
 def backfill_halo_tables(
@@ -1371,25 +1383,20 @@ def backfill_halo_tables(
     generation alongside the parent's tables — atomically, through
     the same optimistic ``commit_snapshot`` the stream uses. After
     the backfill, restart the stream with ``halo_benchmark`` (and the
-    same ``halo_hops``/``halo_ngram``) and it advances the state
-    change-sized from there.
+    same geometry — the ``hmeta`` row records ``max_hops``, ``ngram``,
+    ``near_dup_threshold``, and the effective shingle size, and the
+    stream refuses a mismatch on any of them).
 
-    Same guards as the components backfill: the full-corpus-coverage
-    check (any stored sig id missing from ``corpus`` raises — halo
-    state that missed history's edges would silently under-reach),
-    the stored-sig geometry derivation (``num_hashes`` defaults to
-    ``size(sig)`` and an explicit mismatch raises), and the
-    already-present refusal. Returns the committed snapshot path."""
-    from inbev_data_engineering_case_spark.layers import (
-        commit_snapshot,
-        latest_snapshot,
-        next_run_after,
-        run_id_of,
-    )
+    Same guards as the components backfill (one shared scaffold): the
+    full-corpus-coverage check, the stored-sig geometry derivation
+    (``num_hashes`` defaults to ``size(sig)``, explicit mismatch
+    raises), and the already-present refusal; every parent table is
+    carried forward. Returns the committed snapshot path."""
     from inbev_data_engineering_case_spark.operators.decontaminate import (
         contamination_report,
     )
     from inbev_data_engineering_case_spark.operators.dedup import (
+        DEFAULT_SHINGLE_WORDS,
         minhash_dedup_pairs,
     )
     from inbev_data_engineering_case_spark.operators.graph import (
@@ -1397,90 +1404,49 @@ def backfill_halo_tables(
     )
 
     spark = corpus.sparkSession
-    snap = latest_snapshot(state_dir, CORPUS_ARTIFACT_PREFIX)
-    if os.path.isdir(os.path.join(snap, "hdist")):
-        raise ValueError(
-            f"snapshot {snap} already carries halo tables — nothing"
-            " to backfill; run the stream with halo_benchmark to keep"
-            " maintaining them"
-        )
-    sigs = spark.read.parquet(os.path.join(snap, "sigs"))
-    fps = spark.read.parquet(os.path.join(snap, "fps"))
-    extra = {}
-    for name in ("grams", "comps"):
-        if os.path.isdir(os.path.join(snap, name)):
-            extra[name] = spark.read.parquet(os.path.join(snap, name))
-    missing = (
-        sigs.select(F.col("id"))
-        .distinct()
-        .join(
-            corpus.select(F.col(id_col).cast("long").alias("id")),
-            on="id",
-            how="left_anti",
-        )
-        .count()
+    snap, tables = _backfill_open(
+        corpus,
+        state_dir,
+        "backfill_halo_tables",
+        marker="hdist",
+        marker_what="halo tables",
+        resume_hint="run the stream with halo_benchmark to keep"
+        " maintaining them",
+        id_col=id_col,
+        coverage_consequence="halo state that missed history's edges"
+        " would silently under-reach",
     )
-    if missing:
-        raise ValueError(
-            f"backfill_halo_tables: {missing} stored document id(s)"
-            " are missing from the supplied corpus — halo state that"
-            " missed history's edges would silently under-reach; pass"
-            " the FULL stored corpus text"
+    pair_kw = _stored_sig_pair_kw(
+        tables["sigs"], "backfill_halo_tables", num_hashes, shingle_words
+    )
+    # two consumers (the BFS walk and the parquet write) — pay the
+    # full-corpus banding pass once
+    hpairs = (
+        minhash_dedup_pairs(
+            corpus, text_col, id_col,
+            threshold=near_dup_threshold, **pair_kw,
         )
-    shead = sigs.select(F.size("sig").alias("_n")).first()
-    stored_hashes = None if shead is None else int(shead["_n"])
-    if (
-        stored_hashes is not None
-        and num_hashes is not None
-        and num_hashes != stored_hashes
-    ):
-        raise ValueError(
-            "backfill_halo_tables: stored sigs carry"
-            f" num_hashes={stored_hashes} but this backfill is"
-            f" configured num_hashes={num_hashes} — a pair graph from"
-            " a different geometry than the one the stream maintains"
-            " would break the union-parity contract; match the"
-            " geometry (or omit num_hashes to derive it)"
-        )
-    pair_kw = {}
-    if stored_hashes is not None:
-        pair_kw["num_hashes"] = stored_hashes
-    elif num_hashes is not None:
-        pair_kw["num_hashes"] = num_hashes
-    if shingle_words is not None:
-        pair_kw["shingle_words"] = shingle_words
-    hpairs = minhash_dedup_pairs(
-        corpus, text_col, id_col,
-        threshold=near_dup_threshold, **pair_kw,
-    ).select("id_a", "id_b")
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     seeds = contamination_report(
         corpus, benchmark, n=ngram, id_col=id_col, text_col=text_col
     ).select(id_col)
-    hdist = multi_source_bfs(
+    tables["hpairs"] = hpairs
+    tables["hdist"] = multi_source_bfs(
         hpairs, seeds, max_hops=max_hops,
         src_col="id_a", dst_col="id_b",
     )
-    hmeta = spark.createDataFrame(
-        [(int(max_hops), int(ngram))], "max_hops int, ngram int"
+    tables["hmeta"] = spark.createDataFrame(
+        [(
+            int(max_hops),
+            int(ngram),
+            float(near_dup_threshold),
+            int(pair_kw.get("shingle_words", DEFAULT_SHINGLE_WORDS)),
+        )],
+        "max_hops int, ngram int, threshold double, shingle_words int",
     )
-    parent = run_id_of(snap, CORPUS_ARTIFACT_PREFIX)
-
-    def write_all(staging: str) -> None:
-        sigs.write.parquet(os.path.join(staging, "sigs"))
-        fps.write.parquet(os.path.join(staging, "fps"))
-        for name, table in extra.items():
-            table.write.parquet(os.path.join(staging, name))
-        hpairs.write.parquet(os.path.join(staging, "hpairs"))
-        hdist.write.parquet(os.path.join(staging, "hdist"))
-        hmeta.write.parquet(os.path.join(staging, "hmeta"))
-
-    return commit_snapshot(
-        state_dir,
-        next_run_after(parent),
-        write_all,
-        expected_parent=parent,
-        prefix=CORPUS_ARTIFACT_PREFIX,
-    )
+    return _backfill_commit(state_dir, snap, tables)
 
 
 def run_stream_artifact_update(
@@ -1575,9 +1541,15 @@ def run_stream_artifact_update(
     (``graph.multi_source_bfs_incremental``), row-identical to the
     from-scratch BFS over the union graph + union seeds (the
     operator's parity contract; chained-parity-tested). A 1-row
-    ``hmeta`` table rides the state with ``(max_hops, ngram)`` and a
-    resume with different values RAISES before commit (a dist table
-    mixes reaches silently otherwise — the gram-geometry discipline).
+    ``hmeta`` table rides the state with the full walk/banding
+    geometry ``(max_hops, ngram, near_dup_threshold, shingle_words)``
+    and a resume with different values RAISES before commit (a dist
+    table mixes reaches — or the pair artifact mixes graph geometries
+    — silently otherwise; the gram-geometry discipline). Disabling a
+    maintained artifact is refused as loudly as enabling one
+    mid-lineage: a restart missing ``gram_n``/``components``/
+    ``halo_benchmark`` on a lineage that carries the corresponding
+    table raises instead of silently shedding append-only state.
     Enabling the halo on an existing lineage requires the one-time
     ``backfill_halo_tables`` (state seeded mid-lineage would miss
     every historical edge and flag). Replay idempotence is
@@ -1612,6 +1584,20 @@ def run_stream_artifact_update(
         adv_kw["num_hashes"] = num_hashes
     if shingle_words is not None:
         adv_kw["shingle_words"] = shingle_words
+    if halo_benchmark is not None:
+        from inbev_data_engineering_case_spark.operators.dedup import (
+            DEFAULT_SHINGLE_WORDS,
+        )
+
+        # the EFFECTIVE halo geometry this stream would band/walk
+        # with — recorded in hmeta on every commit and compared
+        # against the stored row before any commit
+        halo_geo = (
+            int(halo_hops),
+            int(halo_ngram),
+            float(near_dup_threshold),
+            int(shingle_words or DEFAULT_SHINGLE_WORDS),
+        )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = (
@@ -1723,20 +1709,45 @@ def run_stream_artifact_update(
                 hmeta_row = spark.read.parquet(
                     os.path.join(parent_snap, "hmeta")
                 ).first()
-                if (
-                    hmeta_row["max_hops"] != halo_hops
-                    or hmeta_row["ngram"] != halo_ngram
-                ):
+                stored_geo = (
+                    hmeta_row["max_hops"],
+                    hmeta_row["ngram"],
+                    hmeta_row["threshold"],
+                    hmeta_row["shingle_words"],
+                )
+                if stored_geo != halo_geo:
                     raise ValueError(
                         "run_stream_artifact_update: stored halo state"
-                        f" was walked with max_hops="
-                        f"{hmeta_row['max_hops']},"
-                        f" ngram={hmeta_row['ngram']} but this stream"
-                        f" is configured halo_hops={halo_hops},"
-                        f" halo_ngram={halo_ngram} — a silent mismatch"
-                        " would mix reaches in the dist table; match"
+                        " was built with (max_hops, ngram, threshold,"
+                        f" shingle_words)={stored_geo} but this stream"
+                        f" is configured {halo_geo} — a silent"
+                        " mismatch would mix reaches (or pair-graph"
+                        " geometries) in the append-only state; match"
                         " the geometry or rebuild via"
                         " backfill_halo_tables on a fresh state_dir"
+                    )
+            # DISABLING a maintained artifact must be as loud as
+            # enabling one: a restart without the option would write
+            # the next generation without its table, silently shedding
+            # append-only graph memory that can only be recovered by a
+            # full-corpus backfill
+            for opt_off, table, flag in (
+                (gram_n is None, "grams", "gram_n"),
+                (not components, "comps", "components=True"),
+                (halo_benchmark is None, "hdist", "halo_benchmark"),
+            ):
+                if opt_off and os.path.isdir(
+                    os.path.join(parent_snap, table)
+                ):
+                    raise ValueError(
+                        "run_stream_artifact_update: the parent"
+                        f" snapshot {parent_snap} carries a {table}"
+                        f" table but this stream runs without {flag} —"
+                        " committing a generation without it would"
+                        " silently shed append-only state that only a"
+                        " full-corpus backfill can rebuild; pass"
+                        f" {flag} (or deliberately start a fresh"
+                        " state_dir)"
                     )
             parent = run_id_of(parent_snap, CORPUS_ARTIFACT_PREFIX)
         except FileNotFoundError:  # first generation ever
@@ -1818,10 +1829,11 @@ def run_stream_artifact_update(
                 new_sigs=batch_sigs,
                 **adv_kw,
             )
-            if components and halo_benchmark is not None:
-                # two iterative consumers (the closure and the BFS
-                # relaxation) — materialize the delta-sized table once
-                pairs = pairs.localCheckpoint(eager=True)
+            # the iterative consumers (the label contraction's closure
+            # loop, the BFS relaxation's two eagerly-truncated edge
+            # reads) each re-evaluate their input per reference —
+            # materialize the delta-sized table once, unconditionally
+            pairs = pairs.localCheckpoint(eager=True)
         if components:
             from inbev_data_engineering_case_spark.operators.dedup import (
                 dedup_components_incremental,
@@ -1852,8 +1864,9 @@ def run_stream_artifact_update(
                 max_hops=halo_hops,
             )
             hmeta = spark.createDataFrame(
-                [(int(halo_hops), int(halo_ngram))],
-                "max_hops int, ngram int",
+                [halo_geo],
+                "max_hops int, ngram int, threshold double,"
+                " shingle_words int",
             )
 
         def write_pair(staging: str) -> None:

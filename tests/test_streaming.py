@@ -2126,10 +2126,25 @@ def test_stream_artifact_update_maintains_halo_state(spark, tmp_path):
     batch2.limit(1).select(
         (F.col("doc_id") + 9000).alias("doc_id"), "text"
     ).coalesce(1).write.mode("append").parquet(src)
-    with pytest.raises(Exception, match="halo_hops"):
+    with pytest.raises(Exception, match="max_hops"):
         run_stream_artifact_update(
             stream(), state, str(tmp_path / "ckpt"),
             components=True, halo_benchmark=bench, halo_hops=3,
+        )
+
+    # DISABLING a maintained artifact is refused as loudly as
+    # enabling one mid-lineage: the lineage carries hdist, so a
+    # restart without halo_benchmark must raise, not silently shed
+    import time as _t
+
+    for _ in range(100):
+        if not spark.streams.active:
+            break
+        _t.sleep(0.1)
+    with pytest.raises(Exception, match="silently shed"):
+        run_stream_artifact_update(
+            stream(), state, str(tmp_path / "ckpt_shed"),
+            components=True,
         )
 
     # ---- existing halo-less lineage: enabling demands the backfill

@@ -7909,6 +7909,9 @@ def test_select_within_budget_by_stratum_parity_and_guards(spark):
     # the dict shape honors the same NULL discipline (driver-side)
     with pytest.raises(ValueError, match="NULL budget"):
         select_within_budget_by_stratum(df, "src", {"a": 150, "b": None})
+    # an empty dict is refused loudly, not an obscure schema error
+    with pytest.raises(ValueError, match="empty budgets"):
+        select_within_budget_by_stratum(df, "src", {})
     # duplicate stratum rows would duplicate boundary output — refused
     dup_bdf = spark.createDataFrame(
         [("a", 150), ("a", 10)], "src string, spend long"
