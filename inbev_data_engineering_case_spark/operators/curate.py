@@ -647,6 +647,10 @@ def curate_incremental(
     min_score_micro: int = 0,
     stored_components: DataFrame | None = None,
     artifacts_out: dict | None = None,
+    stored_halo: tuple[DataFrame, DataFrame] | None = None,
+    halo_benchmark: DataFrame | None = None,
+    halo_hops: int = 2,
+    decontaminate_ngram: int = 8,
 ) -> DataFrame:
     """The composed daily-crawl pipeline: diff a new snapshot against the
     previous one and curate ONLY the delta against the stored corpus
@@ -728,12 +732,36 @@ def curate_incremental(
     pair table, exactly what ``advance_corpus_artifacts``'s
     ``delta_pairs`` and ``advance_halo_artifacts``'s ``new_pairs``
     consume — the banding pass is computed once and shared between
-    the keep decision and the artifact advance."""
+    the keep decision and the artifact advance.
+
+    ``stored_halo`` + ``halo_benchmark`` (both or neither) plug the
+    maintained CONTAMINATION-HALO state into the keep decision — the
+    ``stored_components`` pattern for the halo guard: the pair is
+    ``(stored_pairs, stored_dist)`` (the ``advance_halo_artifacts`` /
+    ``run_stream_artifact_update(halo_benchmark=)`` tables), today's
+    direct flags come from ``decontaminate.contamination_report``
+    over the scored-eligible DELTA (the batch halo mode's spot — a
+    contaminated doc later dropped by dedup still seeds its halo),
+    the state advances over the SAME banded pair delta the dedup
+    stages consume (``advance_halo_artifacts`` — one banding pass),
+    and every delta survivor within ``halo_hops`` of ANY flag ever
+    raised (history's memory plus today's) is dropped. The advanced
+    state lands in ``artifacts_out["halo_pairs"]`` /
+    ``artifacts_out["halo_dist"]`` when a dict is passed — persist
+    them as the next day's ``stored_halo``. Row-identical to the
+    manual chain (plain ``curate_incremental`` → report → advance →
+    anti-join the updated dist; parity-tested)."""
     from inbev_data_engineering_case_spark.layers import snapshot_diff
     from inbev_data_engineering_case_spark.operators.textops import (
         fingerprint,
     )
 
+    if (stored_halo is None) != (halo_benchmark is None):
+        raise ValueError(
+            "curate_incremental: stored_halo and halo_benchmark come"
+            " together — the guard drops against history's memory AND"
+            " today's flags (pass both or neither)"
+        )
     changed = snapshot_diff(
         old_snapshot.select(id_col, text_col),
         new_snapshot.select(id_col, text_col),
@@ -751,6 +779,21 @@ def curate_incremental(
         ),
         materialize_mode,
     )
+    halo_seeds = None
+    if halo_benchmark is not None:
+        from inbev_data_engineering_case_spark.operators.decontaminate import (  # noqa: E501
+            contamination_report,
+        )
+
+        # flags at the batch halo mode's spot — the lang/quality-
+        # eligible delta, BEFORE the classifier/dedup gates, so a
+        # contaminated doc those gates drop still seeds its halo;
+        # `eligible` is materialized above, so the report is a table
+        # re-read, not a second scoring pass
+        halo_seeds = contamination_report(
+            eligible, halo_benchmark, n=decontaminate_ngram,
+            id_col=id_col, text_col=text_col,
+        ).select(id_col)
     if classifier_model is not None:
         from inbev_data_engineering_case_spark.operators.classify import (
             score_bow_classifier,
@@ -798,12 +841,13 @@ def curate_incremental(
         threshold=near_dup_threshold,
         materialize_mode=materialize_mode,
     )
-    if artifacts_out is not None:
-        # a second consumer (the artifact advance) will read the pair
-        # table beside the drop decision — 24-byte rows, materialize
-        # once (the _dedup_chain discipline)
+    if artifacts_out is not None or halo_benchmark is not None:
+        # further consumers (the artifact advance, the halo walk) will
+        # read the pair table beside the drop decision — 24-byte rows,
+        # materialize once (the _dedup_chain discipline)
         pairs = _materialize(pairs, materialize_mode)
-        artifacts_out["pairs"] = pairs
+        if artifacts_out is not None:
+            artifacts_out["pairs"] = pairs
     if stored_components is None:
         clusters = dedup_components(pairs)
         drop = clusters.filter(F.col("node") != F.col("comp")).select(
@@ -829,7 +873,29 @@ def curate_incremental(
         )
     # same prefilter family as the batch pipeline's drop join;
     # `eligible` is _materialize'd above (dual-consumer requirement)
-    return _drop_anti(eligible, drop, id_col, bloom_prefilter_bits)
+    kept = _drop_anti(eligible, drop, id_col, bloom_prefilter_bits)
+    if halo_benchmark is not None:
+        # advance the halo memory over the SAME pair delta the dedup
+        # stages consumed, then drop every survivor within halo_hops
+        # of any flag ever raised — history's stored reach plus
+        # today's (the batch halo_hops stage, fed from storage)
+        stored_pairs, stored_dist = stored_halo
+        hpairs, hdist = advance_halo_artifacts(
+            stored_pairs, stored_dist, pairs, halo_seeds,
+            max_hops=halo_hops,
+        )
+        if artifacts_out is not None:
+            # persist as tomorrow's stored_halo (the advance is
+            # computed once — the drop below reads the same frames)
+            artifacts_out["halo_pairs"] = hpairs
+            artifacts_out["halo_dist"] = hdist
+        kept = _drop_anti(
+            kept,
+            hdist.select(F.col("node").alias(id_col)),
+            id_col,
+            bloom_prefilter_bits,
+        )
+    return kept
 
 
 def advance_corpus_artifacts(
