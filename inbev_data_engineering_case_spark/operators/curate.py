@@ -736,9 +736,15 @@ def curate_incremental(
 
     ``stored_halo`` + ``halo_benchmark`` (both or neither) plug the
     maintained CONTAMINATION-HALO state into the keep decision — the
-    ``stored_components`` pattern for the halo guard: the pair is
-    ``(stored_pairs, stored_dist)`` (the ``advance_halo_artifacts`` /
-    ``run_stream_artifact_update(halo_benchmark=)`` tables), today's
+    ``stored_components`` pattern for the halo guard: pass
+    ``(stored_pairs, stored_dist)`` or — the stream's shape —
+    ``(stored_pairs, stored_dist, hmeta)`` as
+    ``read_corpus_artifacts(with_halo=True)`` returns it; with the
+    ``hmeta`` row present, a walk/banding geometry mismatch against
+    this call's effective ``(halo_hops, decontaminate_ngram,
+    near_dup_threshold, shingle)`` REFUSES up front (the maintaining
+    stream's discipline — without it the caller owns geometry
+    agreement). Today's
     direct flags come from ``decontaminate.contamination_report``
     over the scored-eligible DELTA (the batch halo mode's spot — a
     contaminated doc later dropped by dedup still seeds its halo),
@@ -762,6 +768,34 @@ def curate_incremental(
             " together — the guard drops against history's memory AND"
             " today's flags (pass both or neither)"
         )
+    if stored_halo is not None and len(stored_halo) == 3:
+        from inbev_data_engineering_case_spark.operators.dedup import (
+            DEFAULT_SHINGLE_WORDS,
+        )
+
+        hmeta_row = stored_halo[2].first()
+        stored_geo = (
+            hmeta_row["max_hops"],
+            hmeta_row["ngram"],
+            hmeta_row["threshold"],
+            hmeta_row["shingle_words"],
+        )
+        my_geo = (
+            int(halo_hops),
+            int(decontaminate_ngram),
+            float(near_dup_threshold),
+            DEFAULT_SHINGLE_WORDS,  # this pipeline bands at defaults
+        )
+        if stored_geo != my_geo:
+            raise ValueError(
+                "curate_incremental: stored halo state was built with"
+                " (max_hops, ngram, threshold,"
+                f" shingle_words)={stored_geo} but this run is"
+                f" configured {my_geo} — a silent mismatch would mix"
+                " reaches (or pair-graph geometries) in the advanced"
+                " state; match the geometry or rebuild the halo state"
+            )
+        stored_halo = stored_halo[:2]
     changed = snapshot_diff(
         old_snapshot.select(id_col, text_col),
         new_snapshot.select(id_col, text_col),

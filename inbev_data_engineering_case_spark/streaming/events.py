@@ -1076,7 +1076,7 @@ def read_corpus_artifacts(
     """``(signatures, fingerprints)`` — plus the containment gram
     table when ``with_grams=True``, plus the connected-components
     label table when ``with_components=True``, plus the halo state
-    pair ``(hpairs, hdist)`` when ``with_halo=True`` (in that order)
+    ``(hpairs, hdist, hmeta)`` when ``with_halo=True`` (in that order)
     — from the latest committed corpus-artifact snapshot (the set
     ``run_stream_artifact_update`` maintains): signatures as
     ``(id, sig)``, fingerprints as ``(fp, keep_id)``, grams as
@@ -1126,10 +1126,14 @@ def read_corpus_artifacts(
                 "benchmark), then re-run the stream with "
                 "halo_benchmark set to keep maintaining them"
             )
+        # the hmeta geometry row rides along so downstream consumers
+        # (curate_incremental stored_halo=) can refuse a mismatch the
+        # same way the maintaining stream does
         out = (
             *out,
             spark.read.parquet(os.path.join(snap, "hpairs")),
             spark.read.parquet(hdist_dir),
+            spark.read.parquet(os.path.join(snap, "hmeta")),
         )
     return out
 

@@ -808,9 +808,39 @@ def test_curate_incremental_stored_halo_guard(spark):
         (r["node"], r["dist"]) for r in out["halo_dist"].collect()
     } == {(r["node"], r["dist"]) for r in hdist.collect()}
 
-    # options come together
+    # options come together — BOTH directions
     with pytest.raises(ValueError, match="come together"):
         curate_incremental(
             day0, new, sigs, fps,
             stored_halo=(stored_pairs, stored_dist),
+        )
+    with pytest.raises(ValueError, match="come together"):
+        curate_incremental(day0, new, sigs, fps, halo_benchmark=bench)
+
+    # the stream's 3-tuple shape (with the hmeta geometry row):
+    # matching geometry selects identically to the bare pair; a
+    # mismatched row refuses up front (the maintaining stream's
+    # discipline carried into the consumer)
+    hmeta_ok = spark.createDataFrame(
+        [(2, 8, 0.5, 3)],
+        "max_hops int, ngram int, threshold double, shingle_words int",
+    )
+    with_meta = sorted(
+        r["doc_id"]
+        for r in curate_incremental(
+            day0, new, sigs, fps, min_quality=0.0,
+            stored_halo=(stored_pairs, stored_dist, hmeta_ok),
+            halo_benchmark=bench,
+        ).collect()
+    )
+    assert with_meta == composed_ids
+    hmeta_bad = spark.createDataFrame(
+        [(3, 13, 0.5, 3)],
+        "max_hops int, ngram int, threshold double, shingle_words int",
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        curate_incremental(
+            day0, new, sigs, fps, min_quality=0.0,
+            stored_halo=(stored_pairs, stored_dist, hmeta_bad),
+            halo_benchmark=bench,
         )

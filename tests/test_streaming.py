@@ -2108,9 +2108,10 @@ def test_stream_artifact_update_maintains_halo_state(spark, tmp_path):
         stream(), state, str(tmp_path / "ckpt"),
         components=True, halo_benchmark=bench,
     )
-    _, _, comps, hpairs, hdist = read_corpus_artifacts(
+    _, _, comps, hpairs, hdist, hmeta = read_corpus_artifacts(
         spark, state, with_components=True, with_halo=True
     )
+    assert hmeta.first()["max_hops"] == 2
     want_pairs, want_dist = want_state()
     assert {
         (r["id_a"], r["id_b"]) for r in hpairs.collect()
@@ -2184,7 +2185,7 @@ def test_stream_artifact_update_maintains_halo_state(spark, tmp_path):
     run_stream_artifact_update(
         stream2(), state2, str(tmp_path / "c2"), halo_benchmark=bench
     )
-    _, _, hpairs2, hdist2 = read_corpus_artifacts(
+    _, _, hpairs2, hdist2, _ = read_corpus_artifacts(
         spark, state2, with_halo=True
     )
     assert {
