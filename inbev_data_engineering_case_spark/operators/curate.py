@@ -141,11 +141,28 @@ def curate_corpus(
     min_score_micro: int = 0,
     halo_hops: int | None = None,
     token_budget: int | dict[str, int] | None = None,
+    asset_near_dup: DataFrame | None = None,
+    asset_max_hamming: int = 6,
+    asset_bucket_bits: int = 12,
 ) -> DataFrame:
     """Full curation pass returning the kept documents with their curation
     metadata (lang, quality). Survivor policy is deterministic end to end:
     exact dedup keeps min id per fingerprint; near-dup clusters keep the
     component id (= min doc id in the cluster).
+
+    ``asset_near_dup`` (default None = off) is the IMAGE-side near-dup
+    gate a multimodal corpus needs beside the text one: pass the asset
+    table (``asset_id`` aligned with ``id_col``, ``media_type``,
+    ``payload``) and every document whose image is a non-survivor of
+    its perceptual-hash cluster drops in the same pass
+    (``multimodal.image_near_dup_keep``: dHash → Hamming-bucketed
+    pairs at ``asset_max_hamming``/``asset_bucket_bits`` → components
+    → min-id survivor — the text survivor policy applied to pixels).
+    The gate runs right after the cheap lang/quality predicate, so a
+    dropped asset's text is never n-gram-hashed or banded; kept set is
+    identical to curating only the asset-surviving documents
+    (parity-tested). The decode cost is per-ASSET, one Arrow pass,
+    independent of the text pipeline's scans.
 
     ``split_weights`` (default None = off) appends a leakage-safe
     train/val/test ``split`` column. With ``split_threshold=None`` the
@@ -308,6 +325,32 @@ def curate_corpus(
     eligible = scored.filter(
         F.col("lang").isin(*languages) & (F.col("quality") >= min_quality)
     )
+    if asset_near_dup is not None:
+        from inbev_data_engineering_case_spark.operators.dedup import (
+            dedup_components,
+        )
+        from inbev_data_engineering_case_spark.operators.multimodal import (
+            image_near_dup_pairs,
+        )
+
+        # image near-dup LOSERS (asset_id space == id_col space) drop;
+        # docs with no asset row — or an undecodable one — are never
+        # touched. Same drop image_near_dup_keep applies standalone
+        # (the composition is identity-tested against it).
+        asset_pairs = image_near_dup_pairs(
+            asset_near_dup,
+            max_hamming=asset_max_hamming,
+            bucket_bits=asset_bucket_bits,
+            materialize_mode=materialize_mode,
+        )
+        asset_drop = (
+            dedup_components(asset_pairs.select("id_a", "id_b"))
+            .filter(F.col("node") != F.col("comp"))
+            .select(F.col("node").alias(id_col))
+        )
+        eligible = _drop_anti(
+            eligible, asset_drop, id_col, bloom_prefilter_bits
+        )
     if halo_hops is not None and benchmark is None:
         raise ValueError(
             "curate_corpus: halo_hops requires benchmark (the halo"
@@ -631,6 +674,41 @@ def _dedup_chain(
     return after_exact, final, split_clusters, dedup_pairs
 
 
+def unpack_halo_meta(hmeta: DataFrame, fn: str) -> tuple:
+    """Unpack the 1-row halo geometry table into the canonical
+    ``(max_hops, ngram, threshold, shingle_words, num_hashes)`` tuple,
+    refusing loudly (the guard family's contract) instead of letting a
+    malformed state surface as an opaque ``TypeError``/``KeyError``:
+    an EMPTY hmeta table (hand-assembled or corrupted snapshot) and a
+    pre-``num_hashes`` row (written before the banding-hash count was
+    recorded — a restart with a different ``num_hashes`` would band a
+    different pair graph while passing the old 4-field check) both
+    raise actionable ``ValueError``s."""
+    row = hmeta.first()
+    if row is None:
+        raise ValueError(
+            f"{fn}: the stored halo meta table is empty — the"
+            " geometry guard cannot run; rebuild the halo state"
+            " (backfill_halo_tables, or a fresh state_dir)"
+        )
+    geo = row.asDict()
+    if geo.get("num_hashes") is None:
+        raise ValueError(
+            f"{fn}: the stored halo meta row does not record"
+            " num_hashes — it predates the full-geometry contract, so"
+            " a restart with a different banding hash count would"
+            " silently mix pair-graph geometries; rebuild the halo"
+            " state (backfill_halo_tables, or a fresh state_dir)"
+        )
+    return (
+        int(geo["max_hops"]),
+        int(geo["ngram"]),
+        float(geo["threshold"]),
+        int(geo["shingle_words"]),
+        int(geo["num_hashes"]),
+    )
+
+
 def curate_incremental(
     old_snapshot: DataFrame,
     new_snapshot: DataFrame,
@@ -651,6 +729,8 @@ def curate_incremental(
     halo_benchmark: DataFrame | None = None,
     halo_hops: int = 2,
     decontaminate_ngram: int = 8,
+    token_budget: int | dict[str, int] | None = None,
+    source_col: str = "source",
 ) -> DataFrame:
     """The composed daily-crawl pipeline: diff a new snapshot against the
     previous one and curate ONLY the delta against the stored corpus
@@ -659,6 +739,20 @@ def curate_incremental(
     quality), the same schema ``curate_corpus`` emits, so the curated
     corpus advances as ``kept ∪ result`` (and the signature/fingerprint
     tables as their unions with the delta's).
+
+    ``token_budget`` (default None = off) is the batch pipeline's spend
+    stage applied to TODAY'S delta: after every drop (dedup, halo), the
+    surviving delta spends the day's budget on its best rows — an int
+    spends globally (``sample.select_within_budget``), a dict spends
+    per ``source_col`` stratum (``select_within_budget_by_stratum``,
+    exact int64 boundary discipline, no global sort), with ``source_col``
+    carried through the scoring projection only when needed. The cost
+    is the survivors' in-row character mass — never a second corpus
+    scan. Spend is the LAST stage, so a daily loop caps "today's
+    emission" in one pass (identity-tested against the standalone
+    composition over the same survivors); note budgets are per RUN —
+    a multi-day spend ledger is the caller's to keep (subtract
+    yesterday's actual spend from tomorrow's budget).
 
     Stages, each reusing the batch operator it mirrors:
 
@@ -732,7 +826,14 @@ def curate_incremental(
     pair table, exactly what ``advance_corpus_artifacts``'s
     ``delta_pairs`` and ``advance_halo_artifacts``'s ``new_pairs``
     consume — the banding pass is computed once and shared between
-    the keep decision and the artifact advance.
+    the keep decision and the artifact advance. With
+    ``stored_components`` it also deposits
+    ``artifacts_out["components"]``: the ADVANCED label table
+    (``dedup_components_incremental(stored, pairs)`` — the identical
+    frame ``advance_corpus_artifacts`` would rebuild), so the
+    production loop hands it back as ``kept_comps=`` and the
+    contracted delta closure runs once per day, not twice
+    (parity-tested: reused == recomputed).
 
     ``stored_halo`` + ``halo_benchmark`` (both or neither) plug the
     maintained CONTAMINATION-HALO state into the keep decision — the
@@ -742,9 +843,9 @@ def curate_incremental(
     ``read_corpus_artifacts(with_halo=True)`` returns it; with the
     ``hmeta`` row present, a walk/banding geometry mismatch against
     this call's effective ``(halo_hops, decontaminate_ngram,
-    near_dup_threshold, shingle)`` REFUSES up front (the maintaining
-    stream's discipline — without it the caller owns geometry
-    agreement). Today's
+    near_dup_threshold, shingle, num_hashes)`` REFUSES up front (the
+    maintaining stream's discipline — without it the caller owns
+    geometry agreement). Today's
     direct flags come from ``decontaminate.contamination_report``
     over the scored-eligible DELTA (the batch halo mode's spot — a
     contaminated doc later dropped by dedup still seeds its halo),
@@ -770,42 +871,52 @@ def curate_incremental(
         )
     if stored_halo is not None and len(stored_halo) == 3:
         from inbev_data_engineering_case_spark.operators.dedup import (
+            DEFAULT_NUM_HASHES,
             DEFAULT_SHINGLE_WORDS,
         )
 
-        hmeta_row = stored_halo[2].first()
-        stored_geo = (
-            hmeta_row["max_hops"],
-            hmeta_row["ngram"],
-            hmeta_row["threshold"],
-            hmeta_row["shingle_words"],
-        )
+        stored_geo = unpack_halo_meta(stored_halo[2], "curate_incremental")
         my_geo = (
             int(halo_hops),
             int(decontaminate_ngram),
             float(near_dup_threshold),
             DEFAULT_SHINGLE_WORDS,  # this pipeline bands at defaults
+            DEFAULT_NUM_HASHES,
         )
         if stored_geo != my_geo:
             raise ValueError(
                 "curate_incremental: stored halo state was built with"
-                " (max_hops, ngram, threshold,"
-                f" shingle_words)={stored_geo} but this run is"
+                " (max_hops, ngram, threshold, shingle_words,"
+                f" num_hashes)={stored_geo} but this run is"
                 f" configured {my_geo} — a silent mismatch would mix"
                 " reaches (or pair-graph geometries) in the advanced"
                 " state; match the geometry or rebuild the halo state"
             )
         stored_halo = stored_halo[:2]
+    # a dict budget spends per source stratum — carry source_col
+    # through the projection chain only then (the batch pipeline's
+    # needs_source discipline; an int budget never pays the column)
+    needs_source = isinstance(token_budget, dict)
+    if needs_source and source_col not in new_snapshot.columns:
+        raise ValueError(
+            f"curate_incremental: token_budget is per-stratum but the"
+            f" new snapshot has no {source_col!r} column — pass"
+            " source_col or use an int (global) budget"
+        )
     changed = snapshot_diff(
         old_snapshot.select(id_col, text_col),
         new_snapshot.select(id_col, text_col),
         key_cols=[id_col],
     ).filter(F.col("change") != "delete")
-    delta = new_snapshot.select(id_col, text_col).join(
+    delta_cols = [id_col, text_col] + ([source_col] if needs_source else [])
+    delta = new_snapshot.select(*delta_cols).join(
         changed.select(id_col), on=id_col, how="left_semi"
     )
 
-    scored = score_documents(delta, text_col, id_col)
+    scored = score_documents(
+        delta, text_col, id_col,
+        extra_cols=((source_col,) if needs_source else ()),
+    )
     eligible = _materialize(
         scored.filter(
             F.col("lang").isin(*languages)
@@ -896,6 +1007,15 @@ def curate_incremental(
         clusters = dedup_components_incremental(
             stored_components.select("node", "comp"), pairs
         )
+        if artifacts_out is not None:
+            # the advanced label table, beside the pair delta: the
+            # production loop hands BOTH to advance_corpus_artifacts
+            # (delta_pairs= + kept_comps=) so the contracted delta
+            # closure is computed once — here, for the keep decision —
+            # not re-run by the advance (identity: this IS
+            # dedup_components_incremental(stored, pairs), the exact
+            # frame the advance would build; parity-tested)
+            artifacts_out["components"] = clusters
         drop = (
             clusters.filter(F.col("node") != F.col("comp"))
             .join(
@@ -929,6 +1049,36 @@ def curate_incremental(
             id_col,
             bloom_prefilter_bits,
         )
+    if token_budget is not None:
+        from inbev_data_engineering_case_spark.operators.sample import (
+            select_within_budget,
+            select_within_budget_by_stratum,
+        )
+
+        # spend stage LAST (the batch pipeline's order): every drop —
+        # dedup, halo — has already happened, so duplicates and
+        # contaminated docs cannot consume budget; cost is the
+        # surviving delta's in-row character mass
+        costed = kept.withColumn(
+            "_tb_cost", F.length(text_col).cast("bigint")
+        )
+        if needs_source:
+            kept = select_within_budget_by_stratum(
+                costed,
+                source_col,
+                token_budget,
+                cost_col="_tb_cost",
+                quality_col="quality",
+                id_col=id_col,
+            ).drop("_tb_cost")
+        else:
+            kept = select_within_budget(
+                costed,
+                token_budget,
+                cost_col="_tb_cost",
+                quality_col="quality",
+                id_col=id_col,
+            ).drop("_tb_cost")
     return kept
 
 
@@ -945,6 +1095,7 @@ def advance_corpus_artifacts(
     stored_components: DataFrame | None = None,
     delta_pairs: DataFrame | None = None,
     kept_sigs: DataFrame | None = None,
+    kept_comps: DataFrame | None = None,
 ) -> tuple[DataFrame, ...]:
     """The post-run step of the daily-crawl loop: advance the stored
     artifact tables by the newly-kept delta, so tomorrow's
@@ -985,7 +1136,10 @@ def advance_corpus_artifacts(
     row-identical to re-closing the union pair graph from scratch
     (the operator's parity contract). ``delta_pairs`` is today's pair
     table — ``curate_incremental(..., artifacts_out=...)`` hands it
-    out so the banding pass is never repeated; bootstrap
+    out so the banding pass is never repeated, and hands the advanced
+    label table out too (``artifacts_out["components"]``) so a loop
+    that already paid the keep decision's closure passes it back as
+    ``kept_comps=`` and the contraction is never re-run; bootstrap
     ``stored_components`` from a CONVERGED ``dedup_components`` run
     over the day-0 batch pair graph (``require_convergence=True`` —
     the incremental operator's provider contract). The label table is
@@ -1012,6 +1166,12 @@ def advance_corpus_artifacts(
             "advance_corpus_artifacts: stored_components and"
             " delta_pairs come together — the labels advance by"
             " contracting today's pair delta (pass both or neither)"
+        )
+    if kept_comps is not None and stored_components is None:
+        raise ValueError(
+            "advance_corpus_artifacts: kept_comps without"
+            " stored_components/delta_pairs — the precomputed labels"
+            " would be silently dropped; pass all three"
         )
 
     old_sigs = stored_sigs.select("id", "sig")
@@ -1053,8 +1213,18 @@ def advance_corpus_artifacts(
         )
     ).dropDuplicates(["fp", "keep_id"])
     if stored_components is not None:
-        comps = dedup_components_incremental(
-            stored_components.select("node", "comp"), delta_pairs
+        # kept_comps: the advanced label table precomputed by a caller
+        # that also needed it for the keep decision
+        # (curate_incremental(artifacts_out=...)["components"]) — the
+        # contracted delta closure runs once, not twice. Must be
+        # dedup_components_incremental output over exactly
+        # (stored_components, delta_pairs) — the kept_sigs contract.
+        comps = (
+            kept_comps
+            if kept_comps is not None
+            else dedup_components_incremental(
+                stored_components.select("node", "comp"), delta_pairs
+            )
         )
         return sigs, fps, comps
     return sigs, fps

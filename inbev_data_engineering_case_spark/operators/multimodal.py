@@ -3491,6 +3491,7 @@ def image_near_dup_pairs(
     bucket_bits: int = 12,
     max_bucket_size: int | None = None,
     materialize_mode: str = "local",
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs: dHash the decodable assets once
     (materialized — the decode is the dominant cost), bucket on the top
@@ -3500,14 +3501,18 @@ def image_near_dup_pairs(
     popcount(XOR) ≤ ``max_hamming``. ``max_bucket_size`` engages the
     dedup hot-bucket guard (star-link to the min-id representative) for
     corpora with massively-reposted images; default None — image dHash
-    buckets are far sparser than text templates."""
+    buckets are far sparser than text templates. ``hashes`` is the
+    ``kept_sigs`` precedent: a caller that also needs the dHash table
+    (q_image_dedup returns it beside the pairs) passes ``image_dhash``
+    output over exactly these assets and the decode pass — the
+    dominant cost — runs once, not twice."""
     from inbev_data_engineering_case_spark.operators.dedup import (
         _materialize,
         _split_hot_buckets,
     )
 
     sigs = _materialize(
-        image_dhash(assets)
+        (hashes if hashes is not None else image_dhash(assets))
         .filter(F.col("decode_ok"))
         .select(
             F.col("asset_id").alias("id"),
@@ -3555,6 +3560,64 @@ def image_near_dup_pairs(
         )
         pairs = pairs.unionByName(star)
     return pairs
+
+
+def image_near_dup_keep(
+    assets: DataFrame,
+    max_hamming: int = 6,
+    bucket_bits: int = 12,
+    max_bucket_size: int | None = None,
+    materialize_mode: str = "local",
+) -> DataFrame:
+    """The asset-level twin of the text dedup keep decision: dHash →
+    Hamming-bucketed pairs (``image_near_dup_pairs``) → connected
+    components → min-id survivor per cluster. Returns the SURVIVING
+    asset rows (input schema unchanged) — every asset whose component
+    representative is a smaller id drops, exactly the near-dup survivor
+    policy ``curate_corpus`` applies to text. Undecodable assets
+    (dead-lettered by ``image_dhash``) cannot pair, so they always
+    survive this gate — route them through ``decode_features``' error
+    column if they should be dropped instead."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components,
+    )
+
+    pairs = image_near_dup_pairs(
+        assets,
+        max_hamming=max_hamming,
+        bucket_bits=bucket_bits,
+        max_bucket_size=max_bucket_size,
+        materialize_mode=materialize_mode,
+    )
+    comps = dedup_components(pairs.select("id_a", "id_b"))
+    drop = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("asset_id")
+    )
+    return assets.join(drop, on="asset_id", how="left_anti")
+
+
+def pnm_assets_from_documents(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic 9×8 grayscale P5-PNM asset fixture over the
+    documents table (the ``assets_from_documents`` pattern for the
+    REAL image decode path): each document with ≥72 chars becomes a
+    9-wide × 8-high 8-bit PGM whose raster is the text's first 72
+    bytes. The 9×8 geometry makes ``_dhash64``'s 9×8 downsample the
+    identity, so the perceptual hash is a pure function of those bytes
+    — computable by an oracle from the text column (q_image_dedup) —
+    while still exercising the full payload→header-parse→decode→hash
+    path a real scraped-image corpus runs."""
+    return documents.filter(F.length(text_col) >= 72).select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit("image/x-portable-graymap").alias("media_type"),
+        F.concat(
+            F.lit(b"P5\n9 8\n255\n"),
+            F.encode(F.substring(text_col, 1, 72), "utf-8"),
+        ).alias("payload"),
+    )
 
 
 # ---------------------------------------------------------------------------

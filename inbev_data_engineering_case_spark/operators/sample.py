@@ -299,9 +299,24 @@ def select_within_budget_by_stratum(
                 " would silently exclude them; drop the keys or fix"
                 " the budgets"
             )
+        # the dict shape also honors the family's exact-int64
+        # discipline: a float budget (e.g. 30e9) would otherwise
+        # infer _blim as double and silently run the _cum <= _blim
+        # comparison and boundary arithmetic in floating point
+        float_strata = sorted(
+            str(s)
+            for s, b in budgets.items()
+            if not isinstance(b, int) or isinstance(b, bool)
+        )
+        if float_strata:
+            raise ValueError(
+                f"{fn}: non-integer budget for strata {float_strata}"
+                " — the boundary arithmetic is exact int64; pass int"
+                " token counts (30e9 is a float — write 30_000_000_000)"
+            )
         budgets = spark.createDataFrame(
             sorted(budgets.items()), [strata_col, "_blim"]
-        )
+        ).withColumn("_blim", F.col("_blim").cast("bigint"))
     else:
         bcols = budgets.columns
         if len(bcols) != 2 or strata_col not in bcols:

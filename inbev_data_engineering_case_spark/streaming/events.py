@@ -1388,8 +1388,9 @@ def backfill_halo_tables(
     the same optimistic ``commit_snapshot`` the stream uses. After
     the backfill, restart the stream with ``halo_benchmark`` (and the
     same geometry — the ``hmeta`` row records ``max_hops``, ``ngram``,
-    ``near_dup_threshold``, and the effective shingle size, and the
-    stream refuses a mismatch on any of them).
+    ``near_dup_threshold``, the effective shingle size, AND the
+    effective banding hash count ``num_hashes``, and the stream
+    refuses a mismatch on any of them).
 
     Same guards as the components backfill (one shared scaffold): the
     full-corpus-coverage check, the stored-sig geometry derivation
@@ -1400,6 +1401,7 @@ def backfill_halo_tables(
         contamination_report,
     )
     from inbev_data_engineering_case_spark.operators.dedup import (
+        DEFAULT_NUM_HASHES,
         DEFAULT_SHINGLE_WORDS,
         minhash_dedup_pairs,
     )
@@ -1447,8 +1449,10 @@ def backfill_halo_tables(
             int(ngram),
             float(near_dup_threshold),
             int(pair_kw.get("shingle_words", DEFAULT_SHINGLE_WORDS)),
+            int(pair_kw.get("num_hashes", DEFAULT_NUM_HASHES)),
         )],
-        "max_hops int, ngram int, threshold double, shingle_words int",
+        "max_hops int, ngram int, threshold double, shingle_words int,"
+        " num_hashes int",
     )
     return _backfill_commit(state_dir, snap, tables)
 
@@ -1546,10 +1550,13 @@ def run_stream_artifact_update(
     from-scratch BFS over the union graph + union seeds (the
     operator's parity contract; chained-parity-tested). A 1-row
     ``hmeta`` table rides the state with the full walk/banding
-    geometry ``(max_hops, ngram, near_dup_threshold, shingle_words)``
-    and a resume with different values RAISES before commit (a dist
-    table mixes reaches — or the pair artifact mixes graph geometries
-    — silently otherwise; the gram-geometry discipline). Disabling a
+    geometry ``(max_hops, ngram, near_dup_threshold, shingle_words,
+    num_hashes)`` and a resume with different values RAISES before
+    commit (a dist table mixes reaches — or the pair artifact mixes
+    graph geometries — silently otherwise; the gram-geometry
+    discipline); independently, every resume checks the stored sig
+    rows' ``size(sig)`` against the configured ``num_hashes`` so even
+    a halo-less lineage refuses a banding-hash-count change. Disabling a
     maintained artifact is refused as loudly as enabling one
     mid-lineage: a restart missing ``gram_n``/``components``/
     ``halo_benchmark`` on a lineage that carries the corresponding
@@ -1582,17 +1589,26 @@ def run_stream_artifact_update(
         build_gram_table,
     )
 
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        DEFAULT_NUM_HASHES,
+        DEFAULT_SHINGLE_WORDS,
+    )
+
     spark = docs_stream.sparkSession
     adv_kw = {}
     if num_hashes is not None:
         adv_kw["num_hashes"] = num_hashes
     if shingle_words is not None:
         adv_kw["shingle_words"] = shingle_words
+    # the EFFECTIVE banding hash count this stream signs/bands with
+    # (the operators' default when the param is omitted) — guarded
+    # per batch against the stored sig rows' size(sig), so a resume
+    # with a different count refuses instead of silently appending
+    # mixed-geometry signatures that match nothing historical
+    eff_num_hashes = (
+        int(num_hashes) if num_hashes is not None else DEFAULT_NUM_HASHES
+    )
     if halo_benchmark is not None:
-        from inbev_data_engineering_case_spark.operators.dedup import (
-            DEFAULT_SHINGLE_WORDS,
-        )
-
         # the EFFECTIVE halo geometry this stream would band/walk
         # with — recorded in hmeta on every commit and compared
         # against the stored row before any commit
@@ -1601,6 +1617,7 @@ def run_stream_artifact_update(
             int(halo_ngram),
             float(near_dup_threshold),
             int(shingle_words or DEFAULT_SHINGLE_WORDS),
+            eff_num_hashes,
         )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1624,6 +1641,22 @@ def run_stream_artifact_update(
             stored_fps = spark.read.parquet(
                 os.path.join(parent_snap, "fps")
             )
+            # signature-geometry refusal (the gram/comps/halo guards'
+            # sibling — previously only a caller contract): stored
+            # sig rows carry their hash count as size(sig), so a
+            # resume configured with a different num_hashes is caught
+            # BEFORE it appends signatures that band in a different
+            # space (they would silently match nothing historical)
+            shead = stored_sigs.select(F.size("sig").alias("_n")).first()
+            if shead is not None and int(shead["_n"]) != eff_num_hashes:
+                raise ValueError(
+                    "run_stream_artifact_update: stored sigs carry"
+                    f" num_hashes={int(shead['_n'])} but this stream"
+                    f" is configured num_hashes={eff_num_hashes} — a"
+                    " silent mismatch would append mixed-geometry"
+                    " signatures and band a different pair graph;"
+                    " match the geometry or start a fresh state_dir"
+                )
             if gram_n is not None:
                 grams_dir = os.path.join(parent_snap, "grams")
                 if not os.path.isdir(grams_dir):
@@ -1710,20 +1743,20 @@ def run_stream_artifact_update(
                     os.path.join(parent_snap, "hpairs")
                 )
                 stored_hdist = spark.read.parquet(hdist_dir)
-                hmeta_row = spark.read.parquet(
-                    os.path.join(parent_snap, "hmeta")
-                ).first()
-                stored_geo = (
-                    hmeta_row["max_hops"],
-                    hmeta_row["ngram"],
-                    hmeta_row["threshold"],
-                    hmeta_row["shingle_words"],
+                from inbev_data_engineering_case_spark.operators.curate import (  # noqa: E501
+                    unpack_halo_meta,
+                )
+
+                stored_geo = unpack_halo_meta(
+                    spark.read.parquet(os.path.join(parent_snap, "hmeta")),
+                    "run_stream_artifact_update",
                 )
                 if stored_geo != halo_geo:
                     raise ValueError(
                         "run_stream_artifact_update: stored halo state"
                         " was built with (max_hops, ngram, threshold,"
-                        f" shingle_words)={stored_geo} but this stream"
+                        " shingle_words,"
+                        f" num_hashes)={stored_geo} but this stream"
                         f" is configured {halo_geo} — a silent"
                         " mismatch would mix reaches (or pair-graph"
                         " geometries) in the append-only state; match"
@@ -1870,7 +1903,7 @@ def run_stream_artifact_update(
             hmeta = spark.createDataFrame(
                 [halo_geo],
                 "max_hops int, ngram int, threshold double,"
-                " shingle_words int",
+                " shingle_words int, num_hashes int",
             )
 
         def write_pair(staging: str) -> None:

@@ -327,12 +327,26 @@ def test_components_artifact_chained_two_day_parity(spark):
         assert "pairs" in out
 
         pairs_seen.append(out["pairs"])
-        sigs, fps, comps = advance_corpus_artifacts(
+        new_sigs, new_fps, new_comps = advance_corpus_artifacts(
             kept_contracted.select("doc_id", "text"), sigs, fps,
             stored_components=comps, delta_pairs=out["pairs"],
         )
-        comps = comps.localCheckpoint(eager=True)
+        # r15 closure consolidation: the keep decision already paid the
+        # contracted closure — handing it back (artifacts_out
+        # ["components"] → kept_comps=) skips the advance's second
+        # contraction and is row-identical to recomputing it
+        assert "components" in out
+        _, _, comps_reused = advance_corpus_artifacts(
+            kept_contracted.select("doc_id", "text"), sigs, fps,
+            stored_components=comps, delta_pairs=out["pairs"],
+            kept_comps=out["components"],
+        )
+        sigs, fps = new_sigs, new_fps
+        comps = new_comps.localCheckpoint(eager=True)
         got_labels = {(r["node"], r["comp"]) for r in comps.collect()}
+        assert {
+            (r["node"], r["comp"]) for r in comps_reused.collect()
+        } == got_labels, f"day {day}: kept_comps reuse parity"
         assert got_labels == union_closure(), f"day {day}: label parity"
         snap_prev = snap_new
 
@@ -363,6 +377,10 @@ def test_advance_corpus_artifacts_components_validation(spark):
                 [], "id_a long, id_b long, est_jaccard double"
             ),
         )
+    # kept_comps without the stored pair would be silently ignored —
+    # the caller thinks the labels advanced; refuse instead
+    with pytest.raises(ValueError, match="kept_comps"):
+        advance_corpus_artifacts(kept, sigs, fps, kept_comps=comps)
 
 
 def test_halo_artifact_loop_closure(spark):
@@ -822,8 +840,9 @@ def test_curate_incremental_stored_halo_guard(spark):
     # mismatched row refuses up front (the maintaining stream's
     # discipline carried into the consumer)
     hmeta_ok = spark.createDataFrame(
-        [(2, 8, 0.5, 3)],
-        "max_hops int, ngram int, threshold double, shingle_words int",
+        [(2, 8, 0.5, 3, 8)],
+        "max_hops int, ngram int, threshold double, shingle_words int,"
+        " num_hashes int",
     )
     with_meta = sorted(
         r["doc_id"]
@@ -835,8 +854,9 @@ def test_curate_incremental_stored_halo_guard(spark):
     )
     assert with_meta == composed_ids
     hmeta_bad = spark.createDataFrame(
-        [(3, 13, 0.5, 3)],
-        "max_hops int, ngram int, threshold double, shingle_words int",
+        [(3, 13, 0.5, 3, 8)],
+        "max_hops int, ngram int, threshold double, shingle_words int,"
+        " num_hashes int",
     )
     with pytest.raises(ValueError, match="geometry"):
         curate_incremental(
@@ -844,3 +864,176 @@ def test_curate_incremental_stored_halo_guard(spark):
             stored_halo=(stored_pairs, stored_dist, hmeta_bad),
             halo_benchmark=bench,
         )
+    # a num_hashes-only mismatch refuses too — the banded pair graph
+    # is shaped by the hash count even when the walk geometry agrees
+    hmeta_hashes = spark.createDataFrame(
+        [(2, 8, 0.5, 3, 16)],
+        "max_hops int, ngram int, threshold double, shingle_words int,"
+        " num_hashes int",
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        curate_incremental(
+            day0, new, sigs, fps, min_quality=0.0,
+            stored_halo=(stored_pairs, stored_dist, hmeta_hashes),
+            halo_benchmark=bench,
+        )
+    # malformed meta states refuse LOUDLY, not with an opaque
+    # TypeError: an empty hmeta table, and a pre-num_hashes 4-field
+    # row (which would otherwise pass the old geometry check while a
+    # different hash count bands a different pair graph)
+    hmeta_empty = spark.createDataFrame(
+        [],
+        "max_hops int, ngram int, threshold double, shingle_words int,"
+        " num_hashes int",
+    )
+    with pytest.raises(ValueError, match="empty"):
+        curate_incremental(
+            day0, new, sigs, fps, min_quality=0.0,
+            stored_halo=(stored_pairs, stored_dist, hmeta_empty),
+            halo_benchmark=bench,
+        )
+    hmeta_legacy = spark.createDataFrame(
+        [(2, 8, 0.5, 3)],
+        "max_hops int, ngram int, threshold double, shingle_words int",
+    )
+    with pytest.raises(ValueError, match="num_hashes"):
+        curate_incremental(
+            day0, new, sigs, fps, min_quality=0.0,
+            stored_halo=(stored_pairs, stored_dist, hmeta_legacy),
+            halo_benchmark=bench,
+        )
+
+
+def test_curate_incremental_token_budget_chained_two_day(spark):
+    """r15 VERDICT ask #3: the daily loop spends "today's token budget
+    on today's best survivors" in ONE pass — curate_incremental grew
+    the batch pipeline's ``token_budget=`` spend stage, applied LAST
+    (after the dedup/halo drops). Pinned against the standalone
+    composition (plain incremental → select_within_budget[_by_stratum]
+    over the same survivors) for both budget shapes, then CHAINED: day
+    2 curates against artifacts advanced from day 1's post-budget kept
+    set — a budget-dropped doc was never emitted, so its day-2 twin is
+    legitimately new and must survive."""
+    from inbev_data_engineering_case_spark.operators.curate import (
+        advance_corpus_artifacts,
+        curate_corpus,
+        curate_incremental,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        exact_dedup,
+        minhash_signatures,
+    )
+    from inbev_data_engineering_case_spark.operators.sample import (
+        select_within_budget,
+        select_within_budget_by_stratum,
+    )
+    from pyspark.sql import functions as F
+
+    day0 = _docs(spark, [
+        (1, _EN + " alpha story one"),
+        (3, "a completely different tale about the river and the old "
+            "boat that the fisherman kept near the house"),
+    ])
+    kept0 = curate_corpus(day0, min_quality=0.0)
+    sigs = minhash_signatures(kept0.select("doc_id", "text"))
+    fps = exact_dedup(kept0.select("doc_id", "text"))
+
+    # day 1: three fresh docs of distinct lengths + one near-dup of
+    # stored doc 1 (must be dropped BEFORE the spend — duplicates
+    # cannot consume budget)
+    d1 = [
+        (11, _EN + " alpha story one tail"),  # near-dup of 1 → dropped
+        (13, "a brand new page about the markets and the traders who "
+             "walk the long road to the city every morning"),
+        (15, "the cats sleep on the warm stones by the garden wall "
+             "all day and the dogs watch them from the porch shade"),
+        (17, "short fresh note about the quiet harbor lighthouse and "
+             "the keeper who climbs the spiral stairs at dusk while "
+             "gulls wheel overhead in the salt wind every evening"),
+    ]
+    snap1 = day0.unionByName(_docs(spark, d1))
+
+    plain1 = curate_incremental(day0, snap1, sigs, fps, min_quality=0.0)
+    plain_ids = sorted(r["doc_id"] for r in plain1.collect())
+    assert plain_ids == [13, 15, 17]
+
+    # global (int) budget: parity vs the standalone spend composition
+    budget = 250
+    budgeted1 = curate_incremental(
+        day0, snap1, sigs, fps, min_quality=0.0, token_budget=budget
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in select_within_budget(
+            plain1.withColumn(
+                "_c", F.length("text").cast("bigint")
+            ),
+            budget,
+            cost_col="_c",
+            quality_col="quality",
+            id_col="doc_id",
+        ).collect()
+    )
+    got = sorted(r["doc_id"] for r in budgeted1.collect())
+    assert got == want and 0 < len(got) < len(plain_ids)
+    # output schema unchanged — the staging cost column never leaks
+    assert budgeted1.columns == plain1.columns
+
+    # per-stratum (dict) budget: source carried through the scoring
+    # projection only for this shape, spend parity per stratum
+    snap1_src = snap1.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 4 == 1, F.lit("web"))
+        .otherwise(F.lit("books")),
+    )
+    day0_src = day0.withColumn("source", F.lit("web"))
+    sbud = {"web": 200, "books": 120}
+    strat = curate_incremental(
+        day0_src, snap1_src, sigs, fps, min_quality=0.0,
+        token_budget=sbud,
+    )
+    plain_src = curate_incremental(
+        day0_src, snap1_src, sigs, fps, min_quality=0.0,
+        token_budget={"web": 10**9, "books": 10**9},
+    )
+    want_strat = sorted(
+        r["doc_id"]
+        for r in select_within_budget_by_stratum(
+            plain_src.withColumn(
+                "_c", F.length("text").cast("bigint")
+            ),
+            "source",
+            sbud,
+            cost_col="_c",
+            quality_col="quality",
+            id_col="doc_id",
+        ).collect()
+    )
+    assert sorted(r["doc_id"] for r in strat.collect()) == want_strat
+    assert "source" in strat.columns
+    # int budget never pays the source column
+    assert "source" not in budgeted1.columns
+    # dict budget against a source-less snapshot refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="source"):
+        curate_incremental(
+            day0, snap1, sigs, fps, min_quality=0.0, token_budget=sbud
+        )
+
+    # chain day 2 from the POST-budget kept set: the budget-dropped
+    # doc never shipped, so its near-twin is genuinely new tomorrow
+    dropped = sorted(set(plain_ids) - set(got))
+    assert dropped, "budget must have dropped at least one survivor"
+    sigs1, fps1 = advance_corpus_artifacts(
+        budgeted1.select("doc_id", "text"), sigs, fps
+    )
+    drop_text = {r["doc_id"]: r["text"] for r in plain1.collect()}[
+        dropped[0]
+    ]
+    d2 = [(21, drop_text + " returning")]
+    snap2 = snap1.unionByName(_docs(spark, d2))
+    kept2 = curate_incremental(
+        snap1, snap2, sigs1, fps1, min_quality=0.0, token_budget=budget
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [21]

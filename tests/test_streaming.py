@@ -2111,7 +2111,11 @@ def test_stream_artifact_update_maintains_halo_state(spark, tmp_path):
     _, _, comps, hpairs, hdist, hmeta = read_corpus_artifacts(
         spark, state, with_components=True, with_halo=True
     )
-    assert hmeta.first()["max_hops"] == 2
+    hrow = hmeta.first()
+    assert hrow["max_hops"] == 2
+    # the full banding geometry rides the meta row — num_hashes too
+    # (the stream ran at the operators' default)
+    assert hrow["num_hashes"] == 8
     want_pairs, want_dist = want_state()
     assert {
         (r["id_a"], r["id_b"]) for r in hpairs.collect()
@@ -2146,6 +2150,16 @@ def test_stream_artifact_update_maintains_halo_state(spark, tmp_path):
         run_stream_artifact_update(
             stream(), state, str(tmp_path / "ckpt_shed"),
             components=True,
+        )
+
+    # a banding-hash-count change refuses too — the stored sig rows
+    # carry their geometry as size(sig), and a resume at a different
+    # num_hashes would append signatures that band a different pair
+    # graph (the sig-geometry guard, independent of the hmeta row)
+    with pytest.raises(Exception, match="num_hashes=16"):
+        run_stream_artifact_update(
+            stream(), state, str(tmp_path / "ckpt_nh"),
+            components=True, halo_benchmark=bench, num_hashes=16,
         )
 
     # ---- existing halo-less lineage: enabling demands the backfill

@@ -3270,6 +3270,82 @@ def test_image_dhash_perceptual_near_dup(spark):
     assert not any(4 in p for p in pairs)  # unrelated image stays out
 
 
+def test_curate_corpus_asset_near_dup_gate(spark):
+    """r14 VERDICT ask #2: the asset_near_dup= curation gate drops
+    image near-dup LOSERS in the same pass — composition parity with
+    (a) standalone image_near_dup_keep deciding the survivors and (b)
+    curating only the asset-surviving documents. Text-only documents
+    (no asset row) and undecodable assets are never touched."""
+    import numpy as np
+
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_corpus,
+    )
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        image_near_dup_keep,
+    )
+
+    texts = {
+        1: "a completely different tale about the river and the old "
+           "boat that the fisherman kept near the house by the shore",
+        2: "the cats sleep on the warm stones by the garden wall all "
+           "day and the dogs watch them from the porch in the shade",
+        3: "a brand new page about the markets and the traders who "
+           "walk the long road to the city every morning at dawn",
+        4: "short fresh note about the quiet harbor lighthouse and the "
+           "keeper who climbs the spiral stairs at dusk every evening",
+    }
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=(16, 18, 3)).astype("uint8")
+    edited = base.copy()
+    edited[0, 0] = [255, 255, 255]
+
+    def bmp(px):
+        return _make_bmp(
+            [[tuple(int(v) for v in p[::-1]) for p in row] for row in px]
+        )
+
+    # doc 2's image near-dups doc 1's (texts are unrelated — the gate
+    # is pixel-space, not text-space); doc 3's asset is undecodable
+    # junk (dead-letter → survives the gate); doc 4 is text-only
+    assets = spark.createDataFrame(
+        [
+            (1, "image/bmp", bytearray(bmp(base))),
+            (2, "image/bmp", bytearray(bmp(edited))),
+            (3, "image/jpeg", bytearray(b"\xff\xd8\xff junk")),
+        ],
+        "asset_id long, media_type string, payload binary",
+    )
+
+    gated = sorted(
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, min_quality=0.0,
+            asset_near_dup=assets, asset_bucket_bits=4,
+        ).collect()
+    )
+    assert gated == [1, 3, 4]  # 2's image lost its cluster; 3, 4 kept
+
+    # (a) standalone keep decides the same survivors
+    kept_assets = sorted(
+        r["asset_id"]
+        for r in image_near_dup_keep(assets, bucket_bits=4).collect()
+    )
+    assert kept_assets == [1, 3]
+
+    # (b) identical to curating only the asset-surviving documents
+    survivor_docs = docs.filter(F.col("doc_id") != 2)
+    want = sorted(
+        r["doc_id"]
+        for r in curate_corpus(survivor_docs, min_quality=0.0).collect()
+    )
+    assert gated == want
+
+
 def test_bigram_lm_scores_typical_text_higher(spark):
     """Perplexity-filter semantics: a document made of the corpus's
     dominant bigrams scores a higher avg logprob than one of unique
@@ -7912,6 +7988,11 @@ def test_select_within_budget_by_stratum_parity_and_guards(spark):
     # an empty dict is refused loudly, not an obscure schema error
     with pytest.raises(ValueError, match="empty budgets"):
         select_within_budget_by_stratum(df, "src", {})
+    # a float budget (30e9-style) is refused — the dict shape shares
+    # the DataFrame shape's exact-int64 boundary discipline instead
+    # of silently comparing _cum <= _blim in double
+    with pytest.raises(ValueError, match="non-integer budget"):
+        select_within_budget_by_stratum(df, "src", {"a": 150.0, "b": 60})
     # duplicate stratum rows would duplicate boundary output — refused
     dup_bdf = spark.createDataFrame(
         [("a", 150), ("a", 10)], "src string, spend long"
