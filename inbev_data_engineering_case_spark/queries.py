@@ -4021,6 +4021,140 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_dedup_oracle(max_hamming: int = 6, bucket_bits: int = 12) -> str:
+    # bit i of the 9×8 dHash compares raster bytes (i//8)*9+(i%8) and
+    # its right neighbour — the identity-downsample geometry
+    # pnm_assets_from_documents guarantees (multimodal.py:_dhash64)
+    bit = (
+        "CASE WHEN ord(substr(t, (i // 8) * 9 + (i % 8) + 2, 1))"
+        " > ord(substr(t, (i // 8) * 9 + (i % 8) + 1, 1))"
+        " THEN (1::HUGEINT << i) ELSE 0::HUGEINT END"
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, substr(text, 1, 72) AS t
+      FROM documents WHERE length(text) >= 72
+    ),
+    corpus AS (
+      SELECT doc_id, t FROM base
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id,
+             chr(ord(substr(t, 1, 1)) + 1) || substr(t, 2, 71) AS t
+      FROM base WHERE doc_id % 23 = 0
+      UNION ALL
+      SELECT doc_id + 600000 AS doc_id, t FROM base WHERE doc_id % 31 = 0
+    ),
+    hs AS (
+      SELECT doc_id AS asset_id,
+             list_sum([{bit} FOR i IN range(0, 64)]) AS s
+      FROM corpus
+    ),
+    sig AS (
+      SELECT asset_id,
+             CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                       THEN s - 18446744073709551616::HUGEINT
+                       ELSE s END AS BIGINT) AS dhash,
+             s >> {64 - bucket_bits} AS bucket
+      FROM hs
+    ),
+    pr AS (
+      SELECT a.asset_id AS id_a, b.asset_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.bucket = b.bucket AND a.asset_id < b.asset_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+    ),
+    {_components_closure_sql("pr")}
+    SELECT 'hash' AS part, asset_id AS a, dhash AS b FROM sig
+    UNION ALL
+    SELECT 'pair' AS part, id_a AS a, id_b AS b FROM pr
+    UNION ALL
+    SELECT 'keep' AS part, asset_id AS a, dhash AS b FROM sig
+    WHERE asset_id NOT IN (SELECT node FROM comp WHERE node != comp)
+    """
+
+
+@register(
+    "q_image_dedup",
+    _image_dedup_oracle(),
+    doc="perceptual image near-dup dedup as a first-class catalog unit "
+    "(the r14 VERDICT ask #2 — multimodal.py:image_dhash / "
+    "image_near_dup_pairs were pytest-only): a 9×8 grayscale P5-PNM "
+    "asset per document (pnm_assets_from_documents — REAL payload "
+    "bytes through the real header-parse → decode → dHash path), "
+    "planted re-encodes (%23 at +500000: first raster byte bumped — a "
+    "≤1-bit hash perturbation, the re-encoded/resized-copy shape) and "
+    "exact re-posts (%31 at +600000), then dHash → top-12-bit Hamming "
+    "buckets → popcount(XOR) ≤ 6 pairs → components → min-id survivor "
+    "— the text dedup survivor policy applied to pixels. The 9×8 "
+    "geometry makes _dhash64's downsample the identity, so the oracle "
+    "computes the IDENTICAL 64-bit hash from the text bytes "
+    "(two's-complement into signed BIGINT — the oracle int discipline "
+    "— verified bit-equal against the decode path). Decode pass paid "
+    "ONCE (hashes= feeds the pair join, the kept_sigs precedent). "
+    "Scale: bucket-local self-join, never all-pairs; hot-bucket "
+    "star-link guard available (max_bucket_size). Late-r15 tail debut "
+    "(family cover: q_frame_sample pins the Arrow decode plumbing "
+    "in-window, q_dedup_components the pairs→closure→survivor "
+    "machinery); the asset_near_dup= curation gate is "
+    "composition-parity-tested in tests/test_training_ops.py.",
+)
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        dedup_components,
+    )
+    from inbev_data_engineering_case_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dup_pairs,
+        pnm_assets_from_documents,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= 72)
+    )
+    near = docs.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(
+            F.char(F.ascii(F.substring("text", 1, 1)) + 1),
+            F.substring("text", 2, 71),
+        ).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.substring("text", 1, 72).alias("text"),
+    )
+    assets = pnm_assets_from_documents(
+        docs.unionByName(near).unionByName(exact)
+    )
+    # the decode is the dominant cost and feeds two consumers (the
+    # hash part + the pair join) — paid once, shared
+    hashes = image_dhash(assets).localCheckpoint(eager=True)
+    pairs = image_near_dup_pairs(assets, hashes=hashes).localCheckpoint(
+        eager=True
+    )  # consumers: pair part + closure
+    drop = dedup_components(pairs.select("id_a", "id_b")).filter(
+        F.col("node") != F.col("comp")
+    )
+    sig = hashes.filter(F.col("decode_ok")).select("asset_id", "dhash")
+    part = lambda s: F.lit(s).alias("part")  # noqa: E731
+    return (
+        sig.select(part("hash"), F.col("asset_id").alias("a"),
+                   F.col("dhash").alias("b"))
+        .unionByName(
+            pairs.select(part("pair"), F.col("id_a").alias("a"),
+                         F.col("id_b").alias("b"))
+        )
+        .unionByName(
+            sig.join(
+                drop.select(F.col("node").alias("asset_id")),
+                on="asset_id", how="left_anti",
+            ).select(part("keep"), F.col("asset_id").alias("a"),
+                     F.col("dhash").alias("b"))
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: corpus curation compositions (operators/curate.py)
 # ---------------------------------------------------------------------------
@@ -4848,29 +4982,43 @@ def _curate_incremental_oracle(
     languages: tuple[str, ...] = ("en",),
     min_quality: float = 0.3,
     threshold: float = 0.5,
+    tail: str | None = None,
 ) -> str:
+    """The q_curate_incremental replay chain. ``tail`` (default None =
+    the plain kept-delta select) lets a sibling entry append further
+    CTEs + its own final select over the chain's ``survivors``/
+    ``dropped`` — q_daily_budget's per-stratum spend rides it. The
+    ``source`` column is carried through the chain unconditionally
+    (pure projection; the plain final select simply doesn't read it)."""
     langs = ", ".join(f"'{lang}'" for lang in languages)
     match = _sig_match_sql("a", "b")
+    if tail is None:
+        tail = """
+    SELECT doc_id, text, lang, quality FROM survivors
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
     return f"""
     WITH RECURSIVE newb AS (
       SELECT doc_id,
              CASE WHEN doc_id % 13 = 0 THEN text || '{_REVISED_SUFFIX}'
-                  ELSE text END AS text
+                  ELSE text END AS text,
+             source
       FROM documents WHERE doc_id % 101 != 0
       UNION ALL
-      SELECT doc_id + 300000 AS doc_id, text
+      SELECT doc_id + 300000 AS doc_id, text, source
       FROM documents WHERE doc_id % 17 = 0
       UNION ALL
-      SELECT doc_id + 400000 AS doc_id, text || ' the end' AS text
+      SELECT doc_id + 400000 AS doc_id, text || ' the end' AS text,
+             source
       FROM documents WHERE doc_id % 7 = 0
     ),
     delta AS (
-      SELECT n.doc_id, n.text
+      SELECT n.doc_id, n.text, n.source
       FROM newb n LEFT JOIN documents o ON n.doc_id = o.doc_id
       WHERE o.doc_id IS NULL OR o.text != n.text
     ),
     scored AS (
-      SELECT doc_id, text,
+      SELECT doc_id, text, source,
              {_lang_case_sql()} AS lang,
              {_SQL_QUALITY} AS quality
       FROM delta
@@ -4906,8 +5054,7 @@ def _curate_incremental_oracle(
     ),
     {_components_closure_sql()},
     dropped AS (SELECT node AS doc_id FROM comp WHERE node != comp)
-    SELECT doc_id, text, lang, quality FROM survivors
-    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    {tail}
     """
 
 
@@ -4949,9 +5096,12 @@ def _daily_new_snapshot(d: DataFrame) -> DataFrame:
     """The daily-crawl fixture's day-1 snapshot over the stored corpus
     ``d``: updates under modified ids (%13), exact re-uploads (%17 at
     +300000), near-dup re-posts (%7 at +400000), deletes (%101) —
-    shared by q_curate_incremental and q_daily_loop (the oracle twins
-    construct it as the ``newb`` CTE)."""
+    shared by q_curate_incremental, q_daily_loop, and q_daily_budget
+    (the oracle twins construct it as the ``newb`` CTE). Columns
+    beyond (doc_id, text) — e.g. q_daily_budget's ``source`` — carry
+    through unchanged; a re-upload/re-post inherits its original's."""
     key = F.col("doc_id")
+    extra = [c for c in d.columns if c not in ("doc_id", "text")]
     return (
         d.filter(key % 101 != 0)
         .withColumn(
@@ -4962,13 +5112,14 @@ def _daily_new_snapshot(d: DataFrame) -> DataFrame:
         )
         .unionByName(
             d.filter(key % 17 == 0).select(
-                (key + 300000).alias("doc_id"), "text"
+                (key + 300000).alias("doc_id"), "text", *extra
             )
         )
         .unionByName(
             d.filter(key % 7 == 0).select(
                 (key + 400000).alias("doc_id"),
                 F.concat("text", F.lit(" the end")).alias("text"),
+                *extra,
             )
         )
     )
@@ -5195,6 +5346,97 @@ def q_daily_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id_b").cast("bigint").alias("b"),
             )
         )
+    )
+
+
+def _daily_budget_oracle() -> str:
+    return _curate_incremental_oracle(tail="""
+    , kept AS (
+      SELECT doc_id, text, source, quality,
+             CAST(round(quality * 1000000) AS BIGINT) AS mq
+      FROM survivors
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    bud AS (
+      SELECT source, sum(length(text)) // 2 AS blim
+      FROM kept GROUP BY source
+    ),
+    ordered AS (
+      SELECT doc_id, source, quality, length(text) AS cost,
+             sum(length(text)) OVER (
+               PARTITION BY source ORDER BY mq DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM kept
+    )
+    SELECT o.doc_id, o.source, CAST(o.cost AS BIGINT) AS cost,
+           o.quality
+    FROM ordered o JOIN bud b USING (source)
+    WHERE o.cum <= b.blim
+    """)
+
+
+@register(
+    "q_daily_budget",
+    _daily_budget_oracle(),
+    # like its parent q_curate_incremental, NOT a bench headline: the
+    # catalog form rebuilds the stored artifacts (and derives the
+    # budgets from a plain pass) inside the timed body
+    doc="the daily loop's token-budget spend (the r14 VERDICT ask #3: "
+    "curate.py:curate_incremental grew the batch pipeline's "
+    "token_budget= stage): day 1's delta flows through the full "
+    "incremental chain — diff, lang/quality scoring, exact dedup "
+    "against stored fingerprints, MinHash near-dedup against stored "
+    "signatures — and the surviving delta then spends each source's "
+    "budget on its best rows (sample.select_within_budget_by_stratum: "
+    "maximal (quality DESC, id ASC) prefix per stratum, exact int64 "
+    "boundary arithmetic, NO global sort — plan-locked "
+    "RangePartitioning-free). The per-source budgets (half each "
+    "source's surviving mass, so every stratum's boundary bites) are "
+    "config-sized driver values derived from a plain pass — both "
+    "sides compute them identically, and the dict path exercises the "
+    "source-carry projection (needs_source) end to end. Oracle: the "
+    "q_curate_incremental replay chain + the equivalent per-stratum "
+    "window-cumsum prefix. Late-r15 tail debut (family cover: "
+    "q_stratum_budget pins the per-stratum spend machinery in-window, "
+    "q_daily_loop the incremental-curation composition); chained "
+    "two-day parity in tests/test_daily_crawl.py.",
+)
+def q_daily_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.curate import (
+        curate_incremental,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        exact_dedup,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    sigs0 = minhash_signatures(d.select("doc_id", "text"))
+    fps0 = exact_dedup(d.select("doc_id", "text"))
+    new = _daily_new_snapshot(d)
+    # the budgets are CONFIG (a handful of per-source ints): derived
+    # here from a plain pass so the fixture scales with the table —
+    # half of each source's surviving mass, so every boundary bites;
+    # the collect is source-count-sized (the classify.py META-row
+    # discipline), never data-sized
+    plain = curate_incremental(d, new, sigs0, fps0)
+    budgets = {
+        r["source"]: int(r["m"]) // 2
+        for r in plain.join(
+            new.select("doc_id", "source"), on="doc_id"
+        )
+        .groupBy("source")
+        .agg(F.sum(F.length("text")).alias("m"))
+        .collect()
+    }
+    kept = curate_incremental(
+        d, new, sigs0, fps0, token_budget=budgets
+    )
+    return kept.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("cost"),
+        "quality",
     )
 
 
@@ -8348,26 +8590,21 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_boilerplate, q_ann_pq — new entries must debut in the window or
     # they'd sit unverified; every demotion below was driver-green in
     # CORRECTNESS_r04 and names its in-window family cover)
-    "q_having": ("q_correlated_subquery",),
-    "q_asof_join": ("q_pit_join",),  # temporal band-join family
-    # rewired r12 (q_tfidf_topk demoted): the tokenize/score machinery
-    # stays in-window via BM25 + the quality scorer:
-    "q_token_stats": ("q_quality_score", "q_bm25_search"),
-    "q_stratified_sample": ("q_mixture_sample",),
-    "q_snapshot_diff": ("q_curate_incremental",),  # CDC family (composes it)
-    # q_zorder_key (data-layout family, new mid-r5) took this slot:
-    "q_dedup_incremental": ("q_curate_incremental",),  # composes it too
-    # q_skew_report (profiling family, new mid-r5) took this slot:
-    "q_dq_profile": ("q_skew_report",),
-    # q_histogram (distribution profiling, new mid-r5) took this slot —
-    # components stays covered by the two entries that compose/verify it:
-    "q_dedup_components": ("q_dedup_minhash", "q_curate_corpus"),
+    # (ten r4-stale entries that led this section — q_having
+    # q_asof_join q_token_stats q_stratified_sample q_dedup_incremental
+    # q_dq_profile q_dedup_components q_train_split + q_filter_predicate
+    # q_agg_pricing q_intersect_except below — were RE-SEATED in r15,
+    # the first staleness-driven window refresh; their long-streak
+    # covers demoted in exchange at the end of this dict)
+    # CDC family: q_daily_loop COMPOSES snapshot_diff through
+    # curate_incremental day over day (rewired r15):
+    "q_snapshot_diff": ("q_daily_loop",),
     # lang scoring stays covered by q_curate_corpus, whose oracle replays
     # score_documents' lang component end to end:
-    "q_lang_id": ("q_curate_corpus", "q_quality_score"),
-    # hash-split membership is the same predicate family the mixture and
-    # shuffle entries exercise:
-    "q_train_split": ("q_mixture_sample",),
+    "q_lang_id": ("q_curate_corpus",),
+    # hash-split membership is the same pure-hash predicate family the
+    # re-seated stratified sampler exercises (rewired r15):
+    "q_train_split": ("q_stratified_sample",),
     # n-gram hygiene stays covered by q_boilerplate, which runs the
     # identical gram/hash/broadcast machinery (still bench-timed as a
     # headline query from the tail):
@@ -8376,22 +8613,19 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_curate_halo (deferred decontamination end to end) and the
     # gram-keyed candidate machinery inside q_containment_fast:
     "q_decontaminate": ("q_curate_halo", "q_containment_fast"),
-    # rotated OUT in r5 (each r4-driver-green; the promoted same-family
-    # twin that took the slot is its first stand-in)
-    "q_filter_predicate": ("q_project",),  # scan+predicate family
-    "q_agg_pricing": ("q_gold_agg",),  # grouped-agg family
-    "q_intersect_except": ("q_set_ops",),
     "q_rollup": ("q_grouping_sets",),  # Expand family
     "q_window_topk": ("q_window_events",),
     "q_stream_tumbling": ("q_window_events", "q_stream_dedup"),  # identical result/oracle
     "q_percentiles": ("q_approx_percentiles",),
-    "q_dedup_simhash": ("q_dedup_minhash",),
+    # rewired r15 (q_dedup_minhash demoted): the re-seated components
+    # entry COMPOSES minhash_dedup_pairs end to end:
+    "q_dedup_simhash": ("q_dedup_components",),
     "q_ann_ivf": ("q_ann_ivf_trained",),
     "q_json_extract": ("q_array_functions",),
     # rewired late-r6 when q_fingerprint rotated out: exact fp
     # dedup (min-per-fingerprint groupBy) runs in-window inside
     # q_curate_corpus, and minhash shares the fp machinery:
-    "q_dedup_exact": ("q_curate_corpus", "q_dedup_minhash"),
+    "q_dedup_exact": ("q_curate_corpus", "q_dedup_components"),  # rewired r15
     "q_approx_count_distinct": ("q_distinct",),  # distinct-agg family
     "q_pack_sequences": ("q_chunk_documents",),  # sequence-budget family
     # rewired mid-r6 when q_anti_join itself rotated out (below): the
@@ -8399,20 +8633,30 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # (quality.py:202 candidate semi-join) and q_curate_corpus
     # (curate.py left_semi keep-joins):
     "q_semi_join": ("q_curate_corpus",),  # left-semi keep-joins in-window
-    "q_salted_join": ("q_join_star", "q_pit_join"),
+    "q_salted_join": ("q_join_star", "q_asof_join"),  # rewired r15
     # rotated OUT late-r5 to debut five NEW r5 operator families; each
     # was driver-green in CORRECTNESS_r04 and names in-window cover:
-    "q_normalize_location": ("q_clean_text", "q_gold_agg"),  # q_gold_agg composes it
+    # rewired r15 (q_gold_agg demoted): the rewrite-chain machinery
+    # stays in-window via q_clean_text (entry() still runs the
+    # composing q_gold_agg every round):
+    "q_normalize_location": ("q_clean_text",),
     "q_pivot": ("q_grouping_sets",),  # Expand family
     "q_sliding_window": ("q_window_events",),
     "q_ann_ivf_df": ("q_ann_ivf_trained",),  # same IVF trainer family
-    "q_quality_threshold": ("q_quality_score", "q_mixture_sample"),  # score-filter family
+    # rewired r15 (q_quality_score + q_mixture_sample demoted): the
+    # score-filter family stays in-window via the curation pipeline
+    # (composes the quality scorer + threshold verbatim) and the
+    # re-seated stratified sampler's hash membership:
+    "q_quality_threshold": ("q_curate_corpus", "q_stratified_sample"),
     # rotated OUT in r6 to seat the eight never-driver-checked late-r5
     # registrations plus eight returning r3-stale entries; every
     # demotion below is driver-green in CORRECTNESS_r05 and names
     # in-window same-family cover:
-    "q_fuzzy_match": ("q_dedup_minhash",),  # blocked-similarity-join family
-    "q_histogram": ("q_skew_report",),  # distribution-profiling family
+    "q_fuzzy_match": ("q_dedup_components",),  # blocked-similarity family, rewired r15
+    # rewired r15 (q_skew_report demoted): distribution profiling
+    # stays in-window via the re-seated rule-profile and the
+    # percentile sketch:
+    "q_histogram": ("q_dq_profile", "q_approx_percentiles"),
     # rewired r12 (q_anomaly_zscore demoted): the per-key ordered
     # time-series pass stays in-window via the CUSUM detector and the
     # per-user gap machinery:
@@ -8429,7 +8673,10 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # rewired r12 (q_pii_scrub demoted): the sequential rewrite-chain
     # machinery stays in-window via q_clean_text:
     "q_url_normalize": ("q_clean_text",),  # rewrite chains
-    "q_scd2_history": ("q_curate_incremental", "q_pit_join"),
+    # rewired r15 (q_curate_incremental + q_pit_join demoted): the
+    # daily loop composes the CDC machinery, and the re-seated as-of
+    # entry probes validity intervals mid-history:
+    "q_scd2_history": ("q_daily_loop", "q_asof_join"),
     "q_count_distinct": ("q_distinct",),  # distinct-agg family
     "q_cube": ("q_grouping_sets",),  # Expand family
     "q_map_lookup": ("q_array_functions",),
@@ -8439,12 +8686,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # projection machinery stays in-window via q_dedup_embedding:
     "q_ann_projected": ("q_ann_ivf_trained", "q_dedup_embedding"),
     "q_multimodal_features": ("q_frame_sample",),  # same decode machinery
-    "q_repetition": ("q_quality_score",),  # text-scoring family
+    "q_repetition": ("q_token_stats",),  # text-statistics family, rewired r15
     # rotated OUT mid-r6 to debut q_curation_drift (new entries must
     # start in the window); r5-green, deterministic-bit-key family cover:
     # rewired late-r6: the deterministic hash/bit-key family is
     # exercised in-window by the A-ES key and mixture bucketing:
-    "q_zorder_key": ("q_mixture_sample", "q_curate_corpus"),
+    "q_zorder_key": ("q_stratified_sample", "q_curate_corpus"),  # rewired r15
     # rotated OUT mid-r6 to debut q_event_gaps and q_cusum_changepoint;
     # both r5-green with in-window family cover: cohort + attribution
     # run the funnel's conditional-join machinery, and the streaming
@@ -8461,7 +8708,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # in-window IVF entries (probe-all identity), and gram-set Jaccard
     # shares the banded-similarity machinery minhash pins:
     "q_ann_cosine": ("q_ann_ivf_trained", "q_ann_indexed"),
-    "q_ngram_jaccard": ("q_dedup_minhash",),
+    "q_ngram_jaccard": ("q_dedup_components",),  # rewired r15
     # rotated OUT mid-r6 to debut q_pmi_collocations,
     # q_markov_transitions, and q_stream_gaps; all three r5-green with
     # in-window family cover (date/map/array scalar fns consolidate on
@@ -8469,11 +8716,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # aggregation on the flagship q_gold_agg):
     "q_date_functions": ("q_array_functions",),
     "q_running_total": ("q_window_events",),
-    "q_group_stats": ("q_gold_agg",),
+    "q_group_stats": ("q_agg_pricing",),  # rewired r15 (grouped-agg family)
     # rotated OUT mid-r6 to debut q_stream_cusum; r5-green, the
     # hash-deterministic sampling family consolidates on the mixture
     # and A-ES entries (the latter is the same TakeOrdered shape):
-    "q_corpus_shuffle": ("q_mixture_sample", "q_orderby_limit"),
+    "q_corpus_shuffle": ("q_stratified_sample", "q_orderby_limit"),  # rewired r15
     # rotated OUT late-r6 to debut q_pagerank; r5-green (0-row match),
     # and the left-anti plan family runs in-window inside
     # q_semantic_decon (decontaminate.py:259 left_anti removal) and
@@ -8482,12 +8729,12 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # rotated OUT late-r6 to debut q_pit_join; r5-green, and PIT is the
     # same validity-interval band-join machinery probing an SCD2
     # history mid-interval (the asof/salted/scd2 chains repoint to it):
-    "q_range_join": ("q_pit_join",),
+    "q_range_join": ("q_asof_join",),  # rewired r15 (same band-join family)
     # rotated OUT late-r6 to debut q_hybrid_retrieval; r5-green, and
     # the md5-fingerprint construction runs in-window inside
     # q_curate_corpus's exact-dedup stage (dedup_exact/zorder chains
     # repointed to their in-window machinery twins):
-    "q_fingerprint": ("q_curate_corpus", "q_dedup_minhash"),
+    "q_fingerprint": ("q_curate_corpus", "q_dedup_components"),  # rewired r15
     # (the five LATE-r6 DEBUT entries that closed this dict —
     # q_hard_negatives q_stream_pit q_bm25_indexed q_cms_freq
     # q_dedup_spans — were all PROMOTED in r7 as planned)
@@ -8504,7 +8751,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # gram profiling (rewired r14 when q_dedup_spans rotated out): the
     # gram-keyed df-capped machinery stays in-window via
     # q_containment_fast, the banded similarity family via minhash:
-    "q_boilerplate": ("q_containment_fast", "q_dedup_minhash"),
+    "q_boilerplate": ("q_containment_fast", "q_dedup_components"),  # rewired r15
     # funnel family: attribution runs the same user-keyed
     # conditional-join machinery and exact-ppm shares in-window:
     "q_cohort_retention": ("q_attribution",),
@@ -8531,11 +8778,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # hash-deterministic sampling: mixture runs the same pure-hash
     # membership in-window; the A-ES TakeOrdered shape is pinned by
     # the returning q_orderby_limit:
-    "q_weighted_sample": ("q_mixture_sample", "q_orderby_limit"),
+    "q_weighted_sample": ("q_stratified_sample", "q_orderby_limit"),  # rewired r15
     # frequency estimation: the CMS entries answer the same per-item
     # count question in-window (exactly-replayed), and the skew report
     # pins the top-n frequent-key machinery:
-    "q_heavy_hitters": ("q_cms_freq", "q_skew_report"),
+    "q_heavy_hitters": ("q_cms_freq",),  # rewired r15 (per-item count family)
     # RRF fuses the two in-window retrievers — BM25 and the ANN
     # family — and touches only their top-k outputs:
     "q_hybrid_retrieval": ("q_bm25_search", "q_ann_ivf_trained"),
@@ -8602,7 +8849,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # stream-static PIT: the batch PIT twin pins the validity-interval
     # band join in-window; the stream-static join discipline is the
     # enrich stream's:
-    "q_stream_pit": ("q_pit_join", "q_stream_enrich"),
+    "q_stream_pit": ("q_asof_join", "q_stream_enrich"),  # rewired r15
     # maintained BM25 index: the scan-form scoring is in-window via
     # q_bm25_search, and the materialized-index publish/probe
     # machinery is pinned by q_ann_indexed (same atomic-snapshot
@@ -8625,7 +8872,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # rewired r12 (q_curate_capped demoted): the curation composition
     # stays in-window via q_curate_corpus, the hash-deterministic
     # membership family via mixture sampling:
-    "q_source_cap": ("q_curate_corpus", "q_mixture_sample"),
+    "q_source_cap": ("q_curate_corpus", "q_stratified_sample"),  # rewired r15
     # two-sample ECDF drift: the streaming form's oracle IS the batch
     # twin's SQL unchanged (lossless partial merge), so the in-window
     # q_stream_drift replays this exact computation; q_curation_drift
@@ -8655,15 +8902,15 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # pytest-pinned):
     "q_embedding_incremental": (
         "q_dedup_embedding",
-        "q_curate_incremental",
+        "q_dedup_incremental",  # rewired r15 (stored-state delta family)
     ),
     # delta simhash near-dup: q_dedup_minhash pins the banded
     # similarity family in-window, and the stored-state delta
     # discipline (new-only hashing against a committed artifact
     # table) is q_curate_incremental's in-window (rewired r14):
     "q_simhash_incremental": (
-        "q_dedup_minhash",
-        "q_curate_incremental",
+        "q_dedup_components",  # rewired r15 (banded-similarity family)
+        "q_dedup_incremental",
     ),
     # asymmetric containment: q_containment_fast runs the SAME
     # gram-keyed, df-capped candidate machinery in-window (the
@@ -8675,7 +8922,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_curate_incremental:
     "q_containment_incremental": (
         "q_containment_fast",
-        "q_curate_incremental",
+        "q_dedup_incremental",  # rewired r15 (stored-state delta family)
     ),
     # (the five LATE-r11 DEBUTS that closed this dict — q_curate_split
     # q_bow_classifier q_curate_classifier q_contamination_halo
@@ -8704,7 +8951,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # PII scrubbing: the regex rewrite-chain machinery runs in-window
     # inside q_clean_text (same sequential-rewrite family), and
     # q_quality_score pins the text-scoring surface it feeds:
-    "q_pii_scrub": ("q_clean_text", "q_quality_score"),
+    "q_pii_scrub": ("q_clean_text", "q_token_stats"),  # rewired r15
     # random-projection sketch: q_dedup_embedding runs the identical
     # sign-LSH hyperplane projection machinery in-window, and the
     # trained-IVF entry pins the reduced-space candidate-join shape:
@@ -8722,7 +8969,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # minus the final cap stage (the cap itself stays pytest
     # identity-tested vs standalone cap_per_source), and mixture
     # sampling pins the hash-deterministic membership family:
-    "q_curate_capped": ("q_curate_corpus", "q_mixture_sample"),
+    "q_curate_capped": ("q_curate_corpus", "q_stratified_sample"),  # rewired r15
     # TF-IDF top-k: BM25 runs the identical tokenize → df → score →
     # per-query rank machinery in-window (same index CTEs, same
     # micro-unit scoring discipline):
@@ -8805,7 +9052,7 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # q_simhash_incremental) rewired above in place:
     "q_embedding_incr_norm": (
         "q_dedup_embedding",
-        "q_curate_incremental",
+        "q_dedup_incremental",  # rewired r15 (stored-state delta family)
     ),
     # rotated OUT mid-r14 to seat the NEW q_stream_multiclass family
     # (new entries must debut in the window); two lifetime rows
@@ -8824,7 +9071,68 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # similarity family via q_dedup_minhash; the two chains that
     # referenced this entry (q_boilerplate, q_decontaminate) rewired
     # above in place:
-    "q_dedup_spans": ("q_containment_fast", "q_dedup_minhash"),
+    "q_dedup_spans": ("q_containment_fast", "q_dedup_components"),  # rewired r15
+    #
+    # rotated OUT in r15 — the FIRST staleness-driven window refresh
+    # (the r14 promotion queue was empty): the ten r4-stale tail
+    # entries above (q_having q_asof_join q_token_stats
+    # q_stratified_sample q_dedup_incremental q_dq_profile
+    # q_dedup_components q_filter_predicate q_agg_pricing
+    # q_intersect_except) return to their registration slots, and the
+    # ten demotions below pay for the seats. Every demotion has >=9
+    # lifetime driver-green rows (the window's longest streaks —
+    # q_gold_agg/q_correlated_subquery 13 each) and names in-window
+    # same-family cover, usually the re-seated twin whose r4 row the
+    # demotee had been covering; every chain that referenced a
+    # demotee rewired above in place:
+    # scalar correlated subquery: the returning q_having runs the
+    # same grouped-predicate/subquery family:
+    "q_correlated_subquery": ("q_having",),
+    # scan+projection: the returning predicate twin is the same
+    # pruned-scan/pushdown family:
+    "q_project": ("q_filter_predicate",),
+    # flagship grouped agg: q_agg_pricing is the same single-exchange
+    # grouped-aggregation family over lineitem — and entry() still
+    # runs q_gold_agg itself every round, so the flagship keeps an
+    # external smoke check regardless of the window:
+    "q_gold_agg": ("q_agg_pricing",),
+    # set ops: INTERSECT/EXCEPT is the same distinct set-op family:
+    "q_set_ops": ("q_intersect_except",),
+    # profiling: the returning rule-profile runs the same full-table
+    # profile-aggregation machinery:
+    "q_skew_report": ("q_dq_profile",),
+    # hash-deterministic sampling: the returning stratified sampler
+    # runs the identical pure-hash membership machinery per stratum:
+    "q_mixture_sample": ("q_stratified_sample",),
+    # banded minhash similarity: the returning components entry
+    # COMPOSES minhash_dedup_pairs end to end (pairs → closure), and
+    # curation runs the banded dedup stage in-window:
+    "q_dedup_minhash": ("q_dedup_components", "q_curate_corpus"),
+    # incremental curation: the returning delta-dedup twin runs the
+    # same stored-state delta discipline, and q_daily_loop COMPOSES
+    # curate_incremental itself (day-0 → delta → advance) with its
+    # union-parity oracle in the window:
+    "q_curate_incremental": ("q_dedup_incremental", "q_daily_loop"),
+    # temporal band join: as-of IS the validity-interval band-join
+    # family PIT generalizes (PIT's SCD2 probe stays oracle-pinned in
+    # the tail sweep):
+    "q_pit_join": ("q_asof_join",),
+    # text scoring: the returning token-stats entry runs the same
+    # text-statistics machinery, and the curation pipeline composes
+    # the quality scorer end to end:
+    "q_quality_score": ("q_token_stats", "q_curate_corpus"),
+    #
+    # LATE-r15 DEBUTS (registered this round, awaiting the r16
+    # promotion the queue discipline grants new entries; each is
+    # sweep- and pytest-green with in-window family cover):
+    # the incremental budget spend: q_stratum_budget pins the
+    # per-stratum spend machinery in-window, q_daily_loop the
+    # incremental-curation composition it rides:
+    "q_daily_budget": ("q_stratum_budget", "q_daily_loop"),
+    # image near-dup dedup: q_frame_sample pins the Arrow-batched
+    # decode plumbing in-window, the re-seated q_dedup_components the
+    # pairs→closure→min-id-survivor machinery the image gate reuses:
+    "q_image_dedup": ("q_frame_sample", "q_dedup_components"),
 }
 
 for _name in _FAMILY_STAND_INS:
