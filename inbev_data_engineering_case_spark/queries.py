@@ -2167,6 +2167,56 @@ def q_mixture_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "pred_class")
 
 
+@register(
+    "q_daily_tagger",
+    _mixture_by_class_oracle(),
+    doc="the daily loop's MAINTAINED-COUNTS tagger as one composed "
+    "unit (the r14 VERDICT ask #6 — the stream twin maintains the "
+    "per-(class,bucket) counts and the router consumes a model, but "
+    "no entry exercised 'maintained counts → derived weights → argmax "
+    "tag → class-routed mixture' end to end): day 0's labeled corpus "
+    "(ids %3 != 0) builds the stored sufficient-statistics table "
+    "(classify.py:multiclass_bow_counts), day 1's labeled delta folds "
+    "in through merge_multiclass_bow_counts (a model-sized "
+    "(class,bucket) aggregation — the corpus is never re-tokenized), "
+    "multiclass_bow_weights_from_counts derives the scoring model, "
+    "and mixture_sample_by_class tags every document and routes it to "
+    "the target per-class composition. The ORACLE IS THE FULL-RETRAIN "
+    "TWIN: it trains one model over the union corpus "
+    "(q_mixture_by_class's replay) — so the driver's hash compare "
+    "pins the counts-additivity contract (merged counts ≡ retrained "
+    "counts, weights byte-for-byte) that the stream twin "
+    "(q_stream_multiclass) relies on, now composed through the "
+    "router. Late-r15 tail debut (family cover: q_bow_multiclass + "
+    "q_stream_multiclass pin the counts machinery in-window, "
+    "q_mixture_by_class the routed-mixture composition); the "
+    "drained-stream parity twin is in tests/test_streaming.py.",
+)
+def q_daily_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from inbev_data_engineering_case_spark.operators.classify import (
+        merge_multiclass_bow_counts,
+        mixture_sample_by_class,
+        multiclass_bow_counts,
+        multiclass_bow_weights_from_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select("doc_id", "text", F.col("lang").alias("label"))
+    day0 = labeled.filter(F.col("doc_id") % 3 != 0)
+    delta = labeled.filter(F.col("doc_id") % 3 == 0)
+    counts = merge_multiclass_bow_counts(
+        multiclass_bow_counts(day0, n_buckets=_BOW_B),
+        multiclass_bow_counts(delta, n_buckets=_BOW_B),
+    )
+    model = multiclass_bow_weights_from_counts(counts)
+    return mixture_sample_by_class(
+        docs.select("doc_id", "text"),
+        model,
+        _MIX_CLS_PPM,
+        salt=_MIX_CLS_SALT,
+    ).select("doc_id", "pred_class")
+
+
 def _lang_case_sql() -> str:
     """DuckDB twin of textops.lang_id as a bare CASE expression over a
     column named `text` — shared by q_lang_id and the curation oracle."""
@@ -9133,6 +9183,11 @@ _FAMILY_STAND_INS: dict[str, tuple[str, ...]] = {
     # decode plumbing in-window, the re-seated q_dedup_components the
     # pairs→closure→min-id-survivor machinery the image gate reuses:
     "q_image_dedup": ("q_frame_sample", "q_dedup_components"),
+    # the maintained-counts tagger: q_bow_multiclass +
+    # q_stream_multiclass pin the counts machinery in-window,
+    # q_mixture_by_class the routed-mixture composition whose
+    # full-retrain replay is this entry's oracle:
+    "q_daily_tagger": ("q_bow_multiclass", "q_stream_multiclass"),
 }
 
 for _name in _FAMILY_STAND_INS:

@@ -1828,6 +1828,38 @@ def test_stream_multiclass_counts_maintenance(spark, tmp_path):
     )
     assert inc_model == batch_model
 
+    # maintained-counts TAGGER == full-retrain tagger, composed
+    # through the class router (q_daily_tagger's drained-stream twin,
+    # r15): identical argmax tags/scores, identical routed mixture
+    from inbev_data_engineering_case_spark.operators.classify import (
+        mixture_sample_by_class,
+        score_bow_multiclass,
+    )
+
+    inc_m = multiclass_bow_weights_from_counts(stored)
+    full_m = train_bow_multiclass(docs, n_buckets=1 << 12)
+    corpus = docs.select("doc_id", "text")
+
+    def tags(model):
+        return {
+            (r["doc_id"], r["pred_class"], r["score_micro"])
+            for r in score_bow_multiclass(corpus, model).collect()
+        }
+
+    assert tags(inc_m) == tags(full_m)
+    ppm = {c: 1_000_000 // len(langs) for c in langs}
+
+    def routed(model):
+        return {
+            (r["doc_id"], r["pred_class"])
+            for r in mixture_sample_by_class(
+                corpus, model, ppm, salt=5
+            ).collect()
+        }
+
+    routed_inc = routed(inc_m)
+    assert routed_inc and routed_inc == routed(full_m)
+
     # fresh checkpoint against existing state: loud refusal
     with pytest.raises(Exception, match="checkpoint"):
         run_stream_multiclass_update(
