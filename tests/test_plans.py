@@ -596,3 +596,24 @@ def test_weighted_sample_takes_ordered(spark):
     # top-k by the A-ES key: TakeOrderedAndProject, never a global sort
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_daily_budget_spend_keeps_the_family_locks(spark):
+    """q_daily_budget (r15): the incremental pipeline's budget spend
+    inherits the select_within_budget_by_stratum scale locks — no
+    RangePartitioning exchange (the delta never globally sorts) and no
+    per-row Python — composed through curate_incremental."""
+    plan = _plan(spark, "q_daily_budget")
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_image_dedup_pairs_are_bucket_local(spark):
+    """q_image_dedup (r15): the dHash self-join is bucket-keyed, never
+    all-pairs — no cartesian product, no nested-loop join; the decode
+    is the only Python and it is Arrow-batched (MapInPandas, never
+    BatchEvalPython)."""
+    plan = _plan(spark, "q_image_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
