@@ -60,7 +60,16 @@ def _doc_buckets(
     through the portable 60-bit hash into ``n_buckets`` (the hashing
     trick — model size is capped regardless of vocabulary, collisions
     are part of the model for BOTH training and scoring, so they cost
-    a little accuracy and zero correctness)."""
+    a little accuracy and zero correctness).
+
+    Deliberately NOT parallelism-guarded (r15 optimization round): the
+    per-token hash here is ~5× lighter than the gram-level md5 passes
+    that carry the guard, and the A/B measured the guard a net LOSS on
+    both classifier bench lines (2.40→2.68s and 3.43→4.41s) — the
+    repartition pins every downstream stage of the train/score chain at
+    the full core count, and that task-scheduling inflation exceeds the
+    single-split compute saving. At cluster scan sizes the guard would
+    be a no-op anyway, so there is nothing to win at scale either."""
     return (
         docs.select(
             F.col(id_col),
@@ -800,6 +809,7 @@ def score_bow_multiclass(
     model: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_mode: str = "local",
 ) -> DataFrame:
     """Score every document against a ``train_bow_multiclass`` model
     and pick the argmax class → ``(id_col, n_tokens bigint,
@@ -818,7 +828,12 @@ def score_bow_multiclass(
     ``bias + n_tokens·default``. The exchanges carry one row per
     (doc, matched class) and finally one per doc; K never multiplies
     the corpus. The only collect is the one-row META read (hash-space
-    guard, the binary scorer's discipline)."""
+    guard, the binary scorer's discipline).
+
+    ``materialize_mode`` ('local' | 'checkpoint' | 'table:<dir>', see
+    ``dedup._materialize``) selects how the per-(doc, bucket) count
+    table is shared between its two consumers (token totals + matched
+    partials) — one corpus tokenization instead of two."""
     metas = model.filter(F.col("bucket") == META_BUCKET).collect()
     if len(metas) != 1:
         raise ValueError(
@@ -868,10 +883,24 @@ def score_bow_multiclass(
             F.collect_list(F.struct("class", "bias", "dflt"))
         ).alias("_classes")
     )
-    occ_n = (
+    # the per-(doc, bucket) count table has TWO consumers (the per-doc
+    # token totals and the model-matched partials) and — unlike the
+    # binary scorer — they cannot fuse into one aggregation: the
+    # per-class default arithmetic needs the DISTINCT-bucket token
+    # total, which the per-class join fan-out cannot reconstruct. So
+    # the tokenize→hash→explode→count subtree runs once and both
+    # consumers read the (far smaller) counts table — without this the
+    # corpus tokenization ran twice per scoring call (r15 optimization
+    # round, guide §1.2: repeated-subtree evaluation).
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _materialize,
+    )
+
+    occ_n = _materialize(
         _doc_buckets(docs, text_col, id_col, n_buckets)
         .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("_n"))
+        .agg(F.count("*").alias("_n")),
+        materialize_mode,
     )
     tok_tot = occ_n.groupBy(id_col).agg(F.sum("_n").alias("_ntok"))
     matched = (

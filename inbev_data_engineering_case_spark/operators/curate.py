@@ -545,6 +545,7 @@ def curate_corpus(
                 cost_col="_tb_cost",
                 quality_col="quality",
                 id_col=id_col,
+                materialize_mode=materialize_mode,
             ).drop("_tb_cost")
         else:
             final = select_within_budget(
@@ -553,6 +554,7 @@ def curate_corpus(
                 cost_col="_tb_cost",
                 quality_col="quality",
                 id_col=id_col,
+                materialize_mode=materialize_mode,
             ).drop("_tb_cost")
     if split_weights is not None:
         # No clobber guard needed here: the scoring projection already
@@ -1070,6 +1072,7 @@ def curate_incremental(
                 cost_col="_tb_cost",
                 quality_col="quality",
                 id_col=id_col,
+                materialize_mode=materialize_mode,
             ).drop("_tb_cost")
         else:
             kept = select_within_budget(
@@ -1078,6 +1081,7 @@ def curate_incremental(
                 cost_col="_tb_cost",
                 quality_col="quality",
                 id_col=id_col,
+                materialize_mode=materialize_mode,
             ).drop("_tb_cost")
     return kept
 

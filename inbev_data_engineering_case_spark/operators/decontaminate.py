@@ -73,9 +73,20 @@ def contamination_report(
     training document sharing ≥1 word n-gram with the benchmark, where
     ``matched_ngrams`` counts the document's *distinct* overlapping grams
     (``array_distinct`` before the explode, so repeated phrases within one
-    document don't inflate the count)."""
+    document don't inflate the count).
+
+    The corpus side inherits the signature stages' parallelism guard
+    (``dedup._ensure_parallelism``): the gram pass is compute-bound per
+    row (tokenize → n-gram windows → md5 per gram), so a small input
+    file would otherwise pin it to 1-2 cores (measured 3.2s single-core
+    vs 0.5s guarded on the sf0.1 fixture); at cluster scan sizes the
+    guard is a metadata-only no-op (r15 optimization round, guide §2)."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
     bench = benchmark_ngram_hashes(benchmark, text_col, n, portable)
-    doc_grams = documents.select(
+    doc_grams = _ensure_parallelism(documents).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))
@@ -126,11 +137,12 @@ def boilerplate_report(
     the dominant cost, runs twice (measured 10.1s → 4.5s at sf0.1).
     """
     from inbev_data_engineering_case_spark.operators.dedup import (
+        _ensure_parallelism,
         _materialize,
     )
 
     grams = _materialize(
-        documents.select(
+        _ensure_parallelism(documents).select(
             F.col(id_col),
             F.explode(
                 F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))

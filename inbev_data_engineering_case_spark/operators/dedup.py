@@ -671,10 +671,26 @@ def dedup_components_with_stats(
         ).distinct(),
         reliable_checkpoint,
     )
+    # Fused first propagation (r15 optimization round): under identity
+    # labels, round 1's neighbor-min is a pure function of the edge list
+    # — nm1(v) = min(v, min neighbors(v)) — so initialize labels to THAT
+    # with one join-free aggregate instead of materializing the identity
+    # labeling and paying a full join round to reach the same state. The
+    # symmetrized edge list contains every node as ``src``, so the
+    # union covers isolated-in-one-direction endpoints and the node set
+    # is identical to the old identity init. Labels stay node ids of
+    # the component (min only selects among them) and the monotone
+    # convergence argument is unchanged; one round (join + jump +
+    # checkpoint + aggregate) is saved on every components run.
     labels = _truncate_lineage(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node")),
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("comp"))
+        .unionByName(
+            edges.select(
+                F.col("src").alias("node"), F.col("src").alias("comp")
+            )
+        )
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp")),
         reliable_checkpoint,
     )
 
@@ -1708,6 +1724,7 @@ def build_gram_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = True,
+    parallelism_guard: bool = True,
 ) -> DataFrame:
     """``(id_col, gram_h, n, portable)`` — each document's DISTINCT
     word-n-gram 8-byte fingerprints, the gram stream
@@ -1732,6 +1749,18 @@ def build_gram_table(
     )
 
     gram = F.col("gram")
+    # the gram pass is compute-bound per row (tokenize → windows → md5
+    # per gram) — inherit the signature stages' parallelism guard so a
+    # 1-2-split input file doesn't pin it to 1-2 cores (no-op at
+    # cluster scan sizes; r15 optimization round, guide §2).
+    # ``parallelism_guard=False`` is for DELTA callers
+    # (incremental_containment_pairs): a daily-crawl fragment filtered
+    # out of a big table looks like the full scan to the file-metadata
+    # estimator, and force-spreading a tiny delta across every core
+    # pins all downstream stages at full task count — measured 1.1s →
+    # 2.6s on the incremental containment line before the opt-out.
+    if parallelism_guard:
+        documents = _ensure_parallelism(documents)
     return documents.select(
         F.col(id_col),
         F.explode(
@@ -1796,9 +1825,15 @@ def incremental_containment_pairs(
             "incremental_containment_pairs: threshold_ppm must be in "
             "(0, 1e6]"
         )
+    # parallelism_guard=False: the delta is small BY CONTRACT relative
+    # to the stored state (and often a filter over a big table, which
+    # the file-metadata estimator cannot distinguish from the full
+    # scan) — force-spreading it across every core pins the whole
+    # incremental join chain at full task count for no compute win
     new_grams = _materialize(
         build_gram_table(
-            new_documents, n, id_col, text_col, portable
+            new_documents, n, id_col, text_col, portable,
+            parallelism_guard=False,
         ).select(id_col, "gram_h"),
         materialize_mode,
     )
@@ -1811,15 +1846,9 @@ def incremental_containment_pairs(
     )
     all_grams = stored_guarded.unionByName(new_grams)
     if max_gram_df is not None:
-        hot = (
-            all_grams.groupBy("gram_h")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_gram_df)
-            .select("gram_h")
+        all_grams = _informative_grams(
+            all_grams, max_gram_df, broadcast_hot
         )
-        if broadcast_hot:
-            hot = F.broadcast(hot)
-        all_grams = all_grams.join(hot, "gram_h", "left_anti")
     # three consumers (sizes, both join sides) — share one evaluation
     informative = _materialize(all_grams, materialize_mode)
     new_ids = new_documents.select(F.col(id_col))
@@ -1863,6 +1892,26 @@ def incremental_containment_pairs(
         )
         .filter(F.col("containment_ppm") >= threshold_ppm)
     )
+
+
+def _informative_grams(
+    grams: DataFrame, max_gram_df: int, broadcast_hot: bool
+) -> DataFrame:
+    """The hot-gram removal stage of the containment family: drop every
+    gram whose document frequency exceeds ``max_gram_df`` via a
+    gram-keyed LEFT ANTI join (broadcast under ``broadcast_hot``,
+    shuffle on the same 8-byte key otherwise — never a cartesian).
+    Factored out so the plan-lock tests can assert the join shape on
+    the frame ``containment_pairs`` materializes."""
+    hot = (
+        grams.groupBy("gram_h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_gram_df)
+        .select("gram_h")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    return grams.join(hot, "gram_h", "left_anti")
 
 
 def containment_pairs(
@@ -1930,15 +1979,18 @@ def containment_pairs(
         materialize_mode,
     )
     if max_gram_df is not None:
-        hot = (
-            grams.groupBy("gram_h")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_gram_df)
-            .select("gram_h")
+        # the FILTERED gram table has three consumers (sizes, both join
+        # sides) — materialize it once so the hot-gram aggregation and
+        # the anti-join run a single time instead of once per consumer
+        # (measured 3 duplicate hot-count+anti subtrees in the executed
+        # plan before this; r15 optimization round). The anti-join
+        # shape itself lives in _informative_grams so the plan locks
+        # can still assert it (materialization replaces the subtree
+        # with an RDD scan in the final plan).
+        grams = _materialize(
+            _informative_grams(grams, max_gram_df, broadcast_hot),
+            materialize_mode,
         )
-        if broadcast_hot:
-            hot = F.broadcast(hot)
-        grams = grams.join(hot, "gram_h", "left_anti")
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     a = grams.select(
         F.col(id_col).alias("contained_id"), "gram_h"

@@ -137,6 +137,15 @@ def tfidf_topk(
     ("+1") formulation, never negative and never divides by zero, rounded
     to 6 decimals. ``rnk`` ranks within the document by (score DESC,
     term ASC); ties between equally-weighted terms are deterministic.
+
+    The term-frequency table has two consumers (the scoring join and
+    the document-frequency aggregation); it is deliberately NOT
+    materialized (r15 optimization round): the duplicated subtree is a
+    split-only tokenize→count (no per-gram hashing), and the A/B
+    measured the materialization barrier a net LOSS on the tfidf bench
+    line (1.03s → 1.25s) — the barrier costs more than the light
+    re-evaluation it saves. Same verdict for the scan-parallelism
+    guard, whose repartition pins the whole chain at full task count.
     """
     tf = term_frequencies(documents, id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))

@@ -145,12 +145,45 @@ def _guarded_micro_quality(
     ).otherwise(F.round(F.col(quality_col) * 1_000_000).cast("bigint"))
 
 
+def _staged_budget_base(df: DataFrame, mq: Column, cost: Column,
+                        materialize_mode: str) -> DataFrame:
+    """Stage ``(_mq, _cost)`` onto ``df`` and materialize ONCE for the
+    budget family's multiple consumers (r15 optimization round).
+
+    The histogram plan reads its base at least three times (level
+    histogram, fully-kept semi-join, boundary join) and Spark does not
+    share the subtree across references — measured 8 source scans per
+    run on the mixture form, i.e. eight re-tokenizations of the corpus
+    when the quality score rides the input lineage. One materialization
+    (``dedup._materialize`` — same 'local'/'checkpoint'/'table:<dir>'
+    trade as every other multi-consumer stage in the repo) makes every
+    re-reference a table read. The single evaluation also inherits the
+    scan-parallelism guard when the input is a plain file scan (the
+    metadata-only path — the ``df.rdd`` fallback is deliberately NOT
+    used here: on an unexecuted AQE plan it would force query-stage
+    materialization just to count partitions)."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _estimate_scan_splits,
+        _materialize,
+    )
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    splits = _estimate_scan_splits(df)
+    if splits is not None and splits < target:
+        df = df.repartition(target)
+    return _materialize(
+        df.withColumn("_mq", mq).withColumn("_cost", cost),
+        materialize_mode,
+    )
+
+
 def select_within_budget(
     df: DataFrame,
     budget: int,
     cost_col: str = "n_tokens",
     quality_col: str = "quality",
     id_col: str = "doc_id",
+    materialize_mode: str = "local",
 ) -> DataFrame:
     """Budgeted data selection — the FineWeb-style "take the best
     documents until the token budget is spent" step: the kept set is
@@ -200,9 +233,12 @@ def select_within_budget(
     budget = int(budget)
     if budget <= 0:
         return df.filter(F.lit(False))
-    base = df.withColumn(
-        "_mq", _guarded_micro_quality("select_within_budget", quality_col, id_col)
-    ).withColumn("_cost", _guarded_cost("select_within_budget", cost_col, id_col))
+    base = _staged_budget_base(
+        df,
+        _guarded_micro_quality("select_within_budget", quality_col, id_col),
+        _guarded_cost("select_within_budget", cost_col, id_col),
+        materialize_mode,
+    )
     levels = base.groupBy("_mq").agg(F.sum("_cost").alias("_mass"))
     # level-sized table: the unpartitioned window is the point, not an
     # accident — it never sees corpus-cardinality rows
@@ -210,8 +246,18 @@ def select_within_budget(
         Window.orderBy(F.col("_mq").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    lv = levels.select(
-        "_mq", "_mass", F.sum("_mass").over(wl).alias("_cum")
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _materialize,
+    )
+
+    # two consumers (fully-kept filter + boundary limit) — materialize
+    # the LEVEL-sized cumsum table once so the histogram aggregation
+    # isn't re-run per consumer (r15 optimization round)
+    lv = _materialize(
+        levels.select(
+            "_mq", "_mass", F.sum("_mass").over(wl).alias("_cum")
+        ),
+        materialize_mode,
     )
     full = lv.filter(F.col("_cum") <= budget).select("_mq")
     boundary = (
@@ -243,6 +289,7 @@ def select_within_budget_by_stratum(
     cost_col: str = "n_tokens",
     quality_col: str = "quality",
     id_col: str = "doc_id",
+    materialize_mode: str = "local",
 ) -> DataFrame:
     """``select_within_budget`` spent PER STRATUM — the shape real
     training pipelines budget in ("30B tokens of code, 10B of forums,
@@ -369,14 +416,18 @@ def select_within_budget_by_stratum(
             .alias("_blim"),
         )
     budgets = budgets.filter(F.col("_blim") > 0)
-    base = df.withColumn(
-        "_mq", _guarded_micro_quality(fn, quality_col, id_col)
-    ).withColumn("_cost", _guarded_cost(fn, cost_col, id_col))
+    base = _staged_budget_base(
+        df,
+        _guarded_micro_quality(fn, quality_col, id_col),
+        _guarded_cost(fn, cost_col, id_col),
+        materialize_mode,
+    )
     levels = base.groupBy(strata_col, "_mq").agg(
         F.sum("_cost").alias("_mass")
     )
     return _stratum_prefix_from_levels(
-        base, levels, budgets, strata_col, id_col, df.columns
+        base, levels, budgets, strata_col, id_col, df.columns,
+        materialize_mode,
     )
 
 
@@ -387,19 +438,35 @@ def _stratum_prefix_from_levels(
     strata_col: str,
     id_col: str,
     out_cols: list[str],
+    materialize_mode: str = "local",
 ) -> DataFrame:
     """The by-stratum selection core over a prepared ``base`` (staged
     ``_mq``/``_cost``), its ``(strata, _mq, _mass)`` level histogram,
     and a ``(strata, _blim)`` budget table — shared by the explicit
-    by-stratum form and the one-histogram mixture composition."""
+    by-stratum form and the one-histogram mixture composition.
+
+    ``lv`` (LEVEL-sized) is materialized once: its two consumers
+    (fully-kept set + boundary rows) would otherwise each re-run the
+    histogram aggregation, the cumsum window, AND the whole budget
+    derivation subtree — on the mixture form that duplication alone
+    accounted for 4 of the measured 8 source scans per run (r15
+    optimization round)."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _materialize,
+    )
+
     wl = (
         Window.partitionBy(strata_col)
         .orderBy(F.col("_mq").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    lv = levels.select(
-        strata_col, "_mq", "_mass", F.sum("_mass").over(wl).alias("_cum")
-    ).join(F.broadcast(budgets), strata_col)
+    lv = _materialize(
+        levels.select(
+            strata_col, "_mq", "_mass",
+            F.sum("_mass").over(wl).alias("_cum"),
+        ).join(F.broadcast(budgets), strata_col),
+        materialize_mode,
+    )
     full = lv.filter(F.col("_cum") <= F.col("_blim")).select(
         strata_col, "_mq"
     )
@@ -663,6 +730,7 @@ def select_mixture_within_budget(
     cost_col: str = "n_tokens",
     quality_col: str = "quality",
     id_col: str = "doc_id",
+    materialize_mode: str = "local",
 ) -> DataFrame:
     """Budgeted data selection AT the target mixture — the composed
     "curate, then spend a per-stratum token budget on the survivors"
@@ -693,11 +761,24 @@ def select_mixture_within_budget(
     pushdown scan, not a recomputed lineage."""
     fn = "select_mixture_within_budget"
     _budget_staging_guard(df, fn, _STRATUM_RESERVED)
-    base = df.withColumn(
-        "_mq", _guarded_micro_quality(fn, quality_col, id_col)
-    ).withColumn("_cost", _guarded_cost(fn, cost_col, id_col))
-    levels = base.groupBy(strata_col, "_mq").agg(
-        F.sum("_cost").alias("_mass")
+    base = _staged_budget_base(
+        df,
+        _guarded_micro_quality(fn, quality_col, id_col),
+        _guarded_cost(fn, cost_col, id_col),
+        materialize_mode,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _materialize,
+    )
+
+    # the level histogram feeds BOTH the budget derivation (masses →
+    # mixture arithmetic) and the selection core's cumsum — materialize
+    # the level-sized table once (r15 optimization round)
+    levels = _materialize(
+        base.groupBy(strata_col, "_mq").agg(
+            F.sum("_cost").alias("_mass")
+        ),
+        materialize_mode,
     )
     masses = levels.groupBy(strata_col).agg(
         F.sum("_mass").alias("n_units")
@@ -717,7 +798,8 @@ def select_mixture_within_budget(
         .filter(F.col("_blim") > 0)
     )
     return _stratum_prefix_from_levels(
-        base, levels, budgets, strata_col, id_col, df.columns
+        base, levels, budgets, strata_col, id_col, df.columns,
+        materialize_mode,
     )
 
 

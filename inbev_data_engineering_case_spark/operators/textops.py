@@ -149,10 +149,22 @@ def score_documents(
     aliases staged, so each runs once). Values are bit-identical to the
     standalone expressions; measured ~1.45× faster on the curation scan —
     the stage that reads the full 100 TB corpus.
+
+    The input inherits the signature stages' parallelism guard
+    (``dedup._ensure_parallelism``): scoring is compute-bound per row
+    (tokenize + per-language membership counts), so a small input file
+    (1-2 parquet splits) would otherwise pin the whole scoring stage to
+    1-2 cores — measured 2.0s single-core vs ~0.3s guarded on the sf0.1
+    curation fixture. On a cluster scan yielding thousands of splits the
+    guard is a metadata-only no-op (r15 optimization round, guide §2).
     """
     from pyspark.sql import functions as F
 
-    toks = df.select(
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    toks = _ensure_parallelism(df).select(
         id_col,
         text_col,
         *extra_cols,

@@ -8534,9 +8534,17 @@ def q_containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     if not os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-        build_gram_table(docs, n=5).write.mode("overwrite").parquet(
-            state_dir
-        )
+        # hash-repartition on the join key before the state write: AQE
+        # coalescing sizes the output files to the data (1 file at
+        # sf0.1, many at scale) instead of freezing the build stage's
+        # task count into the layout — the tokenization guard's 32-way
+        # spread otherwise lands as 32 tiny files that every daily
+        # incremental read then pays for (guide §6 output sizing; the
+        # gram_h layout is also build_gram_table's documented
+        # bucket-at-scale recommendation)
+        build_gram_table(docs, n=5).repartition("gram_h").write.mode(
+            "overwrite"
+        ).parquet(state_dir)
     return incremental_containment_pairs(
         spark.read.parquet(state_dir),
         frag,

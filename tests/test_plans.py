@@ -356,11 +356,33 @@ def test_containment_hot_set_broadcasts_and_join_is_gram_keyed(spark):
     """Containment's candidate join keys on the 8-byte gram hash (hash
     exchanges only — never a range sort or cartesian), and the
     corpus-hot gram set removes via a BROADCAST anti-join (the
-    boilerplate/dedup-spans discipline)."""
+    boilerplate/dedup-spans discipline). Since r15 the hot-filtered
+    gram table is materialized once for its three consumers, so the
+    anti-join shape is asserted on the frame the operator materializes
+    (``dedup._informative_grams`` — the exact pre-materialization
+    subtree) while the no-cartesian/no-range locks stay on the full
+    query plan."""
     plan = _plan(spark, "q_containment")
     assert "CartesianProduct" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _informative_grams,
+        build_gram_table,
+    )
+
+    grams = build_gram_table(_hot_toggle_fixture(spark), 3).select(
+        "doc_id", "gram_h"
+    )
+    sub = (
+        _informative_grams(grams, 4, True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in sub and "LeftAnti" in sub, sub
+    assert "CartesianProduct" not in sub, sub
+    assert "Exchange rangepartitioning" not in sub, sub
 
 
 def _hot_toggle_fixture(spark):
@@ -403,14 +425,32 @@ def test_containment_hot_anti_join_keyed_under_both_strategies(spark):
         containment_pairs,
     )
 
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _informative_grams,
+        build_gram_table,
+    )
+
     op = lambda d, **kw: containment_pairs(  # noqa: E731
         d, n=3, max_gram_df=4, threshold_ppm=100_000, **kw
     )
-    plans = _hot_toggle_plans(spark, op)
-    for flag, plan in plans.items():
+    # the hot removal materializes since r15, so its join shape is
+    # asserted on the exact frame the operator materializes
+    grams = build_gram_table(_hot_toggle_fixture(spark), 3).select(
+        "doc_id", "gram_h"
+    )
+    for flag in (True, False):
+        plan = (
+            _informative_grams(grams, 4, flag)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
         assert "CartesianProduct" not in plan, plan
         assert "Exchange rangepartitioning" not in plan, plan
         assert "LeftAnti" in plan, plan
+    for flag, plan in _hot_toggle_plans(spark, op).items():
+        assert "CartesianProduct" not in plan, plan
+        assert "Exchange rangepartitioning" not in plan, plan
     df = _hot_toggle_fixture(spark)
     rows = {
         flag: sorted(map(tuple, op(df, broadcast_hot=flag).collect()))

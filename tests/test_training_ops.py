@@ -322,9 +322,10 @@ def test_dedup_components_reliable_checkpoint_and_rounds(spark, tmp_path):
         dedup_components_with_stats,
     )
 
-    # path graph 0-1-2-3-4: diameter 4 — propagation moves the min one hop
-    # per round and pointer jumping doubles covered distance, so 3 rounds
-    # (hop+jump reaches 4 hops in round 2; round 3 is the fixed-point check)
+    # path graph 0-1-2-3-4: diameter 4 — the fused init already holds
+    # round 1's neighbor-min (r15), the first loop round's hop+jump
+    # reaches the remaining distance, and round 2 is the fixed-point
+    # check: 2 rounds (was 3 with the identity-label init)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(4)], ["id_a", "id_b"]
     )
@@ -334,7 +335,7 @@ def test_dedup_components_reliable_checkpoint_and_rounds(spark, tmp_path):
         pairs, reliable_checkpoint=False
     )
     assert {r["node"]: r["comp"] for r in local_labels.collect()} == expected
-    assert local_rounds == 3
+    assert local_rounds == 2
 
     # cluster-safe path: fault-tolerant checkpoint to a checkpoint dir
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
