@@ -810,6 +810,7 @@ def score_bow_multiclass(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize_mode: str = "local",
+    doc_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document against a ``train_bow_multiclass`` model
     and pick the argmax class → ``(id_col, n_tokens bigint,
@@ -833,7 +834,15 @@ def score_bow_multiclass(
     ``materialize_mode`` ('local' | 'checkpoint' | 'table:<dir>', see
     ``dedup._materialize``) selects how the per-(doc, bucket) count
     table is shared between its two consumers (token totals + matched
-    partials) — one corpus tokenization instead of two."""
+    partials) — one corpus tokenization instead of two.
+
+    ``doc_buckets`` (default None) lets a composed caller hand in the
+    per-(doc, bucket) count table — ``(id_col, bucket, _n)``, already
+    materialized, extra columns ignored — so train-and-score
+    compositions over the SAME corpus tokenize once total
+    (``train_and_score_bow_multiclass``). It must cover exactly the
+    ``docs`` rows in the model's hash space; zero-token documents may
+    be absent (they score bias-only, as always)."""
     metas = model.filter(F.col("bucket") == META_BUCKET).collect()
     if len(metas) != 1:
         raise ValueError(
@@ -896,12 +905,15 @@ def score_bow_multiclass(
         _materialize,
     )
 
-    occ_n = _materialize(
-        _doc_buckets(docs, text_col, id_col, n_buckets)
-        .groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("_n")),
-        materialize_mode,
-    )
+    if doc_buckets is not None:
+        occ_n = doc_buckets.select(id_col, "bucket", "_n")
+    else:
+        occ_n = _materialize(
+            _doc_buckets(docs, text_col, id_col, n_buckets)
+            .groupBy(id_col, "bucket")
+            .agg(F.count("*").alias("_n")),
+            materialize_mode,
+        )
     tok_tot = occ_n.groupBy(id_col).agg(F.sum("_n").alias("_ntok"))
     matched = (
         occ_n.join(
@@ -948,6 +960,86 @@ def score_bow_multiclass(
         "n_tokens",
         F.col("_best.class").alias("pred_class"),
         (-F.col("_best.neg_score")).cast("bigint").alias("score_micro"),
+    )
+
+
+def train_and_score_bow_multiclass(
+    labeled: DataFrame,
+    class_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    alpha: float = 1.0,
+    materialize_mode: str = "local",
+) -> DataFrame:
+    """Train the multi-class model on ``labeled`` and score the SAME
+    corpus with it, tokenizing ONCE total (r15 optimization round,
+    guide §1.2): the shared per-(doc, class, bucket) count table is
+    materialized and then (a) re-aggregated to the per-(class, bucket)
+    sufficient statistics the weights builder consumes and (b) handed
+    to the scorer as its per-(doc, bucket) counts — the separate
+    ``train_bow_multiclass`` + ``score_bow_multiclass`` composition
+    runs the tokenize→hash→explode pass twice over the same text.
+    Row-identical to that composition (parity-tested): summing per-doc
+    occurrence counts per (class, bucket) equals counting occurrences
+    directly, and each document carries exactly one class, so the
+    (doc, bucket) projection is the scorer's own table. Every guard is
+    unchanged: the NULL-class raise rides the shared table's plan, and
+    the weights builder's META/class-count validation runs as before."""
+    cls_raw = F.col(class_col).cast("string")
+    cls = F.when(
+        cls_raw.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "multiclass_bow_counts: class label casts to NULL"
+                    " for id "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(" — clean the label column or drop the row"),
+            )
+        ),
+    ).otherwise(cls_raw)
+    base = labeled.select(
+        F.col(id_col), F.col(text_col), cls.alias("_cls")
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _materialize,
+    )
+
+    occ_dcb = _materialize(
+        _doc_buckets(base, text_col, id_col, n_buckets, extra=("_cls",))
+        .groupBy(id_col, "_cls", "bucket")
+        .agg(F.count("*").alias("_n")),
+        materialize_mode,
+    )
+    counts = occ_dcb.groupBy("_cls", "bucket").agg(
+        F.sum("_n").alias("c")
+    )
+    # priors count ALL labeled docs (zero-token ones have no occ row),
+    # off the label column alone — the text column prunes out of this
+    # scan
+    pri = base.groupBy("_cls").agg(F.count("*").alias("c")).select(
+        "_cls", F.lit(BIAS_BUCKET).cast("bigint").alias("bucket"), "c"
+    )
+    meta = labeled.sparkSession.createDataFrame(
+        [(None, META_BUCKET, int(n_buckets))],
+        "_cls string, bucket bigint, c bigint",
+    )
+    model = multiclass_bow_weights_from_counts(
+        counts.select("_cls", "bucket", "c")
+        .unionByName(pri.select("_cls", "bucket", "c"))
+        .unionByName(meta)
+        .withColumnRenamed("_cls", "class"),
+        alpha=alpha,
+    )
+    return score_bow_multiclass(
+        base.select(id_col, text_col),
+        model,
+        text_col=text_col,
+        id_col=id_col,
+        materialize_mode=materialize_mode,
+        doc_buckets=occ_dcb,
     )
 
 

@@ -251,20 +251,26 @@ def semantic_contamination(
     """
     from inbev_data_engineering_case_spark.functions import cosine
     from inbev_data_engineering_case_spark.operators.similarity import (
+        _vec_dim,
         signlsh_bucket,
     )
 
+    dim = _vec_dim(corpus_emb, vec_col)  # literal plane weights (r15)
     per_probe = []
     for seed in range(n_probes):
         c = corpus_emb.select(
             F.col(id_col).alias("corpus_id"),
             F.col(vec_col).alias("_cv"),
-            signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+            signlsh_bucket(
+                vec_col, num_planes, seed=seed, dim=dim
+            ).alias("bucket"),
         )
         b = bench_emb.select(
             F.col(id_col).alias("bench_id"),
             F.col(vec_col).alias("_bv"),
-            signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+            signlsh_bucket(
+                vec_col, num_planes, seed=seed, dim=dim
+            ).alias("bucket"),
         )
         sim = F.round(cosine(F.col("_cv"), F.col("_bv")), 6)
         per_probe.append(

@@ -624,7 +624,10 @@ def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
     checkpoint dir (HDFS/object store on a cluster — survives executor
     loss); ``False`` → ``localCheckpoint`` (executor-block storage: fast,
     no filesystem, but recomputes-from-nothing on executor failure — the
-    local/test fast path)."""
+    local/test fast path). Always EAGER: an r15 A/B tried a lazy cut
+    for single-consumer-action intermediates and measured a 2× loss
+    (under AQE each downstream reference of a lazily-checkpointed plan
+    recomputes the subtree instead of sharing blocks)."""
     return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
 
@@ -663,6 +666,12 @@ def dedup_components_with_stats(
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
+    # NOTE (r15 A/B): pre-partitioning this checkpoint on the hop-join
+    # key (`.repartition("src")`, to spare the per-round edge shuffle)
+    # measured a 1.5× LOSS on the curate lines — the fixed-width
+    # repartition defeats AQE's size-adaptive coalescing and every
+    # round then runs at full task width over a small table. The
+    # distinct()'s own partitioning + AQE sizing is the faster shape.
     edges = _truncate_lineage(
         edges.unionByName(
             edges.select(
@@ -721,6 +730,12 @@ def dedup_components_with_stats(
     converged = False
     for _ in range(max_iter):
         rounds += 1
+        # The hop table stays an EAGER cut: an r15 A/B tried the lazy
+        # form (defer the barrier into the jump action) and measured a
+        # 2× LOSS on the curate lines — under AQE the two jump-join
+        # references of a lazily-checkpointed plan each recompute the
+        # hop subtree instead of sharing blocks, so the "saved" barrier
+        # came back as a doubled hop join per round.
         neighbor_min = _truncate_lineage(
             edges.join(labels, edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "comp")
@@ -907,17 +922,24 @@ def embedding_near_dup_pairs(
     cosine ≥ threshold verify."""
     from inbev_data_engineering_case_spark.functions import cosine
     from inbev_data_engineering_case_spark.operators.similarity import (
+        _vec_dim,
         signlsh_bucket,
     )
 
     base = _ensure_parallelism(emb)
+    # literal plane weights via a 1-row dim probe (r15): bit-identical
+    # buckets, per-row cost drops from planes·d md5 hashes to plain
+    # multiplications
+    dim = _vec_dim(emb, vec_col)
     per_probe = []
     for seed in range(n_probes):
         sigs = _materialize(
             base.select(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).alias("v"),
-                signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+                signlsh_bucket(
+                    vec_col, num_planes, seed=seed, dim=dim
+                ).alias("bucket"),
             ),
             materialize_mode,
         )
@@ -1070,15 +1092,19 @@ def build_embedding_sig_table(
     operator's docstrings). ``join_embedding_sig_tables`` remains for
     reassembling this denormalized shape when needed."""
     from inbev_data_engineering_case_spark.operators.similarity import (
+        _vec_dim,
         signlsh_bucket,
     )
 
+    dim = _vec_dim(emb, vec_col)  # literal plane weights (r15)
     per = [
         emb.select(
             F.lit(seed).alias("seed"),
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+            signlsh_bucket(
+                vec_col, num_planes, seed=seed, dim=dim
+            ).alias("bucket"),
             # build geometry rides the state (the CMS wrong-geometry
             # discipline): the incremental path raises in-plan on a
             # mismatch instead of silently losing recall
@@ -1119,17 +1145,21 @@ def build_embedding_sig_tables_normalized(
     downstream candidate join then exchanges by (seed, bucket) exactly
     as the denormalized path does."""
     from inbev_data_engineering_case_spark.operators.similarity import (
+        _vec_dim,
         signlsh_bucket,
     )
 
     vectors = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
+    dim = _vec_dim(emb, vec_col)  # literal plane weights (r15)
     per = [
         emb.select(
             F.lit(seed).alias("seed"),
             F.col(id_col).alias("id"),
-            signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+            signlsh_bucket(
+                vec_col, num_planes, seed=seed, dim=dim
+            ).alias("bucket"),
             F.lit(num_planes).alias("num_planes"),
             F.lit(n_probes).alias("n_probes"),
         )
@@ -1305,17 +1335,19 @@ def incremental_embedding_near_dup_normalized(
     """
     from inbev_data_engineering_case_spark.functions import cosine
     from inbev_data_engineering_case_spark.operators.similarity import (
+        _vec_dim,
         signlsh_bucket,
     )
 
     new_ids = new_emb.select(F.col(id_col).alias("id"))
+    dim = _vec_dim(new_emb, vec_col)  # literal plane weights (r15)
     new_b = [
         new_emb.select(
             F.lit(seed).alias("seed"),
             F.col(id_col).alias("id"),
-            signlsh_bucket(vec_col, num_planes, seed=seed).alias(
-                "bucket"
-            ),
+            signlsh_bucket(
+                vec_col, num_planes, seed=seed, dim=dim
+            ).alias("bucket"),
         )
         for seed in range(n_probes)
     ]

@@ -100,12 +100,58 @@ def _plane_weight(plane: int, dim: Column, seed: int = 0) -> Column:
     return (portable_hash64(key) % 2000001 - 1000000) / 1000000.0
 
 
+def _plane_weight_value(plane: int, dim: int, seed: int = 0) -> float:
+    """Driver-side twin of ``_plane_weight`` — bit-identical by
+    construction (same md5-of-'p:d' 60-bit hash, same integer scaling,
+    same IEEE division; parity-tested against the in-plan expression):
+    the weight is a pure function of (plane, dim index, seed), so it
+    can be computed ONCE at plan-build time instead of per element per
+    row (r15 optimization round, guide §4 — hoist per-row work that
+    doesn't depend on the row)."""
+    import hashlib
+
+    prefix = f"{plane}:" if seed == 0 else f"s{seed}:{plane}:"
+    h = int(
+        hashlib.md5(f"{prefix}{dim}".encode()).hexdigest()[:15], 16
+    )
+    return (h % 2000001 - 1000000) / 1000000.0
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector dimensionality probed from ONE row (None on an empty
+    input — callers then fall back to the runtime-hash bucket path).
+    A 1-row, column-pruned read: the model-metadata-sized action that
+    lets every sign-LSH site embed its plane-weight matrix as plan
+    literals instead of md5-hashing (plane, dim) per element per row."""
+    row = df.select(F.size(F.col(vec_col)).alias("_d")).first()
+    if row is None or row["_d"] is None or row["_d"] < 0:
+        return None
+    return int(row["_d"])
+
+
 def signlsh_bucket(
-    vec: Column | str, num_planes: int = 8, seed: int = 0
+    vec: Column | str, num_planes: int = 8, seed: int = 0,
+    dim: int | None = None,
 ) -> Column:
     """h-bit sign-LSH bucket id: bit p = sign(dot(vec, plane_p)) with
     deterministic hyperplanes (see module docstring). Different ``seed``
-    values give independent bucketings — the multi-probe recall lever."""
+    values give independent bucketings — the multi-probe recall lever.
+
+    ``dim`` (default None) selects how the plane weights reach the dot
+    product (r15 optimization round; bucket VALUES are identical either
+    way, so stored bucket tables stay compatible):
+
+    - ``None`` — the original runtime form: weight p,i is re-derived
+      in-plan via portable_hash64('p:i') per element per row. Works
+      for any (even mixed) vector length.
+    - an int — the weights are computed ONCE driver-side
+      (``_plane_weight_value``, bit-identical) and embedded as literal
+      arrays; the per-row work drops from num_planes·d md5 hashes to
+      num_planes·d multiplications. A row whose vector length differs
+      from ``dim`` raises in-plan (the guard-family discipline: under
+      the runtime form it would silently bucket in a different
+      geometry); NULL vectors take bucket 0 exactly as before.
+    """
     vec = F.col(vec) if isinstance(vec, str) else vec
 
     def weighted(plane: int):
@@ -115,15 +161,49 @@ def signlsh_bucket(
 
     bits = []
     for p in range(num_planes):
-        dot_p = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                weighted(p),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        if dim is None:
+            dot_p = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    weighted(p),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        else:
+            weights = F.array(
+                *[
+                    F.lit(_plane_weight_value(p, i, seed))
+                    for i in range(dim)
+                ]
+            )
+            dot_p = F.when(
+                F.size(vec) != dim,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "signlsh_bucket: vector length "
+                        ),
+                        F.size(vec).cast("string"),
+                        F.lit(
+                            f" != probed dim {dim} — mixed-dimension"
+                            " embeddings cannot share one bucket"
+                            " geometry"
+                        ),
+                    )
+                ).cast("double"),
+            ).otherwise(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        weights,
+                        lambda x, w: x.cast("double") * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
         bits.append(
             F.when(dot_p > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
                 F.lit(0).cast("long")
@@ -358,33 +438,54 @@ def ann_bucketed_topk(
     ranking window — the recall lever at linear cost. Because seed 0's
     candidates are a subset of every multi-probe run and ranking is by the
     TRUE cosine, recall@k is monotonically non-decreasing in ``n_probes``
-    (a candidate can only displace a lower-similarity one)."""
+    (a candidate can only displace a lower-similarity one).
+
+    All probe seeds bucket in ONE corpus scan (r15 optimization round):
+    each side computes its per-seed buckets as an exploded
+    (probe, bucket) array, and the candidate join keys on
+    (probe, bucket) — the identical candidate pairs the per-seed
+    join-per-probe union produced, from one scan instead of
+    ``n_probes`` (the exchange volume is unchanged: the union carried
+    n_probes× rows anyway)."""
     from pyspark.sql import Window
 
-    per_probe = []
-    for seed in range(n_probes):
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+    # literal plane weights (one 1-row dim probe; bit-identical
+    # buckets) — per-row cost drops from planes·d md5 hashes to
+    # multiplications across every probe seed
+    dim = _vec_dim(corpus, vec_col)
+
+    def _probed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(seed).alias("probe"),
+                            signlsh_bucket(
+                                vec_col, num_planes, seed=seed, dim=dim
+                            ).alias("bucket"),
+                        )
+                        for seed in range(n_probes)
+                    ]
+                )
+            ).alias("_p"),
+        ).select(out_id, out_vec, "_p.probe", "_p.bucket")
+
+    scored = (
+        _probed(corpus, "neighbor_id", "cvec")
+        .join(
+            F.broadcast(_probed(queries, "query_id", "qvec")),
+            on=["probe", "bucket"],
         )
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cvec"),
-            signlsh_bucket(vec_col, num_planes, seed=seed).alias("bucket"),
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qvec", "cvec"), 6).alias("sim"),
         )
-        per_probe.append(
-            c.join(F.broadcast(q), on="bucket")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(cosine("qvec", "cvec"), 6).alias("sim"),
-            )
-        )
-    scored = per_probe[0]
-    for p in per_probe[1:]:
-        scored = scored.unionByName(p)
+    )
     if n_probes > 1:
         scored = scored.distinct()  # same pair from several probes: sim identical
     w = Window.partitionBy("query_id").orderBy(

@@ -1987,16 +1987,17 @@ _MC_CTES = _mc_ctes()
 )
 def q_bow_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from inbev_data_engineering_case_spark.operators.classify import (
-        score_bow_multiclass,
-        train_bow_multiclass,
+        train_and_score_bow_multiclass,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    model = train_bow_multiclass(
+    # train-and-score over the SAME corpus tokenizes once total (the
+    # r15 shared-count-table composition; row-identical to the
+    # train_bow_multiclass + score_bow_multiclass chain, parity-tested)
+    return train_and_score_bow_multiclass(
         docs.select("doc_id", "text", F.col("lang").alias("label")),
         n_buckets=_BOW_B,
     )
-    return score_bow_multiclass(docs.select("doc_id", "text"), model)
 
 
 @register(
@@ -5335,9 +5336,13 @@ def q_daily_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # day-0 stored state; the pair table feeds three consumers (the
     # converged labeling, the day-0 halo walk, the halo pair advance)
-    # — materialize once (the _dedup_chain discipline)
-    sigs0 = minhash_signatures(d)
-    fps0 = exact_dedup(d)
+    # — materialize once (the _dedup_chain discipline). sigs0/fps0
+    # each feed TWO consumers (the incremental curation and the
+    # artifact advance) — materialized since r15 so the corpus is
+    # minhashed/fingerprinted once per run, the way production reads
+    # these from their stored tables
+    sigs0 = minhash_signatures(d).localCheckpoint(eager=True)
+    fps0 = exact_dedup(d).localCheckpoint(eager=True)
     pairs0 = minhash_dedup_pairs(d).localCheckpoint(eager=True)
     comps0 = dedup_components(
         pairs0, require_convergence=True
@@ -5461,8 +5466,16 @@ def q_daily_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    sigs0 = minhash_signatures(d.select("doc_id", "text"))
-    fps0 = exact_dedup(d.select("doc_id", "text"))
+    # the stored artifacts feed BOTH curate_incremental passes (the
+    # budget-derivation pass and the budgeted pass) — materialized
+    # since r15 so the corpus is minhashed/fingerprinted once per run,
+    # the way production reads these from their stored tables
+    sigs0 = minhash_signatures(d.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
+    fps0 = exact_dedup(d.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
     new = _daily_new_snapshot(d)
     # the budgets are CONFIG (a handful of per-source ints): derived
     # here from a plain pass so the fixture scales with the table —

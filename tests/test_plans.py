@@ -173,7 +173,11 @@ def test_multiprobe_ann_stays_bucket_local(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 3, plan  # one per probe
+    # since r15 every probe seed buckets in ONE corpus scan and the
+    # candidate join keys on (probe, bucket): a single broadcast
+    # equi-join carries all three probes (was one join per probe)
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan  # corpus + query side
 
 
 def test_decontaminate_broadcasts_benchmark_grams(spark):

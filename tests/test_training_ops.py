@@ -873,6 +873,67 @@ def test_ann_multiprobe_recall_monotone(spark):
     assert all(c3[qid] >= n for qid, n in c1.items())
 
 
+def test_signlsh_literal_weights_match_runtime_path(spark):
+    """The r15 literal-weight bucket path (dim known → plane weights
+    embedded as plan literals) is bit-identical to the runtime
+    portable_hash64 path for every (seed, vector), the driver-side
+    weight twin reproduces the in-plan expression exactly, and a
+    vector whose length differs from the probed dim raises in-plan
+    instead of silently bucketing in a different geometry."""
+    import math
+
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.similarity import (
+        _plane_weight,
+        _plane_weight_value,
+        _vec_dim,
+        signlsh_bucket,
+    )
+
+    d = 16
+    df = spark.createDataFrame(
+        [
+            (j, [math.sin(j * 37.0 + i * 13.0) for i in range(d)])
+            for j in range(60)
+        ]
+        + [(999, None)],  # NULL vector: bucket 0 on both paths
+        "vec_id long, embedding array<double>",
+    )
+    assert _vec_dim(df, "embedding") == d
+    for seed in (0, 1, 2):
+        rows = df.select(
+            signlsh_bucket("embedding", 8, seed=seed).alias("rt"),
+            signlsh_bucket("embedding", 8, seed=seed, dim=d).alias("lit"),
+        ).collect()
+        assert all(r["rt"] == r["lit"] for r in rows), seed
+
+    # the driver twin == the in-plan weight expression, element-wise
+    got = spark.range(1).select(
+        *[
+            _plane_weight(p, F.lit(i), seed).alias(f"w_{p}_{i}_{seed}")
+            for p in (0, 3)
+            for i in (0, 7, 15)
+            for seed in (0, 2)
+        ]
+    ).collect()[0]
+    for p in (0, 3):
+        for i in (0, 7, 15):
+            for seed in (0, 2):
+                assert got[f"w_{p}_{i}_{seed}"] == _plane_weight_value(
+                    p, i, seed
+                ), (p, i, seed)
+
+    bad = spark.createDataFrame(
+        [(1, [1.0] * d), (2, [1.0] * (d + 1))],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="mixed-dimension"):
+        bad.select(
+            signlsh_bucket("embedding", 8, seed=0, dim=d)
+        ).collect()
+
+
 def test_ann_multiprobe_provably_adds_known_neighbor(spark):
     """Deterministic synthetic fixture where the second probe PROVABLY
     contributes: a neighbor in a different seed-0 bucket than the query
@@ -7550,6 +7611,58 @@ def test_multiclass_bow_matches_python_reference(spark):
     }
     want = _mc_python_reference(rows, 128)
     assert got == want
+
+
+def test_multiclass_train_and_score_fused_parity(spark):
+    """The r15 one-tokenization composition
+    (train_and_score_bow_multiclass: shared per-(doc, class, bucket)
+    count table feeding both the sufficient statistics and the
+    scorer) is row-identical to the separate train + score chain —
+    including the zero-token bias-only doc — and the NULL-class guard
+    still raises through the shared table's plan."""
+    import pytest
+
+    from inbev_data_engineering_case_spark.operators.classify import (
+        score_bow_multiclass,
+        train_and_score_bow_multiclass,
+        train_bow_multiclass,
+    )
+
+    rows = [
+        (1, "alpha beta beta alpha", "web"),
+        (2, "alpha alpha gamma", "web"),
+        (3, "def return yield import", "code"),
+        (4, "import numpy def lambda", "code"),
+        (5, "theorem lemma proof", "math"),
+        (6, "proof proof theorem alpha", "math"),
+        (7, "", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label string"
+    )
+    model = train_bow_multiclass(docs, n_buckets=128)
+    want = sorted(
+        map(
+            tuple,
+            score_bow_multiclass(
+                docs.select("doc_id", "text"), model
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            train_and_score_bow_multiclass(docs, n_buckets=128).collect(),
+        )
+    )
+    assert got == want
+
+    bad = spark.createDataFrame(
+        [(1, "alpha", "web"), (2, "beta", None)],
+        "doc_id long, text string, label string",
+    )
+    with pytest.raises(Exception, match="class label casts to NULL"):
+        train_and_score_bow_multiclass(bad, n_buckets=128).collect()
 
 
 def test_multiclass_counts_merge_parity_and_guards(spark):
