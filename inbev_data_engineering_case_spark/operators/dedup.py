@@ -618,17 +618,26 @@ def simhash(text: Column | str, bits: int = 60) -> Column:
     return simhash_from_hashes(token_hashes(text), bits)
 
 
-def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
+def _truncate_lineage(
+    df: DataFrame, reliable: bool, eager: bool = True
+) -> DataFrame:
     """Cut the plan between iterations so it doesn't grow per round.
     ``reliable=True`` → fault-tolerant ``checkpoint()`` to the session's
     checkpoint dir (HDFS/object store on a cluster — survives executor
     loss); ``False`` → ``localCheckpoint`` (executor-block storage: fast,
     no filesystem, but recomputes-from-nothing on executor failure — the
-    local/test fast path). Always EAGER: an r15 A/B tried a lazy cut
-    for single-consumer-action intermediates and measured a 2× loss
-    (under AQE each downstream reference of a lazily-checkpointed plan
-    recomputes the subtree instead of sharing blocks)."""
-    return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+    local/test fast path). EAGER by default: an r15 A/B tried a lazy cut
+    for an intermediate whose first consumer references it TWICE in one
+    plan (the jump join) and measured a 2× loss — under AQE each
+    reference of a not-yet-materialized lazy checkpoint recomputes the
+    subtree instead of sharing blocks. ``eager=False`` is correct ONLY
+    when a single-reference action (e.g. the convergence aggregate)
+    runs immediately after and materializes the blocks for every later
+    consumer — that fuses the materialization barrier into an action
+    the loop pays anyway (r15 wave 3)."""
+    if reliable:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def dedup_components_with_stats(
@@ -691,6 +700,9 @@ def dedup_components_with_stats(
     # the component (min only selects among them) and the monotone
     # convergence argument is unchanged; one round (join + jump +
     # checkpoint + aggregate) is saved on every components run.
+    # lazy cut + the init label-sum action right below materializes the
+    # blocks (one action instead of two; see _truncate_lineage on when
+    # lazy is safe — the sum is a single reference)
     labels = _truncate_lineage(
         edges.select(F.col("dst").alias("node"), F.col("src").alias("comp"))
         .unionByName(
@@ -701,6 +713,7 @@ def dedup_components_with_stats(
         .groupBy("node")
         .agg(F.min("comp").alias("comp")),
         reliable_checkpoint,
+        eager=False,
     )
 
     def label_sum(lbls: DataFrame):
@@ -751,6 +764,10 @@ def dedup_components_with_stats(
         jump_to = neighbor_min.select(
             F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
         )
+        # lazy cut: the convergence sum below is the round's materializing
+        # action (single reference), so the separate eager-checkpoint job
+        # the loop used to pay per round is fused away (r15 wave 3);
+        # next round's two references then read the materialized blocks
         jumped = _truncate_lineage(
             neighbor_min.join(
                 jump_to, neighbor_min["comp"] == jump_to["jnode"], "left"
@@ -759,6 +776,7 @@ def dedup_components_with_stats(
                 F.coalesce("jcomp", "comp").alias("comp"),
             ),
             reliable_checkpoint,
+            eager=False,
         )
         cur_sum = label_sum(jumped)
         labels = jumped

@@ -40,9 +40,22 @@ def _cosine_scored_topk(
     the query batch against the corpus scan, score with the JVM-side
     cosine, rank per query with rounded-sim + neighbor_id tie-breaks.
     With ``label_col`` set, only CROSS-label pairs score (both sides
-    NULL-label-filtered) and ``neighbor_label`` is carried through."""
+    NULL-label-filtered) and ``neighbor_label`` is carried through.
+
+    The corpus side inherits the scan-parallelism guard (r15 wave 3):
+    the |Q|·|C|·d cosine math runs in the corpus scan stage (the query
+    batch broadcasts, so there is no exchange before the scoring), and a
+    small corpus file that scans as 1-2 splits would pin the whole
+    brute-force pass to as many cores — measured 2.6s → 1.1s on the
+    sf0.1 exact baseline. At cluster scan sizes the guard is a
+    metadata-only no-op (file count ≥ cores)."""
     from pyspark.sql import Window
 
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    corpus = _ensure_parallelism(corpus)
     q_cols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")]
     c_cols = [
         F.col(id_col).alias("neighbor_id"),
@@ -129,6 +142,42 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
     return int(row["_d"])
 
 
+def _signlsh_bucket_expr(
+    vec_name: str, num_planes: int, seed: int, dim: int
+) -> Column:
+    """The literal-weight bucket built as ONE ``F.expr`` parse instead of
+    a Column-API tree (r15 optimization round, wave 3): constructing the
+    per-plane zip_with/aggregate tree through py4j costs one driver
+    round-trip per node — ~1.9s per 3-seed bucketing at 8 planes × 64
+    dims, measured — while building the same expression as a SQL string
+    and parsing it once is ~0.1s. Semantics are bit-identical to the
+    Column form (same weights via ``repr`` round-trip, same ascending-i
+    float-add order, same in-plan dim guard and message, NULL vectors
+    still bucket 0); the parity test drives both forms."""
+    v = "`" + vec_name.replace("`", "``") + "`"
+    parts = []
+    for p in range(num_planes):
+        w = ",".join(
+            repr(_plane_weight_value(p, i, seed)) + "D" for i in range(dim)
+        )
+        dot = (
+            f"aggregate(zip_with({v}, array({w}),"
+            " (x, wt) -> CAST(x AS DOUBLE) * wt),"
+            " 0.0D, (acc, vv) -> acc + vv)"
+        )
+        guarded = (
+            f"CASE WHEN size({v}) != {dim} THEN CAST(raise_error(concat("
+            f"'signlsh_bucket: vector length ', CAST(size({v}) AS STRING),"
+            f" ' != probed dim {dim} — mixed-dimension embeddings cannot"
+            f" share one bucket geometry')) AS DOUBLE) ELSE {dot} END"
+        )
+        parts.append(
+            f"(CASE WHEN ({guarded}) > 0D THEN CAST({1 << p} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr(" + ".join(parts))
+
+
 def signlsh_bucket(
     vec: Column | str, num_planes: int = 8, seed: int = 0,
     dim: int | None = None,
@@ -150,8 +199,14 @@ def signlsh_bucket(
       num_planes·d multiplications. A row whose vector length differs
       from ``dim`` raises in-plan (the guard-family discipline: under
       the runtime form it would silently bucket in a different
-      geometry); NULL vectors take bucket 0 exactly as before.
+      geometry); NULL vectors take bucket 0 exactly as before. With a
+      string column name the whole expression is built by ONE
+      ``F.expr`` parse (``_signlsh_bucket_expr``) — the py4j-per-node
+      Column construction was the dominant cost of every bucketing
+      plan build (wave 3).
     """
+    if dim is not None and isinstance(vec, str):
+        return _signlsh_bucket_expr(vec, num_planes, seed, dim)
     vec = F.col(vec) if isinstance(vec, str) else vec
 
     def weighted(plane: int):
@@ -320,6 +375,15 @@ def train_ivf_centroids(
         F.col(id_col).alias("cent_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("cv"),
     )
+    # the per-iteration |corpus|·K assignment math runs in the corpus
+    # scan stage (broadcast centroids): inherit the scan-parallelism
+    # guard (r15 wave 3; no-op at cluster scan sizes). The init slice
+    # above stays on the raw corpus — it is K rows headed driver-side.
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    corpus = _ensure_parallelism(corpus)
     for _ in range(n_iter):
         assigned = ivf_assign(
             corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
@@ -373,8 +437,18 @@ def ann_ivf_topk(
     None for the first ``n_centroids`` corpus vectors — deterministic and
     exactly replicable in the SQL oracle, which trained (iterative) cells
     are not. Every corpus vector lives in exactly one cell, so probing
-    distinct cells can't produce duplicate candidate pairs."""
+    distinct cells can't produce duplicate candidate pairs.
+
+    The corpus assignment inherits the scan-parallelism guard (r15
+    wave 3): the |C|·K cosine math runs in the corpus scan stage (the
+    centroid table broadcasts), so a 1-2-split corpus file would pin it
+    to as many cores; metadata-only no-op at cluster scan sizes. The
+    query side stays unguarded — a query batch is small by contract."""
     from pyspark.sql import Window
+
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
 
     cents = (
         centroids
@@ -383,8 +457,10 @@ def ann_ivf_topk(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
         )
     )
+    # guard only the ASSIGNMENT side — the default centroid table is a
+    # K-row slice headed for a broadcast and must not drag a repartition
     c = ivf_assign(
-        corpus.select(
+        _ensure_parallelism(corpus).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
         ),
         cents,
@@ -543,12 +619,16 @@ def random_projection(
     matrix = rademacher_matrix(d_in, d_out, seed)
     scale = 1.0 / math.sqrt(d_out)
     vec = F.col(vec_col).cast("array<double>")
+    # one array literal per output dim (r15 wave 3): F.lit(list) is a
+    # single py4j call where F.array(*[F.lit(x) ...]) paid one per cell
+    # (d_in × d_out driver round-trips); values and the ascending-i
+    # float-add order are unchanged
     comps = [
         F.round(
             F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(matrix[i][j]) for i in range(d_in)]),
+                    F.lit([matrix[i][j] for i in range(d_in)]),
                     lambda x, w: x * w,
                 ),
                 F.lit(0.0),
@@ -755,7 +835,16 @@ def pq_encode(
     codebook (model-sized by construction), and the argmin is a plain
     ``min`` over the packed key ``d2_micro * k + code`` — map-side
     combinable, so the only exchange carries one row per (vector,
-    subspace) and no window/sort ever sees the k-way candidate fanout."""
+    subspace) and no window/sort ever sees the k-way candidate fanout.
+
+    The vectors side inherits the scan-parallelism guard (r15 wave 3):
+    the |V|·m·k distance math runs in the vectors scan stage (the
+    codebook broadcasts); no-op at cluster scan sizes."""
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    vectors = _ensure_parallelism(vectors)
     subs = vectors.select(
         F.col(id_col),
         F.explode(
@@ -909,8 +998,16 @@ def ann_ivf_pq_topk(
         if codebook is not None
         else pq_sampled_codebook(corpus, m, k, seed, id_col, vec_col)
     )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    # assignment side only (r15 wave 3): the cells/codes math runs in
+    # the corpus scan stage; centroid/codebook slices stay unguarded
     c_cells = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        _ensure_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
         cents,
         n_probe=1,
         id_col="neighbor_id",
