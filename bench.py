@@ -310,6 +310,23 @@ def main() -> None:
 
     headline = [n for n, spec in CATALOG.items() if spec.headline]
 
+    # Global JVM warm-up (r15 measurement fix, disclosed in
+    # OPTIMIZATION_r15.md): the per-query warm-up amortizes PLAN-shape
+    # compile, but the JVM-wide JIT tax of a fresh session lands on
+    # whichever lines happen to run FIRST — measured 0.72s median for
+    # q_gold_agg when it opened the sequence vs 0.32s for the same
+    # query mid-sequence, and the r15 headline reorder moved that tax
+    # onto different lines, faking 2.6-3.3x "regressions" their
+    # commit-pinned A/B then had to exonerate. Two untimed passes over
+    # a scan-heavy and a shuffle+window line warm the common Spark
+    # code paths so line 1 is measured under the same JIT state as
+    # line 30. Position-independence is the point: the same fix a
+    # cluster bench gets from its first minutes of real traffic.
+    for _warm in ("q_heavy_hitters", "q_window_events"):
+        if _warm in CATALOG:
+            run_query(spark, _warm, sf_dir)
+            run_query(spark, _warm, sf_dir)
+
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     # The indexed-retrieval entries (q_*_indexed) price the PROBE of a
