@@ -158,6 +158,62 @@ def sqdist(a: Column | str, b: Column | str) -> Column:
 WS_RE = r"[ \t\n\x0b\f\r]+"
 
 
+# --- Spark-SQL text builders (r16 optimization round) -----------------
+# The hot text operators build their plans as SQL strings parsed with ONE
+# F.expr/selectExpr instead of per-node py4j Column construction — the
+# measured driver-side tree-build cost of the lambda-bearing forms
+# (0.25-1.1s per curation plan) drops to a ~10-20ms parse of identical
+# text. Each builder is the exact SQL twin of the Column helper above it;
+# parity is pinned by the operators' bit-equality tests and the full
+# DuckDB oracle sweep.
+
+
+def sql_ident(name: str) -> str:
+    """Backtick-quoted identifier for a Spark SQL fragment. The contract
+    matches the other string fast paths in this package: the name is an
+    UNQUALIFIED top-level column (a dotted name is treated as one literal
+    identifier, not a struct-field path)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def sql_str(s: str) -> str:
+    """Single-quoted Spark SQL string literal. Backslashes and quotes are
+    escaped; raw control characters (WS_RE carries real TAB/LF/VT/FF/CR)
+    pass through the lexer unchanged inside quotes, so the parsed value is
+    byte-identical to the Python string."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def tokens_spark_sql(expr: str) -> str:
+    """Spark-SQL twin of ``tokens`` over an expression string."""
+    return f"split(trim({expr}), {sql_str(WS_RE)})"
+
+
+def word_ngrams_spark_sql(expr: str, n: int) -> str:
+    """Spark-SQL twin of ``word_ngrams``: identical CASE/transform shape,
+    so the parsed tree matches the Column form node for node."""
+    toks = tokens_spark_sql(expr)
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def portable_hash64_spark_sql(expr: str, seed: int = 0) -> str:
+    """Spark-SQL twin of ``portable_hash64`` (same conv/substring/md5
+    chain, same seed concat)."""
+    inner = (
+        f"concat('{seed}', CAST(({expr}) AS STRING))"
+        if seed
+        else f"CAST(({expr}) AS STRING)"
+    )
+    return (
+        f"CAST(conv(substring(md5({inner}), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
 def tokens(c: Column | str) -> Column:
     """Whitespace tokenization → array<string>; empty strings removed.
 

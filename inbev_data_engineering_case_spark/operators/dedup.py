@@ -42,9 +42,11 @@ from pyspark.sql import functions as F
 from inbev_data_engineering_case_spark.functions import (
     MH_PRIME,
     MH_RANGE,
+    WS_RE,
     char_ngrams,
     minhash_mixers,
     portable_hash64,
+    sql_str as _sql_str_dedup,
     word_ngrams,
 )
 from inbev_data_engineering_case_spark.operators.textops import (
@@ -327,25 +329,38 @@ def minhash_signatures(
     affine mixes g_k(x) = (a_k*x + b_k) mod p over the base hash — k× less
     hashing than hashing every shingle k times, same minhash estimator
     (universal-hash family). The base-hash array is a materialized inner
-    projection so the shingling itself also runs once, not per k."""
+    projection so the shingling itself also runs once, not per k.
 
-    def mixer(a: int, b: int):
-        # closure factory — a default-arg lambda changes arity and makes
-        # transform() pass the element index as the second argument
-        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MH_PRIME)
+    Both projections are built as SQL text and parsed with one
+    ``selectExpr`` each (r16 optimization round, the ``signlsh``/
+    ``simhash`` discipline): the Column-API form paid ~0.3s of py4j tree
+    construction per plan build — every run of every minhash consumer —
+    for the identical parsed tree (same CASE/transform shingle shape,
+    same conv/md5 hash chain, same int literals; value parity pinned by
+    ``test_minhash_signatures_expr_parity`` and the oracle sweep)."""
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64_spark_sql,
+        sql_ident,
+        word_ngrams_spark_sql,
+    )
 
-    base = F.transform(
-        word_shingle_set(text_col, shingle_words),
-        lambda s: portable_hash64(s) % F.lit(MH_RANGE),
+    norm = (
+        f"regexp_replace(lower(trim({sql_ident(text_col)})),"
+        f" {_sql_str_dedup(WS_RE)}, ' ')"
     )
-    hashed = df.select(F.col(id_col).alias("id"), base.alias("h"))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("h"), mixer(a, b)))
-            for a, b in minhash_mixers(num_hashes)
-        ]
+    shingles = (
+        f"array_distinct({word_ngrams_spark_sql(norm, shingle_words)})"
     )
-    return hashed.select("id", sig.alias("sig"))
+    base = (
+        f"transform({shingles},"
+        f" s -> {portable_hash64_spark_sql('s')} % {MH_RANGE})"
+    )
+    hashed = df.selectExpr(f"{sql_ident(id_col)} AS id", f"{base} AS h")
+    sig = "array(" + ", ".join(
+        f"array_min(transform(h, x -> ({a} * x + {b}) % {MH_PRIME}))"
+        for a, b in minhash_mixers(num_hashes)
+    ) + ")"
+    return hashed.selectExpr("id", f"{sig} AS sig")
 
 
 def _band_keys(sig_col: str, band_size: int) -> Column:
@@ -707,35 +722,63 @@ def dedup_components_with_stats(
     # repartition defeats AQE's size-adaptive coalescing and every
     # round then runs at full task width over a small table. The
     # distinct()'s own partitioning + AQE sizing is the faster shape.
+    #
+    # r16 restructure — ONE action per round instead of two, with every
+    # cut LAZY and materialized by the convergence aggregate the loop
+    # already pays (the r15 ``_truncate_lineage(eager=)`` contract,
+    # applied everywhere by making every intermediate single-reference
+    # at materialization time):
+    #
+    # - SELF-LOOPS are unioned into the (symmetrized, deduped) edge
+    #   list. The hop then reads ``min(src-label) grouped by dst`` in
+    #   one join — the old ``... unionByName(labels)`` self-term, which
+    #   referenced the lazily-cut labels TWICE in one plan (the exact
+    #   shape the r15 A/B measured as a 2× recompute loss under AQE),
+    #   becomes the self-loop rows instead: same row volume into the
+    #   aggregate, labels referenced ONCE.
+    # - The convergence sum runs on the HOP output (neighbor_min), not
+    #   the jumped labels, and the jump is SKIPPED on the no-change
+    #   round: at a hop fixed point every edge (u,v) has comp(u) ==
+    #   comp(v) (min over self ∪ neighbors can lower either side
+    #   otherwise), so labels are uniform per component; each
+    #   component contains its own minimum node m whose label can never
+    #   rise above m and never names a node outside the component, so
+    #   the uniform value IS m — the jump (comp ← comp(comp)) maps
+    #   m → m and is the identity. Returning neighbor_min at
+    #   convergence is therefore row-identical to returning the old
+    #   jumped frame, and the sum-equality test fires on exactly the
+    #   same round (sum(jump(x)) == sum(x) iff hop was already fixed,
+    #   by the same monotonicity argument).
+    # - Each round's single sum action materializes that round's lazy
+    #   blocks; the lazy jumped cut from round r is computed exactly
+    #   once inside round r+1's sum (single reference), after which its
+    #   blocks back the jump join's two references in round r+1's plan.
     edges = _truncate_lineage(
         edges.unionByName(
             edges.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
-        ).distinct(),
+        )
+        .unionByName(
+            edges.select("src", F.col("src").alias("dst")).unionByName(
+                edges.select(F.col("dst").alias("src"), "dst")
+            )
+        )
+        .distinct(),
         reliable_checkpoint,
+        eager=False,
     )
     # Fused first propagation (r15 optimization round): under identity
     # labels, round 1's neighbor-min is a pure function of the edge list
-    # — nm1(v) = min(v, min neighbors(v)) — so initialize labels to THAT
-    # with one join-free aggregate instead of materializing the identity
-    # labeling and paying a full join round to reach the same state. The
-    # symmetrized edge list contains every node as ``src``, so the
-    # union covers isolated-in-one-direction endpoints and the node set
-    # is identical to the old identity init. Labels stay node ids of
-    # the component (min only selects among them) and the monotone
-    # convergence argument is unchanged; one round (join + jump +
-    # checkpoint + aggregate) is saved on every components run.
-    # lazy cut + the init label-sum action right below materializes the
-    # blocks (one action instead of two; see _truncate_lineage on when
-    # lazy is safe — the sum is a single reference)
+    # — nm1(v) = min(v, min neighbors(v)) — one join-free aggregate
+    # instead of a full first round. With self-loops in the edge list
+    # the self-term (v, v) is already present, so the aggregate reads
+    # the edge table ONCE. Labels stay node ids of the component (min
+    # only selects among them) and the monotone convergence argument is
+    # unchanged. Lazy cut: the init label-sum right below is the
+    # materializing action (single reference).
     labels = _truncate_lineage(
         edges.select(F.col("dst").alias("node"), F.col("src").alias("comp"))
-        .unionByName(
-            edges.select(
-                F.col("src").alias("node"), F.col("src").alias("comp")
-            )
-        )
         .groupBy("node")
         .agg(F.min("comp").alias("comp")),
         reliable_checkpoint,
@@ -769,31 +812,35 @@ def dedup_components_with_stats(
     converged = False
     for _ in range(max_iter):
         rounds += 1
-        # The hop table stays an EAGER cut: an r15 A/B tried the lazy
-        # form (defer the barrier into the jump action) and measured a
-        # 2× LOSS on the curate lines — under AQE the two jump-join
-        # references of a lazily-checkpointed plan each recompute the
-        # hop subtree instead of sharing blocks, so the "saved" barrier
-        # came back as a doubled hop join per round.
+        # hop: min label over self ∪ neighbors, as ONE join + aggregate
+        # (self-loops supply the self term). Lazy cut, materialized by
+        # this round's sum — the only action the round pays.
         neighbor_min = _truncate_lineage(
             edges.join(labels, edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "comp")
-            .unionByName(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp")),
             reliable_checkpoint,
+            eager=False,
         )
+        cur_sum = label_sum(neighbor_min)
+        if cur_sum == prev_sum:
+            # hop fixed point: the jump is the identity (see the r16
+            # restructure note above) — neighbor_min IS the converged
+            # minimal labeling, already materialized by the sum.
+            labels = neighbor_min
+            converged = True
+            break
         # pointer jumping: comp <- comp(comp). Every label IS a node of the
         # graph (it started as one and min() only selects among them), so
         # the self-join always resolves; coalesce guards the root labels
         # (comp(x) == x rows are present, so it's belt-and-braces only).
+        # Both references read neighbor_min's just-materialized blocks;
+        # the jumped cut itself stays lazy and is computed exactly once
+        # by the NEXT round's sum (where the hop references it once).
         jump_to = neighbor_min.select(
             F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
         )
-        # lazy cut: the convergence sum below is the round's materializing
-        # action (single reference), so the separate eager-checkpoint job
-        # the loop used to pay per round is fused away (r15 wave 3);
-        # next round's two references then read the materialized blocks
         jumped = _truncate_lineage(
             neighbor_min.join(
                 jump_to, neighbor_min["comp"] == jump_to["jnode"], "left"
@@ -804,11 +851,7 @@ def dedup_components_with_stats(
             reliable_checkpoint,
             eager=False,
         )
-        cur_sum = label_sum(jumped)
         labels = jumped
-        if cur_sum == prev_sum:
-            converged = True
-            break
         prev_sum = cur_sum
     if require_convergence and not converged:
         raise ValueError(

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from inbev_data_engineering_case_spark.functions import (
     WS_RE,
     portable_hash64,
+    sql_ident as _sql_ident,
+    sql_str as _sql_str,
     tokens,
 )
 
@@ -98,6 +100,8 @@ def _isin(words: list[str]):
     return lambda t: t.isin(*words)
 
 
+
+
 def lang_scores(text: Column | str) -> dict[str, Column]:
     """Stopword-hit count per language over the lowercased token set."""
     toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
@@ -157,58 +161,70 @@ def score_documents(
     1-2 cores — measured 2.0s single-core vs ~0.3s guarded on the sf0.1
     curation fixture. On a cluster scan yielding thousands of splits the
     guard is a metadata-only no-op (r15 optimization round, guide §2).
-    """
-    from pyspark.sql import functions as F
 
+    The three staged projections are built as SQL text and parsed with
+    one ``selectExpr`` each (r16 optimization round): the Column-API
+    form paid one py4j round-trip per node — the four ``F.filter``
+    lambdas plus the argmax when-chain cost ~0.25-1.1s of driver-side
+    tree construction per plan build, every run, on the operator every
+    curation entry calls first — where the parse of identical SQL text
+    is ~20ms. Semantics are bit-identical (same staged plan, same
+    expression trees out of the parser; ``t IN (...)`` is the same
+    ``In`` node ``Column.isin`` builds, ``0.5D`` the same double
+    literal as ``F.lit(0.5)``) and remain pinned by
+    ``test_score_documents_matches_standalone_expressions``.
+    """
     from inbev_data_engineering_case_spark.operators.dedup import (
         _ensure_parallelism,
     )
 
-    toks = _ensure_parallelism(df).select(
-        id_col,
-        text_col,
-        *extra_cols,
-        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    id_q = _sql_ident(id_col)
+    t_q = _sql_ident(text_col)
+    extra_q = [_sql_ident(c) for c in extra_cols]
+    toks_sql = f"split(trim(lower({t_q})), {_sql_str(WS_RE)})"
+    toks = _ensure_parallelism(df).selectExpr(
+        id_q, t_q, *extra_q, f"{toks_sql} AS _toks"
     )
-    scored = toks.select(
-        id_col,
-        text_col,
-        *extra_cols,
+    scored = toks.selectExpr(
+        id_q,
+        t_q,
+        *extra_q,
         "_toks",
         *[
-            F.size(F.filter("_toks", _isin(sw))).alias(f"_s_{lang}")
+            "size(filter(_toks, t -> t IN ("
+            + ", ".join(_sql_str(w) for w in sw)
+            + f"))) AS _s_{lang}"
             for lang, sw in LANG_STOPWORDS.items()
         ],
     )
-    all_zero = None
-    for lang in LANG_PRIORITY:
-        c = F.col(f"_s_{lang}") == 0
-        all_zero = c if all_zero is None else all_zero & c
-    lang_expr = F.when(all_zero, F.lit("und"))
+    all_zero = " AND ".join(f"(_s_{lang} = 0)" for lang in LANG_PRIORITY)
+    branches = [f"WHEN {all_zero} THEN 'und'"]
     for i, lang in enumerate(LANG_PRIORITY):
-        cond = None
-        for other in LANG_PRIORITY[:i]:
-            c = F.col(f"_s_{lang}") > F.col(f"_s_{other}")
-            cond = c if cond is None else cond & c
-        for other in LANG_PRIORITY[i + 1 :]:
-            c = F.col(f"_s_{lang}") >= F.col(f"_s_{other}")
-            cond = c if cond is None else cond & c
-        lang_expr = lang_expr.when(cond, F.lit(lang))
-    text = F.col(text_col)
-    length_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+        conds = [
+            f"(_s_{lang} > _s_{other})" for other in LANG_PRIORITY[:i]
+        ] + [
+            f"(_s_{lang} >= _s_{other})" for other in LANG_PRIORITY[i + 1 :]
+        ]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_sql = "CASE " + " ".join(branches) + " END"
     # STOPWORDS_QUALITY is LANG_STOPWORDS["en"], so the quality stopword
-    # count IS the English language score — reuse the attribute
-    quality = (
-        0.5 * (F.col("_s_en") / F.size("_toks"))
-        + 0.3 * length_score
-        + 0.2 * (1 - F.least(punct_ratio(text) * 10, F.lit(1.0)))
+    # count IS the English language score — reuse the attribute. The
+    # punctuation class is PUNCT_CLASS negated, the same text
+    # punct_ratio embeds.
+    punct_sql = (
+        f"(length(regexp_replace({t_q}, '[^.!?,;:]', '')) / length({t_q}))"
     )
-    return scored.select(
-        id_col,
-        text_col,
-        lang_expr.alias("lang"),
-        quality.alias("quality"),
-        *extra_cols,
+    quality_sql = (
+        "(0.5D * (_s_en / size(_toks))"
+        f" + 0.3D * least(length({t_q}) / 500.0D, 1.0D)"
+        f" + 0.2D * (1 - least({punct_sql} * 10, 1.0D)))"
+    )
+    return scored.selectExpr(
+        id_q,
+        t_q,
+        f"{lang_sql} AS lang",
+        f"{quality_sql} AS quality",
+        *extra_q,
     )
 
 

@@ -324,8 +324,14 @@ def test_dedup_components_reliable_checkpoint_and_rounds(spark, tmp_path):
 
     # path graph 0-1-2-3-4: diameter 4 — the fused init already holds
     # round 1's neighbor-min (r15), the first loop round's hop+jump
-    # reaches the remaining distance, and round 2 is the fixed-point
-    # check: 2 rounds (was 3 with the identity-label init)
+    # reaches the remaining distance, and the loop then needs two more
+    # rounds to OBSERVE the fixed point: the r16 one-action-per-round
+    # loop measures convergence on the hop output (pre-jump), so
+    # progress made by a round's jump is credited by the NEXT round's
+    # hop sum — on a deep path that costs one extra confirm round
+    # (3 vs 2) while every round now pays a single action instead of
+    # two plus an eager checkpoint (the sf0.1 pair graph converges
+    # hop-wise and keeps its round count; jobs/run measured 41 → 34)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(4)], ["id_a", "id_b"]
     )
@@ -335,7 +341,7 @@ def test_dedup_components_reliable_checkpoint_and_rounds(spark, tmp_path):
         pairs, reliable_checkpoint=False
     )
     assert {r["node"]: r["comp"] for r in local_labels.collect()} == expected
-    assert local_rounds == 2
+    assert local_rounds == 3
 
     # cluster-safe path: fault-tolerant checkpoint to a checkpoint dir
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
@@ -1080,6 +1086,14 @@ def test_score_documents_matches_standalone_expressions(spark):
         (5, "zzz qqq www!!! ???"),          # und + junky punctuation
         (6, "the el der le"),               # cross-language tie-break
         (7, "x"),                           # single token, no stopwords
+        # r16: score_documents builds its staged plan as SQL text (one
+        # selectExpr parse per stage); these rows pin the lexer-facing
+        # edges of that rewrite — every whitespace-class control char
+        # (the regex is embedded as a raw string literal), quotes and
+        # backslashes in the data, and whitespace-only text
+        (8, "tab\tand\x0bvt\fff\rcr\nnl the of and to"),
+        (9, "   "),                         # whitespace-only: [''] token
+        (10, "it's a 'quoted' back\\slash the of"),
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     staged = {
@@ -1095,6 +1109,73 @@ def test_score_documents_matches_standalone_expressions(spark):
         ).collect()
     }
     assert staged == standalone  # exact float equality, not approx
+
+
+def test_minhash_signatures_expr_parity(spark):
+    """r16: ``minhash_signatures`` builds its two projections as SQL text
+    (one selectExpr parse each) instead of a py4j Column tree. The parsed
+    plan must stay bit-identical to the Column-API form — same shingles,
+    same md5 base hash, same affine mixes — including every whitespace
+    control character the tokenizer class names, quotes/backslashes in
+    the data, and too-short/empty documents (empty shingle set → all-NULL
+    signature slots on both paths)."""
+    from pyspark.sql import functions as F
+
+    from inbev_data_engineering_case_spark.functions import (
+        MH_PRIME,
+        MH_RANGE,
+        minhash_mixers,
+        portable_hash64,
+    )
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        minhash_signatures,
+        word_shingle_set,
+    )
+
+    def column_form(df, text_col="text", id_col="doc_id", num_hashes=8,
+                    shingle_words=3):
+        def mixer(a, b):
+            return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MH_PRIME)
+
+        base = F.transform(
+            word_shingle_set(text_col, shingle_words),
+            lambda s: portable_hash64(s) % F.lit(MH_RANGE),
+        )
+        hashed = df.select(F.col(id_col).alias("id"), base.alias("h"))
+        sig = F.array(
+            *[
+                F.array_min(F.transform(F.col("h"), mixer(a, b)))
+                for a, b in minhash_mixers(num_hashes)
+            ]
+        )
+        return hashed.select("id", sig.alias("sig"))
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog in a field"),
+            (2, "tab\tand\x0bvt\fff\rcr\nnl the of and to"),
+            (3, "   "),
+            (4, "it's a 'quoted' back\\slash the of and to in is"),
+            (5, "one two"),          # shorter than the shingle window
+            (6, ""),
+            (7, "the quick brown fox jumps over the lazy dog in a field"),
+        ],
+        "doc_id long, text string",
+    )
+    for k, w in ((8, 3), (4, 2)):
+        new = sorted(
+            (r["id"], tuple(r["sig"]))
+            for r in minhash_signatures(
+                docs, num_hashes=k, shingle_words=w
+            ).collect()
+        )
+        old = sorted(
+            (r["id"], tuple(r["sig"]))
+            for r in column_form(
+                docs, num_hashes=k, shingle_words=w
+            ).collect()
+        )
+        assert new == old, (k, w)
 
 
 def test_ivf_dataframe_training_matches_collect(spark, tmp_path):
