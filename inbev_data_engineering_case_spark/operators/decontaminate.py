@@ -43,6 +43,18 @@ def _gram_hash(col: str, portable: bool):
     return portable_hash64(col) if portable else F.xxhash64(col)
 
 
+def _gram_hash_sql(expr: str, portable: bool) -> str:
+    from inbev_data_engineering_case_spark.functions import (
+        portable_hash64_spark_sql,
+    )
+
+    return (
+        portable_hash64_spark_sql(expr)
+        if portable
+        else f"xxhash64({expr})"
+    )
+
+
 def benchmark_ngram_hashes(
     benchmark: DataFrame,
     text_col: str = "text",
@@ -51,12 +63,20 @@ def benchmark_ngram_hashes(
 ) -> DataFrame:
     """Distinct 60-bit hashes of every lowercased word n-gram in the
     benchmark set → single-column ``gram_h`` DataFrame. Small enough to
-    broadcast; persist it when scanning multiple corpus shards."""
+    broadcast; persist it when scanning multiple corpus shards.
+
+    Built as SQL text parsed once per projection (r16 — the
+    score_documents/minhash discipline): identical parsed tree, ~10× less
+    driver-side py4j plan-build per run."""
+    from inbev_data_engineering_case_spark.functions import (
+        sql_ident,
+        word_ngrams_spark_sql,
+    )
+
+    grams = word_ngrams_spark_sql(f"lower({sql_ident(text_col)})", n)
     return (
-        benchmark.select(
-            F.explode(word_ngrams(F.lower(F.col(text_col)), n)).alias("gram")
-        )
-        .select(_gram_hash("gram", portable).alias("gram_h"))
+        benchmark.selectExpr(f"explode({grams}) AS gram")
+        .selectExpr(f"{_gram_hash_sql('gram', portable)} AS gram_h")
         .distinct()
     )
 
@@ -81,17 +101,27 @@ def contamination_report(
     file would otherwise pin it to 1-2 cores (measured 3.2s single-core
     vs 0.5s guarded on the sf0.1 fixture); at cluster scan sizes the
     guard is a metadata-only no-op (r15 optimization round, guide §2)."""
+    from inbev_data_engineering_case_spark.functions import (
+        sql_ident,
+        word_ngrams_spark_sql,
+    )
     from inbev_data_engineering_case_spark.operators.dedup import (
         _ensure_parallelism,
     )
 
     bench = benchmark_ngram_hashes(benchmark, text_col, n, portable)
-    doc_grams = _ensure_parallelism(documents).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_ngrams(F.lower(F.col(text_col)), n))
-        ).alias("gram"),
-    ).select(id_col, _gram_hash("gram", portable).alias("gram_h"))
+    grams = word_ngrams_spark_sql(f"lower({sql_ident(text_col)})", n)
+    doc_grams = (
+        _ensure_parallelism(documents)
+        .selectExpr(
+            sql_ident(id_col),
+            f"explode(array_distinct({grams})) AS gram",
+        )
+        .selectExpr(
+            sql_ident(id_col),
+            f"{_gram_hash_sql('gram', portable)} AS gram_h",
+        )
+    )
     return (
         doc_grams.join(F.broadcast(bench), "gram_h")
         .groupBy(id_col)

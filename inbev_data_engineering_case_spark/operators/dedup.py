@@ -365,17 +365,18 @@ def minhash_signatures(
 
 def _band_keys(sig_col: str, band_size: int) -> Column:
     """array<string> of band keys: each is the ':'-joined slots of one
-    ``band_size``-wide slice of the signature."""
-    return F.transform(
-        F.sequence(
-            F.lit(0), F.floor(F.size(sig_col) / band_size).cast("int") - 1
-        ),
-        lambda b: F.concat_ws(
-            ":",
-            F.slice(F.col(sig_col), b * band_size + 1, band_size).cast(
-                "array<string>"
-            ),
-        ),
+    ``band_size``-wide slice of the signature. One ``F.expr`` parse of
+    the identical tree (r16 — the minhash_signatures discipline;
+    ``sig_col`` is an unqualified column name by the string-fast-path
+    contract)."""
+    from inbev_data_engineering_case_spark.functions import sql_ident
+
+    sig = sql_ident(sig_col)
+    return F.expr(
+        f"transform(sequence(0, CAST(floor(size({sig}) / {band_size})"
+        f" AS INT) - 1), b -> concat_ws(':',"
+        f" CAST(slice({sig}, b * {band_size} + 1, {band_size})"
+        " AS ARRAY<STRING>)))"
     )
 
 
@@ -507,13 +508,15 @@ def minhash_dedup_pairs(
         ),
     )
 
-    def est(sig_a: Column, sig_b: Column) -> Column:
-        matches = F.size(
-            F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y),
-                     lambda eq: eq)
+    def est(sig_a: str, sig_b: str) -> Column:
+        # raw IEEE division: bit-identical across engines. One F.expr
+        # parse of the identical zip_with/filter tree (r16); the names
+        # are the local join aliases, so qualified refs parse exactly
+        # as the F.col forms resolved.
+        return F.expr(
+            f"size(filter(zip_with({sig_a}, {sig_b}, (x, y) -> x = y),"
+            f" eq -> eq)) / size({sig_a})"
         )
-        # raw IEEE division: bit-identical across engines
-        return matches / F.size(sig_a)
 
     if max_bucket_size is not None:
         cold, hot = _split_hot_buckets(
@@ -531,7 +534,7 @@ def minhash_dedup_pairs(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        est(F.col("a.sig"), F.col("b.sig")).alias("est_jaccard"),
+        est("a.sig", "b.sig").alias("est_jaccard"),
     )
     if hot is not None:
         # one (rep_id, rep_sig) row per hot bucket: partial min/min_by
@@ -548,7 +551,7 @@ def minhash_dedup_pairs(
             .select(
                 F.col("rep_id").alias("id_a"),
                 F.col("id").alias("id_b"),
-                est(F.col("rep_sig"), F.col("sig")).alias("est_jaccard"),
+                est("rep_sig", "sig").alias("est_jaccard"),
             )
         )
         pairs = pairs.unionByName(star)

@@ -287,8 +287,21 @@ def multi_source_bfs(
             sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     # parallel edges would multiply frontier join output rows for zero
-    # information; dedup once so every round joins a clean adjacency
-    sym = _truncate_lineage(sym.distinct(), reliable_checkpoint)
+    # information; dedup once so every round joins a clean adjacency.
+    #
+    # r16 action-count restructure (the components loop's discipline —
+    # ONE action per hop instead of three): the adjacency and every
+    # per-hop frontier are LAZY cuts materialized by the hop's single
+    # emptiness/count action; only the seed distances stay an EAGER cut,
+    # because hop 1's plan references them twice (frontier + visited
+    # anti-join) and a lazily-cut double reference recomputes its
+    # subtree per reference under AQE (the r15 measured 2× loss — the
+    # seed lineage here can be a whole contamination gram pass). The
+    # per-hop action is a ``count()`` rather than ``take(1)``: the
+    # count fully materializes the frontier's blocks, so the next hop's
+    # two references (frontier join + dist union) read blocks instead
+    # of racing to recompute straggler partitions.
+    sym = _truncate_lineage(sym.distinct(), reliable_checkpoint, eager=False)
 
     seed_col = seeds.columns[0]
     dist = _truncate_lineage(
@@ -308,11 +321,12 @@ def multi_source_bfs(
             reached.join(dist.select("node"), on="node", how="left_anti")
             .withColumn("dist", F.lit(hop)),
             reliable_checkpoint,
+            eager=False,
         )
-        if not new.take(1):
+        if new.count() == 0:  # the hop's one action; materializes `new`
             break
         dist = _truncate_lineage(
-            dist.unionByName(new), reliable_checkpoint
+            dist.unionByName(new), reliable_checkpoint, eager=False
         )
         frontier = new.select("node")
     return dist

@@ -135,11 +135,37 @@ def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
     input — callers then fall back to the runtime-hash bucket path).
     A 1-row, column-pruned read: the model-metadata-sized action that
     lets every sign-LSH site embed its plane-weight matrix as plan
-    literals instead of md5-hashing (plane, dim) per element per row."""
+    literals instead of md5-hashing (plane, dim) per element per row.
+
+    Memoized per (session, canonical plan, column) — r16, the VERDICT
+    r15 watch item: each sign-LSH call site paid this driver-side
+    action on EVERY run, several per query in the embedding family.
+    The key is the analyzed plan's semantic hash (expression-id
+    normalized), so two builds of the same logical frame share one
+    probe while any structurally different frame probes fresh; the
+    cache lives on the session object (dies with it — nothing persists
+    across bench invocations) and an empty-input None is never cached
+    (a state table rebuilt under the same path may fill later).
+    In production the dimensionality is pipeline config; this keeps
+    its discovery at config cost instead of one job per operator call.
+    """
+    spark = df.sparkSession
+    try:
+        key = (df.semanticHash(), vec_col)
+    except Exception:  # noqa: BLE001 — exotic plan: just probe
+        key = None
+    cache = getattr(spark, "_graft_vec_dim_cache", None)
+    if cache is None:
+        cache = spark._graft_vec_dim_cache = {}
+    if key is not None and key in cache:
+        return cache[key]
     row = df.select(F.size(F.col(vec_col)).alias("_d")).first()
     if row is None or row["_d"] is None or row["_d"] < 0:
         return None
-    return int(row["_d"])
+    dim = int(row["_d"])
+    if key is not None:
+        cache[key] = dim
+    return dim
 
 
 def _signlsh_bucket_expr(
@@ -353,8 +379,10 @@ def train_ivf_centroids(
     )
 
     spark = corpus.sparkSession
-    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row else 0
+    # routed through the memoized probe (r16): the double-trained
+    # determinism entries and every Lloyd re-train on the same corpus
+    # share one 1-row action per session instead of one per call
+    dim = _vec_dim(corpus, vec_col) or 0
     if method == "auto":
         method = (
             "dataframe" if n_centroids * dim > max_centroid_cells else "collect"
@@ -379,14 +407,27 @@ def train_ivf_centroids(
     # scan stage (broadcast centroids): inherit the scan-parallelism
     # guard (r15 wave 3; no-op at cluster scan sizes). The init slice
     # above stays on the raw corpus — it is K rows headed driver-side.
+    #
+    # r16 (VERDICT item 4): the (id, v) assignment input is materialized
+    # ONCE and shared across Lloyd iterations — every iteration after
+    # the first reads the projected blocks instead of re-running the
+    # corpus scan + guard repartition (and the double-trained
+    # determinism entries re-train on the identical frame). Lazy cut:
+    # each iteration's terminal action (collect / the dataframe-mode
+    # materialization) references it once.
     from inbev_data_engineering_case_spark.operators.dedup import (
         _ensure_parallelism,
     )
 
-    corpus = _ensure_parallelism(corpus)
+    corpus_proj = _materialize(
+        _ensure_parallelism(corpus).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ),
+        materialize_mode,
+    )
     for _ in range(n_iter):
         assigned = ivf_assign(
-            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            corpus_proj,
             cents,
             n_probe=1,
             id_col="id",

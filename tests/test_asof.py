@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from inbev_data_engineering_case_spark.operators.asof import (
@@ -17,6 +19,7 @@ def _ts(minute: int) -> datetime:
     return datetime(2024, 1, 1, 0, minute)
 
 
+@pytest.mark.slow
 def test_asof_backward_picks_latest_prior(spark):
     left = spark.createDataFrame(
         [(1, _ts(5)), (1, _ts(20)), (1, _ts(2)), (2, _ts(10))],

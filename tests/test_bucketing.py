@@ -59,6 +59,7 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+@pytest.mark.slow
 def test_bucketed_signature_table_verify_join(spark):
     """DEPLOYMENT.md's signature-table claim, concretely: minhash
     signatures materialized as a table BUCKETED BY id mean the recurring
@@ -105,6 +106,7 @@ def test_bucketed_signature_table_verify_join(spark):
         spark.sql("DROP TABLE IF EXISTS t_sigs_b")
 
 
+@pytest.mark.slow
 def test_bloom_semi_join_identity_and_no_false_negatives(spark):
     """bloom_semi_join must be EXACTLY the plain left-semi join (false
     positives die in the real join), the prefilter must be a superset
@@ -355,6 +357,7 @@ def test_bloom_prefilter_rides_the_scan(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_bloom_shuffle_probe_past_ceiling_is_exact(spark, monkeypatch):
     """Past _PROBE_MAX_BITS the probe must AUTOMATICALLY fall back to
     the bank-partitioned shuffle probe — same answers (semi-join
@@ -454,6 +457,7 @@ def test_bloom_single_bank_duplicate_row_raises(spark):
         ).count()
 
 
+@pytest.mark.slow
 def test_bloom_anti_join_identity_and_partition(spark, monkeypatch):
     """bloom_anti_join must be EXACTLY the plain left-anti join at any
     geometry (false negatives impossible ⇒ a cleared row is proof of

@@ -13,6 +13,8 @@ scales with the delta."""
 
 from __future__ import annotations
 
+import pytest
+
 import pathlib
 
 from pyspark.sql import functions as F
@@ -24,6 +26,7 @@ def _du(path: pathlib.Path) -> int:
     return sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
 
 
+@pytest.mark.slow
 def test_two_day_crawl_table_mode_delta_sized(spark, tmp_path):
     from inbev_data_engineering_case_spark.operators.curate import (
         advance_corpus_artifacts,
@@ -132,6 +135,7 @@ def test_two_day_crawl_table_mode_delta_sized(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_daily_crawl_feeds_the_serving_index_delta_sized(spark, tmp_path):
     """The composition the r6 VERDICT asked for: curate_incremental
     decides WHAT survives day 2, update_text_index applies exactly that
@@ -232,6 +236,7 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_components_artifact_chained_two_day_parity(spark):
     """The components-label artifact in the daily loop (r12 VERDICT
     ask): bootstrap labels from the day-0 batch pair graph, then chain
@@ -383,6 +388,7 @@ def test_advance_corpus_artifacts_components_validation(spark):
         advance_corpus_artifacts(kept, sigs, fps, kept_comps=comps)
 
 
+@pytest.mark.slow
 def test_halo_artifact_loop_closure(spark):
     """The halo's daily loop (r12 VERDICT ask): day-0 batch halo state
     (pair graph + BFS dist table from the real flag operator), then a
@@ -483,6 +489,7 @@ def test_halo_artifact_loop_closure(spark):
     assert 3 not in halo_nodes and 13 not in halo_nodes
 
 
+@pytest.mark.slow
 def test_curate_incremental_contracted_labels_remember_merges(spark):
     """The stored-labels path after a BRIDGE MERGE (a dropped delta
     doc once fused two kept clusters, so a kept doc's label is no
@@ -538,6 +545,7 @@ def test_curate_incremental_contracted_labels_remember_merges(spark):
     assert run(30, labels) == []
 
 
+@pytest.mark.slow
 def test_daily_loop_full_artifact_set_chained(spark):
     """The WHOLE daily artifact set advanced as one unit, chained two
     days (the r13 VERDICT ask — components and halo each had a chained
@@ -712,6 +720,7 @@ def test_daily_loop_full_artifact_set_chained(spark):
     assert 3 not in halo_nodes and 15 not in halo_nodes
 
 
+@pytest.mark.slow
 def test_curate_incremental_stored_halo_guard(spark):
     """stored_halo= plugs the maintained contamination-halo memory
     into the daily keep decision (the stored_components pattern):
@@ -904,6 +913,7 @@ def test_curate_incremental_stored_halo_guard(spark):
         )
 
 
+@pytest.mark.slow
 def test_curate_incremental_token_budget_chained_two_day(spark):
     """r15 VERDICT ask #3: the daily loop spends "today's token budget
     on today's best survivors" in ONE pass — curate_incremental grew

@@ -13,7 +13,9 @@ from __future__ import annotations
 import subprocess
 import sys
 
-_SCRIPT = r"""
+import pytest
+
+_SCRIPT_HEAD = r"""
 import sys
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
@@ -36,7 +38,7 @@ assert set(sql) <= set(qs), "oracle_sql keys not a subset of queries"
 assert len(qs) >= 50, f"catalog shrank: {len(qs)}"
 
 failures = []
-for name, fn in qs.items():
+for name, fn in NAMES_STMT:
     try:
         df = fn(spark, SF)
         assert df.count() >= 0
@@ -47,16 +49,40 @@ assert not failures, "\n".join(failures)
 print(f"CONTRACT_OK {len(qs)}")
 """
 
+_SCRIPT_FULL = _SCRIPT_HEAD.replace("NAMES_STMT", "qs.items()")
 
-def test_driver_contract_on_vanilla_session():
+# The fast default gate drives entry() + the conf-sensitive surfaces on
+# the vanilla session (ANSI casts, TIMESTAMP(NANOS) events, streaming
+# drain, curate composition, embedding/codec paths); the full 161-query
+# sweep (~5 min) runs under the `slow` marker and in every full-suite run.
+_SMOKE = (
+    "q_gold_agg", "q_agg_pricing", "q_window_events", "q_asof_join",
+    "q_stream_tumbling", "q_curate_corpus", "q_dedup_embedding",
+    "q_multimodal_features", "q_bow_classifier", "q_heavy_hitters",
+)
+_SCRIPT_SMOKE = _SCRIPT_HEAD.replace(
+    "NAMES_STMT", f"[(n, qs[n]) for n in {_SMOKE!r}]"
+)
+
+
+def _run_contract(script: str) -> None:
     proc = subprocess.run(
-        [sys.executable, "-c", _SCRIPT],
+        [sys.executable, "-c", script],
         capture_output=True,
         text=True,
         timeout=900,
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "CONTRACT_OK" in proc.stdout
+
+
+def test_driver_contract_smoke_on_vanilla_session():
+    _run_contract(_SCRIPT_SMOKE)
+
+
+@pytest.mark.slow
+def test_driver_contract_on_vanilla_session():
+    _run_contract(_SCRIPT_FULL)
 
 
 def test_driver_window_rotation_invariants():

@@ -1,5 +1,7 @@
 """Known-answer tests for the iterative graph operators."""
 
+import pytest
+
 from inbev_data_engineering_case_spark.operators.graph import pagerank
 
 
@@ -65,6 +67,7 @@ def test_pagerank_teleport_conserves_mass_hand_computed(spark):
     assert sum(got.values()) == 1_000_000
 
 
+@pytest.mark.slow
 def test_pagerank_teleport_mass_property_on_sink_graph(spark):
     """Property (the VERDICT-asked invariant): on a graph WITH sinks,
     8 redistributed iterations keep the total rank within N-floor
@@ -94,6 +97,7 @@ def test_pagerank_teleport_mass_property_on_sink_graph(spark):
     )
 
 
+@pytest.mark.slow
 def test_pagerank_rank_unit_scales_resolution(spark):
     """`unit` sets the integer rank grid: the symmetric 2-cycle holds
     exactly half the mass at any unit; unit=1e6 (default) matches the
@@ -192,6 +196,7 @@ def test_pagerank_invariants_on_generated_graphs(spark):
         assert sum(ranks.values()) <= 1_000_000
 
 
+@pytest.mark.slow
 def test_multi_source_bfs_hand_graph(spark):
     """Path graph 1-2-3-4-5 plus isolated seed 9: distances are
     minimal hops to the NEAREST seed, seeds report 0 whether or not
@@ -262,6 +267,7 @@ def test_multi_source_bfs_hand_graph(spark):
         multi_source_bfs(edges, seeds, max_hops=-1)
 
 
+@pytest.mark.slow
 def test_multi_source_bfs_matches_python_reference_on_random_graphs(
     spark,
 ):
@@ -320,6 +326,7 @@ def test_multi_source_bfs_matches_python_reference_on_random_graphs(
                 assert got == want, (trial, directed, max_hops)
 
 
+@pytest.mark.slow
 def test_multi_source_bfs_incremental_matches_batch(spark):
     """Delta maintenance parity: starting from a stored batch-BFS
     result, folding in new edges + new seeds via min-relaxation from

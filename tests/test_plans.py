@@ -209,6 +209,7 @@ def test_corpus_shuffle_limit_takes_ordered(spark):
     assert "Exchange rangepartitioning" not in plan, plan
 
 
+@pytest.mark.slow
 def test_no_row_at_a_time_python_across_catalog(spark):
     """UDF policy lock for the WHOLE catalog: no BatchEvalPython (per-row
     Python UDF) in any batch query's physical plan. Arrow-batched
@@ -642,6 +643,7 @@ def test_weighted_sample_takes_ordered(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+@pytest.mark.slow
 def test_daily_budget_spend_keeps_the_family_locks(spark):
     """q_daily_budget (r15): the incremental pipeline's budget spend
     inherits the select_within_budget_by_stratum scale locks — no

@@ -304,6 +304,7 @@ _SCD_BATCH = st.dictionaries(_SCD_KEYS, _SCD_ATTRS, min_size=1, max_size=4)
 
 @settings(**SETTINGS)
 @given(log=_SCD_LOG, batch=_SCD_BATCH)
+@pytest.mark.slow
 def test_scd2_merge_equals_rebuild(spark, log, batch):
     import datetime
 

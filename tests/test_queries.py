@@ -22,7 +22,26 @@ def oracle_con():
     con.close()
 
 
-@pytest.mark.parametrize("name", list(CATALOG))
+# The measured >= ~6s tail of the sweep (heavy multi-stage compositions:
+# the daily loop, curate variants, double-trained IVF) runs under the
+# `slow` marker — still part of every full-suite run (`-m ""`), just not
+# of the driver-budget default; the driver's own oracle gate covers its
+# 50-entry window independently of this sweep.
+_SLOW_ORACLE = {
+    "q_ann_ivf_trained", "q_curate_classifier", "q_curate_corpus",
+    "q_curate_halo", "q_curate_incremental", "q_curate_split",
+    "q_curation_report_halo", "q_daily_budget", "q_daily_loop",
+    "q_leakage_incremental", "q_random_projection", "q_simhash_incremental",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE else n
+        for n in CATALOG
+    ],
+)
 def test_query_matches_oracle(spark, oracle_con, name):
     msg = compare_query(CATALOG[name], spark, oracle_con, SF_DIR)
     assert msg is None, f"{name}: {msg}"

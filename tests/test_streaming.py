@@ -734,6 +734,7 @@ def test_stream_cms_partials_bit_identical_and_replay_safe(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(sink).collect())) == first
 
 
+@pytest.mark.slow
 def test_stream_index_update_keeps_serving_index_current(spark, tmp_path):
     """The serving text index maintained FROM THE DOCUMENT STREAM: two
     micro-batches of new/changed docs apply through update_text_index
@@ -1142,6 +1143,7 @@ def test_stream_drift_partials_merge_equals_batch(spark, tmp_path):
         drift_from_partials(ref, bad, "value", n_cuts=n_cuts).collect()
 
 
+@pytest.mark.slow
 def test_stream_artifact_update_maintains_dedup_state(spark, tmp_path):
     """The dedup state (minhash signature + fingerprint tables)
     maintained FROM THE DOCUMENT STREAM: two micro-batches advance the
@@ -1259,6 +1261,7 @@ def test_stream_artifact_update_maintains_dedup_state(spark, tmp_path):
     assert streamed == kept_ids(s2, f2) == [8]  # 7 is an exact dup of 0
 
 
+@pytest.mark.slow
 def test_stream_artifact_update_maintains_gram_table(spark, tmp_path):
     """gram_n= extends the streamed dedup state with the containment
     gram table, in the SAME atomic snapshot as sigs/fps: the drained
@@ -1478,6 +1481,7 @@ def test_backfill_gram_table_closes_the_upgrade_path(spark, tmp_path):
     assert sorted(map(tuple, grams2.collect())) == want2
 
 
+@pytest.mark.slow
 def test_stream_embedding_update_maintains_normalized_state(
     spark, tmp_path
 ):
@@ -1577,6 +1581,7 @@ def test_stream_embedding_update_maintains_normalized_state(
         )
 
 
+@pytest.mark.slow
 def test_stream_classifier_counts_maintenance(spark, tmp_path):
     """Streaming maintenance of the classifier's additive count
     statistics: a two-batch drain equals train_bow_counts over every
@@ -1727,6 +1732,7 @@ def test_stream_classifier_counts_maintenance(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_stream_multiclass_counts_maintenance(spark, tmp_path):
     """Streaming maintenance of the MULTI-CLASS count statistics
     (shares the binary twin's guard chain — _run_stream_counts_update
@@ -1884,6 +1890,7 @@ def test_stream_multiclass_counts_maintenance(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_artifact_update_maintains_components_labels(
     spark, tmp_path
 ):
@@ -1968,6 +1975,7 @@ def test_stream_artifact_update_maintains_components_labels(
     assert {(r["node"], r["comp"]) for r in comps_r.collect()} == want
 
 
+@pytest.mark.slow
 def test_stream_components_upgrade_requires_backfill_and_closes(
     spark, tmp_path
 ):
@@ -2055,6 +2063,7 @@ def test_stream_components_upgrade_requires_backfill_and_closes(
     assert got == want and (9, 1) in got
 
 
+@pytest.mark.slow
 def test_stream_artifact_update_maintains_halo_state(spark, tmp_path):
     """halo_benchmark=: the contamination-halo state pair advances
     from the document stream in the SAME atomic snapshot as

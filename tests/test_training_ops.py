@@ -1178,6 +1178,7 @@ def test_minhash_signatures_expr_parity(spark):
         assert new == old, (k, w)
 
 
+@pytest.mark.slow
 def test_ivf_dataframe_training_matches_collect(spark, tmp_path):
     """method='dataframe' must produce bit-identical centroids to the
     collect path (means are rounded before they cross iterations), and a
@@ -1213,6 +1214,7 @@ def test_ivf_dataframe_training_matches_collect(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_curate_incremental_parity_with_full_batch(spark):
     """The composed daily-crawl pipeline: curating only the snapshot delta
     against the stored corpus artifacts must reach the same curated corpus
@@ -1331,6 +1333,7 @@ def test_chunk_documents_known_answer(spark):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
 
 
+@pytest.mark.slow
 def test_curate_incremental_chained_two_days(spark):
     """Two consecutive incremental runs with artifact advancement between
     them must reach the same corpus as one full-batch run over
@@ -1403,6 +1406,7 @@ def test_curate_incremental_chained_two_days(spark):
     )
 
 
+@pytest.mark.slow
 def test_advance_artifacts_update_semantics(spark):
     """An UPDATED doc (same id, new text) across an advancement: append
     mode keeps the old rows as the memory of everything ever emitted
@@ -1474,6 +1478,7 @@ def test_advance_artifacts_update_semantics(spark):
     assert rp_sigs.filter(F.col("id") == 1).count() == 1  # new row only
 
 
+@pytest.mark.slow
 def test_curate_corpus_materialize_modes_identical(spark, tmp_path):
     """The cluster-safe materialization swaps (reliable checkpoint,
     parquet scratch table) are config values; every mode must produce the
@@ -1884,6 +1889,7 @@ def test_ivf_pq_probing_all_cells_equals_plain_pq(spark):
         assert all_pq[(r["query_id"], r["neighbor_id"])] == r["adc_micro"]
 
 
+@pytest.mark.slow
 def test_ann_index_roundtrip_identical_to_direct_path(spark, tmp_path):
     """ann_from_index over a build_ann_index output returns rows
     IDENTICAL to ann_ivf_pq_topk's direct compute on the same
@@ -1934,6 +1940,7 @@ def test_ann_index_roundtrip_identical_to_direct_path(spark, tmp_path):
     assert len(snaps) == 2  # retention (default 2) pruned the first
 
 
+@pytest.mark.slow
 def test_ann_index_delta_update_two_day_loop(spark, tmp_path):
     """The daily vector-ingest loop: day 2's NEW vectors assign cells
     and PQ-encode against the STORED model (centroids/codebook frozen
@@ -2047,6 +2054,7 @@ def test_ann_index_delta_update_two_day_loop(spark, tmp_path):
     assert indexed2 == direct2
 
 
+@pytest.mark.slow
 def test_ann_index_update_equals_rebuild_property(spark):
     """Hypothesis property (the text-index twin): for ANY day-1 vector
     set and ANY delta mix (new + changed + deleted ids), update_ann_index
@@ -3295,6 +3303,7 @@ def test_paletted_bmp_matches_paletted_png_fingerprint(spark):
     assert bmp_feat[:2] == png_feat[:2] == [3.0, 2.0]
 
 
+@pytest.mark.slow
 def test_batched_bpe_cuts_rounds_and_stays_valid(spark):
     """Batched BPE learns K pairwise-disjoint merges per Spark round:
     same merge budget in >=5x fewer (count + apply) cycles, deterministic
@@ -4156,6 +4165,7 @@ def test_curation_report_matches_pipeline_cardinalities(spark):
     assert report["near_dedup"] == curate_corpus(docs).count()
 
 
+@pytest.mark.slow
 def test_curation_report_surfaces_decontamination_and_halo(spark):
     """The decontamination stages are funnel rows (r12 VERDICT ask —
     a halo run's contamination drop must be visible to the
@@ -4693,6 +4703,7 @@ def test_text_index_compaction_reclusters_without_retokenizing(
     assert got == want
 
 
+@pytest.mark.slow
 def test_index_update_equals_rebuild_property(spark):
     """Hypothesis property: for ANY day-1 corpus and ANY day-2 delta
     (new docs + changed docs + deletes, in any mix hypothesis picks),
@@ -4900,6 +4911,7 @@ def test_text_index_delta_update_two_day_loop(spark, tmp_path):
     assert stats_got == stats_want
 
 
+@pytest.mark.slow
 def test_text_index_delta_update_merge_path_on_changed_doc(spark, tmp_path):
     """A CHANGED document routes to the merge path: its stale tf/doclen
     rows anti-join out, the re-tokenized rows union in, and the result
@@ -5231,6 +5243,7 @@ def test_ann_index_duplicate_ids_fail_loudly(spark, tmp_path):
     assert audit["mode"] == "merge" and audit["cells_rows"] == 110
 
 
+@pytest.mark.slow
 def test_curate_capped_mode_identity_with_standalone_cap(spark):
     """curate_corpus(max_docs_per_source=) composes cap_per_source as
     the LAST stage: the composed kept set must be IDENTICAL to running
@@ -5290,6 +5303,7 @@ def test_curate_capped_mode_identity_with_standalone_cap(spark):
     assert per_src and all(r["count"] <= 3 for r in per_src)
 
 
+@pytest.mark.slow
 def test_curate_token_budget_identity_with_standalone_selection(spark):
     """curate_corpus(token_budget=) composes select_within_budget as
     the stage after the per-source cap: the composed kept set must be
@@ -5402,6 +5416,7 @@ def test_curate_token_budget_identity_with_standalone_selection(spark):
     assert {r["source"] for r in strat_out.collect()} <= set(per_src)
 
 
+@pytest.mark.slow
 def test_curate_corpus_bloom_prefilter_identity(spark):
     """bloom_prefilter_bits routes the three id-keyed keep-joins (LM
     keep list, exact-dedup survivors, cap winners) through the
@@ -5510,6 +5525,7 @@ def test_bow_classifier_learns_and_guards(spark):
         )
 
 
+@pytest.mark.slow
 def test_curate_incremental_classifier_gate(spark):
     """curate_incremental's learned quality gate scores only the
     DELTA's eligible docs against the stored model: the gated kept
@@ -5682,6 +5698,7 @@ def test_curate_corpus_split_from_same_components_pass(spark):
     assert rows == want
 
 
+@pytest.mark.slow
 def test_curate_split_loose_threshold_guards_subdedup_leaks(spark):
     """split_threshold < near_dup_threshold: pairs generate once at
     the looser threshold, dedup uses the tight subset, and kept
@@ -5839,6 +5856,7 @@ def test_auto_bloom_bits_gates(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+@pytest.mark.slow
 def test_curate_incremental_bloom_drop_identity(spark):
     """curate_incremental's final near-dup drop join accepts the same
     prefilter family: forced bits must be row-identical to the plain
@@ -6056,6 +6074,7 @@ def test_distribution_drift_approx_cuts_within_gk_rank_error(spark):
     prop()
 
 
+@pytest.mark.slow
 def test_incremental_embedding_near_dup_full_batch_parity(spark):
     """incremental_embedding_near_dup(stored sig table, new vectors)
     must return EXACTLY the embedding_near_dup_pairs(stored ∪ new)
@@ -6306,6 +6325,7 @@ def test_incremental_state_geometry_guards_raise_in_plan(spark):
         ).collect()
 
 
+@pytest.mark.slow
 def test_incremental_embedding_normalized_native_parity(spark):
     """incremental_embedding_near_dup_normalized consumes the
     (vectors, buckets) pair directly — no reassembly join, vectors
@@ -7063,6 +7083,7 @@ def test_advanced_state_feeds_incremental_leakage_split(spark):
     assert out[101][1] == 0           # fresh
 
 
+@pytest.mark.slow
 def test_evaluate_bow_classifier_confusion_and_holdout(spark):
     """Classifier evaluation surface: exact confusion counts + int-ppm
     derived metrics on a crafted frame (including NULL rates on empty
@@ -7235,6 +7256,7 @@ def _halo_corpus(spark):
     )
 
 
+@pytest.mark.slow
 def test_curate_corpus_halo_composed_parity(spark):
     """curate_corpus(benchmark=..., halo_hops=k) drops kept documents
     within k near-dup hops of a directly contaminated one, walking the
@@ -7377,6 +7399,7 @@ def test_decontaminate_halo_standalone(spark):
         decontaminate(docs, bench, halo_hops=1)
 
 
+@pytest.mark.slow
 def test_classifier_score_drift_recipe(spark):
     """The classifier-score drift monitor is a COMPOSITION, not a new
     operator: score_bow_classifier's (doc_id, score_micro) output
@@ -7507,6 +7530,7 @@ def test_classifier_threshold_sweep_matches_reference(spark):
         classifier_threshold_sweep(scored, labels, n_cuts=0)
 
 
+@pytest.mark.slow
 def test_dedup_components_incremental_matches_batch(spark):
     """Delta maintenance of a components labeling: contracting stored
     components and closing only the delta graph must equal the batch
@@ -7746,6 +7770,7 @@ def test_multiclass_train_and_score_fused_parity(spark):
         train_and_score_bow_multiclass(bad, n_buckets=128).collect()
 
 
+@pytest.mark.slow
 def test_multiclass_counts_merge_parity_and_guards(spark):
     """The incremental-artifact loop: training on the union equals
     merging a labeled delta's counts into the stored table and
@@ -7993,6 +8018,7 @@ def test_mixture_sample_by_class_composition(spark):
     assert got == want and got
 
 
+@pytest.mark.slow
 def test_select_within_budget_prefix_semantics_and_guards(spark):
     """Budgeted data selection: the kept set is the maximal
     (quality DESC, id ASC) prefix whose summed cost fits the budget —
