@@ -684,11 +684,25 @@ def _truncate_lineage(
     return df.localCheckpoint(eager=eager)
 
 
+# Per-round label tables at/below this row count take an explicit
+# broadcast hint in the components loop (r16, guide §3.1 — "pick the
+# join strategy deliberately"): a localCheckpoint-backed relation has no
+# size statistics, so the planner sort-merge-joins a 5k-row label table
+# against the edge list EVERY round; the loop, uniquely, KNOWS the exact
+# node count from its own convergence aggregate, so below the limit the
+# hop and jump joins broadcast the label side (the edge list — the big
+# side at scale — is never shuffled per round) and above it the plan is
+# byte-identical to before. 2M (node, comp) rows ≈ 32 MB framed — half
+# the session's 64 MB autoBroadcastJoinThreshold.
+COMPONENTS_BROADCAST_NODE_LIMIT = 2_000_000
+
+
 def dedup_components_with_stats(
     pairs: DataFrame,
     max_iter: int = 25,
     reliable_checkpoint: bool | None = None,
     require_convergence: bool = False,
+    broadcast_node_limit: int = COMPONENTS_BROADCAST_NODE_LIMIT,
 ) -> tuple[DataFrame, int]:
     """Connected components of the near-dup pair graph → ((node, comp),
     rounds_run) with comp = min node id reachable.
@@ -797,12 +811,28 @@ def dedup_components_with_stats(
         # scale reshuffled both full label tables every round just to
         # answer yes/no. decimal(38,0): 1e9 nodes x 1e18-max ids can
         # overflow a bigint sum, and ANSI mode makes that an error.
+        # The same action also counts the nodes — the size fact the
+        # broadcast gate below needs, at zero extra jobs (the count is
+        # constant across rounds: hop and jump preserve the node set).
         row = lbls.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
         ).first()
-        return row["s"]
+        return row["s"], row["n"]
 
-    prev_sum = label_sum(labels)
+    prev_sum, n_nodes = label_sum(labels)
+    # Deliberate join strategy (guide §3.1): below the limit the label
+    # side of the hop and jump joins is broadcast — the checkpointed
+    # relation carries no stats, so the planner would otherwise
+    # sort-merge-join it against the edge list every round. The node
+    # count is EXACT (measured by the init aggregate), so the gate is
+    # data-adaptive: a billion-node production graph keeps the shuffle
+    # joins untouched.
+    small = n_nodes is not None and n_nodes <= broadcast_node_limit
+
+    def maybe_broadcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     rounds = 0
     # convergence is OBSERVED, not inferred: the loop must execute one
     # no-change round to know labels are minimal. require_convergence
@@ -818,15 +848,16 @@ def dedup_components_with_stats(
         # hop: min label over self ∪ neighbors, as ONE join + aggregate
         # (self-loops supply the self term). Lazy cut, materialized by
         # this round's sum — the only action the round pays.
+        lab = maybe_broadcast(labels)
         neighbor_min = _truncate_lineage(
-            edges.join(labels, edges["src"] == labels["node"])
+            edges.join(lab, edges["src"] == lab["node"])
             .select(F.col("dst").alias("node"), "comp")
             .groupBy("node")
             .agg(F.min("comp").alias("comp")),
             reliable_checkpoint,
             eager=False,
         )
-        cur_sum = label_sum(neighbor_min)
+        cur_sum, _ = label_sum(neighbor_min)
         if cur_sum == prev_sum:
             # hop fixed point: the jump is the identity (see the r16
             # restructure note above) — neighbor_min IS the converged
@@ -841,8 +872,10 @@ def dedup_components_with_stats(
         # Both references read neighbor_min's just-materialized blocks;
         # the jumped cut itself stays lazy and is computed exactly once
         # by the NEXT round's sum (where the hop references it once).
-        jump_to = neighbor_min.select(
-            F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+        jump_to = maybe_broadcast(
+            neighbor_min.select(
+                F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
+            )
         )
         jumped = _truncate_lineage(
             neighbor_min.join(
