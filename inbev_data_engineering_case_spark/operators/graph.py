@@ -240,6 +240,7 @@ def multi_source_bfs(
     dst_col: str = "dst",
     directed: bool = False,
     reliable_checkpoint: bool | None = None,
+    broadcast_node_limit: int | None = None,
 ) -> DataFrame:
     """Level-synchronous multi-source BFS → ``(node, dist)`` for every
     node within ``max_hops`` of ANY seed (``dist`` = hops to the
@@ -303,6 +304,27 @@ def multi_source_bfs(
     # of racing to recompute straggler partitions.
     sym = _truncate_lineage(sym.distinct(), reliable_checkpoint, eager=False)
 
+    # Deliberate join strategy (guide §3.1, the components loop's gate):
+    # the frontier and visited tables are checkpoint-backed (no size
+    # stats), but the loop MEASURES their exact row counts with the
+    # actions it already pays — below the limit the frontier side of the
+    # adjacency join and the visited side of the anti-join broadcast, so
+    # the (at scale, huge) edge table is never shuffled per hop; above
+    # it the shuffle plans are untouched.
+    from inbev_data_engineering_case_spark.operators.dedup import (
+        COMPONENTS_BROADCAST_NODE_LIMIT,
+    )
+
+    if broadcast_node_limit is None:
+        broadcast_node_limit = COMPONENTS_BROADCAST_NODE_LIMIT
+
+    def maybe_broadcast(df: DataFrame, n: int | None) -> DataFrame:
+        return (
+            F.broadcast(df)
+            if n is not None and n <= broadcast_node_limit
+            else df
+        )
+
     seed_col = seeds.columns[0]
     dist = _truncate_lineage(
         seeds.select(F.col(seed_col).cast("long").alias("node"))
@@ -310,21 +332,30 @@ def multi_source_bfs(
         .withColumn("dist", F.lit(0)),
         reliable_checkpoint,
     )
+    # one count over the just-materialized seed blocks: the size fact
+    # both hop-1 join gates need
+    dist_n = frontier_n = dist.count()
     frontier = dist.select("node")
     for hop in range(1, max_hops + 1):
+        f = maybe_broadcast(frontier, frontier_n)
         reached = (
-            frontier.join(sym, frontier["node"] == sym["src"])
+            sym.join(f, f["node"] == sym["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
         )
         new = _truncate_lineage(
-            reached.join(dist.select("node"), on="node", how="left_anti")
-            .withColumn("dist", F.lit(hop)),
+            reached.join(
+                maybe_broadcast(dist.select("node"), dist_n),
+                on="node",
+                how="left_anti",
+            ).withColumn("dist", F.lit(hop)),
             reliable_checkpoint,
             eager=False,
         )
-        if new.count() == 0:  # the hop's one action; materializes `new`
+        frontier_n = new.count()  # the hop's one action; materializes `new`
+        if frontier_n == 0:
             break
+        dist_n += frontier_n
         dist = _truncate_lineage(
             dist.unionByName(new), reliable_checkpoint, eager=False
         )
