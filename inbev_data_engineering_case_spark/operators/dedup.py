@@ -610,7 +610,11 @@ def simhash_from_hashes(hashes: Column | str, bits: int = 60) -> Column:
     parses in milliseconds and references the votes array exactly once
     (bit-for-bit identical: integer votes, same per-bit majority rule,
     NULL token arrays still hash to 0 via the explicit coalesce —
-    parity-tested against the Column path)."""
+    parity-tested against the Column path). The string form treats the
+    name as one UNQUALIFIED top-level column — it is backtick-quoted as
+    a single identifier, so a dotted name is NOT resolved as a struct
+    field or alias-qualified path the way ``F.col`` would (r15 ADVICE);
+    pass a Column for nested references."""
     if isinstance(hashes, str):
         h = "`" + hashes.replace("`", "``") + "`"
         masks_sql = ",".join(f"{1 << b}L" for b in range(bits))

@@ -229,8 +229,22 @@ def signlsh_bucket(
       string column name the whole expression is built by ONE
       ``F.expr`` parse (``_signlsh_bucket_expr``) — the py4j-per-node
       Column construction was the dominant cost of every bucketing
-      plan build (wave 3).
+      plan build (wave 3). The string form treats the name as one
+      UNQUALIFIED top-level column (a dotted name is backtick-quoted
+      as a single identifier, not resolved as a struct path — pass a
+      Column for nested references).
+
+    ``num_planes`` is capped at 63 so the bucket id stays a valid
+    signed BIGINT on both build paths (r15 ADVICE: past 63 the expr
+    form's ``1 << p`` literal overflows at parse/ANSI-cast while the
+    Column form's ``F.shiftleft`` silently wraps — failing loudly and
+    identically here beats that divergence).
     """
+    if not 1 <= num_planes <= 63:
+        raise ValueError(
+            "signlsh_bucket: num_planes must be in [1, 63] — the bucket"
+            f" id is a signed 64-bit integer (got {num_planes})"
+        )
     if dim is not None and isinstance(vec, str):
         return _signlsh_bucket_expr(vec, num_planes, seed, dim)
     vec = F.col(vec) if isinstance(vec, str) else vec

@@ -23,7 +23,10 @@ sys.path.insert(0, %(repo)r)
 from inbev_data_engineering_case_spark.queries import CATALOG
 from inbev_data_engineering_case_spark.session import get_spark
 sf_dir, names = sys.argv[1], sys.argv[2:]
-spark = get_spark("core-scaling")
+# the sandbox JVM defaults to a 1g driver heap, which cannot hold the
+# 10x fixture's AQE runtime-stats broadcasts (~64MB relations) — size
+# it like a real cluster driver so the probe measures the data plane
+spark = get_spark("core-scaling", extra_conf={"spark.driver.memory": "8g"})
 spark.sparkContext.setLogLevel("ERROR")
 out = {}
 for name in names:

@@ -49,15 +49,18 @@ def main() -> int:
     )
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    def perturb(i: int):
+        # closure factory — a default-arg lambda changes the arity
+        # PySpark infers for transform() (the repo-wide lesson)
+        return lambda x, p: x.cast("double") * (
+            F.lit(1.0) + F.lit(0.0001 * (i + 1)) * ((p % 5) - 2)
+        )
+
     inflated_e = None
     for i in range(copies):
         v = emb.select(
             (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x, p, i=i: x.cast("double")
-                * (F.lit(1.0) + F.lit(0.0001 * (i + 1)) * ((p % 5) - 2)),
-            ).alias("embedding"),
+            F.transform("embedding", perturb(i)).alias("embedding"),
         )
         inflated_e = v if inflated_e is None else inflated_e.unionByName(v)
     inflated_e.repartition(16).write.mode("overwrite").parquet(
